@@ -1,0 +1,131 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's scalar layer (SURVEY.md §2.7, F1-F15) re-expressed as
+  * pure `Column => Column` combinators. No UDFs anywhere: every function
+  * composes Catalyst built-ins, so the whole layer stays inside
+  * whole-stage codegen and is distributable as-is — the opposite of the
+  * reference's per-cell Python `.apply` loops (user_transformer.py:410).
+  */
+object Exprs {
+
+  /** Null-token set the reference collapses to NULL, case-insensitive
+    * (user_transformer.py:225-233). */
+  val NullTokens: Seq[String] = Seq("nan", "null", "none", "", "nat")
+
+  /** F7 — `_clean_string_field` (user_transformer.py:204-234): cast to
+    * string, trim, null-token normalize. Order matters: trim before the
+    * token test, as in the reference. */
+  def cleanString(c: Column): Column = {
+    val t = trim(c.cast(StringType))
+    when(lower(t).isin(NullTokens: _*), lit(null).cast(StringType)).otherwise(t)
+  }
+
+  /** F7 array branch — arrays take the first non-null element
+    * (user_transformer.py:208-214). */
+  def firstNonNull(arr: Column): Column =
+    element_at(filter(arr, x => x.isNotNull), 1)
+
+  /** F2 — `_clean_nan_values` array branch (user_transformer.py:63-81):
+    * drop null elements; an all-null / empty result collapses to NULL
+    * (never an empty array — SURVEY.md §7.4.7). */
+  def cleanArray(arr: Column): Column = {
+    val kept = filter(arr, x => x.isNotNull)
+    when(arr.isNull || size(kept) === 0, lit(null).cast(ArrayType(StringType)))
+      .otherwise(kept)
+  }
+
+  /** F3 numeric branch — unix epoch with the reference's 1e10
+    * seconds-vs-milliseconds heuristic; non-positive numbers parse to
+    * NULL (user_transformer.py:138-146). */
+  def parseEpoch(n: Column): Column =
+    when(n > 1e10, timestamp_millis(n.cast(LongType)))
+      .when(n > 0, timestamp_seconds(n.cast(LongType)))
+
+  /** F3 — `_parse_datetime` (user_transformer.py:83-148): null tokens →
+    * NULL, then the 5-layout strptime ladder in reference order, then
+    * the epoch heuristic. Composes to `coalesce` over `try_to_timestamp`
+    * — fully codegen'd, no custom Expression needed (SURVEY.md §4.2). */
+  def parseFlexibleTimestamp(c: Column): Column = {
+    val s = cleanString(c)
+    coalesce(
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      try_to_timestamp(s, lit("yyyy-MM-dd")),
+      parseEpoch(s.cast(DoubleType)))
+  }
+
+  /** F5 — `_parse_interests` (user_transformer.py:150-177): string input
+    * comma-split, trimmed, empties dropped; empty result → NULL. */
+  def parseInterests(c: Column): Column = {
+    val s = cleanString(c)
+    val arr = filter(transform(split(s, ","), x => trim(x)), x => x =!= "")
+    when(s.isNull || size(arr) === 0, lit(null).cast(ArrayType(StringType)))
+      .otherwise(arr)
+  }
+
+  /** F6 — `_normalize_status` (user_transformer.py:179-202): upper+trim,
+    * 9-entry mapping incl. French variants, default ACTIVE (incl. null). */
+  val StatusMap: Map[String, String] = Map(
+    "ACTIVE" -> "ACTIVE", "ACTIF" -> "ACTIVE", "ENABLED" -> "ACTIVE",
+    "INACTIVE" -> "INACTIVE", "INACTIF" -> "INACTIVE", "DISABLED" -> "INACTIVE",
+    "BANNED" -> "BANNED", "BANNI" -> "BANNED", "BLOCKED" -> "BANNED")
+
+  def normalizeStatus(c: Column): Column =
+    coalesce(element_at(typedLit(StatusMap), upper(trim(c.cast(StringType)))),
+      lit("ACTIVE"))
+
+  /** F10 — boolean coercion with false default (postgres_loader.py:226-229). */
+  def cleanBool(c: Column): Column = coalesce(c.cast(BooleanType), lit(false))
+
+  /** F11 — default fill (postgres_loader.py:237-239). */
+  def withDefault(c: Column, d: Column): Column = coalesce(c, d)
+
+  /** P7 — placeholder email synthesis (user_transformer.py:350-352). */
+  def placeholderEmail(email: Column, provider: Column, uid: Column): Column =
+    when(email.isNull && provider === "google.com",
+      concat(lit("google_user_"), coalesce(uid, lit("unknown")), lit("@placeholder.com")))
+      .otherwise(email)
+
+  /** P9 — display masking (firebase_service.py:206-208). */
+  def maskEmail(c: Column): Column = concat(substring(c, 1, 3), lit("***"))
+
+  /** F12 — uuid-20 (main.py:9-16). Non-deterministic, like the
+    * reference's uuid4; collision probability at 80 bits makes the
+    * reference's retry loop unnecessary. */
+  def uuid20: Column = substring(expr("uuid()"), 1, 20)
+
+  /** F12 deterministic surrogate for oracle-compared pipelines
+    * (SURVEY.md §7.4.3): 20 hex chars of md5 of a natural key. */
+  def deterministicKey20(c: Column): Column = substring(md5(c.cast(StringType)), 1, 20)
+
+  /** F9 — Postgres array literal with quote escaping
+    * (postgres_loader.py:334-354); empty/null → NULL. */
+  def pgArrayLiteral(arr: Column): Column =
+    when(arr.isNull || size(arr) === 0, lit(null).cast(StringType))
+      .otherwise(concat(lit("{"),
+        array_join(transform(arr,
+          x => concat(lit("'"), regexp_replace(x, "'", "''"), lit("'"))), ","),
+        lit("}")))
+
+  /** F14 — datetime → ISO string (datastore_service.py:153-155). */
+  def isoFormat(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** F15 — guarded percent math (user_transformer.py:468-469). */
+  def percent(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num * lit(100.0) / den)
+
+  /** Determinism helper for oracle-compared float aggregates: summing
+    * doubles is order-dependent, so bench/verify queries sum via an
+    * exact decimal cast and return double. Callers pick a scale at
+    * which the inputs are exact (2-decimal money → scale ≥ 2; products
+    * of two 2-decimal columns → scale ≥ 4), making the sum associative
+    * and bit-identical across engines and partitionings. */
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+}

@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Text.HashP
+
+/** Deduplication for training-data pipelines: exact, normalized,
+  * MinHash+LSH, SimHash. Every variant keeps the shuffle linear in the
+  * data — candidate generation is always hash-bucketed (groupBy/join on
+  * a signature), never an all-pairs crossJoin, so the same plan that
+  * dedups 60k rows dedups 100 TB. */
+object Dedup {
+
+  /** Exact dedup: hash the content, keep the lowest id per hash. One
+    * shuffle on the 128-bit content hash; skew-free by construction. */
+  def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(contentCol))).orderBy(col(idCol))
+    df.withColumn("content_hash", md5(col(contentCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Normalized-exact dedup: lowercase, strip punctuation, collapse
+    * whitespace before hashing — catches trivial near-dups for the cost
+    * of the exact pass. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
+
+  def normalizedDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    exactDedup(df.withColumn("__norm", normalize(col(contentCol))), "__norm", idCol)
+      .drop("__norm")
+
+  /** Fixed MinHash permutation seeds (a, b) for `(a*h + b) % P` over
+    * 60-bit md5-derived shingle hashes. 16 hashes = 4 bands × 4 rows:
+    * documents sharing any full band become candidates (the classic
+    * banding construction — collision prob ≈ 1-(1-j^4)^4 at Jaccard j).
+    * Constants are plain literals so the DuckDB oracle can replay the
+    * identical arithmetic. */
+  val Seeds: Seq[(Long, Long)] = Seq(
+    (914334919L, 689295979L), (1046491907L, 265096873L),
+    (1565110691L, 896516969L), (790336223L, 1126929907L),
+    (1824734009L, 2054432537L), (1103299607L, 427375739L),
+    (2026947991L, 607422653L), (661036547L, 1722850313L),
+    (245018563L, 1382717399L), (1927862821L, 818809171L),
+    (583047601L, 1102500569L), (1439374397L, 358976291L),
+    (724239467L, 1973447609L), (1346559689L, 95217773L),
+    (1869802127L, 1548895313L), (403864279L, 1252963853L))
+
+  val BandRows = 4
+  def numBands: Int = Seeds.size / BandRows
+
+  /** 16-element MinHash signature from pre-hashed shingles (pass the
+    * hashed-shingle column once; Catalyst's subexpression elimination
+    * keeps the md5 pass single). Empty shingle set → null signature. */
+  def minHashSignature(hs: Column): Column =
+    when(size(hs) > 0, array(Seeds.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(HashP)))
+    }: _*))
+
+  /** LSH band keys: band index + the band's minhashes fused to a string. */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => concat_ws("_", (b.cast("string") +:
+        (0 until BandRows).map(r => sig(b * BandRows + r).cast("string"))): _*))
+
+  /** Exact Jaccard on distinct element arrays (the verify step). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash+LSH near-dup pairs over (id, text):
+    * shingle+hash → signature → explode bands → self-join on band key →
+    * distinct candidates → verify with exact Jaccard ≥ threshold.
+    * The only shuffles are the band-key join and the verify join on id —
+    * both linear in data. `maxBucket` drops degenerate buckets (stop
+    * phrases / boilerplate) that would otherwise go quadratic — the
+    * standard guard at 100 TB. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, shingleN: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val prepared = df
+      .withColumn("__hs", array_distinct(Text.hashedShingles(col(textCol), shingleN)))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("__sig", minHashSignature(col("__hs")))
+    val bands = prepared
+      .select(col(idCol), explode(bandKeys(col("__sig"))).as("band"))
+    val bounded = bands
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val candidates = bounded.as("x")
+      .join(bounded.as("y"), col("x.band") === col("y.band") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+    val sets = prepared.select(col(idCol), col("__hs"))
+    candidates
+      .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__hs", "ha"), "a")
+      .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__hs", "hb"), "b")
+      .withColumn("jaccard", jaccard(col("ha"), col("hb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash signature (default 16 bits): each bit is the sign of the
+    * ±1 vote sum over word hashes. Near-dups differ in few bits;
+    * grouping on the signature (or rotated sub-signatures) buckets
+    * candidates without pair enumeration. */
+  def simHash(wordHashes: Column, bits: Int = 16): Column =
+    (0 until bits).map { b =>
+      when(aggregate(wordHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def hammingDist(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-dup: reuses the ANN machinery — see
+    * Similarity.lshBuckets + cosine threshold within buckets. */
+}

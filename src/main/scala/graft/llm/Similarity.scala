@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, per the scale brief:
+  *  - brute-force top-k: exact, linear scan — the baseline and the
+  *    within-bucket kernel;
+  *  - LSH (random hyperplane) bucketing: candidate generation is a
+  *    groupBy on the bucket signature, so the shuffle stays linear in
+  *    data and the quadratic part is confined to buckets.
+  *
+  * Dot products fold sequentially over the array (functions.aggregate),
+  * so results are bit-deterministic regardless of partitioning. The
+  * quantized variants (`*Q`) work on round(x*1000) longs — exact integer
+  * arithmetic, reproducible in any engine, used by the oracle-checked
+  * queries; the double variants serve ranking in production. */
+object Similarity {
+
+  def toDouble(e: Column): Column = transform(e, x => x.cast("double"))
+
+  /** Quantize to thousandths as longs — exact, portable arithmetic. */
+  def quantize(e: Column, scale: Int = 1000): Column =
+    transform(e, x => round(x.cast("double") * scale).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by quantized dot product: broadcast the
+    * (small) query set against every candidate — the join is map-side,
+    * the only shuffle is the per-query top-k window. At cluster scale
+    * the window input is |queries|×|candidates| rows, which is why this
+    * is the baseline/kernel, not the scale path. */
+  def bruteForceTopKQ(queries: DataFrame, candidates: DataFrame, qId: String,
+                      cId: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
+    val c = candidates.select(col(cId).as("cid"), quantize(col(embCol)).as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("dot", dotQ(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("dot"))
+  }
+
+  /** Deterministic random hyperplanes: direction i of plane j is ±1 by
+    * the parity of md5("plane:j:i") — reproducible anywhere, no RNG
+    * state. Materialized as literal arrays for both engines. */
+  def planeDirs(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val h = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+        if ((h.last & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** LSH bucket signature: one bit per hyperplane = sign of the
+    * quantized projection. Equal signatures land in one bucket. */
+  def lshBucket(embQ: Column, planes: Seq[Seq[Int]]): Column =
+    concat(planes.map { dirs =>
+      val lits = array(dirs.map(d => lit(d.toLong)): _*)
+      when(dotQ(embQ, lits) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Bucketed ANN: assign buckets, then exact top-k within each bucket.
+    * The bucket column is also the pre-partitioning key for repeated
+    * queries (write bucketed parquet → co-located joins, no shuffle). */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              nPlanes: Int = 8, dim: Int = 64, k: Int = 1): DataFrame = {
+    val planes = planeDirs(nPlanes, dim)
+    val bucketed = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+      .withColumn("bucket", lshBucket(col("eq"), planes))
+    val pairs = bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vid") =!= col("y.vid"))
+      .select(col("x.vid").as("vid"), col("x.bucket").as("bucket"),
+        col("y.vid").as("nn"), dotQ(col("x.eq"), col("y.eq")).as("dot"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("dot").desc, col("nn"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis expression layer for large-scale training-data
+  * pipelines: tokenization, shingling, quality scoring, language-ID,
+  * fingerprinting. All pure Column combinators (codegen-friendly,
+  * shuffle-free per-row work) — at 100 TB these run map-side inside the
+  * parquet scan stage. */
+object Text {
+
+  /** 2^31-1, the Mersenne prime used as the hash ring for MinHash /
+    * fingerprint arithmetic: values stay < 2^31 so affine permutations
+    * `(a*h+b) % P` can't overflow a long. */
+  val HashP = 2147483647L
+
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Word n-gram shingles (0-based subscripts; n-2 shingles for n≥3
+    * words, else empty). */
+  def shingles(w: Column, n: Int = 3): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => w(i + k)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Portable 60-bit string hash reduced mod P: first 15 hex chars of
+    * md5. md5 is identical everywhere (Spark, DuckDB, Python), which
+    * keeps every hash-derived operator oracle-checkable. */
+  def md5Hash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType) % HashP
+
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    transform(shingles(words(text), n), s => md5Hash(s))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, "\\s+")).cast(LongType)
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * other non-space chars — a portable stand-in for a real tokenizer's
+    * pre-tokenization, useful for token-budget estimates at scale. */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast(LongType)
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(w: Column): Column =
+    size(filter(w, x => x.isin(Stopwords: _*))).cast(LongType)
+
+  /** Quality-score feature bundle: returns a struct of the classic
+    * cheap heuristics (length, mean word length, stopword ratio,
+    * punctuation density, uppercase ratio). */
+  def qualityFeatures(text: Column): Column = {
+    val w = words(text)
+    val nw = size(w).cast(LongType)
+    struct(
+      length(text).cast(LongType).as("n_chars"),
+      nw.as("n_words"),
+      (length(regexp_replace(text, " ", "")).cast(DoubleType) / nw).as("avg_word_len"),
+      (stopwordCount(w).cast(DoubleType) / nw).as("stopword_ratio"),
+      regexp_count(text, lit("[\\p{Punct}]")).cast(LongType).as("punct_count"),
+      (regexp_count(text, lit("[A-Z]")).cast(DoubleType) /
+        greatest(length(text), lit(1)).cast(DoubleType)).as("upper_ratio"))
+  }
+
+  /** Language-ID heuristic: score marker-token hits per language, take
+    * the argmax, default "und". Real pipelines plug larger profiles
+    * into the same shape; the operator stays a pure expression. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  def langGuess(text: Column): Column = {
+    val w = words(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Winnowing-style document fingerprints (rolling-hash family): hash
+    * consecutive word shingles, take the min hash of each window of
+    * `win` shingles, keep the distinct mins. Near-identical documents
+    * share most fingerprints; at scale, explode + groupBy(fingerprint)
+    * gives candidate pairs with shuffle linear in data. */
+  def fingerprints(text: Column, n: Int = 3, win: Int = 4): Column = {
+    val hs = hashedShingles(text, n)
+    val mins = when(size(hs) >= win,
+      transform(sequence(lit(0), size(hs) - win),
+        i => least((0 until win).map(k => hs(i + k)): _*)))
+      .otherwise(hs)
+    array_distinct(mins)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.model
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.expr.Exprs
+import graft.ops.Ops
+
+/** Canonical typed record — the reference's pydantic `UserModel`
+  * (user_transformer.py:14-32) as a Scala case class with a Spark
+  * Encoder (SURVEY.md §1.2). */
+case class User(
+  id: String,
+  email: String,
+  emailVerified: Boolean,
+  password: Option[String],
+  uid: Option[String],
+  provider: String,
+  profilePic: Option[String],
+  phoneNumber: Option[String],
+  phoneVerified: Boolean,
+  name: Option[String],
+  city: Option[String],
+  birthdate: Option[Timestamp],
+  photo: Option[String],
+  createdAt: Timestamp,
+  updatedAt: Timestamp,
+  status: String,
+  interests: Option[Seq[String]],
+  lastConnexion: Option[Timestamp])
+
+object User {
+  implicit val encoder: Encoder[User] = Encoders.product[User]
+  val schema: StructType = encoder.schema
+
+  object Status { // user_transformer.py:9-12
+    val Active = "ACTIVE"; val Inactive = "INACTIVE"; val Banned = "BANNED"
+    val all = Seq(Active, Inactive, Banned)
+  }
+  val DefaultProvider = "CREDENTIALS" // user_transformer.py:20
+
+  /** P6 — alias table (user_transformer.py:328-347). */
+  val aliases: Seq[(String, Seq[String])] = Seq(
+    "id" -> Seq("id"),
+    "email" -> Seq("email"),
+    "emailVerified" -> Seq("emailVerified", "email_verified"),
+    "password" -> Seq("password"),
+    "uid" -> Seq("uid"),
+    "provider" -> Seq("provider"),
+    "profilePic" -> Seq("profilePic", "profile_pic"),
+    "phoneNumber" -> Seq("phoneNumber", "phone_number"),
+    "phoneVerified" -> Seq("phoneVerified", "phone_verified"),
+    "name" -> Seq("name", "displayName"),
+    "city" -> Seq("city"),
+    "birthdate" -> Seq("birthdate", "birthDate", "birth_date"),
+    "photo" -> Seq("photo", "photoURL"),
+    "createdAt" -> Seq("createdAt", "created_at"),
+    "updatedAt" -> Seq("updatedAt", "updated_at"),
+    "status" -> Seq("status"),
+    "interests" -> Seq("interests"),
+    "lastConnexion" -> Seq("lastConnexion", "last_connexion"))
+
+  /** The full transform stage (`transform_users_dataframe`,
+    * user_transformer.py:394-441) as one declarative plan:
+    * alias-coalesce → scalar cleaning (F-series) → defaults → dedup W1.
+    * Returns the flagged frame; split with Ops.validateSplit checks. */
+  def transform(raw: DataFrame, now: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
+    val projected = Ops.coalesceAliases(aliases)(raw)
+    val cleaned = projected
+      .withColumn("email", Exprs.cleanString(col("email")))
+      .withColumn("name", Exprs.cleanString(col("name")))
+      .withColumn("city", Exprs.cleanString(col("city")))
+      .withColumn("provider", Exprs.withDefault(Exprs.cleanString(col("provider")), lit(DefaultProvider)))
+      .withColumn("email", Exprs.placeholderEmail(col("email"), col("provider"), col("uid")))
+      .withColumn("emailVerified", Exprs.cleanBool(col("emailVerified")))
+      .withColumn("phoneVerified", Exprs.cleanBool(col("phoneVerified")))
+      .withColumn("birthdate", Exprs.parseFlexibleTimestamp(col("birthdate")))
+      .withColumn("createdAt", Exprs.withDefault(Exprs.parseFlexibleTimestamp(col("createdAt")), now))
+      .withColumn("updatedAt", Exprs.withDefault(Exprs.parseFlexibleTimestamp(col("updatedAt")), now))
+      .withColumn("lastConnexion", Exprs.parseFlexibleTimestamp(col("lastConnexion")))
+      .withColumn("status", Exprs.normalizeStatus(col("status")))
+      .withColumn("interests", Exprs.parseInterests(col("interests")))
+      // P8 — required-field backfill (user_transformer.py:354-362)
+      .withColumn("id", Exprs.withDefault(Exprs.cleanString(col("id")), Exprs.uuid20))
+    cleaned
+      .transform(Ops.dropNullKeys(Seq("email")))
+      .transform(Ops.dedupKeepLatest(Seq("email"), "createdAt", "id"))
+  }
+
+  /** §2.8 checks for the typed channel (missing email is the one
+    * hard row-level error — main.py:71-73). */
+  val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "missing_email" -> col("email").isNull,
+    "missing_id" -> col("id").isNull,
+    "bad_status" -> !col("status").isin(Status.all: _*))
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.Exprs
+
+/** Whole-DataFrame operators (SURVEY.md §2.4-§2.9), each a
+  * `DataFrame => DataFrame` designed for `.transform(...)` composition.
+  * Every operator is a declarative Catalyst plan: joins pick
+  * broadcast-hash automatically for small sides, windows shuffle once on
+  * their partition keys, and aggregation is partial+final (map-side
+  * combine) — nothing here collects to the driver.
+  */
+object Ops {
+
+  /** W1 — the reference's flagship: dedup keep-latest-per-key
+    * (user_transformer.py:236-320). pandas keeps the last *input* row on
+    * timestamp ties; input order doesn't exist in a distributed engine,
+    * so ties break on an explicit column instead (SURVEY.md §7.4.2).
+    * One shuffle on `keys`; at 100 TB this is a single hash exchange and
+    * per-partition sort — no global sort, no driver materialization. */
+  def dedupKeepLatest(keys: Seq[String], ts: String, tieBreak: String)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).desc_nulls_last, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** P5 — null-key drop before dedup (user_transformer.py:247-249). */
+  def dropNullKeys(keys: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+
+  /** P6 — alias-coalescing projection (user_transformer.py:328-347):
+    * for each target column, take the first present source column.
+    * Missing sources resolve to NULL literals so heterogeneous inputs
+    * normalize to one schema. */
+  def coalesceAliases(targets: Seq[(String, Seq[String])])(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(targets.map { case (name, sources) =>
+      val cols = sources.filter(have.contains).map(col)
+      (if (cols.isEmpty) lit(null).cast("string") else coalesce(cols: _*)).as(name)
+    }: _*)
+  }
+
+  /** J1 — auth-enrichment join (firebase_service.py:79-106, driven
+    * per-row at :155). The reference's N+1 RPC loop with
+    * exception→default is exactly a broadcast left-outer equi-join with
+    * null-fill; the auth side is small, so broadcast avoids shuffling
+    * the (huge) users side entirely. */
+  def enrichFromAuth(users: DataFrame, auth: DataFrame, key: String): DataFrame = {
+    val a = auth.select(
+      col(key),
+      col("email").as("__auth_email"),
+      col("email_verified").as("__auth_verified"),
+      col("provider_ids").as("__auth_providers"))
+    users.join(broadcast(a), Seq(key), "left_outer")
+      .withColumn("provider",
+        when(array_contains(coalesce(col("__auth_providers"), array()), "google.com"), lit("google.com"))
+          .when(col("__auth_email").isNotNull || col("email").isNotNull, lit("CREDENTIALS"))
+          .otherwise(lit("google.com")))
+      .withColumn("emailVerified", Exprs.cleanBool(col("__auth_verified")))
+      .withColumn("authSource",
+        when(col("email").isNotNull, "database")
+          .when(col("__auth_email").isNotNull, "auth")
+          .otherwise("none"))
+      .withColumn("email", coalesce(col("email"), col("__auth_email")))
+      .withColumn("hasEmail", col("email").isNotNull)
+      .drop("__auth_email", "__auth_verified", "__auth_providers")
+  }
+
+  /** J2 — id-conflict resolution (main.py:143-157): incoming rows whose
+    * id exists get a fresh uuid-20; the reference's O(n·m) Python list
+    * scan becomes a broadcast anti/semi join pair + union (§2.9). */
+  def resolveIdConflicts(incoming: DataFrame, existing: DataFrame, idCol: String,
+                         newId: Column = Exprs.uuid20): DataFrame = {
+    val keys = existing.select(col(idCol)).distinct()
+    val clean = incoming.join(broadcast(keys), Seq(idCol), "left_anti")
+    val rewritten = incoming.join(broadcast(keys), Seq(idCol), "left_semi")
+      .withColumn(idCol, newId.cast(incoming.schema(idCol).dataType))
+    clean.unionByName(rewritten)
+  }
+
+  /** §2.8 — validation split with error channel
+    * (user_transformer.py:322-392): rows fail checks, not the job.
+    * Each check is (errorTag, badCondition); failures collect into an
+    * `errors` array column, the valid/invalid channels are filters over
+    * `size(errors)` — all inside codegen, no per-row try/catch. */
+  def withErrors(checks: Seq[(String, Column)])(df: DataFrame): DataFrame =
+    df.withColumn("errors",
+      filter(array(checks.map { case (tag, bad) => when(bad, lit(tag)) }: _*),
+        e => e.isNotNull))
+
+  def validateSplit(checks: Seq[(String, Column)])(df: DataFrame): (DataFrame, DataFrame) = {
+    val flagged = withErrors(checks)(df)
+    (flagged.filter(size(col("errors")) === 0).drop("errors"),
+      flagged.filter(size(col("errors")) > 0))
+  }
+
+  /** A9 — transformation report (user_transformer.py:457-477) as a
+    * single-pass conditional aggregate over the flagged frame. */
+  def validationReport(flagged: DataFrame): DataFrame = {
+    val valid = size(col("errors")) === 0
+    flagged.agg(
+      count(lit(1)).as("total"),
+      count(when(valid, 1)).as("valid"),
+      count(when(!valid, 1)).as("invalid"))
+      .withColumn("success_rate", Exprs.percent(col("valid"), col("total")))
+  }
+
+  /** A1/J3 — duplicate-key detail (user_transformer.py:252-274). */
+  def duplicateKeyStats(df: DataFrame, key: String, idCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"),
+        array_join(array_sort(collect_list(col(idCol).cast("string"))), ",").as("ids"))
+      .filter(col("cnt") > 1)
+
+  /** A2-A6 — distribution stats bundle (postgres_loader.py:426-472). */
+  def groupedCounts(df: DataFrame, key: Column, alias: String): DataFrame =
+    df.groupBy(key.as(alias)).agg(count(lit(1)).as("cnt"))
+
+  /** A8 — deterministic summary statistics (sql_extraction.py:574's
+    * `describe()`): count/min/max/mean/std from exact decimal sums so
+    * results don't depend on partitioning (see Exprs.dsum). `scale`
+    * must make the column exact; squares use 2×scale. */
+  def summaryStats(df: DataFrame, c: String, scale: Int = 2): DataFrame = {
+    val x = col(c)
+    df.agg(
+      count(x).as("cnt"),
+      min(x).cast("double").as("min_v"),
+      max(x).cast("double").as("max_v"),
+      Exprs.dsum(x, scale).as("sum_v"),
+      Exprs.dsum(x * x, scale * 2).as("sum_sq"))
+      .select(col("cnt"), col("min_v"), col("max_v"), col("sum_v"),
+        (col("sum_v") / col("cnt")).as("mean_v"),
+        sqrt(greatest(lit(0.0),
+          (col("sum_sq") - col("sum_v") * col("sum_v") / col("cnt")) / (col("cnt") - 1)))
+          .as("std_v"))
+  }
+}

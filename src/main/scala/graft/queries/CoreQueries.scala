@@ -1,0 +1,531 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.Exprs
+import graft.ops.Ops
+import graft.io.Tables
+
+/** Harness queries for the reference's relational/ETL operator
+  * inventory (SURVEY.md §2), phrased over the shared TPC-H-ish tables
+  * with DuckDB oracle SQL. Determinism rules (so hashes match):
+  * explicit ORDER BY everywhere, computed ints as BIGINT, float sums
+  * via exact decimal casts (Exprs.dsum), no uuid()/now() in compared
+  * columns (SURVEY.md §7.4.3 — deterministic md5 surrogates instead).
+  */
+object CoreQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String) = Tables.read(s, dir, name)
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    // W1 — flagship dedup keep-latest-per-key (user_transformer.py:236-320)
+    "w1_dedup_keep_latest" -> ((s, dir) => {
+      t(s, dir, "events")
+        .transform(Ops.dedupKeepLatest(Seq("user_id", "event_type"), "ts", "event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // W2 — top-1-per-group retention (postgres_loader.py:474-522)
+    "w2_top1_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // A1 — duplicate-key counting with member lists (user_transformer.py:252-274)
+    "a1_duplicate_key_detail" -> ((s, dir) =>
+      Ops.duplicateKeyStats(t(s, dir, "events"), "user_id", "event_id")
+        .orderBy(col("user_id"))),
+
+    // A2 — single-pass conditional aggregates (firebase_service.py:187-200)
+    "a2_conditional_aggs" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        count(lit(1)).as("total"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"),
+        count(when(col("value") > 300, 1)).as("high_value"),
+        Exprs.dsum(col("value"), 2).as("sum_value"))),
+
+    // A3 — COUNT(*) (postgres_loader.py:432-434)
+    "a3_count_star" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // A4 — GROUP BY distribution (postgres_loader.py:437-442)
+    "a4_group_count" -> ((s, dir) =>
+      Ops.groupedCounts(t(s, dir, "events"), col("event_type"), "event_type")
+        .orderBy(col("event_type"))),
+
+    // A5 — GROUP BY boolean (postgres_loader.py:445-450)
+    "a5_group_by_bool" -> ((s, dir) =>
+      Ops.groupedCounts(t(s, dir, "customer"), col("c_acctbal") > 2500, "positive")
+        .orderBy(col("positive"))),
+
+    // A6 — filtered recency count (postgres_loader.py:453-458)
+    "a6_filtered_count" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // A7 — HAVING count > 1 (postgres_loader.py:482-489)
+    "a7_having_dups" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .orderBy(col("o_custkey"))),
+
+    // A8 — describe()-style summary stats (sql_extraction.py:574)
+    "a8_summary_stats" -> ((s, dir) =>
+      Ops.summaryStats(t(s, dir, "lineitem"), "l_extendedprice", 2)),
+
+    // A9 — §2.8 validation report (user_transformer.py:457-477)
+    "a9_validation_report" -> ((s, dir) =>
+      Ops.validationReport(Ops.withErrors(eventChecks)(t(s, dir, "events")))),
+
+    // A10 — per-column null-count validation (user_transformer.py:491-519)
+    "a10_null_counts" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        count(when(nullif(col("event_type"), lit("error")).isNull, 1)).as("null_type"),
+        count(when(when(col("value") > 400, lit(null)).otherwise(col("value")).isNull, 1)).as("null_value"))),
+
+    // J1 — broadcast left-outer enrichment join + P2/P3 overlay
+    // (firebase_service.py:79-165)
+    "j1_enrich_left_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_outer")
+        .select(o("o_orderkey"), o("o_custkey"),
+          coalesce(c("c_name"), lit("unknown")).as("cust_name"),
+          coalesce(c("c_mktsegment"), lit("NONE")).as("segment"),
+          c("c_custkey").isNotNull.as("has_customer"),
+          when(c("c_custkey").isNotNull && c("c_acctbal") >= 2500, lit("database"))
+            .when(c("c_custkey").isNotNull, lit("auth"))
+            .otherwise(lit("none")).as("auth_source"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J2 — left-anti conflict detection + key rewrite + union
+    // (main.py:143-157); md5-surrogate for uuid20 (SURVEY.md §7.4.3)
+    "j2_anti_conflict_rewrite" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val existing = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0).select(col("c_custkey").as("user_id"))
+      val clean = e.join(broadcast(existing), Seq("user_id"), "left_anti")
+        .withColumn("resolved_key", col("user_id").cast("string"))
+      val conflicted = e.join(broadcast(existing), Seq("user_id"), "left_semi")
+        .withColumn("resolved_key",
+          Exprs.deterministicKey20(concat(lit("conflict:"), col("event_id").cast("string"))))
+      clean.unionByName(conflicted)
+        .select(col("event_id"), col("user_id"), col("resolved_key"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J3 — duplicate grouping via window count (user_transformer.py:252-268)
+    "j3_dup_group_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("cnt") > 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("cnt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // P2/P3/P6/P7/P9 — enrichment projection battery
+    "p_enrich_projection" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(trim(col("c_name")), lit("")), lit("unknown")).as("name_clean"),
+        when(col("c_acctbal") < 1000,
+          concat(lit("google_user_"), col("c_custkey").cast("string"), lit("@placeholder.com")))
+          .otherwise(concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")))
+          .as("email"),
+        Exprs.maskEmail(col("c_name")).as("masked"),
+        (col("c_acctbal") > 0).as("has_funds"),
+        when(col("c_acctbal") > 5000, lit("database"))
+          .when(col("c_acctbal") > 0, lit("auth"))
+          .otherwise(lit("none")).as("auth_source"))
+        .orderBy(col("c_custkey"))),
+
+    // P10 — interval-arithmetic recency filter (postgres_loader.py:453-458)
+    "p10_interval_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") >= expr("TIMESTAMP '2024-02-10 00:00:00' - INTERVAL 30 DAY"))
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id"))),
+
+    // P11 — LIKE / ILIKE pattern filters (sql_extraction.py:497-503)
+    "p11_pattern_filter" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(lower(col("p_name")).like("%gear%") || lower(col("p_type")).like("%econ%"))
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .orderBy(col("p_partkey"))),
+
+    // S1/P1 — embedded-map key extraction (the RTDB explode analog,
+    // firebase_service.py:150-152) via regexp on the JSON props column
+    "s1_json_key_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_value"))
+        .orderBy(col("event_id"))),
+
+    // S2 — point lookup, pushdown-able predicate (firebase_service.py:220-254)
+    "s2_point_lookup" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_id") === 42)),
+
+    // S4/O2 — deterministic ordered limit (firebase_service.py:132-137)
+    "s4_ordered_limit" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey")).limit(10)),
+
+    // O1 — global sort, nulls first (user_transformer.py:288)
+    "o1_sort_nulls_first" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), when(col("value") > 400, lit(null)).otherwise(col("value")).as("v"))
+        .orderBy(col("v").asc_nulls_first, col("event_id")).limit(50)),
+
+    // O3 — top-k (sql_extraction.py:349 et al.)
+    "o3_topk" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
+
+    // F2 — array cleaning, empty→null (user_transformer.py:63-81)
+    "f2_array_clean" -> ((s, dir) => {
+      val arr = array(
+        nullif(col("event_type"), lit("error")),
+        lit(null).cast("string"),
+        when(col("event_id") % 5 === 0, lit(null).cast("string")).otherwise(lit("x")))
+      t(s, dir, "events")
+        .select(col("event_id"), array_join(Exprs.cleanArray(arr), ",").as("kept"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F3 — flexible timestamp parse round-trip (user_transformer.py:83-148)
+    "f3_flexible_timestamp" -> ((s, dir) => {
+      val m = col("event_id") % 7
+      val raw = when(m === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .when(m === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(m === 2, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(m === 3, date_format(col("ts"), "yyyy-MM-dd"))
+        .when(m === 4, unix_timestamp(col("ts")).cast("string"))
+        .when(m === 5, (unix_timestamp(col("ts")) * 1000 + 250).cast("string"))
+        .otherwise(lit("nan"))
+      t(s, dir, "events")
+        .select(col("event_id"), raw.as("raw"), Exprs.parseFlexibleTimestamp(raw).as("parsed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F5 — interests comma-split parse (user_transformer.py:150-177)
+    "f5_parse_interests" -> ((s, dir) => {
+      val raw = concat(col("lang"), lit(", "), col("source"), lit(", ,"),
+        when(col("doc_id") % 3 === 0, lit(" reading")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(Exprs.parseInterests(raw), "|").as("interests"),
+          size(Exprs.parseInterests(raw)).cast("long").as("n"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F6 — status normalization incl. French variants (user_transformer.py:179-202)
+    "f6_normalize_status" -> ((s, dir) => {
+      val options = array(lit("actif"), lit("BLOCKED"), lit("Enabled"), lit("banni"),
+        lit(" inactive "), lit("disabled"), lit("weird"), lit(null).cast("string"))
+      val raw = element_at(options, (col("doc_id") % 8 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"), Exprs.normalizeStatus(raw).as("status"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F7 — string cleaning + null tokens (user_transformer.py:204-234)
+    "f7_clean_string" -> ((s, dir) => {
+      val options = array(lit("  hello "), lit("nan"), lit("NULL"), lit(""),
+        lit("None"), lit("world  "), lit("NaT"), lit("ok"))
+      val raw = element_at(options, (col("doc_id") % 8 + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"), Exprs.cleanString(raw).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F9 — Postgres array literal with quote escaping (postgres_loader.py:334-354)
+    "f9_pg_array_literal" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          Exprs.pgArrayLiteral(array(col("c_name"), col("c_mktsegment"), lit("o'brien")))
+            .as("pg_literal"))
+        .orderBy(col("c_custkey"))),
+
+    // F10/F11 — boolean coercion + default fills (postgres_loader.py:216-239)
+    "f10_f11_defaults" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        Exprs.cleanBool(when(col("event_type") === "purchase", lit(null))
+          .otherwise(col("value") > 300)).as("flag"),
+        Exprs.withDefault(
+          when(col("user_id") % 3 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("src"), (col("user_id") % 3).cast("string"))),
+          lit("CREDENTIALS")).as("provider"),
+        Exprs.withDefault(when(col("event_id") % 4 === 0, lit(null).cast("timestamp"))
+          .otherwise(col("ts")),
+          lit("2024-01-01 00:00:00").cast("timestamp")).as("ts_filled"))
+        .orderBy(col("event_id"))),
+
+    // F14 — ISO formatting (datastore_service.py:153-155)
+    "f14_iso_format" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), Exprs.isoFormat(col("o_orderdate")).as("iso"))
+        .orderBy(col("o_orderkey"))),
+
+    // F15 — guarded percent math (user_transformer.py:468-469)
+    "f15_percent_guarded" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), count(when(col("value") > 300, 1)).as("hi"))
+        .withColumn("pct", Exprs.percent(col("hi"), col("cnt")))
+        .orderBy(col("event_type"))),
+
+    // §2.8 — row-level validation flags + error channel
+    "v_validation_flags" -> ((s, dir) =>
+      Ops.withErrors(eventChecks)(t(s, dir, "events"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          concat_ws(";", col("errors")).as("errs"),
+          (size(col("errors")) === 0).as("valid"))
+        .orderBy(col("event_id"))),
+
+    // §2.9 — union recombination (main.py:148-154)
+    "u_union_recombine" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      e.filter(col("event_type") === "purchase")
+        .unionByName(e.filter(col("event_type") === "signup"))
+        .orderBy(col("event_id"))
+    }),
+
+    // TPC-H Q1 flavor — scan + conditional agg battery at bench scale
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Exprs.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          Exprs.dsum(col("l_discount"), 2).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          (col("sum_qty") / col("count_order")).as("avg_qty"),
+          (col("sum_base_price") / col("count_order")).as("avg_price"),
+          (col("sum_disc") / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3 flavor — 3-way join + agg + top-k; broadcast-able dims
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }))
+
+  /** §2.8 checks used by a9/v queries. */
+  private def eventChecks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "bad_type" -> (col("event_type") === "error"),
+    "value_range" -> (col("value") > 450))
+
+  val oracle: Seq[(String, String)] = Seq(
+    "w1_dedup_keep_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "w2_top1_per_group" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn
+        |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "a1_duplicate_key_detail" ->
+      """SELECT user_id, count(*) AS cnt, array_to_string(list_sort(list(event_id::VARCHAR)), ',') AS ids
+        |FROM events GROUP BY user_id HAVING count(*) > 1 ORDER BY user_id""".stripMargin,
+    "a2_conditional_aggs" ->
+      """SELECT count(*) AS total,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+        |  count(CASE WHEN value > 300 THEN 1 END) AS high_value,
+        |  CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
+    "a3_count_star" -> "SELECT count(*) AS cnt FROM lineitem",
+    "a4_group_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a5_group_by_bool" ->
+      "SELECT (c_acctbal > 2500) AS positive, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY positive",
+    "a6_filtered_count" ->
+      "SELECT count(*) AS cnt FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'",
+    "a7_having_dups" ->
+      "SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey",
+    "a8_summary_stats" ->
+      """SELECT cnt, min_v, max_v, sum_v, sum_v / cnt AS mean_v,
+        |  sqrt(greatest(0.0, (sum_sq - sum_v * sum_v / cnt) / (cnt - 1))) AS std_v
+        |FROM (SELECT count(l_extendedprice) AS cnt,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_v,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_v,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_sq
+        |  FROM lineitem) t""".stripMargin,
+    "a9_validation_report" ->
+      """SELECT total, valid, invalid,
+        |  CASE WHEN total = 0 THEN 0.0 ELSE valid * 100.0 / total END AS success_rate
+        |FROM (SELECT count(*) AS total,
+        |  count(CASE WHEN NOT (event_type = 'error' OR value > 450) THEN 1 END) AS valid,
+        |  count(CASE WHEN event_type = 'error' OR value > 450 THEN 1 END) AS invalid
+        |  FROM events) t""".stripMargin,
+    "a10_null_counts" ->
+      """SELECT count(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 END) AS null_type,
+        |  count(CASE WHEN (CASE WHEN value > 400 THEN NULL ELSE value END) IS NULL THEN 1 END) AS null_value
+        |FROM events""".stripMargin,
+    "j1_enrich_left_outer" ->
+      """SELECT o_orderkey, o_custkey,
+        |  coalesce(c_name, 'unknown') AS cust_name,
+        |  coalesce(c_mktsegment, 'NONE') AS segment,
+        |  (c_custkey IS NOT NULL) AS has_customer,
+        |  CASE WHEN c_custkey IS NOT NULL AND c_acctbal >= 2500 THEN 'database'
+        |       WHEN c_custkey IS NOT NULL THEN 'auth' ELSE 'none' END AS auth_source
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    "j2_anti_conflict_rewrite" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN user_id IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+        |       THEN substr(md5('conflict:' || event_id::VARCHAR), 1, 20)
+        |       ELSE user_id::VARCHAR END AS resolved_key
+        |FROM events ORDER BY event_id""".stripMargin,
+    "j3_dup_group_window" ->
+      """SELECT o_orderkey, o_custkey, cnt FROM (
+        |  SELECT o_orderkey, o_custkey, count(*) OVER (PARTITION BY o_custkey) cnt FROM orders) t
+        |WHERE cnt > 1 ORDER BY o_orderkey""".stripMargin,
+    "p_enrich_projection" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(trim(c_name), ''), 'unknown') AS name_clean,
+        |  CASE WHEN c_acctbal < 1000 THEN 'google_user_' || c_custkey::VARCHAR || '@placeholder.com'
+        |       ELSE lower(replace(c_name, '#', '.')) || '@example.com' END AS email,
+        |  substr(c_name, 1, 3) || '***' AS masked,
+        |  (c_acctbal > 0) AS has_funds,
+        |  CASE WHEN c_acctbal > 5000 THEN 'database' WHEN c_acctbal > 0 THEN 'auth' ELSE 'none' END AS auth_source
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "p10_interval_filter" ->
+      """SELECT event_id, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-02-10 00:00:00' - INTERVAL 30 DAY ORDER BY event_id""".stripMargin,
+    "p11_pattern_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE lower(p_name) LIKE '%gear%' OR lower(p_type) LIKE '%econ%' ORDER BY p_partkey""".stripMargin,
+    "s1_json_key_extract" ->
+      """SELECT event_id, regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s2_point_lookup" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_id = 42",
+    "s4_ordered_limit" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 10",
+    "o1_sort_nulls_first" ->
+      """SELECT event_id, CASE WHEN value > 400 THEN NULL ELSE value END AS v
+        |FROM events ORDER BY v ASC NULLS FIRST, event_id LIMIT 50""".stripMargin,
+    "o3_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "f2_array_clean" ->
+      """SELECT event_id,
+        |  CASE WHEN len(kept) = 0 THEN NULL ELSE array_to_string(kept, ',') END AS kept
+        |FROM (SELECT event_id, list_filter(
+        |    [nullif(event_type, 'error'), NULL, CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'x' END],
+        |    x -> x IS NOT NULL) AS kept FROM events) t ORDER BY event_id""".stripMargin,
+    "f3_flexible_timestamp" ->
+      """WITH r AS (SELECT event_id, CASE event_id % 7
+        |    WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |    WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |    WHEN 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+        |    WHEN 3 THEN strftime(ts, '%Y-%m-%d')
+        |    WHEN 4 THEN (epoch_us(ts) // 1000000)::VARCHAR
+        |    WHEN 5 THEN ((epoch_us(ts) // 1000000) * 1000 + 250)::VARCHAR
+        |    ELSE 'nan' END AS raw FROM events),
+        |c AS (SELECT event_id, raw,
+        |  CASE WHEN lower(trim(raw)) IN ('nan','null','none','','nat') THEN NULL ELSE trim(raw) END AS s FROM r)
+        |SELECT event_id, raw, coalesce(
+        |  try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+        |  try_strptime(s, '%Y-%m-%dT%H:%M:%S'),
+        |  try_strptime(s, '%Y-%m-%dT%H:%M:%S.%f'),
+        |  try_strptime(s, '%Y-%m-%dT%H:%M:%SZ'),
+        |  try_strptime(s, '%Y-%m-%d'),
+        |  CASE WHEN try_cast(s AS DOUBLE) > 10000000000 THEN make_timestamp(try_cast(s AS DOUBLE)::BIGINT * 1000)
+        |       WHEN try_cast(s AS DOUBLE) > 0 THEN make_timestamp(try_cast(s AS DOUBLE)::BIGINT * 1000000) END
+        |) AS parsed FROM c ORDER BY event_id""".stripMargin,
+    "f5_parse_interests" ->
+      """SELECT doc_id, array_to_string(arr, '|') AS interests, len(arr)::BIGINT AS n
+        |FROM (SELECT doc_id, list_filter(list_transform(string_split(
+        |    lang || ', ' || source || ', ,' || CASE WHEN doc_id % 3 = 0 THEN ' reading' ELSE '' END,
+        |    ','), x -> trim(x)), x -> x <> '') AS arr FROM documents) t ORDER BY doc_id""".stripMargin,
+    "f6_normalize_status" ->
+      """SELECT doc_id, raw,
+        |  CASE upper(trim(raw))
+        |    WHEN 'ACTIVE' THEN 'ACTIVE' WHEN 'ACTIF' THEN 'ACTIVE' WHEN 'ENABLED' THEN 'ACTIVE'
+        |    WHEN 'INACTIVE' THEN 'INACTIVE' WHEN 'INACTIF' THEN 'INACTIVE' WHEN 'DISABLED' THEN 'INACTIVE'
+        |    WHEN 'BANNED' THEN 'BANNED' WHEN 'BANNI' THEN 'BANNED' WHEN 'BLOCKED' THEN 'BANNED'
+        |    ELSE 'ACTIVE' END AS status
+        |FROM (SELECT doc_id,
+        |  (['actif','BLOCKED','Enabled','banni',' inactive ','disabled','weird',NULL])[(doc_id % 8 + 1)] AS raw
+        |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "f7_clean_string" ->
+      """SELECT doc_id, raw,
+        |  CASE WHEN lower(trim(raw)) IN ('nan','null','none','','nat') THEN NULL ELSE trim(raw) END AS cleaned
+        |FROM (SELECT doc_id,
+        |  (['  hello ','nan','NULL','','None','world  ','NaT','ok'])[(doc_id % 8 + 1)] AS raw
+        |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "f9_pg_array_literal" ->
+      """SELECT c_custkey,
+        |  '{' || array_to_string(list_transform([c_name, c_mktsegment, 'o''brien'],
+        |    x -> '''' || replace(x, '''', '''''') || ''''), ',') || '}' AS pg_literal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f10_f11_defaults" ->
+      """SELECT event_id,
+        |  coalesce(CASE WHEN event_type = 'purchase' THEN NULL ELSE (value > 300) END, false) AS flag,
+        |  coalesce(CASE WHEN user_id % 3 = 0 THEN NULL ELSE 'src' || (user_id % 3)::VARCHAR END, 'CREDENTIALS') AS provider,
+        |  coalesce(CASE WHEN event_id % 4 = 0 THEN NULL ELSE ts END, TIMESTAMP '2024-01-01 00:00:00') AS ts_filled
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f14_iso_format" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso FROM orders ORDER BY o_orderkey",
+    "f15_percent_guarded" ->
+      """SELECT event_type, cnt, hi, CASE WHEN cnt = 0 THEN 0.0 ELSE hi * 100.0 / cnt END AS pct
+        |FROM (SELECT event_type, count(*) AS cnt, count(CASE WHEN value > 300 THEN 1 END) AS hi
+        |  FROM events GROUP BY event_type) t ORDER BY event_type""".stripMargin,
+    "v_validation_flags" ->
+      """SELECT event_id, event_type, value,
+        |  coalesce(array_to_string(list_filter([CASE WHEN event_type = 'error' THEN 'bad_type' END,
+        |    CASE WHEN value > 450 THEN 'value_range' END], x -> x IS NOT NULL), ';'), '') AS errs,
+        |  (len(list_filter([CASE WHEN event_type = 'error' THEN 'bad_type' END,
+        |    CASE WHEN value > 450 THEN 'value_range' END], x -> x IS NOT NULL)) = 0) AS valid
+        |FROM events ORDER BY event_id""".stripMargin,
+    "u_union_recombine" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, event_type FROM events WHERE event_type = 'signup') t
+        |ORDER BY event_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+        |  sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price,
+        |  sum_disc / count_order AS avg_disc, count_order
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS count_order
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |  GROUP BY l_returnflag, l_linestatus) t
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+/** Harness queries for the LLM-training-data operators (dedup,
+  * similarity search, text analysis, multimodal columns) over
+  * `documents` / `embeddings`. All hash-derived arithmetic is
+  * md5-based with literal constants so the DuckDB oracle replays the
+  * identical computation (`Dedup.Seeds`, `Similarity.planeDirs`). */
+object LlmQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String) = Tables.read(s, dir, name)
+
+  private val P = Text.HashP
+
+  val queries: Seq[(String, Q)] = Seq(
+
+    "llm_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))),
+
+    "llm_dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))),
+
+    "llm_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "llm_dedup_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("wh", transform(Text.words(col("text")), w => Text.md5Hash(w)))
+        .select(col("doc_id"), Dedup.simHash(col("wh")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "llm_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("q", Text.qualityFeatures(col("text")))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_words").as("n_words"),
+          col("q.avg_word_len").as("avg_word_len"), col("q.stopword_ratio").as("stopword_ratio"),
+          col("q.punct_count").as("punct_count"), col("q.upper_ratio").as("upper_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "llm_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), Text.langGuess(col("text")).as("guess"))
+        .withColumn("agree", col("guess") === col("lang"))
+        .orderBy(col("doc_id"))),
+
+    "llm_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.wsTokenCount(col("text")).as("ws_tokens"),
+        Text.subwordCount(col("text")).as("subword_tokens"),
+        (length(col("text")).cast("double") / Text.wsTokenCount(col("text")))
+          .as("chars_per_token"))
+        .orderBy(col("doc_id"))),
+
+    "llm_fingerprints" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("fp", Text.fingerprints(col("text")))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("fp_count"),
+          array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+        .orderBy(col("doc_id"))),
+
+    "llm_ann_topk_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKQ(
+        e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
+        "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "llm_ann_lsh_bucketed" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 8, dim = 64, k = 1)
+        .select(col("vid"), col("bucket"), col("nn"), col("dot"))
+        .orderBy(col("vid"))),
+
+    "llm_multimodal_meta" -> ((s, dir) => {
+      val bin = encode(col("text"), "UTF-8")
+      val content = when(col("doc_id") % 10 === 0,
+        concat(unhex(lit("89504E470D0A1A0A")), bin)).otherwise(bin)
+      Multimodal.withMediaMeta(
+        t(s, dir, "documents").withColumn("content", content), "content")
+        .select(col("doc_id"), col("n_bytes"), col("mime"),
+          // DuckDB's md5 takes VARCHAR only, so the portable content
+          // fingerprint hashes the hex rendering of the bytes.
+          md5(upper(hex(col("content")))).as("content_hash"))
+        .orderBy(col("doc_id"))
+    }))
+
+  // ---- DuckDB oracle SQL (generated so constants match the library) ----
+
+  /** Per-shingle/word 60-bit md5 hash reduced mod P — DuckDB rendering
+    * of Text.md5Hash. */
+  private def duckHash(v: String) =
+    s"(('0x' || substr(md5($v), 1, 15))::BIGINT % $P)"
+
+  private val shingleCte =
+    s"""pre AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+       |    s -> ${duckHash("s")})) AS hs
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0
+       |  WHERE len(w) >= 3)""".stripMargin
+
+  private val minhashExprs = Dedup.Seeds.map { case (a, b) =>
+    s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
+  }
+
+  private val bandExprs = (0 until Dedup.numBands).map { bnd =>
+    val parts = (1 to Dedup.BandRows).map(r => s"mh[${bnd * Dedup.BandRows + r}]::VARCHAR")
+    s"'${bnd}_' || " + parts.mkString(" || '_' || ")
+  }
+
+  private val simhashTerms = (0 until 16).map { b =>
+    s"""CASE WHEN list_sum(list_transform(wh,
+       |  h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN ${1L << b} ELSE 0 END""".stripMargin
+  }
+
+  /** Quantized element i of an embedding list (1-based), as BIGINT. */
+  private def qElem(tbl: String) =
+    s"CAST(round(CAST($tbl[i] AS DOUBLE) * 1000) AS BIGINT)"
+
+  private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
+    .map(dirs => "[" + dirs.mkString(",") + "]")
+
+  private val bucketExpr: String = planeLits.map { arr =>
+    s"(CASE WHEN (SELECT sum(eq[i] * ($arr)[i]) FROM range(1, 65) r(i)) > 0 THEN '1' ELSE '0' END)"
+  }.mkString(" || ")
+
+  val oracle: Seq[(String, String)] = Seq(
+    "llm_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash FROM (
+        |  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "llm_dedup_normalized" ->
+      """SELECT doc_id, md5(norm) AS content_hash FROM (
+        |  SELECT doc_id, norm, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) rn
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents) t0) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "llm_dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
+         |bands AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |scored AS (SELECT a, b,
+         |  CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
+         |    / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs))) AS jaccard
+         |  FROM cand JOIN pre xa ON cand.a = xa.doc_id JOIN pre xb ON cand.b = xb.doc_id)
+         |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+    "llm_dedup_simhash" ->
+      s"""SELECT doc_id, CAST(${simhashTerms.mkString(" + ")} AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |  w -> ${duckHash("w")}) AS wh FROM documents) t ORDER BY doc_id""".stripMargin,
+    "llm_text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text)::BIGINT AS n_chars,
+         |  len(string_split(text, ' '))::BIGINT AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |    x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stopword_ratio,
+         |  len(regexp_extract_all(text, '[[:punct:]]'))::BIGINT AS punct_count,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS upper_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_lang_id" -> {
+      val scores = Text.LangMarkers.map { case (lang, markers) =>
+        lang -> s"len(list_filter(w, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+      }
+      val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+      val cases = scores.map { case (lang, e) =>
+        s"WHEN $e = best AND $e > 0 THEN '$lang'"
+      }.mkString("\n  ")
+      s"""SELECT doc_id, lang, guess, (guess = lang) AS agree FROM (
+         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS guess
+         |FROM (SELECT doc_id, lang, w, $best AS best
+         |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents) t0) t1) t2
+         |ORDER BY doc_id""".stripMargin
+    },
+    "llm_token_counts" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+'))::BIGINT AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS subword_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, '\s+')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprints" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+         |    s -> ${duckHash("s")}) AS hs
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0),
+         |f AS (SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 4
+         |    THEN [least(hs[i], hs[i+1], hs[i+2], hs[i+3]) for i in range(1, len(hs) - 2)]
+         |    ELSE hs END) AS fp FROM h)
+         |SELECT doc_id, len(fp)::BIGINT AS fp_count, list_min(fp) AS fp_min, list_max(fp) AS fp_max
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "llm_ann_topk_exact" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+         |s AS (SELECT qid, cid,
+         |  CAST((SELECT sum(${qElem("qe")} * ${qElem("ce")}) FROM range(1, 65) r(i)) AS BIGINT) AS dot
+         |  FROM c, q)
+         |SELECT qid, cid, rank, dot FROM (
+         |  SELECT qid, cid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank
+         |  FROM s) t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "llm_ann_lsh_bucketed" ->
+      s"""WITH e AS (SELECT vec_id AS vid,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |b AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
+         |p AS (SELECT x.vid AS vid, x.bucket AS bucket, y.vid AS nn,
+         |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid <> y.vid)
+         |SELECT vid, bucket, nn, dot FROM (
+         |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
+         |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
+    "llm_multimodal_meta" ->
+      """SELECT doc_id, octet_length(content)::BIGINT AS n_bytes,
+        |  CASE WHEN upper(left(hex(content), 8)) = '89504E47' THEN 'image/png'
+        |       ELSE 'application/octet-stream' END AS mime,
+        |  md5(upper(hex(content))) AS content_hash
+        |FROM (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+        |    THEN from_hex('89504E470D0A1A0A') || encode(text) ELSE encode(text) END AS content
+        |  FROM documents) t ORDER BY doc_id""".stripMargin)
+}

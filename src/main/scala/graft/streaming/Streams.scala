@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY.md §2.10: the reference is
+  * strictly batch; this is the incremental path a live RTDB/event source
+  * would feed). Operators mirror their batch counterparts so a pipeline
+  * can switch `read` → `readStream` without rewriting logic. */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserLatest(user_id: Long, event_type: String, ts: Timestamp,
+                        event_id: Long, value: Double)
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * analog of A4. Late data beyond the watermark is dropped, state is
+    * bounded, output is append-able to any sink. */
+  def windowedTypeCounts(events: DataFrame, window: String = "10 minutes",
+                         watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** W1 (dedup keep-latest-per-key) as continuous state: for each
+    * (user, type) keep the max-timestamp event, emitting updates.
+    * mapGroupsWithState holds one row of state per key — bounded,
+    * partition-distributed, the streaming twin of the batch window. */
+  def latestPerKey(spark: SparkSession, events: Dataset[Event]): Dataset[UserLatest] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[UserLatest, UserLatest](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), batch, state: GroupState[UserLatest]) =>
+          import scala.math.Ordering.Implicits._
+          val incoming = batch.maxBy(e => (e.ts.getTime, e.event_id))
+          val best = state.getOption match {
+            case Some(cur) if (cur.ts.getTime, cur.event_id) >= ((incoming.ts.getTime, incoming.event_id)) => cur
+            case _ => UserLatest(uid, etype, incoming.ts, incoming.event_id, incoming.value)
+          }
+          state.update(best)
+          best
+      }
+  }
+
+  /** Validation split as a stream: same §2.8 error-channel expressions,
+    * applied to a streaming frame (checks are stateless projections, so
+    * they stream trivially). */
+  def flaggedStream(events: DataFrame,
+                    checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    graft.ops.Ops.withErrors(checks)(events)
+
+  /** Memory-sink runner for tests: processes all available data once. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+  }
+}
