@@ -48,16 +48,20 @@ object Exprs {
   /** F3 — `_parse_datetime` (user_transformer.py:83-148): null tokens →
     * NULL, then the 5-layout strptime ladder in reference order, then
     * the epoch heuristic. Composes to `coalesce` over `try_to_timestamp`
-    * — fully codegen'd, no custom Expression needed (SURVEY.md §4.2). */
+    * — fully codegen'd, no custom Expression needed (SURVEY.md §4.2).
+    * The numeric branch is regex-guarded: ANSI mode (Spark 4 default)
+    * makes a bare string→double cast throw on garbage, and `when` is
+    * lazy per row, so non-numeric strings never reach the cast. */
   def parseFlexibleTimestamp(c: Column): Column = {
     val s = cleanString(c)
+    val num = when(s.rlike("^-?[0-9]+(\\.[0-9]+)?$"), s).cast(DoubleType)
     coalesce(
       try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
       try_to_timestamp(s, lit("yyyy-MM-dd")),
-      parseEpoch(s.cast(DoubleType)))
+      parseEpoch(num))
   }
 
   /** F5 — `_parse_interests` (user_transformer.py:150-177): string input
@@ -80,8 +84,16 @@ object Exprs {
     coalesce(element_at(typedLit(StatusMap), upper(trim(c.cast(StringType)))),
       lit("ACTIVE"))
 
-  /** F10 — boolean coercion with false default (postgres_loader.py:226-229). */
-  def cleanBool(c: Column): Column = coalesce(c.cast(BooleanType), lit(false))
+  /** F10 — boolean coercion with false default (postgres_loader.py:226-229).
+    * String inputs map through an explicit token table instead of a raw
+    * cast (which throws on garbage under ANSI mode). */
+  def cleanBool(c: Column): Column = {
+    val s = lower(trim(c.cast(StringType)))
+    coalesce(
+      when(s.isin("true", "t", "yes", "1", "1.0"), lit(true))
+        .when(s.isin("false", "f", "no", "0", "0.0"), lit(false)),
+      lit(false))
+  }
 
   /** F11 — default fill (postgres_loader.py:237-239). */
   def withDefault(c: Column, d: Column): Column = coalesce(c, d)

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: n-2 word trigrams, short docs empty") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val out = df.select(Text.shingles(Text.words(col("text"))).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d", "c d e"))
+    assert(out(1) == Seq())
+  }
+
+  test("minhash signature: containment and stability") {
+    def sig(text: String): Seq[Long] =
+      Seq(text).toDF("text")
+        .select(Dedup.minHashSignature(array_distinct(Text.hashedShingles(col("text")))).as("s"))
+        .as[Seq[Long]].collect()(0)
+    val a = sig("the quick brown fox jumps over the lazy dog again and again")
+    assert(a.length == Dedup.Seeds.length)
+    assert(sig("the quick brown fox jumps over the lazy dog again and again") == a) // deterministic
+    val b = sig("completely different words entirely unrelated content here now today")
+    assert(a != b)
+  }
+
+  test("minHashLshPairs: finds injected near-dups, no identical-band escape") {
+    // change the LAST word so only 2 of 58 shingles differ (jaccard ≈ 0.93,
+    // deterministic band collision with the fixed seeds)
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word60", "changed")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "totally unrelated short doc about spark engines today"),
+      (4L, base)) // exact dup of 1
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair must be found")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)), "near dup pairs must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    def sh(text: String): Long =
+      Seq(text).toDF("text")
+        .withColumn("wh", transform(Text.words(col("text")), w => Text.md5Hash(w)))
+        .select(Dedup.simHash(col("wh")).as("s")).as[Long].collect()(0)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok3", "x")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(base), sh(near)) <= 4)
+    assert(sh(base) == sh(base))
+  }
+
+  test("fingerprints: shared windows between near-identical docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shifted = "prefix " + base
+    val fp = Seq(base, shifted).toDF("text")
+      .select(Text.fingerprints(col("text")).as("f")).as[Seq[Long]].collect()
+    val shared = fp(0).toSet.intersect(fp(1).toSet)
+    assert(shared.size >= fp(0).size / 2, "winnowing fingerprints must largely survive a prefix shift")
+  }
+
+  test("quality features + token counts") {
+    val r = Seq("The quick brown fox. It is GREAT!").toDF("text")
+      .withColumn("q", Text.qualityFeatures(col("text")))
+      .select(col("q.n_words"), col("q.punct_count"), col("q.upper_ratio"),
+        Text.wsTokenCount(col("text")).as("ws"), Text.subwordCount(col("text")).as("sub"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_words") == 7)
+    assert(r.getAs[Long]("punct_count") == 2) // '.' and '!'
+    assert(r.getAs[Long]("ws") == 7)
+    assert(r.getAs[Long]("sub") == 9) // 7 letter runs + 2 punct singles
+    assert(r.getAs[Double]("upper_ratio") > 0)
+  }
+
+  test("langGuess: marker argmax with priority order") {
+    def g(t: String) = Seq(t).toDF("text").select(Text.langGuess(col("text")).as("g"))
+      .as[String].collect()(0)
+    assert(g("the cat and the hat is a cat") == "en")
+    assert(g("le chat et la mer les oiseaux des bois") == "fr")
+    assert(g("der hund und die katze das ist gut") == "de")
+    assert(g("xyzzy plugh") == "und")
+  }
+
+  test("similarity: quantized dot exact; brute-force top-k ranks correctly") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopKQ(
+      e.filter(col("vec_id") === 0), e.filter(col("vec_id") > 0),
+      "vec_id", "vec_id", "embedding", k = 2)
+      .select("cid", "rank").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L)) // by dot with (1,0): 900, 500, 0
+  }
+
+  test("lshTopK: same-direction vectors share a bucket; opposite don't") {
+    val e = Seq(
+      (0L, Array.fill(64)(0.3f)), (1L, Array.fill(64)(0.31f)),
+      (2L, Array.fill(64)(-0.3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(e, "vec_id", "embedding", nPlanes = 8, dim = 64, k = 1)
+      .select("vid", "nn").as[(Long, Long)].collect().toMap
+    assert(out.get(0L).contains(1L) && out.get(1L).contains(0L))
+    assert(!out.contains(2L), "opposite vector is alone in its bucket")
+  }
+
+  test("multimodal: mime sniffing, metadata, stub feature extraction") {
+    val df = Seq((1L, "hello world"), (2L, "png content"))
+      .toDF("id", "text")
+      .withColumn("content",
+        when(col("id") === 2, concat(unhex(lit("89504E470D0A1A0A")), encode(col("text"), "UTF-8")))
+          .otherwise(encode(col("text"), "UTF-8")))
+    val meta = Multimodal.withMediaMeta(df, "content")
+      .select(col("id"), col("mime"), col("n_bytes")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(meta(1L) == (("application/octet-stream", 11L)))
+    assert(meta(2L) == (("image/png", 19L)))
+    val feats = Multimodal.extractFeatures(spark, df, "id", "content").collect()
+    assert(feats.length == 2 && feats.forall(_.features.length == 16))
+    // deterministic stub: same content => same features
+    val again = Multimodal.extractFeatures(spark, df, "id", "content").collect()
+    assert(feats.sortBy(_.id).zip(again.sortBy(_.id)).forall {
+      case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("exact + normalized dedup") {
+    val docs = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactDedup(docs, "text", "doc_id").count() == 3) // all distinct exact
+    val norm = Dedup.normalizedDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(norm == Set(1L, 3L)) // 2 is a normalized dup of 1; min id kept
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Ops
+import graft.expr.Exprs
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (id, key, ts)
+    (1L, "a@x", "2024-01-01 10:00:00"),
+    (2L, "a@x", "2024-01-02 10:00:00"), // latest for a@x
+    (3L, "b@x", "2024-01-01 09:00:00"),
+    (4L, "b@x", "2024-01-01 09:00:00"), // tie: higher id wins
+    (5L, "c@x", null),                  // null ts loses to nothing => kept
+    (6L, null, "2024-01-05 00:00:00"))  // null key
+    .toDF("id", "email", "ts_raw")
+    .withColumn("ts", col("ts_raw").cast("timestamp")).drop("ts_raw")
+
+  test("W1 dedupKeepLatest: max ts per key, ties by id desc, nulls lose") {
+    val out = events.transform(Ops.dropNullKeys(Seq("email")))
+      .transform(Ops.dedupKeepLatest(Seq("email"), "ts", "id"))
+      .select("id", "email").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "a@x", 4L -> "b@x", 5L -> "c@x"))
+  }
+
+  test("W1 property: output keys distinct; kept ts is partition max (seeded random)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, s"k${rnd.nextInt(40)}", f"2024-01-${1 + rnd.nextInt(28)}%02d 00:00:00")
+    }
+    val df = rows.toDF("id", "k", "t").withColumn("ts", col("t").cast("timestamp"))
+    val out = df.transform(Ops.dedupKeepLatest(Seq("k"), "ts", "id"))
+    assert(out.groupBy("k").count().filter(col("count") > 1).count() == 0)
+    val maxes = df.groupBy("k").agg(max("ts").as("mx"))
+    assert(out.join(maxes, "k").filter(col("ts") =!= col("mx")).count() == 0)
+  }
+
+  test("P6 coalesceAliases: fallback keys, missing sources => null") {
+    val raw = Seq(("u1", null, "Bob", "p.png"), ("u2", "Alice", null, null))
+      .toDF("id", "name", "displayName", "photoURL")
+    val out = raw.transform(Ops.coalesceAliases(Seq(
+      "id" -> Seq("id"),
+      "name" -> Seq("name", "displayName"),
+      "photo" -> Seq("photo", "photoURL"),
+      "city" -> Seq("city"))))
+    assert(out.columns.toSeq == Seq("id", "name", "photo", "city"))
+    val m = out.collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(m("u1") == (("Bob", "p.png", null)))
+    assert(m("u2") == (("Alice", null, null)))
+  }
+
+  test("J1 enrichFromAuth: left-outer overlay, provider logic, broadcast plan") {
+    val users = Seq(("u1", "db@x"), ("u2", null), ("u3", null))
+      .toDF("uid", "email")
+    val auth = Seq(("u1", "auth1@x", true, Seq("password")),
+      ("u2", "g@x", false, Seq("google.com")))
+      .toDF("uid", "email", "email_verified", "provider_ids")
+    val out = Ops.enrichFromAuth(users, auth, "uid")
+    val m = out.collect().map(r => r.getAs[String]("uid") ->
+      ((r.getAs[String]("email"), r.getAs[String]("provider"), r.getAs[String]("authSource")))).toMap
+    assert(m("u1") == (("db@x", "CREDENTIALS", "database")))
+    assert(m("u2") == (("g@x", "google.com", "auth")))
+    assert(m("u3") == ((null, "google.com", "none"))) // left-outer null-fill
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small auth side must broadcast")
+  }
+
+  test("J2 resolveIdConflicts: conflicting ids rewritten, others pass, count preserved") {
+    val incoming = Seq("a", "b", "c", "d").toDF("id")
+    val existing = Seq("b", "d", "zz").toDF("id")
+    val out = Ops.resolveIdConflicts(incoming, existing, "id").as[String].collect().toSet
+    assert(out.size == 4)
+    assert(out.contains("a") && out.contains("c"))
+    assert(!out.contains("b") && !out.contains("d"))
+    assert((out -- Set("a", "c")).forall(_.length == 20)) // uuid-20 rewrites
+  }
+
+  test("§2.8 validateSplit: rows fail, not the job; report counts") {
+    val df = Seq((1L, "ok", 10.0), (2L, "error", 10.0), (3L, "ok", 999.0))
+      .toDF("id", "typ", "v")
+    val checks = Seq("bad_type" -> (col("typ") === "error"), "range" -> (col("v") > 100))
+    val (valid, invalid) = Ops.validateSplit(checks)(df)
+    assert(valid.select("id").as[Long].collect().toSet == Set(1L))
+    val errs = invalid.select(col("id"), concat_ws(";", col("errors")).as("e"))
+      .as[(Long, String)].collect().toMap
+    assert(errs == Map(2L -> "bad_type", 3L -> "range"))
+    val rep = Ops.validationReport(Ops.withErrors(checks)(df)).collect()(0)
+    assert(rep.getAs[Long]("total") == 3 && rep.getAs[Long]("valid") == 1)
+    assert(math.abs(rep.getAs[Double]("success_rate") - 100.0 / 3) < 1e-9)
+  }
+
+  test("A1 duplicateKeyStats") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val out = Ops.duplicateKeyStats(df, "k", "id").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("k") == "x" && out(0).getAs[Long]("cnt") == 2)
+    assert(out(0).getAs[String]("ids") == "1,2")
+  }
+
+  test("A8 summaryStats matches exact formulas") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Ops.summaryStats(df, "x", 2).collect()(0)
+    assert(r.getAs[Long]("cnt") == 4 && r.getAs[Double]("mean_v") == 2.5)
+    assert(math.abs(r.getAs[Double]("std_v") - math.sqrt(5.0 / 3)) < 1e-12)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.model.User
+import graft.ops.Ops
+
+/** End-to-end pipeline test mirroring main.py's order (SURVEY.md §3.1)
+  * on an RTDB-shaped JSON snapshot (FIXTURES.md §1). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val snapshot =
+    """{
+      |  "Uid001AbcDefGhi": {"email": "alice@example.com", "emailVerified": true,
+      |    "name": "Alice", "city": "Paris", "birthDate": "1990-05-01",
+      |    "createdAt": 1656672000, "updatedAt": 1656672000123, "status": "actif",
+      |    "interests": "music, sports", "profilePic": "https://x/a.png"},
+      |  "Uid002XyzJklMno": {"displayName": "Bob", "photoURL": "https://x/b.png",
+      |    "created_at": "2023-01-15T10:30:00Z", "last_connexion": "nan",
+      |    "interests": "reading, hiking", "status": "BLOCKED", "email": "bob@x.com"},
+      |  "Uid004Dup": {"email": "alice@example.com", "createdAt": "2021-01-01",
+      |    "name": "Old Alice", "status": "banni"},
+      |  "Uid003Broken": "not-a-dict"
+      |}""".stripMargin
+
+  test("S1 snapshot read -> P1/P4 -> transform -> W1 dedup -> validate") {
+    val dir = Files.createTempDirectory("rtdb").toFile
+    val f = new java.io.File(dir, "users.json")
+    Files.writeString(f.toPath, snapshot)
+
+    // S1: whole-tree read, explode, key promotion, non-dict skip (P4)
+    val raw = Tables.readRtdbSnapshot(spark, f.getAbsolutePath)
+    assert(raw.count() == 3, "non-dict child must be skipped")
+    assert(raw.columns.contains("id") && raw.columns.contains("uid"))
+
+    // Field extraction from heterogeneous children
+    val fields = raw.select(col("id"), col("uid"),
+      get_json_object(col("json"), "$.email").as("email"),
+      get_json_object(col("json"), "$.emailVerified").as("emailVerified"),
+      get_json_object(col("json"), "$.name").as("name"),
+      get_json_object(col("json"), "$.displayName").as("displayName"),
+      get_json_object(col("json"), "$.city").as("city"),
+      get_json_object(col("json"), "$.birthDate").as("birthDate"),
+      get_json_object(col("json"), "$.createdAt").as("createdAt"),
+      get_json_object(col("json"), "$.created_at").as("created_at"),
+      get_json_object(col("json"), "$.updatedAt").as("updatedAt"),
+      get_json_object(col("json"), "$.status").as("status"),
+      get_json_object(col("json"), "$.interests").as("interests"),
+      get_json_object(col("json"), "$.photoURL").as("photoURL"),
+      get_json_object(col("json"), "$.profilePic").as("profilePic"),
+      get_json_object(col("json"), "$.last_connexion").as("last_connexion"))
+
+    val out = User.transform(fields, now = lit("2025-01-01 00:00:00").cast("timestamp"))
+    val rows = out.collect().map(r => r.getAs[String]("id") -> r).toMap
+
+    // W1: duplicate email alice -> keep Uid001 (createdAt 2022 > 2021)
+    assert(rows.keySet == Set("Uid001AbcDefGhi", "Uid002XyzJklMno"))
+
+    val alice = rows("Uid001AbcDefGhi")
+    assert(alice.getAs[String]("status") == "ACTIVE")                  // F6 'actif'
+    assert(alice.getSeq[String](alice.fieldIndex("interests")).toList
+      == List("music", "sports"))                                      // F5
+    assert(alice.getAs[java.sql.Timestamp]("createdAt") ==
+      java.sql.Timestamp.valueOf("2022-07-01 10:40:00"))               // F3 epoch s
+    assert(alice.getAs[java.sql.Timestamp]("updatedAt") ==
+      java.sql.Timestamp.valueOf("2022-07-01 10:40:00.123"))           // F3 epoch ms
+    assert(alice.getAs[java.sql.Timestamp]("birthdate") ==
+      java.sql.Timestamp.valueOf("1990-05-01 00:00:00"))               // F3 date-only
+
+    val bob = rows("Uid002XyzJklMno")
+    assert(bob.getAs[String]("name") == "Bob")                         // P6 displayName
+    assert(bob.getAs[String]("photo") == "https://x/b.png")            // P6 photoURL
+    assert(bob.getAs[String]("status") == "BANNED")                    // F6 BLOCKED
+    assert(bob.getAs[java.sql.Timestamp]("lastConnexion") == null)     // F7 'nan'
+    assert(bob.getAs[java.sql.Timestamp]("createdAt") ==
+      java.sql.Timestamp.valueOf("2023-01-15 10:30:00"))               // F3 ISO-Z
+
+    // §2.8 validation: all surviving rows pass the typed checks
+    val (valid, invalid) = Ops.validateSplit(User.checks)(out)
+    assert(valid.count() == 2 && invalid.count() == 0)
+
+    // K2 CSV round trip (sink smoke)
+    val outDir = new java.io.File(dir, "csv").getAbsolutePath
+    Tables.writeCsv(valid.select(col("id"), col("email"), col("status")), outDir)
+    assert(spark.read.option("header", "true").csv(outDir).count() == 2)
+  }
+
+  test("streaming: latest-per-key matches batch W1 on the same data") {
+    import graft.streaming.Streams
+    val events = Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "click", 2.0),
+      Streams.Event(3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "view", 3.0))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    stream.addData(events)
+    val q = Streams.latestPerKey(spark, stream.toDS())
+      .writeStream.format("memory").queryName("latest").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("latest").groupBy("user_id", "event_type")
+      .agg(max("event_id").as("event_id"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 3L))
+  }
+}
