@@ -80,12 +80,39 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleN: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
+    // Materialize each stage as a column: higher-order-function lambdas
+    // are interpreted (no codegen/CSE inside), so an inlined
+    // split(lower(text)) would re-execute per element access. Also
+    // spread the compute: a small local file arrives as one partition,
+    // and at cluster scale the repartition is the standard pre-shuffle
+    // for signature work anyway.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val prepared = df
-      .withColumn("__hs", array_distinct(Text.hashedShingles(col(textCol), shingleN)))
-      .filter(size(col("__hs")) > 0)
-      .withColumn("__sig", minHashSignature(col("__hs")))
-    val bands = prepared
-      .select(col(idCol), explode(bandKeys(col("__sig"))).as("band"))
+      // filter on the cheap word count BEFORE the heavy columns exist:
+      // a filter on size(__hs) would be predicate-pushed below the
+      // projections with the whole shingle+md5 tree substituted into it
+      // (recomputing split(lower(text)) per element access, interpreted)
+      .filter(size(Text.words(col(textCol))) >= shingleN)
+      .repartition(parallelism, col(idCol))
+      .withColumn("__w", Text.words(col(textCol)))
+      .withColumn("__sh", Text.shingles(col("__w"), shingleN))
+      .withColumn("__hs", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
+      // empty sets are filtered above, so skip minHashSignature's null
+      // guard and build the signature array directly
+      .withColumn("__sig", array(Seeds.map { case (a, b) =>
+        array_min(transform(col("__hs"), h => (lit(a) * h + lit(b)) % lit(HashP)))
+      }: _*))
+      .select(col(idCol), col("__hs"), col("__sig"))
+      // The signature frame feeds four plan branches (both self-join
+      // sides + both verify joins); without materialization Spark
+      // recomputes the md5/shingle pass per branch. At cluster scale
+      // you'd persist signatures to a table; locally an eager
+      // checkpoint is the same cut of the lineage.
+      .localCheckpoint()
+    val bands = prepared.select(col(idCol), explode(array((0 until numBands).map { bnd =>
+      concat_ws("_", (lit(bnd.toString) +:
+        (0 until BandRows).map(r => col("__sig")(bnd * BandRows + r).cast("string"))): _*)
+    }: _*)).as("band"))
     val bounded = bands
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("band"))))
       .filter(col("__bc") <= maxBucket).drop("__bc")

@@ -91,8 +91,13 @@ object Text {
     * `win` shingles, keep the distinct mins. Near-identical documents
     * share most fingerprints; at scale, explode + groupBy(fingerprint)
     * gives candidate pairs with shuffle linear in data. */
-  def fingerprints(text: Column, n: Int = 3, win: Int = 4): Column = {
-    val hs = hashedShingles(text, n)
+  def fingerprints(text: Column, n: Int = 3, win: Int = 4): Column =
+    fingerprintsFromHashes(hashedShingles(text, n), win)
+
+  /** Same, over a pre-materialized hashed-shingle column — use this in
+    * pipelines (HOF lambdas are interpreted, so pass an attribute, not
+    * a nested expression, or the shingle pass re-executes per access). */
+  def fingerprintsFromHashes(hs: Column, win: Int = 4): Column = {
     val mins = when(size(hs) >= win,
       transform(sequence(lit(0), size(hs) - win),
         i => least((0 until win).map(k => hs(i + k)): _*)))

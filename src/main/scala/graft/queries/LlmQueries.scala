@@ -61,7 +61,10 @@ object LlmQueries {
 
     "llm_fingerprints" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("fp", Text.fingerprints(col("text")))
+        .withColumn("w", Text.words(col("text")))
+        .withColumn("sh", Text.shingles(col("w")))
+        .withColumn("hs", transform(col("sh"), x => Text.md5Hash(x)))
+        .withColumn("fp", Text.fingerprintsFromHashes(col("hs")))
         .select(col("doc_id"), size(col("fp")).cast("long").as("fp_count"),
           array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
         .orderBy(col("doc_id"))),
