@@ -1,0 +1,135 @@
+package graft.io
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC source/sink utilities — the reference's Postgres layer
+  * (postgres_loader.py, sql_extraction.py) re-expressed Spark-first.
+  * The reference inserts row-by-row with one transaction per row
+  * (postgres_loader.py:297-298) and scans with driver-side cursors; here
+  * reads are partition-parallel `spark.read.jdbc` and writes are
+  * batched partition-parallel appends. Statement-level utilities (DDL,
+  * upsert, delete) run on the driver — they're control-plane, not data-
+  * plane. Tested against in-memory Derby (JdbcSpec). */
+object Jdbc {
+
+  def props(extra: (String, String)*): Properties = {
+    val p = new Properties()
+    extra.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  /** S9 — full-table scan (sql_extraction.py:38-82). For big tables
+    * pass a partition column so the scan parallelizes across executors. */
+  def readTable(spark: SparkSession, url: String, table: String,
+                p: Properties = props(),
+                partitionCol: Option[String] = None,
+                lowerBound: Long = 0, upperBound: Long = 1L << 20,
+                numPartitions: Int = 8): DataFrame =
+    partitionCol match {
+      case Some(c) =>
+        spark.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions, p)
+      case None => spark.read.jdbc(url, table, p)
+    }
+
+  /** S10 — ad-hoc SQL pushed to the database (sql_extraction.py:84-105):
+    * the query runs remotely; only its result crosses the wire. */
+  def readQuery(spark: SparkSession, url: String, sql: String,
+                p: Properties = props()): DataFrame =
+    spark.read.jdbc(url, s"($sql) q", p)
+
+  /** S11 — ordered scan (sql_extraction.py:205-250). Note a global
+    * ORDER BY only survives into Spark when read single-partition;
+    * partitioned reads re-order per partition (document, don't hide). */
+  def readOrdered(spark: SparkSession, url: String, table: String,
+                  orderCol: String, p: Properties = props()): DataFrame =
+    readQuery(spark, url, s"SELECT * FROM $table ORDER BY $orderCol", p)
+
+  /** S13 — existing-keys snapshot feeding the J2 anti-join
+    * (postgres_loader.py:54-86): project the key column only, so the
+    * wire cost is one column, then broadcast it into the join. */
+  def readKeys(spark: SparkSession, url: String, table: String, keyCol: String,
+               p: Properties = props()): DataFrame =
+    readQuery(spark, url, s"SELECT $keyCol FROM $table", p)
+
+  /** S15 — sample + full analysis fetch (sql_extraction.py:331-374).
+    * The reference fetches the table twice; we fetch once and cache —
+    * the sample is a limit over the cached frame. */
+  def sampleAndFull(spark: SparkSession, url: String, table: String, n: Int,
+                    p: Properties = props()): (DataFrame, DataFrame) = {
+    val full = readTable(spark, url, table, p).cache()
+    (full.limit(n), full)
+  }
+
+  /** K3 — batch append (replaces the reference's per-row transactions,
+    * postgres_loader.py:293-326): partition-parallel, batched inserts. */
+  def append(df: DataFrame, url: String, table: String,
+             p: Properties = props(), batchSize: Int = 10000): Unit = {
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode("append").jdbc(url, table, p)
+  }
+
+  private def withConn[A](url: String)(f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  /** K6 — batch SQL executor, one transaction, rollback on error
+    * (sql_extraction.py:252-282). */
+  def executeBatch(url: String, statements: Seq[String]): Unit =
+    withConn(url) { c =>
+      c.setAutoCommit(false)
+      try {
+        val st = c.createStatement()
+        statements.foreach(st.execute)
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+    }
+
+  /** K7 — DDL create-if-absent (postgres_loader.py:643-678). */
+  def createTableIfAbsent(url: String, table: String, ddlBody: String): Unit =
+    withConn(url) { c =>
+      val meta = c.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = meta.next()
+      if (!exists) c.createStatement().execute(s"CREATE TABLE $table ($ddlBody)")
+    }
+
+  /** K4 — update by id with a dynamic SET clause, id immutable
+    * (postgres_loader.py:368-403). */
+  def updateById(url: String, table: String, idCol: String, id: Any,
+                 sets: Seq[(String, Any)]): Int =
+    withConn(url) { c =>
+      val clause = sets.map { case (k, _) => s"$k = ?" }.mkString(", ")
+      val ps = c.prepareStatement(s"UPDATE $table SET $clause WHERE $idCol = ?")
+      sets.zipWithIndex.foreach { case ((_, v), i) => ps.setObject(i + 1, v) }
+      ps.setObject(sets.size + 1, id)
+      ps.executeUpdate()
+    }
+
+  /** K5 — delete by id with rowcount (postgres_loader.py:405-424). */
+  def deleteById(url: String, table: String, idCol: String, id: Any): Int =
+    withConn(url) { c =>
+      val ps = c.prepareStatement(s"DELETE FROM $table WHERE $idCol = ?")
+      ps.setObject(1, id)
+      ps.executeUpdate()
+    }
+
+  /** S12/S14 — schema + stats probe (sql_extraction.py:107-135,
+    * :284-329): column metadata via JDBC metadata, count pushed down. */
+  def tableStats(spark: SparkSession, url: String, table: String,
+                 p: Properties = props()): (Long, Seq[(String, String)]) = {
+    val cnt = readQuery(spark, url, s"SELECT count(*) AS c FROM $table", p)
+      .collect()(0).getAs[Number]("C" /* Derby upcases */).longValue()
+    val cols = readTable(spark, url, table, p).schema.fields.toSeq
+      .map(f => f.name -> f.dataType.simpleString)
+    (cnt, cols)
+  }
+
+  /** F13 — timestamped export paths (main.py:119-120). */
+  def timestampedPath(prefix: String, suffix: String): String = {
+    val ts = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    s"${prefix}_$ts.$suffix"
+  }
+}

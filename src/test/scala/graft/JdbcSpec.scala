@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Jdbc
+
+/** K3-K7 / S9-S15 against a real in-memory Derby database (the JDBC
+  * driver ships with Spark). */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  test("K7 create-if-absent, K3 batch append, S9/S10/S13/S14 reads, K4/K5 mutations, K6 batch") {
+    Jdbc.createTableIfAbsent(url, "users",
+      "id VARCHAR(20) PRIMARY KEY, email VARCHAR(255), score INT")
+    Jdbc.createTableIfAbsent(url, "users", "ignored INT") // second call: no-op
+
+    val df = Seq(("u1", "a@x.com", 10), ("u2", "b@x.com", 20), ("u3", "c@x.com", 30))
+      .toDF("id", "email", "score")
+    Jdbc.append(df, url, "users")
+
+    // S9 full scan
+    val back = Jdbc.readTable(spark, url, "users")
+    assert(back.count() == 3)
+    assert(back.columns.map(_.toLowerCase).toSet == Set("id", "email", "score"))
+
+    // S10 ad-hoc query pushed down
+    val hi = Jdbc.readQuery(spark, url, "SELECT id FROM users WHERE score >= 20")
+    assert(hi.count() == 2)
+
+    // S11 ordered
+    assert(Jdbc.readOrdered(spark, url, "users", "score")
+      .select(col("ID")).as[String].collect().toSeq == Seq("u1", "u2", "u3"))
+
+    // S13 keys snapshot feeds J2
+    val keys = Jdbc.readKeys(spark, url, "users", "id")
+    assert(keys.as[String].collect().toSet == Set("u1", "u2", "u3"))
+
+    // S14 stats probe
+    val (cnt, cols) = Jdbc.tableStats(spark, url, "users")
+    assert(cnt == 3 && cols.size == 3)
+
+    // S15 sample + cached full (single fetch)
+    val (sample, full) = Jdbc.sampleAndFull(spark, url, "users", 2)
+    assert(sample.count() == 2 && full.count() == 3)
+
+    // K4 update
+    assert(Jdbc.updateById(url, "users", "id", "u1",
+      Seq("email" -> "new@x.com", "score" -> Int.box(99))) == 1)
+    assert(Jdbc.readQuery(spark, url, "SELECT email FROM users WHERE id = 'u1'")
+      .as[String].collect()(0) == "new@x.com")
+
+    // K5 delete with rowcount
+    assert(Jdbc.deleteById(url, "users", "id", "u3") == 1)
+    assert(Jdbc.deleteById(url, "users", "id", "u3") == 0)
+
+    // K6 batch in one transaction, rollback on error
+    Jdbc.executeBatch(url, Seq(
+      "INSERT INTO users VALUES ('u4', 'd@x.com', 40)",
+      "INSERT INTO users VALUES ('u5', 'e@x.com', 50)"))
+    assert(Jdbc.readTable(spark, url, "users").count() == 4)
+    intercept[Throwable] {
+      Jdbc.executeBatch(url, Seq(
+        "INSERT INTO users VALUES ('u6', 'f@x.com', 60)",
+        "THIS IS NOT SQL"))
+    }
+    assert(Jdbc.readTable(spark, url, "users").count() == 4, "failed batch must roll back")
+  }
+
+  test("F13 timestamped path shape") {
+    val p = Jdbc.timestampedPath("export", "csv")
+    assert(p.matches("export_\\d{8}_\\d{6}\\.csv"))
+  }
+}

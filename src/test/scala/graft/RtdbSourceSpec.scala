@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class RtdbSourceSpec extends SparkSpec {
+
+  private lazy val path: String = {
+    val dir = Files.createTempDirectory("rtdbsrc").toFile
+    val f = new java.io.File(dir, "export.json")
+    val users = (1 to 20).map(i => f""""Uid$i%03d": {"email": "u$i@x.com", "n": $i}""")
+    Files.writeString(f.toPath, users.mkString("{", ",", """, "Broken": "not-a-dict"}"""))
+    f.getAbsolutePath
+  }
+  // note: keys Uid001..Uid020 via %03d formatting inside the interpolator
+  private lazy val df = spark.read.format("graft.sources.RtdbSnapshotSource")
+    .option("path", path).option("numPartitions", "4").load()
+
+  test("S1 scale path: key-sharded partitions, P1 key promotion, P4 non-dict skip") {
+    assert(df.count() == 20)                       // Broken skipped
+    assert(df.rdd.getNumPartitions == 4)           // key ranges
+    assert(df.select("id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet.size == 20)
+    val one = df.filter(col("id") === "Uid005").collect()
+    assert(one.length == 1)
+    assert(one(0).getAs[String]("json").contains("u5@x.com"))
+  }
+
+  test("S2 point lookup prunes partitions via pushed key-range filter") {
+    val q = df.filter(col("id") === "Uid007")
+    val parts = q.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    assert(parts.length == 1, s"expected 1 pruned partition, got ${parts.length}")
+    assert(q.count() == 1)
+  }
+
+  test("range scan: startAt/endAt semantics") {
+    val r = df.filter(col("id") >= "Uid010" && col("id") < "Uid015")
+    assert(r.count() == 5)
+  }
+}
