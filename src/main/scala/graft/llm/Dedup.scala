@@ -146,6 +146,31 @@ object Dedup {
     (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)
   }
 
-  /** Embedding-cosine near-dup: reuses the ANN machinery — see
-    * Similarity.lshBuckets + cosine threshold within buckets. */
+  /** N-gram Jaccard near-dup with blocking: pairwise Jaccard over
+    * hashed word n-gram sets, but only within blocks (e.g. language ×
+    * length band) — the classic pre-LSH blocking strategy. Shuffle is
+    * one hash-join on the block key; the quadratic part is confined to
+    * blocks, which `maxBlock`-style sizing keeps bounded at scale.
+    * Hashing the grams (md5 mod P) keeps set ops integer-cheap with
+    * ~1e-7 collision odds. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockExpr: Column, n: Int = 2,
+                        threshold: Double = 0.15): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val prepared = df
+      .filter(size(Text.words(col(textCol))) >= n)
+      .repartition(parallelism, col(idCol))
+      .withColumn("__blk", blockExpr)
+      .withColumn("__w", Text.words(col(textCol)))
+      .withColumn("__sh", Text.shingles(col("__w"), n))
+      .withColumn("__g", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
+      .select(col(idCol), col("__blk"), col("__g"))
+      .localCheckpoint()
+    prepared.as("x")
+      .join(prepared.as("y"), col("x.__blk") === col("y.__blk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        jaccard(col("x.__g"), col("y.__g")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

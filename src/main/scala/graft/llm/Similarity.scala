@@ -90,4 +90,57 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Embedding-cosine near-dup: candidate pairs from LSH buckets,
+    * kept when exact cosine (from exact integer dot/norms, so the
+    * double math is bit-deterministic) clears the threshold. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                         threshold: Double, nPlanes: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val planes = planeDirs(nPlanes, dim)
+    val bucketed = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+      .withColumn("bucket", lshBucket(col("eq"), planes))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b"),
+        (dotQ(col("x.eq"), col("y.eq")).cast("double") /
+          (sqrt(dotQ(col("x.eq"), col("x.eq")).cast("double")) *
+            sqrt(dotQ(col("y.eq"), col("y.eq")).cast("double")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** IVF-style ANN with a provided coarse quantizer (here: the label
+    * column as cluster id; production swaps in k-means assignments).
+    * Centroids are exact integer sum-vectors per cluster (explode +
+    * groupBy — map-side combined, linear shuffle); each query probes
+    * its best cluster only, so the fine search scans |data|/nlist
+    * candidates instead of everything — the IVF pruning structure. */
+  def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+              labelCol: String, k: Int): DataFrame = {
+    val eq = df.select(col(idCol).as("cid"), col(labelCol).as("label"),
+      quantize(col(embCol)).as("eq"))
+    val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
+    // centroid sum-vectors, one row per (cluster, dimension)
+    val expl = eq.select(col("label"), posexplode(col("eq")).as(Seq("pos", "v")))
+    val cent = expl.groupBy(col("label"), col("pos")).agg(sum(col("v")).as("s"))
+    val cnt = eq.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    // assign each query to the cluster with max mean-dot
+    val qexpl = q.select(col("qid"), posexplode(col("qe")).as(Seq("pos", "qv")))
+    val assign = qexpl.join(cent, "pos")
+      .groupBy(col("qid"), col("label"))
+      .agg(sum(col("qv") * col("s")).as("qdot"))
+      .join(cnt, "label")
+      .withColumn("score", col("qdot").cast("double") / col("cnt"))
+    val wBest = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
+    val best = assign.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1).select(col("qid"), col("label"))
+    // fine search within the probed cluster only
+    val scored = q.join(best, "qid").join(eq, "label")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot", dotQ(col("qe"), col("eq")))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("label"), col("cid"), col("rank"), col("dot"))
+  }
 }

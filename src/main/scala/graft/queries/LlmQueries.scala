@@ -83,6 +83,23 @@ object LlmQueries {
         .select(col("vid"), col("bucket"), col("nn"), col("dot"))
         .orderBy(col("vid"))),
 
+    "llm_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", "label", k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "llm_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+        .orderBy(col("a"), col("b"))),
+
+    "llm_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockExpr = concat(col("lang"), lit("_"), expr("n_chars div 25").cast("string")),
+        n = 2, threshold = 0.15)
+        .orderBy(col("a"), col("b"))),
+
     "llm_multimodal_meta" -> ((s, dir) => {
       val bin = encode(col("text"), "UTF-8")
       val content = when(col("doc_id") % 10 === 0,
@@ -215,6 +232,53 @@ object LlmQueries {
          |SELECT qid, cid, rank, dot FROM (
          |  SELECT qid, cid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank
          |  FROM s) t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "llm_ann_ivf" ->
+      s"""WITH eq AS (SELECT vec_id, label,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |cent AS (SELECT label, i AS pos, CAST(sum(eq[i]) AS BIGINT) AS s
+         |  FROM eq, range(1, 65) t(i) GROUP BY label, i),
+         |cnt AS (SELECT label, count(*) AS cnt FROM eq GROUP BY label),
+         |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
+         |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+         |  FROM q, cent GROUP BY qid, cent.label),
+         |best AS (SELECT qid, label FROM (
+         |  SELECT qid, label, row_number() OVER (
+         |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+         |  FROM assign JOIN cnt USING (label)) t WHERE rn = 1),
+         |scored AS (SELECT b.qid AS qid, b.label AS label, e.vec_id AS cid,
+         |  CAST((SELECT sum((q.qe)[i] * (e.eq)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+         |  FROM best b JOIN q ON q.qid = b.qid JOIN eq e ON e.label = b.label
+         |  WHERE e.vec_id <> b.qid)
+         |SELECT qid, label, cid, rank, dot FROM (
+         |  SELECT qid, label, cid, dot, row_number() OVER (
+         |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM scored) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "llm_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id AS vid,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |b AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
+         |p AS (SELECT x.vid AS a, y.vid AS b,
+         |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+         |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
+         |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid)
+         |SELECT a, b, cosine FROM (
+         |  SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM p) t
+         |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
+    "llm_ngram_jaccard" ->
+      s"""WITH pre AS (
+         |  SELECT doc_id, lang || '_' || (n_chars // 25)::VARCHAR AS blk,
+         |    list_distinct(list_transform(
+         |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
+         |      s -> ${duckHash("s")})) AS g
+         |  FROM (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents) t
+         |  WHERE len(w) >= 2)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+         |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+         |  FROM pre x JOIN pre y ON x.blk = y.blk AND x.doc_id < y.doc_id) t
+         |WHERE jaccard >= 0.15 ORDER BY a, b""".stripMargin,
     "llm_ann_lsh_bucketed" ->
       s"""WITH e AS (SELECT vec_id AS vid,
          |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),

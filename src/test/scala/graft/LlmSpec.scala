@@ -126,6 +126,41 @@ class LlmSpec extends SparkSpec {
       case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("cosineNearDupPairs: bucketed pairs cross the threshold only when close") {
+    val e = Seq(
+      (0L, Array.fill(64)(0.3f)), (1L, Array.fill(64)(0.31f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.3f else -0.3f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // 2 is orthogonal-ish and in another bucket anyway
+  }
+
+  test("ivfTopK: probes the right cluster, ranks by dot within it") {
+    val mk = (v: Float) => Array.fill(64)(v)
+    val e = Seq(
+      (0L, mk(0.30f), 1), (1L, mk(0.29f), 1), (2L, mk(0.28f), 1),
+      (3L, mk(-0.3f), 2), (4L, mk(-0.29f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", "label", 2)
+      .select("cid", "rank", "label").collect()
+    assert(out.forall(_.getAs[Int]("label") == 1), "query must probe its own cluster")
+    assert(out.map(r => r.getAs[Long]("cid") -> r.getAs[Long]("rank")).toMap
+      == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("ngramJaccardPairs: finds overlap within block only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon eta", "en"),
+      (3L, "alpha beta gamma delta epsilon zeta", "fr")) // same text, different block
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockExpr = col("lang"), n = 2, threshold = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("exact + normalized dedup") {
     val docs = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
