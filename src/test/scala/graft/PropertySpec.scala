@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.expr.Exprs
+import graft.ops.Ops
+
+/** Property-style tests (SURVEY.md §5.2.3): ScalaCheck generators,
+  * evaluated in one Spark pass per property (a collect per case would
+  * be painfully slow). Fixed seed — failures are reproducible. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.pureApply(Gen.Parameters.default, Seed(42L))
+
+  private val weird = Gen.oneOf("nan", "NULL", "", " ", "None", "nat", "NaT",
+    "ok", " x ", "café", "a,b", "'quote'", "line1", "\ttab", "12.5", "-3")
+  private val anyStr = Gen.frequency(
+    3 -> weird,
+    2 -> Gen.alphaNumStr.map(_.take(30)),
+    1 -> Gen.listOfN(8, Gen.choose(' ', '~')).map(_.mkString))
+
+  test("property: cleanString is idempotent and never widens") {
+    val inputs = sample(Gen.listOfN(400, anyStr))
+    val df = inputs.toDF("s")
+      .select(col("s"), Exprs.cleanString(col("s")).as("c1"))
+      .select(col("s"), col("c1"), Exprs.cleanString(col("c1")).as("c2"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (s, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"cleanString not idempotent on ${s.replace("\t", "\\t")}")
+      // Spark's trim (like DuckDB's, unlike java.lang.String#trim) strips
+      // only ASCII spaces — the oracle-consistent semantics.
+      if (c1 != null) assert(c1.length <= s.length && c1 == c1.replaceAll("^ +| +$", ""))
+    }
+  }
+
+  test("property: parseFlexibleTimestamp never throws; round-trips formatted output") {
+    // arbitrary garbage must yield null or a timestamp, never an error
+    val garbage = sample(Gen.listOfN(300, anyStr))
+    garbage.toDF("s").select(Exprs.parseFlexibleTimestamp(col("s")).as("t")).collect()
+
+    // round-trip: format a random timestamp five ways, parse it back
+    val epochs = sample(Gen.listOfN(200, Gen.choose(1L, 4102444800L))) // 1970..2100
+    val df = epochs.toDF("e").select(timestamp_seconds(col("e")).as("ts"))
+    val fmts = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    for (f <- fmts) {
+      val bad = df.select(col("ts"),
+        Exprs.parseFlexibleTimestamp(date_format(col("ts"), f)).as("back"))
+        .filter(col("back") =!= col("ts") || col("back").isNull)
+      assert(bad.count() == 0, s"round-trip failed for format $f")
+    }
+    // epoch string round-trip (seconds path)
+    val badE = df.select(col("ts"),
+      Exprs.parseFlexibleTimestamp(unix_timestamp(col("ts")).cast("string")).as("back"))
+      .filter(col("back") =!= col("ts")).count()
+    assert(badE == 0)
+  }
+
+  test("property: dedupKeepLatest output is a subset with distinct keys and partition-max ts") {
+    val gen = for {
+      n <- Gen.const(400)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, 30)
+        d <- Gen.choose(0, 10000)
+      } yield (k, d))
+    } yield rows
+    val rows = sample(gen).zipWithIndex.map { case ((k, d), i) =>
+      (i.toLong, s"k$k", new java.sql.Timestamp(1700000000000L + d * 60000L))
+    }
+    val df = rows.toDF("id", "k", "ts")
+    val out = df.transform(Ops.dedupKeepLatest(Seq("k"), "ts", "id"))
+    assert(out.count() == out.select("k").distinct().count())
+    assert(out.join(df.groupBy("k").agg(max("ts").as("mx")), "k")
+      .filter(col("ts") =!= col("mx")).count() == 0)
+    assert(out.join(df, Seq("id"), "left_anti").count() == 0) // subset of input
+  }
+
+  test("property: jaccard symmetric-bounded; minhash signature elements within ring") {
+    val texts = sample(Gen.listOfN(60,
+      Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g")).map(_.mkString(" "))))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .withColumn("w", graft.llm.Text.words(col("text")))
+      .withColumn("sh", graft.llm.Text.shingles(col("w")))
+      .withColumn("hs", array_distinct(transform(col("sh"), x => graft.llm.Text.md5Hash(x))))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", graft.llm.Dedup.minHashSignature(col("hs")))
+    val sigs = df.select("sig").collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(s => s.length == graft.llm.Dedup.Seeds.length &&
+      s.forall(v => v >= 0 && v < graft.llm.Text.HashP)))
+  }
+}
