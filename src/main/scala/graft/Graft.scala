@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public facade — the one-stop API a user of the reference pipeline
+  * switches to. Thin delegations; each capability lives in its own
+  * package (see README / COVERAGE.md).
+  *
+  * The reference's `main.py` lifecycle (SURVEY.md §3.1) becomes:
+  * {{{
+  * val raw    = Graft.readRtdbSnapshot(spark, "export.json")     // EXTRACT (S1)
+  * val users  = Graft.transformUsers(fields(raw))                // VALIDATE+TRANSFORM+DEDUP
+  * val (ok, bad) = Graft.validateSplit(users, model.User.checks) // §2.8 split
+  * val fixed  = Graft.resolveIdConflicts(ok, existingIds, "id")  // J2
+  * Graft.writeCsv(fixed, "out")                                  // LOAD (K2)
+  * }}}
+  */
+object Graft {
+
+  // -- sources / sinks ------------------------------------------------
+  def readRtdbSnapshot(spark: SparkSession, path: String): DataFrame =
+    io.Tables.readRtdbSnapshot(spark, path)
+
+  /** Key-range-sharded DSv2 variant for big snapshots. */
+  def readRtdbSharded(spark: SparkSession, path: String, partitions: Int): DataFrame =
+    spark.read.format("graft.sources.RtdbSnapshotSource")
+      .option("path", path).option("numPartitions", partitions.toString).load()
+
+  def writeJson(df: DataFrame, path: String): Unit = io.Tables.writeJson(df, path)
+  def writeCsv(df: DataFrame, path: String): Unit = io.Tables.writeCsv(df, path)
+
+  // -- the ETL operator set ------------------------------------------
+  def transformUsers(raw: DataFrame): DataFrame = model.User.transform(raw)
+
+  def dedupKeepLatest(df: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame =
+    ops.Ops.dedupKeepLatest(keys, ts, tieBreak)(df)
+
+  def validateSplit(df: DataFrame, checks: Seq[(String, Column)]): (DataFrame, DataFrame) =
+    ops.Ops.validateSplit(checks)(df)
+
+  def enrichFromAuth(users: DataFrame, auth: DataFrame, key: String = "uid"): DataFrame =
+    ops.Ops.enrichFromAuth(users, auth, key)
+
+  def resolveIdConflicts(incoming: DataFrame, existing: DataFrame, idCol: String): DataFrame =
+    ops.Ops.resolveIdConflicts(incoming, existing, idCol)
+
+  // -- LLM-pipeline operators ----------------------------------------
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    llm.Dedup.exactDedup(df, textCol, idCol)
+
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8): DataFrame =
+    llm.Dedup.minHashLshPairs(df, idCol, textCol, threshold)
+
+  def annTopK(data: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int): DataFrame =
+    llm.Similarity.bruteForceTopKQ(queries, data, idCol, idCol, embCol, k)
+
+  // -- §2.11 reporting ------------------------------------------------
+  /** `display_users_formatted` (sql_extraction.py:168-191): N/A-filled
+    * preview — `na.fill` + `show` instead of a row loop. */
+  def displayFormatted(df: DataFrame, n: Int = 20): Unit =
+    df.na.fill("N/A").show(n, truncate = false)
+
+  def validationReport(flagged: DataFrame): DataFrame = ops.Ops.validationReport(flagged)
+}

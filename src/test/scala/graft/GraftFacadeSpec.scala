@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Facade smoke: every Graft entry point drives its real implementation. */
+class GraftFacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("facade delegations work end to end") {
+    val df = Seq((1L, "k1", "2024-01-01 00:00:00"), (2L, "k1", "2024-01-02 00:00:00"))
+      .toDF("id", "k", "t").withColumn("ts", col("t").cast("timestamp"))
+    assert(Graft.dedupKeepLatest(df, Seq("k"), "ts", "id")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+
+    val (ok, bad) = Graft.validateSplit(df, Seq("neg" -> (col("id") < 0)))
+    assert(ok.count() == 2 && bad.count() == 0)
+
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    assert(Graft.exactDedup(docs, "text", "doc_id").count() == 2)
+    assert(Graft.nearDupPairs(docs, "doc_id", "text", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val nn = Graft.annTopK(emb.filter(col("vec_id") > 0), emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 1)
+    assert(nn.select("cid").as[Long].collect().toSeq == Seq(1L))
+
+    val fixed = Graft.resolveIdConflicts(Seq("a", "b").toDF("id"), Seq("b").toDF("id"), "id")
+    assert(fixed.count() == 2)
+  }
+}
