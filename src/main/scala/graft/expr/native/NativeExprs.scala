@@ -1,0 +1,202 @@
+package graft.expr.native
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with `doGenCode`) for the two hot
+  * array kernels the HOF (`transform`/`aggregate`) formulations leave
+  * interpreted: higher-order-function lambdas get no whole-stage
+  * codegen, so a 16-permutation MinHash over a 70-element array costs
+  * ~1100 boxed lambda invocations per row. These run the same math as
+  * the Column-combinator versions (bit-identical results — asserted in
+  * NativeExprSpec) in one tight generated loop.
+  *
+  * This is the preference order the engine follows (SURVEY.md §4.2 /
+  * build brief): built-in Columns first, native Expression only where
+  * the built-in formulation measurably can't keep up, never a UDF. */
+
+/** Exact integer dot product of two array<long> columns (quantized
+  * embeddings, hyperplane directions). Null elements are treated as 0;
+  * length mismatch folds over the common prefix (callers use
+  * fixed-dim vectors). */
+case class LongDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_long_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $s += $x.getLong($i) * $y.getLong($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
+    copy(left = l, right = r)
+}
+
+/** Quantized dot product of two array<float> embeddings:
+  * round(x*scale) (half away from zero, matching Spark's `round` and
+  * DuckDB on every value a float*1000 can produce) as long, then exact
+  * integer dot. */
+case class QuantizedDot(left: Expression, right: Expression, scale: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_qdot"
+
+  private def q(f: Float): Long = {
+    val d = f.toDouble * scale
+    if (d < 0) -Math.round(-d) else Math.round(d)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { s += q(x.getFloat(i)) * q(y.getFloat(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val dx = ctx.freshName("dx"); val dy = ctx.freshName("dy")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dx = ((double) $x.getFloat($i)) * $scale;
+         |  double $dy = ((double) $y.getFloat($i)) * $scale;
+         |  $s += ($dx < 0 ? -java.lang.Math.round(-$dx) : java.lang.Math.round($dx))
+         |      * ($dy < 0 ? -java.lang.Math.round(-$dy) : java.lang.Math.round($dy));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature over hashed shingles: one pass over the array
+  * updating all permutation minima (vs 16 interpreted transforms).
+  * Empty input → null, matching Dedup.minHashSignature. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  import graft.llm.Dedup.Seeds
+  import graft.llm.Text.HashP
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(Seeds.size)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < Seeds.size) {
+        val m = (Seeds(j)._1 * h + Seeds(j)._2) % HashP
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+    val h = ctx.freshName("h"); val m = ctx.freshName("m")
+    val updates = Seeds.zipWithIndex.map { case ((a, b), j) =>
+      s"""$m = (${a}L * $h + ${b}L) % ${HashP}L;
+         |if ($m < $mins[$j]) $mins[$j] = $m;""".stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = true;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${childGen.isNull}) {
+        |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
+        |  int $n = $arr.numElements();
+        |  if ($n > 0) {
+        |    long[] $mins = new long[${Seeds.size}];
+        |    java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |    long $h; long $m;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      $h = $arr.getLong($i);
+        |      $updates
+        |    }
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+        |  }
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Column wrappers (no session registration needed) + function
+  * registration for SQL users via SparkSessionExtensions. */
+object NativeFns {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def longDot(a: Column, b: Column): Column = column(LongDot(expression(a), expression(b)))
+  def qdot(a: Column, b: Column, scale: Int = 1000): Column =
+    column(QuantizedDot(expression(a), expression(b), scale))
+  def minHashSig(c: Column): Column = column(MinHashSig(expression(c)))
+}
+
+/** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the
+  * native kernels to SQL (`SELECT graft_minhash_sig(hs) ...`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private val registrations = Seq(
+    (FunctionIdentifier("graft_long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
+      (c: Seq[Expression]) => LongDot(c(0), c(1))),
+    (FunctionIdentifier("graft_qdot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "graft_qdot"),
+      (c: Seq[Expression]) => QuantizedDot(c(0), c(1), 1000)),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (c: Seq[Expression]) => MinHashSig(c.head)))
+
+  /** Register into an already-running session. */
+  def install(spark: SparkSession): Unit = registrations.foreach { case (id, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

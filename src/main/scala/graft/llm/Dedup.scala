@@ -97,11 +97,8 @@ object Dedup {
       .withColumn("__w", Text.words(col(textCol)))
       .withColumn("__sh", Text.shingles(col("__w"), shingleN))
       .withColumn("__hs", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
-      // empty sets are filtered above, so skip minHashSignature's null
-      // guard and build the signature array directly
-      .withColumn("__sig", array(Seeds.map { case (a, b) =>
-        array_min(transform(col("__hs"), h => (lit(a) * h + lit(b)) % lit(HashP)))
-      }: _*))
+      // native single-pass signature kernel (graft.expr.native.MinHashSig)
+      .withColumn("__sig", graft.expr.native.NativeFns.minHashSig(col("__hs")))
       .select(col(idCol), col("__hs"), col("__sig"))
       // The signature frame feeds four plan branches (both self-join
       // sides + both verify joins); without materialization Spark

@@ -26,7 +26,12 @@ object Similarity {
   def quantize(e: Column, scale: Int = 1000): Column =
     transform(e, x => round(x.cast("double") * scale).cast("long"))
 
-  def dotQ(a: Column, b: Column): Column =
+  /** Exact integer dot — native Catalyst expression (codegen'd single
+    * loop; see graft.expr.native). */
+  def dotQ(a: Column, b: Column): Column = graft.expr.native.NativeFns.longDot(a, b)
+
+  /** HOF formulation kept for differential testing (NativeExprSpec). */
+  private[graft] def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   def dot(a: Column, b: Column): Column =

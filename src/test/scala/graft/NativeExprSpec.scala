@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.expr.native.{GraftExtensions, NativeFns}
+import graft.llm.{Dedup, Similarity, Text}
+
+/** Native Catalyst expressions must be bit-identical to the HOF
+  * Column formulations they replace — on random inputs, in both the
+  * codegen and interpreted paths. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def floats(n: Int, seed: Long): Array[Float] = {
+    val g = Gen.listOfN(n, Gen.chooseNum(-0.5f, 0.5f))
+    g.pureApply(Gen.Parameters.default, Seed(seed)).toArray
+  }
+
+  private val vecs = (0 until 50).map(i => (i.toLong, floats(64, i + 1))).toDF("id", "e")
+
+  test("QuantizedDot == quantize+zip_with+aggregate on random vectors (both eval paths)") {
+    val pairs = vecs.as("x").crossJoin(vecs.as("y"))
+      .select(NativeFns.qdot(col("x.e"), col("y.e")).as("native"),
+        Similarity.dotQHof(Similarity.quantize(col("x.e")), Similarity.quantize(col("y.e"))).as("hof"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try assert(pairs.filter(col("native") =!= col("hof")).count() == 0, s"mode $mode")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("LongDot == zip_with+aggregate; null propagates") {
+    val q = vecs.select(Similarity.quantize(col("e")).as("eq"))
+    val out = q.as("x").crossJoin(q.as("y"))
+      .select(NativeFns.longDot(col("x.eq"), col("y.eq")).as("native"),
+        Similarity.dotQHof(col("x.eq"), col("y.eq")).as("hof"))
+    assert(out.filter(col("native") =!= col("hof")).count() == 0)
+    val n = spark.sql("SELECT 1").select(
+      NativeFns.longDot(lit(null).cast("array<bigint>"), array(lit(1L))).as("v"))
+    assert(n.collect()(0).isNullAt(0))
+  }
+
+  test("MinHashSig == minHashSignature on random shingle sets; empty => null") {
+    val texts = (0 until 80).map { i =>
+      val words = (0 until (5 + i % 40)).map(j => s"w${(i * 31 + j * 7) % 50}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("id", "text")
+    val hs = texts
+      .withColumn("w", Text.words(col("text")))
+      .withColumn("sh", Text.shingles(col("w")))
+      .withColumn("hs", array_distinct(transform(col("sh"), x => Text.md5Hash(x))))
+    val both = hs.select(
+      NativeFns.minHashSig(col("hs")).as("native"),
+      Dedup.minHashSignature(col("hs")).as("hof"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val rows = both.collect()
+        rows.foreach { r =>
+          val nv = if (r.isNullAt(0)) null else r.getSeq[Long](0).toList
+          val hv = if (r.isNullAt(1)) null else r.getSeq[Long](1).toList
+          assert(nv == hv, s"mode $mode")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val empty = spark.sql("SELECT cast(array() as array<bigint>) hs")
+      .select(NativeFns.minHashSig(col("hs")).as("v")).collect()(0)
+    assert(empty.isNullAt(0), "empty shingle set must yield null signature")
+  }
+
+  test("SQL registration via GraftExtensions.install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_long_dot(array(1L,2L,3L), array(4L,5L,6L)) d, " +
+        "graft_minhash_sig(array(7L, 8L)) s").collect()(0)
+    assert(r.getLong(0) == 32L)
+    assert(r.getSeq[Long](1).length == Dedup.Seeds.size)
+  }
+}
