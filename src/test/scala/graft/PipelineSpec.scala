@@ -87,6 +87,32 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(outDir).count() == 2)
   }
 
+  test("streaming: watermarked tumbling-window counts (A4 analog)") {
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    stream.addData(Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "click", 1.0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:04:00"), 2L, "click", 2.0),
+      Streams.Event(3L, java.sql.Timestamp.valueOf("2024-01-01 10:11:00"), 1L, "view", 3.0)))
+    val q = Streams.windowedTypeCounts(stream.toDS().toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("wincounts").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wincounts")
+      .selectExpr("window.start", "event_type", "cnt").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == Map(
+      ("2024-01-01 10:00:00.0", "click") -> 2L,
+      ("2024-01-01 10:10:00.0", "view") -> 1L))
+  }
+
+  test("K1 JSON export round trip") {
+    val dir = Files.createTempDirectory("k1").toFile.getAbsolutePath + "/out"
+    import spark.implicits._
+    graft.io.Tables.writeJson(Seq(("a", 1), ("b", 2)).toDF("k", "v"), dir)
+    assert(spark.read.json(dir).count() == 2)
+  }
+
   test("streaming: latest-per-key matches batch W1 on the same data") {
     import graft.streaming.Streams
     val events = Seq(
