@@ -44,16 +44,21 @@ object Ops {
 
   /** J1 — auth-enrichment join (firebase_service.py:79-106, driven
     * per-row at :155). The reference's N+1 RPC loop with
-    * exception→default is exactly a broadcast left-outer equi-join with
-    * null-fill; the auth side is small, so broadcast avoids shuffling
-    * the (huge) users side entirely. */
-  def enrichFromAuth(users: DataFrame, auth: DataFrame, key: String): DataFrame = {
-    val a = auth.select(
+    * exception→default is exactly a left-outer equi-join with
+    * null-fill. `broadcastAuth = true` (default) fits the reference's
+    * reality — a bounded auth snapshot — and avoids shuffling the huge
+    * users side; pass false when the auth table scales with users
+    * (1:1 at 100 TB), letting Catalyst plan a shuffle join over
+    * co-partitioned/bucketed inputs instead. */
+  def enrichFromAuth(users: DataFrame, auth: DataFrame, key: String,
+                     broadcastAuth: Boolean = true): DataFrame = {
+    val a0 = auth.select(
       col(key),
       col("email").as("__auth_email"),
       col("email_verified").as("__auth_verified"),
       col("provider_ids").as("__auth_providers"))
-    users.join(broadcast(a), Seq(key), "left_outer")
+    val a = if (broadcastAuth) broadcast(a0) else a0
+    users.join(a, Seq(key), "left_outer")
       .withColumn("provider",
         when(array_contains(coalesce(col("__auth_providers"), array()), "google.com"), lit("google.com"))
           .when(col("__auth_email").isNotNull || col("email").isNotNull, lit("CREDENTIALS"))
@@ -72,10 +77,14 @@ object Ops {
     * id exists get a fresh uuid-20; the reference's O(n·m) Python list
     * scan becomes a broadcast anti/semi join pair + union (§2.9). */
   def resolveIdConflicts(incoming: DataFrame, existing: DataFrame, idCol: String,
-                         newId: Column = Exprs.uuid20): DataFrame = {
-    val keys = existing.select(col(idCol)).distinct()
-    val clean = incoming.join(broadcast(keys), Seq(idCol), "left_anti")
-    val rewritten = incoming.join(broadcast(keys), Seq(idCol), "left_semi")
+                         newId: Column = Exprs.uuid20,
+                         broadcastKeys: Boolean = true): DataFrame = {
+    val keys0 = existing.select(col(idCol)).distinct()
+    // default broadcast matches the reference's in-memory id list; at
+    // scale (existing table ~ data size) pass false for shuffle joins.
+    val keys = if (broadcastKeys) broadcast(keys0) else keys0
+    val clean = incoming.join(keys, Seq(idCol), "left_anti")
+    val rewritten = incoming.join(keys, Seq(idCol), "left_semi")
       .withColumn(idCol, newId.cast(incoming.schema(idCol).dataType))
     clean.unionByName(rewritten)
   }

@@ -89,11 +89,13 @@ object CoreQueries {
         count(when(nullif(col("event_type"), lit("error")).isNull, 1)).as("null_type"),
         count(when(when(col("value") > 400, lit(null)).otherwise(col("value")).isNull, 1)).as("null_value"))),
 
-    // J1 — broadcast left-outer enrichment join + P2/P3 overlay
-    // (firebase_service.py:79-165)
+    // J1 — left-outer enrichment join + P2/P3 overlay
+    // (firebase_service.py:79-165). No broadcast hint: Catalyst picks
+    // broadcast for a small side and a shuffle join at scale (an auth
+    // table is 1:1 with users, so forcing broadcast would OOM there).
     "j1_enrich_left_outer" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_outer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
         .select(o("o_orderkey"), o("o_custkey"),
           coalesce(c("c_name"), lit("unknown")).as("cust_name"),
           coalesce(c("c_mktsegment"), lit("NONE")).as("segment"),
@@ -110,9 +112,9 @@ object CoreQueries {
       val e = t(s, dir, "events")
       val existing = t(s, dir, "customer")
         .filter(col("c_custkey") % 3 === 0).select(col("c_custkey").as("user_id"))
-      val clean = e.join(broadcast(existing), Seq("user_id"), "left_anti")
+      val clean = e.join(existing, Seq("user_id"), "left_anti")
         .withColumn("resolved_key", col("user_id").cast("string"))
-      val conflicted = e.join(broadcast(existing), Seq("user_id"), "left_semi")
+      val conflicted = e.join(existing, Seq("user_id"), "left_semi")
         .withColumn("resolved_key",
           Exprs.deterministicKey20(concat(lit("conflict:"), col("event_id").cast("string"))))
       clean.unionByName(conflicted)
@@ -325,7 +327,7 @@ object CoreQueries {
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
