@@ -165,6 +165,56 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash over hashed words: one pass accumulating all bit votes
+  * (vs `bits` interpreted aggregate passes). Matches Dedup.simHash:
+  * bit b set iff the ±1 vote sum of word-hash bit b is positive. */
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val votes = ctx.freshName("votes"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $votes = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < $bits; $b++) { if ($votes[$b] > 0) $sig |= (1L << $b); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 /** Column wrappers (no session registration needed) + function
   * registration for SQL users via SparkSessionExtensions. */
 object NativeFns {
@@ -174,6 +224,7 @@ object NativeFns {
   def qdot(a: Column, b: Column, scale: Int = 1000): Column =
     column(QuantizedDot(expression(a), expression(b), scale))
   def minHashSig(c: Column): Column = column(MinHashSig(expression(c)))
+  def simHash(c: Column, bits: Int = 16): Column = column(SimHashExpr(expression(c), bits))
 }
 
 /** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the
@@ -193,7 +244,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => QuantizedDot(c(0), c(1), 1000)),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (c: Seq[Expression]) => MinHashSig(c.head)))
+      (c: Seq[Expression]) => MinHashSig(c.head)),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (c: Seq[Expression]) => SimHashExpr(c.head, 16)))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit = registrations.foreach { case (id, info, builder) =>

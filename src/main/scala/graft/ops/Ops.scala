@@ -26,6 +26,19 @@ object Ops {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** W1, skew-safe variant: a hot key (one email with millions of
+    * rows) would funnel into a single window partition. Salting splits
+    * each key into `salt` shards, takes the per-shard winner (reduces
+    * the hot key to `salt` rows), then runs the plain window on the
+    * tiny intermediate. Result is identical to dedupKeepLatest — max
+    * under (ts, tieBreak) is associative — asserted in PropertySpec. */
+  def dedupKeepLatestSalted(keys: Seq[String], ts: String, tieBreak: String,
+                            salt: Int = 16)(df: DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(col(tieBreak)), lit(salt)))
+    val local = dedupKeepLatest(keys :+ "__salt", ts, tieBreak)(salted)
+    dedupKeepLatest(keys, ts, tieBreak)(local).drop("__salt")
+  }
+
   /** P5 — null-key drop before dedup (user_transformer.py:247-249). */
   def dropNullKeys(keys: Seq[String])(df: DataFrame): DataFrame =
     df.filter(keys.map(col(_).isNotNull).reduce(_ && _))

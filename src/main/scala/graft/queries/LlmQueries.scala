@@ -33,7 +33,8 @@ object LlmQueries {
     "llm_dedup_simhash" -> ((s, dir) =>
       t(s, dir, "documents")
         .withColumn("wh", transform(Text.words(col("text")), w => Text.md5Hash(w)))
-        .select(col("doc_id"), Dedup.simHash(col("wh")).as("simhash"))
+        .select(col("doc_id"),
+          graft.expr.native.NativeFns.simHash(col("wh")).as("simhash"))
         .orderBy(col("doc_id"))),
 
     "llm_text_quality" -> ((s, dir) =>

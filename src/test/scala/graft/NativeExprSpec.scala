@@ -69,6 +69,20 @@ class NativeExprSpec extends SparkSpec {
     assert(empty.isNullAt(0), "empty shingle set must yield null signature")
   }
 
+  test("SimHashExpr == HOF simHash on random word sets (both eval paths)") {
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until (4 + i % 30)).map(j => s"t${(i * 13 + j * 3) % 40}").mkString(" "))
+    }.toDF("id", "text")
+      .withColumn("wh", transform(Text.words(col("text")), w => Text.md5Hash(w)))
+    val both = texts.select(NativeFns.simHash(col("wh")).as("native"),
+      Dedup.simHash(col("wh")).as("hof"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try assert(both.filter(col("native") =!= col("hof")).count() == 0, s"mode $mode")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SQL registration via GraftExtensions.install") {
     GraftExtensions.install(spark)
     val r = spark.sql(

@@ -76,6 +76,11 @@ class PropertySpec extends SparkSpec {
     assert(out.join(df.groupBy("k").agg(max("ts").as("mx")), "k")
       .filter(col("ts") =!= col("mx")).count() == 0)
     assert(out.join(df, Seq("id"), "left_anti").count() == 0) // subset of input
+
+    // skew-safe salted variant must return the identical row set
+    val salted = df.transform(Ops.dedupKeepLatestSalted(Seq("k"), "ts", "id", salt = 8))
+    assert(salted.select("id").as[Long].collect().toSet
+      == out.select("id").as[Long].collect().toSet)
   }
 
   test("property: jaccard symmetric-bounded; minhash signature elements within ring") {
