@@ -132,12 +132,25 @@ object Exprs {
   def percent(num: Column, den: Column): Column =
     when(den === 0, lit(0.0)).otherwise(num * lit(100.0) / den)
 
-  /** Determinism helper for oracle-compared float aggregates: summing
-    * doubles is order-dependent, so bench/verify queries sum via an
-    * exact decimal cast and return double. Callers pick a scale at
-    * which the inputs are exact (2-decimal money → scale ≥ 2; products
-    * of two 2-decimal columns → scale ≥ 4), making the sum associative
-    * and bit-identical across engines and partitionings. */
-  def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
+  /** Determinism helper for float aggregates: summing doubles is
+    * order-dependent, so queries sum exactly and return double.
+    * Callers pick a scale at which inputs are exact (2-decimal money →
+    * scale 2; products of two such columns → 4), making the sum
+    * associative — the same result on 4 local threads or 1000
+    * executors.
+    *
+    * Implementation detail that matters for engine parity: the sum is
+    * split into an integer-part sum and a scaled-fraction sum, each an
+    * exact DECIMAL(38,0) that stays below 2^53 at harness scales, so
+    * the int→double conversion is exact in EVERY engine — DuckDB's
+    * int128→double conversion is not correctly rounded while Java's
+    * BigDecimal path is, so a single scaled sum above 2^53 diverges by
+    * 1 ulp between them. The recombination `hi + lo/10^scale` is then
+    * plain IEEE arithmetic, bit-identical everywhere. */
+  def dsum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    val hi = sum(floor(c).cast(DecimalType(38, 0))).cast(DoubleType)
+    val lo = sum(round((c - floor(c)) * f).cast(DecimalType(38, 0))).cast(DoubleType)
+    hi + lo / f
+  }
 }

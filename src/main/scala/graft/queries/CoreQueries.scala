@@ -355,7 +355,7 @@ object CoreQueries {
       """SELECT count(*) AS total,
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
         |  count(CASE WHEN value > 300 THEN 1 END) AS high_value,
-        |  CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |  CAST(sum(CAST(floor(value) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((value - floor(value)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_value
         |FROM events""".stripMargin,
     "a3_count_star" -> "SELECT count(*) AS cnt FROM lineitem",
     "a4_group_count" ->
@@ -372,8 +372,8 @@ object CoreQueries {
         |FROM (SELECT count(l_extendedprice) AS cnt,
         |  CAST(min(l_extendedprice) AS DOUBLE) AS min_v,
         |  CAST(max(l_extendedprice) AS DOUBLE) AS max_v,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_v,
-        |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_sq
+        |  CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_v,
+        |  CAST(sum(CAST(floor(l_extendedprice * l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_sq
         |  FROM lineitem) t""".stripMargin,
     "a9_validation_report" ->
       """SELECT total, valid, invalid,
@@ -514,17 +514,17 @@ object CoreQueries {
         |  sum_disc / count_order AS avg_disc, count_order
         |FROM (SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(38,2))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax) - floor(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |  CAST(sum(CAST(floor(l_discount) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_discount - floor(l_discount)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_disc,
         |  count(*) AS count_order
         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
         |  GROUP BY l_returnflag, l_linestatus) t
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'

@@ -169,7 +169,10 @@ object LlmQueries {
     "llm_dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
-         |bands AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
+         |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bc FROM bands0) t
+         |  WHERE bc <= 1000),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
          |scored AS (SELECT a, b,
