@@ -47,18 +47,42 @@ object Multimodal {
   trait Decoder extends Serializable {
     def decode(bytes: Array[Byte]): Array[Float]
     def frameCount(bytes: Array[Byte]): Int
+    /** Re-encode at target dimensions (image resize / audio resample). */
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
   /** STUB: deterministic fake decoder (no codec libs in this
     * container). Features are derived from the content's md5 so tests
     * are reproducible; a real deployment replaces only this object. */
   object StubDecoder extends Decoder {
+    private def digest(bytes: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
     def decode(bytes: Array[Byte]): Array[Float] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val h = md.digest(bytes)
+      val h = digest(bytes)
       Array.tabulate(16)(i => ((h(i % h.length) & 0xff) - 128) / 128.0f)
     }
     def frameCount(bytes: Array[Byte]): Int = 1 + (bytes.length % 7)
+    /** Deterministic fake: w*h pseudo-pixels streamed from the content
+      * hash — size math and batching are real, the codec isn't. */
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val h = digest(bytes)
+      Array.tabulate(width * height)(i => h(i % h.length))
+    }
+  }
+
+  case class ResizedMedia(id: Long, width: Int, height: Int, content: Array[Byte])
+
+  /** Partition-parallel resize — same plan shape as extractFeatures:
+    * kernel per partition, streaming rows, no shuffle. */
+  def resizeAll(spark: SparkSession, df: DataFrame, idCol: String, binCol: String,
+                width: Int, height: Int,
+                decoder: Decoder = StubDecoder): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ResizedMedia(id, width, height, decoder.resize(bytes, width, height))
+      })
   }
 
   /** Partition-parallel decode / feature-extract: the distributed

@@ -120,6 +120,13 @@ class LlmSpec extends SparkSpec {
     assert(meta(2L) == (("image/png", 19L)))
     val feats = Multimodal.extractFeatures(spark, df, "id", "content").collect()
     assert(feats.length == 2 && feats.forall(_.features.length == 16))
+    val resized = Multimodal.resizeAll(spark, df, "id", "content", 8, 4).collect()
+    assert(resized.forall(r => r.content.length == 8 * 4))
+    // frame sampling plumbing: every 2nd frame index up to 3
+    val idx = spark.sql("SELECT 1").select(
+      Multimodal.sampleFrameIndexes(lit(10L), 2, 3).as("idx"))
+      .collect()(0).getSeq[Long](0)
+    assert(idx == Seq(0L, 2L, 4L))
     // deterministic stub: same content => same features
     val again = Multimodal.extractFeatures(spark, df, "id", "content").collect()
     assert(feats.sortBy(_.id).zip(again.sortBy(_.id)).forall {
