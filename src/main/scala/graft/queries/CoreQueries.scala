@@ -319,6 +319,37 @@ object CoreQueries {
           col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // TPC-H Q5 flavor — 5-way join (join-reorder + dims) with region filter
+    "q5_local_volume" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(n("n_name").as("n_name"))
+        .agg(Exprs.dsum(l("l_extendedprice") * (lit(1) - l("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18 flavor — aggregate subquery (decorrelated semi-join) + top-k
+    "q18_large_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(c("c_name"), c("c_custkey"), o("o_orderkey"), o("o_orderdate"),
+          o("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q3 flavor — 3-way join + agg + top-k; broadcast-able dims
     "q3_shipping_priority" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -522,6 +553,28 @@ object CoreQueries {
         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
         |  GROUP BY l_returnflag, l_linestatus) t
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,0))) AS DOUBLE)
+        |    + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+        |        - floor(l_extendedprice * (1 - l_discount))) * 10000) AS DECIMAL(38,0))) AS DOUBLE)
+        |      / 10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 20""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue

@@ -83,6 +83,24 @@ class PropertySpec extends SparkSpec {
       == out.select("id").as[Long].collect().toSet)
   }
 
+  test("property: dsum equals exact BigDecimal sum for 2-decimal money, any partitioning") {
+    val cents = sample(Gen.listOfN(500, Gen.choose(-10000000L, 99999999L)))
+    val vals = cents.map(c => BigDecimal(c) / 100)
+    val expected = (vals.sum).toDouble
+    for (parts <- Seq(1, 3, 16)) {
+      val got = vals.map(_.toDouble).toDF("x").repartition(parts)
+        .agg(Exprs.dsum(col("x"), 2).as("s")).collect()(0).getDouble(0)
+      // hi + lo/f is within 1 ulp of the correctly rounded exact sum,
+      // and identical across partitionings (the property that matters)
+      assert(math.abs(got - expected) <= math.ulp(expected), s"parts=$parts")
+    }
+    val p1 = vals.map(_.toDouble).toDF("x").repartition(1)
+      .agg(Exprs.dsum(col("x"), 2)).collect()(0).getDouble(0)
+    val p16 = vals.map(_.toDouble).toDF("x").repartition(16)
+      .agg(Exprs.dsum(col("x"), 2)).collect()(0).getDouble(0)
+    assert(p1 == p16, "dsum must be independent of partitioning")
+  }
+
   test("property: jaccard symmetric-bounded; minhash signature elements within ring") {
     val texts = sample(Gen.listOfN(60,
       Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g")).map(_.mkString(" "))))
