@@ -79,6 +79,19 @@ object CoreQueries {
     "a8_summary_stats" -> ((s, dir) =>
       Ops.summaryStats(t(s, dir, "lineitem"), "l_extendedprice", 2)),
 
+    // A8 quartiles — describe()'s 25/50/75% (sql_extraction.py:574).
+    // Exact interpolated percentile (matches DuckDB quantile_cont
+    // bit-for-bit); at cluster scale swap in approx_percentile — same
+    // operator shape, sketch-based instead of sort-based.
+    "a8_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(col("l_extendedprice")).as("cnt"),
+        min(col("l_extendedprice")).as("min_v"),
+        expr("percentile(l_extendedprice, 0.25D)").as("q1"),
+        expr("percentile(l_extendedprice, 0.5D)").as("median"),
+        expr("percentile(l_extendedprice, 0.75D)").as("q3"),
+        max(col("l_extendedprice")).as("max_v"))),
+
     // A9 — §2.8 validation report (user_transformer.py:457-477)
     "a9_validation_report" -> ((s, dir) =>
       Ops.validationReport(Ops.withErrors(eventChecks)(t(s, dir, "events")))),
@@ -406,6 +419,13 @@ object CoreQueries {
         |  CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_v,
         |  CAST(sum(CAST(floor(l_extendedprice * l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_sq
         |  FROM lineitem) t""".stripMargin,
+    "a8_quantiles" ->
+      """SELECT count(l_extendedprice) AS cnt, min(l_extendedprice) AS min_v,
+        |  quantile_cont(l_extendedprice, 0.25) AS q1,
+        |  quantile_cont(l_extendedprice, 0.5) AS median,
+        |  quantile_cont(l_extendedprice, 0.75) AS q3,
+        |  max(l_extendedprice) AS max_v
+        |FROM lineitem""".stripMargin,
     "a9_validation_report" ->
       """SELECT total, valid, invalid,
         |  CASE WHEN total = 0 THEN 0.0 ELSE valid * 100.0 / total END AS success_rate
