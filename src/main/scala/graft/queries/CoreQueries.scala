@@ -58,6 +58,14 @@ object CoreQueries {
       Ops.groupedCounts(t(s, dir, "events"), col("event_type"), "event_type")
         .orderBy(col("event_type"))),
 
+    // A4 rollup — subtotal + grand-total in one pass (beyond the
+    // reference's flat GROUP BY; Catalyst expands grouping sets)
+    "a4_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type").asc_nulls_first)),
+
     // A5 — GROUP BY boolean (postgres_loader.py:445-450)
     "a5_group_by_bool" -> ((s, dir) =>
       Ops.groupedCounts(t(s, dir, "customer"), col("c_acctbal") > 2500, "positive")
@@ -312,6 +320,18 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // §2.9 — intersect/except set ops (engine breadth; distinct set
+    // semantics in both engines)
+    "u_intersect_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchasers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      val highValue = e.filter(col("value") > 300).select(col("user_id"))
+      val erroring = e.filter(col("event_type") === "error" && col("value") > 420)
+        .select(col("user_id"))
+      purchasers.intersect(highValue).except(erroring)
+        .orderBy(col("user_id"))
+    }),
+
     // TPC-H Q1 flavor — scan + conditional agg battery at bench scale
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -404,6 +424,9 @@ object CoreQueries {
     "a3_count_star" -> "SELECT count(*) AS cnt FROM lineitem",
     "a4_group_count" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a4_rollup" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY ROLLUP (event_type) ORDER BY event_type NULLS FIRST""".stripMargin,
     "a5_group_by_bool" ->
       "SELECT (c_acctbal > 2500) AS positive, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY positive",
     "a6_filtered_count" ->
@@ -559,6 +582,14 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT event_id, event_type FROM events WHERE event_type = 'signup') t
         |ORDER BY event_id""".stripMargin,
+    "u_intersect_except" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE value > 300
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error' AND value > 420) t
+        |ORDER BY user_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
         |  sum_qty / count_order AS avg_qty, sum_base_price / count_order AS avg_price,
