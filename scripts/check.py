@@ -34,7 +34,6 @@ def cmp_frames(name, sdf, ddf):
         mask = ~sn
         sv, dv = s[mask], d[mask]
         if np.issubdtype(s.dtype, np.floating) and np.issubdtype(d.dtype, np.floating):
-            neq = ~np.isclose(sv.values.astype(float), dv.values.astype(float), rtol=0, atol=0, equal_nan=True)
             exact = (sv.values.astype(float) != dv.values.astype(float)).sum()
             if exact:
                 i = np.nonzero(sv.values.astype(float) != dv.values.astype(float))[0][:3]
@@ -82,7 +81,6 @@ def main(sfdir, outdir):
             soft = "" if not problems else f"  [{'; '.join(problems)}]"
             print(f"ok   {name} ({len(sdf)} rows){soft}")
             ok += 1
-    missing = set(glob.glob(f"{outdir}/*/"))
     print(f"\n{ok} ok, {bad} fail, {len(oracle)} total")
     return 1 if bad else 0
 

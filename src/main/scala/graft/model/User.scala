@@ -83,9 +83,14 @@ object User {
       .withColumn("interests", Exprs.parseInterests(col("interests")))
       // P8 — required-field backfill (user_transformer.py:354-362)
       .withColumn("id", Exprs.withDefault(Exprs.cleanString(col("id")), Exprs.uuid20))
-    cleaned
-      .transform(Ops.dropNullKeys(Seq("email")))
+    // Dedup only rows that HAVE an email; null-email rows pass through
+    // untouched so the downstream validateSplit(checks) routes them to
+    // the error channel, as the reference does (main.py:71-73). Folding
+    // them into the dedup window would silently collapse them to one
+    // row and starve the missing_email check.
+    val withEmail = cleaned.filter(col("email").isNotNull)
       .transform(Ops.dedupKeepLatest(Seq("email"), "createdAt", "id"))
+    withEmail.unionByName(cleaned.filter(col("email").isNull))
   }
 
   /** §2.8 checks for the typed channel (missing email is the one

@@ -103,8 +103,16 @@ object LlmQueries {
 
     "llm_multimodal_meta" -> ((s, dir) => {
       val bin = encode(col("text"), "UTF-8")
+      // Inject a different magic number per doc_id bucket so EVERY
+      // sniffMime branch is exercised (and mirrored in the oracle).
       val content = when(col("doc_id") % 10 === 0,
-        concat(unhex(lit("89504E470D0A1A0A")), bin)).otherwise(bin)
+          concat(unhex(lit(LlmQueries.MagicPng)), bin))
+        .when(col("doc_id") % 10 === 1, concat(unhex(lit(LlmQueries.MagicJpeg)), bin))
+        .when(col("doc_id") % 10 === 2, concat(unhex(lit(LlmQueries.MagicGif)), bin))
+        .when(col("doc_id") % 10 === 3, concat(unhex(lit(LlmQueries.MagicWav)), bin))
+        .when(col("doc_id") % 10 === 4, concat(unhex(lit(LlmQueries.MagicMp3)), bin))
+        .when(col("doc_id") % 10 === 5, concat(unhex(lit(LlmQueries.MagicMp4)), bin))
+        .otherwise(bin)
       Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("content", content), "content")
         .select(col("doc_id"), col("n_bytes"), col("mime"),
@@ -113,6 +121,15 @@ object LlmQueries {
           md5(upper(hex(col("content")))).as("content_hash"))
         .orderBy(col("doc_id"))
     }))
+
+  // Magic-number prefixes injected by llm_multimodal_meta; one per
+  // sniffMime branch (graft.llm.Multimodal.sniffMime).
+  val MagicPng = "89504E470D0A1A0A"
+  val MagicJpeg = "FFD8FFE000104A46"
+  val MagicGif = "4749463839610A00"
+  val MagicWav = "52494646AA000000"
+  val MagicMp3 = "4944330300000000"
+  val MagicMp4 = "0000001866747970"
 
   // ---- DuckDB oracle SQL (generated so constants match the library) ----
 
@@ -294,11 +311,23 @@ object LlmQueries {
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
     "llm_multimodal_meta" ->
-      """SELECT doc_id, octet_length(content)::BIGINT AS n_bytes,
-        |  CASE WHEN upper(left(hex(content), 8)) = '89504E47' THEN 'image/png'
-        |       ELSE 'application/octet-stream' END AS mime,
-        |  md5(upper(hex(content))) AS content_hash
-        |FROM (SELECT doc_id, CASE WHEN doc_id % 10 = 0
-        |    THEN from_hex('89504E470D0A1A0A') || encode(text) ELSE encode(text) END AS content
-        |  FROM documents) t ORDER BY doc_id""".stripMargin)
+      s"""SELECT doc_id, octet_length(content)::BIGINT AS n_bytes,
+         |  CASE WHEN left(h, 8) = '89504E47' THEN 'image/png'
+         |       WHEN left(h, 6) = 'FFD8FF' THEN 'image/jpeg'
+         |       WHEN left(h, 8) = '47494638' THEN 'image/gif'
+         |       WHEN left(h, 8) = '52494646' THEN 'audio/wav'
+         |       WHEN left(h, 6) = '494433' THEN 'audio/mpeg'
+         |       WHEN substr(h, 9, 8) = '66747970' THEN 'video/mp4'
+         |       ELSE 'application/octet-stream' END AS mime,
+         |  md5(upper(hex(content))) AS content_hash
+         |FROM (SELECT doc_id, content, upper(left(hex(content), 16)) AS h FROM (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 10 = 0 THEN from_hex('$MagicPng') || encode(text)
+         |    WHEN doc_id % 10 = 1 THEN from_hex('$MagicJpeg') || encode(text)
+         |    WHEN doc_id % 10 = 2 THEN from_hex('$MagicGif') || encode(text)
+         |    WHEN doc_id % 10 = 3 THEN from_hex('$MagicWav') || encode(text)
+         |    WHEN doc_id % 10 = 4 THEN from_hex('$MagicMp3') || encode(text)
+         |    WHEN doc_id % 10 = 5 THEN from_hex('$MagicMp4') || encode(text)
+         |    ELSE encode(text) END AS content
+         |  FROM documents) t0) t ORDER BY doc_id""".stripMargin)
 }

@@ -87,6 +87,23 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(outDir).count() == 2)
   }
 
+  test("null-email rows survive transform and land in the error channel") {
+    // The reference routes missing-email rows to the error channel
+    // (main.py:71-73); transform must not silently drop or dedup them.
+    val raw = Seq(
+      ("U1", "a@x.com", "2022-01-01"), ("U2", null, "2022-01-02"),
+      ("U3", null, "2022-01-03"), ("U4", "a@x.com", "2022-01-04"))
+      .toDF("id", "email", "createdAt")
+    val out = User.transform(raw, now = lit("2025-01-01 00:00:00").cast("timestamp"))
+    // provider=CREDENTIALS and uid=null -> no placeholder email synthesized
+    assert(out.count() == 3, "dedup a@x.com to 1 row; both null-email rows kept")
+    val (valid, invalid) = Ops.validateSplit(User.checks)(out)
+    assert(valid.count() == 1)
+    assert(invalid.count() == 2)
+    assert(invalid.select("errors").as[Seq[String]].collect()
+      .forall(_.contains("missing_email")))
+  }
+
   test("streaming: watermarked tumbling-window counts (A4 analog)") {
     import graft.streaming.Streams
     implicit val sqlCtx = spark.sqlContext

@@ -39,4 +39,18 @@ class RtdbSourceSpec extends SparkSpec {
     val r = df.filter(col("id") >= "Uid010" && col("id") < "Uid015")
     assert(r.count() == 5)
   }
+
+  test("pushed filters intersect: conflicting EqualTos return zero rows") {
+    // id and uid are the same key; equality on two different values is
+    // unsatisfiable. The pushdown must intersect ranges, not overwrite.
+    assert(df.filter(col("id") === "Uid007" && col("uid") === "Uid010").count() == 0)
+    assert(df.filter(col("id") === "Uid007" && col("uid") === "Uid007").count() == 1)
+  }
+
+  test("pushed filters intersect: EqualTo does not widen a tighter bound") {
+    // GTE Uid010 && == Uid003 -> empty (the EqualTo must not reset the low bound)
+    assert(df.filter(col("id") >= "Uid010" && col("id") === "Uid003").count() == 0)
+    // GTE Uid003 && == Uid010 -> exactly the one row
+    assert(df.filter(col("id") >= "Uid003" && col("id") === "Uid010").count() == 1)
+  }
 }
