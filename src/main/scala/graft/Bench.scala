@@ -18,10 +18,14 @@ object Bench {
       try graft.io.Tables.read(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Optional args = query-name filter for local iteration; the
+    // driver passes none and gets the full set.
+    val wanted = SparkEntry.queries.filter { case (n, _) =>
+      args.isEmpty || args.contains(n) }
     // Best-of-2 per query: the first iteration absorbs that plan's
     // codegen compilation, the second measures steady-state execution —
     // the figure that scales to a long-lived cluster.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = wanted.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -110,13 +110,18 @@ object Dedup {
       concat_ws("_", (lit(bnd.toString) +:
         (0 until BandRows).map(r => col("__sig")(bnd * BandRows + r).cast("string"))): _*)
     }: _*)).as("band"))
-    val bounded = bands
-      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("__bc") <= maxBucket).drop("__bc")
-    val candidates = bounded.as("x")
-      .join(bounded.as("y"), col("x.band") === col("y.band") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+    // Candidate generation: ONE shuffle (groupBy band), then pairs are
+    // expanded map-side from each bucket's id list. Equivalent to the
+    // band self-join + count-window cap, but removes two exchanges and
+    // a window sort — the bucket cap bounds the quadratic expansion, so
+    // the worst map-side burst is maxBucket^2/2 rows per bucket.
+    val candidates = bands
+      .groupBy(col("band")).agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     val sets = prepared.select(col(idCol), col("__hs"))
     candidates

@@ -125,16 +125,18 @@ object Similarity {
     val eq = df.select(col(idCol).as("cid"), col(labelCol).as("label"),
       quantize(col(embCol)).as("eq"))
     val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
-    // centroid sum-vectors, one row per (cluster, dimension)
+    // centroid sum-vectors, one row per (cluster, dimension); the
+    // cluster size rides along in the same aggregation (it is the row
+    // count at any one dimension), saving a separate groupBy + join
     val expl = eq.select(col("label"), posexplode(col("eq")).as(Seq("pos", "v")))
-    val cent = expl.groupBy(col("label"), col("pos")).agg(sum(col("v")).as("s"))
-    val cnt = eq.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
-    // assign each query to the cluster with max mean-dot
+    val cent = expl.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+    // assign each query to the cluster with max mean-dot; centroids are
+    // nlist x dim rows — always broadcastable
     val qexpl = q.select(col("qid"), posexplode(col("qe")).as(Seq("pos", "qv")))
-    val assign = qexpl.join(cent, "pos")
+    val assign = qexpl.join(broadcast(cent), "pos")
       .groupBy(col("qid"), col("label"))
-      .agg(sum(col("qv") * col("s")).as("qdot"))
-      .join(cnt, "label")
+      .agg(sum(col("qv") * col("s")).as("qdot"), max(col("cnt")).as("cnt"))
       .withColumn("score", col("qdot").cast("double") / col("cnt"))
     val wBest = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
     val best = assign.withColumn("rn", row_number().over(wBest))
