@@ -140,6 +140,73 @@ object Ops {
   def groupedCounts(df: DataFrame, key: Column, alias: String): DataFrame =
     df.groupBy(key.as(alias)).agg(count(lit(1)).as("cnt"))
 
+  /** As-of (backward) join — for each left row, the latest right row
+    * with the same keys and rightTs <= leftTs. Spark has no native
+    * as-of operator; the scale-correct composition is the union trick:
+    * tag both sides, union, and carry the most recent right payload
+    * forward with last(ignoreNulls) over one (keys, ts) window. ONE
+    * shuffle + sort, linear in |left|+|right| — versus the naive
+    * join-then-filter, which explodes on hot keys. Right rows sort
+    * before left rows at equal ts, so the match is inclusive
+    * (leftTs >= rightTs), matching SQL ASOF JOIN semantics.
+    * `payload` names right columns to attach (pre-rename them to avoid
+    * collisions with left columns). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    val lPart = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__r_$p")): _*)
+    val rPart = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__r_$p")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    payload.foldLeft(lPart.unionByName(rPart)) { (df, p) =>
+      df.withColumn(p, last(col(s"__r_$p"), ignoreNulls = true).over(w))
+    }
+      .filter(col("__side") === 1)
+      .drop("__side" +: payload.map(p => s"__r_$p"): _*)
+      .withColumnRenamed("__ts", leftTs)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap since
+    * the previous event of the same keys exceeds `gapSeconds`. Session
+    * index = running count of session starts — lag and the running sum
+    * share one (keys, ts) sort, so this is a single shuffle end to end.
+    * The standard first step of any behavioral/training pipeline over
+    * event logs. */
+  def sessionize(keys: Seq[String], ts: String, gapSeconds: Long)(df: DataFrame): DataFrame = {
+    val order = Window.partitionBy(keys.map(col): _*).orderBy(col(ts))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(ts), 1).over(order)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(ts)) - unix_micros(prev) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_id", sum(isNew).over(running))
+  }
+
+  /** Range join via binning: join fact rows to interval dims
+    * (lo <= v < hi) without a cartesian product. Each interval explodes
+    * to the fixed-width bins it overlaps; the join is an equi-join on
+    * the bin plus the residual range predicate. Shuffle is linear in
+    * facts + expanded dims (intervals/binWidth), the classic interval
+    * join at scale. Dim tables are typically tiny → broadcast. */
+  def rangeJoinBinned(fact: DataFrame, ranges: DataFrame, factVal: String,
+                      lo: String, hi: String, binWidth: Double,
+                      broadcastRanges: Boolean = true): DataFrame = {
+    val expanded = ranges.withColumn("__bin",
+      explode(sequence(floor(col(lo) / binWidth).cast("long"),
+        floor((col(hi) - lit(1e-9)) / binWidth).cast("long"))))
+    val dims = if (broadcastRanges) broadcast(expanded) else expanded
+    fact.withColumn("__bin", floor(col(factVal) / binWidth).cast("long"))
+      .join(dims, Seq("__bin"))
+      .filter(col(factVal) >= col(lo) && col(factVal) < col(hi))
+      .drop("__bin")
+  }
+
   /** A8 — deterministic summary statistics (sql_extraction.py:574's
     * `describe()`): count/min/max/mean/std from exact decimal sums so
     * results don't depend on partitioning (see Exprs.dsum). `scale`

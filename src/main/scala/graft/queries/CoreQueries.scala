@@ -396,6 +396,46 @@ object CoreQueries {
         .agg(Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
+    }),
+
+    // As-of join — for each purchase, the user's most recent click at or
+    // before it. Spark has no ASOF JOIN; Ops.asofJoin composes it as one
+    // shuffle (union + last-ignoreNulls window), linear at any scale.
+    "x1_asof_last_click" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+      Ops.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap sessionization (6h inactivity) + per-session rollup — the
+    // standard first step of behavioral pipelines over event logs.
+    "x2_sessionize" -> ((s, dir) =>
+      t(s, dir, "events")
+        .transform(Ops.sessionize(Seq("user_id"), "ts", 21600L))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // Interval/range join via binning: parts classified into (possibly
+    // overlapping) price bands with an equi-join on the covering bin —
+    // never a cartesian, so the same plan holds at any fact size.
+    "x3_range_join_bands" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("budget", 900.0, 925.0), ("value", 925.0, 955.0),
+        ("mid", 955.0, 975.0), ("premium", 975.0, 990.0),
+        ("lux", 990.0, 1000.0), ("all_span", 900.0, 1000.0))
+        .toDF("band", "lo", "hi")
+      Ops.rangeJoinBinned(t(s, dir, "part"), bands, "p_retailprice", "lo", "hi", 10.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), Exprs.dsum(col("p_retailprice"), 2).as("sum_price"))
+        .orderBy(col("band"))
     }))
 
   /** §2.8 checks used by a9/v queries. */
@@ -633,5 +673,34 @@ object CoreQueries {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "x1_asof_last_click" ->
+      """SELECT p.user_id, p.ts, p.event_id, p.value, c.click_event_id
+        |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events
+        |                WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "x2_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM (SELECT user_id, ts,
+        |    CAST(sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |           > 21600000000 THEN 1 ELSE 0 END AS newsess
+        |    FROM events) t0) t1
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "x3_range_join_bands" ->
+      """SELECT band, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(p_retailprice) AS DECIMAL(38,0))) AS DOUBLE)
+        |    + CAST(sum(CAST(round((p_retailprice - floor(p_retailprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_price
+        |FROM part JOIN (VALUES
+        |    ('budget', 900.0, 925.0), ('value', 925.0, 955.0),
+        |    ('mid', 955.0, 975.0), ('premium', 975.0, 990.0),
+        |    ('lux', 990.0, 1000.0), ('all_span', 900.0, 1000.0)) bands(band, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin)
 }

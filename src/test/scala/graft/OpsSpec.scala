@@ -105,4 +105,63 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("cnt") == 4 && r.getAs[Double]("mean_v") == 2.5)
     assert(math.abs(r.getAs[Double]("std_v") - math.sqrt(5.0 / 3)) < 1e-12)
   }
+
+  private def tsDf(rows: Seq[(Long, Long, String)], cols: (String, String, String)) =
+    rows.toDF(cols._1, cols._2, "t")
+      .withColumn(cols._3, col("t").cast("timestamp")).drop("t")
+
+  test("asofJoin: latest right at-or-before left ts; inclusive tie; null when none") {
+    val left = tsDf(Seq(
+      (10L, 1L, "2024-01-01 10:00:00"),   // after r1, before r2
+      (11L, 1L, "2024-01-01 12:00:00"),   // exactly r2's ts -> inclusive match
+      (12L, 1L, "2024-01-01 08:00:00"),   // before any right row -> null
+      (13L, 2L, "2024-01-01 10:00:00")),  // key with no right rows -> null
+      ("event_id", "user_id", "ts"))
+    val right = tsDf(Seq(
+      (101L, 1L, "2024-01-01 09:00:00"),
+      (102L, 1L, "2024-01-01 12:00:00")),
+      ("rid", "user_id", "ts"))
+    val out = Ops.asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("rid"))
+      .select("event_id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(10L -> Some(101L), 11L -> Some(102L), 12L -> None, 13L -> None))
+  }
+
+  test("asofJoin and sessionize plans have exactly one exchange (scale property)") {
+    val left = tsDf(Seq((1L, 1L, "2024-01-01 10:00:00")), ("event_id", "user_id", "ts"))
+    val right = tsDf(Seq((2L, 1L, "2024-01-01 09:00:00")), ("rid", "user_id", "ts"))
+    // AQE hides children behind AdaptiveSparkPlanExec; count shuffle
+    // exchanges from the printed plan instead.
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(nExchanges(Ops.asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("rid"))) == 1)
+    assert(nExchanges(Ops.sessionize(Seq("user_id"), "ts", 1800L)(left)) == 1)
+  }
+
+  test("sessionize: new session strictly beyond the gap; per-key numbering") {
+    val df = tsDf(Seq(
+      (1L, 7L, "2024-01-01 10:00:00"),
+      (2L, 7L, "2024-01-01 10:30:00"),    // exactly gap -> same session
+      (3L, 7L, "2024-01-01 11:00:01"),    // gap + 1s -> new session
+      (4L, 8L, "2024-01-01 10:00:00")),   // separate key restarts numbering
+      ("event_id", "user_id", "ts"))
+    val out = Ops.sessionize(Seq("user_id"), "ts", 1800L)(df)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("rangeJoinBinned: half-open intervals, overlap allowed, bin-crossing ranges") {
+    val fact = Seq((1L, 5.0), (2L, 25.0), (3L, 30.0), (4L, 99.0)).toDF("id", "v")
+    val ranges = Seq(("lo", 0.0, 30.0), ("hi", 25.0, 100.0), ("all", 0.0, 100.0))
+      .toDF("band", "lo", "hi")
+    val out = Ops.rangeJoinBinned(fact, ranges, "v", "lo", "hi", 10.0)
+      .select("id", "band").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(out == Map(
+      1L -> Set("lo", "all"),
+      2L -> Set("lo", "hi", "all"),   // overlapping bands both match
+      3L -> Set("hi", "all"),         // 30.0 excluded from [0,30)
+      4L -> Set("hi", "all")))
+  }
 }
