@@ -45,6 +45,21 @@ object Graft {
   def resolveIdConflicts(incoming: DataFrame, existing: DataFrame, idCol: String): DataFrame =
     ops.Ops.resolveIdConflicts(incoming, existing, idCol)
 
+  // -- temporal / interval operators ---------------------------------
+  /** As-of backward join (one-shuffle union+window composition). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    ops.Ops.asofJoin(left, right, keys, leftTs, rightTs, payload)
+
+  /** Gap-based sessionization: adds a per-key `session_id` column. */
+  def sessionize(df: DataFrame, keys: Seq[String], ts: String, gapSeconds: Long): DataFrame =
+    ops.Ops.sessionize(keys, ts, gapSeconds)(df)
+
+  /** Interval/range join via bin expansion (never a cartesian). */
+  def rangeJoin(fact: DataFrame, ranges: DataFrame, factVal: String,
+                lo: String, hi: String, binWidth: Double): DataFrame =
+    ops.Ops.rangeJoinBinned(fact, ranges, factVal, lo, hi, binWidth)
+
   // -- LLM-pipeline operators ----------------------------------------
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
     llm.Dedup.exactDedup(df, textCol, idCol)

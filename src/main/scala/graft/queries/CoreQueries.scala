@@ -422,6 +422,17 @@ object CoreQueries {
           max(col("ts")).as("session_end"))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Native session windows — Spark's built-in session_window
+    // aggregation (also the streaming path); window end = last event
+    // + gap. Same session boundaries as x2, derived by the engine.
+    "x4_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Interval/range join via binning: parts classified into (possibly
     // overlapping) price bands with an equi-join on the covering bin —
     // never a cartesian, so the same plan holds at any fact size.
@@ -693,6 +704,18 @@ object CoreQueries {
         |           > 21600000000 THEN 1 ELSE 0 END AS newsess
         |    FROM events) t0) t1
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "x4_session_window" ->
+      """SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 21600 SECOND AS session_end, count(*) AS n_events
+        |FROM (SELECT user_id, ts,
+        |    CAST(sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |           >= 21600000000 THEN 1 ELSE 0 END AS newsess
+        |    FROM events) t0) t1
+        |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "x3_range_join_bands" ->
       """SELECT band, count(*) AS cnt,
         |  CAST(sum(CAST(floor(p_retailprice) AS DECIMAL(38,0))) AS DOUBLE)

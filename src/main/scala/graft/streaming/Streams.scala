@@ -48,6 +48,27 @@ object Streams {
       }
   }
 
+  /** Streaming gap sessionization — the native session_window
+    * aggregation with a watermark, so state is bounded and sessions
+    * finalize once the watermark passes their end. Batch twin:
+    * x4_session_window / Ops.sessionize. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup by content key within the watermark window —
+    * the streaming twin of Dedup.exactDedup (state: one key per seen
+    * content hash, dropped once the watermark passes). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Validation split as a stream: same §2.8 error-channel expressions,
     * applied to a streaming frame (checks are stateless projections, so
     * they stream trivially). */

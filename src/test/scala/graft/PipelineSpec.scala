@@ -130,6 +130,40 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(dir).count() == 2)
   }
 
+  test("streaming: session_window sessionization with watermark") {
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    stream.addData(Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "view", 1.0),
+      Streams.Event(3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "click", 1.0)))
+    // session_window aggregations stream in Append (finalized-only) or
+    // Complete mode; Update is rejected by the planner.
+    Streams.runToMemory(Streams.sessionCounts(stream.toDS().toDF(), "30 minutes"),
+      "sessions", org.apache.spark.sql.streaming.OutputMode.Complete())
+    val got = spark.table("sessions")
+      .groupBy("user_id", "session_start").agg(max("n_events").as("n"), max("session_end").as("e"))
+      .collect().map(r => (r.getTimestamp(1).toString, r.getTimestamp(3).toString) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0") -> 2L,  // end = last event + gap
+      ("2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0") -> 1L))
+  }
+
+  test("streaming: dropDuplicatesWithinWatermark dedups by content key") {
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    stream.addData(Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 2.0),
+      Streams.Event(3L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 2L, "click", 3.0)))
+    Streams.runToMemory(
+      Streams.dedupStream(stream.toDS().toDF(), Seq("user_id", "event_type")),
+      "deduped", org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(spark.table("deduped").select("event_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("streaming: latest-per-key matches batch W1 on the same data") {
     import graft.streaming.Streams
     val events = Seq(
