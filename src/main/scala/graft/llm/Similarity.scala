@@ -114,6 +114,44 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Distributed Lloyd's k-means over quantized embeddings — the IVF
+    * coarse-quantizer trainer. Deterministic end to end: seeds are the
+    * k lowest-id vectors, distances are exact integer L2², centroid
+    * updates are floor(sum/count) with IEEE double division (identical
+    * in any engine), ties break on cluster id. Scale shape per
+    * iteration = MLlib's: centroids broadcast as literals into a
+    * codegen'd map-side argmin (no join), then ONE shuffle
+    * (groupBy cluster,pos) for the sums; driver holds only k×dim longs.
+    * Fixed `iters` keeps the computation replayable as unrolled SQL. */
+  def kmeansClusters(df: DataFrame, idCol: String, embCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    def assign(cents: Seq[(Long, Seq[Long])]): Column =
+      array_min(array(cents.map { case (cid, c) =>
+        val carr = array(c.map(lit): _*)
+        struct(
+          aggregate(zip_with(col("eq"), carr, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    // deterministic seeding: the k lowest-id vectors, cid by id order
+    var cents: Seq[(Long, Seq[Long])] = eq.orderBy(col("vid")).limit(k)
+      .select(col("eq")).collect().toSeq
+      .map(_.getSeq[Long](0).toSeq).zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    for (_ <- 1 until iters) {
+      val updated = eq.withColumn("cluster", assign(cents))
+        .select(col("cluster"), posexplode(col("eq")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+        .collect()
+      cents = updated.groupBy(_.getAs[Long]("cluster")).toSeq
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("c")).toSeq
+        }.sortBy(_._1)
+    }
+    eq.withColumn("cluster", assign(cents)).select(col("vid"), col("cluster"))
+  }
+
   /** IVF-style ANN with a provided coarse quantizer (here: the label
     * column as cluster id; production swaps in k-means assignments).
     * Centroids are exact integer sum-vectors per cluster (explode +

@@ -101,6 +101,24 @@ object LlmQueries {
         n = 2, threshold = 0.15)
         .orderBy(col("a"), col("b"))),
 
+    // End-to-end curation pipeline: normalized dedup -> length filter
+    // -> language ID -> per-language corpus stats. The composition a
+    // training-data pipeline actually runs, as ONE lazy plan.
+    "llm_curation_stats" -> ((s, dir) =>
+      Dedup.normalizedDedup(t(s, dir, "documents"), "text", "doc_id")
+        .withColumn("nw", Text.wsTokenCount(col("text")))
+        .filter(col("nw") >= 10)
+        .withColumn("guess", Text.langGuess(col("text")))
+        .groupBy(col("guess"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_tokens"))
+        .orderBy(col("guess"))),
+
+    "llm_kmeans_clusters" -> ((s, dir) =>
+      Similarity.kmeansClusters(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .withColumnRenamed("vid", "vec_id")
+        .orderBy(col("vec_id"))),
+
     "llm_multimodal_meta" -> ((s, dir) => {
       val bin = encode(col("text"), "UTF-8")
       // Inject a different magic number per doc_id bucket so EVERY
@@ -310,6 +328,48 @@ object LlmQueries {
          |SELECT vid, bucket, nn, dot FROM (
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
+    "llm_curation_stats" -> {
+      val scores = Text.LangMarkers.map { case (lang, markers) =>
+        lang -> s"len(list_filter(w, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
+      }
+      val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+      val cases = scores.map { case (lang, e) =>
+        s"WHEN $e = best AND $e > 0 THEN '$lang'"
+      }.mkString("\n  ")
+      s"""WITH dd AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) rn
+         |  FROM (SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents) t0) t
+         |  WHERE rn = 1),
+         |toks AS (SELECT text, len(regexp_split_to_array(text, '\\s+'))::BIGINT AS nw
+         |  FROM dd WHERE len(regexp_split_to_array(text, '\\s+')) >= 10),
+         |langed AS (SELECT nw, CASE $cases ELSE 'und' END AS guess
+         |  FROM (SELECT nw, w, $best AS best
+         |    FROM (SELECT nw, string_split(lower(text), ' ') AS w FROM toks) t1) t2)
+         |SELECT guess, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_tokens
+         |FROM langed GROUP BY guess ORDER BY guess""".stripMargin
+    },
+    "llm_kmeans_clusters" ->
+      s"""WITH eq AS (SELECT vec_id,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, eq
+         |  FROM (SELECT vec_id, eq FROM eq ORDER BY vec_id LIMIT 4) s),
+         |a1 AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    (SELECT sum((e.eq[i] - s.eq[i]) * (e.eq[i] - s.eq[i])) FROM range(1, 65) r(i)),
+         |    s.cid) AS rn
+         |  FROM eq e, seed s) t WHERE rn = 1),
+         |c1 AS (SELECT cluster AS cid, list(c ORDER BY pos) AS ceq FROM (
+         |  SELECT a1.cluster AS cluster, i AS pos,
+         |    CAST(floor(CAST(sum(e.eq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM a1 JOIN eq e USING (vec_id), range(1, 65) r(i)
+         |  GROUP BY a1.cluster, i) t GROUP BY cluster),
+         |a2 AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    (SELECT sum((e.eq[i] - c.ceq[i]) * (e.eq[i] - c.ceq[i])) FROM range(1, 65) r(i)),
+         |    c.cid) AS rn
+         |  FROM eq e, c1 c) t WHERE rn = 1)
+         |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "llm_multimodal_meta" ->
       s"""SELECT doc_id, octet_length(content)::BIGINT AS n_bytes,
          |  CASE WHEN left(h, 8) = '89504E47' THEN 'image/png'

@@ -176,4 +176,21 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(norm == Set(1L, 3L)) // 2 is a normalized dup of 1; min id kept
   }
+
+  test("kmeansClusters: separable clusters recovered, deterministic") {
+    // two tight groups on a 64-dim axis; k=2 must split them exactly
+    def vec(base: Float): Seq[Float] = Seq.tabulate(64)(i => base + (i % 3) * 0.001f)
+    val df = Seq(
+      (1L, vec(1.0f)), (2L, vec(1.01f)), (3L, vec(0.99f)),
+      (10L, vec(-1.0f)), (11L, vec(-1.01f)), (12L, vec(-0.99f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansClusters(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "positive group together")
+    assert(Set(out(10L), out(11L), out(12L)).size == 1, "negative group together")
+    assert(out(1L) != out(10L), "groups separated")
+    val again = Similarity.kmeansClusters(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out, "deterministic")
+  }
 }
