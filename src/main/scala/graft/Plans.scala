@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: print the formatted physical plan of named harness
+  * queries (default: the flagship set). Used to keep PLANS.md honest —
+  * run `sbt "runMain graft.Plans [names...]"` after touching an
+  * operator and check the shuffle/broadcast/pushdown shape still holds.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("w1_dedup_keep_latest", "q5_local_volume", "x1_asof_last_click",
+        "llm_dedup_minhash_lsh", "llm_ann_ivf", "q1_pricing_summary")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

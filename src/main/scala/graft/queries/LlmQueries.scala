@@ -101,6 +101,19 @@ object LlmQueries {
         n = 2, threshold = 0.15)
         .orderBy(col("a"), col("b"))),
 
+    // Frame-sampling index math over synthetic per-doc frame counts
+    // (every stride-th frame, capped) — the multimodal sampling plan
+    // minus the stubbed codec.
+    "llm_frame_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_frames", (col("n_chars") % 240 + 1).cast("int"))
+        .withColumn("idx", Multimodal.sampleFrameIndexes(col("n_frames"), stride = 10, maxFrames = 8))
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          size(col("idx")).cast("long").as("n_sampled"),
+          col("idx").getItem(0).cast("long").as("first_idx"),
+          element_at(col("idx"), -1).cast("long").as("last_idx"))
+        .orderBy(col("doc_id"))),
+
     // End-to-end curation pipeline: normalized dedup -> length filter
     // -> language ID -> per-language corpus stats. The composition a
     // training-data pipeline actually runs, as ONE lazy plan.
@@ -328,6 +341,12 @@ object LlmQueries {
          |SELECT vid, bucket, nn, dot FROM (
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
+    "llm_frame_sample" ->
+      """SELECT doc_id, n_frames, len(idx)::BIGINT AS n_sampled,
+        |  idx[1] AS first_idx, idx[-1] AS last_idx
+        |FROM (SELECT doc_id, n_frames, (range(0, n_frames, 10))[1:8] AS idx
+        |  FROM (SELECT doc_id, (n_chars % 240 + 1) AS n_frames FROM documents) t0) t1
+        |ORDER BY doc_id""".stripMargin,
     "llm_curation_stats" -> {
       val scores = Text.LangMarkers.map { case (lang, markers) =>
         lang -> s"len(list_filter(w, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"

@@ -101,6 +101,34 @@ class PropertySpec extends SparkSpec {
     assert(p1 == p16, "dsum must be independent of partitioning")
   }
 
+  test("property: LSH bucket-collect pair generation equals the self-join formulation") {
+    // Random (id, band) rows with colliding bands; the map-side pair
+    // expansion from collect_list must produce exactly the pairs the
+    // band self-join would (the formulation it replaced for one fewer
+    // shuffle) under the same bucket cap.
+    val gen = Gen.listOfN(300, for {
+      id <- Gen.choose(0L, 80L); band <- Gen.choose(0, 25)
+    } yield (id, s"b$band"))
+    val rows = sample(gen).distinct
+    val bands = rows.toDF("id", "band")
+    val cap = 15
+    val viaCollect = bands.groupBy(col("band"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val counts = bands.groupBy("band").count().filter(col("count") <= cap)
+    val bounded = bands.join(counts.select("band"), "band")
+    val viaJoin = bounded.as("x").join(bounded.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(viaCollect == viaJoin)
+  }
+
   test("property: jaccard symmetric-bounded; minhash signature elements within ring") {
     val texts = sample(Gen.listOfN(60,
       Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "g")).map(_.mkString(" "))))
