@@ -225,6 +225,8 @@ object NativeFns {
     column(QuantizedDot(expression(a), expression(b), scale))
   def minHashSig(c: Column): Column = column(MinHashSig(expression(c)))
   def simHash(c: Column, bits: Int = 16): Column = column(SimHashExpr(expression(c), bits))
+  def topK(c: Column, k: Int): Column =
+    column(TopKLongs(expression(c), k).toAggregateExpression())
 }
 
 /** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the
@@ -247,7 +249,11 @@ object GraftExtensions {
       (c: Seq[Expression]) => MinHashSig(c.head)),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
-      (c: Seq[Expression]) => SimHashExpr(c.head, 16)))
+      (c: Seq[Expression]) => SimHashExpr(c.head, 16)),
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKLongs].getName, "graft_top_k"),
+      (c: Seq[Expression]) =>
+        TopKLongs(c(0), c(1).eval().asInstanceOf[Number].intValue)))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit = registrations.foreach { case (id, info, builder) =>

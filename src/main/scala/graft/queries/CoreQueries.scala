@@ -398,6 +398,50 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Window-function battery: lag/lead, running sum, rank, ntile —
+    // one (user, ts) sort serves every function (single exchange).
+    "o4_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          // exact decimal running sum (stays < 2^53 cents → double cast
+          // is exact in both engines; plain double would depend on the
+          // engine's window-sum association order)
+          sum(col("value").cast("decimal(20,2)")).over(running)
+            .cast("double").as("running_value"),
+          rank().over(Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id")))
+            .cast("long").as("value_rank"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Pivot — per-user event-type count matrix (explicit value list so
+    // the plan is a single pass of conditional aggregates, no discovery
+    // scan).
+    "a11_pivot_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
+    // Custom bounded top-k AGGREGATE (graft.expr.native.TopKLongs):
+    // k-bounded heap state merged map-side — the shuffle carries at
+    // most k values per (group, task) instead of every row (window) or
+    // every value (collect_list).
+    "a12_topk_per_user" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          graft.expr.native.NativeFns.topK(col("cents"), 3),
+          x => x.cast("string")), ",").as("top3"))
+        .orderBy(col("user_id"))),
+
     // As-of join — for each purchase, the user's most recent click at or
     // before it. Spark has no ASOF JOIN; Ops.asofJoin composes it as one
     // shuffle (union + last-ignoreNulls window), linear at any scale.
@@ -685,6 +729,30 @@ object CoreQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "o4_window_analytics" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_event,
+        |  lead(event_id, 1) OVER w AS next_event,
+        |  CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+        |  ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "a11_pivot_counts" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a12_topk_per_user" ->
+      """SELECT user_id,
+        |  array_to_string((list(cents ORDER BY cents DESC))[1:3], ',') AS top3
+        |FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x1_asof_last_click" ->
       """SELECT p.user_id, p.ts, p.event_id, p.value, c.click_event_id
         |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p

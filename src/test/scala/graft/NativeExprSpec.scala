@@ -91,4 +91,29 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getLong(0) == 32L)
     assert(r.getSeq[Long](1).length == Dedup.Seeds.size)
   }
+
+  test("TopKLongs: k largest values, any partitioning; SQL registration") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map(i => (i % 13, rnd.nextInt(100000).toLong))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = df.groupBy("g")
+        .agg(graft.expr.native.NativeFns.topK(col("v"), 5).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted.reverse.take(5).toList }
+      assert(got == want, s"parts=$parts")
+    }
+    // fewer than k values -> all of them, descending
+    val small = Seq((1, 9L), (1, 3L)).toDF("g", "v").groupBy("g")
+      .agg(graft.expr.native.NativeFns.topK(col("v"), 5).as("t"))
+      .collect()(0).getSeq[Long](1).toList
+    assert(small == List(9L, 3L))
+    graft.expr.native.GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_top_k(c, 2) FROM VALUES (1L), (5L), (3L) AS t(c)")
+      .collect()(0).getSeq[Long](0).toList
+    assert(viaSql == List(5L, 3L))
+  }
 }
