@@ -86,6 +86,36 @@ object Text {
     }
   }
 
+  /** PII scrubbing: redact emails, long digit runs (phone/account
+    * numbers) and IPv4 addresses. Patterns deliberately stay within the
+    * regex subset Java and RE2 evaluate identically (char classes,
+    * bounded repetition — no backrefs or lookaround), keeping the
+    * operator oracle-checkable and portable. Runs map-side in the scan
+    * stage like the rest of the text layer. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (tag, pattern, replacement)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+    ("digits", "[0-9]{7,}", "<NUM>"))
+
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (tag, pat, _) =>
+      regexp_count(text, lit(pat)).cast(LongType).as(s"n_$tag")
+    }: _*)
+
+  /** Repetition / boilerplate signal: 1 − |distinct shingles| / |shingles|.
+    * High values mean the document repeats itself (template spam, lyrics,
+    * scraped boilerplate) — a standard cheap quality filter. */
+  def repetitionRatio(hsAll: Column): Column =
+    when(size(hsAll) > 0,
+      lit(1.0) - size(array_distinct(hsAll)).cast(DoubleType) / size(hsAll))
+      .otherwise(lit(0.0))
+
   /** Winnowing-style document fingerprints (rolling-hash family): hash
     * consecutive word shingles, take the min hash of each window of
     * `win` shingles, keep the distinct mins. Near-identical documents

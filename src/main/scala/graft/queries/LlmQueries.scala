@@ -101,6 +101,34 @@ object LlmQueries {
         n = 2, threshold = 0.15)
         .orderBy(col("a"), col("b"))),
 
+    // PII scrubbing — emails / IPv4 / long digit runs redacted and
+    // counted. PII is injected deterministically (the corpus is
+    // synthetic) so every pattern fires; patterns live in
+    // Text.PiiPatterns and stay inside the Java∩RE2 regex subset.
+    "llm_pii_scrub" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@example.com or 5551234567 at 10.0.0.1 now")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").withColumn("aug", aug)
+        .select(col("doc_id"),
+          Text.piiCounts(col("aug")).getField("n_email").as("n_email"),
+          Text.piiCounts(col("aug")).getField("n_ip").as("n_ip"),
+          Text.piiCounts(col("aug")).getField("n_digits").as("n_digits"),
+          md5(Text.scrubPii(col("aug"))).as("scrubbed_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition/boilerplate ratio over 2-gram shingles.
+    "llm_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("w", Text.words(col("text")))
+        .withColumn("sh", Text.shingles(col("w"), 2))
+        .withColumn("hs", transform(col("sh"), x => Text.md5Hash(x)))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+          Text.repetitionRatio(col("hs")).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
     // Frame-sampling index math over synthetic per-doc frame counts
     // (every stride-th frame, capped) — the multimodal sampling plan
     // minus the stubbed codec.
@@ -341,6 +369,31 @@ object LlmQueries {
          |SELECT vid, bucket, nn, dot FROM (
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
+    "llm_pii_scrub" -> {
+      val Seq(em, ip, num) = Text.PiiPatterns.map(_._2)
+      val scrub = Text.PiiPatterns.foldLeft("aug") { case (e, (_, pat, rep)) =>
+        s"regexp_replace($e, '$pat', '$rep', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(aug, '$em'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(aug, '$ip'))::BIGINT AS n_ip,
+         |  len(regexp_extract_all(aug, '$num'))::BIGINT AS n_digits,
+         |  md5($scrub) AS scrubbed_hash
+         |FROM (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+         |    THEN text || ' contact u' || doc_id || '@example.com or 5551234567 at 10.0.0.1 now'
+         |    ELSE text END AS aug FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
+    "llm_repetition" ->
+      s"""SELECT doc_id, len(hs)::BIGINT AS n_shingles,
+         |  CASE WHEN len(hs) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs)
+         |    ELSE 0.0 END AS rep_ratio
+         |FROM (SELECT doc_id, list_transform(
+         |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
+         |    s -> ${duckHash("s")}) AS hs
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0) t
+         |ORDER BY doc_id""".stripMargin,
     "llm_frame_sample" ->
       """SELECT doc_id, n_frames, len(idx)::BIGINT AS n_sampled,
         |  idx[1] AS first_idx, idx[-1] AS last_idx

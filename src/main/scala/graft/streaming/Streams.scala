@@ -69,6 +69,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each purchase joined to the clicks
+    * that preceded it within `window` — the attribution join, the
+    * streaming analog of the batch as-of composition. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can size and evict join state; without the time bound the
+    * state would grow forever. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      window: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    p.join(c,
+      col("user_id") === col("c_uid") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .drop("c_uid")
+  }
+
   /** Validation split as a stream: same §2.8 error-channel expressions,
     * applied to a streaming frame (checks are stateless projections, so
     * they stream trivially). */

@@ -193,4 +193,13 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out, "deterministic")
   }
+
+  test("scrubPii redacts emails, IPs and long digit runs; short runs survive") {
+    val df = Seq("mail a.b+c@x-y.co or 12345678 at 192.168.0.1 ok, short 123456").toDF("t")
+    val out = df.select(Text.scrubPii(col("t")).as("s")).as[String].collect()(0)
+    assert(out == "mail <EMAIL> or <NUM> at <IP> ok, short 123456")
+    val counts = df.select(Text.piiCounts(col("t")).as("c")).select("c.*")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(counts == ((1L, 1L, 1L)))
+  }
 }

@@ -164,6 +164,27 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("deduped").select("event_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("streaming: stream-stream attribution join within the time window") {
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    clicks.addData(Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "click", 0)))
+    purchases.addData(Seq(
+      Streams.Event(10L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 0),
+      Streams.Event(11L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "purchase", 0),
+      Streams.Event(12L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "purchase", 0)))
+    Streams.runToMemory(
+      Streams.attributionJoin(clicks.toDS().toDF(), purchases.toDS().toDF()),
+      "attributed", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("attributed")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    // only the 10:30 purchase has a click within the preceding hour
+    assert(got == Set((10L, 1L)))
+  }
+
   test("streaming: latest-per-key matches batch W1 on the same data") {
     import graft.streaming.Streams
     val events = Seq(
