@@ -150,26 +150,34 @@ object Ops {
     * before left rows at equal ts, so the match is inclusive
     * (leftTs >= rightTs), matching SQL ASOF JOIN semantics.
     * `payload` names right columns to attach (pre-rename them to avoid
-    * collisions with left columns). */
+    * collisions with left columns). When several right rows tie on
+    * (keys, ts), `tieBreak` (a right column, typically the id) makes
+    * the winner deterministic — the greatest value wins; without it
+    * the choice among tied right rows is engine order. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    val tb = tieBreak.map(t => lit(null).cast(right.schema(t).dataType).as("__tb")).toSeq
+    val tbR = tieBreak.map(t => col(t).as("__tb")).toSeq
     val lPart = left.select(
-      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++ tb ++
         leftCols.map(col) ++
         payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__r_$p")): _*)
     val rPart = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++ tbR ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(p => col(p).as(s"__r_$p")): _*)
+    val order = Seq(col("__ts").asc, col("__side").asc) ++
+      tieBreak.map(_ => col("__tb").asc_nulls_last)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     payload.foldLeft(lPart.unionByName(rPart)) { (df, p) =>
       df.withColumn(p, last(col(s"__r_$p"), ignoreNulls = true).over(w))
     }
       .filter(col("__side") === 1)
-      .drop("__side" +: payload.map(p => s"__r_$p"): _*)
+      .drop(Seq("__side") ++ tieBreak.map(_ => "__tb") ++ payload.map(p => s"__r_$p"): _*)
       .withColumnRenamed("__ts", leftTs)
   }
 

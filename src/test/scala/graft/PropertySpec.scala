@@ -101,6 +101,56 @@ class PropertySpec extends SparkSpec {
     assert(p1 == p16, "dsum must be independent of partitioning")
   }
 
+  test("property: asofJoin equals the naive join-filter-window formulation") {
+    val gen = for {
+      l <- Gen.listOfN(250, for { k <- Gen.choose(0, 12); t <- Gen.choose(0, 3000) } yield (k, t))
+      r <- Gen.listOfN(250, for { k <- Gen.choose(0, 12); t <- Gen.choose(0, 3000) } yield (k, t))
+    } yield (l, r)
+    val (lRows, rRows) = sample(gen.map(List(_))).head
+    val left = lRows.zipWithIndex.map { case ((k, t), i) =>
+      (i.toLong, k.toLong, new java.sql.Timestamp(1700000000000L + t * 1000L)) }
+      .toDF("lid", "k", "ts")
+    val right = rRows.zipWithIndex.map { case ((k, t), i) =>
+      (10000L + i, k.toLong, new java.sql.Timestamp(1700000000000L + t * 1000L)) }
+      .toDF("rid", "k", "ts")
+    val fast = Ops.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("rid"),
+      tieBreak = Some("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // naive: left-outer range join, keep the latest right (max ts, then
+    // max rid among equal ts — matching the union ordering where later
+    // right rows overwrite earlier at the same ts)
+    val rBy = rRows.zipWithIndex.map { case ((k, t), i) => (k, t, 10000L + i) }
+    val slow = lRows.zipWithIndex.map { case ((k, t), i) =>
+      val cands = rBy.filter(r => r._1 == k && r._2 <= t)
+      i.toLong -> (if (cands.isEmpty) None
+                   else Some(cands.maxBy(c => (c._2, c._3))._3))
+    }.toMap
+    assert(fast == slow)
+  }
+
+  test("property: rangeJoinBinned equals the naive range-predicate join") {
+    val gen = for {
+      facts <- Gen.listOfN(300, Gen.choose(0.0, 500.0))
+      ranges <- Gen.listOfN(25, for {
+        lo <- Gen.choose(0.0, 480.0); len <- Gen.choose(0.1, 120.0)
+      } yield (lo, lo + len))
+    } yield (facts, ranges)
+    val (facts, ranges) = sample(gen.map(List(_))).head
+    val factDf = facts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val rangeDf = ranges.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("rid", "lo", "hi")
+    for (width <- Seq(7.0, 50.0)) {
+      val fast = Ops.rangeJoinBinned(factDf, rangeDf, "v", "lo", "hi", width)
+        .select("id", "rid").as[(Long, Long)].collect().toSet
+      val slow = (for {
+        (v, i) <- facts.zipWithIndex
+        ((lo, hi), j) <- ranges.zipWithIndex if v >= lo && v < hi
+      } yield (i.toLong, j.toLong)).toSet
+      assert(fast == slow, s"width=$width")
+    }
+  }
+
   test("property: LSH bucket-collect pair generation equals the self-join formulation") {
     // Random (id, band) rows with colliding bands; the map-side pair
     // expansion from collect_list must produce exactly the pairs the
