@@ -72,6 +72,20 @@ object Graft {
               embCol: String, k: Int): DataFrame =
     llm.Similarity.bruteForceTopKQ(queries, data, idCol, idCol, embCol, k)
 
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, llm.Text.scrubPii(col(textCol)))
+
+  /** Bounded top-k aggregate (custom TypedImperativeAggregate). */
+  def topK(c: Column, k: Int): Column = _root_.graft.expr.native.NativeFns.topK(c, k)
+
+  def kmeansClusters(df: DataFrame, idCol: String, embCol: String,
+                     k: Int, iters: Int = 2): DataFrame =
+    llm.Similarity.kmeansClusters(df, idCol, embCol, k, iters)
+
+  def annTopKAuto(data: DataFrame, queries: DataFrame, idCol: String,
+                  embCol: String, k: Int, nlist: Int = 4): DataFrame =
+    llm.Similarity.ivfTopKAuto(data, queries, idCol, embCol, k, nlist)
+
   // -- §2.11 reporting ------------------------------------------------
   /** `display_users_formatted` (sql_extraction.py:168-191): N/A-filled
     * preview — `na.fill` + `show` instead of a row loop. */

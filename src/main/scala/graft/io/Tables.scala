@@ -71,6 +71,21 @@ object Tables {
                props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Partitioned parquet layout — the 100 TB data-lake sink: one
+    * directory per partition value (e.g. event date), so downstream
+    * scans prune at the file-listing level before any I/O. Callers pick
+    * low-cardinality, filter-aligned columns (date, region, lang). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table sink — co-locates rows by join key so repeated
+    * joins/aggregations on that key skip the exchange entirely
+    * (plan-asserted in BucketingSpec). Buckets require a table catalog
+    * entry, hence saveAsTable. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, n: Int): Unit =
+    df.write.mode("overwrite").bucketBy(n, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** S12 — schema introspection (sql_extraction.py:107-135). */
   def tableInfo(df: DataFrame): Seq[(String, String)] =
     df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)

@@ -152,6 +152,16 @@ object Similarity {
     eq.withColumn("cluster", assign(cents)).select(col("vid"), col("cluster"))
   }
 
+  /** Full IVF: train the coarse quantizer with k-means, then probe —
+    * the composition a production index build runs. One extra join
+    * attaches the learned cluster ids (vs the label-column variant). */
+  def ivfTopKAuto(df: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+                  k: Int, nlist: Int = 4, iters: Int = 2): DataFrame = {
+    val clusters = kmeansClusters(df, idCol, embCol, nlist, iters)
+      .withColumnRenamed("vid", idCol).withColumnRenamed("cluster", "__cluster")
+    ivfTopK(df.join(clusters, idCol), queries, idCol, embCol, "__cluster", k)
+  }
+
   /** IVF-style ANN with a provided coarse quantizer (here: the label
     * column as cluster id; production swaps in k-means assignments).
     * Centroids are exact integer sum-vectors per cluster (explode +

@@ -202,4 +202,18 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()(0)
     assert(counts == ((1L, 1L, 1L)))
   }
+
+  test("ivfTopKAuto: learned clusters route queries to their own group") {
+    def vec(base: Float): Seq[Float] = Seq.tabulate(64)(i => base + (i % 3) * 0.001f)
+    val df = Seq(
+      (1L, vec(1.0f)), (2L, vec(1.01f)), (3L, vec(0.99f)),
+      (10L, vec(-1.0f)), (11L, vec(-1.01f)), (12L, vec(-0.99f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopKAuto(df, df.filter(col("vec_id") === 1L || col("vec_id") === 10L),
+      "vec_id", "embedding", k = 2, nlist = 2, iters = 2)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    assert(out(1L) == Set(2L, 3L), "query 1 searches its own cluster")
+    assert(out(10L) == Set(11L, 12L), "query 10 searches its own cluster")
+  }
 }

@@ -202,4 +202,17 @@ class PipelineSpec extends SparkSpec {
       .select("user_id", "event_id").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 3L))
   }
+
+  test("partitioned parquet sink prunes partitions at the file level") {
+    import graft.io.Tables
+    val dir = Files.createTempDirectory("partw").toFile.getAbsolutePath + "/out"
+    val df = Seq((1L, "click", 1.0), (2L, "view", 2.0), (3L, "click", 3.0))
+      .toDF("event_id", "event_type", "value")
+    Tables.writePartitioned(df, dir, Seq("event_type"))
+    assert(new java.io.File(dir, "event_type=click").isDirectory)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    assert(q.count() == 2)
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("PartitionFilters"), "filter must reach partition pruning")
+  }
 }
