@@ -429,6 +429,17 @@ object CoreQueries {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
+    // Embedded-JSON value extraction + aggregation (the reference's
+    // heterogeneous child documents carry JSON payloads; S1/P1 promote
+    // keys, this parses values) — get_json_object stays codegen'd.
+    "s3_json_props_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // Custom bounded top-k AGGREGATE (graft.expr.native.TopKLongs):
     // k-bounded heap state merged map-side — the shuffle carries at
     // most k values per (group, task) instead of every row (window) or
@@ -748,6 +759,12 @@ object CoreQueries {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s3_json_props_agg" ->
+      """SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a12_topk_per_user" ->
       """SELECT user_id,
         |  array_to_string((list(cents ORDER BY cents DESC))[1:3], ',') AS top3

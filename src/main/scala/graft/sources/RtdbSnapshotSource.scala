@@ -76,11 +76,20 @@ class RtdbTable(path: String, numPartitions: Int) extends Table with SupportsRea
 }
 
 class RtdbScanBuilder(path: String, numPartitions: Int)
-  extends ScanBuilder with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var keyLow: Option[String] = None
   private var keyHighExcl: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** S3/S4 limit pushdown: each range reader stops after `limit` rows
+    * (a per-partition cap is a superset of the global limit, so this is
+    * partial pushdown -- Spark still applies the final global limit,
+    * but the source stops fetching instead of scanning its whole
+    * range). On the live REST source this becomes limitToFirst. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
 
   /** Push key-range predicates into partition planning; everything else
     * stays for Spark to evaluate. */
@@ -112,11 +121,12 @@ class RtdbScanBuilder(path: String, numPartitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new RtdbScan(path, numPartitions, keyLow, keyHighExcl)
+  override def build(): Scan = new RtdbScan(path, numPartitions, keyLow, keyHighExcl, limit)
 }
 
 class RtdbScan(path: String, numPartitions: Int,
-               keyLow: Option[String], keyHighExcl: Option[String]) extends Scan with Batch {
+               keyLow: Option[String], keyHighExcl: Option[String],
+               limit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = RtdbSnapshotSource.schema
   override def toBatch: Batch = this
 
@@ -129,21 +139,23 @@ class RtdbScan(path: String, numPartitions: Int,
     val bounds = (0 until n).map(i => keys(i * keys.size / n))
     bounds.zipWithIndex.map { case (from, i) =>
       val to = if (i + 1 < n) Some(bounds(i + 1)) else keyHighExcl
-      RtdbRangePartition(path, from, to): InputPartition
+      RtdbRangePartition(path, from, to, limit): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = RtdbReaderFactory
 }
 
-case class RtdbRangePartition(path: String, from: String, toExclusive: Option[String])
+case class RtdbRangePartition(path: String, from: String, toExclusive: Option[String],
+                              limit: Option[Int] = None)
   extends InputPartition
 
 object RtdbReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RtdbRangePartition]
     new PartitionReader[InternalRow] {
-      private val it = RtdbSnapshotSource.readRange(p.path, p.from, p.toExclusive)
+      private val it0 = RtdbSnapshotSource.readRange(p.path, p.from, p.toExclusive)
+      private val it = p.limit.fold(it0)(it0.take)
       private var cur: (String, String) = _
       override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
       override def get(): InternalRow = InternalRow(

@@ -40,6 +40,22 @@ class RtdbSourceSpec extends SparkSpec {
     assert(r.count() == 5)
   }
 
+  test("limit pushdown caps each range reader (partial pushdown)") {
+    assert(df.limit(3).count() == 3) // end-to-end result unchanged
+    // drive the source directly: with a pushed limit, each range reader
+    // stops after `limit` rows instead of scanning its whole key range
+    import graft.sources._
+    val b = new RtdbScanBuilder(path, 4)
+    assert(b.pushLimit(3) && b.isPartiallyPushed)
+    val parts = b.build().toBatch.planInputPartitions()
+    val counts = parts.map { p =>
+      val r = RtdbReaderFactory.createReader(p)
+      var n = 0; while (r.next()) n += 1; n
+    }
+    assert(counts.forall(_ <= 3), s"reader ignored the cap: ${counts.toSeq}")
+    assert(counts.sum >= 3, "must still produce enough rows for the global limit")
+  }
+
   test("pushed filters intersect: conflicting EqualTos return zero rows") {
     // id and uid are the same key; equality on two different values is
     // unsatisfiable. The pushdown must intersect ranges, not overwrite.
