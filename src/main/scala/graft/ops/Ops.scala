@@ -39,6 +39,24 @@ object Ops {
     dedupKeepLatest(keys, ts, tieBreak)(local).drop("__salt")
   }
 
+  /** Skew-safe equi-join for a power-law key distribution when AQE's
+    * runtime skew split isn't available (non-AQE engines, streaming
+    * microbatches): shard the big side's hot keys by hashing a
+    * distributed column into `salt` shards, replicate the small side
+    * across all shards, join on (key, shard). Deterministic (hash
+    * salt, not rand()) so retried tasks produce identical output —
+    * a correctness requirement under speculative execution. Result
+    * equals the plain join (asserted in PropertySpec); cost is
+    * |small| × salt replication. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 shardBy: String, salt: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    val b = big.withColumn("__salt", pmod(hash(col(shardBy)), lit(salt)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** P5 — null-key drop before dedup (user_transformer.py:247-249). */
   def dropNullKeys(keys: Seq[String])(df: DataFrame): DataFrame =
     df.filter(keys.map(col(_).isNotNull).reduce(_ && _))

@@ -101,6 +101,23 @@ class PropertySpec extends SparkSpec {
     assert(p1 == p16, "dsum must be independent of partitioning")
   }
 
+  test("property: saltedJoin equals the plain join on skewed keys") {
+    val gen = for {
+      big <- Gen.listOfN(400, for { k <- Gen.frequency(8 -> Gen.const(0), 2 -> Gen.choose(1, 20)); v <- Gen.choose(0, 99) } yield (k, v))
+      small <- Gen.listOfN(15, for { k <- Gen.choose(0, 20); w <- Gen.choose(0, 9) } yield (k, w))
+    } yield (big, small)
+    val (bigRows, smallRows) = sample(gen.map(List(_))).head
+    val big = bigRows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k.toLong, v.toLong) }
+      .toDF("id", "k", "v")
+    val small = smallRows.distinct.zipWithIndex
+      .map { case ((k, w), i) => (k.toLong, 100L + i) }.toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("id", "w")
+      .as[(Long, Long)].collect().toSet
+    val salted = Ops.saltedJoin(big, small, "k", shardBy = "id", salt = 8)
+      .select("id", "w").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
   test("property: asofJoin equals the naive join-filter-window formulation") {
     val gen = for {
       l <- Gen.listOfN(250, for { k <- Gen.choose(0, 12); t <- Gen.choose(0, 3000) } yield (k, t))
