@@ -22,11 +22,12 @@ object Bench {
     // driver passes none and gets the full set.
     val wanted = SparkEntry.queries.filter { case (n, _) =>
       args.isEmpty || args.contains(n) }
-    // Best-of-2 per query: the first iteration absorbs that plan's
-    // codegen compilation, the second measures steady-state execution —
-    // the figure that scales to a long-lived cluster.
+    // Best-of-3 per query: the first iteration absorbs that plan's
+    // codegen compilation, the rest measure steady-state execution; the
+    // min is robust against transient hypervisor/GC noise — the figure
+    // that scales to a long-lived cluster.
     val results = wanted.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

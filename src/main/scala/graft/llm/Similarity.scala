@@ -170,8 +170,11 @@ object Similarity {
     * candidates instead of everything — the IVF pruning structure. */
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, embCol: String,
               labelCol: String, k: Int): DataFrame = {
+    // the quantized corpus feeds both the centroid build and the fine
+    // search — cut the lineage once instead of re-reading + re-quantizing
+    // per branch (at cluster scale: a persisted index table)
     val eq = df.select(col(idCol).as("cid"), col(labelCol).as("label"),
-      quantize(col(embCol)).as("eq"))
+      quantize(col(embCol)).as("eq")).localCheckpoint()
     val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
     // centroid sum-vectors, one row per (cluster, dimension); the
     // cluster size rides along in the same aggregation (it is the row
