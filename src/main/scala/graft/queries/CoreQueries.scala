@@ -429,6 +429,24 @@ object CoreQueries {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
+    // Date-part extraction + monthly rollup (F14-adjacent calendar
+    // arithmetic; date_trunc stays a codegen'd expression).
+    "f16_month_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exprs.dsum(col("o_totalprice"), 2).as("month_revenue"))
+        .orderBy(col("month"))),
+
+    // CUBE grouping sets: all subtotal combinations in one pass
+    // (Catalyst expands to a single Expand + aggregate).
+    "a13_cube_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), (col("value") > 250).as("high"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type").asc_nulls_first, col("high").asc_nulls_first)),
+
     // Embedded-JSON value extraction + aggregation (the reference's
     // heterogeneous child documents carry JSON payloads; S1/P1 promote
     // keys, this parses values) — get_json_object stays codegen'd.
@@ -759,6 +777,17 @@ object CoreQueries {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f16_month_rollup" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice) AS DECIMAL(38,0))) AS DOUBLE)
+        |    + CAST(sum(CAST(round((o_totalprice - floor(o_totalprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS month_revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY month""".stripMargin,
+    "a13_cube_counts" ->
+      """SELECT event_type, (value > 250) AS high, count(*) AS cnt
+        |FROM events GROUP BY CUBE (event_type, (value > 250))
+        |ORDER BY event_type NULLS FIRST, high NULLS FIRST""".stripMargin,
     "s3_json_props_agg" ->
       """SELECT event_type, count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
