@@ -98,6 +98,22 @@ object Streams {
                     checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
     graft.ops.Ops.withErrors(checks)(events)
 
+  /** Streaming → JDBC sink via foreachBatch: each micro-batch goes
+    * through the same batched, partition-parallel append as the batch
+    * path (K3), so the DB sees one transaction batch per partition per
+    * micro-batch instead of the reference's row-per-transaction loop.
+    * Exactly-once to the table requires an idempotent key or an
+    * upstream dedup (dropDuplicatesWithinWatermark) — same contract as
+    * any foreachBatch sink. Returns the started query. */
+  def toJdbc(df: DataFrame, url: String, table: String,
+             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.Jdbc.append(batch.toDF(), url, table)
+      }
+      .start()
+
   /** Memory-sink runner for tests: processes all available data once. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

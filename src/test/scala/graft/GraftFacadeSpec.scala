@@ -30,4 +30,20 @@ class GraftFacadeSpec extends SparkSpec {
     val fixed = Graft.resolveIdConflicts(Seq("a", "b").toDF("id"), Seq("b").toDF("id"), "id")
     assert(fixed.count() == 2)
   }
+
+  test("facade: temporal + LLM additions stay wired") {
+    import spark.implicits._
+    val ev = Seq((1L, 7L, "2024-01-01 10:00:00"), (2L, 7L, "2024-01-01 20:00:00"))
+      .toDF("event_id", "user_id", "t")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    assert(Graft.sessionize(ev, Seq("user_id"), "ts", 3600L)
+      .select("session_id").as[Long].collect().toSet == Set(1L, 2L))
+    val right = ev.select(col("user_id"), col("ts"), col("event_id").as("rid"))
+    assert(Graft.asofJoin(ev, right, Seq("user_id"), "ts", "ts", Seq("rid")).count() == 2)
+    assert(Graft.scrubPii(Seq("x@y.co ok").toDF("text"), "text")
+      .as[String].collect()(0) == "<EMAIL> ok")
+    val grouped = Seq((1, 5L), (1, 9L), (1, 2L)).toDF("g", "v")
+      .groupBy("g").agg(Graft.topK(col("v"), 2).as("t"))
+    assert(grouped.select("t").as[Seq[Long]].collect()(0) == Seq(9L, 5L))
+  }
 }

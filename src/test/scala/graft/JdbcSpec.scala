@@ -71,4 +71,26 @@ class JdbcSpec extends SparkSpec {
     val p = Jdbc.timestampedPath("export", "csv")
     assert(p.matches("export_\\d{8}_\\d{6}\\.csv"))
   }
+
+  test("streaming foreachBatch -> JDBC append (K3 streaming twin)") {
+    import graft.streaming.Streams
+    val surl = "jdbc:derby:memory:graftstream;create=true"
+    Jdbc.createTableIfAbsent(surl, "sunk",
+      "event_id BIGINT, user_id BIGINT, event_type VARCHAR(20)")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    stream.addData(Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 8L, "view", 2.0)))
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val q = Streams.toJdbc(
+      stream.toDS().toDF().select("event_id", "user_id", "event_type"),
+      surl, "sunk", ckpt)
+    q.processAllAvailable()
+    stream.addData(Seq(
+      Streams.Event(3L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 7L, "click", 3.0)))
+    q.processAllAvailable(); q.stop()
+    val back = Jdbc.readTable(spark, surl, "sunk")
+    assert(back.count() == 3, "both micro-batches appended")
+  }
 }
