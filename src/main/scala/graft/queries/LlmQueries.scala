@@ -101,6 +101,36 @@ object LlmQueries {
         n = 2, threshold = 0.15)
         .orderBy(col("a"), col("b"))),
 
+    // Benchmark decontamination: flag corpus docs sharing >= 3 distinct
+    // 3-gram shingle hashes with the benchmark set (doc_id < 10 stands
+    // in for the held-out suite). The join is an equi-join on the
+    // shingle hash — shuffle linear in total shingles, never pairwise.
+    "llm_decontaminate" -> ((s, dir) => {
+      val hs = t(s, dir, "documents")
+        .withColumn("w", Text.words(col("text")))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", Text.shingles(col("w")))
+        .withColumn("h", explode(array_distinct(transform(col("sh"), x => Text.md5Hash(x)))))
+        .select(col("doc_id"), col("h"))
+      val bench = hs.filter(col("doc_id") < 10).select(col("h")).distinct()
+      hs.filter(col("doc_id") >= 10)
+        .join(bench, "h")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("h")).as("overlap"))
+        .filter(col("overlap") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Consistent (hash-based) sampling: the keep/drop decision is a
+    // pure function of the key, so reruns, retries and incremental
+    // loads agree on the sample — unlike rand()-based sampling.
+    "llm_consistent_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Text.md5Hash(concat(lit("sample:"), col("doc_id").cast("string"))) % 100 < 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))),
+
     // PII scrubbing — emails / IPv4 / long digit runs redacted and
     // counted. PII is injected deterministically (the corpus is
     // synthetic) so every pattern fires; patterns live in
@@ -369,6 +399,22 @@ object LlmQueries {
          |SELECT vid, bucket, nn, dot FROM (
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
+    "llm_decontaminate" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+         |    s -> ${duckHash("s")}))) AS h
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0
+         |  WHERE len(w) >= 3),
+         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10)
+         |SELECT doc_id, count(DISTINCT h) AS overlap
+         |FROM hs JOIN bench USING (h) WHERE doc_id >= 10
+         |GROUP BY doc_id HAVING count(DISTINCT h) >= 3 ORDER BY doc_id""".stripMargin,
+    "llm_consistent_sample" ->
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents
+         |WHERE ${duckHash("('sample:' || doc_id)")} % 100 < 20
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_pii_scrub" -> {
       val Seq(em, ip, num) = Text.PiiPatterns.map(_._2)
       val scrub = Text.PiiPatterns.foldLeft("aug") { case (e, (_, pat, rep)) =>
