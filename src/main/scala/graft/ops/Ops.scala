@@ -120,6 +120,16 @@ object Ops {
     clean.unionByName(rewritten)
   }
 
+  /** K4 at data-lake scale — MERGE/upsert semantics over immutable
+    * storage: rows of `existing` whose key reappears in `incoming` are
+    * replaced; everything else unions through. One anti-join (keys
+    * broadcast when small, shuffle otherwise — Catalyst decides) plus
+    * a union; the rewrite-then-swap pattern every parquet/lakehouse
+    * upsert compiles down to. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(incoming)
+
   /** §2.8 — validation split with error channel
     * (user_transformer.py:322-392): rows fail checks, not the job.
     * Each check is (errorTag, badCondition); failures collect into an

@@ -506,6 +506,18 @@ object CoreQueries {
           col("session_window.end").as("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // MERGE/upsert over immutable storage: an "incoming" delta
+    // (synthesized deterministically from orders) replaces matching
+    // customer rows; anti-join + union, the lakehouse upsert shape.
+    "x5_upsert" -> ((s, dir) => {
+      val existing = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val incoming = existing.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      Ops.upsert(existing, incoming, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Interval/range join via binning: parts classified into (possibly
     // overlapping) price bands with an equi-join on the covering bin —
     // never a cartesian, so the same plan holds at any fact size.
@@ -830,6 +842,10 @@ object CoreQueries {
         |           >= 21600000000 THEN 1 ELSE 0 END AS newsess
         |    FROM events) t0) t1
         |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+    "x5_upsert" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "x3_range_join_bands" ->
       """SELECT band, count(*) AS cnt,
         |  CAST(sum(CAST(floor(p_retailprice) AS DECIMAL(38,0))) AS DOUBLE)
