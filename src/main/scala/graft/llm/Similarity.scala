@@ -79,6 +79,19 @@ object Similarity {
       when(dotQ(embQ, lits) > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Multi-probe LSH: the query's own bucket plus every bucket at
+    * Hamming distance 1 (flip each plane bit once). Probing 1+nPlanes
+    * buckets instead of one recovers most of the recall that
+    * single-probe loses to boundary effects, for (1+nPlanes)× the
+    * candidate volume — still a bucket equi-join, never pairwise
+    * (measured in llm_ann_recall: single- vs multi-probe on the same
+    * split). */
+  def probeBuckets(bucket: Column, nPlanes: Int): Column =
+    array((bucket +: (0 until nPlanes).map { i =>
+      val flip = when(substring(bucket, i + 1, 1) === "0", lit("1")).otherwise(lit("0"))
+      concat(substring(bucket, 1, i), flip, substring(bucket, i + 2, nPlanes - i - 1))
+    }): _*)
+
   /** Bucketed ANN: assign buckets, then exact top-k within each bucket.
     * The bucket column is also the pre-partitioning key for repeated
     * queries (write bucketed parquet → co-located joins, no shuffle). */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{Dedup, Multimodal, Similarity, Text}
@@ -100,6 +101,45 @@ object LlmQueries {
         blockExpr = concat(col("lang"), lit("_"), expr("n_chars div 25").cast("string")),
         n = 2, threshold = 0.15)
         .orderBy(col("a"), col("b"))),
+
+    // ANN quality measurement: recall@3 of the LSH-bucketed search
+    // against exact top-3 on the same query/candidate split. The
+    // approximation is only as good as its measured recall — this
+    // keeps the metric in the engine, not in a notebook.
+    "llm_ann_recall" -> ((s, dir) => {
+      val planes = Similarity.planeDirs(8, 64)
+      val eq = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("eq"))
+      val q = eq.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("eq").as("qe"),
+          Similarity.lshBucket(col("eq"), planes).as("bucket"))
+      val c = eq.filter(col("vec_id") >= 100)
+        .select(col("vec_id").as("cid"), col("eq").as("ce"),
+          Similarity.lshBucket(col("eq"), planes).as("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+      def top3(df: DataFrame) = df
+        .withColumn("dot", graft.expr.native.NativeFns.longDot(col("qe"), col("ce")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"))
+      val exact = top3(c.drop("bucket").crossJoin(broadcast(q.drop("bucket"))))
+      val single = top3(q.join(c, "bucket"))
+      // multi-probe: also search every Hamming-1 bucket (explode probes
+      // then equi-join — the scale path, not a fuzzy join predicate)
+      val multi = top3(q
+        .withColumn("probe", explode(Similarity.probeBuckets(col("bucket"), 8)))
+        .drop("bucket")
+        .join(c.withColumnRenamed("bucket", "probe"), "probe"))
+      def recallOf(approx: DataFrame, method: String) =
+        exact.join(approx, Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("total_matches"))
+          .crossJoin(q.agg(count(lit(1)).as("n_queries")))
+          .select(lit(method).as("method"), col("n_queries"), col("total_matches"),
+            (col("total_matches").cast("double") / (lit(3.0) * col("n_queries")))
+              .as("recall"))
+      recallOf(single, "single_probe")
+        .unionByName(recallOf(multi, "multi_probe_1"))
+        .orderBy(col("method"))
+    }),
 
     // Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     // 3-gram shingle hashes with the benchmark set (doc_id < 10 stands
@@ -399,6 +439,36 @@ object LlmQueries {
          |SELECT vid, bucket, nn, dot FROM (
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
+    "llm_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |q AS (SELECT vec_id AS qid, eq, $bucketExpr AS bucket FROM e WHERE vec_id < 100),
+         |c AS (SELECT vec_id AS cid, eq, $bucketExpr AS bucket FROM e WHERE vec_id >= 100),
+         |ex AS (SELECT qid, cid FROM (
+         |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |    (SELECT sum((q.eq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) DESC, c.cid) AS rn
+         |  FROM q, c) t WHERE rn <= 3),
+         |ap AS (SELECT qid, cid FROM (
+         |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |    (SELECT sum((q.eq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) DESC, c.cid) AS rn
+         |  FROM q JOIN c ON q.bucket = c.bucket) t WHERE rn <= 3),
+         |qp AS (SELECT qid, eq, unnest([bucket] ||
+         |    [substr(bucket, 1, i - 1) ||
+         |     (CASE substr(bucket, i, 1) WHEN '0' THEN '1' ELSE '0' END) ||
+         |     substr(bucket, i + 1, 8 - i) for i in range(1, 9)]) AS probe FROM q),
+         |ap2 AS (SELECT qid, cid FROM (
+         |  SELECT qp.qid, c.cid, row_number() OVER (PARTITION BY qp.qid ORDER BY
+         |    (SELECT sum((qp.eq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) DESC, c.cid) AS rn
+         |  FROM qp JOIN c ON qp.probe = c.bucket) t WHERE rn <= 3),
+         |nq AS (SELECT count(*) AS n_queries FROM q),
+         |m1 AS (SELECT count(*) AS total_matches FROM ex JOIN ap USING (qid, cid)),
+         |m2 AS (SELECT count(*) AS total_matches FROM ex JOIN ap2 USING (qid, cid))
+         |SELECT method, n_queries, total_matches,
+         |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
+         |  SELECT 'single_probe' AS method, n_queries, m1.total_matches FROM m1, nq
+         |  UNION ALL
+         |  SELECT 'multi_probe_1' AS method, n_queries, m2.total_matches FROM m2, nq) t
+         |ORDER BY method""".stripMargin,
     "llm_decontaminate" ->
       s"""WITH hs AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
