@@ -153,10 +153,14 @@ object LlmQueries {
         .withColumn("h", explode(array_distinct(transform(col("sh"), x => Text.md5Hash(x)))))
         .select(col("doc_id"), col("h"))
       val bench = hs.filter(col("doc_id") < 10).select(col("h")).distinct()
+      // (doc_id, h) pairs are already unique — hashes are
+      // array_distinct'd per doc before the explode and bench is
+      // distinct — so a plain count equals count(DISTINCT h) without
+      // the extra dedup pass inside the aggregation.
       hs.filter(col("doc_id") >= 10)
         .join(bench, "h")
         .groupBy(col("doc_id"))
-        .agg(count_distinct(col("h")).as("overlap"))
+        .agg(count(lit(1)).as("overlap"))
         .filter(col("overlap") >= 3)
         .orderBy(col("doc_id"))
     }),
@@ -477,9 +481,9 @@ object LlmQueries {
          |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0
          |  WHERE len(w) >= 3),
          |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10)
-         |SELECT doc_id, count(DISTINCT h) AS overlap
+         |SELECT doc_id, count(*) AS overlap
          |FROM hs JOIN bench USING (h) WHERE doc_id >= 10
-         |GROUP BY doc_id HAVING count(DISTINCT h) >= 3 ORDER BY doc_id""".stripMargin,
+         |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
     "llm_consistent_sample" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents
