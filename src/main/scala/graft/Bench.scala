@@ -29,12 +29,19 @@ object Bench {
     // from any single query — a burst lands on different queries each
     // sweep and the per-query min keeps the clean pass.
     val results = collection.mutable.LinkedHashMap[String, Double]()
+    val failed = collection.mutable.LinkedHashSet[String]()
     for (_ <- 1 to 3; (name, fn) <- wanted) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name; false
+      }
       val t = (System.nanoTime() - t0) / 1e9
-      if (t < results.getOrElse(name, Double.MaxValue)) results(name) = t
+      if (ok && t < results.getOrElse(name, Double.MaxValue)) results(name) = t
     }
+    // a failing query must not report its time-to-exception as a result
+    failed.foreach { n => if (!results.contains(n)) results(n) = -1.0 }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -252,8 +252,12 @@ object GraftExtensions {
       (c: Seq[Expression]) => SimHashExpr(c.head, 16)),
     (FunctionIdentifier("graft_top_k"),
       new ExpressionInfo(classOf[TopKLongs].getName, "graft_top_k"),
-      (c: Seq[Expression]) =>
-        TopKLongs(c(0), c(1).eval().asInstanceOf[Number].intValue)))
+      (c: Seq[Expression]) => c(1) match {
+        case Literal(v: Int, IntegerType) => TopKLongs(c(0), v)
+        case Literal(v: Long, LongType) => TopKLongs(c(0), v.toInt)
+        case other => throw new IllegalArgumentException(
+          s"graft_top_k(col, k): k must be an integer literal, got $other")
+      }))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit = registrations.foreach { case (id, info, builder) =>

@@ -2,7 +2,7 @@ package graft.expr.native
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -25,9 +25,14 @@ case class TopKLongs(child: Expression, k: Int,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[java.lang.Long]]
-  with UnaryLike[Expression] {
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(k > 0, "k must be positive")
+
+  // ints/shorts upcast at analysis time; a string column is rejected
+  // there instead of a mid-job ClassCastException in update().
+  // (AbstractDataType is private[sql], so the return type is inferred.)
+  override def inputTypes = Seq(LongType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

@@ -105,19 +105,24 @@ object Dedup {
       // recomputes the md5/shingle pass per branch. At cluster scale
       // you'd persist signatures to a table; locally an eager
       // checkpoint is the same cut of the lineage.
-      .localCheckpoint()
+      .localCheckpoint(false)
     val bands = prepared.select(col(idCol), explode(array((0 until numBands).map { bnd =>
       concat_ws("_", (lit(bnd.toString) +:
         (0 until BandRows).map(r => col("__sig")(bnd * BandRows + r).cast("string"))): _*)
     }: _*)).as("band"))
-    // Candidate generation: ONE shuffle (groupBy band), then pairs are
-    // expanded map-side from each bucket's id list. Equivalent to the
-    // band self-join + count-window cap, but removes two exchanges and
-    // a window sort — the bucket cap bounds the quadratic expansion, so
-    // the worst map-side burst is maxBucket^2/2 rows per bucket.
-    val candidates = bands
+    // Candidate generation: ONE exchange on the band key. The
+    // count-window cap runs BEFORE collect_list so a degenerate hot
+    // bucket (boilerplate band shared by millions of docs) is dropped
+    // while still spillable in the window sort — collect_list then
+    // never buffers more than maxBucket ids per group. The groupBy
+    // reuses the window's hash partitioning, so no second exchange;
+    // pairs expand map-side from each bucket's sorted id list
+    // (equivalent to the band self-join, minus its two exchanges).
+    val capped = bands
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("__bc").between(2, maxBucket))
+    val candidates = capped
       .groupBy(col("band")).agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), x =>
         transform(filter(col("ids"), y => y > x),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
@@ -167,7 +172,7 @@ object Dedup {
       .withColumn("__sh", Text.shingles(col("__w"), n))
       .withColumn("__g", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
       .select(col(idCol), col("__blk"), col("__g"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     prepared.as("x")
       .join(prepared.as("y"), col("x.__blk") === col("y.__blk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))

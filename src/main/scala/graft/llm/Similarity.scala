@@ -187,7 +187,7 @@ object Similarity {
     // search — cut the lineage once instead of re-reading + re-quantizing
     // per branch (at cluster scale: a persisted index table)
     val eq = df.select(col(idCol).as("cid"), col(labelCol).as("label"),
-      quantize(col(embCol)).as("eq")).localCheckpoint()
+      quantize(col(embCol)).as("eq")).localCheckpoint(false)
     val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
     // centroid sum-vectors, one row per (cluster, dimension); the
     // cluster size rides along in the same aggregation (it is the row

@@ -85,12 +85,16 @@ object User {
       .withColumn("id", Exprs.withDefault(Exprs.cleanString(col("id")), Exprs.uuid20))
     // Dedup only rows that HAVE an email; null-email rows pass through
     // untouched so the downstream validateSplit(checks) routes them to
-    // the error channel, as the reference does (main.py:71-73). Folding
-    // them into the dedup window would silently collapse them to one
-    // row and starve the missing_email check.
-    val withEmail = cleaned.filter(col("email").isNotNull)
-      .transform(Ops.dedupKeepLatest(Seq("email"), "createdAt", "id"))
-    withEmail.unionByName(cleaned.filter(col("email").isNull))
+    // the error channel, as the reference does (main.py:71-73). One
+    // window pass with `isNull || rn = 1` keeps it a single scan of the
+    // cleaning lineage (a filter/union split would evaluate the whole
+    // upstream plan twice).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("email"))
+      .orderBy(col("createdAt").desc_nulls_last, col("id").desc)
+    cleaned.withColumn("__rn", row_number().over(w))
+      .filter(col("email").isNull || col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** §2.8 checks for the typed channel (missing email is the one

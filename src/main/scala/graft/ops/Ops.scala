@@ -51,6 +51,13 @@ object Ops {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  shardBy: String, salt: Int = 16,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `salt` copies of every unmatched
+    // small-side row (it was replicated across shards) — reject rather
+    // than silently duplicate.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin: unsupported joinType '$joinType' — the replicated small side " +
+        "would duplicate unmatched rows under right/full outer semantics")
     val b = big.withColumn("__salt", pmod(hash(col(shardBy)), lit(salt)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
@@ -233,9 +240,13 @@ object Ops {
   def rangeJoinBinned(fact: DataFrame, ranges: DataFrame, factVal: String,
                       lo: String, hi: String, binWidth: Double,
                       broadcastRanges: Boolean = true): DataFrame = {
+    // floor(hi/W) may add one empty trailing bin when hi sits exactly on
+    // a bin boundary — harmless (the residual predicate drops it). An
+    // epsilon subtraction instead would silently LOSE facts whose value
+    // lands within the epsilon above the boundary.
     val expanded = ranges.withColumn("__bin",
       explode(sequence(floor(col(lo) / binWidth).cast("long"),
-        floor((col(hi) - lit(1e-9)) / binWidth).cast("long"))))
+        floor(col(hi) / binWidth).cast("long"))))
     val dims = if (broadcastRanges) broadcast(expanded) else expanded
     fact.withColumn("__bin", floor(col(factVal) / binWidth).cast("long"))
       .join(dims, Seq("__bin"))

@@ -164,4 +164,19 @@ class OpsSpec extends SparkSpec {
       3L -> Set("hi", "all"),         // 30.0 excluded from [0,30)
       4L -> Set("hi", "all")))
   }
+
+  test("rangeJoinBinned: no epsilon loss when hi sits just above a bin boundary") {
+    // regression: an epsilon-adjusted upper bin once dropped facts whose
+    // value fell within the epsilon above a bin boundary
+    val fact = Seq((1L, 20.0000000001)).toDF("id", "v")
+    val ranges = Seq(("r", 0.0, 20.0000000005)).toDF("band", "lo", "hi")
+    assert(Ops.rangeJoinBinned(fact, ranges, "v", "lo", "hi", 10.0).count() == 1)
+  }
+
+  test("saltedJoin rejects right/full outer (replicated small side would duplicate)") {
+    val df = Seq((1L, 1L)).toDF("id", "k")
+    intercept[IllegalArgumentException] {
+      Ops.saltedJoin(df, df, "k", shardBy = "id", joinType = "full_outer")
+    }
+  }
 }
