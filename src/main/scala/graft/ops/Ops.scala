@@ -127,6 +127,36 @@ object Ops {
     clean.unionByName(rewritten)
   }
 
+  /** Connected components by min-label propagation — the final step of
+    * near-dup dedup (pair list → duplicate clusters → keep one doc per
+    * cluster). Each iteration is one join + one min-aggregate, both
+    * keyed shuffles linear in |edges|; labels converge to the
+    * component's minimum id in at most `iters` ≥ graph-diameter rounds
+    * (near-dup graphs are unions of small quasi-cliques, so single-digit
+    * iters suffice; the alternating-star optimization only pays off at
+    * web-graph diameters). Deterministic: min is order-independent. */
+  def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
+                          iters: Int = 8): DataFrame = {
+    // Iterative plans MUST cut lineage per round: the edge set is read
+    // every iteration and each round's labels feed the next, so an
+    // uncheckpointed loop nests the upstream plan 2^iters times
+    // (exponential analysis and recompute cost). Lazy checkpoints keep
+    // plan construction job-free; each frontier materializes once.
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint(false)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("label"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
   /** K4 at data-lake scale — MERGE/upsert semantics over immutable
     * storage: rows of `existing` whose key reappears in `incoming` are
     * replaced; everything else unions through. One anti-join (keys

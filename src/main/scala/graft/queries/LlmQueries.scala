@@ -141,6 +141,18 @@ object LlmQueries {
         .orderBy(col("method"))
     }),
 
+    // Duplicate clusters: connected components over the MinHash+LSH
+    // near-dup pairs (min-label propagation; 8 rounds >> the diameter
+    // of near-dup quasi-cliques). Output = doc -> cluster-min-id; the
+    // keep-one-per-cluster step is then `filter(node === label)`.
+    "llm_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+      graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 4)
+        .withColumnRenamed("node", "doc_id").withColumnRenamed("label", "component")
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     // 3-gram shingle hashes with the benchmark set (doc_id < 10 stands
     // in for the held-out suite). The join is an equi-join on the
@@ -443,6 +455,26 @@ object LlmQueries {
          |SELECT vid, bucket, nn, dot FROM (
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
+    "llm_dedup_components" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
+         |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bc FROM bands0) t
+         |  WHERE bc <= 1000),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |scored AS (SELECT a, b,
+         |  CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
+         |    / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs))) AS jaccard
+         |  FROM cand JOIN pre xa ON cand.a = xa.doc_id JOIN pre xb ON cand.b = xb.doc_id),
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
+         |SELECT node AS doc_id, least(node, min(r)) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "llm_ann_recall" ->
       s"""WITH e AS (SELECT vec_id,
          |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),

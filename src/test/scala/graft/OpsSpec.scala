@@ -173,6 +173,20 @@ class OpsSpec extends SparkSpec {
     assert(Ops.rangeJoinBinned(fact, ranges, "v", "lo", "hi", 10.0).count() == 1)
   }
 
+  test("connectedComponents: chain + clique + isolate pair, min-id labels, fixpoint") {
+    // 1-2-3-4-5 chain (diameter 4 forces real propagation), 10-11-12
+    // triangle, 20-21 pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val labels = Ops.connectedComponents(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // fixpoint: an extra iteration changes nothing
+    val more = Ops.connectedComponents(edges, iters = 6).as[(Long, Long)].collect().toMap
+    assert(more == labels)
+  }
+
   test("saltedJoin rejects right/full outer (replicated small side would duplicate)") {
     val df = Seq((1L, 1L)).toDF("id", "k")
     intercept[IllegalArgumentException] {
