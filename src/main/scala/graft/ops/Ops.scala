@@ -142,8 +142,15 @@ object Ops {
     // uncheckpointed loop nests the upstream plan 2^iters times
     // (exponential analysis and recompute cost). Lazy checkpoints keep
     // plan construction job-free; each frontier materializes once.
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+    // (Frontier blocks stay cached until GC — at cluster scale with
+    // big label sets, switch to eager checkpoints and unpersist the
+    // previous frontier after each round materializes.)
+    // Checkpoint the edge plan FIRST: the symmetric union references it
+    // twice, which would otherwise execute the (often expensive)
+    // pair-generation pipeline twice.
+    val e = edges.localCheckpoint(false)
+    val sym = e.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(e.select(col(b).as("src"), col(a).as("dst")))
       .localCheckpoint(false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

@@ -142,13 +142,16 @@ object LlmQueries {
     }),
 
     // Duplicate clusters: connected components over the MinHash+LSH
-    // near-dup pairs (min-label propagation; 8 rounds >> the diameter
-    // of near-dup quasi-cliques). Output = doc -> cluster-min-id; the
-    // keep-one-per-cluster step is then `filter(node === label)`.
+    // near-dup pairs. The oracle computes the EXACT closure, so the
+    // iteration count must exceed any component's diameter — near-dup
+    // components are quasi-cliques (threshold-chaining paths stay
+    // short), and 8 rounds leaves real margin where 4 would gamble.
+    // Output = doc -> cluster-min-id; keep-one-per-cluster is then
+    // `filter(node === label)`.
     "llm_dedup_components" -> ((s, dir) => {
       val pairs = Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
-      graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 4)
+      graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
         .withColumnRenamed("node", "doc_id").withColumnRenamed("label", "component")
         .orderBy(col("doc_id"))
     }),
@@ -300,6 +303,24 @@ object LlmQueries {
     s"'${bnd}_' || " + parts.mkString(" || '_' || ")
   }
 
+  /** Shared CTE chain producing the MinHash+LSH candidate pairs with
+    * exact-Jaccard scores (`scored`) — used by both the
+    * llm_dedup_minhash_lsh and llm_dedup_components oracles so the cap,
+    * banding and threshold can't drift apart. */
+  private lazy val pairsCtes: String =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
+       |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
+       |bands AS (SELECT doc_id, band FROM (
+       |  SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bc FROM bands0) t
+       |  WHERE bc <= 1000),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+       |scored AS (SELECT a, b,
+       |  CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
+       |    / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs))) AS jaccard
+       |  FROM cand JOIN pre xa ON cand.a = xa.doc_id JOIN pre xb ON cand.b = xb.doc_id)""".stripMargin
+
   private val simhashTerms = (0 until 16).map { b =>
     s"""CASE WHEN list_sum(list_transform(wh,
        |  h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
@@ -329,18 +350,7 @@ object LlmQueries {
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents) t0) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "llm_dedup_minhash_lsh" ->
-      s"""WITH $shingleCte,
-         |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
-         |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
-         |bands AS (SELECT doc_id, band FROM (
-         |  SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bc FROM bands0) t
-         |  WHERE bc <= 1000),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
-         |scored AS (SELECT a, b,
-         |  CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
-         |    / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs))) AS jaccard
-         |  FROM cand JOIN pre xa ON cand.a = xa.doc_id JOIN pre xb ON cand.b = xb.doc_id)
+      s"""WITH $pairsCtes
          |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
     "llm_dedup_simhash" ->
       s"""SELECT doc_id, CAST(${simhashTerms.mkString(" + ")} AS BIGINT) AS simhash
@@ -456,18 +466,7 @@ object LlmQueries {
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
     "llm_dedup_components" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
-         |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
-         |bands AS (SELECT doc_id, band FROM (
-         |  SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bc FROM bands0) t
-         |  WHERE bc <= 1000),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
-         |scored AS (SELECT a, b,
-         |  CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
-         |    / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs))) AS jaccard
-         |  FROM cand JOIN pre xa ON cand.a = xa.doc_id JOIN pre xb ON cand.b = xb.doc_id),
+      s"""WITH RECURSIVE $pairsCtes,
          |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
          |sym AS (SELECT a AS src, b AS dst FROM edges
          |        UNION ALL SELECT b AS src, a AS dst FROM edges),
