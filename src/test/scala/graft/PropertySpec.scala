@@ -101,6 +101,27 @@ class PropertySpec extends SparkSpec {
     assert(p1 == p16, "dsum must be independent of partitioning")
   }
 
+  test("property: connectedComponents equals union-find on random graphs") {
+    val gen = Gen.listOfN(120, for {
+      x <- Gen.choose(0L, 60L); y <- Gen.choose(0L, 60L) if x != y
+    } yield (math.min(x, y), math.max(x, y)))
+    val edges = sample(gen.map(List(_))).head.distinct
+    // reference: plain union-find
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    val got = Ops.connectedComponents(edges.toDF("a", "b"), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("property: saltedJoin equals the plain join on skewed keys") {
     val gen = for {
       big <- Gen.listOfN(400, for { k <- Gen.frequency(8 -> Gen.const(0), 2 -> Gen.choose(1, 20)); v <- Gen.choose(0, 99) } yield (k, v))
