@@ -215,4 +215,21 @@ class PipelineSpec extends SparkSpec {
     val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scanned.contains("PartitionFilters"), "filter must reach partition pruning")
   }
+
+  test("streaming: stream-static broadcast enrichment (J1 streaming twin)") {
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streams.Event]
+    stream.addData(Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 3L, "click", 2.0)))
+    Streams.runToMemory(
+      stream.toDS().toDF().join(broadcast(dim), Seq("user_id"), "left_outer")
+        .select("event_id", "tier"),
+      "enriched", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> None)) // left-outer null-fill as in batch J1
+  }
 }
