@@ -237,7 +237,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private val registrations = Seq(
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Lift a Column combinator from the F-series scalar layer into a
+    * SQL-registrable expression builder — the whole cleaning layer is
+    * then reachable from `spark.sql` without any Scala. */
+  private def lift1(name: String, f: Column => Column) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(graft.expr.Exprs.getClass.getName, name),
+      // full node->Expression conversion: registry output skips the
+      // DataFrame analysis step that would otherwise convert it
+      (c: Seq[Expression]) =>
+        org.apache.spark.sql.graftbridge.Bridge.convert(f(column(c.head))))
+
+  private val scalarRegistrations = Seq(
+    lift1("graft_clean_string", graft.expr.Exprs.cleanString),
+    lift1("graft_parse_timestamp", graft.expr.Exprs.parseFlexibleTimestamp),
+    lift1("graft_normalize_status", graft.expr.Exprs.normalizeStatus),
+    lift1("graft_parse_interests", graft.expr.Exprs.parseInterests),
+    lift1("graft_clean_bool", graft.expr.Exprs.cleanBool),
+    lift1("graft_mask_email", graft.expr.Exprs.maskEmail),
+    lift1("graft_pg_array", graft.expr.Exprs.pgArrayLiteral),
+    lift1("graft_iso_format", graft.expr.Exprs.isoFormat),
+    lift1("graft_scrub_pii", graft.llm.Text.scrubPii))
+
+  private val registrations = scalarRegistrations ++ Seq(
     (FunctionIdentifier("graft_long_dot"),
       new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
       (c: Seq[Expression]) => LongDot(c(0), c(1))),

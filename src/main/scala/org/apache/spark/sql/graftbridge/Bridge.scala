@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully CONVERT a Column's node tree to a resolved-able Catalyst
+    * expression. `expression` merely wraps the node (fine inside a
+    * DataFrame, where analysis converts it later); an expression
+    * returned from a FunctionRegistry builder is never node-converted,
+    * so wrapper nodes would reach codegen as Unevaluable. Needed to
+    * register Column-combinator functions for SQL. */
+  def convert(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

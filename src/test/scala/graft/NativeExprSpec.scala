@@ -116,4 +116,19 @@ class NativeExprSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0).toList
     assert(viaSql == List(5L, 3L))
   }
+
+  test("F-series scalar layer reachable from SQL via extensions") {
+    graft.expr.native.GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT graft_clean_string(' nan ') AS a,
+        |  graft_normalize_status('actif') AS b,
+        |  graft_mask_email('alice@x.com') AS c,
+        |  graft_scrub_pii('mail a@b.co now') AS d,
+        |  graft_parse_timestamp('1656672000') AS e""".stripMargin).collect()(0)
+    assert(r.isNullAt(0))                       // null-token set
+    assert(r.getString(1) == "ACTIVE")          // FR variant
+    assert(r.getString(2) == "ali***")          // masking
+    assert(r.getString(3) == "mail <EMAIL> now")
+    assert(r.getTimestamp(4) == java.sql.Timestamp.valueOf("2022-07-01 10:40:00"))
+  }
 }
