@@ -506,6 +506,18 @@ object CoreQueries {
           col("session_window.end").as("session_end"), col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // SCD-2 history build: each event becomes a validity interval
+    // [ts, next ts) per key, open-ended for the current row — one
+    // (key, ts) sort serves lead() and the current-flag.
+    "x6_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     // MERGE/upsert over immutable storage: an "incoming" delta
     // (synthesized deterministically from orders) replaces matching
     // customer rows; anti-join + union, the lakehouse upsert shape.
@@ -842,6 +854,13 @@ object CoreQueries {
         |           >= 21600000000 THEN 1 ELSE 0 END AS newsess
         |    FROM events) t0) t1
         |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+    "x6_scd2_history" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  (lead(ts, 1) OVER w IS NULL) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "x5_upsert" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
