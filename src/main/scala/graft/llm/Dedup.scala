@@ -157,22 +157,32 @@ object Dedup {
     * hashed word n-gram sets, but only within blocks (e.g. language ×
     * length band) — the classic pre-LSH blocking strategy. Shuffle is
     * one hash-join on the block key; the quadratic part is confined to
-    * blocks, which `maxBlock`-style sizing keeps bounded at scale.
+    * blocks, and a count-window `maxBlock` cap drops degenerate hot
+    * blocks (one language × length band holding a boilerplate flood)
+    * before they go O(block²) — the guard a 100 TB corpus needs.
     * Hashing the grams (md5 mod P) keeps set ops integer-cheap with
-    * ~1e-7 collision odds. */
+    * ~1e-7 collision odds.
+    *
+    * Plan shape: the cap's window exchange on `__blk` is exactly the
+    * partitioning the self-join needs, and both join sides share one
+    * identical subtree, so Spark's ReuseExchange materializes the heavy
+    * shingle+md5 prep ONCE in the shuffle files — no checkpoint, no
+    * pre-repartition (a round-3 localCheckpoint here cost 2.4× at
+    * sf0.1 for work the exchange already deduplicates). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockExpr: Column, n: Int = 2,
-                        threshold: Double = 0.15): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+                        threshold: Double = 0.15,
+                        maxBlock: Int = 1000): DataFrame = {
     val prepared = df
       .filter(size(Text.words(col(textCol))) >= n)
-      .repartition(parallelism, col(idCol))
       .withColumn("__blk", blockExpr)
       .withColumn("__w", Text.words(col(textCol)))
       .withColumn("__sh", Text.shingles(col("__w"), n))
       .withColumn("__g", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
       .select(col(idCol), col("__blk"), col("__g"))
-      .localCheckpoint(false)
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .filter(col("__bc").between(2, maxBlock))
+      .drop("__bc")
     prepared.as("x")
       .join(prepared.as("y"), col("x.__blk") === col("y.__blk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))

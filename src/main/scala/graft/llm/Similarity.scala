@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * queries; the double variants serve ranking in production. */
 object Similarity {
 
+  /** Default degenerate-bucket cap for the LSH self-joins; mirrored into
+    * the DuckDB oracle SQL so code and oracle can't drift. Far above any
+    * bucket at harness scale (max observed 28 at sf0.1), but the guard a
+    * 100 TB corpus needs: millions of near-identical/zero vectors on one
+    * signature would otherwise make the self-join O(bucket²). */
+  val DefaultMaxBucket = 1000
+
   def toDouble(e: Column): Column = transform(e, x => x.cast("double"))
 
   /** Quantize to thousandths as longs — exact, portable arithmetic. */
@@ -96,10 +103,21 @@ object Similarity {
     * The bucket column is also the pre-partitioning key for repeated
     * queries (write bucketed parquet → co-located joins, no shuffle). */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
-              nPlanes: Int = 8, dim: Int = 64, k: Int = 1): DataFrame = {
+              nPlanes: Int = 8, dim: Int = 64, k: Int = 1,
+              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val planes = planeDirs(nPlanes, dim)
+    // Count-window cap BEFORE the self-join (same guard as
+    // Dedup.minHashLshPairs): a degenerate bucket past `maxBucket` is
+    // dropped while still spillable in the window sort, never joined.
+    // The window's hash exchange on `bucket` is exactly the join's
+    // required partitioning and both self-join sides share it
+    // (ReuseExchange), so the cap adds no extra shuffle. Singleton
+    // buckets yield no pairs, so the >=2 bound is free pruning.
     val bucketed = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
       .withColumn("bucket", lshBucket(col("eq"), planes))
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bc").between(2, maxBucket))
+      .drop("__bc")
     val pairs = bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vid") =!= col("y.vid"))
       .select(col("x.vid").as("vid"), col("x.bucket").as("bucket"),
@@ -114,10 +132,15 @@ object Similarity {
     * double math is bit-deterministic) clears the threshold. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                          threshold: Double, nPlanes: Int = 8,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val planes = planeDirs(nPlanes, dim)
+    // Same degenerate-bucket guard as lshTopK — see the comment there.
     val bucketed = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
       .withColumn("bucket", lshBucket(col("eq"), planes))
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bc").between(2, maxBucket))
+      .drop("__bc")
     bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("a"), col("y.vid").as("b"),

@@ -432,7 +432,10 @@ object LlmQueries {
     "llm_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id AS vid,
          |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
-         |b AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
+         |b0 AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
+         |b AS (SELECT vid, eq, bucket FROM (
+         |  SELECT vid, eq, bucket, count(*) OVER (PARTITION BY bucket) AS bc FROM b0) t0
+         |  WHERE bc BETWEEN 2 AND ${Similarity.DefaultMaxBucket}),
          |p AS (SELECT x.vid AS a, y.vid AS b,
          |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
          |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
@@ -448,17 +451,23 @@ object LlmQueries {
          |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
          |      s -> ${duckHash("s")})) AS g
          |  FROM (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents) t
-         |  WHERE len(w) >= 2)
+         |  WHERE len(w) >= 2),
+         |capped AS (SELECT doc_id, blk, g FROM (
+         |  SELECT doc_id, blk, g, count(*) OVER (PARTITION BY blk) AS bc FROM pre) t0
+         |  WHERE bc BETWEEN 2 AND 1000)
          |SELECT a, b, jaccard FROM (
          |  SELECT x.doc_id AS a, y.doc_id AS b,
          |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
          |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
-         |  FROM pre x JOIN pre y ON x.blk = y.blk AND x.doc_id < y.doc_id) t
+         |  FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id) t
          |WHERE jaccard >= 0.15 ORDER BY a, b""".stripMargin,
     "llm_ann_lsh_bucketed" ->
       s"""WITH e AS (SELECT vec_id AS vid,
          |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
-         |b AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
+         |b0 AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
+         |b AS (SELECT vid, eq, bucket FROM (
+         |  SELECT vid, eq, bucket, count(*) OVER (PARTITION BY bucket) AS bc FROM b0) t0
+         |  WHERE bc BETWEEN 2 AND ${Similarity.DefaultMaxBucket}),
          |p AS (SELECT x.vid AS vid, x.bucket AS bucket, y.vid AS nn,
          |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid <> y.vid)

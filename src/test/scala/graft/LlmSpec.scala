@@ -107,6 +107,32 @@ class LlmSpec extends SparkSpec {
     assert(!out.contains(2L), "opposite vector is alone in its bucket")
   }
 
+  test("maxBucket/maxBlock: degenerate buckets are dropped, healthy ones survive") {
+    // 12 identical vectors collapse to one LSH bucket (the 100 TB
+    // boilerplate failure mode); 2 near-identical ones land in another.
+    // With maxBucket = 5 the degenerate bucket must vanish from BOTH
+    // pair-producing paths while the healthy pair survives.
+    val degenerate = (10L to 21L).map(i => (i, Array.fill(64)(0.3f)))
+    val healthy = Seq((1L, Array.fill(64)(-0.3f)), (2L, Array.fill(64)(-0.31f)))
+    val e = (degenerate ++ healthy).toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(e, "vec_id", "embedding", maxBucket = 5)
+      .select("vid", "nn").as[(Long, Long)].collect().toSet
+    assert(top == Set((1L, 2L), (2L, 1L)), s"degenerate bucket must be dropped: $top")
+    val pairs = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.9, maxBucket = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"degenerate bucket must be dropped: $pairs")
+    // same guard for the blocked n-gram path: a hot block past maxBlock
+    // is dropped, the two-doc block still pairs
+    val hot = (10L to 21L).map(i => (i, "alpha beta gamma delta epsilon zeta", "en"))
+    val ok = Seq((1L, "un deux trois quatre cinq six", "fr"),
+      (2L, "un deux trois quatre cinq sept", "fr"))
+    val docs = (hot ++ ok).toDF("doc_id", "text", "lang")
+    val ng = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockExpr = col("lang"), n = 2, threshold = 0.3, maxBlock = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(ng == Set((1L, 2L)), s"hot block must be dropped: $ng")
+  }
+
   test("multimodal: mime sniffing, metadata, stub feature extraction") {
     val df = Seq((1L, "hello world"), (2L, "png content"))
       .toDF("id", "text")
