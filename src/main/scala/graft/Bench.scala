@@ -44,7 +44,9 @@ object Bench {
     failed.foreach { n => if (!results.contains(n)) results(n) = -1.0 }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // -1 failure sentinels are reported per-query but excluded from the
+    // total so a failing query can't understate the wall-time sum
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,7 +31,11 @@ object Graft {
   def writeCsv(df: DataFrame, path: String): Unit = io.Tables.writeCsv(df, path)
 
   // -- the ETL operator set ------------------------------------------
-  def transformUsers(raw: DataFrame): DataFrame = model.User.transform(raw)
+  /** `keepInvalidEmails = true` diverges from the reference: null-email
+    * rows survive for the typed error channel instead of being dropped
+    * pre-dedup (see model.User.transform). */
+  def transformUsers(raw: DataFrame, keepInvalidEmails: Boolean = false): DataFrame =
+    model.User.transform(raw, keepInvalidEmails = keepInvalidEmails)
 
   def dedupKeepLatest(df: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame =
     ops.Ops.dedupKeepLatest(keys, ts, tieBreak)(df)

@@ -247,8 +247,13 @@ object GraftExtensions {
       new ExpressionInfo(graft.expr.Exprs.getClass.getName, name),
       // full node->Expression conversion: registry output skips the
       // DataFrame analysis step that would otherwise convert it
-      (c: Seq[Expression]) =>
-        org.apache.spark.sql.graftbridge.Bridge.convert(f(column(c.head))))
+      (c: Seq[Expression]) => {
+        // arity-checked like Spark builtins — extra args must fail
+        // analysis, not be silently ignored
+        if (c.length != 1) throw new IllegalArgumentException(
+          s"$name expects exactly 1 argument, got ${c.length}")
+        org.apache.spark.sql.graftbridge.Bridge.convert(f(column(c.head)))
+      })
 
   private val scalarRegistrations = Seq(
     lift1("graft_clean_string", graft.expr.Exprs.cleanString),

@@ -64,8 +64,17 @@ object User {
   /** The full transform stage (`transform_users_dataframe`,
     * user_transformer.py:394-441) as one declarative plan:
     * alias-coalesce → scalar cleaning (F-series) → defaults → dedup W1.
-    * Returns the flagged frame; split with Ops.validateSplit checks. */
-  def transform(raw: DataFrame, now: org.apache.spark.sql.Column = current_timestamp()): DataFrame = {
+    * Returns the flagged frame; split with Ops.validateSplit checks.
+    *
+    * `keepInvalidEmails = false` (default) matches the reference's
+    * default path: detect_and_remove_duplicates drops null-email rows
+    * before deduping (df.dropna(subset=['email']),
+    * user_transformer.py:249), so they never reach its error channel.
+    * `true` is a DELIBERATE DIVERGENCE: null-email rows pass through
+    * un-deduped so Ops.validateSplit(checks) can route them to the
+    * typed error channel instead of silently losing them. */
+  def transform(raw: DataFrame, now: org.apache.spark.sql.Column = current_timestamp(),
+                keepInvalidEmails: Boolean = false): DataFrame = {
     val projected = Ops.coalesceAliases(aliases)(raw)
     val cleaned = projected
       .withColumn("email", Exprs.cleanString(col("email")))
@@ -83,17 +92,19 @@ object User {
       .withColumn("interests", Exprs.parseInterests(col("interests")))
       // P8 — required-field backfill (user_transformer.py:354-362)
       .withColumn("id", Exprs.withDefault(Exprs.cleanString(col("id")), Exprs.uuid20))
-    // Dedup only rows that HAVE an email; null-email rows pass through
-    // untouched so the downstream validateSplit(checks) routes them to
-    // the error channel, as the reference does (main.py:71-73). One
-    // window pass with `isNull || rn = 1` keeps it a single scan of the
-    // cleaning lineage (a filter/union split would evaluate the whole
-    // upstream plan twice).
+    // W1 dedup keep-latest on email. In error-channel mode null-email
+    // rows pass through untouched; one window pass with
+    // `isNull || rn = 1` keeps it a single scan of the cleaning lineage
+    // (a filter/union split would evaluate the whole upstream plan
+    // twice). In reference mode they are dropped before the window.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("email"))
       .orderBy(col("createdAt").desc_nulls_last, col("id").desc)
-    cleaned.withColumn("__rn", row_number().over(w))
-      .filter(col("email").isNull || col("__rn") === 1)
+    val base = if (keepInvalidEmails) cleaned else cleaned.filter(col("email").isNotNull)
+    val keepRow = if (keepInvalidEmails) col("email").isNull || col("__rn") === 1
+                  else col("__rn") === 1
+    base.withColumn("__rn", row_number().over(w))
+      .filter(keepRow)
       .drop("__rn")
   }
 

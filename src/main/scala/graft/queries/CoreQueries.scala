@@ -480,7 +480,8 @@ object CoreQueries {
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
-      Ops.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_event_id"))
+      Ops.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("click_event_id"),
+          tieBreak = Some("click_event_id"))
         .orderBy(col("event_id"))
     }),
 
@@ -824,11 +825,15 @@ object CoreQueries {
         |FROM (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x1_asof_last_click" ->
-      """SELECT p.user_id, p.ts, p.event_id, p.value, c.click_event_id
+      // LATERAL top-1 instead of ASOF JOIN: DuckDB's ASOF tie choice
+      // among equal-ts clicks is unspecified; the explicit
+      // (ts DESC, id DESC) order matches asofJoin's tieBreak rule.
+      """SELECT p.user_id, p.ts, p.event_id, p.value, l.click_event_id
         |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events
-        |                WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_event_id FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON TRUE
         |ORDER BY p.event_id""".stripMargin,
     "x2_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

@@ -87,15 +87,21 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(outDir).count() == 2)
   }
 
-  test("null-email rows survive transform and land in the error channel") {
-    // The reference routes missing-email rows to the error channel
-    // (main.py:71-73); transform must not silently drop or dedup them.
+  test("null-email rows: reference default drops, error-channel mode routes") {
     val raw = Seq(
       ("U1", "a@x.com", "2022-01-01"), ("U2", null, "2022-01-02"),
       ("U3", null, "2022-01-03"), ("U4", "a@x.com", "2022-01-04"))
       .toDF("id", "email", "createdAt")
-    val out = User.transform(raw, now = lit("2025-01-01 00:00:00").cast("timestamp"))
     // provider=CREDENTIALS and uid=null -> no placeholder email synthesized
+
+    // Default matches the reference: dropna(subset=['email']) before
+    // dedup (user_transformer.py:249) — null-email rows silently gone.
+    val ref = User.transform(raw, now = lit("2025-01-01 00:00:00").cast("timestamp"))
+    assert(ref.count() == 1, "dedup a@x.com to 1 row; null-email rows dropped")
+
+    // Opt-in divergence: keep them for the typed error channel.
+    val out = User.transform(raw, now = lit("2025-01-01 00:00:00").cast("timestamp"),
+      keepInvalidEmails = true)
     assert(out.count() == 3, "dedup a@x.com to 1 row; both null-email rows kept")
     val (valid, invalid) = Ops.validateSplit(User.checks)(out)
     assert(valid.count() == 1)
