@@ -45,9 +45,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 failure sentinels are reported per-query but excluded from the
-    // total so a failing query can't understate the wall-time sum
+    // total so a failing query can't understate the wall-time sum; the
+    // explicit failed count keeps the headline total from reading as a
+    // speedup when a (typically slow) query errored out
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

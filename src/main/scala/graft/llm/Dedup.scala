@@ -153,41 +153,57 @@ object Dedup {
     (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)
   }
 
+  /** Shared block-size cap, interpolated into the DuckDB oracle SQL so
+    * the two engines can't silently drift (Similarity.DefaultMaxBucket
+    * pattern). */
+  val DefaultMaxBlock = 1000
+
   /** N-gram Jaccard near-dup with blocking: pairwise Jaccard over
     * hashed word n-gram sets, but only within blocks (e.g. language ×
-    * length band) — the classic pre-LSH blocking strategy. Shuffle is
-    * one hash-join on the block key; the quadratic part is confined to
-    * blocks, and a count-window `maxBlock` cap drops degenerate hot
-    * blocks (one language × length band holding a boilerplate flood)
-    * before they go O(block²) — the guard a 100 TB corpus needs.
-    * Hashing the grams (md5 mod P) keeps set ops integer-cheap with
-    * ~1e-7 collision odds.
+    * length band) — the classic pre-LSH blocking strategy. The
+    * quadratic part is confined to blocks, and a count-window
+    * `maxBlock` cap drops degenerate hot blocks (one language × length
+    * band holding a boilerplate flood) before they go O(block²) — the
+    * guard a 100 TB corpus needs. Hashing the grams (md5 mod P) keeps
+    * set ops integer-cheap with ~1e-7 collision odds.
     *
-    * Plan shape: the cap's window exchange on `__blk` is exactly the
-    * partitioning the self-join needs, and both join sides share one
-    * identical subtree, so Spark's ReuseExchange materializes the heavy
-    * shingle+md5 prep ONCE in the shuffle files — no checkpoint, no
-    * pre-repartition (a round-3 localCheckpoint here cost 2.4× at
-    * sf0.1 for work the exchange already deduplicates). */
+    * Plan shape mirrors `minHashLshPairs`: materialize the heavy
+    * shingle+md5 prep once (it feeds the cap window plus both verify
+    * joins; relying on ReuseExchange across the former self-join's two
+    * sides did NOT hold under AQE — bench-measured 2.6× slower in
+    * round 4), then ONE exchange on the block key where the cap window
+    * and the collect_list group share the same hash partitioning, and
+    * pairs expand map-side from each block's sorted id list. Each doc
+    * sits in exactly one block, so pairs are unique — no distinct
+    * needed. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockExpr: Column, n: Int = 2,
                         threshold: Double = 0.15,
-                        maxBlock: Int = 1000): DataFrame = {
+                        maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val prepared = df
       .filter(size(Text.words(col(textCol))) >= n)
+      .repartition(parallelism, col(idCol))
       .withColumn("__blk", blockExpr)
       .withColumn("__w", Text.words(col(textCol)))
       .withColumn("__sh", Text.shingles(col("__w"), n))
       .withColumn("__g", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
       .select(col(idCol), col("__blk"), col("__g"))
+      .localCheckpoint(false)
+    val candidates = prepared.select(col(idCol), col("__blk"))
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__blk"))))
       .filter(col("__bc").between(2, maxBlock))
-      .drop("__bc")
-    prepared.as("x")
-      .join(prepared.as("y"), col("x.__blk") === col("y.__blk") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
-        jaccard(col("x.__g"), col("y.__g")).as("jaccard"))
+      .groupBy(col("__blk")).agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val sets = prepared.select(col(idCol), col("__g"))
+    candidates
+      .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__g", "ga"), "a")
+      .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__g", "gb"), "b")
+      .withColumn("jaccard", jaccard(col("ga"), col("gb")))
       .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 }

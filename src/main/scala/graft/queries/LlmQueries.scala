@@ -454,7 +454,7 @@ object LlmQueries {
          |  WHERE len(w) >= 2),
          |capped AS (SELECT doc_id, blk, g FROM (
          |  SELECT doc_id, blk, g, count(*) OVER (PARTITION BY blk) AS bc FROM pre) t0
-         |  WHERE bc BETWEEN 2 AND 1000)
+         |  WHERE bc BETWEEN 2 AND ${Dedup.DefaultMaxBlock})
          |SELECT a, b, jaccard FROM (
          |  SELECT x.doc_id AS a, y.doc_id AS b,
          |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
