@@ -45,11 +45,28 @@ object Exprs {
     when(n > 1e10, timestamp_millis(n.cast(LongType)))
       .when(n > 0, timestamp_seconds(n.cast(LongType)))
 
+  /** F3 Firebase `Timestamp` branch — objects carrying a `seconds`
+    * field (user_transformer.py:130-135), arriving from an RTDB JSON
+    * export as `{"seconds": N, "nanoseconds": M}`. The reference does
+    * `datetime.fromtimestamp(value.seconds)` — seconds always, no
+    * s-vs-ms heuristic, nanos ignored. Integer-regex-guarded so a
+    * malformed payload yields NULL instead of an ANSI cast error. */
+  def parseTimestampSeconds(s: Column): Column = {
+    val secs = get_json_object(s, "$.seconds")
+    timestamp_seconds(when(secs.rlike("^-?[0-9]+$"), secs).cast(LongType))
+  }
+
+  /** F3 struct overload for typed sources where the Firebase Timestamp
+    * survives as a struct column rather than a JSON string. */
+  def parseTimestampStruct(c: Column): Column =
+    timestamp_seconds(c.getField("seconds").cast(LongType))
+
   /** F3 — `_parse_datetime` (user_transformer.py:83-148): null tokens →
     * NULL, then the 5-layout strptime ladder in reference order, then
-    * the epoch heuristic. Composes to `coalesce` over `try_to_timestamp`
-    * — fully codegen'd, no custom Expression needed (SURVEY.md §4.2).
-    * The numeric branch is regex-guarded: ANSI mode (Spark 4 default)
+    * the Firebase `Timestamp.seconds` object branch, then the epoch
+    * heuristic. Composes to `coalesce` over `try_to_timestamp` — fully
+    * codegen'd, no custom Expression needed (SURVEY.md §4.2). The
+    * numeric branch is regex-guarded: ANSI mode (Spark 4 default)
     * makes a bare string→double cast throw on garbage, and `when` is
     * lazy per row, so non-numeric strings never reach the cast. */
   def parseFlexibleTimestamp(c: Column): Column = {
@@ -61,6 +78,7 @@ object Exprs {
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
       try_to_timestamp(s, lit("yyyy-MM-dd")),
+      parseTimestampSeconds(s),
       parseEpoch(num))
   }
 

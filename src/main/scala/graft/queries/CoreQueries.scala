@@ -224,13 +224,15 @@ object CoreQueries {
 
     // F3 — flexible timestamp parse round-trip (user_transformer.py:83-148)
     "f3_flexible_timestamp" -> ((s, dir) => {
-      val m = col("event_id") % 7
+      val m = col("event_id") % 8
       val raw = when(m === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
         .when(m === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
         .when(m === 2, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
         .when(m === 3, date_format(col("ts"), "yyyy-MM-dd"))
         .when(m === 4, unix_timestamp(col("ts")).cast("string"))
         .when(m === 5, (unix_timestamp(col("ts")) * 1000 + 250).cast("string"))
+        .when(m === 6, concat(lit("{\"seconds\": "),
+          unix_timestamp(col("ts")).cast("string"), lit(", \"nanoseconds\": 0}")))
         .otherwise(lit("nan"))
       t(s, dir, "events")
         .select(col("event_id"), raw.as("raw"), Exprs.parseFlexibleTimestamp(raw).as("parsed"))
@@ -661,13 +663,14 @@ object CoreQueries {
         |    [nullif(event_type, 'error'), NULL, CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'x' END],
         |    x -> x IS NOT NULL) AS kept FROM events) t ORDER BY event_id""".stripMargin,
     "f3_flexible_timestamp" ->
-      """WITH r AS (SELECT event_id, CASE event_id % 7
+      """WITH r AS (SELECT event_id, CASE event_id % 8
         |    WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
         |    WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
         |    WHEN 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
         |    WHEN 3 THEN strftime(ts, '%Y-%m-%d')
         |    WHEN 4 THEN (epoch_us(ts) // 1000000)::VARCHAR
         |    WHEN 5 THEN ((epoch_us(ts) // 1000000) * 1000 + 250)::VARCHAR
+        |    WHEN 6 THEN '{"seconds": ' || (epoch_us(ts) // 1000000)::VARCHAR || ', "nanoseconds": 0}'
         |    ELSE 'nan' END AS raw FROM events),
         |c AS (SELECT event_id, raw,
         |  CASE WHEN lower(trim(raw)) IN ('nan','null','none','','nat') THEN NULL ELSE trim(raw) END AS s FROM r)
@@ -677,6 +680,7 @@ object CoreQueries {
         |  try_strptime(s, '%Y-%m-%dT%H:%M:%S.%f'),
         |  try_strptime(s, '%Y-%m-%dT%H:%M:%SZ'),
         |  try_strptime(s, '%Y-%m-%d'),
+        |  make_timestamp(try_cast(regexp_extract(s, '"seconds":\s*(-?\d+)', 1) AS BIGINT) * 1000000),
         |  CASE WHEN try_cast(s AS DOUBLE) > 10000000000 THEN make_timestamp(try_cast(s AS DOUBLE)::BIGINT * 1000)
         |       WHEN try_cast(s AS DOUBLE) > 0 THEN make_timestamp(try_cast(s AS DOUBLE)::BIGINT * 1000000) END
         |) AS parsed FROM c ORDER BY event_id""".stripMargin,

@@ -62,6 +62,14 @@ class ExprsSpec extends SparkSpec {
     // non-positive epoch => null (user_transformer.py:145-146)
     assert(parse("0") == null)
     assert(parse("-5") == null)
+    // Firebase Timestamp object shape (user_transformer.py:130-135):
+    // seconds always, no ms heuristic, nanos ignored
+    assert(parse("""{"seconds": 1656672000, "nanoseconds": 250}""") ==
+      Timestamp.valueOf("2022-07-01 10:40:00"))
+    assert(parse("""{"seconds": 1656672000}""") == Timestamp.valueOf("2022-07-01 10:40:00"))
+    // malformed seconds payload => null, not an error
+    assert(parse("""{"seconds": "soon"}""") == null)
+    assert(parse("""{"nanoseconds": 5}""") == null)
     // null tokens and garbage => null
     assert(parse("nan") == null)
     assert(parse("not a date") == null)
