@@ -3,6 +3,8 @@ package graft.io
 import java.sql.{Connection, DriverManager}
 import java.util.Properties
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** JDBC source/sink utilities — the reference's Postgres layer
   * (postgres_loader.py, sql_extraction.py) re-expressed Spark-first.
@@ -68,6 +70,74 @@ object Jdbc {
              p: Properties = props(), batchSize: Int = 10000): Unit = {
     p.setProperty("batchsize", batchSize.toString)
     df.write.mode("append").jdbc(url, table, p)
+  }
+
+  /** K3 error-isolated append (postgres_loader.py:293-326, :550-575).
+    * The reference survives per-row DB errors by inserting one
+    * transaction per row; the Spark-first split computes the dominant
+    * failure class — key conflicts, both against the table and within
+    * the batch — set-at-a-time BEFORE any insert. Good rows still land
+    * as batched partition-parallel appends; bad rows come back as an
+    * error-channel DataFrame (original columns + `error`). At scale
+    * the pre-flight is one broadcast anti-join over a keys-only
+    * projection, so only the key column crosses the wire. Residual
+    * non-key violations (races, check constraints) are the province of
+    * `appendRowIsolated`. Returns (insertedCount, conflicts). */
+  def appendIsolated(df: DataFrame, url: String, table: String, keyCol: String,
+                     p: Properties = props(), batchSize: Int = 10000): (Long, DataFrame) = {
+    val existing = readKeys(df.sparkSession, url, table, keyCol)
+      .toDF(keyCol).select(col(keyCol).cast(df.schema(keyCol).dataType))
+      // eager snapshot: the conflict report must reflect the table BEFORE
+      // this append — a lazy JDBC read re-evaluated after the write would
+      // flag our own freshly-inserted rows as conflicts
+      .localCheckpoint(true)
+    // deterministic keep-first within the batch: order by every column
+    val w = Window.partitionBy(col(keyCol)).orderBy(df.columns.map(col): _*)
+    val ranked = df.withColumn("__rn", row_number().over(w))
+    val firstPerKey = ranked.filter(col("__rn") === 1).drop("__rn")
+    val dupInBatch = ranked.filter(col("__rn") > 1).drop("__rn")
+      .withColumn("error", lit("duplicate key within batch"))
+    val clean = firstPerKey.join(broadcast(existing), Seq(keyCol), "left_anti")
+      .localCheckpoint(true) // one computation feeds both the write and the count
+    val conflicts = firstPerKey.join(broadcast(existing), Seq(keyCol), "left_semi")
+      .withColumn("error", lit("key already exists"))
+      .unionByName(dupInBatch)
+    append(clean, url, table, p, batchSize)
+    (clean.count(), conflicts)
+  }
+
+  /** K3 per-row isolated append — the reference's exact semantics (one
+    * transaction per row, postgres_loader.py:558-575) for failures the
+    * set-based pre-flight can't predict. Each partition opens one
+    * connection and inserts row by row under autocommit, emitting
+    * (key, error) rows for failures instead of aborting the job.
+    * Throughput is deliberately traded for isolation — keep this off
+    * the hot path and feed it only `appendIsolated`'s residue. */
+  def appendRowIsolated(df: DataFrame, url: String, table: String,
+                        keyCol: String): DataFrame = {
+    val names = df.schema.fieldNames
+    val sql = s"INSERT INTO $table (${names.mkString(", ")}) " +
+      s"VALUES (${names.map(_ => "?").mkString(", ")})"
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    import df.sparkSession.implicits._
+    df.mapPartitions { rows =>
+      val errs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement(sql)
+        rows.foreach { r =>
+          try {
+            names.indices.foreach(i => ps.setObject(i + 1, r.get(i).asInstanceOf[AnyRef]))
+            ps.executeUpdate()
+          } catch { case e: java.sql.SQLException =>
+            errs += ((String.valueOf(r.get(keyIdx)), e.getMessage))
+          }
+        }
+      } finally c.close()
+      errs.iterator
+      // eager checkpoint: the inserts are side effects, so the plan must
+      // run exactly once — a recomputation would double-insert
+    }.toDF(keyCol, "error").localCheckpoint(true)
   }
 
   private def withConn[A](url: String)(f: Connection => A): A = {

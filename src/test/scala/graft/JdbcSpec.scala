@@ -67,6 +67,34 @@ class JdbcSpec extends SparkSpec {
     assert(Jdbc.readTable(spark, url, "users").count() == 4, "failed batch must roll back")
   }
 
+  test("K3 error isolation: mixed batch -> good rows land, bad rows reported") {
+    val iurl = "jdbc:derby:memory:graftiso;create=true"
+    Jdbc.createTableIfAbsent(iurl, "accounts",
+      "id VARCHAR(20) PRIMARY KEY, email VARCHAR(255), score INT")
+    Jdbc.append(Seq(("u2", "pre@x.com", 5)).toDF("id", "email", "score"), iurl, "accounts")
+
+    // u1 new, u2 conflicts with the table, u3 duplicated within the batch
+    val mixed = Seq(
+      ("u1", "a@x.com", 10), ("u2", "b@x.com", 20),
+      ("u3", "c@x.com", 30), ("u3", "d@x.com", 31))
+      .toDF("id", "email", "score")
+    val (inserted, conflicts) = Jdbc.appendIsolated(mixed, iurl, "accounts", "id")
+    assert(inserted == 2, "u1 and first u3 land")
+    val errs = conflicts.select("id", "error").as[(String, String)].collect().toSet
+    assert(errs == Set(
+      "u2" -> "key already exists",
+      "u3" -> "duplicate key within batch"))
+    assert(Jdbc.readTable(spark, iurl, "accounts").count() == 3, "u2(pre), u1, u3")
+
+    // per-row fallback: the reference's one-transaction-per-row semantics
+    val residue = Seq(("u4", "e@x.com", 40), ("u1", "dup@x.com", 41))
+      .toDF("id", "email", "score")
+    val rowErrs = Jdbc.appendRowIsolated(residue, iurl, "accounts", "id")
+    assert(rowErrs.select("id").as[String].collect().toSeq == Seq("u1"),
+      "only the duplicate key errors")
+    assert(Jdbc.readTable(spark, iurl, "accounts").count() == 4, "u4 landed despite u1 failing")
+  }
+
   test("F13 timestamped path shape") {
     val p = Jdbc.timestampedPath("export", "csv")
     assert(p.matches("export_\\d{8}_\\d{6}\\.csv"))
