@@ -26,6 +26,43 @@ object Ops {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** W1 keep-mode dispatcher (user_transformer.py:276-320): the
+    * reference sorts by the parsed timestamp ascending with NaT first
+    * and drop_duplicates with keep='last'|'first'|'all' — so 'last' is
+    * keep-latest (null ts loses to any real one), 'first' is
+    * keep-earliest (null ts wins), and 'all' reports only, passing
+    * every row through unchanged. */
+  def dedup(keys: Seq[String], ts: String, tieBreak: String,
+            keep: String = "last")(df: DataFrame): DataFrame = keep match {
+    case "all" => df
+    case "last" | "latest" => dedupKeepLatest(keys, ts, tieBreak)(df)
+    case "first" | "earliest" =>
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(ts).asc_nulls_first, col(tieBreak).asc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    case other => throw new IllegalArgumentException(
+      s"dedup: unknown keep mode '$other' (expected last|first|all)")
+  }
+
+  /** W1 stats detail channel (user_transformer.py:257-274): the
+    * reference records, per duplicated key value, the record count and
+    * the member id list before removing anything. Re-expressed as a
+    * query — per-key dup_count, removed_count, the id keep-latest
+    * retains, and the sorted member list — in ONE partial+final
+    * aggregation on the dedup keys (max_by picks the same winner as
+    * dedupKeepLatest's window: struct comparison puts a null ts below
+    * any real one, matching desc_nulls_last). */
+  def dedupStats(keys: Seq[String], ts: String, tieBreak: String)(df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("dup_count"),
+        max_by(col(tieBreak), struct(col(ts), col(tieBreak))).as("kept_id"),
+        array_join(array_sort(collect_list(col(tieBreak).cast("string"))), ",").as("ids"))
+      .filter(col("dup_count") > 1)
+      .select((keys.map(col) :+ col("dup_count") :+
+        (col("dup_count") - 1).as("removed_count") :+
+        col("kept_id") :+ col("ids")): _*)
+
   /** W1, skew-safe variant: a hot key (one email with millions of
     * rows) would funnel into a single window partition. Salting splits
     * each key into `salt` shards, takes the per-shard winner (reduces

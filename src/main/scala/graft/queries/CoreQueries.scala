@@ -27,6 +27,13 @@ object CoreQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // W1 stats detail channel (user_transformer.py:257-274): what the
+    // flagship dedup removed, per key — count, kept id, member list
+    "w1_dedup_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .transform(Ops.dedupStats(Seq("user_id", "event_type"), "ts", "event_id"))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // W2 — top-1-per-group retention (postgres_loader.py:474-522)
     "w2_top1_per_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -559,6 +566,18 @@ object CoreQueries {
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn
         |  FROM events) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "w1_dedup_stats" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS dup_count
+        |  FROM events)
+        |SELECT user_id, event_type, dup_count, dup_count - 1 AS removed_count,
+        |  max(CASE WHEN rn = 1 THEN event_id END) AS kept_id,
+        |  array_to_string(list_sort(list(event_id::VARCHAR)), ',') AS ids
+        |FROM ranked WHERE dup_count > 1
+        |GROUP BY user_id, event_type, dup_count
+        |ORDER BY user_id, event_type""".stripMargin,
     "w2_top1_per_group" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rn

@@ -25,6 +25,32 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(2L -> "a@x", 4L -> "b@x", 5L -> "c@x"))
   }
 
+  test("W1 dedup keep modes: last == keep-latest, first keeps null-ts row, all passes through") {
+    val nonNullKeys = events.transform(Ops.dropNullKeys(Seq("email")))
+    assert(nonNullKeys.transform(Ops.dedup(Seq("email"), "ts", "id", keep = "last")).collect().toSet ==
+      nonNullKeys.transform(Ops.dedupKeepLatest(Seq("email"), "ts", "id")).collect().toSet)
+    // pandas sorts NaT first then drop_duplicates keep='first': earliest
+    // real ts wins, and a null ts would win its key outright
+    val first = nonNullKeys.transform(Ops.dedup(Seq("email"), "ts", "id", keep = "first"))
+      .select("id", "email").as[(Long, String)].collect().toMap
+    assert(first == Map(1L -> "a@x", 3L -> "b@x", 5L -> "c@x"))
+    assert(events.transform(Ops.dedup(Seq("email"), "ts", "id", keep = "all")).count() ==
+      events.count(), "keep='all' is a passthrough")
+    intercept[IllegalArgumentException] {
+      Ops.dedup(Seq("email"), "ts", "id", keep = "weird")(events)
+    }
+  }
+
+  test("W1 dedupStats: per-key count, kept id matches dedupKeepLatest, sorted members") {
+    val stats = events.transform(Ops.dropNullKeys(Seq("email")))
+      .transform(Ops.dedupStats(Seq("email"), "ts", "id"))
+    val byKey = stats.select("email", "dup_count", "removed_count", "kept_id", "ids")
+      .as[(String, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(byKey.keySet == Set("a@x", "b@x"), "only duplicated keys reported")
+    assert(byKey("a@x") == (("a@x", 2L, 1L, 2L, "1,2")))
+    assert(byKey("b@x") == (("b@x", 2L, 1L, 4L, "3,4")), "tie keeps higher id")
+  }
+
   test("W1 property: output keys distinct; kept ts is partition max (seeded random)") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 500).map { i =>
