@@ -50,10 +50,13 @@ object Graft {
     ops.Ops.resolveIdConflicts(incoming, existing, idCol)
 
   // -- temporal / interval operators ---------------------------------
-  /** As-of backward join (one-shuffle union+window composition). */
+  /** As-of backward join (one-shuffle union+window composition). Pass
+    * `tieBreak` to break equal-timestamp right rows deterministically —
+    * without it, which tied row wins is plan-dependent. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
-    ops.Ops.asofJoin(left, right, keys, leftTs, rightTs, payload)
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tieBreak: Option[String] = None): DataFrame =
+    ops.Ops.asofJoin(left, right, keys, leftTs, rightTs, payload, tieBreak)
 
   /** Gap-based sessionization: adds a per-key `session_id` column. */
   def sessionize(df: DataFrame, keys: Seq[String], ts: String, gapSeconds: Long): DataFrame =

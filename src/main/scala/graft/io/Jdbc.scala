@@ -185,6 +185,25 @@ object Jdbc {
       ps.executeUpdate()
     }
 
+  /** W2 pushed to the database — `cleanup_duplicates`
+    * (postgres_loader.py:474-522): keep the newest row per key, delete
+    * the rest, in the database itself. The reference loops per
+    * duplicate value issuing one DELETE each; a single correlated
+    * NOT-EXISTS-style DELETE lets the database do the whole cleanup in
+    * one set-based pass. Ties on the timestamp break on the id (the
+    * reference's LIMIT 1 ordering is nondeterministic on ties). Rows
+    * with a NULL timestamp are never deleted (SQL three-valued logic);
+    * returns the number of rows removed. */
+  def deleteDuplicatesKeepNewest(url: String, table: String, keyCol: String,
+                                 tsCol: String, idCol: String): Int =
+    withConn(url) { c =>
+      c.createStatement().executeUpdate(
+        s"""DELETE FROM $table a WHERE EXISTS (
+           |  SELECT 1 FROM $table b WHERE b.$keyCol = a.$keyCol
+           |  AND (b.$tsCol > a.$tsCol
+           |       OR (b.$tsCol = a.$tsCol AND b.$idCol > a.$idCol)))""".stripMargin)
+    }
+
   /** S12/S14 — schema + stats probe (sql_extraction.py:107-135,
     * :284-329): column metadata via JDBC metadata, count pushed down. */
   def tableStats(spark: SparkSession, url: String, table: String,

@@ -137,6 +137,15 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** End-to-end corpus dedup: keep every document except the
+    * non-representative members of a duplicate cluster (the component
+    * label, i.e. the cluster's minimum id, is the one kept). A
+    * broadcast anti-join on the id keeps the plan linear — the
+    * components frame holds only clustered docs, ≪ the corpus. */
+  def keepOnePerCluster(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
+    df.join(components.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol)), Seq(idCol), "left_anti")
+
   /** SimHash signature (default 16 bits): each bit is the sign of the
     * ±1 vote sum over word hashes. Near-dups differ in few bits;
     * grouping on the signature (or rotated sub-signatures) buckets

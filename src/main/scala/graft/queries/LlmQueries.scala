@@ -156,6 +156,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end corpus dedup: the doc ids that survive near-dup
+    // clustering — every doc except non-representative cluster members
+    "llm_dedup_keep_one" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      Dedup.keepOnePerCluster(docs.select("doc_id"), "doc_id", comp)
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     // 3-gram shingle hashes with the benchmark set (doc_id < 10 stands
     // in for the held-out suite). The join is an equi-join on the
@@ -483,6 +493,18 @@ object LlmQueries {
          |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
          |SELECT node AS doc_id, least(node, min(r)) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "llm_dedup_keep_one" ->
+      s"""WITH RECURSIVE $pairsCtes,
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> label)
+         |ORDER BY doc_id""".stripMargin,
     "llm_ann_recall" ->
       s"""WITH e AS (SELECT vec_id,
          |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),

@@ -40,6 +40,15 @@ class GraftFacadeSpec extends SparkSpec {
       .select("session_id").as[Long].collect().toSet == Set(1L, 2L))
     val right = ev.select(col("user_id"), col("ts"), col("event_id").as("rid"))
     assert(Graft.asofJoin(ev, right, Seq("user_id"), "ts", "ts", Seq("rid")).count() == 2)
+    // tieBreak reaches Ops.asofJoin through the facade: two right rows at
+    // the same timestamp resolve to the highest rid deterministically
+    val tied = Seq((7L, "2024-01-01 10:00:00", 100L), (7L, "2024-01-01 10:00:00", 200L))
+      .toDF("user_id", "t", "rid")
+      .withColumn("ts", col("t").cast("timestamp")).drop("t")
+    val won = Graft.asofJoin(ev, tied, Seq("user_id"), "ts", "ts", Seq("rid"),
+      tieBreak = Some("rid"))
+      .filter(col("event_id") === 1L).select("rid").as[Long].collect()
+    assert(won.toSeq == Seq(200L), "deterministic tie-break picks max rid")
     assert(Graft.scrubPii(Seq("x@y.co ok").toDF("text"), "text")
       .as[String].collect()(0) == "<EMAIL> ok")
     val grouped = Seq((1, 5L), (1, 9L), (1, 2L)).toDF("g", "v")

@@ -95,6 +95,27 @@ class JdbcSpec extends SparkSpec {
     assert(Jdbc.readTable(spark, iurl, "accounts").count() == 4, "u4 landed despite u1 failing")
   }
 
+  test("W2 in-DB cleanup: DELETE keeps newest per key, ties break on id") {
+    val curl = "jdbc:derby:memory:graftw2;create=true"
+    Jdbc.createTableIfAbsent(curl, "profiles",
+      "id VARCHAR(20) PRIMARY KEY, email VARCHAR(255), created_at TIMESTAMP")
+    Jdbc.append(Seq(
+      ("p1", "a@x.com", "2024-01-01 10:00:00"),
+      ("p2", "a@x.com", "2024-01-03 10:00:00"), // newest a@x.com
+      ("p3", "b@x.com", "2024-01-02 10:00:00"),
+      ("p4", "b@x.com", "2024-01-02 10:00:00"), // tie: higher id wins
+      ("p5", "c@x.com", "2024-01-01 10:00:00")) // singleton untouched
+      .toDF("id", "email", "created")
+      .withColumn("created_at", col("created").cast("timestamp")).drop("created"),
+      curl, "profiles")
+    val removed = Jdbc.deleteDuplicatesKeepNewest(curl, "profiles", "email", "created_at", "id")
+    assert(removed == 2)
+    assert(Jdbc.readTable(spark, curl, "profiles")
+      .select(col("ID")).as[String].collect().toSet == Set("p2", "p4", "p5"))
+    assert(Jdbc.deleteDuplicatesKeepNewest(curl, "profiles", "email", "created_at", "id") == 0,
+      "idempotent once clean")
+  }
+
   test("F13 timestamped path shape") {
     val p = Jdbc.timestampedPath("export", "csv")
     assert(p.matches("export_\\d{8}_\\d{6}\\.csv"))
