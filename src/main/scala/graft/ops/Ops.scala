@@ -191,12 +191,36 @@ object Ops {
       .localCheckpoint(false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
+    // Early termination: propagation is monotone (a node's label only
+    // ever decreases), so for numeric ids an unchanged sum(label) is an
+    // EXACT fixpoint test — any label change strictly lowers the sum.
+    // Non-numeric ids fall back to a sum-of-xxhash64 checksum (a missed
+    // change needs a 2^-64-scale multiset-sum collision, and `iters`
+    // still bounds the loop). Real near-dup graphs are quasi-cliques
+    // that converge in 2-3 rounds, so paying one small agg action per
+    // round to stop early beats always running the full `iters` rounds.
+    val numericLabel = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def checksum(l: DataFrame): java.math.BigDecimal = {
+      val term = if (numericLabel) col("label") else xxhash64(col("node"), col("label"))
+      val s = l.agg(sum(term.cast("decimal(38,0)"))).first.getDecimal(0)
+      // sum over an empty frame is null; the node set never changes
+      // across rounds, so a fixed sentinel can't collide round-to-round
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var prev: java.math.BigDecimal = null
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("label"))
       labels = labels.unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      val s = checksum(labels)
+      converged = prev != null && prev == s
+      prev = s
+      round += 1
     }
     labels
   }
