@@ -1,0 +1,100 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.sources.RtdbRestClient
+
+/** Live-transport plumbing for the S1/S2 scan path: a localhost stub
+  * implements the public RTDB REST semantics (shallow, orderBy=$key,
+  * startAt/endAt inclusive, limitToFirst) and the client is checked for
+  * param construction, keyset paging, retry, and DSv2 integration. */
+class RtdbRestSpec extends SparkSpec {
+
+  // 25 users plus one scalar child (P4: non-dict rows are skipped)
+  private val data: Seq[(String, String)] =
+    (1 to 25).map(i => f"u$i%02d" -> f"""{"email":"u$i@x.com","n":$i}""") :+
+      ("zzz-scalar" -> "\"not-a-dict\"")
+  private val sorted = data.sortBy(_._1)
+
+  private val requests = mutable.ArrayBuffer[String]()
+  private val failFirst = new AtomicInteger(0) // >0: fail next N requests with 500
+
+  private def param(q: String, k: String): Option[String] =
+    Option(q).toSeq.flatMap(_.split("&")).collectFirst {
+      case kv if kv.startsWith(k + "=") =>
+        java.net.URLDecoder.decode(kv.drop(k.length + 1), "UTF-8")
+    }
+  private def unquote(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
+
+  private lazy val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/", (ex: HttpExchange) => {
+      val q = ex.getRequestURI.getRawQuery
+      requests.synchronized { requests += ex.getRequestURI.toString }
+      if (failFirst.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        ex.sendResponseHeaders(500, -1); ex.close()
+      } else {
+        val body: String =
+          if (param(q, "shallow").contains("true"))
+            sorted.map { case (k, _) => s""""$k": true""" }.mkString("{", ",", "}")
+          else {
+            val from = param(q, "startAt").map(unquote)
+            val to = param(q, "endAt").map(unquote)
+            val limit = param(q, "limitToFirst").map(_.toInt).getOrElse(Int.MaxValue)
+            sorted.filter { case (k, _) => from.forall(k >= _) && to.forall(k <= _) }
+              .take(limit)
+              .map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}")
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    s.start()
+    s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  test("buildUrl quotes and URL-encodes range params, appends auth token") {
+    val c = new RtdbRestClient("http://h/", authToken = Some("tok"))
+    val url = c.buildUrl("/Users", Seq("orderBy" -> "\"$key\"", "startAt" -> "\"a b\""))
+    assert(url == "http://h/Users.json?orderBy=%22%24key%22&startAt=%22a+b%22&auth=tok")
+  }
+
+  test("shallowKeys lists sorted keys and retries past a transient 500") {
+    failFirst.set(1)
+    val keys = new RtdbRestClient(base, backoffMs = 1).shallowKeys("Users")
+    assert(keys == sorted.map(_._1))
+  }
+
+  test("fetchRange pages by keyset, drops overlap, honors strict bound, skips scalars") {
+    requests.synchronized(requests.clear())
+    val rows = new RtdbRestClient(base).fetchRange("Users", "u00", Some("u20"), pageSize = 10).toSeq
+    assert(rows.map(_._1) == (1 to 19).map(i => f"u$i%02d"))
+    assert(rows.forall { case (k, v) => v.contains("\"email\"") })
+    val paged = requests.synchronized(requests.toList)
+    assert(paged.size >= 2, s"expected keyset paging, got $paged")
+    assert(paged.tail.exists(_.contains("startAt=%22u10%22")), s"page 2 resumes at last key: $paged")
+  }
+
+  test("lazy paging: a small take() stops issuing page requests") {
+    requests.synchronized(requests.clear())
+    val first = new RtdbRestClient(base).fetchRange("Users", "u00", None, pageSize = 5).take(3).toSeq
+    assert(first.map(_._1) == Seq("u01", "u02", "u03"))
+    assert(requests.synchronized(requests.size) == 1, "take(3) must fetch one page of 5")
+  }
+
+  test("DSv2 url mode: sharded REST scan matches snapshot, point lookup prunes") {
+    val df = spark.read.format("graft.sources.RtdbSnapshotSource")
+      .option("path", "Users").option("url", base)
+      .option("numPartitions", "4").option("pageSize", "7").load()
+    assert(df.count() == 25) // scalar child skipped
+    assert(df.rdd.getNumPartitions == 4)
+    val one = df.filter(col("id") === "u07").collect()
+    assert(one.length == 1 && one(0).getAs[String]("json").contains("u7@x.com"))
+  }
+}
