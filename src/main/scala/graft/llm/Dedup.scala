@@ -77,9 +77,13 @@ object Dedup {
     * both linear in data. `maxBucket` drops degenerate buckets (stop
     * phrases / boilerplate) that would otherwise go quadratic — the
     * standard guard at 100 TB. */
+  /** Shared band-bucket cap, interpolated into the DuckDB oracle SQL so
+    * the two engines can't silently drift. */
+  val DefaultMaxBucket = 1000
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleN: Int = 3,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Materialize each stage as a column: higher-order-function lambdas
     // are interpreted (no codegen/CSE inside), so an inlined
     // split(lower(text)) would re-execute per element access. Also

@@ -102,6 +102,24 @@ object LlmQueries {
         n = 2, threshold = 0.15)
         .orderBy(col("a"), col("b"))),
 
+    // Tight-cap twins: same pipelines with caps chosen so real
+    // harness-scale buckets/blocks straddle them (some survive, some
+    // are dropped), so the drop-degenerate semantics (count-window then
+    // filter) are exercised non-trivially by the oracle compare — at
+    // the default 1000 the caps never fire at sf0.01 and a Spark/DuckDB
+    // divergence would go undetected. At sf0.01: LSH cap 2 keeps 23 of
+    // 25 pairs; ngram cap 10 keeps 3 of 4.
+    "llm_dedup_lsh_tightcap" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        maxBucket = 2)
+        .orderBy(col("a"), col("b"))),
+
+    "llm_ngram_jaccard_tightcap" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockExpr = concat(col("lang"), lit("_"), expr("n_chars div 25").cast("string")),
+        n = 2, threshold = 0.15, maxBlock = 10)
+        .orderBy(col("a"), col("b"))),
+
     // ANN quality measurement: recall@3 of the LSH-bucketed search
     // against exact top-3 on the same query/candidate split. The
     // approximation is only as good as its measured recall — this
@@ -313,17 +331,39 @@ object LlmQueries {
     s"'${bnd}_' || " + parts.mkString(" || '_' || ")
   }
 
+  /** N-gram Jaccard oracle with the block cap as a parameter — shared
+    * by the default-cap and tight-cap variants so blocking, hashing and
+    * the cap window can't drift between them. */
+  private def ngramJaccardOracle(cap: Int): String =
+    s"""WITH pre AS (
+       |  SELECT doc_id, lang || '_' || (n_chars // 25)::VARCHAR AS blk,
+       |    list_distinct(list_transform(
+       |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
+       |      s -> ${duckHash("s")})) AS g
+       |  FROM (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents) t
+       |  WHERE len(w) >= 2),
+       |capped AS (SELECT doc_id, blk, g FROM (
+       |  SELECT doc_id, blk, g, count(*) OVER (PARTITION BY blk) AS bc FROM pre) t0
+       |  WHERE bc BETWEEN 2 AND $cap)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+       |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+       |  FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id) t
+       |WHERE jaccard >= 0.15 ORDER BY a, b""".stripMargin
+
   /** Shared CTE chain producing the MinHash+LSH candidate pairs with
-    * exact-Jaccard scores (`scored`) — used by both the
-    * llm_dedup_minhash_lsh and llm_dedup_components oracles so the cap,
-    * banding and threshold can't drift apart. */
-  private lazy val pairsCtes: String =
+    * exact-Jaccard scores (`scored`) — used by the llm_dedup_minhash_lsh,
+    * llm_dedup_components and llm_dedup_keep_one oracles so the cap,
+    * banding and threshold can't drift apart. `cap` mirrors
+    * minHashLshPairs' maxBucket. */
+  private def pairsCtes(cap: Int = Dedup.DefaultMaxBucket): String =
     s"""$shingleCte,
        |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
        |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
        |bands AS (SELECT doc_id, band FROM (
        |  SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bc FROM bands0) t
-       |  WHERE bc <= 1000),
+       |  WHERE bc <= $cap),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
        |scored AS (SELECT a, b,
@@ -360,7 +400,7 @@ object LlmQueries {
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents) t0) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "llm_dedup_minhash_lsh" ->
-      s"""WITH $pairsCtes
+      s"""WITH ${pairsCtes()}
          |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
     "llm_dedup_simhash" ->
       s"""SELECT doc_id, CAST(${simhashTerms.mkString(" + ")} AS BIGINT) AS simhash
@@ -454,23 +494,11 @@ object LlmQueries {
          |SELECT a, b, cosine FROM (
          |  SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM p) t
          |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
-    "llm_ngram_jaccard" ->
-      s"""WITH pre AS (
-         |  SELECT doc_id, lang || '_' || (n_chars // 25)::VARCHAR AS blk,
-         |    list_distinct(list_transform(
-         |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
-         |      s -> ${duckHash("s")})) AS g
-         |  FROM (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents) t
-         |  WHERE len(w) >= 2),
-         |capped AS (SELECT doc_id, blk, g FROM (
-         |  SELECT doc_id, blk, g, count(*) OVER (PARTITION BY blk) AS bc FROM pre) t0
-         |  WHERE bc BETWEEN 2 AND ${Dedup.DefaultMaxBlock})
-         |SELECT a, b, jaccard FROM (
-         |  SELECT x.doc_id AS a, y.doc_id AS b,
-         |    CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
-         |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
-         |  FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id) t
-         |WHERE jaccard >= 0.15 ORDER BY a, b""".stripMargin,
+    "llm_ngram_jaccard" -> ngramJaccardOracle(Dedup.DefaultMaxBlock),
+    "llm_ngram_jaccard_tightcap" -> ngramJaccardOracle(10),
+    "llm_dedup_lsh_tightcap" ->
+      s"""WITH ${pairsCtes(2)}
+         |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
     "llm_ann_lsh_bucketed" ->
       s"""WITH e AS (SELECT vec_id AS vid,
          |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
@@ -485,7 +513,7 @@ object LlmQueries {
          |  SELECT vid, bucket, nn, dot, row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
          |  FROM p) t WHERE rn = 1 ORDER BY vid""".stripMargin,
     "llm_dedup_components" ->
-      s"""WITH RECURSIVE $pairsCtes,
+      s"""WITH RECURSIVE ${pairsCtes()},
          |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
          |sym AS (SELECT a AS src, b AS dst FROM edges
          |        UNION ALL SELECT b AS src, a AS dst FROM edges),
@@ -494,7 +522,7 @@ object LlmQueries {
          |SELECT node AS doc_id, least(node, min(r)) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "llm_dedup_keep_one" ->
-      s"""WITH RECURSIVE $pairsCtes,
+      s"""WITH RECURSIVE ${pairsCtes()},
          |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
          |sym AS (SELECT a AS src, b AS dst FROM edges
          |        UNION ALL SELECT b AS src, a AS dst FROM edges),
