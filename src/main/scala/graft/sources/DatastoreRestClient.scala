@@ -1,0 +1,155 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Minimal Cloud Datastore REST v1 client — the live-service half of
+  * the S6/S7 scan path. The reference pages `query.fetch(limit=1000,
+  * start_cursor=...)` through the SDK (`datastore_service.py:105-178`),
+  * which fronts this public surface:
+  *
+  *   POST <base>/v1/projects/<project>:runQuery
+  *     {"query": {"kind":[{"name":k}], "limit":n, "startCursor":c,
+  *                "filter": {...on __key__...}}}
+  *   →  {"batch": {"entityResults":[{"entity":{"key":...,"properties":...}}],
+  *                 "endCursor":c', "moreResults":"NOT_FINISHED"|...}}
+  *
+  * Pagination is cursor-based (opaque `endCursor` resumes the scan;
+  * the reference's 1000/page loop at `datastore_service.py:121-160`).
+  * Pages are fetched lazily so DSv2 limit pushdown stops issuing
+  * requests. Kind discovery (S7, `datastore_service.py:56-72`) queries
+  * the `__kind__` pseudo-kind. Key promotion mirrors the reference:
+  * `key.name`, else stringified `key.id` (`datastore_service.py:
+  * 140-147`). POSTs here are read-only queries, so 5xx/transport
+  * errors retry with backoff like the RTDB GETs; 4xx fails fast. */
+class DatastoreRestClient(baseUrl: String, projectId: String,
+                          authToken: Option[String] = None,
+                          maxRetries: Int = 3, backoffMs: Long = 100) extends Serializable {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[graft] def queryUrl: String =
+    s"${baseUrl.stripSuffix("/")}/v1/projects/$projectId:runQuery"
+
+  private[graft] def post(url: String, body: String): String = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= maxRetries) {
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setConnectTimeout(10000)
+          conn.setReadTimeout(60000)
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/json")
+          authToken.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(body.getBytes("UTF-8"))
+          val code = conn.getResponseCode
+          if (code == 200) {
+            val in = conn.getInputStream
+            try return new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          } else if (code >= 500) throw new java.io.IOException(s"HTTP $code from $url")
+          else throw new IllegalArgumentException(s"HTTP $code from $url (not retryable)")
+        } finally conn.disconnect()
+      } catch {
+        case e: java.io.IOException =>
+          last = e
+          Thread.sleep(backoffMs << attempt)
+          attempt += 1
+      }
+    }
+    throw new java.io.IOException(s"POST failed after ${maxRetries + 1} attempts", last)
+  }
+
+  /** Key promotion from an entity key's last path element: name, else
+    * stringified numeric id (the reference's fallback chain). */
+  private def keyOf(entity: JsonNode): Option[String] = {
+    val path = entity.path("key").path("path")
+    if (!path.isArray || path.size == 0) None
+    else {
+      val last = path.get(path.size - 1)
+      if (last.hasNonNull("name")) Some(last.get("name").asText)
+      else if (last.hasNonNull("id")) Some(last.get("id").asText)
+      else None
+    }
+  }
+
+  private def queryBody(kind: String, pageSize: Int, cursor: Option[String],
+                        fromKey: Option[String], toKeyExcl: Option[String],
+                        keysOnly: Boolean): String = {
+    val root = mapper.createObjectNode()
+    val q = root.putObject("query")
+    q.putArray("kind").addObject().put("name", kind)
+    q.put("limit", pageSize)
+    cursor.foreach(q.put("startCursor", _))
+    if (keysOnly) q.putArray("projection").addObject()
+      .putObject("property").put("name", "__key__")
+    def keyFilter(op: String, v: String): ObjectNode = {
+      val f = mapper.createObjectNode()
+      val pf = f.putObject("propertyFilter")
+      pf.putObject("property").put("name", "__key__")
+      pf.put("op", op)
+      pf.putObject("value").putObject("keyValue").putArray("path")
+        .addObject().put("kind", kind).put("name", v)
+      f
+    }
+    val filters = fromKey.map(keyFilter("GREATER_THAN_OR_EQUAL", _)).toSeq ++
+      toKeyExcl.map(keyFilter("LESS_THAN", _))
+    if (filters.size == 1) q.set[ObjectNode]("filter", filters.head)
+    else if (filters.size > 1) {
+      val cf = q.putObject("filter").putObject("compositeFilter")
+      cf.put("op", "AND")
+      val arr = cf.putArray("filters")
+      filters.foreach(arr.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Cursor-paged entity scan of `kind`, optionally bounded to the key
+    * range [fromKey, toKeyExcl) — lazily fetched (key, properties-json)
+    * rows; entities without a usable key are skipped. */
+  def runQuery(kind: String, fromKey: Option[String] = None,
+               toKeyExcl: Option[String] = None, pageSize: Int = 1000,
+               keysOnly: Boolean = false): Iterator[(String, String)] =
+    new Iterator[(String, String)] {
+      private var buf: Iterator[(String, String)] = Iterator.empty
+      private var cursor: Option[String] = None
+      private var exhausted = false
+
+      private def fetchPage(): Unit = {
+        val resp = mapper.readTree(post(queryUrl,
+          queryBody(kind, pageSize, cursor, fromKey, toKeyExcl, keysOnly)))
+        val batch = resp.path("batch")
+        val results = batch.path("entityResults")
+        val rows =
+          if (!results.isArray) Seq.empty
+          else results.elements().asScala.toSeq.flatMap { er =>
+            val entity = er.path("entity")
+            keyOf(entity).map(_ -> entity.path("properties").toString)
+          }
+        buf = rows.iterator
+        val more = batch.path("moreResults").asText("NO_MORE_RESULTS")
+        cursor = Option(batch.path("endCursor").asText(null)).filter(_.nonEmpty)
+        exhausted = rows.isEmpty || more == "NO_MORE_RESULTS" || cursor.isEmpty
+      }
+
+      private def refill(): Unit = while (!buf.hasNext && !exhausted) fetchPage()
+      override def hasNext: Boolean = { refill(); buf.hasNext }
+      override def next(): (String, String) = { refill(); buf.next() }
+    }
+
+  /** S7 kind discovery: the `__kind__` pseudo-kind names every kind;
+    * system kinds (`__*__`) are filtered like the reference's listing. */
+  def listKinds(): Seq[String] =
+    runQuery("__kind__", keysOnly = true).map(_._1)
+      .filterNot(_.startsWith("__")).toSeq.sorted
+
+  /** S8 — count entities of a kind via a keys-only scan (the SDK
+    * count path; keys-only batches avoid shipping payloads). */
+  def countEntities(kind: String): Long =
+    runQuery(kind, keysOnly = true).size.toLong
+}

@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source over the Datastore REST surface — the scale
+  * path for S6 (`datastore_service.py:105-178`). The reference fetches
+  * every entity of a kind through one cursor-paged loop on the driver;
+  * here the planner splits the key space into N ranges (keys-only scan
+  * is the cheap enumeration call), one InputPartition per range, and
+  * each reader runs its own bounded cursor-paged `runQuery` — N
+  * concurrent range scans instead of one serial loop, the same shape
+  * as the RTDB source. Key-range pushdown (point lookups) prunes
+  * partitions exactly like RtdbSnapshotSource.
+  *
+  * Usage: spark.read.format("graft.sources.DatastoreSource")
+  *   .option("url", ...).option("projectId", ...).option("kind", "User")
+  *   .option("numPartitions", "8").load()
+  */
+class DatastoreSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DatastoreSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DatastoreTable(
+      properties.get("url"), properties.get("projectId"),
+      Option(properties.get("kind")).getOrElse("User"),
+      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(4),
+      Option(properties.get("pageSize")).map(_.toInt).getOrElse(1000),
+      Option(properties.get("authToken")))
+}
+
+object DatastoreSource {
+  /** Key promotion is part of the source: entity key name/id → id
+    * (`datastore_service.py:140-147`). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("json", StringType, nullable = true)))
+}
+
+class DatastoreTable(url: String, projectId: String, kind: String,
+                     numPartitions: Int, pageSize: Int, authToken: Option[String])
+  extends Table with SupportsRead {
+  override def name(): String = s"datastore($projectId/$kind)"
+  override def schema(): StructType = DatastoreSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DatastoreScanBuilder(url, projectId, kind, numPartitions, pageSize, authToken)
+}
+
+class DatastoreScanBuilder(url: String, projectId: String, kind: String,
+                           numPartitions: Int, pageSize: Int, authToken: Option[String])
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+
+  private var keyLow: Option[String] = None
+  private var keyHighExcl: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest, low, high) = KeyRangePush.intersect(filters, Set("id"))
+    keyLow = low; keyHighExcl = high; pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new DatastoreScan(url, projectId, kind, numPartitions, pageSize, authToken,
+      keyLow, keyHighExcl, limit)
+}
+
+class DatastoreScan(url: String, projectId: String, kind: String,
+                    numPartitions: Int, pageSize: Int, authToken: Option[String],
+                    keyLow: Option[String], keyHighExcl: Option[String],
+                    limit: Option[Int]) extends Scan with Batch {
+  override def readSchema(): StructType = DatastoreSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val client = new DatastoreRestClient(url, projectId, authToken)
+    val keys = client.runQuery(kind, keyLow, keyHighExcl, pageSize, keysOnly = true)
+      .map(_._1).toSeq.sorted
+    if (keys.isEmpty) return Array.empty
+    val n = math.min(numPartitions, keys.size)
+    val bounds = (0 until n).map(i => keys(i * keys.size / n))
+    bounds.zipWithIndex.map { case (from, i) =>
+      val to = if (i + 1 < n) Some(bounds(i + 1)) else keyHighExcl
+      DatastoreRangePartition(url, projectId, kind, Some(from), to, pageSize,
+        authToken, limit): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = DatastoreReaderFactory
+}
+
+case class DatastoreRangePartition(url: String, projectId: String, kind: String,
+                                   fromKey: Option[String], toKeyExcl: Option[String],
+                                   pageSize: Int, authToken: Option[String],
+                                   limit: Option[Int]) extends InputPartition
+
+object DatastoreReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DatastoreRangePartition]
+    new PartitionReader[InternalRow] {
+      private val it0 = new DatastoreRestClient(p.url, p.projectId, p.authToken)
+        .runQuery(p.kind, p.fromKey, p.toKeyExcl, p.pageSize)
+      private val it = p.limit.fold(it0)(it0.take)
+      private var cur: (String, String) = _
+      override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+      override def get(): InternalRow = InternalRow(
+        UTF8String.fromString(cur._1), UTF8String.fromString(cur._2))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -129,28 +129,8 @@ class RtdbScanBuilder(path: String, numPartitions: Int,
   /** Push key-range predicates into partition planning; everything else
     * stays for Spark to evaluate. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
-      case EqualTo("id", _: String) | EqualTo("uid", _: String) => true
-      case GreaterThanOrEqual("id", _: String) => true
-      case LessThan("id", _: String) => true
-      case _ => false
-    }
-    // Each filter INTERSECTS the current range: low = max of lows,
-    // high = min of highs. An EqualTo is the degenerate range
-    // [v, v+NUL); two conflicting EqualTos (id==='a' && uid==='b')
-    // intersect to an empty range -- zero partitions, zero rows.
-    def tightenLow(v: String): Unit =
-      keyLow = Some(keyLow.fold(v)(l => if (v > l) v else l))
-    def tightenHigh(v: String): Unit =
-      keyHighExcl = Some(keyHighExcl.fold(v)(h => if (v < h) v else h))
-    accepted.foreach {
-      case EqualTo(_, v: String) =>
-        tightenLow(v); tightenHigh(v + "\u0000")
-      case GreaterThanOrEqual(_, v: String) => tightenLow(v)
-      case LessThan(_, v: String) => tightenHigh(v)
-      case _ => ()
-    }
-    pushed = accepted
+    val (accepted, rest, low, high) = KeyRangePush.intersect(filters, Set("id", "uid"))
+    keyLow = low; keyHighExcl = high; pushed = accepted
     rest // Spark re-checks accepted ones too if we returned them; range is exact, so drop
   }
 
