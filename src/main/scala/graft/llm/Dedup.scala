@@ -143,12 +143,18 @@ object Dedup {
 
   /** End-to-end corpus dedup: keep every document except the
     * non-representative members of a duplicate cluster (the component
-    * label, i.e. the cluster's minimum id, is the one kept). A
-    * broadcast anti-join on the id keeps the plan linear — the
-    * components frame holds only clustered docs, ≪ the corpus. */
-  def keepOnePerCluster(df: DataFrame, idCol: String, components: DataFrame): DataFrame =
-    df.join(components.filter(col("node") =!= col("label"))
-      .select(col("node").as(idCol)), Seq(idCol), "left_anti")
+    * label, i.e. the cluster's minimum id, is the one kept). The
+    * default broadcast anti-join keeps the corpus un-exchanged — the
+    * components frame holds only clustered docs, ≪ the corpus (and the
+    * checkpointed frame has no stats, so without the hint Spark plans
+    * a sort-merge join that shuffles the whole corpus). Pass false if
+    * the dup rate is so high the drop list outgrows broadcast. */
+  def keepOnePerCluster(df: DataFrame, idCol: String, components: DataFrame,
+                        broadcastDrops: Boolean = true): DataFrame = {
+    val drops = components.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    df.join(if (broadcastDrops) broadcast(drops) else drops, Seq(idCol), "left_anti")
+  }
 
   /** SimHash signature (default 16 bits): each bit is the sign of the
     * ±1 vote sum over word hashes. Near-dups differ in few bits;
