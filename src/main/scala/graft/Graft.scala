@@ -75,6 +75,14 @@ object Graft {
                    threshold: Double = 0.8): DataFrame =
     llm.Dedup.minHashLshPairs(df, idCol, textCol, threshold)
 
+  /** Full near-dup dedup: LSH pairs → connected components → drop
+    * non-representative cluster members (one survivor per cluster). */
+  def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8): DataFrame = {
+    val pairs = llm.Dedup.minHashLshPairs(df, idCol, textCol, threshold)
+    llm.Dedup.keepOnePerCluster(df, idCol, ops.Ops.connectedComponents(pairs, "a", "b"))
+  }
+
   def annTopK(data: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int): DataFrame =
     llm.Similarity.bruteForceTopKQ(queries, data, idCol, idCol, embCol, k)
@@ -100,4 +108,17 @@ object Graft {
     df.na.fill("N/A").show(n, truncate = false)
 
   def validationReport(flagged: DataFrame): DataFrame = ops.Ops.validationReport(flagged)
+
+  // -- live-service / in-DB utilities ---------------------------------
+  /** W2 pushed to the database (`cleanup_duplicates`): one set-based
+    * DELETE keeps the newest row per key; returns rows removed. */
+  def cleanupDuplicatesInDb(url: String, table: String, keyCol: String,
+                            tsCol: String, idCol: String): Int =
+    io.Jdbc.deleteDuplicatesKeepNewest(url, table, keyCol, tsCol, idCol)
+
+  /** Batched executor-side Auth lookups (replaces the reference's N+1
+    * RPC loop); output feeds `enrichFromAuth`. */
+  def fetchAuthUsers(uids: DataFrame, uidCol: String,
+                     client: sources.AuthRestClient, batchSize: Int = 100): DataFrame =
+    sources.AuthRestClient.fetchAuthUsers(uids, uidCol, client, batchSize)
 }

@@ -55,4 +55,15 @@ class GraftFacadeSpec extends SparkSpec {
       .groupBy("g").agg(Graft.topK(col("v"), 2).as("t"))
     assert(grouped.select("t").as[Seq[Long]].collect()(0) == Seq(9L, 5L))
   }
+
+  test("dedupNearDuplicates keeps one survivor per duplicate cluster") {
+    val sentence = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, sentence), (2L, sentence),                        // exact dup cluster
+      (3L, "completely different text about spark physical plans here"))
+      .toDF("doc_id", "text")
+    val kept = Graft.dedupNearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), "cluster min id survives, distinct doc untouched")
+  }
 }
