@@ -88,6 +88,22 @@ class RtdbRestSpec extends SparkSpec {
     assert(requests.synchronized(requests.size) == 1, "take(3) must fetch one page of 5")
   }
 
+  test("cross-transport equivalence: file parse and REST fetch yield identical rows") {
+    val dir = java.nio.file.Files.createTempDirectory("rtdbxt").toFile
+    val f = new java.io.File(dir, "export.json")
+    java.nio.file.Files.writeString(f.toPath,
+      data.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    val viaFile = spark.read.format("graft.sources.RtdbSnapshotSource")
+      .option("path", f.getAbsolutePath).option("numPartitions", "3").load()
+    val viaRest = spark.read.format("graft.sources.RtdbSnapshotSource")
+      .option("path", "Users").option("url", base)
+      .option("numPartitions", "3").option("pageSize", "6").load()
+    assert(rows(viaFile) == rows(viaRest), "two transports, one result")
+    assert(rows(viaFile).size == 25)
+  }
+
   test("DSv2 url mode: sharded REST scan matches snapshot, point lookup prunes") {
     val df = spark.read.format("graft.sources.RtdbSnapshotSource")
       .option("path", "Users").option("url", base)
