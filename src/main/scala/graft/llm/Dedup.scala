@@ -172,6 +172,54 @@ object Dedup {
     (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)
   }
 
+  /** Signature width for `simHashPairs`. 48 bits (not the display
+    * query's 16): split into 4 rotated 12-bit bands, each band key
+    * ranges over 4096 values, so buckets stay selective — a 16-bit
+    * signature would give only 64 possible buckets and quadratic
+    * candidate blowup on any real corpus. */
+  val SimHashPairBits = 48
+  private val SimHashBandBits = SimHashPairBits / 4
+
+  /** SimHash near-dup pairs — the banded dedup step over `simHash`
+    * signatures. The 48-bit signature splits into 4 rotated 12-bit
+    * bands; by pigeonhole any pair within Hamming distance 3 shares at
+    * least one intact band, so grouping on (band#, band value) buckets
+    * all candidates at that radius without pair enumeration, then an
+    * exact Hamming check keeps pairs ≤ `maxHamming`. Same capped
+    * one-exchange collect-list pair expansion as `minHashLshPairs`,
+    * but the signature rides inside the collected struct so the verify
+    * needs no join back. A pair can share several bands → distinct. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 2, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val mask = (1L << SimHashBandBits) - 1
+    val sigs = df
+      .filter(size(Text.words(col(textCol))) >= 1)
+      .repartition(parallelism, col(idCol))
+      .withColumn("__wh", transform(Text.words(col(textCol)), w => Text.md5Hash(w)))
+      .withColumn("__sig", graft.expr.native.NativeFns.simHash(col("__wh"), SimHashPairBits))
+      .select(col(idCol), col("__sig"))
+    val bands = sigs.select(col(idCol), col("__sig"),
+      explode(array((0 until 4).map(b =>
+        concat_ws("_", lit(b.toString),
+          shiftright(col("__sig"), b * SimHashBandBits).bitwiseAND(lit(mask)).cast("string"))): _*))
+        .as("band"))
+    bands
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("__bc").between(2, maxBucket))
+      .groupBy(col("band"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("__sig").as("sig"))))
+        .as("xs"))
+      .select(explode(flatten(transform(col("xs"), x =>
+        transform(filter(col("xs"), y => y("id") > x("id")),
+          y => struct(x("id").as("a"), y("id").as("b"),
+            x("sig").as("sa"), y("sig").as("sb")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        hammingDist(col("p.sa"), col("p.sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Shared block-size cap, interpolated into the DuckDB oracle SQL so
     * the two engines can't silently drift (Similarity.DefaultMaxBucket
     * pattern). */

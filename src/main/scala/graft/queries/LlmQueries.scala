@@ -38,6 +38,17 @@ object LlmQueries {
           graft.expr.native.NativeFns.simHash(col("wh")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // SimHash dedup completed: banded candidate buckets + exact Hamming
+    // verify. The synthetic corpus is template-generated, so radius-2
+    // buckets hold whole template clusters (hundreds of docs — the
+    // boilerplate failure mode); the tight bucket cap drops those
+    // wholesale and keeps the organic near-dups, exercising the cap at
+    // default scale.
+    "llm_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2,
+        maxBucket = 64)
+        .orderBy(col("a"), col("b"))),
+
     "llm_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .withColumn("q", Text.qualityFeatures(col("text")))
@@ -371,7 +382,7 @@ object LlmQueries {
        |    / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs))) AS jaccard
        |  FROM cand JOIN pre xa ON cand.a = xa.doc_id JOIN pre xb ON cand.b = xb.doc_id)""".stripMargin
 
-  private val simhashTerms = (0 until 16).map { b =>
+  private def simhashTerms(bits: Int = 16) = (0 until bits).map { b =>
     s"""CASE WHEN list_sum(list_transform(wh,
        |  h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
        |  THEN ${1L << b} ELSE 0 END""".stripMargin
@@ -403,9 +414,24 @@ object LlmQueries {
       s"""WITH ${pairsCtes()}
          |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
     "llm_dedup_simhash" ->
-      s"""SELECT doc_id, CAST(${simhashTerms.mkString(" + ")} AS BIGINT) AS simhash
+      s"""SELECT doc_id, CAST(${simhashTerms().mkString(" + ")} AS BIGINT) AS simhash
          |FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '),
          |  w -> ${duckHash("w")}) AS wh FROM documents) t ORDER BY doc_id""".stripMargin,
+    "llm_dedup_simhash_pairs" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, CAST(${simhashTerms(Dedup.SimHashPairBits).mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |    w -> ${duckHash("w")}) AS wh FROM documents) t),
+         |bands0 AS (SELECT doc_id, simhash,
+         |  unnest([0,1,2,3])::VARCHAR || '_' ||
+         |    ((simhash >> (unnest([0,1,2,3]) * 12)) & 4095)::VARCHAR AS band FROM sig),
+         |capped AS (SELECT doc_id, simhash, band FROM (
+         |  SELECT doc_id, simhash, band, count(*) OVER (PARTITION BY band) AS bc
+         |  FROM bands0) t WHERE bc BETWEEN 2 AND 64)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2 ORDER BY a, b""".stripMargin,
     "llm_text_quality" ->
       s"""SELECT doc_id,
          |  length(text)::BIGINT AS n_chars,

@@ -194,6 +194,21 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simHashPairs: identical docs pair at hamming 0, distinct text excluded") {
+    val sentence = "shared template sentence with mostly common words here"
+    val docs = Seq(
+      (1L, sentence), (2L, sentence),
+      (3L, sentence + " tweak"),                             // near-dup of 1/2
+      (4L, "entirely unrelated content about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 2)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(0L), s"identical docs at hamming 0: $byPair")
+    assert(pairs.forall(p => p._3 <= 2), "radius respected")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc excluded: $byPair")
+  }
+
   test("exact + normalized dedup") {
     val docs = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
