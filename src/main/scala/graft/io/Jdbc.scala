@@ -91,9 +91,13 @@ object Jdbc {
       // this append — a lazy JDBC read re-evaluated after the write would
       // flag our own freshly-inserted rows as conflicts
       .localCheckpoint(true)
-    // deterministic keep-first within the batch: order by every column
+    // deterministic keep-first within the batch: order by every column.
+    // Eager snapshot here too: conflicts is typically collected AFTER
+    // the append, and a lazy `df` (sample/limit/shuffle upstream, or a
+    // read of the very table being appended to) re-evaluated then could
+    // disagree with the rows that were actually written.
     val w = Window.partitionBy(col(keyCol)).orderBy(df.columns.map(col): _*)
-    val ranked = df.withColumn("__rn", row_number().over(w))
+    val ranked = df.withColumn("__rn", row_number().over(w)).localCheckpoint(true)
     val firstPerKey = ranked.filter(col("__rn") === 1).drop("__rn")
     val dupInBatch = ranked.filter(col("__rn") > 1).drop("__rn")
       .withColumn("error", lit("duplicate key within batch"))

@@ -191,6 +191,8 @@ object Dedup {
     * needs no join back. A pair can share several bands → distinct. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 2, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band bucketing only guarantees recall up to Hamming distance 3; got $maxHamming")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val mask = (1L << SimHashBandBits) - 1
     val sigs = df

@@ -177,11 +177,12 @@ object Ops {
     // Iterative plans MUST cut lineage per round: the edge set is read
     // every iteration and each round's labels feed the next, so an
     // uncheckpointed loop nests the upstream plan 2^iters times
-    // (exponential analysis and recompute cost). Lazy checkpoints keep
-    // plan construction job-free; each frontier materializes once.
+    // (exponential analysis and recompute cost). Each round's frontier
+    // checkpoints EAGERLY — the convergence test below needs an action
+    // per round anyway, so building this DataFrame runs Spark jobs
+    // (it is an executed loop, not a lazily-declared plan).
     // (Frontier blocks stay cached until GC — at cluster scale with
-    // big label sets, switch to eager checkpoints and unpersist the
-    // previous frontier after each round materializes.)
+    // big label sets, unpersist the previous frontier each round.)
     // Checkpoint the edge plan FIRST: the symmetric union references it
     // twice, which would otherwise execute the (often expensive)
     // pair-generation pipeline twice.
@@ -192,17 +193,25 @@ object Ops {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     // Early termination: propagation is monotone (a node's label only
-    // ever decreases), so for numeric ids an unchanged sum(label) is an
-    // EXACT fixpoint test — any label change strictly lowers the sum.
-    // Non-numeric ids fall back to a sum-of-xxhash64 checksum (a missed
-    // change needs a 2^-64-scale multiset-sum collision, and `iters`
-    // still bounds the loop). Real near-dup graphs are quasi-cliques
-    // that converge in 2-3 rounds, so paying one small agg action per
-    // round to stop early beats always running the full `iters` rounds.
-    val numericLabel = labels.schema("label").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // ever decreases), so for integral ids an unchanged sum(label) is an
+    // EXACT fixpoint test — any label change strictly lowers the sum,
+    // and integral values survive the decimal(38,0) cast losslessly.
+    // Fractional and non-numeric ids fall back to a sum-of-xxhash64
+    // checksum (a missed change needs a 2^-64-scale multiset-sum
+    // collision, and `iters` still bounds the loop). Real near-dup
+    // graphs are quasi-cliques that converge in 2-3 rounds, so paying
+    // one small agg action per round to stop early beats always running
+    // the full `iters` rounds.
+    val integralLabel = {
+      import org.apache.spark.sql.types._
+      labels.schema("label").dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case d: DecimalType if d.scale == 0 => true // lossless under the cast
+        case _ => false
+      }
+    }
     def checksum(l: DataFrame): java.math.BigDecimal = {
-      val term = if (numericLabel) col("label") else xxhash64(col("node"), col("label"))
+      val term = if (integralLabel) col("label") else xxhash64(col("node"), col("label"))
       val s = l.agg(sum(term.cast("decimal(38,0)"))).first.getDecimal(0)
       // sum over an empty frame is null; the node set never changes
       // across rounds, so a fixed sentinel can't collide round-to-round

@@ -32,38 +32,11 @@ class AuthRestClient(baseUrl: String, authToken: Option[String] = None,
 
   private[graft] def lookupUrl: String = s"${baseUrl.stripSuffix("/")}/v1/accounts:lookup"
 
-  private def post(url: String, body: String): String = {
-    var attempt = 0
-    var last: Throwable = null
-    while (attempt <= maxRetries) {
-      try {
-        val conn = new java.net.URI(url).toURL.openConnection()
-          .asInstanceOf[java.net.HttpURLConnection]
-        try {
-          conn.setConnectTimeout(10000)
-          conn.setReadTimeout(60000)
-          conn.setRequestMethod("POST")
-          conn.setRequestProperty("Content-Type", "application/json")
-          authToken.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
-          conn.setDoOutput(true)
-          conn.getOutputStream.write(body.getBytes("UTF-8"))
-          val code = conn.getResponseCode
-          if (code == 200) {
-            val in = conn.getInputStream
-            try return new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          } else if (code >= 500) throw new java.io.IOException(s"HTTP $code from $url")
-          else throw new IllegalArgumentException(s"HTTP $code from $url (not retryable)")
-        } finally conn.disconnect()
-      } catch {
-        case e: java.io.IOException =>
-          last = e
-          Thread.sleep(backoffMs << attempt)
-          attempt += 1
-      }
-    }
-    throw new java.io.IOException(s"POST failed after ${maxRetries + 1} attempts", last)
-  }
+  private def post(url: String, body: String): String =
+    Http.request(url, "POST", Some(body),
+      Seq("Content-Type" -> "application/json") ++
+        authToken.map(t => "Authorization" -> s"Bearer $t"),
+      maxRetries, backoffMs)
 
   /** One batched lookup (≤100 uids per the public API). Returns only
     * the uids the service knows. */

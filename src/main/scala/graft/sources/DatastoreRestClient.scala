@@ -32,38 +32,11 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
   private[graft] def queryUrl: String =
     s"${baseUrl.stripSuffix("/")}/v1/projects/$projectId:runQuery"
 
-  private[graft] def post(url: String, body: String): String = {
-    var attempt = 0
-    var last: Throwable = null
-    while (attempt <= maxRetries) {
-      try {
-        val conn = new java.net.URI(url).toURL.openConnection()
-          .asInstanceOf[java.net.HttpURLConnection]
-        try {
-          conn.setConnectTimeout(10000)
-          conn.setReadTimeout(60000)
-          conn.setRequestMethod("POST")
-          conn.setRequestProperty("Content-Type", "application/json")
-          authToken.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
-          conn.setDoOutput(true)
-          conn.getOutputStream.write(body.getBytes("UTF-8"))
-          val code = conn.getResponseCode
-          if (code == 200) {
-            val in = conn.getInputStream
-            try return new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          } else if (code >= 500) throw new java.io.IOException(s"HTTP $code from $url")
-          else throw new IllegalArgumentException(s"HTTP $code from $url (not retryable)")
-        } finally conn.disconnect()
-      } catch {
-        case e: java.io.IOException =>
-          last = e
-          Thread.sleep(backoffMs << attempt)
-          attempt += 1
-      }
-    }
-    throw new java.io.IOException(s"POST failed after ${maxRetries + 1} attempts", last)
-  }
+  private[graft] def post(url: String, body: String): String =
+    Http.request(url, "POST", Some(body),
+      Seq("Content-Type" -> "application/json") ++
+        authToken.map(t => "Authorization" -> s"Bearer $t"),
+      maxRetries, backoffMs)
 
   /** Key promotion from an entity key's last path element: name, else
     * stringified numeric id (the reference's fallback chain). */
@@ -88,13 +61,22 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
     cursor.foreach(q.put("startCursor", _))
     if (keysOnly) q.putArray("projection").addObject()
       .putObject("property").put("name", "__key__")
+    // A promoted key that is all digits came from a numeric-id key
+    // (keyOf stringifies ids), so the bound must be encoded as an `id`
+    // path element — a `name` key "12345" is a DIFFERENT key in
+    // Datastore (all id keys sort before all name keys). The residual
+    // ambiguity (a name key that happens to be all digits) is inherent
+    // to string-promoted keys; kinds mixing numeric names with id keys
+    // should read without pushdown.
     def keyFilter(op: String, v: String): ObjectNode = {
       val f = mapper.createObjectNode()
       val pf = f.putObject("propertyFilter")
       pf.putObject("property").put("name", "__key__")
       pf.put("op", op)
-      pf.putObject("value").putObject("keyValue").putArray("path")
-        .addObject().put("kind", kind).put("name", v)
+      val pathEl = pf.putObject("value").putObject("keyValue").putArray("path")
+        .addObject().put("kind", kind)
+      if (v.nonEmpty && v.forall(_.isDigit)) pathEl.put("id", v)
+      else pathEl.put("name", v)
       f
     }
     val filters = fromKey.map(keyFilter("GREATER_THAN_OR_EQUAL", _)).toSeq ++
@@ -132,9 +114,14 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
             keyOf(entity).map(_ -> entity.path("properties").toString)
           }
         buf = rows.iterator
+        // Termination follows moreResults, NOT row count: a time-sliced
+        // scan can legally return an empty batch with NOT_FINISHED, and
+        // rows is additionally keyOf-filtered. A non-advancing cursor
+        // (buggy/stub server) also terminates, so the loop can't spin.
         val more = batch.path("moreResults").asText("NO_MORE_RESULTS")
-        cursor = Option(batch.path("endCursor").asText(null)).filter(_.nonEmpty)
-        exhausted = rows.isEmpty || more == "NO_MORE_RESULTS" || cursor.isEmpty
+        val next = Option(batch.path("endCursor").asText(null)).filter(_.nonEmpty)
+        exhausted = more == "NO_MORE_RESULTS" || next.isEmpty || next == cursor
+        cursor = next
       }
 
       private def refill(): Unit = while (!buf.hasNext && !exhausted) fetchPage()

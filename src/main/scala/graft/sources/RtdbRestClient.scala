@@ -11,16 +11,14 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *   GET <base>/<path>.json?shallow=true                    — key listing
   *   GET <base>/<path>.json?orderBy="$key"&startAt="a"&endAt="b"&limitToFirst=n
   *
-  * `startAt`/`endAt` are inclusive and take JSON-encoded (quoted)
-  * values; there is no server-side cursor, so pagination is keyset:
-  * re-issue with `startAt` = last key of the previous page and drop the
-  * overlapping first row. Pages are fetched lazily, so a downstream
-  * `take(limit)` (DSv2 limit pushdown) stops issuing requests.
-  *
-  * GETs are idempotent, so 5xx and transport errors retry with
-  * exponential backoff up to `maxRetries`; 4xx fails fast (a bad token
-  * or path never heals by retrying).
-  */
+  * `startAt`/`endAt` are inclusive and take JSON-encoded (quoted,
+  * fully escaped) values; there is no server-side cursor, so
+  * pagination is keyset: re-issue with `startAt` = successor of the
+  * last key of the previous page (key + "\\u0000" — the smallest string
+  * strictly greater, so no overlap row is ever fetched or dropped, and
+  * pageSize = 1 still makes progress). Pages are fetched lazily, so a
+  * downstream `take(limit)` (DSv2 limit pushdown) stops issuing
+  * requests. Retry policy lives in [[Http]]. */
 class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
                      maxRetries: Int = 3, backoffMs: Long = 100) extends Serializable {
 
@@ -36,37 +34,8 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
       (if (qs.isEmpty) "" else qs.mkString("?", "&", ""))
   }
 
-  /** JSON-encode a string for startAt/endAt/orderBy (the API rejects
-    * unquoted values). */
-  private def jstr(s: String): String = "\"" + s + "\""
-
-  private[sources] def get(url: String): String = {
-    var attempt = 0
-    var last: Throwable = null
-    while (attempt <= maxRetries) {
-      try {
-        val conn = new java.net.URI(url).toURL.openConnection()
-          .asInstanceOf[java.net.HttpURLConnection]
-        try {
-          conn.setConnectTimeout(10000)
-          conn.setReadTimeout(60000)
-          val code = conn.getResponseCode
-          if (code == 200) {
-            val in = conn.getInputStream
-            try return new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          } else if (code >= 500) throw new java.io.IOException(s"HTTP $code from $url")
-          else throw new IllegalArgumentException(s"HTTP $code from $url (not retryable)")
-        } finally conn.disconnect()
-      } catch {
-        case e: java.io.IOException =>
-          last = e
-          Thread.sleep(backoffMs << attempt)
-          attempt += 1
-      }
-    }
-    throw new java.io.IOException(s"GET failed after ${maxRetries + 1} attempts", last)
-  }
+  private[sources] def get(url: String): String =
+    Http.request(url, maxRetries = maxRetries, backoffMs = backoffMs)
 
   /** Key enumeration without payloads (`shallow=true` returns
     * `{key: true, ...}`). */
@@ -84,26 +53,23 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
     new Iterator[(String, String)] {
       private var buf: Iterator[(String, String)] = Iterator.empty
       private var start = from
-      private var dropFirst = false
       private var exhausted = false
 
       private def fetchPage(): Unit = {
         val params = Seq(
-          "orderBy" -> jstr("$key"),
-          "startAt" -> jstr(start),
+          "orderBy" -> Http.jsonString("$key"),
+          "startAt" -> Http.jsonString(start),
           "limitToFirst" -> pageSize.toString) ++
-          toExclusive.map("endAt" -> jstr(_))
+          toExclusive.map(t => "endAt" -> Http.jsonString(t))
         val root = mapper.readTree(get(buildUrl(path, params)))
         val fields: Seq[(String, JsonNode)] =
           if (root == null || !root.isObject) Seq.empty
           else root.fields().asScala.map(e => e.getKey -> e.getValue).toSeq.sortBy(_._1)
-        val page = if (dropFirst) fields.filterNot(_._1 == start) else fields
-        val kept = page.filter { case (k, _) => toExclusive.forall(k < _) }
+        val kept = fields.filter { case (k, _) => toExclusive.forall(k < _) }
         buf = kept.collect { case (k, v) if v.isObject => k -> v.toString }.iterator
-        // done when the server ran dry, the strict bound was crossed, or
-        // the page held only the overlap row (guards pageSize=1 loops)
-        if (fields.size < pageSize || kept.size < page.size || page.isEmpty) exhausted = true
-        else { start = fields.last._1; dropFirst = true }
+        // done when the server ran dry or the strict bound was crossed
+        if (fields.size < pageSize || kept.size < fields.size) exhausted = true
+        else start = fields.last._1 + "\u0000"
       }
 
       private def refill(): Unit = while (!buf.hasNext && !exhausted) fetchPage()

@@ -52,7 +52,9 @@ class DatastoreSpec extends SparkSpec {
           raw.forEachRemaining { fn =>
             val pf = fn.path("propertyFilter")
             if (pf.path("property").path("name").asText == "__key__") {
-              val v = pf.path("value").path("keyValue").path("path").get(0).path("name").asText
+              val el = pf.path("value").path("keyValue").path("path").get(0)
+              // bounds arrive as `name` for string keys, `id` for numeric
+              val v = if (el.hasNonNull("id")) el.get("id").asText else el.path("name").asText
               pf.path("op").asText match {
                 case "GREATER_THAN_OR_EQUAL" => lo = Some(v)
                 case "LESS_THAN" => hi = Some(v)
@@ -102,6 +104,14 @@ class DatastoreSpec extends SparkSpec {
     assert(rows.map(_._1) == Seq("e05", "e06", "e07", "e08", "e09"))
     val b = bodies.synchronized(bodies.head)
     assert(b.contains("GREATER_THAN_OR_EQUAL") && b.contains("LESS_THAN") && b.contains("compositeFilter"))
+  }
+
+  test("S6 all-digit bound encodes as an id path element, not a name") {
+    bodies.synchronized(bodies.clear())
+    client.runQuery("User", Some("12345"), None).toSeq
+    val b = bodies.synchronized(bodies.head)
+    assert(b.contains("\"id\":\"12345\"") && !b.contains("\"name\":\"12345\""),
+      s"numeric bound must use the id branch: $b")
   }
 
   test("S7 kind discovery filters system kinds; S8 count via keys-only") {

@@ -27,7 +27,10 @@ class RtdbRestSpec extends SparkSpec {
       case kv if kv.startsWith(k + "=") =>
         java.net.URLDecoder.decode(kv.drop(k.length + 1), "UTF-8")
     }
-  private def unquote(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
+  // real Firebase JSON-decodes the param (so the \\u0000 escape becomes a NUL);
+  // the stub must do the same or successor-key paging breaks
+  private val pmapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def unquote(s: String): String = pmapper.readTree(s).asText
 
   private lazy val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -71,14 +74,21 @@ class RtdbRestSpec extends SparkSpec {
     assert(keys == sorted.map(_._1))
   }
 
-  test("fetchRange pages by keyset, drops overlap, honors strict bound, skips scalars") {
+  test("fetchRange pages by successor keyset, honors strict bound, skips scalars") {
     requests.synchronized(requests.clear())
     val rows = new RtdbRestClient(base).fetchRange("Users", "u00", Some("u20"), pageSize = 10).toSeq
     assert(rows.map(_._1) == (1 to 19).map(i => f"u$i%02d"))
     assert(rows.forall { case (k, v) => v.contains("\"email\"") })
     val paged = requests.synchronized(requests.toList)
     assert(paged.size >= 2, s"expected keyset paging, got $paged")
-    assert(paged.tail.exists(_.contains("startAt=%22u10%22")), s"page 2 resumes at last key: $paged")
+    // page 2 starts at the JSON-escaped NUL successor of the last key
+    assert(paged.tail.exists(_.contains("startAt=%22u10%5Cu0000%22")),
+      s"page 2 resumes past last key: $paged")
+  }
+
+  test("pageSize=1 still pages through the whole range") {
+    val rows = new RtdbRestClient(base).fetchRange("Users", "u00", Some("u04"), pageSize = 1).toSeq
+    assert(rows.map(_._1) == Seq("u01", "u02", "u03"))
   }
 
   test("lazy paging: a small take() stops issuing page requests") {
