@@ -122,6 +122,32 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: simHashPairs finds EVERY pair within Hamming 3 (pigeonhole recall)") {
+    // random word-soup docs over a tiny vocabulary force near-identical
+    // signatures often; brute-force Hamming over the same signatures is
+    // the ground truth the banded bucketing must reproduce exactly
+    // (uncapped — cap semantics are covered elsewhere)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val gen = Gen.listOfN(40, Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = sample(gen.map(List(_))).head
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sigs = docs
+      .withColumn("wh", transform(graft.llm.Text.words(col("text")),
+        w => graft.llm.Text.md5Hash(w)))
+      .select(col("doc_id"),
+        graft.expr.native.NativeFns.simHash(col("wh"), graft.llm.Dedup.SimHashPairBits)
+          .as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = graft.llm.Dedup.simHashPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 1000000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("property: saltedJoin equals the plain join on skewed keys") {
     val gen = for {
       big <- Gen.listOfN(400, for { k <- Gen.frequency(8 -> Gen.const(0), 2 -> Gen.choose(1, 20)); v <- Gen.choose(0, 99) } yield (k, v))
