@@ -17,6 +17,10 @@ object LlmQueries {
 
   private val P = Text.HashP
 
+  /** Harness cap for llm_dedup_simhash_pairs, shared with its oracle SQL
+    * so the two can't drift (template clusters exceed it by design). */
+  private val SimHashPairsCap = 64
+
   val queries: Seq[(String, Q)] = Seq(
 
     "llm_dedup_exact" -> ((s, dir) =>
@@ -46,7 +50,7 @@ object LlmQueries {
     // default scale.
     "llm_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2,
-        maxBucket = 64)
+        maxBucket = SimHashPairsCap)
         .orderBy(col("a"), col("b"))),
 
     "llm_text_quality" -> ((s, dir) =>
@@ -427,7 +431,7 @@ object LlmQueries {
          |    ((simhash >> (unnest([0,1,2,3]) * 12)) & 4095)::VARCHAR AS band FROM sig),
          |capped AS (SELECT doc_id, simhash, band FROM (
          |  SELECT doc_id, simhash, band, count(*) OVER (PARTITION BY band) AS bc
-         |  FROM bands0) t WHERE bc BETWEEN 2 AND 64)
+         |  FROM bands0) t WHERE bc BETWEEN 2 AND $SimHashPairsCap)
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id
