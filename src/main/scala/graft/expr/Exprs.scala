@@ -25,9 +25,13 @@ object Exprs {
   }
 
   /** F7 array branch — arrays take the first non-null element
-    * (user_transformer.py:208-214). */
-  def firstNonNull(arr: Column): Column =
-    element_at(filter(arr, x => x.isNotNull), 1)
+    * (user_transformer.py:208-214). The size guard matters under ANSI
+    * mode (the Spark 4 default): element_at on an empty array THROWS
+    * there, so an all-null / empty array must short-circuit to NULL. */
+  def firstNonNull(arr: Column): Column = {
+    val nonNull = filter(arr, x => x.isNotNull)
+    when(size(nonNull) > 0, element_at(nonNull, 1))
+  }
 
   /** F2 — `_clean_nan_values` array branch (user_transformer.py:63-81):
     * drop null elements; an all-null / empty result collapses to NULL

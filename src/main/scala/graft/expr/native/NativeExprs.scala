@@ -266,22 +266,36 @@ object GraftExtensions {
     lift1("graft_iso_format", graft.expr.Exprs.isoFormat),
     lift1("graft_scrub_pii", graft.llm.Text.scrubPii))
 
+  // same arity rule as lift1: surplus args fail analysis instead of
+  // being silently dropped (graft_simhash(c, 48) computing 16 bits)
+  private def exactly(name: String, n: Int)(c: Seq[Expression]): Seq[Expression] = {
+    if (c.length != n) throw new IllegalArgumentException(
+      s"$name expects exactly $n argument(s), got ${c.length}")
+    c
+  }
+
   private val registrations = scalarRegistrations ++ Seq(
     (FunctionIdentifier("graft_long_dot"),
       new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
-      (c: Seq[Expression]) => LongDot(c(0), c(1))),
+      (c: Seq[Expression]) => { exactly("graft_long_dot", 2)(c); LongDot(c(0), c(1)) }),
     (FunctionIdentifier("graft_qdot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "graft_qdot"),
-      (c: Seq[Expression]) => QuantizedDot(c(0), c(1), 1000)),
+      (c: Seq[Expression]) => { exactly("graft_qdot", 2)(c); QuantizedDot(c(0), c(1), 1000) }),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (c: Seq[Expression]) => MinHashSig(c.head)),
+      (c: Seq[Expression]) => { exactly("graft_minhash_sig", 1)(c); MinHashSig(c.head) }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
-      (c: Seq[Expression]) => SimHashExpr(c.head, 16)),
+      // 1-arg = default 16 bits; 2-arg = explicit literal bit width
+      (c: Seq[Expression]) => c match {
+        case Seq(e) => SimHashExpr(e, 16)
+        case Seq(e, Literal(b: Int, IntegerType)) if b >= 1 && b <= 63 => SimHashExpr(e, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash(col[, bits]): bits must be an integer literal in [1, 63]")
+      }),
     (FunctionIdentifier("graft_top_k"),
       new ExpressionInfo(classOf[TopKLongs].getName, "graft_top_k"),
-      (c: Seq[Expression]) => c(1) match {
+      (c: Seq[Expression]) => exactly("graft_top_k", 2)(c)(1) match {
         case Literal(v: Int, IntegerType) => TopKLongs(c(0), v)
         case Literal(v: Long, LongType) => TopKLongs(c(0), v.toInt)
         case other => throw new IllegalArgumentException(

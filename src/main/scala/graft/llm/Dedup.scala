@@ -13,12 +13,14 @@ import Text.HashP
 object Dedup {
 
   /** Exact dedup: hash the content, keep the lowest id per hash. One
-    * shuffle on the 128-bit content hash; skew-free by construction. */
+    * shuffle on the 128-bit content hash; skew-free by construction.
+    * NULL-content rows are NOT duplicates of each other (md5(null) is
+    * null for all of them) — they all pass through. */
   def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(contentCol))).orderBy(col(idCol))
     df.withColumn("content_hash", md5(col(contentCol)))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("__rn") === 1 || col(contentCol).isNull).drop("__rn")
   }
 
   /** Normalized-exact dedup: lowercase, strip punctuation, collapse
@@ -176,9 +178,26 @@ object Dedup {
     * query's 16): split into 4 rotated 12-bit bands, each band key
     * ranges over 4096 values, so buckets stay selective — a 16-bit
     * signature would give only 64 possible buckets and quadratic
-    * candidate blowup on any real corpus. */
+    * candidate blowup on any real corpus.
+    *
+    * The word hashes are only 31 bits (`Text.md5Hash` is mod 2^31-1),
+    * so a single simhash wider than 31 bits would have permanently-zero
+    * high bits — dead bands. The 48-bit signature is therefore the
+    * concatenation of two independent 24-bit simhashes, the second over
+    * salted word hashes (`md5("alt:" + w)`), keeping every bit live and
+    * every band selective while staying DuckDB-replayable. */
   val SimHashPairBits = 48
+  private val SimHashHalfBits = SimHashPairBits / 2
   private val SimHashBandBits = SimHashPairBits / 4
+
+  /** The composed 48-bit pair signature over a words array. */
+  def simHashPairSig(wordsCol: Column): Column = {
+    val lo = graft.expr.native.NativeFns.simHash(
+      transform(wordsCol, w => Text.md5Hash(w)), SimHashHalfBits)
+    val hi = graft.expr.native.NativeFns.simHash(
+      transform(wordsCol, w => Text.md5Hash(concat(lit("alt:"), w))), SimHashHalfBits)
+    lo + shiftleft(hi, SimHashHalfBits)
+  }
 
   /** SimHash near-dup pairs — the banded dedup step over `simHash`
     * signatures. The 48-bit signature splits into 4 rotated 12-bit
@@ -198,8 +217,8 @@ object Dedup {
     val sigs = df
       .filter(size(Text.words(col(textCol))) >= 1)
       .repartition(parallelism, col(idCol))
-      .withColumn("__wh", transform(Text.words(col(textCol)), w => Text.md5Hash(w)))
-      .withColumn("__sig", graft.expr.native.NativeFns.simHash(col("__wh"), SimHashPairBits))
+      .withColumn("__w", Text.words(col(textCol)))
+      .withColumn("__sig", simHashPairSig(col("__w")))
       .select(col(idCol), col("__sig"))
     val bands = sigs.select(col(idCol), col("__sig"),
       explode(array((0 until 4).map(b =>

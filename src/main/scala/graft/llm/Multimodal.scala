@@ -29,7 +29,14 @@ object Multimodal {
     when(head.startsWith("89504E47"), "image/png")
       .when(head.startsWith("FFD8FF"), "image/jpeg")
       .when(head.startsWith("47494638"), "image/gif")
-      .when(head.startsWith("52494646"), "audio/wav") // RIFF
+      // RIFF is a container — the form type at bytes 9-12 decides:
+      // WAVE → wav, WEBP → webp, AVI  → avi; unknown RIFF stays opaque
+      .when(head.startsWith("52494646") &&
+        upper(hex(substring(bytes, 9, 4))) === "57415645", "audio/wav")  // WAVE
+      .when(head.startsWith("52494646") &&
+        upper(hex(substring(bytes, 9, 4))) === "57454250", "image/webp") // WEBP
+      .when(head.startsWith("52494646") &&
+        upper(hex(substring(bytes, 9, 4))) === "41564920", "video/avi")  // AVI
       .when(head.startsWith("494433"), "audio/mpeg")  // ID3
       .when(substring(head, 9, 8) === "66747970", "video/mp4") // ....ftyp
       .otherwise("application/octet-stream")
@@ -105,6 +112,11 @@ object Multimodal {
   /** Frame sampling plumbing: pick every `stride`-th frame index up to
     * `maxFrames` — index math is real, frame extraction is the stubbed
     * kernel. */
-  def sampleFrameIndexes(nFrames: Column, stride: Int, maxFrames: Int): Column =
-    slice(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)), 1, maxFrames)
+  def sampleFrameIndexes(nFrames: Column, stride: Int, maxFrames: Int): Column = {
+    val n = nFrames.cast("long")
+    // zero-frame assets sample NOTHING — greatest(n-1, 0) would ask for
+    // frame 0 of an empty asset
+    when(n <= 0, array().cast("array<bigint>"))
+      .otherwise(slice(sequence(lit(0L), n - 1, lit(stride.toLong)), 1, maxFrames))
+  }
 }

@@ -144,9 +144,16 @@ object Similarity {
     bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("a"), col("y.vid").as("b"),
-        (dotQ(col("x.eq"), col("y.eq")).cast("double") /
-          (sqrt(dotQ(col("x.eq"), col("x.eq")).cast("double")) *
-            sqrt(dotQ(col("y.eq"), col("y.eq")).cast("double")))).as("cosine"))
+        dotQ(col("x.eq"), col("y.eq")).cast("double").as("__dot"),
+        dotQ(col("x.eq"), col("x.eq")).cast("double").as("__na"),
+        dotQ(col("y.eq"), col("y.eq")).cast("double").as("__nb"))
+      // zero-norm guard: a zero-quantized embedding (failed/padded
+      // vectors) gives 0/0 = NaN, and Spark orders NaN ABOVE every
+      // number, so without this filter NaN >= threshold admits every
+      // such pair as a "near-duplicate"
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col("a"), col("b"),
+        (col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

@@ -16,7 +16,12 @@ object Text {
     * `(a*h+b) % P` can't overflow a long. */
   val HashP = 2147483647L
 
-  def words(text: Column): Column = split(lower(text), " ")
+  /** Whitespace tokenization (\s+, not a literal space): tabs and
+    * newlines separate words and runs of spaces produce no empty
+    * tokens — a newline-separated doc must shingle identically to its
+    * space-separated twin or near-dup detection misses it. Mirrored in
+    * every oracle as string_split_regex(lower(text), '\s+'). */
+  def words(text: Column): Column = split(lower(text), "\\s+")
 
   /** Word n-gram shingles (0-based subscripts; n-2 shingles for n≥3
     * words, else empty). */

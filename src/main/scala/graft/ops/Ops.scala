@@ -302,24 +302,33 @@ object Ops {
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
     val tb = tieBreak.map(t => lit(null).cast(right.schema(t).dataType).as("__tb")).toSeq
     val tbR = tieBreak.map(t => col(t).as("__tb")).toSeq
+    // ALL payload columns ride in ONE struct per right row: taking
+    // last(ignoreNulls) of each payload column separately would skip a
+    // right row whose payload value is legitimately NULL (resurrecting
+    // a stale value) and could stitch together columns from DIFFERENT
+    // right rows. The struct is non-null exactly for right rows, so
+    // ignoreNulls skips only the interleaved left rows.
     val lPart = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++ tb ++
-        leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__r_$p")): _*)
+        leftCols.map(col) :+
+        lit(null).cast("struct<" + payload.map(p =>
+          s"$p:${right.schema(p).dataType.sql}").mkString(",") + ">").as("__r"): _*)
     val rPart = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++ tbR ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__r_$p")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__r"): _*)
     val order = Seq(col("__ts").asc, col("__side").asc) ++
       tieBreak.map(_ => col("__tb").asc_nulls_last)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(lPart.unionByName(rPart)) { (df, p) =>
-      df.withColumn(p, last(col(s"__r_$p"), ignoreNulls = true).over(w))
+    payload.foldLeft(
+      lPart.unionByName(rPart)
+        .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))) {
+      (df, p) => df.withColumn(p, col(s"__match.$p"))
     }
       .filter(col("__side") === 1)
-      .drop(Seq("__side") ++ tieBreak.map(_ => "__tb") ++ payload.map(p => s"__r_$p"): _*)
+      .drop(Seq("__side", "__r", "__match") ++ tieBreak.map(_ => "__tb"): _*)
       .withColumnRenamed("__ts", leftTs)
   }
 

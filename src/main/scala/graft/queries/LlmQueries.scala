@@ -303,6 +303,7 @@ object LlmQueries {
         .when(col("doc_id") % 10 === 3, concat(unhex(lit(LlmQueries.MagicWav)), bin))
         .when(col("doc_id") % 10 === 4, concat(unhex(lit(LlmQueries.MagicMp3)), bin))
         .when(col("doc_id") % 10 === 5, concat(unhex(lit(LlmQueries.MagicMp4)), bin))
+        .when(col("doc_id") % 10 === 6, concat(unhex(lit(LlmQueries.MagicWebp)), bin))
         .otherwise(bin)
       Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("content", content), "content")
@@ -318,7 +319,8 @@ object LlmQueries {
   val MagicPng = "89504E470D0A1A0A"
   val MagicJpeg = "FFD8FFE000104A46"
   val MagicGif = "4749463839610A00"
-  val MagicWav = "52494646AA000000"
+  val MagicWav = "52494646AA00000057415645"  // RIFF....WAVE
+  val MagicWebp = "52494646AA00000057454250" // RIFF....WEBP
   val MagicMp3 = "4944330300000000"
   val MagicMp4 = "0000001866747970"
 
@@ -334,7 +336,7 @@ object LlmQueries {
        |  SELECT doc_id, list_distinct(list_transform(
        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
        |    s -> ${duckHash("s")})) AS hs
-       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0
        |  WHERE len(w) >= 3)""".stripMargin
 
   private val minhashExprs = Dedup.Seeds.map { case (a, b) =>
@@ -355,7 +357,7 @@ object LlmQueries {
        |    list_distinct(list_transform(
        |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
        |      s -> ${duckHash("s")})) AS g
-       |  FROM (SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS w FROM documents) t
+       |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(lower(text), '\\s+') AS w FROM documents) t
        |  WHERE len(w) >= 2),
        |capped AS (SELECT doc_id, blk, g FROM (
        |  SELECT doc_id, blk, g, count(*) OVER (PARTITION BY blk) AS bc FROM pre) t0
@@ -386,8 +388,8 @@ object LlmQueries {
        |    / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs))) AS jaccard
        |  FROM cand JOIN pre xa ON cand.a = xa.doc_id JOIN pre xb ON cand.b = xb.doc_id)""".stripMargin
 
-  private def simhashTerms(bits: Int = 16) = (0 until bits).map { b =>
-    s"""CASE WHEN list_sum(list_transform(wh,
+  private def simhashTerms(bits: Int = 16, src: String = "wh") = (0 until bits).map { b =>
+    s"""CASE WHEN list_sum(list_transform($src,
        |  h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
        |  THEN ${1L << b} ELSE 0 END""".stripMargin
   }
@@ -407,25 +409,29 @@ object LlmQueries {
     "llm_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash FROM (
         |  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
-        |  FROM documents) t WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |  FROM documents) t WHERE rn = 1 OR text IS NULL ORDER BY doc_id""".stripMargin,
     "llm_dedup_normalized" ->
       """SELECT doc_id, md5(norm) AS content_hash FROM (
         |  SELECT doc_id, norm, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) rn
         |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents) t0) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |WHERE rn = 1 OR norm IS NULL ORDER BY doc_id""".stripMargin,
     "llm_dedup_minhash_lsh" ->
       s"""WITH ${pairsCtes()}
          |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
     "llm_dedup_simhash" ->
       s"""SELECT doc_id, CAST(${simhashTerms().mkString(" + ")} AS BIGINT) AS simhash
-         |FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |FROM (SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
          |  w -> ${duckHash("w")}) AS wh FROM documents) t ORDER BY doc_id""".stripMargin,
     "llm_dedup_simhash_pairs" ->
       s"""WITH sig AS (
-         |  SELECT doc_id, CAST(${simhashTerms(Dedup.SimHashPairBits).mkString(" + ")} AS BIGINT) AS simhash
-         |  FROM (SELECT doc_id, list_transform(string_split(lower(text), ' '),
-         |    w -> ${duckHash("w")}) AS wh FROM documents) t),
+         |  SELECT doc_id,
+         |    CAST(${simhashTerms(24).mkString(" + ")} AS BIGINT)
+         |    + (CAST(${simhashTerms(24, "wh2").mkString(" + ")} AS BIGINT) << 24) AS simhash
+         |  FROM (SELECT doc_id,
+         |    list_transform(string_split_regex(lower(text), '\\s+'), w -> ${duckHash("w")}) AS wh,
+         |    list_transform(string_split_regex(lower(text), '\\s+'), w -> ${duckHash("('alt:' || w)")}) AS wh2
+         |  FROM documents) t),
          |bands0 AS (SELECT doc_id, simhash,
          |  unnest([0,1,2,3])::VARCHAR || '_' ||
          |    ((simhash >> (unnest([0,1,2,3]) * 12)) & 4095)::VARCHAR AS band FROM sig),
@@ -439,11 +445,11 @@ object LlmQueries {
     "llm_text_quality" ->
       s"""SELECT doc_id,
          |  length(text)::BIGINT AS n_chars,
-         |  len(string_split(text, ' '))::BIGINT AS n_words,
-         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
-         |  CAST(len(list_filter(string_split(lower(text), ' '),
+         |  len(string_split_regex(text, '\\s+'))::BIGINT AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split_regex(text, '\\s+')) AS avg_word_len,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
          |    x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
-         |    / len(string_split(text, ' ')) AS stopword_ratio,
+         |    / len(string_split_regex(text, '\\s+')) AS stopword_ratio,
          |  len(regexp_extract_all(text, '[[:punct:]]'))::BIGINT AS punct_count,
          |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS upper_ratio
@@ -459,7 +465,7 @@ object LlmQueries {
       s"""SELECT doc_id, lang, guess, (guess = lang) AS agree FROM (
          |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS guess
          |FROM (SELECT doc_id, lang, w, $best AS best
-         |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents) t0) t1) t2
+         |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0) t1) t2
          |ORDER BY doc_id""".stripMargin
     },
     "llm_token_counts" ->
@@ -473,7 +479,7 @@ object LlmQueries {
          |  SELECT doc_id, list_transform(
          |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
          |    s -> ${duckHash("s")}) AS hs
-         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0),
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0),
          |f AS (SELECT doc_id, list_distinct(CASE WHEN len(hs) >= 4
          |    THEN [least(hs[i], hs[i+1], hs[i+2], hs[i+3]) for i in range(1, len(hs) - 2)]
          |    ELSE hs END) AS fp FROM h)
@@ -522,7 +528,8 @@ object LlmQueries {
          |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid)
          |SELECT a, b, cosine FROM (
-         |  SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM p) t
+         |  SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM p
+         |  WHERE na > 0 AND nb > 0) t
          |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
     "llm_ngram_jaccard" -> ngramJaccardOracle(Dedup.DefaultMaxBlock),
     "llm_ngram_jaccard_tightcap" -> ngramJaccardOracle(10),
@@ -598,7 +605,7 @@ object LlmQueries {
          |  SELECT doc_id, unnest(list_distinct(list_transform(
          |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
          |    s -> ${duckHash("s")}))) AS h
-         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0
          |  WHERE len(w) >= 3),
          |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10)
          |SELECT doc_id, count(*) AS overlap
@@ -632,7 +639,7 @@ object LlmQueries {
          |FROM (SELECT doc_id, list_transform(
          |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))],
          |    s -> ${duckHash("s")}) AS hs
-         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents) t0) t
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0) t
          |ORDER BY doc_id""".stripMargin,
     "llm_frame_sample" ->
       """SELECT doc_id, n_frames, len(idx)::BIGINT AS n_sampled,
@@ -657,7 +664,7 @@ object LlmQueries {
          |  FROM dd WHERE len(regexp_split_to_array(text, '\\s+')) >= 10),
          |langed AS (SELECT nw, CASE $cases ELSE 'und' END AS guess
          |  FROM (SELECT nw, w, $best AS best
-         |    FROM (SELECT nw, string_split(lower(text), ' ') AS w FROM toks) t1) t2)
+         |    FROM (SELECT nw, string_split_regex(lower(text), '\\s+') AS w FROM toks) t1) t2)
          |SELECT guess, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS total_tokens
          |FROM langed GROUP BY guess ORDER BY guess""".stripMargin
     },
@@ -687,12 +694,14 @@ object LlmQueries {
          |  CASE WHEN left(h, 8) = '89504E47' THEN 'image/png'
          |       WHEN left(h, 6) = 'FFD8FF' THEN 'image/jpeg'
          |       WHEN left(h, 8) = '47494638' THEN 'image/gif'
-         |       WHEN left(h, 8) = '52494646' THEN 'audio/wav'
+         |       WHEN left(h, 8) = '52494646' AND substr(h, 17, 8) = '57415645' THEN 'audio/wav'
+         |       WHEN left(h, 8) = '52494646' AND substr(h, 17, 8) = '57454250' THEN 'image/webp'
+         |       WHEN left(h, 8) = '52494646' AND substr(h, 17, 8) = '41564920' THEN 'video/avi'
          |       WHEN left(h, 6) = '494433' THEN 'audio/mpeg'
          |       WHEN substr(h, 9, 8) = '66747970' THEN 'video/mp4'
          |       ELSE 'application/octet-stream' END AS mime,
          |  md5(upper(hex(content))) AS content_hash
-         |FROM (SELECT doc_id, content, upper(left(hex(content), 16)) AS h FROM (
+         |FROM (SELECT doc_id, content, upper(left(hex(content), 24)) AS h FROM (
          |  SELECT doc_id, CASE
          |    WHEN doc_id % 10 = 0 THEN from_hex('$MagicPng') || encode(text)
          |    WHEN doc_id % 10 = 1 THEN from_hex('$MagicJpeg') || encode(text)
@@ -700,6 +709,7 @@ object LlmQueries {
          |    WHEN doc_id % 10 = 3 THEN from_hex('$MagicWav') || encode(text)
          |    WHEN doc_id % 10 = 4 THEN from_hex('$MagicMp3') || encode(text)
          |    WHEN doc_id % 10 = 5 THEN from_hex('$MagicMp4') || encode(text)
+         |    WHEN doc_id % 10 = 6 THEN from_hex('$MagicWebp') || encode(text)
          |    ELSE encode(text) END AS content
          |  FROM documents) t0) t ORDER BY doc_id""".stripMargin)
 }

@@ -132,11 +132,8 @@ class PropertySpec extends SparkSpec {
     val texts = sample(gen.map(List(_))).head
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val sigs = docs
-      .withColumn("wh", transform(graft.llm.Text.words(col("text")),
-        w => graft.llm.Text.md5Hash(w)))
-      .select(col("doc_id"),
-        graft.expr.native.NativeFns.simHash(col("wh"), graft.llm.Dedup.SimHashPairBits)
-          .as("sig"))
+      .withColumn("w", graft.llm.Text.words(col("text")))
+      .select(col("doc_id"), graft.llm.Dedup.simHashPairSig(col("w")).as("sig"))
       .as[(Long, Long)].collect().toMap
     val want = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
