@@ -60,11 +60,28 @@ object Dedup {
       array_min(transform(hs, h => (lit(a) * h + lit(b)) % lit(HashP)))
     }: _*))
 
-  /** LSH band keys: band index + the band's minhashes fused to a string. */
-  def bandKeys(sig: Column): Column =
-    transform(sequence(lit(0), lit(numBands - 1)),
-      b => concat_ws("_", (b.cast("string") +:
-        (0 until BandRows).map(r => sig(b * BandRows + r).cast("string"))): _*))
+  /** Shared capped one-exchange pair expansion — the candidate-generation
+    * core of every bucketed near-dup path (MinHash bands, SimHash bands,
+    * n-gram blocks). The count-window cap runs BEFORE collect_list so a
+    * degenerate hot bucket (boilerplate shared by millions of docs) is
+    * dropped while still spillable in the window sort — collect_list
+    * never buffers more than `maxBucket` items per group; the groupBy
+    * reuses the window's hash partitioning (no second exchange) and
+    * pairs expand map-side from each bucket's sorted item list —
+    * equivalent to the bucket self-join minus its two exchanges.
+    * `item` must lead with a unique key (the doc id) so `y > x`
+    * enumerates each unordered pair exactly once per bucket. Output:
+    * one `p` struct column with fields a/b of the item type. */
+  private[llm] def cappedBucketPairs(buckets: DataFrame, bucketCol: String,
+                                     item: Column, maxBucket: Int): DataFrame =
+    buckets
+      .withColumn("__it", item)
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col(bucketCol))))
+      .filter(col("__bc").between(2, maxBucket))
+      .groupBy(col(bucketCol)).agg(array_sort(collect_list(col("__it"))).as("__xs"))
+      .select(explode(flatten(transform(col("__xs"), x =>
+        transform(filter(col("__xs"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
 
   /** Exact Jaccard on distinct element arrays (the verify step). */
   def jaccard(a: Column, b: Column): Column = {
@@ -117,21 +134,9 @@ object Dedup {
         (0 until BandRows).map(r => col("__sig")(bnd * BandRows + r).cast("string"))): _*)
     }: _*)).as("band"))
     // Candidate generation: ONE exchange on the band key. The
-    // count-window cap runs BEFORE collect_list so a degenerate hot
-    // bucket (boilerplate band shared by millions of docs) is dropped
-    // while still spillable in the window sort — collect_list then
-    // never buffers more than maxBucket ids per group. The groupBy
-    // reuses the window's hash partitioning, so no second exchange;
-    // pairs expand map-side from each bucket's sorted id list
-    // (equivalent to the band self-join, minus its two exchanges).
-    val capped = bands
-      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("__bc").between(2, maxBucket))
-    val candidates = capped
-      .groupBy(col("band")).agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    // candidate generation: the shared capped collect-list expansion
+    // (cappedBucketPairs); distinct because a pair can share several bands
+    val candidates = cappedBucketPairs(bands, "band", col(idCol), maxBucket)
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     val sets = prepared.select(col(idCol), col("__hs"))
@@ -225,18 +230,12 @@ object Dedup {
         concat_ws("_", lit(b.toString),
           shiftright(col("__sig"), b * SimHashBandBits).bitwiseAND(lit(mask)).cast("string"))): _*))
         .as("band"))
-    bands
-      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("__bc").between(2, maxBucket))
-      .groupBy(col("band"))
-      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("__sig").as("sig"))))
-        .as("xs"))
-      .select(explode(flatten(transform(col("xs"), x =>
-        transform(filter(col("xs"), y => y("id") > x("id")),
-          y => struct(x("id").as("a"), y("id").as("b"),
-            x("sig").as("sa"), y("sig").as("sb")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        hammingDist(col("p.sa"), col("p.sb")).as("hamming"))
+    // the signature rides inside the collected struct (id leads, so the
+    // struct order is the id order) — the verify needs no join back
+    cappedBucketPairs(bands, "band",
+        struct(col(idCol).as("id"), col("__sig").as("sig")), maxBucket)
+      .select(col("p.a.id").as("a"), col("p.b.id").as("b"),
+        hammingDist(col("p.a.sig"), col("p.b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -278,13 +277,9 @@ object Dedup {
       .withColumn("__g", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
       .select(col(idCol), col("__blk"), col("__g"))
       .localCheckpoint(false)
-    val candidates = prepared.select(col(idCol), col("__blk"))
-      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__blk"))))
-      .filter(col("__bc").between(2, maxBlock))
-      .groupBy(col("__blk")).agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    // each doc sits in exactly one block, so pairs are unique — no distinct
+    val candidates = cappedBucketPairs(
+        prepared.select(col(idCol), col("__blk")), "__blk", col(idCol), maxBlock)
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val sets = prepared.select(col(idCol), col("__g"))
     candidates
