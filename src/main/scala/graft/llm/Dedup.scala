@@ -185,24 +185,23 @@ object Dedup {
     * signature would give only 64 possible buckets and quadratic
     * candidate blowup on any real corpus.
     *
-    * The word hashes are only 31 bits (`Text.md5Hash` is mod 2^31-1),
-    * so a single simhash wider than 31 bits would have permanently-zero
-    * high bits — dead bands. The 48-bit signature is therefore the
-    * concatenation of two independent 24-bit simhashes, the second over
-    * salted word hashes (`md5("alt:" + w)`), keeping every bit live and
-    * every band selective while staying DuckDB-replayable. */
+    * The standard 31-bit word hash (`Text.md5Hash`, mod 2^31-1) would
+    * leave bits 31-47 of a 48-bit simhash permanently zero — dead
+    * bands. The pair signature therefore votes over a 48-bit word hash
+    * taken straight from md5's first 12 hex chars (uniform bits, one
+    * md5 per word, DuckDB-replayable as
+    * ('0x' || substr(md5(w), 1, 12))::BIGINT). */
   val SimHashPairBits = 48
-  private val SimHashHalfBits = SimHashPairBits / 2
   private val SimHashBandBits = SimHashPairBits / 4
 
-  /** The composed 48-bit pair signature over a words array. */
-  def simHashPairSig(wordsCol: Column): Column = {
-    val lo = graft.expr.native.NativeFns.simHash(
-      transform(wordsCol, w => Text.md5Hash(w)), SimHashHalfBits)
-    val hi = graft.expr.native.NativeFns.simHash(
-      transform(wordsCol, w => Text.md5Hash(concat(lit("alt:"), w))), SimHashHalfBits)
-    lo + shiftleft(hi, SimHashHalfBits)
-  }
+  /** 48-bit word hash for the pair signature (every simhash bit live). */
+  def wordHash48(w: Column): Column =
+    conv(substring(md5(w), 1, 12), 16, 10).cast("long")
+
+  /** The 48-bit pair signature over a words array. */
+  def simHashPairSig(wordsCol: Column): Column =
+    graft.expr.native.NativeFns.simHash(
+      transform(wordsCol, w => wordHash48(w)), SimHashPairBits)
 
   /** SimHash near-dup pairs — the banded dedup step over `simHash`
     * signatures. The 48-bit signature splits into 4 rotated 12-bit

@@ -425,13 +425,9 @@ object LlmQueries {
          |  w -> ${duckHash("w")}) AS wh FROM documents) t ORDER BY doc_id""".stripMargin,
     "llm_dedup_simhash_pairs" ->
       s"""WITH sig AS (
-         |  SELECT doc_id,
-         |    CAST(${simhashTerms(24).mkString(" + ")} AS BIGINT)
-         |    + (CAST(${simhashTerms(24, "wh2").mkString(" + ")} AS BIGINT) << 24) AS simhash
-         |  FROM (SELECT doc_id,
-         |    list_transform(string_split_regex(lower(text), '\\s+'), w -> ${duckHash("w")}) AS wh,
-         |    list_transform(string_split_regex(lower(text), '\\s+'), w -> ${duckHash("('alt:' || w)")}) AS wh2
-         |  FROM documents) t),
+         |  SELECT doc_id, CAST(${simhashTerms(Dedup.SimHashPairBits).mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
+         |    w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS wh FROM documents) t),
          |bands0 AS (SELECT doc_id, simhash,
          |  unnest([0,1,2,3])::VARCHAR || '_' ||
          |    ((simhash >> (unnest([0,1,2,3]) * 12)) & 4095)::VARCHAR AS band FROM sig),
