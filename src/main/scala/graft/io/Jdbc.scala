@@ -85,7 +85,7 @@ object Jdbc {
     * `appendRowIsolated`. Returns (insertedCount, conflicts). */
   def appendIsolated(df: DataFrame, url: String, table: String, keyCol: String,
                      p: Properties = props(), batchSize: Int = 10000): (Long, DataFrame) = {
-    val existing = readKeys(df.sparkSession, url, table, keyCol)
+    val existing = readKeys(df.sparkSession, url, table, keyCol, p)
       .toDF(keyCol).select(col(keyCol).cast(df.schema(keyCol).dataType))
       // eager snapshot: the conflict report must reflect the table BEFORE
       // this append — a lazy JDBC read re-evaluated after the write would
@@ -118,7 +118,7 @@ object Jdbc {
     * Throughput is deliberately traded for isolation — keep this off
     * the hot path and feed it only `appendIsolated`'s residue. */
   def appendRowIsolated(df: DataFrame, url: String, table: String,
-                        keyCol: String): DataFrame = {
+                        keyCol: String, p: Properties = props()): DataFrame = {
     val names = df.schema.fieldNames
     val sql = s"INSERT INTO $table (${names.mkString(", ")}) " +
       s"VALUES (${names.map(_ => "?").mkString(", ")})"
@@ -126,7 +126,7 @@ object Jdbc {
     import df.sparkSession.implicits._
     df.mapPartitions { rows =>
       val errs = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      val c = DriverManager.getConnection(url)
+      val c = DriverManager.getConnection(url, p)
       try {
         val ps = c.prepareStatement(sql)
         rows.foreach { r =>
@@ -144,8 +144,8 @@ object Jdbc {
     }.toDF(keyCol, "error").localCheckpoint(true)
   }
 
-  private def withConn[A](url: String)(f: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
+  private def withConn[A](url: String, p: Properties = props())(f: Connection => A): A = {
+    val c = DriverManager.getConnection(url, p)
     try f(c) finally c.close()
   }
 
@@ -162,10 +162,16 @@ object Jdbc {
     }
 
   /** K7 — DDL create-if-absent (postgres_loader.py:643-678). */
-  def createTableIfAbsent(url: String, table: String, ddlBody: String): Unit =
-    withConn(url) { c =>
-      val meta = c.getMetaData.getTables(null, null, table.toUpperCase, null)
-      val exists = meta.next()
+  def createTableIfAbsent(url: String, table: String, ddlBody: String,
+                          p: Properties = props()): Unit =
+    withConn(url, p) { c =>
+      // identifier folding is engine-specific (Derby upcases, Postgres
+      // downcases unquoted names) — probe all three renderings
+      def found(n: String): Boolean = {
+        val r = c.getMetaData.getTables(null, null, n, null)
+        try r.next() finally r.close()
+      }
+      val exists = found(table) || found(table.toUpperCase) || found(table.toLowerCase)
       if (!exists) c.createStatement().execute(s"CREATE TABLE $table ($ddlBody)")
     }
 
@@ -173,7 +179,8 @@ object Jdbc {
     * (postgres_loader.py:368-403). */
   def updateById(url: String, table: String, idCol: String, id: Any,
                  sets: Seq[(String, Any)]): Int =
-    withConn(url) { c =>
+    if (sets.isEmpty) 0 // nothing to update (the reference's dynamic-SET no-op)
+    else withConn(url) { c =>
       val clause = sets.map { case (k, _) => s"$k = ?" }.mkString(", ")
       val ps = c.prepareStatement(s"UPDATE $table SET $clause WHERE $idCol = ?")
       sets.zipWithIndex.foreach { case ((_, v), i) => ps.setObject(i + 1, v) }
@@ -212,8 +219,10 @@ object Jdbc {
     * :284-329): column metadata via JDBC metadata, count pushed down. */
   def tableStats(spark: SparkSession, url: String, table: String,
                  p: Properties = props()): (Long, Seq[(String, String)]) = {
+    // positional read: the alias's case depends on the engine's
+    // identifier folding (Derby upcases, Postgres downcases)
     val cnt = readQuery(spark, url, s"SELECT count(*) AS c FROM $table", p)
-      .collect()(0).getAs[Number]("C" /* Derby upcases */).longValue()
+      .collect()(0).get(0).asInstanceOf[Number].longValue()
     val cols = readTable(spark, url, table, p).schema.fields.toSeq
       .map(f => f.name -> f.dataType.simpleString)
     (cnt, cols)

@@ -21,6 +21,12 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
+      // events.parquet carries TIMESTAMP(NANOS), which Spark refuses
+      // without this legacy conf. There is no per-scan toggle, and the
+      // conf is consulted again at execution time, so it CANNOT be
+      // restored after the (lazy) read — it stays set for the session.
+      // Documented side effect: later TIMESTAMP(NANOS) parquet reads in
+      // the same session also surface as LongType.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -61,15 +67,13 @@ object Tables {
     * transaction each (postgres_loader.py:293-326); the Spark-native
     * equivalent is a partitioned batch append with JDBC batching. */
   def writeJdbc(df: DataFrame, url: String, table: String,
-                props: java.util.Properties, batchSize: Int = 10000): Unit = {
-    props.setProperty("batchsize", batchSize.toString)
-    df.write.mode("append").jdbc(url, table, props)
-  }
+                props: java.util.Properties, batchSize: Int = 10000): Unit =
+    Jdbc.append(df, url, table, props, batchSize)
 
   /** S9 — JDBC full-table scan (sql_extraction.py:38-82). */
   def readJdbc(spark: SparkSession, url: String, table: String,
                props: java.util.Properties): DataFrame =
-    spark.read.jdbc(url, table, props)
+    Jdbc.readTable(spark, url, table, props)
 
   /** Partitioned parquet layout — the 100 TB data-lake sink: one
     * directory per partition value (e.g. event date), so downstream
