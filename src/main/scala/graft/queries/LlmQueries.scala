@@ -135,6 +135,23 @@ object LlmQueries {
         n = 2, threshold = 0.15, maxBlock = 10)
         .orderBy(col("a"), col("b"))),
 
+    // Stratified (per-language quota) sampling — the curation move that
+    // balances a corpus: keep at most N docs per language, chosen by a
+    // deterministic md5 order so reruns and incremental builds agree
+    // (same rationale as llm_consistent_sample). rank <= k compiles to
+    // WindowGroupLimit: each map task forwards at most k rows per lang
+    // BEFORE the exchange, so the shuffle carries ~k×|langs| rows at
+    // any corpus size.
+    "llm_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(Text.md5Hash(concat(lit("strat:"), col("doc_id"))), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN quality measurement: recall@3 of the LSH-bucketed search
     // against exact top-3 on the same query/candidate split. The
     // approximation is only as good as its measured recall — this
@@ -612,6 +629,12 @@ object LlmQueries {
          |FROM documents
          |WHERE ${duckHash("('sample:' || doc_id)")} % 100 < 20
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${duckHash("('strat:' || doc_id)")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "llm_pii_scrub" -> {
       val Seq(em, ip, num) = Text.PiiPatterns.map(_._2)
       val scrub = Text.PiiPatterns.foldLeft("aug") { case (e, (_, pat, rep)) =>
