@@ -152,6 +152,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-upsampling factors for multilingual balance: the
+    // alpha = 0.5 recipe's per-language weight, sqrt(N / n_lang) —
+    // low-resource languages get proportionally larger repetition
+    // factors. alpha is fixed at 0.5 deliberately: sqrt is correctly
+    // rounded (IEEE), so the result is bit-identical in any engine,
+    // where pow(x, alpha) is only faithfully rounded and could diverge
+    // from the oracle in the last ulp.
+    "llm_lang_upsample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(docs.agg(count(lit(1)).as("__N")))
+        .select(col("lang"), col("n_docs"),
+          sqrt(col("__N").cast("double") / col("n_docs").cast("double"))
+            .as("upsample_factor"))
+        .orderBy(col("lang"))
+    }),
+
     // ANN quality measurement: recall@3 of the LSH-bucketed search
     // against exact top-3 on the same query/candidate split. The
     // approximation is only as good as its measured recall — this
@@ -635,6 +652,10 @@ object LlmQueries {
          |    ORDER BY ${duckHash("('strat:' || doc_id)")}, doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "llm_lang_upsample" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sqrt((SELECT count(*) FROM documents)::DOUBLE / count(*)::DOUBLE) AS upsample_factor
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_pii_scrub" -> {
       val Seq(em, ip, num) = Text.PiiPatterns.map(_._2)
       val scrub = Text.PiiPatterns.foldLeft("aug") { case (e, (_, pat, rep)) =>
