@@ -18,8 +18,11 @@ object LlmQueries {
   private val P = Text.HashP
 
   /** Harness cap for llm_dedup_simhash_pairs, shared with its oracle SQL
-    * so the two can't drift (template clusters exceed it by design). */
-  private val SimHashPairsCap = 64
+    * so the two can't drift. 16 straddles the real sf0.01 band sizes
+    * (max 57): hot template bands are dropped, organic ones survive —
+    * 17 of 18 uncapped pairs remain, so the cap semantics are exercised
+    * non-trivially by the oracle compare. */
+  private val SimHashPairsCap = 16
 
   val queries: Seq[(String, Q)] = Seq(
 
@@ -43,11 +46,7 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     // SimHash dedup completed: banded candidate buckets + exact Hamming
-    // verify. The synthetic corpus is template-generated, so radius-2
-    // buckets hold whole template clusters (hundreds of docs — the
-    // boilerplate failure mode); the tight bucket cap drops those
-    // wholesale and keeps the organic near-dups, exercising the cap at
-    // default scale.
+    // verify, with a straddling bucket cap (see SimHashPairsCap).
     "llm_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 2,
         maxBucket = SimHashPairsCap)
