@@ -99,6 +99,17 @@ class ExprsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("F1 firstNonNull: empty and all-null arrays yield null, never throw (ANSI)") {
+    val df = spark.sql(
+      "SELECT array('x', NULL) AS some, array(CAST(NULL AS STRING)) AS allnull, " +
+        "CAST(array() AS ARRAY<STRING>) AS empty")
+    val r = df.select(
+      Exprs.firstNonNull(col("some")).as("s"),
+      Exprs.firstNonNull(col("allnull")).as("n"),
+      Exprs.firstNonNull(col("empty")).as("e")).collect()(0)
+    assert(r.getString(0) == "x" && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("F9 pgArrayLiteral: quoting, escaping, empty => null") {
     val r = spark.sql("SELECT array('ab', 'o''brien') AS a, array(CAST(NULL AS STRING)) AS e")
       .select(Exprs.pgArrayLiteral(col("a")).as("lit"),

@@ -218,6 +218,14 @@ class LlmSpec extends SparkSpec {
     assert(norm == Set(1L, 3L)) // 2 is a normalized dup of 1; min id kept
   }
 
+  test("exact dedup: null-content rows are not duplicates of each other") {
+    val docs = Seq((1L, Some("same")), (2L, Some("same")), (3L, None), (4L, None))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), s"both null-text docs must survive: $kept")
+  }
+
   test("kmeansClusters: separable clusters recovered, deterministic") {
     // two tight groups on a 64-dim axis; k=2 must split them exactly
     def vec(base: Float): Seq[Float] = Seq.tabulate(64)(i => base + (i % 3) * 0.001f)

@@ -153,6 +153,27 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(10L -> Some(101L), 11L -> Some(102L), 12L -> None, 13L -> None))
   }
 
+  test("asofJoin: a null payload value in the matching right row is NOT skipped") {
+    // two payload columns, null-interleaved: the as-of match must take
+    // BOTH values from the single matching right row — per-column
+    // last(ignoreNulls) would resurrect v='x' from the older row and
+    // stitch (v=x, u=y), a combined row that never existed
+    val left = tsDf(Seq((10L, 1L, "2024-01-01 13:00:00")), ("event_id", "user_id", "ts"))
+    val right = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "x", null),
+        org.apache.spark.sql.Row(1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), null, "y"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType))))
+    val out = Ops.asofJoin(left, right, Seq("user_id"), "ts", "ts", Seq("v", "u"))
+      .select("v", "u").collect()(0)
+    assert(out.isNullAt(0) && out.getString(1) == "y",
+      s"must take (null, y) from the 12:00 row, got $out")
+  }
+
   test("asofJoin and sessionize plans have exactly one exchange (scale property)") {
     val left = tsDf(Seq((1L, 1L, "2024-01-01 10:00:00")), ("event_id", "user_id", "ts"))
     val right = tsDf(Seq((2L, 1L, "2024-01-01 09:00:00")), ("rid", "user_id", "ts"))
