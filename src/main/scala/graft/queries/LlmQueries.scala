@@ -24,6 +24,13 @@ object LlmQueries {
     * non-trivially by the oracle compare. */
   private val SimHashPairsCap = 16
 
+  /** Embedding near-dup threshold, shared with the oracle SQL. 0.3 (not
+    * a token 0.4): the synthetic embeddings' max in-bucket cosine is
+    * 0.37 at sf0.01, so 0.3 yields real pairs and the whole
+    * bucket->dot->cosine pipeline is oracle-checked non-vacuously
+    * (at 0.4 the query matched on 0 rows — a vacuous oracle). */
+  private val EmbDedupThreshold = 0.3
+
   val queries: Seq[(String, Q)] = Seq(
 
     "llm_dedup_exact" -> ((s, dir) =>
@@ -107,8 +114,20 @@ object LlmQueries {
 
     "llm_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4)
+        threshold = EmbDedupThreshold)
         .orderBy(col("a"), col("b"))),
+
+    // End-to-end embedding dedup: cosine near-dup pairs -> connected
+    // components -> keep the cluster-min vector (same composition as
+    // llm_dedup_keep_one on the text path)
+    "llm_dedup_embedding_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = EmbDedupThreshold)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      Dedup.keepOnePerCluster(emb.select(col("vec_id")), "vec_id", comp)
+        .orderBy(col("vec_id"))
+    }),
 
     "llm_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -402,6 +421,27 @@ object LlmQueries {
        |  FROM capped x JOIN capped y ON x.blk = y.blk AND x.doc_id < y.doc_id) t
        |WHERE jaccard >= 0.15 ORDER BY a, b""".stripMargin
 
+  /** Shared CTE chain for the embedding near-dup pipeline (`escored` =
+    * thresholded cosine pairs) — used by llm_dedup_embedding and
+    * llm_dedup_embedding_keep so buckets, caps, zero-norm guard and
+    * threshold can't drift apart. */
+  private lazy val embPairsCtes: String =
+    s"""e AS (SELECT vec_id AS vid,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |b0 AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
+       |b AS (SELECT vid, eq, bucket FROM (
+       |  SELECT vid, eq, bucket, count(*) OVER (PARTITION BY bucket) AS bc FROM b0) t0
+       |  WHERE bc BETWEEN 2 AND ${Similarity.DefaultMaxBucket}),
+       |p AS (SELECT x.vid AS a, y.vid AS b,
+       |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+       |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
+       |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid),
+       |escored AS (SELECT a, b, cosine FROM (
+       |  SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM p
+       |  WHERE na > 0 AND nb > 0) t
+       |  WHERE cosine >= $EmbDedupThreshold)""".stripMargin
+
   /** Shared CTE chain producing the MinHash+LSH candidate pairs with
     * exact-Jaccard scores (`scored`) — used by the llm_dedup_minhash_lsh,
     * llm_dedup_components and llm_dedup_keep_one oracles so the cap,
@@ -545,21 +585,19 @@ object LlmQueries {
          |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM scored) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "llm_dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id AS vid,
-         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
-         |b0 AS (SELECT vid, eq, $bucketExpr AS bucket FROM e),
-         |b AS (SELECT vid, eq, bucket FROM (
-         |  SELECT vid, eq, bucket, count(*) OVER (PARTITION BY bucket) AS bc FROM b0) t0
-         |  WHERE bc BETWEEN 2 AND ${Similarity.DefaultMaxBucket}),
-         |p AS (SELECT x.vid AS a, y.vid AS b,
-         |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
-         |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
-         |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid)
-         |SELECT a, b, cosine FROM (
-         |  SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM p
-         |  WHERE na > 0 AND nb > 0) t
-         |WHERE cosine >= 0.4 ORDER BY a, b""".stripMargin,
+      s"""WITH $embPairsCtes
+         |SELECT a, b, cosine FROM escored ORDER BY a, b""".stripMargin,
+    "llm_dedup_embedding_keep" ->
+      s"""WITH RECURSIVE $embPairsCtes,
+         |sym AS (SELECT a AS src, b AS dst FROM escored
+         |        UNION ALL SELECT b AS src, a AS dst FROM escored),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> label)
+         |ORDER BY vec_id""".stripMargin,
     "llm_ngram_jaccard" -> ngramJaccardOracle(Dedup.DefaultMaxBlock),
     "llm_ngram_jaccard_tightcap" -> ngramJaccardOracle(10),
     "llm_dedup_lsh_tightcap" ->
