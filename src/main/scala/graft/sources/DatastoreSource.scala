@@ -69,10 +69,18 @@ class DatastoreScanBuilder(url: String, projectId: String, kind: String,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
 
+  /** Key-range pushdown in TRUE service order (DatastoreKeys): EqualTo
+    * becomes the exact point range [v, successor(v)) — numeric for id
+    * keys — and inequality bounds are only accepted where lexicographic
+    * (Spark) and service order provably agree. ALL filters are returned
+    * for Spark to re-evaluate: string promotion cannot distinguish an
+    * id key from an all-digit NAME key, so the server range is treated
+    * as advisory pruning, never as the final filter. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest, low, high) = KeyRangePush.intersect(filters, Set("id"))
+    val (accepted, _, low, high) = KeyRangePush.intersect(filters, Set("id"),
+      DatastoreKeys.successor, DatastoreKeys.ordering, DatastoreKeys.inequalityBoundSound)
     keyLow = low; keyHighExcl = high; pushed = accepted
-    rest
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -88,16 +96,25 @@ class DatastoreScan(url: String, projectId: String, kind: String,
   override def readSchema(): StructType = DatastoreSource.schema
   override def toBatch: Batch = this
 
+  /** Split the key space via a keys-only scan. Two scale properties:
+    * the enumeration is consumed as a LAZY page stream into a one-pass
+    * stride sample (O(numPartitions) driver memory, never the full key
+    * list), and split points are sorted/encoded in TRUE service order
+    * (DatastoreKeys.ordering — ids numerically before names). Sorting
+    * promoted keys lexicographically here silently loses/duplicates
+    * rows on numeric-id kinds: with ids 9..12 and 2 partitions, string
+    * bounds ("10", "12") put id 9 in no partition. */
   override def planInputPartitions(): Array[InputPartition] = {
     val client = new DatastoreRestClient(url, projectId, authToken)
-    val keys = client.runQuery(kind, keyLow, keyHighExcl, pageSize, keysOnly = true)
-      .map(_._1).toSeq.sorted
-    if (keys.isEmpty) return Array.empty
-    val n = math.min(numPartitions, keys.size)
-    val bounds = (0 until n).map(i => keys(i * keys.size / n))
-    bounds.zipWithIndex.map { case (from, i) =>
-      val to = if (i + 1 < n) Some(bounds(i + 1)) else keyHighExcl
-      DatastoreRangePartition(url, projectId, kind, Some(from), to, pageSize,
+    val keyIt = client.runQuery(kind, keyLow, keyHighExcl, pageSize, keysOnly = true)
+      .map(_._1)
+    val (count, bounds) =
+      RangePlanner.splitBounds(keyIt, numPartitions, DatastoreKeys.ordering)
+    if (count == 0L) return Array.empty
+    val froms = keyLow +: bounds.map(Some(_))
+    val tos = bounds.map(Some(_)) :+ keyHighExcl
+    froms.lazyZip(tos).map { case (from, to) =>
+      DatastoreRangePartition(url, projectId, kind, from, to, pageSize,
         authToken, limit): InputPartition
     }.toArray
   }

@@ -2,10 +2,10 @@ package graft.sources
 
 /** Shared HTTP transport for the live-service clients (RTDB, Datastore,
   * Auth). One retry policy in one place: requests here are all
-  * idempotent reads (GETs or read-only query POSTs), so 5xx and
-  * transport errors retry with exponential backoff; 4xx fails fast (a
-  * bad token, path or body never heals by retrying). No sleep is wasted
-  * after the final failed attempt. */
+  * idempotent reads (GETs or read-only query POSTs), so 5xx, 429/408
+  * and transport errors retry with exponential backoff; any other 4xx
+  * fails fast (a bad token, path or body never heals by retrying). Any
+  * 2xx is success. No sleep is wasted after the final failed attempt. */
 private[sources] object Http {
 
   def request(url: String, method: String = "GET", body: Option[String] = None,
@@ -27,11 +27,15 @@ private[sources] object Http {
             conn.getOutputStream.write(b.getBytes("UTF-8"))
           }
           val code = conn.getResponseCode
-          if (code == 200) {
+          if (code >= 200 && code < 300) {
             val in = conn.getInputStream
             try return new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
             finally in.close()
-          } else if (code >= 500) throw new java.io.IOException(s"HTTP $code from $url")
+          } else if (code >= 500 || code == 429 || code == 408)
+            // rate limiting (429) and request timeout (408) are the two
+            // 4xx that heal on their own — backing off matters exactly
+            // where a wide scan is hammering the service
+            throw new java.io.IOException(s"HTTP $code from $url")
           else throw new IllegalArgumentException(s"HTTP $code from $url (not retryable)")
         } finally conn.disconnect()
       } catch {

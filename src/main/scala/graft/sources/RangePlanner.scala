@@ -1,0 +1,74 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Scale-safe split-point selection for DSv2 partition planning.
+  *
+  * The planner's job is to turn "all keys of the table" into at most
+  * `numPartitions - 1` interior split bounds. Buffering every key on
+  * the driver to pick N split points is O(|keys|) driver memory — a
+  * scale killer when the key space is the 100-TB table itself. This is
+  * a one-pass systematic (stride) sample instead: keep every
+  * `stride`-th key; whenever the buffer overflows the cap, drop every
+  * other retained key and double the stride. Memory is O(cap) =
+  * O(numPartitions) regardless of key count, one pass, no second scan.
+  *
+  * Split bounds do NOT need to be exact quantiles for correctness —
+  * the produced ranges [prev, next) tile the whole key space, so every
+  * key lands in exactly one partition no matter how approximate the
+  * sample is; sampling only affects balance. With ~`SamplesPerSplit`
+  * retained keys per requested split (the same density the public
+  * Datastore Beam connector uses for scatter-key splitting), skew
+  * stays within a small constant factor of ideal.
+  */
+private[sources] object RangePlanner {
+
+  /** Retained sample keys per requested partition (32 mirrors the
+    * Datastore Beam connector's oversampling factor). */
+  val SamplesPerSplit = 32
+
+  /** Consume `keys` (any order) and return `(count, bounds)` where
+    * `bounds` are at most `numPartitions - 1` sorted, distinct interior
+    * split points drawn from the keys. Partitions are then
+    * `[low, b0), [b0, b1), …, [bLast, high)`. Empty input → (0, Nil).
+    * Driver memory is O(numPartitions), independent of key count. */
+  def splitBounds(keys: Iterator[String], numPartitions: Int,
+                  ord: Ordering[String]): (Long, Seq[String]) = {
+    val sampler = new StrideSampler(math.max(numPartitions * SamplesPerSplit, 64))
+    keys.foreach(sampler.add)
+    if (sampler.seen == 0L) return (0L, Nil)
+    val sorted = sampler.sample(ord)
+    val n = math.min(numPartitions.toLong, sampler.seen).toInt
+    val bounds = (1 until n).map(i => sorted(i * sorted.size / n)).distinct
+    (sampler.seen, bounds)
+  }
+}
+
+/** The one-pass bounded systematic sampler behind
+  * [[RangePlanner.splitBounds]]. Invariant (asserted in
+  * RangePlannerSpec): `retained <= cap` after every `add`, for any
+  * stream length. */
+private[sources] final class StrideSampler(val cap: Int) {
+  private val buf = new ArrayBuffer[String](cap + 1)
+  private var stride = 1L
+  private var count = 0L
+
+  def seen: Long = count
+  def retained: Int = buf.size
+
+  def add(k: String): Unit = {
+    if (count % stride == 0) {
+      buf += k
+      if (buf.size > cap) {
+        // halve the sample in place: keep positions 0, 2, 4, …
+        var i = 0; var j = 0
+        while (i < buf.size) { if ((i & 1) == 0) { buf(j) = buf(i); j += 1 }; i += 1 }
+        buf.dropRightInPlace(buf.size - j)
+        stride *= 2
+      }
+    }
+    count += 1
+  }
+
+  def sample(ord: Ordering[String]): IndexedSeq[String] = buf.sorted(ord).toIndexedSeq
+}

@@ -47,8 +47,15 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
 
   /** Range read [from, toExclusive) as lazily-paged (key, json) rows —
     * object children only (P4). `endAt` is inclusive server-side, so
-    * the strict upper bound is re-checked client-side. */
-  def fetchRange(path: String, from: String, toExclusive: Option[String],
+    * the strict upper bound is re-checked client-side. `from = None`
+    * starts at the beginning of the path.
+    *
+    * ONLY SOUND FOR STRING-KEYED PATHS: the keyset successor assumes
+    * the server pages keys lexicographically; RTDB orders
+    * integer-parseable keys numerically first, so callers must route
+    * numerically-keyed paths to [[fetchAll]] instead (the DSv2 planner
+    * does — see RtdbScan.planInputPartitions). */
+  def fetchRange(path: String, from: Option[String], toExclusive: Option[String],
                  pageSize: Int = 1000): Iterator[(String, String)] =
     new Iterator[(String, String)] {
       private var buf: Iterator[(String, String)] = Iterator.empty
@@ -56,10 +63,9 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
       private var exhausted = false
 
       private def fetchPage(): Unit = {
-        val params = Seq(
-          "orderBy" -> Http.jsonString("$key"),
-          "startAt" -> Http.jsonString(start),
-          "limitToFirst" -> pageSize.toString) ++
+        val params = Seq("orderBy" -> Http.jsonString("$key")) ++
+          start.map(s => "startAt" -> Http.jsonString(s)) ++
+          Seq("limitToFirst" -> pageSize.toString) ++
           toExclusive.map(t => "endAt" -> Http.jsonString(t))
         val root = mapper.readTree(get(buildUrl(path, params)))
         val fields: Seq[(String, JsonNode)] =
@@ -69,11 +75,23 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
         buf = kept.collect { case (k, v) if v.isObject => k -> v.toString }.iterator
         // done when the server ran dry or the strict bound was crossed
         if (fields.size < pageSize || kept.size < fields.size) exhausted = true
-        else start = fields.last._1 + "\u0000"
+        else start = Some(fields.last._1 + Char.MinValue)
       }
 
       private def refill(): Unit = while (!buf.hasNext && !exhausted) fetchPage()
       override def hasNext: Boolean = { refill(); buf.hasNext }
       override def next(): (String, String) = { refill(); buf.next() }
     }
+
+  /** Complete unpaged fetch of `path` — one GET of the whole subtree,
+    * object children only (P4), sorted by key. Memory is O(subtree);
+    * the planner uses it only where keyset paging is unsound
+    * (integer-like child keys, whose server order is numeric). */
+  def fetchAll(path: String): Iterator[(String, String)] = {
+    val root = mapper.readTree(get(buildUrl(path, Nil)))
+    if (root == null || !root.isObject) Iterator.empty
+    else root.fields().asScala.map(e => e.getKey -> e.getValue).toSeq
+      .sortBy(_._1)
+      .collect { case (k, v) if v.isObject => k -> v.toString }.iterator
+  }
 }

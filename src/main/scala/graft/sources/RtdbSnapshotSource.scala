@@ -76,7 +76,7 @@ object RtdbSnapshotSource {
     * tree nodes and serializing them back — is paid exactly once per
     * row across the whole scan. The live REST source replaces this
     * with a server-side startAt/endAt fetch (RtdbRestClient). */
-  def readRange(path: String, from: String, toExclusive: Option[String]): Iterator[(String, String)] = {
+  def readRange(path: String, from: Option[String], toExclusive: Option[String]): Iterator[(String, String)] = {
     val mapper = new ObjectMapper()
     val parser = mapper.getFactory.createParser(new java.io.File(path))
     val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -85,7 +85,7 @@ object RtdbSnapshotSource {
         while (parser.nextToken() == JsonToken.FIELD_NAME) {
           val key = parser.currentName()
           parser.nextToken()
-          val inRange = key >= from && toExclusive.forall(key < _)
+          val inRange = from.forall(key >= _) && toExclusive.forall(key < _)
           if (inRange && parser.currentToken() == JsonToken.START_OBJECT) {
             val node: com.fasterxml.jackson.databind.JsonNode = mapper.readTree(parser)
             buf += key -> node.toString
@@ -148,18 +148,35 @@ class RtdbScan(path: String, numPartitions: Int,
   override def readSchema(): StructType = RtdbSnapshotSource.schema
   override def toBatch: Batch = this
 
-  /** Shard the (filtered) sorted key space into contiguous ranges. Key
+  /** Shard the (filtered) key space into contiguous ranges. Key
     * enumeration is the cheap call on either transport: streamed field
-    * names offline, `shallow=true` against the live service. */
+    * names offline, `shallow=true` against the live service. The key
+    * stream feeds a one-pass stride sample (RangePlanner), so planning
+    * memory is O(numPartitions) — never the full key list.
+    *
+    * GUARD (live transport only): RTDB orders integer-parseable child
+    * keys NUMERICALLY, before all string keys, while range paging and
+    * Spark's string predicates are lexicographic. On such a path the
+    * keyset paging successor can skip keys ("9" + NUL is after "10"
+    * server-side), so the plan falls back to ONE unpaged fetch with the
+    * pushed range re-applied client-side in Spark's (lexicographic)
+    * semantics — complete and correct, at the cost of parallel fetch.
+    * The offline transport compares lexicographically end to end, so
+    * the guard does not apply. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val keys = url.fold(RtdbSnapshotSource.listKeys(path))(u =>
-        new RtdbRestClient(u, authToken).shallowKeys(path))
+    val allKeys = url.fold(RtdbSnapshotSource.listKeys(path))(u =>
+      new RtdbRestClient(u, authToken).shallowKeys(path))
+    if (url.isDefined && allKeys.exists(k => k.nonEmpty && k.forall(_.isDigit)))
+      return Array(RtdbRangePartition(path, keyLow, keyHighExcl, limit, url,
+        authToken, pageSize, unpaged = true))
+    val inRange = allKeys.iterator
       .filter(k => keyLow.forall(k >= _) && keyHighExcl.forall(k < _))
-    if (keys.isEmpty) return Array.empty
-    val n = math.min(numPartitions, keys.size)
-    val bounds = (0 until n).map(i => keys(i * keys.size / n))
-    bounds.zipWithIndex.map { case (from, i) =>
-      val to = if (i + 1 < n) Some(bounds(i + 1)) else keyHighExcl
+    val (count, bounds) =
+      RangePlanner.splitBounds(inRange, numPartitions, Ordering.String)
+    if (count == 0L) return Array.empty
+    val froms = keyLow +: bounds.map(Some(_))
+    val tos = bounds.map(Some(_)) :+ keyHighExcl
+    froms.lazyZip(tos).map { case (from, to) =>
       RtdbRangePartition(path, from, to, limit, url, authToken, pageSize): InputPartition
     }.toArray
   }
@@ -167,9 +184,10 @@ class RtdbScan(path: String, numPartitions: Int,
   override def createReaderFactory(): PartitionReaderFactory = RtdbReaderFactory
 }
 
-case class RtdbRangePartition(path: String, from: String, toExclusive: Option[String],
+case class RtdbRangePartition(path: String, from: Option[String], toExclusive: Option[String],
                               limit: Option[Int] = None, url: Option[String] = None,
-                              authToken: Option[String] = None, pageSize: Int = 1000)
+                              authToken: Option[String] = None, pageSize: Int = 1000,
+                              unpaged: Boolean = false)
   extends InputPartition
 
 object RtdbReaderFactory extends PartitionReaderFactory {
@@ -177,8 +195,15 @@ object RtdbReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[RtdbRangePartition]
     new PartitionReader[InternalRow] {
       private val it0 = p.url.fold(
-        RtdbSnapshotSource.readRange(p.path, p.from, p.toExclusive))(u =>
-        new RtdbRestClient(u, p.authToken).fetchRange(p.path, p.from, p.toExclusive, p.pageSize))
+        RtdbSnapshotSource.readRange(p.path, p.from, p.toExclusive)) { u =>
+        val client = new RtdbRestClient(u, p.authToken)
+        if (p.unpaged)
+          // numeric-key fallback: one complete fetch, bounds re-applied
+          // client-side in Spark's lexicographic string semantics
+          client.fetchAll(p.path).filter { case (k, _) =>
+            p.from.forall(k >= _) && p.toExclusive.forall(k < _) }
+        else client.fetchRange(p.path, p.from, p.toExclusive, p.pageSize)
+      }
       private val it = p.limit.fold(it0)(it0.take)
       private var cur: (String, String) = _
       override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }

@@ -11,20 +11,36 @@ import graft.sources.DatastoreRestClient
 /** S6/S7 live-transport plumbing: a localhost stub implements the
   * Datastore REST v1 runQuery contract (cursor paging, key-range
   * propertyFilters on __key__, keys-only projection, __kind__
-  * pseudo-kind) and the client + DSv2 source are checked against it. */
+  * pseudo-kind) and the client + DSv2 source are checked against it.
+  *
+  * The stub orders keys in REAL service order — numeric-id keys first,
+  * numerically, then name keys lexicographically — and types each
+  * incoming bound by its path element (`id` vs `name`). A stub that
+  * sorted promoted strings lexicographically would mirror the exact
+  * key-ordering bug the source must not have (ids 9..12 split at
+  * string bounds "10"/"12" silently drops id 9). */
 class DatastoreSpec extends SparkSpec {
 
   private val mapper = new ObjectMapper()
 
-  // 30 named entities + 1 numeric-id entity (key promotion fallback)
+  // 30 named entities + numeric-id entities 9..12 and 12345 (key
+  // promotion fallback + the ordering-sensitive cluster)
   private case class Ent(kind: String, name: Option[String], id: Option[Long], props: String)
+  private val numericIds = Seq(9L, 10L, 11L, 12L, 12345L)
   private val ents: Seq[Ent] =
-    (1 to 30).map(i => Ent("User", Some(f"e$i%02d"), None, f"""{"email":{"stringValue":"u$i@x.com"}}""")) :+
-      Ent("User", None, Some(12345L), """{"email":{"stringValue":"numeric@x.com"}}""") :+
+    (1 to 30).map(i => Ent("User", Some(f"e$i%02d"), None, f"""{"email":{"stringValue":"u$i@x.com"}}""")) ++
+      numericIds.map(n => Ent("User", None, Some(n), f"""{"email":{"stringValue":"n$n@x.com"}}""")) ++
+      numericIds.map(n => Ent("Num", None, Some(n), "{}")) :+
       Ent("Session", Some("s1"), None, "{}") :+
       Ent("__stat__", Some("total"), None, "{}")
+  private val nUsers = 35
 
-  private def keyStr(e: Ent): String = e.name.getOrElse(e.id.get.toString)
+  // Service sort key: ids (numeric, first) then names (lexicographic).
+  // Independent of the library's ordering on purpose — typed, not
+  // promoted-string based, so it can't share a promotion-level bug.
+  private def sk(id: Option[Long], name: Option[String]): String =
+    id.map(i => f"0$i%019d").getOrElse("1" + name.get)
+  private def entSk(e: Ent): String = sk(e.id, e.name)
 
   private val bodies = mutable.ArrayBuffer[String]()
   private val failNext = new AtomicInteger(0)
@@ -42,7 +58,8 @@ class DatastoreSpec extends SparkSpec {
         val limit = if (q.has("limit")) q.get("limit").asInt else Int.MaxValue
         val start = Option(q.path("startCursor").asText(null))
           .map(_.stripPrefix("c").toInt).getOrElse(0)
-        // collect __key__ propertyFilters (single or AND-composite)
+        // collect __key__ propertyFilters (single or AND-composite) as
+        // TYPED bounds in service sort-key space
         val pfs = {
           val f = q.path("filter")
           val raw = if (f.has("compositeFilter"))
@@ -53,8 +70,9 @@ class DatastoreSpec extends SparkSpec {
             val pf = fn.path("propertyFilter")
             if (pf.path("property").path("name").asText == "__key__") {
               val el = pf.path("value").path("keyValue").path("path").get(0)
-              // bounds arrive as `name` for string keys, `id` for numeric
-              val v = if (el.hasNonNull("id")) el.get("id").asText else el.path("name").asText
+              // bound type comes from the path element: id vs name
+              val v = if (el.hasNonNull("id")) sk(Some(el.get("id").asText.toLong), None)
+                      else sk(None, Some(el.path("name").asText))
               pf.path("op").asText match {
                 case "GREATER_THAN_OR_EQUAL" => lo = Some(v)
                 case "LESS_THAN" => hi = Some(v)
@@ -67,8 +85,8 @@ class DatastoreSpec extends SparkSpec {
         val matching =
           (if (kind == "__kind__") ents.map(_.kind).distinct.sorted.map(k => Ent("__kind__", Some(k), None, "{}"))
            else ents.filter(_.kind == kind))
-            .sortBy(keyStr)
-            .filter(e => pfs._1.forall(keyStr(e) >= _) && pfs._2.forall(keyStr(e) < _))
+            .sortBy(entSk)
+            .filter(e => pfs._1.forall(entSk(e) >= _) && pfs._2.forall(entSk(e) < _))
         val page = matching.slice(start, start + limit)
         val results = page.map { e =>
           val keyPart = e.name.map(n => s""""name":"$n"""").getOrElse(s""""id":"${e.id.get}"""")
@@ -91,10 +109,10 @@ class DatastoreSpec extends SparkSpec {
   test("S6 cursor paging: full kind scan crosses pages, key promotion name/id") {
     bodies.synchronized(bodies.clear())
     val rows = client.runQuery("User", pageSize = 7).toSeq
-    assert(rows.size == 31)
+    assert(rows.size == nUsers)
     assert(rows.map(_._1).contains("12345"), "numeric key id stringified")
     assert(rows.forall(_._2.contains("stringValue")))
-    assert(bodies.synchronized(bodies.size) >= 5, "31 rows at 7/page needs 5 requests")
+    assert(bodies.synchronized(bodies.size) >= 5, "35 rows at 7/page needs 5 requests")
     assert(bodies.synchronized(bodies.toList).tail.forall(_.contains("startCursor")))
   }
 
@@ -108,15 +126,18 @@ class DatastoreSpec extends SparkSpec {
 
   test("S6 all-digit bound encodes as an id path element, not a name") {
     bodies.synchronized(bodies.clear())
-    client.runQuery("User", Some("12345"), None).toSeq
+    val rows = client.runQuery("User", Some("12345"), None).toSeq
     val b = bodies.synchronized(bodies.head)
     assert(b.contains("\"id\":\"12345\"") && !b.contains("\"name\":\"12345\""),
       s"numeric bound must use the id branch: $b")
+    // ids sort before names in service order, so [id 12345, inf)
+    // holds that one id plus every named entity
+    assert(rows.map(_._1).toSet == (Set("12345") ++ (1 to 30).map(i => f"e$i%02d")))
   }
 
   test("S7 kind discovery filters system kinds; S8 count via keys-only") {
-    assert(client.listKinds() == Seq("Session", "User"))
-    assert(client.countEntities("User") == 31L)
+    assert(client.listKinds() == Seq("Num", "Session", "User"))
+    assert(client.countEntities("User") == nUsers.toLong)
     failNext.set(1)
     assert(client.countEntities("Session") == 1L, "retries past a transient 500")
   }
@@ -125,10 +146,58 @@ class DatastoreSpec extends SparkSpec {
     val df = spark.read.format("graft.sources.DatastoreSource")
       .option("url", base).option("projectId", "test-proj").option("kind", "User")
       .option("numPartitions", "4").option("pageSize", "9").load()
-    assert(df.count() == 31)
+    assert(df.count() == nUsers)
     assert(df.rdd.getNumPartitions == 4)
     val one = df.filter(col("id") === "e07").collect()
     assert(one.length == 1 && one(0).getAs[String]("json").contains("u7@x.com"))
     assert(df.filter(col("id") === "zzz").count() == 0, "empty range -> zero partitions")
+  }
+
+  test("numeric ids: every row read exactly once with numPartitions > 1") {
+    // the VERDICT counter-example: ids 9,10,11,12 under string-quantile
+    // bounds ("10","12") put id 9 in no partition — service-order
+    // bounds must read each id exactly once
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "Num")
+      .option("numPartitions", "2").option("pageSize", "2").load()
+    val ids = df.select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.size == numericIds.size, s"row loss/duplication: $ids")
+    assert(ids.toSet == numericIds.map(_.toString).toSet)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("mixed kind: ids and names each read exactly once across partitions") {
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "3").option("pageSize", "5").load()
+    val ids = df.select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.size == nUsers, s"expected $nUsers rows exactly once, got ${ids.size}")
+    assert(ids.toSet.size == nUsers)
+  }
+
+  test("EqualTo on a numeric id returns exactly one row (no over-match)") {
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "4").option("pageSize", "9").load()
+    // the old successor bug made [12345, "12345 ") span every id >= 12345
+    val rows = df.filter(col("id") === "12345").collect()
+    assert(rows.length == 1, s"expected exactly id 12345, got ${rows.map(_.getString(0)).toSeq}")
+    assert(rows(0).getAs[String]("json").contains("n12345@x.com"))
+    assert(df.filter(col("id") === "9").count() == 1, "single-digit id point lookup")
+  }
+
+  test("inequality on a name bound stays consistent with Spark semantics") {
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "3").option("pageSize", "7").load()
+    // name bound above '9': pushdown sound — ids are below "e05" in
+    // BOTH service order and Spark's lexicographic semantics
+    assert(df.filter(col("id") >= "e05" && col("id") < "e10").count() == 5)
+    // digit bound: pushdown must NOT shard the scan by a range that
+    // disagrees with lexicographic semantics ("9" >= "12" lexically)
+    val lex = df.filter(col("id") >= "12").collect().map(_.getString(0)).toSet
+    val expected = ((1 to 30).map(i => f"e$i%02d") ++
+      numericIds.map(_.toString).filter(_ >= "12")).toSet
+    assert(lex == expected, s"lexicographic >= must hold: ${lex -- expected} / ${expected -- lex}")
   }
 }

@@ -19,6 +19,15 @@ class RtdbRestSpec extends SparkSpec {
       ("zzz-scalar" -> "\"not-a-dict\"")
   private val sorted = data.sortBy(_._1)
 
+  // a numerically-keyed path — RTDB orders integer-parseable keys
+  // numerically, FIRST, so lexicographic keyset paging is unsound here
+  private val numericData: Seq[(String, String)] =
+    Seq("9", "10", "11", "12").map(k => k -> s"""{"n":$k}""") :+
+      ("x1" -> """{"n":99}""")
+  private val numericSorted = numericData.sortBy { case (k, _) =>
+    k.toIntOption.map(i => f"0$i%010d").getOrElse("1" + k) // service order
+  }
+
   private val requests = mutable.ArrayBuffer[String]()
   private val failFirst = new AtomicInteger(0) // >0: fail next N requests with 500
 
@@ -40,14 +49,20 @@ class RtdbRestSpec extends SparkSpec {
       if (failFirst.getAndUpdate(n => math.max(0, n - 1)) > 0) {
         ex.sendResponseHeaders(500, -1); ex.close()
       } else {
+        // the /Numeric path serves the numerically-keyed dataset in
+        // true service order; all other paths serve the string-keyed one
+        val ds = if (ex.getRequestURI.getPath.startsWith("/Numeric")) numericSorted else sorted
         val body: String =
           if (param(q, "shallow").contains("true"))
-            sorted.map { case (k, _) => s""""$k": true""" }.mkString("{", ",", "}")
+            ds.map { case (k, _) => s""""$k": true""" }.mkString("{", ",", "}")
           else {
             val from = param(q, "startAt").map(unquote)
             val to = param(q, "endAt").map(unquote)
             val limit = param(q, "limitToFirst").map(_.toInt).getOrElse(Int.MaxValue)
-            sorted.filter { case (k, _) => from.forall(k >= _) && to.forall(k <= _) }
+            // NOTE: range comparison here stays in the dataset's serve
+            // order; for /Numeric, paged range reads never happen (the
+            // planner must fall back to one unpaged fetch)
+            ds.filter { case (k, _) => from.forall(k >= _) && to.forall(k <= _) }
               .take(limit)
               .map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}")
           }
@@ -76,7 +91,7 @@ class RtdbRestSpec extends SparkSpec {
 
   test("fetchRange pages by successor keyset, honors strict bound, skips scalars") {
     requests.synchronized(requests.clear())
-    val rows = new RtdbRestClient(base).fetchRange("Users", "u00", Some("u20"), pageSize = 10).toSeq
+    val rows = new RtdbRestClient(base).fetchRange("Users", Some("u00"), Some("u20"), pageSize = 10).toSeq
     assert(rows.map(_._1) == (1 to 19).map(i => f"u$i%02d"))
     assert(rows.forall { case (k, v) => v.contains("\"email\"") })
     val paged = requests.synchronized(requests.toList)
@@ -87,13 +102,13 @@ class RtdbRestSpec extends SparkSpec {
   }
 
   test("pageSize=1 still pages through the whole range") {
-    val rows = new RtdbRestClient(base).fetchRange("Users", "u00", Some("u04"), pageSize = 1).toSeq
+    val rows = new RtdbRestClient(base).fetchRange("Users", Some("u00"), Some("u04"), pageSize = 1).toSeq
     assert(rows.map(_._1) == Seq("u01", "u02", "u03"))
   }
 
   test("lazy paging: a small take() stops issuing page requests") {
     requests.synchronized(requests.clear())
-    val first = new RtdbRestClient(base).fetchRange("Users", "u00", None, pageSize = 5).take(3).toSeq
+    val first = new RtdbRestClient(base).fetchRange("Users", Some("u00"), None, pageSize = 5).take(3).toSeq
     assert(first.map(_._1) == Seq("u01", "u02", "u03"))
     assert(requests.synchronized(requests.size) == 1, "take(3) must fetch one page of 5")
   }
@@ -122,5 +137,24 @@ class RtdbRestSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 4)
     val one = df.filter(col("id") === "u07").collect()
     assert(one.length == 1 && one(0).getAs[String]("json").contains("u7@x.com"))
+  }
+
+  test("numeric child keys: planner falls back to one complete unpaged fetch") {
+    // RTDB serves integer-parseable keys in NUMERIC order, so the
+    // lexicographic keyset successor would skip keys ("9"+NUL pages
+    // past "10".."12"); the guard must return the complete row set
+    requests.synchronized(requests.clear())
+    val df = spark.read.format("graft.sources.RtdbSnapshotSource")
+      .option("path", "Numeric").option("url", base)
+      .option("numPartitions", "4").option("pageSize", "2").load()
+    val ids = df.select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.toSet == Set("9", "10", "11", "12", "x1"), s"row loss: $ids")
+    assert(ids.size == 5, s"duplication: $ids")
+    assert(df.rdd.getNumPartitions == 1, "numeric keys must disable keyset-paged sharding")
+    assert(!requests.synchronized(requests.toList).exists(_.contains("startAt")),
+      "fallback must not issue lexicographic range reads")
+    // pushed key range still correct — re-applied client-side in
+    // Spark's lexicographic semantics
+    assert(df.filter(col("id") === "10").count() == 1)
   }
 }

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planning must stay O(numPartitions) in driver memory no matter how
+  * many keys the table has — the round-5/6 finding against the old
+  * buffer-every-key planners. No SparkSession needed: the planner is a
+  * pure stream algorithm. */
+class RangePlannerSpec extends AnyFunSuite {
+
+  private val lex: Ordering[String] = Ordering.String
+
+  test("bounded retention: 1M keys, memory capped at numPartitions * 32") {
+    val n = 8
+    val sampler = new StrideSampler(n * RangePlanner.SamplesPerSplit)
+    (0 until 1000000).foreach { i =>
+      sampler.add(f"k$i%07d")
+      assert(sampler.retained <= sampler.cap, s"buffer exceeded cap at $i")
+    }
+    assert(sampler.seen == 1000000L)
+  }
+
+  test("split bounds tile the key space: every key in exactly one range") {
+    val keys = (0 until 100000).map(i => f"k$i%06d")
+    val (count, bounds) = RangePlanner.splitBounds(keys.iterator, 8, lex)
+    assert(count == keys.size.toLong)
+    assert(bounds.size <= 7 && bounds == bounds.sorted && bounds.distinct == bounds)
+    // simulate partition assignment [prev, next): exactly-once coverage
+    val froms = None +: bounds.map(Option(_))
+    val tos = bounds.map(Option(_)) :+ None
+    val perPart = froms.zip(tos).map { case (f, t) =>
+      keys.count(k => f.forall(k >= _) && t.forall(k < _))
+    }
+    assert(perPart.sum == keys.size, s"lost/duplicated keys: $perPart")
+    // systematic sampling of a sorted stream keeps partitions balanced
+    assert(perPart.max <= 3 * (keys.size / perPart.size), s"unbalanced: $perPart")
+  }
+
+  test("unsorted arrival still tiles exactly once") {
+    val keys = scala.util.Random.shuffle((0 until 5000).map(i => f"k$i%05d").toVector)
+    val (count, bounds) = RangePlanner.splitBounds(keys.iterator, 6, lex)
+    assert(count == 5000L)
+    val froms = None +: bounds.map(Option(_))
+    val tos = bounds.map(Option(_)) :+ None
+    val total = froms.zip(tos).map { case (f, t) =>
+      keys.count(k => f.forall(k >= _) && t.forall(k < _))
+    }.sum
+    assert(total == 5000)
+  }
+
+  test("fewer keys than partitions, empty input, custom ordering") {
+    assert(RangePlanner.splitBounds(Iterator.empty, 4, lex) == ((0L, Nil)))
+    val (c1, b1) = RangePlanner.splitBounds(Iterator("b", "a"), 8, lex)
+    assert(c1 == 2L && b1.size <= 1)
+    // Datastore service order: ids numerically before names — bounds
+    // must come back in SERVICE order, not lexicographic
+    val (c2, b2) = RangePlanner.splitBounds(
+      Iterator("9", "10", "11", "12"), 2, DatastoreKeys.ordering)
+    assert(c2 == 4L && b2 == Seq("11"),
+      s"median of ids 9..12 in numeric order is 11, got $b2")
+  }
+}
