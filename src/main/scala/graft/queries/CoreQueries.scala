@@ -202,6 +202,39 @@ object CoreQueries {
     "s2_point_lookup" -> ((s, dir) =>
       t(s, dir, "events").filter(col("event_id") === 42)),
 
+    // S6 — oracle-checked scan THROUGH the Datastore DSv2 source
+    // (datastore_service.py:105-178): the harness loads `nation` into a
+    // localhost REST v1 server (DatastoreLocalStub — true service key
+    // order, numeric ids) and reads it back through the full source
+    // path: keys-only partition planning, sharded cursor-paged range
+    // scans, key promotion. Result rows are re-materialized driver-side
+    // (25 rows — harness transport only; the scan itself is the
+    // distributed path) so the stub can be stopped before returning.
+    "s6_datastore_scan" -> ((s, dir) => {
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .collect()
+        .map { r =>
+          val name = com.fasterxml.jackson.databind.node.TextNode.valueOf(r.getString(1)).toString
+          (r.getLong(0).toString,
+            s"""{"n_name":{"stringValue":$name},"n_regionkey":{"integerValue":"${r.getLong(2)}"}}""")
+        }
+      val url = graft.sources.DatastoreLocalStub.serve("Nation", rows.toSeq)
+      try {
+        val scanned = s.read.format("graft.sources.DatastoreSource")
+          .option("url", url).option("projectId", "harness").option("kind", "Nation")
+          .option("numPartitions", "3").option("pageSize", "7").load()
+          .select(col("id").cast("long").as("n_nationkey"),
+            get_json_object(col("json"), "$.n_name.stringValue").as("n_name"),
+            get_json_object(col("json"), "$.n_regionkey.integerValue").cast("long")
+              .as("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+        val out = scanned.collect() // executes the sharded scan while the stub is live
+        s.createDataFrame(java.util.Arrays.asList(out: _*), scanned.schema)
+      } finally graft.sources.DatastoreLocalStub.stop(url)
+    }),
+
     // S4/O2 — deterministic ordered limit (firebase_service.py:132-137)
     "s4_ordered_limit" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
@@ -305,6 +338,31 @@ object CoreQueries {
       t(s, dir, "orders")
         .select(col("o_orderkey"), Exprs.isoFormat(col("o_orderdate")).as("iso"))
         .orderBy(col("o_orderkey"))),
+
+    // SQL-surface end-to-end: the reference's users drive everything
+    // through SQL strings (sql_extraction.py:62-65, :349,
+    // postgres_loader.py:437-458). This harness query is phrased
+    // ENTIRELY as one spark.sql string over the GraftExtensions-
+    // registered F-series functions — no Scala Columns — proving the
+    // cleaning layer is reachable from a pure-SQL client (JDBC/
+    // thriftserver, notebook %%sql, spark.sql.extensions conf).
+    "sql_e2e_cleaning" -> ((s, dir) => {
+      graft.expr.native.GraftExtensions.install(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_sqlv")
+      s.sql("""
+        SELECT doc_id,
+          graft_clean_string(element_at(
+            array('  hello ','nan','NULL','','None','world  ','NaT','ok'),
+            CAST(doc_id % 8 + 1 AS INT))) AS cleaned,
+          graft_normalize_status(element_at(
+            array('actif','BLOCKED','Enabled','banni',' inactive ','disabled','weird',
+                  CAST(NULL AS STRING)),
+            CAST(doc_id % 8 + 1 AS INT))) AS status,
+          graft_mask_email(concat(lang, '_', CAST(doc_id AS STRING), '@example.com')) AS masked,
+          graft_pg_array(array(lang, source, 'o\'brien')) AS pg_literal,
+          array_join(graft_parse_interests(concat(lang, ', ', source, ', ,')), '|') AS interests
+        FROM documents_sqlv ORDER BY doc_id""")
+    }),
 
     // F15 — guarded percent math (user_transformer.py:468-469)
     "f15_percent_guarded" -> ((s, dir) =>
@@ -670,6 +728,30 @@ object CoreQueries {
       "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_id = 42",
     "s4_ordered_limit" ->
       "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 10",
+    // ground truth for the round-trip through the Datastore source: the
+    // stub serves exactly `nation`, so the scan must reproduce it
+    "s6_datastore_scan" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "sql_e2e_cleaning" ->
+      """SELECT doc_id,
+        |  CASE WHEN lower(trim(raw)) IN ('nan','null','none','','nat') THEN NULL ELSE trim(raw) END AS cleaned,
+        |  CASE upper(trim(sraw))
+        |    WHEN 'ACTIVE' THEN 'ACTIVE' WHEN 'ACTIF' THEN 'ACTIVE' WHEN 'ENABLED' THEN 'ACTIVE'
+        |    WHEN 'INACTIVE' THEN 'INACTIVE' WHEN 'INACTIF' THEN 'INACTIVE' WHEN 'DISABLED' THEN 'INACTIVE'
+        |    WHEN 'BANNED' THEN 'BANNED' WHEN 'BANNI' THEN 'BANNED' WHEN 'BLOCKED' THEN 'BANNED'
+        |    ELSE 'ACTIVE' END AS status,
+        |  substr(lang || '_' || doc_id::VARCHAR || '@example.com', 1, 3) || '***' AS masked,
+        |  '{' || array_to_string(list_transform([lang, source, 'o''brien'],
+        |    x -> '''' || replace(x, '''', '''''') || ''''), ',') || '}' AS pg_literal,
+        |  array_to_string(list_filter(list_transform(
+        |    string_split(lang || ', ' || source || ', ,', ','), x -> trim(x)),
+        |    x -> x <> ''), '|') AS interests
+        |FROM (SELECT doc_id, lang, source,
+        |  (['  hello ','nan','NULL','','None','world  ','NaT','ok'])[(doc_id % 8 + 1)] AS raw,
+        |  (['actif','BLOCKED','Enabled','banni',' inactive ','disabled','weird',NULL])[(doc_id % 8 + 1)] AS sraw
+        |  FROM documents) t ORDER BY doc_id""".stripMargin,
     "o1_sort_nulls_first" ->
       """SELECT event_id, CASE WHEN value > 400 THEN NULL ELSE value END AS v
         |FROM events ORDER BY v ASC NULLS FIRST, event_id LIMIT 50""".stripMargin,
