@@ -40,6 +40,23 @@ object Graft {
   def dedupKeepLatest(df: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame =
     ops.Ops.dedupKeepLatest(keys, ts, tieBreak)(df)
 
+  /** W1 keep-mode dispatcher (`keep = "last" | "first" | "all"`) —
+    * the reference's drop_duplicates keep= parameter. */
+  def dedup(df: DataFrame, keys: Seq[String], ts: String, tieBreak: String,
+            keep: String = "last"): DataFrame =
+    ops.Ops.dedup(keys, ts, tieBreak, keep)(df)
+
+  /** W1 stats detail channel: per duplicated key — count, removed
+    * count, kept id, sorted member list. */
+  def dedupStats(df: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame =
+    ops.Ops.dedupStats(keys, ts, tieBreak)(df)
+
+  /** Per-stratum quota sampling in a deterministic md5 order (map-side
+    * group limit; shuffle carries ~quota×|strata| rows). */
+  def stratifiedSample(df: DataFrame, stratCols: Seq[String], idCol: String,
+                       perStratum: Int): DataFrame =
+    ops.Ops.stratifiedSample(stratCols, idCol, perStratum)(df)
+
   def validateSplit(df: DataFrame, checks: Seq[(String, Column)]): (DataFrame, DataFrame) =
     ops.Ops.validateSplit(checks)(df)
 
@@ -74,6 +91,20 @@ object Graft {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8): DataFrame =
     llm.Dedup.minHashLshPairs(df, idCol, textCol, threshold)
+
+  /** SimHash near-dup pairs (banded 48-bit signatures, exact Hamming
+    * verify) — the cheaper-signature alternative to MinHash LSH. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 2): DataFrame =
+    llm.Dedup.simHashPairs(df, idCol, textCol, maxHamming)
+
+  /** Blocked n-gram Jaccard near-dup pairs: quadratic work confined to
+    * `blockExpr` blocks (e.g. language × length band), hot blocks
+    * capped. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockExpr: Column, n: Int = 2,
+                        threshold: Double = 0.15): DataFrame =
+    llm.Dedup.ngramJaccardPairs(df, idCol, textCol, blockExpr, n, threshold)
 
   /** Full near-dup dedup: LSH pairs → connected components → drop
     * non-representative cluster members (one survivor per cluster). */

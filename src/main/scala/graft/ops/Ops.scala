@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import graft.expr.Exprs
 
 /** Whole-DataFrame operators (SURVEY.md §2.4-§2.9), each a
@@ -62,6 +63,21 @@ object Ops {
       .select((keys.map(col) :+ col("dup_count") :+
         (col("dup_count") - 1).as("removed_count") :+
         col("kept_id") :+ col("ids")): _*)
+
+  /** Stratified (per-stratum quota) sampling — the curation move that
+    * balances a corpus: keep at most `perStratum` rows per stratum,
+    * chosen by a deterministic md5 order so reruns and incremental
+    * builds agree. `row_number <= k` compiles to WindowGroupLimit:
+    * each map task forwards at most k rows per stratum BEFORE the
+    * exchange, so the shuffle carries ~k×|strata| rows at any input
+    * size. */
+  def stratifiedSample(stratCols: Seq[String], idCol: String, perStratum: Int)
+                      (df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(stratCols.map(col): _*)
+      .orderBy(graft.llm.Text.md5Hash(concat(lit("strat:"), col(idCol))), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum).drop("__rn")
+  }
 
   /** W1, skew-safe variant: a hot key (one email with millions of
     * rows) would funnel into a single window partition. Salting splits
@@ -181,8 +197,9 @@ object Ops {
     // checkpoints EAGERLY — the convergence test below needs an action
     // per round anyway, so building this DataFrame runs Spark jobs
     // (it is an executed loop, not a lazily-declared plan).
-    // (Frontier blocks stay cached until GC — at cluster scale with
-    // big label sets, unpersist the previous frontier each round.)
+    // Superseded frontiers are unpersisted as soon as the next round's
+    // frontier is materialized — at cluster scale a big label set
+    // would otherwise pin one copy of the blocks per round until GC.
     // Checkpoint the edge plan FIRST: the symmetric union references it
     // twice, which would otherwise execute the (often expensive)
     // pair-generation pipeline twice.
@@ -221,16 +238,24 @@ object Ops {
     var round = 0
     var converged = false
     while (round < iters && !converged) {
-      val viaNeighbor = sym.join(labels, sym("dst") === labels("node"))
+      val superseded = labels
+      val viaNeighbor = sym.join(superseded, sym("dst") === superseded("node"))
         .select(sym("src").as("node"), col("label"))
-      labels = labels.unionByName(viaNeighbor)
+      labels = superseded.unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: materialized before the drop below
       val s = checksum(labels)
+      // round 0's frontier is a plain plan (nothing cached to drop);
+      // every later round supersedes a checkpointed frontier
+      if (round > 0) Bridge.unpersistLocalCheckpoint(superseded)
       converged = prev != null && prev == s
       prev = s
       round += 1
     }
+    // the returned frontier is its own checkpoint; the edge caches are
+    // dead once the loop stops re-reading them
+    Bridge.unpersistLocalCheckpoint(sym)
+    Bridge.unpersistLocalCheckpoint(e)
     labels
   }
 

@@ -160,15 +160,11 @@ object LlmQueries {
     // WindowGroupLimit: each map task forwards at most k rows per lang
     // BEFORE the exchange, so the shuffle carries ~k×|langs| rows at
     // any corpus size.
-    "llm_stratified_sample" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(Text.md5Hash(concat(lit("strat:"), col("doc_id"))), col("doc_id"))
+    "llm_stratified_sample" -> ((s, dir) =>
       t(s, dir, "documents")
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= 20)
+        .transform(graft.ops.Ops.stratifiedSample(Seq("lang"), "doc_id", 20))
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Temperature-upsampling factors for multilingual balance: the
     // alpha = 0.5 recipe's per-language weight, sqrt(N / n_lang) —
@@ -356,6 +352,7 @@ object LlmQueries {
         .when(col("doc_id") % 10 === 4, concat(unhex(lit(LlmQueries.MagicMp3)), bin))
         .when(col("doc_id") % 10 === 5, concat(unhex(lit(LlmQueries.MagicMp4)), bin))
         .when(col("doc_id") % 10 === 6, concat(unhex(lit(LlmQueries.MagicWebp)), bin))
+        .when(col("doc_id") % 10 === 7, concat(unhex(lit(LlmQueries.MagicAvi)), bin))
         .otherwise(bin)
       Multimodal.withMediaMeta(
         t(s, dir, "documents").withColumn("content", content), "content")
@@ -375,6 +372,7 @@ object LlmQueries {
   val MagicWebp = "52494646AA00000057454250" // RIFF....WEBP
   val MagicMp3 = "4944330300000000"
   val MagicMp4 = "0000001866747970"
+  val MagicAvi = "52494646AA00000041564920" // RIFF....AVI(sp)
 
   // ---- DuckDB oracle SQL (generated so constants match the library) ----
 
@@ -497,10 +495,14 @@ object LlmQueries {
          |FROM (SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
          |  w -> ${duckHash("w")}) AS wh FROM documents) t ORDER BY doc_id""".stripMargin,
     "llm_dedup_simhash_pairs" ->
+      // NULL-text docs are DROPPED on both engines (Spark's words-array
+      // filter can only reject NULL — split never yields an empty
+      // array): semantics pinned here, not left to the fixture
       s"""WITH sig AS (
          |  SELECT doc_id, CAST(${simhashTerms(Dedup.SimHashPairBits).mkString(" + ")} AS BIGINT) AS simhash
          |  FROM (SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
-         |    w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS wh FROM documents) t),
+         |    w -> ('0x' || substr(md5(w), 1, 12))::BIGINT) AS wh
+         |    FROM documents WHERE text IS NOT NULL) t),
          |bands0 AS (SELECT doc_id, simhash,
          |  unnest([0,1,2,3])::VARCHAR || '_' ||
          |    ((simhash >> (unnest([0,1,2,3]) * 12)) & 4095)::VARCHAR AS band FROM sig),
@@ -787,6 +789,7 @@ object LlmQueries {
          |    WHEN doc_id % 10 = 4 THEN from_hex('$MagicMp3') || encode(text)
          |    WHEN doc_id % 10 = 5 THEN from_hex('$MagicMp4') || encode(text)
          |    WHEN doc_id % 10 = 6 THEN from_hex('$MagicWebp') || encode(text)
+         |    WHEN doc_id % 10 = 7 THEN from_hex('$MagicAvi') || encode(text)
          |    ELSE encode(text) END AS content
          |  FROM documents) t0) t ORDER BY doc_id""".stripMargin)
 }

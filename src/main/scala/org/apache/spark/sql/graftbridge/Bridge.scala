@@ -21,4 +21,17 @@ object Bridge {
     * register Column-combinator functions for SQL. */
   def convert(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Release the cached blocks behind a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` only reaches CacheManager entries, not the
+    * RDD cache a local checkpoint lives in; iterative algorithms that
+    * checkpoint each round's frontier need this to drop superseded
+    * frontiers instead of pinning every round's blocks until GC.
+    * No-op on anything that is not a checkpoint result. The data is
+    * gone after this — only call once nothing references the Dataset. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -56,6 +56,38 @@ class GraftFacadeSpec extends SparkSpec {
     assert(grouped.select("t").as[Seq[Long]].collect()(0) == Seq(9L, 5L))
   }
 
+  test("facade: dedup modes, stats, pair generators, stratified sampling") {
+    val df = Seq((1L, "k1", "2024-01-01 00:00:00"), (2L, "k1", "2024-01-02 00:00:00"),
+        (3L, "k2", "2024-01-03 00:00:00"))
+      .toDF("id", "k", "t").withColumn("ts", col("t").cast("timestamp"))
+    assert(Graft.dedup(df, Seq("k"), "ts", "id", keep = "first")
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(Graft.dedup(df, Seq("k"), "ts", "id", keep = "all").count() == 3)
+    val stats = Graft.dedupStats(df, Seq("k"), "ts", "id").collect()
+    assert(stats.length == 1 && stats(0).getAs[Long]("dup_count") == 2L
+      && stats(0).getAs[Long]("kept_id") == 2L)
+
+    val sentence = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, sentence), (2L, sentence),
+      (3L, "completely different text about spark physical plans here"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    assert(Graft.simHashPairs(docs, "doc_id", "text")
+      .select("a", "b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+    assert(Graft.ngramJaccardPairs(docs, "doc_id", "text", blockExpr = col("lang"),
+        n = 2, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+
+    val many = (1L to 50L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val sampled = Graft.stratifiedSample(many, Seq("lang"), "doc_id", 5)
+    assert(sampled.groupBy("lang").count().as[(String, Long)].collect().toMap ==
+      Map("en" -> 5L, "fr" -> 5L))
+    // deterministic: same input -> same sample
+    assert(Graft.stratifiedSample(many, Seq("lang"), "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet ==
+      sampled.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("dedupNearDuplicates keeps one survivor per duplicate cluster") {
     val sentence = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
