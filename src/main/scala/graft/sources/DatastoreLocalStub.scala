@@ -33,6 +33,13 @@ object DatastoreLocalStub {
     if (promoted.nonEmpty && promoted.forall(_.isDigit)) f"0${BigInt(promoted)}%019d"
     else "1" + promoted
 
+  /** `__scatter__` emulation: deterministic pseudo-random order (the
+    * real reserved property is a uniform hash of the key). */
+  private def scatterKey(promoted: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(sortKey(promoted).getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Start a localhost server holding `rows` of `kind` as
     * (promoted key, properties-json) entities; returns the base URL for
     * `DatastoreSource`'s `url` option. Caller must [[stop]] it. */
@@ -66,12 +73,21 @@ object DatastoreLocalStub {
           }
         }
       }
-      val matching =
+      val scatter = {
+        val it = q.path("order").elements()
+        var found = false
+        it.forEachRemaining(o =>
+          if (o.path("property").path("name").asText == "__scatter__") found = true)
+        found
+      }
+      val inRange =
         if (qKind != kind) Seq.empty
         else ordered.filter { case (k, _) =>
           val sk = sortKey(k)
           lo.forall(sk >= _) && hi.forall(sk < _)
         }
+      val matching =
+        if (scatter) inRange.sortBy { case (k, _) => scatterKey(k) } else inRange
       val page = matching.slice(start, start + limit)
       val results = page.map { case (k, props) =>
         val keyPart =

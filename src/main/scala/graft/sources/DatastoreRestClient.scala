@@ -53,7 +53,7 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
 
   private def queryBody(kind: String, pageSize: Int, cursor: Option[String],
                         fromKey: Option[String], toKeyExcl: Option[String],
-                        keysOnly: Boolean): String = {
+                        keysOnly: Boolean, orderBy: Option[String] = None): String = {
     val root = mapper.createObjectNode()
     val q = root.putObject("query")
     q.putArray("kind").addObject().put("name", kind)
@@ -61,6 +61,8 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
     cursor.foreach(q.put("startCursor", _))
     if (keysOnly) q.putArray("projection").addObject()
       .putObject("property").put("name", "__key__")
+    orderBy.foreach(o => q.putArray("order").addObject()
+      .putObject("property").put("name", o))
     // A promoted key that is all digits came from a numeric-id key
     // (keyOf stringifies ids), so the bound must be encoded as an `id`
     // path element — a `name` key "12345" is a DIFFERENT key in
@@ -128,6 +130,26 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
       override def hasNext: Boolean = { refill(); buf.hasNext }
       override def next(): (String, String) = { refill(); buf.next() }
     }
+
+  /** Split-point sample via the reserved `__scatter__` property — the
+    * public Datastore splitting technique (the Beam/Dataflow connector
+    * does exactly this over the same v1 surface): one bounded keys-only
+    * request ordered by `__scatter__` returns a uniform pseudo-random
+    * key sample, so partition planning costs O(sampleSize) — one round
+    * trip — instead of cursor-paging every key of a 100-TB kind through
+    * the driver. Ordering by `__scatter__` cannot be combined with a
+    * `__key__` inequality filter (Datastore requires the first sort
+    * property to match the filtered property), so bounded scans fall
+    * back to range-filtered enumeration (small by construction). */
+  def scatterSample(kind: String, sampleSize: Int): Seq[String] = {
+    val resp = mapper.readTree(post(queryUrl,
+      queryBody(kind, sampleSize, None, None, None, keysOnly = true,
+        orderBy = Some("__scatter__"))))
+    val results = resp.path("batch").path("entityResults")
+    if (!results.isArray) Seq.empty
+    else results.elements().asScala.toSeq
+      .flatMap(er => keyOf(er.path("entity")))
+  }
 
   /** S7 kind discovery: the `__kind__` pseudo-kind names every kind;
     * system kinds (`__*__`) are filtered like the reference's listing. */

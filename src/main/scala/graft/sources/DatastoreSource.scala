@@ -13,12 +13,19 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 source over the Datastore REST surface — the scale
   * path for S6 (`datastore_service.py:105-178`). The reference fetches
   * every entity of a kind through one cursor-paged loop on the driver;
-  * here the planner splits the key space into N ranges (keys-only scan
-  * is the cheap enumeration call), one InputPartition per range, and
-  * each reader runs its own bounded cursor-paged `runQuery` — N
-  * concurrent range scans instead of one serial loop, the same shape
-  * as the RTDB source. Key-range pushdown (point lookups) prunes
-  * partitions exactly like RtdbSnapshotSource.
+  * here the planner splits the key space into N ranges (one bounded
+  * `__scatter__` sample request — see `planInputPartitions`), one
+  * InputPartition per range, and each reader runs its own bounded
+  * cursor-paged `runQuery` — N concurrent range scans instead of one
+  * serial loop, the same shape as the RTDB source. Key-range pushdown
+  * (point lookups) prunes partitions exactly like RtdbSnapshotSource;
+  * ranges are evaluated in TRUE service key order (numeric ids before
+  * names — DatastoreKeys).
+  *
+  * CAVEAT (string key promotion): a NAME key that is all digits is
+  * indistinguishable from a numeric-id key after promotion and is
+  * treated as an id. Kinds that mix all-digit names with numeric ids
+  * should read with `numPartitions = 1` and no key predicates.
   *
   * Usage: spark.read.format("graft.sources.DatastoreSource")
   *   .option("url", ...).option("projectId", ...).option("kind", "User")
@@ -96,21 +103,53 @@ class DatastoreScan(url: String, projectId: String, kind: String,
   override def readSchema(): StructType = DatastoreSource.schema
   override def toBatch: Batch = this
 
-  /** Split the key space via a keys-only scan. Two scale properties:
-    * the enumeration is consumed as a LAZY page stream into a one-pass
-    * stride sample (O(numPartitions) driver memory, never the full key
-    * list), and split points are sorted/encoded in TRUE service order
-    * (DatastoreKeys.ordering — ids numerically before names). Sorting
-    * promoted keys lexicographically here silently loses/duplicates
-    * rows on numeric-id kinds: with ids 9..12 and 2 partitions, string
-    * bounds ("10", "12") put id 9 in no partition. */
+  /** Split the key space. Scale properties:
+    *
+    *  - UNBOUNDED scans split via a `__scatter__` sample — ONE bounded
+    *    keys-only request (the public Beam-connector technique), so
+    *    planning is O(numPartitions) in both driver memory and round
+    *    trips no matter how many keys the kind has. Because partitions
+    *    tile the whole key space around the sampled bounds, a biased or
+    *    partial sample (or a backend that ignores the order) only costs
+    *    balance, never rows.
+    *  - BOUNDED scans (pushed key range — small by construction, and
+    *    `__scatter__` order can't combine with a `__key__` inequality)
+    *    enumerate keys within the range as a lazy page stream into a
+    *    one-pass stride sample: O(numPartitions) driver memory.
+    *  - Split points are sorted/encoded in TRUE service order
+    *    (DatastoreKeys.ordering — ids numerically before names).
+    *    Sorting promoted keys lexicographically here silently
+    *    loses/duplicates rows on numeric-id kinds: with ids 9..12 and
+    *    2 partitions, string bounds ("10", "12") put id 9 in no
+    *    partition. */
   override def planInputPartitions(): Array[InputPartition] = {
     val client = new DatastoreRestClient(url, projectId, authToken)
-    val keyIt = client.runQuery(kind, keyLow, keyHighExcl, pageSize, keysOnly = true)
-      .map(_._1)
-    val (count, bounds) =
-      RangePlanner.splitBounds(keyIt, numPartitions, DatastoreKeys.ordering)
-    if (count == 0L) return Array.empty
+    val bounded = keyLow.isDefined || keyHighExcl.isDefined
+    val bounds: Seq[String] =
+      if (!bounded && numPartitions > 1) {
+        val sample =
+          try client.scatterSample(kind, RangePlanner.SamplesPerSplit * numPartitions)
+          catch { case _: IllegalArgumentException => Seq.empty } // no __scatter__ support
+        if (sample.nonEmpty) {
+          val sorted = sample.sorted(DatastoreKeys.ordering)
+          val n = math.min(numPartitions, sorted.size)
+          (1 until n).map(i => sorted(i * sorted.size / n)).distinct
+        } else {
+          // empty sample: empty kind, or a backend without __scatter__ —
+          // only full enumeration can tell (and sizes the split right)
+          val (count, bs) = RangePlanner.splitBounds(
+            client.runQuery(kind, None, None, pageSize, keysOnly = true).map(_._1),
+            numPartitions, DatastoreKeys.ordering)
+          if (count == 0L) return Array.empty
+          bs
+        }
+      } else {
+        val keyIt = client.runQuery(kind, keyLow, keyHighExcl, pageSize, keysOnly = true)
+          .map(_._1)
+        val (count, bs) = RangePlanner.splitBounds(keyIt, numPartitions, DatastoreKeys.ordering)
+        if (count == 0L) return Array.empty
+        bs
+      }
     val froms = keyLow +: bounds.map(Some(_))
     val tos = bounds.map(Some(_)) :+ keyHighExcl
     froms.lazyZip(tos).map { case (from, to) =>

@@ -42,6 +42,13 @@ class DatastoreSpec extends SparkSpec {
     id.map(i => f"0$i%019d").getOrElse("1" + name.get)
   private def entSk(e: Ent): String = sk(e.id, e.name)
 
+  // __scatter__ emulation: a deterministic pseudo-random total order
+  // (the real reserved property is a uniform hash of the key)
+  private def scatterKey(e: Ent): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(entSk(e).getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private val bodies = mutable.ArrayBuffer[String]()
   private val failNext = new AtomicInteger(0)
 
@@ -82,10 +89,17 @@ class DatastoreSpec extends SparkSpec {
           }
           (lo, hi)
         }
+        val scatter = {
+          val it = q.path("order").elements()
+          var found = false
+          it.forEachRemaining(o =>
+            if (o.path("property").path("name").asText == "__scatter__") found = true)
+          found
+        }
         val matching =
           (if (kind == "__kind__") ents.map(_.kind).distinct.sorted.map(k => Ent("__kind__", Some(k), None, "{}"))
            else ents.filter(_.kind == kind))
-            .sortBy(entSk)
+            .sortBy(e => if (scatter) scatterKey(e) else entSk(e))
             .filter(e => pfs._1.forall(entSk(e) >= _) && pfs._2.forall(entSk(e) < _))
         val page = matching.slice(start, start + limit)
         val results = page.map { e =>
@@ -184,6 +198,22 @@ class DatastoreSpec extends SparkSpec {
     assert(rows.length == 1, s"expected exactly id 12345, got ${rows.map(_.getString(0)).toSeq}")
     assert(rows(0).getAs[String]("json").contains("n12345@x.com"))
     assert(df.filter(col("id") === "9").count() == 1, "single-digit id point lookup")
+  }
+
+  test("unbounded scan plans via ONE __scatter__ sample, not key enumeration") {
+    bodies.synchronized(bodies.clear())
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "3").option("pageSize", "6").load()
+    assert(df.count() == nUsers)
+    val bs = bodies.synchronized(bodies.toList)
+    // Spark may run planInputPartitions once per planning pass; each
+    // pass must cost ONE bounded sample request, never a key scan
+    val scatters = bs.count(_.contains("__scatter__"))
+    assert(scatters >= 1 && scatters <= 2,
+      s"one scatter sample per planning pass, got $scatters")
+    assert(!bs.exists(b => b.contains("projection") && !b.contains("__scatter__")),
+      "an unbounded scan must not cursor-page every key through the driver")
   }
 
   test("inequality on a name bound stays consistent with Spark semantics") {
