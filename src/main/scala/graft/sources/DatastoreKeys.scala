@@ -20,10 +20,33 @@ package graft.sources
   */
 private[sources] object DatastoreKeys {
 
-  /** A promoted key that is all digits came from a numeric-id key. */
-  def isId(k: String): Boolean = k.nonEmpty && k.forall(_.isDigit)
+  /** A promoted key that is all ASCII digits came from a numeric-id
+    * key. ASCII-only on purpose: `Char.isDigit` also accepts Unicode
+    * digit blocks (e.g. Arabic-Indic), which BigInt would re-render as
+    * ASCII — a name key of such digits must stay a name. */
+  def isId(k: String): Boolean =
+    k.nonEmpty && k.forall(c => c >= '0' && c <= '9')
 
-  /** Service order: (ids numerically) before (names lexicographically).
+  /** Names compare by UTF-8 BYTES — the service's order and also
+    * Spark's `UTF8String` order. Java `String.compareTo` (UTF-16 code
+    * units) disagrees above U+FFFF: a supplementary char's surrogates
+    * (0xD800-0xDFFF) sort below U+E000..U+FFFF chars, while its UTF-8
+    * encoding (F0..) sorts above (E0..) — planning-time only, so the
+    * byte comparison's allocation cost is irrelevant. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Service order: (ids numerically) before (names by UTF-8 bytes).
     * Digit strings compare by length-then-lex — equivalent to numeric
     * compare without allocation (service ids are int64s rendered
     * without leading zeros). */
@@ -33,7 +56,7 @@ private[sources] object DatastoreKeys {
         if (a.length != b.length) a.length - b.length else a.compareTo(b)
       case (true, false) => -1
       case (false, true) => 1
-      case (false, false) => a.compareTo(b)
+      case (false, false) => utf8Compare(a, b)
     }
   }
 

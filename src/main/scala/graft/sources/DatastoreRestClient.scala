@@ -77,7 +77,7 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
       pf.put("op", op)
       val pathEl = pf.putObject("value").putObject("keyValue").putArray("path")
         .addObject().put("kind", kind)
-      if (v.nonEmpty && v.forall(_.isDigit)) pathEl.put("id", v)
+      if (DatastoreKeys.isId(v)) pathEl.put("id", v)
       else pathEl.put("name", v)
       f
     }

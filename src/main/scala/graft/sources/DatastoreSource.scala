@@ -105,17 +105,23 @@ class DatastoreScan(url: String, projectId: String, kind: String,
 
   /** Split the key space. Scale properties:
     *
-    *  - UNBOUNDED scans split via a `__scatter__` sample — ONE bounded
-    *    keys-only request (the public Beam-connector technique), so
-    *    planning is O(numPartitions) in both driver memory and round
-    *    trips no matter how many keys the kind has. Because partitions
-    *    tile the whole key space around the sampled bounds, a biased or
-    *    partial sample (or a backend that ignores the order) only costs
-    *    balance, never rows.
-    *  - BOUNDED scans (pushed key range — small by construction, and
-    *    `__scatter__` order can't combine with a `__key__` inequality)
-    *    enumerate keys within the range as a lazy page stream into a
-    *    one-pass stride sample: O(numPartitions) driver memory.
+    *  - Planning costs ONE bounded keys-only request ordered by the
+    *    reserved `__scatter__` property (the public Beam-connector
+    *    technique) — O(numPartitions) driver memory and round trips no
+    *    matter how many keys the kind has. A pushed key range can't be
+    *    combined with `__scatter__` order (Datastore requires the
+    *    first sort property to match the inequality property), so the
+    *    whole-kind sample is filtered to the range client-side.
+    *    Because partitions TILE the remaining key space around the
+    *    sampled bounds, a biased, partial, or empty-in-range sample
+    *    only costs balance, never rows.
+    *  - `numPartitions <= 1` (the documented setting for kinds mixing
+    *    all-digit names with numeric ids) plans a single range
+    *    partition with NO planning request at all.
+    *  - Enumeration (lazy page stream into a one-pass stride sample)
+    *    survives only as the fallback when the sample comes back empty
+    *    — an empty kind (yields zero partitions) or a backend without
+    *    `__scatter__` support.
     *  - Split points are sorted/encoded in TRUE service order
     *    (DatastoreKeys.ordering — ids numerically before names).
     *    Sorting promoted keys lexicographically here silently
@@ -123,39 +129,34 @@ class DatastoreScan(url: String, projectId: String, kind: String,
     *    2 partitions, string bounds ("10", "12") put id 9 in no
     *    partition. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val ord = DatastoreKeys.ordering
+    def partition(from: Option[String], to: Option[String]) =
+      DatastoreRangePartition(url, projectId, kind, from, to, pageSize,
+        authToken, limit): InputPartition
+    if (numPartitions <= 1) return Array(partition(keyLow, keyHighExcl))
     val client = new DatastoreRestClient(url, projectId, authToken)
-    val bounded = keyLow.isDefined || keyHighExcl.isDefined
+    val sample =
+      try client.scatterSample(kind, RangePlanner.SamplesPerSplit * numPartitions)
+      catch { case _: IllegalArgumentException => Seq.empty } // no __scatter__ support
+    val inRange = sample.filter(k =>
+      keyLow.forall(ord.gt(k, _)) && keyHighExcl.forall(ord.lt(k, _)))
     val bounds: Seq[String] =
-      if (!bounded && numPartitions > 1) {
-        val sample =
-          try client.scatterSample(kind, RangePlanner.SamplesPerSplit * numPartitions)
-          catch { case _: IllegalArgumentException => Seq.empty } // no __scatter__ support
-        if (sample.nonEmpty) {
-          val sorted = sample.sorted(DatastoreKeys.ordering)
-          val n = math.min(numPartitions, sorted.size)
-          (1 until n).map(i => sorted(i * sorted.size / n)).distinct
-        } else {
-          // empty sample: empty kind, or a backend without __scatter__ —
-          // only full enumeration can tell (and sizes the split right)
-          val (count, bs) = RangePlanner.splitBounds(
-            client.runQuery(kind, None, None, pageSize, keysOnly = true).map(_._1),
-            numPartitions, DatastoreKeys.ordering)
-          if (count == 0L) return Array.empty
-          bs
-        }
+      if (inRange.nonEmpty) {
+        val sorted = inRange.sorted(ord)
+        val n = math.min(numPartitions, sorted.size + 1)
+        (1 until n).map(i => sorted(i * sorted.size / n)).distinct
+      } else if (sample.nonEmpty) {
+        Nil // range holds few keys: one partition, still zero extra requests
       } else {
         val keyIt = client.runQuery(kind, keyLow, keyHighExcl, pageSize, keysOnly = true)
           .map(_._1)
-        val (count, bs) = RangePlanner.splitBounds(keyIt, numPartitions, DatastoreKeys.ordering)
+        val (count, bs) = RangePlanner.splitBounds(keyIt, numPartitions, ord)
         if (count == 0L) return Array.empty
         bs
       }
     val froms = keyLow +: bounds.map(Some(_))
     val tos = bounds.map(Some(_)) :+ keyHighExcl
-    froms.lazyZip(tos).map { case (from, to) =>
-      DatastoreRangePartition(url, projectId, kind, from, to, pageSize,
-        authToken, limit): InputPartition
-    }.toArray
+    froms.lazyZip(tos).map { case (from, to) => partition(from, to) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = DatastoreReaderFactory

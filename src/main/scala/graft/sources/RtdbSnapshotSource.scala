@@ -28,6 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: spark.read.format("graft.sources.RtdbSnapshotSource")
   *   .option("path", ...).option("numPartitions", "8").load()
+  * Live mode adds .option("url", ...) [+ authToken, pageSize]; for
+  * trees whose shallow key listing is itself too large for one
+  * response, .option("splitPoints", "f,m,s") shards without any key
+  * enumeration (string-keyed paths only).
   */
 class RtdbSnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -39,7 +43,9 @@ class RtdbSnapshotSource extends TableProvider {
       Option(properties.get("numPartitions")).map(_.toInt).getOrElse(4),
       Option(properties.get("url")),
       Option(properties.get("authToken")),
-      Option(properties.get("pageSize")).map(_.toInt).getOrElse(1000))
+      Option(properties.get("pageSize")).map(_.toInt).getOrElse(1000),
+      Option(properties.get("splitPoints"))
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
 }
 
 object RtdbSnapshotSource {
@@ -98,19 +104,21 @@ object RtdbSnapshotSource {
 }
 
 class RtdbTable(path: String, numPartitions: Int, url: Option[String] = None,
-                authToken: Option[String] = None, pageSize: Int = 1000)
+                authToken: Option[String] = None, pageSize: Int = 1000,
+                splitPoints: Seq[String] = Nil)
   extends Table with SupportsRead {
   override def name(): String = s"rtdb_snapshot(${url.getOrElse(path)})"
   override def schema(): StructType = RtdbSnapshotSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RtdbScanBuilder(path, numPartitions, url, authToken, pageSize)
+    new RtdbScanBuilder(path, numPartitions, url, authToken, pageSize, splitPoints)
 }
 
 class RtdbScanBuilder(path: String, numPartitions: Int,
                       url: Option[String] = None,
-                      authToken: Option[String] = None, pageSize: Int = 1000)
+                      authToken: Option[String] = None, pageSize: Int = 1000,
+                      splitPoints: Seq[String] = Nil)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var keyLow: Option[String] = None
@@ -137,36 +145,62 @@ class RtdbScanBuilder(path: String, numPartitions: Int,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new RtdbScan(path, numPartitions, keyLow, keyHighExcl, limit, url, authToken, pageSize)
+    new RtdbScan(path, numPartitions, keyLow, keyHighExcl, limit, url, authToken,
+      pageSize, splitPoints)
 }
 
 class RtdbScan(path: String, numPartitions: Int,
                keyLow: Option[String], keyHighExcl: Option[String],
                limit: Option[Int] = None, url: Option[String] = None,
-               authToken: Option[String] = None, pageSize: Int = 1000)
+               authToken: Option[String] = None, pageSize: Int = 1000,
+               splitPoints: Seq[String] = Nil)
   extends Scan with Batch {
   override def readSchema(): StructType = RtdbSnapshotSource.schema
   override def toBatch: Batch = this
 
   /** Shard the (filtered) key space into contiguous ranges. Key
     * enumeration is the cheap call on either transport: streamed field
-    * names offline, `shallow=true` against the live service. The key
-    * stream feeds a one-pass stride sample (RangePlanner), so planning
-    * memory is O(numPartitions) — never the full key list.
+    * names offline, `shallow=true` against the live service. Both
+    * transports MATERIALIZE the key list for the numeric-key probe
+    * (and the shallow response is unpaginated anyway), so enumeration
+    * is O(|keys|) transient driver memory; the stride sample only
+    * bounds the RETAINED planning state at O(numPartitions). For trees
+    * whose key listing itself is too big, the `splitPoints` option
+    * (checked first) plans with zero enumeration.
     *
     * GUARD (live transport only): RTDB orders integer-parseable child
     * keys NUMERICALLY, before all string keys, while range paging and
     * Spark's string predicates are lexicographic. On such a path the
     * keyset paging successor can skip keys ("9" + NUL is after "10"
-    * server-side), so the plan falls back to ONE unpaged fetch with the
-    * pushed range re-applied client-side in Spark's (lexicographic)
-    * semantics — complete and correct, at the cost of parallel fetch.
-    * The offline transport compares lexicographically end to end, so
-    * the guard does not apply. */
+    * server-side; "-13" + NUL is after every integer key), so the plan
+    * falls back to ONE unpaged fetch with the pushed range re-applied
+    * client-side in Spark's (lexicographic) semantics — complete and
+    * correct, at the cost of parallel fetch. The probe is a SUPERSET of
+    * RTDB's 32-bit-int rule (any `toInt`-parseable key, plus any
+    * all-digit key however long) — over-triggering only costs
+    * parallelism, never rows. The offline transport compares
+    * lexicographically end to end, so the guard does not apply. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // Explicit split points skip key enumeration entirely — the scale
+    // lever for trees whose shallow key listing itself is too big for
+    // one response (RTDB's shallow API is unpaginated). The caller
+    // asserts string-keyed data by providing them; bounds intersect
+    // with any pushed key range, and the partitions tile the whole
+    // remaining key space, so an unbalanced choice costs balance only.
+    if (splitPoints.nonEmpty) {
+      val inRange = splitPoints.sorted.distinct
+        .filter(p => keyLow.forall(p > _) && keyHighExcl.forall(p < _))
+      val froms = keyLow +: inRange.map(Some(_))
+      val tos = inRange.map(Some(_)) :+ keyHighExcl
+      return froms.lazyZip(tos).map { case (from, to) =>
+        RtdbRangePartition(path, from, to, limit, url, authToken, pageSize): InputPartition
+      }.toArray
+    }
     val allKeys = url.fold(RtdbSnapshotSource.listKeys(path))(u =>
       new RtdbRestClient(u, authToken).shallowKeys(path))
-    if (url.isDefined && allKeys.exists(k => k.nonEmpty && k.forall(_.isDigit)))
+    def integerLike(k: String): Boolean =
+      k.toIntOption.isDefined || (k.nonEmpty && k.forall(c => c >= '0' && c <= '9'))
+    if (url.isDefined && allKeys.exists(integerLike))
       return Array(RtdbRangePartition(path, keyLow, keyHighExcl, limit, url,
         authToken, pageSize, unpaged = true))
     val inRange = allKeys.iterator

@@ -216,13 +216,31 @@ class DatastoreSpec extends SparkSpec {
       "an unbounded scan must not cursor-page every key through the driver")
   }
 
+  test("numPartitions=1 plans a single partition with zero planning requests") {
+    bodies.synchronized(bodies.clear())
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "1").option("pageSize", "9").load()
+    assert(df.count() == nUsers)
+    assert(df.rdd.getNumPartitions == 1)
+    val bs = bodies.synchronized(bodies.toList)
+    assert(!bs.exists(b => b.contains("__scatter__") || b.contains("projection")),
+      "numPartitions=1 (the mixed-key setting) must not issue planning requests")
+  }
+
   test("inequality on a name bound stays consistent with Spark semantics") {
     val df = spark.read.format("graft.sources.DatastoreSource")
       .option("url", base).option("projectId", "test-proj").option("kind", "User")
       .option("numPartitions", "3").option("pageSize", "7").load()
     // name bound above '9': pushdown sound — ids are below "e05" in
     // BOTH service order and Spark's lexicographic semantics
+    bodies.synchronized(bodies.clear())
     assert(df.filter(col("id") >= "e05" && col("id") < "e10").count() == 5)
+    // bounded scans also plan from the scatter sample — never by
+    // cursor-paging the range's keys through the driver
+    assert(!bodies.synchronized(bodies.toList)
+      .exists(b => b.contains("projection") && !b.contains("__scatter__")),
+      "bounded scan must not enumerate keys")
     // digit bound: pushdown must NOT shard the scan by a range that
     // disagrees with lexicographic semantics ("9" >= "12" lexically)
     val lex = df.filter(col("id") >= "12").collect().map(_.getString(0)).toSet

@@ -22,7 +22,7 @@ class RtdbRestSpec extends SparkSpec {
   // a numerically-keyed path — RTDB orders integer-parseable keys
   // numerically, FIRST, so lexicographic keyset paging is unsound here
   private val numericData: Seq[(String, String)] =
-    Seq("9", "10", "11", "12").map(k => k -> s"""{"n":$k}""") :+
+    Seq("-5", "9", "10", "11", "12").map(k => k -> s"""{"n":$k}""") :+
       ("x1" -> """{"n":99}""")
   private val numericSorted = numericData.sortBy { case (k, _) =>
     k.toIntOption.map(i => f"0$i%010d").getOrElse("1" + k) // service order
@@ -139,6 +139,23 @@ class RtdbRestSpec extends SparkSpec {
     assert(one.length == 1 && one(0).getAs[String]("json").contains("u7@x.com"))
   }
 
+  test("explicit splitPoints shard the scan without any key enumeration") {
+    // the scale lever for trees whose unpaginated shallow listing is
+    // itself too big: caller-provided bounds, zero enumeration calls
+    requests.synchronized(requests.clear())
+    val df = spark.read.format("graft.sources.RtdbSnapshotSource")
+      .option("path", "Users").option("url", base)
+      .option("numPartitions", "4").option("pageSize", "7")
+      .option("splitPoints", "u08,u16").load()
+    assert(df.count() == 25)
+    assert(df.rdd.getNumPartitions == 3, "2 split points -> 3 range partitions")
+    assert(!requests.synchronized(requests.toList).exists(_.contains("shallow")),
+      "split points must skip the shallow key listing")
+    // pushed key range intersects the provided bounds (point lookup
+    // collapses to one partition)
+    assert(df.filter(col("id") === "u07").count() == 1)
+  }
+
   test("numeric child keys: planner falls back to one complete unpaged fetch") {
     // RTDB serves integer-parseable keys in NUMERIC order, so the
     // lexicographic keyset successor would skip keys ("9"+NUL pages
@@ -148,8 +165,10 @@ class RtdbRestSpec extends SparkSpec {
       .option("path", "Numeric").option("url", base)
       .option("numPartitions", "4").option("pageSize", "2").load()
     val ids = df.select("id").collect().map(_.getString(0)).toSeq
-    assert(ids.toSet == Set("9", "10", "11", "12", "x1"), s"row loss: $ids")
-    assert(ids.size == 5, s"duplication: $ids")
+    // "-5" is integer-parseable (not all-digit) and MUST trigger the
+    // guard too: RTDB's numeric rule covers negative keys
+    assert(ids.toSet == Set("-5", "9", "10", "11", "12", "x1"), s"row loss: $ids")
+    assert(ids.size == 6, s"duplication: $ids")
     assert(df.rdd.getNumPartitions == 1, "numeric keys must disable keyset-paged sharding")
     assert(!requests.synchronized(requests.toList).exists(_.contains("startAt")),
       "fallback must not issue lexicographic range reads")

@@ -48,6 +48,20 @@ class RangePlannerSpec extends AnyFunSuite {
     assert(total == 5000)
   }
 
+  test("datastore key order: ASCII-digit ids; names by UTF-8 bytes") {
+    assert(DatastoreKeys.isId("42") && !DatastoreKeys.isId("") && !DatastoreKeys.isId("4a"))
+    // Unicode digits (e.g. Arabic-Indic) are NAME keys, not ids
+    assert(!DatastoreKeys.isId("٤٢"))
+    assert(DatastoreKeys.successor("9") == "10", "id successor is numeric")
+    assert(DatastoreKeys.ordering.lt("9", "0abc"), "ids before all names")
+    assert(DatastoreKeys.ordering.lt("2", "12"), "ids numeric, not lexicographic")
+    // supplementary char (UTF-8 F0..) sorts ABOVE U+FFFD (EF..);
+    // UTF-16 code-unit compare would order them the other way around
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(DatastoreKeys.ordering.lt("�", emoji),
+      "names must compare by UTF-8 bytes, not UTF-16 code units")
+  }
+
   test("fewer keys than partitions, empty input, custom ordering") {
     assert(RangePlanner.splitBounds(Iterator.empty, 4, lex) == ((0L, Nil)))
     val (c1, b1) = RangePlanner.splitBounds(Iterator("b", "a"), 8, lex)
