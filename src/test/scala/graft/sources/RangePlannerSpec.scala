@@ -62,6 +62,59 @@ class RangePlannerSpec extends AnyFunSuite {
       "names must compare by UTF-8 bytes, not UTF-16 code units")
   }
 
+  test("property: tiling holds for random keys, sizes, and partition counts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.frequency(
+      2 -> Gen.choose(0L, 99999L).map(_.toString),          // id-like
+      2 -> Gen.alphaNumStr.map(k => "n" + k.take(12)),      // name-like
+      1 -> Gen.const(""))                                   // degenerate
+    val caseGen = for {
+      n <- Gen.choose(0, 2000)
+      keys <- Gen.listOfN(n, keyGen)
+      parts <- Gen.choose(1, 40)
+    } yield (keys, parts)
+    val cases = Gen.listOfN(60, caseGen).pureApply(Gen.Parameters.default, Seed(7L))
+    for ((keys, parts) <- cases; ord <- Seq(lex, DatastoreKeys.ordering)) {
+      val (count, bounds) = RangePlanner.splitBounds(keys.iterator, parts, ord)
+      assert(count == keys.size.toLong)
+      assert(bounds.size <= math.max(parts - 1, 0))
+      assert(bounds == bounds.sorted(ord) && bounds.distinct == bounds)
+      val froms = None +: bounds.map(Option(_))
+      val tos = bounds.map(Option(_)) :+ None
+      val covered = keys.map(k => froms.zip(tos).count { case (f, t) =>
+        f.forall(b => ord.gteq(k, b)) && t.forall(b => ord.lt(k, b)) })
+      assert(covered.forall(_ == 1),
+        s"every key in exactly one range; violations=${covered.count(_ != 1)}")
+    }
+  }
+
+  test("property: DatastoreKeys.ordering is a total order with exact successor") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.frequency(
+      2 -> Gen.choose(0L, Long.MaxValue / 2).map(_.toString),
+      2 -> Gen.alphaNumStr.map(_.take(16)),
+      1 -> Gen.oneOf("0abc", "", "٤٢", "zz" + new String(Character.toChars(0x1F600))))
+    val keys = Gen.listOfN(300, keyGen).pureApply(Gen.Parameters.default, Seed(11L))
+    val ord = DatastoreKeys.ordering
+    // antisymmetry + consistency with equality on a sorted sample
+    val sorted = keys.sorted(ord)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(ord.lteq(a, b))
+        assert((ord.compare(a, b) == 0) == (a == b), s"'$a' vs '$b'")
+      case _ => ()
+    }
+    // successor is strictly greater with nothing in between (among keys)
+    keys.filter(_.nonEmpty).foreach { k =>
+      val s = DatastoreKeys.successor(k)
+      assert(ord.lt(k, s), s"successor('$k') not greater")
+      assert(!keys.exists(o => ord.gt(o, k) && ord.lt(o, s) && o != k),
+        s"key strictly between '$k' and its successor")
+    }
+  }
+
   test("fewer keys than partitions, empty input, custom ordering") {
     assert(RangePlanner.splitBounds(Iterator.empty, 4, lex) == ((0L, Nil)))
     val (c1, b1) = RangePlanner.splitBounds(Iterator("b", "a"), 8, lex)
