@@ -48,7 +48,10 @@ object DatastoreLocalStub {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-      val q = mapper.readTree(body).path("query")
+      val isAgg = ex.getRequestURI.getPath.endsWith(":runAggregationQuery")
+      val q =
+        if (isAgg) mapper.readTree(body).path("aggregationQuery").path("nestedQuery")
+        else mapper.readTree(body).path("query")
       val qKind = q.path("kind").get(0).path("name").asText
       val limit = if (q.has("limit")) q.get("limit").asInt else Int.MaxValue
       val start = Option(q.path("startCursor").asText(null))
@@ -97,7 +100,10 @@ object DatastoreLocalStub {
       }.mkString("[", ",", "]")
       val more = if (start + page.size < matching.size) "NOT_FINISHED" else "NO_MORE_RESULTS"
       val resp =
-        s"""{"batch":{"entityResults":$results,"endCursor":"c${start + page.size}","moreResults":"$more"}}"""
+        if (isAgg)
+          s"""{"batch":{"aggregationResults":[{"aggregateProperties":{"n":{"integerValue":"${matching.size}"}}}]}}"""
+        else
+          s"""{"batch":{"entityResults":$results,"endCursor":"c${start + page.size}","moreResults":"$more"}}"""
       val bytes = resp.getBytes("UTF-8")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)

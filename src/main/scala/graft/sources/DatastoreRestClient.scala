@@ -51,18 +51,13 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
     }
   }
 
-  private def queryBody(kind: String, pageSize: Int, cursor: Option[String],
-                        fromKey: Option[String], toKeyExcl: Option[String],
-                        keysOnly: Boolean, orderBy: Option[String] = None): String = {
-    val root = mapper.createObjectNode()
-    val q = root.putObject("query")
+  /** The shared query node: kind + typed `__key__` range filters —
+    * reused by runQuery (with paging decoration) and as the
+    * nestedQuery of aggregation requests. */
+  private def queryNode(kind: String, fromKey: Option[String],
+                        toKeyExcl: Option[String]): ObjectNode = {
+    val q = mapper.createObjectNode()
     q.putArray("kind").addObject().put("name", kind)
-    q.put("limit", pageSize)
-    cursor.foreach(q.put("startCursor", _))
-    if (keysOnly) q.putArray("projection").addObject()
-      .putObject("property").put("name", "__key__")
-    orderBy.foreach(o => q.putArray("order").addObject()
-      .putObject("property").put("name", o))
     // A promoted key that is all digits came from a numeric-id key
     // (keyOf stringifies ids), so the bound must be encoded as an `id`
     // path element — a `name` key "12345" is a DIFFERENT key in
@@ -90,7 +85,44 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
       val arr = cf.putArray("filters")
       filters.foreach(arr.add)
     }
+    q
+  }
+
+  private def queryBody(kind: String, pageSize: Int, cursor: Option[String],
+                        fromKey: Option[String], toKeyExcl: Option[String],
+                        keysOnly: Boolean, orderBy: Option[String] = None): String = {
+    val root = mapper.createObjectNode()
+    val q = queryNode(kind, fromKey, toKeyExcl)
+    root.set[ObjectNode]("query", q)
+    q.put("limit", pageSize)
+    cursor.foreach(q.put("startCursor", _))
+    if (keysOnly) q.putArray("projection").addObject()
+      .putObject("property").put("name", "__key__")
+    orderBy.foreach(o => q.putArray("order").addObject()
+      .putObject("property").put("name", o))
     mapper.writeValueAsString(root)
+  }
+
+  private[graft] def aggregationUrl: String =
+    s"${baseUrl.stripSuffix("/")}/v1/projects/$projectId:runAggregationQuery"
+
+  /** Server-side COUNT via the public aggregation surface
+    * (`POST :runAggregationQuery`, `{"aggregationQuery": {"nestedQuery":
+    * ..., "aggregations":[{"alias":"n","count":{}}]}}`) — the scale
+    * path for S8: one request instead of keys-paging the whole kind.
+    * The nested query carries the same typed key-range filters as a
+    * scan, so pushed ranges count server-side too. */
+  def countAggregate(kind: String, fromKey: Option[String] = None,
+                     toKeyExcl: Option[String] = None): Long = {
+    val root = mapper.createObjectNode()
+    val aq = root.putObject("aggregationQuery")
+    aq.set[ObjectNode]("nestedQuery", queryNode(kind, fromKey, toKeyExcl))
+    val agg = aq.putArray("aggregations").addObject()
+    agg.put("alias", "n")
+    agg.putObject("count")
+    val resp = mapper.readTree(post(aggregationUrl, mapper.writeValueAsString(root)))
+    resp.path("batch").path("aggregationResults").path(0)
+      .path("aggregateProperties").path("n").path("integerValue").asText("0").toLong
   }
 
   /** Cursor-paged entity scan of `kind`, optionally bounded to the key

@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
@@ -66,15 +67,34 @@ class DatastoreTable(url: String, projectId: String, kind: String,
 
 class DatastoreScanBuilder(url: String, projectId: String, kind: String,
                            numPartitions: Int, pageSize: Int, authToken: Option[String])
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var keyLow: Option[String] = None
   private var keyHighExcl: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countPushed = false
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
+
+  /** S8 at scale — COMPLETE COUNT(*) pushdown: `df.count()` compiles
+    * to one server-side `runAggregationQuery` instead of scanning and
+    * shipping every entity. Only the bare global count is eligible
+    * (no grouping; and Spark itself only pushes aggregates when no
+    * post-scan filters remain, which for this source means an
+    * unfiltered scan since all filters are re-checked). */
+  private def isBareCountStar(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = isBareCountStar(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = isBareCountStar(agg)
+    countPushed
+  }
 
   /** Key-range pushdown in TRUE service order (DatastoreKeys): EqualTo
     * becomes the exact point range [v, successor(v)) — numeric for id
@@ -92,8 +112,45 @@ class DatastoreScanBuilder(url: String, projectId: String, kind: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new DatastoreScan(url, projectId, kind, numPartitions, pageSize, authToken,
-      keyLow, keyHighExcl, limit)
+    if (countPushed)
+      new DatastoreCountScan(url, projectId, kind, authToken, keyLow, keyHighExcl)
+    else
+      new DatastoreScan(url, projectId, kind, numPartitions, pageSize, authToken,
+        keyLow, keyHighExcl, limit)
+}
+
+/** The completely-pushed COUNT(*) scan: one partition, one aggregation
+  * request, one row. */
+class DatastoreCountScan(url: String, projectId: String, kind: String,
+                         authToken: Option[String],
+                         keyLow: Option[String], keyHighExcl: Option[String])
+  extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DatastoreCountPartition(url, projectId, kind, keyLow, keyHighExcl, authToken))
+  override def createReaderFactory(): PartitionReaderFactory = DatastoreCountReaderFactory
+}
+
+case class DatastoreCountPartition(url: String, projectId: String, kind: String,
+                                   fromKey: Option[String], toKeyExcl: Option[String],
+                                   authToken: Option[String]) extends InputPartition
+
+object DatastoreCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DatastoreCountPartition]
+    new PartitionReader[InternalRow] {
+      private lazy val count: Long =
+        new DatastoreRestClient(p.url, p.projectId, p.authToken)
+          .countAggregate(p.kind, p.fromKey, p.toKeyExcl)
+      private var consumed = false
+      override def next(): Boolean =
+        if (consumed) false else { consumed = true; true }
+      override def get(): InternalRow = InternalRow(count)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class DatastoreScan(url: String, projectId: String, kind: String,

@@ -60,7 +60,10 @@ class DatastoreSpec extends SparkSpec {
       if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
         ex.sendResponseHeaders(500, -1); ex.close()
       } else {
-        val q = mapper.readTree(body).path("query")
+        val isAgg = ex.getRequestURI.getPath.endsWith(":runAggregationQuery")
+        val q =
+          if (isAgg) mapper.readTree(body).path("aggregationQuery").path("nestedQuery")
+          else mapper.readTree(body).path("query")
         val kind = q.path("kind").get(0).path("name").asText
         val limit = if (q.has("limit")) q.get("limit").asInt else Int.MaxValue
         val start = Option(q.path("startCursor").asText(null))
@@ -107,7 +110,11 @@ class DatastoreSpec extends SparkSpec {
           s"""{"entity":{"key":{"path":[{"kind":"${e.kind}",$keyPart}]},"properties":${e.props}}}"""
         }.mkString("[", ",", "]")
         val more = if (start + page.size < matching.size) "NOT_FINISHED" else "NO_MORE_RESULTS"
-        val resp = s"""{"batch":{"entityResults":$results,"endCursor":"c${start + page.size}","moreResults":"$more"}}"""
+        val resp =
+          if (isAgg)
+            s"""{"batch":{"aggregationResults":[{"aggregateProperties":{"n":{"integerValue":"${matching.size}"}}}]}}"""
+          else
+            s"""{"batch":{"entityResults":$results,"endCursor":"c${start + page.size}","moreResults":"$more"}}"""
         val bytes = resp.getBytes("UTF-8")
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)
@@ -205,7 +212,9 @@ class DatastoreSpec extends SparkSpec {
     val df = spark.read.format("graft.sources.DatastoreSource")
       .option("url", base).option("projectId", "test-proj").option("kind", "User")
       .option("numPartitions", "3").option("pageSize", "6").load()
-    assert(df.count() == nUsers)
+    // collect (not count) so the ROW scan is what gets planned —
+    // count() compiles to the pushed aggregation and plans no ranges
+    assert(df.select("id").collect().length == nUsers)
     val bs = bodies.synchronized(bodies.toList)
     // Spark may run planInputPartitions once per planning pass; each
     // pass must cost ONE bounded sample request, never a key scan
@@ -214,6 +223,20 @@ class DatastoreSpec extends SparkSpec {
       s"one scatter sample per planning pass, got $scatters")
     assert(!bs.exists(b => b.contains("projection") && !b.contains("__scatter__")),
       "an unbounded scan must not cursor-page every key through the driver")
+  }
+
+  test("S8: bare count() pushes down to ONE server-side aggregation request") {
+    bodies.synchronized(bodies.clear())
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "4").option("pageSize", "9").load()
+    assert(df.count() == nUsers)
+    val bs = bodies.synchronized(bodies.toList)
+    assert(bs.size == 1 && bs.head.contains("aggregationQuery"),
+      s"count(*) must be one runAggregationQuery, got ${bs.size} requests")
+    // filtered counts keep the row-scan path (filters are re-checked
+    // by Spark, so the aggregate is not eligible for complete pushdown)
+    assert(df.filter(col("id") === "e07").count() == 1)
   }
 
   test("numPartitions=1 plans a single partition with zero planning requests") {
