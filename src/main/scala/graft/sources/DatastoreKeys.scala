@@ -27,36 +27,18 @@ private[sources] object DatastoreKeys {
   def isId(k: String): Boolean =
     k.nonEmpty && k.forall(c => c >= '0' && c <= '9')
 
-  /** Names compare by UTF-8 BYTES — the service's order and also
-    * Spark's `UTF8String` order. Java `String.compareTo` (UTF-16 code
-    * units) disagrees above U+FFFF: a supplementary char's surrogates
-    * (0xD800-0xDFFF) sort below U+E000..U+FFFF chars, while its UTF-8
-    * encoding (F0..) sorts above (E0..) — planning-time only, so the
-    * byte comparison's allocation cost is irrelevant. */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
-
-  /** Service order: (ids numerically) before (names by UTF-8 bytes).
-    * Digit strings compare by length-then-lex — equivalent to numeric
-    * compare without allocation (service ids are int64s rendered
-    * without leading zeros). */
+  /** Service order: (ids numerically) before (names by UTF-8 bytes —
+    * `RangePlanner.utf8Order`, NOT Java's UTF-16 compareTo, which
+    * disagrees above U+FFFF). Digit strings compare by length-then-lex
+    * — equivalent to numeric compare without allocation (service ids
+    * are int64s rendered without leading zeros). */
   val ordering: Ordering[String] = new Ordering[String] {
     override def compare(a: String, b: String): Int = (isId(a), isId(b)) match {
       case (true, true) =>
         if (a.length != b.length) a.length - b.length else a.compareTo(b)
       case (true, false) => -1
       case (false, true) => 1
-      case (false, false) => utf8Compare(a, b)
+      case (false, false) => RangePlanner.utf8Order.compare(a, b)
     }
   }
 

@@ -28,9 +28,13 @@ object DatastoreLocalStub {
   private val servers = scala.collection.mutable.Map[String, HttpServer]()
 
   /** Typed service sort key: ids (zero-padded int64, prefix "0") before
-    * names (prefix "1"), so plain string compare is service order. */
+    * names (prefix "1"), so plain string compare is service order.
+    * Uses the connector's own id test (ASCII digits only) so the stub
+    * classifies promoted keys exactly like the code under test —
+    * independence comes from the DuckDB oracle compare, not from a
+    * second id heuristic that could silently diverge. */
   private def sortKey(promoted: String): String =
-    if (promoted.nonEmpty && promoted.forall(_.isDigit)) f"0${BigInt(promoted)}%019d"
+    if (DatastoreKeys.isId(promoted)) f"0${BigInt(promoted)}%019d"
     else "1" + promoted
 
   /** `__scatter__` emulation: deterministic pseudo-random order (the
@@ -94,7 +98,7 @@ object DatastoreLocalStub {
       val page = matching.slice(start, start + limit)
       val results = page.map { case (k, props) =>
         val keyPart =
-          if (k.nonEmpty && k.forall(_.isDigit)) s""""id":"$k""""
+          if (DatastoreKeys.isId(k)) s""""id":"$k""""
           else s""""name":${mapper.writeValueAsString(k)}"""
         s"""{"entity":{"key":{"path":[{"kind":"$kind",$keyPart}]},"properties":$props}}"""
       }.mkString("[", ",", "]")

@@ -121,8 +121,14 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
     agg.put("alias", "n")
     agg.putObject("count")
     val resp = mapper.readTree(post(aggregationUrl, mapper.writeValueAsString(root)))
-    resp.path("batch").path("aggregationResults").path(0)
-      .path("aggregateProperties").path("n").path("integerValue").asText("0").toLong
+    val v = resp.path("batch").path("aggregationResults").path(0)
+      .path("aggregateProperties").path("n").path("integerValue")
+    // a missing value must FAIL, not read as 0 — a silent zero count
+    // tells downstream "nothing to process" about real data
+    if (v.isMissingNode || v.isNull) throw new java.io.IOException(
+      s"malformed runAggregationQuery response (no aggregate value): " +
+        resp.toString.take(200))
+    v.asText.toLong
   }
 
   /** Cursor-paged entity scan of `kind`, optionally bounded to the key
@@ -171,8 +177,10 @@ class DatastoreRestClient(baseUrl: String, projectId: String,
     * trip — instead of cursor-paging every key of a 100-TB kind through
     * the driver. Ordering by `__scatter__` cannot be combined with a
     * `__key__` inequality filter (Datastore requires the first sort
-    * property to match the filtered property), so bounded scans fall
-    * back to range-filtered enumeration (small by construction). */
+    * property to match the filtered property), so bounded scans filter
+    * this whole-kind sample to their range client-side; enumeration
+    * survives only as the empty-sample fallback
+    * (DatastoreScan.computePartitions). */
   def scatterSample(kind: String, sampleSize: Int): Seq[String] = {
     val resp = mapper.readTree(post(queryUrl,
       queryBody(kind, sampleSize, None, None, None, keysOnly = true,

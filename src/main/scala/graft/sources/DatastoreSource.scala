@@ -141,9 +141,16 @@ object DatastoreCountReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DatastoreCountPartition]
     new PartitionReader[InternalRow] {
-      private lazy val count: Long =
-        new DatastoreRestClient(p.url, p.projectId, p.authToken)
-          .countAggregate(p.kind, p.fromKey, p.toKeyExcl)
+      private lazy val count: Long = {
+        val client = new DatastoreRestClient(p.url, p.projectId, p.authToken)
+        try client.countAggregate(p.kind, p.fromKey, p.toKeyExcl)
+        catch {
+          // backend without :runAggregationQuery (fail-fast 4xx): keep
+          // count() working via the keys-only scan it used before
+          case _: IllegalArgumentException =>
+            client.runQuery(p.kind, p.fromKey, p.toKeyExcl, keysOnly = true).size.toLong
+        }
+      }
       private var consumed = false
       override def next(): Boolean =
         if (consumed) false else { consumed = true; true }
@@ -184,8 +191,13 @@ class DatastoreScan(url: String, projectId: String, kind: String,
     *    Sorting promoted keys lexicographically here silently
     *    loses/duplicates rows on numeric-id kinds: with ids 9..12 and
     *    2 partitions, string bounds ("10", "12") put id 9 in no
-    *    partition. */
-  override def planInputPartitions(): Array[InputPartition] = {
+    *    partition.
+    *
+    * Memoized: Spark calls planInputPartitions once per planning pass
+    * (typically twice per action); the sample request is paid once. */
+  override def planInputPartitions(): Array[InputPartition] = computedPartitions
+  private lazy val computedPartitions: Array[InputPartition] = computePartitions()
+  private def computePartitions(): Array[InputPartition] = {
     val ord = DatastoreKeys.ordering
     def partition(from: Option[String], to: Option[String]) =
       DatastoreRangePartition(url, projectId, kind, from, to, pageSize,
@@ -199,9 +211,7 @@ class DatastoreScan(url: String, projectId: String, kind: String,
       keyLow.forall(ord.gt(k, _)) && keyHighExcl.forall(ord.lt(k, _)))
     val bounds: Seq[String] =
       if (inRange.nonEmpty) {
-        val sorted = inRange.sorted(ord)
-        val n = math.min(numPartitions, sorted.size + 1)
-        (1 until n).map(i => sorted(i * sorted.size / n)).distinct
+        RangePlanner.pickBounds(inRange.sorted(ord).toIndexedSeq, numPartitions)
       } else if (sample.nonEmpty) {
         Nil // range holds few keys: one partition, still zero extra requests
       } else {

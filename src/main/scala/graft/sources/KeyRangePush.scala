@@ -27,7 +27,7 @@ private[sources] object KeyRangePush {
     * string semantics disagree for some keys (Datastore numeric ids). */
   def intersect(filters: Array[Filter], keyCols: Set[String],
                 successor: String => String = lexSuccessor,
-                ord: Ordering[String] = Ordering.String,
+                ord: Ordering[String] = RangePlanner.utf8Order,
                 ineqBoundSound: String => Boolean = _ => true)
       : (Array[Filter], Array[Filter], Option[String], Option[String]) = {
     val (accepted, rest) = filters.partition {

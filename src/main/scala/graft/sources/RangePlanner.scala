@@ -27,6 +27,35 @@ private[sources] object RangePlanner {
     * Datastore Beam connector's oversampling factor). */
   val SamplesPerSplit = 32
 
+  /** String order by Unicode CODE POINT — identical to UTF-8 byte
+    * order for valid strings, and therefore identical to how both the
+    * backing services and Spark's own `UTF8String` compare keys. Java
+    * `String.compareTo` (UTF-16 code units) disagrees above U+FFFF:
+    * surrogate pairs (0xD800-0xDFFF) sort below U+E000..U+FFFF chars
+    * while their UTF-8 encodings sort above — comparing with the wrong
+    * order silently drops rows at range/partition boundaries.
+    * Allocation-free, so safe in per-row reader filters too. */
+  val utf8Order: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return ca - cb
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      (a.length - i) - (b.length - j)
+    }
+  }
+
+  /** At most `parts - 1` sorted, distinct interior split points drawn
+    * evenly from an ordered sample — shared by the stride-sample and
+    * scatter-sample planners so the tiling invariant (property-tested
+    * via splitBounds) has one implementation. */
+  def pickBounds(sorted: IndexedSeq[String], parts: Int): Seq[String] = {
+    val n = math.min(parts, sorted.size + 1)
+    (1 until n).map(i => sorted(i * sorted.size / n)).distinct
+  }
+
   /** Consume `keys` (any order) and return `(count, bounds)` where
     * `bounds` are at most `numPartitions - 1` sorted, distinct interior
     * split points drawn from the keys. Partitions are then
@@ -39,8 +68,7 @@ private[sources] object RangePlanner {
     if (sampler.seen == 0L) return (0L, Nil)
     val sorted = sampler.sample(ord)
     val n = math.min(numPartitions.toLong, sampler.seen).toInt
-    val bounds = (1 until n).map(i => sorted(i * sorted.size / n)).distinct
-    (sampler.seen, bounds)
+    (sampler.seen, pickBounds(sorted, n))
   }
 }
 

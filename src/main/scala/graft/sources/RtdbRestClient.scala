@@ -68,10 +68,14 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
           Seq("limitToFirst" -> pageSize.toString) ++
           toExclusive.map(t => "endAt" -> Http.jsonString(t))
         val root = mapper.readTree(get(buildUrl(path, params)))
+        // all key comparisons in CODE-POINT order (= the server's and
+        // Spark's UTF8String order), never UTF-16 String order
+        val ord = RangePlanner.utf8Order
         val fields: Seq[(String, JsonNode)] =
           if (root == null || !root.isObject) Seq.empty
-          else root.fields().asScala.map(e => e.getKey -> e.getValue).toSeq.sortBy(_._1)
-        val kept = fields.filter { case (k, _) => toExclusive.forall(k < _) }
+          else root.fields().asScala.map(e => e.getKey -> e.getValue).toSeq
+            .sortBy(_._1)(ord)
+        val kept = fields.filter { case (k, _) => toExclusive.forall(ord.lt(k, _)) }
         buf = kept.collect { case (k, v) if v.isObject => k -> v.toString }.iterator
         // done when the server ran dry or the strict bound was crossed
         if (fields.size < pageSize || kept.size < fields.size) exhausted = true

@@ -91,7 +91,8 @@ object RtdbSnapshotSource {
         while (parser.nextToken() == JsonToken.FIELD_NAME) {
           val key = parser.currentName()
           parser.nextToken()
-          val inRange = from.forall(key >= _) && toExclusive.forall(key < _)
+          val ord = RangePlanner.utf8Order
+          val inRange = from.forall(ord.gteq(key, _)) && toExclusive.forall(ord.lt(key, _))
           if (inRange && parser.currentToken() == JsonToken.START_OBJECT) {
             val node: com.fasterxml.jackson.databind.JsonNode = mapper.readTree(parser)
             buf += key -> node.toString
@@ -178,18 +179,25 @@ class RtdbScan(path: String, numPartitions: Int,
     * correct, at the cost of parallel fetch. The probe is a SUPERSET of
     * RTDB's 32-bit-int rule (any `toInt`-parseable key, plus any
     * all-digit key however long) — over-triggering only costs
-    * parallelism, never rows. The offline transport compares
-    * lexicographically end to end, so the guard does not apply. */
-  override def planInputPartitions(): Array[InputPartition] = {
+    * parallelism, never rows. The offline transport compares in
+    * code-point order end to end (RangePlanner.utf8Order — Spark's
+    * UTF8String semantics), so the guard does not apply.
+    *
+    * Memoized: Spark calls planInputPartitions once per planning pass
+    * (typically twice per action); enumeration is paid once. */
+  override def planInputPartitions(): Array[InputPartition] = computedPartitions
+  private lazy val computedPartitions: Array[InputPartition] = computePartitions()
+  private def computePartitions(): Array[InputPartition] = {
     // Explicit split points skip key enumeration entirely — the scale
     // lever for trees whose shallow key listing itself is too big for
     // one response (RTDB's shallow API is unpaginated). The caller
     // asserts string-keyed data by providing them; bounds intersect
     // with any pushed key range, and the partitions tile the whole
     // remaining key space, so an unbalanced choice costs balance only.
+    val ord = RangePlanner.utf8Order // Spark's UTF8String semantics
     if (splitPoints.nonEmpty) {
-      val inRange = splitPoints.sorted.distinct
-        .filter(p => keyLow.forall(p > _) && keyHighExcl.forall(p < _))
+      val inRange = splitPoints.map(_.trim).filter(_.nonEmpty).distinct.sorted(ord)
+        .filter(p => keyLow.forall(ord.gt(p, _)) && keyHighExcl.forall(ord.lt(p, _)))
       val froms = keyLow +: inRange.map(Some(_))
       val tos = inRange.map(Some(_)) :+ keyHighExcl
       return froms.lazyZip(tos).map { case (from, to) =>
@@ -204,9 +212,9 @@ class RtdbScan(path: String, numPartitions: Int,
       return Array(RtdbRangePartition(path, keyLow, keyHighExcl, limit, url,
         authToken, pageSize, unpaged = true))
     val inRange = allKeys.iterator
-      .filter(k => keyLow.forall(k >= _) && keyHighExcl.forall(k < _))
+      .filter(k => keyLow.forall(ord.gteq(k, _)) && keyHighExcl.forall(ord.lt(k, _)))
     val (count, bounds) =
-      RangePlanner.splitBounds(inRange, numPartitions, Ordering.String)
+      RangePlanner.splitBounds(inRange, numPartitions, ord)
     if (count == 0L) return Array.empty
     val froms = keyLow +: bounds.map(Some(_))
     val tos = bounds.map(Some(_)) :+ keyHighExcl
@@ -233,9 +241,10 @@ object RtdbReaderFactory extends PartitionReaderFactory {
         val client = new RtdbRestClient(u, p.authToken)
         if (p.unpaged)
           // numeric-key fallback: one complete fetch, bounds re-applied
-          // client-side in Spark's lexicographic string semantics
+          // client-side in Spark's (code-point) string semantics
           client.fetchAll(p.path).filter { case (k, _) =>
-            p.from.forall(k >= _) && p.toExclusive.forall(k < _) }
+            val ord = RangePlanner.utf8Order
+            p.from.forall(ord.gteq(k, _)) && p.toExclusive.forall(ord.lt(k, _)) }
         else client.fetchRange(p.path, p.from, p.toExclusive, p.pageSize)
       }
       private val it = p.limit.fold(it0)(it0.take)

@@ -56,6 +56,24 @@ class RtdbSourceSpec extends SparkSpec {
     assert(counts.sum >= 3, "must still produce enough rows for the global limit")
   }
 
+  test("supplementary-plane keys: pushdown matches Spark's UTF8String order") {
+    // UTF-16 String order puts the emoji's surrogates (0xD83D..) BELOW
+    // U+FFFD; Spark's UTF8String (code-point) order puts it ABOVE. A
+    // planner/reader comparing in UTF-16 silently drops the emoji row
+    // from this range — the same bug class fixed in DatastoreKeys.
+    val emoji = new String(Character.toChars(0x1F600))
+    val dir = Files.createTempDirectory("rtdbsupp").toFile
+    val f = new java.io.File(dir, "export.json")
+    Files.writeString(f.toPath,
+      s"""{"$emoji": {"n": 1}, "�": {"n": 2}, "zz": {"n": 3}}""")
+    val sdf = spark.read.format("graft.sources.RtdbSnapshotSource")
+      .option("path", f.getAbsolutePath).option("numPartitions", "2").load()
+    val got = sdf.filter(col("id") >= "�").select("id").collect()
+      .map(_.getString(0)).toSet
+    assert(got == Set("�", emoji), s"code-point range must keep the emoji key: $got")
+    assert(sdf.count() == 3)
+  }
+
   test("pushed filters intersect: conflicting EqualTos return zero rows") {
     // id and uid are the same key; equality on two different values is
     // unsatisfiable. The pushdown must intersect ranges, not overwrite.
