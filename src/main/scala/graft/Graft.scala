@@ -106,6 +106,13 @@ object Graft {
                         threshold: Double = 0.15): DataFrame =
     llm.Dedup.ngramJaccardPairs(df, idCol, textCol, blockExpr, n, threshold)
 
+  /** Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * step): segments shared by more than `maxDocFreq` distinct docs
+    * drop from every document; survivors rejoin in original order. */
+  def dropBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = ". ", maxDocFreq: Int = 1): DataFrame =
+    llm.Dedup.dropBoilerplate(df, idCol, textCol, sep, maxDocFreq)
+
   /** Full near-dup dedup: LSH pairs → connected components → drop
     * non-representative cluster members (one survivor per cluster). */
   def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,

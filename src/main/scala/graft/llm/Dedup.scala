@@ -33,6 +33,40 @@ object Dedup {
     exactDedup(df.withColumn("__norm", normalize(col(contentCol))), "__norm", idCol)
       .drop("__norm")
 
+  /** Corpus-level boilerplate removal — the CCNet/RefinedWeb line-dedup
+    * step: a segment (sentence/line, split on `sep`) appearing in more
+    * than `maxDocFreq` DISTINCT documents is boilerplate (headers,
+    * nav text, license blurbs) and is dropped from EVERY document;
+    * surviving segments rejoin in original order. Returns one row per
+    * input document: (idCol, cleaned, n_kept) — documents that were
+    * pure boilerplate come back with empty text and n_kept 0.
+    *
+    * Scale shape: explode → segment-keyed count-distinct (partial agg
+    * map-side) → shuffle join back on the segment → per-doc
+    * re-aggregation. Everything is keyed by segment or doc — linear,
+    * no pairwise work, the same plan at 100 TB. A degenerate hot
+    * segment ("Home") is just one big count — it never expands into
+    * pairs. */
+  def dropBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = ". ", maxDocFreq: Int = 1): DataFrame = {
+    val sepRegex = java.util.regex.Pattern.quote(sep)
+    val seg = df.select(col(idCol),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("__pos", "__seg")))
+      .filter(col("__seg") =!= "")
+    val freq = seg.groupBy(col("__seg"))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    val kept = seg.join(freq, "__seg").filter(col("__ndocs") <= maxDocFreq)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+        x => x.getField("__seg")), sep).as("cleaned"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Fixed MinHash permutation seeds (a, b) for `(a*h + b) % P` over
     * 60-bit md5-derived shingle hashes. 16 hashes = 4 bands × 4 rows:
     * documents sharing any full band become candidates (the classic

@@ -41,6 +41,25 @@ object LlmQueries {
       Dedup.normalizedDedup(t(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))),
 
+    // Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
+    // step): any sentence appearing in 2+ distinct docs drops from ALL
+    // of them. Fixture texts are single unique sentences, so the
+    // boilerplate is INJECTED deterministically (the multimodal magic
+    // pattern): ~20% of docs gain a shared footer sentence (must drop,
+    // prose must survive) and a small slice becomes footer-only (must
+    // come back empty, not disappear) — both arms non-vacuous at every
+    // sf, mirrored in the oracle.
+    "llm_boilerplate_drop" -> ((s, dir) => {
+      val footer = "COMMON FOOTER SENTENCE"
+      val content = when(col("doc_id") % 97 === 3, lit(footer))
+        .when(col("doc_id") % 5 === 0, concat(col("text"), lit(". " + footer)))
+        .otherwise(col("text"))
+      Dedup.dropBoilerplate(
+          t(s, dir, "documents").withColumn("content", content), "doc_id", "content")
+        .select(col("doc_id"), col("n_kept"), md5(col("cleaned")).as("cleaned_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "llm_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy(col("a"), col("b"))),
@@ -487,6 +506,24 @@ object LlmQueries {
         |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents) t0) t
         |WHERE rn = 1 OR norm IS NULL ORDER BY doc_id""".stripMargin,
+    "llm_boilerplate_drop" ->
+      """WITH aug AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 97 = 3 THEN 'COMMON FOOTER SENTENCE'
+        |    WHEN doc_id % 5 = 0 THEN text || '. COMMON FOOTER SENTENCE'
+        |    ELSE text END AS content FROM documents),
+        |seg AS (
+        |  SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+        |    SELECT doc_id, unnest([{'pos': i, 'seg': s[i]} for i in range(1, len(s) + 1)]) AS u
+        |    FROM (SELECT doc_id, string_split(content, '. ') AS s FROM aug) t0) t1
+        |  WHERE u.seg <> ''),
+        |freq AS (SELECT seg, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY seg),
+        |kept AS (SELECT doc_id, pos, seg.seg FROM seg JOIN freq USING (seg) WHERE ndocs <= 1),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(seg, '. ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  md5(coalesce(a.cleaned, '')) AS cleaned_hash
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "llm_dedup_minhash_lsh" ->
       s"""WITH ${pairsCtes()}
          |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,

@@ -194,6 +194,22 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dropBoilerplate: shared segments drop everywhere, order survives") {
+    val docs = Seq(
+      (1L, "unique alpha. COMMON FOOTER. unique beta"),
+      (2L, "different gamma. COMMON FOOTER"),
+      (3L, "COMMON FOOTER")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplate(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, "unique alpha. unique beta", 2L)), s"got ${out(0)}")
+    assert(out(1) == ((2L, "different gamma", 1L)))
+    assert(out(2) == ((3L, "", 0L)), "pure-boilerplate doc comes back empty, not dropped")
+    // maxDocFreq = 3 tolerates a segment shared by exactly three docs
+    val relaxed = Dedup.dropBoilerplate(docs, "doc_id", "text", maxDocFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(relaxed(1).getString(1) == "different gamma. COMMON FOOTER")
+  }
+
   test("simHashPairs: identical docs pair at hamming 0, distinct text excluded") {
     val sentence = "shared template sentence with mostly common words here"
     val docs = Seq(
