@@ -14,13 +14,24 @@ object Dedup {
 
   /** Exact dedup: hash the content, keep the lowest id per hash. One
     * shuffle on the 128-bit content hash; skew-free by construction.
-    * NULL-content rows are NOT duplicates of each other (md5(null) is
-    * null for all of them) — they all pass through. */
+    * NULL-content rows are NOT duplicates of each other — each gets its
+    * own synthetic window key ("n:" + id can never collide with a
+    * 32-hex-char md5), so they all trivially survive a pure
+    * `rn === 1` filter. Two scale effects of that shape: no
+    * single-reducer skew group (md5(null) is null — partitioning on
+    * the raw hash would funnel every NULL row through ONE task on a
+    * null-heavy corpus), and the filter stays a conjunction-free
+    * rank predicate, so InferWindowGroupLimit inserts a map-side
+    * partial WindowGroupLimit — each map task forwards at most one
+    * row per hash across the exchange instead of every duplicate
+    * (an `rn === 1 || isNull` disjunction defeats the rewrite). */
   def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(contentCol))).orderBy(col(idCol))
+    val key = coalesce(md5(col(contentCol)),
+      concat(lit("n:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("content_hash", md5(col(contentCol)))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 || col(contentCol).isNull).drop("__rn")
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Normalized-exact dedup: lowercase, strip punctuation, collapse

@@ -190,6 +190,9 @@ object Ops {
     * web-graph diameters). Deterministic: min is order-independent. */
   def connectedComponents(edges: DataFrame, a: String = "a", b: String = "b",
                           iters: Int = 8): DataFrame = {
+    // iters == 0 would return a plain plan still referencing the
+    // checkpointed sym whose blocks the epilogue just dropped
+    require(iters >= 1, s"connectedComponents needs iters >= 1, got $iters")
     // Iterative plans MUST cut lineage per round: the edge set is read
     // every iteration and each round's labels feed the next, so an
     // uncheckpointed loop nests the upstream plan 2^iters times
@@ -227,13 +230,8 @@ object Ops {
         case _ => false
       }
     }
-    def checksum(l: DataFrame): java.math.BigDecimal = {
-      val term = if (integralLabel) col("label") else xxhash64(col("node"), col("label"))
-      val s = l.agg(sum(term.cast("decimal(38,0)"))).first.getDecimal(0)
-      // sum over an empty frame is null; the node set never changes
-      // across rounds, so a fixed sentinel can't collide round-to-round
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
+    val checksumTerm =
+      if (integralLabel) col("label") else xxhash64(col("node"), col("label"))
     var prev: java.math.BigDecimal = null
     var round = 0
     var converged = false
@@ -241,10 +239,22 @@ object Ops {
       val superseded = labels
       val viaNeighbor = sym.join(superseded, sym("dst") === superseded("node"))
         .select(sym("src").as("node"), col("label"))
+      // The convergence checksum rides the SAME job that materializes
+      // the round's checkpoint: observe() collects the sum as rows
+      // stream into the checkpoint action, so each round costs ONE job
+      // instead of checkpoint + separate agg scan over the frontier.
+      val obs = org.apache.spark.sql.Observation()
       labels = superseded.unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .observe(obs, sum(checksumTerm.cast("decimal(38,0)")).as("checksum"))
         .localCheckpoint(true) // eager: materialized before the drop below
-      val s = checksum(labels)
+      // sum over an empty frame is null; the node set never changes
+      // across rounds, so a fixed sentinel can't collide round-to-round
+      val s = obs.get("checksum") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      }
       // round 0's frontier is a plain plan (nothing cached to drop);
       // every later round supersedes a checkpointed frontier
       if (round > 0) Bridge.unpersistLocalCheckpoint(superseded)

@@ -33,13 +33,34 @@ object LlmQueries {
 
   val queries: Seq[(String, Q)] = Seq(
 
-    "llm_dedup_exact" -> ((s, dir) =>
-      Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))),
+    // Fixture texts are 500 UNIQUE non-NULL sentences, so both arms the
+    // operator exists for are INJECTED deterministically (the
+    // boilerplate-footer pattern, mirrored in the oracle): a slice of
+    // docs becomes an exact-duplicate group (min id must win) and a
+    // disjoint slice gets NULL content (every row must survive — NULLs
+    // are not duplicates of each other).
+    "llm_dedup_exact" -> ((s, dir) => {
+      val content = when(col("doc_id") % 53 === 7, lit(null).cast("string"))
+        .when(col("doc_id") % 41 === 5, lit("SHARED DUPLICATE BLOCK"))
+        .otherwise(col("text"))
+      Dedup.exactDedup(
+          t(s, dir, "documents").withColumn("content", content), "content", "doc_id")
+        .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))
+    }),
 
-    "llm_dedup_normalized" -> ((s, dir) =>
-      Dedup.normalizedDedup(t(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))),
+    // Same arms, but the duplicate slice differs in case/punctuation/
+    // whitespace across two sub-slices — raw md5s differ, normalized
+    // hashes collapse, so the normalization itself is oracle-checked
+    // non-vacuously.
+    "llm_dedup_normalized" -> ((s, dir) => {
+      val content = when(col("doc_id") % 53 === 7, lit(null).cast("string"))
+        .when(col("doc_id") % 41 === 5, lit("Shared, Duplicate. Block!"))
+        .when(col("doc_id") % 41 === 6, lit("shared   duplicate block"))
+        .otherwise(col("text"))
+      Dedup.normalizedDedup(
+          t(s, dir, "documents").withColumn("content", content), "content", "doc_id")
+        .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))
+    }),
 
     // Corpus-level boilerplate removal (the CCNet/RefinedWeb line-dedup
     // step): any sentence appearing in 2+ distinct docs drops from ALL
@@ -497,14 +518,23 @@ object LlmQueries {
 
   val oracle: Seq[(String, String)] = Seq(
     "llm_dedup_exact" ->
-      """SELECT doc_id, md5(text) AS content_hash FROM (
-        |  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
-        |  FROM documents) t WHERE rn = 1 OR text IS NULL ORDER BY doc_id""".stripMargin,
+      """WITH aug AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 53 = 7 THEN NULL
+        |    WHEN doc_id % 41 = 5 THEN 'SHARED DUPLICATE BLOCK'
+        |    ELSE text END AS content FROM documents)
+        |SELECT doc_id, md5(content) AS content_hash FROM (
+        |  SELECT doc_id, content, row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) rn
+        |  FROM aug) t WHERE rn = 1 OR content IS NULL ORDER BY doc_id""".stripMargin,
     "llm_dedup_normalized" ->
-      """SELECT doc_id, md5(norm) AS content_hash FROM (
+      """WITH aug AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 53 = 7 THEN NULL
+        |    WHEN doc_id % 41 = 5 THEN 'Shared, Duplicate. Block!'
+        |    WHEN doc_id % 41 = 6 THEN 'shared   duplicate block'
+        |    ELSE text END AS content FROM documents)
+        |SELECT doc_id, md5(norm) AS content_hash FROM (
         |  SELECT doc_id, norm, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) rn
-        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents) t0) t
+        |  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(content),
+        |    '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM aug) t0) t
         |WHERE rn = 1 OR norm IS NULL ORDER BY doc_id""".stripMargin,
     "llm_boilerplate_drop" ->
       """WITH aug AS (

@@ -242,6 +242,19 @@ class LlmSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L), s"both null-text docs must survive: $kept")
   }
 
+  test("exact dedup: map-side WindowGroupLimit partial survives in the plan") {
+    // The keep filter must stay a pure rn === 1 (no isNull disjunction)
+    // so InferWindowGroupLimit can insert the partial top-1 below the
+    // exchange — at scale that's the difference between shipping one
+    // row per duplicate group and shipping every duplicate.
+    val docs = Seq((1L, Some("same")), (2L, Some("same")), (3L, None), (4L, None))
+      .toDF("doc_id", "text")
+    val plan = Dedup.exactDedup(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"), s"missing map-side Partial limit:\n$plan")
+  }
+
   test("kmeansClusters: separable clusters recovered, deterministic") {
     // two tight groups on a 64-dim axis; k=2 must split them exactly
     def vec(base: Float): Seq[Float] = Seq.tabulate(64)(i => base + (i % 3) * 0.001f)

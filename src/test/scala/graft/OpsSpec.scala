@@ -234,6 +234,42 @@ class OpsSpec extends SparkSpec {
     assert(more == labels)
   }
 
+  test("connectedComponents: one action per round (checksum fused via observe) + early stop") {
+    // Two already-min-labeled pairs: round 1 reaches the fixpoint, round
+    // 2 confirms it (equal checksum) and the loop must stop there even
+    // with iters = 8. Expected SQL executions: edge checkpoint + sym
+    // checkpoint + ONE per round (the convergence checksum rides the
+    // checkpoint job via observe) = 4. A separate checksum action would
+    // make 6; no early stop would make 10.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
+    import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case _: SparkListenerSQLExecutionStart => execs.incrementAndGet()
+        case _ =>
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+      val labels = Ops.connectedComponents(edges, iters = 8)
+        .as[(Long, Long)].collect().toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      // listener bus is async: poll until the count stabilizes
+      var last = -1
+      var stable = 0
+      while (stable < 3 && last < 20) {
+        val now = execs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100)
+      }
+      // 4 loop executions + 1 for the final collect above
+      assert(execs.get() == 5,
+        s"expected 5 SQL executions (2 checkpoints + 2 fused rounds + collect), got ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("saltedJoin rejects right/full outer (replicated small side would duplicate)") {
     val df = Seq((1L, 1L)).toDF("id", "k")
     intercept[IllegalArgumentException] {
