@@ -23,9 +23,15 @@ private[sources] object DatastoreKeys {
   /** A promoted key that is all ASCII digits came from a numeric-id
     * key. ASCII-only on purpose: `Char.isDigit` also accepts Unicode
     * digit blocks (e.g. Arabic-Indic), which BigInt would re-render as
-    * ASCII — a name key of such digits must stay a name. */
+    * ASCII — a name key of such digits must stay a name. Two digit
+    * shapes can only be NAME keys and are folded into the name branch:
+    * leading zeros ("007" — promotion renders ids without them) and
+    * values outside int64 (ids are int64s; the service 400s an `id`
+    * path element above Long.MaxValue). */
   def isId(k: String): Boolean =
-    k.nonEmpty && k.forall(c => c >= '0' && c <= '9')
+    k.nonEmpty && k.forall(c => c >= '0' && c <= '9') &&
+      (k.length == 1 || k.charAt(0) != '0') &&
+      (k.length < 19 || (k.length == 19 && k <= "9223372036854775807"))
 
   /** Service order: (ids numerically) before (names by UTF-8 bytes —
     * `RangePlanner.utf8Order`, NOT Java's UTF-16 compareTo, which
@@ -49,7 +55,13 @@ private[sources] object DatastoreKeys {
     * trailing NUL causes: it stops being all-digits, gets encoded as a
     * NAME bound, and all ids sort before all names). */
   def successor(k: String): String =
-    if (isId(k)) (BigInt(k) + 1).toString else k + Char.MinValue.toString
+    if (!isId(k)) k + Char.MinValue.toString
+    // id Long.MaxValue has no next id; its service-order successor is
+    // the smallest possible NAME key (ids sort before all names). The
+    // rendered "…808" would itself be classified a name and — names
+    // comparing by bytes — over-match every name below "9".
+    else if (k == "9223372036854775807") Char.MinValue.toString
+    else (BigInt(k) + 1).toString
 
   /** Is an INEQUALITY bound sound to push down? The pushed range is
     * evaluated in service order but Spark's string predicate semantics

@@ -68,13 +68,23 @@ class DatastoreTable(url: String, projectId: String, kind: String,
 class DatastoreScanBuilder(url: String, projectId: String, kind: String,
                            numPartitions: Int, pageSize: Int, authToken: Option[String])
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownLimit
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownRequiredColumns {
 
   private var keyLow: Option[String] = None
   private var keyHighExcl: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var countPushed = false
+  private var required: StructType = DatastoreSource.schema
+
+  /** Column pruning — the reference's own keys-only trick
+    * (`datastore_service.py:30`) generalized: a scan that never reads
+    * the `json` column (e.g. `select("id")`, or a filtered count where
+    * only the key survives pruning) issues keys-only queries, so the
+    * server ships key path elements instead of full entity payloads —
+    * at 100 TB that's the difference between a metadata scan and
+    * reading the corpus. */
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
@@ -116,7 +126,7 @@ class DatastoreScanBuilder(url: String, projectId: String, kind: String,
       new DatastoreCountScan(url, projectId, kind, authToken, keyLow, keyHighExcl)
     else
       new DatastoreScan(url, projectId, kind, numPartitions, pageSize, authToken,
-        keyLow, keyHighExcl, limit)
+        keyLow, keyHighExcl, limit, required)
 }
 
 /** The completely-pushed COUNT(*) scan: one partition, one aggregation
@@ -145,9 +155,16 @@ object DatastoreCountReaderFactory extends PartitionReaderFactory {
         val client = new DatastoreRestClient(p.url, p.projectId, p.authToken)
         try client.countAggregate(p.kind, p.fromKey, p.toKeyExcl)
         catch {
-          // backend without :runAggregationQuery (fail-fast 4xx): keep
-          // count() working via the keys-only scan it used before
-          case _: IllegalArgumentException =>
+          // Backend without :runAggregationQuery (400/404/501 only —
+          // auth failures like 401/403 must FAIL, not silently degrade
+          // into a slow scan): keep count() working via the keys-only
+          // scan it used before. Degraded path: cursor-pages every key
+          // of the kind through this one reader — O(|kind| / pageSize)
+          // round trips — so it logs loudly.
+          case e: HttpStatusException if e.code == 400 || e.code == 404 || e.code == 501 =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"runAggregationQuery unsupported (${e.code}); degrading count(${p.kind}) " +
+                "to a single-reader keys-only scan", e)
             client.runQuery(p.kind, p.fromKey, p.toKeyExcl, keysOnly = true).size.toLong
         }
       }
@@ -163,8 +180,10 @@ object DatastoreCountReaderFactory extends PartitionReaderFactory {
 class DatastoreScan(url: String, projectId: String, kind: String,
                     numPartitions: Int, pageSize: Int, authToken: Option[String],
                     keyLow: Option[String], keyHighExcl: Option[String],
-                    limit: Option[Int]) extends Scan with Batch {
-  override def readSchema(): StructType = DatastoreSource.schema
+                    limit: Option[Int],
+                    required: StructType = DatastoreSource.schema)
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** Split the key space. Scale properties:
@@ -199,9 +218,10 @@ class DatastoreScan(url: String, projectId: String, kind: String,
   private lazy val computedPartitions: Array[InputPartition] = computePartitions()
   private def computePartitions(): Array[InputPartition] = {
     val ord = DatastoreKeys.ordering
+    val fields = required.fieldNames.toSeq
     def partition(from: Option[String], to: Option[String]) =
       DatastoreRangePartition(url, projectId, kind, from, to, pageSize,
-        authToken, limit): InputPartition
+        authToken, limit, fields): InputPartition
     if (numPartitions <= 1) return Array(partition(keyLow, keyHighExcl))
     val client = new DatastoreRestClient(url, projectId, authToken)
     val sample =
@@ -232,19 +252,25 @@ class DatastoreScan(url: String, projectId: String, kind: String,
 case class DatastoreRangePartition(url: String, projectId: String, kind: String,
                                    fromKey: Option[String], toKeyExcl: Option[String],
                                    pageSize: Int, authToken: Option[String],
-                                   limit: Option[Int]) extends InputPartition
+                                   limit: Option[Int],
+                                   fields: Seq[String]) extends InputPartition
 
 object DatastoreReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DatastoreRangePartition]
     new PartitionReader[InternalRow] {
+      // json pruned away => keys-only query: the server ships key path
+      // elements, never entity payloads
+      private val keysOnly = !p.fields.contains("json")
       private val it0 = new DatastoreRestClient(p.url, p.projectId, p.authToken)
-        .runQuery(p.kind, p.fromKey, p.toKeyExcl, p.pageSize)
+        .runQuery(p.kind, p.fromKey, p.toKeyExcl, p.pageSize, keysOnly)
       private val it = p.limit.fold(it0)(it0.take)
       private var cur: (String, String) = _
       override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
-      override def get(): InternalRow = InternalRow(
-        UTF8String.fromString(cur._1), UTF8String.fromString(cur._2))
+      override def get(): InternalRow = InternalRow(p.fields.map {
+        case "id" => UTF8String.fromString(cur._1)
+        case "json" => UTF8String.fromString(cur._2)
+      }: _*)
       override def close(): Unit = ()
     }
   }

@@ -6,6 +6,14 @@ package graft.sources
   * and transport errors retry with exponential backoff; any other 4xx
   * fails fast (a bad token, path or body never heals by retrying). Any
   * 2xx is success. No sleep is wasted after the final failed attempt. */
+/** Fail-fast non-retryable HTTP status. Subclasses
+  * IllegalArgumentException so existing catch-and-degrade sites keep
+  * working, while callers that must distinguish "endpoint unsupported"
+  * (400/404/501) from "misconfigured auth" (401/403) can match on the
+  * code instead of parsing the message. */
+private[sources] final class HttpStatusException(val code: Int, url: String)
+  extends IllegalArgumentException(s"HTTP $code from $url (not retryable)")
+
 private[sources] object Http {
 
   def request(url: String, method: String = "GET", body: Option[String] = None,
@@ -36,7 +44,7 @@ private[sources] object Http {
             // 4xx that heal on their own — backing off matters exactly
             // where a wide scan is hammering the service
             throw new java.io.IOException(s"HTTP $code from $url")
-          else throw new IllegalArgumentException(s"HTTP $code from $url (not retryable)")
+          else throw new HttpStatusException(code, url)
         } finally conn.disconnect()
       } catch {
         case e: java.io.IOException =>

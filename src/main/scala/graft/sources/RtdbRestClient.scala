@@ -88,14 +88,16 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
     }
 
   /** Complete unpaged fetch of `path` — one GET of the whole subtree,
-    * object children only (P4), sorted by key. Memory is O(subtree);
+    * object children only (P4), sorted by code-point key order (the
+    * one key order this codebase uses — RangePlanner.utf8Order; Java's
+    * default UTF-16 sort disagrees above U+FFFF). Memory is O(subtree);
     * the planner uses it only where keyset paging is unsound
     * (integer-like child keys, whose server order is numeric). */
   def fetchAll(path: String): Iterator[(String, String)] = {
     val root = mapper.readTree(get(buildUrl(path, Nil)))
     if (root == null || !root.isObject) Iterator.empty
     else root.fields().asScala.map(e => e.getKey -> e.getValue).toSeq
-      .sortBy(_._1)
+      .sortBy(_._1)(RangePlanner.utf8Order)
       .collect { case (k, v) if v.isObject => k -> v.toString }.iterator
   }
 }

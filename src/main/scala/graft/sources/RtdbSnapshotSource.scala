@@ -70,7 +70,10 @@ object RtdbSnapshotSource {
         }
       }
     } finally parser.close()
-    buf.sorted.toSeq
+    // file order, unsorted: the only consumer (splitBounds) stride-
+    // samples then sorts the sample with the caller's ordering — a
+    // driver-side sort of every key here is O(n log n) for nothing
+    buf.toSeq
   }
 
   /** One range read (the `startAt/endAt` call): object children only

@@ -3,6 +3,7 @@ package graft
 import java.net.InetSocketAddress
 import java.util.concurrent.atomic.AtomicInteger
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
@@ -104,10 +105,14 @@ class DatastoreSpec extends SparkSpec {
            else ents.filter(_.kind == kind))
             .sortBy(e => if (scatter) scatterKey(e) else entSk(e))
             .filter(e => pfs._1.forall(entSk(e) >= _) && pfs._2.forall(entSk(e) < _))
+        // keys-only projection: the real service omits properties
+        val keysOnly = q.path("projection").elements().asScala
+          .exists(_.path("property").path("name").asText == "__key__")
         val page = matching.slice(start, start + limit)
         val results = page.map { e =>
           val keyPart = e.name.map(n => s""""name":"$n"""").getOrElse(s""""id":"${e.id.get}"""")
-          s"""{"entity":{"key":{"path":[{"kind":"${e.kind}",$keyPart}]},"properties":${e.props}}}"""
+          val props = if (keysOnly) "" else s""","properties":${e.props}"""
+          s"""{"entity":{"key":{"path":[{"kind":"${e.kind}",$keyPart}]}$props}}"""
         }.mkString("[", ",", "]")
         val more = if (start + page.size < matching.size) "NOT_FINISHED" else "NO_MORE_RESULTS"
         val resp =
@@ -213,8 +218,10 @@ class DatastoreSpec extends SparkSpec {
       .option("url", base).option("projectId", "test-proj").option("kind", "User")
       .option("numPartitions", "3").option("pageSize", "6").load()
     // collect (not count) so the ROW scan is what gets planned —
-    // count() compiles to the pushed aggregation and plans no ranges
-    assert(df.select("id").collect().length == nUsers)
+    // count() compiles to the pushed aggregation and plans no ranges;
+    // full rows (not select("id")) so the data path is NOT keys-only
+    // and a projection body can only mean driver-side key enumeration
+    assert(df.collect().length == nUsers)
     val bs = bodies.synchronized(bodies.toList)
     // Spark may run planInputPartitions once per planning pass; each
     // pass must cost ONE bounded sample request, never a key scan
@@ -239,6 +246,32 @@ class DatastoreSpec extends SparkSpec {
     assert(df.filter(col("id") === "e07").count() == 1)
   }
 
+  test("column pruning: json-pruned scans issue keys-only queries") {
+    val df = spark.read.format("graft.sources.DatastoreSource")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "3").option("pageSize", "7").load()
+    def dataBodies(): List[String] = bodies.synchronized(bodies.toList)
+      .filterNot(b => b.contains("__scatter__") || b.contains("aggregationQuery"))
+    // id-only projection: every data request must be keys-only — the
+    // server ships key paths, never entity payloads
+    bodies.synchronized(bodies.clear())
+    val ids = df.select("id").collect().map(_.getString(0))
+    assert(ids.length == nUsers && ids.toSet.size == nUsers)
+    val d1 = dataBodies()
+    assert(d1.nonEmpty && d1.forall(_.contains("\"projection\"")),
+      s"id-only scan must be keys-only: ${d1.filterNot(_.contains("projection")).take(1)}")
+    // filtered count: only the key survives pruning -> keys-only too
+    // (bare count() takes the aggregation pushdown path instead)
+    bodies.synchronized(bodies.clear())
+    assert(df.filter(col("id") >= "e05" && col("id") < "e10").count() == 5)
+    val d2 = dataBodies()
+    assert(d2.nonEmpty && d2.forall(_.contains("\"projection\"")),
+      "filtered count must scan keys-only")
+    // json still required -> full entities (values come through intact)
+    val full = df.select("id", "json").where(col("id") === "e07").collect()
+    assert(full.length == 1 && full(0).getString(1).contains("u7@x.com"))
+  }
+
   test("numPartitions=1 plans a single partition with zero planning requests") {
     bodies.synchronized(bodies.clear())
     val df = spark.read.format("graft.sources.DatastoreSource")
@@ -256,9 +289,12 @@ class DatastoreSpec extends SparkSpec {
       .option("url", base).option("projectId", "test-proj").option("kind", "User")
       .option("numPartitions", "3").option("pageSize", "7").load()
     // name bound above '9': pushdown sound — ids are below "e05" in
-    // BOTH service order and Spark's lexicographic semantics
+    // BOTH service order and Spark's lexicographic semantics. Full rows
+    // selected so data requests are not keys-only and a projection body
+    // can only mean driver-side key enumeration.
     bodies.synchronized(bodies.clear())
-    assert(df.filter(col("id") >= "e05" && col("id") < "e10").count() == 5)
+    assert(df.filter(col("id") >= "e05" && col("id") < "e10")
+      .select("id", "json").collect().length == 5)
     // bounded scans also plan from the scatter sample — never by
     // cursor-paging the range's keys through the driver
     assert(!bodies.synchronized(bodies.toList)

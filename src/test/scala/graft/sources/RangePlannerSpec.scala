@@ -52,6 +52,22 @@ class RangePlannerSpec extends AnyFunSuite {
     assert(DatastoreKeys.isId("42") && !DatastoreKeys.isId("") && !DatastoreKeys.isId("4a"))
     // Unicode digits (e.g. Arabic-Indic) are NAME keys, not ids
     assert(!DatastoreKeys.isId("٤٢"))
+    // digit shapes a promoted int64 id can never take are NAME keys:
+    // leading zeros and values outside int64 (the service 400s such an
+    // `id` path element; the all-digit-name caveat covers them instead)
+    assert(!DatastoreKeys.isId("007") && DatastoreKeys.isId("0"))
+    assert(DatastoreKeys.isId("9223372036854775807"), "Long.MaxValue is an id")
+    assert(!DatastoreKeys.isId("9223372036854775808"), "MaxValue+1 is a name")
+    assert(!DatastoreKeys.isId("99999999999999999999"), "20 digits is a name")
+    assert(DatastoreKeys.ordering.lt("42", "9223372036854775808"),
+      "over-int64 digit strings sort with names, after every id")
+    // id MaxValue's successor is the first possible NAME key — the
+    // rendered MaxValue+1 would be a name that over-matches names < "9"
+    val succMax = DatastoreKeys.successor("9223372036854775807")
+    assert(succMax == Char.MinValue.toString &&
+      DatastoreKeys.ordering.lt("9223372036854775807", succMax) &&
+      DatastoreKeys.ordering.lteq(succMax, "a"),
+      "point range [MaxValue, succ) must cover no name key")
     assert(DatastoreKeys.successor("9") == "10", "id successor is numeric")
     assert(DatastoreKeys.ordering.lt("9", "0abc"), "ids before all names")
     assert(DatastoreKeys.ordering.lt("2", "12"), "ids numeric, not lexicographic")
