@@ -58,22 +58,60 @@ object RtdbSnapshotSource {
   /** Driver-side key enumeration (the `shallow=true` call). Streaming
     * token scan — child subtrees are skipped, never materialized, so
     * enumerating keys of an arbitrarily large export is O(keys) memory. */
-  def listKeys(path: String): Seq[String] = {
+  def listKeys(path: String): Seq[String] = indexKeys(path).map(_._1)
+
+  /** One-pass byte-offset index of the export: (top-level key, byte
+    * offset of its value's first token), offset -1 for non-object
+    * values (P4 drops them at read time). The planner pays this single
+    * tokenization ONCE and hands each partition its own (key, offset)
+    * slice, so N readers seek straight to their subtrees instead of
+    * each re-tokenizing the whole file — per-task parse work scales
+    * with the partition's bytes, not the export's. Same O(keys)
+    * transient driver memory as plain enumeration. */
+  def indexKeys(path: String): Seq[(String, Long)] = {
     val parser = new ObjectMapper().getFactory.createParser(new java.io.File(path))
-    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     try {
       if (parser.nextToken() == JsonToken.START_OBJECT) {
         while (parser.nextToken() == JsonToken.FIELD_NAME) {
-          buf += parser.currentName()
-          parser.nextToken()
+          val key = parser.currentName()
+          val isObj = parser.nextToken() == JsonToken.START_OBJECT
+          // byte offset of the value's opening token (file parsers are
+          // byte-based, so getByteOffset is exact, never -1)
+          buf += key -> (if (isObj) parser.currentTokenLocation().getByteOffset else -1L)
           parser.skipChildren() // no-op on scalars; skips whole subtrees
         }
       }
     } finally parser.close()
-    // file order, unsorted: the only consumer (splitBounds) stride-
-    // samples then sorts the sample with the caller's ordering — a
-    // driver-side sort of every key here is O(n log n) for nothing
+    // file order, unsorted: consumers stride-sample + sort (splitBounds)
+    // or range-partition with their own ordering — a driver-side sort
+    // of every key here is O(n log n) for nothing
     buf.toSeq
+  }
+
+  /** Seek-based range read over an [[indexKeys]] slice: one shared
+    * channel, one seek + one bounded parse per entry — the reader never
+    * tokenizes bytes outside its own subtrees (a partition abandoned
+    * early by limit pushdown never even seeks past its last taken row).
+    * Entries are emitted in the order given (the planner passes them
+    * key-sorted). Callers own close(). */
+  final class IndexedRangeReader(path: String, entries: Seq[(String, Long)])
+    extends AutoCloseable {
+    private val mapper = new ObjectMapper()
+    // parser.close() must not close the shared channel between entries
+    mapper.getFactory.disable(
+      com.fasterxml.jackson.core.JsonParser.Feature.AUTO_CLOSE_SOURCE)
+    private lazy val raf = new java.io.RandomAccessFile(path, "r")
+    private lazy val stream = java.nio.channels.Channels.newInputStream(raf.getChannel)
+    val iterator: Iterator[(String, String)] = entries.iterator.map { case (key, offset) =>
+      raf.seek(offset)
+      val parser = mapper.getFactory.createParser(stream)
+      // readTree consumes exactly one value; trailing bytes the parser
+      // buffered past the subtree are never tokenized
+      try key -> mapper.readTree(parser).toString
+      finally parser.close()
+    }
+    override def close(): Unit = if (entries.nonEmpty) raf.close()
   }
 
   /** One range read (the `startAt/endAt` call): object children only
