@@ -48,7 +48,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => js(k) + ":" + v }
+    // ms precision: full Double renderings ballooned the line past the
+    // driver's output-tail capture window, so BENCH_r6/r7 recorded
+    // "parsed": null — keep the ONE json line comfortably short
+    def ms(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => js(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     // -1 failure sentinels are reported per-query but excluded from the
     // total so a failing query can't understate the wall-time sum. A
@@ -57,7 +62,7 @@ object Bench {
     // total, so it must not also read as a failure.
     val hardFailed = failed.count(n => results.get(n).forall(_ < 0))
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$hardFailed,"queries":$qs,"sf":${js(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$hardFailed,"queries":$qs,"sf":${js(sfDir)}}""")
     spark.stop()
   }
 }

@@ -19,9 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `shallow=true` (list keys) + `orderBy="$key"&startAt/endAt` (range
   * reads), so the planner here is: enumerate keys cheaply, split into
   * N sorted key ranges, one InputPartition per range, each reader
-  * fetching only its range. Offline, "fetch" parses the exported JSON
-  * file and keeps keys in range — I/O differs, the plan shape is the
-  * engine's.
+  * fetching only its range. Offline, ONE driver-side tokenization
+  * builds a (key, byte-offset) index and each reader seeks straight to
+  * its own subtrees — I/O differs, the plan shape is the engine's.
   *
   * Key-range filter pushdown (S2 point lookups, `firebase_service.py:
   * 220-254`) prunes partitions whose range can't contain the key.
@@ -54,11 +54,6 @@ object RtdbSnapshotSource {
     StructField("id", StringType, nullable = false),
     StructField("uid", StringType, nullable = false),
     StructField("json", StringType, nullable = true)))
-
-  /** Driver-side key enumeration (the `shallow=true` call). Streaming
-    * token scan — child subtrees are skipped, never materialized, so
-    * enumerating keys of an arbitrarily large export is O(keys) memory. */
-  def listKeys(path: String): Seq[String] = indexKeys(path).map(_._1)
 
   /** One-pass byte-offset index of the export: (top-level key, byte
     * offset of its value's first token), offset -1 for non-object
@@ -101,28 +96,32 @@ object RtdbSnapshotSource {
     // parser.close() must not close the shared channel between entries
     mapper.getFactory.disable(
       com.fasterxml.jackson.core.JsonParser.Feature.AUTO_CLOSE_SOURCE)
-    private lazy val raf = new java.io.RandomAccessFile(path, "r")
-    private lazy val stream = java.nio.channels.Channels.newInputStream(raf.getChannel)
+    private var rafOpt: Option[java.io.RandomAccessFile] = None
+    private def raf = rafOpt.getOrElse {
+      val r = new java.io.RandomAccessFile(path, "r"); rafOpt = Some(r); r
+    }
     val iterator: Iterator[(String, String)] = entries.iterator.map { case (key, offset) =>
       raf.seek(offset)
-      val parser = mapper.getFactory.createParser(stream)
+      val parser = mapper.getFactory.createParser(
+        java.nio.channels.Channels.newInputStream(raf.getChannel))
       // readTree consumes exactly one value; trailing bytes the parser
       // buffered past the subtree are never tokenized
       try key -> mapper.readTree(parser).toString
       finally parser.close()
     }
-    override def close(): Unit = if (entries.nonEmpty) raf.close()
+    // a limit-abandoned reader that never consumed a row never opened the file
+    override def close(): Unit = rafOpt.foreach(_.close())
   }
 
   /** One range read (the `startAt/endAt` call): object children only
     * (P4 — firebase_service.py:174-178). Streaming parse: only subtrees
     * whose key falls in [from, toExclusive) are materialized; the rest
-    * are token-skipped. N partitions still each token-scan the file
-    * (a monolithic JSON export has no index to seek by), but per-task
-    * memory is O(range) not O(file) and the dominant cost — building
-    * tree nodes and serializing them back — is paid exactly once per
-    * row across the whole scan. The live REST source replaces this
-    * with a server-side startAt/endAt fetch (RtdbRestClient). */
+    * are token-skipped. Used ONLY by `splitPoints` partitions (the
+    * zero-enumeration mode, where no index exists by construction); the
+    * default offline plan hands each partition an [[indexKeys]] slice
+    * and seeks ([[IndexedRangeReader]]), never re-tokenizing the file.
+    * The live REST source replaces both with a server-side
+    * startAt/endAt fetch (RtdbRestClient). */
   def readRange(path: String, from: Option[String], toExclusive: Option[String]): Iterator[(String, String)] = {
     val mapper = new ObjectMapper()
     val parser = mapper.getFactory.createParser(new java.io.File(path))
@@ -141,7 +140,9 @@ object RtdbSnapshotSource {
         }
       }
     } finally parser.close()
-    buf.sortInPlaceBy(_._1).iterator
+    // file order: scan output has no ordering contract, and a UTF-16
+    // String sort here would be the exact inconsistency class r7 removed
+    buf.iterator
   }
 }
 
@@ -245,23 +246,45 @@ class RtdbScan(path: String, numPartitions: Int,
         RtdbRangePartition(path, from, to, limit, url, authToken, pageSize): InputPartition
       }.toArray
     }
-    val allKeys = url.fold(RtdbSnapshotSource.listKeys(path))(u =>
-      new RtdbRestClient(u, authToken).shallowKeys(path))
-    def integerLike(k: String): Boolean =
-      k.toIntOption.isDefined || (k.nonEmpty && k.forall(c => c >= '0' && c <= '9'))
-    if (url.isDefined && allKeys.exists(integerLike))
-      return Array(RtdbRangePartition(path, keyLow, keyHighExcl, limit, url,
-        authToken, pageSize, unpaged = true))
-    val inRange = allKeys.iterator
-      .filter(k => keyLow.forall(ord.gteq(k, _)) && keyHighExcl.forall(ord.lt(k, _)))
-    val (count, bounds) =
-      RangePlanner.splitBounds(inRange, numPartitions, ord)
-    if (count == 0L) return Array.empty
-    val froms = keyLow +: bounds.map(Some(_))
-    val tos = bounds.map(Some(_)) :+ keyHighExcl
-    froms.lazyZip(tos).map { case (from, to) =>
-      RtdbRangePartition(path, from, to, limit, url, authToken, pageSize): InputPartition
-    }.toArray
+    url match {
+      case Some(u) =>
+        val allKeys = new RtdbRestClient(u, authToken).shallowKeys(path)
+        def integerLike(k: String): Boolean =
+          k.toIntOption.isDefined || (k.nonEmpty && k.forall(c => c >= '0' && c <= '9'))
+        if (allKeys.exists(integerLike))
+          return Array(RtdbRangePartition(path, keyLow, keyHighExcl, limit, url,
+            authToken, pageSize, unpaged = true))
+        val inRange = allKeys.iterator
+          .filter(k => keyLow.forall(ord.gteq(k, _)) && keyHighExcl.forall(ord.lt(k, _)))
+        val (count, bounds) =
+          RangePlanner.splitBounds(inRange, numPartitions, ord)
+        if (count == 0L) return Array.empty
+        val froms = keyLow +: bounds.map(Some(_))
+        val tos = bounds.map(Some(_)) :+ keyHighExcl
+        froms.lazyZip(tos).map { case (from, to) =>
+          RtdbRangePartition(path, from, to, limit, url, authToken, pageSize): InputPartition
+        }.toArray
+      case None =>
+        // Offline: ONE tokenization builds the (key, byte-offset) index;
+        // each partition ships its own key-sorted slice and its reader
+        // SEEKS to its subtrees, so per-task parse work scales with the
+        // partition's bytes, not the export's. Pushed ranges and P4
+        // non-object drops apply at planning — entry-exact pruning (a
+        // point lookup plans one partition holding one entry). Task
+        // descriptors carry O(keys/numPartitions) strings; for exports
+        // whose key list is itself unshippable, `splitPoints` plans
+        // with zero enumeration instead.
+        val entries = RtdbSnapshotSource.indexKeys(path)
+          .filter { case (k, off) => off >= 0 &&
+            keyLow.forall(ord.gteq(k, _)) && keyHighExcl.forall(ord.lt(k, _)) }
+          .sortBy(_._1)(ord)
+        if (entries.isEmpty) return Array.empty
+        val n = math.min(numPartitions, entries.size)
+        (0 until n).map { i =>
+          val slice = entries.slice(i * entries.size / n, (i + 1) * entries.size / n)
+          RtdbIndexedPartition(path, slice, limit): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = RtdbReaderFactory
@@ -273,28 +296,42 @@ case class RtdbRangePartition(path: String, from: Option[String], toExclusive: O
                               unpaged: Boolean = false)
   extends InputPartition
 
+/** Offline default: a key-sorted slice of the export's byte-offset
+  * index; the reader seeks straight to its own subtrees. */
+case class RtdbIndexedPartition(path: String, entries: Seq[(String, Long)],
+                                limit: Option[Int] = None)
+  extends InputPartition
+
 object RtdbReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[RtdbRangePartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: RtdbIndexedPartition =>
+        val reader = new RtdbSnapshotSource.IndexedRangeReader(p.path, p.entries)
+        rowReader(p.limit.fold(reader.iterator)(reader.iterator.take), reader.close _)
+      case pp =>
+        val p = pp.asInstanceOf[RtdbRangePartition]
+        val it0 = p.url.fold(
+          RtdbSnapshotSource.readRange(p.path, p.from, p.toExclusive)) { u =>
+          val client = new RtdbRestClient(u, p.authToken)
+          if (p.unpaged)
+            // numeric-key fallback: one complete fetch, bounds re-applied
+            // client-side in Spark's (code-point) string semantics
+            client.fetchAll(p.path).filter { case (k, _) =>
+              val ord = RangePlanner.utf8Order
+              p.from.forall(ord.gteq(k, _)) && p.toExclusive.forall(ord.lt(k, _)) }
+          else client.fetchRange(p.path, p.from, p.toExclusive, p.pageSize)
+        }
+        rowReader(p.limit.fold(it0)(it0.take), () => ())
+    }
+
+  private def rowReader(it: Iterator[(String, String)],
+                        onClose: () => Unit): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val it0 = p.url.fold(
-        RtdbSnapshotSource.readRange(p.path, p.from, p.toExclusive)) { u =>
-        val client = new RtdbRestClient(u, p.authToken)
-        if (p.unpaged)
-          // numeric-key fallback: one complete fetch, bounds re-applied
-          // client-side in Spark's (code-point) string semantics
-          client.fetchAll(p.path).filter { case (k, _) =>
-            val ord = RangePlanner.utf8Order
-            p.from.forall(ord.gteq(k, _)) && p.toExclusive.forall(ord.lt(k, _)) }
-        else client.fetchRange(p.path, p.from, p.toExclusive, p.pageSize)
-      }
-      private val it = p.limit.fold(it0)(it0.take)
       private var cur: (String, String) = _
       override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
       override def get(): InternalRow = InternalRow(
         UTF8String.fromString(cur._1), UTF8String.fromString(cur._1),
         UTF8String.fromString(cur._2))
-      override def close(): Unit = ()
+      override def close(): Unit = onClose()
     }
-  }
 }

@@ -81,6 +81,33 @@ class RtdbSourceSpec extends SparkSpec {
     assert(df.filter(col("id") === "Uid007" && col("uid") === "Uid007").count() == 1)
   }
 
+  test("offline plan is index-backed: disjoint key-sorted slices, seek-based reads") {
+    import graft.sources._
+    val parts = new RtdbScanBuilder(path, 4).build().toBatch.planInputPartitions()
+    val slices = parts.map(_.asInstanceOf[RtdbIndexedPartition].entries)
+    assert(slices.length == 4)
+    // slices tile the key space: disjoint, together covering all 20 keys
+    // (Broken is a non-object value — P4 drops it at PLANNING time)
+    val keys = slices.flatMap(_.map(_._1))
+    assert(keys.length == 20 && keys.toSet.size == 20 && !keys.contains("Broken"))
+    assert(keys.sameElements(keys.sorted)) // ASCII keys: UTF-16 == code-point order
+    // each reader seeks to its own subtrees and reproduces exact values
+    val got = slices.flatMap { s =>
+      val r = new RtdbSnapshotSource.IndexedRangeReader(path, s)
+      try r.iterator.toArray finally r.close()
+    }.toMap
+    assert(got("Uid005").contains("u5@x.com") && got("Uid020").contains("u20@x.com"))
+  }
+
+  test("point lookup plans a single one-entry partition (entry-exact pruning)") {
+    import graft.sources._
+    val b = new RtdbScanBuilder(path, 4)
+    b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("id", "Uid007")))
+    val parts = b.build().toBatch.planInputPartitions()
+    assert(parts.length == 1)
+    assert(parts(0).asInstanceOf[RtdbIndexedPartition].entries.map(_._1) == Seq("Uid007"))
+  }
+
   test("pushed filters intersect: EqualTo does not widen a tighter bound") {
     // GTE Uid010 && == Uid003 -> empty (the EqualTo must not reset the low bound)
     assert(df.filter(col("id") >= "Uid010" && col("id") === "Uid003").count() == 0)
