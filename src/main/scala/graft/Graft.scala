@@ -128,6 +128,25 @@ object Graft {
   def scrubPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, llm.Text.scrubPii(col(textCol)))
 
+  /** Sequence packing (concat-and-chunk into fixed token windows,
+    * hash-shuffled within shards). */
+  def packSequences(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", budget: Int = 512,
+                    shards: Int = 8): DataFrame =
+    llm.Curate.packSequences(docs, textCol, idCol, budget, shards)
+
+  /** Hash-deterministic Bernoulli sampling with Horvitz–Thompson
+    * weights; `weightPerMille` is the integer keep-probability ×1000. */
+  def importanceSample(df: DataFrame, keyCol: String,
+                       weightPerMille: Column): DataFrame =
+    llm.Curate.importanceSample(df, keyCol, weightPerMille)
+
+  /** Sliding-window document chunking with overlap. */
+  def chunkSliding(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", chunkWords: Int = 200,
+                   strideWords: Int = 150): DataFrame =
+    llm.Curate.chunkSliding(docs, textCol, idCol, chunkWords, strideWords)
+
   /** Bounded top-k aggregate (custom TypedImperativeAggregate). */
   def topK(c: Column, k: Int): Column = _root_.graft.expr.native.NativeFns.topK(c, k)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, Text}
+import graft.llm.{Curate, Dedup, Multimodal, Similarity, Text}
 
 /** Harness queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis, multimodal columns) over
@@ -320,6 +320,42 @@ object LlmQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))),
+
+    // Sequence packing (GPT-style concat-and-chunk): hash-shuffled
+    // order within shards, token stream cut into 512-token windows;
+    // each doc reports the window range it lands in. Window PARTITION
+    // BY shard — packing parallelism scales with the shard count.
+    "llm_pack_sequences" -> ((s, dir) =>
+      Curate.packSequences(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    // Importance-weighted Bernoulli sampling (length-proportional
+    // here): keep-probability = min(1, n_chars/1000), decided by a
+    // pure key hash. kept_permille (an exact integer sum of the
+    // per-row keep probabilities) oracle-checks the weight column's
+    // numerators without a float sum; the 1/p weights themselves are
+    // row-wise-asserted in CurateSpec.
+    "llm_importance_sample" -> ((s, dir) =>
+      Curate.importanceSample(t(s, dir, "documents"), "doc_id",
+          least(lit(1000L), col("n_chars")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          sum(least(lit(1000L), col("n_chars"))).as("kept_permille"))
+        .orderBy(col("source"))),
+
+    // Sliding-window chunking: 200-word chunks advancing by 150 (50
+    // words of trailing overlap). Pure explode — map-side, chunk count
+    // proportional to the document's own length. Fixture docs max out
+    // at 99 words (always one chunk), so the multi-chunk arm is
+    // injected: every doc_id % 9 == 3 is 6×-repeated (~540 words → 4
+    // chunks), mirrored in the oracle.
+    "llm_chunk_sliding" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 9 === 3,
+        concat_ws(" ", col("text"), col("text"), col("text"),
+          col("text"), col("text"), col("text"))).otherwise(col("text"))
+      Curate.chunkSliding(t(s, dir, "documents").withColumn("text", aug))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
 
     // PII scrubbing — emails / IPv4 / long digit runs redacted and
     // counted. PII is injected deterministically (the corpus is
@@ -762,6 +798,46 @@ object LlmQueries {
       """SELECT lang, count(*) AS n_docs,
         |  sqrt((SELECT count(*) FROM documents)::DOUBLE / count(*)::DOUBLE) AS upsample_factor
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    len(regexp_split_to_array(text, '\\s+'))::BIGINT + 1 AS tokens,
+         |    ${duckHash("('pack:' || doc_id)")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, tokens,
+         |    sum(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, shard, tokens,
+         |  CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS pack_first,
+         |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "llm_importance_sample" ->
+      s"""SELECT source, count(*)::BIGINT AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+         |  CAST(sum(least(1000, n_chars)) AS BIGINT) AS kept_permille
+         |FROM documents
+         |WHERE ${duckHash("('imp:' || doc_id)")} % 1000 < least(1000, n_chars)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "llm_chunk_sliding" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 9 = 3
+         |    THEN concat_ws(' ', text, text, text, text, text, text)
+         |    ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w,
+         |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n
+         |  FROM d),
+         |c AS (SELECT doc_id, w, n,
+         |    CASE WHEN n <= 200 THEN 1
+         |         ELSE 1 + CAST(ceil((n - 200) / 150.0) AS BIGINT) END AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, u.chunk_idx AS chunk_idx,
+         |  chunk_idx * 150 AS start_word,
+         |  least(200, n - chunk_idx * 150) AS chunk_len,
+         |  ${duckHash("array_to_string(w[chunk_idx*150+1 : chunk_idx*150+200], ' ')")} AS chunk_hash
+         |FROM c, UNNEST(range(0, n_chunks)) AS u(chunk_idx)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "llm_pii_scrub" -> {
       val Seq(em, ip, num) = Text.PiiPatterns.map(_._2)
       val scrub = Text.PiiPatterns.foldLeft("aug") { case (e, (_, pat, rep)) =>

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Curate
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("packSequences: within-shard token stream is gapless and budget-aligned") {
+    val df = docs((0L until 40L).map(i =>
+      i -> (1 to (i % 7 + 1).toInt * 3).map(j => s"w$j").mkString(" ")): _*)
+    val out = Curate.packSequences(df, budget = 10, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 40)
+    for ((_, shard, tokens, first, last) <- out) {
+      assert(shard == shard % 4 && tokens >= 1)
+      // a doc spans exactly the windows its token range touches
+      assert(first <= last && last - first <= tokens / 10 + 1)
+    }
+    // per shard: pack ids tile the stream — total tokens determine max pack
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val total = rows.map(_._3).sum
+      assert(rows.map(_._5).max == (total - 1) / 10)
+    }
+  }
+
+  test("packSequences: a doc straddles a boundary iff pack_first != pack_last") {
+    // 3 docs of 6 tokens (5 words + EOS) in one shard, budget 8:
+    // tokens 0-5, 6-11, 12-17 → doc 2 straddles windows 0/1, doc 3 window 1/2
+    val df = docs(0L -> "a b c d e", 8L -> "a b c d e", 16L -> "a b c d e")
+    val byOrd = Curate.packSequences(df, budget = 8, shards = 8)
+      .orderBy("pack_first").collect()
+    val spans = byOrd.map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(spans == Seq((0L, 0L), (0L, 1L), (1L, 2L)))
+  }
+
+  test("importanceSample: deterministic, weights are exact 1/p") {
+    val df = (1L to 500L).map(i => (i, i * 7 % 1300)).toDF("doc_id", "n_chars")
+    val w = least(lit(1000L), col("n_chars"))
+    val kept = Curate.importanceSample(df, "doc_id", w).collect()
+    assert(kept.nonEmpty && kept.length < 500)
+    kept.foreach { r =>
+      val pm = math.min(1000L, r.getLong(1))
+      assert(r.getDouble(2) == 1000.0 / pm)
+    }
+    // pure function of the key: a rerun keeps exactly the same rows
+    val again = Curate.importanceSample(df, "doc_id", w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+    // zero-weight rows can never be kept
+    assert(Curate.importanceSample(df, "doc_id", lit(0L)).count() == 0)
+  }
+
+  test("chunkSliding: stride/overlap tiling covers every word exactly") {
+    val n = 520 // 3 chunks at 200/150: [0,200) [150,350) [300,500) [450,520)
+    val text = (0 until n).map(i => s"t$i").mkString(" ")
+    val out = Curate.chunkSliding(docs(1L -> text))
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 4) // 1 + ceil((520-200)/150) = 1 + 3
+    val spans = out.map(r => (r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((0L, 200L), (150L, 200L), (300L, 200L), (450L, 70L)))
+    // consecutive chunks overlap by chunk - stride = 50 words
+    assert(spans.sliding(2).forall { case Array((s1, _), (s2, _)) => s2 - s1 == 150 })
+    // identical windows hash identically; shifted ones don't
+    val h = out.map(_.getLong(4))
+    assert(h.distinct.length == h.length)
+  }
+
+  test("chunkSliding: short and empty docs yield exactly one chunk") {
+    val out = Curate.chunkSliding(docs(1L -> "a b c", 2L -> ""))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 0L))
+    assert(out(0).getLong(3) == 3L)
+  }
+}
