@@ -27,6 +27,15 @@ object Graft {
     spark.read.format("graft.sources.RtdbSnapshotSource")
       .option("path", path).option("numPartitions", partitions.toString).load()
 
+  /** One-time streaming conversion of a monolithic export into
+    * byte-range-splittable JSONL shards — the 100 TB offline path. */
+  def stageRtdbJsonl(exportPath: String, outDir: String, shards: Int = 8): Long =
+    sources.RtdbJsonl.stage(exportPath, outDir, shards)
+
+  /** Cluster-parallel read of a staged JSONL directory (id, uid, json). */
+  def readRtdbJsonl(spark: SparkSession, dir: String): DataFrame =
+    sources.RtdbJsonl.read(spark, dir)
+
   def writeJson(df: DataFrame, path: String): Unit = io.Tables.writeJson(df, path)
   def writeCsv(df: DataFrame, path: String): Unit = io.Tables.writeCsv(df, path)
 

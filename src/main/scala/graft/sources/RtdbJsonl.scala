@@ -1,0 +1,74 @@
+package graft.sources
+
+import com.fasterxml.jackson.core.JsonToken
+import com.fasterxml.jackson.core.io.CharTypes
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JSONL staging for offline RTDB exports — the true 100 TB offline
+  * path. A monolithic JSON export is structurally unsplittable: ANY
+  * plan over it (including the seek-index one) funnels one full
+  * tokenization through a single machine first. Staging converts it
+  * ONCE, streaming, into line-delimited shards `{"k":key,"v":{...}}`
+  * that every engine after that reads splittably — `spark.read.text`
+  * assigns byte ranges per task, so a re-read of the corpus is
+  * cluster-parallel with no driver index at all. This is the same
+  * "land raw, stage columnar/splittable, query the staged copy"
+  * pattern as the reference's own export-then-load flow
+  * (firebase_service.py:110-218 reads the whole tree each run; here
+  * the whole-tree pass happens exactly once).
+  *
+  * P4 (non-dict rows dropped — firebase_service.py:174-178) is applied
+  * at stage time: only object-valued children are written, so readers
+  * need no content sniffing. */
+object RtdbJsonl {
+
+  /** One streaming pass: export → `shards` JSONL files under `outDir`.
+    * O(1) driver memory beyond one child subtree; round-robin sharding
+    * so downstream file-granular parallelism exists even before the
+    * first byte-range split. Returns the number of rows written. */
+  def stage(exportPath: String, outDir: String, shards: Int = 8): Long = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    val mapper = new ObjectMapper()
+    val writers = (0 until shards).map { i =>
+      new java.io.BufferedWriter(new java.io.FileWriter(
+        new java.io.File(dir, f"part-$i%05d.jsonl")))
+    }
+    val parser = mapper.getFactory.createParser(new java.io.File(exportPath))
+    var n = 0L
+    try {
+      if (parser.nextToken() == JsonToken.START_OBJECT) {
+        while (parser.nextToken() == JsonToken.FIELD_NAME) {
+          val key = parser.currentName()
+          if (parser.nextToken() == JsonToken.START_OBJECT) {
+            val sb = new java.lang.StringBuilder("{\"k\":\"")
+            CharTypes.appendQuoted(sb, key)
+            sb.append("\",\"v\":")
+            sb.append(mapper.readTree(parser).toString)
+            sb.append('}')
+            val w = writers((n % shards).toInt)
+            w.write(sb.toString); w.newLine()
+            n += 1
+          } else parser.skipChildren()
+        }
+      }
+    } finally {
+      parser.close()
+      writers.foreach(_.close())
+    }
+    n
+  }
+
+  /** Read a staged directory back as the standard RTDB frame
+    * (id, uid, json). Byte-range splittable text scan — parallelism is
+    * Spark's own file splitting, no planner enumeration, no driver
+    * state; the JSON field extraction is a codegen'd projection. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.textFile(dir).toDF("line")
+      .select(get_json_object(col("line"), "$.k").as("id"),
+        get_json_object(col("line"), "$.k").as("uid"),
+        get_json_object(col("line"), "$.v").as("json"))
+}

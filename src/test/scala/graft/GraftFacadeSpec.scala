@@ -88,6 +88,19 @@ class GraftFacadeSpec extends SparkSpec {
       sampled.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("facade: curation ops (packing, importance sampling, chunking) stay wired") {
+    val docs = (1L to 30L).map(i => (i, (1 to 20).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Graft.packSequences(docs, budget = 64, shards = 2)
+    assert(packed.count() == 30)
+    assert(packed.select("shard").distinct().count() == 2)
+    val kept = Graft.importanceSample(docs.withColumn("pm", lit(500L)), "doc_id", col("pm"))
+    assert(kept.count() > 0 && kept.count() < 30)
+    assert(kept.select("weight").distinct().as[Double].collect().toSeq == Seq(2.0))
+    val chunks = Graft.chunkSliding(docs, chunkWords = 8, strideWords = 6)
+    assert(chunks.count() == 30 * 3) // 20 words -> chunks at 0, 6, 12
+  }
+
   test("dedupNearDuplicates keeps one survivor per duplicate cluster") {
     val sentence = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(

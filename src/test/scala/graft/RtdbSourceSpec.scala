@@ -74,6 +74,33 @@ class RtdbSourceSpec extends SparkSpec {
     assert(sdf.count() == 3)
   }
 
+  test("JSONL staging: one streaming pass, splittable shards, identical frame") {
+    import graft.sources.RtdbJsonl
+    val out = Files.createTempDirectory("rtdbjsonl").toString
+    val n = RtdbJsonl.stage(path, out, shards = 3)
+    assert(n == 20) // Broken is non-object: P4 applied at stage time
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".jsonl")) == 3)
+    val staged = RtdbJsonl.read(spark, out)
+    assert(staged.columns.toSeq == df.columns.toSeq)
+    val direct = df.select("id", "json").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaJsonl = staged.select("id", "json").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaJsonl == direct)
+  }
+
+  test("JSONL staging: keys needing JSON escaping survive the round trip") {
+    import graft.sources.RtdbJsonl
+    val dir = Files.createTempDirectory("rtdbesc").toFile
+    val f = new java.io.File(dir, "export.json")
+    Files.writeString(f.toPath,
+      """{"quote\"key": {"n": 1}, "back\\slash": {"n": 2}, "tab\tkey": {"n": 3}}""")
+    val out = Files.createTempDirectory("rtdbescout").toString
+    assert(RtdbJsonl.stage(f.getAbsolutePath, out, shards = 1) == 3)
+    val ids = RtdbJsonl.read(spark, out).select("id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("quote\"key", "back\\slash", "tab\tkey"))
+  }
+
   test("pushed filters intersect: conflicting EqualTos return zero rows") {
     // id and uid are the same key; equality on two different values is
     // unsatisfiable. The pushdown must intersect ranges, not overwrite.
