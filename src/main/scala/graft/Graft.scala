@@ -150,6 +150,13 @@ object Graft {
                        weightPerMille: Column): DataFrame =
     llm.Curate.importanceSample(df, keyCol, weightPerMille)
 
+  /** Exact token-budget corpus selection (best scores first) via
+    * hierarchical prefix refinement — no global sort. Tokens must be
+    * >= 1 per row. */
+  def selectByTokenBudget(docs: DataFrame, idCol: String, scoreCol: String,
+                          tokensCol: String, budget: Long): DataFrame =
+    llm.Curate.selectByTokenBudget(docs, idCol, scoreCol, tokensCol, budget)
+
   /** Sliding-window document chunking with overlap. */
   def chunkSliding(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", chunkWords: Int = 200,

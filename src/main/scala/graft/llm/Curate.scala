@@ -66,6 +66,69 @@ object Curate {
       .withColumn("weight", lit(scale.toDouble) / weightPerMille.cast("double"))
   }
 
+  /** Token-budget corpus selection — keep documents in quality order
+    * until a token budget is exhausted (the "best N tokens" curation
+    * step), EXACTLY: a document is kept iff its running token total in
+    * (score desc, hash, id) order fits the budget; the hash gives a
+    * fair deterministic tie-break inside a score band.
+    *
+    * The naive plan is a GLOBAL ordered cumsum — a single-reducer
+    * window, dead at 100 TB. This is instead a hierarchical prefix
+    * refinement, all exact:
+    *   L1: per-score token totals (≤ |score domain| rows) → prefix sums
+    *       on the driver-size frame → scores that fit wholly are kept
+    *       by a broadcast semi-join, NO per-doc window.
+    *   L2: the ONE boundary score band is re-split by a monotone
+    *       coarsening of the tie-break hash (`buckets` ranges of h);
+    *       prefix sums over ≤`buckets` rows decide buckets that fit
+    *       wholly.
+    *   L3: only the ONE boundary bucket — ≤ band/buckets of the band —
+    *       pays a per-doc ordered window.
+    * Every window frame is either ≤`buckets` rows or one bucket's
+    * docs; the corpus itself is touched by broadcast joins and
+    * map-side filters only. */
+  def selectByTokenBudget(docs0: DataFrame, idCol: String, scoreCol: String,
+                          tokensCol: String, budget: Long,
+                          salt: String = "sel:", buckets: Int = 1024): DataFrame = {
+    val outCols = docs0.columns.map(col).toSeq
+    val bucketWidth = (Text.HashP + buckets - 1) / buckets
+    val docs = docs0
+      .withColumn("__h", Text.md5Hash(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__b", (col("__h") / bucketWidth).cast(LongType))
+    val cumFrame = Window.unboundedPreceding
+    // L1 — per-score totals; the unpartitioned window runs on a frame
+    // of at most |score domain| rows, never the corpus
+    val l1 = docs.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("__gt"))
+      .withColumn("__cum", sum(col("__gt")).over(
+        Window.orderBy(col(scoreCol).desc).rowsBetween(cumFrame, Window.currentRow)))
+      .select(col(scoreCol).as("__s"), (col("__cum") - col("__gt")).as("__before"),
+        col("__cum"))
+    val j1 = docs.join(broadcast(l1), col(scoreCol) === col("__s"))
+    val keptWholeScores = j1.filter(col("__cum") <= budget)
+    val boundaryBand = j1.filter(col("__before") < budget && col("__cum") > budget)
+    // L2 — inside the single boundary band, by hash-range bucket
+    // (bucket id is monotone in h, so bucket order refines (h, id) order)
+    val l2 = boundaryBand.groupBy(col("__b"), col("__before"))
+      .agg(sum(col(tokensCol)).as("__gt2"))
+      .withColumn("__cum2", col("__before") + sum(col("__gt2")).over(
+        Window.orderBy(col("__b")).rowsBetween(cumFrame, Window.currentRow)))
+      .select(col("__b").as("__b2"), (col("__cum2") - col("__gt2")).as("__before2"),
+        col("__cum2"))
+    val j2 = boundaryBand.drop("__before", "__cum", "__s")
+      .join(broadcast(l2), col("__b") === col("__b2"))
+    val keptWholeBuckets = j2.filter(col("__cum2") <= budget)
+    // L3 — the one boundary bucket pays the only per-doc window, over
+    // at most 1/buckets of the boundary band
+    val w3 = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(cumFrame, Window.currentRow)
+    val partialBucket = j2.filter(col("__before2") < budget && col("__cum2") > budget)
+      .withColumn("__cum3", col("__before2") + sum(col(tokensCol)).over(w3))
+      .filter(col("__cum3") <= budget)
+    keptWholeScores.select(outCols: _*)
+      .unionByName(keptWholeBuckets.select(outCols: _*))
+      .unionByName(partialBucket.select(outCols: _*))
+  }
+
   /** Sliding-window chunking: each document becomes ceil-many chunks of
     * `chunkWords` words advancing by `strideWords` (trailing context
     * overlap = chunkWords - strideWords), the standard long-document

@@ -343,6 +343,21 @@ object LlmQueries {
           sum(least(lit(1000L), col("n_chars"))).as("kept_permille"))
         .orderBy(col("source"))),
 
+    // Token-budget corpus selection: best-scores-first until 12k tokens
+    // (~43% of the sf0.01 corpus — the boundary band is one of 9 fat
+    // coarse-score tie groups, so the L2/L3 refinement levels are
+    // exercised non-vacuously). Exact vs the oracle's global ordered
+    // cumsum, but computed with broadcast prefix tables + one
+    // bucket-sized window — no global sort anywhere.
+    "llm_select_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("score", expr("n_chars div 64"))
+        .withColumn("tokens", Text.wsTokenCount(col("text")) + lit(1L))
+      Curate.selectByTokenBudget(d, "doc_id", "score", "tokens", 12000L)
+        .select(col("doc_id"), col("score"), col("tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window chunking: 200-word chunks advancing by 150 (50
     // words of trailing overlap). Pure explode — map-side, chunk count
     // proportional to the document's own length. Fixture docs max out
@@ -818,6 +833,17 @@ object LlmQueries {
          |FROM documents
          |WHERE ${duckHash("('imp:' || doc_id)")} % 1000 < least(1000, n_chars)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "llm_select_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars // 64 AS score,
+         |    len(regexp_split_to_array(text, '\\s+'))::BIGINT + 1 AS tokens,
+         |    ${duckHash("('sel:' || doc_id)")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, score, tokens,
+         |  sum(tokens) OVER (ORDER BY score DESC, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, score, tokens FROM c WHERE cum <= 12000
+         |ORDER BY doc_id""".stripMargin,
     "llm_chunk_sliding" ->
       s"""WITH d AS (
          |  SELECT doc_id, CASE WHEN doc_id % 9 = 3

@@ -69,6 +69,26 @@ class CurateSpec extends SparkSpec {
     assert(h.distinct.length == h.length)
   }
 
+  test("selectByTokenBudget: exactly matches the naive global-window selection") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed scores (few fat tie bands) force the L2/L3 refinement path;
+    // varying tokens make the cut land mid-bucket
+    val df = (1L to 400L).map(i => (i, (i * i) % 5, i % 17 + 1))
+      .toDF("doc_id", "score", "tokens")
+    for (budget <- Seq(0L, 37L, 500L, 1500L, 10000L)) {
+      val naive = df
+        .withColumn("__h", graft.llm.Text.md5Hash(concat(lit("sel:"), col("doc_id"))))
+        .withColumn("cum", sum("tokens").over(Window.orderBy(col("score").desc,
+          col("__h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= budget).select("doc_id").as[Long].collect().toSet
+      val got = Curate.selectByTokenBudget(df, "doc_id", "score", "tokens", budget,
+          buckets = 7) // tiny bucket count → boundary bucket is fat, L3 non-trivial
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == naive, s"budget=$budget: got ${got.size}, want ${naive.size}")
+    }
+  }
+
   test("chunkSliding: short and empty docs yield exactly one chunk") {
     val out = Curate.chunkSliding(docs(1L -> "a b c", 2L -> ""))
       .orderBy("doc_id").collect()
