@@ -40,7 +40,9 @@ object Curate {
     docs.select(
         id,
         pmod(id, lit(shards.toLong)).as("shard"),
-        (Text.wsTokenCount(col(textCol)) + lit(1L)).as("tokens"),
+        // null text still occupies its separator slot (1 token), so a
+        // null-heavy corpus can't poison the cumulative sums with nulls
+        (coalesce(Text.wsTokenCount(col(textCol)), lit(0L)) + lit(1L)).as("tokens"),
         Text.md5Hash(concat(lit("pack:"), id.cast("string"))).as("__ord"))
       .withColumn("cum", sum(col("tokens")).over(w))
       .select(id, col("shard"), col("tokens"),
@@ -135,7 +137,9 @@ object Curate {
     * treatment for embedding models and for context-window-bounded
     * training. Pure explode — map-side, no exchange; chunk count is
     * data-proportional, so the explode cannot amplify skew beyond the
-    * document's own length. */
+    * document's own length. NULL text yields no chunks (explode of a
+    * null sequence) — there is nothing to chunk; empty text yields one
+    * empty chunk, mirroring the whitespace-token semantics. */
   def chunkSliding(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", chunkWords: Int = 200,
                    strideWords: Int = 150): DataFrame = {

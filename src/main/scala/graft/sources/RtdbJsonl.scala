@@ -37,9 +37,10 @@ object RtdbJsonl {
       new java.io.BufferedWriter(new java.io.FileWriter(
         new java.io.File(dir, f"part-$i%05d.jsonl")))
     }
-    val parser = mapper.getFactory.createParser(new java.io.File(exportPath))
+    var parser: com.fasterxml.jackson.core.JsonParser = null
     var n = 0L
     try {
+      parser = mapper.getFactory.createParser(new java.io.File(exportPath))
       if (parser.nextToken() == JsonToken.START_OBJECT) {
         while (parser.nextToken() == JsonToken.FIELD_NAME) {
           val key = parser.currentName()
@@ -56,7 +57,7 @@ object RtdbJsonl {
         }
       }
     } finally {
-      parser.close()
+      if (parser != null) parser.close()
       writers.foreach(_.close())
     }
     n

@@ -279,7 +279,9 @@ class RtdbScan(path: String, numPartitions: Int,
             keyLow.forall(ord.gteq(k, _)) && keyHighExcl.forall(ord.lt(k, _)) }
           .sortBy(_._1)(ord)
         if (entries.isEmpty) return Array.empty
-        val n = math.min(numPartitions, entries.size)
+        // clamp like the range path did: numPartitions <= 0 means one
+        // partition, never a silently-empty scan
+        val n = math.max(1, math.min(numPartitions, entries.size))
         (0 until n).map { i =>
           val slice = entries.slice(i * entries.size / n, (i + 1) * entries.size / n)
           RtdbIndexedPartition(path, slice, limit): InputPartition
