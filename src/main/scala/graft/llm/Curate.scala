@@ -76,59 +76,90 @@ object Curate {
     *
     * The naive plan is a GLOBAL ordered cumsum — a single-reducer
     * window, dead at 100 TB. This is instead a hierarchical prefix
-    * refinement, all exact:
-    *   L1: per-score token totals (≤ |score domain| rows) → prefix sums
-    *       on the driver-size frame → scores that fit wholly are kept
-    *       by a broadcast semi-join, NO per-doc window.
-    *   L2: the ONE boundary score band is re-split by a monotone
-    *       coarsening of the tie-break hash (`buckets` ranges of h);
-    *       prefix sums over ≤`buckets` rows decide buckets that fit
-    *       wholly.
+    * refinement, all exact, run as two bounded driver jobs (the same
+    * bounded-collect contract as the k-means trainer — exact integer
+    * aggregates, bit-exact replay):
+    *   L1: ONE agg job collects per-score token totals (≤ |score
+    *       domain| rows); a driver walk in score-desc order finds the
+    *       wholly-fitting scores, which collapse to one RANGE predicate
+    *       (the whole set is a prefix of the descending order) — pushed
+    *       to the scan, no per-doc window, no broadcast.
+    *   L2: the ONE boundary score band is re-aggregated by a monotone
+    *       hash-range coarsening of the tie-break order (`buckets`
+    *       ranges of h, ≤ `buckets` rows collected); wholly-fitting
+    *       buckets become one more map-side predicate.
     *   L3: only the ONE boundary bucket — ≤ band/buckets of the band —
     *       pays a per-doc ordered window.
-    * Every window frame is either ≤`buckets` rows or one bucket's
-    * docs; the corpus itself is touched by broadcast joins and
-    * map-side filters only. */
+    * Requires an integral score column and tokens >= 1 per row. */
   def selectByTokenBudget(docs0: DataFrame, idCol: String, scoreCol: String,
                           tokensCol: String, budget: Long,
                           salt: String = "sel:", buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types._
+    docs0.schema(scoreCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case d => throw new IllegalArgumentException(
+        s"selectByTokenBudget needs an integral score column, got $d")
+    }
     val outCols = docs0.columns.map(col).toSeq
     val bucketWidth = (Text.HashP + buckets - 1) / buckets
-    val docs = docs0
-      .withColumn("__h", Text.md5Hash(concat(lit(salt), col(idCol).cast("string"))))
-      .withColumn("__b", (col("__h") / bucketWidth).cast(LongType))
-    val cumFrame = Window.unboundedPreceding
-    // L1 — per-score totals; the unpartitioned window runs on a frame
-    // of at most |score domain| rows, never the corpus
-    val l1 = docs.groupBy(col(scoreCol)).agg(sum(col(tokensCol)).as("__gt"))
-      .withColumn("__cum", sum(col("__gt")).over(
-        Window.orderBy(col(scoreCol).desc).rowsBetween(cumFrame, Window.currentRow)))
-      .select(col(scoreCol).as("__s"), (col("__cum") - col("__gt")).as("__before"),
-        col("__cum"))
-    val j1 = docs.join(broadcast(l1), col(scoreCol) === col("__s"))
-    val keptWholeScores = j1.filter(col("__cum") <= budget)
-    val boundaryBand = j1.filter(col("__before") < budget && col("__cum") > budget)
-    // L2 — inside the single boundary band, by hash-range bucket
-    // (bucket id is monotone in h, so bucket order refines (h, id) order)
-    val l2 = boundaryBand.groupBy(col("__b"), col("__before"))
-      .agg(sum(col(tokensCol)).as("__gt2"))
-      .withColumn("__cum2", col("__before") + sum(col("__gt2")).over(
-        Window.orderBy(col("__b")).rowsBetween(cumFrame, Window.currentRow)))
-      .select(col("__b").as("__b2"), (col("__cum2") - col("__gt2")).as("__before2"),
-        col("__cum2"))
-    val j2 = boundaryBand.drop("__before", "__cum", "__s")
-      .join(broadcast(l2), col("__b") === col("__b2"))
-    val keptWholeBuckets = j2.filter(col("__cum2") <= budget)
-    // L3 — the one boundary bucket pays the only per-doc window, over
-    // at most 1/buckets of the boundary band
-    val w3 = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
-      .rowsBetween(cumFrame, Window.currentRow)
-    val partialBucket = j2.filter(col("__before2") < budget && col("__cum2") > budget)
-      .withColumn("__cum3", col("__before2") + sum(col(tokensCol)).over(w3))
-      .filter(col("__cum3") <= budget)
-    keptWholeScores.select(outCols: _*)
-      .unionByName(keptWholeBuckets.select(outCols: _*))
-      .unionByName(partialBucket.select(outCols: _*))
+    val h = Text.md5Hash(concat(lit(salt), col(idCol).cast("string")))
+    val bkt = (h / bucketWidth).cast(LongType)
+    // Walk a (key, groupTokens) table in keep order: whole groups that
+    // fit stay; the FIRST straddler (strictly-partial only) is the
+    // boundary; everything after cannot fit (prefix sums increase —
+    // tokens are >= 1 by contract).
+    def walk(groups: Seq[(Long, Long)], start: Long): (Seq[Long], Option[(Long, Long)]) = {
+      var before = start
+      val whole = Seq.newBuilder[Long]
+      for ((k, gt) <- groups) {
+        if (before + gt <= budget) { whole += k; before += gt }
+        else return (whole.result(), if (before < budget) Some((k, before)) else None)
+      }
+      (whole.result(), None)
+    }
+    def num(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    // L1 — ONE agg job; at most |score domain| rows reach the driver
+    // (same bounded-collect contract as the k-means trainer). The
+    // thresholds then inline as literals, so the final plan is pure
+    // pushed filters — the earlier broadcast-prefix formulation
+    // recomputed the corpus aggregate once per union branch.
+    val l1 = docs0.groupBy(col(scoreCol).cast(LongType).as("__s"))
+      .agg(sum(col(tokensCol)).as("__gt"))
+      .collect().map(r => (num(r, 0), num(r, 1))).sortBy(-_._1).toSeq
+    val (wholeScores, boundary) = walk(l1, 0L)
+    // whole scores are a PREFIX of the descending score order, so the
+    // membership test collapses to one range predicate
+    val keepWholeScores: Column =
+      if (wholeScores.isEmpty) lit(false)
+      else col(scoreCol).cast(LongType) >= wholeScores.min
+    boundary match {
+      case None => docs0.filter(keepWholeScores)
+      case Some((bScore, bBefore)) =>
+        val inBand = col(scoreCol).cast(LongType) === bScore
+        // L2 — one more tiny agg job, over the (scan-pruned) band only
+        val l2 = docs0.filter(inBand).groupBy(bkt.as("__b"))
+          .agg(sum(col(tokensCol)).as("__gt"))
+          .collect().map(r => (num(r, 0), num(r, 1))).sortBy(_._1).toSeq
+        val (wholeBuckets, boundary2) = walk(l2, bBefore)
+        val keepWholeBuckets: Column =
+          if (wholeBuckets.isEmpty) lit(false)
+          else inBand && bkt <= wholeBuckets.max
+        val wholeFilter = docs0.filter(keepWholeScores || keepWholeBuckets)
+        boundary2 match {
+          case None => wholeFilter
+          case Some((bBkt, before2)) =>
+            // L3 — the ONE boundary bucket (≤ band/buckets rows) pays
+            // the only per-doc ordered window
+            val w3 = Window.partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val partial = docs0.filter(inBand)
+              .withColumn("__h", h).withColumn("__b", bkt)
+              .filter(col("__b") === bBkt)
+              .withColumn("__cum", lit(before2) + sum(col(tokensCol)).over(w3))
+              .filter(col("__cum") <= budget)
+            wholeFilter.unionByName(partial.select(outCols: _*))
+        }
+    }
   }
 
   /** Sliding-window chunking: each document becomes ceil-many chunks of
