@@ -253,4 +253,28 @@ class PropertySpec extends SparkSpec {
     assert(sigs.forall(s => s.length == graft.llm.Dedup.Seeds.length &&
       s.forall(v => v >= 0 && v < graft.llm.Text.HashP)))
   }
+
+  test("property: selectByTokenBudget equals the naive global ordered cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    // random scores (small domain → fat ties) and token sizes; budgets
+    // drawn across the whole token range so the boundary lands in
+    // different bands/buckets per case
+    val rows = sample(Gen.listOfN(300, Gen.zip(Gen.choose(0L, 6L), Gen.choose(1L, 40L))))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+    val df = rows.toDF("doc_id", "score", "tokens")
+    val total = rows.map(_._3).sum
+    val budgets = sample(Gen.listOfN(6, Gen.choose(0L, total + 10)))
+    for (budget <- budgets :+ 0L :+ total) {
+      val naive = df
+        .withColumn("__h", graft.llm.Text.md5Hash(concat(lit("sel:"), col("doc_id"))))
+        .withColumn("cum", sum("tokens").over(
+          Window.orderBy(col("score").desc, col("__h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") <= budget).select("doc_id").as[Long].collect().toSet
+      val got = graft.llm.Curate.selectByTokenBudget(
+          df, "doc_id", "score", "tokens", budget, buckets = 5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == naive, s"budget=$budget: got ${got.size}, want ${naive.size}")
+    }
+  }
 }
