@@ -157,6 +157,12 @@ object Graft {
                           tokensCol: String, budget: Long): DataFrame =
     llm.Curate.selectByTokenBudget(docs, idCol, scoreCol, tokensCol, budget)
 
+  /** Leakage-free train/val split: duplicate clusters stay in one
+    * split; decision is a pure hash of the cluster label. */
+  def leakFreeSplit(docs: DataFrame, components: DataFrame, idCol: String,
+                    trainPerMille: Int = 900): DataFrame =
+    llm.Curate.leakFreeSplit(docs, components, idCol, trainPerMille)
+
   /** Sliding-window document chunking with overlap. */
   def chunkSliding(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", chunkWords: Int = 200,

@@ -162,6 +162,29 @@ object Curate {
     }
   }
 
+  /** Leakage-free train/validation split: every member of a duplicate
+    * cluster lands in the SAME split, so a near-duplicate of a
+    * validation document can never appear in training — the
+    * contamination-control step after near-dup clustering. The split
+    * decision is a pure hash of the CLUSTER label (an unclustered doc
+    * is its own cluster), deterministic and rerun-stable like every
+    * sampling decision in this module. `components` is
+    * connectedComponents output (node, label), covering clustered docs
+    * only; the join is an equi-join on the id — Catalyst broadcasts it
+    * when the clustered set is small and falls back to a linear
+    * shuffle join when it isn't. */
+  def leakFreeSplit(docs: DataFrame, components: DataFrame, idCol: String,
+                    trainPerMille: Int = 900, salt: String = "split:"): DataFrame = {
+    require(trainPerMille >= 0 && trainPerMille <= 1000,
+      s"trainPerMille out of [0,1000]: $trainPerMille")
+    val lbl = coalesce(col("label"), col(idCol))
+    docs.join(components.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("split",
+        when(Text.md5Hash(concat(lit(salt), lbl.cast("string"))) % 1000 < trainPerMille,
+          lit("train")).otherwise(lit("val")))
+      .drop("label")
+  }
+
   /** Sliding-window chunking: each document becomes ceil-many chunks of
     * `chunkWords` words advancing by `strideWords` (trailing context
     * overlap = chunkWords - strideWords), the standard long-document

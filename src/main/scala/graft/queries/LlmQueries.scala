@@ -277,6 +277,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-free split: near-dup clusters are split atomically by a
+    // hash of the CLUSTER label, so no validation doc has a training
+    // near-duplicate. Same pairs + components pipeline as
+    // llm_dedup_components; the split itself is one left join + a pure
+    // hash projection.
+    "llm_leakfree_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      Curate.leakFreeSplit(docs.select("doc_id"), comp, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end corpus dedup: the doc ids that survive near-dup
     // clustering — every doc except non-representative cluster members
     "llm_dedup_keep_one" -> ((s, dir) => {
@@ -745,6 +758,20 @@ object LlmQueries {
          |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
          |SELECT node AS doc_id, least(node, min(r)) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "llm_leakfree_split" ->
+      s"""WITH RECURSIVE ${pairsCtes()},
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  CASE WHEN ${duckHash("('split:' || COALESCE(comp.label, d.doc_id))")} % 1000 < 900
+         |    THEN 'train' ELSE 'val' END AS split
+         |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+         |ORDER BY doc_id""".stripMargin,
     "llm_dedup_keep_one" ->
       s"""WITH RECURSIVE ${pairsCtes()},
          |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),

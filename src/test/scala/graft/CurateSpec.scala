@@ -89,6 +89,28 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("leakFreeSplit: clusters are atomic across splits; solo docs keep coverage") {
+    val sentence = "the quick brown fox jumps over the lazy dog again and again"
+    val all = (1L to 60L).map { i =>
+      // 20 docs form 10 two-doc exact-dup clusters; the rest are solo
+      if (i <= 20L) (i, sentence + " v" + ((i - 1) / 2)) else (i, s"unique doc number $i with its own words")
+    }.toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.minHashLshPairs(all, "doc_id", "text", threshold = 0.5)
+    val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b")
+    val split = Curate.leakFreeSplit(all.select("doc_id"), comp, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 60 && split.values.toSet.subsetOf(Set("train", "val")))
+    // every cluster is single-split: paired docs (2k-1, 2k) agree
+    for (k <- 1L to 10L)
+      assert(split(2 * k - 1) == split(2 * k), s"cluster $k split apart")
+    // both splits exist at 900 per mille over 50 clusters (deterministic)
+    assert(split.values.toSet == Set("train", "val"))
+    // rerun-stable
+    val again = Curate.leakFreeSplit(all.select("doc_id"), comp, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == split)
+  }
+
   test("chunkSliding: short and empty docs yield exactly one chunk") {
     val out = Curate.chunkSliding(docs(1L -> "a b c", 2L -> ""))
       .orderBy("doc_id").collect()
