@@ -100,6 +100,8 @@ object Curate {
       case d => throw new IllegalArgumentException(
         s"selectByTokenBudget needs an integral score column, got $d")
     }
+    require(!docs0.columns.exists(Set("__h", "__b", "__cum")),
+      "selectByTokenBudget reserves the __h/__b/__cum column names")
     val outCols = docs0.columns.map(col).toSeq
     val bucketWidth = (Text.HashP + buckets - 1) / buckets
     val h = Text.md5Hash(concat(lit(salt), col(idCol).cast("string")))
@@ -177,12 +179,14 @@ object Curate {
                     trainPerMille: Int = 900, salt: String = "split:"): DataFrame = {
     require(trainPerMille >= 0 && trainPerMille <= 1000,
       s"trainPerMille out of [0,1000]: $trainPerMille")
-    val lbl = coalesce(col("label"), col(idCol))
-    docs.join(components.withColumnRenamed("node", idCol), Seq(idCol), "left")
+    // internal rename so a caller-side "label" column survives untouched
+    val comp = components.select(col("node").as(idCol), col("label").as("__cc_label"))
+    val lbl = coalesce(col("__cc_label"), col(idCol))
+    docs.join(comp, Seq(idCol), "left")
       .withColumn("split",
         when(Text.md5Hash(concat(lit(salt), lbl.cast("string"))) % 1000 < trainPerMille,
           lit("train")).otherwise(lit("val")))
-      .drop("label")
+      .drop("__cc_label")
   }
 
   /** Sliding-window chunking: each document becomes ceil-many chunks of
