@@ -153,7 +153,7 @@ class RtdbTable(path: String, numPartitions: Int, url: Option[String] = None,
   override def name(): String = s"rtdb_snapshot(${url.getOrElse(path)})"
   override def schema(): StructType = RtdbSnapshotSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RtdbScanBuilder(path, numPartitions, url, authToken, pageSize, splitPoints)
 }
@@ -200,6 +200,11 @@ class RtdbScan(path: String, numPartitions: Int,
   extends Scan with Batch {
   override def readSchema(): StructType = RtdbSnapshotSource.schema
   override def toBatch: Batch = this
+
+  /** Incremental key-cursor tailing (see [[RtdbMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RtdbMicroBatchStream(path, numPartitions, url, authToken, pageSize)
 
   /** Shard the (filtered) key space into contiguous ranges. Key
     * enumeration is the cheap call on either transport: streamed field

@@ -8,7 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Structured Streaming extension (SURVEY.md §2.10: the reference is
   * strictly batch; this is the incremental path a live RTDB/event source
   * would feed). Operators mirror their batch counterparts so a pipeline
-  * can switch `read` → `readStream` without rewriting logic. */
+  * can switch `read` → `readStream` without rewriting logic — and the
+  * RTDB source itself supports exactly that: `spark.readStream.format(
+  * "graft.sources.RtdbSnapshotSource")` tails new children by key
+  * cursor (push IDs are chronological — see
+  * [[graft.sources.RtdbMicroBatchStream]]). */
 object Streams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -74,6 +74,39 @@ class RtdbSourceSpec extends SparkSpec {
     assert(sdf.count() == 3)
   }
 
+  test("streaming: key-cursor micro-batches tail new children exactly once") {
+    val dir = Files.createTempDirectory("rtdbstream").toFile
+    val f = new java.io.File(dir, "export.json")
+    def write(n: Int): Unit = Files.writeString(f.toPath,
+      (1 to n).map(i => f""""-N$i%03d": {"n": $i}""").mkString("{", ",", "}"))
+    write(5)
+    val sdf = spark.readStream.format("graft.sources.RtdbSnapshotSource")
+      .option("path", f.getAbsolutePath).option("numPartitions", "2").load()
+    val q = sdf.writeStream.format("memory").queryName("rtdb_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rtdb_tail").count() == 5)
+      write(9) // push-ID-style append: new keys sort after the cursor
+      q.processAllAvailable()
+      val ids = spark.table("rtdb_tail").select("id").collect().map(_.getString(0))
+      assert(ids.length == 9, s"expected 9 rows once each, got ${ids.length}")
+      assert(ids.distinct.length == 9, "a key was emitted twice across batches")
+      // a third trigger with nothing new emits nothing
+      q.processAllAvailable()
+      assert(spark.table("rtdb_tail").count() == 9)
+    } finally q.stop()
+  }
+
+  test("streaming: offset survives JSON round trip including odd keys") {
+    import graft.sources._
+    val s = new RtdbMicroBatchStream("/nonexistent", 2, None, None, 1000)
+    for (k <- Seq(None, Some("plain"), Some("quote\"key"), Some("uniéὠ0"))) {
+      val off = s.KeyOffset(k)
+      assert(s.deserializeOffset(off.json()) == off)
+    }
+  }
+
   test("JSONL staging: one streaming pass, splittable shards, identical frame") {
     import graft.sources.RtdbJsonl
     val out = Files.createTempDirectory("rtdbjsonl").toString
