@@ -52,9 +52,20 @@ class RtdbMicroBatchStream(path: String, numPartitions: Int,
 
   override def initialOffset(): Offset = KeyOffset(None)
 
+  // The cursor must never move backwards: if every child is deleted,
+  // a naive latestOffset() would return None, Spark would commit the
+  // regressed offset, and keys re-inserted below the old cursor would
+  // re-emit. Track the high-water mark (seeded from the checkpointed
+  // offsets via planInputPartitions after a restart).
+  @volatile private var high: Option[String] = None
+  private def bump(k: Option[String]): Unit = synchronized {
+    if (k.isDefined && high.forall(h => ord.gt(k.get, h))) high = k
+  }
+
   override def latestOffset(): Offset = {
     val keys = currentKeys()
-    if (keys.isEmpty) KeyOffset(None) else KeyOffset(Some(keys.max(ord)))
+    bump(if (keys.isEmpty) None else Some(keys.max(ord)))
+    KeyOffset(high)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -66,6 +77,7 @@ class RtdbMicroBatchStream(path: String, numPartitions: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[KeyOffset].last // exclusive
     val hi = end.asInstanceOf[KeyOffset].last   // inclusive
+    bump(lo); bump(hi) // restart: re-seed the high-water mark from the checkpoint
     if (hi.isEmpty) return Array.empty
     def inRange(k: String): Boolean =
       lo.forall(ord.gt(k, _)) && ord.lteq(k, hi.get)

@@ -95,6 +95,14 @@ class RtdbSourceSpec extends SparkSpec {
       // a third trigger with nothing new emits nothing
       q.processAllAvailable()
       assert(spark.table("rtdb_tail").count() == 9)
+      // deletions must not regress the cursor: shrink the tree, trigger,
+      // then restore it — the re-inserted old keys must NOT re-emit
+      write(5)
+      q.processAllAvailable()
+      write(9)
+      q.processAllAvailable()
+      assert(spark.table("rtdb_tail").count() == 9,
+        "cursor regressed after deletion; old keys re-emitted")
     } finally q.stop()
   }
 
