@@ -36,6 +36,13 @@ object Graft {
   def readRtdbJsonl(spark: SparkSession, dir: String): DataFrame =
     sources.RtdbJsonl.read(spark, dir)
 
+  /** Incremental RTDB tailing as a streaming frame — key-cursor
+    * micro-batches over the same DSv2 source (see RtdbMicroBatchStream
+    * for the append-only contract). */
+  def tailRtdb(spark: SparkSession, path: String, partitions: Int = 4): DataFrame =
+    spark.readStream.format("graft.sources.RtdbSnapshotSource")
+      .option("path", path).option("numPartitions", partitions.toString).load()
+
   def writeJson(df: DataFrame, path: String): Unit = io.Tables.writeJson(df, path)
   def writeCsv(df: DataFrame, path: String): Unit = io.Tables.writeCsv(df, path)
 
