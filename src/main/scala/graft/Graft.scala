@@ -46,6 +46,12 @@ object Graft {
   def writeJson(df: DataFrame, path: String): Unit = io.Tables.writeJson(df, path)
   def writeCsv(df: DataFrame, path: String): Unit = io.Tables.writeCsv(df, path)
 
+  /** Sort-clustered, size-bounded parquet (disjoint per-file key
+    * ranges → footer min/max skipping on selective scans). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  files: Int, maxRecordsPerFile: Long = 0L): Unit =
+    io.Tables.writeSorted(df, path, sortCols, files, maxRecordsPerFile)
+
   // -- the ETL operator set ------------------------------------------
   /** `keepInvalidEmails = true` diverges from the reference: null-email
     * rows survive for the typed error channel instead of being dropped

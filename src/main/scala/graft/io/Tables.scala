@@ -90,6 +90,22 @@ object Tables {
     df.write.mode("overwrite").bucketBy(n, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
 
+  /** Sort-clustered parquet sink — the compaction shape for a 100 TB
+    * table: range-repartition on the cluster key then sort within
+    * files, so every file (and every row group inside it) covers a
+    * DISJOINT key range and parquet footers carry tight min/max.
+    * Selective scans then skip whole files/row groups instead of
+    * reading and filtering — the one-dimensional form of Z-order
+    * clustering. `maxRecordsPerFile` bounds file size for compaction
+    * (0 = one file per range partition). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  files: Int, maxRecordsPerFile: Long = 0L): Unit =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** S12 — schema introspection (sql_extraction.py:107-135). */
   def tableInfo(df: DataFrame): Seq[(String, String)] =
     df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)

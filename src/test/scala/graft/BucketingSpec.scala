@@ -32,4 +32,25 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_auth")
     }
   }
+
+  test("writeSorted: files cover disjoint key ranges (footer-skippable layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("sorted").toString + "/t"
+    val df = (1L to 10000L).map(i => (i * 2654435761L % 100000L, s"v$i"))
+      .toDF("k", "v")
+    graft.io.Tables.writeSorted(df, dir, Seq("k"), files = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 8)
+    // per-file key ranges must be pairwise disjoint — the property that
+    // lets parquet footer min/max skip whole files on selective scans
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: hi=$hi lo=$lo")
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
 }
