@@ -33,6 +33,8 @@ object Curate {
   def packSequences(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", budget: Int = 512,
                     shards: Int = 8): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val id = col(idCol)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__ord"), id)
@@ -64,8 +66,13 @@ object Curate {
   def importanceSample(df: DataFrame, keyCol: String, weightPerMille: Column,
                        salt: String = "imp:", scale: Int = 1000): DataFrame = {
     val h = Text.md5Hash(concat(lit(salt), col(keyCol).cast("string"))) % scale
+    // clamp the weight denominator too: weightPerMille > scale means
+    // p = 1 (the filter saturates), so the HT weight must be exactly 1,
+    // not scale/weight < 1 — an unclamped weight silently biases every
+    // downstream weighted sum low
+    val p = least(weightPerMille, lit(scale.toLong)).cast("double")
     df.filter(h < weightPerMille)
-      .withColumn("weight", lit(scale.toDouble) / weightPerMille.cast("double"))
+      .withColumn("weight", lit(scale.toDouble) / p)
   }
 
   /** Token-budget corpus selection — keep documents in quality order
@@ -119,7 +126,12 @@ object Curate {
       }
       (whole.result(), None)
     }
-    def num(r: org.apache.spark.sql.Row, i: Int): Long = r.getAs[Number](i).longValue
+    def num(r: org.apache.spark.sql.Row, i: Int): Long = {
+      if (r.isNullAt(i)) throw new IllegalArgumentException(
+        s"selectByTokenBudget: NULL ${if (i == 0) scoreCol else s"sum($tokensCol)"} " +
+          "encountered — score and tokens must be non-null")
+      r.getAs[Number](i).longValue
+    }
     // L1 — ONE agg job; at most |score domain| rows reach the driver
     // (same bounded-collect contract as the k-means trainer). The
     // thresholds then inline as literals, so the final plan is pure
@@ -179,6 +191,8 @@ object Curate {
                     trainPerMille: Int = 900, salt: String = "split:"): DataFrame = {
     require(trainPerMille >= 0 && trainPerMille <= 1000,
       s"trainPerMille out of [0,1000]: $trainPerMille")
+    require(!docs.columns.exists(Set("__cc_label", "split")),
+      "leakFreeSplit reserves the __cc_label and split column names")
     // internal rename so a caller-side "label" column survives untouched
     val comp = components.select(col("node").as(idCol), col("label").as("__cc_label"))
     val lbl = coalesce(col("__cc_label"), col(idCol))

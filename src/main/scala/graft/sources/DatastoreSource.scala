@@ -225,8 +225,14 @@ class DatastoreScan(url: String, projectId: String, kind: String,
     if (numPartitions <= 1) return Array(partition(keyLow, keyHighExcl))
     val client = new DatastoreRestClient(url, projectId, authToken)
     val sample =
+      // no __scatter__ support only (400/404/501); auth failures
+      // (401/403) must FAIL here, not silently degrade into the
+      // full-enumeration fallback — same contract as the count path
       try client.scatterSample(kind, RangePlanner.SamplesPerSplit * numPartitions)
-      catch { case _: IllegalArgumentException => Seq.empty } // no __scatter__ support
+      catch {
+        case e: HttpStatusException if e.code == 400 || e.code == 404 || e.code == 501 =>
+          Seq.empty
+      }
     val inRange = sample.filter(k =>
       keyLow.forall(ord.gt(k, _)) && keyHighExcl.forall(ord.lt(k, _)))
     val bounds: Seq[String] =

@@ -33,9 +33,13 @@ object RtdbJsonl {
     val dir = new java.io.File(outDir)
     dir.mkdirs()
     val mapper = new ObjectMapper()
+    // explicit UTF-8: read() decodes UTF-8 (spark.read.text), so a
+    // platform-default charset here would corrupt non-ASCII keys/values
+    // on non-UTF-8 JVMs
     val writers = (0 until shards).map { i =>
-      new java.io.BufferedWriter(new java.io.FileWriter(
-        new java.io.File(dir, f"part-$i%05d.jsonl")))
+      new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(new java.io.File(dir, f"part-$i%05d.jsonl")),
+        java.nio.charset.StandardCharsets.UTF_8))
     }
     var parser: com.fasterxml.jackson.core.JsonParser = null
     var n = 0L

@@ -45,53 +45,63 @@ class RtdbMicroBatchStream(path: String, numPartitions: Int,
     }
   }
 
-  private def currentKeys(): Seq[String] = url match {
-    case Some(u) => new RtdbRestClient(u, authToken).shallowKeys(path)
-    case None => RtdbSnapshotSource.indexKeys(path).map(_._1)
-  }
-
   override def initialOffset(): Offset = KeyOffset(None)
 
   // The cursor must never move backwards: if every child is deleted,
   // a naive latestOffset() would return None, Spark would commit the
   // regressed offset, and keys re-inserted below the old cursor would
-  // re-emit. Track the high-water mark (seeded from the checkpointed
-  // offsets via planInputPartitions after a restart).
+  // re-emit. Track the high-water mark — seeded on RESTART from the
+  // checkpointed offsets via deserializeOffset (which Spark calls
+  // during recovery BEFORE the first latestOffset poll).
   @volatile private var high: Option[String] = None
   private def bump(k: Option[String]): Unit = synchronized {
     if (k.isDefined && high.forall(h => ord.gt(k.get, h))) high = k
   }
 
+  // latestOffset's poll already paid a full tokenization offline; keep
+  // the (maxKey, index) so planInputPartitions for that same window
+  // reuses it instead of re-tokenizing the export
+  @volatile private var polledIndex: Option[(String, Seq[(String, Long)])] = None
+
   override def latestOffset(): Offset = {
-    val keys = currentKeys()
-    bump(if (keys.isEmpty) None else Some(keys.max(ord)))
+    url match {
+      case Some(u) =>
+        val keys = new RtdbRestClient(u, authToken).shallowKeys(path)
+        bump(if (keys.isEmpty) None else Some(keys.max(ord)))
+      case None =>
+        val idx = RtdbSnapshotSource.indexKeys(path)
+        val mx = if (idx.isEmpty) None else Some(idx.map(_._1).max(ord))
+        mx.foreach(m => polledIndex = Some((m, idx)))
+        bump(mx)
+    }
     KeyOffset(high)
   }
 
   override def deserializeOffset(json: String): Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val last = node.get("last")
-    KeyOffset(if (last == null || last.isNull) None else Some(last.asText()))
+    val off = KeyOffset(if (last == null || last.isNull) None else Some(last.asText()))
+    bump(off.last) // restart: re-seed the high-water mark from the checkpoint
+    off
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[KeyOffset].last // exclusive
     val hi = end.asInstanceOf[KeyOffset].last   // inclusive
-    bump(lo); bump(hi) // restart: re-seed the high-water mark from the checkpoint
+    bump(lo); bump(hi)
     if (hi.isEmpty) return Array.empty
     def inRange(k: String): Boolean =
       lo.forall(ord.gt(k, _)) && ord.lteq(k, hi.get)
     url match {
       case None =>
-        val entries = RtdbSnapshotSource.indexKeys(path)
+        val idx = polledIndex match {
+          case Some((mx, i)) if hi.contains(mx) => i // reuse the poll's pass
+          case _ => RtdbSnapshotSource.indexKeys(path) // e.g. checkpoint replay
+        }
+        val entries = idx
           .filter { case (k, off) => off >= 0 && inRange(k) }
           .sortBy(_._1)(ord)
-        if (entries.isEmpty) return Array.empty
-        val n = math.max(1, math.min(numPartitions, entries.size))
-        (0 until n).map { i =>
-          val slice = entries.slice(i * entries.size / n, (i + 1) * entries.size / n)
-          RtdbIndexedPartition(path, slice): InputPartition
-        }.toArray
+        RtdbSnapshotSource.planIndexedPartitions(path, entries, numPartitions, None)
       case Some(_) =>
         // live: one range fetch per batch — the (lo, hi] window is the
         // new tail, small by construction under frequent triggers; the

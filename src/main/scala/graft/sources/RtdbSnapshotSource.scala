@@ -113,6 +113,22 @@ object RtdbSnapshotSource {
     override def close(): Unit = rafOpt.foreach(_.close())
   }
 
+  /** Key-sorted index entries striped into at most `parts` balanced
+    * slices, one [[RtdbIndexedPartition]] each — shared by the batch
+    * scan and the micro-batch stream so the clamp/stripe math cannot
+    * drift between them. `parts <= 0` clamps to one partition, never a
+    * silently-empty scan. */
+  private[sources] def planIndexedPartitions(path: String, entries: Seq[(String, Long)],
+                                             parts: Int, limit: Option[Int])
+  : Array[InputPartition] = {
+    if (entries.isEmpty) return Array.empty
+    val n = math.max(1, math.min(parts, entries.size))
+    (0 until n).map { i =>
+      val slice = entries.slice(i * entries.size / n, (i + 1) * entries.size / n)
+      RtdbIndexedPartition(path, slice, limit): InputPartition
+    }.toArray
+  }
+
   /** One range read (the `startAt/endAt` call): object children only
     * (P4 — firebase_service.py:174-178). Streaming parse: only subtrees
     * whose key falls in [from, toExclusive) are materialized; the rest
@@ -283,14 +299,7 @@ class RtdbScan(path: String, numPartitions: Int,
           .filter { case (k, off) => off >= 0 &&
             keyLow.forall(ord.gteq(k, _)) && keyHighExcl.forall(ord.lt(k, _)) }
           .sortBy(_._1)(ord)
-        if (entries.isEmpty) return Array.empty
-        // clamp like the range path did: numPartitions <= 0 means one
-        // partition, never a silently-empty scan
-        val n = math.max(1, math.min(numPartitions, entries.size))
-        (0 until n).map { i =>
-          val slice = entries.slice(i * entries.size / n, (i + 1) * entries.size / n)
-          RtdbIndexedPartition(path, slice, limit): InputPartition
-        }.toArray
+        RtdbSnapshotSource.planIndexedPartitions(path, entries, numPartitions, limit)
     }
   }
 

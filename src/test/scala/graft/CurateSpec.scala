@@ -52,6 +52,10 @@ class CurateSpec extends SparkSpec {
     assert(again == kept.map(_.getLong(0)).toSet)
     // zero-weight rows can never be kept
     assert(Curate.importanceSample(df, "doc_id", lit(0L)).count() == 0)
+    // super-unit weights saturate: p = 1 keeps everything at weight
+    // EXACTLY 1 (an unclamped 1000/1500 would bias weighted sums low)
+    val sat = Curate.importanceSample(df, "doc_id", lit(1500L)).collect()
+    assert(sat.length == 500 && sat.forall(_.getDouble(2) == 1.0))
   }
 
   test("chunkSliding: stride/overlap tiling covers every word exactly") {
