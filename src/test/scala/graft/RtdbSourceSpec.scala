@@ -106,6 +106,36 @@ class RtdbSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: checkpoint restart resumes the cursor, no re-emission") {
+    val dir = Files.createTempDirectory("rtdbrestart").toFile
+    val f = new java.io.File(dir, "export.json")
+    val ckpt = Files.createTempDirectory("rtdbckpt").toString
+    val out = Files.createTempDirectory("rtdbout").toString
+    def write(n: Int): Unit = Files.writeString(f.toPath,
+      (1 to n).map(i => f""""-N$i%03d": {"n": $i}""").mkString("{", ",", "}"))
+    def start() = spark.readStream.format("graft.sources.RtdbSnapshotSource")
+      .option("path", f.getAbsolutePath).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    write(4)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 4)
+    // a NEW stream instance (fresh high-water mark) over a SHRUNKEN
+    // tree: recovery must seed the cursor from the checkpoint, so
+    // nothing re-emits now or after the deleted keys reappear
+    write(2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      write(6)
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).select("id").collect().map(_.getString(0))
+      assert(ids.length == 6 && ids.distinct.length == 6,
+        s"restart re-emitted keys: ${ids.sorted.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming: offset survives JSON round trip including odd keys") {
     import graft.sources._
     val s = new RtdbMicroBatchStream("/nonexistent", 2, None, None, 1000)
