@@ -135,6 +135,20 @@ object Graft {
                       sep: String = ". ", maxDocFreq: Int = 1): DataFrame =
     llm.Dedup.dropBoilerplate(df, idCol, textCol, sep, maxDocFreq)
 
+  /** Persistable LSH band index — build once per corpus, reuse across
+    * incremental batches. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    llm.Dedup.bandIndex(df, idCol, textCol)
+
+  /** Incremental near-dup pairs: a new batch against a standing corpus
+    * via its precomputed band index — only the batch pays signature
+    * CPU. */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                              corpusIndex: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.5): DataFrame =
+    llm.Dedup.incrementalNearDupPairs(newDocs, corpus, corpusIndex, idCol, textCol,
+      threshold)
+
   /** Full near-dup dedup: LSH pairs → connected components → drop
     * non-representative cluster members (one survivor per cluster). */
   def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,

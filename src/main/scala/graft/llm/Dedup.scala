@@ -145,17 +145,22 @@ object Dedup {
     * the two engines can't silently drift. */
   val DefaultMaxBucket = 1000
 
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.5, shingleN: Int = 3,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    // Materialize each stage as a column: higher-order-function lambdas
-    // are interpreted (no codegen/CSE inside), so an inlined
-    // split(lower(text)) would re-execute per element access. Also
-    // spread the compute: a small local file arrives as one partition,
-    // and at cluster scale the repartition is the standard pre-shuffle
-    // for signature work anyway.
+  /** (id, __hs, __sig) checkpointed signature frame — the expensive
+    * shingle+md5+minhash pass, shared by the batch and incremental
+    * paths. Materialize each stage as a column: higher-order-function
+    * lambdas are interpreted (no codegen/CSE inside), so an inlined
+    * split(lower(text)) would re-execute per element access. Also
+    * spread the compute: a small local file arrives as one partition,
+    * and at cluster scale the repartition is the standard pre-shuffle
+    * for signature work anyway. The frame feeds several plan branches
+    * (self-join sides + verify joins); without materialization Spark
+    * recomputes the md5/shingle pass per branch — at cluster scale
+    * you'd persist signatures to a table; locally an eager checkpoint
+    * is the same cut of the lineage. */
+  private[llm] def signatures(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val prepared = df
+    df
       // filter on the cheap word count BEFORE the heavy columns exist:
       // a filter on size(__hs) would be predicate-pushed below the
       // projections with the whole shingle+md5 tree substituted into it
@@ -168,29 +173,87 @@ object Dedup {
       // native single-pass signature kernel (graft.expr.native.MinHashSig)
       .withColumn("__sig", graft.expr.native.NativeFns.minHashSig(col("__hs")))
       .select(col(idCol), col("__hs"), col("__sig"))
-      // The signature frame feeds four plan branches (both self-join
-      // sides + both verify joins); without materialization Spark
-      // recomputes the md5/shingle pass per branch. At cluster scale
-      // you'd persist signatures to a table; locally an eager
-      // checkpoint is the same cut of the lineage.
       .localCheckpoint(false)
-    val bands = prepared.select(col(idCol), explode(array((0 until numBands).map { bnd =>
+  }
+
+  /** (id, band) exploded LSH band keys of a [[signatures]] frame. */
+  private[llm] def bandsOf(prepared: DataFrame, idCol: String): DataFrame =
+    prepared.select(col(idCol), explode(array((0 until numBands).map { bnd =>
       concat_ws("_", (lit(bnd.toString) +:
         (0 until BandRows).map(r => col("__sig")(bnd * BandRows + r).cast("string"))): _*)
     }: _*)).as("band"))
-    // Candidate generation: ONE exchange on the band key. The
-    // candidate generation: the shared capped collect-list expansion
-    // (cappedBucketPairs); distinct because a pair can share several bands
+
+  /** Persistable LSH band index (id, band) for a corpus — build once,
+    * store (ideally bucketed by band), and reuse across incremental
+    * batches so the corpus never pays the shingle/minhash CPU again
+    * (see [[incrementalNearDupPairs]]). */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3): DataFrame =
+    bandsOf(signatures(df, idCol, textCol, shingleN), idCol)
+
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, shingleN: Int = 3,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val prepared = signatures(df, idCol, textCol, shingleN)
+    val bands = bandsOf(prepared, idCol)
+    // Candidate generation: ONE exchange on the band key via the shared
+    // capped collect-list expansion (cappedBucketPairs); distinct
+    // because a pair can share several bands
     val candidates = cappedBucketPairs(bands, "band", col(idCol), maxBucket)
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    val sets = prepared.select(col(idCol), col("__hs"))
+    verifyJaccard(candidates, prepared.select(col(idCol), col("__hs")), idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of (a, b) candidate pairs against the
+    * (id, __hs) shingle sets. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame, idCol: String,
+                            threshold: Double): DataFrame =
     candidates
       .join(sets.withColumnRenamed(idCol, "a").withColumnRenamed("__hs", "ha"), "a")
       .join(sets.withColumnRenamed(idCol, "b").withColumnRenamed("__hs", "hb"), "b")
       .withColumn("jaccard", jaccard(col("ha"), col("hb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+
+  /** Incremental near-dup pairs — dedup a NEW batch against an existing
+    * corpus without re-signaturing the corpus (the daily-crawl shape):
+    * only the new batch pays the shingle/minhash CPU; the corpus
+    * contributes its precomputed [[bandIndex]] rows (with the index
+    * stored bucketed by band, even its shuffle disappears). Returns
+    * exactly the pairs of the full recomputation that TOUCH the new
+    * batch: new-vs-corpus and new-vs-new, same bucket caps (the cap
+    * sees the union of index and new bands, identical to a full run).
+    * `corpus` is consulted only to recompute shingle sets for the
+    * candidate corpus docs (a semi-join prunes everything else). */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                              corpusIndex: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.5, shingleN: Int = 3,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val newSig = signatures(newDocs, idCol, textCol, shingleN)
+    val allBands = corpusIndex.select(col(idCol), col("band"))
+      .unionByName(bandsOf(newSig, idCol))
+    val cand = cappedBucketPairs(allBands, "band", col(idCol), maxBucket)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    // keep only pairs touching the new batch: two broadcast hash
+    // semi-joins (an OR-of-equalities semi would plan a nested loop)
+    val newIds = newSig.select(col(idCol).as("__nid"))
+    val candNew = cand.join(broadcast(newIds), col("a") === col("__nid"), "left_semi")
+      .unionByName(cand.join(broadcast(newIds), col("b") === col("__nid"), "left_semi"))
+      .distinct()
+    // shingle sets: the new batch has them; candidate corpus docs
+    // recompute theirs after a semi-join prune
+    val candIds = candNew.select(col("a").as(idCol))
+      .unionByName(candNew.select(col("b").as(idCol))).distinct()
+    val corpusHs = signatures(
+        corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, shingleN)
+      // overlapping inputs (corpus already containing the batch) must
+      // not double a doc's set row — the new frame wins
+      .join(broadcast(newIds), col(idCol) === col("__nid"), "left_anti")
+      .select(col(idCol), col("__hs"))
+    val sets = newSig.select(col(idCol), col("__hs")).unionByName(corpusHs)
+    verifyJaccard(candNew, sets, idCol, threshold)
   }
 
   /** End-to-end corpus dedup: keep every document except the

@@ -277,6 +277,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup: the doc_id % 10 == 9 slice plays the "new
+    // batch"; the rest is the standing corpus contributing only its
+    // precomputed band index (no re-signaturing). Must equal the full
+    // recomputation's pairs that touch the new batch — the oracle IS
+    // that full recomputation, filtered.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 10 === 9
+      val corpus = docs.filter(!isNew)
+      val idx = Dedup.bandIndex(corpus, "doc_id", "text")
+      Dedup.incrementalNearDupPairs(docs.filter(isNew), corpus, idx,
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Leakage-free split: near-dup clusters are split atomically by a
     // hash of the CLUSTER label, so no validation doc has a training
     // near-duplicate. Same pairs + components pipeline as
@@ -758,6 +773,11 @@ object LlmQueries {
          |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
          |SELECT node AS doc_id, least(node, min(r)) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "llm_dedup_incremental" ->
+      s"""WITH ${pairsCtes()}
+         |SELECT a, b, jaccard FROM scored
+         |WHERE jaccard >= 0.5 AND (a % 10 = 9 OR b % 10 = 9)
+         |ORDER BY a, b""".stripMargin,
     "llm_leakfree_split" ->
       s"""WITH RECURSIVE ${pairsCtes()},
          |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),

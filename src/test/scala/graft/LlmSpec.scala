@@ -26,6 +26,28 @@ class LlmSpec extends SparkSpec {
     assert(a != b)
   }
 
+  test("incrementalNearDupPairs equals the full run's pairs touching the batch") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = (1L to 40L).map { i =>
+      // clusters of near-identical docs spanning the corpus/batch line
+      (i, base.replace("word60", s"tail${i % 4}"))
+    }.toDF("doc_id", "text")
+    val isNew = col("doc_id") > 32
+    val corpus = docs.filter(!isNew)
+    val full = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .filter(col("a") > 32 || col("b") > 32)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val inc = Dedup.incrementalNearDupPairs(
+        docs.filter(isNew), corpus, Dedup.bandIndex(corpus, "doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(inc == full, s"incremental=${inc.size} full-touching=${full.size}")
+    assert(inc.nonEmpty && inc.exists { case (a, b) => a <= 32 && b > 32 },
+      "must include new-vs-corpus pairs")
+    assert(inc.exists { case (a, b) => a > 32 && b > 32 },
+      "must include new-vs-new pairs")
+  }
+
   test("minHashLshPairs: finds injected near-dups, no identical-band escape") {
     // change the LAST word so only 2 of 58 shingles differ (jaccard ≈ 0.93,
     // deterministic band collision with the fixed seeds)
