@@ -35,6 +35,14 @@ object Curate {
                     shards: Int = 8): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case d => throw new IllegalArgumentException(
+        s"packSequences shards by $idCol % $shards and needs an integral id, got $d — " +
+          "derive a numeric id (or hash one) first; a coerced non-numeric id would " +
+          "collapse every row into one NULL-shard window partition")
+    }
     val id = col(idCol)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__ord"), id)
@@ -65,6 +73,8 @@ object Curate {
     * any engine replays bit-identically. */
   def importanceSample(df: DataFrame, keyCol: String, weightPerMille: Column,
                        salt: String = "imp:", scale: Int = 1000): DataFrame = {
+    require(!df.columns.contains("weight"),
+      "importanceSample reserves the weight column name")
     val h = Text.md5Hash(concat(lit(salt), col(keyCol).cast("string"))) % scale
     // clamp the weight denominator too: weightPerMille > scale means
     // p = 1 (the filter saturates), so the HT weight must be exactly 1,
@@ -137,9 +147,18 @@ object Curate {
     // thresholds then inline as literals, so the final plan is pure
     // pushed filters — the earlier broadcast-prefix formulation
     // recomputed the corpus aggregate once per union branch.
-    val l1 = docs0.groupBy(col(scoreCol).cast(LongType).as("__s"))
-      .agg(sum(col(tokensCol)).as("__gt"))
-      .collect().map(r => (num(r, 0), num(r, 1))).sortBy(-_._1).toSeq
+    val l1rows = docs0.groupBy(col(scoreCol).cast(LongType).as("__s"))
+      .agg(sum(col(tokensCol)).as("__gt"), min(col(tokensCol)).as("__mt"))
+      .collect()
+    // walk()'s early return and the L2 prefix argument need strictly
+    // increasing prefix sums — enforce tokens >= 1 rather than return a
+    // silently wrong selection (the min rides the same agg job, free)
+    l1rows.find(r => num(r, 2) < 1).foreach { r =>
+      throw new IllegalArgumentException(
+        s"selectByTokenBudget needs $tokensCol >= 1 per row; " +
+          s"score group ${num(r, 0)} has min($tokensCol) = ${num(r, 2)}")
+    }
+    val l1 = l1rows.map(r => (num(r, 0), num(r, 1))).sortBy(-_._1).toSeq
     val (wholeScores, boundary) = walk(l1, 0L)
     // whole scores are a PREFIX of the descending score order, so the
     // membership test collapses to one range predicate

@@ -233,15 +233,22 @@ object Dedup {
     val newSig = signatures(newDocs, idCol, textCol, shingleN)
     val allBands = corpusIndex.select(col(idCol), col("band"))
       .unionByName(bandsOf(newSig, idCol))
+    // checkpoint: the capped expansion (the dominant exchange) feeds
+    // both semi-join branches below — same recomputation-per-branch
+    // rationale as signatures()
     val cand = cappedBucketPairs(allBands, "band", col(idCol), maxBucket)
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+      .localCheckpoint(false)
     // keep only pairs touching the new batch: two broadcast hash
     // semi-joins (an OR-of-equalities semi would plan a nested loop)
     val newIds = newSig.select(col(idCol).as("__nid"))
+    // checkpoint again: candNew feeds the two candIds projections plus
+    // the final verify join
     val candNew = cand.join(broadcast(newIds), col("a") === col("__nid"), "left_semi")
       .unionByName(cand.join(broadcast(newIds), col("b") === col("__nid"), "left_semi"))
       .distinct()
+      .localCheckpoint(false)
     // shingle sets: the new batch has them; candidate corpus docs
     // recompute theirs after a semi-join prune
     val candIds = candNew.select(col("a").as(idCol))

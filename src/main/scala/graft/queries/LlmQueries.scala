@@ -863,7 +863,7 @@ object LlmQueries {
     "llm_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % 8 AS shard,
-         |    len(regexp_split_to_array(text, '\\s+'))::BIGINT + 1 AS tokens,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
          |    ${duckHash("('pack:' || doc_id)")} AS h
          |  FROM documents),
          |c AS (SELECT doc_id, shard, tokens,

@@ -35,15 +35,18 @@ object RtdbJsonl {
     val mapper = new ObjectMapper()
     // explicit UTF-8: read() decodes UTF-8 (spark.read.text), so a
     // platform-default charset here would corrupt non-ASCII keys/values
-    // on non-UTF-8 JVMs
-    val writers = (0 until shards).map { i =>
-      new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        new java.io.FileOutputStream(new java.io.File(dir, f"part-$i%05d.jsonl")),
-        java.nio.charset.StandardCharsets.UTF_8))
-    }
+    // on non-UTF-8 JVMs. Writers are built INSIDE the guarded region —
+    // a failing constructor (fd limit, unwritable dir) must not leak
+    // the ones already open.
+    val writers = scala.collection.mutable.ArrayBuffer[java.io.BufferedWriter]()
     var parser: com.fasterxml.jackson.core.JsonParser = null
     var n = 0L
     try {
+      (0 until shards).foreach { i =>
+        writers += new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(new java.io.File(dir, f"part-$i%05d.jsonl")),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
       parser = mapper.getFactory.createParser(new java.io.File(exportPath))
       if (parser.nextToken() == JsonToken.START_OBJECT) {
         while (parser.nextToken() == JsonToken.FIELD_NAME) {
@@ -61,8 +64,17 @@ object RtdbJsonl {
         }
       }
     } finally {
-      if (parser != null) parser.close()
-      writers.foreach(_.close())
+      // parser close errors are swallowed (read side, nothing buffered);
+      // writer close errors PROPAGATE — an unflushed tail is silent
+      // truncation — and every writer is attempted even if one throws
+      if (parser != null) {
+        try parser.close() catch { case _: Exception => () }
+      }
+      var err: Throwable = null
+      writers.foreach { w =>
+        try w.close() catch { case t: Throwable => if (err == null) err = t }
+      }
+      if (err != null) throw err
     }
     n
   }

@@ -67,6 +67,17 @@ class RtdbMicroBatchStream(path: String, numPartitions: Int,
     url match {
       case Some(u) =>
         val keys = new RtdbRestClient(u, authToken).shallowKeys(path)
+        // The batch planner degrades integer-like-keyed paths to one
+        // unpaged fetch (RTDB orders them numerically; lexicographic
+        // cursors skip rows). A STREAM cannot degrade that way — the
+        // cursor itself would be unsound ("10" < "9" lexicographically
+        // means the tail never advances past "9") — so fail loudly.
+        // Push-ID trees, the tailing use case, never trip this.
+        if (keys.exists(RtdbSnapshotSource.integerLike))
+          throw new IllegalStateException(
+            s"cannot tail '$path': integer-like child keys are served in numeric " +
+              "order, which a lexicographic key cursor cannot page soundly — " +
+              "read this path in batch mode instead")
         bump(if (keys.isEmpty) None else Some(keys.max(ord)))
       case None =>
         val idx = RtdbSnapshotSource.indexKeys(path)

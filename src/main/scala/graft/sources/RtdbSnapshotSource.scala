@@ -113,6 +113,14 @@ object RtdbSnapshotSource {
     override def close(): Unit = rafOpt.foreach(_.close())
   }
 
+  /** RTDB orders integer-parseable child keys NUMERICALLY, before all
+    * string keys, while this source's range paging and cursors are
+    * lexicographic — a SUPERSET probe of RTDB's 32-bit-int rule (any
+    * toInt-parseable key, plus any all-digit key however long), shared
+    * by the batch planner's unpaged fallback and the streaming guard. */
+  private[sources] def integerLike(k: String): Boolean =
+    k.toIntOption.isDefined || (k.nonEmpty && k.forall(c => c >= '0' && c <= '9'))
+
   /** Key-sorted index entries striped into at most `parts` balanced
     * slices, one [[RtdbIndexedPartition]] each — shared by the batch
     * scan and the micro-batch stream so the clamp/stripe math cannot
@@ -270,9 +278,7 @@ class RtdbScan(path: String, numPartitions: Int,
     url match {
       case Some(u) =>
         val allKeys = new RtdbRestClient(u, authToken).shallowKeys(path)
-        def integerLike(k: String): Boolean =
-          k.toIntOption.isDefined || (k.nonEmpty && k.forall(c => c >= '0' && c <= '9'))
-        if (allKeys.exists(integerLike))
+        if (allKeys.exists(RtdbSnapshotSource.integerLike))
           return Array(RtdbRangePartition(path, keyLow, keyHighExcl, limit, url,
             authToken, pageSize, unpaged = true))
         val inRange = allKeys.iterator
