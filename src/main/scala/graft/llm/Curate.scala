@@ -7,10 +7,11 @@ import org.apache.spark.sql.types.LongType
 
 /** Corpus-curation operators a training-data pipeline runs between
   * cleaning and tokenization: sequence packing, importance-weighted
-  * sampling, sliding-window chunking. All decisions are pure functions
-  * of the row (md5-derived hashes, literal constants), so reruns,
-  * retries and incremental loads agree — and a DuckDB oracle can
-  * replay every computation exactly.
+  * sampling, token-budget selection, leakage-free splits, and
+  * sliding-window chunking. All decisions are pure functions of the
+  * row (md5-derived hashes, literal constants), so reruns, retries and
+  * incremental loads agree — and a DuckDB oracle can replay every
+  * computation exactly.
   *
   * Scale notes (100 TB):
   *  - packSequences windows PARTITION BY shard — parallelism scales
@@ -18,6 +19,11 @@ import org.apache.spark.sql.types.LongType
   *    file/shard id), never a single global sort.
   *  - importanceSample and chunkSliding are pure map-side expressions
   *    (filter / explode) — no exchange at all.
+  *  - selectByTokenBudget replaces the naive global ordered cumsum
+  *    (single-reducer) with two bounded driver collects + pushed
+  *    filters + one bucket-sized window.
+  *  - leakFreeSplit is one equi-join against the (small) components
+  *    frame plus a map-side hash projection.
   */
 object Curate {
 
