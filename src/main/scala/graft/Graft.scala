@@ -184,6 +184,13 @@ object Graft {
                           tokensCol: String, budget: Long): DataFrame =
     llm.Curate.selectByTokenBudget(docs, idCol, scoreCol, tokensCol, budget)
 
+  /** Corpus mixture balancing: max-min fair token allocation across
+    * sources, applied as deterministic per-source hash sampling. Rows
+    * return with a rate_pm column (the source's acceptance per-mille). */
+  def mixCorpus(docs: DataFrame, sourceCol: String, tokensCol: String,
+                idCol: String, budgetTokens: Long): DataFrame =
+    llm.Curate.mixCorpus(docs, sourceCol, tokensCol, idCol, budgetTokens)
+
   /** Leakage-free train/val split: duplicate clusters stay in one
     * split; decision is a pure hash of the cluster label. */
   def leakFreeSplit(docs: DataFrame, components: DataFrame, idCol: String,

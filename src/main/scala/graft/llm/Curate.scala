@@ -201,6 +201,48 @@ object Curate {
     }
   }
 
+  /** Corpus mixture balancing — max-min fair ("water-filling") token
+    * allocation across sources: every source gets an equal share of the
+    * token budget, except sources smaller than their running share,
+    * which are kept whole and their surplus re-spread over the rest.
+    * The resulting per-source acceptance rates land as integer
+    * per-mille and apply through the same hash-Bernoulli rule as
+    * [[importanceSample]], so the sample is deterministic and
+    * rerun-stable. ONE bounded driver collect (|sources| rows — the
+    * k-means contract again), then a broadcast rate join + a map-side
+    * filter; the corpus crosses no exchange. Ties between equal-total
+    * sources break by source name (ASCII-safe; mirrors the oracle). */
+  def mixCorpus(docs: DataFrame, sourceCol: String, tokensCol: String,
+                idCol: String, budgetTokens: Long,
+                salt: String = "mix:"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val spark = docs.sparkSession
+    val totals = docs.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(sum(col(tokensCol)).as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).toSeq
+    // ascending walk: a source below the running fair share is kept
+    // whole; the first source above it fixes the water level F for
+    // every remaining (larger) source
+    var remaining = budgetTokens
+    var m = totals.size
+    var level = -1L
+    val rates = totals.map { case (s, t) =>
+      if (level < 0) {
+        val fair = remaining / math.max(m, 1)
+        if (t <= fair) { remaining -= t; m -= 1; (s, 1000L) }
+        else { level = fair; (s, math.min(1000L, level * 1000L / t)) }
+      } else (s, math.min(1000L, level * 1000L / t))
+    }
+    import spark.implicits._
+    val rateDf = rates.toDF("__src", "rate_pm")
+    val accept =
+      Text.md5Hash(concat(lit(salt), col(idCol).cast("string"))) % 1000 < col("rate_pm")
+    docs.join(broadcast(rateDf), col(sourceCol).cast("string") === col("__src"))
+      .filter(accept)
+      .drop("__src")
+  }
+
   /** Leakage-free train/validation split: every member of a duplicate
     * cluster lands in the SAME split, so a near-duplicate of a
     * validation document can never appear in training — the

@@ -277,6 +277,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus mixture balancing: water-fill a 26k-token budget across
+    // the 20 sources — at sf0.01 four sources sit under the running
+    // fair share (kept whole, rate 1000‰) and the rest cap at the
+    // water level, so BOTH allocation arms are oracle-checked.
+    "llm_domain_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
+      Curate.mixCorpus(d, "source", "tokens", "doc_id", budgetTokens = 26000L)
+        .groupBy(col("source"), col("rate_pm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tokens")).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Incremental dedup: the doc_id % 10 == 9 slice plays the "new
     // batch"; the rest is the standing corpus contributing only its
     // precomputed band index (no re-signaturing). Must equal the full
@@ -773,6 +787,31 @@ object LlmQueries {
          |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
          |SELECT node AS doc_id, least(node, min(r)) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "llm_domain_mix" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS t FROM tok GROUP BY source),
+         |ord AS (SELECT source, t,
+         |    row_number() OVER (ORDER BY t, source) AS k,
+         |    count(*) OVER () AS n,
+         |    CAST(sum(t) OVER (ORDER BY t, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS BIGINT) AS cumb
+         |  FROM s),
+         |cand AS (SELECT *, (26000 - cumb) // (n - k + 1) AS fk FROM ord),
+         |brk AS (SELECT min(k) AS kstar FROM cand WHERE t > fk),
+         |rates AS (SELECT c.source, c.t,
+         |    CASE WHEN b.kstar IS NULL OR c.k < b.kstar THEN 1000
+         |         ELSE least(1000,
+         |           (SELECT fk FROM cand WHERE k = b.kstar) * 1000 // c.t)
+         |    END AS rate_pm
+         |  FROM cand c, brk b),
+         |kept AS (SELECT tok.source, r.rate_pm, tok.tokens FROM tok
+         |  JOIN rates r ON tok.source = r.source
+         |  WHERE ${duckHash("('mix:' || doc_id)")} % 1000 < r.rate_pm)
+         |SELECT source, CAST(rate_pm AS BIGINT) AS rate_pm,
+         |  count(*)::BIGINT AS n_kept, CAST(sum(tokens) AS BIGINT) AS kept_tokens
+         |FROM kept GROUP BY source, rate_pm ORDER BY source""".stripMargin,
     "llm_dedup_incremental" ->
       s"""WITH ${pairsCtes()}
          |SELECT a, b, jaccard FROM scored

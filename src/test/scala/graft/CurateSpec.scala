@@ -115,6 +115,36 @@ class CurateSpec extends SparkSpec {
     assert(again == split)
   }
 
+  test("mixCorpus: water-filling keeps small sources whole, caps the rest fairly") {
+    // sources: tiny (40 tokens), small (100), two large (400 each)
+    val rows = Seq.tabulate(4)(i => (100L + i, "tiny", 10L)) ++
+      Seq.tabulate(10)(i => (200L + i, "small", 10L)) ++
+      Seq.tabulate(40)(i => (300L + i, "bigA", 10L)) ++
+      Seq.tabulate(40)(i => (400L + i, "bigB", 10L))
+    val df = rows.toDF("doc_id", "source", "tokens")
+    // budget 340: walk asc (tiny 40, small 100, bigA 400, bigB 400):
+    // fair=85 -> tiny whole; fair=100 -> small whole; fair=100 -> bigA
+    // caps at level 100 (rate 250pm), bigB same
+    val out = Curate.mixCorpus(df, "source", "tokens", "doc_id", 340L)
+    val rates = out.select("source", "rate_pm").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("tiny") == 1000L && rates("small") == 1000L)
+    assert(rates.get("bigA").forall(_ == 250L) && rates.get("bigB").forall(_ == 250L))
+    // whole sources keep every row; capped sources keep a strict subset
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("tiny") == 4L && kept("small") == 10L)
+    assert(kept.getOrElse("bigA", 0L) < 40L)
+    // rerun-stable
+    assert(Curate.mixCorpus(df, "source", "tokens", "doc_id", 340L)
+      .select("doc_id").as[Long].collect().toSet ==
+      out.select("doc_id").as[Long].collect().toSet)
+    // budget >= total keeps everything at rate 1000
+    assert(Curate.mixCorpus(df, "source", "tokens", "doc_id", 10000L).count() == 94)
+    // budget 0 keeps nothing
+    assert(Curate.mixCorpus(df, "source", "tokens", "doc_id", 0L).count() == 0)
+  }
+
   test("chunkSliding: short and empty docs yield exactly one chunk") {
     val out = Curate.chunkSliding(docs(1L -> "a b c", 2L -> ""))
       .orderBy("doc_id").collect()
