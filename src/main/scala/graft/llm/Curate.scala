@@ -216,6 +216,8 @@ object Curate {
                 idCol: String, budgetTokens: Long,
                 salt: String = "mix:"): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(!docs.columns.exists(Set("__src", "rate_pm")),
+      "mixCorpus reserves the __src and rate_pm column names")
     val spark = docs.sparkSession
     val totals = docs.groupBy(col(sourceCol).cast("string").as("__src"))
       .agg(sum(col(tokensCol)).as("__t"))
