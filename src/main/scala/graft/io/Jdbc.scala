@@ -96,7 +96,7 @@ object Jdbc {
     // the append, and a lazy `df` (sample/limit/shuffle upstream, or a
     // read of the very table being appended to) re-evaluated then could
     // disagree with the rows that were actually written.
-    val w = Window.partitionBy(col(keyCol)).orderBy(df.columns.map(col): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(df.columns.toIndexedSeq.map(col): _*)
     val ranked = df.withColumn("__rn", row_number().over(w)).localCheckpoint(true)
     val firstPerKey = ranked.filter(col("__rn") === 1).drop("__rn")
     val dupInBatch = ranked.filter(col("__rn") > 1).drop("__rn")

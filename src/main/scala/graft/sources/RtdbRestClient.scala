@@ -73,7 +73,7 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
         val ord = RangePlanner.utf8Order
         val fields: Seq[(String, JsonNode)] =
           if (root == null || !root.isObject) Seq.empty
-          else root.fields().asScala.map(e => e.getKey -> e.getValue).toSeq
+          else root.properties().asScala.map(e => e.getKey -> e.getValue).toSeq
             .sortBy(_._1)(ord)
         val kept = fields.filter { case (k, _) => toExclusive.forall(ord.lt(k, _)) }
         buf = kept.collect { case (k, v) if v.isObject => k -> v.toString }.iterator
@@ -96,7 +96,7 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
   def fetchAll(path: String): Iterator[(String, String)] = {
     val root = mapper.readTree(get(buildUrl(path, Nil)))
     if (root == null || !root.isObject) Iterator.empty
-    else root.fields().asScala.map(e => e.getKey -> e.getValue).toSeq
+    else root.properties().asScala.map(e => e.getKey -> e.getValue).toSeq
       .sortBy(_._1)(RangePlanner.utf8Order)
       .collect { case (k, v) if v.isObject => k -> v.toString }.iterator
   }
