@@ -7,11 +7,11 @@ import org.apache.spark.sql.types.LongType
 
 /** Corpus-curation operators a training-data pipeline runs between
   * cleaning and tokenization: sequence packing, importance-weighted
-  * sampling, token-budget selection, leakage-free splits, and
-  * sliding-window chunking. All decisions are pure functions of the
-  * row (md5-derived hashes, literal constants), so reruns, retries and
-  * incremental loads agree — and a DuckDB oracle can replay every
-  * computation exactly.
+  * sampling, token-budget selection, corpus mixture balancing,
+  * leakage-free splits, and sliding-window chunking. All decisions are
+  * pure functions of the row (md5-derived hashes, literal constants),
+  * so reruns, retries and incremental loads agree — and a DuckDB
+  * oracle can replay every computation exactly.
   *
   * Scale notes (100 TB):
   *  - packSequences windows PARTITION BY shard — parallelism scales
@@ -24,8 +24,18 @@ import org.apache.spark.sql.types.LongType
   *    filters + one bucket-sized window.
   *  - leakFreeSplit is one equi-join against the (small) components
   *    frame plus a map-side hash projection.
+  *  - mixCorpus is one bounded driver collect (per-source totals) plus
+  *    a broadcast rate join and a map-side filter.
   */
 object Curate {
+
+  /** The shared accept rule every sampling operator here uses: a salted
+    * md5 of the key, reduced mod `scale`, compared against an integer
+    * rate. One definition so the hash contract cannot drift between
+    * operators (each oracle interpolates the same literal recipe). */
+  private def hashAccept(salt: String, key: Column, rate: Column,
+                         scale: Int = 1000): Column =
+    Text.md5Hash(concat(lit(salt), key.cast("string"))) % scale < rate
 
   /** Sequence packing — GPT-style concat-and-chunk. Documents are laid
     * end to end in a deterministic hash-shuffled order within each
@@ -81,13 +91,12 @@ object Curate {
                        salt: String = "imp:", scale: Int = 1000): DataFrame = {
     require(!df.columns.contains("weight"),
       "importanceSample reserves the weight column name")
-    val h = Text.md5Hash(concat(lit(salt), col(keyCol).cast("string"))) % scale
     // clamp the weight denominator too: weightPerMille > scale means
     // p = 1 (the filter saturates), so the HT weight must be exactly 1,
     // not scale/weight < 1 — an unclamped weight silently biases every
     // downstream weighted sum low
     val p = least(weightPerMille, lit(scale.toLong)).cast("double")
-    df.filter(h < weightPerMille)
+    df.filter(hashAccept(salt, col(keyCol), weightPerMille, scale))
       .withColumn("weight", lit(scale.toDouble) / p)
   }
 
@@ -221,11 +230,25 @@ object Curate {
     val spark = docs.sparkSession
     val totals = docs.groupBy(col(sourceCol).cast("string").as("__src"))
       .agg(sum(col(tokensCol)).as("__t"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map { r =>
+        // fail fast like selectByTokenBudget: a NULL source would NPE
+        // the driver sort below (and its rows would silently vanish in
+        // the rate join); an all-NULL tokens group has a NULL sum
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"mixCorpus: NULL $sourceCol encountered — sources must be non-null")
+        if (r.isNullAt(1)) throw new IllegalArgumentException(
+          s"mixCorpus: source '${r.getString(0)}' has NULL sum($tokensCol)")
+        (r.getString(0), r.getLong(1))
+      }
       .sortBy(t => (t._2, t._1)).toSeq
     // ascending walk: a source below the running fair share is kept
     // whole; the first source above it fixes the water level F for
-    // every remaining (larger) source
+    // every remaining (larger) source. Rates go through BigInt — at
+    // petascale budgets level*1000 overflows Long (the rate is still
+    // well-defined; only the oracle SQL's BIGINT arithmetic saturates
+    // earlier).
+    def rateOf(level: Long, t: Long): Long =
+      (BigInt(level) * 1000 / BigInt(t)).min(1000).toLong
     var remaining = budgetTokens
     var m = totals.size
     var level = -1L
@@ -233,15 +256,13 @@ object Curate {
       if (level < 0) {
         val fair = remaining / math.max(m, 1)
         if (t <= fair) { remaining -= t; m -= 1; (s, 1000L) }
-        else { level = fair; (s, math.min(1000L, level * 1000L / t)) }
-      } else (s, math.min(1000L, level * 1000L / t))
+        else { level = fair; (s, rateOf(level, t)) }
+      } else (s, rateOf(level, t))
     }
     import spark.implicits._
     val rateDf = rates.toDF("__src", "rate_pm")
-    val accept =
-      Text.md5Hash(concat(lit(salt), col(idCol).cast("string"))) % 1000 < col("rate_pm")
     docs.join(broadcast(rateDf), col(sourceCol).cast("string") === col("__src"))
-      .filter(accept)
+      .filter(hashAccept(salt, col(idCol), col("rate_pm")))
       .drop("__src")
   }
 
@@ -267,7 +288,7 @@ object Curate {
     val lbl = coalesce(col("__cc_label"), col(idCol))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("split",
-        when(Text.md5Hash(concat(lit(salt), lbl.cast("string"))) % 1000 < trainPerMille,
+        when(hashAccept(salt, lbl, lit(trainPerMille)),
           lit("train")).otherwise(lit("val")))
       .drop("__cc_label")
   }

@@ -129,7 +129,9 @@ class CurateSpec extends SparkSpec {
     val rates = out.select("source", "rate_pm").distinct()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rates("tiny") == 1000L && rates("small") == 1000L)
-    assert(rates.get("bigA").forall(_ == 250L) && rates.get("bigB").forall(_ == 250L))
+    // direct lookups: at 250 per mille over 40 deterministic hashes both
+    // sources keep rows, so a missing key means the capped arm broke
+    assert(rates("bigA") == 250L && rates("bigB") == 250L)
     // whole sources keep every row; capped sources keep a strict subset
     val kept = out.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
