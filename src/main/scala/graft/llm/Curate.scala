@@ -246,9 +246,16 @@ object Curate {
     // every remaining (larger) source. Rates go through BigInt — at
     // petascale budgets level*1000 overflows Long (the rate is still
     // well-defined; only the oracle SQL's BIGINT arithmetic saturates
-    // earlier).
+    // earlier). The per-mille floor is clamped to >= 1 whenever the
+    // water level is positive: a source more than 1000× the level
+    // would otherwise floor to rate 0 and silently receive ZERO
+    // allocation despite the max-min-fair intent — on a skewed corpus
+    // the dominant source is exactly the one that hits this. The
+    // clamp over-admits that source by at most level·(1000/t) ≈ 0.1%
+    // of the budget per clamped source; the oracle mirrors it.
     def rateOf(level: Long, t: Long): Long =
-      (BigInt(level) * 1000 / BigInt(t)).min(1000).toLong
+      (BigInt(level) * 1000 / BigInt(t)).min(1000)
+        .max(if (level > 0) 1 else 0).toLong
     var remaining = budgetTokens
     var m = totals.size
     var level = -1L

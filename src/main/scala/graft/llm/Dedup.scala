@@ -231,7 +231,15 @@ object Dedup {
                               threshold: Double = 0.5, shingleN: Int = 3,
                               maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val newSig = signatures(newDocs, idCol, textCol, shingleN)
+    val newIds = newSig.select(col(idCol).as("__nid"))
+    // overlapping inputs (corpus already containing the batch) must not
+    // present a doc's bands twice to the bucket cap — a doubled bucket
+    // count near maxBucket would drop buckets a full recomputation
+    // keeps. The new frame wins (same rule as corpusHs below); a
+    // broadcast anti-join is O(index) map-side, vs a distinct() on the
+    // union which would cost a full extra exchange of every band row.
     val allBands = corpusIndex.select(col(idCol), col("band"))
+      .join(broadcast(newIds), col(idCol) === col("__nid"), "left_anti")
       .unionByName(bandsOf(newSig, idCol))
     // checkpoint: the capped expansion (the dominant exchange) feeds
     // both semi-join branches below — same recomputation-per-branch
@@ -242,7 +250,6 @@ object Dedup {
       .localCheckpoint(false)
     // keep only pairs touching the new batch: two broadcast hash
     // semi-joins (an OR-of-equalities semi would plan a nested loop)
-    val newIds = newSig.select(col(idCol).as("__nid"))
     // checkpoint again: candNew feeds the two candIds projections plus
     // the final verify join
     val candNew = cand.join(broadcast(newIds), col("a") === col("__nid"), "left_semi")

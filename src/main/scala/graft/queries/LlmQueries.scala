@@ -802,8 +802,11 @@ object LlmQueries {
          |brk AS (SELECT min(k) AS kstar FROM cand WHERE t > fk),
          |rates AS (SELECT c.source, c.t,
          |    CASE WHEN b.kstar IS NULL OR c.k < b.kstar THEN 1000
-         |         ELSE least(1000,
-         |           (SELECT fk FROM cand WHERE k = b.kstar) * 1000 // c.t)
+         |         ELSE greatest(
+         |           least(1000,
+         |             (SELECT fk FROM cand WHERE k = b.kstar) * 1000 // c.t),
+         |           CASE WHEN (SELECT fk FROM cand WHERE k = b.kstar) > 0
+         |                THEN 1 ELSE 0 END)
          |    END AS rate_pm
          |  FROM cand c, brk b),
          |kept AS (SELECT tok.source, r.rate_pm, tok.tokens FROM tok
@@ -901,7 +904,7 @@ object LlmQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_pack_sequences" ->
       s"""WITH t AS (
-         |  SELECT doc_id, doc_id % 8 AS shard,
+         |  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
          |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
          |    ${duckHash("('pack:' || doc_id)")} AS h
          |  FROM documents),

@@ -82,10 +82,15 @@ object RtdbJsonl {
   /** Read a staged directory back as the standard RTDB frame
     * (id, uid, json). Byte-range splittable text scan — parallelism is
     * Spark's own file splitting, no planner enumeration, no driver
-    * state; the JSON field extraction is a codegen'd projection. */
+    * state. ONE `from_json` parse per line (a StringType field captures
+    * the `v` object's raw JSON — Jackson re-emits it compactly, the
+    * same form `stage` wrote); the earlier three-`get_json_object`
+    * projection tokenized every line three times — 3× the parse CPU of
+    * the whole scan on a staged-corpus re-read. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.textFile(dir).toDF("line")
-      .select(get_json_object(col("line"), "$.k").as("id"),
-        get_json_object(col("line"), "$.k").as("uid"),
-        get_json_object(col("line"), "$.v").as("json"))
+      .select(from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL("k string, v string")).as("__r"))
+      .select(col("__r.k").as("id"), col("__r.k").as("uid"),
+        col("__r.v").as("json"))
 }

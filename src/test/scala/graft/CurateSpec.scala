@@ -147,6 +147,30 @@ class CurateSpec extends SparkSpec {
     assert(Curate.mixCorpus(df, "source", "tokens", "doc_id", 0L).count() == 0)
   }
 
+  test("mixCorpus: a source over 1000x the water level still gets rate 1, not 0") {
+    // small: 10 tokens; dom: 5000 docs x 20 = 100k tokens. Budget 60:
+    // small is under fair share (30) -> whole; dom's water level is the
+    // remaining 50, and 50*1000/100000 floors to 0 -- the starvation
+    // case. The clamp must allocate rate 1 per mille instead.
+    val rows = Seq((1L, "small", 10L)) ++
+      Seq.tabulate(5000)(i => (100L + i, "dom", 20L))
+    val out = Curate.mixCorpus(rows.toDF("doc_id", "source", "tokens"),
+      "source", "tokens", "doc_id", 60L)
+    val bySrc = out.groupBy("source").agg(
+        max("rate_pm").as("rate_pm"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySrc("small") == ((1000L, 1L)))
+    // ~5 of 5000 ids pass a 1-per-mille deterministic hash; the exact
+    // set is fixed, the point is it is NON-empty at rate exactly 1
+    assert(bySrc.contains("dom"), "dominant source starved to zero rows")
+    assert(bySrc("dom")._1 == 1L && bySrc("dom")._2 >= 1L)
+    // a zero water level (fair share rounds to 0 tokens) still yields
+    // rate 0 -- the clamp only fires when level > 0
+    val out0 = Curate.mixCorpus(rows.toDF("doc_id", "source", "tokens"),
+      "source", "tokens", "doc_id", 1L)
+    assert(out0.count() == 0L)
+  }
+
   test("chunkSliding: short and empty docs yield exactly one chunk") {
     val out = Curate.chunkSliding(docs(1L -> "a b c", 2L -> ""))
       .orderBy("doc_id").collect()

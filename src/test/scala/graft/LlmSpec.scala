@@ -48,6 +48,27 @@ class LlmSpec extends SparkSpec {
       "must include new-vs-new pairs")
   }
 
+  test("incrementalNearDupPairs: overlapping corpus does not double bucket counts") {
+    // 6 near-identical docs = one LSH bucket of size 6 per band. The
+    // corpus ALREADY CONTAINS the batch (docs 5-6), the overlap case the
+    // docstring supports. With maxBucket = 6 a doubled presentation of
+    // the batch's bands (6 corpus + 2 batch rows = 8 > 6) would drop the
+    // bucket and lose every pair; deduped bands keep it at exactly 6.
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = (1L to 6L).map(i => (i, base)).toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") > 4)
+    val full = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = 6)
+      .filter(col("a") > 4 || col("b") > 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val inc = Dedup.incrementalNearDupPairs(
+        batch, docs, Dedup.bandIndex(docs, "doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, maxBucket = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(full.size == 9, s"sanity: 6*5/2 - C(4,2) = 9, got ${full.size}")
+    assert(inc == full, s"incremental=${inc.size} full-touching=${full.size}")
+  }
+
   test("minHashLshPairs: finds injected near-dups, no identical-band escape") {
     // change the LAST word so only 2 of 58 shingles differ (jaccard ≈ 0.93,
     // deterministic band collision with the fixed seeds)

@@ -153,6 +153,11 @@ class RtdbSourceSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".jsonl")) == 3)
     val staged = RtdbJsonl.read(spark, out)
     assert(staged.columns.toSeq == df.columns.toSeq)
+    // single parse per line: one JsonToStructs, never a per-field
+    // GetJsonObject re-tokenization (3x parse CPU on a corpus re-read)
+    val plan = staged.queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("get_json_object"), plan)
     val direct = df.select("id", "json").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val viaJsonl = staged.select("id", "json").collect()
