@@ -47,6 +47,93 @@ private[sources] object RangePlanner {
     }
   }
 
+  /** Code-point valuation depth for [[probeBounds]]' bisection: keys
+    * are compared through their first `ValuationDigits` code points.
+    * Deep enough that real key families (20-char push IDs sharing a
+    * ~6-char time prefix) still separate; keys identical through all
+    * 12 code points collapse to one un-splittable interval — costing
+    * balance, never rows. */
+  private val ValuationDigits = 12
+
+  /** Surrogate-free code-point alphabet: strings are base-`AlphabetN`
+    * digit sequences under [[utf8Order]]. The surrogate gap
+    * (0xD800-0xDFFF) is squeezed out so rendered midpoints are always
+    * valid Java strings. */
+  private val AlphabetN = 0x110000 - 0x800
+  private def cpIndex(cp: Int): Int = if (cp < 0xD800) cp else cp - 0x800
+  private def indexCp(i: Int): Int = if (i < 0xD800) i else i + 0x800
+
+  /** BigInt valuation of a key's first [[ValuationDigits]] code points
+    * (zero-padded) — monotone w.r.t. [[utf8Order]] up to that depth. */
+  private[sources] def keyValue(s: String): BigInt = {
+    val cps = s.codePoints().toArray
+    (0 until ValuationDigits).foldLeft(BigInt(0)) { (acc, i) =>
+      acc * AlphabetN + (if (i < cps.length) cpIndex(cps(i)) else 0)
+    }
+  }
+
+  /** The [[ValuationDigits]]-code-point string at the valuation
+    * midpoint of (lo, hi) — a synthetic probe CURSOR, not a key; the
+    * keyset probe snaps it to the first real key at or after it. */
+  private[sources] def keyMidpoint(lo: String, hi: String): String = {
+    var v = (keyValue(lo) + keyValue(hi)) / 2
+    val digits = new Array[Int](ValuationDigits)
+    var i = ValuationDigits - 1
+    while (i >= 0) { digits(i) = (v % AlphabetN).toInt; v /= AlphabetN; i -= 1 }
+    val sb = new java.lang.StringBuilder(ValuationDigits + 4)
+    digits.foreach(d => sb.appendCodePoint(indexCp(d)))
+    sb.toString
+  }
+
+  /** Up to `parts - 1` interior split bounds for a live key range,
+    * found by adaptive bisection of the code-point key space with
+    * single-key keyset probes — `probe(c)` must return the first key at
+    * or after cursor `c` (one `orderBy="$key"&startAt&limitToFirst=1`
+    * request, payload = one child), or None past the end. NO key
+    * enumeration anywhere: driver memory is O(parts), and at most
+    * `budget` probes are issued. Each probe either yields a split key
+    * (midpoint snapped to a real key inside the widest interval) or
+    * halves that interval's valuation width (no key in its upper half),
+    * so uniformly-spread key families — push IDs, hashed ids, the
+    * RTDB-at-scale shape — split in O(parts) probes, while adversarial
+    * clustering degrades toward the budget and costs balance only:
+    * returned bounds always tile `[lo, hiExcl)` into valid ranges. */
+  def probeBounds(lo: String, hiExcl: String, parts: Int,
+                  probe: String => Option[String], budget: Int): Seq[String] = {
+    val ord = utf8Order
+    if (parts <= 1 || ord.gteq(lo, hiExcl)) return Nil
+    case class Iv(from: String, to: String) {
+      val width: BigInt = keyValue(to) - keyValue(from)
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[Iv](Ordering.by(_.width))
+    pq += Iv(lo, hiExcl)
+    val bounds = scala.collection.mutable.TreeSet.empty[String](ord)
+    var probes = 0
+    while (bounds.size < parts - 1 && pq.nonEmpty && probes < budget) {
+      val iv = pq.dequeue()
+      if (iv.width > 0) {
+        val m = keyMidpoint(iv.from, iv.to)
+        // the valuation collapses keys identical through ValuationDigits
+        // code points; a midpoint outside (from, to) means the interval
+        // cannot be refined — drop it, losing balance only
+        if (ord.gt(m, iv.from) && ord.lt(m, iv.to)) {
+          probes += 1
+          probe(m) match {
+            case Some(k) if ord.lt(k, iv.to) =>
+              // k >= m > from: a real key strictly inside the interval
+              bounds += k
+              pq += Iv(iv.from, k)
+              pq += Iv(k, iv.to)
+            case _ =>
+              // no key in [m, to): every remaining key sits below m
+              pq += Iv(iv.from, m)
+          }
+        }
+      }
+    }
+    bounds.toSeq
+  }
+
   /** At most `parts - 1` sorted, distinct interior split points drawn
     * evenly from an ordered sample — shared by the stride-sample and
     * scatter-sample planners so the tiling invariant (property-tested

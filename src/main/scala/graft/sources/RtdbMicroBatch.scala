@@ -25,8 +25,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   *    contract as any polling source).
   *
   * Each batch plans with the SAME machinery as the batch scan: the
-  * byte-offset index offline (seek-based readers), shallow keys + range
-  * fetches live. */
+  * byte-offset index offline (seek-based readers), single-key probes +
+  * keyset-paged range fetches live. */
 class RtdbMicroBatchStream(path: String, numPartitions: Int,
                            url: Option[String], authToken: Option[String],
                            pageSize: Int)
@@ -66,19 +66,24 @@ class RtdbMicroBatchStream(path: String, numPartitions: Int,
   override def latestOffset(): Offset = {
     url match {
       case Some(u) =>
-        val keys = new RtdbRestClient(u, authToken).shallowKeys(path)
+        // Two single-key probes per trigger — never the unpaginated
+        // `shallow=true` listing, whose size grows with the whole tree
+        // while the new tail stays small.
+        val client = new RtdbRestClient(u, authToken)
         // The batch planner degrades integer-like-keyed paths to one
         // unpaged fetch (RTDB orders them numerically; lexicographic
         // cursors skip rows). A STREAM cannot degrade that way — the
         // cursor itself would be unsound ("10" < "9" lexicographically
         // means the tail never advances past "9") — so fail loudly.
+        // ONE probe suffices: integer-like keys are served FIRST, so
+        // the globally-first key is integer-like iff any key is.
         // Push-ID trees, the tailing use case, never trip this.
-        if (keys.exists(RtdbSnapshotSource.integerLike))
+        if (client.firstKeyAt(path).exists(RtdbSnapshotSource.integerLike))
           throw new IllegalStateException(
             s"cannot tail '$path': integer-like child keys are served in numeric " +
               "order, which a lexicographic key cursor cannot page soundly — " +
               "read this path in batch mode instead")
-        bump(if (keys.isEmpty) None else Some(keys.max(ord)))
+        bump(client.lastKey(path))
       case None =>
         val idx = RtdbSnapshotSource.indexKeys(path)
         val mx = if (idx.isEmpty) None else Some(idx.map(_._1).max(ord))

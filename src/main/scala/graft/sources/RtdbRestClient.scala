@@ -38,11 +38,40 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
     Http.request(url, maxRetries = maxRetries, backoffMs = backoffMs)
 
   /** Key enumeration without payloads (`shallow=true` returns
-    * `{key: true, ...}`). */
+    * `{key: true, ...}`) — UNPAGINATED by the service, so only sound
+    * for trees whose key listing fits one response; the DSv2 planner
+    * and the streaming cursor use single-key probes ([[firstKeyAt]] /
+    * [[lastKey]]) instead. Sorted in code-point order, the one key
+    * order this codebase uses (a UTF-16 `.sorted` disagrees above
+    * U+FFFF). */
   def shallowKeys(path: String): Seq[String] = {
     val root = mapper.readTree(get(buildUrl(path, Seq("shallow" -> "true"))))
     if (root == null || !root.isObject) Seq.empty
-    else root.fieldNames().asScala.toSeq.sorted
+    else root.fieldNames().asScala.toSeq.sorted(RangePlanner.utf8Order)
+  }
+
+  /** Single-key keyset probe: the first child key at or after `startAt`
+    * (service key order), or the globally first key when absent. One
+    * `orderBy="$key"&limitToFirst=1` request; payload cost = exactly
+    * one child. The planner's bisection and the streaming guard are
+    * built on this — unlike `shallow=true` it needs no full key
+    * listing, so it works on trees of any size. */
+  def firstKeyAt(path: String, startAt: Option[String] = None): Option[String] = {
+    val params = Seq("orderBy" -> Http.jsonString("$key")) ++
+      startAt.map(s => "startAt" -> Http.jsonString(s)) ++
+      Seq("limitToFirst" -> "1")
+    val root = mapper.readTree(get(buildUrl(path, params)))
+    if (root == null || !root.isObject) None
+    else root.fieldNames().asScala.minOption(RangePlanner.utf8Order)
+  }
+
+  /** Single-key probe for the LAST child key (`limitToLast=1`) — the
+    * streaming high-water mark, without enumerating anything. */
+  def lastKey(path: String): Option[String] = {
+    val params = Seq("orderBy" -> Http.jsonString("$key"), "limitToLast" -> "1")
+    val root = mapper.readTree(get(buildUrl(path, params)))
+    if (root == null || !root.isObject) None
+    else root.fieldNames().asScala.maxOption(RangePlanner.utf8Order)
   }
 
   /** Range read [from, toExclusive) as lazily-paged (key, json) rows —

@@ -15,13 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
 /** DataSource V2 source for Firebase-RTDB-export snapshots — the scale
   * path for S1 (`firebase_service.py:110-218`). The reference reads the
   * whole `/Users` tree into driver memory; at 100 TB the tree must be
-  * sharded. The live RTDB REST API supports exactly that via
-  * `shallow=true` (list keys) + `orderBy="$key"&startAt/endAt` (range
-  * reads), so the planner here is: enumerate keys cheaply, split into
-  * N sorted key ranges, one InputPartition per range, each reader
-  * fetching only its range. Offline, ONE driver-side tokenization
-  * builds a (key, byte-offset) index and each reader seeks straight to
-  * its own subtrees — I/O differs, the plan shape is the engine's.
+  * sharded. Live, the planner finds split bounds with single-key
+  * KEYSET PROBES (`orderBy="$key"&startAt&limitToFirst=1` bisection —
+  * RangePlanner.probeBounds), then plans one InputPartition per sorted
+  * key range, each reader keyset-paging only its range; no key
+  * enumeration ever happens, so trees whose key listing exceeds one
+  * response (the unpaginated `shallow=true` ceiling) plan fine.
+  * Offline, ONE driver-side tokenization builds a (key, byte-offset)
+  * index and each reader seeks straight to its own subtrees — I/O
+  * differs, the plan shape is the engine's.
   *
   * Key-range filter pushdown (S2 point lookups, `firebase_service.py:
   * 220-254`) prunes partitions whose range can't contain the key.
@@ -230,15 +232,16 @@ class RtdbScan(path: String, numPartitions: Int,
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new RtdbMicroBatchStream(path, numPartitions, url, authToken, pageSize)
 
-  /** Shard the (filtered) key space into contiguous ranges. Key
-    * enumeration is the cheap call on either transport: streamed field
-    * names offline, `shallow=true` against the live service. Both
-    * transports MATERIALIZE the key list for the numeric-key probe
-    * (and the shallow response is unpaginated anyway), so enumeration
-    * is O(|keys|) transient driver memory; the stride sample only
-    * bounds the RETAINED planning state at O(numPartitions). For trees
-    * whose key listing itself is too big, the `splitPoints` option
-    * (checked first) plans with zero enumeration.
+  /** Shard the (filtered) key space into contiguous ranges. Offline,
+    * streamed field names give the key list in one tokenization (that
+    * pass also builds the byte-offset index, so it is not extra work).
+    * Live, NO enumeration happens at all: split bounds come from
+    * bounded single-key keyset probes (RangePlanner.probeBounds) —
+    * O(numPartitions) driver memory and a budgeted probe count, so
+    * trees whose key listing exceeds one `shallow=true` response (the
+    * service's listing is unpaginated) still auto-plan. The
+    * `splitPoints` option (checked first) skips even the probes when
+    * the caller knows the key space.
     *
     * GUARD (live transport only): RTDB orders integer-parseable child
     * keys NUMERICALLY, before all string keys, while range paging and
@@ -277,15 +280,38 @@ class RtdbScan(path: String, numPartitions: Int,
     }
     url match {
       case Some(u) =>
-        val allKeys = new RtdbRestClient(u, authToken).shallowKeys(path)
-        if (allKeys.exists(RtdbSnapshotSource.integerLike))
+        // Live planning by single-key KEYSET PROBES — never the
+        // unpaginated `shallow=true` listing, which cannot be issued at
+        // all against a tree whose key list exceeds one response (the
+        // exact tree that needs sharding most). Each probe is one
+        // `orderBy="$key"&startAt&limitToFirst=1` request costing one
+        // child payload; probe count is bounded by the planner budget.
+        val client = new RtdbRestClient(u, authToken)
+        // Numeric guard with ONE probe: RTDB serves integer-parseable
+        // keys numerically FIRST, so the globally-first key is
+        // integer-like iff any key on the path is.
+        val firstAll = client.firstKeyAt(path) match {
+          case None => return Array.empty
+          case Some(k) => k
+        }
+        if (RtdbSnapshotSource.integerLike(firstAll))
           return Array(RtdbRangePartition(path, keyLow, keyHighExcl, limit, url,
             authToken, pageSize, unpaged = true))
-        val inRange = allKeys.iterator
-          .filter(k => keyLow.forall(ord.gteq(k, _)) && keyHighExcl.forall(ord.lt(k, _)))
-        val (count, bounds) =
-          RangePlanner.splitBounds(inRange, numPartitions, ord)
-        if (count == 0L) return Array.empty
+        // snap the range low end to the first REAL key inside it
+        val loK = (keyLow match {
+          case Some(l) if ord.lt(firstAll, l) => client.firstKeyAt(path, Some(l))
+          case _ => Some(firstAll)
+        }) match {
+          case Some(k) if keyHighExcl.forall(ord.lt(k, _)) => k
+          case _ => return Array.empty // no key in the pushed range
+        }
+        // bisection upper cursor: the pushed bound if tighter, else the
+        // successor of the last real key (one more probe)
+        val lastSucc = client.lastKey(path).getOrElse(firstAll) + Char.MinValue
+        val hiEx = keyHighExcl.filter(ord.lt(_, lastSucc)).getOrElse(lastSucc)
+        val bounds = RangePlanner.probeBounds(loK, hiEx, numPartitions,
+          c => client.firstKeyAt(path, Some(c)),
+          budget = RangePlanner.SamplesPerSplit * numPartitions)
         val froms = keyLow +: bounds.map(Some(_))
         val tos = bounds.map(Some(_)) :+ keyHighExcl
         froms.lazyZip(tos).map { case (from, to) =>

@@ -59,11 +59,13 @@ class RtdbRestSpec extends SparkSpec {
             val from = param(q, "startAt").map(unquote)
             val to = param(q, "endAt").map(unquote)
             val limit = param(q, "limitToFirst").map(_.toInt).getOrElse(Int.MaxValue)
+            val limitLast = param(q, "limitToLast").map(_.toInt)
             // NOTE: range comparison here stays in the dataset's serve
             // order; for /Numeric, paged range reads never happen (the
             // planner must fall back to one unpaged fetch)
-            ds.filter { case (k, _) => from.forall(k >= _) && to.forall(k <= _) }
-              .take(limit)
+            val inRange = ds.filter { case (k, _) =>
+              from.forall(k >= _) && to.forall(k <= _) }
+            limitLast.fold(inRange.take(limit))(n => inRange.takeRight(n))
               .map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}")
           }
         val bytes = body.getBytes("UTF-8")
@@ -129,12 +131,18 @@ class RtdbRestSpec extends SparkSpec {
     assert(rows(viaFile).size == 25)
   }
 
-  test("DSv2 url mode: sharded REST scan matches snapshot, point lookup prunes") {
+  test("DSv2 url mode: probe-planned REST scan matches snapshot, never lists keys") {
+    requests.synchronized(requests.clear())
     val df = spark.read.format("graft.sources.RtdbSnapshotSource")
       .option("path", "Users").option("url", base)
       .option("numPartitions", "4").option("pageSize", "7").load()
     assert(df.count() == 25) // scalar child skipped
-    assert(df.rdd.getNumPartitions == 4)
+    assert(df.rdd.getNumPartitions == 4,
+      "keyset-probe bisection must find numPartitions-1 split bounds here")
+    // the r7 scale gap, closed: planning works on trees whose key
+    // listing exceeds one response, because it never requests one
+    assert(!requests.synchronized(requests.toList).exists(_.contains("shallow")),
+      "probe planning must never issue the unpaginated shallow listing")
     val one = df.filter(col("id") === "u07").collect()
     assert(one.length == 1 && one(0).getAs[String]("json").contains("u7@x.com"))
   }

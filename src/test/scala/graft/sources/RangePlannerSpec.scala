@@ -131,6 +131,52 @@ class RangePlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("probeBounds: clustered keys split within budget; bounds are real keys") {
+    val ord = RangePlanner.utf8Order
+    // tight cluster plus a far outlier — worst case for one-shot
+    // interpolation, handled by adaptive bisection
+    val keys = ((1 to 25).map(i => f"u$i%02d") :+ "zzz-scalar").sorted(ord)
+    var probes = 0
+    def probe(c: String): Option[String] = { probes += 1; keys.find(ord.gteq(_, c)) }
+    val bounds = RangePlanner.probeBounds("u01", "zzz-scalar ", 4, probe, 128)
+    assert(bounds.size == 3, s"want 3 bounds, got $bounds after $probes probes")
+    assert(probes <= 128)
+    assert(bounds == bounds.sorted(ord) && bounds.distinct == bounds)
+    assert(bounds.forall(b => ord.gt(b, "u01") && keys.contains(b)))
+  }
+
+  test("probeBounds: uniform key space splits in few probes (the 100 TB shape)") {
+    val ord = RangePlanner.utf8Order
+    val uniform = (0 until 256).map(i => f"$i%03d-key").sorted(ord)
+    var probes = 0
+    def probe(c: String): Option[String] = { probes += 1; uniform.find(ord.gteq(_, c)) }
+    val b = RangePlanner.probeBounds(uniform.head, uniform.last + " ", 8, probe, 256)
+    assert(b.size == 7, s"got $b")
+    // a handful of probes per split (each is one single-child request),
+    // vs enumerating all 256 keys — the planning cost stays O(parts)
+    assert(probes <= 64, s"uniform split took $probes probes")
+  }
+
+  test("probeBounds: budget exhaustion and degenerate ranges degrade, never fail") {
+    val ord = RangePlanner.utf8Order
+    val keys = (1 to 25).map(i => f"u$i%02d")
+    var probes = 0
+    def probe(c: String): Option[String] = { probes += 1; keys.find(ord.gteq(_, c)) }
+    val b = RangePlanner.probeBounds("u01", "u25 ", 16, probe, 5)
+    assert(probes <= 5 && b.size <= 15)
+    // empty / inverted / single-part ranges produce no bounds, no probes
+    probes = 0
+    assert(RangePlanner.probeBounds("b", "a", 4, probe, 10).isEmpty)
+    assert(RangePlanner.probeBounds("a", "z", 1, probe, 10).isEmpty)
+    assert(probes == 0)
+    // identical-prefix collapse: keys equal through the valuation depth
+    // cannot be split — bounds may be empty, but nothing throws
+    val deep = Seq("p" * 20 + "a", "p" * 20 + "b")
+    def probeD(c: String): Option[String] = deep.find(ord.gteq(_, c))
+    val bd = RangePlanner.probeBounds(deep.head, deep.last + " ", 4, probeD, 50)
+    assert(bd.forall(k => deep.contains(k)))
+  }
+
   test("fewer keys than partitions, empty input, custom ordering") {
     assert(RangePlanner.splitBounds(Iterator.empty, 4, lex) == ((0L, Nil)))
     val (c1, b1) = RangePlanner.splitBounds(Iterator("b", "a"), 8, lex)
