@@ -32,7 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("url", ...).option("projectId", ...).option("kind", "User")
   *   .option("numPartitions", "8").load()
   */
-class DatastoreSource extends TableProvider {
+class DatastoreSource extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  /** `spark.read.format("graft-datastore")` — registered via
+    * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister. */
+  override def shortName(): String = "graft-datastore"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DatastoreSource.schema
 

@@ -35,7 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * response, .option("splitPoints", "f,m,s") shards without any key
   * enumeration (string-keyed paths only).
   */
-class RtdbSnapshotSource extends TableProvider {
+class RtdbSnapshotSource extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+  /** `spark.read.format("graft-rtdb")` — registered via
+    * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister. */
+  override def shortName(): String = "graft-rtdb"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RtdbSnapshotSource.schema
 

@@ -52,6 +52,13 @@ class DatastoreSpec extends SparkSpec {
 
   private val bodies = mutable.ArrayBuffer[String]()
   private val failNext = new AtomicInteger(0)
+  private val rateLimit = new AtomicInteger(0) // >0: 429 the next N requests
+  // >0: serve ONE mid-stream empty page with NOT_FINISHED and an
+  // advancing epoch cursor — the time-sliced-scan shape the real
+  // service can produce; termination must follow moreResults, not
+  // row count
+  private val emptyPageOnce = new AtomicInteger(0)
+  private val scramblePages = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private lazy val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -60,6 +67,8 @@ class DatastoreSpec extends SparkSpec {
       bodies.synchronized { bodies += body }
       if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
         ex.sendResponseHeaders(500, -1); ex.close()
+      } else if (rateLimit.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        ex.sendResponseHeaders(429, -1); ex.close()
       } else {
         val isAgg = ex.getRequestURI.getPath.endsWith(":runAggregationQuery")
         val q =
@@ -67,8 +76,10 @@ class DatastoreSpec extends SparkSpec {
           else mapper.readTree(body).path("query")
         val kind = q.path("kind").get(0).path("name").asText
         val limit = if (q.has("limit")) q.get("limit").asInt else Int.MaxValue
+        // cursors: "c<pos>" (normal) or "e<pos>" (the epoch cursor an
+        // empty NOT_FINISHED page advanced to) — both resume at <pos>
         val start = Option(q.path("startCursor").asText(null))
-          .map(_.stripPrefix("c").toInt).getOrElse(0)
+          .map(_.stripPrefix("e").stripPrefix("c").toInt).getOrElse(0)
         // collect __key__ propertyFilters (single or AND-composite) as
         // TYPED bounds in service sort-key space
         val pfs = {
@@ -108,18 +119,26 @@ class DatastoreSpec extends SparkSpec {
         // keys-only projection: the real service omits properties
         val keysOnly = q.path("projection").elements().asScala
           .exists(_.path("property").path("name").asText == "__key__")
-        val page = matching.slice(start, start + limit)
+        val timeSliced = !isAgg && kind != "__kind__" && start > 0 &&
+          emptyPageOnce.getAndUpdate(n => math.max(0, n - 1)) > 0
+        val page =
+          if (timeSliced) Seq.empty
+          else {
+            val p = matching.slice(start, start + limit)
+            if (scramblePages.get) p.reverse else p
+          }
         val results = page.map { e =>
           val keyPart = e.name.map(n => s""""name":"$n"""").getOrElse(s""""id":"${e.id.get}"""")
           val props = if (keysOnly) "" else s""","properties":${e.props}"""
           s"""{"entity":{"key":{"path":[{"kind":"${e.kind}",$keyPart}]}$props}}"""
         }.mkString("[", ",", "]")
         val more = if (start + page.size < matching.size) "NOT_FINISHED" else "NO_MORE_RESULTS"
+        val cursor = if (timeSliced) s"e$start" else s"c${start + page.size}"
         val resp =
           if (isAgg)
             s"""{"batch":{"aggregationResults":[{"aggregateProperties":{"n":{"integerValue":"${matching.size}"}}}]}}"""
           else
-            s"""{"batch":{"entityResults":$results,"endCursor":"c${start + page.size}","moreResults":"$more"}}"""
+            s"""{"batch":{"entityResults":$results,"endCursor":"$cursor","moreResults":"$more"}}"""
         val bytes = resp.getBytes("UTF-8")
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes)
@@ -177,6 +196,42 @@ class DatastoreSpec extends SparkSpec {
     val one = df.filter(col("id") === "e07").collect()
     assert(one.length == 1 && one(0).getAs[String]("json").contains("u7@x.com"))
     assert(df.filter(col("id") === "zzz").count() == 0, "empty range -> zero partitions")
+  }
+
+  test("429 burst: read-only POST retries with backoff then completes") {
+    bodies.synchronized(bodies.clear())
+    rateLimit.set(2)
+    val rows = client.runQuery("User", pageSize = 50).toSeq
+    assert(rows.size == nUsers, "the burst must not lose rows")
+    assert(bodies.synchronized(bodies.size) == 3,
+      s"2 rate-limited attempts + 1 success, got ${bodies.synchronized(bodies.size)}")
+  }
+
+  test("empty page mid-stream with NOT_FINISHED: scan continues, no loss, no dup") {
+    // a time-sliced scan can legally return zero rows with an advanced
+    // cursor; termination must follow moreResults, never row count
+    bodies.synchronized(bodies.clear())
+    emptyPageOnce.set(1)
+    val rows = client.runQuery("User", pageSize = 10).toSeq
+    assert(rows.size == nUsers && rows.map(_._1).distinct.size == nUsers)
+    assert(bodies.synchronized(bodies.size) >= 5,
+      "4 data pages + 1 empty epoch page at 10/page")
+  }
+
+  test("out-of-order page payloads: the row set is complete and exact") {
+    scramblePages.set(true)
+    try {
+      val rows = client.runQuery("User", pageSize = 7).toSeq
+      assert(rows.size == nUsers && rows.map(_._1).toSet.size == nUsers)
+    } finally scramblePages.set(false)
+  }
+
+  test("short name: spark.read.format(\"graft-datastore\") resolves via DataSourceRegister") {
+    val viaShort = spark.read.format("graft-datastore")
+      .option("url", base).option("projectId", "test-proj").option("kind", "User")
+      .option("numPartitions", "2").load()
+    assert(viaShort.count() == nUsers)
+    assert(viaShort.schema == graft.sources.DatastoreSource.schema)
   }
 
   test("numeric ids: every row read exactly once with numPartitions > 1") {

@@ -30,6 +30,10 @@ class RtdbRestSpec extends SparkSpec {
 
   private val requests = mutable.ArrayBuffer[String]()
   private val failFirst = new AtomicInteger(0) // >0: fail next N requests with 500
+  private val rateLimit = new AtomicInteger(0) // >0: 429 the next N requests
+  // serve each range page's fields in REVERSED order — the service
+  // makes no intra-response order promise the client may rely on
+  private val scramblePages = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def param(q: String, k: String): Option[String] =
     Option(q).toSeq.flatMap(_.split("&")).collectFirst {
@@ -48,6 +52,8 @@ class RtdbRestSpec extends SparkSpec {
       requests.synchronized { requests += ex.getRequestURI.toString }
       if (failFirst.getAndUpdate(n => math.max(0, n - 1)) > 0) {
         ex.sendResponseHeaders(500, -1); ex.close()
+      } else if (rateLimit.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        ex.sendResponseHeaders(429, -1); ex.close()
       } else {
         // the /Numeric path serves the numerically-keyed dataset in
         // true service order; all other paths serve the string-keyed one
@@ -65,7 +71,8 @@ class RtdbRestSpec extends SparkSpec {
             // planner must fall back to one unpaged fetch)
             val inRange = ds.filter { case (k, _) =>
               from.forall(k >= _) && to.forall(k <= _) }
-            limitLast.fold(inRange.take(limit))(n => inRange.takeRight(n))
+            val page = limitLast.fold(inRange.take(limit))(n => inRange.takeRight(n))
+            (if (scramblePages.get) page.reverse else page)
               .map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}")
           }
         val bytes = body.getBytes("UTF-8")
@@ -162,6 +169,28 @@ class RtdbRestSpec extends SparkSpec {
     // pushed key range intersects the provided bounds (point lookup
     // collapses to one partition)
     assert(df.filter(col("id") === "u07").count() == 1)
+  }
+
+  test("429 burst: client backs off through rate limiting and completes") {
+    requests.synchronized(requests.clear())
+    rateLimit.set(2)
+    val rows = new RtdbRestClient(base, backoffMs = 1)
+      .fetchRange("Users", None, None, pageSize = 50).toSeq
+    assert(rows.size == 25, "the burst must not lose rows")
+    assert(requests.synchronized(requests.size) == 3,
+      s"2 rate-limited attempts + 1 success, got ${requests.synchronized(requests.size)}")
+  }
+
+  test("out-of-order page payloads: client re-sorts, keyset paging stays exact") {
+    // JSON object field order is no contract — a page served in any
+    // order must neither lose rows nor break the successor cursor
+    scramblePages.set(true)
+    try {
+      val rows = new RtdbRestClient(base)
+        .fetchRange("Users", Some("u00"), Some("u20"), pageSize = 7).toSeq
+      assert(rows.map(_._1) == (1 to 19).map(i => f"u$i%02d"),
+        "scrambled pages must still yield the exact sorted range")
+    } finally scramblePages.set(false)
   }
 
   test("numeric child keys: planner falls back to one complete unpaged fetch") {

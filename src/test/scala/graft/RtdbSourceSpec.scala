@@ -26,6 +26,13 @@ class RtdbSourceSpec extends SparkSpec {
     assert(one(0).getAs[String]("json").contains("u5@x.com"))
   }
 
+  test("short name: spark.read.format(\"graft-rtdb\") resolves via DataSourceRegister") {
+    val viaShort = spark.read.format("graft-rtdb")
+      .option("path", path).option("numPartitions", "2").load()
+    assert(viaShort.count() == 20)
+    assert(viaShort.schema == graft.sources.RtdbSnapshotSource.schema)
+  }
+
   test("S2 point lookup prunes partitions via pushed key-range filter") {
     val q = df.filter(col("id") === "Uid007")
     val parts = q.queryExecution.executedPlan.collectLeaves().head
