@@ -184,9 +184,11 @@ object Dedup {
     }: _*)).as("band"))
 
   /** Persistable LSH band index (id, band) for a corpus — build once,
-    * store (ideally bucketed by band), and reuse across incremental
-    * batches so the corpus never pays the shingle/minhash CPU again
-    * (see [[incrementalNearDupPairs]]). */
+    * store bucketed by band (`Tables.writeBucketed(_, t, "band", n)`),
+    * and reuse across incremental batches so the corpus never pays the
+    * shingle/minhash CPU again AND never crosses an exchange during
+    * incremental candidate generation (see [[incrementalNearDupPairs]];
+    * plan-asserted in BucketingSpec). */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
                 shingleN: Int = 3): DataFrame =
     bandsOf(signatures(df, idCol, textCol, shingleN), idCol)
@@ -219,11 +221,26 @@ object Dedup {
   /** Incremental near-dup pairs — dedup a NEW batch against an existing
     * corpus without re-signaturing the corpus (the daily-crawl shape):
     * only the new batch pays the shingle/minhash CPU; the corpus
-    * contributes its precomputed [[bandIndex]] rows (with the index
-    * stored bucketed by band, even its shuffle disappears). Returns
-    * exactly the pairs of the full recomputation that TOUCH the new
-    * batch: new-vs-corpus and new-vs-new, same bucket caps (the cap
-    * sees the union of index and new bands, identical to a full run).
+    * contributes its precomputed [[bandIndex]] rows. Returns exactly
+    * the pairs of the full recomputation that TOUCH the new batch:
+    * new-vs-corpus and new-vs-new, under the same bucket caps (band
+    * eligibility is decided by the TOTAL band population, index plus
+    * new — identical to a full run's cap on the union).
+    *
+    * Plan shape — the index side never crosses an exchange: the batch's
+    * band list (batch-scale, checkpointed) broadcast-semi-prunes the
+    * index to touched bands map-side; the index then flows into ONE
+    * aggregation (per-band counts) and ONE join keyed on `band`, both
+    * of which reuse the scan's partitioning when the index is stored
+    * bucketed by band (`Tables.writeBucketed(idx, t, "band", n)`) —
+    * plan-asserted in BucketingSpec. Corpus-vs-corpus candidate pairs
+    * are never generated at all (the earlier formulation expanded every
+    * bucket of the union and semi-joined the batch's pairs back out; at
+    * 100 TB the corpus-only pairs it threw away dominate that work).
+    * The index feeds two branches (counts + the pair join) and so scans
+    * twice; checkpointing it would erase the bucketed partitioning and
+    * reintroduce both exchanges — a second bucketed scan is the cheaper
+    * side of that trade.
     * `corpus` is consulted only to recompute shingle sets for the
     * candidate corpus docs (a semi-join prunes everything else). */
   def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
@@ -233,29 +250,16 @@ object Dedup {
     val newSig = signatures(newDocs, idCol, textCol, shingleN)
     val newIds = newSig.select(col(idCol).as("__nid"))
     // overlapping inputs (corpus already containing the batch) must not
-    // present a doc's bands twice to the bucket cap — a doubled bucket
-    // count near maxBucket would drop buckets a full recomputation
-    // keeps. The new frame wins (same rule as corpusHs below); a
-    // broadcast anti-join is O(index) map-side, vs a distinct() on the
-    // union which would cost a full extra exchange of every band row.
-    val allBands = corpusIndex.select(col(idCol), col("band"))
+    // present a doc's bands twice to the bucket cap — a doubled band
+    // count near maxBucket would drop bands a full recomputation
+    // keeps. The new frame wins (same rule as corpusHs below); the
+    // broadcast anti-join is map-side, partitioning-preserving.
+    val idx = corpusIndex.select(col(idCol), col("band"))
       .join(broadcast(newIds), col(idCol) === col("__nid"), "left_anti")
-      .unionByName(bandsOf(newSig, idCol))
-    // checkpoint: the capped expansion (the dominant exchange) feeds
-    // both semi-join branches below — same recomputation-per-branch
-    // rationale as signatures()
-    val cand = cappedBucketPairs(allBands, "band", col(idCol), maxBucket)
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
-      .localCheckpoint(false)
-    // keep only pairs touching the new batch: two broadcast hash
-    // semi-joins (an OR-of-equalities semi would plan a nested loop)
-    // checkpoint again: candNew feeds the two candIds projections plus
-    // the final verify join
-    val candNew = cand.join(broadcast(newIds), col("a") === col("__nid"), "left_semi")
-      .unionByName(cand.join(broadcast(newIds), col("b") === col("__nid"), "left_semi"))
-      .distinct()
-      .localCheckpoint(false)
+    // checkpoint: candNew feeds the two candIds projections plus the
+    // final verify join
+    val candNew = incrementalCandidates(idx, bandsOf(newSig, idCol), idCol,
+      maxBucket, _.localCheckpoint(false)).localCheckpoint(false)
     // shingle sets: the new batch has them; candidate corpus docs
     // recompute theirs after a semi-join prune
     val candIds = candNew.select(col("a").as(idCol))
@@ -268,6 +272,52 @@ object Dedup {
       .select(col(idCol), col("__hs"))
     val sets = newSig.select(col(idCol), col("__hs")).unionByName(corpusHs)
     verifyJaccard(candNew, sets, idCol, threshold)
+  }
+
+  /** Candidate pairs touching the new batch — the exchange-free-index
+    * core of [[incrementalNearDupPairs]] (see its scaladoc for the plan
+    * contract). `idx` is the overlap-pruned corpus band index; `cp`
+    * cuts reused batch-scale branches (localCheckpoint in production,
+    * identity in plan-inspection tests so the index lineage stays
+    * assertable — IncrementalPlanSpec). */
+  private[llm] def incrementalCandidates(idx: DataFrame, newBands: DataFrame,
+                                         idCol: String, maxBucket: Int,
+                                         cp: DataFrame => DataFrame): DataFrame = {
+    // batch-side per-band id lists, count-capped BEFORE collect_list
+    // (cappedBucketPairs' spill guard: a band over the cap on the new
+    // side alone is ineligible regardless of the index side, so it can
+    // drop early); the window and the groupBy share one exchange
+    val newAgg = cp(newBands
+      .withColumn("__nc", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .filter(col("__nc") <= maxBucket)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("__nc"), array_sort(collect_list(col(idCol))).as("__nids"))
+    ) // batch-scale; feeds the prune + two joins
+    // index rows for bands the batch touches: broadcast semi, map-side
+    val idxTouched = idx
+      .join(broadcast(newAgg.select(col("band"))), Seq("band"), "left_semi")
+    // eligibility by the TOTAL band population — the full run's cap
+    val idxCounts = idxTouched.groupBy(col("band")).agg(count(lit(1)).as("__ic"))
+    val eligible = cp(newAgg.join(idxCounts, Seq("band"), "left")
+      .withColumn("__tot", col("__nc") + coalesce(col("__ic"), lit(0L)))
+      .filter(col("__tot").between(2, maxBucket))
+      .select(col("band"), col("__nids"))
+    ) // batch-scale; feeds nn pairs + the nc join
+    // new-vs-new: map-side expansion of each band's sorted id list
+    val nnPairs = eligible.select(explode(flatten(transform(col("__nids"), x =>
+        transform(filter(col("__nids"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // new-vs-corpus: stream the index through a join keyed on band
+    // (broadcast when the batch side is small); ids are disjoint by the
+    // overlap anti-join, so least/greatest orders each pair exactly
+    // like the sorted-list expansion does
+    val ncPairs = idxTouched.join(eligible, Seq("band"))
+      .select(col(idCol).as("__c"), explode(col("__nids")).as("__n"))
+      .select(least(col("__n"), col("__c")).as("a"),
+        greatest(col("__n"), col("__c")).as("b"))
+    // a pair can share several bands -> distinct
+    nnPairs.unionByName(ncPairs).distinct()
   }
 
   /** End-to-end corpus dedup: keep every document except the
