@@ -273,6 +273,37 @@ object Curate {
       .drop("__src")
   }
 
+  /** Quality-aware corpus mixing — the two-stage recipe real pipelines
+    * run: keep the best `perSourceBudget` tokens of EACH source
+    * (quality-rank within a source), then water-fill the survivors to
+    * `totalBudget` across sources ([[mixCorpus]]). Stage one loops
+    * [[selectByTokenBudget]] over the sources — ONE bounded driver
+    * collect for the source list (the mixCorpus contract), then
+    * |sources| pushed-filter scans each doing the hierarchical prefix
+    * refinement. That loop IS the 100 TB form: a per-source window
+    * cumsum (PARTITION BY source) would put each source's entire token
+    * stream through one task, while here every source gets the same
+    * pushed-literal plan the global selection uses — and with
+    * source-partitioned storage each scan prunes to its own files. */
+  def budgetThenMix(docs: DataFrame, sourceCol: String, scoreCol: String,
+                    tokensCol: String, idCol: String,
+                    perSourceBudget: Long, totalBudget: Long,
+                    buckets: Int = 1024): DataFrame = {
+    val srcRows = docs.select(col(sourceCol).cast("string").as("__s"))
+      .distinct().collect()
+    // fail fast like mixCorpus: a NULL source's rows would silently
+    // vanish from the equality filter below
+    if (srcRows.exists(_.isNullAt(0))) throw new IllegalArgumentException(
+      s"budgetThenMix: NULL $sourceCol encountered — sources must be non-null")
+    val sources = srcRows.map(_.getString(0)).sorted.toSeq
+    if (sources.isEmpty) return mixCorpus(docs, sourceCol, tokensCol, idCol, totalBudget)
+    val selected = sources.map { s =>
+      selectByTokenBudget(docs.filter(col(sourceCol).cast("string") === s),
+        idCol, scoreCol, tokensCol, perSourceBudget, buckets = buckets)
+    }.reduce(_ unionByName _)
+    mixCorpus(selected, sourceCol, tokensCol, idCol, totalBudget)
+  }
+
   /** Leakage-free train/validation split: every member of a duplicate
     * cluster lands in the SAME split, so a near-duplicate of a
     * validation document can never appear in training — the

@@ -291,6 +291,22 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Quality-aware mixing, composed: best 2000 tokens per source
+    // (per-source token-budget selection), then water-fill the
+    // survivors to an 8000-token budget — the two-stage curation recipe
+    // (quality-rank within source, then balance across sources).
+    "llm_budget_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("score", expr("n_chars div 64"))
+        .withColumn("tokens", Text.wsTokenCount(col("text")) + lit(1L))
+      Curate.budgetThenMix(d.select(col("doc_id"), col("source"), col("score"),
+          col("tokens")), "source", "score", "tokens", "doc_id",
+          perSourceBudget = 2000L, totalBudget = 8000L)
+        .groupBy(col("source"), col("rate_pm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tokens")).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Incremental dedup: the doc_id % 10 == 9 slice plays the "new
     // batch"; the rest is the standing corpus contributing only its
     // precomputed band index (no re-signaturing). Must equal the full
@@ -820,6 +836,40 @@ object LlmQueries {
          |SELECT a, b, jaccard FROM scored
          |WHERE jaccard >= 0.5 AND (a % 10 = 9 OR b % 10 = 9)
          |ORDER BY a, b""".stripMargin,
+    "llm_budget_mix" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, source, n_chars // 64 AS score,
+         |    len(regexp_split_to_array(text, '\\s+'))::BIGINT + 1 AS tokens,
+         |    ${duckHash("('sel:' || doc_id)")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, tokens,
+         |  sum(tokens) OVER (PARTITION BY source ORDER BY score DESC, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t0),
+         |tok AS (SELECT doc_id, source, tokens FROM c WHERE cum <= 2000),
+         |s AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS t FROM tok GROUP BY source),
+         |ord AS (SELECT source, t,
+         |    row_number() OVER (ORDER BY t, source) AS k,
+         |    count(*) OVER () AS n,
+         |    CAST(sum(t) OVER (ORDER BY t, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS BIGINT) AS cumb
+         |  FROM s),
+         |cand AS (SELECT *, (8000 - cumb) // (n - k + 1) AS fk FROM ord),
+         |brk AS (SELECT min(k) AS kstar FROM cand WHERE t > fk),
+         |rates AS (SELECT c.source, c.t,
+         |    CASE WHEN b.kstar IS NULL OR c.k < b.kstar THEN 1000
+         |         ELSE greatest(
+         |           least(1000,
+         |             (SELECT fk FROM cand WHERE k = b.kstar) * 1000 // c.t),
+         |           CASE WHEN (SELECT fk FROM cand WHERE k = b.kstar) > 0
+         |                THEN 1 ELSE 0 END)
+         |    END AS rate_pm
+         |  FROM cand c, brk b),
+         |kept AS (SELECT tok.source, r.rate_pm, tok.tokens FROM tok
+         |  JOIN rates r ON tok.source = r.source
+         |  WHERE ${duckHash("('mix:' || doc_id)")} % 1000 < r.rate_pm)
+         |SELECT source, CAST(rate_pm AS BIGINT) AS rate_pm,
+         |  count(*)::BIGINT AS n_kept, CAST(sum(tokens) AS BIGINT) AS kept_tokens
+         |FROM kept GROUP BY source, rate_pm ORDER BY source""".stripMargin,
     "llm_leakfree_split" ->
       s"""WITH RECURSIVE ${pairsCtes()},
          |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),

@@ -118,6 +118,56 @@ object Streams {
       }
       .start()
 
+  /** Streaming incremental near-dup dedup — the daily-crawl pipeline
+    * composed end to end: each micro-batch of documents is deduped
+    * against the STANDING corpus through the persisted LSH band index
+    * ([[graft.llm.Dedup.incrementalNearDupPairs]] — only the batch pays
+    * signature CPU; the index side crosses no exchange when
+    * `indexTable` is bucketed by band, which this sink maintains), its
+    * near-dup pairs append to `pairsTable`, and the batch then JOINS
+    * the corpus: rows → `corpusTable`, bands → `indexTable`. The next
+    * batch dedups against corpus ∪ every earlier batch, and each
+    * document pays signature CPU O(1) times, ever (twice per batch:
+    * once for pairs, once for the index append — both O(batch), never
+    * O(corpus)).
+    *
+    * foreachBatch is at-least-once (same contract as [[toJdbc]]): a
+    * replayed batch's PAIRS stay correct (the overlap rule inside
+    * incrementalNearDupPairs tolerates the corpus already containing
+    * the batch) but its band/corpus rows would append twice — readers
+    * needing exactly-once dedup by natural key, or the sink tables get
+    * periodic exact-dedup compaction. */
+  def incrementalDedupStream(docs: DataFrame, corpusTable: String,
+                             indexTable: String, pairsTable: String,
+                             idCol: String, textCol: String,
+                             checkpointDir: String, threshold: Double = 0.5,
+                             indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint(false) // feeds pairs + index + corpus appends
+        // first batch: the standing tables don't exist yet — dedup
+        // against empty frames, then create them via the first append
+        def tableOr(name: String, schema: org.apache.spark.sql.types.StructType) =
+          if (spark.catalog.tableExists(name)) spark.table(name)
+          else spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], schema)
+        val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+          b.schema(idCol),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.StringType, nullable = false)))
+        val pairs = graft.llm.Dedup.incrementalNearDupPairs(
+          b, tableOr(corpusTable, b.schema), tableOr(indexTable, idxSchema),
+          idCol, textCol, threshold)
+        pairs.write.mode("append").format("parquet").saveAsTable(pairsTable)
+        graft.llm.Dedup.bandIndex(b, idCol, textCol).write.mode("append")
+          .bucketBy(indexBuckets, "band").sortBy("band")
+          .format("parquet").saveAsTable(indexTable)
+        b.write.mode("append").format("parquet").saveAsTable(corpusTable)
+      }
+      .start()
+
   /** Memory-sink runner for tests: processes all available data once. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -171,6 +171,38 @@ class CurateSpec extends SparkSpec {
     assert(out0.count() == 0L)
   }
 
+  test("budgetThenMix: per-source quality cut feeds the water-fill") {
+    // two sources, 30 docs x 10 tokens each; scores 0..2 cycle. A
+    // 120-token per-source budget keeps the best ~12 docs per source;
+    // the 150-token total then water-fills across the survivors.
+    val rows = (1L to 60L).map(i =>
+      (i, if (i <= 30) "s1" else "s2", (i % 3), 10L))
+    val df = rows.toDF("doc_id", "source", "score", "tokens")
+    val out = Curate.budgetThenMix(df, "source", "score", "tokens", "doc_id",
+      perSourceBudget = 120L, totalBudget = 150L)
+    val kept = out.select("doc_id", "source", "rate_pm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    // stage 1: only score-2 docs (10 per source) plus the best score-1
+    // docs fit 120 tokens; no score-0 doc can survive
+    val score = rows.map(r => r._1 -> r._3).toMap
+    assert(kept.forall { case (id, _, _) => score(id) >= 1 }, "a score-0 doc survived the cut")
+    // stage 2: equal survivors (120 tokens each) -> equal capped rates
+    val rates = kept.map(k => k._2 -> k._3).distinct.toMap
+    assert(rates("s1") == rates("s2") && rates("s1") < 1000L,
+      s"symmetric sources must cap at the same rate: $rates")
+    // deterministic end to end
+    val again = Curate.budgetThenMix(df, "source", "score", "tokens", "doc_id",
+      120L, 150L).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    // NULL sources fail fast, mirroring mixCorpus
+    val withNull = rows.toDF("doc_id", "source", "score", "tokens")
+      .withColumn("source", when(col("doc_id") === 1L, lit(null)).otherwise(col("source")))
+    intercept[IllegalArgumentException] {
+      Curate.budgetThenMix(withNull, "source", "score", "tokens", "doc_id", 120L, 150L)
+    }
+  }
+
   test("chunkSliding: short and empty docs yield exactly one chunk") {
     val out = Curate.chunkSliding(docs(1L -> "a b c", 2L -> ""))
       .orderBy("doc_id").collect()

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The daily-crawl composition, end to end: the RTDB micro-batch source
+  * tails new documents, foreachBatch dedups each batch against the
+  * persisted band index (incrementalNearDupPairs), and the batch then
+  * joins the standing corpus — the pipeline the incremental dedup and
+  * JSONL/streaming connectors exist for, previously only tested apart. */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"word$i").mkString(" ")
+  private def text(i: Int) = base.replace("word60", s"tail${i % 3}")
+
+  test("streaming incremental dedup: tailed batches reproduce the full recomputation") {
+    val dir = Files.createTempDirectory("sipeline").toFile
+    val f = new java.io.File(dir, "export.json")
+    def write(n: Int): Unit = Files.writeString(f.toPath,
+      (1 to n).map(i => f""""-N$i%03d": {"text": "${text(i)}"}""")
+        .mkString("{", ",", "}"))
+    Seq("sp_corpus", "sp_index", "sp_pairs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    write(5)
+    val stream = spark.readStream.format("graft-rtdb")
+      .option("path", f.getAbsolutePath).option("numPartitions", "2").load()
+      .select(col("id").as("doc_id"),
+        get_json_object(col("json"), "$.text").as("text"))
+    val q = graft.streaming.Streams.incrementalDedupStream(stream,
+      "sp_corpus", "sp_index", "sp_pairs", "doc_id", "text",
+      Files.createTempDirectory("sipck").toString)
+    // the stream appends from its own micro-batch session; this reader
+    // session must drop its cached file listing before each re-read
+    def t(name: String) = { spark.catalog.refreshTable(name); spark.table(name) }
+    try {
+      // batch 1: docs 1-5 against an empty corpus — batch-internal pairs
+      q.processAllAvailable()
+      assert(t("sp_corpus").count() == 5)
+      val batch1Pairs = t("sp_pairs").count()
+      assert(batch1Pairs > 0, "batch 1 must find its internal near-dups")
+      // batch 2: docs 6-8 against the batch-1 corpus, via the index only
+      write(8)
+      q.processAllAvailable()
+      assert(t("sp_corpus").count() == 8)
+      val got = t("sp_pairs")
+        .select("a", "b").as[(String, String)].collect().toSet
+      // the two batches together must equal ONE full recomputation
+      val all = (1 to 8).map(i => (f"-N$i%03d", text(i))).toDF("doc_id", "text")
+      val full = graft.llm.Dedup.minHashLshPairs(all, "doc_id", "text", threshold = 0.5)
+        .select("a", "b").as[(String, String)].collect().toSet
+      assert(got == full, s"streamed=${got.size} full=${full.size}")
+      // batch 2 specifically produced the cross/new pairs, deduped
+      // against batch 1 WITHOUT re-signaturing it
+      assert(got.exists { case (a, b) => a <= "-N005" && b >= "-N006" },
+        "must include corpus-vs-new pairs")
+      assert(got.size.toLong > batch1Pairs)
+      // an empty trigger adds nothing
+      q.processAllAvailable()
+      assert(t("sp_pairs").count() == got.size.toLong)
+      // the maintained index is band-bucketed (the exchange-free shape)
+      val cat = spark.sql("DESCRIBE TABLE EXTENDED sp_index").collect()
+        .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(cat.contains("Num Buckets") && cat.contains("band"), cat)
+    } finally {
+      q.stop()
+      Seq("sp_corpus", "sp_index", "sp_pairs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+}
