@@ -210,6 +210,117 @@ object Curate {
     }
   }
 
+  /** Grouped token-budget selection — [[selectByTokenBudget]] applied
+    * independently to EVERY group (source/domain/language), but with
+    * the refinement levels batched across groups so the job count does
+    * not scale with the group count: L1 is ONE (group, score) agg job
+    * (≤ \|groups\| × \|score domain\| rows to the driver — the bounded-
+    * collect contract), every group's driver walk runs on that one
+    * result, all boundary bands share ONE L2 job, and every group's
+    * boundary bucket pays the single L3 window TOGETHER (PARTITION BY
+    * group — each partition is one bucket's rows). A per-source loop of
+    * the global method is plan-identical per group but scans the corpus
+    * O(\|groups\|) times; this form scans it ≤ 3 times total.
+    * Selection semantics per group are EXACTLY the global method's
+    * (same salt, same tie-break), so oracles can replay either. */
+  def selectByTokenBudgetGrouped(docs0: DataFrame, groupCol: String, idCol: String,
+                                 scoreCol: String, tokensCol: String,
+                                 budgetPerGroup: Long, salt: String = "sel:",
+                                 buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types._
+    docs0.schema(scoreCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case d => throw new IllegalArgumentException(
+        s"selectByTokenBudgetGrouped needs an integral score column, got $d")
+    }
+    require(!docs0.columns.exists(Set("__h", "__b", "__cum", "__g")),
+      "selectByTokenBudgetGrouped reserves the __h/__b/__cum/__g column names")
+    val outCols = docs0.columns.map(col).toSeq
+    val g = col(groupCol).cast("string")
+    val score = col(scoreCol).cast(LongType)
+    val bucketWidth = (Text.HashP + buckets - 1) / buckets
+    val h = Text.md5Hash(concat(lit(salt), col(idCol).cast("string")))
+    val bkt = (h / bucketWidth).cast(LongType)
+    def num(r: org.apache.spark.sql.Row, i: Int): Long = {
+      if (r.isNullAt(i)) throw new IllegalArgumentException(
+        s"selectByTokenBudgetGrouped: NULL at column $i — group, score and " +
+          s"sum($tokensCol) must be non-null")
+      r.getAs[Number](i).longValue
+    }
+    def walk(grps: Seq[(Long, Long)], start: Long): (Seq[Long], Option[(Long, Long)]) = {
+      var before = start
+      val whole = Seq.newBuilder[Long]
+      for ((k, gt) <- grps) {
+        if (before + gt <= budgetPerGroup) { whole += k; before += gt }
+        else return (whole.result(),
+          if (before < budgetPerGroup) Some((k, before)) else None)
+      }
+      (whole.result(), None)
+    }
+    // L1 — ONE job for every group at once
+    val l1rows = docs0.groupBy(g.as("__g"), score.as("__s"))
+      .agg(sum(col(tokensCol)).as("__gt"), min(col(tokensCol)).as("__mt"))
+      .collect()
+    l1rows.find(_.isNullAt(0)).foreach { _ =>
+      throw new IllegalArgumentException(
+        s"selectByTokenBudgetGrouped: NULL $groupCol encountered — groups must be non-null")
+    }
+    l1rows.find(r => num(r, 3) < 1).foreach { r =>
+      throw new IllegalArgumentException(
+        s"selectByTokenBudgetGrouped needs $tokensCol >= 1 per row; group " +
+          s"'${r.getString(0)}' score ${num(r, 1)} has min($tokensCol) = ${num(r, 3)}")
+    }
+    val l1 = l1rows.groupBy(_.getString(0)).view.mapValues(
+      _.map(r => (num(r, 1), num(r, 2))).sortBy(-_._1).toSeq).toMap
+    // per-group walks on the one collected table
+    val walked = l1.map { case (grp, gl1) => grp -> walk(gl1, 0L) }
+    val wholeScorePreds = walked.collect {
+      case (grp, (whole, _)) if whole.nonEmpty => g === grp && score >= whole.min
+    }.toSeq
+    val bands = walked.collect {
+      case (grp, (_, Some((bScore, bBefore)))) => (grp, bScore, bBefore)
+    }.toSeq.sortBy(_._1)
+    val (wholeBucketPreds, boundary2s) = if (bands.isEmpty) (Nil, Nil) else {
+      // L2 — ONE job over the union of every group's boundary band
+      val bandPred = bands.map { case (grp, s, _) => g === grp && score === s }
+        .reduce(_ || _)
+      val l2 = docs0.filter(bandPred).groupBy(g.as("__g"), bkt.as("__b"))
+        .agg(sum(col(tokensCol)).as("__gt")).collect()
+        .groupBy(_.getString(0)).view.mapValues(
+          _.map(r => (num(r, 1), num(r, 2))).sortBy(_._1).toSeq).toMap
+      val preds = Seq.newBuilder[Column]
+      val b2s = Seq.newBuilder[(String, Long, Long, Long)]
+      for ((grp, bScore, bBefore) <- bands) {
+        val (wholeBuckets, boundary2) = walk(l2.getOrElse(grp, Nil), bBefore)
+        if (wholeBuckets.nonEmpty)
+          preds += (g === grp && score === bScore && bkt <= wholeBuckets.max)
+        boundary2.foreach { case (bBkt, before2) =>
+          b2s += ((grp, bScore, bBkt, before2))
+        }
+      }
+      (preds.result(), b2s.result())
+    }
+    val keep = (wholeScorePreds ++ wholeBucketPreds)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val wholeFilter = docs0.filter(keep)
+    if (boundary2s.isEmpty) wholeFilter
+    else {
+      // L3 — every group's ONE boundary bucket pays the only per-doc
+      // window, all together, PARTITION BY group (one bucket per group)
+      val inB2 = boundary2s.map { case (grp, bScore, bBkt, _) =>
+        g === grp && score === bScore && bkt === bBkt }.reduce(_ || _)
+      val offset = boundary2s.foldLeft(lit(0L)) { case (acc, (grp, _, _, before2)) =>
+        when(g === grp, lit(before2)).otherwise(acc) }
+      val w3 = Window.partitionBy(col("__g")).orderBy(col("__h"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val partial = docs0.filter(inB2)
+        .withColumn("__g", g).withColumn("__h", h)
+        .withColumn("__cum", offset + sum(col(tokensCol)).over(w3))
+        .filter(col("__cum") <= budgetPerGroup)
+      wholeFilter.unionByName(partial.select(outCols: _*))
+    }
+  }
+
   /** Corpus mixture balancing — max-min fair ("water-filling") token
     * allocation across sources: every source gets an equal share of the
     * token budget, except sources smaller than their running share,
@@ -275,34 +386,18 @@ object Curate {
 
   /** Quality-aware corpus mixing — the two-stage recipe real pipelines
     * run: keep the best `perSourceBudget` tokens of EACH source
-    * (quality-rank within a source), then water-fill the survivors to
-    * `totalBudget` across sources ([[mixCorpus]]). Stage one loops
-    * [[selectByTokenBudget]] over the sources — ONE bounded driver
-    * collect for the source list (the mixCorpus contract), then
-    * |sources| pushed-filter scans each doing the hierarchical prefix
-    * refinement. That loop IS the 100 TB form: a per-source window
-    * cumsum (PARTITION BY source) would put each source's entire token
-    * stream through one task, while here every source gets the same
-    * pushed-literal plan the global selection uses — and with
-    * source-partitioned storage each scan prunes to its own files. */
+    * (quality-rank within a source, [[selectByTokenBudgetGrouped]] —
+    * three corpus scans TOTAL regardless of the source count), then
+    * water-fill the survivors to `totalBudget` across sources
+    * ([[mixCorpus]]). */
   def budgetThenMix(docs: DataFrame, sourceCol: String, scoreCol: String,
                     tokensCol: String, idCol: String,
                     perSourceBudget: Long, totalBudget: Long,
-                    buckets: Int = 1024): DataFrame = {
-    val srcRows = docs.select(col(sourceCol).cast("string").as("__s"))
-      .distinct().collect()
-    // fail fast like mixCorpus: a NULL source's rows would silently
-    // vanish from the equality filter below
-    if (srcRows.exists(_.isNullAt(0))) throw new IllegalArgumentException(
-      s"budgetThenMix: NULL $sourceCol encountered — sources must be non-null")
-    val sources = srcRows.map(_.getString(0)).sorted.toSeq
-    if (sources.isEmpty) return mixCorpus(docs, sourceCol, tokensCol, idCol, totalBudget)
-    val selected = sources.map { s =>
-      selectByTokenBudget(docs.filter(col(sourceCol).cast("string") === s),
-        idCol, scoreCol, tokensCol, perSourceBudget, buckets = buckets)
-    }.reduce(_ unionByName _)
-    mixCorpus(selected, sourceCol, tokensCol, idCol, totalBudget)
-  }
+                    buckets: Int = 1024): DataFrame =
+    mixCorpus(
+      selectByTokenBudgetGrouped(docs, sourceCol, idCol, scoreCol, tokensCol,
+        perSourceBudget, buckets = buckets),
+      sourceCol, tokensCol, idCol, totalBudget)
 
   /** Leakage-free train/validation split: every member of a duplicate
     * cluster lands in the SAME split, so a near-duplicate of a

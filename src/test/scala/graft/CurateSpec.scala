@@ -171,6 +171,32 @@ class CurateSpec extends SparkSpec {
     assert(out0.count() == 0L)
   }
 
+  test("selectByTokenBudgetGrouped: equals the per-group loop of the global method") {
+    // skewed scores + varying tokens + uneven group sizes force every
+    // refinement level (L2/L3) in at least one group per budget
+    val df = (1L to 600L).map(i =>
+      (i, s"g${i % 5}", (i * i) % 4, i % 13 + 1))
+      .toDF("doc_id", "grp", "score", "tokens")
+    for (budget <- Seq(0L, 41L, 300L, 1200L, 99999L)) {
+      val grouped = Curate.selectByTokenBudgetGrouped(df, "grp", "doc_id",
+          "score", "tokens", budget, buckets = 7)
+        .select("doc_id").as[Long].collect().toSet
+      val looped = (0 until 5).map { k =>
+        Curate.selectByTokenBudget(df.filter(col("grp") === s"g$k"),
+          "doc_id", "score", "tokens", budget, buckets = 7)
+      }.reduce(_ unionByName _).select("doc_id").as[Long].collect().toSet
+      assert(grouped == looped,
+        s"budget=$budget: grouped=${grouped.size} looped=${looped.size}")
+    }
+    // NULL group fails fast
+    intercept[IllegalArgumentException] {
+      Curate.selectByTokenBudgetGrouped(
+        df.withColumn("grp", when(col("doc_id") === 1L, lit(null))
+          .otherwise(col("grp"))),
+        "grp", "doc_id", "score", "tokens", 100L)
+    }
+  }
+
   test("budgetThenMix: per-source quality cut feeds the water-fill") {
     // two sources, 30 docs x 10 tokens each; scores 0..2 cycle. A
     // 120-token per-source budget keeps the best ~12 docs per source;
