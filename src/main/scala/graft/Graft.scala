@@ -184,12 +184,40 @@ object Graft {
                           tokensCol: String, budget: Long): DataFrame =
     llm.Curate.selectByTokenBudget(docs, idCol, scoreCol, tokensCol, budget)
 
+  /** Grouped token-budget selection: [[selectByTokenBudget]] per
+    * group/source, batched so the corpus is scanned <= 3 times total
+    * regardless of the group count. */
+  def selectByTokenBudgetGrouped(docs: DataFrame, groupCol: String, idCol: String,
+                                 scoreCol: String, tokensCol: String,
+                                 budgetPerGroup: Long): DataFrame =
+    llm.Curate.selectByTokenBudgetGrouped(docs, groupCol, idCol, scoreCol,
+      tokensCol, budgetPerGroup)
+
   /** Corpus mixture balancing: max-min fair token allocation across
     * sources, applied as deterministic per-source hash sampling. Rows
     * return with a rate_pm column (the source's acceptance per-mille). */
   def mixCorpus(docs: DataFrame, sourceCol: String, tokensCol: String,
                 idCol: String, budgetTokens: Long): DataFrame =
     llm.Curate.mixCorpus(docs, sourceCol, tokensCol, idCol, budgetTokens)
+
+  /** Quality-aware mixing: best-N-tokens-per-source selection feeding
+    * max-min fair water-filling (the two-stage curation recipe). */
+  def budgetThenMix(docs: DataFrame, sourceCol: String, scoreCol: String,
+                    tokensCol: String, idCol: String,
+                    perSourceBudget: Long, totalBudget: Long): DataFrame =
+    llm.Curate.budgetThenMix(docs, sourceCol, scoreCol, tokensCol, idCol,
+      perSourceBudget, totalBudget)
+
+  /** The streaming daily-crawl pipeline: tail a document stream, dedup
+    * each micro-batch against the persisted band index, append pairs,
+    * and join the batch into the standing corpus + bucketed index. */
+  def incrementalDedupStream(docs: DataFrame, corpusTable: String,
+                             indexTable: String, pairsTable: String,
+                             idCol: String, textCol: String,
+                             checkpointDir: String,
+                             threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.Streams.incrementalDedupStream(docs, corpusTable, indexTable,
+      pairsTable, idCol, textCol, checkpointDir, threshold)
 
   /** Leakage-free train/val split: duplicate clusters stay in one
     * split; decision is a pure hash of the cluster label. */
