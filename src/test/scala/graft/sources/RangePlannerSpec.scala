@@ -177,6 +177,42 @@ class RangePlannerSpec extends AnyFunSuite {
     assert(bd.forall(k => deep.contains(k)))
   }
 
+  test("property: probeBounds tiles random key sets for any parts/budget") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ord = RangePlanner.utf8Order
+    val keyGen = Gen.frequency(
+      3 -> Gen.alphaNumStr.map(k => "-N" + k.take(10)),       // push-ID-ish
+      2 -> Gen.alphaNumStr.map(_.take(16)),
+      1 -> Gen.const("zz" + new String(Character.toChars(0x1F600))))
+    val caseGen = for {
+      n <- Gen.choose(1, 300)
+      keys <- Gen.listOfN(n, keyGen)
+      parts <- Gen.choose(1, 12)
+      budget <- Gen.choose(0, 200)
+    } yield (keys.distinct.sorted(ord), parts, budget)
+    val cases = Gen.listOfN(40, caseGen).pureApply(Gen.Parameters.default, Seed(13L))
+    for ((keys, parts, budget) <- cases if keys.nonEmpty) {
+      val lo = keys.head
+      val hiExcl = keys.last + " "
+      var probes = 0
+      def probe(c: String): Option[String] = { probes += 1; keys.find(ord.gteq(_, c)) }
+      val bounds = RangePlanner.probeBounds(lo, hiExcl, parts, probe, budget)
+      assert(probes <= budget, s"budget exceeded: $probes > $budget")
+      assert(bounds.size <= math.max(parts - 1, 0))
+      assert(bounds == bounds.sorted(ord) && bounds.distinct == bounds)
+      // every bound is a REAL key strictly inside (lo, hiExcl) — so the
+      // ranges [lo,b0),[b0,b1),…,[bLast,hiExcl) tile the key set with
+      // every partition non-empty
+      assert(bounds.forall(b => keys.contains(b) && ord.gt(b, lo) && ord.lt(b, hiExcl)))
+      val edges = (Seq(lo) ++ bounds) :+ hiExcl
+      val perPart = edges.sliding(2).map { case Seq(f, t) =>
+        keys.count(k => ord.gteq(k, f) && ord.lt(k, t)) }.toSeq
+      assert(perPart.sum == keys.size, s"lost/duplicated keys: $perPart")
+      assert(perPart.forall(_ >= 1), s"empty partition produced: $perPart")
+    }
+  }
+
   test("fewer keys than partitions, empty input, custom ordering") {
     assert(RangePlanner.splitBounds(Iterator.empty, 4, lex) == ((0L, Nil)))
     val (c1, b1) = RangePlanner.splitBounds(Iterator("b", "a"), 8, lex)
