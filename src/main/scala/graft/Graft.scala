@@ -137,6 +137,13 @@ object Graft {
 
   /** Persistable LSH band index — build once per corpus, reuse across
     * incremental batches. */
+  /** Exact substring dedup: every `windowTokens`-token window content
+    * keeps only its first corpus-wide occurrence; later occurrences'
+    * spans are removed from their documents (overlaps merge). */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 50): DataFrame =
+    llm.Dedup.dropDuplicateSpans(df, idCol, textCol, windowTokens)
+
   def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     llm.Dedup.bandIndex(df, idCol, textCol)
 

@@ -78,6 +78,74 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact substring-level dedup at window granularity — the
+    * "deduplicating training data" span-removal step (Lee et al. 2022
+    * operate on suffix arrays offline; this is the Spark-shaped
+    * equivalent over fixed `windowTokens`-token rolling windows): every
+    * window of `windowTokens` consecutive tokens is hashed; any window
+    * content seen more than once corpus-wide keeps ONLY its first
+    * occurrence (min (id, start)), and every other occurrence's token
+    * span is removed from its document. Overlapping removed spans merge
+    * naturally (covered positions are unioned). Tokens are raw
+    * whitespace-split — case-sensitive, because exactness is the point
+    * (doc-level near-dup is the lowercased layer's job). Returns one
+    * row per input document: (idCol, cleaned, n_kept, n_dropped),
+    * whitespace canonicalized to single spaces; documents shorter than
+    * one window pass through unchanged.
+    *
+    * Scale shape — every step is LINEAR in tokens, never pairwise:
+    * windows explode 1:1 per token position; the duplicate decision is
+    * ONE groupBy(window hash) (a boilerplate window shared by millions
+    * of docs is just one big count — never a pair expansion) joined
+    * back 1:1; covered positions explode at windowTokens x the FLAGGED
+    * span volume only (the duplicated fraction of the corpus); the
+    * rebuild is a posexplode + anti-join + per-doc ordered collect,
+    * the dropBoilerplate shape. The token frame is checkpointed once
+    * and feeds both the window pass and the rebuild. */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val k = windowTokens
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // raw, case-sensitive tokens; null text -> empty array (no windows,
+    // rebuilt as empty — mirrored in the oracle)
+    val toks = df
+      .select(col(idCol), coalesce(split(col(textCol), "\\s+"),
+        array().cast("array<string>")).as("__w"))
+      .repartition(parallelism, col(idCol))
+      .localCheckpoint(false) // feeds the window pass + the rebuild
+    val wins = toks
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__w")) - k),
+        i => Text.md5Hash(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))
+      ).as(Seq("__s", "__h")))
+    // first occurrence corpus-wide survives; every other one is flagged
+    val keep = wins.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__s"))).as("__keep"))
+    val flagged = wins.join(keep, "__h")
+      .filter(!(col(idCol) === col("__keep")(idCol) && col("__s") === col("__keep.__s")))
+      .select(col(idCol), col("__s"))
+    // union of flagged spans = distinct covered token positions
+    val covered = flagged
+      .select(col(idCol), explode(sequence(col("__s"), col("__s") + (k - 1))).as("__p"))
+      .distinct()
+    val rebuilt = toks
+      .select(col(idCol), posexplode(col("__w")).as(Seq("__p", "__t")))
+      .join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          x => x.getField("__t")), " ").as("cleaned"))
+    toks.select(col(idCol), size(col("__w")).cast("long").as("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Fixed MinHash permutation seeds (a, b) for `(a*h + b) % P` over
     * 60-bit md5-derived shingle hashes. 16 hashes = 4 bands × 4 rows:
     * documents sharing any full band become candidates (the classic

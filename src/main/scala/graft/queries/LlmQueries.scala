@@ -291,6 +291,20 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Exact substring dedup (window-granular span removal): every
+    // 20-token window content keeps only its first corpus-wide
+    // occurrence; other occurrences' spans are cut from their docs.
+    // Self-repeats are injected (doc_id % 7 == 2 doubled) so same-doc
+    // removal fires alongside the corpus's natural cross-doc dups.
+    "llm_substring_dedup" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 7 === 2,
+        concat_ws(" ", col("text"), col("text"))).otherwise(col("text"))
+      Dedup.dropDuplicateSpans(
+          t(s, dir, "documents").withColumn("text", aug), "doc_id", "text",
+          windowTokens = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-aware mixing, composed: best 2000 tokens per source
     // (per-source token-budget selection), then water-fill the
     // survivors to an 8000-token budget — the two-stage curation recipe
@@ -836,6 +850,37 @@ object LlmQueries {
          |SELECT a, b, jaccard FROM scored
          |WHERE jaccard >= 0.5 AND (a % 10 = 9 OR b % 10 = 9)
          |ORDER BY a, b""".stripMargin,
+    "llm_substring_dedup" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 2
+         |    THEN concat_ws(' ', text, text) ELSE text END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM d0),
+         |wins AS (
+         |  SELECT doc_id, u.i - 1 AS s,
+         |    ${duckHash("array_to_string(w[u.i : u.i + 19], ' ')")} AS h
+         |  FROM d, UNNEST(range(1, len(w) - 18)) AS u(i)
+         |  WHERE len(w) >= 20),
+         |flags AS (SELECT doc_id, s FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+         |    FROM wins) t0
+         |  WHERE rn > 1),
+         |cov AS (SELECT DISTINCT doc_id, s + u.o AS p
+         |  FROM flags, UNNEST(range(0, 20)) AS u(o)),
+         |toks AS (SELECT doc_id, u.i - 1 AS p, w[u.i] AS tk
+         |  FROM d, UNNEST(range(1, len(w) + 1)) AS u(i)),
+         |kept AS (SELECT toks.doc_id, toks.p, toks.tk
+         |  FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.p = cov.p
+         |  WHERE cov.p IS NULL),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    array_to_string(list(tk ORDER BY p), ' ') AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id, COALESCE(reb.cleaned, '') AS cleaned,
+         |  COALESCE(reb.n_kept, 0)::BIGINT AS n_kept,
+         |  (COALESCE(len(d.w), 0) - COALESCE(reb.n_kept, 0))::BIGINT AS n_dropped
+         |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "llm_budget_mix" ->
       s"""WITH t0 AS (
          |  SELECT doc_id, source, n_chars // 64 AS score,

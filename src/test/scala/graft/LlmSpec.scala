@@ -48,6 +48,26 @@ class LlmSpec extends SparkSpec {
       "must include new-vs-new pairs")
   }
 
+  test("dropDuplicateSpans: only the first corpus-wide occurrence of a window survives") {
+    val span = (1 to 25).map(i => s"s$i").mkString(" ") // 25 tokens >= k=20
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),      // global first occurrence — kept whole
+      (2L, s"intro words $span outro end"), // its copy of the span is cut
+      (3L, "totally unrelated short text"), // shorter than a window — untouched
+      (4L, s"$span $span"))                 // both copies match doc 1 — fully cut
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dropDuplicateSpans(docs, "doc_id", "text", windowTokens = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((s"alpha beta $span gamma", 28L, 0L)))
+    assert(out(2L) == (("intro words outro end", 4L, 25L)))
+    assert(out(3L) == (("totally unrelated short text", 4L, 0L)))
+    assert(out(4L) == (("", 0L, 50L)), "every window in doc 4 repeats doc 1's span")
+    // deterministic rerun
+    val again = graft.llm.Dedup.dropDuplicateSpans(docs, "doc_id", "text", windowTokens = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again.view.mapValues(identity).toMap == out.view.mapValues(_._1).toMap)
+  }
+
   test("incrementalNearDupPairs: overlapping corpus does not double bucket counts") {
     // 6 near-identical docs = one LSH bucket of size 6 per band. The
     // corpus ALREADY CONTAINS the batch (docs 5-6), the overlap case the
