@@ -254,6 +254,41 @@ class PropertySpec extends SparkSpec {
       s.forall(v => v >= 0 && v < graft.llm.Text.HashP)))
   }
 
+  test("property: dropDuplicateSpans equals the brute-force span-removal model") {
+    // tiny vocabulary + short windows force heavy window collisions,
+    // within and across docs
+    val k = 3
+    val vocab = Seq("a", "b", "c")
+    val docsGen = Gen.listOfN(40, Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    val texts = sample(docsGen).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // reference model on window CONTENT (md5 collisions are ~1e-7 and
+    // would fail the test loudly if they ever mattered)
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val wins = for {
+      (id, w) <- toks.toSeq; s <- 0 to w.size - k if w.size >= k
+    } yield (w.slice(s, s + k).mkString(" "), id, s)
+    val firstOcc = wins.groupBy(_._1).view.mapValues(_.map(o => (o._2, o._3)).min).toMap
+    val expected = texts.map { case (id, _) =>
+      val w = toks(id)
+      val covered = (for {
+        s <- 0 to w.size - k if w.size >= k
+        if firstOcc(w.slice(s, s + k).mkString(" ")) != ((id, s))
+        p <- s until s + k
+      } yield p).toSet
+      val kept = w.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+      id -> ((kept.mkString(" "), kept.size.toLong, (w.size - kept.size).toLong))
+    }.toMap
+    val got = graft.llm.Dedup.dropDuplicateSpans(
+        texts.toDF("doc_id", "text"), "doc_id", "text", windowTokens = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      got.keySet.filter(id => got(id) != expected(id))
+        .map(id => s"$id: got=${got(id)} want=${expected(id)} text='${texts(id.toInt)._2}'")
+        .mkString("\n"))
+  }
+
   test("property: selectByTokenBudget equals the naive global ordered cumsum") {
     import org.apache.spark.sql.expressions.Window
     // random scores (small domain → fat ties) and token sizes; budgets
