@@ -238,6 +238,32 @@ object Graft {
                    strideWords: Int = 150): DataFrame =
     llm.Curate.chunkSliding(docs, textCol, idCol, chunkWords, strideWords)
 
+  /** Deterministic seed-keyed corpus shuffle: (shard, pos) permutation
+    * with no global ordering step. */
+  def globalShuffle(docs: DataFrame, idCol: String, seed: String,
+                    shards: Int): DataFrame =
+    llm.Order.globalShuffle(docs, idCol, seed, shards)
+
+  /** Weighted source interleave (fair-queueing virtual-finish keys);
+    * the corpus order is the returned `okey` sort key. */
+  def interleaveBySource(docs: DataFrame, sourceCol: String, idCol: String,
+                         weights: Map[String, Long], seed: String = "ilv"): DataFrame =
+    llm.Order.interleaveBySource(docs, sourceCol, idCol, weights, seed)
+
+  /** Count-based bigram-LM quality scoring (add-one smoothing,
+    * micro-nat integer log-probs). */
+  def ngramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    llm.NgramLm.score(docs, idCol, textCol)
+
+  /** Heavy-hitter word n-grams with occurrence + distinct-doc counts. */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 2, k: Int = 20): DataFrame =
+    llm.CorpusStats.topNgrams(docs, idCol, textCol, n, k)
+
+  /** Document-length histogram (integer buckets of `width`). */
+  def lengthHistogram(docs: DataFrame, lenCol: String, width: Long = 200L): DataFrame =
+    llm.CorpusStats.lengthHistogram(docs, lenCol, width)
+
   /** Bounded top-k aggregate (custom TypedImperativeAggregate). */
   def topK(c: Column, k: Int): Column = _root_.graft.expr.native.NativeFns.topK(c, k)
 

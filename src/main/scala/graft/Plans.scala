@@ -20,7 +20,8 @@ object Plans {
       else Seq("w1_dedup_keep_latest", "q5_local_volume", "x1_asof_last_click",
         "llm_dedup_minhash_lsh", "llm_ngram_jaccard", "llm_ann_ivf",
         "q1_pricing_summary", "llm_dedup_keep_one", "llm_dedup_lsh_tightcap",
-        "llm_dedup_incremental", "llm_budget_mix", "llm_substring_dedup")
+        "llm_dedup_incremental", "llm_budget_mix", "llm_substring_dedup",
+        "llm_ngram_lm_score", "llm_global_shuffle", "llm_interleave")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Count-based n-gram language-model scoring — the CCNet-style quality
+  * gate: score each document by how surprising its bigrams are under a
+  * bigram LM trained on the corpus itself (add-one smoothing). Junk
+  * (lorem spam, mojibake, keyword stuffing) scores far from the bulk
+  * of the corpus; hapax-heavy docs are novel or noisy.
+  *
+  * All outputs are exact integers: counts, hapax counts, and the
+  * log-probability in MICRO-NATS (`floor(1e6 * ln p)` per bigram,
+  * summed as longs) — order-independent under any partitioning and
+  * replayable bit-for-bit by the DuckDB oracle, where a plain double
+  * sum would depend on merge order.
+  *
+  * Scale: train + score is three linear passes over the exploded
+  * bigram stream — two hash aggregations (bigram key, prefix key),
+  * two shuffle equi-joins back, one per-doc aggregation. No driver
+  * collect, no broadcast of the model (a 100 TB corpus has billions
+  * of distinct bigrams; the model JOINS, it does not ship).
+  */
+object NgramLm {
+
+  /** Exploded (id, bigram, prefix-word) stream; docs with <2 words
+    * contribute nothing (explode of an empty shingle array). */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(Text.shingles(Text.words(col(textCol)), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+
+  /** Per-document LM score under the corpus's own bigram model.
+    *
+    * Output (one row per input doc, including <2-word docs at 0):
+    *  - n_bigrams: bigram tokens in the doc
+    *  - n_hapax: doc bigrams occurring exactly once in the corpus
+    *  - sum_bg_count: sum of corpus frequencies of the doc's bigrams
+    *  - lp_micro: add-one-smoothed log-prob in micro-nats,
+    *    sum over bigrams of floor(1e6 * ln((C(bg)+1)/(C(w1)+V)))
+    *    where C(w1) counts w1 as a bigram prefix and V = |prefixes|.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol)
+    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val w1Counts = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val vocab = w1Counts.agg(count(lit(1)).as("v"))
+    val scored = bg
+      .join(bgCounts, "bg")
+      .join(w1Counts, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_micro",
+        floor(log((col("c_bg") + lit(1L)).cast("double") /
+          (col("c_w1") + col("v")).cast("double")) * lit(1000000.0)))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bg") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
+        sum(col("c_bg")).as("sum_bg_count"),
+        sum(col("lp_micro")).as("lp_micro"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).cast(LongType).as("n_bigrams"),
+        coalesce(col("n_hapax"), lit(0L)).cast(LongType).as("n_hapax"),
+        coalesce(col("sum_bg_count"), lit(0L)).cast(LongType).as("sum_bg_count"),
+        coalesce(col("lp_micro"), lit(0L)).cast(LongType).as("lp_micro"))
+  }
+}

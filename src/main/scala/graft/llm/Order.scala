@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus ordering for training-data emission: the deterministic global
+  * shuffle and the weighted source interleave that decide WHERE each
+  * document lands in the token stream a trainer reads.
+  *
+  * Both operators are seed-keyed md5 arithmetic (the same portable hash
+  * family as [[Text.md5Hash]]), so a re-run — or an independent engine
+  * replaying the same formula, which is exactly what the DuckDB oracle
+  * does — reproduces the identical order. Neither ever computes a
+  * global row_number: a single-reducer global window is the classic
+  * 100 TB trap. Shuffle order is (shard, pos-within-shard) — one hash
+  * exchange, per-shard sorts; interleave order is a sortable KEY the
+  * writer range-partitions on (Spark's range partitioner samples
+  * bounds, so the final sort is a terasort, not a single reducer).
+  */
+object Order {
+
+  /** Deterministic corpus shuffle: assign every row a pseudo-random
+    * but reproducible (shard, pos) — shard = seeded-hash mod
+    * `shards`, pos = rank of the seeded hash within the shard.
+    * Training-data writers emit shard files independently; global
+    * read order (shard asc, pos asc) is a fixed permutation of the
+    * corpus decided entirely by `seed`.
+    *
+    * Scale: one hash exchange on `shard` + a per-shard sort inside
+    * the window — parallelism equals `shards`, so size it to the
+    * cluster (thousands at 100 TB). No global ordering step exists
+    * anywhere in the plan.
+    */
+  def globalShuffle(docs: DataFrame, idCol: String, seed: String,
+                    shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val skey = Text.md5Hash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col(idCol))
+    docs.select(col(idCol), skey.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .drop("skey")
+  }
+
+  /** Weighted source interleave: a global training order in which each
+    * source appears in proportion to its weight. Classic fair-queueing
+    * ("virtual finish time"): the r-th document of source s gets key
+    * `r * scale DIV weight(s)` — a source with twice the weight
+    * emits documents at twice the rate. Within a source, order is the
+    * seeded shuffle hash, so the interleave is also a shuffle.
+    *
+    * Returns (source, id, r, okey); the corpus order is
+    * (okey, source, id) — a SORT KEY, deliberately not a row_number:
+    * sorting by key range-partitions at scale, a global row_number
+    * cannot. Integer `DIV` keeps the key exact at any corpus size
+    * (no double rounding at r ~ 1e11).
+    *
+    * Sources absent from `weights` are dropped (weight 0); weights
+    * must be positive.
+    */
+  def interleaveBySource(docs: DataFrame, sourceCol: String, idCol: String,
+                         weights: Map[String, Long], seed: String = "ilv",
+                         scale: Long = 1000000L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive, got $weights")
+    val wcol = weights.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    val skey = Text.md5Hash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("skey"), col(idCol))
+    docs.select(col(sourceCol), col(idCol), skey.as("skey"))
+      .withColumn("wt", wcol)
+      .filter(col("wt").isNotNull)
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .withColumn("okey", expr(s"(r * $scale) DIV wt"))
+      .drop("skey", "wt")
+  }
+}

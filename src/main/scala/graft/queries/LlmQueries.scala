@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.llm.{Curate, Dedup, Multimodal, Similarity, Text}
+import graft.llm.{CorpusStats, Curate, Dedup, Multimodal, NgramLm, Order, Similarity, Text}
 
 /** Harness queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis, multimodal columns) over
@@ -524,7 +524,51 @@ object LlmQueries {
           // fingerprint hashes the hex rendering of the bytes.
           md5(upper(hex(col("content")))).as("content_hash"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // Count-based bigram-LM quality gate (the CCNet shape): the corpus
+    // is its own model; outputs are exact integers (log-probs in
+    // micro-nats) so the score is partitioning-independent and the
+    // oracle replays it bit-for-bit.
+    "llm_ngram_lm_score" -> ((s, dir) =>
+      NgramLm.score(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Deterministic corpus shuffle: seed-keyed (shard, pos) permutation
+    // with no global ordering step anywhere in the plan.
+    "llm_global_shuffle" -> ((s, dir) =>
+      Order.globalShuffle(t(s, dir, "documents"), "doc_id", seed = "r9",
+        shards = ShuffleShards)
+        .orderBy(col("shard"), col("pos"))),
+
+    // Weighted source interleave: fair-queueing virtual-finish-time
+    // keys. src0..src9 carry weights 1..5 cyclically; src10+ have no
+    // weight and must be dropped — both arms oracle-checked.
+    "llm_interleave" -> ((s, dir) =>
+      Order.interleaveBySource(t(s, dir, "documents"), "source", "doc_id",
+        weights = InterleaveWeights)
+        .orderBy(col("okey"), col("source"), col("doc_id"))),
+
+    // Heavy-hitter bigrams with occurrence + distinct-doc counts;
+    // deterministic total order makes the top-k cut stable.
+    "llm_top_ngrams" -> ((s, dir) =>
+      CorpusStats.topNgrams(t(s, dir, "documents"), "doc_id", "text",
+        n = 2, k = 20)),
+
+    // Document-length profile in 100-char buckets over the n_chars
+    // column — pure integer bucket arithmetic on both sides.
+    "llm_length_histogram" -> ((s, dir) =>
+      CorpusStats.lengthHistogram(t(s, dir, "documents"), "n_chars",
+        width = 100L)))
+
+  /** Shard count for llm_global_shuffle, shared with its oracle. */
+  val ShuffleShards = 8
+
+  /** Interleave weights for llm_interleave, shared with its oracle:
+    * src0..src9 get cyclic weights 1..5; the fixture's other ten
+    * sources are deliberately unweighted (drop arm). */
+  val InterleaveWeights: Map[String, Long] =
+    (0 until 10).map(i => s"src$i" -> ((i % 5) + 1).toLong).toMap
 
   // Magic-number prefixes injected by llm_multimodal_meta; one per
   // sniffMime branch (graft.llm.Multimodal.sniffMime).
@@ -1144,5 +1188,53 @@ object LlmQueries {
          |    WHEN doc_id % 10 = 6 THEN from_hex('$MagicWebp') || encode(text)
          |    WHEN doc_id % 10 = 7 THEN from_hex('$MagicAvi') || encode(text)
          |    ELSE encode(text) END AS content
-         |  FROM documents) t0) t ORDER BY doc_id""".stripMargin)
+         |  FROM documents) t0) t ORDER BY doc_id""".stripMargin,
+    "llm_ngram_lm_score" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t0),
+        |g2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g),
+        |cb AS (SELECT bg, count(*) AS c_bg FROM g2 GROUP BY bg),
+        |cw AS (SELECT w1, count(*) AS c_w1 FROM g2 GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM cw),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    sum(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS n_hapax,
+        |    sum(c_bg) AS sum_bg_count,
+        |    sum(CAST(floor(ln((c_bg + 1.0) / (c_w1 + v)) * 1000000) AS BIGINT)) AS lp_micro
+        |  FROM g2 JOIN cb USING (bg) JOIN cw USING (w1) CROSS JOIN v GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  coalesce(n_hapax, 0)::BIGINT AS n_hapax,
+        |  coalesce(sum_bg_count, 0)::BIGINT AS sum_bg_count,
+        |  coalesce(lp_micro, 0)::BIGINT AS lp_micro
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "llm_global_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${duckHash(s"'r9:' || doc_id")} AS skey FROM documents)
+         |SELECT doc_id, skey % $ShuffleShards AS shard,
+         |  row_number() OVER (PARTITION BY (skey % $ShuffleShards) ORDER BY skey, doc_id) AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin,
+    "llm_interleave" -> {
+      val cases = InterleaveWeights.toSeq.sortBy(_._1)
+        .map { case (src, wt) => s"WHEN '$src' THEN $wt" }.mkString(" ")
+      s"""WITH d AS (SELECT source, doc_id,
+         |    ${duckHash(s"'ilv:' || doc_id")} AS skey,
+         |    CASE source $cases ELSE NULL END AS wt
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, wt,
+         |    row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS r
+         |  FROM d WHERE wt IS NOT NULL)
+         |SELECT source, doc_id, r::BIGINT AS r, (r * 1000000) // wt AS okey
+         |FROM r ORDER BY okey, source, doc_id""".stripMargin
+    },
+    "llm_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t0)
+        |SELECT ngram, count(*)::BIGINT AS occurrences, count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM g GROUP BY ngram ORDER BY occurrences DESC, n_docs DESC, ngram LIMIT 20""".stripMargin,
+    "llm_length_histogram" ->
+      """SELECT n_chars - (n_chars % 100) AS bucket_lo, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars, min(n_chars)::BIGINT AS min_chars,
+        |  max(n_chars)::BIGINT AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin)
 }

@@ -1,0 +1,92 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus ordering (Order), corpus diagnostics (CorpusStats) and
+  * count-based LM scoring (NgramLm) against hand-computed fixtures. */
+class OrderStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalShuffle: exact permutation — every id once, per-shard positions contiguous") {
+    val docs = (1L to 100L).toDF("id")
+    val out = Order.globalShuffle(docs, "id", seed = "s", shards = 7).cache()
+    assert(out.count() === 100)
+    assert(out.select("id").distinct().count() === 100)
+    // positions within each shard are exactly 1..n_shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.count() === 0)
+    // deterministic: a re-run is bit-identical
+    val again = Order.globalShuffle(docs, "id", seed = "s", shards = 7)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+    // a different seed produces a different permutation
+    val other = Order.globalShuffle(docs, "id", seed = "t", shards = 7)
+    assert(out.except(other).count() > 0)
+    out.unpersist()
+  }
+
+  test("interleaveBySource: virtual-finish keys exact; unweighted sources dropped") {
+    val docs = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 5L), ("b", 6L),
+      ("c", 7L) // no weight -> dropped
+    ).toDF("source", "id")
+    val out = Order.interleaveBySource(docs, "source", "id",
+      weights = Map("a" -> 2L, "b" -> 1L)).cache()
+    assert(out.filter(col("source") === "c").count() === 0)
+    assert(out.count() === 6)
+    // okey == (r * 1000000) / weight exactly, for every row
+    val recomputed = out.withColumn("expect",
+      when(col("source") === "a", col("r") * 1000000L / 2L)
+        .otherwise(col("r") * 1000000L))
+    assert(recomputed.filter(col("okey") =!= col("expect")).count() === 0)
+    // rate property: among the first 3 emitted keys, source a (weight 2)
+    // appears twice and b once (keys 500000, 1000000, 1000000)
+    val first3 = out.orderBy(col("okey"), col("source"), col("id"))
+      .limit(3).groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(first3 === Map("a" -> 2L, "b" -> 1L))
+    out.unpersist()
+  }
+
+  test("topNgrams: counts, doc counts, deterministic tie-break") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val top = CorpusStats.topNgrams(docs, "doc_id", "text", n = 2, k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top === Seq(("a b", 3L, 2L), ("b a", 1L, 1L)))
+  }
+
+  test("lengthHistogram: integer buckets with count/sum/min/max") {
+    val docs = Seq(48L, 150L, 199L, 200L).toDF("n_chars")
+    val h = CorpusStats.lengthHistogram(docs, "n_chars", width = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(h === Seq(
+      (0L, 1L, 48L, 48L, 48L),
+      (100L, 2L, 349L, 150L, 199L),
+      (200L, 1L, 200L, 200L, 200L)))
+  }
+
+  test("NgramLm.score: hand-computed add-one bigram model in micro-nats") {
+    // corpus: d1 = [a b a b], d2 = [a b c], d3 = [x] (no bigrams)
+    // C(a b)=3 C(b a)=1 C(b c)=1; prefix C(a)=3 C(b)=2; V=2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = NgramLm.score(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val lpAb = math.floor(math.log(4.0 / 5.0) * 1e6).toLong // (3+1)/(3+2)
+    val lpHapax = math.floor(math.log(2.0 / 4.0) * 1e6).toLong // (1+1)/(2+2)
+    assert(out === Seq(
+      (1L, 3L, 1L, 7L, 2 * lpAb + lpHapax),
+      (2L, 2L, 1L, 4L, lpAb + lpHapax),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("NgramLm.score is partitioning-independent (exact integer outputs)") {
+    val docs = (1L to 40L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 5}"))
+      .toDF("doc_id", "text")
+    val a = NgramLm.score(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = NgramLm.score(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
