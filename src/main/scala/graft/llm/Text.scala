@@ -23,13 +23,26 @@ object Text {
     * every oracle as string_split_regex(lower(text), '\s+'). */
   def words(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Word n-gram shingles (0-based subscripts; n-2 shingles for n≥3
-    * words, else empty). */
-  def shingles(w: Column, n: Int = 3): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(k => w(i + k)): _*)))
-      .otherwise(array().cast(ArrayType(StringType)))
+  /** Word n-gram shingles (n-1 fewer shingles than words; empty below
+    * n words or for a NULL array).
+    *
+    * Built as n-1 zip_withs over shifted slices, NOT an index lambda
+    * `transform(sequence(...), i => w(i+k))`: HOF lambdas are
+    * interpreted with no common-subexpression elimination, so when `w`
+    * is an inline expression (e.g. words(text)) an index lambda
+    * re-evaluates the whole regex split once PER ELEMENT ACCESS —
+    * O(words^2) splits per document (measured 11x on topNgrams).
+    * zip_with evaluates each input array once per ROW and its lambda
+    * binds only the elements, so the cost is O(n * words) however the
+    * caller spells the argument. */
+  def shingles(w: Column, n: Int = 3): Column = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val m = greatest(size(w) - (n - 1), lit(0))
+    val joined = (1 until n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k + 1), m), (a, b) => concat_ws(" ", a, b))
+    }
+    coalesce(joined, array().cast(ArrayType(StringType)))
+  }
 
   /** Portable 60-bit string hash reduced mod P: first 15 hex chars of
     * md5. md5 is identical everywhere (Spark, DuckDB, Python), which
@@ -129,14 +142,16 @@ object Text {
   def fingerprints(text: Column, n: Int = 3, win: Int = 4): Column =
     fingerprintsFromHashes(hashedShingles(text, n), win)
 
-  /** Same, over a pre-materialized hashed-shingle column — use this in
-    * pipelines (HOF lambdas are interpreted, so pass an attribute, not
-    * a nested expression, or the shingle pass re-executes per access). */
+  /** Same, over a hashed-shingle column. Sliding-window mins via
+    * win-1 zip_withs over shifted slices — like [[shingles]], never an
+    * index lambda, so an inline `hs` expression is evaluated once per
+    * row, not once per window element. */
   def fingerprintsFromHashes(hs: Column, win: Int = 4): Column = {
-    val mins = when(size(hs) >= win,
-      transform(sequence(lit(0), size(hs) - win),
-        i => least((0 until win).map(k => hs(i + k)): _*)))
-      .otherwise(hs)
-    array_distinct(mins)
+    require(win >= 1, s"window must be >= 1, got $win")
+    val m = greatest(size(hs) - (win - 1), lit(0))
+    val mins = (1 until win).foldLeft(slice(hs, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(hs, lit(k + 1), m), (a, b) => least(a, b))
+    }
+    array_distinct(when(size(hs) >= win, mins).otherwise(hs))
   }
 }

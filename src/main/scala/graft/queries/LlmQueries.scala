@@ -559,7 +559,26 @@ object LlmQueries {
     // column — pure integer bucket arithmetic on both sides.
     "llm_length_histogram" -> ((s, dir) =>
       CorpusStats.lengthHistogram(t(s, dir, "documents"), "n_chars",
-        width = 100L)))
+        width = 100L)),
+
+    // Curriculum ordering: per-bigram-mean LM quality floored to
+    // 250k-micro-nat buckets, seeded shuffle inside each bucket;
+    // bigram-less docs sort last via an explicit NULLS LAST on both
+    // engines.
+    "llm_curriculum" -> ((s, dir) =>
+      Order.curriculumOrder(t(s, dir, "documents"), "doc_id", "text",
+        width = 250000L, seed = "cur")
+        .orderBy(col("bucket_lo").desc_nulls_last, col("skey"), col("doc_id"))),
+
+    // Per-source distinct-bigram profile via mergeable HLL sketches.
+    // No value oracle (DuckDB's approx_distinct is a different HLL);
+    // the spec proves the union == recompute mergeability contract,
+    // and the driver records the rows-only check here.
+    "llm_sketch_profile" -> ((s, dir) =>
+      CorpusStats.sourceNgramSketch(t(s, dir, "documents"), "source",
+        "doc_id", "text", n = 2, lgK = 12)
+        .drop("ngram_sketch")
+        .orderBy(col("source"))))
 
   /** Shard count for llm_global_shuffle, shared with its oracle. */
   val ShuffleShards = 8
@@ -1236,5 +1255,24 @@ object LlmQueries {
       """SELECT n_chars - (n_chars % 100) AS bucket_lo, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS sum_chars, min(n_chars)::BIGINT AS min_chars,
         |  max(n_chars)::BIGINT AS max_chars
-        |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+    "llm_curriculum" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0),
+         |g2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g),
+         |cb AS (SELECT bg, count(*) AS c_bg FROM g2 GROUP BY bg),
+         |cw AS (SELECT w1, count(*) AS c_w1 FROM g2 GROUP BY w1),
+         |v AS (SELECT count(*) AS v FROM cw),
+         |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    sum(CAST(floor(ln((c_bg + 1.0) / (c_w1 + v)) * 1000000) AS BIGINT)) AS lp_micro
+         |  FROM g2 JOIN cb USING (bg) JOIN cw USING (w1) CROSS JOIN v GROUP BY doc_id),
+         |q AS (SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+         |    CASE WHEN coalesce(n_bigrams, 0) > 0
+         |      THEN CAST(floor(lp_micro::DOUBLE / n_bigrams::DOUBLE) AS BIGINT) END AS q_micro,
+         |    ${duckHash(s"'cur:' || d.doc_id")} AS skey
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id, n_bigrams, q_micro,
+         |  q_micro - (((q_micro % 250000) + 250000) % 250000) AS bucket_lo, skey
+         |FROM q ORDER BY bucket_lo DESC NULLS LAST, skey, doc_id""".stripMargin)
 }

@@ -5,10 +5,17 @@ package graft
   * entry returns rows on the smoke scale factor. */
 class ContractSpec extends SparkSpec {
 
+  // Queries with no SQL-expressible oracle (the driver records a
+  // weaker rows-only check for these). Keep this list SHORT and
+  // justified: currently only the HLL-sketch profile, whose estimate
+  // DuckDB cannot replay (different HLL implementation) — its
+  // mergeability contract is proven in OrderStatsSpec instead.
+  private val rowsOnlyQueries = Set("llm_sketch_profile")
+
   test("queries and oracleSql keys align") {
     assert(SparkEntry.queries.nonEmpty)
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
-      s"mismatch: ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)} / " +
+    assert(SparkEntry.queries.keySet -- rowsOnlyQueries == SparkEntry.oracleSql.keySet,
+      s"mismatch: ${(SparkEntry.queries.keySet -- rowsOnlyQueries).diff(SparkEntry.oracleSql.keySet)} / " +
         s"${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)}")
   }
 

@@ -81,6 +81,60 @@ class OrderStatsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("curriculumOrder: quality buckets exact; floor bucketing correct for negative q") {
+    // d1 repeats the corpus's dominant bigram -> highest mean log-prob;
+    // d2 is hapax-heavy -> lower; d3 has no bigrams -> NULL bucket.
+    val docs = Seq((1L, "a b a b a b"), (2L, "p q r s"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Order.curriculumOrder(docs, "doc_id", "text", width = 250000L)
+      .orderBy(col("bucket_lo").desc_nulls_last, col("skey"), col("doc_id"))
+      .select("doc_id", "n_bigrams", "q_micro", "bucket_lo")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    // every bucket_lo is a multiple of width and <= q_micro (floor, not
+    // truncate-toward-zero: q is negative so these differ)
+    out.foreach { case (_, _, q, b) =>
+      (q, b) match {
+        case (Some(qv), Some(bv)) =>
+          assert(bv % 250000L === 0L && bv <= qv && qv < bv + 250000L)
+        case (None, None) => ()
+        case other => fail(s"q/bucket null placement differs: $other")
+      }
+    }
+    assert(out.map(_._1) === Seq(1L, 2L, 3L)) // quality order, empty last
+    assert(out.last._2 === 0L && out.last._3.isEmpty && out.last._4.isEmpty)
+    // hand-check d1: C(a b)=3+1(from d2? no 'a b' only in d1)... recompute:
+    // corpus bigrams: d1=[a b, b a, a b, b a, a b]? no: "a b a b a b" ->
+    // [a b, b a, a b, b a, a b]: C(a b)=3, C(b a)=2; d2=[p q, q r, r s].
+    // prefixes: C(a)=3 C(b)=2 C(p)=1 C(q)=1 C(r)=1, V=5.
+    val lpAB = math.floor(math.log(4.0 / 8.0) * 1e6).toLong  // (3+1)/(3+5)
+    val lpBA = math.floor(math.log(3.0 / 7.0) * 1e6).toLong  // (2+1)/(2+5)
+    val lp1 = 3 * lpAB + 2 * lpBA
+    val q1 = math.floor(lp1.toDouble / 5.0).toLong
+    assert(out.head === ((1L, 5L, Some(q1), Some(q1 - (q1 % 250000L + 250000L) % 250000L))))
+  }
+
+  test("sourceNgramSketch: mergeable HLL — union == recompute, exact in sparse regime") {
+    val docs = Seq(
+      ("s1", 1L, "a b c a b"), ("s1", 2L, "c d"),
+      ("s2", 3L, "a b x y"), ("s2", 4L, "y z"))
+      .toDF("source", "doc_id", "text")
+    val per = CorpusStats.sourceNgramSketch(docs, "source", "doc_id", "text").cache()
+    val got = per.select("source", "occurrences", "est_distinct")
+      .as[(String, Long, Long)].collect().map { case (s, o, e) => s -> ((o, e)) }.toMap
+    // s1 bigrams: [a b, b c, c a, a b] + [c d] -> 5 occ, 4 distinct
+    // s2 bigrams: [a b, b x, x y] + [y z] -> 4 occ, 4 distinct
+    assert(got === Map("s1" -> (5L, 4L), "s2" -> (4L, 4L)))
+    // union of the two sketches == sketch of the whole corpus, and both
+    // equal the exact distinct count (sparse mode is exact)
+    val union = CorpusStats.unionNgramSketch(per)
+      .select("occurrences", "est_distinct").as[(Long, Long)].head()
+    val whole = CorpusStats.sourceNgramSketch(
+        docs.withColumn("source", lit("all")), "source", "doc_id", "text")
+      .select("occurrences", "est_distinct").as[(Long, Long)].head()
+    assert(union === ((9L, 7L)) && whole === ((9L, 7L))) // a b shared across sources
+    per.unpersist()
+  }
+
   test("NgramLm.score is partitioning-independent (exact integer outputs)") {
     val docs = (1L to 40L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 5}"))
       .toDF("doc_id", "text")
