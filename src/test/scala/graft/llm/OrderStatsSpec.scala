@@ -135,6 +135,27 @@ class OrderStatsSpec extends SparkSpec {
     per.unpersist()
   }
 
+  test("plan shapes: one exchange for shuffle/interleave; no Expand in topNgrams") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // deterministic tree
+      val docs = (1L to 50L).map(i => (i, s"w${i % 5} w${i % 3}", s"src${i % 2}"))
+        .toDF("doc_id", "text", "source")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.size
+      // shuffle/interleave: exactly ONE hash exchange (the window key);
+      // a second would mean an accidental global sort or repartition
+      assert(exchanges(Order.globalShuffle(docs, "doc_id", "s", 4)) === 1)
+      assert(exchanges(Order.interleaveBySource(docs, "source", "doc_id",
+        Map("src0" -> 1L, "src1" -> 2L))) === 1)
+      // topNgrams: the two-stage agg must not plan a countDistinct
+      // Expand (it would double the exploded stream at its widest)
+      val top = CorpusStats.topNgrams(docs, "doc_id", "text", 2, 5)
+      assert(!top.queryExecution.executedPlan.toString.contains("Expand"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("NgramLm.score is partitioning-independent (exact integer outputs)") {
     val docs = (1L to 40L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 5}"))
       .toDF("doc_id", "text")
