@@ -279,6 +279,16 @@ object Graft {
                        sketchCol: String = "ngram_sketch"): DataFrame =
     llm.CorpusStats.unionNgramSketch(sketches, sketchCol)
 
+  /** Keep the highest-`scoreCol` member of each duplicate cluster. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+                         components: DataFrame): DataFrame =
+    llm.Dedup.keepBestPerCluster(df, idCol, scoreCol, components)
+
+  /** Incremental-crawl snapshot diff: new/changed/unchanged/deleted. */
+  def snapshotDelta(prev: DataFrame, cur: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    llm.Curate.snapshotDelta(prev, cur, idCol, textCol)
+
   /** Bounded top-k aggregate (custom TypedImperativeAggregate). */
   def topK(c: Column, k: Int): Column = _root_.graft.expr.native.NativeFns.topK(c, k)
 

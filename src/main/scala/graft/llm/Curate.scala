@@ -459,4 +459,31 @@ object Curate {
           slice(col("__w"), (col("chunk_idx") * strideWords + lit(1L)).cast("int"),
             lit(chunkWords)), " ")).as("chunk_hash"))
   }
+
+  /** Corpus snapshot delta — the incremental-crawl diff: classify every
+    * id across two corpus snapshots as `new` (only in `cur`), `deleted`
+    * (only in `prev`), `changed` (both, content hash differs) or
+    * `unchanged`. Downstream incremental stages (band-index appends,
+    * re-tokenization, re-embedding) then touch only the
+    * new ∪ changed slice instead of re-paying the whole corpus.
+    *
+    * NULL text hashes to a sentinel, not NULL, so a doc whose text is
+    * NULL in both snapshots classifies as `unchanged` rather than
+    * falling out of the hash comparison.
+    *
+    * Plan: one projection per side (md5 rides the scan) + one
+    * co-partitionable full-outer equi-join on the id — linear in the
+    * two snapshots, no other exchange. */
+  def snapshotDelta(prev: DataFrame, cur: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol),
+        coalesce(md5(col(textCol)), lit("__null__")).as(as))
+    hashed(prev, "__ph").join(hashed(cur, "__ch"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ph").isNull, lit("new"))
+          .when(col("__ch").isNull, lit("deleted"))
+          .when(col("__ph") === col("__ch"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

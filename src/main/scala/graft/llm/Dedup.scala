@@ -403,6 +403,31 @@ object Dedup {
     df.join(if (broadcastDrops) broadcast(drops) else drops, Seq(idCol), "left_anti")
   }
 
+  /** Quality-priority variant of [[keepOnePerCluster]]: keep the
+    * HIGHEST-`scoreCol` member of each duplicate cluster (ties break
+    * on id asc) rather than the arbitrary min-id representative — the
+    * curation behavior real pipelines want, e.g. keep the longest or
+    * best-LM-scored copy of a near-duplicated page.
+    *
+    * Plan: every step before the final anti-join runs at CLUSTERED-doc
+    * scale (≪ corpus): one equi-join attaches scores to cluster
+    * members, one window keyed by label picks the top-1 (the
+    * `rn === 1` filter keeps the map-side WindowGroupLimit partial
+    * available), and the drop list broadcasts so the corpus itself
+    * crosses no exchange. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+                         components: DataFrame,
+                         broadcastDrops: Boolean = true): DataFrame = {
+    val labeled = components.select(col("node").as(idCol), col("label"))
+    val scored = labeled.join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    val keeps = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col(idCol))
+    val drops = labeled.select(col(idCol)).join(keeps, Seq(idCol), "left_anti")
+    df.join(if (broadcastDrops) broadcast(drops) else drops, Seq(idCol), "left_anti")
+  }
+
   /** SimHash signature (default 16 bits): each bit is the sign of the
     * ±1 vote sum over word hashes. Near-dups differ in few bits;
     * grouping on the signature (or rotated sub-signatures) buckets

@@ -578,7 +578,33 @@ object LlmQueries {
       CorpusStats.sourceNgramSketch(t(s, dir, "documents"), "source",
         "doc_id", "text", n = 2, lgK = 12)
         .drop("ngram_sketch")
-        .orderBy(col("source"))))
+        .orderBy(col("source"))),
+
+    // Quality-priority dedup: keep the LONGEST member of each near-dup
+    // cluster (score = n_chars) instead of the min-id representative.
+    "llm_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      Dedup.keepBestPerCluster(docs.select("doc_id", "n_chars"), "doc_id",
+          "n_chars", comp)
+        .select("doc_id").orderBy(col("doc_id"))
+    }),
+
+    // Incremental-crawl snapshot diff: cur is a deterministic mutation
+    // of documents (drop %7 docs, rewrite %5 texts, add %11 clones at
+    // id+10^6) so all four status arms are non-vacuous.
+    "llm_snapshot_delta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" [edit]"))).otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      Curate.snapshotDelta(docs, cur, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }))
 
   /** Shard count for llm_global_shuffle, shared with its oracle. */
   val ShuffleShards = 8
@@ -1274,5 +1300,37 @@ object LlmQueries {
          |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
          |SELECT doc_id, n_bigrams, q_micro,
          |  q_micro - (((q_micro % 250000) + 250000) % 250000) AS bucket_lo, skey
-         |FROM q ORDER BY bucket_lo DESC NULLS LAST, skey, doc_id""".stripMargin)
+         |FROM q ORDER BY bucket_lo DESC NULLS LAST, skey, doc_id""".stripMargin,
+    "llm_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${pairsCtes()},
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node),
+         |sc AS (SELECT comp.node, comp.label, d.n_chars
+         |       FROM comp JOIN documents d ON comp.node = d.doc_id),
+         |keep AS (SELECT node FROM (
+         |  SELECT node, row_number() OVER (PARTITION BY label
+         |    ORDER BY n_chars DESC NULLS LAST, node) AS rn FROM sc) t WHERE rn = 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM sc WHERE node NOT IN (SELECT node FROM keep))
+         |ORDER BY doc_id""".stripMargin,
+    "llm_snapshot_delta" ->
+      """WITH cur AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edit]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |p AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h FROM documents),
+        |c AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h FROM cur)
+        |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.h IS NULL THEN 'new'
+        |       WHEN c.h IS NULL THEN 'deleted'
+        |       WHEN p.h = c.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -236,4 +236,28 @@ class CurateSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 0L))
     assert(out(0).getLong(3) == 3L)
   }
+
+  test("snapshotDelta: all four arms; NULL text in both snapshots is unchanged") {
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("gone")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val cur = Seq((1L, Some("a")), (2L, Some("b2")), (5L, Some("fresh")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val got = Curate.snapshotDelta(prev, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "deleted",
+      4L -> "unchanged", 5L -> "new"))
+  }
+
+  test("keepBestPerCluster: highest score survives, ties break low-id, singletons kept") {
+    import graft.llm.Dedup
+    // clusters {1,2,3} and {10,11}; 7 unclustered
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "label")
+    val df = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (10L, 2L), (11L, 2L))
+      .toDF("doc_id", "score")
+    val kept = Dedup.keepBestPerCluster(df, "doc_id", "score", comp)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster 1: max score 9 tie between 2 and 3 -> 2; cluster 10: tie -> 10
+    assert(kept === Set(2L, 7L, 10L))
+  }
 }
