@@ -279,6 +279,10 @@ object Graft {
                        sketchCol: String = "ngram_sketch"): DataFrame =
     llm.CorpusStats.unionNgramSketch(sketches, sketchCol)
 
+  /** Duplicate-cluster size histogram over a components frame. */
+  def clusterSizeHistogram(components: DataFrame): DataFrame =
+    llm.CorpusStats.clusterSizeHistogram(components)
+
   /** Keep the highest-`scoreCol` member of each duplicate cluster. */
   def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
                          components: DataFrame): DataFrame =

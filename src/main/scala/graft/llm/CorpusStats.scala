@@ -95,4 +95,14 @@ object CorpusStats {
       .select(col("occurrences"),
         hll_sketch_estimate(col("ngram_sketch")).as("est_distinct"),
         col("ngram_sketch"))
+
+  /** Duplicate-cluster size histogram over a components frame
+    * (node, label): how many clusters of each size the dedup pass
+    * found — the diagnostic that says whether duplication is a few
+    * giant boilerplate clusters (cap-sensitive) or a long tail of
+    * pairs. Two hash aggs over CLUSTERED docs only (≪ corpus). */
+  def clusterSizeHistogram(components: DataFrame): DataFrame =
+    components.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("sz"))
 }

@@ -591,6 +591,15 @@ object LlmQueries {
         .select("doc_id").orderBy(col("doc_id"))
     }),
 
+    // Dedup diagnostic: histogram of near-dup cluster sizes (shares
+    // the LSH-pairs + components prefix with keep_one/keep_best).
+    "llm_cluster_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      CorpusStats.clusterSizeHistogram(comp)
+    }),
+
     // Incremental-crawl snapshot diff: cur is a deterministic mutation
     // of documents (drop %7 docs, rewrite %5 texts, add %11 clones at
     // id+10^6) so all four status arms are non-vacuous.
@@ -1318,6 +1327,18 @@ object LlmQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM sc WHERE node NOT IN (SELECT node FROM keep))
          |ORDER BY doc_id""".stripMargin,
+    "llm_cluster_sizes" ->
+      s"""WITH RECURSIVE ${pairsCtes()},
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node),
+         |cs AS (SELECT label, count(*) AS sz FROM comp GROUP BY label)
+         |SELECT sz, count(*)::BIGINT AS n_clusters FROM cs
+         |GROUP BY sz ORDER BY sz""".stripMargin,
     "llm_snapshot_delta" ->
       """WITH cur AS (
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edit]' ELSE text END AS text

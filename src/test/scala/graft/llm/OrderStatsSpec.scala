@@ -135,6 +135,14 @@ class OrderStatsSpec extends SparkSpec {
     per.unpersist()
   }
 
+  test("clusterSizeHistogram: sizes from a components frame") {
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("node", "label")
+    val h = CorpusStats.clusterSizeHistogram(comp)
+      .as[(Long, Long)].collect().toSeq
+    assert(h === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("plan shapes: one exchange for shuffle/interleave; no Expand in topNgrams") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
