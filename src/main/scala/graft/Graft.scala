@@ -226,6 +226,16 @@ object Graft {
     streaming.Streams.incrementalDedupStream(docs, corpusTable, indexTable,
       pairsTable, idCol, textCol, checkpointDir, threshold)
 
+  /** Same, delta-gated for re-crawl sources that redeliver everything:
+    * only new-or-changed docs pay signature CPU and appends. */
+  def incrementalDeltaDedupStream(docs: DataFrame, corpusTable: String,
+                                  indexTable: String, pairsTable: String,
+                                  idCol: String, textCol: String,
+                                  checkpointDir: String,
+                                  threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.Streams.incrementalDeltaDedupStream(docs, corpusTable, indexTable,
+      pairsTable, idCol, textCol, checkpointDir, threshold)
+
   /** Leakage-free train/val split: duplicate clusters stay in one
     * split; decision is a pure hash of the cluster label. */
   def leakFreeSplit(docs: DataFrame, components: DataFrame, idCol: String,

@@ -16,24 +16,29 @@ import org.apache.spark.sql.types.LongType
   * replayable bit-for-bit by the DuckDB oracle, where a plain double
   * sum would depend on merge order.
   *
-  * Scale: train + score is three linear passes over the exploded
-  * bigram stream — two hash aggregations (bigram key, prefix key),
-  * two shuffle equi-joins back, one per-doc aggregation. No driver
-  * collect, no broadcast of the model (a 100 TB corpus has billions
-  * of distinct bigrams; the model JOINS, it does not ship).
+  * Scale: the full exploded bigram stream crosses exactly THREE
+  * stream-wide hash operations — one aggregation (bigram counts), one
+  * equi-join against the finished per-bigram model, one per-doc
+  * aggregation. Everything else (prefix counts, vocabulary size,
+  * per-bigram log-probs) is computed ON THE MODEL TABLE, which is
+  * distinct-bigram-sized: the prefix count C(w1) is the sum of C(bg)
+  * over bigrams starting with w1, so it never needs a second pass
+  * over the stream. No driver collect, no broadcast of the model (a
+  * 100 TB corpus has billions of distinct bigrams; the model JOINS,
+  * it does not ship — the one broadcast is the single-row vocabulary
+  * count).
   */
 object NgramLm {
 
-  /** Exploded (id, bigram, prefix-word) stream; docs with <2 words
-    * contribute nothing (explode of an empty shingle array). The word
-    * array is materialized as a column BEFORE shingling: interpreted
-    * HOF lambdas get no common-subexpression elimination, so an inline
+  /** Exploded (id, bigram) stream; docs with <2 words contribute
+    * nothing (explode of an empty shingle array). The word array is
+    * materialized as a column BEFORE shingling: interpreted HOF
+    * lambdas get no common-subexpression elimination, so an inline
     * `shingles(words(text))` would re-run the regex split per element
     * access — O(words^2) splits per document. */
   def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), Text.words(col(textCol)).as("w"))
       .select(col(idCol), explode(Text.shingles(col("w"), 2)).as("bg"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
 
   /** Per-document LM score under the corpus's own bigram model.
     *
@@ -48,15 +53,19 @@ object NgramLm {
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = docBigrams(docs, idCol, textCol)
     val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
-    val w1Counts = bg.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    // prefix counts and vocabulary derive from the MODEL table:
+    // C(w1) = sum of C(bg) over bigrams with prefix w1
+    val w1Counts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
     val vocab = w1Counts.agg(count(lit(1)).as("v"))
-    val scored = bg
-      .join(bgCounts, "bg")
+    val model = bgCounts
       .join(w1Counts, "w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp_micro",
+      .select(col("bg"), col("c_bg"),
         floor(log((col("c_bg") + lit(1L)).cast("double") /
-          (col("c_w1") + col("v")).cast("double")) * lit(1000000.0)))
+          (col("c_w1") + col("v")).cast("double")) * lit(1000000.0)).as("lp_micro"))
+    val scored = bg
+      .join(model, "bg")
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("c_bg") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),

@@ -145,28 +145,69 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.toDF().localCheckpoint(false) // feeds pairs + index + corpus appends
-        // first batch: the standing tables don't exist yet — dedup
-        // against empty frames, then create them via the first append
-        def tableOr(name: String, schema: org.apache.spark.sql.types.StructType) =
-          if (spark.catalog.tableExists(name)) spark.table(name)
-          else spark.createDataFrame(spark.sparkContext
-            .emptyRDD[org.apache.spark.sql.Row], schema)
-        val idxSchema = org.apache.spark.sql.types.StructType(Seq(
-          b.schema(idCol),
-          org.apache.spark.sql.types.StructField("band",
-            org.apache.spark.sql.types.StringType, nullable = false)))
-        val pairs = graft.llm.Dedup.incrementalNearDupPairs(
-          b, tableOr(corpusTable, b.schema), tableOr(indexTable, idxSchema),
-          idCol, textCol, threshold)
-        pairs.write.mode("append").format("parquet").saveAsTable(pairsTable)
-        graft.llm.Dedup.bandIndex(b, idCol, textCol).write.mode("append")
-          .bucketBy(indexBuckets, "band").sortBy("band")
-          .format("parquet").saveAsTable(indexTable)
-        b.write.mode("append").format("parquet").saveAsTable(corpusTable)
+        dedupBatch(batch.toDF(), corpusTable, indexTable, pairsTable,
+          idCol, textCol, threshold, indexBuckets)
       }
       .start()
+
+  /** Delta-gated variant of [[incrementalDedupStream]] for RE-CRAWL
+    * sources that redeliver every document (a fresh daily dump, not an
+    * append-only tail): each batch is first diffed against the standing
+    * corpus by content hash and only NEW or CHANGED documents go
+    * through signature CPU and the index/corpus appends — an unchanged
+    * re-crawled page costs one md5 and one equi-join probe, nothing
+    * more. A changed document appends a NEW version (same id); readers
+    * reconcile versions with keep-latest, the same contract as the
+    * at-least-once note above. */
+  def incrementalDeltaDedupStream(docs: DataFrame, corpusTable: String,
+                                  indexTable: String, pairsTable: String,
+                                  idCol: String, textCol: String,
+                                  checkpointDir: String, threshold: Double = 0.5,
+                                  indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        def h(c: org.apache.spark.sql.Column) =
+          coalesce(md5(c), lit("__null__")) // NULL==NULL is unchanged
+        val standing = tableOr(b.sparkSession, corpusTable, b.schema)
+          .select(col(idCol), h(col(textCol)).as("__corpus_h"))
+        val kept = b.join(standing, Seq(idCol), "left")
+          .filter(col("__corpus_h").isNull ||
+            col("__corpus_h") =!= h(col(textCol)))
+          .drop("__corpus_h")
+        dedupBatch(kept, corpusTable, indexTable, pairsTable,
+          idCol, textCol, threshold, indexBuckets)
+      }
+      .start()
+
+  /** First batch: the standing tables don't exist yet — dedup against
+    * empty frames, then create them via the first append. */
+  private def tableOr(spark: SparkSession, name: String,
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def dedupBatch(batch: DataFrame, corpusTable: String,
+                         indexTable: String, pairsTable: String,
+                         idCol: String, textCol: String,
+                         threshold: Double, indexBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint(false) // feeds pairs + index + corpus appends
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      b.schema(idCol),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val pairs = graft.llm.Dedup.incrementalNearDupPairs(
+      b, tableOr(spark, corpusTable, b.schema), tableOr(spark, indexTable, idxSchema),
+      idCol, textCol, threshold)
+    pairs.write.mode("append").format("parquet").saveAsTable(pairsTable)
+    graft.llm.Dedup.bandIndex(b, idCol, textCol).write.mode("append")
+      .bucketBy(indexBuckets, "band").sortBy("band")
+      .format("parquet").saveAsTable(indexTable)
+    b.write.mode("append").format("parquet").saveAsTable(corpusTable)
+  }
 
   /** Memory-sink runner for tests: processes all available data once. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): Unit = {

@@ -68,4 +68,46 @@ class StreamingPipelineSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("delta-gated re-crawl: unchanged docs never re-pay signatures or appends") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    Seq("sd_corpus", "sd_index", "sd_pairs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.Streams.incrementalDeltaDedupStream(
+      in.toDF().toDF("doc_id", "text"),
+      "sd_corpus", "sd_index", "sd_pairs", "doc_id", "text",
+      Files.createTempDirectory("sdck").toString)
+    def t(name: String) = { spark.catalog.refreshTable(name); spark.table(name) }
+    try {
+      // crawl 1: docs 1-5
+      in.addData((1 to 5).map(i => (f"d$i%03d", text(i))): _*)
+      q.processAllAvailable()
+      assert(t("sd_corpus").count() == 5)
+      val idx1 = t("sd_index").count()
+      // crawl 2 redelivers EVERYTHING: 1-5 unchanged except d002
+      // changed, plus new 6-8
+      in.addData(((1 to 5).map(i =>
+        (f"d$i%03d", if (i == 2) text(i) + " edited" else text(i))) ++
+        (6 to 8).map(i => (f"d$i%03d", text(i)))): _*)
+      q.processAllAvailable()
+      // only the 1 changed + 3 new docs appended (not all 8)
+      assert(t("sd_corpus").count() == 9,
+        s"corpus=${t("sd_corpus").count()} — unchanged re-crawls must be dropped")
+      // d002 has two versions; keep-latest is the reader contract
+      assert(t("sd_corpus").filter(col("doc_id") === "d002").count() == 2)
+      // the index grew by the 4 delta docs' bands only (bands/doc fixed)
+      val idx2 = t("sd_index").count()
+      assert(idx2 == idx1 + (idx1 / 5) * 4, s"idx1=$idx1 idx2=$idx2")
+      // new docs were deduped against the standing corpus: cross pairs
+      // exist between crawl-1 docs and crawl-2 tails sharing a suffix
+      assert(t("sd_pairs").filter(col("a") <= "d005" && col("b") >= "d006")
+        .count() > 0)
+    } finally {
+      q.stop()
+      Seq("sd_corpus", "sd_index", "sd_pairs")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
