@@ -477,8 +477,7 @@ object Curate {
   def snapshotDelta(prev: DataFrame, cur: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
     def hashed(df: DataFrame, as: String) =
-      df.select(col(idCol),
-        coalesce(md5(col(textCol)), lit("__null__")).as(as))
+      df.select(col(idCol), Text.contentHash(col(textCol)).as(as))
     hashed(prev, "__ph").join(hashed(cur, "__ch"), Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__ph").isNull, lit("new"))

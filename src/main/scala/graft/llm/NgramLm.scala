@@ -12,9 +12,17 @@ import org.apache.spark.sql.types.LongType
   *
   * All outputs are exact integers: counts, hapax counts, and the
   * log-probability in MICRO-NATS (`floor(1e6 * ln p)` per bigram,
-  * summed as longs) — order-independent under any partitioning and
-  * replayable bit-for-bit by the DuckDB oracle, where a plain double
-  * sum would depend on merge order.
+  * summed as longs) — order-independent under any partitioning, so a
+  * given engine always reproduces itself exactly, and a plain double
+  * sum's merge-order dependence never appears. One residual
+  * cross-engine caveat, unlike this repo's md5/integer-only scores:
+  * `ln` comes from the platform's libm (Java Math.log vs DuckDB's C
+  * libm), which are both <=1-ulp but not correctly rounded — a ratio
+  * whose `ln(p)*1e6` lands within ~1 ulp of an integer could floor
+  * differently across engines. The oracle gate exercises every
+  * (c_bg, c_w1, V) triple in the fixtures at both SFs; no divergence
+  * observed, but the risk is inherent to any transcendental in an
+  * exact-compare contract and is recorded here rather than hidden.
   *
   * Scale: the full exploded bigram stream crosses exactly THREE
   * stream-wide hash operations — one aggregation (bigram counts), one

@@ -50,6 +50,13 @@ object Text {
   def md5Hash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast(LongType) % HashP
 
+  /** Content identity hash for snapshot/delta comparison: md5 with a
+    * NULL sentinel so NULL content equals NULL content (and never
+    * silently drops out of an equi-join). Shared by
+    * [[Curate.snapshotDelta]], the streaming delta gate, and mirrored
+    * in the llm_snapshot_delta oracle — one definition of "unchanged". */
+  def contentHash(c: Column): Column = coalesce(md5(c), lit("__null__"))
+
   def hashedShingles(text: Column, n: Int = 3): Column =
     transform(shingles(words(text), n), s => md5Hash(s))
 

@@ -602,7 +602,9 @@ object LlmQueries {
 
     // Incremental-crawl snapshot diff: cur is a deterministic mutation
     // of documents (drop %7 docs, rewrite %5 texts, add %11 clones at
-    // id+10^6) so all four status arms are non-vacuous.
+    // -(id+1) — negated so the synthetic namespace stays disjoint from
+    // real non-negative ids at ANY scale factor) so all four status
+    // arms are non-vacuous.
     "llm_snapshot_delta" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cur = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
@@ -610,7 +612,7 @@ object LlmQueries {
           when(pmod(col("doc_id"), lit(5)) === 0,
             concat(col("text"), lit(" [edit]"))).otherwise(col("text")))
         .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+          .withColumn("doc_id", -(col("doc_id") + lit(1L))))
       Curate.snapshotDelta(docs, cur, "doc_id", "text")
         .orderBy(col("doc_id"))
     }))
@@ -1344,7 +1346,7 @@ object LlmQueries {
         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edit]' ELSE text END AS text
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
         |p AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h FROM documents),
         |c AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h FROM cur)
         |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,

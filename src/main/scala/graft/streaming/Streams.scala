@@ -152,13 +152,24 @@ object Streams {
 
   /** Delta-gated variant of [[incrementalDedupStream]] for RE-CRAWL
     * sources that redeliver every document (a fresh daily dump, not an
-    * append-only tail): each batch is first diffed against the standing
-    * corpus by content hash and only NEW or CHANGED documents go
-    * through signature CPU and the index/corpus appends — an unchanged
-    * re-crawled page costs one md5 and one equi-join probe, nothing
-    * more. A changed document appends a NEW version (same id); readers
-    * reconcile versions with keep-latest, the same contract as the
-    * at-least-once note above. */
+    * append-only tail): each batch is anti-joined against the standing
+    * corpus's stored (id, content-hash) pairs, so only documents whose
+    * exact (id, content) was never seen go through signature CPU and
+    * the index/corpus appends — an unchanged re-crawled page costs one
+    * md5 and one anti-join probe, nothing more. The anti-join is
+    * against ALL stored versions of an id, which makes the gate
+    * idempotent across crawls: a doc that changed in crawl 2 and is
+    * redelivered unchanged in crawl 3 matches its crawl-2 row and is
+    * skipped (a plain latest-only hash compare would re-append it
+    * forever), and a batch row can never fan out against multiple
+    * stale versions. A changed document appends a NEW version (same
+    * id); readers reconcile versions with keep-latest, the same
+    * contract as the at-least-once note above.
+    *
+    * The corpus sink maintains a `__h` content-hash column written at
+    * append time ([[dedupBatch]]), so the gate scans one narrow
+    * precomputed column instead of re-hashing the whole corpus text
+    * every batch. */
   def incrementalDeltaDedupStream(docs: DataFrame, corpusTable: String,
                                   indexTable: String, pairsTable: String,
                                   idCol: String, textCol: String,
@@ -168,14 +179,16 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
-        def h(c: org.apache.spark.sql.Column) =
-          coalesce(md5(c), lit("__null__")) // NULL==NULL is unchanged
-        val standing = tableOr(b.sparkSession, corpusTable, b.schema)
-          .select(col(idCol), h(col(textCol)).as("__corpus_h"))
-        val kept = b.join(standing, Seq(idCol), "left")
-          .filter(col("__corpus_h").isNull ||
-            col("__corpus_h") =!= h(col(textCol)))
-          .drop("__corpus_h")
+        val spark = b.sparkSession
+        val kept =
+          if (!spark.catalog.tableExists(corpusTable)) b
+          else {
+            val standing = spark.table(corpusTable)
+              .select(col(idCol), col(HashCol)).distinct()
+            b.withColumn(HashCol, graft.llm.Text.contentHash(col(textCol)))
+              .join(standing, Seq(idCol, HashCol), "left_anti")
+              .drop(HashCol)
+          }
         dedupBatch(kept, corpusTable, indexTable, pairsTable,
           idCol, textCol, threshold, indexBuckets)
       }
@@ -189,24 +202,29 @@ object Streams {
     else spark.createDataFrame(spark.sparkContext
       .emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Name of the content-hash column the corpus sink maintains. */
+  val HashCol = "__h"
+
   private def dedupBatch(batch: DataFrame, corpusTable: String,
                          indexTable: String, pairsTable: String,
                          idCol: String, textCol: String,
                          threshold: Double, indexBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val b = batch.localCheckpoint(false) // feeds pairs + index + corpus appends
+    val corpusRows = b.withColumn(HashCol, graft.llm.Text.contentHash(col(textCol)))
     val idxSchema = org.apache.spark.sql.types.StructType(Seq(
       b.schema(idCol),
       org.apache.spark.sql.types.StructField("band",
         org.apache.spark.sql.types.StringType, nullable = false)))
     val pairs = graft.llm.Dedup.incrementalNearDupPairs(
-      b, tableOr(spark, corpusTable, b.schema), tableOr(spark, indexTable, idxSchema),
+      b, tableOr(spark, corpusTable, corpusRows.schema).drop(HashCol),
+      tableOr(spark, indexTable, idxSchema),
       idCol, textCol, threshold)
     pairs.write.mode("append").format("parquet").saveAsTable(pairsTable)
     graft.llm.Dedup.bandIndex(b, idCol, textCol).write.mode("append")
       .bucketBy(indexBuckets, "band").sortBy("band")
       .format("parquet").saveAsTable(indexTable)
-    b.write.mode("append").format("parquet").saveAsTable(corpusTable)
+    corpusRows.write.mode("append").format("parquet").saveAsTable(corpusTable)
   }
 
   /** Memory-sink runner for tests: processes all available data once. */

@@ -104,6 +104,17 @@ class StreamingPipelineSpec extends SparkSpec {
       // exist between crawl-1 docs and crawl-2 tails sharing a suffix
       assert(t("sd_pairs").filter(col("a") <= "d005" && col("b") >= "d006")
         .count() > 0)
+      // crawl 3 redelivers everything at the crawl-2 content: the
+      // changed doc d002 now has TWO stored versions — the gate must
+      // match its latest version (not re-append forever against the
+      // stale one) and must not fan a batch row out per stale version
+      in.addData(((1 to 5).map(i =>
+        (f"d$i%03d", if (i == 2) text(i) + " edited" else text(i))) ++
+        (6 to 8).map(i => (f"d$i%03d", text(i)))): _*)
+      q.processAllAvailable()
+      assert(t("sd_corpus").count() == 9,
+        s"corpus=${t("sd_corpus").count()} — a fully-unchanged re-crawl must append nothing")
+      assert(t("sd_index").count() == idx2)
     } finally {
       q.stop()
       Seq("sd_corpus", "sd_index", "sd_pairs")
