@@ -135,8 +135,6 @@ object Graft {
                       sep: String = ". ", maxDocFreq: Int = 1): DataFrame =
     llm.Dedup.dropBoilerplate(df, idCol, textCol, sep, maxDocFreq)
 
-  /** Persistable LSH band index — build once per corpus, reuse across
-    * incremental batches. */
   /** Exact substring dedup: every `windowTokens`-token window content
     * keeps only its first corpus-wide occurrence; later occurrences'
     * spans are removed from their documents (overlaps merge). */
@@ -144,6 +142,8 @@ object Graft {
                          windowTokens: Int = 50): DataFrame =
     llm.Dedup.dropDuplicateSpans(df, idCol, textCol, windowTokens)
 
+  /** Persistable LSH band index — build once per corpus, reuse across
+    * incremental batches. */
   def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     llm.Dedup.bandIndex(df, idCol, textCol)
 

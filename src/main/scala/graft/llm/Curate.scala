@@ -37,6 +37,34 @@ object Curate {
                          scale: Int = 1000): Column =
     Text.md5Hash(concat(lit(salt), key.cast("string"))) % scale < rate
 
+  /** Walk a (key, groupTokens) table in keep order: whole groups that
+    * fit the budget stay; the FIRST straddler (strictly-partial only)
+    * is the boundary; everything after cannot fit (prefix sums
+    * increase — tokens are >= 1 by contract). Shared by the global and
+    * grouped token-budget selections so their semantics cannot drift. */
+  private def walkBudget(groups: Seq[(Long, Long)], start: Long,
+                         budget: Long): (Seq[Long], Option[(Long, Long)]) = {
+    var before = start
+    val whole = Seq.newBuilder[Long]
+    for ((k, gt) <- groups) {
+      if (before + gt <= budget) { whole += k; before += gt }
+      else return (whole.result(), if (before < budget) Some((k, before)) else None)
+    }
+    (whole.result(), None)
+  }
+
+  private def numAt(r: org.apache.spark.sql.Row, i: Int, msg: => String): Long = {
+    if (r.isNullAt(i)) throw new IllegalArgumentException(msg)
+    r.getAs[Number](i).longValue
+  }
+
+  /** Above this many groups the grouped selection switches from
+    * inlined per-group literal predicates (pushed to the scan — the
+    * best plan, but one expression term per group, which at thousands
+    * of groups blows up analysis or the Catalyst stack) to a broadcast
+    * threshold-table join (O(1) expression size at any group count). */
+  private val LiteralPredicateMaxGroups = 64
+
   /** Sequence packing — GPT-style concat-and-chunk. Documents are laid
     * end to end in a deterministic hash-shuffled order within each
     * shard (plus one separator token per document, so empty documents
@@ -138,25 +166,11 @@ object Curate {
     val bucketWidth = (Text.HashP + buckets - 1) / buckets
     val h = Text.md5Hash(concat(lit(salt), col(idCol).cast("string")))
     val bkt = (h / bucketWidth).cast(LongType)
-    // Walk a (key, groupTokens) table in keep order: whole groups that
-    // fit stay; the FIRST straddler (strictly-partial only) is the
-    // boundary; everything after cannot fit (prefix sums increase —
-    // tokens are >= 1 by contract).
-    def walk(groups: Seq[(Long, Long)], start: Long): (Seq[Long], Option[(Long, Long)]) = {
-      var before = start
-      val whole = Seq.newBuilder[Long]
-      for ((k, gt) <- groups) {
-        if (before + gt <= budget) { whole += k; before += gt }
-        else return (whole.result(), if (before < budget) Some((k, before)) else None)
-      }
-      (whole.result(), None)
-    }
-    def num(r: org.apache.spark.sql.Row, i: Int): Long = {
-      if (r.isNullAt(i)) throw new IllegalArgumentException(
-        s"selectByTokenBudget: NULL ${if (i == 0) scoreCol else s"sum($tokensCol)"} " +
-          "encountered — score and tokens must be non-null")
-      r.getAs[Number](i).longValue
-    }
+    def walk(groups: Seq[(Long, Long)], start: Long) =
+      walkBudget(groups, start, budget)
+    def num(r: org.apache.spark.sql.Row, i: Int): Long =
+      numAt(r, i, s"selectByTokenBudget: NULL ${if (i == 0) scoreCol else s"sum($tokensCol)"} " +
+        "encountered — score and tokens must be non-null")
     // L1 — ONE agg job; at most |score domain| rows reach the driver
     // (same bounded-collect contract as the k-means trainer). The
     // thresholds then inline as literals, so the final plan is pure
@@ -233,30 +247,21 @@ object Curate {
       case d => throw new IllegalArgumentException(
         s"selectByTokenBudgetGrouped needs an integral score column, got $d")
     }
-    require(!docs0.columns.exists(Set("__h", "__b", "__cum", "__g")),
-      "selectByTokenBudgetGrouped reserves the __h/__b/__cum/__g column names")
+    require(!docs0.columns.exists(Set("__h", "__b", "__cum", "__g",
+      "__ws", "__bs", "__wb", "__b2s", "__b2b", "__off")),
+      "selectByTokenBudgetGrouped reserves the __h/__b/__cum/__g and " +
+        "__ws/__bs/__wb/__b2s/__b2b/__off column names")
     val outCols = docs0.columns.map(col).toSeq
     val g = col(groupCol).cast("string")
     val score = col(scoreCol).cast(LongType)
     val bucketWidth = (Text.HashP + buckets - 1) / buckets
     val h = Text.md5Hash(concat(lit(salt), col(idCol).cast("string")))
     val bkt = (h / bucketWidth).cast(LongType)
-    def num(r: org.apache.spark.sql.Row, i: Int): Long = {
-      if (r.isNullAt(i)) throw new IllegalArgumentException(
-        s"selectByTokenBudgetGrouped: NULL at column $i — group, score and " +
-          s"sum($tokensCol) must be non-null")
-      r.getAs[Number](i).longValue
-    }
-    def walk(grps: Seq[(Long, Long)], start: Long): (Seq[Long], Option[(Long, Long)]) = {
-      var before = start
-      val whole = Seq.newBuilder[Long]
-      for ((k, gt) <- grps) {
-        if (before + gt <= budgetPerGroup) { whole += k; before += gt }
-        else return (whole.result(),
-          if (before < budgetPerGroup) Some((k, before)) else None)
-      }
-      (whole.result(), None)
-    }
+    def num(r: org.apache.spark.sql.Row, i: Int): Long =
+      numAt(r, i, s"selectByTokenBudgetGrouped: NULL at column $i — group, score and " +
+        s"sum($tokensCol) must be non-null")
+    def walk(grps: Seq[(Long, Long)], start: Long) =
+      walkBudget(grps, start, budgetPerGroup)
     // L1 — ONE job for every group at once
     val l1rows = docs0.groupBy(g.as("__g"), score.as("__s"))
       .agg(sum(col(tokensCol)).as("__gt"), min(col(tokensCol)).as("__mt"))
@@ -274,50 +279,90 @@ object Curate {
       _.map(r => (num(r, 1), num(r, 2))).sortBy(-_._1).toSeq).toMap
     // per-group walks on the one collected table
     val walked = l1.map { case (grp, gl1) => grp -> walk(gl1, 0L) }
-    val wholeScorePreds = walked.collect {
-      case (grp, (whole, _)) if whole.nonEmpty => g === grp && score >= whole.min
-    }.toSeq
+    val literalPath = walked.size <= LiteralPredicateMaxGroups
     val bands = walked.collect {
       case (grp, (_, Some((bScore, bBefore)))) => (grp, bScore, bBefore)
     }.toSeq.sortBy(_._1)
-    val (wholeBucketPreds, boundary2s) = if (bands.isEmpty) (Nil, Nil) else {
-      // L2 — ONE job over the union of every group's boundary band
-      val bandPred = bands.map { case (grp, s, _) => g === grp && score === s }
-        .reduce(_ || _)
-      val l2 = docs0.filter(bandPred).groupBy(g.as("__g"), bkt.as("__b"))
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val l2 = if (bands.isEmpty) Map.empty[String, Seq[(Long, Long)]] else {
+      // L2 — ONE job over the union of every group's boundary band;
+      // band membership by inlined predicates (pushed to the scan) at
+      // low group counts, by a broadcast semi-join beyond that
+      val bandRows =
+        if (literalPath)
+          docs0.filter(bands.map { case (grp, s, _) => g === grp && score === s }
+            .reduce(_ || _))
+        else docs0.join(
+          broadcast(bands.map { case (grp, s, _) => (grp, s) }.toDF("__bs", "__ws")),
+          g === col("__bs") && score === col("__ws"), "left_semi")
+      bandRows.groupBy(g.as("__g"), bkt.as("__b"))
         .agg(sum(col(tokensCol)).as("__gt")).collect()
         .groupBy(_.getString(0)).view.mapValues(
           _.map(r => (num(r, 1), num(r, 2))).sortBy(_._1).toSeq).toMap
-      val preds = Seq.newBuilder[Column]
-      val b2s = Seq.newBuilder[(String, Long, Long, Long)]
-      for ((grp, bScore, bBefore) <- bands) {
-        val (wholeBuckets, boundary2) = walk(l2.getOrElse(grp, Nil), bBefore)
-        if (wholeBuckets.nonEmpty)
-          preds += (g === grp && score === bScore && bkt <= wholeBuckets.max)
-        boundary2.foreach { case (bBkt, before2) =>
-          b2s += ((grp, bScore, bBkt, before2))
-        }
-      }
-      (preds.result(), b2s.result())
     }
-    val keep = (wholeScorePreds ++ wholeBucketPreds)
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val wholeFilter = docs0.filter(keep)
-    if (boundary2s.isEmpty) wholeFilter
-    else {
-      // L3 — every group's ONE boundary bucket pays the only per-doc
-      // window, all together, PARTITION BY group (one bucket per group)
-      val inB2 = boundary2s.map { case (grp, bScore, bBkt, _) =>
-        g === grp && score === bScore && bkt === bBkt }.reduce(_ || _)
-      val offset = boundary2s.foldLeft(lit(0L)) { case (acc, (grp, _, _, before2)) =>
-        when(g === grp, lit(before2)).otherwise(acc) }
-      val w3 = Window.partitionBy(col("__g")).orderBy(col("__h"), col(idCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val partial = docs0.filter(inB2)
-        .withColumn("__g", g).withColumn("__h", h)
-        .withColumn("__cum", offset + sum(col(tokensCol)).over(w3))
-        .filter(col("__cum") <= budgetPerGroup)
-      wholeFilter.unionByName(partial.select(outCols: _*))
+    val wholeBucketsB = Seq.newBuilder[(String, Long, Long)] // (grp, bScore, maxBkt)
+    val boundary2sB = Seq.newBuilder[(String, Long, Long, Long)] // (grp, bScore, bkt, before)
+    for ((grp, bScore, bBefore) <- bands) {
+      val (wholeBuckets, boundary2) = walk(l2.getOrElse(grp, Nil), bBefore)
+      if (wholeBuckets.nonEmpty) wholeBucketsB += ((grp, bScore, wholeBuckets.max))
+      boundary2.foreach { case (bBkt, before2) =>
+        boundary2sB += ((grp, bScore, bBkt, before2)) }
+    }
+    val wholeBuckets = wholeBucketsB.result()
+    val boundary2s = boundary2sB.result()
+    val wholeScores = walked.collect {
+      case (grp, (whole, _)) if whole.nonEmpty => (grp, whole.min) }.toSeq
+    val w3 = Window.partitionBy(col("__g")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if (literalPath) {
+      // inlined literal predicates: pure pushed scan filters — the
+      // best plan, but one expression term per group
+      val keep = (wholeScores.map { case (grp, mn) => g === grp && score >= mn } ++
+        wholeBuckets.map { case (grp, bScore, mx) =>
+          g === grp && score === bScore && bkt <= mx })
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val wholeFilter = docs0.filter(keep)
+      if (boundary2s.isEmpty) wholeFilter
+      else {
+        // L3 — every group's ONE boundary bucket pays the only per-doc
+        // window, all together, PARTITION BY group (one bucket/group)
+        val inB2 = boundary2s.map { case (grp, bScore, bBkt, _) =>
+          g === grp && score === bScore && bkt === bBkt }.reduce(_ || _)
+        val offset = boundary2s.foldLeft(lit(0L)) { case (acc, (grp, _, _, before2)) =>
+          when(g === grp, lit(before2)).otherwise(acc) }
+        val partial = docs0.filter(inB2)
+          .withColumn("__g", g).withColumn("__h", h)
+          .withColumn("__cum", offset + sum(col(tokensCol)).over(w3))
+          .filter(col("__cum") <= budgetPerGroup)
+        wholeFilter.unionByName(partial.select(outCols: _*))
+      }
+    } else {
+      // broadcast threshold-table path: one small join, O(1) expression
+      // size at ANY group count (a when-chain per group overflows the
+      // Catalyst stack at the domain-granularity cardinalities the
+      // scaladoc invites). Same selection semantics as the literal path.
+      val wsMap = wholeScores.toMap
+      val wbMap = wholeBuckets.map { case (grp, bs, mx) => grp -> ((bs, mx)) }.toMap
+      val b2Map = boundary2s.map { case (grp, bs, bk, off) => grp -> ((bs, bk, off)) }.toMap
+      val thr = walked.keys.toSeq.sorted.map { grp =>
+        (grp, wsMap.get(grp), wbMap.get(grp).map(_._1), wbMap.get(grp).map(_._2),
+          b2Map.get(grp).map(_._1), b2Map.get(grp).map(_._2), b2Map.get(grp).map(_._3))
+      }.toDF("__g", "__ws", "__bs", "__wb", "__b2s", "__b2b", "__off")
+      val joined = docs0.withColumn("__g", g).join(broadcast(thr), Seq("__g"))
+      val keep = (col("__ws").isNotNull && score >= col("__ws")) ||
+        (col("__bs").isNotNull && score === col("__bs") && bkt <= col("__wb"))
+      val wholeFilter = joined.filter(keep).select(outCols: _*)
+      if (boundary2s.isEmpty) wholeFilter
+      else {
+        val partial = joined
+          .filter(col("__b2s").isNotNull && score === col("__b2s") &&
+            bkt === col("__b2b"))
+          .withColumn("__h", h)
+          .withColumn("__cum", col("__off") + sum(col(tokensCol)).over(w3))
+          .filter(col("__cum") <= budgetPerGroup)
+        wholeFilter.unionByName(partial.select(outCols: _*))
+      }
     }
   }
 

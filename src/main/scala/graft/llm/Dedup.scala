@@ -114,12 +114,19 @@ object Dedup {
         array().cast("array<string>")).as("__w"))
       .repartition(parallelism, col(idCol))
       .localCheckpoint(false) // feeds the window pass + the rebuild
+    // full 128-bit md5 hex, NOT the 31-bit Text.md5Hash: window
+    // duplication is decided on this hash ALONE (no content confirm),
+    // and at the corpus scales this operator targets a 31-bit space
+    // collides from ~55k distinct windows (birthday bound) — each
+    // collision would silently delete a non-duplicate span. 128 bits
+    // makes accidental collision astronomically unlikely, same as
+    // exactDedup's content key.
     val wins = toks
       .filter(size(col("__w")) >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__w")) - k),
-        i => Text.md5Hash(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))
-      ).as(Seq("__s", "__h")))
+        i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k))).cast("binary"))))
+        .as(Seq("__s", "__h")))
     // first occurrence corpus-wide survives; every other one is flagged
     val keep = wins.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__s"))).as("__keep"))

@@ -312,7 +312,8 @@ object LlmQueries {
     "llm_budget_mix" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("score", expr("n_chars div 64"))
-        .withColumn("tokens", Text.wsTokenCount(col("text")) + lit(1L))
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
       Curate.budgetThenMix(d.select(col("doc_id"), col("source"), col("score"),
           col("tokens")), "source", "score", "tokens", "doc_id",
           perSourceBudget = 2000L, totalBudget = 8000L)
@@ -424,7 +425,8 @@ object LlmQueries {
     "llm_select_budget" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("score", expr("n_chars div 64"))
-        .withColumn("tokens", Text.wsTokenCount(col("text")) + lit(1L))
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
       Curate.selectByTokenBudget(d, "doc_id", "score", "tokens", 12000L)
         .select(col("doc_id"), col("score"), col("tokens"))
         .orderBy(col("doc_id"))
@@ -958,7 +960,7 @@ object LlmQueries {
          |d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM d0),
          |wins AS (
          |  SELECT doc_id, u.i - 1 AS s,
-         |    ${duckHash("array_to_string(w[u.i : u.i + 19], ' ')")} AS h
+         |    md5(array_to_string(w[u.i : u.i + 19], ' ')) AS h
          |  FROM d, UNNEST(range(1, len(w) - 18)) AS u(i)
          |  WHERE len(w) >= 20),
          |flags AS (SELECT doc_id, s FROM (
@@ -984,7 +986,7 @@ object LlmQueries {
     "llm_budget_mix" ->
       s"""WITH t0 AS (
          |  SELECT doc_id, source, n_chars // 64 AS score,
-         |    len(regexp_split_to_array(text, '\\s+'))::BIGINT + 1 AS tokens,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
          |    ${duckHash("('sel:' || doc_id)")} AS h
          |  FROM documents),
          |c AS (SELECT doc_id, source, tokens,
@@ -1120,7 +1122,7 @@ object LlmQueries {
     "llm_select_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, n_chars // 64 AS score,
-         |    len(regexp_split_to_array(text, '\\s+'))::BIGINT + 1 AS tokens,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
          |    ${duckHash("('sel:' || doc_id)")} AS h
          |  FROM documents),
          |c AS (SELECT doc_id, score, tokens,

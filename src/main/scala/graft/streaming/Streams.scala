@@ -132,9 +132,12 @@ object Streams {
     * O(corpus)).
     *
     * foreachBatch is at-least-once (same contract as [[toJdbc]]): a
-    * replayed batch's PAIRS stay correct (the overlap rule inside
-    * incrementalNearDupPairs tolerates the corpus already containing
-    * the batch) but its band/corpus rows would append twice — readers
+    * replayed batch's pair VALUES stay correct (the overlap rule
+    * inside incrementalNearDupPairs tolerates the corpus already
+    * containing the batch) but ALL THREE sinks append twice — pair
+    * rows duplicate just like band/corpus rows, so downstream
+    * cluster-building must dedup edges (connectedComponents is
+    * unaffected by duplicate edges, but edge counts are not). Readers
     * needing exactly-once dedup by natural key, or the sink tables get
     * periodic exact-dedup compaction. */
   def incrementalDedupStream(docs: DataFrame, corpusTable: String,

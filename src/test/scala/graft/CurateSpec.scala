@@ -197,6 +197,24 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("selectByTokenBudgetGrouped: broadcast threshold path (>64 groups) equals the loop") {
+    // 80 groups forces the threshold-table join (the literal-predicate
+    // path caps at 64 groups); small per-group data keeps the loop fast
+    val df = (1L to 800L).map(i => (i, s"g${i % 80}", (i * 3) % 4, i % 5 + 1))
+      .toDF("doc_id", "grp", "score", "tokens")
+    for (budget <- Seq(7L, 25L, 99999L)) {
+      val grouped = Curate.selectByTokenBudgetGrouped(df, "grp", "doc_id",
+          "score", "tokens", budget, buckets = 5)
+        .select("doc_id").as[Long].collect().toSet
+      val looped = (0 until 80).map { k =>
+        Curate.selectByTokenBudget(df.filter(col("grp") === s"g$k"),
+          "doc_id", "score", "tokens", budget, buckets = 5)
+      }.reduce(_ unionByName _).select("doc_id").as[Long].collect().toSet
+      assert(grouped == looped,
+        s"budget=$budget: grouped=${grouped.size} looped=${looped.size}")
+    }
+  }
+
   test("budgetThenMix: per-source quality cut feeds the water-fill") {
     // two sources, 30 docs x 10 tokens each; scores 0..2 cycle. A
     // 120-token per-source budget keeps the best ~12 docs per source;
