@@ -63,7 +63,7 @@ object Curate {
     * best plan, but one expression term per group, which at thousands
     * of groups blows up analysis or the Catalyst stack) to a broadcast
     * threshold-table join (O(1) expression size at any group count). */
-  private val LiteralPredicateMaxGroups = 64
+  private[llm] val LiteralPredicateMaxGroups = 64
 
   /** Sequence packing — GPT-style concat-and-chunk. Documents are laid
     * end to end in a deterministic hash-shuffled order within each
@@ -248,9 +248,9 @@ object Curate {
         s"selectByTokenBudgetGrouped needs an integral score column, got $d")
     }
     require(!docs0.columns.exists(Set("__h", "__b", "__cum", "__g",
-      "__ws", "__bs", "__wb", "__b2s", "__b2b", "__off")),
+      "__ws", "__bs", "__wb", "__b2s", "__b2b", "__off", "__bandg", "__bands")),
       "selectByTokenBudgetGrouped reserves the __h/__b/__cum/__g and " +
-        "__ws/__bs/__wb/__b2s/__b2b/__off column names")
+        "__ws/__bs/__wb/__b2s/__b2b/__off/__bandg/__bands column names")
     val outCols = docs0.columns.map(col).toSeq
     val g = col(groupCol).cast("string")
     val score = col(scoreCol).cast(LongType)
@@ -294,8 +294,10 @@ object Curate {
           docs0.filter(bands.map { case (grp, s, _) => g === grp && score === s }
             .reduce(_ || _))
         else docs0.join(
-          broadcast(bands.map { case (grp, s, _) => (grp, s) }.toDF("__bs", "__ws")),
-          g === col("__bs") && score === col("__ws"), "left_semi")
+          // distinct names from the broadcast thr table's __ws/__bs so
+          // each reserved column means one thing inside this function
+          broadcast(bands.map { case (grp, s, _) => (grp, s) }.toDF("__bandg", "__bands")),
+          g === col("__bandg") && score === col("__bands"), "left_semi")
       bandRows.groupBy(g.as("__g"), bkt.as("__b"))
         .agg(sum(col(tokensCol)).as("__gt")).collect()
         .groupBy(_.getString(0)).view.mapValues(

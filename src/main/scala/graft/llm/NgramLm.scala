@@ -24,17 +24,19 @@ import org.apache.spark.sql.types.LongType
   * observed, but the risk is inherent to any transcendental in an
   * exact-compare contract and is recorded here rather than hidden.
   *
-  * Scale: the full exploded bigram stream crosses exactly THREE
-  * stream-wide hash operations — one aggregation (bigram counts), one
-  * equi-join against the finished per-bigram model, one per-doc
-  * aggregation. Everything else (prefix counts, vocabulary size,
-  * per-bigram log-probs) is computed ON THE MODEL TABLE, which is
-  * distinct-bigram-sized: the prefix count C(w1) is the sum of C(bg)
-  * over bigrams starting with w1, so it never needs a second pass
-  * over the stream. No driver collect, no broadcast of the model (a
-  * 100 TB corpus has billions of distinct bigrams; the model JOINS,
-  * it does not ship — the one broadcast is the single-row vocabulary
-  * count).
+  * Scale: the full exploded bigram stream crosses exactly ONE
+  * stream-wide hash operation — the (doc, bigram, multiplicity)
+  * aggregation — and is tokenized exactly once (the two consumers of
+  * that aggregate share its exchange, which Catalyst de-duplicates via
+  * ReuseExchange; plan-asserted in NgramLmSpec). Everything after is
+  * DISTINCT-PAIR-sized: the model derives from the pair frame (C(bg)
+  * sums the multiplicities; the prefix count C(w1) is the sum of
+  * C(bg) over bigrams starting with w1, so nothing ever needs a
+  * second pass over the stream), the model joins back onto the pair
+  * frame, and the per-doc sums weight by the multiplicity. No driver
+  * collect, no broadcast of the model (a 100 TB corpus has billions
+  * of distinct bigrams; the model JOINS, it does not ship — the one
+  * broadcast is the single-row vocabulary count).
   */
 object NgramLm {
 
@@ -59,26 +61,41 @@ object NgramLm {
     *    where C(w1) counts w1 as a bigram prefix and V = |prefixes|.
     */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = docBigrams(docs, idCol, textCol)
-    val bgCounts = bg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    // collapse the exploded stream to distinct (doc, bigram) pairs with
+    // a multiplicity FIRST — the partial aggregation absorbs repeats
+    // map-side, and every later operation (model build, model join,
+    // per-doc sums) runs at distinct-pair scale instead of token scale
+    // the explicit filter is a no-op (concat_ws never yields null) but
+    // makes the two consumers' inferred null filters IDENTICAL below
+    // the aggregation, so their exchanges canonicalize equal and
+    // ReuseExchange plans one explode instead of one per consumer
+    val pairs = docBigrams(docs, idCol, textCol)
+      .filter(col("bg").isNotNull && split(col("bg"), " ").getItem(0).isNotNull)
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+    val bgCounts = pairs.groupBy("bg").agg(sum(col("c")).as("c_bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     // prefix counts and vocabulary derive from the MODEL table:
     // C(w1) = sum of C(bg) over bigrams with prefix w1
     val w1Counts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
-    val vocab = w1Counts.agg(count(lit(1)).as("v"))
+    // count(c_w1), not count(1): referencing the aggregated column
+    // keeps RemoveRedundantAggregates from collapsing this branch into
+    // a distinct-w1 scan of the RAW stream, which would re-explode the
+    // corpus instead of reusing the shared pair/bigram exchanges
+    // (c_w1 is never null, so the two counts are identical)
+    val vocab = w1Counts.agg(count(col("c_w1")).as("v"))
     val model = bgCounts
       .join(w1Counts, "w1")
       .crossJoin(broadcast(vocab))
       .select(col("bg"), col("c_bg"),
         floor(log((col("c_bg") + lit(1L)).cast("double") /
           (col("c_w1") + col("v")).cast("double")) * lit(1000000.0)).as("lp_micro"))
-    val scored = bg
+    val scored = pairs
       .join(model, "bg")
       .groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(when(col("c_bg") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
-        sum(col("c_bg")).as("sum_bg_count"),
-        sum(col("lp_micro")).as("lp_micro"))
+        sum(col("c")).as("n_bigrams"),
+        sum(when(col("c_bg") === 1, col("c")).otherwise(lit(0L))).as("n_hapax"),
+        sum(col("c_bg") * col("c")).as("sum_bg_count"),
+        sum(col("lp_micro") * col("c")).as("lp_micro"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).cast(LongType).as("n_bigrams"),

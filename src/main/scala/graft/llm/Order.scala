@@ -59,23 +59,73 @@ object Order {
     *
     * Sources absent from `weights` are dropped (weight 0); weights
     * must be positive.
+    *
+    * Plan shape by weight count: at or below
+    * [[Curate.LiteralPredicateMaxGroups]] entries the weight lookup is
+    * an inlined when-chain (a pure projection — the best plan); beyond
+    * that a when-chain per source overflows the Catalyst stack at
+    * domain-granularity source counts, so the lookup switches to the
+    * broadcast weight-table join of the DataFrame overload. Results
+    * are identical on either path.
     */
   def interleaveBySource(docs: DataFrame, sourceCol: String, idCol: String,
                          weights: Map[String, Long], seed: String = "ilv",
                          scale: Long = 1000000L): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"weights must be positive, got $weights")
-    val wcol = weights.foldLeft(lit(null).cast(LongType)) {
-      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    if (weights.size > Curate.LiteralPredicateMaxGroups) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      interleaveBySource(docs, sourceCol, idCol,
+        weights.toSeq.sortBy(_._1).toDF(sourceCol, "weight"), seed, scale)
+    } else {
+      val wcol = weights.foldLeft(lit(null).cast(LongType)) {
+        case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+      }
+      val skey = Text.md5Hash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+      val w = Window.partitionBy(col(sourceCol)).orderBy(col("skey"), col(idCol))
+      docs.select(col(sourceCol), col(idCol), skey.as("skey"))
+        .withColumn("wt", wcol)
+        .filter(col("wt").isNotNull)
+        .withColumn("r", row_number().over(w).cast(LongType))
+        .withColumn("okey", expr(s"(r * $scale) DIV wt"))
+        .drop("skey", "wt")
     }
+  }
+
+  /** [[interleaveBySource]] with the weights as a (source, weight)
+    * DataFrame — the form that scales past literal-predicate source
+    * counts: the weight table BROADCASTS into an inner join (which
+    * also implements the drop-unweighted rule), so the expression tree
+    * stays O(1) at any source count. The table is a dimension by
+    * contract (one row per source); it is collected once to validate
+    * positivity and per-source uniqueness — the same driver-side
+    * footprint the broadcast itself needs.
+    */
+  def interleaveBySource(docs: DataFrame, sourceCol: String, idCol: String,
+                         weights: DataFrame, seed: String,
+                         scale: Long): DataFrame = {
+    val Array(wsCol, wtCol) = weights.columns
+    val wrows = weights
+      .select(col(wsCol).cast("string"), col(wtCol).cast(LongType)).collect()
+    require(wrows.nonEmpty, "weights table is empty")
+    wrows.find(r => r.isNullAt(0) || r.isNullAt(1) || r.getLong(1) <= 0).foreach { r =>
+      throw new IllegalArgumentException(
+        s"weights must be non-null and positive, got ($r)")
+    }
+    require(wrows.map(_.getString(0)).distinct.length == wrows.length,
+      "weights table has duplicate sources")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = wrows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("__wsrc", "wt")
     val skey = Text.md5Hash(concat(lit(seed), lit(":"), col(idCol).cast("string")))
     val w = Window.partitionBy(col(sourceCol)).orderBy(col("skey"), col(idCol))
     docs.select(col(sourceCol), col(idCol), skey.as("skey"))
-      .withColumn("wt", wcol)
-      .filter(col("wt").isNotNull)
+      .join(broadcast(wdf), col(sourceCol) === col("__wsrc"))
       .withColumn("r", row_number().over(w).cast(LongType))
       .withColumn("okey", expr(s"(r * $scale) DIV wt"))
-      .drop("skey", "wt")
+      .drop("skey", "wt", "__wsrc")
   }
 
   /** Curriculum ordering: quality-bucketed corpus order with a seeded

@@ -582,6 +582,16 @@ object LlmQueries {
         .drop("ngram_sketch")
         .orderBy(col("source"))),
 
+    // Exact companion to llm_sketch_profile: the (source, occurrences)
+    // half of sourceNgramSketch IS exactly replayable by DuckDB, so it
+    // gets its own hash-checked entry — only the HLL estimate stays
+    // behind the rows-only check above.
+    "llm_sketch_counts" -> ((s, dir) =>
+      CorpusStats.sourceNgramSketch(t(s, dir, "documents"), "source",
+        "doc_id", "text", n = 2, lgK = 12)
+        .select(col("source"), col("occurrences"))
+        .orderBy(col("source"))),
+
     // Quality-priority dedup: keep the LONGEST member of each near-dup
     // cluster (score = n_chars) instead of the min-id representative.
     "llm_dedup_keep_best" -> ((s, dir) => {
@@ -1284,6 +1294,12 @@ object LlmQueries {
          |SELECT source, doc_id, r::BIGINT AS r, (r * 1000000) // wt AS okey
          |FROM r ORDER BY okey, source, doc_id""".stripMargin
     },
+    "llm_sketch_counts" ->
+      """WITH g AS (
+        |  SELECT source, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+        |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents) t0)
+        |SELECT source, count(*)::BIGINT AS occurrences
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "llm_top_ngrams" ->
       """WITH g AS (
         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
@@ -1344,11 +1360,14 @@ object LlmQueries {
          |SELECT sz, count(*)::BIGINT AS n_clusters FROM cs
          |GROUP BY sz ORDER BY sz""".stripMargin,
     "llm_snapshot_delta" ->
+      // ((x % n) + n) % n = Spark's pmod — the same modulo convention
+      // as the engine side, so the fixture stays correct even if
+      // doc_ids ever go signed (DuckDB's bare % is truncating)
       """WITH cur AS (
-        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [edit]' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 7 <> 0
+        |  SELECT doc_id, CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN text || ' [edit]' ELSE text END AS text
+        |  FROM documents WHERE ((doc_id % 7) + 7) % 7 <> 0
         |  UNION ALL
-        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE ((doc_id % 11) + 11) % 11 = 0),
         |p AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h FROM documents),
         |c AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h FROM cur)
         |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,

@@ -144,7 +144,10 @@ object Streams {
                              indexTable: String, pairsTable: String,
                              idCol: String, textCol: String,
                              checkpointDir: String, threshold: Double = 0.5,
-                             indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+                             indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!docs.columns.contains(HashCol),
+      s"incrementalDedupStream reserves the $HashCol column name (the corpus " +
+        "sink maintains it as the precomputed content hash)")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -152,6 +155,7 @@ object Streams {
           idCol, textCol, threshold, indexBuckets)
       }
       .start()
+  }
 
   /** Delta-gated variant of [[incrementalDedupStream]] for RE-CRAWL
     * sources that redeliver every document (a fresh daily dump, not an
@@ -172,12 +176,20 @@ object Streams {
     * The corpus sink maintains a `__h` content-hash column written at
     * append time ([[dedupBatch]]), so the gate scans one narrow
     * precomputed column instead of re-hashing the whole corpus text
-    * every batch. */
+    * every batch. NOTE the schema consequence: `corpusTable` carries
+    * the input columns PLUS `__h` — `__h` is therefore a reserved name
+    * (required below, matching [[graft.llm.Curate]]'s reserved-column
+    * checks), and a corpus table created by a pre-`__h` build must be
+    * backfilled (`withColumn("__h", Text.contentHash(...))` + rewrite)
+    * before this sink can append to it. */
   def incrementalDeltaDedupStream(docs: DataFrame, corpusTable: String,
                                   indexTable: String, pairsTable: String,
                                   idCol: String, textCol: String,
                                   checkpointDir: String, threshold: Double = 0.5,
-                                  indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+                                  indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!docs.columns.contains(HashCol),
+      s"incrementalDeltaDedupStream reserves the $HashCol column name (the " +
+        "corpus sink maintains it as the precomputed content hash)")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -196,6 +208,7 @@ object Streams {
           idCol, textCol, threshold, indexBuckets)
       }
       .start()
+  }
 
   /** First batch: the standing tables don't exist yet — dedup against
     * empty frames, then create them via the first append. */

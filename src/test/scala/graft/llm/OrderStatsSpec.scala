@@ -50,6 +50,39 @@ class OrderStatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("interleaveBySource: broadcast weight-table path agrees with the when-chain past 64 sources") {
+    // 80 sources (past LiteralPredicateMaxGroups) -> the Map overload
+    // must route through the broadcast join and produce the identical
+    // frame the when-chain formula defines; src999 stays unweighted
+    val docs = (1L to 400L).map(i => (s"src${i % 80}", i))
+      .toDF("source", "id")
+      .unionByName(Seq(("src999", 401L)).toDF("source", "id"))
+    val weights = (0 until 80).map(i => s"src$i" -> ((i % 7) + 1).toLong).toMap
+    val out = Order.interleaveBySource(docs, "source", "id", weights).cache()
+    assert(out.filter(col("source") === "src999").count() === 0)
+    assert(out.count() === 400)
+    // okey == (r * scale) DIV weight exactly, for every row — the same
+    // invariant the small-map case asserts, recomputed via a join
+    val spark2 = spark; import spark2.implicits._
+    val wdf = weights.toSeq.toDF("source", "wt")
+    val bad = out.join(wdf, "source")
+      .filter(col("okey") =!= expr("(r * 1000000) DIV wt"))
+    assert(bad.count() === 0)
+    // and the broadcast path is what planned: no per-source when-chain
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr.take(2000))
+    // positivity / duplicate validation on the DataFrame overload
+    intercept[IllegalArgumentException] {
+      Order.interleaveBySource(docs, "source", "id",
+        Seq(("src0", 0L)).toDF("source", "weight"), "ilv", 1000000L)
+    }
+    intercept[IllegalArgumentException] {
+      Order.interleaveBySource(docs, "source", "id",
+        Seq(("src0", 1L), ("src0", 2L)).toDF("source", "weight"), "ilv", 1000000L)
+    }
+    out.unpersist()
+  }
+
   test("topNgrams: counts, doc counts, deterministic tie-break") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val top = CorpusStats.topNgrams(docs, "doc_id", "text", n = 2, k = 2)
@@ -162,6 +195,51 @@ class OrderStatsSpec extends SparkSpec {
       val top = CorpusStats.topNgrams(docs, "doc_id", "text", 2, 5)
       assert(!top.queryExecution.executedPlan.toString.contains("Expand"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("NgramLm.score plan: stream tokenized once — pair exchange reused by both consumers") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // deterministic tree
+      val docs = (1L to 40L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7}"))
+        .toDF("doc_id", "text")
+      val plan = NgramLm.score(docs, "doc_id", "text").queryExecution.executedPlan
+      // the exploded bigram stream feeds the model build AND the model
+      // join; the shared (doc, bg) aggregation must make Catalyst reuse
+      // one exchange, so exactly ONE explode survives in the plan
+      assert(plan.collect { case g: GenerateExec => g }.size === 1,
+        s"expected one explode of the token stream, got:\n$plan")
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"expected the pair aggregation's exchange to be reused:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("lp_micro floor boundaries: fixture (c_bg, c_w1, V) triples sit >2e-8 from integers") {
+    // ln comes from each engine's libm (<=1 ulp each, not correctly
+    // rounded): a ratio whose ln*1e6 lands within ~7e-9 of an integer
+    // could floor differently between Spark and DuckDB. Prove the
+    // driver's fixtures never get that close, at both oracle SFs, so a
+    // benign ulp flip cannot masquerade as a correctness regression.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      assume(new java.io.File(dir).exists(), s"$dir missing")
+      val docs = spark.read.parquet(dir)
+      val pairs = NgramLm.docBigrams(docs, "doc_id", "text")
+        .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val w1Counts = pairs.groupBy("w1").agg(sum(col("c_bg")).as("c_w1"))
+      val v = w1Counts.count()
+      val x = log((col("c_bg") + lit(1L)).cast("double") /
+        (col("c_w1") + lit(v)).cast("double")) * lit(1000000.0)
+      val frac = x - floor(x)
+      val tooClose = pairs.join(w1Counts, "w1")
+        .select(least(frac, lit(1.0) - frac).as("dist"), col("c_bg"), col("c_w1"))
+        .filter(col("dist") < 2e-8)
+      assert(tooClose.count() === 0,
+        s"$sf has floor-boundary-adjacent triples: ${tooClose.take(5).toSeq}")
+    }
   }
 
   test("NgramLm.score is partitioning-independent (exact integer outputs)") {
