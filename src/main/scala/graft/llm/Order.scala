@@ -128,6 +128,41 @@ object Order {
       .drop("skey", "wt", "__wsrc")
   }
 
+  /** Emit the corpus as training shard FILES in the deterministic
+    * [[globalShuffle]] order — the composition the ordering operators
+    * exist for: (shard, pos) keys flow into
+    * [[graft.io.Tables.writeSorted]], whose range partitioner samples
+    * key bounds (a terasort, never a single reducer), so every shard
+    * file covers a DISJOINT slice of the global order and a trainer
+    * streams files in name order to read the exact seeded permutation.
+    * Parquet footers carry tight (shard, pos) min/max for resume-from-
+    * position scans. */
+  def writeShuffledShards(docs: DataFrame, idCol: String, seed: String,
+                          shards: Int, path: String): Unit = {
+    val ord = globalShuffle(docs, idCol, seed, shards)
+    graft.io.Tables.writeSorted(docs.join(ord, Seq(idCol)), path,
+      Seq("shard", "pos"), files = shards)
+  }
+
+  /** Emit training shard files in [[curriculumOrder]]'s reading order
+    * (best-quality buckets first, seeded shuffle inside each bucket,
+    * bigram-less docs last). The DESC-NULLS-LAST bucket order becomes
+    * one ascending emission key — negated bucket, empties at
+    * Long.MaxValue (bucket_lo is micro-nat-bounded, so negation cannot
+    * overflow) — because a range partitioner wants a single sort
+    * direction. Same disjoint-files contract as
+    * [[writeShuffledShards]]. */
+  def writeCurriculumShards(docs: DataFrame, idCol: String, textCol: String,
+                            path: String, files: Int,
+                            width: Long = 250000L, seed: String = "cur"): Unit = {
+    val ord = curriculumOrder(docs, idCol, textCol, width, seed)
+      .withColumn("ckey", when(col("bucket_lo").isNull, lit(Long.MaxValue))
+        .otherwise(-col("bucket_lo")))
+      .select(col(idCol), col("ckey"), col("skey"))
+    graft.io.Tables.writeSorted(docs.join(ord, Seq(idCol)), path,
+      Seq("ckey", "skey", idCol), files)
+  }
+
   /** Curriculum ordering: quality-bucketed corpus order with a seeded
     * shuffle inside each bucket. Quality is the per-bigram mean
     * log-probability under the corpus's own bigram LM

@@ -104,11 +104,27 @@ class RtdbRestClient(baseUrl: String, authToken: Option[String] = None,
           if (root == null || !root.isObject) Seq.empty
           else root.properties().asScala.map(e => e.getKey -> e.getValue).toSeq
             .sortBy(_._1)(ord)
-        val kept = fields.filter { case (k, _) => toExclusive.forall(ord.lt(k, _)) }
+        // conformance guard: a nonconforming pager (emulator off-by-one
+        // on the NUL-successor cursor) may re-serve keys before the
+        // cursor; dropping them here keeps the stream duplicate-free
+        // without trusting the server's startAt handling
+        val atOrAfter = fields.filter { case (k, _) =>
+          start.forall(s => ord.gteq(k, s)) }
+        val kept = atOrAfter.filter { case (k, _) => toExclusive.forall(ord.lt(k, _)) }
         buf = kept.collect { case (k, v) if v.isObject => k -> v.toString }.iterator
         // done when the server ran dry or the strict bound was crossed
-        if (fields.size < pageSize || kept.size < fields.size) exhausted = true
-        else start = Some(fields.last._1 + Char.MinValue)
+        // (fields, not atOrAfter: re-served keys consumed limit slots)
+        if (fields.size < pageSize || kept.size < atOrAfter.size) exhausted = true
+        else {
+          val next = fields.last._1 + Char.MinValue
+          // a full page that moves the cursor nowhere would loop
+          // forever — fail loudly instead (server ignores startAt)
+          if (start.exists(s => ord.gteq(s, next)))
+            throw new IllegalStateException(
+              s"keyset pager made no progress at startAt=$start on $path — " +
+                "server is not honoring the cursor")
+          start = Some(next)
+        }
       }
 
       private def refill(): Unit = while (!buf.hasNext && !exhausted) fetchPage()

@@ -197,13 +197,7 @@ object Streams {
         val spark = b.sparkSession
         val kept =
           if (!spark.catalog.tableExists(corpusTable)) b
-          else {
-            val standing = spark.table(corpusTable)
-              .select(col(idCol), col(HashCol)).distinct()
-            b.withColumn(HashCol, graft.llm.Text.contentHash(col(textCol)))
-              .join(standing, Seq(idCol, HashCol), "left_anti")
-              .drop(HashCol)
-          }
+          else deltaGate(b, spark.table(corpusTable), idCol, textCol)
         dedupBatch(kept, corpusTable, indexTable, pairsTable,
           idCol, textCol, threshold, indexBuckets)
       }
@@ -221,10 +215,36 @@ object Streams {
   /** Name of the content-hash column the corpus sink maintains. */
   val HashCol = "__h"
 
-  private def dedupBatch(batch: DataFrame, corpusTable: String,
-                         indexTable: String, pairsTable: String,
-                         idCol: String, textCol: String,
-                         threshold: Double, indexBuckets: Int): Unit = {
+  /** The re-crawl delta gate: batch rows whose exact (id, content) the
+    * standing corpus has never stored, in any version. Exchange-free
+    * over the corpus: [[dedupBatch]] maintains `corpusTable` BUCKETED
+    * by id, and the gate folds the stored versions to one hash-set row
+    * per id — an aggregation whose ClusteredDistribution(id) the
+    * bucketed scan's partitioning already satisfies — then joins the
+    * batch on id alone, so the batch's membership probe needs no
+    * second key and the corpus side is co-partitioned as scanned. A
+    * direct (id, hash) anti-join could not do this: co-partition
+    * elimination requires ALL join keys as partition keys (Spark's
+    * `requireAllClusterKeysForCoPartition` default), which would
+    * re-shuffle the corpus-sized gate every batch. Only the
+    * batch-scale side crosses an exchange (plan-asserted in
+    * StreamingPipelineSpec); versions per id are few by construction
+    * (one per distinct content ever crawled), so the per-id set stays
+    * O(versions). */
+  private[graft] def deltaGate(b: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
+    val gate = corpus.select(col(idCol), col(HashCol))
+      .groupBy(col(idCol)).agg(collect_set(col(HashCol)).as("__hset"))
+    b.withColumn(HashCol, graft.llm.Text.contentHash(col(textCol)))
+      .join(gate, Seq(idCol), "left")
+      .filter(col("__hset").isNull || !array_contains(col("__hset"), col(HashCol)))
+      .drop(HashCol, "__hset")
+  }
+
+  private[graft] def dedupBatch(batch: DataFrame, corpusTable: String,
+                                indexTable: String, pairsTable: String,
+                                idCol: String, textCol: String,
+                                threshold: Double, indexBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val b = batch.localCheckpoint(false) // feeds pairs + index + corpus appends
     val corpusRows = b.withColumn(HashCol, graft.llm.Text.contentHash(col(textCol)))
@@ -240,7 +260,12 @@ object Streams {
     graft.llm.Dedup.bandIndex(b, idCol, textCol).write.mode("append")
       .bucketBy(indexBuckets, "band").sortBy("band")
       .format("parquet").saveAsTable(indexTable)
-    corpusRows.write.mode("append").format("parquet").saveAsTable(corpusTable)
+    // id-bucketed so the delta gate and the incremental corpus
+    // semi-join both read it exchange-free (see [[deltaGate]]); the
+    // bucket count mirrors the band index's
+    corpusRows.write.mode("append")
+      .bucketBy(indexBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(corpusTable)
   }
 
   /** Memory-sink runner for tests: processes all available data once. */

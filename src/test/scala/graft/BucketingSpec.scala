@@ -53,4 +53,73 @@ class BucketingSpec extends SparkSpec {
     // nothing lost in the rewrite
     assert(spark.read.parquet(dir).count() == 10000)
   }
+
+  test("writeShuffledShards: shard files are the seeded permutation, disjoint per file") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
+    val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    graft.llm.Order.writeShuffledShards(docs, "doc_id", seed = "s10",
+      shards = 4, path = dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.nonEmpty && files.length <= 4)
+    // per-file (shard, pos) ranges pairwise disjoint, in file-name order
+    // — a trainer streaming files in order reads the exact permutation
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(struct(col("shard"), col("pos"))),
+          max(struct(col("shard"), col("pos")))).collect()(0)
+      (r.getStruct(0), r.getStruct(1))
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi.getLong(0) < lo.getLong(0) ||
+          (hi.getLong(0) == lo.getLong(0) && hi.getLong(1) < lo.getLong(1)),
+          s"file ranges overlap or files out of order: $hi vs $lo")
+      case _ => ()
+    }
+    // the files together hold every doc exactly once, keys intact
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500 && back.select("doc_id").distinct().count() == 500)
+    // and the read-back global order equals the operator's declared order
+    val expect = graft.llm.Order.globalShuffle(docs, "doc_id", "s10", 4)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    val got = back.orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(got == expect)
+  }
+
+  test("writeCurriculumShards: emission order is curriculum order, disjoint per file") {
+    val dir = java.nio.file.Files.createTempDirectory("cshards").toString + "/t"
+    val docs = (1L to 300L).map(i =>
+      (i, (1 to (i % 7).toInt + 1).map(j => s"w${(i + j) % 11} w${i % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.llm.Order.writeCurriculumShards(docs, "doc_id", "text", dir,
+      files = 3, width = 1000L, seed = "c10")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.nonEmpty && files.length <= 3)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(struct(col("ckey"), col("skey"))),
+          max(struct(col("ckey"), col("skey")))).collect()(0)
+      (r.getStruct(0), r.getStruct(1))
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi.getLong(0) < lo.getLong(0) ||
+          (hi.getLong(0) == lo.getLong(0) && hi.getLong(1) < lo.getLong(1)),
+          s"file ranges overlap or files out of order: $hi vs $lo")
+      case _ => ()
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 300)
+    // read-back order == curriculumOrder's declared order (bucket DESC
+    // NULLS LAST, then skey, id), via the ascending emission key
+    val expect = graft.llm.Order.curriculumOrder(docs, "doc_id", "text",
+        width = 1000L, seed = "c10")
+      .orderBy(col("bucket_lo").desc_nulls_last, col("skey"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val got = back.orderBy(col("ckey"), col("skey"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == expect)
+  }
 }

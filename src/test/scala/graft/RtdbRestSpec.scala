@@ -34,6 +34,9 @@ class RtdbRestSpec extends SparkSpec {
   // serve each range page's fields in REVERSED order — the service
   // makes no intra-response order promise the client may rely on
   private val scramblePages = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // emulator off-by-one: re-serve the key just below the NUL-successor
+  // cursor at the head of every continuation page
+  private val dupBoundary = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def param(q: String, k: String): Option[String] =
     Option(q).toSeq.flatMap(_.split("&")).collectFirst {
@@ -57,9 +60,15 @@ class RtdbRestSpec extends SparkSpec {
       } else {
         // the /Numeric path serves the numerically-keyed dataset in
         // true service order; all other paths serve the string-keyed one
-        val ds = if (ex.getRequestURI.getPath.startsWith("/Numeric")) numericSorted else sorted
+        val path = ex.getRequestURI.getPath
+        val ds = if (path.startsWith("/Numeric")) numericSorted else sorted
         val body: String =
-          if (param(q, "shallow").contains("true"))
+          if (path.startsWith("/Empty"))
+            "null" // real RTDB: a path with no data serves literal null
+          else if (path.startsWith("/Stuck"))
+            // a broken pager that ignores startAt entirely
+            """{"s01": {"n": 1}}"""
+          else if (param(q, "shallow").contains("true"))
             ds.map { case (k, _) => s""""$k": true""" }.mkString("{", ",", "}")
           else {
             val from = param(q, "startAt").map(unquote)
@@ -71,7 +80,11 @@ class RtdbRestSpec extends SparkSpec {
             // planner must fall back to one unpaged fetch)
             val inRange = ds.filter { case (k, _) =>
               from.forall(k >= _) && to.forall(k <= _) }
-            val page = limitLast.fold(inRange.take(limit))(n => inRange.takeRight(n))
+            val page0 = limitLast.fold(inRange.take(limit))(n => inRange.takeRight(n))
+            val page =
+              if (dupBoundary.get && from.exists(_.endsWith("" + Char.MinValue)))
+                ds.filter(_._1 == from.get.dropRight(1)) ++ page0.take(limit - 1)
+              else page0
             (if (scramblePages.get) page.reverse else page)
               .map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}")
           }
@@ -191,6 +204,35 @@ class RtdbRestSpec extends SparkSpec {
       assert(rows.map(_._1) == (1 to 19).map(i => f"u$i%02d"),
         "scrambled pages must still yield the exact sorted range")
     } finally scramblePages.set(false)
+  }
+
+  test("duplicate key across pages: boundary re-serves are dropped, no row lost") {
+    // Datastore-parity conformance: a pager with an off-by-one cursor
+    // (emulator treating the NUL successor as at-or-BEFORE) re-serves
+    // the page-boundary key; the client must neither duplicate nor
+    // lose rows, and still terminate
+    dupBoundary.set(true)
+    try {
+      val rows = new RtdbRestClient(base)
+        .fetchRange("Users", Some("u00"), Some("u20"), pageSize = 7).toSeq
+      assert(rows.map(_._1) == (1 to 19).map(i => f"u$i%02d"),
+        s"boundary re-serves must be invisible: ${rows.map(_._1)}")
+    } finally dupBoundary.set(false)
+  }
+
+  test("empty path: RTDB's literal-null body yields an empty iterator in one request") {
+    requests.synchronized(requests.clear())
+    val rows = new RtdbRestClient(base).fetchRange("Empty", None, None, pageSize = 5).toSeq
+    assert(rows.isEmpty)
+    assert(requests.synchronized(requests.size) == 1,
+      "an empty page must terminate paging immediately")
+  }
+
+  test("cursor-ignoring server: pager fails loudly instead of looping forever") {
+    // pageSize=1 keeps every page 'full', so only the no-progress guard
+    // stands between the client and an infinite request loop
+    val it = new RtdbRestClient(base).fetchRange("Stuck", None, None, pageSize = 1)
+    intercept[IllegalStateException] { it.toSeq }
   }
 
   test("numeric child keys: planner falls back to one complete unpaged fetch") {

@@ -115,6 +115,29 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(t("sd_corpus").count() == 9,
         s"corpus=${t("sd_corpus").count()} — a fully-unchanged re-crawl must append nothing")
       assert(t("sd_index").count() == idx2)
+      // the gate is exchange-free over the corpus: the id-bucketed
+      // corpus scan satisfies the anti-join's (id, __h) clustering (id
+      // alone co-locates every version), so the ONLY shuffle is the
+      // batch side repartitioning to the bucket count
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val probe = Seq(("d100", "probe text")).toDF("doc_id", "text")
+        val plan = graft.streaming.Streams
+          .deltaGate(probe, t("sd_corpus"), "doc_id", "text")
+          .queryExecution.executedPlan
+        val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.size == 1, s"gate must shuffle only the batch side:\n$plan")
+        assert(shuffles.head.collectFirst { case s: FileSourceScanExec => s }.isEmpty,
+          s"the one shuffle must sit over the batch, not the corpus scan:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     } finally {
       q.stop()
       Seq("sd_corpus", "sd_index", "sd_pairs")
