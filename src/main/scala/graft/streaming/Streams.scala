@@ -131,15 +131,20 @@ object Streams {
     * once for pairs, once for the index append — both O(batch), never
     * O(corpus)).
     *
-    * foreachBatch is at-least-once (same contract as [[toJdbc]]): a
-    * replayed batch's pair VALUES stay correct (the overlap rule
-    * inside incrementalNearDupPairs tolerates the corpus already
-    * containing the batch) but ALL THREE sinks append twice — pair
-    * rows duplicate just like band/corpus rows, so downstream
-    * cluster-building must dedup edges (connectedComponents is
-    * unaffected by duplicate edges, but edge counts are not). Readers
-    * needing exactly-once dedup by natural key, or the sink tables get
-    * periodic exact-dedup compaction. */
+    * foreachBatch is at-least-once, but the sink is made idempotent
+    * per batch with the standard commit-log recipe: the batch id is
+    * recorded in `<corpusTable>_commits` AFTER all three appends, and
+    * a replayed id short-circuits before touching any sink — a clean
+    * restart (replay after the commit row landed) appends nothing
+    * twice. The residue is a crash BETWEEN the first sink append and
+    * the commit row: that replay re-appends (pair VALUES stay correct —
+    * the overlap rule inside incrementalNearDupPairs tolerates the
+    * corpus already containing the batch), so exact duplicates can
+    * survive a mid-batch crash. [[compactSinks]] is the recovery for
+    * that case; run it on restart after an unclean shutdown, or
+    * periodically. Downstream cluster-building off `pairsTable` should
+    * dedup edges either way (connectedComponents is unaffected by
+    * duplicate edges, but edge counts are not). */
   def incrementalDedupStream(docs: DataFrame, corpusTable: String,
                              indexTable: String, pairsTable: String,
                              idCol: String, textCol: String,
@@ -150,9 +155,9 @@ object Streams {
         "sink maintains it as the precomputed content hash)")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         dedupBatch(batch.toDF(), corpusTable, indexTable, pairsTable,
-          idCol, textCol, threshold, indexBuckets)
+          idCol, textCol, threshold, indexBuckets, checkpointDir, batchId)
       }
       .start()
   }
@@ -192,14 +197,14 @@ object Streams {
         "corpus sink maintains it as the precomputed content hash)")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.toDF()
         val spark = b.sparkSession
         val kept =
           if (!spark.catalog.tableExists(corpusTable)) b
           else deltaGate(b, spark.table(corpusTable), idCol, textCol)
         dedupBatch(kept, corpusTable, indexTable, pairsTable,
-          idCol, textCol, threshold, indexBuckets)
+          idCol, textCol, threshold, indexBuckets, checkpointDir, batchId)
       }
       .start()
   }
@@ -241,11 +246,29 @@ object Streams {
       .drop(HashCol, "__hset")
   }
 
+  /** Name of the per-stream batch commit log: one tiny row per
+    * successfully-committed micro-batch (see the idempotence note on
+    * [[incrementalDedupStream]]). Keyed by (stream_id, batch_id) —
+    * batch ids are only unique WITHIN one checkpoint lineage, so the
+    * checkpoint dir is the stream key; a fresh stream (new checkpoint,
+    * ids restarting at 0) writing to the same tables is never
+    * mistaken for a replay. */
+  def commitsTableFor(corpusTable: String): String = corpusTable + "_commits"
+
   private[graft] def dedupBatch(batch: DataFrame, corpusTable: String,
                                 indexTable: String, pairsTable: String,
                                 idCol: String, textCol: String,
-                                threshold: Double, indexBuckets: Int): Unit = {
+                                threshold: Double, indexBuckets: Int,
+                                streamId: String = "", batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
+    val commits = commitsTableFor(corpusTable)
+    // replay short-circuit: a (stream, batch) id already in the commit
+    // log means every sink append below landed on a previous attempt.
+    // The log has one row per batch, so this probe reads O(batches) rows
+    if (batchId >= 0 && spark.catalog.tableExists(commits) &&
+        spark.table(commits).filter(col("stream_id") === streamId &&
+          col("batch_id") === batchId).head(1).nonEmpty)
+      return
     val b = batch.localCheckpoint(false) // feeds pairs + index + corpus appends
     val corpusRows = b.withColumn(HashCol, graft.llm.Text.contentHash(col(textCol)))
     val idxSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -266,6 +289,48 @@ object Streams {
     corpusRows.write.mode("append")
       .bucketBy(indexBuckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(corpusTable)
+    // committed LAST: a crash anywhere above leaves the id un-logged,
+    // so the batch replays (at-least-once) rather than being lost
+    if (batchId >= 0)
+      spark.range(1).select(lit(streamId).as("stream_id"), lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+  }
+
+  /** Exact-duplicate compaction for the three streaming sink tables —
+    * the recovery path for a crash that landed between a sink append
+    * and the batch commit row (see [[incrementalDedupStream]]): every
+    * surviving duplicate from such a replay is an exact row copy, so
+    * whole-row DISTINCT restores each table, and the rewrite preserves
+    * the bucketing contract the incremental plans rely on (corpus
+    * bucketed by id for [[deltaGate]], index bucketed by band for
+    * `incrementalNearDupPairs`). Each table is rebuilt side-by-side
+    * (`<name>__compact`) then swapped in via catalog rename, so a
+    * reader never observes a half-written table and the source is
+    * never overwritten while being read. At 100 TB this is one
+    * shuffle per table at its own bucket parallelism — run it on
+    * restart after an unclean shutdown, not per batch. */
+  def compactSinks(spark: SparkSession, corpusTable: String,
+                   indexTable: String, pairsTable: String,
+                   idCol: String, indexBuckets: Int = 8): Unit = {
+    def swapIn(name: String)(write: DataFrame => Unit): Unit =
+      if (spark.catalog.tableExists(name)) {
+        val tmp = name + "__compact"
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        write(spark.table(name).distinct())
+        spark.sql(s"DROP TABLE $name")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $name")
+      }
+    swapIn(corpusTable) { df =>
+      df.write.bucketBy(indexBuckets, idCol).sortBy(idCol)
+        .format("parquet").saveAsTable(corpusTable + "__compact")
+    }
+    swapIn(indexTable) { df =>
+      df.write.bucketBy(indexBuckets, "band").sortBy("band")
+        .format("parquet").saveAsTable(indexTable + "__compact")
+    }
+    swapIn(pairsTable) { df =>
+      df.write.format("parquet").saveAsTable(pairsTable + "__compact")
+    }
   }
 
   /** Memory-sink runner for tests: processes all available data once. */
