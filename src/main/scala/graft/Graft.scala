@@ -236,6 +236,14 @@ object Graft {
     streaming.Streams.incrementalDeltaDedupStream(docs, corpusTable, indexTable,
       pairsTable, idCol, textCol, checkpointDir, threshold)
 
+  /** Exact-duplicate compaction of the streaming sink tables — run on
+    * restart after an unclean shutdown (see Streams.compactSinks). */
+  def compactDedupSinks(spark: SparkSession, corpusTable: String,
+                        indexTable: String, pairsTable: String,
+                        idCol: String): Unit =
+    streaming.Streams.compactSinks(spark, corpusTable, indexTable,
+      pairsTable, idCol)
+
   /** Leakage-free train/val split: duplicate clusters stay in one
     * split; decision is a pure hash of the cluster label. */
   def leakFreeSplit(docs: DataFrame, components: DataFrame, idCol: String,
@@ -259,6 +267,19 @@ object Graft {
   def interleaveBySource(docs: DataFrame, sourceCol: String, idCol: String,
                          weights: Map[String, Long], seed: String = "ilv"): DataFrame =
     llm.Order.interleaveBySource(docs, sourceCol, idCol, weights, seed)
+
+  /** Emit the corpus as disjoint-range training shard files in the
+    * seeded [[globalShuffle]] order; reading files in name order
+    * reproduces the exact permutation. */
+  def writeShuffledShards(docs: DataFrame, idCol: String, seed: String,
+                          shards: Int, path: String): Unit =
+    llm.Order.writeShuffledShards(docs, idCol, seed, shards, path)
+
+  /** Emit training shard files in curriculum order (best LM-quality
+    * buckets first, seeded shuffle within each bucket). */
+  def writeCurriculumShards(docs: DataFrame, idCol: String, textCol: String,
+                            path: String, files: Int): Unit =
+    llm.Order.writeCurriculumShards(docs, idCol, textCol, path, files)
 
   /** Count-based bigram-LM quality scoring (add-one smoothing,
     * micro-nat integer log-probs). */

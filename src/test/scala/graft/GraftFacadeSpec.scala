@@ -101,6 +101,17 @@ class GraftFacadeSpec extends SparkSpec {
     assert(chunks.count() == 30 * 3) // 20 words -> chunks at 0, 6, 12
   }
 
+  test("facade: shard emission writers stay wired") {
+    val docs = (1L to 60L).map(i => (i, s"alpha beta w${i % 9} w${i % 4}"))
+      .toDF("doc_id", "text")
+    val d1 = java.nio.file.Files.createTempDirectory("fshards").toString + "/s"
+    Graft.writeShuffledShards(docs, "doc_id", "seed", shards = 2, path = d1)
+    assert(spark.read.parquet(d1).count() == 60)
+    val d2 = java.nio.file.Files.createTempDirectory("fshards").toString + "/c"
+    Graft.writeCurriculumShards(docs, "doc_id", "text", d2, files = 2)
+    assert(spark.read.parquet(d2).count() == 60)
+  }
+
   test("dedupNearDuplicates keeps one survivor per duplicate cluster") {
     val sentence = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
