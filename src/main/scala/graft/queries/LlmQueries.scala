@@ -627,6 +627,31 @@ object LlmQueries {
           .withColumn("doc_id", -(col("doc_id") + lit(1L))))
       Curate.snapshotDelta(docs, cur, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // The streaming re-crawl delta gate as a batch fixture (the same
+    // Streams.deltaGate the delta-gated stream runs per micro-batch):
+    // the standing corpus holds every doc at its original content PLUS
+    // a second stored version for %9 ids, and the re-crawl batch
+    // redelivers %7 ids changed (' v3' — kept), %9 ids at their stored
+    // v2 content (dropped: the gate matches ANY stored version), the
+    // rest unchanged (dropped), plus new ids at -(id+1) (kept). The
+    // %7 arm precedes %9 in the when-chain, so ids divisible by both
+    // are the changed arm — mirrored in the oracle's CASE order.
+    "llm_delta_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text")))
+        .withColumn(graft.streaming.Streams.HashCol, Text.contentHash(col("text")))
+      val batch = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v3")))
+            .when(pmod(col("doc_id"), lit(9)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((-col("doc_id") - lit(1L)).as("doc_id"), col("text")))
+      graft.streaming.Streams.deltaGate(batch, corpus, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   /** Shard count for llm_global_shuffle, shared with its oracle. */
@@ -1376,5 +1401,24 @@ object LlmQueries {
         |       WHEN p.h = c.h THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "llm_delta_gate" ->
+      // pmod convention on both sides; '__null__' sentinel matches
+      // Text.contentHash's NULL coalescing
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2' FROM documents WHERE ((doc_id % 9) + 9) % 9 = 0),
+        |gate AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h FROM corpus),
+        |batch AS (
+        |  SELECT doc_id, CASE WHEN ((doc_id % 7) + 7) % 7 = 0 THEN text || ' v3'
+        |                      WHEN ((doc_id % 9) + 9) % 9 = 0 THEN text || ' v2'
+        |                      ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE ((doc_id % 11) + 11) % 11 = 0)
+        |SELECT b.doc_id, b.text FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM gate g
+        |  WHERE g.doc_id = b.doc_id AND g.h = coalesce(md5(b.text), '__null__'))
         |ORDER BY doc_id""".stripMargin)
 }
