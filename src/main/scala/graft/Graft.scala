@@ -281,6 +281,13 @@ object Graft {
                             path: String, files: Int): Unit =
     llm.Order.writeCurriculumShards(docs, idCol, textCol, path, files)
 
+  /** Resume a training read of [[writeShuffledShards]] output strictly
+    * after a (shard, pos) cursor; the pushed predicate skips
+    * fully-consumed row groups via parquet footer stats. */
+  def readShardsFrom(spark: SparkSession, path: String,
+                     shard: Long, pos: Long): DataFrame =
+    llm.Order.readShardsFrom(spark, path, shard, pos)
+
   /** Count-based bigram-LM quality scoring (add-one smoothing,
     * micro-nat integer log-probs). */
   def ngramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =

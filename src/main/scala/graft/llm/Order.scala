@@ -144,6 +144,21 @@ object Order {
       Seq("shard", "pos"), files = shards)
   }
 
+  /** Resume a training read of [[writeShuffledShards]] output from a
+    * position cursor: rows strictly after (shard, pos) in the global
+    * order, in one predicate the scan can push down. Because every
+    * file — and every parquet row group inside it — covers a disjoint
+    * (shard, pos) range with tight footer min/max, the pushed
+    * `shard > s OR (shard = s AND pos > p)` skips all fully-consumed
+    * row groups at the reader, so resuming at 99% of a 100 TB run
+    * reads ~1% of the bytes. The caller sorts by (shard, pos) when
+    * order matters; the rows come back file-disjoint either way. */
+  def readShardsFrom(spark: org.apache.spark.sql.SparkSession, path: String,
+                     shard: Long, pos: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("shard") > shard ||
+        (col("shard") === shard && col("pos") > pos))
+
   /** Emit training shard files in [[curriculumOrder]]'s reading order
     * (best-quality buckets first, seeded shuffle inside each bucket,
     * bigram-less docs last). The DESC-NULLS-LAST bucket order becomes

@@ -87,6 +87,31 @@ class BucketingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("readShardsFrom: resume cursor yields the exact permutation suffix, predicate pushed") {
+    val dir = java.nio.file.Files.createTempDirectory("rshards").toString + "/t"
+    val docs = (1L to 400L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    graft.llm.Order.writeShuffledShards(docs, "doc_id", seed = "r10",
+      shards = 4, path = dir)
+    val full = spark.read.parquet(dir).orderBy("shard", "pos")
+      .select("doc_id").as[Long].collect().toSeq
+    // cursor in the middle of the global order
+    val cut = spark.read.parquet(dir).orderBy("shard", "pos")
+      .select("shard", "pos").as[(Long, Long)].collect()(199)
+    val resumed = graft.llm.Order.readShardsFrom(spark, dir, cut._1, cut._2)
+      .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(resumed == full.drop(200),
+      "resume must read exactly the rows after the cursor, in order")
+    // the cursor predicate reaches the parquet scan, so footer min/max
+    // skips fully-consumed row groups at 100 TB
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = graft.llm.Order.readShardsFrom(spark, dir, cut._1, cut._2)
+      .queryExecution.executedPlan
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("shard") && pushed.contains("pos") && pushed.contains("Or"),
+      s"cursor predicate must push to parquet: $pushed")
+  }
+
   test("writeCurriculumShards: emission order is curriculum order, disjoint per file") {
     val dir = java.nio.file.Files.createTempDirectory("cshards").toString + "/t"
     val docs = (1L to 300L).map(i =>
