@@ -551,6 +551,18 @@ object LlmQueries {
         weights = InterleaveWeights)
         .orderBy(col("okey"), col("source"), col("doc_id"))),
 
+    // Same operator through its OTHER plan: 90 synthetic sources
+    // (pmod of doc_id) exceed the 64-entry literal cutoff, so the
+    // weight lookup is the broadcast table join — results must still
+    // replay from the identical fair-queueing arithmetic.
+    "llm_interleave_wide" -> ((s, dir) =>
+      Order.interleaveBySource(
+        t(s, dir, "documents").withColumn("wsrc",
+          concat(lit("s"), lpad(pmod(col("doc_id"), lit(100)).cast("string"),
+            3, "0"))),
+        "wsrc", "doc_id", weights = WideInterleaveWeights)
+        .orderBy(col("okey"), col("wsrc"), col("doc_id"))),
+
     // Heavy-hitter bigrams with occurrence + distinct-doc counts;
     // deterministic total order makes the top-k cut stable.
     "llm_top_ngrams" -> ((s, dir) =>
@@ -662,6 +674,16 @@ object LlmQueries {
     * sources are deliberately unweighted (drop arm). */
   val InterleaveWeights: Map[String, Long] =
     (0 until 10).map(i => s"src$i" -> ((i % 5) + 1).toLong).toMap
+
+  /** 90 weighted synthetic sources for llm_interleave_wide — above
+    * [[graft.llm.Curate.LiteralPredicateMaxGroups]] (64), so the Map
+    * overload auto-switches to the broadcast weight-table join: the
+    * oracle gate covers BOTH interleave code paths, not just the
+    * literal when-chain. Sources s009, s019, … stay unweighted so the
+    * drop-unweighted rule is non-vacuous on this path too. */
+  val WideInterleaveWeights: Map[String, Long] =
+    (0 until 100).filter(_ % 10 != 9)
+      .map(i => f"s$i%03d" -> ((i % 5) + 1).toLong).toMap
 
   // Magic-number prefixes injected by llm_multimodal_meta; one per
   // sniffMime branch (graft.llm.Multimodal.sniffMime).
@@ -1318,6 +1340,22 @@ object LlmQueries {
          |  FROM d WHERE wt IS NOT NULL)
          |SELECT source, doc_id, r::BIGINT AS r, (r * 1000000) // wt AS okey
          |FROM r ORDER BY okey, source, doc_id""".stripMargin
+    },
+    "llm_interleave_wide" -> {
+      val cases = WideInterleaveWeights.toSeq.sortBy(_._1)
+        .map { case (src, wt) => s"WHEN '$src' THEN $wt" }.mkString(" ")
+      s"""WITH d AS (SELECT
+         |    's' || lpad((((doc_id % 100) + 100) % 100)::VARCHAR, 3, '0') AS wsrc,
+         |    doc_id,
+         |    ${duckHash(s"'ilv:' || doc_id")} AS skey
+         |  FROM documents),
+         |d2 AS (SELECT wsrc, doc_id, skey,
+         |    CASE wsrc $cases ELSE NULL END AS wt FROM d),
+         |r AS (SELECT wsrc, doc_id, wt,
+         |    row_number() OVER (PARTITION BY wsrc ORDER BY skey, doc_id) AS r
+         |  FROM d2 WHERE wt IS NOT NULL)
+         |SELECT wsrc, doc_id, r::BIGINT AS r, (r * 1000000) // wt AS okey
+         |FROM r ORDER BY okey, wsrc, doc_id""".stripMargin
     },
     "llm_sketch_counts" ->
       """WITH g AS (
