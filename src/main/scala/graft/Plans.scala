@@ -22,8 +22,9 @@ object Plans {
         "q1_pricing_summary", "llm_dedup_keep_one", "llm_dedup_lsh_tightcap",
         "llm_dedup_incremental", "llm_budget_mix", "llm_substring_dedup",
         "llm_ngram_lm_score", "llm_global_shuffle", "llm_interleave",
+        "llm_interleave_wide",
         "llm_curriculum", "llm_top_ngrams", "llm_dedup_keep_best",
-        "llm_snapshot_delta")
+        "llm_snapshot_delta", "llm_decontaminate_bloom")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -446,6 +446,40 @@ object Curate {
         perSourceBudget, buckets = buckets),
       sourceCol, tokensCol, idCol, totalBudget)
 
+  /** Bloom-filter semi-join prune — Spark's runtime-filter idea
+    * (BloomFilterAggregate + might_contain, the pair its
+    * InjectRuntimeFilter rule plants under join heuristics) exposed as
+    * an explicit curation operator. Keeps the rows of `df` whose
+    * `value` MIGHT appear in `keys.keyCol`: a guaranteed superset of
+    * the exact semi-join (no false negatives), with false positives at
+    * ~`fpp`. The filter is built distributed over `keys` and reaches
+    * the corpus scan as a scalar-subquery constant, so the prune runs
+    * MAP-SIDE — definitely-clean rows never enter the downstream
+    * exchange.
+    *
+    * The intended composition is two-phase decontamination / gating:
+    * `bloomSemiFilter(corpus, h, bench, "h") JOIN bench` — the exact
+    * equi-join on the (tiny) surviving fraction removes the false
+    * positives, so the composed output EQUALS the exact-join result
+    * while the corpus-side shuffle input shrinks by ~the contamination
+    * rate. At 100 TB a benchmark set of 1e8 shingle hashes is ~114 MB
+    * of Bloom bits at 1% fpp (vs ~800 MB of exact 64-bit hashes in a
+    * broadcast hash set) and the cost is one codegen'd probe per row.
+    *
+    * `estItems`/`fpp` size the filter (`optimalNumOfBits`); an
+    * underestimate of |keys| degrades the fp rate, never correctness.
+    */
+  def bloomSemiFilter(df: DataFrame, value: Column, keys: DataFrame,
+                      keyCol: String, estItems: Long = 1000000L,
+                      fpp: Double = 0.01): DataFrame = {
+    require(estItems > 0, s"estItems must be positive: $estItems")
+    require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(estItems, fpp)
+    df.filter(org.apache.spark.sql.graftbridge.Bridge
+      .bloomMightContain(keys, keyCol, estItems, numBits, value))
+  }
+
   /** Leakage-free train/validation split: every member of a duplicate
     * cluster lands in the SAME split, so a near-duplicate of a
     * validation document can never appear in training — the

@@ -384,6 +384,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Same decontamination through the two-phase scale path: a Bloom
+    // filter of the benchmark hashes prunes the corpus shingle stream
+    // map-side (scalar-subquery might_contain — no exchange reaches
+    // dropped rows), then the exact equi-join on the survivors removes
+    // the Bloom false positives. Output — and oracle — identical to
+    // llm_decontaminate; only the plan differs.
+    "llm_decontaminate_bloom" -> ((s, dir) => {
+      val hs = t(s, dir, "documents")
+        .withColumn("w", Text.words(col("text")))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", Text.shingles(col("w")))
+        .withColumn("h", explode(array_distinct(transform(col("sh"), x => Text.md5Hash(x)))))
+        .select(col("doc_id"), col("h"))
+      val bench = hs.filter(col("doc_id") < 10).select(col("h")).distinct()
+      Curate.bloomSemiFilter(hs.filter(col("doc_id") >= 10), col("h"),
+          bench, "h", estItems = 200000L, fpp = 0.01)
+        .join(bench, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Consistent (hash-based) sampling: the keep/drop decision is a
     // pure function of the key, so reruns, retries and incremental
     // loads agree on the sample — unlike rand()-based sampling.
@@ -1131,6 +1154,21 @@ object LlmQueries {
          |  SELECT 'multi_probe_1' AS method, n_queries, m2.total_matches FROM m2, nq) t
          |ORDER BY method""".stripMargin,
     "llm_decontaminate" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+         |    s -> ${duckHash("s")}))) AS h
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0
+         |  WHERE len(w) >= 3),
+         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10)
+         |SELECT doc_id, count(*) AS overlap
+         |FROM hs JOIN bench USING (h) WHERE doc_id >= 10
+         |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
+    // The Bloom variant must produce EXACTLY the exact-join result
+    // (the confirm join removes every false positive), so its oracle
+    // is the same exact recomputation — the probabilistic prefilter is
+    // an implementation detail the output can't witness.
+    "llm_decontaminate_bloom" ->
       s"""WITH hs AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
          |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],

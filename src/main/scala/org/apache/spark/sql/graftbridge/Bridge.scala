@@ -22,6 +22,31 @@ object Bridge {
   def convert(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** `might_contain(bloom_filter_agg(keys.keyCol), value)` — the
+    * runtime-filter building blocks Spark keeps internal (its
+    * InjectRuntimeFilter rule plants them only under join-specific
+    * heuristics), exposed as an explicit Column for semi-join pruning
+    * at operator level. The Bloom filter is built DISTRIBUTED by a
+    * `BloomFilterAggregate` over `keys` and shipped into the outer
+    * query as a scalar subquery — exactly the mechanism
+    * InjectRuntimeFilter uses — so the exact key set is never
+    * collected; only the fixed-size filter (`numBits`/8 bytes,
+    * independent of |keys|) crosses the driver. False positives at
+    * the configured rate, false negatives never: the result is a
+    * guaranteed superset of `value IN (keys)`, so an exact equi-join
+    * on the survivors reproduces the exact semi-join while the filter
+    * prunes map-side, BEFORE any exchange. */
+  def bloomMightContain(keys: org.apache.spark.sql.DataFrame, keyCol: String,
+                        estItems: Long, numBits: Long, value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = column(new BloomFilterAggregate(expression(keys.col(keyCol)),
+      Literal(estItems), Literal(numBits)).toAggregateExpression())
+    val one = keys.groupBy().agg(agg.as("__bloom"))
+    column(BloomFilterMightContain(ScalarSubquery(one.queryExecution.analyzed),
+      expression(value)))
+  }
+
   /** Release the cached blocks behind a `localCheckpoint()`ed Dataset.
     * `Dataset.unpersist` only reaches CacheManager entries, not the
     * RDD cache a local checkpoint lives in; iterative algorithms that

@@ -93,6 +93,42 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("bloomSemiFilter: exact-semi-join superset, composed equality, map-side plan") {
+    val df = (0L until 2000L).map(i => (i, i % 501)).toDF("id", "h")
+    val keys = Seq(3L, 7L, 123L, 444L, 500L).toDF("h")
+    val pruned = Curate.bloomSemiFilter(df, col("h"), keys, "h", estItems = 1000L)
+    val prunedIds = pruned.select("id").as[Long].collect().toSet
+    val exactIds = df.join(keys, "h").select("id").as[Long].collect().toSet
+    // no false negatives, ever
+    assert(exactIds.subsetOf(prunedIds), "bloom dropped a real match")
+    // false positives bounded: 1% nominal fpp over ~1990 non-matching
+    // rows; allow 10x nominal before calling the sizing broken
+    assert(prunedIds.size - exactIds.size <= 200,
+      s"fp blowup: ${prunedIds.size - exactIds.size} extra rows")
+    // the intended composition reproduces the exact semi-join exactly
+    val composed = pruned.join(keys, "h").select("id").as[Long].collect().toSet
+    assert(composed == exactIds)
+    // plan: the probe is a might_contain FILTER, and the pruned frame
+    // itself crosses no exchange — the prune is map-side; the Bloom
+    // build lives in a scalar subquery, not in this frame's shuffles
+    val plan = pruned.queryExecution.executedPlan
+    assert(plan.toString.contains("might_contain"), plan.toString)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "bloomSemiFilter must not shuffle the pruned side")
+  }
+
+  test("bloomSemiFilter: rejects bad sizing parameters") {
+    val df = Seq((1L, 2L)).toDF("id", "h")
+    val keys = Seq(2L).toDF("h")
+    intercept[IllegalArgumentException] {
+      Curate.bloomSemiFilter(df, col("h"), keys, "h", estItems = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Curate.bloomSemiFilter(df, col("h"), keys, "h", fpp = 1.5)
+    }
+  }
+
   test("leakFreeSplit: clusters are atomic across splits; solo docs keep coverage") {
     val sentence = "the quick brown fox jumps over the lazy dog again and again"
     val all = (1L to 60L).map { i =>
