@@ -468,6 +468,12 @@ object Curate {
     *
     * `estItems`/`fpp` size the filter (`optimalNumOfBits`); an
     * underestimate of |keys| degrades the fp rate, never correctness.
+    * `BloomFilterAggregate` silently CLAMPS the bit count to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 8 MiB — measured, not documented), which would quietly ruin the
+    * fp rate for large key sets; this operator refuses instead, so a
+    * 1e8-key filter (~114 MB at 1% fpp) requires raising that conf
+    * deliberately rather than shipping a saturated filter.
     */
   def bloomSemiFilter(df: DataFrame, value: Column, keys: DataFrame,
                       keyCol: String, estItems: Long = 1000000L,
@@ -476,6 +482,13 @@ object Curate {
     require(fpp > 0 && fpp < 1, s"fpp out of (0,1): $fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(estItems, fpp)
+    val maxBits = df.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(numBits <= maxBits,
+      s"bloomSemiFilter needs $numBits bits for estItems=$estItems at fpp=$fpp " +
+        s"but spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits — " +
+        "BloomFilterAggregate would silently clamp (saturating the filter); " +
+        "raise the conf or lower estItems/raise fpp")
     df.filter(org.apache.spark.sql.graftbridge.Bridge
       .bloomMightContain(keys, keyCol, estItems, numBits, value))
   }

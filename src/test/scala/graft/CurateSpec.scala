@@ -129,6 +129,25 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("bloomSemiFilter: refuses a filter the conf cap would silently saturate") {
+    // 1e8 items at 1% fpp needs ~959M bits; BloomFilterAggregate would
+    // clamp to the 67108864-bit conf default and ship a useless filter
+    val df = Seq((1L, 2L)).toDF("id", "h")
+    val keys = Seq(2L).toDF("h")
+    val e = intercept[IllegalArgumentException] {
+      Curate.bloomSemiFilter(df, col("h"), keys, "h", estItems = 100000000L)
+    }
+    assert(e.getMessage.contains("maxNumBits"))
+    // raising the conf makes the same sizing legal (and correct)
+    val key = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    spark.conf.set(key, (1L << 30).toString)
+    try {
+      val ids = Curate.bloomSemiFilter(df, col("h"), keys, "h",
+        estItems = 100000000L).select("id").as[Long].collect().toSeq
+      assert(ids == Seq(1L))
+    } finally spark.conf.unset(key)
+  }
+
   test("leakFreeSplit: clusters are atomic across splits; solo docs keep coverage") {
     val sentence = "the quick brown fox jumps over the lazy dog again and again"
     val all = (1L to 60L).map { i =>
