@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 /** Readers for the harness parquet tables (TESTDATA.md) plus the
   * reference-shaped sources/sinks (SURVEY.md §2.1/§2.2).
   *
-  * `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-  * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-  * long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  * microseconds with integer division — identical to DuckDB's ns→us
-  * truncation, so oracle comparisons agree. Plain `/ 1000` would go
-  * through double division and lose precision at 2^53 ≪ 1.7e18 ns.
+  * `events.parquet` carries TIMESTAMP(NANOS). How Spark surfaces that
+  * depends on the Spark version, so `read("events")` branches on the
+  * POST-READ dtype of `ts` rather than assuming either behavior:
+  *   - older Spark (≤4.0 lineage): the reader rejects NANOS outright
+  *     ([PARQUET_TYPE_ILLEGAL]) unless
+  *     `spark.sql.legacy.parquet.nanosAsLong` is set, which surfaces
+  *     `ts` as LongType nanos → truncate to micros with integer
+  *     division (`div 1000`, never `/ 1000` — double division loses
+  *     precision at 2^53 ≪ 1.7e18 ns);
+  *   - Spark 4.1.2+ reads NANOS natively as TIMESTAMP_NTZ (micros,
+  *     ns truncated) and IGNORES the legacy conf → a plain
+  *     `cast("timestamp")`, which under the UTC session timezone is
+  *     micros-identical to the long path and to DuckDB's ns→us
+  *     truncation, so oracle comparisons agree either way.
   */
 object Tables {
 
@@ -21,15 +29,25 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.parquet carries TIMESTAMP(NANOS), which Spark refuses
-      // without this legacy conf. There is no per-scan toggle, and the
-      // conf is consulted again at execution time, so it CANNOT be
-      // restored after the (lazy) read — it stays set for the session.
-      // Documented side effect: later TIMESTAMP(NANOS) parquet reads in
-      // the same session also surface as LongType.
+      // Set the legacy conf BEFORE the read so pre-4.1 Sparks (which
+      // reject TIMESTAMP(NANOS) without it) can load the file at all.
+      // 4.1.2+ ignores it and reads NANOS as TIMESTAMP_NTZ. On the
+      // legacy path there is no per-scan toggle and the conf is
+      // consulted again at execution time, so it CANNOT be restored
+      // after the (lazy) read — documented side effect: later
+      // TIMESTAMP(NANOS) reads in the same session surface as LongType.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long path: integer-truncate ns → us.
+          timestamp_micros(expr("ts div 1000"))
+        case _ =>
+          // native TIMESTAMP_NTZ (or already TIMESTAMP): NTZ→LTZ cast
+          // under the UTC session is micros-identical to the long path.
+          col("ts").cast("timestamp")
+      }
+      raw.withColumn("ts", ts)
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

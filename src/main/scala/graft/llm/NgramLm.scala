@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.LongType
   * differently across engines. The oracle gate exercises every
   * (c_bg, c_w1, V) triple in the fixtures at both SFs; no divergence
   * observed, but the risk is inherent to any transcendental in an
-  * exact-compare contract and is recorded here rather than hidden.
+  * exact-compare contract. GUARDED in-repo, not just recorded:
+  * OrderStatsSpec ("lp_micro floor boundaries") recomputes every
+  * fixture triple at sf0.001 AND sf0.01 and asserts `ln(p)*1e6` sits
+  * >2e-8 (≫2 ulp) from the nearest integer, so a platform libm change
+  * cannot silently flip a floor and masquerade as a regression — it
+  * would first have to fail that named spec.
   *
   * Scale: the full exploded bigram stream crosses exactly ONE
   * stream-wide hash operation — the (doc, bigram, multiplicity)

@@ -610,11 +610,15 @@ object LlmQueries {
     // Per-source distinct-bigram profile via mergeable HLL sketches.
     // No value oracle (DuckDB's approx_distinct is a different HLL);
     // the spec proves the union == recompute mergeability contract,
-    // and the driver records the rows-only check here.
+    // and the driver records the rows-only check here. The projection
+    // is DELIBERATELY the estimate alone (+ key): every exact column
+    // the operator emits (occurrences) lives in the hash-checked
+    // companion llm_sketch_counts, so the one rows-only row in the
+    // suite carries zero data an oracle could have checked.
     "llm_sketch_profile" -> ((s, dir) =>
       CorpusStats.sourceNgramSketch(t(s, dir, "documents"), "source",
         "doc_id", "text", n = 2, lgK = 12)
-        .drop("ngram_sketch")
+        .select(col("source"), col("est_distinct"))
         .orderBy(col("source"))),
 
     // Exact companion to llm_sketch_profile: the (source, occurrences)

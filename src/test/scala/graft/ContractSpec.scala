@@ -8,8 +8,11 @@ class ContractSpec extends SparkSpec {
   // Queries with no SQL-expressible oracle (the driver records a
   // weaker rows-only check for these). Keep this list SHORT and
   // justified: currently only the HLL-sketch profile, whose estimate
-  // DuckDB cannot replay (different HLL implementation) — its
-  // mergeability contract is proven in OrderStatsSpec instead.
+  // DuckDB cannot replay (different HLL implementation). The query
+  // projects ONLY (source, est_distinct) — its exact columns are
+  // hash-checked separately as llm_sketch_counts, so nothing
+  // oracle-checkable hides behind the rows-only row — and the
+  // estimate's mergeability contract is proven in OrderStatsSpec.
   private val rowsOnlyQueries = Set("llm_sketch_profile")
 
   test("queries and oracleSql keys align") {
