@@ -37,6 +37,60 @@ object Similarity {
     * loop; see graft.expr.native). */
   def dotQ(a: Column, b: Column): Column = graft.expr.native.NativeFns.longDot(a, b)
 
+  /** Largest |element| of a float embedding, in exact double arithmetic
+    * (float→double is exact; abs/max are rounding-free), so both
+    * engines derive bit-identical per-vector scales. */
+  def absMax(e: Column): Column =
+    array_max(transform(e, x => abs(x.cast("double"))))
+
+  /** Per-vector symmetric int8 quantization — the storage/serving
+    * format of a 100 TB embedding store: 4× smaller than float32,
+    * integer-SIMD dot products, dequant is `q * amax / 127`.
+    * q_i = floor(v_i * (127/amax) + 0.5), clamped by construction to
+    * [-127, 127]; an all-zero vector quantizes to zeros. Rounding is
+    * spelled floor(x + 0.5) — NEVER round(): round-half-even vs
+    * half-away ties would silently diverge between engines, floor of
+    * the same double is identical everywhere. `amaxCol` is the
+    * precomputed [[absMax]] (passed in so the plan evaluates it once,
+    * not once per element). */
+  def quantizeInt8(e: Column, amaxCol: Column): Column =
+    when(amaxCol === 0.0, transform(e, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(e, x =>
+        floor(x.cast("double") * (lit(127.0) / amaxCol) + lit(0.5)).cast("tinyint")))
+
+  /** (id, q8, amax) quantization frame — amax materialized as a column
+    * first so the per-element lambda references an attribute, not a
+    * re-evaluated aggregate (the interpreted-HOF CSE trap, PLANS.md
+    * round-9 lesson). */
+  def quantizeInt8Frame(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol), col(embCol), absMax(col(embCol)).as("amax"))
+      .select(col(idCol), quantizeInt8(col(embCol), col("amax")).as("q8"),
+        col("amax"))
+
+  /** Brute-force top-k over int8-quantized vectors. Ranking rescales
+    * each integer dot by the CANDIDATE's amax (the query's amax is a
+    * positive constant within its rank group, so it cannot reorder and
+    * is dropped) — without the rescale, candidates quantized with
+    * different scales are not comparable. At cluster scale the
+    * candidate side streams 8-bit arrays instead of 32-bit floats:
+    * same plan shape as [[bruteForceTopKQ]] (map-side broadcast probe,
+    * one per-query top-k window), quarter the bytes. */
+  def int8TopK(queries: DataFrame, candidates: DataFrame, qId: String,
+               cId: String, embCol: String, k: Int): DataFrame = {
+    val q = quantizeInt8Frame(queries, qId, embCol)
+      .select(col(qId).as("qid"), transform(col("q8"), _.cast("long")).as("qe"))
+    val c = quantizeInt8Frame(candidates, cId, embCol)
+      .select(col(cId).as("cid"), transform(col("q8"), _.cast("long")).as("ce"),
+        col("amax").as("c_amax"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("qdot", dotQ(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy((col("qdot").cast("double") * col("c_amax")).desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("qdot"))
+  }
+
   /** HOF formulation kept for differential testing (NativeExprSpec). */
   private[graft] def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)

@@ -612,12 +612,42 @@ object CoreQueries {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("cnt"), Exprs.dsum(col("p_retailprice"), 2).as("sum_price"))
         .orderBy(col("band"))
-    }))
+    }),
+
+    // K9 — Z-order clustering keys (io.ZOrder): the 2-D and 3-D Morton
+    // interleaves behind writeZOrdered, checked value-for-value — pure
+    // 64-bit integer bit math, so DuckDB replays it exactly. The layout
+    // contract (files cover compact multi-dim regions) is asserted in
+    // ZOrderSpec; this row pins the curve itself.
+    "k9_zorder_keys" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        graft.io.ZOrder.zvalue2(
+          col("user_id") % 1048576L, col("event_id") % 1048576L).as("z2"),
+        graft.io.ZOrder.zvalue3(
+          col("user_id") % 2048L, col("event_id") % 2048L,
+          unix_micros(col("ts")) % 2048L).as("z3"))
+        .orderBy(col("event_id"))))
 
   /** §2.8 checks used by a9/v queries. */
   private def eventChecks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "bad_type" -> (col("event_type") === "error"),
     "value_range" -> (col("value") > 450))
+
+  /** DuckDB text of ZOrder.spread1/spread2 — same mask-spread sequence,
+    * same two's-complement BIGINT ops, so values match Spark exactly. */
+  private def duckSpread1(e: String): String =
+    Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+      .foldLeft(s"($e & 4294967295)") { case (x, (s, m)) =>
+        s"((($x | ($x << $s)) & $m))" }
+  private def duckSpread2(e: String): String =
+    Seq(32 -> 0x001F00000000FFFFL, 16 -> 0x001F0000FF0000FFL,
+      8 -> 0x100F00F00F00F00FL, 4 -> 0x10C30C30C30C30C3L,
+      2 -> 0x1249249249249249L)
+      .foldLeft(s"($e & 2097151)") { case (x, (s, m)) =>
+        s"((($x | ($x << $s)) & $m))" }
 
   val oracle: Seq[(String, String)] = Seq(
     "w1_dedup_keep_latest" ->
@@ -984,5 +1014,13 @@ object CoreQueries {
         |    ('mid', 955.0, 975.0), ('premium', 975.0, 990.0),
         |    ('lux', 990.0, 1000.0), ('all_span', 900.0, 1000.0)) bands(band, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
-        |GROUP BY band ORDER BY band""".stripMargin)
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "k9_zorder_keys" -> {
+      val z2 = s"(${duckSpread1("(user_id % 1048576)")} | " +
+        s"(${duckSpread1("(event_id % 1048576)")} << 1))"
+      val z3 = s"(${duckSpread2("(user_id % 2048)")} | " +
+        s"(${duckSpread2("(event_id % 2048)")} << 1) | " +
+        s"(${duckSpread2("(epoch_us(ts) % 2048)")} << 2))"
+      s"SELECT event_id, $z2 AS z2, $z3 AS z3 FROM events ORDER BY event_id"
+    })
 }

@@ -140,6 +140,27 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Int8 quantization of the embedding store (Similarity.quantizeInt8):
+    // per-vector amax scale + rounded bytes, emitted as a CSV string
+    // (both engines join lists identically; raw array columns compare
+    // brittlely across drivers). qsum is a redundant integer checksum.
+    "llm_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8Frame(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("amax"),
+          array_join(transform(col("q8"), _.cast("string")), ",").as("q8_csv"),
+          aggregate(transform(col("q8"), _.cast("long")), lit(0L), _ + _).as("qsum"))
+        .orderBy(col("vec_id"))),
+
+    // ANN over the quantized store: integer dots rescaled by candidate
+    // amax; same contract as llm_ann_topk_exact but on 8-bit vectors.
+    "llm_ann_int8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.int8TopK(
+        e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
+        "vec_id", "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "llm_ann_lsh_bucketed" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         nPlanes = 8, dim = 64, k = 1)
@@ -932,6 +953,34 @@ object LlmQueries {
          |    ELSE hs END) AS fp FROM h)
          |SELECT doc_id, len(fp)::BIGINT AS fp_count, list_min(fp) AS fp_min, list_max(fp) AS fp_max
          |FROM f ORDER BY doc_id""".stripMargin,
+    "llm_quantize_int8" ->
+      s"""WITH m AS (SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+         |    embedding FROM embeddings),
+         |z AS (SELECT vec_id, amax, list_transform(embedding, x ->
+         |    CAST(CASE WHEN amax = 0 THEN 0
+         |      ELSE floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) END AS BIGINT)) AS q
+         |  FROM m)
+         |SELECT vec_id, amax, array_to_string(q, ',') AS q8_csv,
+         |  CAST(list_sum(q) AS BIGINT) AS qsum
+         |FROM z ORDER BY vec_id""".stripMargin,
+    "llm_ann_int8" ->
+      s"""WITH m AS (SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+         |    embedding FROM embeddings),
+         |z AS (SELECT vec_id, amax, list_transform(embedding, x ->
+         |    CAST(CASE WHEN amax = 0 THEN 0
+         |      ELSE floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) END AS BIGINT)) AS q
+         |  FROM m),
+         |q AS (SELECT vec_id AS qid, q AS qe FROM z WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS cid, q AS ce, amax AS c_amax FROM z WHERE vec_id >= 3),
+         |s AS (SELECT qid, cid, c_amax,
+         |  CAST((SELECT sum((qe)[i] * (ce)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS qdot
+         |  FROM c, q)
+         |SELECT qid, cid, rank, qdot FROM (
+         |  SELECT qid, cid, qdot, row_number() OVER (
+         |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) * c_amax DESC, cid) AS rank
+         |  FROM s) t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "llm_ann_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
          |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),

@@ -159,6 +159,43 @@ class LlmSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 2L)) // by dot with (1,0): 900, 500, 0
   }
 
+  test("quantizeInt8: values in [-127,127], round-trip error <= half a step, zero vector safe") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(16)((rnd.nextFloat() - 0.5f) * (i + 1)))) :+
+      (50L, Array.fill(16)(0.0f)) // all-zero vector must not divide by 0
+    val q = Similarity.quantizeInt8Frame(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .select(col("vec_id"), col("q8"), col("amax")).collect()
+    val byId = vecs.toMap
+    q.foreach { r =>
+      val v = byId(r.getLong(0))
+      val q8 = r.getSeq[Byte](1)
+      val amax = r.getDouble(2)
+      assert(q8.forall(b => b >= -127 && b <= 127))
+      if (amax == 0.0) assert(q8.forall(_ == 0))
+      else {
+        val step = amax / 127.0
+        v.zip(q8).foreach { case (x, b) =>
+          assert(math.abs(x.toDouble - b * step) <= step / 2 + 1e-12,
+            s"vec ${r.getLong(0)}: $x -> $b (amax $amax)")
+        }
+      }
+    }
+  }
+
+  test("int8TopK: ranking tracks the float top-k on well-separated vectors") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8TopK(
+      e.filter(col("vec_id") === 0), e.filter(col("vec_id") > 0),
+      "vec_id", "vec_id", "embedding", k = 2)
+      .select("cid", "rank").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 3L -> 2L))
+  }
+
   test("lshTopK: same-direction vectors share a bucket; opposite don't") {
     val e = Seq(
       (0L, Array.fill(64)(0.3f)), (1L, Array.fill(64)(0.31f)),

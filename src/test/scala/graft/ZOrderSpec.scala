@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{Tables, ZOrder}
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton implementations (bit-by-bit, independent of the
+    * mask-spread sequence under test). */
+  private def refZ2(a: Long, b: Long): Long =
+    (0 until 32).foldLeft(0L) { (z, i) =>
+      z | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1) }
+  private def refZ3(a: Long, b: Long, c: Long): Long =
+    (0 until 21).foldLeft(0L) { (z, i) =>
+      z | ((a >> i) & 1L) << (3 * i) | ((b >> i) & 1L) << (3 * i + 1) |
+        ((c >> i) & 1L) << (3 * i + 2) }
+
+  test("zvalue2/zvalue3 match bit-by-bit reference on random and edge inputs") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq(0L, 1L, 2L, (1L << 20) - 1, (1L << 21) - 1, (1L << 31) - 1)
+    val pairs = (edges ++ Seq.fill(200)(rnd.nextLong().abs % (1L << 31)))
+      .flatMap(a => Seq((a, a), (a, 0L), (0L, a),
+        (a, rnd.nextLong().abs % (1L << 31))))
+    val df = pairs.toDF("a", "b")
+      .withColumn("z2", ZOrder.zvalue2(col("a"), col("b")))
+      .withColumn("z3", ZOrder.zvalue3(
+        col("a") % (1L << 21), col("b") % (1L << 21), (col("a") + col("b")) % (1L << 21)))
+    df.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == refZ2(a, b), s"z2($a,$b)")
+      assert(r.getLong(3) == refZ3(a % (1L << 21), b % (1L << 21), (a + b) % (1L << 21)),
+        s"z3($a,$b)")
+    }
+  }
+
+  test("writeZOrdered: every file bounds BOTH dimensions; 1-D sort does not") {
+    // 256x256 uniform grid. Under a z-order layout into 16 files each
+    // file must cover a compact region — both dims' spans bounded well
+    // below the domain — while the 1-D sorted layout leaves dim y
+    // spanning its FULL domain in every file. This is the measurable
+    // property that makes the layout prune multi-predicate scans.
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    ZOrder.writeZOrdered(grid, s"$dir/z", Seq("x", "y"), files = 16, buckets = 256)
+    Tables.writeSorted(grid, s"$dir/s", Seq("x"), files = 16)
+
+    // The measurable contract is footer-prunability: how many files'
+    // [min,max] intersect a narrow range predicate on EACH dimension.
+    // (Per-file spans alone mislead: a z-range straddling a major
+    // quadrant boundary covers two compact blocks, so its bounding box
+    // is wide even though the layout prunes fine.)
+    def filesTouching(path: String, dim: String, lo: Long, hi: Long): Int =
+      new java.io.File(path).listFiles().count { f =>
+        f.getName.endsWith(".parquet") && {
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(dim), max(dim)).head()
+          r.getLong(0) <= hi && r.getLong(1) >= lo
+        }
+      }
+    // x in [100,110]: both layouts prune (sorted is keyed on x).
+    assert(filesTouching(s"$dir/s", "x", 100, 110) <= 2)
+    assert(filesTouching(s"$dir/z", "x", 100, 110) <= 8)
+    // y in [100,110]: sorted reads EVERY file; z-order skips most.
+    assert(filesTouching(s"$dir/s", "y", 100, 110) == 16,
+      "sorted layout should be unable to prune on y")
+    assert(filesTouching(s"$dir/z", "y", 100, 110) <= 8,
+      "z-order must bound y per file well enough to skip half the files")
+    assert(spark.read.parquet(s"$dir/z").count() == 256L * 256L)
+  }
+
+  test("writeZOrdered: 3-D and degenerate/skewed dims don't break the write") {
+    val dir = java.nio.file.Files.createTempDirectory("zord3").toString
+    val df = (1 to 2000).map(i => (i.toLong, (i % 7).toLong, 5.0))
+      .toDF("a", "b", "c")
+    // dim c is constant (lo == hi) — must land in cell 0, not divide by 0
+    ZOrder.writeZOrdered(df, s"$dir/t", Seq("a", "b", "c"), files = 4, buckets = 64)
+    assert(spark.read.parquet(s"$dir/t").count() == 2000)
+  }
+}
