@@ -431,6 +431,73 @@ object Curate {
       .drop("__src")
   }
 
+  /** Floor integer square root (exact — Math.sqrt seed, then integer
+    * correction, so no double-rounding flip at any Long scale). */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative $n")
+    var x = math.sqrt(n.toDouble).toLong
+    while (x > 0 && x * x > n) x -= 1
+    while ((x + 1) * (x + 1) <= n) x += 1
+    x
+  }
+
+  /** Temperature-based corpus mixture (the T5/mT5 recipe): source s
+    * gets budget share ∝ total_s^alpha — alpha = 1 is natural
+    * (proportional) sampling, alpha → 0 approaches uniform; 0.5 is the
+    * common low-resource up-weighting. A fixed-share policy, unlike
+    * [[mixCorpus]]'s max-min water-filling: a source capped at its own
+    * size (rate 1000‰) does NOT re-spread its surplus — callers who
+    * want the budget exhausted compose water-filling instead.
+    *
+    * Same execution shape as mixCorpus: ONE bounded |sources| driver
+    * collect, integer per-mille rates, broadcast rate join + map-side
+    * hash-Bernoulli filter — the corpus crosses no exchange.
+    *
+    * Determinism: for alpha = 0.5 the weights are EXACT integer sqrt
+    * ([[isqrt]]) and every downstream step is BigInt arithmetic, so an
+    * oracle replays the rates exactly (llm_temperature_mix). Any other
+    * alpha goes through Math.pow — deterministic on a given platform,
+    * but a cross-engine replay inherits the libm caveat documented on
+    * NgramLm.lp_micro. */
+  def temperatureMix(docs: DataFrame, sourceCol: String, tokensCol: String,
+                     idCol: String, budgetTokens: Long, alpha: Double = 0.5,
+                     salt: String = "tmix:"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(!docs.columns.exists(Set("__src", "rate_pm")),
+      "temperatureMix reserves the __src and rate_pm column names")
+    val spark = docs.sparkSession
+    val totals = docs.groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(sum(col(tokensCol)).as("__t"))
+      .collect().map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"temperatureMix: NULL $sourceCol encountered — sources must be non-null")
+        if (r.isNullAt(1)) throw new IllegalArgumentException(
+          s"temperatureMix: source '${r.getString(0)}' has NULL sum($tokensCol)")
+        (r.getString(0), r.getLong(1))
+      }.toSeq
+    val weights = totals.map { case (s, t) =>
+      require(t >= 0, s"temperatureMix: source '$s' has negative tokens $t")
+      val w = if (alpha == 0.5) BigInt(isqrt(t))
+              else BigInt(math.floor(math.pow(t.toDouble, alpha)).toLong)
+      (s, t, w)
+    }
+    val sumW = weights.map(_._3).sum
+    val rates = weights.map { case (s, t, w) =>
+      val alloc =
+        if (sumW == 0 || t == 0) BigInt(0)
+        else (BigInt(budgetTokens) * w / sumW).min(BigInt(t))
+      val pm = (alloc * 1000 / BigInt(t).max(1)).min(1000)
+        .max(if (alloc > 0) 1 else 0)
+      (s, pm.toLong)
+    }
+    import spark.implicits._
+    docs.join(broadcast(rates.toDF("__src", "rate_pm")),
+        col(sourceCol).cast("string") === col("__src"))
+      .filter(hashAccept(salt, col(idCol), col("rate_pm")))
+      .drop("__src")
+  }
+
   /** Quality-aware corpus mixing — the two-stage recipe real pipelines
     * run: keep the best `perSourceBudget` tokens of EACH source
     * (quality-rank within a source, [[selectByTokenBudgetGrouped]] —

@@ -312,6 +312,22 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Temperature mixture (alpha = 0.5): budget share per source
+    // ∝ sqrt(total tokens) — exact-integer weights (isqrt + BigInt),
+    // so the per-mille rates replay exactly in the oracle. Both arms
+    // exercised at this budget: small sources cap at their own size
+    // (rate 1000), large ones land fractional rates.
+    "llm_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
+      Curate.temperatureMix(d, "source", "tokens", "doc_id",
+        budgetTokens = 26000L, alpha = 0.5)
+        .groupBy(col("source"), col("rate_pm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tokens")).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Exact substring dedup (window-granular span removal): every
     // 20-token window content keeps only its first corpus-wide
     // occurrence; other occurrences' spans are cut from their docs.
@@ -1077,6 +1093,29 @@ object LlmQueries {
          |kept AS (SELECT tok.source, r.rate_pm, tok.tokens FROM tok
          |  JOIN rates r ON tok.source = r.source
          |  WHERE ${duckHash("('mix:' || doc_id)")} % 1000 < r.rate_pm)
+         |SELECT source, CAST(rate_pm AS BIGINT) AS rate_pm,
+         |  count(*)::BIGINT AS n_kept, CAST(sum(tokens) AS BIGINT) AS kept_tokens
+         |FROM kept GROUP BY source, rate_pm ORDER BY source""".stripMargin,
+    "llm_temperature_mix" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS t FROM tok GROUP BY source),
+         |w AS (SELECT source, t,
+         |    CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS w FROM s),
+         |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w),
+         |a AS (SELECT source, t,
+         |    CASE WHEN sw = 0 OR t = 0 THEN 0
+         |         ELSE least(CAST(t AS HUGEINT), (26000 * CAST(w AS HUGEINT)) // sw)
+         |    END AS alloc
+         |  FROM w, tot),
+         |rates AS (SELECT source, t,
+         |    greatest(least(1000, (alloc * 1000) // greatest(t, 1)),
+         |      CASE WHEN alloc > 0 THEN 1 ELSE 0 END) AS rate_pm
+         |  FROM a),
+         |kept AS (SELECT tok.source, r.rate_pm, tok.tokens FROM tok
+         |  JOIN rates r ON tok.source = r.source
+         |  WHERE ${duckHash("('tmix:' || doc_id)")} % 1000 < r.rate_pm)
          |SELECT source, CAST(rate_pm AS BIGINT) AS rate_pm,
          |  count(*)::BIGINT AS n_kept, CAST(sum(tokens) AS BIGINT) AS kept_tokens
          |FROM kept GROUP BY source, rate_pm ORDER BY source""".stripMargin,

@@ -333,4 +333,42 @@ class CurateSpec extends SparkSpec {
     // cluster 1: max score 9 tie between 2 and 3 -> 2; cluster 10: tie -> 10
     assert(kept === Set(2L, 7L, 10L))
   }
+
+  test("temperatureMix: sqrt-share rates exact; small source caps at 1000 per-mille") {
+    // totals: A=100 (w=10), B=10000 (w=100), C=5 (w=2); sumW=112
+    // budget 1000 -> allocA = floor(1000*10/112)=89  -> rate 890
+    //               allocB = floor(1000*100/112)=892 -> rate  89
+    //               allocC = min(5, 17)=5            -> rate 1000 (capped)
+    val docs =
+      (1 to 100).map(i => (s"a$i", "A", 1L)) ++
+      (1 to 100).map(i => (s"b$i", "B", 100L)) ++
+      (1 to 5).map(i => (s"c$i", "C", 1L))
+    val df = docs.toDF("doc_id", "source", "tokens")
+    val out = Curate.temperatureMix(df, "source", "tokens", "doc_id",
+      budgetTokens = 1000L, alpha = 0.5)
+    val bySource = out.groupBy("source")
+      .agg(max("rate_pm").as("r"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(bySource("A")._1 == 890L)
+    assert(bySource("B")._1 == 89L)
+    assert(bySource("C") == (1000L, 5L), "capped source keeps every doc")
+    // deterministic rerun
+    val again = Curate.temperatureMix(df, "source", "tokens", "doc_id",
+      budgetTokens = 1000L, alpha = 0.5)
+    assert(out.select("doc_id").as[String].collect().sorted.toSeq ==
+      again.select("doc_id").as[String].collect().sorted.toSeq)
+    // zero budget -> nothing; alpha out of range -> refused
+    assert(Curate.temperatureMix(df, "source", "tokens", "doc_id", 0L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Curate.temperatureMix(df, "source", "tokens", "doc_id", 10L, alpha = 0.0)
+    }
+  }
+
+  test("isqrt: exact at boundaries") {
+    for (n <- Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
+        (1L << 31) - 1, 1L << 40, (1L << 40) + 1)) {
+      val r = Curate.isqrt(n)
+      assert(r * r <= n && (r + 1) * (r + 1) > n, s"isqrt($n) = $r")
+    }
+  }
 }
