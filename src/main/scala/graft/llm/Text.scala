@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -132,6 +132,40 @@ object Text {
     struct(PiiPatterns.map { case (tag, pat, _) =>
       regexp_count(text, lit(pat)).cast(LongType).as(s"n_$tag")
     }: _*)
+
+  /** URL host extraction — the web-corpus provenance signal. One
+    * regex pass per document; the pattern stays in the common subset of
+    * Java regex and RE2-style engines (character classes + quantifiers
+    * only, no backrefs/lookaround) so any engine extracts the same
+    * hosts. Lowercased: hosts are case-insensitive. */
+  val UrlHostPattern = "https?://([a-z0-9.-]+)"
+
+  def urlHosts(text: Column): Column =
+    regexp_extract_all(lower(text), lit(UrlHostPattern), lit(1))
+
+  /** Per-host document counts over a corpus — the aggregation behind
+    * domain-level curation decisions (blocklists, per-domain caps).
+    * distinct BEFORE the explode-side aggregation: a doc linking one
+    * host 100 times is one document of provenance, not 100. */
+  def domainCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(urlHosts(col(textCol)))).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Drop every document that links ANY blocklisted host (the standard
+    * spam/adult/SEO domain filter). The blocklist frame is broadcast —
+    * real blocklists are ~1e5-1e6 rows, far under the threshold — and
+    * the corpus never shuffles: explode → broadcast semi-join marks the
+    * bad ids, broadcast anti-join removes them. A blocklist too big to
+    * broadcast composes with Curate.bloomSemiFilter instead. */
+  def dropByDomainBlocklist(docs: DataFrame, idCol: String, textCol: String,
+                            blocklist: DataFrame, hostCol: String = "host"): DataFrame = {
+    val bad = docs
+      .select(col(idCol), explode(array_distinct(urlHosts(col(textCol)))).as("__h"))
+      .join(broadcast(blocklist.select(col(hostCol).as("__h"))), Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
 
   /** Repetition / boilerplate signal: 1 − |distinct shingles| / |shingles|.
     * High values mean the document repeats itself (template spam, lyrics,

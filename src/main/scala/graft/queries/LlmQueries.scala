@@ -312,6 +312,34 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Domain provenance + blocklist curation. The fixture text carries
+    // no URLs, so the query injects a deterministic link per doc
+    // (source-derived host, doc_id-derived path) — same convention as
+    // llm_substring_dedup's injected self-repeats: the operator under
+    // test is the extraction/filter, not the corpus.
+    "llm_domain_counts" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" see https://"), col("source"),
+        lit(".example"), (col("doc_id") % 3).cast("string"),
+        lit(".com/page/"), col("doc_id").cast("string"))
+      Text.domainCounts(
+          t(s, dir, "documents").withColumn("text", aug), "doc_id", "text")
+        .orderBy(col("host"))
+    }),
+
+    "llm_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val aug = concat(col("text"), lit(" see https://"), col("source"),
+        lit(".example"), (col("doc_id") % 3).cast("string"),
+        lit(".com/page/"), col("doc_id").cast("string"))
+      val blocked = Seq("src3.example0.com", "src7.example1.com",
+        "src12.example2.com").toDF("host")
+      Text.dropByDomainBlocklist(
+          t(s, dir, "documents").withColumn("text", aug),
+          "doc_id", "text", blocked)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature mixture (alpha = 0.5): budget share per source
     // ∝ sqrt(total tokens) — exact-integer weights (isqrt + BigInt),
     // so the per-mille rates replay exactly in the oracle. Both arms
@@ -1096,6 +1124,29 @@ object LlmQueries {
          |SELECT source, CAST(rate_pm AS BIGINT) AS rate_pm,
          |  count(*)::BIGINT AS n_kept, CAST(sum(tokens) AS BIGINT) AS kept_tokens
          |FROM kept GROUP BY source, rate_pm ORDER BY source""".stripMargin,
+    "llm_domain_counts" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' see https://' || source || '.example' ||
+         |      CAST(doc_id % 3 AS VARCHAR) || '.com/page/' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id, unnest(list_distinct(
+         |    regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1))) AS host
+         |  FROM aug)
+         |SELECT host, count(*)::BIGINT AS n_docs
+         |FROM h GROUP BY host ORDER BY host""".stripMargin,
+    "llm_domain_blocklist" ->
+      s"""WITH aug AS (SELECT doc_id, source,
+         |    text || ' see https://' || source || '.example' ||
+         |      CAST(doc_id % 3 AS VARCHAR) || '.com/page/' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id, unnest(list_distinct(
+         |    regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1))) AS host
+         |  FROM aug),
+         |bad AS (SELECT DISTINCT doc_id FROM h
+         |  WHERE host IN ('src3.example0.com', 'src7.example1.com', 'src12.example2.com'))
+         |SELECT doc_id, source FROM aug
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
     "llm_temperature_mix" ->
       s"""WITH tok AS (SELECT doc_id, source,
          |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens

@@ -159,6 +159,22 @@ class LlmSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 3L -> 2L)) // by dot with (1,0): 900, 500, 0
   }
 
+  test("urlHosts/domainCounts/blocklist: extraction, per-doc distinct, any-match drop") {
+    val docs = Seq(
+      (1L, "intro HTTPS://A.com/x then https://a.com/y twice"), // same host twice -> 1
+      (2L, "links https://b.org/1 and https://a.com/2"),
+      (3L, "no links at all"),
+      (4L, "http://bad.example/z plus https://b.org/ok")) // any bad host drops the doc
+      .toDF("doc_id", "text")
+    val counts = Text.domainCounts(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("a.com" -> 2L, "b.org" -> 2L, "bad.example" -> 1L))
+    val kept = Text.dropByDomainBlocklist(docs, "doc_id", "text",
+        Seq("bad.example").toDF("host"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), "doc 4 links a blocked host; linkless doc 3 survives")
+  }
+
   test("quantizeInt8: values in [-127,127], round-trip error <= half a step, zero vector safe") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 50L).map(i =>
