@@ -215,6 +215,105 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Scalar Morton kernels shared by the native expressions below and
+  * their interpreted eval paths — the same mask-spread sequence as
+  * graft.io.ZOrder's Column formulation (bit-identical; asserted in
+  * ZOrderSpec's differential test). */
+object Morton {
+  def spread1(x0: Long): Long = {
+    var x = x0 & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    (x | (x << 1)) & 0x5555555555555555L
+  }
+  def spread2(x0: Long): Long = {
+    var x = x0 & 0x1FFFFFL
+    x = (x | (x << 32)) & 0x001F00000000FFFFL
+    x = (x | (x << 16)) & 0x001F0000FF0000FFL
+    x = (x | (x << 8)) & 0x100F00F00F00F00FL
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3L
+    (x | (x << 2)) & 0x1249249249249249L
+  }
+  def z2(a: Long, b: Long): Long = spread1(a) | (spread1(b) << 1)
+  def z3(a: Long, b: Long, c: Long): Long =
+    spread2(a) | (spread2(b) << 1) | (spread2(c) << 2)
+
+  /** Generated-Java spread bodies (one fresh local per spread). Kept
+    * beside the Scala twins so the two sequences cannot drift. */
+  private[native] def genSpread1(v: String, in: String): String =
+    s"""long $v = $in & 0xFFFFFFFFL;
+       |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
+       |$v = ($v | ($v << 8)) & 0x00FF00FF00FF00FFL;
+       |$v = ($v | ($v << 4)) & 0x0F0F0F0F0F0F0F0FL;
+       |$v = ($v | ($v << 2)) & 0x3333333333333333L;
+       |$v = ($v | ($v << 1)) & 0x5555555555555555L;""".stripMargin
+  private[native] def genSpread2(v: String, in: String): String =
+    s"""long $v = $in & 0x1FFFFFL;
+       |$v = ($v | ($v << 32)) & 0x001F00000000FFFFL;
+       |$v = ($v | ($v << 16)) & 0x001F0000FF0000FFL;
+       |$v = ($v | ($v << 8)) & 0x100F00F00F00F00FL;
+       |$v = ($v | ($v << 4)) & 0x10C30C30C30C30C3L;
+       |$v = ($v | ($v << 2)) & 0x1249249249249249L;""".stripMargin
+}
+
+/** 2-D Morton (Z-order) interleave of two long cell indices — the
+  * clustering key behind ZOrder.writeZOrdered. A native expression
+  * because the Column-combinator foldLeft references its accumulator
+  * twice per step: the expression TREE duplicates 2^steps ≈ 32×
+  * (codegen subexpression elimination recovers the runtime, but the
+  * generated source and analysis-time tree stay bloated). Here it is
+  * eleven straight-line statements. */
+case class Morton2(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_morton2"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Morton.z2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  // fully inlined: `native` is a Java keyword, so generated code cannot
+  // name this package — and straight-line statements beat a call anyway
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |${Morton.genSpread1(x, a)}
+         |${Morton.genSpread1(y, b)}
+         |${ev.value} = $x | ($y << 1);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Morton2 =
+    copy(left = l, right = r)
+}
+
+/** 3-D Morton interleave (21 bits per dimension). */
+case class Morton3(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_morton3"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Morton.z3(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val z = ctx.freshName("z")
+      s"""
+         |${Morton.genSpread2(x, a)}
+         |${Morton.genSpread2(y, b)}
+         |${Morton.genSpread2(z, c)}
+         |${ev.value} = $x | ($y << 1) | ($z << 2);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Morton3 =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column wrappers (no session registration needed) + function
   * registration for SQL users via SparkSessionExtensions. */
 object NativeFns {
@@ -227,6 +326,13 @@ object NativeFns {
   def simHash(c: Column, bits: Int = 16): Column = column(SimHashExpr(expression(c), bits))
   def topK(c: Column, k: Int): Column =
     column(TopKLongs(expression(c), k).toAggregateExpression())
+  // long casts up front: the expressions assume LongType inputs (the
+  // private[sql] ExpectsInputTypes machinery is closed to third parties)
+  def morton2(a: Column, b: Column): Column =
+    column(Morton2(expression(a.cast("long")), expression(b.cast("long"))))
+  def morton3(a: Column, b: Column, c: Column): Column =
+    column(Morton3(expression(a.cast("long")), expression(b.cast("long")),
+      expression(c.cast("long"))))
 }
 
 /** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the
@@ -300,7 +406,13 @@ object GraftExtensions {
         case Literal(v: Long, LongType) => TopKLongs(c(0), v.toInt)
         case other => throw new IllegalArgumentException(
           s"graft_top_k(col, k): k must be an integer literal, got $other")
-      }))
+      }),
+    (FunctionIdentifier("graft_morton2"),
+      new ExpressionInfo(classOf[Morton2].getName, "graft_morton2"),
+      (c: Seq[Expression]) => { exactly("graft_morton2", 2)(c); Morton2(c(0), c(1)) }),
+    (FunctionIdentifier("graft_morton3"),
+      new ExpressionInfo(classOf[Morton3].getName, "graft_morton3"),
+      (c: Seq[Expression]) => { exactly("graft_morton3", 3)(c); Morton3(c(0), c(1), c(2)) }))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit = registrations.foreach { case (id, info, builder) =>

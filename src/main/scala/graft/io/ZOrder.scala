@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Spread the low 32 bits of `x` onto the even bit positions of a
-    * 64-bit value (Morton "Part1By1"). */
-  def spread1(x: Column): Column = {
+    * 64-bit value (Morton "Part1By1"). Composed-Column form, kept for
+    * differential testing against the native expression (the foldLeft
+    * references its accumulator twice per step, so this TREE duplicates
+    * ~2^5× — fine for a spec, bloated in a production plan). */
+  private[graft] def spread1(x: Column): Column = {
     val steps = Seq(
       16 -> 0x0000FFFF0000FFFFL,
       8  -> 0x00FF00FF00FF00FFL,
@@ -45,8 +48,9 @@ object ZOrder {
   }
 
   /** Spread the low 21 bits of `x` onto every third bit position
-    * (Morton "Part1By2", for 3-D interleave). */
-  def spread2(x: Column): Column = {
+    * (Morton "Part1By2", for 3-D interleave). Composed form — see
+    * [[spread1]]. */
+  private[graft] def spread2(x: Column): Column = {
     val steps = Seq(
       32 -> 0x001F00000000FFFFL,
       16 -> 0x001F0000FF0000FFL,
@@ -59,12 +63,20 @@ object ZOrder {
   }
 
   /** 2-D Morton code: bits of `a` on even positions, `b` on odd.
-    * Monotone along the Z-curve for a, b in [0, 2^31). */
+    * Monotone along the Z-curve for a, b in [0, 2^31). Native codegen'd
+    * expression (graft_morton2 in SQL); [[spread1]]'s composed form is
+    * the differential-test twin (ZOrderSpec asserts equality). */
   def zvalue2(a: Column, b: Column): Column =
-    spread1(a).bitwiseOR(shiftleft(spread1(b), 1))
+    graft.expr.native.NativeFns.morton2(a, b)
 
   /** 3-D Morton code for a, b, c in [0, 2^21). */
   def zvalue3(a: Column, b: Column, c: Column): Column =
+    graft.expr.native.NativeFns.morton3(a, b, c)
+
+  /** Composed-Column twins of the native z-values, spec-only. */
+  private[graft] def zvalue2Composed(a: Column, b: Column): Column =
+    spread1(a).bitwiseOR(shiftleft(spread1(b), 1))
+  private[graft] def zvalue3Composed(a: Column, b: Column, c: Column): Column =
     spread2(a)
       .bitwiseOR(shiftleft(spread2(b), 1))
       .bitwiseOR(shiftleft(spread2(c), 2))

@@ -34,6 +34,27 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("native morton2/morton3 == composed-Column twins == reference; null-safe; SQL-callable") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(300)((rnd.nextLong().abs % (1L << 31),
+        rnd.nextLong().abs % (1L << 31))).toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrder.zvalue2(col("a"), col("b")).as("zn"),
+        ZOrder.zvalue2Composed(col("a"), col("b")).as("zc"),
+        ZOrder.zvalue3(col("a") % (1L << 21), col("b") % (1L << 21), lit(7L)).as("z3n"),
+        ZOrder.zvalue3Composed(col("a") % (1L << 21), col("b") % (1L << 21), lit(7L)).as("z3c"))
+    assert(df.filter(col("zn") =!= col("zc") || col("z3n") =!= col("z3c")).count() == 0)
+    // null propagates, not crashes
+    val nu = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(ZOrder.zvalue2(col("a"), col("b")).as("z")).collect()
+    assert(nu.head.isNullAt(0))
+    // registered for SQL users
+    graft.expr.native.GraftExtensions.install(spark)
+    val viaSql = spark.sql("SELECT graft_morton2(5L, 3L) AS z, graft_morton3(5L, 3L, 1L) AS z3")
+      .collect().head
+    assert(viaSql.getLong(0) == refZ2(5L, 3L) && viaSql.getLong(1) == refZ3(5L, 3L, 1L))
+  }
+
   test("writeZOrdered: every file bounds BOTH dimensions; 1-D sort does not") {
     // 256x256 uniform grid. Under a z-order layout into 16 files each
     // file must cover a compact region — both dims' spans bounded well
