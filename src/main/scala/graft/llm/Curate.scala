@@ -431,6 +431,36 @@ object Curate {
       .drop("__src")
   }
 
+  /** Contamination audit, from the BENCHMARK's point of view: for each
+    * held-out item, how many of its distinct shingle hashes appear
+    * anywhere in the training corpus (the report evaluators need —
+    * "which eval items are compromised, and how badly" — where
+    * decontamination answers the converse "which corpus docs to drop").
+    *
+    * Inputs are (id, hash) pair frames (the caller's shingle pipeline,
+    * distinct per doc). Contamination is an exact integer per-mille —
+    * never a float ratio, so any engine replays it bit-identically.
+    *
+    * Scale: the corpus crosses ONE distinct aggregation on the hash
+    * (linear in shingles, the same exchange the decontaminate join
+    * needs anyway) and meets the bench — typically thousands of items
+    * vs billions of corpus shingles — in a semi-join keyed on the
+    * hash; nothing is ever pairwise. */
+  def contaminationReport(benchHs: DataFrame, corpusHs: DataFrame,
+                          idCol: String, hashCol: String = "h"): DataFrame = {
+    val corpusH = corpusHs.select(col(hashCol)).distinct()
+    val totals = benchHs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = benchHs.join(corpusH, Seq(hashCol), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      // `div`, not `/`: Column./ is DOUBLE division — exact integer
+      // per-mille needs integer division on both engines
+      .withColumn("pm_contaminated", expr("n_hit * 1000 div n_shingles"))
+  }
+
   /** Floor integer square root (exact — Math.sqrt seed, then integer
     * correction, so no double-rounding flip at any Long scale). */
   private[graft] def isqrt(n: Long): Long = {

@@ -449,6 +449,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The audit direction of decontamination: per BENCH item, what
+    // fraction (exact integer per-mille) of its distinct shingles the
+    // training corpus contains — "which eval items are compromised".
+    "llm_contamination_report" -> ((s, dir) => {
+      val hs = t(s, dir, "documents")
+        .withColumn("w", Text.words(col("text")))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", Text.shingles(col("w")))
+        .withColumn("h", explode(array_distinct(transform(col("sh"), x => Text.md5Hash(x)))))
+        .select(col("doc_id"), col("h"))
+      Curate.contaminationReport(
+          hs.filter(col("doc_id") < 10), hs.filter(col("doc_id") >= 10), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Same decontamination through the two-phase scale path: a Bloom
     // filter of the benchmark hashes prunes the corpus shingle stream
     // map-side (scalar-subquery might_contain — no exchange reaches
@@ -1296,6 +1311,23 @@ object LlmQueries {
          |  UNION ALL
          |  SELECT 'multi_probe_1' AS method, n_queries, m2.total_matches FROM m2, nq) t
          |ORDER BY method""".stripMargin,
+    "llm_contamination_report" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+         |    s -> ${duckHash("s")}))) AS h
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0
+         |  WHERE len(w) >= 3),
+         |corpus AS (SELECT DISTINCT h FROM hs WHERE doc_id >= 10),
+         |bench AS (SELECT doc_id, h FROM hs WHERE doc_id < 10),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM bench GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*)::BIGINT AS n_hit FROM bench
+         |  WHERE h IN (SELECT h FROM corpus) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles,
+         |  COALESCE(hit.n_hit, 0)::BIGINT AS n_hit,
+         |  (COALESCE(hit.n_hit, 0) * 1000 // t.n_shingles)::BIGINT AS pm_contaminated
+         |FROM tot t LEFT JOIN hit ON t.doc_id = hit.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "llm_decontaminate" ->
       s"""WITH hs AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -364,6 +364,17 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport: exact per-mille, zero-hit items reported at 0") {
+    val bench = Seq((1L, "h1"), (1L, "h2"), (1L, "h3"), (2L, "x1"), (2L, "x2"))
+      .toDF("doc_id", "h")
+    val corpus = Seq((10L, "h1"), (11L, "h1"), (12L, "h3"), (13L, "zz"))
+      .toDF("doc_id", "h")
+    val out = Curate.contaminationReport(bench, corpus, "doc_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: 2 of 3 hashes in corpus -> floor(2000/3) = 666; doc 2: none
+    assert(out == Seq((1L, 3L, 2L, 666L), (2L, 2L, 0L, 0L)))
+  }
+
   test("isqrt: exact at boundaries") {
     for (n <- Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
         (1L << 31) - 1, 1L << 40, (1L << 40) + 1)) {
