@@ -314,6 +314,44 @@ case class Morton3(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Codegen'd binary search over a literal sorted boundary array:
+  * returns the number of boundaries <= the value (the cell index in
+  * [0, |bounds|]). The scale-robust building block behind rank-based
+  * Z-order cells and quantile histograms — a HOF fold over a
+  * 4096-element literal array is O(n) interpreted lambda calls per
+  * row; this is O(log n) inside whole-stage codegen. `bounds` must be
+  * strictly increasing (callers dedupe); a Seq parameter (not Array)
+  * so case-class equality/canonicalization stay value-based. */
+case class SearchSortedDouble(child: Expression, bounds: Seq[Double])
+  extends UnaryExpression {
+  require(bounds.nonEmpty && bounds.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+    "bounds must be non-empty and strictly increasing")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_search_sorted"
+
+  @transient private lazy val arr: Array[Double] = bounds.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = java.util.Arrays.binarySearch(arr, v.asInstanceOf[Double])
+    (if (r >= 0) r + 1 else -(r + 1)).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds.toArray, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |int $r = java.util.Arrays.binarySearch($ref, $v);
+         |${ev.value} = $r >= 0 ? $r + 1 : -($r + 1);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SearchSortedDouble =
+    copy(child = newChild)
+}
+
 /** Column wrappers (no session registration needed) + function
   * registration for SQL users via SparkSessionExtensions. */
 object NativeFns {
@@ -333,6 +371,8 @@ object NativeFns {
   def morton3(a: Column, b: Column, c: Column): Column =
     column(Morton3(expression(a.cast("long")), expression(b.cast("long")),
       expression(c.cast("long"))))
+  def searchSorted(v: Column, bounds: Seq[Double]): Column =
+    column(SearchSortedDouble(expression(v.cast("double")), bounds))
 }
 
 /** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the

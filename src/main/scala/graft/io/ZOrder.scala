@@ -106,7 +106,9 @@ object ZOrder {
     * compact region of the multi-dimensional key space and parquet
     * footers carry tight min/max on EVERY dimension. One tiny
     * min/max agg (driver-side, 2×dims doubles) + one range exchange —
-    * the same shuffle budget as `writeSorted`. */
+    * the same shuffle budget as `writeSorted`. Uniform cells assume
+    * roughly uniform dimensions; for skewed keys use
+    * [[writeZOrderedByRank]]. */
   def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
                     files: Int, buckets: Int = 1 << 12): Unit = {
     require(dims.size == 2 || dims.size == 3,
@@ -117,7 +119,40 @@ object ZOrder {
     val cells = dims.zipWithIndex.map { case (d, i) =>
       uniformCell(col(d), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1), buckets)
     }
-    val z = if (dims.size == 2) zvalue2(cells(0), cells(1))
+    writeByZ(df, cells, path, files)
+  }
+
+  /** Skew-robust Z-order: per-dimension cells are QUANTILE ranks, not
+    * uniform slices — a zipfian key (the 100 TB reality: hot users,
+    * hot domains, bursty time) collapses uniform cells into one bucket
+    * and degrades the curve to a 1-D sort on the other dims; rank
+    * cells keep every cell near-equal mass regardless of the
+    * distribution. Boundaries come from ONE approxQuantile pass
+    * (driver-bounded: `buckets`-1 doubles per dim, Greenwald–Khanna),
+    * and the per-row mapping is a codegen'd binary search over the
+    * literal boundary array (SearchSortedDouble — O(log buckets),
+    * never an interpreted HOF fold). Same single range exchange. */
+  def writeZOrderedByRank(df: DataFrame, path: String, dims: Seq[String],
+                          files: Int, buckets: Int = 1 << 12): Unit = {
+    require(dims.size == 2 || dims.size == 3,
+      s"z-order needs 2 or 3 dimensions; got ${dims.size} (1 -> writeSorted)")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cast = df.select(dims.map(d => col(d).cast("double").as(d)): _*)
+    val cells = dims.map { d =>
+      // dedupe to strictly increasing: a heavy value spanning many
+      // quantiles yields repeated boundaries, which binarySearch
+      // cannot accept (and which carry no extra information)
+      val bs = cast.stat.approxQuantile(d, probs, 0.001)
+        .toSeq.distinct.sorted
+      if (bs.isEmpty) lit(0L)
+      else graft.expr.native.NativeFns.searchSorted(col(d), bs)
+    }
+    writeByZ(df, cells, path, files)
+  }
+
+  private def writeByZ(df: DataFrame, cells: Seq[Column], path: String,
+                       files: Int): Unit = {
+    val z = if (cells.size == 2) zvalue2(cells(0), cells(1))
             else zvalue3(cells(0), cells(1), cells(2))
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))

@@ -91,6 +91,54 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/z").count() == 256L * 256L)
   }
 
+  test("SearchSortedDouble: cell = #bounds <= v, both eval paths, null propagates") {
+    val bounds = Seq(1.0, 2.5, 7.0, 100.0)
+    def refCell(v: Double): Long = bounds.count(_ <= v).toLong
+    val vs = Seq(-5.0, 0.99, 1.0, 1.01, 2.5, 3.0, 7.0, 99.9, 100.0, 1e9)
+    val df = vs.toDF("v")
+      .withColumn("c", graft.expr.native.NativeFns.searchSorted(col("v"), bounds))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == refCell(r.getDouble(0)), s"v=${r.getDouble(0)}")
+    }
+    val nu = Seq(Option.empty[Double]).toDF("v")
+      .select(graft.expr.native.NativeFns.searchSorted(col("v"), bounds)).collect()
+    assert(nu.head.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      graft.expr.native.SearchSortedDouble(null, Seq(2.0, 1.0))
+    }
+  }
+
+  test("writeZOrderedByRank: balanced files under zipfian skew where uniform cells collapse") {
+    val dir = java.nio.file.Files.createTempDirectory("zrank").toString
+    // x is zipf-ish (80% of rows in the bottom 1% of the value range),
+    // y uniform — the hot-key table shape
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 20000).map { i =>
+      val x = if (i % 5 == 0) rnd.nextInt(1000000).toLong else rnd.nextInt(100).toLong
+      (x, (i % 256).toLong)
+    }
+    val df = rows.toDF("x", "y")
+    ZOrder.writeZOrdered(df, s"$dir/u", Seq("x", "y"), files = 16, buckets = 256)
+    ZOrder.writeZOrderedByRank(df, s"$dir/r", Seq("x", "y"), files = 16, buckets = 256)
+
+    def fileStats(path: String): Seq[(Long, Long, Long)] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(count(lit(1)), min("y"), max("y")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+    // uniform cells: 80% of rows share cell (0,*) — x gives the curve
+    // nothing, so the layout cannot also keep y ranges tight in those
+    // files. rank cells: files stay near-equal mass AND y-prunable.
+    val rs = fileStats(s"$dir/r")
+    assert(rs.map(_._1).max <= 3L * rs.map(_._1).min,
+      s"rank-cell files unbalanced: ${rs.map(_._1)}")
+    val touching = rs.count { case (_, lo, hi) => lo <= 110 && hi >= 100 }
+    assert(touching <= 8, s"rank layout should keep y prunable, touched $touching/16")
+    assert(spark.read.parquet(s"$dir/r").count() == 20000)
+  }
+
   test("writeZOrdered: 3-D and degenerate/skewed dims don't break the write") {
     val dir = java.nio.file.Files.createTempDirectory("zord3").toString
     val df = (1 to 2000).map(i => (i.toLong, (i % 7).toLong, 5.0))
