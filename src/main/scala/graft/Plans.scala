@@ -24,7 +24,9 @@ object Plans {
         "llm_ngram_lm_score", "llm_global_shuffle", "llm_interleave",
         "llm_interleave_wide",
         "llm_curriculum", "llm_top_ngrams", "llm_dedup_keep_best",
-        "llm_snapshot_delta", "llm_decontaminate_bloom")
+        "llm_snapshot_delta", "llm_decontaminate_bloom",
+        "k9_zorder_keys", "llm_ann_int8", "llm_temperature_mix",
+        "llm_domain_blocklist", "llm_contamination_report")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

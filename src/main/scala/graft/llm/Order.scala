@@ -44,6 +44,23 @@ object Order {
       .drop("skey")
   }
 
+  /** Per-shard integrity manifest: row count + an order-independent
+    * content checksum (XOR of a salted md5-derived long over the named
+    * columns) for each shard of an assigned frame. XOR is commutative,
+    * associative and overflow-free, so the checksum is identical under
+    * any partitioning and any engine — a trainer (or a resume) verifies
+    * the shards it reads equal the shards the pipeline emitted without
+    * re-sorting or re-shuffling anything. Including the position column
+    * in `cols` also pins the permutation, not just the membership. */
+  def shardChecksums(assigned: DataFrame, shardCol: String,
+                     cols: Seq[String], salt: String = "ck:"): DataFrame = {
+    require(cols.nonEmpty, "shardChecksums needs at least one content column")
+    val h = Text.md5Hash(concat_ws("|", lit(salt) +: cols.map(c => col(c).cast("string")): _*))
+    assigned.withColumn("__ck", h)
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__ck)").as("checksum"))
+  }
+
   /** Weighted source interleave: a global training order in which each
     * source appears in proportion to its weight. Classic fair-queueing
     * ("virtual finish time"): the r-th document of source s gets key

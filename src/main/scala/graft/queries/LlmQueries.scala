@@ -646,6 +646,16 @@ object LlmQueries {
         shards = ShuffleShards)
         .orderBy(col("shard"), col("pos"))),
 
+    // Shard integrity manifest over the shuffled permutation: per
+    // shard, rows + order-independent XOR checksum over (doc_id, pos)
+    // — pins membership AND the permutation itself.
+    "llm_shard_checksums" -> ((s, dir) =>
+      Order.shardChecksums(
+        Order.globalShuffle(t(s, dir, "documents"), "doc_id", seed = "r9",
+          shards = ShuffleShards),
+        "shard", Seq("doc_id", "pos"))
+        .orderBy(col("shard"))),
+
     // Weighted source interleave: fair-queueing virtual-finish-time
     // keys. src0..src9 carry weights 1..5 cyclically; src10+ have no
     // weight and must be dropped — both arms oracle-checked.
@@ -1541,6 +1551,16 @@ object LlmQueries {
          |SELECT doc_id, skey % $ShuffleShards AS shard,
          |  row_number() OVER (PARTITION BY (skey % $ShuffleShards) ORDER BY skey, doc_id) AS pos
          |FROM k ORDER BY shard, pos""".stripMargin,
+    "llm_shard_checksums" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${duckHash(s"'r9:' || doc_id")} AS skey FROM documents),
+         |p AS (SELECT doc_id, skey % $ShuffleShards AS shard,
+         |    row_number() OVER (PARTITION BY (skey % $ShuffleShards)
+         |      ORDER BY skey, doc_id) AS pos
+         |  FROM k)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  bit_xor(${duckHash("'ck:|' || doc_id || '|' || pos")})::BIGINT AS checksum
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "llm_interleave" -> {
       val cases = InterleaveWeights.toSeq.sortBy(_._1)
         .map { case (src, wt) => s"WHEN '$src' THEN $wt" }.mkString(" ")

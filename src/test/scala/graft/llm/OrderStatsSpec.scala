@@ -83,6 +83,29 @@ class OrderStatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("shardChecksums: partitioning-independent; position swaps change the checksum") {
+    val assigned = Order.globalShuffle(
+      (1L to 300L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "doc_id", "s1", 4)
+    val a = Order.shardChecksums(assigned, "shard", Seq("doc_id", "pos"))
+      .orderBy("shard").collect().toSeq
+    val b = Order.shardChecksums(assigned.repartition(13), "shard", Seq("doc_id", "pos"))
+      .orderBy("shard").collect().toSeq
+    assert(a == b, "checksum must not depend on physical partitioning")
+    // swapping two docs' positions inside one shard must be detected
+    val tampered = assigned.withColumn("pos",
+      when(col("pos") === 1, lit(2L)).when(col("pos") === 2, lit(1L))
+        .otherwise(col("pos")))
+    val c = Order.shardChecksums(tampered, "shard", Seq("doc_id", "pos"))
+      .orderBy("shard").collect().toSeq
+    assert(a != c, "permutation tampering must change at least one checksum")
+    // membership-only checksum ignores position
+    val m1 = Order.shardChecksums(assigned, "shard", Seq("doc_id"))
+      .orderBy("shard").collect().toSeq
+    val m2 = Order.shardChecksums(tampered, "shard", Seq("doc_id"))
+      .orderBy("shard").collect().toSeq
+    assert(m1 == m2)
+  }
+
   test("topNgrams: counts, doc counts, deterministic tie-break") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val top = CorpusStats.topNgrams(docs, "doc_id", "text", n = 2, k = 2)
