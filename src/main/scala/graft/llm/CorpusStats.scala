@@ -55,6 +55,53 @@ object CorpusStats {
       .orderBy(col("bucket_lo"))
   }
 
+  /** EXACT quantile histogram with no global sort: per-value counts
+    * (one linear aggregation, collect bounded by the value domain —
+    * the same bounded-collect contract as selectByTokenBudget; callers
+    * use integer-ish columns like lengths or scores), a driver walk of
+    * the cumulative counts to the exact per-mille boundaries
+    * (boundary q = smallest v with cum(v) >= ceil(q/1000 * N) — the
+    * classic discrete quantile, pure integer arithmetic), then one
+    * codegen'd binary-search pass bucketing every row against the
+    * literal boundaries (SearchSortedDouble). Compare approxQuantile:
+    * this is exact and oracle-replayable; the approx path exists for
+    * unbounded domains (ZOrder.writeZOrderedByRank).
+    *
+    * Output: (bucket, n_docs, min_v, max_v), bucket = #boundaries < v
+    * in [0, |quantiles|] — the boundary VALUE belongs to the lower
+    * bucket (values <= the p-quantile are the p-fraction), realized
+    * exactly for the integer domain by searching against boundary+0.5.
+    * Duplicate boundaries (a heavy value spanning quantiles) are
+    * deduped, so buckets can be fewer than requested — exactly as many
+    * as the distribution distinguishes. */
+  def exactQuantileHistogram(docs: DataFrame, valueCol: String,
+                             quantilesPm: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
+    require(quantilesPm.nonEmpty && quantilesPm.forall(q => q > 0 && q < 1000),
+      s"quantiles are per-mille in (0, 1000): $quantilesPm")
+    val v = col(valueCol).cast(LongType)
+    val counts = docs.select(v.as("__v")).groupBy("__v")
+      .agg(count(lit(1)).as("__c"))
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"exactQuantileHistogram: NULL $valueCol")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val cum = counts.scanLeft(0L)(_ + _._2).tail
+    val bounds = quantilesPm.sorted.map { q =>
+      val target = (q.toLong * n + 999L) / 1000L
+      val i = cum.indexWhere(_ >= target)
+      counts(if (i < 0) counts.length - 1 else i)._1
+    }.distinct.map(_.toDouble + 0.5)
+    val cell =
+      if (n == 0 || bounds.isEmpty) lit(0L)
+      else graft.expr.native.NativeFns.searchSorted(v, bounds)
+    docs.select(v.as("__v"), cell.as("bucket"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-source distinct-n-gram profile via Datasketches HLL: exact
     * occurrence counts plus a mergeable sketch of the distinct n-gram
     * set, with its rounded estimate. At 100 TB the sketch IS the

@@ -646,6 +646,13 @@ object LlmQueries {
         shards = ShuffleShards)
         .orderBy(col("shard"), col("pos"))),
 
+    // Exact quartile histogram of document lengths: driver-walked
+    // integer boundaries + codegen'd binary-search bucketing — the
+    // exact, oracle-replayable counterpart of approxQuantile.
+    "llm_quantile_hist" -> ((s, dir) =>
+      CorpusStats.exactQuantileHistogram(t(s, dir, "documents"), "n_chars",
+        quantilesPm = Seq(250, 500, 750))),
+
     // Shard integrity manifest over the shuffled permutation: per
     // shard, rows + order-independent XOR checksum over (doc_id, pos)
     // — pins membership AND the permutation itself.
@@ -1551,6 +1558,20 @@ object LlmQueries {
          |SELECT doc_id, skey % $ShuffleShards AS shard,
          |  row_number() OVER (PARTITION BY (skey % $ShuffleShards) ORDER BY skey, doc_id) AS pos
          |FROM k ORDER BY shard, pos""".stripMargin,
+    "llm_quantile_hist" ->
+      s"""WITH vc AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*)::BIGINT AS c
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+         |cm AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vc),
+         |b AS (SELECT DISTINCT
+         |    (SELECT min(v) FROM cm WHERE cum >= (q * n + 999) // 1000) AS bv
+         |  FROM (VALUES (250), (500), (750)) qs(q), t),
+         |d AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+         |bk AS (SELECT v,
+         |    (SELECT count(*) FROM b WHERE bv < d.v)::BIGINT AS bucket FROM d)
+         |SELECT bucket, count(*)::BIGINT AS n_docs,
+         |  min(v) AS min_v, max(v) AS max_v
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "llm_shard_checksums" ->
       s"""WITH k AS (SELECT doc_id,
          |    ${duckHash(s"'r9:' || doc_id")} AS skey FROM documents),

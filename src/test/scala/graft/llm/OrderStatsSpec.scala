@@ -113,6 +113,23 @@ class OrderStatsSpec extends SparkSpec {
     assert(top === Seq(("a b", 3L, 2L), ("b a", 1L, 1L)))
   }
 
+  test("exactQuantileHistogram: exact boundaries; heavy value collapses duplicate bounds") {
+    // 1..100 uniform: quartile boundaries 25/50/75, four buckets of 25
+    val u = (1L to 100L).map(i => Tuple1(i)).toDF("v")
+    val uh = CorpusStats.exactQuantileHistogram(u, "v")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(uh == Seq((0L, 25L, 1L, 25L), (1L, 25L, 26L, 50L),
+      (2L, 25L, 51L, 75L), (3L, 25L, 76L, 100L)))
+    // 90% mass on one value: all three quartiles land on it -> one
+    // boundary after dedupe, two buckets (boundary value below)
+    val h = ((1L to 90L).map(_ => 5L) ++ (1L to 10L).map(_ => 100L))
+      .map(Tuple1(_)).toDF("v")
+    val hh = CorpusStats.exactQuantileHistogram(h, "v")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hh == Seq((0L, 90L, 5L, 5L), (1L, 10L, 100L, 100L)),
+      s"got $hh")
+  }
+
   test("lengthHistogram: integer buckets with count/sum/min/max") {
     val docs = Seq(48L, 150L, 199L, 200L).toDF("n_chars")
     val h = CorpusStats.lengthHistogram(docs, "n_chars", width = 100L)
