@@ -267,18 +267,56 @@ object Similarity {
     * candidates instead of everything — the IVF pruning structure. */
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, embCol: String,
               labelCol: String, k: Int): DataFrame = {
-    // the quantized corpus feeds both the centroid build and the fine
-    // search — cut the lineage once instead of re-reading + re-quantizing
-    // per branch (at cluster scale: a persisted index table)
+    val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
+    ivfTopKIndexed(cent, eq, queries, idCol, embCol, k)
+  }
+
+  /** Build the IVF index frames once: quantized assignments
+    * `(cid, label, eq)` and centroid sum-vectors `(label, pos, s, cnt)`
+    * — one row per (cluster, dimension), the cluster size riding along
+    * in the same aggregation (it is the row count at any one
+    * dimension), saving a separate groupBy + join. The assignments
+    * frame is checkpointed because it feeds both the centroid build
+    * and the fine search; persist it instead with [[persistIvfIndex]]
+    * and the build cost disappears from the serving path entirely. */
+  def buildIvfIndex(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String): (DataFrame, DataFrame) = {
     val eq = df.select(col(idCol).as("cid"), col(labelCol).as("label"),
       quantize(col(embCol)).as("eq")).localCheckpoint(false)
-    val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
-    // centroid sum-vectors, one row per (cluster, dimension); the
-    // cluster size rides along in the same aggregation (it is the row
-    // count at any one dimension), saving a separate groupBy + join
     val expl = eq.select(col("label"), posexplode(col("eq")).as(Seq("pos", "v")))
     val cent = expl.groupBy(col("label"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+    (cent, eq)
+  }
+
+  /** Write the IVF index as the SERVING layout: assignments
+    * partitioned BY CLUSTER — one directory per label, the partition-
+    * pruning unit — plus the (tiny) centroid table. A query batch
+    * against the persisted index then (a) trains nothing, (b) probes
+    * clusters via the broadcast centroid table, and (c) reads ONLY the
+    * probed clusters' files: the label equi-join against the pruned
+    * query→cluster frame drives Spark's dynamic partition pruning, so
+    * at 1000 executors the fine search touches ~|probed|/nlist of the
+    * corpus bytes instead of scanning everything. */
+  def persistIvfIndex(df: DataFrame, idCol: String, embCol: String,
+                      labelCol: String, path: String): Unit = {
+    val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
+    eq.write.mode("overwrite").partitionBy("label").parquet(s"$path/assignments")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index: (centroids, assignments). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assignments"))
+
+  /** ANN against a pre-built index — the serving path. Same math as
+    * [[ivfTopK]] (differential-spec'd equal); the index frames come
+    * from [[buildIvfIndex]] or [[readIvfIndex]]. */
+  def ivfTopKIndexed(cent: DataFrame, eq: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
     // assign each query to the cluster with max mean-dot; centroids are
     // nlist x dim rows — always broadcastable
     val qexpl = q.select(col("qid"), posexplode(col("qe")).as(Seq("pos", "qv")))

@@ -173,6 +173,23 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The IVF SERVING path: persist the index (assignments partitioned
+    // by cluster + centroid table), reload, and answer the same query
+    // batch from the index alone — no training in the plan, and the
+    // assignments scan partition-prunes to the probed clusters
+    // (dynamic partition pruning; plan-asserted in LlmSpec). Same
+    // oracle as llm_ann_ivf: the index changes WHERE the work happens,
+    // never the answer.
+    "llm_ann_ivf_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = sys.props("java.io.tmpdir") + "/graft_ivf_idx"
+      Similarity.persistIvfIndex(e, "vec_id", "embedding", "label", path)
+      val (cent, eq) = Similarity.readIvfIndex(s, path)
+      Similarity.ivfTopKIndexed(cent, eq, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "llm_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = EmbDedupThreshold)
@@ -915,6 +932,29 @@ object LlmQueries {
   private def qElem(tbl: String) =
     s"CAST(round(CAST($tbl[i] AS DOUBLE) * 1000) AS BIGINT)"
 
+  /** IVF ANN oracle, shared by llm_ann_ivf and llm_ann_ivf_indexed. */
+  private lazy val IvfOracleSql: String =
+    s"""WITH eq AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |cent AS (SELECT label, i AS pos, CAST(sum(eq[i]) AS BIGINT) AS s
+       |  FROM eq, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM eq GROUP BY label),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |best AS (SELECT qid, label FROM (
+       |  SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)) t WHERE rn = 1),
+       |scored AS (SELECT b.qid AS qid, b.label AS label, e.vec_id AS cid,
+       |  CAST((SELECT sum((q.qe)[i] * (e.eq)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+       |  FROM best b JOIN q ON q.qid = b.qid JOIN eq e ON e.label = b.label
+       |  WHERE e.vec_id <> b.qid)
+       |SELECT qid, label, cid, rank, dot FROM (
+       |  SELECT qid, label, cid, dot, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM scored) t
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
     .map(dirs => "[" + dirs.mkString(",") + "]")
 
@@ -1066,27 +1106,10 @@ object LlmQueries {
          |SELECT qid, cid, rank, dot FROM (
          |  SELECT qid, cid, dot, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank
          |  FROM s) t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-    "llm_ann_ivf" ->
-      s"""WITH eq AS (SELECT vec_id, label,
-         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
-         |cent AS (SELECT label, i AS pos, CAST(sum(eq[i]) AS BIGINT) AS s
-         |  FROM eq, range(1, 65) t(i) GROUP BY label, i),
-         |cnt AS (SELECT label, count(*) AS cnt FROM eq GROUP BY label),
-         |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
-         |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
-         |  FROM q, cent GROUP BY qid, cent.label),
-         |best AS (SELECT qid, label FROM (
-         |  SELECT qid, label, row_number() OVER (
-         |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
-         |  FROM assign JOIN cnt USING (label)) t WHERE rn = 1),
-         |scored AS (SELECT b.qid AS qid, b.label AS label, e.vec_id AS cid,
-         |  CAST((SELECT sum((q.qe)[i] * (e.eq)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
-         |  FROM best b JOIN q ON q.qid = b.qid JOIN eq e ON e.label = b.label
-         |  WHERE e.vec_id <> b.qid)
-         |SELECT qid, label, cid, rank, dot FROM (
-         |  SELECT qid, label, cid, dot, row_number() OVER (
-         |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM scored) t
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // identical SQL for the inline and indexed paths: the index changes
+    // where the work happens, never the answer
+    "llm_ann_ivf_indexed" -> IvfOracleSql,
+    "llm_ann_ivf" -> IvfOracleSql,
     "llm_dedup_embedding" ->
       s"""WITH $embPairsCtes
          |SELECT a, b, cosine FROM escored ORDER BY a, b""".stripMargin,

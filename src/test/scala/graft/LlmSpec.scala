@@ -410,4 +410,29 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) == Set(2L, 3L), "query 1 searches its own cluster")
     assert(out(10L) == Set(11L, 12L), "query 10 searches its own cluster")
   }
+
+  test("persisted IVF index: serving path equals inline build; scan prunes by dynamic partition") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 8).flatMap { c =>
+      (0 until 25).map(i => (c * 100L + i, vec(c.toFloat - 4), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queries = df.filter(col("vec_id") % 100 === 0 && col("vec_id") < 300)
+    val inline = Similarity.ivfTopK(df, queries, "vec_id", "embedding", "label", k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Similarity.persistIvfIndex(df, "vec_id", "embedding", "label", path)
+    val (cent, eq) = Similarity.readIvfIndex(spark, path)
+    val served = Similarity.ivfTopKIndexed(cent, eq, queries, "vec_id", "embedding", k = 3)
+    assert(served.orderBy("qid", "rank").collect().toSeq == inline,
+      "serving path must equal the inline build")
+
+    // the assignments scan must carry a dynamic-pruning partition
+    // filter on label — the probed-clusters-only read at scale
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the assignments scan:\n$plan")
+  }
 }
