@@ -431,6 +431,28 @@ object Curate {
       .drop("__src")
   }
 
+  /** Per-group document cap — the per-domain/per-source ceiling every
+    * crawl pipeline applies so no single host dominates the corpus.
+    * Keeps at most `cap` docs per group, chosen by the salted-hash
+    * order (a fair deterministic lottery; pass a quality column as
+    * `orderBy` to keep the best instead). One hash exchange on the
+    * group key, and the rank filter is `row_number <= cap`, which
+    * Spark executes with a map-side WindowGroupLimit — each upstream
+    * partition forwards at most `cap` rows per group before the
+    * shuffle, so a hot domain costs cap×partitions rows in flight,
+    * never its full population. */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                  cap: Int, salt: String = "cap:",
+                  orderBy: Option[Column] = None): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val ord = orderBy.map(c => Seq(c, col(idCol))).getOrElse(
+      Seq(Text.md5Hash(concat(lit(salt), col(idCol).cast("string"))), col(idCol)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Contamination audit, from the BENCHMARK's point of view: for each
     * held-out item, how many of its distinct shingle hashes appear
     * anywhere in the training corpus (the report evaluators need —

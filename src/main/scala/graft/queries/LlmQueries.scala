@@ -357,6 +357,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source cap: at most 7 docs per source by the salted-hash
+    // lottery — the per-domain ceiling; WindowGroupLimit partial runs
+    // map-side before the exchange.
+    "llm_cap_per_source" -> ((s, dir) =>
+      Curate.capPerGroup(t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", cap = 7)
+        .orderBy(col("doc_id"))),
+
     // Temperature mixture (alpha = 0.5): budget share per source
     // ∝ sqrt(total tokens) — exact-integer weights (isqrt + BigInt),
     // so the per-mille rates replay exactly in the oracle. Both arms
@@ -1202,6 +1210,13 @@ object LlmQueries {
          |SELECT doc_id, source FROM aug
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+    "llm_cap_per_source" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${duckHash("'cap:' || doc_id")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 7 ORDER BY doc_id""".stripMargin,
     "llm_temperature_mix" ->
       s"""WITH tok AS (SELECT doc_id, source,
          |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens

@@ -364,6 +364,23 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("capPerGroup: cap enforced, quality order keeps best, map-side WindowGroupLimit") {
+    val docs = (1L to 100L).map(i => (i, s"g${i % 3}", i)).toDF("doc_id", "g", "q")
+    val capped = Curate.capPerGroup(docs, "g", "doc_id", cap = 5)
+    val sizes = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 5) && sizes.size == 3)
+    // quality order: top-5 q per group are kept
+    val best = Curate.capPerGroup(docs, "g", "doc_id", cap = 5,
+        orderBy = Some(col("q").desc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == (1L to 100L).sortBy(-_).groupBy(_ % 3).values.flatMap(_.take(5)).toSet)
+    // the scale property: a partial WindowGroupLimit above the scan,
+    // below the exchange — hot groups forward at most cap rows per task
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial WindowGroupLimit:\n$plan")
+  }
+
   test("contaminationReport: exact per-mille, zero-hit items reported at 0") {
     val bench = Seq((1L, "h1"), (1L, "h2"), (1L, "h3"), (2L, "x1"), (2L, "x2"))
       .toDF("doc_id", "h")
