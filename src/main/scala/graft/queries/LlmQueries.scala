@@ -357,6 +357,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END curation chain — the composition proof: quality gate
+    // (>= 20 words) -> near-dup keep-one over the survivors ->
+    // per-source cap 15 -> temperature mix to a 12k-token budget. One
+    // oracle replays the whole chain, so the operators are shown to
+    // compose, not just to work in isolation.
+    "llm_e2e_curate" -> ((s, dir) => {
+      val q = t(s, dir, "documents")
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
+        .filter(col("tokens") >= 21)
+      val pairs = Dedup.minHashLshPairs(q, "doc_id", "text", threshold = 0.5)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      val kept = Dedup.keepOnePerCluster(
+        q.select("doc_id", "source", "tokens"), "doc_id", comp)
+      val capped = Curate.capPerGroup(kept, "source", "doc_id", cap = 15)
+      Curate.temperatureMix(capped, "source", "tokens", "doc_id",
+          budgetTokens = 12000L)
+        .groupBy(col("source"), col("rate_pm"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tokens")).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Per-source cap: at most 7 docs per source by the salted-hash
     // lottery — the per-domain ceiling; WindowGroupLimit partial runs
     // map-side before the exchange.
@@ -852,13 +874,15 @@ object LlmQueries {
   private def duckHash(v: String) =
     s"(('0x' || substr(md5($v), 1, 15))::BIGINT % $P)"
 
-  private val shingleCte =
+  private def shingleCteFor(docWhere: String): String =
     s"""pre AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
        |    s -> ${duckHash("s")})) AS hs
-       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents) t0
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+       |        FROM documents WHERE $docWhere) t0
        |  WHERE len(w) >= 3)""".stripMargin
+  private val shingleCte = shingleCteFor("TRUE")
 
   private val minhashExprs = Dedup.Seeds.map { case (a, b) =>
     s"list_min(list_transform(hs, h -> ($a * h + $b) % $P))"
@@ -916,8 +940,9 @@ object LlmQueries {
     * llm_dedup_components and llm_dedup_keep_one oracles so the cap,
     * banding and threshold can't drift apart. `cap` mirrors
     * minHashLshPairs' maxBucket. */
-  private def pairsCtes(cap: Int = Dedup.DefaultMaxBucket): String =
-    s"""$shingleCte,
+  private def pairsCtes(cap: Int = Dedup.DefaultMaxBucket,
+                        docWhere: String = "TRUE"): String =
+    s"""${shingleCteFor(docWhere)},
        |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
        |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
        |bands AS (SELECT doc_id, band FROM (
@@ -1210,6 +1235,47 @@ object LlmQueries {
          |SELECT doc_id, source FROM aug
          |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+    "llm_e2e_curate" -> {
+      val qualityWhere =
+        "COALESCE(len(string_split_regex(text, '\\s+')), 0) + 1 >= 21"
+      s"""WITH RECURSIVE ${pairsCtes(docWhere = qualityWhere)},
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node),
+         |q AS (SELECT doc_id, source,
+         |    COALESCE(len(string_split_regex(text, '\\s+')), 0)::BIGINT + 1 AS tokens
+         |  FROM documents WHERE $qualityWhere),
+         |kept AS (SELECT * FROM q
+         |  WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> label)),
+         |capped AS (SELECT doc_id, source, tokens FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${duckHash("'cap:' || doc_id")}, doc_id) AS rn FROM kept) t
+         |  WHERE rn <= 15),
+         |st AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS t
+         |  FROM capped GROUP BY source),
+         |wt AS (SELECT source, t,
+         |    CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS w FROM st),
+         |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM wt),
+         |al AS (SELECT source, t,
+         |    CASE WHEN sw = 0 OR t = 0 THEN 0
+         |         ELSE least(CAST(t AS HUGEINT), (12000 * CAST(w AS HUGEINT)) // sw)
+         |    END AS alloc
+         |  FROM wt, tot),
+         |rates AS (SELECT source, t,
+         |    greatest(least(1000, (alloc * 1000) // greatest(t, 1)),
+         |      CASE WHEN alloc > 0 THEN 1 ELSE 0 END) AS rate_pm
+         |  FROM al),
+         |fin AS (SELECT capped.source, r.rate_pm, capped.tokens FROM capped
+         |  JOIN rates r ON capped.source = r.source
+         |  WHERE ${duckHash("('tmix:' || doc_id)")} % 1000 < r.rate_pm)
+         |SELECT source, CAST(rate_pm AS BIGINT) AS rate_pm,
+         |  count(*)::BIGINT AS n_kept, CAST(sum(tokens) AS BIGINT) AS kept_tokens
+         |FROM fin GROUP BY source, rate_pm ORDER BY source""".stripMargin
+    },
     "llm_cap_per_source" ->
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source, row_number() OVER (
