@@ -6,14 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed partition-parallel.
   *
-  * The container has no codec libraries, so the decode kernels are
-  * STUBBED with a clearly-marked deterministic fake
-  * (`StubDecoder`) — the Spark-side plumbing (schema, batching,
-  * partition parallelism, metadata extraction) is real and tested. In
-  * production, swap the Decoder for one backed by an actual codec; the
-  * plan shape is unchanged. At 100 TB the decode runs inside
-  * mapPartitions on the scan stage: no shuffle, no driver involvement,
-  * one decoder instance per partition (not per row). */
+  * Decode kernels, by honesty class:
+  *  - IMAGE decode/resize is REAL ([[ImageIoDecoder]]) — the JDK ships
+  *    PNG/JPEG/GIF/BMP codecs in `javax.imageio` (headless-safe, zero
+  *    external dependencies), so features, frame counts (animated GIF
+  *    included) and resizes operate on actual pixels.
+  *  - WAV (PCM) audio decode is REAL ([[WavDecoder]]) via
+  *    `javax.sound.sampled`: real frame counts and amplitude features.
+  *    Resampling is NOT in the JDK, so WavDecoder.resize refuses
+  *    loudly rather than faking it.
+  *  - Compressed audio (mp3) and video have no JDK codecs and no libs
+  *    in this container — [[StubDecoder]] remains for those, clearly
+  *    marked, deterministic for tests.
+  * The Spark-side plumbing (schema, batching, partition parallelism,
+  * metadata extraction) is identical for all three; swapping the
+  * kernel never changes the plan shape. At 100 TB the decode runs
+  * inside mapPartitions on the scan stage: no shuffle, no driver
+  * involvement, one decoder instance per partition (not per row). */
 object Multimodal {
 
   /** Typed metadata row for a media asset. */
@@ -58,9 +67,11 @@ object Multimodal {
     def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
-  /** STUB: deterministic fake decoder (no codec libs in this
-    * container). Features are derived from the content's md5 so tests
-    * are reproducible; a real deployment replaces only this object. */
+  /** STUB: deterministic fake decoder for the modalities the JDK has
+    * no codec for (compressed audio, video) — images use the REAL
+    * [[ImageIoDecoder]] and PCM WAV the REAL [[WavDecoder]]. Features
+    * are derived from the content's md5 so tests are reproducible; a
+    * real deployment replaces only this object. */
   object StubDecoder extends Decoder {
     private def digest(bytes: Array[Byte]): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -75,6 +86,118 @@ object Multimodal {
       val h = digest(bytes)
       Array.tabulate(width * height)(i => h(i % h.length))
     }
+  }
+
+  /** REAL image decode via the JDK's own codecs (`javax.imageio`:
+    * PNG/JPEG/GIF/BMP; headless-safe). Corrupt or non-image bytes
+    * yield empty features / frame count 0 — at corpus scale a bad
+    * asset must be a skippable row, never a task failure.
+    *
+    * Features (8 floats): width, height, bands, aspect, mean R/G/B,
+    * mean luma — exact integer pixel sums divided once, so a given
+    * asset always produces the same vector. */
+  object ImageIoDecoder extends Decoder {
+    private def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def decode(bytes: Array[Byte]): Array[Float] = read(bytes) match {
+      case None => Array.empty
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Array(w.toFloat, h.toFloat, img.getRaster.getNumBands.toFloat,
+          w.toFloat / h, (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+          (sb.toDouble / n).toFloat,
+          ((sr * 299L + sg * 587L + sb * 114L).toDouble / (n * 1000L)).toFloat)
+    }
+
+    /** Real frame count — multi-frame formats (animated GIF) report
+      * every frame, stills report 1, undecodable bytes 0. */
+    def frameCount(bytes: Array[Byte]): Int = {
+      val iis = try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+      if (iis == null) return 0
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) 0
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); r.getNumImages(true) } finally r.dispose()
+        }
+      } catch { case _: Exception => 0 } finally iis.close()
+    }
+
+    /** Real resize: draw scaled into a fresh RGB raster, re-encode as
+      * PNG. Undecodable input yields empty bytes (skippable row). */
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
+      read(bytes) match {
+        case None => Array.empty
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, width, height, null) finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+      }
+  }
+
+  /** REAL PCM WAV decode via `javax.sound.sampled` (in the JDK).
+    * Features (6 floats): channels, sample rate, bits/sample, frame
+    * count, mean |amplitude| and RMS over 16-bit samples — exact
+    * integer accumulation. The JDK has no resampler, so [[resize]]
+    * refuses rather than faking a resample; compressed audio (mp3)
+    * stays with [[StubDecoder]]. */
+  object WavDecoder extends Decoder {
+    private def stream(bytes: Array[Byte]) =
+      try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def decode(bytes: Array[Byte]): Array[Float] = stream(bytes) match {
+      case None => Array.empty
+      case Some(s) => try {
+        val f = s.getFormat
+        val data = s.readAllBytes()
+        var (sumAbs, sumSq, n) = (0L, 0L, 0L)
+        if (f.getSampleSizeInBits == 16) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val v: Int =
+              if (f.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+              else (data(i + 1) << 8) | (data(i) & 0xff)
+            sumAbs += math.abs(v); sumSq += v.toLong * v; n += 1
+            i += 2
+          }
+        }
+        Array(f.getChannels.toFloat, f.getSampleRate,
+          f.getSampleSizeInBits.toFloat, s.getFrameLength.toFloat,
+          if (n == 0) 0f else (sumAbs.toDouble / n).toFloat,
+          if (n == 0) 0f else math.sqrt(sumSq.toDouble / n).toFloat)
+      } finally s.close()
+    }
+
+    def frameCount(bytes: Array[Byte]): Int = stream(bytes) match {
+      case None => 0
+      case Some(s) => try s.getFrameLength.toInt finally s.close()
+    }
+
+    def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
+      throw new UnsupportedOperationException(
+        "JDK javax.sound has no resampler — route audio resize to an external kernel")
   }
 
   case class ResizedMedia(id: Long, width: Int, height: Int, content: Array[Byte])

@@ -275,6 +275,82 @@ class LlmSpec extends SparkSpec {
       case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("multimodal: REAL image decode/resize via JDK ImageIO on generated PNGs") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(20, 10, 0xFF0000)
+    val gray = png(6, 6, 0x808080)
+    val df = Seq((1L, red), (2L, gray), (3L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "content")
+    // the generated bytes really sniff as PNG
+    val mimes = Multimodal.withMediaMeta(df, "content")
+      .select("id", "mime").as[(Long, String)].collect().toMap
+    assert(mimes(1L) == "image/png" && mimes(3L) == "application/octet-stream")
+    // real pixel features: dims, aspect, channel means
+    val f = Multimodal.extractFeatures(spark, df, "id", "content",
+      Multimodal.ImageIoDecoder).collect().map(m => m.id -> m).toMap
+    assert(f(1L).features.take(4).toSeq == Seq(20f, 10f, 3f, 2f))
+    assert(f(1L).features(4) == 255f && f(1L).features(5) == 0f && f(1L).features(6) == 0f)
+    assert(f(2L).features(4) == 0x80.toFloat && f(2L).features(7) == 0x80.toFloat)
+    assert(f(1L).nFrames == 1)
+    assert(f(3L).features.isEmpty && f(3L).nFrames == 0, "corrupt bytes skip, not crash")
+    // real resize: output decodes to the requested dimensions and
+    // preserves the solid color
+    val rz = Multimodal.resizeAll(spark, df.filter(col("id") === 1), "id",
+      "content", 5, 4, Multimodal.ImageIoDecoder).collect().head
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rz.content))
+    assert(back.getWidth == 5 && back.getHeight == 4)
+    assert((back.getRGB(2, 2) & 0xFFFFFF) == 0xFF0000)
+    // animated GIF: REAL multi-frame count
+    val gifBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      for (c <- Seq(0xFF0000, 0x00FF00, 0x0000FF)) {
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, c)
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      wr.endWriteSequence(); ios.close(); wr.dispose()
+      bos.toByteArray
+    }
+    assert(Multimodal.ImageIoDecoder.frameCount(gifBytes) == 3)
+  }
+
+  test("multimodal: REAL WAV decode via javax.sound; resample refuses honestly") {
+    // 100 frames of mono 16-bit PCM at 8 kHz, constant amplitude 1000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](200)
+    for (i <- 0 until 100) { pcm(2 * i) = (1000 & 0xff).toByte; pcm(2 * i + 1) = (1000 >> 8).toByte }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 100),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val df = Seq((1L, wav)).toDF("id", "content")
+    assert(Multimodal.withMediaMeta(df, "content")
+      .select("mime").as[String].head() == "audio/wav")
+    val f = Multimodal.extractFeatures(spark, df, "id", "content",
+      Multimodal.WavDecoder).collect().head
+    assert(f.features.toSeq == Seq(1f, 8000f, 16f, 100f, 1000f, 1000f),
+      s"got ${f.features.toSeq}")
+    assert(f.nFrames == 100)
+    assert(Multimodal.WavDecoder.decode("junk".getBytes).isEmpty)
+    intercept[UnsupportedOperationException] {
+      Multimodal.WavDecoder.resize(wav, 1, 1)
+    }
+  }
+
   test("cosineNearDupPairs: bucketed pairs cross the threshold only when close") {
     val e = Seq(
       (0L, Array.fill(64)(0.3f)), (1L, Array.fill(64)(0.31f)),
