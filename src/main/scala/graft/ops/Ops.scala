@@ -405,6 +405,35 @@ object Ops {
       .drop("__bin")
   }
 
+  /** Preference-pair extraction — RLHF-style training pairs from a
+    * feedback log: per key, the highest-scored item is `chosen`, the
+    * lowest `rejected`, with the score margin. Ties break by item id
+    * (deterministic on any engine); keys whose extremes coincide or
+    * whose margin is zero produce NO pair (a preference needs a
+    * strict ordering). One hash exchange on the key and two window
+    * ranks that share it — the whole log crosses the cluster once.
+    * At 100 TB the key is (user, context) and the log is the event
+    * stream; the output feeds a reward-model trainer directly. */
+  def preferencePairs(df: DataFrame, keyCol: String, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val wBest = Window.partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wWorst = Window.partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).asc, col(idCol))
+    df.select(col(keyCol), col(idCol), col(scoreCol))
+      .withColumn("__rb", row_number().over(wBest))
+      .withColumn("__rw", row_number().over(wWorst))
+      .groupBy(col(keyCol)).agg(
+        max(when(col("__rb") === 1, col(idCol))).as("chosen"),
+        max(when(col("__rb") === 1, col(scoreCol))).as("chosen_score"),
+        max(when(col("__rw") === 1, col(idCol))).as("rejected"),
+        max(when(col("__rw") === 1, col(scoreCol))).as("rejected_score"))
+      .filter(col("chosen") =!= col("rejected") &&
+        col("chosen_score") > col("rejected_score"))
+      .select(col(keyCol), col("chosen"), col("rejected"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
   /** A8 — deterministic summary statistics (sql_extraction.py:574's
     * `describe()`): count/min/max/mean/std from exact decimal sums so
     * results don't depend on partitioning (see Exprs.dsum). `scale`

@@ -614,6 +614,13 @@ object CoreQueries {
         .orderBy(col("band"))
     }),
 
+    // X7 — preference pairs from the event log (RLHF data prep):
+    // per user, highest-value event vs lowest, ties by event_id,
+    // zero-margin users dropped.
+    "x7_preference_pairs" -> ((s, dir) =>
+      Ops.preferencePairs(t(s, dir, "events"), "user_id", "event_id", "value")
+        .orderBy(col("user_id"))),
+
     // K9 — Z-order clustering keys (io.ZOrder): the 2-D and 3-D Morton
     // interleaves behind writeZOrdered, checked value-for-value — pure
     // 64-bit integer bit math, so DuckDB replays it exactly. The layout
@@ -1015,6 +1022,20 @@ object CoreQueries {
         |    ('lux', 990.0, 1000.0), ('all_span', 900.0, 1000.0)) bands(band, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "x7_preference_pairs" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rb,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id) AS rw
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    max(CASE WHEN rb = 1 THEN event_id END) AS chosen,
+        |    max(CASE WHEN rb = 1 THEN value END) AS chosen_score,
+        |    max(CASE WHEN rw = 1 THEN event_id END) AS rejected,
+        |    max(CASE WHEN rw = 1 THEN value END) AS rejected_score
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, chosen, rejected, chosen_score - rejected_score AS margin
+        |FROM p WHERE chosen <> rejected AND chosen_score > rejected_score
+        |ORDER BY user_id""".stripMargin,
     "k9_zorder_keys" -> {
       val z2 = s"(${duckSpread1("(user_id % 1048576)")} | " +
         s"(${duckSpread1("(event_id % 1048576)")} << 1))"

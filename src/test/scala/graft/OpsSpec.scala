@@ -276,4 +276,16 @@ class OpsSpec extends SparkSpec {
       Ops.saltedJoin(df, df, "k", shardBy = "id", joinType = "full_outer")
     }
   }
+
+  test("preferencePairs: extremes with margin; ties and singletons drop") {
+    val log = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 1.0), (1L, 12L, 3.0), // normal pair
+      (2L, 20L, 2.0),                                  // single event: no pair
+      (3L, 30L, 4.0), (3L, 31L, 4.0),                  // zero margin: no pair
+      (4L, 40L, 7.0), (4L, 41L, 7.0), (4L, 42L, 2.0))  // tie on best: low id wins
+      .toDF("user_id", "event_id", "value")
+    val out = Ops.preferencePairs(log, "user_id", "event_id", "value")
+      .orderBy("user_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 10L, 11L, 4.0), (4L, 40L, 42L, 5.0)), s"got $out")
+  }
 }
