@@ -312,4 +312,62 @@ class PropertySpec extends SparkSpec {
       assert(got == naive, s"budget=$budget: got ${got.size}, want ${naive.size}")
     }
   }
+
+  test("property: Morton z2/z3 round-trip — de-interleaving recovers both inputs") {
+    def unspread1(z: Long): Long =
+      (0 until 32).foldLeft(0L)((a, i) => a | (((z >> (2 * i)) & 1L) << i))
+    def unspread2(z: Long): Long =
+      (0 until 21).foldLeft(0L)((a, i) => a | (((z >> (3 * i)) & 1L) << i))
+    val pairs = sample(Gen.listOfN(300,
+      Gen.zip(Gen.choose(0L, (1L << 31) - 1), Gen.choose(0L, (1L << 31) - 1))))
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.io.ZOrder.zvalue2(col("a"), col("b")).as("z2"),
+        graft.io.ZOrder.zvalue3(col("a") % (1L << 21), col("b") % (1L << 21),
+          (col("a") + col("b")) % (1L << 21)).as("z3"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b, z2, z3) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(unspread1(z2) == a && unspread1(z2 >> 1) == b,
+        s"z2 not bijective at ($a, $b)")
+      assert(unspread2(z3) == a % (1L << 21) && unspread2(z3 >> 1) == b % (1L << 21)
+        && unspread2(z3 >> 2) == (a + b) % (1L << 21), s"z3 not bijective at ($a, $b)")
+    }
+  }
+
+  test("property: SearchSortedDouble == count(bounds <= v) for random bounds") {
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.choose(-1e6, 1e6)).map(_.distinct.sorted),
+      Gen.listOfN(200, Gen.choose(-2e6, 2e6)))
+    val (bounds, vs) = gen.pureApply(Gen.Parameters.default, Seed(7L))
+    val rows = vs.toDF("v")
+      .select(col("v"),
+        graft.expr.native.NativeFns.searchSorted(col("v"), bounds).as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == bounds.count(_ <= r.getDouble(0)).toLong,
+        s"searchSorted wrong at v=${r.getDouble(0)}")
+    }
+  }
+
+  test("property: quantizeInt8 round-trip error <= half a quantization step") {
+    val vecs = sample(Gen.listOfN(120,
+      Gen.listOfN(12, Gen.choose(-1e4f, 1e4f)).map(_.toArray)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val rows = graft.llm.Similarity.quantizeInt8Frame(
+        vecs.toDF("id", "v"), "id", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Byte](1), r.getDouble(2)))).toMap
+    vecs.foreach { case (id, v) =>
+      val (q8, amax) = rows(id)
+      if (amax == 0.0) assert(q8.forall(_ == 0))
+      else {
+        val step = amax / 127.0
+        v.zip(q8).foreach { case (x, b) =>
+          assert(math.abs(x.toDouble - b * step) <= step / 2 + 1e-9,
+            s"vec $id: $x -> $b at amax $amax")
+        }
+      }
+    }
+  }
 }
