@@ -639,6 +639,25 @@ object Curate {
       .drop("__cc_label")
   }
 
+  /** Cluster-atomic K folds — [[leakFreeSplit]] generalized to
+    * cross-validation: every document gets `fold = hash(cluster) % k`,
+    * so a near-dup cluster lands in ONE fold and no fold ever holds a
+    * near-duplicate of another fold's document. Same execution shape:
+    * one equi-join against the (small) components frame plus a
+    * map-side hash projection. */
+  def leakFreeFolds(docs: DataFrame, components: DataFrame, idCol: String,
+                    k: Int, salt: String = "fold:"): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    require(!docs.columns.exists(Set("__cc_label", "fold")),
+      "leakFreeFolds reserves the __cc_label and fold column names")
+    val comp = components.select(col("node").as(idCol), col("label").as("__cc_label"))
+    val lbl = coalesce(col("__cc_label"), col(idCol))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("fold",
+        (Text.md5Hash(concat(lit(salt), lbl.cast("string"))) % k).cast(LongType))
+      .drop("__cc_label")
+  }
+
   /** Sliding-window chunking: each document becomes ceil-many chunks of
     * `chunkWords` words advancing by `strideWords` (trailing context
     * overlap = chunkWords - strideWords), the standard long-document

@@ -462,6 +462,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cluster-atomic 5-fold assignment (cross-validation form of the
+    // leak-free split): near-dup clusters land whole in one fold.
+    "llm_leakfree_folds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      Curate.leakFreeFolds(docs.select("doc_id"), comp, "doc_id", k = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end corpus dedup: the doc ids that survive near-dup
     // clustering — every doc except non-representative cluster members
     "llm_dedup_keep_one" -> ((s, dir) => {
@@ -1388,6 +1398,19 @@ object LlmQueries {
          |SELECT d.doc_id,
          |  CASE WHEN ${duckHash("('split:' || COALESCE(comp.label, d.doc_id))")} % 1000 < 900
          |    THEN 'train' ELSE 'val' END AS split
+         |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+         |ORDER BY doc_id""".stripMargin,
+    "llm_leakfree_folds" ->
+      s"""WITH RECURSIVE ${pairsCtes()},
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  (${duckHash("('fold:' || COALESCE(comp.label, d.doc_id))")} % 5)::BIGINT AS fold
          |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
          |ORDER BY doc_id""".stripMargin,
     "llm_dedup_keep_one" ->

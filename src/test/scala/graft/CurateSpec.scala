@@ -364,6 +364,25 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("leakFreeFolds: cluster-atomic K folds, all folds populated, k<2 refused") {
+    val sentence = "the quick brown fox jumps over the lazy dog again and again"
+    val all = (1L to 60L).map { i =>
+      if (i <= 20L) (i, sentence + " v" + ((i - 1) / 2))
+      else (i, s"unique doc number $i with its own words")
+    }.toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup.minHashLshPairs(all, "doc_id", "text", threshold = 0.5)
+    val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b")
+    val folds = Curate.leakFreeFolds(all.select("doc_id"), comp, "doc_id", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.size == 60 && folds.values.forall(f => f >= 0 && f < 4))
+    for (k <- 1L to 10L)
+      assert(folds(2 * k - 1) == folds(2 * k), s"cluster $k folded apart")
+    assert(folds.values.toSet.size == 4, "50 clusters must populate all 4 folds")
+    intercept[IllegalArgumentException] {
+      Curate.leakFreeFolds(all.select("doc_id"), comp, "doc_id", k = 1)
+    }
+  }
+
   test("capPerGroup: cap enforced, quality order keeps best, map-side WindowGroupLimit") {
     val docs = (1L to 100L).map(i => (i, s"g${i % 3}", i)).toDF("doc_id", "g", "q")
     val capped = Curate.capPerGroup(docs, "g", "doc_id", cap = 5)
