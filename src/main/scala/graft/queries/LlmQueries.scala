@@ -561,6 +561,21 @@ object LlmQueries {
     "llm_pack_sequences" -> ((s, dir) =>
       Curate.packSequences(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
+    // Packing utilization report — the fill metric trainers watch:
+    // per shard, pack count, straddling docs, and total tokens vs
+    // window capacity in exact integer per-mille. Derived entirely
+    // from the packSequences frame (last window cut by ceil division).
+    "llm_pack_stats" -> ((s, dir) => {
+      val p = Curate.packSequences(t(s, dir, "documents"))
+      p.groupBy(col("shard")).agg(
+          (max(col("pack_last")) + lit(1L)).as("n_packs"),
+          count(lit(1)).as("n_docs"),
+          sum((col("pack_first") =!= col("pack_last")).cast("long")).as("n_straddlers"),
+          sum(col("tokens")).as("tokens"))
+        .withColumn("fill_pm", expr("tokens * 1000 div (n_packs * 512)"))
+        .orderBy(col("shard"))
+    }),
+
     // Importance-weighted Bernoulli sampling (length-proportional
     // here): keep-probability = min(1, n_chars/1000), decided by a
     // pure key hash. kept_permille (an exact integer sum of the
@@ -1526,6 +1541,24 @@ object LlmQueries {
          |  CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS pack_first,
          |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_last
          |FROM c ORDER BY doc_id""".stripMargin,
+    "llm_pack_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
+         |    ${duckHash("('pack:' || doc_id)")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, tokens,
+         |    sum(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+         |p AS (SELECT doc_id, shard, tokens,
+         |    CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS pack_first,
+         |    CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_last FROM c)
+         |SELECT shard, max(pack_last) + 1 AS n_packs, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(CASE WHEN pack_first <> pack_last THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_straddlers,
+         |  CAST(sum(tokens) AS BIGINT) AS tokens,
+         |  (CAST(sum(tokens) AS BIGINT) * 1000) // ((max(pack_last) + 1) * 512) AS fill_pm
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "llm_importance_sample" ->
       s"""SELECT source, count(*)::BIGINT AS n_kept,
          |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
