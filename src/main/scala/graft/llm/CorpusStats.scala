@@ -76,30 +76,62 @@ object CorpusStats {
     * as the distribution distinguishes. */
   def exactQuantileHistogram(docs: DataFrame, valueCol: String,
                              quantilesPm: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
-    require(quantilesPm.nonEmpty && quantilesPm.forall(q => q > 0 && q < 1000),
-      s"quantiles are per-mille in (0, 1000): $quantilesPm")
     val v = col(valueCol).cast(LongType)
-    val counts = docs.select(v.as("__v")).groupBy("__v")
-      .agg(count(lit(1)).as("__c"))
-      .collect().map { r =>
-        require(!r.isNullAt(0), s"exactQuantileHistogram: NULL $valueCol")
-        (r.getLong(0), r.getLong(1))
-      }.sortBy(_._1)
-    val n = counts.map(_._2).sum
-    val cum = counts.scanLeft(0L)(_ + _._2).tail
-    val bounds = quantilesPm.sorted.map { q =>
-      val target = (q.toLong * n + 999L) / 1000L
-      val i = cum.indexWhere(_ >= target)
-      counts(if (i < 0) counts.length - 1 else i)._1
-    }.distinct.map(_.toDouble + 0.5)
+    val bounds = exactPmBoundaries(docs, valueCol, quantilesPm)
+      .distinct.map(_.toDouble + 0.5)
     val cell =
-      if (n == 0 || bounds.isEmpty) lit(0L)
+      if (bounds.isEmpty) lit(0L)
       else graft.expr.native.NativeFns.searchSorted(v, bounds)
     docs.select(v.as("__v"), cell.as("bucket"))
       .groupBy("bucket").agg(
         count(lit(1)).as("n_docs"),
         min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
       .orderBy(col("bucket"))
+  }
+
+  /** Exact per-mille boundary values for an integer column: the
+    * counts-collect + cumulative walk shared by the histogram and
+    * [[winsorize]]. boundary(q) = smallest v with cum(v) >= ceil(q/1000
+    * * N) — the classic discrete quantile, pure integer arithmetic.
+    * Returned in quantile order, duplicates NOT removed (callers
+    * decide). Empty input → empty. */
+  private[llm] def exactPmBoundaries(docs: DataFrame, valueCol: String,
+                                     quantilesPm: Seq[Int]): Seq[Long] = {
+    require(quantilesPm.nonEmpty && quantilesPm.forall(q => q > 0 && q < 1000),
+      s"quantiles are per-mille in (0, 1000): $quantilesPm")
+    val v = col(valueCol).cast(LongType)
+    val counts = docs.select(v.as("__v")).groupBy("__v")
+      .agg(count(lit(1)).as("__c"))
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"exact quantiles: NULL $valueCol")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    if (counts.isEmpty) return Seq.empty
+    val n = counts.map(_._2).sum
+    val cum = counts.scanLeft(0L)(_ + _._2).tail
+    quantilesPm.sorted.map { q =>
+      val target = (q.toLong * n + 999L) / 1000L
+      val i = cum.indexWhere(_ >= target)
+      counts(if (i < 0) counts.length - 1 else i)._1
+    }
+  }
+
+  /** Winsorization at exact quantiles: clip an integer column to its
+    * [loPm, hiPm] per-mille boundary VALUES — the standard outlier
+    * treatment before scoring/mixing (a 10M-char document otherwise
+    * dominates any length-weighted decision). Boundaries come from the
+    * same exact driver walk as the histogram (no global sort); the
+    * clip itself is a codegen'd least/greatest — map-side, no
+    * exchange. Adds `<valueCol>_w` alongside the original. */
+  def winsorize(docs: DataFrame, valueCol: String,
+                loPm: Int = 10, hiPm: Int = 990): DataFrame = {
+    require(loPm < hiPm, s"need loPm < hiPm, got $loPm >= $hiPm")
+    val bs = exactPmBoundaries(docs, valueCol, Seq(loPm, hiPm))
+    val v = col(valueCol).cast(LongType)
+    val clipped =
+      if (bs.isEmpty) v
+      else least(greatest(v, lit(bs.head)), lit(bs.last))
+    docs.withColumn(s"${valueCol}_w", clipped)
   }
 
   /** Per-source distinct-n-gram profile via Datasketches HLL: exact

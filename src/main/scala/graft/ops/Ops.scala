@@ -434,6 +434,27 @@ object Ops {
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
 
+  /** Per-group describe — [[summaryStats]] with a GROUP BY: the
+    * per-source/per-type profile every pipeline report wants. Same
+    * exact-decimal-sum discipline, so values are partitioning-
+    * independent and replay bit-identically in any engine; one
+    * partial+final aggregation, group count never matters. */
+  def groupedSummaryStats(df: DataFrame, groupCol: String, c: String,
+                          scale: Int = 2): DataFrame = {
+    val x = col(c)
+    df.groupBy(col(groupCol)).agg(
+      count(x).as("cnt"),
+      min(x).cast("double").as("min_v"),
+      max(x).cast("double").as("max_v"),
+      Exprs.dsum(x, scale).as("sum_v"),
+      Exprs.dsum(x * x, scale * 2).as("sum_sq"))
+      .select(col(groupCol), col("cnt"), col("min_v"), col("max_v"), col("sum_v"),
+        (col("sum_v") / col("cnt")).as("mean_v"),
+        sqrt(greatest(lit(0.0),
+          (col("sum_sq") - col("sum_v") * col("sum_v") / col("cnt")) / (col("cnt") - 1)))
+          .as("std_v"))
+  }
+
   /** A8 — deterministic summary statistics (sql_extraction.py:574's
     * `describe()`): count/min/max/mean/std from exact decimal sums so
     * results don't depend on partitioning (see Exprs.dsum). `scale`

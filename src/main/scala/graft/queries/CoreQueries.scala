@@ -94,6 +94,13 @@ object CoreQueries {
     "a8_summary_stats" -> ((s, dir) =>
       Ops.summaryStats(t(s, dir, "lineitem"), "l_extendedprice", 2)),
 
+    // A14 — per-group describe: the grouped profile report, exact
+    // decimal sums per group so hashes never depend on partitioning.
+    "a14_group_describe" -> ((s, dir) =>
+      Ops.groupedSummaryStats(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", 2)
+        .orderBy(col("l_returnflag"))),
+
     // A8 quartiles — describe()'s 25/50/75% (sql_extraction.py:574).
     // Exact interpolated percentile (matches DuckDB quantile_cont
     // bit-for-bit); at cluster scale swap in approx_percentile — same
@@ -707,6 +714,16 @@ object CoreQueries {
         |  CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_v,
         |  CAST(sum(CAST(floor(l_extendedprice * l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_sq
         |  FROM lineitem) t""".stripMargin,
+    "a14_group_describe" ->
+      """SELECT l_returnflag, cnt, min_v, max_v, sum_v, sum_v / cnt AS mean_v,
+        |  sqrt(greatest(0.0, (sum_sq - sum_v * sum_v / cnt) / (cnt - 1))) AS std_v
+        |FROM (SELECT l_returnflag, count(l_extendedprice) AS cnt,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS min_v,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_v,
+        |  CAST(sum(CAST(floor(l_extendedprice * l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_sq
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
     "a8_quantiles" ->
       """SELECT count(l_extendedprice) AS cnt, min(l_extendedprice) AS min_v,
         |  quantile_cont(l_extendedprice, 0.25) AS q1,

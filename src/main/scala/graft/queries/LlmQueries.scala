@@ -725,6 +725,15 @@ object LlmQueries {
       CorpusStats.exactQuantileHistogram(t(s, dir, "documents"), "n_chars",
         quantilesPm = Seq(250, 500, 750))),
 
+    // Winsorized lengths: clip n_chars at its exact 10/990 per-mille
+    // boundary values — outlier treatment before any length-weighted
+    // decision; map-side clip, boundaries from the exact driver walk.
+    "llm_winsorize" -> ((s, dir) =>
+      CorpusStats.winsorize(
+          t(s, dir, "documents").select("doc_id", "n_chars"), "n_chars",
+          loPm = 100, hiPm = 900)
+        .orderBy(col("doc_id"))),
+
     // Shard integrity manifest over the shuffled permutation: per
     // shard, rows + order-independent XOR checksum over (doc_id, pos)
     // — pins membership AND the permutation itself.
@@ -1718,6 +1727,16 @@ object LlmQueries {
          |SELECT doc_id, skey % $ShuffleShards AS shard,
          |  row_number() OVER (PARTITION BY (skey % $ShuffleShards) ORDER BY skey, doc_id) AS pos
          |FROM k ORDER BY shard, pos""".stripMargin,
+    "llm_winsorize" ->
+      s"""WITH vc AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*)::BIGINT AS c
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vc),
+         |cm AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vc),
+         |lo AS (SELECT min(v) AS b FROM cm, t WHERE cum >= (100 * n + 999) // 1000),
+         |hi AS (SELECT min(v) AS b FROM cm, t WHERE cum >= (900 * n + 999) // 1000)
+         |SELECT doc_id, n_chars,
+         |  least(greatest(CAST(n_chars AS BIGINT), lo.b), hi.b) AS n_chars_w
+         |FROM documents, lo, hi ORDER BY doc_id""".stripMargin,
     "llm_quantile_hist" ->
       s"""WITH vc AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*)::BIGINT AS c
          |  FROM documents GROUP BY 1),

@@ -130,6 +130,19 @@ class OrderStatsSpec extends SparkSpec {
       s"got $hh")
   }
 
+  test("winsorize: clips at exact per-mille values; interior untouched; empty safe") {
+    // 1..100: P10 boundary = 10, P90 = 90
+    val u = (1L to 100L).map(Tuple1(_)).toDF("v")
+    val w = CorpusStats.winsorize(u, "v", loPm = 100, hiPm = 900)
+      .as[(Long, Long)].collect().toMap
+    assert(w(1L) == 10L && w(5L) == 10L && w(10L) == 10L)
+    assert(w(50L) == 50L && w(90L) == 90L)
+    assert(w(91L) == 90L && w(100L) == 90L)
+    // empty frame: no boundaries, column passes through
+    val e = CorpusStats.winsorize(Seq.empty[Tuple1[Long]].toDF("v"), "v")
+    assert(e.count() == 0 && e.columns.contains("v_w"))
+  }
+
   test("lengthHistogram: integer buckets with count/sum/min/max") {
     val docs = Seq(48L, 150L, 199L, 200L).toDF("n_chars")
     val h = CorpusStats.lengthHistogram(docs, "n_chars", width = 100L)
