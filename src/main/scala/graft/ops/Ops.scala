@@ -434,6 +434,28 @@ object Ops {
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
 
+  /** Exact-sum Pearson correlation: every sum (x, y, x², y², xy) goes
+    * through the exact decimal path, so the only floating-point steps
+    * are the FINAL combining ops — identical on any engine, unlike
+    * built-in corr whose running double sums depend on partition
+    * order. One aggregation, map-side combined. `scale` must make x
+    * and y exact; products use 2×scale. */
+  def exactCorr(df: DataFrame, xCol: String, yCol: String,
+                scale: Int = 2): DataFrame = {
+    val (x, y) = (col(xCol), col(yCol))
+    df.agg(
+      count(lit(1)).as("n"),
+      Exprs.dsum(x, scale).as("sx"),
+      Exprs.dsum(y, scale).as("sy"),
+      Exprs.dsum(x * x, scale * 2).as("sxx"),
+      Exprs.dsum(y * y, scale * 2).as("syy"),
+      Exprs.dsum(x * y, scale * 2).as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+  }
+
   /** Per-group describe — [[summaryStats]] with a GROUP BY: the
     * per-source/per-type profile every pipeline report wants. Same
     * exact-decimal-sum discipline, so values are partitioning-

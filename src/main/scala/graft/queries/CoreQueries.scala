@@ -101,6 +101,11 @@ object CoreQueries {
           "l_extendedprice", 2)
         .orderBy(col("l_returnflag"))),
 
+    // A15 — exact-sum Pearson correlation: partitioning-independent,
+    // unlike built-in corr (running double sums depend on merge order).
+    "a15_exact_corr" -> ((s, dir) =>
+      Ops.exactCorr(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice", 2)),
+
     // A8 quartiles — describe()'s 25/50/75% (sql_extraction.py:574).
     // Exact interpolated percentile (matches DuckDB quantile_cont
     // bit-for-bit); at cluster scale swap in approx_percentile — same
@@ -648,6 +653,15 @@ object CoreQueries {
     "bad_type" -> (col("event_type") === "error"),
     "value_range" -> (col("value") > 450))
 
+  /** DuckDB replay of Exprs.dsum(e, scale): exact decimal sums of the
+    * integer and fractional parts, recombined in double at the end —
+    * the same recipe the a8/x3 oracles write inline. */
+  private def duckDsum(e: String, scale: Int): String = {
+    val m = math.pow(10, scale).toLong
+    s"(CAST(sum(CAST(floor($e) AS DECIMAL(38,0))) AS DOUBLE) + " +
+      s"CAST(sum(CAST(round(($e - floor($e)) * $m) AS DECIMAL(38,0))) AS DOUBLE) / $m.0)"
+  }
+
   /** DuckDB text of ZOrder.spread1/spread2 — same mask-spread sequence,
     * same two's-complement BIGINT ops, so values match Spark exactly. */
   private def duckSpread1(e: String): String =
@@ -714,6 +728,16 @@ object CoreQueries {
         |  CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sum_v,
         |  CAST(sum(CAST(floor(l_extendedprice * l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * l_extendedprice - floor(l_extendedprice * l_extendedprice)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_sq
         |  FROM lineitem) t""".stripMargin,
+    "a15_exact_corr" ->
+      s"""SELECT n, (n * sxy - sx * sy) /
+         |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+         |FROM (SELECT count(*) AS n,
+         |  ${duckDsum("l_quantity", 2)} AS sx,
+         |  ${duckDsum("l_extendedprice", 2)} AS sy,
+         |  ${duckDsum("l_quantity * l_quantity", 4)} AS sxx,
+         |  ${duckDsum("l_extendedprice * l_extendedprice", 4)} AS syy,
+         |  ${duckDsum("l_quantity * l_extendedprice", 4)} AS sxy
+         |  FROM lineitem) t""".stripMargin,
     "a14_group_describe" ->
       """SELECT l_returnflag, cnt, min_v, max_v, sum_v, sum_v / cnt AS mean_v,
         |  sqrt(greatest(0.0, (sum_sq - sum_v * sum_v / cnt) / (cnt - 1))) AS std_v

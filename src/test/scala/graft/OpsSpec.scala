@@ -288,4 +288,15 @@ class OpsSpec extends SparkSpec {
       .orderBy("user_id").as[(Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 10L, 11L, 4.0), (4L, 40L, 42L, 5.0)), s"got $out")
   }
+
+  test("exactCorr: +1 on linear, -1 on anti-linear, partitioning-independent") {
+    val xs = (1L to 200L).map(i => (i.toDouble, 3.0 * i + 7, -2.0 * i + 9))
+      .toDF("x", "y_pos", "y_neg")
+    val up = Ops.exactCorr(xs, "x", "y_pos", 2).collect()(0).getDouble(1)
+    val dn = Ops.exactCorr(xs, "x", "y_neg", 2).collect()(0).getDouble(1)
+    assert(math.abs(up - 1.0) < 1e-12 && math.abs(dn + 1.0) < 1e-12, s"$up $dn")
+    val a = Ops.exactCorr(xs, "x", "y_pos", 2).collect()(0).getDouble(1)
+    val b = Ops.exactCorr(xs.repartition(17), "x", "y_pos", 2).collect()(0).getDouble(1)
+    assert(a == b, "exact sums must make corr partition-order independent")
+  }
 }
