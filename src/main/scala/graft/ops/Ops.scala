@@ -434,6 +434,37 @@ object Ops {
         (col("chosen_score") - col("rejected_score")).as("margin"))
   }
 
+  /** Funnel analysis — how many keys complete each prefix of an
+    * ordered step sequence, with earliest-completion semantics: step i
+    * is reached at the MINIMUM event time strictly after the time step
+    * i-1 was reached. Built as one filtered aggregation per step
+    * (the step filter pushes to the scan, so each pass reads one
+    * step's partition of the log) chained by equi-joins on the key —
+    * k linear aggregations for a k-step funnel, no window over the
+    * whole log, no per-key sequence materialization. Returns
+    * (step_idx, step, n_keys). */
+  def funnel(events: DataFrame, keyCol: String, stepCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events.select(col(keyCol).as("__k"), col(stepCol).as("__s"),
+      col(tsCol).as("__t"))
+    var reached = base.filter(col("__s") === steps.head)
+      .groupBy(col("__k")).agg(min(col("__t")).as("__prev"))
+    val counts = Seq.newBuilder[(Long, String, Long)]
+    counts += ((0L, steps.head, reached.count()))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      reached = base.filter(col("__s") === s)
+        .join(reached, "__k")
+        .filter(col("__t") > col("__prev"))
+        .groupBy(col("__k")).agg(min(col("__t")).as("__prev"))
+      counts += ((i.toLong, s, reached.count()))
+    }
+    counts.result().toDF("step_idx", "step", "n_keys")
+  }
+
   /** Exact-sum Pearson correlation: every sum (x, y, x², y², xy) goes
     * through the exact decimal path, so the only floating-point steps
     * are the FINAL combining ops — identical on any engine, unlike

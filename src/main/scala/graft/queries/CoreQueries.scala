@@ -633,6 +633,13 @@ object CoreQueries {
       Ops.preferencePairs(t(s, dir, "events"), "user_id", "event_id", "value")
         .orderBy(col("user_id"))),
 
+    // X8 — funnel analysis: users completing each prefix of
+    // signup -> view -> click -> purchase with earliest-completion
+    // semantics (each step strictly after the previous one's time).
+    "x8_funnel" -> ((s, dir) =>
+      Ops.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))),
+
     // K9 — Z-order clustering keys (io.ZOrder): the 2-D and 3-D Morton
     // interleaves behind writeZOrdered, checked value-for-value — pure
     // 64-bit integer bit math, so DuckDB replays it exactly. The layout
@@ -1063,6 +1070,23 @@ object CoreQueries {
         |    ('lux', 990.0, 1000.0), ('all_span', 900.0, 1000.0)) bands(band, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "x8_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT 0::BIGINT AS step_idx, 'signup' AS step, (SELECT count(*) FROM s0)::BIGINT AS n_keys
+        |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
     "x7_preference_pairs" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rb,

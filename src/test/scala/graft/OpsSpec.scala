@@ -299,4 +299,18 @@ class OpsSpec extends SparkSpec {
     val b = Ops.exactCorr(xs.repartition(17), "x", "y_pos", 2).collect()(0).getDouble(1)
     assert(a == b, "exact sums must make corr partition-order independent")
   }
+
+  test("funnel: strict ordering, earliest-completion, monotone counts") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val log = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(2)), (1L, "c", ts(3)),   // completes a,b,c
+      (2L, "a", ts(5)), (2L, "b", ts(4)),                     // b BEFORE a: stops at a
+      (3L, "b", ts(1)), (3L, "a", ts(2)), (3L, "b", ts(3)),   // later b counts
+      (4L, "a", ts(1)), (4L, "c", ts(2)))                     // skips b: stops at a
+      .toDF("user_id", "event_type", "ts")
+    val out = Ops.funnel(log, "user_id", "event_type", "ts", Seq("a", "b", "c"))
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((0L, "a", 4L), (1L, "b", 2L), (2L, "c", 1L)), s"got $out")
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse, "funnel must be monotone")
+  }
 }
