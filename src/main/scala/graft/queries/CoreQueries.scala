@@ -633,6 +633,34 @@ object CoreQueries {
       Ops.preferencePairs(t(s, dir, "events"), "user_id", "event_id", "value")
         .orderBy(col("user_id"))),
 
+    // A16 — cohort retention: users bucketed by first-activity week,
+    // counted distinct in each later week — two linear aggregations
+    // and a broadcast-sized cohort join, never a per-user sequence.
+    "a16_cohort_retention" -> ((s, dir) => {
+      val weeks = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+      val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("weeks_since"))
+    }),
+
+    // X9 — event-type transition counts: per user, consecutive event
+    // pairs in time order (the behavior bigram model input). One
+    // window over (user, ts) + one aggregation.
+    "x9_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
     // X8 — funnel analysis: users completing each prefix of
     // signup -> view -> click -> purchase with earliest-completion
     // semantics (each step strictly after the previous one's time).
@@ -1070,6 +1098,22 @@ object CoreQueries {
         |    ('lux', 990.0, 1000.0), ('all_span', 900.0, 1000.0)) bands(band, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "a16_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id)
+        |SELECT cohort, week - cohort AS weeks_since,
+        |  count(DISTINCT w.user_id)::BIGINT AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY cohort, weeks_since ORDER BY cohort, weeks_since""".stripMargin,
+    "x9_transitions" ->
+      """SELECT event_type, next_type, count(*)::BIGINT AS n FROM (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events) t
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
     "x8_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
