@@ -73,6 +73,40 @@ object ZOrder {
   def zvalue3(a: Column, b: Column, c: Column): Column =
     graft.expr.native.NativeFns.morton3(a, b, c)
 
+  /** Inverse interleave — recover both cell indices from a 2-D Morton
+    * code (diagnostics: which region does this file's z-range cover?).
+    * Reverse mask-compaction; composed Columns are fine here — decode
+    * never sits in a hot path. */
+  def zdecode2(z: Column): (Column, Column) = (compact1(z), compact1(shiftright(z, 1)))
+
+  /** Inverse of [[zvalue3]]. */
+  def zdecode3(z: Column): (Column, Column, Column) =
+    (compact2(z), compact2(shiftright(z, 1)), compact2(shiftright(z, 2)))
+
+  private def compact1(z: Column): Column = {
+    val steps = Seq(
+      1  -> 0x3333333333333333L,
+      2  -> 0x0F0F0F0F0F0F0F0FL,
+      4  -> 0x00FF00FF00FF00FFL,
+      8  -> 0x0000FFFF0000FFFFL,
+      16 -> 0x00000000FFFFFFFFL)
+    steps.foldLeft(z.bitwiseAND(lit(0x5555555555555555L))) {
+      case (acc, (s, m)) => acc.bitwiseOR(shiftright(acc, s)).bitwiseAND(lit(m))
+    }
+  }
+
+  private def compact2(z: Column): Column = {
+    val steps = Seq(
+      2  -> 0x10C30C30C30C30C3L,
+      4  -> 0x100F00F00F00F00FL,
+      8  -> 0x001F0000FF0000FFL,
+      16 -> 0x001F00000000FFFFL,
+      32 -> 0x00000000001FFFFFL)
+    steps.foldLeft(z.bitwiseAND(lit(0x1249249249249249L))) {
+      case (acc, (s, m)) => acc.bitwiseOR(shiftright(acc, s)).bitwiseAND(lit(m))
+    }
+  }
+
   /** Composed-Column twins of the native z-values, spec-only. */
   private[graft] def zvalue2Composed(a: Column, b: Column): Column =
     spread1(a).bitwiseOR(shiftleft(spread1(b), 1))

@@ -633,6 +633,20 @@ object CoreQueries {
       Ops.preferencePairs(t(s, dir, "events"), "user_id", "event_id", "value")
         .orderBy(col("user_id"))),
 
+    // K10 — Morton round-trip: Spark interleaves then DE-interleaves;
+    // the oracle just emits the plain inputs. A decode bug of any kind
+    // is a hash mismatch.
+    "k10_zorder_roundtrip" -> ((s, dir) => {
+      val (da, db) = graft.io.ZOrder.zdecode2(
+        graft.io.ZOrder.zvalue2(col("user_id") % 1048576L, col("event_id") % 1048576L))
+      val (ta, tb, tc) = graft.io.ZOrder.zdecode3(
+        graft.io.ZOrder.zvalue3(col("user_id") % 2048L, col("event_id") % 2048L,
+          unix_micros(col("ts")) % 2048L))
+      t(s, dir, "events").select(col("event_id"),
+          da.as("a2"), db.as("b2"), ta.as("a3"), tb.as("b3"), tc.as("c3"))
+        .orderBy(col("event_id"))
+    }),
+
     // A16 — cohort retention: users bucketed by first-activity week,
     // counted distinct in each later week — two linear aggregations
     // and a broadcast-sized cohort join, never a per-user sequence.
@@ -1098,6 +1112,12 @@ object CoreQueries {
         |    ('lux', 990.0, 1000.0), ('all_span', 900.0, 1000.0)) bands(band, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "k10_zorder_roundtrip" ->
+      """SELECT event_id,
+        |  user_id % 1048576 AS a2, event_id % 1048576 AS b2,
+        |  user_id % 2048 AS a3, event_id % 2048 AS b3,
+        |  epoch_us(ts) % 2048 AS c3
+        |FROM events ORDER BY event_id""".stripMargin,
     "a16_cohort_retention" ->
       """WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
         |  FROM events),
