@@ -451,8 +451,12 @@ object Ops {
     import spark.implicits._
     val base = events.select(col(keyCol).as("__k"), col(stepCol).as("__s"),
       col(tsCol).as("__t"))
+    // checkpoint each step's reached-frame (per-key rows, ≤ |keys|):
+    // without the cut, counting step k re-runs steps 0..k-1's scans —
+    // O(k²) passes over the log instead of one pushed scan per step
     var reached = base.filter(col("__s") === steps.head)
       .groupBy(col("__k")).agg(min(col("__t")).as("__prev"))
+      .localCheckpoint(false)
     val counts = Seq.newBuilder[(Long, String, Long)]
     counts += ((0L, steps.head, reached.count()))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
@@ -460,6 +464,7 @@ object Ops {
         .join(reached, "__k")
         .filter(col("__t") > col("__prev"))
         .groupBy(col("__k")).agg(min(col("__t")).as("__prev"))
+        .localCheckpoint(false)
       counts += ((i.toLong, s, reached.count()))
     }
     counts.result().toDF("step_idx", "step", "n_keys")
