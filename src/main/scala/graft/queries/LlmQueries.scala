@@ -379,6 +379,31 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Per-source token profile: integer sums only (token counts are
+    // exact longs), so every engine agrees bit-for-bit; the one
+    // partial+final aggregation any per-group report costs.
+    "llm_source_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          min(col("tokens")).as("min_t"),
+          max(col("tokens")).as("max_t"),
+          sum(col("tokens")).as("sum_t"),
+          sum(col("tokens") * col("tokens")).as("sum_sq"))
+        .select(col("source"), col("n_docs"), col("min_t"), col("max_t"),
+          col("sum_t"),
+          (col("sum_t").cast("double") / col("n_docs")).as("mean_t"),
+          // doubles from the exact integer sums; sum_t is cast BEFORE
+          // squaring so a petascale sum cannot overflow the long
+          sqrt(greatest(lit(0.0),
+            (col("sum_sq").cast("double") -
+              col("sum_t").cast("double") * col("sum_t").cast("double") /
+                col("n_docs").cast("double"))
+              / (col("n_docs") - 1).cast("double"))).as("std_t"))
+        .orderBy(col("source"))),
+
     // Per-source cap: at most 7 docs per source by the salted-hash
     // lottery — the per-domain ceiling; WindowGroupLimit partial runs
     // map-side before the exchange.
@@ -1310,6 +1335,22 @@ object LlmQueries {
          |  count(*)::BIGINT AS n_kept, CAST(sum(tokens) AS BIGINT) AS kept_tokens
          |FROM fin GROUP BY source, rate_pm ORDER BY source""".stripMargin
     },
+    "llm_source_stats" ->
+      s"""WITH tok AS (SELECT source,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens
+         |  FROM documents),
+         |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    min(tokens) AS min_t, max(tokens) AS max_t,
+         |    CAST(sum(tokens) AS BIGINT) AS sum_t,
+         |    CAST(sum(tokens * tokens) AS BIGINT) AS sum_sq
+         |  FROM tok GROUP BY source)
+         |SELECT source, n_docs, min_t, max_t, sum_t,
+         |  CAST(sum_t AS DOUBLE) / n_docs AS mean_t,
+         |  sqrt(greatest(0.0,
+         |    (CAST(sum_sq AS DOUBLE) -
+         |      CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |    / CAST(n_docs - 1 AS DOUBLE))) AS std_t
+         |FROM a ORDER BY source""".stripMargin,
     "llm_cap_per_source" ->
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source, row_number() OVER (
