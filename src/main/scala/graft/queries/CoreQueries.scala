@@ -647,6 +647,14 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // A17 — hour-of-day activity profile per event type (UTC session
+    // so both engines bucket identically): seasonality diagnostics.
+    "a17_hourly_profile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exprs.dsum(col("value"), 2).as("sum_value"))
+        .orderBy(col("hr"), col("event_type"))),
+
     // A16 — cohort retention: users bucketed by first-activity week,
     // counted distinct in each later week — two linear aggregations
     // and a broadcast-sized cohort join, never a per-user sequence.
@@ -1118,6 +1126,10 @@ object CoreQueries {
         |  user_id % 2048 AS a3, event_id % 2048 AS b3,
         |  epoch_us(ts) % 2048 AS c3
         |FROM events ORDER BY event_id""".stripMargin,
+    "a17_hourly_profile" ->
+      s"""SELECT hour(ts) AS hr, event_type, count(*)::BIGINT AS n,
+         |  ${duckDsum("value", 2)} AS sum_value
+         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
     "a16_cohort_retention" ->
       """WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
         |  FROM events),
