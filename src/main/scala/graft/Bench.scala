@@ -62,7 +62,18 @@ object Bench {
     // total, so it must not also read as a failure.
     val hardFailed = failed.count(n => results.get(n).forall(_ < 0))
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$hardFailed,"queries":$qs,"sf":${js(sfDir)}}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$hardFailed,"queries":$qs,"sf":${js(sfDir)}}"""
+    println(line)
+    // Machine-readable artifact alongside the stdout line: the driver's
+    // output-tail capture truncates long runs (BENCH_r11 recorded
+    // "parsed": null), so round-over-round drift comparison reads this
+    // file instead. Written to the working directory (the repo root
+    // when launched via sbt).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_local.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -94,7 +94,13 @@ object CorpusStats {
     * [[winsorize]]. boundary(q) = smallest v with cum(v) >= ceil(q/1000
     * * N) — the classic discrete quantile, pure integer arithmetic.
     * Returned in quantile order, duplicates NOT removed (callers
-    * decide). Empty input → empty. */
+    * decide). Empty input → empty.
+    *
+    * Value-domain contract: |v| must stay below 2^53. Downstream
+    * bucketing searches DOUBLE literals at boundary+0.5, and above
+    * 2^53 a Long is no longer exactly representable (the +0.5 is
+    * absorbed), so distinct values would silently collapse — this
+    * refuses instead of degrading the "exact" promise. */
   private[llm] def exactPmBoundaries(docs: DataFrame, valueCol: String,
                                      quantilesPm: Seq[Int]): Seq[Long] = {
     require(quantilesPm.nonEmpty && quantilesPm.forall(q => q > 0 && q < 1000),
@@ -104,6 +110,9 @@ object CorpusStats {
       .agg(count(lit(1)).as("__c"))
       .collect().map { r =>
         require(!r.isNullAt(0), s"exact quantiles: NULL $valueCol")
+        require(math.abs(r.getLong(0)) < (1L << 53),
+          s"exact quantiles: |$valueCol| must be < 2^53 for exact double " +
+            s"boundary bucketing, got ${r.getLong(0)}")
         (r.getLong(0), r.getLong(1))
       }.sortBy(_._1)
     if (counts.isEmpty) return Seq.empty

@@ -378,7 +378,11 @@ object Curate {
     * rerun-stable. ONE bounded driver collect (|sources| rows — the
     * k-means contract again), then a broadcast rate join + a map-side
     * filter; the corpus crosses no exchange. Ties between equal-total
-    * sources break by source name (ASCII-safe; mirrors the oracle). */
+    * sources break by source name (ASCII-safe; mirrors the oracle).
+    *
+    * Output schema = input columns plus `rate_pm` — the intentional
+    * per-source accept-rate audit column (same convention as
+    * [[temperatureMix]]; CurateSpec pins the schema). */
   def mixCorpus(docs: DataFrame, sourceCol: String, tokensCol: String,
                 idCol: String, budgetTokens: Long,
                 salt: String = "mix:"): DataFrame = {
@@ -445,6 +449,8 @@ object Curate {
                   cap: Int, salt: String = "cap:",
                   orderBy: Option[Column] = None): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(!docs.columns.contains("__rn"),
+      "capPerGroup reserves the __rn column name")
     val ord = orderBy.map(c => Seq(c, col(idCol))).getOrElse(
       Seq(Text.md5Hash(concat(lit(salt), col(idCol).cast("string"))), col(idCol)))
     val w = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
@@ -484,12 +490,16 @@ object Curate {
   }
 
   /** Floor integer square root (exact — Math.sqrt seed, then integer
-    * correction, so no double-rounding flip at any Long scale). */
+    * correction, so no double-rounding flip at any Long scale). The
+    * correction compares via division, never squaring: x*x overflows
+    * Long once x exceeds ~3.037e9, and a wrapped-negative square would
+    * silently pass the comparison near Long.MaxValue. `x > n / x` is
+    * floor-division-equivalent to `x*x > n` and cannot overflow. */
   private[graft] def isqrt(n: Long): Long = {
     require(n >= 0, s"isqrt of negative $n")
     var x = math.sqrt(n.toDouble).toLong
-    while (x > 0 && x * x > n) x -= 1
-    while ((x + 1) * (x + 1) <= n) x += 1
+    while (x > 0 && x > n / x) x -= 1
+    while (x + 1 <= n / (x + 1)) x += 1
     x
   }
 
@@ -510,7 +520,15 @@ object Curate {
     * oracle replays the rates exactly (llm_temperature_mix). Any other
     * alpha goes through Math.pow — deterministic on a given platform,
     * but a cross-engine replay inherits the libm caveat documented on
-    * NgramLm.lp_micro. */
+    * NgramLm.lp_micro.
+    *
+    * Output schema = input columns plus `rate_pm` (the per-source
+    * accept rate actually applied, in per-mille) — the INTENTIONAL
+    * audit column every sampling mixer here emits ([[mixCorpus]]
+    * follows the same convention; CurateSpec pins the schema), the
+    * same reserved-name-is-the-output pattern as [[leakFreeSplit]]'s
+    * `split`. Downstream composition drops it explicitly when the
+    * provenance is not wanted. */
   def temperatureMix(docs: DataFrame, sourceCol: String, tokensCol: String,
                      idCol: String, budgetTokens: Long, alpha: Double = 0.5,
                      salt: String = "tmix:"): DataFrame = {

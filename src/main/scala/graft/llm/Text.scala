@@ -154,9 +154,12 @@ object Text {
 
   /** Drop every document that links ANY blocklisted host (the standard
     * spam/adult/SEO domain filter). The blocklist frame is broadcast —
-    * real blocklists are ~1e5-1e6 rows, far under the threshold — and
-    * the corpus never shuffles: explode → broadcast semi-join marks the
-    * bad ids, broadcast anti-join removes them. A blocklist too big to
+    * real blocklists are ~1e5-1e6 rows, far under the threshold — so
+    * marking the bad ids is a map-side semi-join. The bad-ID set
+    * itself is NOT hinted: it scales with the corpus' match rate, not
+    * the blocklist (a 1% hit rate at 100 TB is billions of ids), so
+    * the anti-join is left to AQE — broadcast when the measured set is
+    * small, shuffle join when it isn't. A blocklist too big to
     * broadcast composes with Curate.bloomSemiFilter instead. */
   def dropByDomainBlocklist(docs: DataFrame, idCol: String, textCol: String,
                             blocklist: DataFrame, hostCol: String = "host"): DataFrame = {
@@ -164,7 +167,7 @@ object Text {
       .select(col(idCol), explode(array_distinct(urlHosts(col(textCol)))).as("__h"))
       .join(broadcast(blocklist.select(col(hostCol).as("__h"))), Seq("__h"), "left_semi")
       .select(col(idCol)).distinct()
-    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+    docs.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Repetition / boilerplate signal: 1 − |distinct shingles| / |shingles|.

