@@ -346,6 +346,13 @@ class CurateSpec extends SparkSpec {
     val df = docs.toDF("doc_id", "source", "tokens")
     val out = Curate.temperatureMix(df, "source", "tokens", "doc_id",
       budgetTokens = 1000L, alpha = 0.5)
+    // the documented output contract: input columns plus the rate_pm
+    // audit column, nothing else (no leaked working columns)
+    assert(out.columns.toSeq == df.columns.toSeq :+ "rate_pm",
+      s"temperatureMix output schema: ${out.columns.toSeq}")
+    assert(Curate.mixCorpus(df, "source", "tokens", "doc_id", 1000L)
+      .columns.toSeq == df.columns.toSeq :+ "rate_pm",
+      "mixCorpus shares the same output-schema convention")
     val bySource = out.groupBy("source")
       .agg(max("rate_pm").as("r"), count(lit(1)).as("n"))
       .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
@@ -411,10 +418,14 @@ class CurateSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 2L, 666L), (2L, 2L, 0L, 0L)))
   }
 
-  test("isqrt: exact at boundaries") {
+  test("isqrt: exact at boundaries, including near Long.MaxValue") {
+    // BigInt assertion arithmetic: (r+1)^2 itself overflows Long at the
+    // top of the range — exactly the overflow the implementation avoids
+    val top = 3037000499L // floor(sqrt(Long.MaxValue))
     for (n <- Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 99L, 100L,
-        (1L << 31) - 1, 1L << 40, (1L << 40) + 1)) {
-      val r = Curate.isqrt(n)
+        (1L << 31) - 1, 1L << 40, (1L << 40) + 1,
+        top * top - 1, top * top, top * top + 1, Long.MaxValue)) {
+      val r = BigInt(Curate.isqrt(n))
       assert(r * r <= n && (r + 1) * (r + 1) > n, s"isqrt($n) = $r")
     }
   }

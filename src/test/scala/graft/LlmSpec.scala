@@ -511,4 +511,34 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the assignments scan:\n$plan")
   }
+
+  test("ivfTopKIndexed nprobe: boundary query recovered at 2, full probe equals brute force") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(_ => base)
+    // cluster 0 holds the single best candidate (2.0) buried among
+    // weak ones, so its MEAN dot loses the coarse assignment to the
+    // uniformly-decent cluster 1 — the classic recall cliff: probe1
+    // fine-searches cluster 1 only and misses the true top-1
+    val cands = Seq(
+      (100L, vec(2.0f), 0L), (101L, vec(0.1f), 0L), (102L, vec(0.05f), 0L),
+      (200L, vec(1.0f), 1L), (201L, vec(0.95f), 1L), (202L, vec(0.9f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val query = Seq((900L, vec(1.0f))).toDF("vec_id", "embedding")
+    val (cent, eq) = Similarity.buildIvfIndex(cands, "vec_id", "embedding", "label")
+    def cids(nprobe: Int): Set[Long] =
+      Similarity.ivfTopKIndexed(cent, eq, query, "vec_id", "embedding",
+        k = 3, nprobe = nprobe).select("cid").as[Long].collect().toSet
+    val exact = Similarity.bruteForceTopKQ(query, cands, "vec_id", "vec_id",
+      "embedding", k = 3).select("cid").as[Long].collect().toSet
+    assert(exact == Set(100L, 200L, 201L), "true top-3 straddles the clusters")
+    assert(cids(1) == Set(200L, 201L, 202L),
+      "single probe is confined to the assigned cluster and misses the true top-1")
+    // full probe (= nlist) must EQUAL exact brute force — the
+    // correctness anchor of the nprobe knob
+    assert(cids(2) == exact, "probing every cluster is exact search")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(cent, eq, query, "vec_id", "embedding",
+        k = 3, nprobe = 0)
+    }
+  }
 }
