@@ -511,6 +511,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Image near-dup pairs over 64-bit perceptual hashes
+    * ([[Multimodal.ImageIoDecoder.dHash]] rows: id, dhash nullable) —
+    * SimHash banding transplanted to pixels: split the hash into 8
+    * bands of 8 bits; by pigeonhole any pair within Hamming distance 7
+    * shares an intact band, so the band equi-join buckets every
+    * candidate at that radius with no pair enumeration, then the exact
+    * Hamming check keeps pairs ≤ `maxHamming`. Same capped
+    * one-exchange pair expansion as [[simHashPairs]] (the hash rides
+    * in the collected struct — no join back); undecodable images
+    * (null hash) drop out up front. At 100 TB the dHash pass is
+    * map-side mapPartitions on the scan and THIS is the only exchange:
+    * one hash partitioning on the band key. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String,
+                        hashCol: String = "dhash", maxHamming: Int = 6,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming <= 7,
+      s"8-band bucketing only guarantees recall up to Hamming distance 7; got $maxHamming")
+    val h = hashes.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol).cast("long").as("__h"))
+    val bands = h.select(col(idCol), col("__h"),
+      explode(array((0 until 8).map(b =>
+        concat_ws("_", lit(b.toString),
+          shiftright(col("__h"), b * 8).bitwiseAND(lit(0xffL)).cast("string"))): _*))
+        .as("band"))
+    cappedBucketPairs(bands, "band",
+        struct(col(idCol).as("id"), col("__h").as("sig")), maxBucket)
+      .select(col("p.a.id").as("a"), col("p.b.id").as("b"),
+        hammingDist(col("p.a.sig"), col("p.b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Shared block-size cap, interpolated into the DuckDB oracle SQL so
     * the two engines can't silently drift (Similarity.DefaultMaxBucket
     * pattern). */

@@ -153,6 +153,31 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           bos.toByteArray
       }
+
+    /** Difference hash (dHash) — the standard perceptual image
+      * fingerprint: scale to 9×8 grayscale (real pixels, real scaler),
+      * emit one bit per horizontal neighbor pair (left brighter → 1),
+      * 64 bits total. Encoding-invariant by construction (PNG/BMP of
+      * the same pixels hash identically) and stable under resizing up
+      * to a few bits of drift, which the banded near-dup search
+      * tolerates ([[Dedup.imageNearDupPairs]]). Luma is the integer
+      * (299R+587G+114B)/1000 — no float rounding anywhere, so a given
+      * pixel raster always produces the same hash. Undecodable bytes →
+      * None (skippable row, never a task failure). */
+    def dHash(bytes: Array[Byte]): Option[Long] = read(bytes).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
+      val luma = Array.tabulate(8, 9) { (y, x) =>
+        val p = out.getRGB(x, y)
+        (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+      }
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (luma(y)(x) > luma(y)(x + 1)) h |= 1L << (y * 8 + x)
+      h
+    }
   }
 
   /** REAL PCM WAV decode via `javax.sound.sampled` (in the JDK).
@@ -230,6 +255,47 @@ object Multimodal {
           MediaFeatures(id, decoder.decode(bytes), decoder.frameCount(bytes))
         }
       }
+  }
+
+  case class DHashRow(id: Long, dhash: Option[Long])
+
+  /** Partition-parallel dHash over a binary image column — same
+    * mapPartitions shape as [[extractFeatures]]: kernel per partition,
+    * rows stream through, no shuffle, no driver involvement. Feeds
+    * [[Dedup.imageNearDupPairs]]. */
+  def dHashes(spark: SparkSession, df: DataFrame, idCol: String,
+              binCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        DHashRow(id, ImageIoDecoder.dHash(bytes))
+      })
+      .toDF(idCol, "dhash")
+  }
+
+  /** Deterministic synthetic image for tests and harness fixtures
+    * (this container ships no real image corpus): an 8×8 grid of
+    * grayscale cells whose bytes come from md5("img:gid:block"), drawn
+    * at any resolution — the pattern depends only on RELATIVE pixel
+    * position, so renders of one `gid` at different sizes or formats
+    * depict the same image (the near-dup ground truth), while distinct
+    * gids are uncorrelated noise. */
+  def syntheticImage(gid: Long, width: Int, height: Int,
+                     format: String = "png"): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cells = (0 until 4).flatMap { blk =>
+      md.digest(s"img:$gid:$blk".getBytes("UTF-8")).toSeq
+    }
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val c = cells((y * 8 / height) * 8 + (x * 8 / width)) & 0xff
+      img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
   }
 
   /** Frame sampling plumbing: pick every `stride`-th frame index up to

@@ -250,6 +250,33 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Image near-dup over REAL pixels: deterministic synthetic images
+    // (3 variants per group: PNG, BMP re-encode, 2x-resolution render —
+    // this container has no image corpus) -> real JDK decode -> dHash
+    // -> 8x8-bit banded pair search -> exact Hamming verify. The
+    // oracle states the ground truth BY CONSTRUCTION (variants of one
+    // group must pair, nothing else may): DuckDB cannot decode pixels,
+    // but the pair set it predicts is exact, so the whole
+    // decode->hash->band->verify chain is value-checked.
+    "llm_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 90).as[Long]
+      val imgs = ids.mapPartitions(_.map { id =>
+        val gid = id / 3
+        val bytes = (id % 3) match {
+          case 0 => Multimodal.syntheticImage(gid, 64, 64, "png")
+          case 1 => Multimodal.syntheticImage(gid, 64, 64, "bmp")
+          case _ => Multimodal.syntheticImage(gid, 128, 128, "png")
+        }
+        (id, bytes)
+      }).toDF("doc_id", "content")
+      Dedup.imageNearDupPairs(
+          Multimodal.dHashes(s, imgs, "doc_id", "content"), "doc_id")
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "llm_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockExpr = concat(col("lang"), lit("_"), expr("n_chars div 25").cast("string")),
@@ -1288,6 +1315,14 @@ object LlmQueries {
     "llm_ann_ivf" -> IvfOracleSql,
     "llm_ann_ivf_probe2" -> ivfOracleSql(2),
     "llm_ann_ivf_recall" -> IvfRecallOracleSql,
+    // ground truth by construction: the 3 variants of each image group
+    // (doc_id // 3) must pair with each other and with nothing else
+    "llm_image_neardup" ->
+      """SELECT d1.doc_id AS a, d2.doc_id AS b
+        |FROM documents d1 JOIN documents d2
+        |  ON d1.doc_id // 3 = d2.doc_id // 3 AND d1.doc_id < d2.doc_id
+        |WHERE d1.doc_id < 90 AND d2.doc_id < 90
+        |ORDER BY a, b""".stripMargin,
     "llm_dedup_embedding" ->
       s"""WITH $embPairsCtes
          |SELECT a, b, cosine FROM escored ORDER BY a, b""".stripMargin,

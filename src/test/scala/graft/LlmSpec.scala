@@ -512,6 +512,56 @@ class LlmSpec extends SparkSpec {
       s"expected dynamic partition pruning on the assignments scan:\n$plan")
   }
 
+  test("dHash: encoding-invariant, resize-stable within tolerance, distinct images far") {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val basePng = syntheticImage(7L, 64, 64, "png")
+    val baseBmp = syntheticImage(7L, 64, 64, "bmp")
+    val big = syntheticImage(7L, 128, 128, "png")
+    val other = syntheticImage(8L, 64, 64, "png")
+    val h0 = ImageIoDecoder.dHash(basePng).get
+    // same pixels, different codec → identical hash
+    assert(ImageIoDecoder.dHash(baseBmp).get == h0)
+    // same image at 2× resolution → a few bits of scaler drift at most
+    assert(ham(ImageIoDecoder.dHash(big).get, h0) <= 6,
+      s"resize drift too large: ${ham(ImageIoDecoder.dHash(big).get, h0)}")
+    // the real resize kernel (decode → scale → re-encode) at an
+    // integer factor is drift-free up to the same scaler tolerance
+    val resized = ImageIoDecoder.resize(basePng, 128, 128)
+    assert(ham(ImageIoDecoder.dHash(resized).get, h0) <= 6)
+    // non-integer nearest-neighbor rescales alias harder (measured 10
+    // bits at 1.5×) — still far under the ~32 of unrelated images, but
+    // past the default near-dup threshold; the operator's tight-radius
+    // contract is re-encodes and integer rescales
+    val odd = ImageIoDecoder.resize(basePng, 96, 96)
+    assert(ham(ImageIoDecoder.dHash(odd).get, h0) <= 14)
+    // distinct images are uncorrelated: expected Hamming ~32
+    assert(ham(ImageIoDecoder.dHash(other).get, h0) > 12)
+    // undecodable bytes → None, never a throw
+    assert(ImageIoDecoder.dHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDupPairs: re-encoded/resized variants collide, distinct images do not") {
+    import graft.llm.Multimodal
+    val rows = (0L until 30L).map { id =>
+      val gid = id / 3
+      val bytes = (id % 3) match {
+        case 0 => Multimodal.syntheticImage(gid, 64, 64, "png")
+        case 1 => Multimodal.syntheticImage(gid, 64, 64, "bmp")
+        case _ => Multimodal.syntheticImage(gid, 128, 128, "png")
+      }
+      (id, bytes)
+    } :+ (99L, "corrupt".getBytes)
+    val df = rows.toDF("doc_id", "content")
+    val pairs = Dedup.imageNearDupPairs(
+        Multimodal.dHashes(spark, df, "doc_id", "content"), "doc_id")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 10L).flatMap { g =>
+      Seq((3 * g, 3 * g + 1), (3 * g, 3 * g + 2), (3 * g + 1, 3 * g + 2))
+    }.toSet
+    assert(pairs == expected, s"diff: ${pairs.diff(expected)} / ${expected.diff(pairs)}")
+  }
+
   test("ivfTopKIndexed nprobe: boundary query recovered at 2, full probe equals brute force") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(_ => base)
