@@ -442,9 +442,23 @@ object Ops {
     * step's partition of the log) chained by equi-joins on the key —
     * k linear aggregations for a k-step funnel, no window over the
     * whole log, no per-key sequence materialization. Returns
-    * (step_idx, step, n_keys). */
+    * (step_idx, step, n_keys).
+    *
+    * `maxGap` bounds each step to a conversion window: step i must
+    * land in (t(i-1), t(i-1) + maxGap] — the "complete within 7 days"
+    * product-analytics convention. The anchor is GREEDY: each step
+    * binds to the EARLIEST completion of the previous step, and an
+    * expired window does not re-anchor to a later occurrence — the
+    * deterministic, engine-replayable convention (re-anchoring is a
+    * different product question and a different operator). Pass an
+    * interval literal, e.g. `expr("INTERVAL 7 DAYS")`.
+    *
+    * For long funnels (large k) or logs too expensive to re-scan per
+    * step, [[funnelSinglePass]] computes the identical result in one
+    * scan. */
   def funnel(events: DataFrame, keyCol: String, stepCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
+             tsCol: String, steps: Seq[String],
+             maxGap: Option[Column] = None): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct: $steps")
     val spark = events.sparkSession
@@ -462,12 +476,69 @@ object Ops {
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
       reached = base.filter(col("__s") === s)
         .join(reached, "__k")
-        .filter(col("__t") > col("__prev"))
+        .filter(col("__t") > col("__prev") &&
+          maxGap.map(g => col("__t") <= col("__prev") + g).getOrElse(lit(true)))
         .groupBy(col("__k")).agg(min(col("__t")).as("__prev"))
         .localCheckpoint(false)
       counts += ((i.toLong, s, reached.count()))
     }
     counts.result().toDF("step_idx", "step", "n_keys")
+  }
+
+  /** Single-pass funnel — identical semantics to [[funnel]]
+    * (differential-spec'd equal, windowed and not), ONE scan of the
+    * log regardless of step count: step-filtered events cross one hash
+    * exchange on the key, each key's time-ordered event list folds
+    * through a running min chain (an event completes step i when its
+    * step matches, step i is still open, and it lands inside step
+    * i-1's window — scanning in time order makes the first such event
+    * the minimum), and one tiny aggregation counts completions per
+    * step. The fold is an interpreted higher-order function over a
+    * per-key list bounded by that key's own step events — the shape to
+    * prefer when k is large (a 10-step funnel is 10 pushed scans of a
+    * 100 TB log in [[funnel]], one scan here) or when the log is not
+    * cheaply re-scannable; the k-scan shape wins when k is small and
+    * the step predicates are selective pushed filters. */
+  def funnelSinglePass(events: DataFrame, keyCol: String, stepCol: String,
+                       tsCol: String, steps: Seq[String],
+                       maxGap: Option[Column] = None): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val base = events.select(col(keyCol).as("__k"), col(stepCol).as("__s"),
+        col(tsCol).as("__t"))
+      .filter(col("__s").isin(steps: _*))
+    val tsType = base.schema("__t").dataType
+    val evs = base.groupBy(col("__k"))
+      .agg(array_sort(collect_list(struct(col("__t").as("t"), col("__s").as("s"))))
+        .as("__evs"))
+    val init = array((0 until k).map(_ => lit(null).cast(tsType)): _*)
+    val folded = evs.select(
+      aggregate(col("__evs"), init, (acc, e) => array((0 until k).map { i =>
+        val prevOk =
+          if (i == 0) lit(true)
+          else acc.getItem(i - 1).isNotNull &&
+            e.getField("t") > acc.getItem(i - 1) &&
+            maxGap.map(g => e.getField("t") <= acc.getItem(i - 1) + g)
+              .getOrElse(lit(true))
+        // an event carries ONE step, so at most one i matches and the
+        // simultaneous array update never reads its own write
+        coalesce(acc.getItem(i),
+          when(e.getField("s") === steps(i) && prevOk, e.getField("t")))
+      }: _*)).as("__done"))
+    val counted = folded
+      .select(posexplode(col("__done")).as(Seq("__i", "__t")))
+      .groupBy(col("__i")).agg(count(col("__t")).as("__n"))
+    // left-join a literal steps frame so every step reports (0 on an
+    // empty log), matching the k-scan variant's always-k-rows output
+    steps.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("step_idx", "step")
+      .join(counted, col("step_idx") === col("__i"), "left")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("__n"), lit(0L)).as("n_keys"))
+      .orderBy("step_idx")
   }
 
   /** Exact-sum Pearson correlation: every sum (x, y, x², y², xy) goes

@@ -690,6 +690,24 @@ object CoreQueries {
       Ops.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
+    // X8b — sessionized funnel: each step must land within 3 days of
+    // the previous step's (earliest) completion — the conversion-
+    // window convention every product-analytics funnel applies. At
+    // sf0.01 the window genuinely bites: 150/105/79/55 vs the
+    // unwindowed 150/150/150/150.
+    "x8_funnel_windowed" -> ((s, dir) =>
+      Ops.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"),
+        maxGap = Some(expr("INTERVAL 3 DAYS")))),
+
+    // X8c — the single-pass formulation (one scan of the log
+    // regardless of step count); shares x8_funnel's oracle — same
+    // answer, different physical shape (OpsSpec proves equality,
+    // windowed included).
+    "x8_funnel_1pass" -> ((s, dir) =>
+      Ops.funnelSinglePass(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))),
+
     // K9 — Z-order clustering keys (io.ZOrder): the 2-D and 3-D Morton
     // interleaves behind writeZOrdered, checked value-for-value — pure
     // 64-bit integer bit math, so DuckDB replays it exactly. The layout
@@ -709,6 +727,29 @@ object CoreQueries {
   private def eventChecks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "bad_type" -> (col("event_type") === "error"),
     "value_range" -> (col("value") > 450))
+
+  /** Funnel oracle, shared by x8_funnel / x8_funnel_1pass (no window)
+    * and x8_funnel_windowed (`gapFmt` carries the per-step conversion-
+    * window clause with a %d for the previous step index). */
+  private def FunnelOracleSql(gapFmt: String): String = {
+    def gap(prev: Int) = gapFmt.format(prev)
+    s"""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       |  JOIN s0 USING (user_id)
+       |  WHERE e.event_type = 'view' AND e.ts > s0.t${gap(0)} GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       |  JOIN s1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.ts > s1.t${gap(1)} GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       |  JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t${gap(2)} GROUP BY 1)
+       |SELECT 0::BIGINT AS step_idx, 'signup' AS step, (SELECT count(*) FROM s0)::BIGINT AS n_keys
+       |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+       |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+       |ORDER BY step_idx""".stripMargin
+  }
 
   /** DuckDB replay of Exprs.dsum(e, scale): exact decimal sums of the
     * integer and fractional parts, recombined in double at the end —
@@ -1146,23 +1187,9 @@ object CoreQueries {
         |  FROM events) t
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
-    "x8_funnel" ->
-      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
-        |  WHERE event_type = 'signup' GROUP BY 1),
-        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN s0 USING (user_id)
-        |  WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN s1 USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |  JOIN s2 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
-        |SELECT 0::BIGINT AS step_idx, 'signup' AS step, (SELECT count(*) FROM s0)::BIGINT AS n_keys
-        |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
-        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-        |ORDER BY step_idx""".stripMargin,
+    "x8_funnel" -> FunnelOracleSql(""),
+    "x8_funnel_1pass" -> FunnelOracleSql(""),
+    "x8_funnel_windowed" -> FunnelOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
     "x7_preference_pairs" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rb,

@@ -313,4 +313,47 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((0L, "a", 4L), (1L, "b", 2L), (2L, "c", 1L)), s"got $out")
     assert(out.map(_._3) == out.map(_._3).sorted.reverse, "funnel must be monotone")
   }
+
+  test("funnel maxGap: window bites, greedy anchor does not re-anchor") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val gap = Some(expr("INTERVAL 2 MINUTES"))
+    val log = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(2)),                    // b inside window
+      (2L, "a", ts(1)), (2L, "b", ts(10)),                   // b expired
+      // greedy anchor: earliest a at :01 opens (:01,:03]; the :05 b
+      // misses it even though anchoring on the LATER a at :04 would
+      // catch it — the documented deterministic convention
+      (3L, "a", ts(1)), (3L, "a", ts(4)), (3L, "b", ts(5)),
+      (4L, "a", ts(1)), (4L, "b", ts(3)))                    // boundary: t = prev+gap included
+      .toDF("user_id", "event_type", "ts")
+    val out = Ops.funnel(log, "user_id", "event_type", "ts", Seq("a", "b"), gap)
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((0L, "a", 4L), (1L, "b", 2L)), s"got $out")
+  }
+
+  test("funnelSinglePass: differential equal to the k-scan funnel, windowed and not") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val log = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(2)), (1L, "c", ts(3)),
+      (2L, "a", ts(5)), (2L, "b", ts(4)),
+      (3L, "b", ts(1)), (3L, "a", ts(2)), (3L, "b", ts(3)),
+      (4L, "a", ts(1)), (4L, "c", ts(2)),
+      (5L, "a", ts(1)), (5L, "a", ts(4)), (5L, "b", ts(5)), (5L, "c", ts(6)),
+      (6L, "x", ts(1)), (6L, "a", ts(2)))                    // non-step noise
+      .toDF("user_id", "event_type", "ts")
+    for (gap <- Seq(None, Some(expr("INTERVAL 2 MINUTES")))) {
+      val kScan = Ops.funnel(log, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"), gap).orderBy("step_idx")
+        .as[(Long, String, Long)].collect().toSeq
+      val onePass = Ops.funnelSinglePass(log, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"), gap).orderBy("step_idx")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(onePass == kScan, s"gap=$gap: $onePass vs $kScan")
+    }
+    // empty log still reports every step at 0, like the k-scan shape
+    val empty = Ops.funnelSinglePass(log.filter(col("user_id") < 0),
+        "user_id", "event_type", "ts", Seq("a", "b"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(empty == Seq((0L, "a", 0L), (1L, "b", 0L)))
+  }
 }
