@@ -193,13 +193,19 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // Multi-probe serving: same index, nprobe = 2 — fine search the
-    // union of each query's two best clusters. Oracle is the shared
-    // IVF SQL with the probe rank widened to 2; boundary queries whose
-    // neighbors sit in the runner-up cluster now find them.
+    // Multi-probe SERVING: the persisted index answered at nprobe = 2
+    // — fine search the union of each query's two best clusters. The
+    // assignments scan still partition-prunes dynamically (the pruned
+    // frame just carries two labels per query; plan-asserted in
+    // LlmSpec). Oracle is the shared IVF SQL with the probe rank
+    // widened to 2; boundary queries whose neighbors sit in the
+    // runner-up cluster now find them.
     "llm_ann_ivf_probe2" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val (cent, eq) = Similarity.buildIvfIndex(e, "vec_id", "embedding", "label")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx2").toString
+      Similarity.persistIvfIndex(e, "vec_id", "embedding", "label", path)
+      val (cent, eq) = Similarity.readIvfIndex(s, path)
       Similarity.ivfTopKIndexed(cent, eq, e.filter(col("vec_id") < 3),
           "vec_id", "embedding", k = 3, nprobe = 2)
         .orderBy(col("qid"), col("rank"))

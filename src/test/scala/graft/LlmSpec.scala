@@ -510,6 +510,14 @@ class LlmSpec extends SparkSpec {
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the assignments scan:\n$plan")
+
+    // multi-probe keeps the pruning: the pruned frame carries two
+    // labels per query, the scan is still DPP-filtered
+    val served2 = Similarity.ivfTopKIndexed(cent, eq, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val plan2 = served2.queryExecution.executedPlan.toString
+    assert(plan2.contains("dynamicpruning"),
+      s"expected dynamic partition pruning at nprobe=2:\n$plan2")
   }
 
   test("dHash: encoding-invariant, resize-stable within tolerance, distinct images far") {
