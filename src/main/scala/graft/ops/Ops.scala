@@ -502,10 +502,32 @@ object Ops {
   def funnelSinglePass(events: DataFrame, keyCol: String, stepCol: String,
                        tsCol: String, steps: Seq[String],
                        maxGap: Option[Column] = None): DataFrame = {
-    require(steps.nonEmpty && steps.distinct.size == steps.size,
-      s"steps must be non-empty and distinct: $steps")
     val spark = events.sparkSession
     import spark.implicits._
+    val counted = funnelCompletions(events, keyCol, stepCol, tsCol, steps, maxGap)
+      .select(posexplode(col("__done")).as(Seq("__i", "__t")))
+      .groupBy(col("__i")).agg(count(col("__t")).as("__n"))
+    // left-join a literal steps frame so every step reports (0 on an
+    // empty log), matching the k-scan variant's always-k-rows output
+    steps.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("step_idx", "step")
+      .join(counted, col("step_idx") === col("__i"), "left")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("__n"), lit(0L)).as("n_keys"))
+      .orderBy("step_idx")
+  }
+
+  /** Per-key step-completion times — the single-pass funnel core:
+    * step-filtered events cross one hash exchange on the key, each
+    * key's time-ordered event list folds through the running min
+    * chain. Returns (__k, __done: array of k completion timestamps,
+    * null = step not reached). */
+  private def funnelCompletions(events: DataFrame, keyCol: String,
+                                stepCol: String, tsCol: String,
+                                steps: Seq[String],
+                                maxGap: Option[Column]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
     val k = steps.size
     val base = events.select(col(keyCol).as("__k"), col(stepCol).as("__s"),
         col(tsCol).as("__t"))
@@ -515,7 +537,7 @@ object Ops {
       .agg(array_sort(collect_list(struct(col("__t").as("t"), col("__s").as("s"))))
         .as("__evs"))
     val init = array((0 until k).map(_ => lit(null).cast(tsType)): _*)
-    val folded = evs.select(
+    evs.select(col("__k"),
       aggregate(col("__evs"), init, (acc, e) => array((0 until k).map { i =>
         val prevOk =
           if (i == 0) lit(true)
@@ -528,16 +550,38 @@ object Ops {
         coalesce(acc.getItem(i),
           when(e.getField("s") === steps(i) && prevOk, e.getField("t")))
       }: _*)).as("__done"))
-    val counted = folded
-      .select(posexplode(col("__done")).as(Seq("__i", "__t")))
-      .groupBy(col("__i")).agg(count(col("__t")).as("__n"))
-    // left-join a literal steps frame so every step reports (0 on an
-    // empty log), matching the k-scan variant's always-k-rows output
+  }
+
+  /** Time-to-convert per funnel step: for every key that reached step
+    * i, the elapsed time from its step-0 completion, reported as
+    * EXACT integer microseconds (n_keys, sum_us, max_us — mean is
+    * sum/n for the consumer; exact integers keep the result
+    * partitioning-independent and oracle-replayable, the Exprs.dsum
+    * principle applied to durations). Same one-scan plan as
+    * [[funnelSinglePass]] — the fold already carries every step's
+    * completion time, so timings are one projection away; the k-scan
+    * variant would need k more joins to assemble the same rows. */
+  def funnelTimings(events: DataFrame, keyCol: String, stepCol: String,
+                    tsCol: String, steps: Seq[String],
+                    maxGap: Option[Column] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val done = funnelCompletions(events, keyCol, stepCol, tsCol, steps, maxGap)
+    val timed = done
+      .select(posexplode(col("__done")).as(Seq("__i", "__t")),
+        unix_micros(col("__done").getItem(0)).as("__t0"))
+      .filter(col("__t").isNotNull)
+      .select(col("__i"), (unix_micros(col("__t")) - col("__t0")).as("__us"))
+      .groupBy(col("__i"))
+      .agg(count(lit(1)).as("__n"), sum(col("__us")).as("__sum"),
+        max(col("__us")).as("__max"))
     steps.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("step_idx", "step")
-      .join(counted, col("step_idx") === col("__i"), "left")
+      .join(timed, col("step_idx") === col("__i"), "left")
       .select(col("step_idx"), col("step"),
-        coalesce(col("__n"), lit(0L)).as("n_keys"))
+        coalesce(col("__n"), lit(0L)).as("n_keys"),
+        coalesce(col("__sum"), lit(0L)).as("sum_us"),
+        coalesce(col("__max"), lit(0L)).as("max_us"))
       .orderBy("step_idx")
   }
 

@@ -708,6 +708,16 @@ object CoreQueries {
       Ops.funnelSinglePass(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("signup", "view", "click", "purchase"))),
 
+    // X8d — time-to-convert: per completed step, elapsed time from
+    // step-0 completion in EXACT integer microseconds (sum + max;
+    // mean = sum/n for the consumer) under the same 3-day conversion
+    // window as x8_funnel_windowed. One scan — the timings are a
+    // projection over the single-pass fold's completion array.
+    "x8_funnel_timing" -> ((s, dir) =>
+      Ops.funnelTimings(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"),
+        maxGap = Some(expr("INTERVAL 3 DAYS")))),
+
     // K9 — Z-order clustering keys (io.ZOrder): the 2-D and 3-D Morton
     // interleaves behind writeZOrdered, checked value-for-value — pure
     // 64-bit integer bit math, so DuckDB replays it exactly. The layout
@@ -728,12 +738,11 @@ object CoreQueries {
     "bad_type" -> (col("event_type") === "error"),
     "value_range" -> (col("value") > 450))
 
-  /** Funnel oracle, shared by x8_funnel / x8_funnel_1pass (no window)
-    * and x8_funnel_windowed (`gapFmt` carries the per-step conversion-
-    * window clause with a %d for the previous step index). */
-  private def FunnelOracleSql(gapFmt: String): String = {
+  /** Shared funnel-chain CTEs (`gapFmt` carries the per-step
+    * conversion-window clause with a %d for the previous step index). */
+  private def funnelCtes(gapFmt: String): String = {
     def gap(prev: Int) = gapFmt.format(prev)
-    s"""WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+    s"""s0 AS (SELECT user_id, min(ts) AS t FROM events
        |  WHERE event_type = 'signup' GROUP BY 1),
        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
        |  JOIN s0 USING (user_id)
@@ -743,11 +752,35 @@ object CoreQueries {
        |  WHERE e.event_type = 'click' AND e.ts > s1.t${gap(1)} GROUP BY 1),
        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
        |  JOIN s2 USING (user_id)
-       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t${gap(2)} GROUP BY 1)
+       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t${gap(2)} GROUP BY 1)""".stripMargin
+  }
+
+  /** Funnel oracle, shared by x8_funnel / x8_funnel_1pass (no window)
+    * and x8_funnel_windowed. */
+  private def FunnelOracleSql(gapFmt: String): String =
+    s"""WITH ${funnelCtes(gapFmt)}
        |SELECT 0::BIGINT AS step_idx, 'signup' AS step, (SELECT count(*) FROM s0)::BIGINT AS n_keys
        |UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+       |ORDER BY step_idx""".stripMargin
+
+  /** Time-to-convert oracle: elapsed micros from the step-0 completion
+    * per reached step, exact integers (sum + max). */
+  private def FunnelTimingOracleSql(gapFmt: String): String = {
+    def arm(i: Int, name: String) =
+      s"""SELECT $i, '$name', (SELECT count(*) FROM s$i),
+         |  coalesce((SELECT sum(epoch_us(s$i.t) - epoch_us(s0.t))
+         |    FROM s$i JOIN s0 USING (user_id)), 0)::BIGINT,
+         |  coalesce((SELECT max(epoch_us(s$i.t) - epoch_us(s0.t))
+         |    FROM s$i JOIN s0 USING (user_id)), 0)::BIGINT""".stripMargin
+    s"""WITH ${funnelCtes(gapFmt)}
+       |SELECT 0::BIGINT AS step_idx, 'signup' AS step,
+       |  (SELECT count(*) FROM s0)::BIGINT AS n_keys,
+       |  0::BIGINT AS sum_us, 0::BIGINT AS max_us
+       |UNION ALL ${arm(1, "view")}
+       |UNION ALL ${arm(2, "click")}
+       |UNION ALL ${arm(3, "purchase")}
        |ORDER BY step_idx""".stripMargin
   }
 
@@ -1190,6 +1223,7 @@ object CoreQueries {
     "x8_funnel" -> FunnelOracleSql(""),
     "x8_funnel_1pass" -> FunnelOracleSql(""),
     "x8_funnel_windowed" -> FunnelOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
+    "x8_funnel_timing" -> FunnelTimingOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
     "x7_preference_pairs" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rb,

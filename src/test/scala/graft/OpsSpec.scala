@@ -356,4 +356,29 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(empty == Seq((0L, "a", 0L), (1L, "b", 0L)))
   }
+
+  test("funnelTimings: exact micros from step-0 completion, unreached steps zeroed") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val min = 60L * 1000000L
+    val log = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(3)), (1L, "c", ts(6)), // b +2min, c +5min
+      (2L, "a", ts(2)), (2L, "b", ts(3)),                   // b +1min
+      (3L, "a", ts(5)))                                     // a only
+      .toDF("user_id", "event_type", "ts")
+    val out = Ops.funnelTimings(log, "user_id", "event_type", "ts",
+        Seq("a", "b", "c")).orderBy("step_idx")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, "a", 3L, 0L, 0L),
+      (1L, "b", 2L, 3 * min, 2 * min),
+      (2L, "c", 1L, 5 * min, 5 * min)), s"got $out")
+    // a conversion window prunes the slow key's timing row too
+    val gated = Ops.funnelTimings(log, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"), maxGap = Some(expr("INTERVAL 1 MINUTES")))
+      .orderBy("step_idx").as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(gated == Seq(
+      (0L, "a", 3L, 0L, 0L),
+      (1L, "b", 1L, min, min),
+      (2L, "c", 0L, 0L, 0L)), s"got $gated")
+  }
 }
