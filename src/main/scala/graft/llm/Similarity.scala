@@ -311,6 +311,65 @@ object Similarity {
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assignments"))
 
+  /** Assign vectors to their nearest cluster by exact integer L2²
+    * against a FROZEN centroid table (mean vectors = floor(s/cnt),
+    * the kmeansClusters update rule) — the production labeling step
+    * for new batches against a trained coarse quantizer. Centroids
+    * collect bounded (nlist × dim rows, the k-means contract) and
+    * inline as literals into a codegen'd map-side argmin: no join, no
+    * exchange, ties break on the lower label. Returns (idCol, label). */
+  def assignClusters(df: DataFrame, idCol: String, embCol: String,
+                     cent: DataFrame): DataFrame = {
+    val rows = cent.select(col("label").cast("long"), col("pos").cast("int"),
+        col("s").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getLong(3)))
+    require(rows.nonEmpty, "assignClusters: empty centroid table")
+    val cents = rows.groupBy(_._1).toSeq.map { case (label, ps) =>
+      label -> ps.sortBy(_._2).map { case (_, _, s, cnt) =>
+        math.floorDiv(s, math.max(cnt, 1L))
+      }.toSeq
+    }.sortBy(_._1)
+    val eq = quantize(col(embCol))
+    val best = array_min(array(cents.map { case (label, c) =>
+      val carr = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(eq, carr, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist"),
+        lit(label).as("lbl"))
+    }: _*)).getField("lbl")
+    df.select(col(idCol), best.as("label"))
+  }
+
+  /** Append a new batch to a persisted IVF index WITHOUT rebuilding —
+    * the daily-embedding-delta path: quantized assignments append as
+    * new files under their clusters' partition directories (the base
+    * index is never rewritten or rescanned), and the (tiny) centroid
+    * sum table merges additively — sums and counts are exact integers,
+    * so index-after-append EQUALS index-rebuilt-from-scratch
+    * bit-for-bit, and so does every serving answer (spec'd; the
+    * llm_ann_ivf_append oracle row shares the full-build oracle).
+    * `labelCol` carries the batch's cluster ids; for a learned
+    * quantizer, label the batch first with [[assignClusters]] against
+    * the frozen centroid table — the standard IVF practice (the coarse
+    * quantizer does not drift with appends; retrain is a deliberate
+    * offline rebuild). */
+  def appendToIvfIndex(df: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
+    eqNew.write.mode("append").partitionBy("label")
+      .parquet(s"$path/assignments")
+    // eager checkpoint cuts the lineage to the old centroid files so
+    // the overwrite below cannot read-while-writing its own input
+    val merged = spark.read.parquet(s"$path/centroids")
+      .unionByName(centNew)
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
   /** ANN against a pre-built index — the serving path. Same math as
     * [[ivfTopK]] (differential-spec'd equal); the index frames come
     * from [[buildIvfIndex]] or [[readIvfIndex]].

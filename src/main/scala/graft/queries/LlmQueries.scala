@@ -211,6 +211,26 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Incremental index maintenance: build the index on HALF the
+    // corpus, append the other half (new files under the touched
+    // cluster partitions + additive exact-integer centroid merge — the
+    // base index is never rewritten), then serve. Sums and counts are
+    // exact integers, so the appended index answers IDENTICALLY to a
+    // full build — the shared IVF oracle checks exactly that.
+    "llm_ann_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_app").toString
+      Similarity.persistIvfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", path)
+      Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label", path)
+      val (cent, eq) = Similarity.readIvfIndex(s, path)
+      Similarity.ivfTopKIndexed(cent, eq, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The nprobe quality ledger: recall@3 of IVF serving at nprobe=1
     // vs nprobe=2 against exact brute force, on a disjoint
     // query/candidate split — proves the multi-probe knob buys recall
@@ -1320,6 +1340,7 @@ object LlmQueries {
     "llm_ann_ivf_indexed" -> IvfOracleSql,
     "llm_ann_ivf" -> IvfOracleSql,
     "llm_ann_ivf_probe2" -> ivfOracleSql(2),
+    "llm_ann_ivf_append" -> IvfOracleSql,
     "llm_ann_ivf_recall" -> IvfRecallOracleSql,
     // ground truth by construction: the 3 variants of each image group
     // (doc_id // 3) must pair with each other and with nothing else

@@ -570,6 +570,41 @@ class LlmSpec extends SparkSpec {
     assert(pairs == expected, s"diff: ${pairs.diff(expected)} / ${expected.diff(pairs)}")
   }
 
+  test("appendToIvfIndex: appended index equals full rebuild; assignClusters labels by frozen centroids") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 6).flatMap { c =>
+      (0 until 20).map(i => (c * 100L + i, vec(c.toFloat - 3), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val (base, delta) = (df.filter(col("vec_id") % 2 === 0),
+      df.filter(col("vec_id") % 2 === 1))
+    val incPath = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    Similarity.persistIvfIndex(base, "vec_id", "embedding", "label", incPath)
+    Similarity.appendToIvfIndex(delta, "vec_id", "embedding", "label", incPath)
+    val fullPath = java.nio.file.Files.createTempDirectory("ivffull").toString + "/idx"
+    Similarity.persistIvfIndex(df, "vec_id", "embedding", "label", fullPath)
+    val (centI, eqI) = Similarity.readIvfIndex(spark, incPath)
+    val (centF, eqF) = Similarity.readIvfIndex(spark, fullPath)
+    // exact-integer centroid merge: appended == rebuilt, bit for bit
+    assert(centI.orderBy("label", "pos").collect().toSeq ==
+      centF.orderBy("label", "pos").collect().toSeq)
+    assert(eqI.select("cid").orderBy("cid").collect().toSeq ==
+      eqF.select("cid").orderBy("cid").collect().toSeq)
+    // and so does every serving answer
+    val queries = df.filter(col("vec_id") === 100L || col("vec_id") === 300L)
+    val servedI = Similarity.ivfTopKIndexed(centI, eqI, queries,
+      "vec_id", "embedding", k = 3).orderBy("qid", "rank").collect().toSeq
+    val servedF = Similarity.ivfTopKIndexed(centF, eqF, queries,
+      "vec_id", "embedding", k = 3).orderBy("qid", "rank").collect().toSeq
+    assert(servedI == servedF)
+    // frozen-quantizer labeling: every vector routes to its own cluster
+    val labels = Similarity.assignClusters(df, "vec_id", "embedding", centF)
+      .as[(Long, Long)].collect().toMap
+    assert(rows.forall { case (id, _, c) => labels(id) == c },
+      "assignClusters must recover the generating cluster")
+  }
+
   test("ivfTopKIndexed nprobe: boundary query recovered at 2, full probe equals brute force") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(_ => base)
