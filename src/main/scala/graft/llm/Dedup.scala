@@ -511,21 +511,23 @@ object Dedup {
       .distinct()
   }
 
-  /** Image near-dup pairs over 64-bit perceptual hashes
-    * ([[Multimodal.ImageIoDecoder.dHash]] rows: id, dhash nullable) —
-    * SimHash banding transplanted to pixels: split the hash into 8
-    * bands of 8 bits; by pigeonhole any pair within Hamming distance 7
-    * shares an intact band, so the band equi-join buckets every
-    * candidate at that radius with no pair enumeration, then the exact
-    * Hamming check keeps pairs ≤ `maxHamming`. Same capped
-    * one-exchange pair expansion as [[simHashPairs]] (the hash rides
-    * in the collected struct — no join back); undecodable images
-    * (null hash) drop out up front. At 100 TB the dHash pass is
-    * map-side mapPartitions on the scan and THIS is the only exchange:
-    * one hash partitioning on the band key. */
-  def imageNearDupPairs(hashes: DataFrame, idCol: String,
-                        hashCol: String = "dhash", maxHamming: Int = 6,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  /** Generic banded near-dup pairs over 64-bit perceptual hashes
+    * (id, hash nullable) — SimHash banding for any media fingerprint:
+    * split the hash into 8 bands of 8 bits; by pigeonhole any pair
+    * within Hamming distance 7 shares an intact band, so the band
+    * equi-join buckets every candidate at that radius with no pair
+    * enumeration, then the exact Hamming check keeps pairs ≤
+    * `maxHamming`. Same capped one-exchange pair expansion as
+    * [[simHashPairs]] (the hash rides in the collected struct — no
+    * join back); undecodable assets (null hash) drop out up front. At
+    * 100 TB the hash pass is map-side mapPartitions on the scan and
+    * THIS is the only exchange: one hash partitioning over 8 tiny
+    * (id, hash) band rows per asset — the shuffle carries fingerprints,
+    * never pixels or samples. Entry points: [[imageNearDupPairs]]
+    * (dHash), [[audioNearDupPairs]] (energy envelope). */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String,
+                         hashCol: String, maxHamming: Int = 6,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 7,
       s"8-band bucketing only guarantees recall up to Hamming distance 7; got $maxHamming")
     val h = hashes.filter(col(hashCol).isNotNull)
@@ -542,6 +544,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Image near-dup pairs over [[Multimodal.ImageIoDecoder.dHash]]
+    * rows — see [[bandedHammingPairs]] for the machinery and scale
+    * story. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String,
+                        hashCol: String = "dhash", maxHamming: Int = 6,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedHammingPairs(hashes, idCol, hashCol, maxHamming, maxBucket)
+
+  /** Audio near-dup pairs over [[Multimodal.WavDecoder.energyFingerprint]]
+    * rows — amplitude-invariant by the fingerprint's difference coding,
+    * same banded machinery. */
+  def audioNearDupPairs(hashes: DataFrame, idCol: String,
+                        hashCol: String = "afp", maxHamming: Int = 6,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedHammingPairs(hashes, idCol, hashCol, maxHamming, maxBucket)
 
   /** Shared block-size cap, interpolated into the DuckDB oracle SQL so
     * the two engines can't silently drift (Similarity.DefaultMaxBucket

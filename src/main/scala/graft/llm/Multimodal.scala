@@ -223,6 +223,50 @@ object Multimodal {
     def resize(bytes: Array[Byte], width: Int, height: Int): Array[Byte] =
       throw new UnsupportedOperationException(
         "JDK javax.sound has no resampler — route audio resize to an external kernel")
+
+    /** Energy-envelope fingerprint — dHash's idea applied to audio:
+      * split the 16-bit PCM stream into `windows` equal windows, sum
+      * |sample| per window (exact integer), emit one bit per adjacent
+      * window pair (earlier louder → 1): windows−1 bits. Difference
+      * coding makes the fingerprint AMPLITUDE-INVARIANT (a re-mastered
+      * louder/quieter copy keeps every comparison, up to integer
+      * truncation ties — the banded search's Hamming tolerance), and
+      * it is exact-integer throughout, so a given PCM stream always
+      * fingerprints identically. Non-PCM-16 or undecodable bytes →
+      * None (skippable row). Feeds [[Dedup.audioNearDupPairs]]. */
+    def energyFingerprint(bytes: Array[Byte], windows: Int = 64): Option[Long] = {
+      require(windows >= 2 && windows <= 64, s"windows in [2,64]: $windows")
+      stream(bytes) match {
+        case None => None
+        case Some(s) => try {
+          val f = s.getFormat
+          if (f.getSampleSizeInBits != 16) None
+          else {
+            val data = s.readAllBytes()
+            val n = data.length / 2
+            if (n < windows) None
+            else {
+              val e = new Array[Long](windows)
+              var i = 0
+              while (i < n) {
+                val v: Int =
+                  if (f.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+                  else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+                e((i * windows) / n) += math.abs(v)
+                i += 1
+              }
+              var h = 0L
+              var w = 0
+              while (w < windows - 1) {
+                if (e(w) > e(w + 1)) h |= 1L << w
+                w += 1
+              }
+              Some(h)
+            }
+          }
+        } finally s.close()
+      }
+    }
   }
 
   case class ResizedMedia(id: Long, width: Int, height: Int, content: Array[Byte])
@@ -274,6 +318,19 @@ object Multimodal {
       .toDF(idCol, "dhash")
   }
 
+  /** Partition-parallel audio energy fingerprints — the audio twin of
+    * [[dHashes]]. Feeds [[Dedup.audioNearDupPairs]]. */
+  def audioFingerprints(spark: SparkSession, df: DataFrame, idCol: String,
+                        binCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        DHashRow(id, WavDecoder.energyFingerprint(bytes))
+      })
+      .toDF(idCol, "afp")
+  }
+
   /** Deterministic synthetic image for tests and harness fixtures
     * (this container ships no real image corpus): an 8×8 grid of
     * grayscale cells whose bytes come from md5("img:gid:block"), drawn
@@ -295,6 +352,43 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic PCM WAV for tests and harness fixtures —
+    * the audio twin of [[syntheticImage]]: a 440 Hz tone
+    * amplitude-modulated by a 64-segment envelope whose levels come
+    * from md5("wav:gid:block"), 1 s at 8 kHz mono 16-bit. The envelope
+    * depends only on RELATIVE position, so re-renders of one `gid` at
+    * different master volumes (`ampDiv`) or with ±1 LSB dither
+    * (`dither`) are the same recording (near-dup ground truth) while
+    * distinct gids are uncorrelated. StrictMath.sin keeps the samples
+    * reproducible on any JVM. */
+  def syntheticWav(gid: Long, ampDiv: Int = 1, dither: Boolean = false): Array[Byte] = {
+    require(ampDiv >= 1, s"ampDiv >= 1: $ampDiv")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val env = (0 until 4).flatMap { blk =>
+      md.digest(s"wav:$gid:$blk".getBytes("UTF-8")).toSeq
+    }.map(b => (b & 0xff) + 1)
+    val perSeg = 125
+    val n = 64 * perSeg
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = env(i / perSeg) * 100
+      val base = StrictMath.sin(2 * StrictMath.PI * i * 440.0 / 8000.0) * amp
+      val d = if (dither) (((i * 1103515245L + 12345L) >>> 16) & 1L).toInt * 2 - 1 else 0
+      val v = (base.toInt / ampDiv + d).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

@@ -303,6 +303,30 @@ object LlmQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Audio near-dup over REAL PCM decode: deterministic synthetic
+    // WAVs (3 variants per group: original, half-volume re-master,
+    // ±1 LSB dithered) -> javax.sound decode -> amplitude-invariant
+    // energy-envelope fingerprint -> banded Hamming pair search. Same
+    // construction-ground-truth oracle contract as llm_image_neardup.
+    "llm_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 90).as[Long]
+      val wavs = ids.mapPartitions(_.map { id =>
+        val gid = id / 3
+        val bytes = (id % 3) match {
+          case 0 => Multimodal.syntheticWav(gid)
+          case 1 => Multimodal.syntheticWav(gid, ampDiv = 2)
+          case _ => Multimodal.syntheticWav(gid, dither = true)
+        }
+        (id, bytes)
+      }).toDF("doc_id", "content")
+      Dedup.audioNearDupPairs(
+          Multimodal.audioFingerprints(s, wavs, "doc_id", "content"), "doc_id")
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "llm_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockExpr = concat(col("lang"), lit("_"), expr("n_chars div 25").cast("string")),
@@ -1146,6 +1170,16 @@ object LlmQueries {
 
   private lazy val IvfOracleSql: String = ivfOracleSql(1)
 
+  /** Ground truth by construction for the media near-dup rows: the 3
+    * variants of each fixture group (doc_id // 3) must pair with each
+    * other and with nothing else. */
+  private lazy val MediaGroupPairsOracleSql: String =
+    """SELECT d1.doc_id AS a, d2.doc_id AS b
+      |FROM documents d1 JOIN documents d2
+      |  ON d1.doc_id // 3 = d2.doc_id // 3 AND d1.doc_id < d2.doc_id
+      |WHERE d1.doc_id < 90 AND d2.doc_id < 90
+      |ORDER BY a, b""".stripMargin
+
   /** Recall@3 oracle for IVF nprobe=1 vs nprobe=2 on the disjoint
     * query (vec_id < 100) / candidate (>= 100) split. */
   private lazy val IvfRecallOracleSql: String =
@@ -1344,12 +1378,8 @@ object LlmQueries {
     "llm_ann_ivf_recall" -> IvfRecallOracleSql,
     // ground truth by construction: the 3 variants of each image group
     // (doc_id // 3) must pair with each other and with nothing else
-    "llm_image_neardup" ->
-      """SELECT d1.doc_id AS a, d2.doc_id AS b
-        |FROM documents d1 JOIN documents d2
-        |  ON d1.doc_id // 3 = d2.doc_id // 3 AND d1.doc_id < d2.doc_id
-        |WHERE d1.doc_id < 90 AND d2.doc_id < 90
-        |ORDER BY a, b""".stripMargin,
+    "llm_image_neardup" -> MediaGroupPairsOracleSql,
+    "llm_audio_neardup" -> MediaGroupPairsOracleSql,
     "llm_dedup_embedding" ->
       s"""WITH $embPairsCtes
          |SELECT a, b, cosine FROM escored ORDER BY a, b""".stripMargin,

@@ -549,6 +549,48 @@ class LlmSpec extends SparkSpec {
     assert(ImageIoDecoder.dHash("not an image".getBytes).isEmpty)
   }
 
+  test("energyFingerprint: amplitude-invariant within tolerance, distinct recordings far") {
+    import graft.llm.Multimodal._
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = WavDecoder.energyFingerprint(syntheticWav(5L)).get
+    // same recording mastered at half and quarter volume — difference
+    // coding keeps the envelope comparisons, integer truncation may
+    // flip ties only
+    val half = WavDecoder.energyFingerprint(syntheticWav(5L, ampDiv = 2)).get
+    val quarter = WavDecoder.energyFingerprint(syntheticWav(5L, ampDiv = 4)).get
+    assert(ham(half, base) <= 4, s"half-volume drift ${ham(half, base)}")
+    assert(ham(quarter, base) <= 4, s"quarter-volume drift ${ham(quarter, base)}")
+    // ±1 LSB dither is inaudible to the envelope
+    val dithered = WavDecoder.energyFingerprint(syntheticWav(5L, dither = true)).get
+    assert(ham(dithered, base) <= 4, s"dither drift ${ham(dithered, base)}")
+    // distinct recordings are uncorrelated (~31 of 63 bits differ)
+    val other = WavDecoder.energyFingerprint(syntheticWav(6L)).get
+    assert(ham(other, base) > 12, s"distinct too close: ${ham(other, base)}")
+    // non-audio bytes and too-short streams are skippable, never throws
+    assert(WavDecoder.energyFingerprint("noise".getBytes).isEmpty)
+  }
+
+  test("audioNearDupPairs: re-mastered/dithered variants collide, distinct recordings do not") {
+    import graft.llm.Multimodal
+    val rows = (0L until 30L).map { id =>
+      val gid = id / 3
+      val bytes = (id % 3) match {
+        case 0 => Multimodal.syntheticWav(gid)
+        case 1 => Multimodal.syntheticWav(gid, ampDiv = 2)
+        case _ => Multimodal.syntheticWav(gid, dither = true)
+      }
+      (id, bytes)
+    } :+ (99L, "corrupt".getBytes)
+    val df = rows.toDF("doc_id", "content")
+    val pairs = Dedup.audioNearDupPairs(
+        Multimodal.audioFingerprints(spark, df, "doc_id", "content"), "doc_id")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 10L).flatMap { g =>
+      Seq((3 * g, 3 * g + 1), (3 * g, 3 * g + 2), (3 * g + 1, 3 * g + 2))
+    }.toSet
+    assert(pairs == expected, s"diff: ${pairs.diff(expected)} / ${expected.diff(pairs)}")
+  }
+
   test("imageNearDupPairs: re-encoded/resized variants collide, distinct images do not") {
     import graft.llm.Multimodal
     val rows = (0L until 30L).map { id =>
