@@ -585,6 +585,61 @@ object Ops {
       .orderBy("step_idx")
   }
 
+  /** Weighted PageRank in EXACT integer arithmetic — the graph
+    * centrality staple (behavior graphs, domain link graphs, citation
+    * curation). Ranks live in parts-per-billion integers; each
+    * iteration is floor-division integer math end to end
+    * (contribution = r·w div W, update = ((100−d)·base + d·contrib)
+    * div 100), so the result is partitioning-independent and an
+    * oracle replays it bit-for-bit — the same determinism discipline
+    * as NgramLm's micro-nats. Dangling-node mass leaks (not
+    * redistributed), the common simplification; ranks then sum to
+    * slightly under `scale` — documented, deterministic.
+    *
+    * Scale shape per iteration = one broadcast-or-shuffle join of the
+    * edge list with the (|nodes|-sized) rank frame + one groupBy(dst)
+    * with map-side combine — linear in edges, the Pregel shuffle
+    * profile without driver involvement; per-iteration
+    * localCheckpoints bound lineage like connectedComponents. Fixed
+    * `iters` keeps the computation replayable as unrolled SQL. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: Option[String] = None, iters: Int = 3,
+               dampingPct: Int = 85, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters >= 1: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100]: $dampingPct")
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    // out-weight via a window over the edge frame (not a groupBy
+    // self-join — avoids duplicate-lineage attribute ambiguity and an
+    // extra join); checkpointed once, reused by every iteration
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        w.as("__w"))
+      .withColumn("__ow", sum(col("__w")).over(Window.partitionBy(col("__src"))))
+      .localCheckpoint(false)
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst")))
+      .distinct().localCheckpoint(false)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = scale / n
+    var ranks = nodes.withColumn("r", lit(base))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .select(col("__dst").as("node"),
+          expr("r * __w div __ow").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__c"), lit(0L)).as("__c"))
+        // `div`, never `/`: Column./ is DOUBLE division — the exact
+        // integer chain must stay integral (contaminationReport rule)
+        .select(col("node"), expr(
+          s"(${100L - dampingPct}L * ${base}L + ${dampingPct}L * __c) div 100")
+          .as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("node"), col("r").as("rank_ppb"))
+  }
+
   /** Exact-sum Pearson correlation: every sum (x, y, x², y², xy) goes
     * through the exact decimal path, so the only floating-point steps
     * are the FINAL combining ops — identical on any engine, unlike

@@ -683,6 +683,21 @@ object CoreQueries {
         .orderBy(col("event_type"), col("next_type"))
     }),
 
+    // X10 — weighted PageRank over the event-transition graph (the x9
+    // bigram counts as edges): exact parts-per-billion integer ranks,
+    // 3 unrolled iterations replayed bit-for-bit by the oracle.
+    "x10_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      Ops.pageRank(edges, "event_type", "next_type", Some("n"), iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // X8 — funnel analysis: users completing each prefix of
     // signup -> view -> click -> purchase with earliest-completion
     // semantics (each step strictly after the previous one's time).
@@ -737,6 +752,36 @@ object CoreQueries {
   private def eventChecks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "bad_type" -> (col("event_type") === "error"),
     "value_range" -> (col("value") > 450))
+
+  /** PageRank oracle: the x9 transition CTE as the edge list, then
+    * `iters` unrolled exact-integer iterations (mirrors Ops.pageRank:
+    * contribution r·n div W, update (15·base + 85·c) div 100). */
+  private def PageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT tr.next_type AS node,
+         |  CAST(sum(r${i - 1}.r * tr.n // outw.W) AS BIGINT) AS c
+         |  FROM tr JOIN outw ON tr.event_type = outw.src
+         |  JOIN r${i - 1} ON r${i - 1}.node = tr.event_type GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |  (15 * (SELECT base FROM b) + 85 * coalesce(c$i.c, 0)) // 100 AS r
+         |  FROM nodes LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT event_type, next_type, count(*)::BIGINT AS n FROM (
+       |    SELECT event_type, lead(event_type, 1) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |    FROM events) t
+       |  WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT event_type AS node FROM tr
+       |  UNION ALL SELECT next_type FROM tr) u),
+       |b AS (SELECT 1000000000 // count(*) AS base FROM nodes),
+       |outw AS (SELECT event_type AS src, CAST(sum(n) AS BIGINT) AS W
+       |  FROM tr GROUP BY 1),
+       |r0 AS (SELECT node, (SELECT base FROM b)::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT node, r::BIGINT AS rank_ppb FROM r$iters ORDER BY node""".stripMargin
+  }
 
   /** Shared funnel-chain CTEs (`gapFmt` carries the per-step
     * conversion-window clause with a %d for the previous step index). */
@@ -1224,6 +1269,7 @@ object CoreQueries {
     "x8_funnel_1pass" -> FunnelOracleSql(""),
     "x8_funnel_windowed" -> FunnelOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
     "x8_funnel_timing" -> FunnelTimingOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
+    "x10_pagerank" -> PageRankOracleSql(3),
     "x7_preference_pairs" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rb,

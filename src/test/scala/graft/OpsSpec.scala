@@ -357,6 +357,35 @@ class OpsSpec extends SparkSpec {
     assert(empty == Seq((0L, "a", 0L), (1L, "b", 0L)))
   }
 
+  test("pageRank: hand-computed exact integer ranks, partitioning-independent") {
+    // A -> B, A -> C, B -> C, C -> A (unit weights); base = 1e9/3
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val b = 333333333L
+    // iter 1 by hand: contrib(B) = b div 2; contrib(C) = b div 2 + b;
+    // contrib(A) = b; update = (15b + 85c) div 100
+    val expected = Map(
+      "A" -> (15 * b + 85 * b) / 100,
+      "B" -> (15 * b + 85 * (b / 2)) / 100,
+      "C" -> (15 * b + 85 * (b / 2 + b)) / 100)
+    val got = Ops.pageRank(edges, "src", "dst", Some("w"), iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected, s"got $got")
+    // exact integer chain => identical under any partitioning
+    val again = Ops.pageRank(edges.repartition(7), "src", "dst", Some("w"), iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(again == got)
+    // more iterations keep total mass bounded by scale (dangling-free
+    // graph here; leak comes only from floor rounding)
+    val r3 = Ops.pageRank(edges, "src", "dst", Some("w"), iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3.values.sum <= 1000000000L && r3.values.forall(_ > 0))
+    // unweighted defaults to weight 1 == explicit unit weights
+    val unw = Ops.pageRank(edges.drop("w"), "src", "dst", None, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(unw == got)
+  }
+
   test("funnelTimings: exact micros from step-0 completion, unreached steps zeroed") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val min = 60L * 1000000L
