@@ -170,6 +170,67 @@ object Text {
     docs.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** BM25 relevance scores for a literal query-term set — the keyword
+    * retrieval scorer (Robertson/Spärck Jones), giving the engine a
+    * search surface over the corpus: score(d) = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 + (N − df
+    * + 0.5)/(df + 0.5)) — the Lucene convention: strictly positive, so
+    * a term common in the corpus discounts, never punishes, a match.
+    * idf is quantized to micro-nats (floor(ln·1e6)/1e6): JVM Math.log
+    * and C libm disagree in the last ulp on some arguments (measured:
+    * 178/500 raw scores), and the quantization confines that to the
+    * |terms| idf values — the same caveat and floor-boundary odds as
+    * NgramLm.lp_micro, already guarded there.
+    *
+    * Determinism discipline: every corpus statistic (N, Σdl, df per
+    * term) is an EXACT integer from ONE aggregation row (broadcast —
+    * never a per-term shuffle), and the floating-point steps are a
+    * FIXED-order fold over the literal term list (terms are columns of
+    * one row, not rows of a group — a float groupBy-sum would be
+    * partition-order-dependent). Composite constants are spelled as
+    * arithmetic (k1 + 1, 1 − b), never pre-folded literals, so the
+    * oracle performs the identical IEEE sequence. ln carries the same
+    * libm caveat as NgramLm.lp_micro. Docs with none of the terms
+    * score exactly 0.0 (tf = 0 zeroes each addend). Query terms are
+    * matched as whole lowercase tokens of [[words]].
+    *
+    * Scale: one projection pass for the stats row, one map-side pass
+    * for scores; per-term tf is an array scan of the doc's own tokens.
+    * Top-k retrieval composes as orderBy(score desc, id).limit(k) —
+    * TakeOrderedAndProject, no global sort. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"terms must be non-empty and distinct: $terms")
+    val ws = words(col(textCol))
+    val dl = size(ws).cast(DoubleType)
+    def tf(t: String) =
+      size(filter(ws, w => w === lit(t))).cast(DoubleType)
+    val proj = docs.select((size(ws).cast(LongType).as("__dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        (tf(t) > 0).cast(LongType).as(s"__in$i")
+      }): _*)
+    val stats = proj.agg(count(lit(1)).as("__N"),
+      (sum(col("__dl")).as("__tdl") +:
+        terms.indices.map(i => sum(col(s"__in$i")).as(s"__df$i"))): _*)
+    val n = col("__N").cast(DoubleType)
+    val avgdl = col("__tdl").cast(DoubleType) / n
+    val score = terms.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (t, i)) =>
+      val df = col(s"__df$i").cast(DoubleType)
+      // idf quantized to micro-nats (floor): confines the JVM-vs-libm
+      // last-ulp ln divergence to |terms| values instead of every
+      // score (the NgramLm.lp_micro discipline); every other float op
+      // below runs the identical IEEE sequence in both engines over
+      // exact-integer inputs
+      val idf = floor(log(lit(1.0) + (n - df + 0.5) / (df + 0.5)) *
+        lit(1000000.0)).cast(DoubleType) / lit(1000000.0)
+      acc + idf * (tf(t) * (lit(k1) + 1.0)) /
+        (tf(t) + lit(k1) * (lit(1.0) - b + lit(b) * dl / avgdl))
+    }
+    docs.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("bm25"))
+  }
+
   /** Repetition / boilerplate signal: 1 − |distinct shingles| / |shingles|.
     * High values mean the document repeats itself (template spam, lyrics,
     * scraped boilerplate) — a standard cheap quality filter. */

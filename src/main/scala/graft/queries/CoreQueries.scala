@@ -698,6 +698,26 @@ object CoreQueries {
         .orderBy(col("node"))
     }),
 
+    // X11 — gap-filled daily resample: per-user day grid from first to
+    // last activity with zero-filled quiet days — the time-series
+    // regularization every activity model needs before windowed
+    // features. explode(sequence) is map-side and proportional to each
+    // user's own span; the join is a per-user-day equi-join. Dates
+    // travel as strings so both engines compare the same rendering.
+    "x11_gapfill_daily" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("__d"))
+        .groupBy(col("user_id"), col("__d")).agg(count(lit(1)).as("__n"))
+      val spans = daily.groupBy(col("user_id"))
+        .agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      spans.select(col("user_id"),
+          explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+        .join(daily, Seq("user_id", "__d"), "left")
+        .select(col("user_id"), col("__d").cast("string").as("d"),
+          coalesce(col("__n"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("d"))
+    }),
+
     // X8 — funnel analysis: users completing each prefix of
     // signup -> view -> click -> purchase with earliest-completion
     // semantics (each step strictly after the previous one's time).
@@ -1270,6 +1290,18 @@ object CoreQueries {
     "x8_funnel_windowed" -> FunnelOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
     "x8_funnel_timing" -> FunnelTimingOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
     "x10_pagerank" -> PageRankOracleSql(3),
+    "x11_gapfill_daily" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |days AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans)
+        |SELECT days.user_id AS user_id, days.d::VARCHAR AS d,
+        |  coalesce(n, 0)::BIGINT AS n_events
+        |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
+        |ORDER BY 1, 2""".stripMargin,
     "x7_preference_pairs" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rb,

@@ -784,6 +784,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 keyword relevance over the corpus — the retrieval scorer as
+    // an engine surface. Corpus stats (N, total dl, per-term df) are
+    // exact integers from one broadcast row; the float fold runs in
+    // fixed term order, so DuckDB replays the identical IEEE sequence
+    // (constants forced to DOUBLE in the oracle — DuckDB decimal
+    // literals would otherwise pre-fold 1.2 + 1 exactly).
+    "llm_bm25" -> ((s, dir) =>
+      Text.bm25(t(s, dir, "documents"), "doc_id", "text", BmQueryTerms)
+        .orderBy(col("doc_id"))),
+
     // Repetition/boilerplate ratio over 2-gram shingles.
     "llm_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1170,6 +1180,36 @@ object LlmQueries {
 
   private lazy val IvfOracleSql: String = ivfOracleSql(1)
 
+  /** Fixed BM25 query-term set, shared by the Spark query and oracle. */
+  private val BmQueryTerms = Seq("spark", "vector", "hash")
+
+  /** BM25 oracle: every constant cast to DOUBLE so DuckDB performs the
+    * same IEEE double sequence as the Spark fold (its bare decimal
+    * literals are DECIMAL-typed and would pre-fold 1.2 + 1 to an exact
+    * 2.2, a different double than 1.2d + 1.0d). */
+  private lazy val Bm25OracleSql: String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val tfs = BmQueryTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, x -> x = '$t'))::BIGINT AS tf$i"
+    }.mkString(", ")
+    val dfs = BmQueryTerms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    val addends = BmQueryTerms.indices.map { i =>
+      s"(floor(ln(${d("1.0")} + (${d("N")} - ${d(s"df$i")} + ${d("0.5")}) / (${d(s"df$i")} + ${d("0.5")})) * ${d("1000000")}) / ${d("1000000")})" +
+        s" * (${d(s"tf$i")} * (${d("1.2")} + ${d("1.0")}))" +
+        s" / (${d(s"tf$i")} + ${d("1.2")} * (${d("1.0")} - ${d("0.75")}" +
+        s" + ${d("0.75")} * ${d("dl")} / (${d("tdl")} / ${d("N")})))"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+       |  FROM documents),
+       |t AS (SELECT doc_id, len(ws)::BIGINT AS dl, $tfs FROM w),
+       |stats AS (SELECT count(*)::BIGINT AS N, CAST(sum(dl) AS BIGINT) AS tdl,
+       |  $dfs FROM t)
+       |SELECT doc_id, ${d("0.0")} + $addends AS bm25
+       |FROM t, stats ORDER BY doc_id""".stripMargin
+  }
+
   /** Ground truth by construction for the media near-dup rows: the 3
     * variants of each fixture group (doc_id // 3) must pair with each
     * other and with nothing else. */
@@ -1380,6 +1420,7 @@ object LlmQueries {
     // (doc_id // 3) must pair with each other and with nothing else
     "llm_image_neardup" -> MediaGroupPairsOracleSql,
     "llm_audio_neardup" -> MediaGroupPairsOracleSql,
+    "llm_bm25" -> Bm25OracleSql,
     "llm_dedup_embedding" ->
       s"""WITH $embPairsCtes
          |SELECT a, b, cosine FROM escored ORDER BY a, b""".stripMargin,

@@ -549,6 +549,29 @@ class LlmSpec extends SparkSpec {
     assert(ImageIoDecoder.dHash("not an image".getBytes).isEmpty)
   }
 
+  test("bm25: ranks by term hits, zero without terms, partitioning-independent") {
+    import graft.llm.Text
+    val docs = Seq(
+      (1L, "spark spark spark engine engine"),     // 3 hits, len 5
+      (2L, "spark engine engine engine engine"),   // 1 hit, len 5
+      (3L, "engine engine engine engine engine"),  // 0 hits
+      (4L, "spark"),                               // 1 hit, len 1 (short doc boost)
+      (5L, "other words entirely here now"))
+      .toDF("doc_id", "text")
+    val scores = Text.bm25(docs, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores(3L) == 0.0 && scores(5L) == 0.0, "no term -> exactly zero")
+    assert(scores(1L) > scores(2L), "more hits outrank fewer at equal length")
+    assert(scores(4L) > scores(2L), "length normalization boosts the short match")
+    assert(scores.values.forall(_ >= 0.0), "Lucene idf is never negative")
+    val again = Text.bm25(docs.repartition(5), "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(again == scores, "exact-integer stats + fixed-order fold => stable")
+    intercept[IllegalArgumentException] {
+      Text.bm25(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+
   test("energyFingerprint: amplitude-invariant within tolerance, distinct recordings far") {
     import graft.llm.Multimodal._
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
