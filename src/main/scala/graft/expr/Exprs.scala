@@ -175,4 +175,15 @@ object Exprs {
     val lo = sum(round((c - floor(c)) * f).cast(DecimalType(38, 0))).cast(DoubleType)
     hi + lo / f
   }
+
+  /** [[dsum]] over a window frame — the same exact-decimal split so a
+    * rolling float sum is frame-content-deterministic (a plain double
+    * window sum would depend on the frame's evaluation order). */
+  def dsumOver(c: Column, scale: Int,
+               w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val f = math.pow(10, scale)
+    val hi = sum(floor(c).cast(DecimalType(38, 0))).over(w).cast(DoubleType)
+    val lo = sum(round((c - floor(c)) * f).cast(DecimalType(38, 0))).over(w).cast(DoubleType)
+    hi + lo / f
+  }
 }

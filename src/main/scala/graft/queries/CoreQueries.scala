@@ -718,6 +718,23 @@ object CoreQueries {
         .orderBy(col("user_id"), col("d"))
     }),
 
+    // X12 — rolling 7-day window features: per event, the same user's
+    // event count and EXACT value sum over the trailing week — a RANGE
+    // frame on event-time micros (not ROWS: simultaneous events must
+    // share a frame), the standard feature-engineering shape. One hash
+    // exchange + per-user sort; the float sum uses the exact-decimal
+    // split (Exprs.dsumOver) so the rolling sum is deterministic.
+    "x12_rolling_7d" -> ((s, dir) => {
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(us)
+        .rangeBetween(-604800000000L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_7d"),
+          graft.expr.Exprs.dsumOver(col("value"), 2, w).as("sum_value_7d"))
+        .orderBy(col("event_id"))
+    }),
+
     // X8 — funnel analysis: users completing each prefix of
     // signup -> view -> click -> purchase with earliest-completion
     // semantics (each step strictly after the previous one's time).
@@ -1290,6 +1307,16 @@ object CoreQueries {
     "x8_funnel_windowed" -> FunnelOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
     "x8_funnel_timing" -> FunnelTimingOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),
     "x10_pagerank" -> PageRankOracleSql(3),
+    "x12_rolling_7d" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_7d,
+        |  (CAST(sum(CAST(floor(value) AS DECIMAL(38,0))) OVER w AS DOUBLE) +
+        |   CAST(sum(CAST(round((value - floor(value)) * 100) AS DECIMAL(38,0))) OVER w AS DOUBLE)
+        |     / 100.0) AS sum_value_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "x11_gapfill_daily" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*)::BIGINT AS n
         |  FROM events GROUP BY 1, 2),
