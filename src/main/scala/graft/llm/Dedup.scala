@@ -446,10 +446,10 @@ object Dedup {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  def hammingDist(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    (0 until 64).map(b => shiftright(x, b).bitwiseAND(lit(1L))).reduce(_ + _)
-  }
+  /** Exact Hamming distance via the engine's popcount intrinsic (one
+    * codegen'd bit_count vs a 64-term shift/mask chain). */
+  def hammingDist(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b)).cast("long")
 
   /** Signature width for `simHashPairs`. 48 bits (not the display
     * query's 16): split into 4 rotated 12-bit bands, each band key

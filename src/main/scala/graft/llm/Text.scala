@@ -196,27 +196,34 @@ object Text {
     *
     * Scale: one projection pass for the stats row, one map-side pass
     * for scores; per-term tf is an array scan of the doc's own tokens.
-    * Top-k retrieval composes as orderBy(score desc, id).limit(k) —
-    * TakeOrderedAndProject, no global sort. */
+    * The token array and per-term tfs materialize as columns FIRST
+    * (HOF lambdas are interpreted with no CSE — an inline words(text)
+    * would re-split the document once per tf occurrence, the round-9
+    * lesson). Top-k retrieval composes as orderBy(score desc,
+    * id).limit(k) — TakeOrderedAndProject, no global sort. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       s"terms must be non-empty and distinct: $terms")
-    val ws = words(col(textCol))
-    val dl = size(ws).cast(DoubleType)
-    def tf(t: String) =
-      size(filter(ws, w => w === lit(t))).cast(DoubleType)
-    val proj = docs.select((size(ws).cast(LongType).as("__dl") +:
-      terms.zipWithIndex.map { case (t, i) =>
-        (tf(t) > 0).cast(LongType).as(s"__in$i")
-      }): _*)
-    val stats = proj.agg(count(lit(1)).as("__N"),
-      (sum(col("__dl")).as("__tdl") +:
-        terms.indices.map(i => sum(col(s"__in$i")).as(s"__df$i"))): _*)
+    def tokenized(df: DataFrame): DataFrame = {
+      val withWs = df.withColumn("__ws", words(col(textCol)))
+      terms.zipWithIndex.foldLeft(
+        withWs.withColumn("__dl", size(col("__ws")).cast(LongType))) {
+        case (d, (t, i)) => d.withColumn(s"__tf$i",
+          size(filter(col("__ws"), w => w === lit(t))).cast(LongType))
+      }
+    }
+    val stats = tokenized(docs)
+      .agg(count(lit(1)).as("__N"),
+        (sum(col("__dl")).as("__tdl") +:
+          terms.indices.map(i =>
+            sum((col(s"__tf$i") > 0).cast(LongType)).as(s"__df$i"))): _*)
     val n = col("__N").cast(DoubleType)
     val avgdl = col("__tdl").cast(DoubleType) / n
-    val score = terms.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (t, i)) =>
+    val dl = col("__dl").cast(DoubleType)
+    val score = terms.indices.foldLeft(lit(0.0)) { case (acc, i) =>
       val df = col(s"__df$i").cast(DoubleType)
+      val tf = col(s"__tf$i").cast(DoubleType)
       // idf quantized to micro-nats (floor): confines the JVM-vs-libm
       // last-ulp ln divergence to |terms| values instead of every
       // score (the NgramLm.lp_micro discipline); every other float op
@@ -224,10 +231,10 @@ object Text {
       // exact-integer inputs
       val idf = floor(log(lit(1.0) + (n - df + 0.5) / (df + 0.5)) *
         lit(1000000.0)).cast(DoubleType) / lit(1000000.0)
-      acc + idf * (tf(t) * (lit(k1) + 1.0)) /
-        (tf(t) + lit(k1) * (lit(1.0) - b + lit(b) * dl / avgdl))
+      acc + idf * (tf * (lit(k1) + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * dl / avgdl))
     }
-    docs.crossJoin(broadcast(stats))
+    tokenized(docs).crossJoin(broadcast(stats))
       .select(col(idCol), score.as("bm25"))
   }
 
