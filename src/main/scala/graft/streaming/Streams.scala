@@ -52,6 +52,57 @@ object Streams {
       }
   }
 
+  /** Per-user funnel progress state: completion micros per step (None
+    * = not reached). */
+  case class FunnelState(done: Seq[Option[Long]])
+
+  /** A step completion emitted the moment a user first reaches it. */
+  case class StepCompletion(user_id: Long, step_idx: Int, step: String,
+                            ts_us: Long)
+
+  /** Real-time funnel tracking — the streaming twin of
+    * [[graft.ops.Ops.funnelSinglePass]]: per-user
+    * flatMapGroupsWithState holds ONE completion-times array (k
+    * micros, bounded state) and emits a [[StepCompletion]] exactly
+    * once, the moment the running min chain first closes a step;
+    * downstream a per-step count aggregation is the live conversion
+    * dashboard. Batch events are applied in (ts, event_id) order, so
+    * for an in-time-order feed (the RTDB source's push-ID chronology)
+    * the emitted completions EQUAL the batch funnel on the same log —
+    * differential-spec'd across multi-batch feeds. A late event
+    * cannot retroactively improve an already-closed step (state keeps
+    * the first closure) — the standard streaming-vs-batch caveat,
+    * shared with every at-watermark aggregation here. */
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+                   steps: Seq[String]): Dataset[StepCompletion] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepCompletion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[FunnelState]) =>
+          val done = state.getOption.map(_.done.toArray)
+            .getOrElse(Array.fill[Option[Long]](steps.size)(None))
+          val before = done.clone()
+          def micros(e: Event): Long =
+            e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+          for (e <- batch.toSeq.sortBy(e => (micros(e), e.event_id))) {
+            val i = stepIdx(e.event_type)
+            val t = micros(e)
+            if (done(i).isEmpty && (i == 0 || done(i - 1).exists(t > _)))
+              done(i) = Some(t)
+          }
+          state.update(FunnelState(done.toSeq))
+          steps.indices.iterator
+            .filter(i => done(i).isDefined && before(i).isEmpty)
+            .map(i => StepCompletion(uid, i, steps(i), done(i).get))
+      }
+  }
+
   /** Streaming gap sessionization — the native session_window
     * aggregation with a watermark, so state is bounded and sessions
     * finalize once the watermark passes their end. Batch twin:

@@ -70,6 +70,57 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("funnelStream: multi-batch completions equal the batch funnel; once-only emission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, uid: Long, tpe: String, m: Int) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"),
+        uid, tpe, 1.0)
+    val in = MemoryStream[Streams.Event]
+    val steps = Seq("a", "b", "c")
+    val out = Streams.funnelStream(spark, in.toDS(), steps)
+    val q = out.writeStream.format("memory").queryName("fs_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 completes a; user 2 completes a,b; noise type
+      in.addData(ev(1, 1, "a", 1), ev(2, 2, "a", 1), ev(3, 2, "b", 2),
+        ev(4, 2, "x", 3))
+      q.processAllAvailable()
+      val afterB1 = spark.table("fs_out")
+        .as[Streams.StepCompletion].collect().toSet
+      assert(afterB1.map(c => (c.user_id, c.step)) ==
+        Set((1L, "a"), (2L, "a"), (2L, "b")))
+      // batch 2: user 1 advances b then c; user 2 re-sends b (no
+      // re-emission) and completes c; strict-after rule holds within
+      // the batch
+      in.addData(ev(5, 1, "b", 4), ev(6, 1, "c", 5), ev(7, 2, "b", 6),
+        ev(8, 2, "c", 7))
+      q.processAllAvailable()
+      val all = spark.table("fs_out").as[Streams.StepCompletion].collect().toSeq
+      assert(all.size == all.toSet.size, "exactly-once emission per (user, step)")
+      // the streamed completions equal the batch single-pass funnel
+      // on the concatenated log
+      val log = Seq(
+        (1L, "a", 1), (2L, "a", 1), (2L, "b", 2), (2L, "x", 3),
+        (1L, "b", 4), (1L, "c", 5), (2L, "b", 6), (2L, "c", 7))
+        .map { case (u, t, m) =>
+          (u, t, java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")) }
+        .toDF("user_id", "event_type", "ts")
+      val batchCounts = graft.ops.Ops
+        .funnelSinglePass(log, "user_id", "event_type", "ts", steps)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._2 -> r._3).toMap
+      val streamCounts = all.groupBy(_.step).view.mapValues(_.size.toLong).toMap
+      assert(steps.forall(s =>
+        streamCounts.getOrElse(s, 0L) == batchCounts(s)),
+        s"stream=$streamCounts batch=$batchCounts")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS fs_out")
+    }
+  }
+
   test("delta-gated re-crawl: unchanged docs never re-pay signatures or appends") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     Seq("sd_corpus", "sd_index", "sd_pairs", "sd_corpus_commits")
