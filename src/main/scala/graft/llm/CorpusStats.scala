@@ -1,8 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Corpus-level diagnostics a curation run reports before and after
   * each filter stage: heavy-hitter n-grams (the boilerplate you are
@@ -37,6 +38,72 @@ object CorpusStats {
         sum(col("c")).as("occurrences"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("occurrences").desc, col("n_docs").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** Per-document top-k TF-IDF terms — the classic document-keyword
+    * extractor. tf and df are exact integer counts; idf = ln(N/df)
+    * quantized to micro-nats (floor — the NgramLm.lp_micro discipline:
+    * the libm caveat touches |vocab| values, the ranking score
+    * tf·idf_micro is then EXACT integer arithmetic, so ties and order
+    * replay identically in any engine). Empty tokens (split of an
+    * empty text) are dropped. Plan: one explode + two hash aggs, a
+    * vocab-sized join back, and a per-doc top-k window that compiles
+    * to a map-side WindowGroupLimit. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    val tf = docs.select(col(idCol), Text.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(col("__w")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__N"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score_micro", col("tf") *
+        floor(log(col("__N").cast(DoubleType) / col("__df").cast(DoubleType)) *
+          lit(1000000.0)).cast(LongType))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("score_micro"))
+  }
+
+  /** Corpus collocations by pointwise mutual information: bigrams
+    * whose parts co-occur far above chance — phrase mining /
+    * tokenizer-merge candidates. pmi = ln(p(xy) / (p(x)p(y))) over
+    * exact unigram/bigram counts, evaluated as one FIXED-order double
+    * sequence and quantized to micro-nats; `minCount` drops the
+    * unstable low-frequency tail BEFORE the join (the standard
+    * practice, and it bounds the joined set). N_bigrams is the
+    * pre-filter total, so probabilities stay honest. Two explodes +
+    * two hash aggs + a vocab-sized join; top-k via
+    * TakeOrderedAndProject. */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Int = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount, k >= 1: $minCount, $k")
+    val toks = docs.select(Text.words(col(textCol)).as("__w"))
+    val uni = toks.select(explode(col("__w")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("__c1"))
+    val bi = toks.select(explode(Text.shingles(col("__w"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+    val totals = uni.agg(sum(col("__c1")).as("__NU"))
+      .crossJoin(bi.agg(sum(col("n_pair")).as("__NB")))
+    val d = (c: Column) => c.cast(DoubleType)
+    val scored = bi.filter(col("n_pair") >= minCount)
+      .withColumn("__x", split(col("bigram"), " ").getItem(0))
+      .withColumn("__y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("__x"), col("__c1").as("__cx")), "__x")
+      .join(uni.select(col("tok").as("__y"), col("__c1").as("__cy")), "__y")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        floor(log(d(col("n_pair")) * d(col("__NU")) * d(col("__NU")) /
+          (d(col("__NB")) * d(col("__cx")) * d(col("__cy")))) *
+          lit(1000000.0)).cast(LongType))
+    scored.select(col("bigram"), col("n_pair"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram"))
       .limit(k)
   }
 

@@ -794,6 +794,20 @@ object LlmQueries {
       Text.bm25(t(s, dir, "documents"), "doc_id", "text", BmQueryTerms)
         .orderBy(col("doc_id"))),
 
+    // Per-document top-3 TF-IDF terms: exact integer tf/df, micro-nat
+    // quantized idf, EXACT integer ranking score — keyword extraction
+    // with a fully replayable order.
+    "llm_tfidf_topterms" -> ((s, dir) =>
+      CorpusStats.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // PMI collocations: bigrams co-occurring above chance (phrase /
+    // tokenizer-merge candidates), exact counts + fixed-order double
+    // sequence + micro-nat quantization.
+    "llm_pmi_bigrams" -> ((s, dir) =>
+      CorpusStats.pmiBigrams(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 20)),
+
     // Repetition/boilerplate ratio over 2-gram shingles.
     "llm_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1421,6 +1435,43 @@ object LlmQueries {
     "llm_image_neardup" -> MediaGroupPairsOracleSql,
     "llm_audio_neardup" -> MediaGroupPairsOracleSql,
     "llm_bm25" -> Bm25OracleSql,
+    "llm_tfidf_topterms" ->
+      """WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |    FROM documents) t
+        |  WHERE len(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS N FROM documents)
+        |SELECT doc_id, rank, term, tf, score_micro FROM (
+        |  SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf,
+        |    tf.tf * CAST(floor(ln(CAST(N AS DOUBLE) / CAST(dfc AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS score_micro,
+        |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+        |      tf.tf * CAST(floor(ln(CAST(N AS DOUBLE) / CAST(dfc AS DOUBLE))
+        |        * 1000000.0) AS BIGINT) DESC, tf.term) AS rank
+        |  FROM tf JOIN df USING (term), n) s
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "llm_pmi_bigrams" ->
+      """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |uni AS (SELECT tok, count(*)::BIGINT AS c1 FROM (
+        |    SELECT unnest(ws) AS tok FROM w) t
+        |  WHERE len(tok) > 0 GROUP BY 1),
+        |bi AS (SELECT bigram, count(*)::BIGINT AS n_pair FROM (
+        |    SELECT unnest([ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]) AS bigram
+        |    FROM w) t
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS NU,
+        |  (SELECT CAST(sum(n_pair) AS BIGINT) FROM bi) AS NB)
+        |SELECT bigram, n_pair, pmi_micro FROM (
+        |  SELECT bi.bigram AS bigram, bi.n_pair AS n_pair,
+        |    CAST(floor(ln(CAST(bi.n_pair AS DOUBLE) * CAST(NU AS DOUBLE) * CAST(NU AS DOUBLE)
+        |      / (CAST(NB AS DOUBLE) * CAST(ux.c1 AS DOUBLE) * CAST(uy.c1 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS pmi_micro
+        |  FROM bi
+        |  JOIN uni ux ON ux.tok = string_split(bi.bigram, ' ')[1]
+        |  JOIN uni uy ON uy.tok = string_split(bi.bigram, ' ')[2], tot
+        |  WHERE bi.n_pair >= 5) s
+        |ORDER BY pmi_micro DESC, bigram LIMIT 20""".stripMargin,
     "llm_dedup_embedding" ->
       s"""WITH $embPairsCtes
          |SELECT a, b, cosine FROM escored ORDER BY a, b""".stripMargin,

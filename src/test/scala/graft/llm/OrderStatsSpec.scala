@@ -303,4 +303,46 @@ class OrderStatsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("tfIdfTopTerms: rare terms outrank ubiquitous ones, exact integer scores") {
+    val docs = Seq(
+      (1L, "common common rare common"),
+      (2L, "common unique unique"),
+      (3L, "common other"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // idf("common") = ln(3/3) = 0 -> score 0 however often it repeats;
+    // the doc-unique terms carry idf ln(3/1), quantized 1098612
+    val ln3 = math.floor(math.log(3.0) * 1e6).toLong
+    assert(byDoc(1L).head._3 == "rare" && byDoc(1L).head._5 == ln3)
+    assert(byDoc(2L).head._3 == "unique" && byDoc(2L).head._5 == 2 * ln3,
+      "tf 2 doubles the exact integer score")
+    assert(byDoc(1L)(1)._3 == "common" && byDoc(1L)(1)._5 == 0L)
+    // determinism under repartition (exact integers end to end)
+    val again = CorpusStats.tfIdfTopTerms(docs.repartition(7), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq == out.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("pmiBigrams: perfect collocation scores high, independent pair low, minCount gates") {
+    // "tick tock" always adjacent (perfect collocation); "a b" frequent
+    // but a and b also appear apart (weaker association)
+    val docs = (1L to 10L).map(i =>
+      (i, "tick tock a b a x b y a z")).toDF("doc_id", "text")
+    val out = CorpusStats.pmiBigrams(docs, "doc_id", "text", minCount = 5, k = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val byBigram = out.map(t => t._1 -> t._3).toMap
+    assert(byBigram.contains("tick tock"))
+    assert(byBigram("tick tock") > byBigram("a b"),
+      s"perfect collocation must outrank the loose pair: $byBigram")
+    // a bigram seen fewer than minCount times is gated out
+    assert(!byBigram.contains("z tick"), "cross-doc shingles don't exist")
+    assert(out.map(_._2).forall(_ >= 5), "minCount gate")
+    // descending pmi order with bigram tie-break
+    assert(out.map(t => (-t._3, t._1)).sorted == out.map(t => (-t._3, t._1)))
+  }
 }
