@@ -107,6 +107,78 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * dataset-drift monitor a continuously-crawled training corpus
+    * needs: the top-k tokens by their (add-one-smoothed) KL(base‖cur)
+    * contribution. The per-token contribution is
+    * (c_base+1) · ln(p/q-ratio) with the log-ratio quantized to
+    * micro-nats, so every contribution is an EXACT integer — a plain
+    * KL sum of doubles would be partition-order-dependent; here the
+    * weighted integer sum (and therefore the ranking) replays
+    * identically in any engine, and KL itself is the consumer-side
+    * division of that sum by (N_base + |V|). Smoothing over the UNION
+    * vocabulary keeps every log finite. Two explodes + two hash aggs
+    * + one vocab-sized full join; totals ride one broadcast row. */
+  def tokenDistributionDrift(base: DataFrame, cur: DataFrame,
+                             textCol: String, k: Int = 15): DataFrame = {
+    require(k >= 1, s"k >= 1: $k")
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(Text.words(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val joined = counts(base, "__cb")
+      .join(counts(cur, "__cc"), Seq("token"), "full")
+      .select(col("token"),
+        coalesce(col("__cb"), lit(0L)).as("c_base"),
+        coalesce(col("__cc"), lit(0L)).as("c_cur"))
+    val tot = joined.agg(sum(col("c_base")).as("__NB"),
+      sum(col("c_cur")).as("__NC"), count(lit(1)).as("__V"))
+    val d = (c: Column) => c.cast(DoubleType)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("contrib_micro", (col("c_base") + 1) *
+        floor(log(d(col("c_base") + 1) * d(col("__NC") + col("__V")) /
+          (d(col("c_cur") + 1) * d(col("__NB") + col("__V")))) *
+          lit(1000000.0)).cast(LongType))
+      .select(col("token"), col("c_base"), col("c_cur"), col("contrib_micro"))
+      .orderBy(col("contrib_micro").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Exact WEIGHTED per-mille boundaries — [[exactPmBoundaries]] with
+    * a weight column (token-weighted length quantiles: "half the
+    * TOKENS live in documents shorter than X", which is what a
+    * packing or budget decision actually needs — the unweighted
+    * median over-represents short documents). Same driver-walk
+    * contract: per-value weight sums (bounded by the value domain),
+    * boundary(q) = smallest v with cumWeight(v) >= ceil(q/1000·W).
+    * Returns one (q_pm, boundary) row per requested quantile. */
+  def weightedQuantiles(docs: DataFrame, valueCol: String,
+                        weightCol: String,
+                        quantilesPm: Seq[Int] = Seq(250, 500, 750)): DataFrame = {
+    require(quantilesPm.nonEmpty && quantilesPm.forall(q => q > 0 && q < 1000),
+      s"quantiles are per-mille in (0, 1000): $quantilesPm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast(LongType)
+    val counts = docs.select(v.as("__v"), col(weightCol).cast(LongType).as("__w"))
+      .groupBy("__v").agg(sum(col("__w")).as("__c"))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"weighted quantiles: NULL $valueCol/$weightCol")
+        require(math.abs(r.getLong(0)) < (1L << 53),
+          s"weighted quantiles: |$valueCol| must be < 2^53")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    require(counts.nonEmpty, "weighted quantiles: empty input")
+    val w = counts.map(_._2).sum
+    val cum = counts.scanLeft(0L)(_ + _._2).tail
+    quantilesPm.sorted.map { q =>
+      val target = (q.toLong * w + 999L) / 1000L
+      val i = cum.indexWhere(_ >= target)
+      (q.toLong, counts(if (i < 0) counts.length - 1 else i)._1)
+    }.toDF("q_pm", "boundary")
+  }
+
   /** Document-length histogram over a precomputed length column:
     * buckets of `width` chars, with per-bucket doc count and char
     * mass. Bucket arithmetic is pure integer (n - n % width) — exact

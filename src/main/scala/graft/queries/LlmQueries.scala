@@ -808,6 +808,34 @@ object LlmQueries {
       CorpusStats.pmiBigrams(t(s, dir, "documents"), "doc_id", "text",
         minCount = 5, k = 20)),
 
+    // Corpus drift report: top tokens by add-one-smoothed KL(base||cur)
+    // contribution between the base corpus and the snapshot-delta
+    // mutation (same fixture as llm_snapshot_delta) — the drift
+    // monitor for a continuously-crawled corpus. Contributions are
+    // EXACT integers (count-weighted micro-nat log-ratios), so the
+    // ranking replays identically.
+    "llm_corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" [edit]"))).otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("doc_id", -(col("doc_id") + lit(1L))))
+      CorpusStats.tokenDistributionDrift(docs, cur, "text", k = 15)
+    }),
+
+    // Token-weighted exact length quantiles: "half the TOKENS live in
+    // documents shorter than X" — the statistic a packing/budget
+    // decision needs (the unweighted median over-represents short
+    // docs). Driver-walked exact boundaries, bounded by the value
+    // domain like exactQuantileHistogram.
+    "llm_weighted_quantiles" -> ((s, dir) =>
+      CorpusStats.weightedQuantiles(
+        t(s, dir, "documents")
+          .withColumn("__w", Text.wsTokenCount(col("text"))),
+        "n_chars", "__w", Seq(250, 500, 750))),
+
     // Repetition/boilerplate ratio over 2-gram shingles.
     "llm_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1435,6 +1463,39 @@ object LlmQueries {
     "llm_image_neardup" -> MediaGroupPairsOracleSql,
     "llm_audio_neardup" -> MediaGroupPairsOracleSql,
     "llm_bm25" -> Bm25OracleSql,
+    "llm_corpus_drift" ->
+      """WITH cur AS (
+        |  SELECT doc_id, CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN text || ' [edit]' ELSE text END AS text
+        |  FROM documents WHERE ((doc_id % 7) + 7) % 7 <> 0
+        |  UNION ALL
+        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE ((doc_id % 11) + 11) % 11 = 0),
+        |bt AS (SELECT tok, count(*)::BIGINT AS cb FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents) t
+        |  WHERE len(tok) > 0 GROUP BY 1),
+        |ct AS (SELECT tok, count(*)::BIGINT AS cc FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok FROM cur) t
+        |  WHERE len(tok) > 0 GROUP BY 1),
+        |j AS (SELECT coalesce(bt.tok, ct.tok) AS token,
+        |    coalesce(cb, 0)::BIGINT AS c_base, coalesce(cc, 0)::BIGINT AS c_cur
+        |  FROM bt FULL JOIN ct ON bt.tok = ct.tok),
+        |tot AS (SELECT CAST(sum(c_base) AS BIGINT) AS NB,
+        |  CAST(sum(c_cur) AS BIGINT) AS NC, count(*)::BIGINT AS V FROM j)
+        |SELECT token, c_base, c_cur, contrib_micro FROM (
+        |  SELECT token, c_base, c_cur,
+        |    (c_base + 1) * CAST(floor(ln(CAST(c_base + 1 AS DOUBLE) * CAST(NC + V AS DOUBLE)
+        |      / (CAST(c_cur + 1 AS DOUBLE) * CAST(NB + V AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |      AS contrib_micro
+        |  FROM j, tot) s
+        |ORDER BY contrib_micro DESC, token LIMIT 15""".stripMargin,
+    "llm_weighted_quantiles" ->
+      """WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w FROM documents),
+        |agg AS (SELECT v, CAST(sum(w) AS BIGINT) AS c FROM t GROUP BY v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cw FROM agg),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS W FROM agg)
+        |SELECT q_pm, (SELECT min(v) FROM cum WHERE cw >= (q_pm * W + 999) // 1000) AS boundary
+        |FROM (SELECT CAST(unnest([250, 500, 750]) AS BIGINT) AS q_pm) q, tot
+        |ORDER BY q_pm""".stripMargin,
     "llm_tfidf_topterms" ->
       """WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term

@@ -328,6 +328,42 @@ class OrderStatsSpec extends SparkSpec {
     assert(again.sortBy(t => (t._1, t._2)).toSeq == out.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("tokenDistributionDrift: vanished tokens top the report, stable ones sit near zero") {
+    val base = Seq((1L, "alpha alpha alpha beta"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "beta beta beta beta"), (2L, "beta gamma newtok"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tokenDistributionDrift(base, cur, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head._1 == "alpha",
+      s"the token that vanished from cur must drift hardest: ${out.toSeq}")
+    val byTok = out.map(t => t._1 -> t._4).toMap
+    // base-absent tokens still appear (weight = smoothed count 1,
+    // negative log-ratio) and "gamma" (1 -> 1) drifts less than both
+    assert(byTok("newtok") < 0)
+    assert(math.abs(byTok("gamma")) < byTok("alpha") &&
+      math.abs(byTok("gamma")) < -byTok("newtok"))
+    // exact integers => identical under repartitioning
+    val again = CorpusStats.tokenDistributionDrift(
+        base.repartition(5), cur.repartition(3), "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("weightedQuantiles: token mass moves the boundary the unweighted walk would miss") {
+    // values 10 (x9 docs, weight 5 each = 45) and 1000 (1 doc,
+    // weight 91): W = 136, so the token-weighted median (target 68)
+    // lands on the single heavy doc while the unweighted median is 10
+    val docs = ((1 to 9).map(i => (i.toLong, 10L, 5L)) :+ (10L, 1000L, 91L))
+      .toDF("doc_id", "v", "w")
+    val out = CorpusStats.weightedQuantiles(docs, "v", "w", Seq(250, 500, 750))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(250L -> 10L, 500L -> 1000L, 750L -> 1000L), s"got $out")
+    intercept[IllegalArgumentException] {
+      CorpusStats.weightedQuantiles(docs.limit(0), "v", "w", Seq(500))
+    }
+  }
+
   test("pmiBigrams: perfect collocation scores high, independent pair low, minCount gates") {
     // "tick tock" always adjacent (perfect collocation); "a b" frequent
     // but a and b also appear apart (weaker association)
