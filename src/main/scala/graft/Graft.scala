@@ -342,6 +342,83 @@ object Graft {
                   embCol: String, k: Int, nlist: Int = 4): DataFrame =
     llm.Similarity.ivfTopKAuto(data, queries, idCol, embCol, k, nlist)
 
+  // -- round-12 additions --------------------------------------------
+  /** Persist / serve / incrementally maintain an IVF ANN index (see
+    * graft.llm.Similarity for the 100 TB serving story). */
+  def persistIvfIndex(df: DataFrame, idCol: String, embCol: String,
+                      labelCol: String, path: String): Unit =
+    llm.Similarity.persistIvfIndex(df, idCol, embCol, labelCol, path)
+
+  def appendToIvfIndex(df: DataFrame, idCol: String, embCol: String,
+                       labelCol: String, path: String): Unit =
+    llm.Similarity.appendToIvfIndex(df, idCol, embCol, labelCol, path)
+
+  def annTopKIndexed(spark: SparkSession, indexPath: String,
+                     queries: DataFrame, idCol: String, embCol: String,
+                     k: Int, nprobe: Int = 1): DataFrame = {
+    val (cent, eq) = llm.Similarity.readIvfIndex(spark, indexPath)
+    llm.Similarity.ivfTopKIndexed(cent, eq, queries, idCol, embCol, k, nprobe)
+  }
+
+  def assignClusters(df: DataFrame, idCol: String, embCol: String,
+                     centroids: DataFrame): DataFrame =
+    llm.Similarity.assignClusters(df, idCol, embCol, centroids)
+
+  /** Perceptual media dedup over the real JDK decoders. */
+  def imageNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                        binCol: String, maxHamming: Int = 6): DataFrame =
+    llm.Dedup.imageNearDupPairs(
+      llm.Multimodal.dHashes(spark, df, idCol, binCol), idCol,
+      maxHamming = maxHamming)
+
+  def audioNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                        binCol: String, maxHamming: Int = 6): DataFrame =
+    llm.Dedup.audioNearDupPairs(
+      llm.Multimodal.audioFingerprints(spark, df, idCol, binCol), idCol,
+      maxHamming = maxHamming)
+
+  /** Funnel family: k-scan, conversion-windowed, one-scan, timings. */
+  def funnel(events: DataFrame, keyCol: String, stepCol: String,
+             tsCol: String, steps: Seq[String],
+             maxGap: Option[Column] = None): DataFrame =
+    ops.Ops.funnel(events, keyCol, stepCol, tsCol, steps, maxGap)
+
+  def funnelSinglePass(events: DataFrame, keyCol: String, stepCol: String,
+                       tsCol: String, steps: Seq[String],
+                       maxGap: Option[Column] = None): DataFrame =
+    ops.Ops.funnelSinglePass(events, keyCol, stepCol, tsCol, steps, maxGap)
+
+  def funnelTimings(events: DataFrame, keyCol: String, stepCol: String,
+                    tsCol: String, steps: Seq[String],
+                    maxGap: Option[Column] = None): DataFrame =
+    ops.Ops.funnelTimings(events, keyCol, stepCol, tsCol, steps, maxGap)
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: Option[String] = None, iters: Int = 3): DataFrame =
+    ops.Ops.pageRank(edges, srcCol, dstCol, weightCol, iters)
+
+  /** Text retrieval / keyword surface. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String]): DataFrame =
+    llm.Text.bm25(docs, idCol, textCol, terms)
+
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame =
+    llm.CorpusStats.tfIdfTopTerms(docs, idCol, textCol, k)
+
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Int = 5, k: Int = 20): DataFrame =
+    llm.CorpusStats.pmiBigrams(docs, idCol, textCol, minCount, k)
+
+  /** Corpus monitoring. */
+  def tokenDistributionDrift(base: DataFrame, cur: DataFrame,
+                             textCol: String, k: Int = 15): DataFrame =
+    llm.CorpusStats.tokenDistributionDrift(base, cur, textCol, k)
+
+  def weightedQuantiles(docs: DataFrame, valueCol: String, weightCol: String,
+                        quantilesPm: Seq[Int] = Seq(250, 500, 750)): DataFrame =
+    llm.CorpusStats.weightedQuantiles(docs, valueCol, weightCol, quantilesPm)
+
   // -- §2.11 reporting ------------------------------------------------
   /** `display_users_formatted` (sql_extraction.py:168-191): N/A-filled
     * preview — `na.fill` + `show` instead of a row loop. */

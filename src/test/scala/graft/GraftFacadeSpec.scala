@@ -112,6 +112,35 @@ class GraftFacadeSpec extends SparkSpec {
     assert(spark.read.parquet(d2).count() == 60)
   }
 
+  test("round-12 facade entries delegate faithfully") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val log = Seq((1L, "a", ts(1)), (1L, "b", ts(2)), (2L, "a", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    assert(Graft.funnel(log, "user_id", "event_type", "ts", Seq("a", "b"))
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq ==
+      Seq((0L, "a", 2L), (1L, "b", 1L)))
+    assert(Graft.funnelSinglePass(log, "user_id", "event_type", "ts", Seq("a", "b"))
+      .orderBy("step_idx").as[(Long, String, Long)].collect().toSeq ==
+      Seq((0L, "a", 2L), (1L, "b", 1L)))
+    val edges = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w")
+    assert(Graft.pageRank(edges, "s", "d", Some("w"), iters = 1)
+      .as[(String, Long)].collect().toMap.values.toSet == Set(500000000L))
+    val docs = Seq((1L, "spark rocks"), (2L, "other words")).toDF("doc_id", "text")
+    assert(Graft.bm25(docs, "doc_id", "text", Seq("spark"))
+      .filter(col("doc_id") === 2L).as[(Long, Double)].collect().head._2 == 0.0)
+    assert(Graft.tfIdfTopTerms(docs, "doc_id", "text", k = 1).count() == 2)
+    val imgs = Seq(
+      (1L, graft.llm.Multimodal.syntheticImage(3L, 64, 64, "png")),
+      (2L, graft.llm.Multimodal.syntheticImage(3L, 64, 64, "bmp")))
+      .toDF("doc_id", "content")
+    assert(Graft.imageNearDupPairs(spark, imgs, "doc_id", "content")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 0L)))
+    assert(Graft.weightedQuantiles(
+        Seq((1L, 10L, 1L), (2L, 20L, 9L)).toDF("id", "v", "w"),
+        "v", "w", Seq(500)).as[(Long, Long)].collect().toSeq ==
+      Seq((500L, 20L)))
+  }
+
   test("dedupNearDuplicates keeps one survivor per duplicate cluster") {
     val sentence = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
