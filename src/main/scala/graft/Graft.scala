@@ -410,6 +410,26 @@ object Graft {
                  minCount: Int = 5, k: Int = 20): DataFrame =
     llm.CorpusStats.pmiBigrams(docs, idCol, textCol, minCount, k)
 
+  /** Hybrid retrieval: reciprocal-rank fusion of per-system top-k
+    * rankings (exact integer ppm scores). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              rankCol: String = "rank", kRrf: Int = 60): DataFrame =
+    llm.Text.rrfFuse(rankings, idCol, rankCol, kRrf)
+
+  /** SemDeDup semantic dedup: k-means cells → within-cell cosine
+    * near-dup pairs → keep the component-min id. */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    threshold: Double, nlist: Int = 4, iters: Int = 2,
+                    maxCluster: Int = 4096): DataFrame =
+    llm.Similarity.semanticDedup(df, idCol, embCol, threshold, nlist,
+      iters, maxCluster)
+
+  /** DSIR hashed-unigram importance weights vs a target corpus
+    * (micro-nat log-ratios, exact Long per-doc sums). */
+  def dsirWeights(docs: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int = 1024): DataFrame =
+    llm.Curate.dsirWeights(docs, target, idCol, textCol, nBuckets)
+
   /** Corpus monitoring. */
   def tokenDistributionDrift(base: DataFrame, cur: DataFrame,
                              textCol: String, k: Int = 15): DataFrame =

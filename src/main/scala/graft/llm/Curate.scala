@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Corpus-curation operators a training-data pipeline runs between
   * cleaning and tokenization: sequence packing, importance-weighted
@@ -126,6 +126,71 @@ object Curate {
     val p = least(weightPerMille, lit(scale.toLong)).cast("double")
     df.filter(hashAccept(salt, col(keyCol), weightPerMille, scale))
       .withColumn("weight", lit(scale.toDouble) / p)
+  }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * arXiv:2302.03169 — public method): score each document by how
+    * much more likely its hashed-unigram bag is under a TARGET
+    * distribution (a quality seed corpus, e.g. an encyclopedia slice)
+    * than under the source corpus' own distribution — the "select web
+    * data that looks like the target" curation primitive. Feature
+    * space is `nBuckets` md5 hash buckets; both distributions are
+    * add-one smoothed bucket frequencies.
+    *
+    * Exact-replay discipline: bucket counts are exact integers; each
+    * bucket's log-ratio
+    *   lr(h) = floor(1e6 * ln( (t_h+1)/(T+B) * (S+B)/(s_h+1) ))
+    * is quantized to micro-nats ONCE per bucket (≤ nBuckets floor'd
+    * transcendentals, the NgramLm lp_micro discipline; the ratio is a
+    * fixed IEEE sequence over exact integers — two divisions, one
+    * multiply — never an integer product that could overflow at
+    * corpus-scale token totals), and a doc's weight is the exact Long
+    * sum of its tokens' lr values — partition-order-independent and
+    * engine-replayable. Compose with [[importanceSample]] (shifted to
+    * per-mille acceptance) or top-k selection for the full DSIR
+    * resample.
+    *
+    * Output: one row per input doc — (id, n_toks, dsir_micro), empty
+    * docs at 0.
+    *
+    * Scale: each side is tokenized once; the corpus-scale token stream
+    * crosses exactly ONE hash exchange (the doc×bucket multiplicity
+    * agg — map-side combined); source bucket counts DERIVE from that
+    * same aggregate (no second pass), target counts collapse to
+    * ≤ nBuckets rows map-side, and the lr table (nBuckets rows)
+    * broadcast-joins back — the corpus never shuffles again. */
+  def dsirWeights(docs: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 2, s"dsirWeights needs nBuckets >= 2, got $nBuckets")
+    val b = lit(nBuckets.toLong)
+    def hashed(df: DataFrame, cols: Column*): DataFrame =
+      df.select((cols :+ explode(Text.words(col(textCol))).as("__w")): _*)
+        .filter(length(col("__w")) > 0)
+        .withColumn("__h", Text.md5Hash(col("__w")) % nBuckets)
+    // ONE corpus pass: (doc, bucket, multiplicity)
+    val db = hashed(docs, col(idCol)).groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val srcCnt = db.groupBy(col("__h")).agg(sum(col("__c")).as("s_h"))
+    val tgtCnt = hashed(target).groupBy(col("__h")).agg(count(lit(1)).as("t_h"))
+    val totals = srcCnt.agg(sum(col("s_h")).as("__S")).crossJoin(
+      tgtCnt.agg(coalesce(sum(col("t_h")), lit(0L)).as("__T")))
+    // buckets outside the corpus' own support never receive a token
+    // from `db`, so the source bucket set is the full lr domain
+    val lr = srcCnt.join(tgtCnt, Seq("__h"), "left")
+      .select(col("__h"), col("s_h"), coalesce(col("t_h"), lit(0L)).as("t_h"))
+      .crossJoin(broadcast(totals))
+      .select(col("__h"),
+        floor(log(
+          ((col("t_h") + 1L).cast(DoubleType) / (col("__T") + b).cast(DoubleType)) *
+            ((col("__S") + b).cast(DoubleType) / (col("s_h") + 1L).cast(DoubleType))
+        ) * lit(1000000.0)).cast(LongType).as("lr_micro"))
+    val weighted = db.join(broadcast(lr), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_toks"),
+        sum(col("__c") * col("lr_micro")).as("dsir_micro"))
+    docs.select(col(idCol)).join(weighted, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"))
   }
 
   /** Token-budget corpus selection — keep documents in quality order

@@ -249,6 +249,64 @@ object Similarity {
     eq.withColumn("cluster", assign(cents)).select(col("vid"), col("cluster"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method): partition the embedding space
+    * with the deterministic k-means coarse quantizer, then search for
+    * near-duplicates ONLY within each cluster. Complements the LSH
+    * path ([[cosineNearDupPairs]]): random hyperplanes bucket on
+    * exact signature agreement and can split a tight semantic
+    * neighborhood across buckets, while k-means cells follow the
+    * data's own density. Same exact-integer dot/norm cosine and
+    * zero-norm NaN guard as the LSH path.
+    *
+    * Scale: within-cluster pairing is O((N/nlist)² ) per cluster, so
+    * `nlist` must grow with the corpus to hold the expected cell size
+    * constant (SemDeDup itself runs ~100k clusters at web scale);
+    * `maxCluster` is the degenerate-cell guard — a collapsed cell
+    * (e.g. millions of zero vectors) is dropped rather than joined,
+    * same contract as `DefaultMaxBucket` on the LSH side. The
+    * self-join's hash exchange on `cluster` is shared with the cap
+    * window (ReuseExchange), so the guard adds no extra shuffle. */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                           threshold: Double, nlist: Int = 4, iters: Int = 2,
+                           maxCluster: Int = 4096): DataFrame = {
+    val clusters = kmeansClusters(df, idCol, embCol, nlist, iters)
+    val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+      .join(clusters, "vid")
+    val capped = eq
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("__bc").between(2, maxCluster))
+      .drop("__bc")
+    capped.as("x").join(capped.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vid") < col("y.vid"))
+      .select(col("x.cluster").as("cluster"),
+        col("x.vid").as("a"), col("y.vid").as("b"),
+        dotQ(col("x.eq"), col("y.eq")).cast("double").as("__dot"),
+        dotQ(col("x.eq"), col("x.eq")).cast("double").as("__na"),
+        dotQ(col("y.eq"), col("y.eq")).cast("double").as("__nb"))
+      // zero-norm guard — see cosineNearDupPairs
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col("cluster"), col("a"), col("b"),
+        (col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** End-to-end SemDeDup: semantic pairs → connected components →
+    * keep the cluster-minimum id (the same representative rule as the
+    * text-path `llm_dedup_keep_one`). Returns the surviving ids. */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    threshold: Double, nlist: Int = 4, iters: Int = 2,
+                    maxCluster: Int = 4096): DataFrame = {
+    val pairs = semanticNearDupPairs(df, idCol, embCol, threshold, nlist,
+      iters, maxCluster).select(col("a"), col("b"))
+    // within-cell all-pairs graphs CHAIN (x~y~z via 0.3-cosine links
+    // without x~z), so the component diameter is far above the LSH
+    // quasi-clique case — 32 rounds, relying on connectedComponents'
+    // exact-fixpoint early termination to stop as soon as converged
+    val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 32)
+    Dedup.keepOnePerCluster(df.select(col(idCol)), idCol, comp)
+  }
+
   /** Full IVF: train the coarse quantizer with k-means, then probe —
     * the composition a production index build runs. One extra join
     * attaches the learned cluster ids (vs the label-column variant). */

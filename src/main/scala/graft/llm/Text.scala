@@ -238,6 +238,31 @@ object Text {
       .select(col(idCol), score.as("bm25"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009 —
+    * public method): merge any number of per-system top-k rankings
+    * (e.g. [[bm25]] lexical + embedding-cosine ANN) into one hybrid
+    * order. The fused score is EXACT integer micro-units,
+    * `rrf_ppm = Σ_systems (1_000_000 div (kRrf + rank))` — integer
+    * division, never a float reciprocal, so the hybrid order (ties
+    * broken on id) replays bit-identically in any engine at any rank
+    * depth. Ids absent from a system's list contribute nothing
+    * (standard RRF over top-k lists); `n_systems` reports how many
+    * lists carried the id.
+    *
+    * Shape: the inputs are top-k lists (≪ corpus), so this is a union
+    * of tiny frames + ONE hash aggregation on id — the fusion itself
+    * never touches the corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+              rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    rankings.map(_.select(col(idCol),
+        expr(s"1000000 div ($kRrf + cast($rankCol as bigint))").as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_ppm"), count(lit(1)).as("n_systems"))
+  }
+
   /** Repetition / boilerplate signal: 1 − |distinct shingles| / |shingles|.
     * High values mean the document repeats itself (template spam, lyrics,
     * scraped boilerplate) — a standard cheap quality filter. */

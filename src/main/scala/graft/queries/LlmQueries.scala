@@ -31,6 +31,13 @@ object LlmQueries {
     * (at 0.4 the query matched on 0 rows — a vacuous oracle). */
   private val EmbDedupThreshold = 0.3
 
+  /** SemDeDup degenerate-cell cap (Similarity.semanticNearDupPairs
+    * maxCluster), shared with the oracle SQL. */
+  private val SemMaxCluster = 4096
+
+  /** DSIR hashed-unigram feature buckets, shared with the oracle. */
+  private val DsirBuckets = 1024
+
   val queries: Seq[(String, Q)] = Seq(
 
     // Fixture texts are 500 UNIQUE non-NULL sentences, so both arms the
@@ -275,6 +282,27 @@ object LlmQueries {
       Dedup.keepOnePerCluster(emb.select(col("vec_id")), "vec_id", comp)
         .orderBy(col("vec_id"))
     }),
+
+    // SemDeDup (Abbas et al. 2023): near-dup pairs found within
+    // k-means cells instead of LSH buckets — data-driven partitioning
+    // of the embedding space. Same exact-integer cosine and zero-norm
+    // guard as llm_dedup_embedding; the oracle replays the 2-iteration
+    // k-means (shared CTE with llm_kmeans_clusters) plus the capped
+    // within-cell self-join.
+    "llm_semdedup_pairs" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = EmbDedupThreshold, nlist = 4, iters = 2,
+          maxCluster = SemMaxCluster)
+        .orderBy(col("a"), col("b"))),
+
+    // End-to-end SemDeDup: pairs -> connected components -> keep the
+    // cluster-min id (same representative rule as the text and LSH
+    // embedding paths).
+    "llm_semdedup_keep" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = EmbDedupThreshold, nlist = 4, iters = 2,
+          maxCluster = SemMaxCluster)
+        .orderBy(col("vec_id"))),
 
     // Image near-dup over REAL pixels: deterministic synthetic images
     // (3 variants per group: PNG, BMP re-encode, 2x-resolution render —
@@ -794,6 +822,46 @@ object LlmQueries {
       Text.bm25(t(s, dir, "documents"), "doc_id", "text", BmQueryTerms)
         .orderBy(col("doc_id"))),
 
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    // top-50 and the embedding-cosine top-50 (query = vector 0, which
+    // shares the documents' id space) fused by Text.rrfFuse — the
+    // fused score is EXACT integer ppm (1e6 div (60 + rank)), so the
+    // hybrid order replays in DuckDB bit-identically. Both rank lists
+    // come off TakeOrdered top-ks; the unpartitioned rank windows run
+    // over ≤50-row frames (bounded by construction, never the corpus).
+    "llm_rrf_hybrid" -> ((s, dir) => {
+      val lexW = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = Text.bm25(t(s, dir, "documents"), "doc_id", "text", BmQueryTerms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(lexW).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val eq = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("eq"))
+      val q = eq.filter(col("vec_id") === 0).select(col("eq").as("qe"))
+      val semW = Window.orderBy(col("sim").desc, col("vec_id"))
+      val sem = eq.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.dotQ(col("qe"), col("eq")).cast("double").as("__dot"),
+          Similarity.dotQ(col("eq"), col("eq")).cast("double").as("__na"))
+        .filter(col("__na") > 0)
+        .select(col("vec_id"), (col("__dot") / sqrt(col("__na"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(50)
+        .withColumn("rank", row_number().over(semW).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Text.rrfFuse(Seq(lex, sem), "doc_id")
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(20)
+    }),
+
+    // DSIR-style hashed-unigram importance weights: target = the
+    // src0 slice (the "quality seed"), source = the whole corpus.
+    // Per-bucket micro-nat log-ratios, exact Long per-doc sums.
+    "llm_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curate.dsirWeights(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text", nBuckets = DsirBuckets)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-document top-3 TF-IDF terms: exact integer tf/df, micro-nat
     // quantized idf, EXACT integer ranking score — keyword extraction
     // with a fully replayable order.
@@ -1166,6 +1234,54 @@ object LlmQueries {
        |  WHERE na > 0 AND nb > 0) t
        |  WHERE cosine >= $EmbDedupThreshold)""".stripMargin
 
+  /** Deterministic 2-iteration k-means CTE chain (`a2` = final
+    * (vec_id, cluster)) — the unrolled-SQL replay of
+    * Similarity.kmeansClusters(k, iters = 2). Shared by
+    * llm_kmeans_clusters and the SemDeDup oracles so seeding, exact
+    * integer L2² distances, floor-mean centroid updates and cid
+    * tie-breaks can't drift between them. */
+  private def kmeansCtes(k: Int): String =
+    s"""eq AS (SELECT vec_id,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, eq
+       |  FROM (SELECT vec_id, eq FROM eq ORDER BY vec_id LIMIT $k) s),
+       |a1 AS (SELECT vec_id, cid AS cluster FROM (
+       |  SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    (SELECT sum((e.eq[i] - s.eq[i]) * (e.eq[i] - s.eq[i])) FROM range(1, 65) r(i)),
+       |    s.cid) AS rn
+       |  FROM eq e, seed s) t WHERE rn = 1),
+       |c1 AS (SELECT cluster AS cid, list(c ORDER BY pos) AS ceq FROM (
+       |  SELECT a1.cluster AS cluster, i AS pos,
+       |    CAST(floor(CAST(sum(e.eq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |  FROM a1 JOIN eq e USING (vec_id), range(1, 65) r(i)
+       |  GROUP BY a1.cluster, i) t GROUP BY cluster),
+       |a2 AS (SELECT vec_id, cid AS cluster FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    (SELECT sum((e.eq[i] - c.ceq[i]) * (e.eq[i] - c.ceq[i])) FROM range(1, 65) r(i)),
+       |    c.cid) AS rn
+       |  FROM eq e, c1 c) t WHERE rn = 1)""".stripMargin
+
+  /** SemDeDup oracle CTE chain (`semscored` = thresholded within-
+    * k-means-cluster cosine pairs) — kmeansCtes plus the same capped
+    * self-join / zero-norm-guard / exact dot structure as
+    * embPairsCtes, with the k-means cell as the bucket. */
+  private lazy val semPairsCtes: String =
+    s"""${kmeansCtes(4)},
+       |cl AS (SELECT e.vec_id AS vid, e.eq, a2.cluster
+       |  FROM eq e JOIN a2 ON e.vec_id = a2.vec_id),
+       |clc AS (SELECT vid, eq, cluster FROM (
+       |  SELECT vid, eq, cluster, count(*) OVER (PARTITION BY cluster) AS bc FROM cl) t0
+       |  WHERE bc BETWEEN 2 AND $SemMaxCluster),
+       |sp AS (SELECT x.cluster AS cluster, x.vid AS a, y.vid AS b,
+       |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+       |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
+       |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
+       |  FROM clc x JOIN clc y ON x.cluster = y.cluster AND x.vid < y.vid),
+       |semscored AS (SELECT cluster, a, b, cosine FROM (
+       |  SELECT cluster, a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM sp
+       |  WHERE na > 0 AND nb > 0) t
+       |  WHERE cosine >= $EmbDedupThreshold)""".stripMargin
+
   /** Shared CTE chain producing the MinHash+LSH candidate pairs with
     * exact-Jaccard scores (`scored`) — used by the llm_dedup_minhash_lsh,
     * llm_dedup_components and llm_dedup_keep_one oracles so the cap,
@@ -1229,7 +1345,10 @@ object LlmQueries {
     * same IEEE double sequence as the Spark fold (its bare decimal
     * literals are DECIMAL-typed and would pre-fold 1.2 + 1 to an exact
     * 2.2, a different double than 1.2d + 1.0d). */
-  private lazy val Bm25OracleSql: String = {
+  /** BM25 scoring CTE chain (`bmscored` = (doc_id, bm25)) — shared by
+    * llm_bm25 and the RRF hybrid oracle so tokenization, idf
+    * quantization and the float fold can't drift between them. */
+  private lazy val Bm25Ctes: String = {
     def d(x: String) = s"CAST($x AS DOUBLE)"
     val tfs = BmQueryTerms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(ws, x -> x = '$t'))::BIGINT AS tf$i"
@@ -1243,14 +1362,18 @@ object LlmQueries {
         s" / (${d(s"tf$i")} + ${d("1.2")} * (${d("1.0")} - ${d("0.75")}" +
         s" + ${d("0.75")} * ${d("dl")} / (${d("tdl")} / ${d("N")})))"
     }.mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+    s"""w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
        |  FROM documents),
        |t AS (SELECT doc_id, len(ws)::BIGINT AS dl, $tfs FROM w),
        |stats AS (SELECT count(*)::BIGINT AS N, CAST(sum(dl) AS BIGINT) AS tdl,
-       |  $dfs FROM t)
-       |SELECT doc_id, ${d("0.0")} + $addends AS bm25
-       |FROM t, stats ORDER BY doc_id""".stripMargin
+       |  $dfs FROM t),
+       |bmscored AS (SELECT doc_id, ${d("0.0")} + $addends AS bm25
+       |  FROM t, stats)""".stripMargin
   }
+
+  private lazy val Bm25OracleSql: String =
+    s"""WITH $Bm25Ctes
+       |SELECT doc_id, bm25 FROM bmscored ORDER BY doc_id""".stripMargin
 
   /** Ground truth by construction for the media near-dup rows: the 3
     * variants of each fixture group (doc_id // 3) must pair with each
@@ -1463,6 +1586,68 @@ object LlmQueries {
     "llm_image_neardup" -> MediaGroupPairsOracleSql,
     "llm_audio_neardup" -> MediaGroupPairsOracleSql,
     "llm_bm25" -> Bm25OracleSql,
+    "llm_semdedup_pairs" ->
+      s"""WITH $semPairsCtes
+         |SELECT cluster, a, b, cosine FROM semscored ORDER BY a, b""".stripMargin,
+    "llm_semdedup_keep" ->
+      s"""WITH RECURSIVE $semPairsCtes,
+         |sym AS (SELECT a AS src, b AS dst FROM semscored
+         |        UNION ALL SELECT b AS src, a AS dst FROM semscored),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> label)
+         |ORDER BY vec_id""".stripMargin,
+    "llm_rrf_hybrid" ->
+      s"""WITH $Bm25Ctes,
+         |lex AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM bmscored) t WHERE rank <= 50),
+         |e AS (SELECT vec_id,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |q AS (SELECT eq AS qe FROM e WHERE vec_id = 0),
+         |sem0 AS (SELECT vec_id,
+         |  CAST((SELECT sum((e.eq)[i] * (q.qe)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+         |  CAST((SELECT sum((e.eq)[i] * (e.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na
+         |  FROM e, q WHERE vec_id <> 0),
+         |sem AS (SELECT doc_id, rank FROM (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) DESC, vec_id) AS rank
+         |  FROM sem0 WHERE na > 0) t WHERE rank <= 50),
+         |u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM lex
+         |      UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM sem)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_ppm,
+         |  count(*)::BIGINT AS n_systems
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    "llm_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents) t WHERE len(w) > 0),
+         |hb AS (SELECT doc_id, ${duckHash("w")} % $DsirBuckets AS h FROM tok),
+         |db AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM hb GROUP BY doc_id, h),
+         |src AS (SELECT h, CAST(sum(c) AS BIGINT) AS s_h FROM db GROUP BY h),
+         |ttok AS (SELECT w FROM (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents WHERE source = 'src0') t WHERE len(w) > 0),
+         |tgt AS (SELECT ${duckHash("w")} % $DsirBuckets AS h, count(*)::BIGINT AS t_h
+         |  FROM ttok GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(s_h) AS BIGINT) FROM src) AS S,
+         |  (SELECT coalesce(CAST(sum(t_h) AS BIGINT), 0) FROM tgt) AS T),
+         |lr AS (SELECT src.h,
+         |  CAST(floor(ln(
+         |    (CAST(coalesce(t_h, 0) + 1 AS DOUBLE) / CAST(T + $DsirBuckets AS DOUBLE)) *
+         |    (CAST(S + $DsirBuckets AS DOUBLE) / CAST(s_h + 1 AS DOUBLE))
+         |  ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_micro
+         |  FROM src LEFT JOIN tgt ON src.h = tgt.h, tot),
+         |wsum AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |  CAST(sum(c * lr_micro) AS BIGINT) AS dsir_micro
+         |  FROM db JOIN lr ON db.h = lr.h GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_toks, 0) AS n_toks,
+         |  coalesce(dsir_micro, 0) AS dsir_micro
+         |FROM documents d LEFT JOIN wsum USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "llm_corpus_drift" ->
       """WITH cur AS (
         |  SELECT doc_id, CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN text || ' [edit]' ELSE text END AS text
@@ -2031,25 +2216,7 @@ object LlmQueries {
          |FROM langed GROUP BY guess ORDER BY guess""".stripMargin
     },
     "llm_kmeans_clusters" ->
-      s"""WITH eq AS (SELECT vec_id,
-         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
-         |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, eq
-         |  FROM (SELECT vec_id, eq FROM eq ORDER BY vec_id LIMIT 4) s),
-         |a1 AS (SELECT vec_id, cid AS cluster FROM (
-         |  SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |    (SELECT sum((e.eq[i] - s.eq[i]) * (e.eq[i] - s.eq[i])) FROM range(1, 65) r(i)),
-         |    s.cid) AS rn
-         |  FROM eq e, seed s) t WHERE rn = 1),
-         |c1 AS (SELECT cluster AS cid, list(c ORDER BY pos) AS ceq FROM (
-         |  SELECT a1.cluster AS cluster, i AS pos,
-         |    CAST(floor(CAST(sum(e.eq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
-         |  FROM a1 JOIN eq e USING (vec_id), range(1, 65) r(i)
-         |  GROUP BY a1.cluster, i) t GROUP BY cluster),
-         |a2 AS (SELECT vec_id, cid AS cluster FROM (
-         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |    (SELECT sum((e.eq[i] - c.ceq[i]) * (e.eq[i] - c.ceq[i])) FROM range(1, 65) r(i)),
-         |    c.cid) AS rn
-         |  FROM eq e, c1 c) t WHERE rn = 1)
+      s"""WITH ${kmeansCtes(4)}
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "llm_multimodal_meta" ->
       s"""SELECT doc_id, octet_length(content)::BIGINT AS n_bytes,

@@ -1,0 +1,117 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-12 retrieval/curation additions: reciprocal-rank fusion,
+  * SemDeDup semantic dedup, and DSIR importance weights. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: exact integer ppm scores and per-system membership") {
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val l2 = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val out = Text.rrfFuse(Seq(l1, l2), "id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 1000000 div 61 = 16393, div 62 = 16129, div 63 = 15873 — integer
+    // division, so the expected scores are spelled exactly
+    assert(out(10L) === ((16393L + 16129L, 2L)))
+    assert(out(20L) === ((16129L + 16393L, 2L)))
+    assert(out(30L) === ((15873L, 1L)))
+    assert(out(40L) === ((15873L, 1L)))
+    intercept[IllegalArgumentException](Text.rrfFuse(Seq.empty, "id"))
+  }
+
+  private def emb(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "e")
+      .select(col("vec_id"), transform(col("e"), x => x.cast("float")).as("embedding"))
+
+  test("semanticNearDupPairs: within-cell dups found, cross-group and zero-norm excluded") {
+    // group A (ids 1,3,5): same direction, varying magnitude (cosine 1);
+    // group B (ids 2,4): orthogonal direction; id 20: third direction
+    // (cosine 0 to both); id 30: the zero vector (NaN guard)
+    val df = emb(
+      1L -> Seq(1.0, 0.0, 0.0, 0.0), 3L -> Seq(2.0, 0.0, 0.0, 0.0),
+      5L -> Seq(3.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0), 4L -> Seq(0.0, 2.0, 0.0, 0.0),
+      20L -> Seq(0.0, 0.0, 1.0, 0.0), 30L -> Seq(0.0, 0.0, 0.0, 0.0))
+    val pairs = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, iters = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 5L)) &&
+      pairs.contains((3L, 5L)), s"group A pairs missing: $pairs")
+    assert(pairs.contains((2L, 4L)), s"group B pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 30L || p._2 == 30L),
+      s"zero vector paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 20L || p._2 == 20L),
+      s"singleton paired: $pairs")
+    // cross-group pairs are geometrically impossible at 0.9 but assert
+    // the exact set anyway — the operator must add nothing else
+    assert(pairs === Set((1L, 3L), (1L, 5L), (3L, 5L), (2L, 4L)))
+
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.9, nlist = 2, iters = 2)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 20L, 30L), s"kept: $kept")
+  }
+
+  test("semanticNearDupPairs: degenerate cell cap drops, never joins") {
+    val df = emb((1L to 20L).map(i => i -> Seq(1.0, 0.0, 0.0, 0.0)): _*)
+    // every vector identical -> one cell of 20 > maxCluster 10 -> dropped
+    val pairs = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.5, nlist = 2, iters = 2, maxCluster = 10)
+    assert(pairs.count() === 0L)
+  }
+
+  test("dsirWeights: target-like docs rank higher; one row per doc, empty docs at 0") {
+    val docs = Seq(
+      (1L, "aaa aaa aaa"), (2L, "zzz zzz zzz"), (3L, "aaa zzz"),
+      (4L, ""), (5L, "   ")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("aaa aaa")).toDF("text")
+    val out = Curate.dsirWeights(docs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(4L) === ((0L, 0L)) && out(5L) === ((0L, 0L)))
+    assert(out(1L)._1 === 3L && out(2L)._1 === 3L && out(3L)._1 === 2L)
+    // exact expected values: S = 8 source tokens, T = 2 target tokens,
+    // B = 1024 buckets; aaa: s_h = 4, t_h = 2; zzz: s_h = 4, t_h = 0
+    def lr(t: Long, s: Long) = math.floor(math.log(
+      ((t + 1).toDouble / (2 + 1024).toDouble) *
+        ((8 + 1024).toDouble / (s + 1).toDouble)) * 1000000.0).toLong
+    assert(out(1L)._2 === 3 * lr(2, 4))
+    assert(out(2L)._2 === 3 * lr(0, 4))
+    assert(out(3L)._2 === lr(2, 4) + lr(0, 4))
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2,
+      s"target-likeness order violated: $out")
+  }
+
+  test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
+    // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
+    // bucket log-ratio is the only transcendental in the DSIR path —
+    // prove no fixture bucket lands close enough to an integer for a
+    // 1-ulp ln divergence to flip the floor cross-engine.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val path = s"/root/testdata/$sf/documents.parquet"
+      assume(new java.io.File(path).exists(), s"$path missing")
+      val docs = spark.read.parquet(path)
+      def hashed(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(Text.words(col("text"))).as("__w"))
+          .filter(length(col("__w")) > 0)
+          .withColumn("__h", Text.md5Hash(col("__w")) % 1024)
+      val src = hashed(docs).groupBy("__h").agg(count(lit(1)).as("s_h"))
+      val tgt = hashed(docs.filter(col("source") === "src0"))
+        .groupBy("__h").agg(count(lit(1)).as("t_h"))
+      val Array(s, t) = src.agg(sum("s_h")).collect().map(_.getLong(0)) ++
+        tgt.agg(sum("t_h")).collect().map(_.getLong(0))
+      val x = log(((col("t_h") + 1L).cast("double") / lit((t + 1024).toDouble)) *
+        (lit((s + 1024).toDouble) / (col("s_h") + 1L).cast("double"))) * lit(1000000.0)
+      val frac = x - floor(x)
+      val tooClose = src.join(tgt, Seq("__h"), "left")
+        .select(col("__h"), col("s_h"), coalesce(col("t_h"), lit(0L)).as("t_h"))
+        .select(least(frac, lit(1.0) - frac).as("dist"), col("s_h"), col("t_h"))
+        .filter(col("dist") < 2e-8)
+      assert(tooClose.count() === 0,
+        s"$sf has floor-boundary-adjacent dsir buckets: ${tooClose.take(5).toSeq}")
+    }
+  }
+}
