@@ -167,11 +167,19 @@ object Curate {
       df.select((cols :+ explode(Text.words(col(textCol))).as("__w")): _*)
         .filter(length(col("__w")) > 0)
         .withColumn("__h", Text.md5Hash(col("__w")) % nBuckets)
-    // ONE corpus pass: (doc, bucket, multiplicity)
+    // ONE corpus pass: (doc, bucket, multiplicity). Checkpointed —
+    // three consumers derive from it (source bucket counts, totals,
+    // the per-doc weight join) and Catalyst plans each consumer's
+    // subtree independently, so without the cut the corpus would be
+    // re-tokenized once per consumer (same contract as buildIvfIndex;
+    // the frame is doc×distinct-bucket sized, ≪ the raw text).
     val db = hashed(docs, col(idCol)).groupBy(col(idCol), col("__h"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint(false)
     val srcCnt = db.groupBy(col("__h")).agg(sum(col("__c")).as("s_h"))
+    // target counts collapse to ≤ nBuckets rows; checkpoint so the
+    // target corpus is tokenized once, not once for lr + once for T
     val tgtCnt = hashed(target).groupBy(col("__h")).agg(count(lit(1)).as("t_h"))
+      .localCheckpoint(false)
     val totals = srcCnt.agg(sum(col("s_h")).as("__S")).crossJoin(
       tgtCnt.agg(coalesce(sum(col("t_h")), lit(0L)).as("__T")))
     // buckets outside the corpus' own support never receive a token
