@@ -430,6 +430,22 @@ object Graft {
                   textCol: String, nBuckets: Int = 1024): DataFrame =
     llm.Curate.dsirWeights(docs, target, idCol, textCol, nBuckets)
 
+  /** BPE tokenizer training statistics (vocab-scale after one corpus
+    * aggregation). */
+  def bpeTrainMerges(docs: DataFrame, textCol: String,
+                     nMerges: Int): Seq[(Int, String, String, Long)] =
+    llm.Bpe.trainMerges(docs, textCol, nMerges)
+
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame =
+    llm.Bpe.tokenCounts(docs, idCol, textCol, merges)
+
+  /** Pairwise exact shingle-Jaccard between sources (mirror-feed /
+    * double-ingestion audit). */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 3, maxSources: Int = 64): DataFrame =
+    llm.CorpusStats.sourceOverlap(docs, sourceCol, textCol, n, maxSources)
+
   /** Corpus monitoring. */
   def tokenDistributionDrift(base: DataFrame, cur: DataFrame,
                              textCol: String, k: Int = 15): DataFrame =

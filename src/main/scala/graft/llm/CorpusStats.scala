@@ -332,4 +332,51 @@ object CorpusStats {
     components.groupBy(col("label")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("sz"))
+
+  /** Pairwise EXACT shingle-Jaccard between sources — "which feeds
+    * overlap, and how much" (mirror-site detection, double-ingestion
+    * audit, mixture-weight sanity). Universe = each source's DISTINCT
+    * word-n-gram hash set; output one row per source pair with any
+    * overlap: (src_a, src_b, n_a, n_b, n_common, jaccard), jaccard
+    * derived from exact integer set sizes in one IEEE division.
+    *
+    * Scale: the corpus collapses to distinct (source, h) rows first
+    * (one exchange, map-side distinct). The h-self-join then meets
+    * ≤ |sources| rows per shingle hash, so pairs per h are bounded by
+    * sources², NOT corpus size — and `maxSources` drops
+    * stop-shingles present in more sources than that (they carry no
+    * discrimination, only join fan-out; dropped from sizes AND
+    * intersections, so the Jaccard universe stays consistent — the
+    * same guard/consistency contract as the LSH bucket caps). The cap
+    * window's hash exchange on h is exactly the self-join's required
+    * partitioning (ReuseExchange). */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int = 3, maxSources: Int = 64): DataFrame = {
+    require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
+    val sh = docs
+      .select(col(sourceCol).as("src"), Text.words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("src"), explode(array_distinct(
+        transform(Text.shingles(col("w"), n), s => Text.md5Hash(s)))).as("h"))
+      .distinct()
+    val windowed = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // sizes keep source-private shingles (true Jaccard denominators);
+    // the join side additionally drops them — a singleton h can never
+    // intersect, so pruning it changes nothing but the join volume
+    val sizes = windowed.filter(col("__df") <= maxSources)
+      .groupBy(col("src")).agg(count(lit(1)).as("nsh"))
+    val joinable = windowed.filter(col("__df").between(2, maxSources))
+      .drop("__df")
+    val inter = joinable.as("x").join(joinable.as("y"),
+        col("x.h") === col("y.h") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("nsh").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("nsh").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+  }
 }

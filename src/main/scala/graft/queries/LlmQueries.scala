@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.llm.{CorpusStats, Curate, Dedup, Multimodal, NgramLm, Order, Similarity, Text}
+import graft.llm.{Bpe, CorpusStats, Curate, Dedup, Multimodal, NgramLm, Order, Similarity, Text}
 
 /** Harness queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis, multimodal columns) over
@@ -862,6 +862,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE training statistic: top-20 adjacent symbol pairs over the
+    // initial character vocabulary (chars + </w>), weighted by word
+    // frequency — the argmax stream the merge loop consumes. The
+    // corpus collapses to the word-frequency table first; the pair
+    // explode runs at vocab scale.
+    "llm_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.wordVocab(t(s, dir, "documents"), "text"))
+        .orderBy(col("n").desc, col("pair")).limit(20)),
+
+    // Pairwise exact shingle-Jaccard between sources — the
+    // double-ingestion / mirror-feed audit. Exact integer set sizes;
+    // the jaccard double is one IEEE division.
+    "llm_source_overlap" -> ((s, dir) =>
+      CorpusStats.sourceOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("src_a"), col("src_b"))),
+
     // Per-document top-3 TF-IDF terms: exact integer tf/df, micro-nat
     // quantized idf, EXACT integer ranking score — keyword extraction
     // with a fully replayable order.
@@ -1622,6 +1638,36 @@ object LlmQueries {
          |  count(*)::BIGINT AS n_systems
          |FROM u GROUP BY doc_id
          |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    "llm_bpe_pairs" ->
+      s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq FROM (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents) t WHERE len(w) > 0 GROUP BY w),
+         |sy AS (SELECT freq,
+         |  list_append([w[i] for i in range(1, len(w) + 1)], '</w>') AS s FROM wf),
+         |pr AS (SELECT freq, unnest([s[i] || ' ' || s[i+1]
+         |  for i in range(1, len(s))]) AS pair FROM sy)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pr
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "llm_source_overlap" ->
+      s"""WITH sh AS (SELECT DISTINCT src, h FROM (
+         |  SELECT source AS src, unnest(list_distinct(list_transform(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+         |    s -> ${duckHash("s")}))) AS h
+         |  FROM (SELECT source, string_split_regex(lower(text), '\\s+') AS w
+         |        FROM documents) t0
+         |  WHERE len(w) >= 3) t1),
+         |wd AS (SELECT src, h, count(*) OVER (PARTITION BY h) AS df FROM sh),
+         |sizes AS (SELECT src, count(*)::BIGINT AS nsh FROM wd
+         |  WHERE df <= 64 GROUP BY src),
+         |j AS (SELECT src, h FROM wd WHERE df BETWEEN 2 AND 64),
+         |inter AS (SELECT x.src AS src_a, y.src AS src_b,
+         |  count(*)::BIGINT AS n_common
+         |  FROM j x JOIN j y ON x.h = y.h AND x.src < y.src GROUP BY 1, 2)
+         |SELECT src_a, src_b, sa.nsh AS n_a, sb.nsh AS n_b, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_common AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.src = inter.src_a
+         |JOIN sizes sb ON sb.src = inter.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "llm_dsir_weights" ->
       s"""WITH tok AS (SELECT doc_id, w FROM (
          |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w

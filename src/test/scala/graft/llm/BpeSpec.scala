@@ -1,0 +1,73 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordVocab + pairCounts: frequency-weighted adjacent pairs over chars + </w>") {
+    val docs = Seq("low low", "low").toDF("text")
+    val pairs = Bpe.pairCounts(Bpe.wordVocab(docs, "text"))
+      .as[(String, Long)].collect().toMap
+    // one distinct word "low" with freq 3 -> every pair weighted 3
+    assert(pairs === Map("l o" -> 3L, "o w" -> 3L, s"w ${Bpe.EndMark}" -> 3L))
+  }
+
+  test("applyMerge: greedy leftmost-first, overlap-safe, merged tail never rematches") {
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),
+      (2L, Seq("a", "b", "a", "b")),
+      (3L, Seq("b", "a", "b"))).toDF("id", "syms")
+    val aa = df.filter(col("id") === 1L)
+      .select(Bpe.applyMerge(col("syms"), "a", "a")).as[Seq[String]].head()
+    assert(aa === Seq("aa", "a"), "leftmost-first on overlapping run")
+    val ab = df.filter(col("id") === 2L)
+      .select(Bpe.applyMerge(col("syms"), "a", "b")).as[Seq[String]].head()
+    assert(ab === Seq("ab", "ab"))
+    val bab = df.filter(col("id") === 3L)
+      .select(Bpe.applyMerge(col("syms"), "a", "b")).as[Seq[String]].head()
+    assert(bab === Seq("b", "ab"))
+  }
+
+  test("trainMerges: the classic low/lower sequence with deterministic tie-breaks") {
+    val docs = Seq("low low low lower").toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", nMerges = 3)
+    // pairs "l o" and "o w" both count 4 -> pair-asc tie-break picks
+    // "l o"; then "lo w" (4); then "low </w>" (3)
+    assert(merges === Seq(
+      (0, "l", "o", 4L), (1, "lo", "w", 4L), (2, "low", Bpe.EndMark, 3L)))
+  }
+
+  test("trainMerges stops when no pair repeats") {
+    val docs = Seq("ab cd").toDF("text") // every word unique, all pairs freq 1
+    assert(Bpe.trainMerges(docs, "text", nMerges = 10).isEmpty)
+  }
+
+  test("tokenCounts: vocab-scale merge application joined onto per-doc words") {
+    val docs = Seq((1L, "low low"), (2L, "lower"), (3L, "")).toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(docs, "doc_id", "text",
+        Seq(("l", "o"), ("lo", "w")))
+      .as[(Long, Long)].collect().toMap
+    // after (l,o)+(lo,w): low -> [low, </w>] = 2; lower -> [low,e,r,</w>] = 4
+    assert(out === Map(1L -> 4L, 2L -> 4L, 3L -> 0L))
+  }
+
+  test("sourceOverlap: exact pairwise Jaccard, stop-shingle cap consistent") {
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "a b c x"), ("C", "q r s t"),
+      ("A", "z z z z z"), ("B", "z z z z z"), ("C", "z z z z z"))
+      .toDF("source", "text")
+    // 3-gram sets (before cap): A={abc,bcd,zzz}, B={abc,bcx,zzz}, C={qrs,rst,zzz}
+    // maxSources=2 drops zzz (df=3) from joins AND sizes
+    val out = CorpusStats.sourceOverlap(docs, "source", "text",
+        n = 3, maxSources = 2)
+      .select("src_a", "src_b", "n_a", "n_b", "n_common", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.length === 1, s"only A-B overlap expected: ${out.toSeq}")
+    val (a, b, na, nb, nc, j) = out.head
+    assert((a, b) === (("A", "B")))
+    assert(na === 2L && nb === 2L && nc === 1L)
+    assert(j === 1.0 / 3.0)
+  }
+}
