@@ -430,6 +430,19 @@ object Graft {
                   textCol: String, nBuckets: Int = 1024): DataFrame =
     llm.Curate.dsirWeights(docs, target, idCol, textCol, nBuckets)
 
+  /** Hard-negative mining for contrastive/retrieval training: per
+    * anchor, the top-k most similar different-label vectors from its
+    * LSH bucket. */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, k: Int): DataFrame =
+    llm.Similarity.hardNegatives(df, idCol, embCol, labelCol, k)
+
+  /** Per-group rank normalization in exact per-mille — cross-source
+    * comparable quality thresholds. */
+  def rankNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String): DataFrame =
+    llm.Curate.rankNormalize(df, groupCol, scoreCol, idCol)
+
   /** BPE tokenizer training statistics (vocab-scale after one corpus
     * aggregation). */
   def bpeTrainMerges(docs: DataFrame, textCol: String,

@@ -201,6 +201,33 @@ object Curate {
         coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"))
   }
 
+  /** Per-group rank normalization in exact integer per-mille: a row's
+    * `pm_rank` is its rank position within `groupCol` scaled to
+    * [0, 1000] (`(rank-1)·1000 div (count-1)`; singleton groups at 0;
+    * ties on `idCol` so the ranking is total). The curation use:
+    * quality scores are not comparable ACROSS sources (a mid-tier
+    * encyclopedia page outscores a top-tier forum post on raw
+    * features), so budget selection on the raw score silently drains
+    * whole sources — selecting on `pm_rank >= x` instead takes the
+    * same top fraction of every source. Integer division end to end,
+    * so thresholds replay in any engine.
+    *
+    * Shape: two windows over ONE hash exchange on `groupCol` (the
+    * unordered count window shares the rank window's partitioning). */
+  def rankNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String): DataFrame = {
+    require(!df.columns.exists(Set("pm_rank", "__rnk", "__cnt")),
+      "rankNormalize reserves the pm_rank, __rnk and __cnt column names")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    df.withColumn("__rnk", row_number().over(w).cast(LongType))
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("pm_rank", when(col("__cnt") === 1L, 0L)
+        .otherwise(expr("(__rnk - 1) * 1000 div (__cnt - 1)")))
+      .drop("__rnk", "__cnt")
+  }
+
   /** Token-budget corpus selection — keep documents in quality order
     * until a token budget is exhausted (the "best N tokens" curation
     * step), EXACTLY: a document is kept iff its running token total in

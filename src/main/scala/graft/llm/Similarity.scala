@@ -181,6 +181,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive / retrieval training (the
+    * DPR / SimCSE data-generation step — public method): for each
+    * anchor vector, the top-k most similar vectors carrying a
+    * DIFFERENT label. The LSH bucket restriction is the semantics,
+    * not just the optimization — "hard" negatives are precisely the
+    * same-bucket near-misses; vectors far enough to land in another
+    * bucket are easy negatives a trainer can sample for free. Same
+    * capped-bucket self-join machinery as [[lshTopK]] (one shared
+    * exchange, degenerate buckets dropped not joined); the rank
+    * window's exact-integer dot ordering ties on negative id. */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, k: Int, nPlanes: Int = 8,
+                    dim: Int = 64,
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val planes = planeDirs(nPlanes, dim)
+    val bucketed = df.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        quantize(col(embCol)).as("eq"))
+      .withColumn("bucket", lshBucket(col("eq"), planes))
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bc").between(2, maxBucket))
+      .drop("__bc")
+    val pairs = bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.lbl") =!= col("y.lbl"))
+      .select(col("x.vid").as("vid"), col("x.lbl").as("label"),
+        col("y.vid").as("neg"), col("y.lbl").as("neg_label"),
+        dotQ(col("x.eq"), col("y.eq")).as("dot"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("dot").desc, col("neg"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-dup: candidate pairs from LSH buckets,
     * kept when exact cosine (from exact integer dot/norms, so the
     * double math is bit-deterministic) clears the threshold. */

@@ -878,6 +878,24 @@ object LlmQueries {
       CorpusStats.sourceOverlap(t(s, dir, "documents"), "source", "text")
         .orderBy(col("src_a"), col("src_b"))),
 
+    // Hard-negative mining (contrastive/retrieval training data): per
+    // anchor, the top-2 most similar DIFFERENT-label vectors from its
+    // LSH bucket — the same-bucket near-misses a DPR-style trainer
+    // wants.
+    "llm_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", k = 2)
+        .orderBy(col("vid"), col("rank"))),
+
+    // Per-source rank normalization in exact per-mille — makes
+    // quality thresholds take the same top fraction of EVERY source
+    // instead of draining low-scoring sources.
+    "llm_rank_normalize" -> ((s, dir) =>
+      Curate.rankNormalize(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Per-document top-3 TF-IDF terms: exact integer tf/df, micro-nat
     // quantized idf, EXACT integer ranking score — keyword extraction
     // with a fully replayable order.
@@ -1668,6 +1686,28 @@ object LlmQueries {
          |FROM inter JOIN sizes sa ON sa.src = inter.src_a
          |JOIN sizes sb ON sb.src = inter.src_b
          |ORDER BY src_a, src_b""".stripMargin,
+    "llm_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id AS vid, label AS lbl,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |b0 AS (SELECT vid, lbl, eq, $bucketExpr AS bucket FROM e),
+         |b AS (SELECT vid, lbl, eq, bucket FROM (
+         |  SELECT vid, lbl, eq, bucket, count(*) OVER (PARTITION BY bucket) AS bc FROM b0) t0
+         |  WHERE bc BETWEEN 2 AND ${Similarity.DefaultMaxBucket}),
+         |p AS (SELECT x.vid AS vid, x.lbl AS label, y.vid AS neg, y.lbl AS neg_label,
+         |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.lbl <> y.lbl)
+         |SELECT vid, label, neg, neg_label, dot, rank FROM (
+         |  SELECT vid, label, neg, neg_label, dot,
+         |    row_number() OVER (PARTITION BY vid ORDER BY dot DESC, neg) AS rank
+         |  FROM p) t WHERE rank <= 2 ORDER BY vid, rank""".stripMargin,
+    "llm_rank_normalize" ->
+      s"""SELECT doc_id, source, n_chars,
+         |  CASE WHEN cnt = 1 THEN 0
+         |       ELSE (rnk - 1) * 1000 // (cnt - 1) END AS pm_rank
+         |FROM (SELECT doc_id, source, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rnk,
+         |  count(*) OVER (PARTITION BY source) AS cnt FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
     "llm_dsir_weights" ->
       s"""WITH tok AS (SELECT doc_id, w FROM (
          |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w

@@ -85,6 +85,39 @@ class RetrievalSpec extends SparkSpec {
       s"target-likeness order violated: $out")
   }
 
+  test("hardNegatives: same-bucket different-label near-misses only, ranked by dot") {
+    // one direction cluster, two labels: anchors must pick the OTHER
+    // label's vectors despite same-label ones being equally close;
+    // the orthogonal singleton (own bucket, size 1) yields nothing
+    val df = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0, 0.0)), (2L, 0, Seq(2.0, 0.0, 0.0, 0.0)),
+      (3L, 1, Seq(3.0, 0.0, 0.0, 0.0)), (4L, 1, Seq(4.0, 0.0, 0.0, 0.0)),
+      (5L, 2, Seq(0.0, 0.0, 0.0, 9.9))).toDF("vec_id", "label", "e")
+      .select(col("vec_id"), col("label"),
+        transform(col("e"), x => x.cast("float")).as("embedding"))
+    val out = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        k = 1, nPlanes = 2, dim = 4)
+      .select("vid", "neg", "neg_label").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // highest dot wins: anchor 1 (mag 1000) -> neg 4 (mag 4000)
+    assert(out(1L) === ((4L, 1)) && out(2L) === ((4L, 1)))
+    assert(out(3L) === ((2L, 0)) && out(4L) === ((2L, 0)))
+    assert(!out.contains(5L), s"singleton bucket must yield no negatives: $out")
+  }
+
+  test("rankNormalize: exact per-mille ranks per group, singleton at 0, reserved names") {
+    val df = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 30L), ("s1", 4L, 40L),
+      ("s1", 5L, 50L), ("s2", 6L, 7L)).toDF("src", "id", "score")
+    val out = Curate.rankNormalize(df, "src", "score", "id")
+      .select("id", "pm_rank").as[(Long, Long)].collect().toMap
+    // 5-member group: (rank-1)*1000 div 4 = 0, 250, 500, 750, 1000
+    assert(out === Map(1L -> 0L, 2L -> 250L, 3L -> 500L, 4L -> 750L,
+      5L -> 1000L, 6L -> 0L))
+    intercept[IllegalArgumentException](
+      Curate.rankNormalize(df.withColumn("pm_rank", lit(1)), "src", "score", "id"))
+  }
+
   test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
     // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
     // bucket log-ratio is the only transcendental in the DSIR path —
