@@ -443,6 +443,18 @@ object Graft {
                     idCol: String): DataFrame =
     llm.Curate.rankNormalize(df, groupCol, scoreCol, idCol)
 
+  /** Contrastive triplet export: hardest same-bucket positive and
+    * negative per anchor with the exact-integer margin. */
+  def tripletMine(df: DataFrame, idCol: String, embCol: String,
+                  labelCol: String): DataFrame =
+    llm.Similarity.tripletMine(df, idCol, embCol, labelCol)
+
+  /** Sequence-length bucketing efficiency: exact per-mille padding
+    * per length band. */
+  def paddingStats(docs: DataFrame, tokensCol: String,
+                   boundaries: Seq[Long]): DataFrame =
+    llm.Curate.paddingStats(docs, tokensCol, boundaries)
+
   /** BPE tokenizer training statistics (vocab-scale after one corpus
     * aggregation). */
   def bpeTrainMerges(docs: DataFrame, textCol: String,

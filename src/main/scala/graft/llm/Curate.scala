@@ -228,6 +228,44 @@ object Curate {
       .drop("__rnk", "__cnt")
   }
 
+  /** Length-bucketed padding report — the batching-efficiency
+    * statistic behind sequence-length bucketing: group documents into
+    * token-length bands (`boundaries` ascending; bucket i holds
+    * lengths in (b_{i-1}, b_i], bucket 0 is ≤ b_0, the last bucket is
+    * unbounded above) and report, per bucket, how much padding a
+    * batcher that pads to the bucket's observed max would emit.
+    * `pad_pm` is exact integer per-mille:
+    * `(n·max − Σtok)·1000 div (n·max)` — so "does bucketing at these
+    * boundaries waste <5% padding" is an engine-exact question.
+    * Output: (bucket, lo, hi, n_docs, max_tokens, total_tokens,
+    * pad_pm), hi = observed in-bucket max.
+    *
+    * Shape: the bucket id is a literal when-free integer fold
+    * (Σ (tok > b_i)) computed map-side; ONE hash agg on ≤
+    * |boundaries|+1 groups. */
+  def paddingStats(docs: DataFrame, tokensCol: String,
+                   boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct.size == boundaries.size,
+      s"boundaries must be non-empty, ascending, distinct: $boundaries")
+    val bucket = boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + (col(tokensCol) > lit(b)).cast(LongType)
+    }
+    val lo = boundaries.zipWithIndex.foldLeft(lit(0L)) { case (acc, (b, i)) =>
+      when(col("bucket") === (i + 1).toLong, lit(b)).otherwise(acc)
+    }
+    docs.select(col(tokensCol), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokensCol)).cast(LongType).as("max_tokens"),
+        sum(col(tokensCol)).cast(LongType).as("total_tokens"))
+      .select(col("bucket"), lo.as("lo"), col("max_tokens").as("hi"),
+        col("n_docs"), col("max_tokens"), col("total_tokens"),
+        when(col("max_tokens") === 0L, lit(0L)).otherwise(
+          expr("(n_docs * max_tokens - total_tokens) * 1000 div (n_docs * max_tokens)"))
+          .as("pad_pm"))
+  }
+
   /** Token-budget corpus selection — keep documents in quality order
     * until a token budget is exhausted (the "best N tokens" curation
     * step), EXACTLY: a document is kept iff its running token total in

@@ -212,6 +212,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Contrastive TRIPLET mining — the (anchor, positive, negative)
+    * export a metric-learning trainer consumes: per anchor, the
+    * hardest same-bucket positive (most-similar SAME label) and the
+    * hardest same-bucket negative (most-similar DIFFERENT label),
+    * with the exact-integer margin `pos_dot − neg_dot` (the quantity
+    * triplet loss penalizes — anchors with small or negative margins
+    * are the valuable training examples). Anchors lacking either a
+    * positive or a negative in their bucket yield no triplet.
+    *
+    * ONE capped bucket self-join feeds both sides; the two rank
+    * windows partition by anchor over the same pair stream (shared
+    * exchange), and the final positive⋈negative join runs at
+    * anchor-count scale. */
+  def tripletMine(df: DataFrame, idCol: String, embCol: String,
+                  labelCol: String, nPlanes: Int = 8, dim: Int = 64,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val planes = planeDirs(nPlanes, dim)
+    val bucketed = df.select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        quantize(col(embCol)).as("eq"))
+      .withColumn("bucket", lshBucket(col("eq"), planes))
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("__bc").between(2, maxBucket))
+      .drop("__bc")
+    val pairs = bucketed.as("x").join(bucketed.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vid") =!= col("y.vid"))
+      .select(col("x.vid").as("vid"), col("x.lbl").as("label"),
+        col("y.vid").as("nn"), col("y.lbl").as("nlbl"),
+        dotQ(col("x.eq"), col("y.eq")).as("dot"))
+      .localCheckpoint(false) // feeds both rank branches; see buildIvfIndex
+    val w = Window.partitionBy(col("vid")).orderBy(col("dot").desc, col("nn"))
+    def top1(side: DataFrame, as: String) = side
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vid"), col("label"), col("nn").as(as),
+        col("dot").as(s"${as}_dot"))
+    val pos = top1(pairs.filter(col("label") === col("nlbl")), "pos")
+    val neg = top1(pairs.filter(col("label") =!= col("nlbl")), "neg")
+    pos.join(neg.drop("label"), Seq("vid"))
+      .select(col("vid"), col("label"), col("pos"), col("neg"),
+        col("pos_dot"), col("neg_dot"),
+        (col("pos_dot") - col("neg_dot")).as("margin"))
+  }
+
   /** Embedding-cosine near-dup: candidate pairs from LSH buckets,
     * kept when exact cosine (from exact integer dot/norms, so the
     * double math is bit-deterministic) clears the threshold. */

@@ -896,6 +896,39 @@ object LlmQueries {
           "source", "n_chars", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // The full DSIR resample loop: importance weights -> per-source
+    // rank normalization (acceptance per-milles) -> hash-deterministic
+    // Bernoulli resample — three operators composed, replayed by ONE
+    // oracle.
+    "llm_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wts = Curate.dsirWeights(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text",
+        nBuckets = DsirBuckets)
+      val ranked = Curate.rankNormalize(
+        wts.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "dsir_micro", "doc_id")
+      Curate.importanceSample(ranked, "doc_id", col("pm_rank"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("pm_rank")).as("kept_pm"))
+        .orderBy(col("source"))
+    }),
+
+    // Sequence-length bucketing efficiency: per length band, the
+    // exact per-mille of padding a pad-to-bucket-max batcher emits.
+    "llm_padding_stats" -> ((s, dir) =>
+      Curate.paddingStats(t(s, dir, "documents"), "n_chars",
+          Seq(150L, 300L, 450L))
+        .orderBy(col("bucket"))),
+
+    // Contrastive triplet export: hardest same-bucket positive +
+    // hardest same-bucket negative per anchor, with the exact-integer
+    // margin triplet loss penalizes.
+    "llm_triplets" -> ((s, dir) =>
+      Similarity.tripletMine(t(s, dir, "embeddings"), "vec_id",
+          "embedding", "label")
+        .orderBy(col("vid"))),
+
     // Per-document top-3 TF-IDF terms: exact integer tf/df, micro-nat
     // quantized idf, EXACT integer ranking score — keyword extraction
     // with a fully replayable order.
@@ -1267,6 +1300,34 @@ object LlmQueries {
        |  SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM p
        |  WHERE na > 0 AND nb > 0) t
        |  WHERE cosine >= $EmbDedupThreshold)""".stripMargin
+
+  /** DSIR CTE chain (`wsum` = per-doc (n_toks, dsir_micro) for docs
+    * with ≥1 token) — shared by llm_dsir_weights and llm_dsir_sample
+    * so hashing, smoothing and the micro-nat quantization can't
+    * drift. Target = the src0 slice. */
+  private lazy val dsirCtes: String =
+    s"""tok AS (SELECT doc_id, w FROM (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents) t WHERE len(w) > 0),
+       |hb AS (SELECT doc_id, ${duckHash("w")} % $DsirBuckets AS h FROM tok),
+       |db AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM hb GROUP BY doc_id, h),
+       |src AS (SELECT h, CAST(sum(c) AS BIGINT) AS s_h FROM db GROUP BY h),
+       |ttok AS (SELECT w FROM (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents WHERE source = 'src0') t WHERE len(w) > 0),
+       |tgt AS (SELECT ${duckHash("w")} % $DsirBuckets AS h, count(*)::BIGINT AS t_h
+       |  FROM ttok GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(s_h) AS BIGINT) FROM src) AS S,
+       |  (SELECT coalesce(CAST(sum(t_h) AS BIGINT), 0) FROM tgt) AS T),
+       |lr AS (SELECT src.h,
+       |  CAST(floor(ln(
+       |    (CAST(coalesce(t_h, 0) + 1 AS DOUBLE) / CAST(T + $DsirBuckets AS DOUBLE)) *
+       |    (CAST(S + $DsirBuckets AS DOUBLE) / CAST(s_h + 1 AS DOUBLE))
+       |  ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_micro
+       |  FROM src LEFT JOIN tgt ON src.h = tgt.h, tot),
+       |wsum AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+       |  CAST(sum(c * lr_micro) AS BIGINT) AS dsir_micro
+       |  FROM db JOIN lr ON db.h = lr.h GROUP BY doc_id)""".stripMargin
 
   /** Deterministic 2-iteration k-means CTE chain (`a2` = final
     * (vec_id, cluster)) — the unrolled-SQL replay of
@@ -1709,31 +1770,61 @@ object LlmQueries {
          |  count(*) OVER (PARTITION BY source) AS cnt FROM documents) t
          |ORDER BY doc_id""".stripMargin,
     "llm_dsir_weights" ->
-      s"""WITH tok AS (SELECT doc_id, w FROM (
-         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
-         |  FROM documents) t WHERE len(w) > 0),
-         |hb AS (SELECT doc_id, ${duckHash("w")} % $DsirBuckets AS h FROM tok),
-         |db AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM hb GROUP BY doc_id, h),
-         |src AS (SELECT h, CAST(sum(c) AS BIGINT) AS s_h FROM db GROUP BY h),
-         |ttok AS (SELECT w FROM (
-         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-         |  FROM documents WHERE source = 'src0') t WHERE len(w) > 0),
-         |tgt AS (SELECT ${duckHash("w")} % $DsirBuckets AS h, count(*)::BIGINT AS t_h
-         |  FROM ttok GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(sum(s_h) AS BIGINT) FROM src) AS S,
-         |  (SELECT coalesce(CAST(sum(t_h) AS BIGINT), 0) FROM tgt) AS T),
-         |lr AS (SELECT src.h,
-         |  CAST(floor(ln(
-         |    (CAST(coalesce(t_h, 0) + 1 AS DOUBLE) / CAST(T + $DsirBuckets AS DOUBLE)) *
-         |    (CAST(S + $DsirBuckets AS DOUBLE) / CAST(s_h + 1 AS DOUBLE))
-         |  ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lr_micro
-         |  FROM src LEFT JOIN tgt ON src.h = tgt.h, tot),
-         |wsum AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
-         |  CAST(sum(c * lr_micro) AS BIGINT) AS dsir_micro
-         |  FROM db JOIN lr ON db.h = lr.h GROUP BY doc_id)
+      s"""WITH $dsirCtes
          |SELECT d.doc_id, coalesce(n_toks, 0) AS n_toks,
          |  coalesce(dsir_micro, 0) AS dsir_micro
          |FROM documents d LEFT JOIN wsum USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "llm_dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |wts AS (SELECT d.doc_id, d.source,
+         |  coalesce(dsir_micro, 0) AS dsir_micro
+         |  FROM documents d LEFT JOIN wsum USING (doc_id)),
+         |rk AS (SELECT doc_id, source,
+         |  CASE WHEN cnt = 1 THEN 0
+         |       ELSE (rnk - 1) * 1000 // (cnt - 1) END AS pm_rank
+         |  FROM (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY dsir_micro, doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY source) AS cnt FROM wts) t)
+         |SELECT source, count(*)::BIGINT AS n_kept,
+         |  CAST(sum(pm_rank) AS BIGINT) AS kept_pm
+         |FROM rk WHERE ${duckHash("('imp:' || doc_id)")} % 1000 < pm_rank
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "llm_padding_stats" ->
+      s"""WITH b AS (SELECT n_chars, (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+         |  + CASE WHEN n_chars > 300 THEN 1 ELSE 0 END
+         |  + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END)::BIGINT AS bucket
+         |  FROM documents)
+         |SELECT bucket,
+         |  (CASE bucket WHEN 1 THEN 150 WHEN 2 THEN 300 WHEN 3 THEN 450
+         |    ELSE 0 END)::BIGINT AS lo,
+         |  CAST(max(n_chars) AS BIGINT) AS hi, count(*)::BIGINT AS n_docs,
+         |  CAST(max(n_chars) AS BIGINT) AS max_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+         |  CAST(CASE WHEN max(n_chars) = 0 THEN 0
+         |    ELSE (count(*) * max(n_chars) - sum(n_chars)) * 1000
+         |      // (count(*) * max(n_chars)) END AS BIGINT) AS pad_pm
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "llm_triplets" ->
+      s"""WITH e AS (SELECT vec_id AS vid, label AS lbl,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |b0 AS (SELECT vid, lbl, eq, $bucketExpr AS bucket FROM e),
+         |b AS (SELECT vid, lbl, eq, bucket FROM (
+         |  SELECT vid, lbl, eq, bucket, count(*) OVER (PARTITION BY bucket) AS bc FROM b0) t0
+         |  WHERE bc BETWEEN 2 AND ${Similarity.DefaultMaxBucket}),
+         |p AS (SELECT x.vid AS vid, x.lbl AS label, y.vid AS nn, y.lbl AS nlbl,
+         |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid <> y.vid),
+         |pq AS (SELECT vid, label, nn AS pos, dot AS pos_dot FROM (
+         |  SELECT vid, label, nn, dot,
+         |    row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
+         |  FROM p WHERE label = nlbl) t WHERE rn = 1),
+         |nq AS (SELECT vid, nn AS neg, dot AS neg_dot FROM (
+         |  SELECT vid, nn, dot,
+         |    row_number() OVER (PARTITION BY vid ORDER BY dot DESC, nn) AS rn
+         |  FROM p WHERE label <> nlbl) t WHERE rn = 1)
+         |SELECT pq.vid, label, pos, neg, pos_dot, neg_dot,
+         |  pos_dot - neg_dot AS margin
+         |FROM pq JOIN nq ON pq.vid = nq.vid ORDER BY pq.vid""".stripMargin,
     "llm_corpus_drift" ->
       """WITH cur AS (
         |  SELECT doc_id, CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN text || ' [edit]' ELSE text END AS text

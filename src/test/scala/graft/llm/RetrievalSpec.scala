@@ -118,6 +118,43 @@ class RetrievalSpec extends SparkSpec {
       Curate.rankNormalize(df.withColumn("pm_rank", lit(1)), "src", "score", "id"))
   }
 
+  test("paddingStats: exact per-mille padding per length band") {
+    val docs = Seq(10L, 10L, 20L, 30L, 100L).toDF("tok")
+    val out = Curate.paddingStats(docs, "tok", Seq(50L))
+      .select("bucket", "lo", "hi", "n_docs", "total_tokens", "pad_pm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // bucket 0 (<=50): n=4, max=30, sum=70 -> pad = (120-70)*1000 div 120 = 416
+    assert(out(0) === ((0L, 0L, 30L, 4L, 70L, 416L)))
+    // bucket 1 (>50): n=1, max=100, sum=100 -> 0 padding
+    assert(out(1) === ((1L, 50L, 100L, 1L, 100L, 0L)))
+    intercept[IllegalArgumentException](
+      Curate.paddingStats(docs, "tok", Seq(50L, 20L)))
+    // all-zero bucket: guarded division
+    val zeros = Seq(0L, 0L).toDF("tok")
+    assert(Curate.paddingStats(zeros, "tok", Seq(50L))
+      .select("pad_pm").as[Long].head() === 0L)
+  }
+
+  test("tripletMine: hardest positive and negative per anchor, exact margin") {
+    // same bucket (one direction), labels 0/0/1: anchor 1 pairs with
+    // pos 2 and neg 3; anchors lacking a positive (3 has no same-label
+    // peer in bucket) yield no triplet
+    val df = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0, 0.0)), (2L, 0, Seq(2.0, 0.0, 0.0, 0.0)),
+      (3L, 1, Seq(3.0, 0.0, 0.0, 0.0))).toDF("vec_id", "label", "e")
+      .select(col("vec_id"), col("label"),
+        transform(col("e"), x => x.cast("float")).as("embedding"))
+    val out = Similarity.tripletMine(df, "vec_id", "embedding", "label",
+        nPlanes = 2, dim = 4)
+      .select("vid", "pos", "neg", "pos_dot", "neg_dot", "margin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L))
+    // quantized mags 1000/2000/3000: anchor 1: pos_dot 2e6, neg_dot 3e6
+    assert(out(1L) === ((1L, 2L, 3L, 2000000L, 3000000L, -1000000L)))
+    assert(out(2L) === ((2L, 1L, 3L, 2000000L, 6000000L, -4000000L)))
+  }
+
   test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
     // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
     // bucket log-ratio is the only transcendental in the DSIR path —
