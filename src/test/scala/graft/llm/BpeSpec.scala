@@ -53,6 +53,19 @@ class BpeSpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 2L -> 4L, 3L -> 0L))
   }
 
+  test("applyMerge is a no-op when the pair is absent; multibyte chars split whole") {
+    val df = Seq(Tuple1(Seq("x", "y", "z"))).toDF("syms")
+    assert(df.select(Bpe.applyMerge(col("syms"), "a", "b"))
+      .as[Seq[String]].head() === Seq("x", "y", "z"))
+    // zh fixture guard: split("") must yield whole BMP characters so
+    // the oracle's per-character indexing sees the same symbols
+    val zh = Seq(Tuple1("数据 引擎")).toDF("text")
+    val syms = Bpe.wordVocab(zh, "text").orderBy("w")
+      .select("syms").as[Seq[String]].collect()
+    assert(syms.toSet === Set(Seq("数", "据", Bpe.EndMark),
+      Seq("引", "擎", Bpe.EndMark)))
+  }
+
   test("sourceOverlap: exact pairwise Jaccard, stop-shingle cap consistent") {
     val docs = Seq(
       ("A", "a b c d"), ("B", "a b c x"), ("C", "q r s t"),

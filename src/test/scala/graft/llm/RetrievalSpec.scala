@@ -155,6 +155,60 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1L, 3L, 2000000L, 6000000L, -4000000L)))
   }
 
+  test("hardNegatives plans a partial WindowGroupLimit (hot anchors forward <= k rows per task)") {
+    val df = emb((1L to 30L).map(i => i -> Seq(1.0, 0.0, 0.0, 0.0)): _*)
+      .withColumn("label", (col("vec_id") % 2).cast("int"))
+    val plan = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+      k = 2, nPlanes = 2, dim = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected partial WindowGroupLimit:\n$plan")
+  }
+
+  test("property: rrfFuse scores are monotone in rank and bounded") {
+    // a single 200-deep ranking: score must strictly decrease with
+    // rank (integer div of a strictly growing denominator can plateau
+    // only past 1e6/k resolution — at k=60, distinct until rank ~3900)
+    val r = (1L to 200L).map(i => (i, i)).toDF("id", "rank")
+    val out = Text.rrfFuse(Seq(r), "id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (1L until 200L).foreach { i =>
+      assert(out(i) > out(i + 1), s"score not strictly decreasing at rank $i")
+    }
+    assert(out(1L) === 1000000L / 61 && out.values.forall(v => v > 0 && v <= 16393L))
+  }
+
+  test("property: rankNormalize is bounded, monotone in score, and permutation-invariant") {
+    val rows = (1L to 97L).map(i => ("g" + (i % 4), i, (i * 37) % 53))
+    val df = rows.toDF("g", "id", "score")
+    val out = Curate.rankNormalize(df, "g", "score", "id")
+      .select("g", "id", "score", "pm_rank")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.forall(r => r._4 >= 0 && r._4 <= 1000))
+    out.groupBy(_._1).values.foreach { grp =>
+      val sorted = grp.sortBy(r => (r._3, r._2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4, s"pm_rank not monotone: $a $b")
+        case _ =>
+      }
+      assert(sorted.head._4 === 0L && sorted.last._4 === 1000L)
+    }
+    // partitioning independence (exact integer outputs)
+    val out2 = Curate.rankNormalize(df.repartition(7), "g", "score", "id")
+      .select("id", "pm_rank").as[(Long, Long)].collect().toMap
+    assert(out.map(r => r._2 -> r._4).toMap === out2)
+  }
+
+  test("property: paddingStats conserves docs/tokens and bounds pad_pm") {
+    val docs = (1L to 311L).map(i => (i * 13) % 97 + 1).toDF("tok")
+    val out = Curate.paddingStats(docs, "tok", Seq(20L, 50L, 80L))
+      .select("n_docs", "total_tokens", "pad_pm", "hi", "lo")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).sum === 311L)
+    assert(out.map(_._2).sum === (1L to 311L).map(i => (i * 13) % 97 + 1).sum)
+    assert(out.forall(r => r._3 >= 0 && r._3 < 1000))
+    assert(out.forall(r => r._4 > r._5), "observed max must exceed lo")
+  }
+
   test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
     // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
     // bucket log-ratio is the only transcendental in the DSIR path —
