@@ -443,6 +443,12 @@ object Graft {
                     idCol: String): DataFrame =
     llm.Curate.rankNormalize(df, groupCol, scoreCol, idCol)
 
+  /** Two-stage ANN serving: int8 coarse top-m re-ranked exactly to
+    * top-k. */
+  def annRerank(queries: DataFrame, candidates: DataFrame, qId: String,
+                cId: String, embCol: String, k: Int, m: Int): DataFrame =
+    llm.Similarity.rerankTopK(queries, candidates, qId, cId, embCol, k, m)
+
   /** Contrastive triplet export: hardest same-bucket positive and
     * negative per anchor with the exact-integer margin. */
   def tripletMine(df: DataFrame, idCol: String, embCol: String,

@@ -91,6 +91,30 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("qdot"))
   }
 
+  /** Two-stage ANN serving: int8 COARSE candidate generation (top `m`
+    * per query over the 4×-smaller quantized store) followed by an
+    * EXACT re-rank of only those m candidates with the full-precision
+    * milli-quantized dot — the production recall/cost dial (rerank
+    * cost per query is m·dim regardless of corpus size; raise m to
+    * buy back any recall the int8 coarse pass loses). Candidate join
+    * and rescore both run at |queries|×m scale; the full-precision
+    * store is touched only via the semi-join-shaped candidate
+    * equi-join, never scanned per query. */
+  def rerankTopK(queries: DataFrame, candidates: DataFrame, qId: String,
+                 cId: String, embCol: String, k: Int, m: Int): DataFrame = {
+    require(m >= k, s"coarse depth m=$m must be >= k=$k")
+    val coarse = int8TopK(queries, candidates, qId, cId, embCol, k = m)
+      .select(col("qid"), col("cid"))
+    val qe = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
+    val ce = candidates.select(col(cId).as("cid"), quantize(col(embCol)).as("ce"))
+    val rescored = coarse.join(qe, "qid").join(ce, "cid")
+      .withColumn("dot", dotQ(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("dot"))
+  }
+
   /** HOF formulation kept for differential testing (NativeExprSpec). */
   private[graft] def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)

@@ -168,6 +168,17 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Two-stage serving: int8 coarse top-20 re-ranked exactly to
+    // top-5 — the production recall/cost dial (rerank cost per query
+    // is m·dim regardless of corpus size).
+    "llm_ann_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.rerankTopK(
+        e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
+        "vec_id", "vec_id", "embedding", k = 5, m = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "llm_ann_lsh_bucketed" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         nPlanes = 8, dim = 64, k = 1)
@@ -1660,6 +1671,33 @@ object LlmQueries {
          |  SELECT qid, cid, qdot, row_number() OVER (
          |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) * c_amax DESC, cid) AS rank
          |  FROM s) t WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "llm_ann_rerank" ->
+      s"""WITH m AS (SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+         |    embedding FROM embeddings),
+         |z AS (SELECT vec_id, amax, list_transform(embedding, x ->
+         |    CAST(CASE WHEN amax = 0 THEN 0
+         |      ELSE floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) END AS BIGINT)) AS q
+         |  FROM m),
+         |q AS (SELECT vec_id AS qid, q AS qe FROM z WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS cid, q AS ce, amax AS c_amax FROM z WHERE vec_id >= 3),
+         |s AS (SELECT qid, cid, c_amax,
+         |  CAST((SELECT sum((qe)[i] * (ce)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS qdot
+         |  FROM c, q),
+         |coarse AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) * c_amax DESC, cid) AS rn
+         |  FROM s) t WHERE rn <= 20),
+         |eq AS (SELECT vec_id,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS e FROM embeddings),
+         |r AS (SELECT coarse.qid, coarse.cid,
+         |  CAST((SELECT sum((x.e)[i] * (y.e)[i]) FROM range(1, 65) r2(i)) AS BIGINT) AS dot
+         |  FROM coarse JOIN eq x ON x.vec_id = coarse.qid
+         |  JOIN eq y ON y.vec_id = coarse.cid)
+         |SELECT qid, cid, rank, dot FROM (
+         |  SELECT qid, cid, dot, row_number() OVER (
+         |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM r) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "llm_ann_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
          |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),

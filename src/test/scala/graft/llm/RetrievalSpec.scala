@@ -209,6 +209,31 @@ class RetrievalSpec extends SparkSpec {
     assert(out.forall(r => r._4 > r._5), "observed max must exceed lo")
   }
 
+  test("rerankTopK at full coarse depth equals exact brute force; shallow depth still exact on survivors") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val c = e.filter(col("vec_id") >= 3)
+    val exact = Similarity.bruteForceTopKQ(q, c, "vec_id", "vec_id", "embedding", k = 5)
+      .select("qid", "cid", "rank").as[(Long, Long, Long)].collect().toSet
+    // m = |candidates| -> the coarse stage filters nothing; rerank must
+    // reproduce brute force bit-for-bit
+    val full = Similarity.rerankTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, m = c.count().toInt)
+      .select("qid", "cid", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full === exact)
+    // shallow coarse depth: results must be exactly the true ranking
+    // of whatever survived the int8 stage (ranks contiguous from 1)
+    val shallow = Similarity.rerankTopK(q, c, "vec_id", "vec_id", "embedding",
+        k = 5, m = 8).select("qid", "rank").as[(Long, Long)].collect()
+    shallow.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq === (1L to g.length))
+    }
+    intercept[IllegalArgumentException](
+      Similarity.rerankTopK(q, c, "vec_id", "vec_id", "embedding", k = 5, m = 4))
+  }
+
   test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
     // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
     // bucket log-ratio is the only transcendental in the DSIR path —
