@@ -26,7 +26,10 @@ object Plans {
         "llm_curriculum", "llm_top_ngrams", "llm_dedup_keep_best",
         "llm_snapshot_delta", "llm_decontaminate_bloom",
         "k9_zorder_keys", "llm_ann_int8", "llm_temperature_mix",
-        "llm_domain_blocklist", "llm_contamination_report")
+        "llm_domain_blocklist", "llm_contamination_report",
+        "llm_rrf_hybrid", "llm_dsir_weights", "llm_hard_negatives",
+        "llm_triplets", "llm_bpe_pairs", "llm_source_overlap",
+        "llm_ann_rerank", "llm_rank_normalize", "llm_padding_stats")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

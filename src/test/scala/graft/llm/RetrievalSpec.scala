@@ -234,6 +234,21 @@ class RetrievalSpec extends SparkSpec {
       Similarity.rerankTopK(q, c, "vec_id", "vec_id", "embedding", k = 5, m = 4))
   }
 
+  test("semanticNearDupPairs: cap window and self-join share one cluster exchange") {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = emb((1L to 12L).map(i =>
+        i -> Seq(if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 0.0 else 1.0,
+          0.1 * (i % 3), 0.0)): _*)
+      val plan = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.5, nlist = 2, iters = 2).queryExecution.executedPlan
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"expected the self-join to reuse the cap window's cluster exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
     // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
     // bucket log-ratio is the only transcendental in the DSIR path —
