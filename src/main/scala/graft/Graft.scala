@@ -416,6 +416,12 @@ object Graft {
               rankCol: String = "rank", kRrf: Int = 60): DataFrame =
     llm.Text.rrfFuse(rankings, idCol, rankCol, kRrf)
 
+  /** Multi-signal ensemble dedup: union several detectors' pair sets
+    * into one duplicate graph, keep the component-min id. */
+  def multiSignalKeepOne(universe: DataFrame, idCol: String,
+                         pairs: Seq[DataFrame]): DataFrame =
+    llm.Dedup.multiSignalKeepOne(universe, idCol, pairs)
+
   /** SemDeDup semantic dedup: k-means cells → within-cell cosine
     * near-dup pairs → keep the component-min id. */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,

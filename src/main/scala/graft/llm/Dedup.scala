@@ -410,6 +410,27 @@ object Dedup {
     df.join(if (broadcastDrops) broadcast(drops) else drops, Seq(idCol), "left_anti")
   }
 
+  /** Multi-signal ensemble dedup: union the pair sets of several
+    * detectors (MinHash-LSH text pairs, embedding-cosine pairs, image
+    * dHash pairs, …) into ONE duplicate graph, take connected
+    * components, keep the component-min id. A near-dup caught by ANY
+    * signal merges its cluster — the production behavior when text
+    * rewrites dodge the shingle detector but not the embedding one
+    * (or vice versa). Edge frames must expose (a, b) over one shared
+    * id space. Components run at clustered-doc scale; the union is
+    * |edges|-linear; `ccIters` defaults high because cross-signal
+    * unions chain components the individual detectors kept apart
+    * (exact-fixpoint early exit makes the bound free once converged). */
+  def multiSignalKeepOne(universe: DataFrame, idCol: String,
+                         pairs: Seq[DataFrame],
+                         ccIters: Int = 32): DataFrame = {
+    require(pairs.nonEmpty, "multiSignalKeepOne needs at least one pair frame")
+    val edges = pairs.map(_.select(col("a"), col("b")))
+      .reduce(_ unionByName _).distinct()
+    val comp = graft.ops.Ops.connectedComponents(edges, "a", "b", ccIters)
+    keepOnePerCluster(universe, idCol, comp)
+  }
+
   /** Quality-priority variant of [[keepOnePerCluster]]: keep the
     * HIGHEST-`scoreCol` member of each duplicate cluster (ties break
     * on id asc) rather than the arbitrary min-id representative — the

@@ -666,6 +666,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Multi-signal ensemble dedup: the MinHash-LSH text pairs and the
+    // embedding-cosine pairs (doc_id ≡ vec_id) merge into ONE
+    // duplicate graph — a near-dup caught by EITHER signal collapses
+    // its cluster.
+    "llm_dedup_multisignal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textPairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        threshold = 0.5).select(col("a"), col("b"))
+      val embPairs = Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", EmbDedupThreshold).select(col("a"), col("b"))
+      Dedup.multiSignalKeepOne(docs.select(col("doc_id")), "doc_id",
+          Seq(textPairs, embPairs))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     // 3-gram shingle hashes with the benchmark set (doc_id < 10 stands
     // in for the held-out suite). The join is an equi-join on the
@@ -2208,6 +2223,20 @@ object LlmQueries {
          |SELECT d.doc_id,
          |  (${duckHash("('fold:' || COALESCE(comp.label, d.doc_id))")} % 5)::BIGINT AS fold
          |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+         |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_multisignal" ->
+      s"""WITH RECURSIVE ${pairsCtes()},
+         |$embPairsCtes,
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5
+         |          UNION SELECT a, b FROM escored),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> label)
          |ORDER BY doc_id""".stripMargin,
     "llm_dedup_keep_one" ->
       s"""WITH RECURSIVE ${pairsCtes()},

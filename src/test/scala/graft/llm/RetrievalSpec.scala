@@ -249,6 +249,22 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("multiSignalKeepOne: a pair caught by either signal merges the cluster") {
+    val universe = (1L to 6L).toDF("id")
+    val sigA = Seq((1L, 2L)).toDF("a", "b")           // text signal: 1~2
+    val sigB = Seq((2L, 3L), (5L, 6L)).toDF("a", "b") // embedding: 2~3, 5~6
+    val kept = Dedup.multiSignalKeepOne(universe, "id", Seq(sigA, sigB))
+      .as[Long].collect().toSet
+    // union chains 1~2~3 into one cluster (kept: 1); 5~6 collapses to 5
+    assert(kept === Set(1L, 4L, 5L))
+    // each signal alone keeps what the other would merge
+    val keptA = Dedup.multiSignalKeepOne(universe, "id", Seq(sigA))
+      .as[Long].collect().toSet
+    assert(keptA === Set(1L, 3L, 4L, 5L, 6L))
+    intercept[IllegalArgumentException](
+      Dedup.multiSignalKeepOne(universe, "id", Seq.empty))
+  }
+
   test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
     // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
     // bucket log-ratio is the only transcendental in the DSIR path —
