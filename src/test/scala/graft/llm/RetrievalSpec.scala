@@ -265,6 +265,24 @@ class RetrievalSpec extends SparkSpec {
       Dedup.multiSignalKeepOne(universe, "id", Seq.empty))
   }
 
+  test("property: dsirWeights and sourceOverlap are partitioning-independent (exact integers)") {
+    val docs = (1L to 60L)
+      .map(i => (i, s"src${i % 5}", s"w${i % 7} w${i % 3} w${i % 11} w${i % 7}"))
+      .toDF("doc_id", "source", "text")
+    val tgt = docs.filter(col("source") === "src0")
+    val a = Curate.dsirWeights(docs, tgt, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Curate.dsirWeights(docs.repartition(13), tgt.repartition(3),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    val o1 = CorpusStats.sourceOverlap(docs, "source", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val o2 = CorpusStats.sourceOverlap(docs.repartition(11), "source", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(o1 === o2)
+  }
+
   test("dsir lr_micro floor boundaries sit >2e-8 from integers at both oracle SFs") {
     // same libm-ulp tripwire as NgramLm's lp_micro guard: the per-
     // bucket log-ratio is the only transcendental in the DSIR path —
