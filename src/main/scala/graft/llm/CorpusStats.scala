@@ -379,4 +379,149 @@ object CorpusStats {
         (col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
   }
+
+  /** Per-group robust outlier report: median / MAD (median absolute
+    * deviation) over an integer column, with the classic
+    * |v − median| > k·MAD flag — the outlier rule that, unlike
+    * mean/stddev, a handful of extreme documents cannot drag (robust
+    * statistics are the standard length/score gate in corpus QA).
+    *
+    * All arithmetic is EXACT integer: medians are carried doubled
+    * (`med2` = lower + upper middle order statistic, so even-sized
+    * groups never average into a fraction) and the deviation median
+    * quadrupled (`mad4` = med2 of `|2v − med2|`); the flag compares
+    * `2·|2v − med2| > k·mad4`, an integer inequality equivalent to the
+    * textbook rule. No floats anywhere, so the report is partition-
+    * and engine-independent.
+    *
+    * Shape: ONE hash exchange on the group key serves everything —
+    * both order-statistic ranks are windows over the same partitioning
+    * (the second orderBy re-sorts in place, no new exchange), the
+    * unbounded-frame `max(when(rn = lo ...))` picks the middle values
+    * without any self-join, and the final per-group rollup aggregates
+    * the already-partitioned stream. Group count never bounds memory —
+    * nothing is collected. */
+  def robustOutliers(docs: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val reserved = Seq("__v", "__rn", "__n", "__lo", "__hi", "__med2",
+      "__dev2", "__rn2", "__mad4")
+    require(!docs.columns.exists(reserved.contains),
+      s"robustOutliers reserves ${reserved.mkString(", ")}")
+    val g = col(groupCol)
+    val part = Window.partitionBy(g)
+    val all = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byV = part.orderBy(col("__v"), col(idCol))
+    val d1 = docs
+      .select(g, col(idCol), col(valueCol).cast(LongType).as("__v"))
+      .withColumn("__rn", row_number().over(byV).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__lo", expr("(__n + 1) div 2"))
+      .withColumn("__hi", expr("__n div 2 + 1"))
+      .withColumn("__med2",
+        max(when(col("__rn") === col("__lo"), col("__v"))).over(all) +
+          max(when(col("__rn") === col("__hi"), col("__v"))).over(all))
+    val byDev = part.orderBy(col("__dev2"), col(idCol))
+    val d2 = d1
+      .withColumn("__dev2", abs(col("__v") * 2 - col("__med2")))
+      .withColumn("__rn2", row_number().over(byDev).cast(LongType))
+      .withColumn("__mad4",
+        max(when(col("__rn2") === col("__lo"), col("__dev2"))).over(all) +
+          max(when(col("__rn2") === col("__hi"), col("__dev2"))).over(all))
+    d2.groupBy(g)
+      .agg(max(col("__n")).as("n"),
+        max(col("__med2")).as("med2"),
+        max(col("__mad4")).as("mad4"),
+        sum(when(col("__dev2") * 2 > lit(k.toLong) * col("__mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** EXACT corpus heavy hitters — every word n-gram with global
+    * occurrence count >= `threshold` — at BOUNDED executor memory via
+    * Misra-Gries candidate generation + exact verification (the
+    * standard two-pass distributed heavy-hitter recipe; Misra & Gries
+    * 1982, "Finding repeated elements" — public method).
+    *
+    * Why not a plain groupBy? It IS exact and map-side-combined, but
+    * its partial hash table grows with the distinct n-grams of each
+    * input partition — at 100 TB the n-gram domain is effectively
+    * unbounded (trillions of distinct shingles), so the partials spill
+    * and the exchange carries one row per distinct key anyway. Here:
+    *
+    *   pass 1  per-partition Misra-Gries with `capacity` counters —
+    *           O(capacity) memory regardless of the domain; survivors
+    *           + the partition's n-gram total are the ONLY rows that
+    *           leave the executor (<= capacity+1 per partition);
+    *   guard   an item with global count f survives in some partition
+    *           whenever f > N/(capacity+1) (per-partition undercount
+    *           <= n_p/(capacity+1), summed <= N/(capacity+1) < f). The
+    *           driver checks threshold > N/(capacity+1) with the EXACT
+    *           N from the sentinel rows and refuses to return a
+    *           possibly-incomplete answer — size capacity at
+    *           N/threshold when scaling up;
+    *   pass 2  exact recount of candidates only: a broadcast semi-join
+    *           (candidates <= capacity x partitions) prunes the stream
+    *           BEFORE the hash agg, so pass 2's tables are bounded by
+    *           the candidate set, not the domain.
+    *
+    * Output rows therefore equal the plain `GROUP BY ... HAVING
+    * count >= threshold` exactly — the oracle replays that SQL. The
+    * (ngram, doc) pre-aggregation mirrors [[topNgrams]]'s two-stage
+    * shape (no Expand duplication of the exploded stream). */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Long = 6,
+                   capacity: Int = 65536): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def stream = docs
+      .select(col(idCol).as("__doc"), Text.words(col(textCol)).as("w"))
+      .select(col("__doc"), explode(Text.shingles(col("w"), n)).as("ngram"))
+    val summaries = stream.select(col("ngram")).as[String]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
+        var np = 0L
+        while (it.hasNext) {
+          val t = it.next(); np += 1
+          val c = counts.get(t)
+          if (c != null) counts.put(t, c + 1L)
+          else if (counts.size < capacity) counts.put(t, 1L)
+          else {
+            // decrement-all: amortized O(1) (every decrement cancels
+            // one earlier increment), so the pass stays linear
+            val itr = counts.entrySet().iterator()
+            while (itr.hasNext) {
+              val e = itr.next()
+              if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        val survivors = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        survivors.sizeHint(counts.size + 1)
+        survivors += ((null, np)) // sentinel: this partition's total
+        val keys = counts.keySet().iterator()
+        while (keys.hasNext) survivors += ((keys.next(), 0L))
+        survivors.iterator
+      }.toDF("ngram", "__np")
+      // one materialization read twice (exact-N guard + candidates);
+      // <= (capacity+1) x partitions rows by construction
+      .localCheckpoint()
+    val total = summaries.filter(col("ngram").isNull)
+      .agg(coalesce(sum(col("__np")), lit(0L))).head.getLong(0)
+    require(threshold.toDouble * (capacity.toDouble + 1.0) > total.toDouble,
+      s"heavyHitters completeness guard: threshold=$threshold <= " +
+        s"N/(capacity+1) = $total/${capacity + 1} — candidates may be " +
+        "incomplete; raise capacity to at least N/threshold")
+    val cands = summaries.filter(col("ngram").isNotNull)
+      .select(col("ngram")).distinct()
+    stream
+      .join(broadcast(cands), Seq("ngram"), "left_semi")
+      .groupBy(col("ngram"), col("__doc")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__c")).cast(LongType).as("occurrences"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("occurrences") >= threshold)
+  }
 }

@@ -91,6 +91,42 @@ object Text {
         greatest(length(text), lit(1)).cast(DoubleType)).as("upper_ratio"))
   }
 
+  /** Per-document character-distribution Shannon entropy in integer
+    * micro-nats — the gibberish/keyboard-mash/compression-proxy quality
+    * signal (low entropy ⇒ repeated-character junk; the cheap stand-in
+    * for the zlib-ratio rule in Gopher-style filters, with no codec
+    * dependency). Uses the identity H = ln(n) − (Σ_c k_c·ln k_c)/n over
+    * exact integer per-character counts k_c, with each k·ln k term
+    * floor-quantized to micro-nats BEFORE the sum — the sum is then an
+    * INTEGER, so it is partition- and order-independent (a float
+    * groupBy-sum would not be), and the final division is integer
+    * `div`. Same ln-ulp caveat and floor-boundary odds as
+    * [[NgramLm]].lp_micro / [[bm25]]. Empty or NULL text → NULL
+    * h_micro, n_chars_counted 0.
+    *
+    * Shape: explode to (doc, char) → two hash aggs. The first partial
+    * collapses each document's characters map-side (a doc's rows live
+    * in one partition), so the exchange carries ≤ |alphabet| rows per
+    * document, not per character. Output: (idCol, n_chars_counted,
+    * h_micro). */
+  def charEntropyFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val k = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .filter(col("__ch") =!= "")
+      .groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__k"))
+    val s = k.groupBy(col(idCol)).agg(
+      sum(floor(col("__k").cast(DoubleType) *
+        log(col("__k").cast(DoubleType)) * lit(1000000.0)).cast(LongType))
+        .as("__s"),
+      sum(col("__k")).cast(LongType).as("__n"))
+    docs.select(col(idCol)).join(s, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_chars_counted"),
+        when(col("__n") > 0,
+          floor(log(col("__n").cast(DoubleType)) * lit(1000000.0)).cast(LongType) -
+            expr("__s div __n")).as("h_micro"))
+  }
+
   /** Language-ID heuristic: score marker-token hits per language, take
     * the argmax, default "und". Real pipelines plug larger profiles
     * into the same shape; the operator stays a pure expression. */

@@ -38,6 +38,9 @@ object LlmQueries {
   /** DSIR hashed-unigram feature buckets, shared with the oracle. */
   private val DsirBuckets = 1024
 
+  /** Heavy-hitter occurrence threshold, shared with the oracle SQL. */
+  private val HeavyHitterThreshold = 6L
+
   val queries: Seq[(String, Q)] = Seq(
 
     // Fixture texts are 500 UNIQUE non-NULL sentences, so both arms the
@@ -112,6 +115,14 @@ object LlmQueries {
         .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_words").as("n_words"),
           col("q.avg_word_len").as("avg_word_len"), col("q.stopword_ratio").as("stopword_ratio"),
           col("q.punct_count").as("punct_count"), col("q.upper_ratio").as("upper_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Character-distribution entropy in integer micro-nats (the
+    // gibberish / compression-proxy quality signal). Per-term floor
+    // quantization keeps the cross-doc sum an integer — partition-
+    // order-independent — and mirrors the lp_micro/bm25 ln discipline.
+    "llm_char_entropy" -> ((s, dir) =>
+      Text.charEntropyFrame(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     "llm_lang_id" -> ((s, dir) =>
@@ -1128,6 +1139,33 @@ object LlmQueries {
       CorpusStats.topNgrams(t(s, dir, "documents"), "doc_id", "text",
         n = 2, k = 20)),
 
+    // Per-source robust outlier report: exact integer median/MAD
+    // (doubled/quadrupled order statistics — no fractional averaging)
+    // with the |v - med| > k*MAD flag at k = 2 (k = 3 flags almost
+    // nothing on the tight synthetic length profile; 2 yields both
+    // zero and non-zero groups, so the flag is checked in both
+    // directions). One hash exchange on source serves both rank
+    // windows and the rollup.
+    "llm_robust_outliers" -> ((s, dir) =>
+      CorpusStats.robustOutliers(t(s, dir, "documents"), "source", "n_chars",
+        "doc_id", k = 2)
+        .orderBy(col("source"))),
+
+    // EXACT threshold heavy hitters at bounded memory: Misra-Gries
+    // candidates + exact recount (CorpusStats.heavyHitters). The
+    // oracle replays the equivalent plain GROUP BY ... HAVING — the MG
+    // pass changes memory, never the answer (its completeness guard is
+    // driver-checked against the exact corpus total; eviction behavior
+    // is exercised separately in OrderStatsSpec with a tiny capacity).
+    // threshold/capacity are chosen so the guard holds at every
+    // fixture sf: N(sf0.1) = 260,704 trigrams, 260704/65537 = 3.98 <
+    // 6 = threshold, and sf0.01's max trigram count is 8, so the
+    // HAVING cut is non-vacuous in both directions.
+    "llm_heavy_hitters" -> ((s, dir) =>
+      CorpusStats.heavyHitters(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = HeavyHitterThreshold, capacity = 65536)
+        .orderBy(col("ngram"))),
+
     // Document-length profile in 100-char buckets over the n_chars
     // column — pure integer bucket arithmetic on both sides.
     "llm_length_histogram" -> ((s, dir) =>
@@ -1627,6 +1665,20 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS upper_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-term floor-to-micro-nats BEFORE the sum: the cross-char sum
+    // is integer on both engines, so partition order can't move it
+    "llm_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |k AS (SELECT doc_id, ch, count(*)::BIGINT AS k FROM ch
+        |  WHERE ch <> '' GROUP BY doc_id, ch),
+        |s AS (SELECT doc_id,
+        |    CAST(sum(CAST(floor(k * ln(k) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(k) AS BIGINT) AS n FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_chars_counted,
+        |  CASE WHEN n > 0 THEN
+        |    CAST(floor(ln(n) * 1000000) AS BIGINT) - (s // n) END AS h_micro
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "llm_lang_id" -> {
       val scores = Text.LangMarkers.map { case (lang, markers) =>
         lang -> s"len(list_filter(w, x -> x IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -2585,6 +2637,46 @@ object LlmQueries {
         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t0)
         |SELECT ngram, count(*)::BIGINT AS occurrences, count(DISTINCT doc_id)::BIGINT AS n_docs
         |FROM g GROUP BY ngram ORDER BY occurrences DESC, n_docs DESC, ngram LIMIT 20""".stripMargin,
+    // doubled medians / quadrupled MADs: integer order statistics, no
+    // fractional averaging on either engine
+    "llm_robust_outliers" ->
+      """WITH d1 AS (
+        |  SELECT source, doc_id, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |d1m AS (
+        |  SELECT *, (n + 1) // 2 AS lo, n // 2 + 1 AS hi,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) OVER (PARTITION BY source) +
+        |    max(CASE WHEN rn = n // 2 + 1 THEN v END) OVER (PARTITION BY source) AS med2
+        |  FROM d1),
+        |d2 AS (
+        |  SELECT *, abs(v * 2 - med2) AS dev2,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY abs(v * 2 - med2), doc_id) AS rn2
+        |  FROM d1m),
+        |d2m AS (
+        |  SELECT *, max(CASE WHEN rn2 = lo THEN dev2 END) OVER (PARTITION BY source) +
+        |    max(CASE WHEN rn2 = hi THEN dev2 END) OVER (PARTITION BY source) AS mad4
+        |  FROM d2)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(med2) AS BIGINT) AS med2, CAST(max(mad4) AS BIGINT) AS mad4,
+        |  CAST(sum(CASE WHEN dev2 * 2 > 2 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d2m GROUP BY source ORDER BY source""".stripMargin,
+    // the MG pass is a memory strategy, not a semantics change: the
+    // oracle is the plain exact GROUP BY ... HAVING
+    "llm_heavy_hitters" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |      for i in range(1, len(w) - 1)]) AS ngram FROM w),
+         |p AS (SELECT ngram, doc_id, count(*) AS c FROM g GROUP BY ngram, doc_id)
+         |SELECT ngram, CAST(sum(c) AS BIGINT) AS occurrences,
+         |  count(*)::BIGINT AS n_docs
+         |FROM p GROUP BY ngram HAVING sum(c) >= $HeavyHitterThreshold
+         |ORDER BY ngram""".stripMargin,
     "llm_length_histogram" ->
       """SELECT n_chars - (n_chars % 100) AS bucket_lo, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS sum_chars, min(n_chars)::BIGINT AS min_chars,

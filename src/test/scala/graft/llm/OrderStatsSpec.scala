@@ -381,4 +381,91 @@ class OrderStatsSpec extends SparkSpec {
     // descending pmi order with bigram tie-break
     assert(out.map(t => (-t._3, t._1)).sorted == out.map(t => (-t._3, t._1)))
   }
+
+  test("robustOutliers: hand-computed median/MAD; mean-dragging extreme stays flagged") {
+    // group a (odd n=5): v = 1,2,3,4,100 -> med 3, MAD 1; |100-3| > 2*1 -> 1
+    // outlier (a mean/stddev z-rule would NOT flag 100: mean=22, std~39)
+    // group b (even n=4): v = 10,20,30,40 -> med2 = 50, dev2 = {30,10,10,30}
+    //   sorted {10,10,30,30}, lo=2 hi=3 -> mad4 = 10+30 = 40;
+    //   2*30 > 2*40 false -> 0 outliers
+    val docs = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("a", 5L, 100L), ("b", 6L, 10L), ("b", 7L, 20L), ("b", 8L, 30L),
+      ("b", 9L, 40L)).toDF("src", "id", "v")
+    val out = CorpusStats.robustOutliers(docs, "src", "v", "id", k = 2)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) === (("a", 5L, 6L, 4L, 1L)))   // med2=2*3, mad4=4*1
+    assert(out(1) === (("b", 4L, 50L, 40L, 0L)))
+    // partitioning-independent (exact integers end to end)
+    val re = CorpusStats.robustOutliers(docs.repartition(7), "src", "v", "id", k = 2)
+    assert(re.except(CorpusStats.robustOutliers(docs, "src", "v", "id", k = 2))
+      .count() === 0)
+    // reserved working names are refused, like sibling operators
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.robustOutliers(docs.withColumn("__med2", lit(1)), "src", "v", "id")
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
+  test("robustOutliers plan: ONE exchange serves both rank windows and the rollup") {
+    val docs = Seq(("a", 1L, 1L), ("a", 2L, 5L), ("b", 3L, 2L)).toDF("src", "id", "v")
+    val plan = CorpusStats.robustOutliers(docs, "src", "v", "id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("heavyHitters: MG eviction path agrees with the plain exact groupBy") {
+    // skewed stream: 'h h' dominates, mid items straddle the threshold,
+    // a long tail of singletons forces constant MG eviction at cap 4
+    val docs = ((1L to 60L).map(i => (i, "h h x")) ++
+      (61L to 70L).map(i => (i, "m m y")) ++
+      (71L to 200L).map(i => (i, s"t$i u$i v$i"))).toDF("doc_id", "text")
+    def exact(thr: Long) = docs
+      .select(col("doc_id"), explode(Text.shingles(Text.words(col("text")), 2)).as("ngram"))
+      .groupBy("ngram", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("ngram").agg(sum("c").as("occurrences"), count(lit(1)).as("n_docs"))
+      .filter(col("occurrences") >= thr)
+    // N = 400 bigrams; capacity 199 -> guard needs thr > 400/200 = 2
+    val out = CorpusStats.heavyHitters(docs, "doc_id", "text",
+      n = 2, threshold = 10, capacity = 199)
+    assert(out.except(exact(10)).count() === 0 && exact(10).except(out).count() === 0)
+    assert(out.count() === 4, "h h / h x / m m / m y cross threshold 10, tail does not")
+    // partitioning-independence: a different layout, same exact answer
+    val re = CorpusStats.heavyHitters(docs.repartition(13), "doc_id", "text",
+      n = 2, threshold = 10, capacity = 199)
+    assert(re.except(out).count() === 0 && out.except(re).count() === 0)
+    // completeness guard refuses a threshold the capacity can't certify:
+    // capacity 3 -> N/(cap+1) = 100 >= threshold 10
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.heavyHitters(docs, "doc_id", "text",
+        n = 2, threshold = 10, capacity = 3).collect()
+    }
+    assert(e.getMessage.contains("completeness guard"))
+  }
+
+  test("charEntropyFrame: hand-computed micro-nats; uniform > skewed; empty/null -> NULL") {
+    val docs = Seq(
+      (1L, "aab"),          // k = {a:2, b:1}, n = 3
+      (2L, "abc"),          // uniform, n = 3 -> ln(3) quantized
+      (3L, "aaaa"),         // degenerate -> exactly 0
+      (4L, ""),             // empty -> NULL h, 0 counted
+      (5L, null: String)    // null  -> NULL h, 0 counted
+    ).toDF("doc_id", "text")
+    val out = Text.charEntropyFrame(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    def hMicro(ks: Seq[Long]): Long = {
+      val n = ks.sum
+      math.floor(math.log(n.toDouble) * 1e6).toLong -
+        ks.map(k => math.floor(k * math.log(k.toDouble) * 1e6).toLong).sum / n
+    }
+    assert(out(0) === ((1L, 3L, Some(hMicro(Seq(2L, 1L))))))
+    assert(out(1) === ((2L, 3L, Some(hMicro(Seq(1L, 1L, 1L))))))
+    assert(out(2) === ((3L, 4L, Some(0L))), "single-symbol text has zero entropy")
+    assert(out(3) === ((4L, 0L, None)))
+    assert(out(4) === ((5L, 0L, None)))
+    assert(out(1)._3.get > out(0)._3.get, "uniform beats skewed at equal length")
+  }
 }
