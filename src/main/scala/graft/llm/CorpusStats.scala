@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Corpus-level diagnostics a curation run reports before and after
   * each filter stage: heavy-hitter n-grams (the boilerplate you are
@@ -379,6 +379,38 @@ object CorpusStats {
         (col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
   }
+
+  /** Mergeable per-shard statistics — the incremental-maintenance
+    * pattern for corpus accounting at 100 TB: each ingestion batch (or
+    * each storage shard) computes ONE tiny partial row per
+    * (group, shard), and [[mergeStats]] folds ANY union of partial
+    * rows — yesterday's persisted parts plus today's delta — into
+    * exactly the numbers a full-corpus rescan would produce. Every
+    * field is an exact MONOID value (count, Long sum, min, max,
+    * DECIMAL(38,0) sum of squares — never a float, never a mean), so
+    * merge order, shard layout, and re-merging merged rows cannot
+    * change a single bit. Derived moments (mean, variance) come out of
+    * the merged row, not the corpus. */
+  def partialStats(docs: DataFrame, groupCol: String, valueCol: String,
+                   shard: Column): DataFrame = {
+    val v = col(valueCol).cast(LongType)
+    val d = col(valueCol).cast(DecimalType(18, 0))
+    docs.groupBy(col(groupCol), shard.as("shard"))
+      .agg(count(lit(1)).as("n"), sum(v).as("sum_v"),
+        min(v).as("min_v"), max(v).as("max_v"),
+        sum(d * d).cast(DecimalType(38, 0)).as("sumsq"))
+  }
+
+  /** Fold partial-stat rows (any subset union) to per-group totals —
+    * identical to a direct full pass ([[partialStats]] contract).
+    * `mean_micro` is exact integer micro-units: (Σv·1e6) div n. */
+  def mergeStats(parts: DataFrame, groupCol: String): DataFrame =
+    parts.groupBy(col(groupCol))
+      .agg(sum(col("n")).cast(LongType).as("n"),
+        sum(col("sum_v")).cast(LongType).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        sum(col("sumsq")).cast(DecimalType(38, 0)).as("sumsq"))
+      .withColumn("mean_micro", expr("(sum_v * 1000000) div n"))
 
   /** Per-group robust outlier report: median / MAD (median absolute
     * deviation) over an integer column, with the classic

@@ -687,6 +687,46 @@ object Ops {
     * `describe()`): count/min/max/mean/std from exact decimal sums so
     * results don't depend on partitioning (see Exprs.dsum). `scale`
     * must make the column exact; squares use 2×scale. */
+  /** SFT conversation assembly — the step that turns an event log into
+    * supervised fine-tuning transcripts: per key, the time-ordered
+    * (role, content) turns joined into one "role: content\n..."
+    * transcript, plus the role-alternation audit (chat-format training
+    * data requires roles to alternate; `n_repeats` counts adjacent
+    * same-role turns, the rows a strict formatter must merge or drop).
+    * Emits md5(transcript) rather than the transcript itself — the
+    * hash is what dedup/drift layers consume, and it keeps the output
+    * row narrow.
+    *
+    * Order is deterministic end to end: turns sort by (ts, id) both in
+    * the lag window and inside `sort_array` (struct comparison is
+    * field-lexicographic), so ties can't reorder across engines.
+    *
+    * Shape: ONE hash exchange on the key — the lag window and the
+    * rollup share the partitioning. The per-key `collect_list` is
+    * bounded by conversation length (turns per key), the operator's
+    * inherent output row — NOT by corpus size; a key's transcript that
+    * cannot fit an executor cannot be a training example either. */
+  def sftConversations(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, roleCol: String,
+                       contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol), col(tsCol), col(idCol), col(roleCol).as("__role"),
+        concat(col(roleCol), lit(": "), coalesce(col(contentCol), lit("")))
+          .as("__turn"))
+      .withColumn("__prev", lag(col("__role"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("__prev").isNotNull && col("__prev") === col("__role"), 1L)
+          .otherwise(0L)).as("n_repeats"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col(tsCol).as("t"), col(idCol).as("i"),
+            col("__turn").as("s")))),
+          x => x.getField("s")), "\n")).as("convo_hash"))
+      .withColumn("alternation_ok", col("n_repeats") === 0L)
+  }
+
   def summaryStats(df: DataFrame, c: String, scale: Int = 2): DataFrame = {
     val x = col(c)
     df.agg(

@@ -735,6 +735,15 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // X13 — SFT conversation assembly: per-user time-ordered
+    // (role: content) transcript hash + the role-alternation audit
+    // (adjacent same-role turns are the rows a chat formatter must
+    // merge). One exchange on user_id serves lag window and rollup.
+    "x13_sft_assembly" -> ((s, dir) =>
+      Ops.sftConversations(t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", "props")
+        .orderBy(col("user_id"))),
+
     // X8 — funnel analysis: users completing each prefix of
     // signup -> view -> click -> purchase with earliest-completion
     // semantics (each step strictly after the previous one's time).
@@ -1302,6 +1311,19 @@ object CoreQueries {
         |  FROM events) t
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+    "x13_sft_assembly" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type AS role,
+        |    event_type || ': ' || coalesce(props, '') AS turn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events)
+        |SELECT user_id, count(*)::BIGINT AS n_turns,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev = role THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repeats,
+        |  md5(string_agg(turn, chr(10) ORDER BY ts, event_id)) AS convo_hash,
+        |  (sum(CASE WHEN prev IS NOT NULL AND prev = role THEN 1 ELSE 0 END) = 0)
+        |    AS alternation_ok
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x8_funnel" -> FunnelOracleSql(""),
     "x8_funnel_1pass" -> FunnelOracleSql(""),
     "x8_funnel_windowed" -> FunnelOracleSql(" AND e.ts <= s%d.t + INTERVAL 3 DAY"),

@@ -1139,6 +1139,22 @@ object LlmQueries {
       CorpusStats.topNgrams(t(s, dir, "documents"), "doc_id", "text",
         n = 2, k = 20)),
 
+    // Incremental stats maintenance: per-(source, shard) partial rows
+    // merged back to per-source totals — the oracle computes the same
+    // numbers DIRECTLY from the corpus, proving merge == full rescan
+    // (all fields exact monoids; shard = doc_id % 8 mimics 8 ingestion
+    // batches).
+    "llm_shard_stats_merge" -> ((s, dir) => {
+      val parts = CorpusStats.partialStats(t(s, dir, "documents"),
+        "source", "n_chars", pmod(col("doc_id"), lit(8)))
+      CorpusStats.mergeStats(parts, "source")
+        // harness transport: DECIMAL(38,0) round-trips as object-vs-
+        // float across the two engines' pandas bridges; the fixture
+        // values fit BIGINT exactly, so compare there
+        .withColumn("sumsq", col("sumsq").cast("long"))
+        .orderBy(col("source"))
+    }),
+
     // Per-source robust outlier report: exact integer median/MAD
     // (doubled/quadrupled order statistics — no fractional averaging)
     // with the |v - med| > k*MAD flag at k = 2 (k = 3 flags almost
@@ -2637,6 +2653,17 @@ object LlmQueries {
         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents) t0)
         |SELECT ngram, count(*)::BIGINT AS occurrences, count(DISTINCT doc_id)::BIGINT AS n_docs
         |FROM g GROUP BY ngram ORDER BY occurrences DESC, n_docs DESC, ngram LIMIT 20""".stripMargin,
+    // the oracle never sees the shards: direct global aggregation must
+    // equal the merged partials bit for bit
+    "llm_shard_stats_merge" ->
+      """SELECT source, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |  CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0)))
+        |    AS BIGINT) AS sumsq,
+        |  CAST(sum(n_chars) * 1000000 AS BIGINT) // count(*) AS mean_micro
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // doubled medians / quadrupled MADs: integer order statistics, no
     // fractional averaging on either engine
     "llm_robust_outliers" ->

@@ -410,4 +410,38 @@ class OpsSpec extends SparkSpec {
       (1L, "b", 1L, min, min),
       (2L, "c", 0L, 0L, 0L)), s"got $gated")
   }
+
+  test("sftConversations: ordered transcript hash, alternation audit, null content") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: alternates cleanly; a same-second tie ordered by id
+      (1L, ts(10), 1L, "user", "hi"),
+      (1L, ts(20), 2L, "assistant", "hello"),
+      (1L, ts(20), 3L, "user", "bye"),
+      // user 2: adjacent same-role turns + NULL content
+      (2L, ts(10), 4L, "user", "a"),
+      (2L, ts(20), 5L, "user", null: String),
+      (2L, ts(30), 6L, "assistant", "b")
+    ).toDF("uid", "t", "eid", "role", "content")
+    val out = Ops.sftConversations(events, "uid", "t", "eid", "role", "content")
+      .orderBy("uid").collect()
+    def h(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 0L &&
+      out(0).getBoolean(4), "user 1 alternates")
+    assert(out(0).getString(3) === h("user: hi\nassistant: hello\nuser: bye"))
+    assert(out(1).getLong(1) === 3L && out(1).getLong(2) === 1L &&
+      !out(1).getBoolean(4), "user 2 has one same-role repeat")
+    assert(out(1).getString(3) === h("user: a\nuser: \nassistant: b"),
+      "NULL content renders as empty, not lost")
+    // one hash exchange serves the lag window and the rollup
+    val plan = Ops.sftConversations(events, "uid", "t", "eid", "role", "content")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one hash exchange:\n$plan")
+  }
 }

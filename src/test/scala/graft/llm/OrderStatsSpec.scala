@@ -382,6 +382,27 @@ class OrderStatsSpec extends SparkSpec {
     assert(out.map(t => (-t._3, t._1)).sorted == out.map(t => (-t._3, t._1)))
   }
 
+  test("partialStats/mergeStats: any shard layout merges to the direct full pass") {
+    val docs = (1L to 97L).map(i => (i, s"s${i % 3}", i * i % 41))
+      .toDF("id", "src", "v")
+    def direct = CorpusStats.mergeStats(
+      CorpusStats.partialStats(docs, "src", "v", lit(0)), "src")
+    // 8-way sharding merges to the same row set
+    val sharded = CorpusStats.mergeStats(
+      CorpusStats.partialStats(docs, "src", "v", pmod(col("id"), lit(8))), "src")
+    assert(sharded.except(direct).count() === 0 &&
+      direct.except(sharded).count() === 0)
+    // the incremental scenario: yesterday's parts + today's delta,
+    // computed under DIFFERENT shardings, still merge to the full pass
+    val old = CorpusStats.partialStats(docs.filter(col("id") <= 50),
+      "src", "v", pmod(col("id"), lit(4)))
+    val delta = CorpusStats.partialStats(docs.filter(col("id") > 50),
+      "src", "v", lit(99))
+    val merged = CorpusStats.mergeStats(old.unionByName(delta), "src")
+    assert(merged.except(direct).count() === 0 &&
+      direct.except(merged).count() === 0)
+  }
+
   test("robustOutliers: hand-computed median/MAD; mean-dragging extreme stays flagged") {
     // group a (odd n=5): v = 1,2,3,4,100 -> med 3, MAD 1; |100-3| > 2*1 -> 1
     // outlier (a mean/stddev z-rule would NOT flag 100: mean=22, std~39)
