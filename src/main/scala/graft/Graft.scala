@@ -483,6 +483,36 @@ object Graft {
                     n: Int = 3, maxSources: Int = 64): DataFrame =
     llm.CorpusStats.sourceOverlap(docs, sourceCol, textCol, n, maxSources)
 
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Long = 6,
+                   capacity: Int = 65536): DataFrame =
+    llm.CorpusStats.heavyHitters(docs, idCol, textCol, n, threshold, capacity)
+
+  def robustOutliers(docs: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, k: Int = 3): DataFrame =
+    llm.CorpusStats.robustOutliers(docs, groupCol, valueCol, idCol, k)
+
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    llm.Text.charEntropyFrame(docs, idCol, textCol)
+
+  def partialStats(docs: DataFrame, groupCol: String, valueCol: String,
+                   shard: org.apache.spark.sql.Column): DataFrame =
+    llm.CorpusStats.partialStats(docs, groupCol, valueCol, shard)
+
+  def mergeStats(parts: DataFrame, groupCol: String): DataFrame =
+    llm.CorpusStats.mergeStats(parts, groupCol)
+
+  def sftConversations(events: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, roleCol: String,
+                       contentCol: String): DataFrame =
+    ops.Ops.sftConversations(events, keyCol, tsCol, idCol, roleCol, contentCol)
+
+  def annPqTopK(queries: DataFrame, candidates: DataFrame, qId: String,
+                cId: String, embCol: String, labelCol: String, k: Int,
+                m: Int = 4, dim: Int = 64, coarse: Int = 20): DataFrame =
+    llm.Similarity.pqTopK(queries, candidates, qId, cId, embCol, labelCol,
+      k, m, dim, coarse)
+
   /** Corpus monitoring. */
   def tokenDistributionDrift(base: DataFrame, cur: DataFrame,
                              textCol: String, k: Int = 15): DataFrame =

@@ -119,6 +119,99 @@ object Similarity {
   private[graft] def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Product-quantization ANN serving (Jégou, Douze & Schmid, TPAMI
+    * 2011, "Product quantization for nearest neighbor search" — public
+    * method): the embedding dimension splits into `m` subspaces, each
+    * with its own small codebook; a vector's PQ code is its m nearest
+    * codeword ids — m SMALL INTS replacing dim floats (here 4 codes
+    * for a 64-dim vector: 64× narrower than the milli-quantized store,
+    * 16× narrower than int8). Serving is asymmetric-distance (ADC):
+    * per query, one m×k lookup table of exact sub-dot-products; a
+    * candidate's approximate score is m table lookups — no per-
+    * candidate vector arithmetic at all. Top-`coarse` by ADC then
+    * rescore EXACTLY, the [[rerankTopK]] recall/cost dial.
+    *
+    * Codebooks are one deterministic Lloyd half-step from the label
+    * init (per-(subspace, label) floor-mean of candidate sub-vectors —
+    * the same exact-integer training convention as the IVF coarse
+    * quantizer), so training, codes, ADC and rescore all replay
+    * bit-for-bit in the oracle. Argmin ties break on lowest label via
+    * the (dist, label) struct-min, mirrored by the oracle's
+    * `ORDER BY d, l` rank.
+    *
+    * Scale: training is one posexplode aggregation collecting
+    * k×dim longs (tiny by contract). Encoding is map-side (m×k
+    * integer sub-distances per vector; sub-slices materialize as
+    * columns first — interpreted HOF lambdas get no CSE). The coarse
+    * scan projects ONLY (cid, m codes) — at 100 TB the per-query scan
+    * reads the m-byte code column, never the vectors — against
+    * broadcast per-query LUTs; WindowGroupLimit partials cut each
+    * partition to `coarse` rows before the exchange; the exact rescore
+    * touches coarse×|queries| vectors only. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, qId: String,
+             cId: String, embCol: String, labelCol: String, k: Int,
+             m: Int = 4, dim: Int = 64, coarse: Int = 20): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
+    val sub = dim / m
+    // codebook: per (label, pos) floor-mean over the candidate corpus
+    val trained = candidates
+      .select(col(labelCol).cast("long").as("lbl"),
+        posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+      .collect()
+    val byLabel: Map[Long, IndexedSeq[Long]] = trained.groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq).toMap
+    val labels = byLabel.keys.toSeq.sorted
+    def cwArr(s: Int, l: Long) =
+      array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*)
+    // encode candidates: per-subspace argmin over the codewords
+    val withSubs = (0 until m).foldLeft(
+      candidates.select(col(cId).as("cid"), quantize(col(embCol)).as("ce"))) {
+      (d, s) => d.withColumn(s"__sub$s", slice(col("ce"), s * sub + 1, sub))
+    }
+    val coded = (0 until m).foldLeft(withSubs) { (d, s) =>
+      d.withColumn(s"__code$s", array_min(array(labels.map { l =>
+        struct(aggregate(zip_with(col(s"__sub$s"), cwArr(s, l),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d"),
+          lit(l).as("l"))
+      }: _*)).getField("l"))
+    }
+    val codes = coded.select(col("cid") +: (0 until m).map(s => col(s"__code$s")): _*)
+    // per-query ADC lookup tables: exact integer sub-dot to every codeword
+    val qSubs = (0 until m).foldLeft(
+      queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))) {
+      (d, s) => d.withColumn(s"__qsub$s", slice(col("qe"), s * sub + 1, sub))
+    }
+    val qLut = labels.foldLeft(qSubs) { (d, l) =>
+      (0 until m).foldLeft(d) { (d2, s) =>
+        d2.withColumn(s"__lut_${s}_$l",
+          aggregate(zip_with(col(s"__qsub$s"), cwArr(s, l), (x, y) => x * y),
+            lit(0L), (a, v) => a + v))
+      }
+    }.drop("qe" +: (0 until m).map(s => s"__qsub$s"): _*)
+    // coarse: m table lookups per candidate against broadcast LUTs
+    val adc = (0 until m).map { s =>
+      labels.map(l => when(col(s"__code$s") === l, col(s"__lut_${s}_$l"))
+        .otherwise(0L)).reduce(_ + _)
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(qLut)).withColumn("adc", adc)
+    val wCoarse = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    val coarseSet = scored.withColumn("__rn", row_number().over(wCoarse))
+      .filter(col("__rn") <= coarse)
+      .select(col("qid"), col("cid"), col("adc"))
+    // exact rescore of the coarse set only
+    val qe = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
+    val ce = candidates.select(col(cId).as("cid"), quantize(col(embCol)).as("ce"))
+    val rescored = coarseSet.join(qe, "qid").join(ce, "cid")
+      .withColumn("dot", dotQ(col("qe"), col("ce")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("dot"), col("adc"))
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

@@ -190,6 +190,18 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Product-quantization serving: 4-code ADC coarse pass (the scan
+    // reads codes, not vectors) + exact rescore. Training is the
+    // deterministic label-init Lloyd half-step, so codebooks, codes,
+    // ADC scores and the final ranking all replay in the oracle.
+    "llm_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 3),
+        "vec_id", "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "llm_ann_lsh_bucketed" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         nPlanes = 8, dim = 64, k = 1)
@@ -1779,6 +1791,44 @@ object LlmQueries {
          |  JOIN eq y ON y.vec_id = coarse.cid)
          |SELECT qid, cid, rank, dot FROM (
          |  SELECT qid, cid, dot, row_number() OVER (
+         |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM r) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // full PQ replay: floor-mean codebooks -> per-subspace argmin codes
+    // (ties ORDER BY d, l = the struct-min) -> ADC lookups -> exact
+    // rescore of the coarse-20 set
+    "llm_ann_pq" ->
+      s"""WITH eq AS (SELECT vec_id, label,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eq WHERE vec_id >= 3),
+         |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
+         |cwp AS (SELECT label AS l, i AS pos,
+         |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+         |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+         |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+         |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+         |      AS BIGINT) AS d
+         |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+         |codes AS (SELECT cid, s, l AS code FROM (
+         |    SELECT cid, s, l, row_number() OVER (
+         |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+         |  WHERE rn = 1),
+         |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+         |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
+         |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
+         |adcs AS (SELECT codes.cid AS cid, lut.qid AS qid,
+         |    CAST(sum(lut.dp) AS BIGINT) AS adc
+         |  FROM codes JOIN lut ON lut.s = codes.s AND lut.l = codes.code
+         |  GROUP BY codes.cid, lut.qid),
+         |coarse AS (SELECT qid, cid, adc FROM (
+         |    SELECT qid, cid, adc, row_number() OVER (
+         |      PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs) t
+         |  WHERE rn <= 20),
+         |r AS (SELECT coarse.qid AS qid, coarse.cid AS cid, coarse.adc AS adc,
+         |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+         |      AS BIGINT) AS dot
+         |  FROM coarse JOIN q USING (qid) JOIN c USING (cid))
+         |SELECT qid, cid, rank, dot, adc FROM (
+         |  SELECT qid, cid, adc, dot, row_number() OVER (
          |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM r) t
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "llm_ann_topk_exact" ->

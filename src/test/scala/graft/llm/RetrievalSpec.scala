@@ -105,6 +105,43 @@ class RetrievalSpec extends SparkSpec {
     assert(!out.contains(5L), s"singleton bucket must yield no negatives: $out")
   }
 
+  test("pqTopK: full-width coarse equals brute force; codes compress to m small ids") {
+    // two tight direction clusters (labels 0/1) + queries near each:
+    // PQ codebooks trained from labels separate them perfectly
+    val rnd = new scala.util.Random(7)
+    def vec(base: Seq[Double]) = base.map(x => x + rnd.nextDouble() * 0.01)
+    val cands = (0 until 20).map { i =>
+      val lbl = i % 2
+      val base = if (lbl == 0) Seq(1.0, 0.0, 0.5, 0.0) else Seq(0.0, 1.0, 0.0, 0.5)
+      (100L + i, lbl, vec(base))
+    }
+    val qs = Seq((1L, 0, Seq(0.9, 0.1, 0.4, 0.0)), (2L, 1, Seq(0.1, 0.9, 0.0, 0.4)))
+    def frame(rows: Seq[(Long, Int, Seq[Double])]) = rows.toDF("vec_id", "label", "e")
+      .select(col("vec_id"), col("label"),
+        transform(col("e"), x => x.cast("float")).as("embedding"))
+    val (qf, cf) = (frame(qs), frame(cands))
+    // coarse = |candidates| -> the exact rescore sees everything, so PQ
+    // must return exactly the brute-force top-k
+    val full = Similarity.pqTopK(qf, cf, "vec_id", "vec_id", "embedding",
+        "label", k = 3, m = 2, dim = 4, coarse = 20)
+      .select("qid", "cid", "rank", "dot")
+    val exact = Similarity.bruteForceTopKQ(qf, cf, "vec_id", "vec_id",
+      "embedding", k = 3)
+    assert(full.except(exact).count() === 0 && exact.except(full).count() === 0)
+    // narrow coarse: each query's candidates all carry its own cluster
+    // label (ADC from label-trained codebooks respects the structure)
+    val narrow = Similarity.pqTopK(qf, cf, "vec_id", "vec_id", "embedding",
+        "label", k = 3, m = 2, dim = 4, coarse = 5)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(narrow.filter(_._1 == 1L).forall(p => (p._2 - 100L) % 2 == 0L))
+    assert(narrow.filter(_._1 == 2L).forall(p => (p._2 - 100L) % 2 == 1L))
+    // partitioning-independence of the whole chain (exact integers)
+    val re = Similarity.pqTopK(qf, cf.repartition(5), "vec_id", "vec_id",
+        "embedding", "label", k = 3, m = 2, dim = 4, coarse = 20)
+      .select("qid", "cid", "rank", "dot")
+    assert(re.except(full).count() === 0 && full.except(re).count() === 0)
+  }
+
   test("rankNormalize: exact per-mille ranks per group, singleton at 0, reserved names") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 30L), ("s1", 4L, 40L),
