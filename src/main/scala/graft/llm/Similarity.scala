@@ -151,24 +151,44 @@ object Similarity {
   def pqTopK(queries: DataFrame, candidates: DataFrame, qId: String,
              cId: String, embCol: String, labelCol: String, k: Int,
              m: Int = 4, dim: Int = 64, coarse: Int = 20): DataFrame = {
-    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
-    val sub = dim / m
-    // codebook: per (label, pos) floor-mean over the candidate corpus
-    val trained = candidates
+    val byLabel = pqCodebooks(candidates, embCol, labelCol)
+    val codes = pqEncodeFrame(candidates, cId, embCol, byLabel, m, dim)
+    val store = candidates.select(col(cId).as("cid"), quantize(col(embCol)).as("ce"))
+    pqServe(byLabel, codes, store, queries, qId, embCol, k, m, dim, coarse)
+  }
+
+  /** PQ codebook training: per (label, pos) floor-mean of the
+    * candidate corpus — one deterministic Lloyd half-step from the
+    * label init, exact integer arithmetic. Collects k×dim longs (tiny
+    * by contract). */
+  def pqCodebooks(candidates: DataFrame, embCol: String,
+                  labelCol: String): Map[Long, IndexedSeq[Long]] =
+    candidates
       .select(col(labelCol).cast("long").as("lbl"),
         posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
       .groupBy(col("lbl"), col("pos"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
       .collect()
-    val byLabel: Map[Long, IndexedSeq[Long]] = trained.groupBy(_.getLong(0))
+      .groupBy(_.getLong(0))
       .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq).toMap
+
+  /** Encode vectors to their m-code PQ representation: per-subspace
+    * argmin over the codewords (exact integer distances; ties take the
+    * lowest label via the (dist, label) struct-min). Returns
+    * (cid, codes: array<long> of length m) — the m-small-int column a
+    * 100 TB store persists instead of the vectors. Sub-slices
+    * materialize as columns first (interpreted HOF lambdas get no
+    * CSE). */
+  def pqEncodeFrame(df: DataFrame, idCol: String, embCol: String,
+                    byLabel: Map[Long, IndexedSeq[Long]], m: Int,
+                    dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
     val labels = byLabel.keys.toSeq.sorted
     def cwArr(s: Int, l: Long) =
       array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*)
-    // encode candidates: per-subspace argmin over the codewords
     val withSubs = (0 until m).foldLeft(
-      candidates.select(col(cId).as("cid"), quantize(col(embCol)).as("ce"))) {
+      df.select(col(idCol).as("cid"), quantize(col(embCol)).as("ce"))) {
       (d, s) => d.withColumn(s"__sub$s", slice(col("ce"), s * sub + 1, sub))
     }
     val coded = (0 until m).foldLeft(withSubs) { (d, s) =>
@@ -178,8 +198,24 @@ object Similarity {
           lit(l).as("l"))
       }: _*)).getField("l"))
     }
-    val codes = coded.select(col("cid") +: (0 until m).map(s => col(s"__code$s")): _*)
-    // per-query ADC lookup tables: exact integer sub-dot to every codeword
+    coded.select(col("cid"),
+      array((0 until m).map(s => col(s"__code$s")): _*).as("codes"))
+  }
+
+  /** ADC serving over a code store: per-query exact-integer lookup
+    * tables (m×k sub-dots, broadcast), coarse top-`coarse` by m table
+    * lookups against the (cid, codes) column only, exact rescore of
+    * the coarse set from the full store. Trains nothing — the serving
+    * path of [[persistPqIndex]]. */
+  def pqServe(byLabel: Map[Long, IndexedSeq[Long]], codes: DataFrame,
+              store: DataFrame, queries: DataFrame, qId: String,
+              embCol: String, k: Int, m: Int, dim: Int,
+              coarse: Int): DataFrame = {
+    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
+    val sub = dim / m
+    val labels = byLabel.keys.toSeq.sorted
+    def cwArr(s: Int, l: Long) =
+      array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*)
     val qSubs = (0 until m).foldLeft(
       queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))) {
       (d, s) => d.withColumn(s"__qsub$s", slice(col("qe"), s * sub + 1, sub))
@@ -191,25 +227,49 @@ object Similarity {
             lit(0L), (a, v) => a + v))
       }
     }.drop("qe" +: (0 until m).map(s => s"__qsub$s"): _*)
-    // coarse: m table lookups per candidate against broadcast LUTs
     val adc = (0 until m).map { s =>
-      labels.map(l => when(col(s"__code$s") === l, col(s"__lut_${s}_$l"))
-        .otherwise(0L)).reduce(_ + _)
+      labels.map(l => when(element_at(col("codes"), s + 1) === l,
+        col(s"__lut_${s}_$l")).otherwise(0L)).reduce(_ + _)
     }.reduce(_ + _)
     val scored = codes.crossJoin(broadcast(qLut)).withColumn("adc", adc)
     val wCoarse = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
     val coarseSet = scored.withColumn("__rn", row_number().over(wCoarse))
       .filter(col("__rn") <= coarse)
       .select(col("qid"), col("cid"), col("adc"))
-    // exact rescore of the coarse set only
     val qe = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
-    val ce = candidates.select(col(cId).as("cid"), quantize(col(embCol)).as("ce"))
-    val rescored = coarseSet.join(qe, "qid").join(ce, "cid")
+    val rescored = coarseSet.join(qe, "qid").join(store, "cid")
       .withColumn("dot", dotQ(col("qe"), col("ce")))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
     rescored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank"), col("dot"), col("adc"))
+  }
+
+  /** Persist a PQ index: `path/codebooks` (lbl, pos, c) and
+    * `path/codes` (cid, codes array<long>) — the write-once artifact;
+    * serving reloads both and touches the original store only for the
+    * final rescore. */
+  def persistPqIndex(df: DataFrame, idCol: String, embCol: String,
+                     labelCol: String, path: String, m: Int = 4,
+                     dim: Int = 64): Unit = {
+    val byLabel = pqCodebooks(df, embCol, labelCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    byLabel.toSeq.sortBy(_._1)
+      .flatMap { case (l, cw) => cw.zipWithIndex.map { case (c, p) => (l, p, c) } }
+      .toDF("lbl", "pos", "c")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload a persisted PQ index → (codebooks map, codes frame). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (Map[Long, IndexedSeq[Long]], DataFrame) = {
+    val byLabel = spark.read.parquet(s"$path/codebooks").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq).toMap
+    (byLabel, spark.read.parquet(s"$path/codes"))
   }
 
   def dot(a: Column, b: Column): Column =

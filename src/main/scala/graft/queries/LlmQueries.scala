@@ -202,6 +202,28 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // PQ SERVING from the persisted index: codebooks + code store
+    // written once, reloaded, and answered with NO training in the
+    // plan; the coarse scan reads only (cid, codes) — at 100 TB the
+    // per-query pass touches the m-byte code column, never the
+    // vectors (ReadSchema plan-asserted in RetrievalSpec). Same oracle
+    // as llm_ann_pq: the index changes where the work happens, never
+    // the answer.
+    "llm_ann_pq_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pq_idx").toString
+      val cands = e.filter(col("vec_id") >= 3)
+      Similarity.persistPqIndex(cands, "vec_id", "embedding", "label", path)
+      val (byLabel, codes) = Similarity.readPqIndex(s, path)
+      Similarity.pqServe(byLabel, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, m = 4, dim = 64, coarse = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "llm_ann_lsh_bucketed" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         nPlanes = 8, dim = 64, k = 1)
@@ -1525,6 +1547,46 @@ object LlmQueries {
 
   private lazy val IvfOracleSql: String = ivfOracleSql(1)
 
+  /** PQ ANN oracle (shared by llm_ann_pq and llm_ann_pq_indexed): full
+    * replay of floor-mean codebook training, per-subspace argmin
+    * encoding (ties ORDER BY d, l = the Spark struct-min), per-query
+    * ADC lookup tables, coarse-20 by ADC, exact rescore top-5. */
+  private lazy val PqOracleSql: String =
+    s"""WITH eq AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eq WHERE vec_id >= 3),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
+       |cwp AS (SELECT label AS l, i AS pos,
+       |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+       |      AS BIGINT) AS d
+       |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+       |codes AS (SELECT cid, s, l AS code FROM (
+       |    SELECT cid, s, l, row_number() OVER (
+       |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
+       |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
+       |adcs AS (SELECT codes.cid AS cid, lut.qid AS qid,
+       |    CAST(sum(lut.dp) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON lut.s = codes.s AND lut.l = codes.code
+       |  GROUP BY codes.cid, lut.qid),
+       |coarse AS (SELECT qid, cid, adc FROM (
+       |    SELECT qid, cid, adc, row_number() OVER (
+       |      PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs) t
+       |  WHERE rn <= 20),
+       |r AS (SELECT coarse.qid AS qid, coarse.cid AS cid, coarse.adc AS adc,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM coarse JOIN q USING (qid) JOIN c USING (cid))
+       |SELECT qid, cid, rank, dot, adc FROM (
+       |  SELECT qid, cid, adc, dot, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM r) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Fixed BM25 query-term set, shared by the Spark query and oracle. */
   private val BmQueryTerms = Seq("spark", "vector", "hash")
 
@@ -1795,42 +1857,11 @@ object LlmQueries {
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // full PQ replay: floor-mean codebooks -> per-subspace argmin codes
     // (ties ORDER BY d, l = the struct-min) -> ADC lookups -> exact
-    // rescore of the coarse-20 set
-    "llm_ann_pq" ->
-      s"""WITH eq AS (SELECT vec_id, label,
-         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
-         |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eq WHERE vec_id >= 3),
-         |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
-         |cwp AS (SELECT label AS l, i AS pos,
-         |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
-         |  FROM c, range(1, 65) t(i) GROUP BY label, i),
-         |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
-         |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
-         |      AS BIGINT) AS d
-         |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
-         |codes AS (SELECT cid, s, l AS code FROM (
-         |    SELECT cid, s, l, row_number() OVER (
-         |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
-         |  WHERE rn = 1),
-         |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
-         |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
-         |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
-         |adcs AS (SELECT codes.cid AS cid, lut.qid AS qid,
-         |    CAST(sum(lut.dp) AS BIGINT) AS adc
-         |  FROM codes JOIN lut ON lut.s = codes.s AND lut.l = codes.code
-         |  GROUP BY codes.cid, lut.qid),
-         |coarse AS (SELECT qid, cid, adc FROM (
-         |    SELECT qid, cid, adc, row_number() OVER (
-         |      PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs) t
-         |  WHERE rn <= 20),
-         |r AS (SELECT coarse.qid AS qid, coarse.cid AS cid, coarse.adc AS adc,
-         |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
-         |      AS BIGINT) AS dot
-         |  FROM coarse JOIN q USING (qid) JOIN c USING (cid))
-         |SELECT qid, cid, rank, dot, adc FROM (
-         |  SELECT qid, cid, adc, dot, row_number() OVER (
-         |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM r) t
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // rescore of the coarse-20 set. Shared by the inline and the
+    // persisted-index paths: the index changes where the work happens,
+    // never the answer.
+    "llm_ann_pq" -> PqOracleSql,
+    "llm_ann_pq_indexed" -> PqOracleSql,
     "llm_ann_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
          |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),

@@ -142,6 +142,42 @@ class RetrievalSpec extends SparkSpec {
     assert(re.except(full).count() === 0 && full.except(re).count() === 0)
   }
 
+  test("pq index: persisted serving equals inline pqTopK; coarse scan reads codes only") {
+    val rnd = new scala.util.Random(11)
+    val cands = (0 until 24).map { i =>
+      val base = if (i % 3 == 0) Seq(1.0, 0.0, 0.2, 0.1)
+      else if (i % 3 == 1) Seq(0.0, 1.0, 0.1, 0.2) else Seq(0.3, 0.3, 1.0, 0.0)
+      (100L + i, i % 3, base.map(x => x + rnd.nextDouble() * 0.01))
+    }
+    val qs = Seq((1L, 0, Seq(0.9, 0.1, 0.2, 0.1)), (2L, 2, Seq(0.3, 0.2, 0.9, 0.0)))
+    def frame(rows: Seq[(Long, Int, Seq[Double])]) = rows.toDF("vec_id", "label", "e")
+      .select(col("vec_id"), col("label"),
+        transform(col("e"), x => x.cast("float")).as("embedding"))
+    val (qf, cf) = (frame(qs), frame(cands))
+    val path = java.nio.file.Files.createTempDirectory("pq_spec").toString
+    Similarity.persistPqIndex(cf, "vec_id", "embedding", "label", path,
+      m = 2, dim = 4)
+    val (byLabel, codes) = Similarity.readPqIndex(spark, path)
+    val store = cf.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    val served = Similarity.pqServe(byLabel, codes, store, qf, "vec_id",
+      "embedding", k = 3, m = 2, dim = 4, coarse = 8)
+    val inline = Similarity.pqTopK(qf, cf, "vec_id", "vec_id", "embedding",
+      "label", k = 3, m = 2, dim = 4, coarse = 8)
+    assert(served.except(inline).count() === 0 &&
+      inline.except(served).count() === 0,
+      "index changes where the work happens, never the answer")
+    // the coarse branch scans the code store, never the vectors: the
+    // only parquet scan below the window sort reads (cid, codes)
+    val coarsePlan = Similarity.pqServe(byLabel, codes, store, qf, "vec_id",
+      "embedding", k = 3, m = 2, dim = 4, coarse = 8)
+      .queryExecution.executedPlan.toString
+    val scanLines = coarsePlan.linesIterator.filter(_.contains("FileScan")).toSeq
+    val codeScan = scanLines.filter(_.contains("codes"))
+    assert(codeScan.nonEmpty && codeScan.forall(!_.contains("ce")),
+      s"code-store scan must not read vectors:\n${scanLines.mkString("\n")}")
+  }
+
   test("rankNormalize: exact per-mille ranks per group, singleton at 0, reserved names") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 30L), ("s1", 4L, 40L),
