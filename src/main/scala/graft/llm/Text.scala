@@ -91,6 +91,35 @@ object Text {
         greatest(length(text), lit(1)).cast(DoubleType)).as("upper_ratio"))
   }
 
+  /** Gopher-style quality rule gate (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A — public method): the
+    * named threshold rules a web-corpus filter applies per document,
+    * each surfaced as its own flag so the report shows WHICH rule
+    * rejected a document (the operational requirement — a pipeline
+    * tunes rules individually), plus the conjunction `keep`.
+    * Thresholds are parameters; the classic values are word count in
+    * [50, 100k], mean word length in [3, 10], ≥ 2 stopwords. All
+    * arithmetic is the [[qualityFeatures]] convention: exact integer
+    * counts, one IEEE division for the mean — both engines produce
+    * identical booleans. Map-side only: a pure projection over the
+    * scan, no shuffle at any scale. */
+  def gopherFlags(text: Column, minWords: Long, maxWords: Long,
+                  minMeanWordLen: Double, maxMeanWordLen: Double,
+                  minStopwords: Long): Column = {
+    val w = words(text)
+    val nw = size(w).cast(LongType)
+    val mwl = length(regexp_replace(text, " ", "")).cast(DoubleType) / nw
+    val sw = stopwordCount(w)
+    val okWords = nw >= minWords && nw <= maxWords
+    val okWordLen = mwl >= minMeanWordLen && mwl <= maxMeanWordLen
+    val okStop = sw >= minStopwords
+    struct(
+      nw.as("n_words"), sw.as("n_stopwords"),
+      okWords.as("ok_words"), okWordLen.as("ok_word_len"),
+      okStop.as("ok_stopwords"),
+      (okWords && okWordLen && okStop).as("keep"))
+  }
+
   /** Per-document character-distribution Shannon entropy in integer
     * micro-nats — the gibberish/keyboard-mash/compression-proxy quality
     * signal (low entropy ⇒ repeated-character junk; the cheap stand-in

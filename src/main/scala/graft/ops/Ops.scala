@@ -687,6 +687,56 @@ object Ops {
     * `describe()`): count/min/max/mean/std from exact decimal sums so
     * results don't depend on partitioning (see Exprs.dsum). `scale`
     * must make the column exact; squares use 2×scale. */
+  /** Per-node triangle counts over an undirected simple graph — the
+    * cluster-density diagnostic for dedup pair graphs (a triangle-rich
+    * component is a true duplicate clique; a triangle-free one is a
+    * fragile similarity chain that transitive keep-one may over-merge)
+    * and the classic graph-analytics kernel. Input edges may be
+    * directed/duplicated/self-looped; they canonicalize to distinct
+    * (min, max) pairs first.
+    *
+    * Algorithm: degree-ordered edge orientation (Latapy 2008 — the
+    * standard distributed formulation): each edge points from the
+    * (degree, id)-smaller endpoint to the larger, every triangle is
+    * enumerated exactly once from its smallest-rank vertex, and — the
+    * scale property — a degree-d hub generates wedges bounded by its
+    * FORWARD degree O(√|E|), not d², so social-graph-style skew cannot
+    * produce a quadratic join. The found (x, y, z) triangles explode
+    * to per-node counts; nodes in no triangle report 0. Join keys are
+    * plain equi-hashes; the orientation predicate rides the wedge
+    * join. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("da")).otherwise(col("db")).as("du"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val vFirst = col("x.dv") < col("y.dv") ||
+      (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && vFirst)
+      .select(col("x.u").as("x"), col("x.v").as("y"), col("y.v").as("z"))
+    val closing = oriented.select(col("u").as("y"), col("v").as("z"))
+    val tri = wedges.join(closing, Seq("y", "z"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("n").as("node"))
+      .join(perNode.select(col("n").as("node"), col("n_triangles")), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** SFT conversation assembly — the step that turns an event log into
     * supervised fine-tuning transcripts: per key, the time-ordered
     * (role, content) turns joined into one "role: content\n..."

@@ -735,6 +735,20 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // X14 — per-node triangle counts over the (undirected) event-
+    // transition graph: degree-ordered orientation, wedges bounded by
+    // forward degree, exact per-node attribution incl. zero rows.
+    "x14_triangles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type"), col("next_type"))
+      Ops.triangleCounts(edges, "event_type", "next_type")
+        .orderBy(col("node"))
+    }),
+
     // X13 — SFT conversation assembly: per-user time-ordered
     // (role: content) transcript hash + the role-alternation audit
     // (adjacent same-role turns are the rows a chat formatter must
@@ -1311,6 +1325,25 @@ object CoreQueries {
         |  FROM events) t
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+    // naive sorted-triple enumeration — the triangle SET is
+    // orientation-independent, so it must equal the degree-ordered
+    // algorithm exactly
+    "x14_triangles" ->
+      """WITH tr AS (SELECT event_type AS s, next_type AS t FROM (
+        |    SELECT event_type, lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |    FROM events) q WHERE next_type IS NOT NULL),
+        |und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |  FROM tr WHERE s <> t),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+        |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+        |cnt AS (SELECT n AS node, count(*)::BIGINT AS c FROM (
+        |    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) u GROUP BY n)
+        |SELECT nodes.node AS node, coalesce(c, 0)::BIGINT AS n_triangles
+        |FROM nodes LEFT JOIN cnt USING (node) ORDER BY node""".stripMargin,
     "x13_sft_assembly" ->
       """WITH t AS (SELECT user_id, ts, event_id, event_type AS role,
         |    event_type || ': ' || coalesce(props, '') AS turn,

@@ -117,6 +117,22 @@ object LlmQueries {
           col("q.punct_count").as("punct_count"), col("q.upper_ratio").as("upper_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-rule quality gate with per-rule flags. Thresholds chosen
+    // to bite BOTH ways on the fixture profile (words 10-99, mean word
+    // length 3.7-5.3, stopwords 0-14): each flag rejects some docs and
+    // passes others, so every rule is oracle-checked non-vacuously.
+    "llm_gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("g", Text.gopherFlags(col("text"),
+          minWords = 20L, maxWords = 90L,
+          minMeanWordLen = 3.8, maxMeanWordLen = 5.2, minStopwords = 2L))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.n_stopwords").as("n_stopwords"),
+          col("g.ok_words").as("ok_words"),
+          col("g.ok_word_len").as("ok_word_len"),
+          col("g.ok_stopwords").as("ok_stopwords"), col("g.keep").as("keep"))
+        .orderBy(col("doc_id"))),
+
     // Character-distribution entropy in integer micro-nats (the
     // gibberish / compression-proxy quality signal). Per-term floor
     // quantization keeps the cross-doc sum an integer — partition-
@@ -1755,6 +1771,22 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS upper_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len(string_split_regex(lower(text), '\\s+'))::BIGINT AS nw,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |    / len(string_split_regex(text, '\\s+')) AS mwl,
+         |  len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(",")})))::BIGINT
+         |    AS sw
+         |  FROM documents)
+         |SELECT doc_id, nw AS n_words, sw AS n_stopwords,
+         |  (nw >= 20 AND nw <= 90) AS ok_words,
+         |  (mwl >= 3.8 AND mwl <= 5.2) AS ok_word_len,
+         |  (sw >= 2) AS ok_stopwords,
+         |  (nw >= 20 AND nw <= 90 AND mwl >= 3.8 AND mwl <= 5.2 AND sw >= 2)
+         |    AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
     // per-term floor-to-micro-nats BEFORE the sum: the cross-char sum
     // is integer on both engines, so partition order can't move it
     "llm_char_entropy" ->

@@ -411,6 +411,39 @@ class OpsSpec extends SparkSpec {
       (2L, "c", 0L, 0L, 0L)), s"got $gated")
   }
 
+  test("triangleCounts: K4 + chain + star, dirty edges canonicalized, random vs naive") {
+    // K4 on {1,2,3,4}: C(3,2)=3 triangles per node, 4 total; chain
+    // 4-5-6 adds none; star center 7 with leaves 8,9,10 adds none.
+    // Edges arrive dirty: duplicates, both directions, a self-loop.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 2L), (1L, 2L), // reverse dup + self-loop + dup
+      (4L, 5L), (5L, 6L), (7L, 8L), (7L, 9L), (7L, 10L)).toDF("s", "d")
+    val out = Ops.triangleCounts(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L, 10L -> 0L), s"got $out")
+    // random graph: degree-ordered algorithm equals naive enumeration
+    val rnd = new scala.util.Random(3)
+    val rand = Seq.fill(120)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .toDF("s", "d")
+    val fast = Ops.triangleCounts(rand, "s", "d")
+    val und = rand.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().cache()
+    val naive = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+      .join(und.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b"))).distinct()
+    val naiveFull = nodes.join(naive, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    assert(fast.except(naiveFull).count() === 0 &&
+      naiveFull.except(fast).count() === 0)
+    und.unpersist()
+  }
+
   test("sftConversations: ordered transcript hash, alternation audit, null content") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
