@@ -91,6 +91,55 @@ object Text {
         greatest(length(text), lit(1)).cast(DoubleType)).as("upper_ratio"))
   }
 
+  /** Canonical URL — the web-crawl dedup key (Common-Crawl-style
+    * pipelines dedup by canonical URL before any content pass, because
+    * it is free): lowercase the scheme+authority (case-insensitive per
+    * RFC 3986; path case is preserved — it IS significant), strip the
+    * fragment, remove the standard tracking parameters
+    * (utm_*, fbclid, gclid), tidy the leftover separators, drop one
+    * trailing slash. Fixed rewrite order, RE2-safe regex subset (char
+    * classes + bounded alternation, no lookaround) — the [[PiiPatterns]]
+    * portability contract, so the oracle replays each step verbatim.
+    * Pure map-side expression. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val noTrack = regexp_replace(concat(prefix, rest),
+      "(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val noTail = regexp_replace(noTrack, "[?&]+$", "")
+    regexp_replace(regexp_replace(noTail, "\\?&", "?"), "/$", "")
+  }
+
+  /** Inverted-index build — the search-ETL artifact behind [[bm25]]:
+    * one row per term carrying document frequency, total occurrences,
+    * the postings id range, and an ORDER-INDEPENDENT postings checksum
+    * (XOR of salted (term, doc, tf) hashes — the [[Order]]
+    * shard-checksum convention), so two independently built indexes
+    * verify equal without comparing posting lists row by row.
+    *
+    * Deliberately NOT a `collect_list` of postings: a stop-term's list
+    * is corpus-sized (billions of ids at 100 TB) and must never
+    * materialize in one aggregation buffer. df/n_occ/min/max/xor are
+    * all constant-size mergeable aggregates; the real posting store is
+    * the (term, doc, tf) frame itself, which writers shard by term
+    * range. Two hash aggs, both map-side combined: the (term, doc)
+    * pre-aggregation collapses within-doc repeats before the term
+    * rollup (the [[CorpusStats.topNgrams]] two-stage shape). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("__doc"), explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col("__doc")).agg(count(lit(1)).as("tf"))
+    perDoc
+      .withColumn("__ck", md5Hash(concat_ws("|", lit("ix:"), col("term"),
+        col("__doc").cast("string"), col("tf").cast("string"))))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast(LongType).as("n_occ"),
+        min(col("__doc")).as("min_doc"), max(col("__doc")).as("max_doc"),
+        expr("bit_xor(__ck)").as("postings_xor"))
+  }
+
   /** Gopher-style quality rule gate (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", Appendix A — public method): the
     * named threshold rules a web-corpus filter applies per document,

@@ -117,6 +117,35 @@ object LlmQueries {
           col("q.punct_count").as("punct_count"), col("q.upper_ratio").as("upper_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Canonical-URL dedup: four deterministic surface variants of each
+    // logical URL (host case + fragment, tracking params, trailing
+    // slash) must collapse to one canonical form — min doc_id wins;
+    // distinct logical URLs must not collapse.
+    "llm_url_canonical" -> ((s, dir) => {
+      val k = (col("doc_id") % 50).cast("string")
+      def base(h: String, p: String) =
+        concat(lit(s"$h://example"), k, lit(".com/path"), k, lit(p))
+      val url = when(col("doc_id") % 4 === 0, base("https", ""))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://EXAMPLE"), k, lit(".COM/path"), k, lit("#frag")))
+        .when(col("doc_id") % 4 === 2,
+          base("https", "?utm_source=x&utm_campaign=y"))
+        .otherwise(base("https", "/"))
+      t(s, dir, "documents").withColumn("url", url)
+        .withColumn("canon", Text.canonicalUrl(col("url")))
+        .withColumn("kept", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(col("canon"))))
+        .select(col("doc_id"), col("canon"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Inverted-index build: per-term df / occurrences / postings range
+    // + order-independent XOR postings checksum (never a collect_list
+    // — a stop-term's postings are corpus-sized at 100 TB).
+    "llm_inverted_index" -> ((s, dir) =>
+      Text.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("term"))),
+
     // Gopher-rule quality gate with per-rule flags. Thresholds chosen
     // to bite BOTH ways on the fixture profile (words 10-99, mean word
     // length 3.7-5.3, stopwords 0-14): each flag rejects some docs and
@@ -1771,6 +1800,40 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS upper_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // every rewrite step replayed in the same fixed order; DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark applies always
+    "llm_url_canonical" ->
+      """WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'https://example' || (doc_id % 50) || '.com/path' || (doc_id % 50)
+        |    WHEN 1 THEN 'HTTPS://EXAMPLE' || (doc_id % 50) || '.COM/path' || (doc_id % 50) || '#frag'
+        |    WHEN 2 THEN 'https://example' || (doc_id % 50) || '.com/path' || (doc_id % 50) || '?utm_source=x&utm_campaign=y'
+        |    ELSE 'https://example' || (doc_id % 50) || '.com/path' || (doc_id % 50) || '/'
+        |  END AS url FROM documents),
+        |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM d),
+        |c1 AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS u
+        |  FROM c0),
+        |c2 AS (SELECT doc_id, regexp_replace(u,
+        |    '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |    '[?&]+$', '', 'g'), '\?&', '?', 'g') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM c3)
+        |SELECT doc_id, u AS canon,
+        |  (doc_id = min(doc_id) OVER (PARTITION BY u)) AS kept
+        |FROM c4 ORDER BY doc_id""".stripMargin,
+    "llm_inverted_index" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS term
+         |  FROM documents),
+         |f AS (SELECT term, doc_id FROM g WHERE len(term) > 0),
+         |p AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM f GROUP BY term, doc_id)
+         |SELECT term, count(*)::BIGINT AS df, CAST(sum(tf) AS BIGINT) AS n_occ,
+         |  min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc,
+         |  bit_xor(${duckHash("'ix:|' || term || '|' || doc_id || '|' || tf")})::BIGINT
+         |    AS postings_xor
+         |FROM p GROUP BY term ORDER BY term""".stripMargin,
     "llm_gopher_rules" ->
       s"""WITH t AS (SELECT doc_id,
          |  len(string_split_regex(lower(text), '\\s+'))::BIGINT AS nw,

@@ -382,6 +382,39 @@ class OrderStatsSpec extends SparkSpec {
     assert(out.map(t => (-t._3, t._1)).sorted == out.map(t => (-t._3, t._1)))
   }
 
+  test("canonicalUrl: case/fragment/tracking/slash collapse; real params survive") {
+    val cases = Seq(
+      ("HTTPS://Ex.COM/Path#frag", "https://ex.com/Path"), // path case preserved
+      ("https://ex.com/path/", "https://ex.com/path"),
+      ("https://ex.com/p?utm_source=x&utm_campaign=y", "https://ex.com/p"),
+      ("https://ex.com/p?a=1&utm_source=x&b=2", "https://ex.com/p?a=1&b=2"),
+      ("https://ex.com/p?utm_a=1&b=2", "https://ex.com/p?b=2"),
+      ("https://ex.com/p?a=1&fbclid=zzz", "https://ex.com/p?a=1"),
+      ("https://ex.com/p?gclid=1", "https://ex.com/p"),
+      ("no-scheme/just/text", "no-scheme/just/text"))
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), Text.canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) === want, s"canonicalUrl($in)") }
+  }
+
+  test("invertedIndex: exact df/occurrences/range; checksum partitioning-independent") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Text.invertedIndex(docs, "doc_id", "text")
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq === Seq(
+      ("a", 2L, 3L, 1L, 3L),   // docs {1,3}, 3 occurrences
+      ("b", 2L, 2L, 1L, 2L),
+      ("c", 1L, 1L, 2L, 2L)))
+    val re = Text.invertedIndex(docs.repartition(7), "doc_id", "text")
+    val direct = Text.invertedIndex(docs, "doc_id", "text")
+    assert(re.except(direct).count() === 0 && direct.except(re).count() === 0,
+      "XOR postings checksum is partition-order-independent")
+  }
+
   test("partialStats/mergeStats: any shard layout merges to the direct full pass") {
     val docs = (1L to 97L).map(i => (i, s"s${i % 3}", i * i % 41))
       .toDF("id", "src", "v")
