@@ -513,6 +513,27 @@ object Graft {
     llm.Similarity.pqTopK(queries, candidates, qId, cId, embCol, labelCol,
       k, m, dim, coarse)
 
+  def persistPqIndex(df: DataFrame, idCol: String, embCol: String,
+                     labelCol: String, path: String, m: Int = 4,
+                     dim: Int = 64): Unit =
+    llm.Similarity.persistPqIndex(df, idCol, embCol, labelCol, path, m, dim)
+
+  def gopherFlags(text: org.apache.spark.sql.Column, minWords: Long,
+                  maxWords: Long, minMeanWordLen: Double,
+                  maxMeanWordLen: Double,
+                  minStopwords: Long): org.apache.spark.sql.Column =
+    llm.Text.gopherFlags(text, minWords, maxWords, minMeanWordLen,
+      maxMeanWordLen, minStopwords)
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    ops.Ops.triangleCounts(edges, srcCol, dstCol)
+
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    llm.Text.invertedIndex(docs, idCol, textCol)
+
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    llm.Text.canonicalUrl(url)
+
   /** Corpus monitoring. */
   def tokenDistributionDrift(base: DataFrame, cur: DataFrame,
                              textCol: String, k: Int = 15): DataFrame =
