@@ -139,6 +139,38 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end WEB curation chain (the composition check, like
+    // llm_e2e_curate for the text path): canonical-URL dedup (min doc
+    // per canonical key) -> Gopher rule gate -> char-entropy floor,
+    // all three stages replayed by ONE oracle. URL groups use
+    // doc_id % 250 (not % 50) so each later stage still sees enough
+    // survivors to reject some — every stage bites.
+    "llm_e2e_web" -> ((s, dir) => {
+      val k = (col("doc_id") % 250).cast("string")
+      def base(p: String) =
+        concat(lit("https://example"), k, lit(".com/path"), k, lit(p))
+      val url = when(col("doc_id") % 4 === 0, base(""))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://EXAMPLE"), k, lit(".COM/path"), k, lit("#frag")))
+        .when(col("doc_id") % 4 === 2, base("?utm_source=x&utm_campaign=y"))
+        .otherwise(base("/"))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+        .withColumn("canon", Text.canonicalUrl(col("url")))
+      val urlKept = docs
+        .withColumn("__mn", min(col("doc_id")).over(Window.partitionBy(col("canon"))))
+        .filter(col("doc_id") === col("__mn")).drop("__mn")
+      val gated = urlKept
+        .withColumn("g", Text.gopherFlags(col("text"),
+          minWords = 20L, maxWords = 90L,
+          minMeanWordLen = 3.8, maxMeanWordLen = 5.2, minStopwords = 2L))
+        .filter(col("g.keep"))
+      gated.join(Text.charEntropyFrame(gated, "doc_id", "text"), Seq("doc_id"))
+        .filter(col("h_micro") >= 2750000L)
+        .select(col("doc_id"), col("canon"), col("g.n_words").as("n_words"),
+          col("h_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Inverted-index build: per-term df / occurrences / postings range
     // + order-independent XOR postings checksum (never a collect_list
     // — a stop-term's postings are corpus-sized at 100 TB).
@@ -364,6 +396,33 @@ object LlmQueries {
           k = 3, nprobe = 1), "ivf_probe1")
         .unionByName(recallOf(Similarity.ivfTopKIndexed(cent, eq, qs,
           "vec_id", "embedding", k = 3, nprobe = 2), "ivf_probe2"))
+        .orderBy(col("method"))
+    }),
+
+    // The PQ quality ledger (same in-engine-measurement principle as
+    // llm_ann_ivf_recall): recall@3 of ADC serving at coarse=5 vs
+    // coarse=20 against exact brute force on a disjoint query /
+    // candidate split — proves the coarse-width dial buys recall
+    // before anyone pays its candidate-volume cost.
+    "llm_ann_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      def recallOf(approx: DataFrame, method: String) =
+        exact.join(approx.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("total_matches"))
+          .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_matches"),
+            (col("total_matches").cast("double") /
+              (lit(3.0) * col("n_queries"))).as("recall"))
+      recallOf(Similarity.pqTopK(qs, cands, "vec_id", "vec_id", "embedding",
+          "label", k = 3, coarse = 5), "pq_coarse5")
+        .unionByName(recallOf(Similarity.pqTopK(qs, cands, "vec_id", "vec_id",
+          "embedding", "label", k = 3, coarse = 20), "pq_coarse20"))
         .orderBy(col("method"))
     }),
 
@@ -1717,6 +1776,61 @@ object LlmQueries {
        |    (SELECT count(*) FROM exact JOIN ivf2 USING (qid, cid)) FROM nq) t
        |ORDER BY method""".stripMargin
 
+  /** PQ recall@3 oracle (coarse 5 vs 20) on the disjoint query
+    * (vec_id < 100) / candidate (>= 100) split — full PQ replay with
+    * codebooks trained on the candidate side only. */
+  private lazy val PqRecallOracleSql: String =
+    s"""WITH eqa AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eqa WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 100),
+       |cwp AS (SELECT label AS l, i AS pos,
+       |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+       |      AS BIGINT) AS d
+       |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+       |codes AS (SELECT cid, s, l AS code FROM (
+       |    SELECT cid, s, l, row_number() OVER (
+       |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
+       |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
+       |adcs AS (SELECT codes.cid AS cid, lut.qid AS qid,
+       |    CAST(sum(lut.dp) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON lut.s = codes.s AND lut.l = codes.code
+       |  GROUP BY codes.cid, lut.qid),
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t
+       |  WHERE rk <= 3),
+       |co5 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs) t
+       |  WHERE rn <= 5),
+       |pq5 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN co5 USING (qid, cid)) t WHERE rk <= 3),
+       |co20 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs) t
+       |  WHERE rn <= 20),
+       |pq20 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN co20 USING (qid, cid)) t WHERE rk <= 3),
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT method, n_queries, total_matches,
+       |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
+       |  SELECT 'pq_coarse20' AS method, nq.n_queries AS n_queries,
+       |    (SELECT count(*) FROM exact JOIN pq20 USING (qid, cid)) AS total_matches FROM nq
+       |  UNION ALL
+       |  SELECT 'pq_coarse5', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN pq5 USING (qid, cid)) FROM nq) t
+       |ORDER BY method""".stripMargin
+
   private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
     .map(dirs => "[" + dirs.mkString(",") + "]")
 
@@ -1800,6 +1914,47 @@ object LlmQueries {
          |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
          |    / greatest(length(text), 1) AS upper_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // one oracle replays URL dedup -> Gopher gate -> entropy floor
+    "llm_e2e_web" ->
+      s"""WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN 'https://example' || (doc_id % 250) || '.com/path' || (doc_id % 250)
+         |    WHEN 1 THEN 'HTTPS://EXAMPLE' || (doc_id % 250) || '.COM/path' || (doc_id % 250) || '#frag'
+         |    WHEN 2 THEN 'https://example' || (doc_id % 250) || '.com/path' || (doc_id % 250) || '?utm_source=x&utm_campaign=y'
+         |    ELSE 'https://example' || (doc_id % 250) || '.com/path' || (doc_id % 250) || '/'
+         |  END AS url FROM documents),
+         |c0 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM d),
+         |c1 AS (SELECT doc_id,
+         |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+         |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS u
+         |  FROM c0),
+         |c2 AS (SELECT doc_id, regexp_replace(u,
+         |    '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+         |    '[?&]+$$', '', 'g'), '\\?&', '?', 'g') AS u FROM c2),
+         |c4 AS (SELECT doc_id, regexp_replace(u, '/$$', '', 'g') AS u FROM c3),
+         |kept AS (SELECT doc_id, u AS canon FROM (
+         |    SELECT doc_id, u, min(doc_id) OVER (PARTITION BY u) AS mn FROM c4) t
+         |  WHERE doc_id = mn),
+         |gop AS (SELECT kept.doc_id AS doc_id, kept.canon AS canon,
+         |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_words
+         |  FROM kept JOIN documents USING (doc_id)
+         |  WHERE len(string_split_regex(lower(text), '\\s+')) BETWEEN 20 AND 90
+         |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / len(string_split_regex(text, '\\s+')) BETWEEN 3.8 AND 5.2
+         |    AND len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(",")}))) >= 2),
+         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         |kk AS (SELECT doc_id, ch, count(*)::BIGINT AS k FROM ch
+         |  WHERE ch <> '' GROUP BY doc_id, ch),
+         |s AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(k * ln(k) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         |    CAST(sum(k) AS BIGINT) AS n FROM kk GROUP BY doc_id),
+         |ent AS (SELECT doc_id,
+         |    CAST(floor(ln(n) * 1000000) AS BIGINT) - (s // n) AS h_micro
+         |  FROM s WHERE n > 0)
+         |SELECT gop.doc_id AS doc_id, canon, n_words, h_micro
+         |FROM gop JOIN ent USING (doc_id)
+         |WHERE h_micro >= 2750000 ORDER BY doc_id""".stripMargin,
     // every rewrite step replayed in the same fixed order; DuckDB
     // regexp_replace needs the explicit 'g' flag Spark applies always
     "llm_url_canonical" ->
@@ -1957,6 +2112,7 @@ object LlmQueries {
     // never the answer.
     "llm_ann_pq" -> PqOracleSql,
     "llm_ann_pq_indexed" -> PqOracleSql,
+    "llm_ann_pq_recall" -> PqRecallOracleSql,
     "llm_ann_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
          |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
