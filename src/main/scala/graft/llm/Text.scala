@@ -140,6 +140,21 @@ object Text {
         expr("bit_xor(__ck)").as("postings_xor"))
   }
 
+  /** Merge inverted-index partials built over DOC-DISJOINT corpus
+    * slices (ingestion batches) into the full-corpus index — the
+    * incremental search-index maintenance step. Every [[invertedIndex]]
+    * output field is a mergeable monoid under doc-disjointness: df and
+    * n_occ add, min/max fold, and the XOR postings checksum XORs
+    * (x ⊕ x = 0 never triggers because a (term, doc, tf) triple exists
+    * in exactly one slice). Merging matches a full rebuild bit for bit
+    * — spec-proven, same contract as [[CorpusStats.mergeStats]]. */
+  def mergeInvertedIndexParts(parts: DataFrame): DataFrame =
+    parts.groupBy(col("term"))
+      .agg(sum(col("df")).cast(LongType).as("df"),
+        sum(col("n_occ")).cast(LongType).as("n_occ"),
+        min(col("min_doc")).as("min_doc"), max(col("max_doc")).as("max_doc"),
+        expr("bit_xor(postings_xor)").as("postings_xor"))
+
   /** Gopher-style quality rule gate (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", Appendix A — public method): the
     * named threshold rules a web-corpus filter applies per document,

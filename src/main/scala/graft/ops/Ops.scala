@@ -687,6 +687,33 @@ object Ops {
     * `describe()`): count/min/max/mean/std from exact decimal sums so
     * results don't depend on partitioning (see Exprs.dsum). `scale`
     * must make the column exact; squares use 2×scale. */
+  /** Join-blowup audit — the "estimate before you shuffle" diagnostic
+    * a 100 TB join needs: per-key multiplicities on both sides, the
+    * exact output cardinality each key will produce (nl·nr), and its
+    * per-mille share of the total join size. Run on the join keys
+    * BEFORE committing the join; a single key carrying 30% of the
+    * output is the signal to salt it or drop it. Cost: one hash agg
+    * per side over the keys (map-side combined), an equi-join of the
+    * two count frames (≪ inputs), the 1-row total broadcast back, and
+    * a TakeOrderedAndProject top-k — never a sort or a window over the
+    * full key domain. */
+  def joinBlowupEstimate(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lc = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("nl"))
+    val rc = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("nr"))
+    val j = lc.join(rc, "key")
+      .select(col("key"), col("nl"), col("nr"),
+        (col("nl") * col("nr")).as("out_rows"))
+    val total = j.agg(coalesce(sum(col("out_rows")), lit(0L)).as("__tot"))
+    j.crossJoin(broadcast(total))
+      .withColumn("share_pm", expr("out_rows * 1000 div __tot"))
+      .drop("__tot")
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(k)
+  }
+
   /** Per-node triangle counts over an undirected simple graph — the
     * cluster-density diagnostic for dedup pair graphs (a triangle-rich
     * component is a true duplicate clique; a triangle-free one is a

@@ -735,6 +735,36 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // X15 — SFT pair explosion: every turn with history becomes one
+    // (context, response) training example — context is the md5 of the
+    // time-ordered transcript STRICTLY BEFORE the turn (rows frame
+    // ending at -1), so examples are causal by construction. One
+    // exchange on user_id; the frame walk is a single ordered pass.
+    "x15_sft_pairs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ctx = w.rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          concat(col("event_type"), lit(": "),
+            coalesce(col("props"), lit(""))).as("turn"))
+        .withColumn("n_context", count(lit(1)).over(ctx))
+        .withColumn("context_hash",
+          md5(concat_ws("\n", collect_list(col("turn")).over(ctx))))
+        .withColumn("response_hash", md5(col("turn")))
+        .filter(col("n_context") >= 1)
+        .select(col("user_id"), col("event_id"), col("n_context"),
+          col("context_hash"), col("response_hash"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // X16 — join-blowup audit on the events⋈events(user_id) self-join:
+    // per-key output cardinalities + per-mille share, top-10. The
+    // pre-shuffle skew check a 100 TB join runs first.
+    "x16_join_blowup" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Ops.joinBlowupEstimate(e, e, "user_id", "user_id", k = 10)
+    }),
+
     // X14 — per-node triangle counts over the (undirected) event-
     // transition graph: degree-ordered orientation, wedges bounded by
     // forward degree, exact per-node attribution incl. zero rows.
@@ -1325,6 +1355,26 @@ object CoreQueries {
         |  FROM events) t
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+    "x15_sft_pairs" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |    event_type || ': ' || coalesce(props, '') AS turn FROM events),
+        |p AS (SELECT user_id, event_id,
+        |    count(*) OVER w AS n_context,
+        |    md5(coalesce(string_agg(turn, chr(10)) OVER w, '')) AS context_hash,
+        |    md5(turn) AS response_hash
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, n_context::BIGINT AS n_context,
+        |  context_hash, response_hash
+        |FROM p WHERE n_context >= 1 ORDER BY user_id, event_id""".stripMargin,
+    "x16_join_blowup" ->
+      """WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS n
+        |  FROM events GROUP BY user_id),
+        |j AS (SELECT key, n AS nl, n AS nr, (n * n)::BIGINT AS out_rows FROM c),
+        |t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS tot FROM j)
+        |SELECT key, nl, nr, out_rows,
+        |  (out_rows * 1000) // tot AS share_pm
+        |FROM j, t ORDER BY out_rows DESC, key LIMIT 10""".stripMargin,
     // naive sorted-triple enumeration — the triangle SET is
     // orientation-independent, so it must equal the degree-ordered
     // algorithm exactly

@@ -91,6 +91,25 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bag-of-words dedup: token-sorted content hash, so REORDERED
+    // boilerplate (shuffled sentence templates, reordered list items)
+    // collapses where raw/normalized hashing cannot. Injected arms:
+    // two docs with the same tokens in different orders must share a
+    // hash; the null arm must survive untouched.
+    "llm_dedup_bow" -> ((s, dir) => {
+      val content = when(col("doc_id") % 53 === 7, lit(null).cast("string"))
+        .when(col("doc_id") % 41 === 5, lit("alpha beta gamma shared"))
+        .when(col("doc_id") % 41 === 6, lit("shared gamma beta alpha"))
+        .otherwise(col("text"))
+      // concat_ws would fold NULL content to "" — guard it back to
+      // NULL so null docs keep the never-a-duplicate contract
+      val bag = when(content.isNull, lit(null).cast("string"))
+        .otherwise(concat_ws(" ", sort_array(Text.words(content))))
+      Dedup.exactDedup(
+          t(s, dir, "documents").withColumn("bag", bag), "bag", "doc_id")
+        .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))
+    }),
+
     "llm_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy(col("a"), col("b"))),
@@ -1847,6 +1866,21 @@ object LlmQueries {
         |SELECT doc_id, md5(content) AS content_hash FROM (
         |  SELECT doc_id, content, row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) rn
         |  FROM aug) t WHERE rn = 1 OR content IS NULL ORDER BY doc_id""".stripMargin,
+    // bag = space-joined sorted token list; reordered arms share it
+    "llm_dedup_bow" ->
+      """WITH aug AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 53 = 7 THEN NULL
+        |    WHEN doc_id % 41 = 5 THEN 'alpha beta gamma shared'
+        |    WHEN doc_id % 41 = 6 THEN 'shared gamma beta alpha'
+        |    ELSE text END AS content FROM documents),
+        |b AS (SELECT doc_id, CASE WHEN content IS NULL THEN NULL
+        |    ELSE array_to_string(list_sort(
+        |      string_split_regex(lower(content), '\s+')), ' ') END AS bag
+        |  FROM aug)
+        |SELECT doc_id, md5(bag) AS content_hash FROM (
+        |  SELECT doc_id, bag, row_number() OVER (
+        |    PARTITION BY md5(bag) ORDER BY doc_id) rn
+        |  FROM b) t WHERE rn = 1 OR bag IS NULL ORDER BY doc_id""".stripMargin,
     "llm_dedup_normalized" ->
       """WITH aug AS (SELECT doc_id, CASE
         |    WHEN doc_id % 53 = 7 THEN NULL

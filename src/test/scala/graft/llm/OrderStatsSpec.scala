@@ -413,6 +413,13 @@ class OrderStatsSpec extends SparkSpec {
     val direct = Text.invertedIndex(docs, "doc_id", "text")
     assert(re.except(direct).count() === 0 && direct.except(re).count() === 0,
       "XOR postings checksum is partition-order-independent")
+    // doc-disjoint partials merge to the full rebuild bit for bit
+    val partA = Text.invertedIndex(docs.filter(col("doc_id") <= 2), "doc_id", "text")
+    val partB = Text.invertedIndex(docs.filter(col("doc_id") > 2), "doc_id", "text")
+    val merged = Text.mergeInvertedIndexParts(partA.unionByName(partB))
+    assert(merged.except(direct).count() === 0 &&
+      direct.except(merged).count() === 0,
+      "incremental index merge == full rebuild")
   }
 
   test("partialStats/mergeStats: any shard layout merges to the direct full pass") {
