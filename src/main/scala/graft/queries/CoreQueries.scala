@@ -477,6 +477,37 @@ object CoreQueries {
         .limit(10)
     }),
 
+    // Q4-shaped priority check: EXISTS-style correlated semi-join
+    // (equi key + non-equi residual on the ship date) — the fixture
+    // lacks commit/receipt dates, so "late" = shipped after order
+    // date. Plan: hash LEFT SEMI with the residual riding the join.
+    "q4_priority_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q10-shaped returned-item report: 4-way join narrowed by the
+    // returnflag filter at the scan, grouped customer revenue, top-20
+    // via TakeOrderedAndProject. Exact decimal revenue (dsum).
+    "q10_returned_items" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Window-function battery: lag/lead, running sum, rank, ntile —
     // one (user, ts) sort serves every function (single exchange).
     "o4_window_analytics" -> ((s, dir) => {
@@ -1232,6 +1263,20 @@ object CoreQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "o4_window_analytics" ->
       """SELECT user_id, event_id,
         |  lag(event_id, 1) OVER w AS prev_event,
