@@ -215,6 +215,90 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Scalar kernel for [[CharEntropyMicro]] — a plain object so the
+  * generated code calls ONE static method per row (the StaticInvoke
+  * convention Spark builtins use for loop-heavy kernels; the call
+  * stays inside the whole-stage-codegen pipeline). Identical math to
+  * `Text.charEntropyFrame`'s explode+agg formulation: per-code-point
+  * counts k, per-term floor(k·ln k·1e6) longs summed, h =
+  * floor(ln n·1e6) − sum/n (long division). ASCII fast path (int[128]),
+  * HashMap beyond. */
+object CharEntropyKernel {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val cell = other.get(cp)
+        if (cell == null) other.put(cp, Array(1L)) else cell(0) += 1
+      }
+    }
+    if (n == 0) return null
+    var sum = 0L
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) sum += math.floor(k.toDouble * math.log(k.toDouble) * 1e6).toLong
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val k = it.next()(0)
+        sum += math.floor(k.toDouble * math.log(k.toDouble) * 1e6).toLong
+      }
+    }
+    val h = math.floor(math.log(n.toDouble) * 1e6).toLong - sum / n
+    new GenericArrayData(Array(n, h))
+  }
+}
+
+/** Per-row character-entropy kernel: [n_chars_counted, h_micro] in one
+  * pass over the string — the PURE MAP-SIDE form of
+  * `Text.charEntropyFrame`. The explode+two-agg formulation ships one
+  * row per (doc, distinct char) through an exchange; at 100 TB the
+  * entropy of every document is a scan-stage projection and should
+  * never touch a shuffle. NULL or empty text → NULL (callers coalesce
+  * the n slot to 0, matching the frame version's left join).
+  * Differential-asserted equal to the declarative version in
+  * NativeExprSpec. */
+case class CharEntropyMicro(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_char_entropy"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else CharEntropyKernel.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = true;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        |if (!${childGen.isNull}) {
+        |  ${ev.value} = graft.expr.native.CharEntropyKernel.compute(${childGen.value});
+        |  ${ev.isNull} = ${ev.value} == null;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyMicro =
+    copy(child = newChild)
+}
+
 /** Scalar Morton kernels shared by the native expressions below and
   * their interpreted eval paths — the same mask-spread sequence as
   * graft.io.ZOrder's Column formulation (bit-identical; asserted in
@@ -373,6 +457,7 @@ object NativeFns {
       expression(c.cast("long"))))
   def searchSorted(v: Column, bounds: Seq[Double]): Column =
     column(SearchSortedDouble(expression(v.cast("double")), bounds))
+  def charEntropy(text: Column): Column = column(CharEntropyMicro(expression(text)))
 }
 
 /** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the

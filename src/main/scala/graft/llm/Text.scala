@@ -220,6 +220,19 @@ object Text {
             expr("__s div __n")).as("h_micro"))
   }
 
+  /** [[charEntropyFrame]]'s pure MAP-SIDE twin: the native
+    * one-pass-per-row kernel (`graft_char_entropy`) — no explode, no
+    * exchange, stays in whole-stage codegen. Identical output
+    * (differential-asserted in NativeExprSpec); at 100 TB this is the
+    * form a scan-stage quality gate uses. */
+  def charEntropyNativeFrame(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    docs
+      .withColumn("__e", graft.expr.native.NativeFns.charEntropy(col(textCol)))
+      .select(col(idCol),
+        coalesce(element_at(col("__e"), 1), lit(0L)).as("n_chars_counted"),
+        element_at(col("__e"), 2).as("h_micro"))
+
   /** Language-ID heuristic: score marker-token hits per language, take
     * the argmax, default "und". Real pipelines plug larger profiles
     * into the same shape; the operator stays a pure expression. */

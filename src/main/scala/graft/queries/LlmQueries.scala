@@ -183,7 +183,11 @@ object LlmQueries {
           minWords = 20L, maxWords = 90L,
           minMeanWordLen = 3.8, maxMeanWordLen = 5.2, minStopwords = 2L))
         .filter(col("g.keep"))
-      gated.join(Text.charEntropyFrame(gated, "doc_id", "text"), Seq("doc_id"))
+      // native entropy kernel: the third stage is a projection +
+      // filter in the same plan, not a join against an aggregate
+      gated
+        .withColumn("__e", graft.expr.native.NativeFns.charEntropy(col("text")))
+        .withColumn("h_micro", element_at(col("__e"), 2))
         .filter(col("h_micro") >= 2750000L)
         .select(col("doc_id"), col("canon"), col("g.n_words").as("n_words"),
           col("h_micro"))
@@ -214,11 +218,13 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     // Character-distribution entropy in integer micro-nats (the
-    // gibberish / compression-proxy quality signal). Per-term floor
-    // quantization keeps the cross-doc sum an integer — partition-
-    // order-independent — and mirrors the lp_micro/bm25 ln discipline.
+    // gibberish / compression-proxy quality signal). Served by the
+    // NATIVE one-pass kernel (pure map-side, no exchange); the
+    // explode+agg formulation it is differential-equal to keeps the
+    // same oracle honest. Per-term floor quantization keeps every sum
+    // an integer — the lp_micro/bm25 ln discipline.
     "llm_char_entropy" -> ((s, dir) =>
-      Text.charEntropyFrame(t(s, dir, "documents"), "doc_id", "text")
+      Text.charEntropyNativeFrame(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     "llm_lang_id" -> ((s, dir) =>

@@ -131,4 +131,22 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getString(3) == "mail <EMAIL> now")
     assert(r.getTimestamp(4) == java.sql.Timestamp.valueOf("2022-07-01 10:40:00"))
   }
+
+  test("CharEntropyMicro == explode+agg charEntropyFrame; pure map-side plan") {
+    import graft.llm.Text
+    val rnd = new scala.util.Random(17)
+    val strings = Seq("", null, "aaaa", "abc", "aab",
+      "héé çà", "日本語 mixed ascii 日本", "emoji 😀😀 pair") ++
+      (1 to 40).map(_ => rnd.alphanumeric.take(rnd.nextInt(60)).mkString)
+    val docs = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val native = Text.charEntropyNativeFrame(docs, "doc_id", "text")
+    val declarative = Text.charEntropyFrame(docs, "doc_id", "text")
+    assert(native.except(declarative).count() === 0 &&
+      declarative.except(native).count() === 0,
+      "native kernel must equal the explode+agg formulation bit for bit")
+    // the native form is a scan-stage projection: no exchange at all
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"native entropy must not shuffle:\n$plan")
+  }
 }
