@@ -534,6 +534,21 @@ object Graft {
   def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     llm.Text.canonicalUrl(url)
 
+  def joinBlowupEstimate(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         k: Int = 10): DataFrame =
+    ops.Ops.joinBlowupEstimate(left, right, leftKey, rightKey, k)
+
+  def mergeInvertedIndexParts(parts: DataFrame): DataFrame =
+    llm.Text.mergeInvertedIndexParts(parts)
+
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 2): DataFrame =
+    llm.Dedup.editDistancePairs(df, idCol, textCol, maxDist)
+
+  def charEntropyNative(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    llm.Text.charEntropyNativeFrame(docs, idCol, textCol)
+
   /** Corpus monitoring. */
   def tokenDistributionDrift(base: DataFrame, cur: DataFrame,
                              textCol: String, k: Int = 15): DataFrame =

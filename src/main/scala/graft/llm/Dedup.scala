@@ -631,4 +631,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Fuzzy record linkage: near-identical document pairs by EDIT
+    * distance — the typo/OCR-noise/near-miss dedup signal none of the
+    * set-based detectors (shingle Jaccard, MinHash, SimHash) measures
+    * directly. Candidate generation is standard blocking: block key =
+    * (first token, length div 8) — a single-character edit never moves
+    * a document more than one length band, and edits beyond the first
+    * token keep the key — then exact `levenshtein` verify ≤ `maxDist`
+    * within blocks. Blocking recall is the classic trade: an edit
+    * INSIDE the first token crosses blocks and is missed (documented
+    * contract; multi-pass blocking on other keys composes for higher
+    * recall, same as multiSignalKeepOne unions detectors).
+    *
+    * Scale: the self-join meets only same-block rows and
+    * `cappedBucketPairs` bounds the worst block; the verify cost is
+    * O(len²) per CANDIDATE pair, never per corpus pair. NULL texts
+    * drop up front (never a duplicate of anything). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 2,
+                        maxBlock: Int = DefaultMaxBucket): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val prepared = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__blk", concat_ws("|",
+        element_at(Text.words(col("__t")), 1),
+        floor(length(col("__t")) / 8).cast("long").cast("string")))
+    val candidates = cappedBucketPairs(
+        prepared.select(col(idCol), col("__blk")), "__blk", col(idCol), maxBlock)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val texts = prepared.select(col(idCol), col("__t"))
+    candidates
+      .join(texts.withColumnRenamed(idCol, "a").withColumnRenamed("__t", "ta"), "a")
+      .join(texts.withColumnRenamed(idCol, "b").withColumnRenamed("__t", "tb"), "b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
 }

@@ -110,6 +110,25 @@ object LlmQueries {
         .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))
     }),
 
+    // Fuzzy linkage: blocked exact edit distance. Injected arms: two
+    // templates at distance 1 and 2 from the base must pair (all in
+    // one block — the edit is past the first token and inside one
+    // length band); organic same-block near-misses surface too, and
+    // the oracle replays the identical blocking + levenshtein.
+    "llm_fuzzy_linkage" -> ((s, dir) => {
+      val content = when(col("doc_id") % 41 === 5,
+          lit("the quick brown fox jumps over the lazy dog"))
+        .when(col("doc_id") % 41 === 6,
+          lit("the quick brown fix jumps over the lazy dog"))
+        .when(col("doc_id") % 41 === 7,
+          lit("the quick brown fox jumped over the lazy dog"))
+        .otherwise(col("text"))
+      Dedup.editDistancePairs(
+          t(s, dir, "documents").withColumn("content", content),
+          "doc_id", "content", maxDist = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "llm_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
         .orderBy(col("a"), col("b"))),
@@ -1872,6 +1891,26 @@ object LlmQueries {
         |SELECT doc_id, md5(content) AS content_hash FROM (
         |  SELECT doc_id, content, row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) rn
         |  FROM aug) t WHERE rn = 1 OR content IS NULL ORDER BY doc_id""".stripMargin,
+    // identical blocking (first token | length band, bucket cap) and
+    // the same exact levenshtein on both engines
+    "llm_fuzzy_linkage" ->
+      """WITH d AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 41 = 5 THEN 'the quick brown fox jumps over the lazy dog'
+        |    WHEN doc_id % 41 = 6 THEN 'the quick brown fix jumps over the lazy dog'
+        |    WHEN doc_id % 41 = 7 THEN 'the quick brown fox jumped over the lazy dog'
+        |    ELSE text END AS content FROM documents),
+        |b0 AS (SELECT doc_id, content,
+        |    string_split_regex(lower(content), '\s+')[1] || '|' ||
+        |    CAST(length(content) // 8 AS VARCHAR) AS blk
+        |  FROM d WHERE content IS NOT NULL),
+        |b AS (SELECT doc_id, content, blk FROM (
+        |    SELECT b0.*, count(*) OVER (PARTITION BY blk) AS bc FROM b0) t
+        |  WHERE bc BETWEEN 2 AND 1000)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  levenshtein(x.content, y.content)::BIGINT AS dist
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |WHERE levenshtein(x.content, y.content) <= 2
+        |ORDER BY a, b""".stripMargin,
     // bag = space-joined sorted token list; reordered arms share it
     "llm_dedup_bow" ->
       """WITH aug AS (SELECT doc_id, CASE

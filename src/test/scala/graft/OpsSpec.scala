@@ -411,6 +411,16 @@ class OpsSpec extends SparkSpec {
       (2L, "c", 0L, 0L, 0L)), s"got $gated")
   }
 
+  test("joinBlowupEstimate: exact per-key cardinalities, shares, top-k cut") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")       // counts: 1->3, 2->1, 3->1
+    val right = Seq(1L, 1L, 2L, 2L, 2L, 9L).toDF("k")  // counts: 1->2, 2->3, 9->1
+    val out = Ops.joinBlowupEstimate(left, right, "k", "k", k = 2)
+      .select("key", "nl", "nr", "out_rows", "share_pm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // key 1: 3*2=6; key 2: 1*3=3; key 3/9 unmatched; total 9
+    assert(out === Seq((1L, 3L, 2L, 6L, 666L), (2L, 1L, 3L, 3L, 333L)), s"got $out")
+  }
+
   test("triangleCounts: K4 + chain + star, dirty edges canonicalized, random vs naive") {
     // K4 on {1,2,3,4}: C(3,2)=3 triangles per node, 4 total; chain
     // 4-5-6 adds none; star center 7 with leaves 8,9,10 adds none.

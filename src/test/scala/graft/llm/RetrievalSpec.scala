@@ -178,6 +178,28 @@ class RetrievalSpec extends SparkSpec {
       s"code-store scan must not read vectors:\n${scanLines.mkString("\n")}")
   }
 
+  test("editDistancePairs: in-block typo pairs; cap drops hot block; null never pairs") {
+    val docs = Seq(
+      (1L, "hello world and more"),     // base
+      (2L, "hello wxrld and more"),     // dist 1, same block
+      (3L, "hello wxrlz anz more"),     // dist 3 -> excluded at maxDist 2
+      (4L, "goodbye world and more"),   // different first token -> other block
+      (5L, null: String),               // never pairs
+      (6L, "hello world and mo")        // len 18: band 2 vs band 2 (20//8) -> same block, dist 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 2)
+      .select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
+    // (1,2)=1; (1,6)=2 (drop "re", one band apart but same len//8=2);
+    // (2,3)=2 (d→z twice); (1,3)=3 excluded; 4 blocks apart; 5 null
+    assert(out === Set((1L, 2L, 1L), (1L, 6L, 2L), (2L, 3L, 2L)), s"got $out")
+    // bucket cap: a block bigger than maxBlock is dropped, not joined
+    val hot = (1L to 9L).map(i => (i, "same same same")).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(hot, "doc_id", "text", maxDist = 2,
+      maxBlock = 8).count() === 0)
+    assert(Dedup.editDistancePairs(hot, "doc_id", "text", maxDist = 2,
+      maxBlock = 16).count() === 36)
+  }
+
   test("rankNormalize: exact per-mille ranks per group, singleton at 0, reserved names") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 30L), ("s1", 4L, 40L),
