@@ -261,6 +261,38 @@ object CharEntropyKernel {
   }
 }
 
+/** Unicode NFC normalization — the canonical-composition cleaning step
+  * every multilingual corpus needs BEFORE hashing/dedup (a decomposed
+  * "cafe&#769;" and a precomposed "café" are different byte strings,
+  * different md5s, different dedup keys — and the same text). Spark
+  * has no built-in; this wraps the JDK's Normalizer (Unicode's own
+  * normative algorithm, the same tables DuckDB's nfc_normalize uses)
+  * as a codegen-friendly static-kernel expression. */
+object NfcKernel {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // fast path: NFC-is-identity for ASCII/already-composed text
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(v: Any): Any =
+    NfcKernel.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.native.NfcKernel.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Per-row character-entropy kernel: [n_chars_counted, h_micro] in one
   * pass over the string — the PURE MAP-SIDE form of
   * `Text.charEntropyFrame`. The explode+two-agg formulation ships one
@@ -458,6 +490,7 @@ object NativeFns {
   def searchSorted(v: Column, bounds: Seq[Double]): Column =
     column(SearchSortedDouble(expression(v.cast("double")), bounds))
   def charEntropy(text: Column): Column = column(CharEntropyMicro(expression(text)))
+  def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
 }
 
 /** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the

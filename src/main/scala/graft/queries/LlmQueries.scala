@@ -110,6 +110,25 @@ object LlmQueries {
         .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC normalization dedup: a decomposed (e + combining
+    // acute) and a precomposed (é) variant are different byte strings
+    // that normalize to ONE canonical form — injected deterministically
+    // and collapsed by keep-min on md5(nfc(text)). ASCII docs must
+    // pass through unchanged (changed = false).
+    "llm_unicode_nfc" -> ((s, dir) => {
+      val content = when(col("doc_id") % 41 === 5, lit("cafe\u0301 menu plan"))
+        .when(col("doc_id") % 41 === 6, lit("caf\u00e9 menu plan"))
+        .otherwise(col("text"))
+      val norm = graft.expr.native.NativeFns.nfc(content)
+      t(s, dir, "documents")
+        .withColumn("changed", norm =!= content)
+        .withColumn("norm_hash", md5(norm))
+        .withColumn("kept", col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
+        .select(col("doc_id"), col("changed"), col("norm_hash"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fuzzy linkage: blocked exact edit distance. Injected arms: two
     // templates at distance 1 and 2 from the base must pair (all in
     // one block — the edit is past the first token and inside one
@@ -463,10 +482,18 @@ object LlmQueries {
             col("total_matches"),
             (col("total_matches").cast("double") /
               (lit(3.0) * col("n_queries"))).as("recall"))
-      recallOf(Similarity.pqTopK(qs, cands, "vec_id", "vec_id", "embedding",
-          "label", k = 3, coarse = 5), "pq_coarse5")
-        .unionByName(recallOf(Similarity.pqTopK(qs, cands, "vec_id", "vec_id",
-          "embedding", "label", k = 3, coarse = 20), "pq_coarse20"))
+      // train ONCE, serve at both widths: codebooks + codes are shared
+      // (codes localCheckpointed — 1,900 tiny rows — so the second
+      // serve doesn't re-run the argmin encode)
+      val byLabel = Similarity.pqCodebooks(cands, "embedding", "label")
+      val codes = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
+        byLabel, m = 4, dim = 64).localCheckpoint()
+      val store = cands.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("ce"))
+      def serve(c: Int) = Similarity.pqServe(byLabel, codes, store, qs,
+        "vec_id", "embedding", k = 3, m = 4, dim = 64, coarse = c)
+      recallOf(serve(5), "pq_coarse5")
+        .unionByName(recallOf(serve(20), "pq_coarse20"))
         .orderBy(col("method"))
     }),
 
@@ -1891,6 +1918,18 @@ object LlmQueries {
         |SELECT doc_id, md5(content) AS content_hash FROM (
         |  SELECT doc_id, content, row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) rn
         |  FROM aug) t WHERE rn = 1 OR content IS NULL ORDER BY doc_id""".stripMargin,
+    // both engines run the normative Unicode NFC tables (JDK
+    // Normalizer vs DuckDB nfc_normalize) — md5s of the canonical
+    // form must agree byte for byte
+    "llm_unicode_nfc" ->
+      """WITH aug AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 41 = 5 THEN 'cafe' || chr(769) || ' menu plan'
+        |    WHEN doc_id % 41 = 6 THEN 'caf' || chr(233) || ' menu plan'
+        |    ELSE text END AS content FROM documents),
+        |n AS (SELECT doc_id, content, nfc_normalize(content) AS norm FROM aug)
+        |SELECT doc_id, (norm <> content) AS changed, md5(norm) AS norm_hash,
+        |  (doc_id = min(doc_id) OVER (PARTITION BY md5(norm))) AS kept
+        |FROM n ORDER BY doc_id""".stripMargin,
     // identical blocking (first token | length band, bucket cap) and
     // the same exact levenshtein on both engines
     "llm_fuzzy_linkage" ->

@@ -132,6 +132,24 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getTimestamp(4) == java.sql.Timestamp.valueOf("2022-07-01 10:40:00"))
   }
 
+  test("NfcNormalize: decomposed == precomposed after nfc; ASCII identity; null-safe") {
+    val docs = Seq(
+      (1L, "café"), (2L, "café"),   // decomposed vs precomposed
+      (3L, "plain ascii"), (4L, null: String),
+      (5L, "Å")                            // A + ring -> Å (U+00C5)
+    ).toDF("id", "t")
+    val out = docs.select(col("id"),
+        graft.expr.native.NativeFns.nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) === out(2L), "NFC canonicalizes the two forms to one string")
+    assert(out(1L) === "café")
+    assert(out(3L) === "plain ascii")
+    assert(out(4L) === null)
+    assert(out(5L) === "Å")
+    // raw forms differ (the very reason the operator exists)
+    assert("café" != "café")
+  }
+
   test("CharEntropyMicro == explode+agg charEntropyFrame; pure map-side plan") {
     import graft.llm.Text
     val rnd = new scala.util.Random(17)
