@@ -333,7 +333,27 @@ object Ops {
     * the choice among tied right rows is engine order. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
-               tieBreak: Option[String] = None): DataFrame = {
+               tieBreak: Option[String] = None): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, payload, tieBreak,
+      forward = false)
+
+  /** Forward as-of: each left row takes the EARLIEST right row at or
+    * after its timestamp (next sensor reading, next price tick, next
+    * follow-up event) — the mirror of [[asofJoin]]'s latest-at-or-
+    * before. Same union + single-window shape, with the frame flipped
+    * to [current, unbounded following] and `first(ignoreNulls)`;
+    * equal-ts right rows DO match (the left row sorts before them),
+    * ties take the LOWEST tieBreak (the mirror of backward's
+    * highest). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String, payload: Seq[String],
+                      tieBreak: Option[String] = None): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, payload, tieBreak,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, payload: Seq[String],
+                       tieBreak: Option[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
     val tb = tieBreak.map(t => lit(null).cast(right.schema(t).dataType).as("__tb")).toSeq
     val tbR = tieBreak.map(t => col(t).as("__tb")).toSeq
@@ -352,14 +372,20 @@ object Ops {
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++ tbR ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(payload.map(col): _*).as("__r"): _*)
-    val order = Seq(col("__ts").asc, col("__side").asc) ++
+    // backward: right rows at equal ts sort BEFORE the left row (side
+    // asc) so the [preceding, current] frame includes them; forward:
+    // they sort AFTER (side desc) so [current, following] does.
+    val order = Seq(col("__ts").asc,
+      if (forward) col("__side").desc else col("__side").asc) ++
       tieBreak.map(_ => col("__tb").asc_nulls_last)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val w = if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = if (forward) first(col("__r"), ignoreNulls = true)
+      else last(col("__r"), ignoreNulls = true)
     payload.foldLeft(
       lPart.unionByName(rPart)
-        .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))) {
+        .withColumn("__match", pick.over(w))) {
       (df, p) => df.withColumn(p, col(s"__match.$p"))
     }
       .filter(col("__side") === 1)

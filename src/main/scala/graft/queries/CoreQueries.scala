@@ -595,6 +595,20 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // X1b — FORWARD as-of: each purchase matched to the next view at
+    // or after it (follow-up attribution); equal-ts views match, ties
+    // take the lowest event id — the mirror of x1's backward rule.
+    "x1b_asof_next_view" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+      Ops.asofJoinForward(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_event_id"), tieBreak = Some("view_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap sessionization (6h inactivity) + per-session rollup — the
     // standard first step of behavioral pipelines over event logs.
     "x2_sessionize" -> ((s, dir) =>
@@ -1328,6 +1342,14 @@ object CoreQueries {
         |  SELECT c.event_id AS click_event_id FROM events c
         |  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON TRUE
+        |ORDER BY p.event_id""".stripMargin,
+    "x1b_asof_next_view" ->
+      """SELECT p.user_id, p.ts, p.event_id, p.value, l.view_event_id
+        |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT v.event_id AS view_event_id FROM events v
+        |  WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts >= p.ts
+        |  ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) l ON TRUE
         |ORDER BY p.event_id""".stripMargin,
     "x2_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

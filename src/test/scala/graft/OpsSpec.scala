@@ -153,6 +153,25 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(10L -> Some(101L), 11L -> Some(102L), 12L -> None, 13L -> None))
   }
 
+  test("asofJoinForward: earliest right at-or-after; inclusive tie lowest id; null past end") {
+    val left = tsDf(Seq(
+      (10L, 1L, "2024-01-01 10:00:00"),   // before r2 -> next is r2
+      (11L, 1L, "2024-01-01 12:00:00"),   // exactly r2/r3 ts -> ties to LOWEST rid
+      (12L, 1L, "2024-01-01 13:00:00"),   // after all right rows -> null
+      (13L, 2L, "2024-01-01 10:00:00")),  // key with no right rows -> null
+      ("event_id", "user_id", "ts"))
+    val right = tsDf(Seq(
+      (101L, 1L, "2024-01-01 09:00:00"),  // behind every left row
+      (102L, 1L, "2024-01-01 12:00:00"),
+      (103L, 1L, "2024-01-01 12:00:00")), // equal-ts tie
+      ("rid", "user_id", "ts"))
+    val out = Ops.asofJoinForward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("rid"), tieBreak = Some("rid"))
+      .select("event_id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(10L -> Some(102L), 11L -> Some(102L), 12L -> None, 13L -> None))
+  }
+
   test("asofJoin: a null payload value in the matching right row is NOT skipped") {
     // two payload columns, null-interleaved: the as-of match must take
     // BOTH values from the single matching right row — per-column
