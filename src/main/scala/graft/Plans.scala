@@ -29,7 +29,12 @@ object Plans {
         "llm_domain_blocklist", "llm_contamination_report",
         "llm_rrf_hybrid", "llm_dsir_weights", "llm_hard_negatives",
         "llm_triplets", "llm_bpe_pairs", "llm_source_overlap",
-        "llm_ann_rerank", "llm_rank_normalize", "llm_padding_stats")
+        "llm_ann_rerank", "llm_rank_normalize", "llm_padding_stats",
+        "llm_heavy_hitters", "llm_robust_outliers", "llm_ann_pq",
+        "llm_ann_pq_indexed", "x13_sft_assembly", "x14_triangles",
+        "x15_sft_pairs", "x16_join_blowup", "llm_e2e_web",
+        "llm_fuzzy_linkage", "llm_inverted_index", "llm_char_entropy",
+        "x1b_asof_next_view", "llm_shard_stats_merge")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -93,6 +93,23 @@ object Tables {
                props: java.util.Properties): DataFrame =
     Jdbc.readTable(spark, url, table, props)
 
+  /** File-level storage audit of a written dataset — the compaction /
+    * clustering QA tool: one row per partition directory with row
+    * count, file count, and the key range its files cover. Small-file
+    * sprawl (n_files high, n_rows low) is the signal to compact;
+    * overlapping key ranges across directories are the signal the
+    * clustering contract broke. Pure metadata-shaped aggregation over
+    * `input_file_name()` — no extra pass beyond the one scan. */
+  def fileAudit(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("__f", input_file_name())
+      .withColumn("part_dir", regexp_extract(col("__f"), "([^/]+)/[^/]+$", 1))
+      .groupBy(col("part_dir"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__f")).as("n_files"),
+        min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+  }
+
   /** Partitioned parquet layout — the 100 TB data-lake sink: one
     * directory per partition value (e.g. event date), so downstream
     * scans prune at the file-listing level before any I/O. Callers pick

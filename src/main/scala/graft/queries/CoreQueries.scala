@@ -802,6 +802,21 @@ object CoreQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // K11 — storage audit of a freshly written partitioned dataset:
+    // one row per partition dir with rows / files / key range. The
+    // repartition-on-shard before the write pins exactly one file per
+    // dir, so the audit is deterministic; the oracle predicts it from
+    // the table alone.
+    "k11_file_audit" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_audit").toString
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .repartition(col("shard"))
+      Tables.writePartitioned(docs, path, Seq("shard"))
+      Tables.fileAudit(s, path, "doc_id").orderBy(col("part_dir"))
+    }),
+
     // X16 — join-blowup audit on the events⋈events(user_id) self-join:
     // per-key output cardinalities + per-mille share, top-10. The
     // pre-shuffle skew check a 100 TB join runs first.
@@ -1422,6 +1437,11 @@ object CoreQueries {
         |  FROM events) t
         |WHERE next_type IS NOT NULL
         |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin,
+    "k11_file_audit" ->
+      """SELECT 'shard=' || CAST(doc_id % 8 AS VARCHAR) AS part_dir,
+        |  count(*)::BIGINT AS n_rows, 1::BIGINT AS n_files,
+        |  min(doc_id)::BIGINT AS min_key, max(doc_id)::BIGINT AS max_key
+        |FROM documents GROUP BY 1 ORDER BY part_dir""".stripMargin,
     "x15_sft_pairs" ->
       """WITH t AS (SELECT user_id, ts, event_id,
         |    event_type || ': ' || coalesce(props, '') AS turn FROM events),

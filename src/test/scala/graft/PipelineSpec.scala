@@ -238,4 +238,30 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(got == Map(1L -> Some("gold"), 2L -> None)) // left-outer null-fill as in batch J1
   }
+
+  test("fileAudit: per-dir rows/files/ranges; range layout disjoint, mod layout overlaps") {
+    val docs = (0L until 100L).toDF("id")
+    // range-bucketed layout: key ranges per dir are DISJOINT
+    val rangeDir = Files.createTempDirectory("audit_range").toString
+    Tables.writePartitioned(
+      docs.withColumn("b", (col("id") / 25).cast("long")).repartition(col("b")),
+      rangeDir, Seq("b"))
+    val r = Tables.fileAudit(spark, rangeDir, "id")
+      .orderBy("part_dir")
+      .select("part_dir", "n_rows", "n_files", "min_key", "max_key")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.length === 4 && r.forall(x => x._2 === 25L && x._3 === 1L))
+    assert(r.map(x => (x._4, x._5)).sortBy(_._1) ===
+      Array((0L, 24L), (25L, 49L), (50L, 74L), (75L, 99L)),
+      "range layout: every dir covers a disjoint key range")
+    // mod-sharded layout: every dir spans nearly the whole key domain
+    val modDir = Files.createTempDirectory("audit_mod").toString
+    Tables.writePartitioned(
+      docs.withColumn("b", pmod(col("id"), lit(4))).repartition(col("b")),
+      modDir, Seq("b"))
+    val m = Tables.fileAudit(spark, modDir, "id")
+      .select("min_key", "max_key").as[(Long, Long)].collect()
+    assert(m.forall { case (lo, hi) => hi - lo >= 90L },
+      "mod layout: ranges overlap — the audit makes the broken clustering visible")
+  }
 }
