@@ -370,4 +370,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: triangleCounts equals naive sorted-triple enumeration on random graphs") {
+    val gen = Gen.listOfN(200, for {
+      x <- Gen.choose(0L, 25L); y <- Gen.choose(0L, 25L)
+    } yield (x, y))
+    val edges = sample(gen.map(List(_))).head
+    val und = edges.collect { case (x, y) if x != y =>
+      (math.min(x, y), math.max(x, y)) }.distinct
+    // reference: enumerate sorted triples directly
+    val set = und.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+    val triCount = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, b) <- und; c <- nodes if c > b
+      if set.contains((b, c)) && set.contains((a, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val want = nodes.map(n => n -> triCount(n)).toMap
+    val got = Ops.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("property: heavyHitters equals plain GROUP BY ... HAVING whenever the guard holds") {
+    // skewed synthetic corpus: few hot tokens + alphanumeric tail
+    val gen = Gen.listOfN(300, Gen.frequency(
+      4 -> Gen.oneOf("hot hot spot", "warm spot here"),
+      6 -> Gen.listOfN(3, Gen.alphaNumStr.map(s => if (s.isEmpty) "t" else s.take(5)))
+        .map(_.mkString(" "))))
+    val texts = sample(gen.map(List(_))).head.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    def exact(thr: Long) = docs
+      .select(col("doc_id"),
+        explode(graft.llm.Text.shingles(graft.llm.Text.words(col("text")), 2))
+          .as("ngram"))
+      .groupBy("ngram", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("ngram").agg(sum("c").as("occurrences"), count(lit(1)).as("n_docs"))
+      .filter(col("occurrences") >= thr)
+    // N = 600 bigrams; every combo satisfies thr > 600/(cap+1)
+    for ((thr, cap) <- Seq((3L, 1000), (10L, 200), (12L, 50))) {
+      val hh = graft.llm.CorpusStats.heavyHitters(docs, "doc_id", "text",
+        n = 2, threshold = thr, capacity = cap)
+      assert(hh.except(exact(thr)).count() === 0 &&
+        exact(thr).except(hh).count() === 0,
+        s"thr=$thr cap=$cap")
+    }
+  }
 }
