@@ -570,7 +570,14 @@ object GraftExtensions {
       (c: Seq[Expression]) => { exactly("graft_morton2", 2)(c); Morton2(c(0), c(1)) }),
     (FunctionIdentifier("graft_morton3"),
       new ExpressionInfo(classOf[Morton3].getName, "graft_morton3"),
-      (c: Seq[Expression]) => { exactly("graft_morton3", 3)(c); Morton3(c(0), c(1), c(2)) }))
+      (c: Seq[Expression]) => { exactly("graft_morton3", 3)(c); Morton3(c(0), c(1), c(2)) }),
+    (FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyMicro].getName, "graft_char_entropy"),
+      (c: Seq[Expression]) => {
+        exactly("graft_char_entropy", 1)(c); CharEntropyMicro(c.head) }),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (c: Seq[Expression]) => { exactly("graft_nfc", 1)(c); NfcNormalize(c.head) }))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit = registrations.foreach { case (id, info, builder) =>

@@ -90,6 +90,10 @@ class NativeExprSpec extends SparkSpec {
         "graft_minhash_sig(array(7L, 8L)) s").collect()(0)
     assert(r.getLong(0) == 32L)
     assert(r.getSeq[Long](1).length == Dedup.Seeds.size)
+    val r2 = spark.sql(
+      "SELECT graft_char_entropy('aaaa') e, graft_nfc('cafe\u0301') n").collect()(0)
+    assert(r2.getSeq[Long](0) == Seq(4L, 0L), "single-symbol text: zero entropy")
+    assert(r2.getString(1) == "caf\u00e9")
   }
 
   test("TopKLongs: k largest values, any partitioning; SQL registration") {
