@@ -763,6 +763,43 @@ object CoreQueries {
         .orderBy(col("user_id"), col("d"))
     }),
 
+    // X17 — linear interpolation over the gap-filled daily grid: a
+    // missing day takes v0 + (v1-v0)*(d-d0) div (d1-d0) between its
+    // neighboring observed days — EXACT integer cents end to end
+    // (daily sums decompose into integer cents the dsum way, the
+    // interpolation is one integer truncating division), so the series
+    // replays bit-for-bit. Two windows over ONE user exchange:
+    // forward-fill [unbounded, current] and backfill [current,
+    // unbounded], both IGNORE NULLS.
+    "x17_interpolate_daily" -> ((s, dir) => {
+      val cents = (floor(col("value")).cast("long") * 100 +
+        round((col("value") - floor(col("value"))) * 100).cast("long"))
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("__d"), cents.as("__c"))
+        .groupBy(col("user_id"), col("__d")).agg(sum(col("__c")).as("__vc"))
+      val spans = daily.groupBy(col("user_id"))
+        .agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      val grid = spans.select(col("user_id"),
+          explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+        .join(daily, Seq("user_id", "__d"), "left")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__d"))
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid
+        .withColumn("__pd", last(when(col("__vc").isNotNull, col("__d")),
+          ignoreNulls = true).over(back))
+        .withColumn("__v0", last(col("__vc"), ignoreNulls = true).over(back))
+        .withColumn("__nd", first(when(col("__vc").isNotNull, col("__d")),
+          ignoreNulls = true).over(fwd))
+        .withColumn("__v1", first(col("__vc"), ignoreNulls = true).over(fwd))
+        .withColumn("v_cents", when(col("__vc").isNotNull, col("__vc"))
+          .otherwise(expr("__v0 + ((__v1 - __v0) * datediff(__d, __pd))" +
+            " div datediff(__nd, __pd)")))
+        .select(col("user_id"), col("__d").cast("string").as("d"),
+          col("__vc").isNotNull.as("observed"), col("v_cents"))
+        .orderBy(col("user_id"), col("d"))
+    }),
+
     // X12 — rolling 7-day window features: per event, the same user's
     // event count and EXACT value sum over the trailing week — a RANGE
     // frame on event-time micros (not ROWS: simultaneous events must
@@ -1521,6 +1558,34 @@ object CoreQueries {
         |  coalesce(n, 0)::BIGINT AS n_events
         |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
         |ORDER BY 1, 2""".stripMargin,
+    "x17_interpolate_daily" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value) AS BIGINT) * 100 +
+        |      CAST(round((value - floor(value)) * 100) AS BIGINT)) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+        |days AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spans),
+        |g AS (SELECT days.user_id AS user_id, days.d AS d, vc
+        |  FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d),
+        |f AS (SELECT user_id, d, vc,
+        |    last_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    last_value(vc IGNORE NULLS) OVER wb AS v0,
+        |    first_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wf AS nd,
+        |    first_value(vc IGNORE NULLS) OVER wf AS v1
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, d::VARCHAR AS d, (vc IS NOT NULL) AS observed,
+        |  CASE WHEN vc IS NOT NULL THEN vc
+        |    ELSE v0 + ((v1 - v0) * (d - pd)) // (nd - pd) END AS v_cents
+        |FROM f ORDER BY user_id, d""".stripMargin,
     "x7_preference_pairs" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rb,
