@@ -763,6 +763,33 @@ object CoreQueries {
         .orderBy(col("user_id"), col("d"))
     }),
 
+    // X18 — multi-touch attribution: every click in the 3 days before
+    // a purchase shares the credit — 1000 per-mille split by integer
+    // div with the remainder to the LAST touch, so credits sum to
+    // exactly 1000 per purchase at any touch count. Per-user equi-join
+    // + time predicate (fanout bounded by a user's window activity),
+    // one purchase-keyed window for count/recency rank.
+    "x18_attribution_multitouch" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 3 DAYS"))
+      val wp = Window.partitionBy(col("p_id"))
+      val byRecency = wp.orderBy(col("c_ts").desc, col("c_id").desc)
+      touches
+        .withColumn("__n", count(lit(1)).over(wp))
+        .withColumn("__rn", row_number().over(byRecency))
+        .withColumn("credit_pm", expr("1000 div __n") +
+          when(col("__rn") === 1, expr("1000 % __n")).otherwise(0L))
+        .select(col("p_id"), col("c_id"), col("__n").as("n_touches"),
+          col("credit_pm"))
+        .orderBy(col("p_id"), col("c_id"))
+    }),
+
     // X17 — linear interpolation over the gap-filled daily grid: a
     // missing day takes v0 + (v1-v0)*(d-d0) div (d1-d0) between its
     // neighboring observed days — EXACT integer cents end to end
@@ -1558,6 +1585,21 @@ object CoreQueries {
         |  coalesce(n, 0)::BIGINT AS n_events
         |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
         |ORDER BY 1, 2""".stripMargin,
+    "x18_attribution_multitouch" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id FROM events
+        |  WHERE event_type = 'click'),
+        |touch AS (SELECT p.p_id, c.c_id, c.c_ts FROM p JOIN c USING (user_id)
+        |  WHERE c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 3 DAY),
+        |r AS (SELECT p_id, c_id,
+        |    count(*) OVER (PARTITION BY p_id) AS n,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC)
+        |      AS rn
+        |  FROM touch)
+        |SELECT p_id, c_id, CAST(n AS BIGINT) AS n_touches,
+        |  (1000 // n) + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END AS credit_pm
+        |FROM r ORDER BY p_id, c_id""".stripMargin,
     "x17_interpolate_daily" ->
       """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
         |    CAST(sum(CAST(floor(value) AS BIGINT) * 100 +

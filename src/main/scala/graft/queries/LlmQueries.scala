@@ -110,6 +110,32 @@ object LlmQueries {
         .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))
     }),
 
+    // Column-association audit: exact mutual information between two
+    // categorical columns (lang × source) — "is language correlated
+    // with feed?" before stratifying on either. Count-weighted
+    // micro-nat MI: every probability ratio is an exact-integer
+    // fraction evaluated in ONE double ln then floor-quantized, and
+    // the cell sum is integer (the drift-monitor discipline), so the
+    // statistic is partition-order-independent. mi_micro = the sum
+    // div N (average nats·1e6 per doc).
+    "llm_mi_lang_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cells = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("__nxy"))
+      val mx = d.groupBy(col("lang")).agg(count(lit(1)).as("__nx"))
+      val my = d.groupBy(col("source")).agg(count(lit(1)).as("__ny"))
+      val tot = d.agg(count(lit(1)).as("__N"))
+      cells.join(mx, "lang").join(my, "source").crossJoin(broadcast(tot))
+        .withColumn("__term", col("__nxy") *
+          floor(log((col("__nxy") * col("__N")).cast("double") /
+            (col("__nx") * col("__ny")).cast("double")) * lit(1000000.0))
+            .cast("long"))
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("__N")).as("n_docs"),
+          sum(col("__term")).as("mi_weighted_micro"))
+        .withColumn("mi_micro", expr("mi_weighted_micro div n_docs"))
+    }),
+
     // Unicode NFC normalization dedup: a decomposed (e + combining
     // acute) and a precomposed (é) variant are different byte strings
     // that normalize to ONE canonical form — injected deterministically
@@ -1918,6 +1944,19 @@ object LlmQueries {
         |SELECT doc_id, md5(content) AS content_hash FROM (
         |  SELECT doc_id, content, row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) rn
         |  FROM aug) t WHERE rn = 1 OR content IS NULL ORDER BY doc_id""".stripMargin,
+    "llm_mi_lang_source" ->
+      """WITH cells AS (SELECT lang, source, count(*)::BIGINT AS nxy
+        |  FROM documents GROUP BY lang, source),
+        |mx AS (SELECT lang, count(*)::BIGINT AS nx FROM documents GROUP BY lang),
+        |my AS (SELECT source, count(*)::BIGINT AS ny FROM documents GROUP BY source),
+        |tot AS (SELECT count(*)::BIGINT AS N FROM documents),
+        |t AS (SELECT nxy * CAST(floor(ln(CAST(nxy * N AS DOUBLE)
+        |      / CAST(nx * ny AS DOUBLE)) * 1000000) AS BIGINT) AS term, N
+        |  FROM cells JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot)
+        |SELECT count(*)::BIGINT AS n_cells, max(N) AS n_docs,
+        |  CAST(sum(term) AS BIGINT) AS mi_weighted_micro,
+        |  CAST(sum(term) AS BIGINT) // max(N) AS mi_micro
+        |FROM t""".stripMargin,
     // both engines run the normative Unicode NFC tables (JDK
     // Normalizer vs DuckDB nfc_normalize) — md5s of the canonical
     // form must agree byte for byte
