@@ -128,6 +128,41 @@ object Curate {
       .withColumn("weight", lit(scale.toDouble) / p)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir" — public
+    * method): keep the top-`n` rows by priority u^(1/w), u a per-key
+    * uniform draw — heavier rows are more likely kept, no row twice,
+    * and unlike [[importanceSample]] the output size is EXACTLY n.
+    *
+    * Deterministic integer-replayable form: u = (h + 0.5)/P from the
+    * md5 key hash (one IEEE division of exact integers),
+    * lnU_micro = floor(ln(u)·1e6) — ONE floor'd transcendental per row
+    * (the lp_micro discipline; u is bounded in [0.5/P, 1) so the value
+    * fits far inside a Long) — and priority = (lnU_micro · 1e6) div w.
+    * Ranking priority DESC (ties by key) replays the u^(1/w) order
+    * through monotone transforms; the micro-nat quantization is part
+    * of the sampling design (both engines, and any future engine,
+    * compute the identical integer), not an approximation layered on a
+    * continuous ideal. Weights must be >= 1 (integer).
+    *
+    * Scale: a pure map-side priority projection + top-n via
+    * TakeOrderedAndProject — no shuffle beyond the limit's single
+    * gather of n rows per partition. */
+  def weightedSampleTopN(df: DataFrame, keyCol: String, weightCol: String,
+                         n: Int, salt: String = "wsr:"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("priority"),
+      "weightedSampleTopN reserves the priority column name")
+    val h = Text.md5Hash(concat(lit(salt), col(keyCol).cast("string")))
+    val u = (h.cast("double") + lit(0.5)) / lit(Text.HashP.toDouble)
+    val lnu = floor(log(u) * lit(1000000.0)).cast("long")
+    df.withColumn("__lnu", lnu)
+      .withColumn("priority", expr(s"(__lnu * 1000000) div $weightCol"))
+      .drop("__lnu")
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * arXiv:2302.03169 — public method): score each document by how
     * much more likely its hashed-unigram bag is under a TARGET

@@ -110,6 +110,16 @@ object LlmQueries {
         .select(col("doc_id"), col("content_hash")).orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling WITHOUT replacement: exactly 100 docs, longer
+    // docs more likely — the fixed-size counterpart of the Bernoulli
+    // importanceSample. Priorities are integer micro-nat quantized by
+    // design, so the oracle replays the identical ranking.
+    "llm_weighted_sample" -> ((s, dir) =>
+      Curate.weightedSampleTopN(t(s, dir, "documents"), "doc_id", "n_chars",
+          n = 100)
+        .select(col("doc_id"), col("n_chars"), col("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))),
+
     // Column-association audit: exact mutual information between two
     // categorical columns (lang × source) — "is language correlated
     // with feed?" before stratifying on either. Count-weighted
@@ -1944,6 +1954,14 @@ object LlmQueries {
         |SELECT doc_id, md5(content) AS content_hash FROM (
         |  SELECT doc_id, content, row_number() OVER (PARTITION BY md5(content) ORDER BY doc_id) rn
         |  FROM aug) t WHERE rn = 1 OR content IS NULL ORDER BY doc_id""".stripMargin,
+    "llm_weighted_sample" ->
+      s"""WITH pr AS (SELECT doc_id, n_chars,
+         |  (CAST(floor(ln((${duckHash("'wsr:' || doc_id")} + 0.5)
+         |      / 2147483647.0) * 1000000) AS BIGINT) * 1000000) // n_chars
+         |    AS priority
+         |  FROM documents)
+         |SELECT doc_id, n_chars::BIGINT AS n_chars, priority FROM pr
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
     "llm_mi_lang_source" ->
       """WITH cells AS (SELECT lang, source, count(*)::BIGINT AS nxy
         |  FROM documents GROUP BY lang, source),

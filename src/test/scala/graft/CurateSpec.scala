@@ -429,4 +429,40 @@ class CurateSpec extends SparkSpec {
       assert(r * r <= n && (r + 1) * (r + 1) > n, s"isqrt($n) = $r")
     }
   }
+
+  test("weightedSampleTopN: exactly n, deterministic, weight-biased, reserved name") {
+    val docs = ((1L to 100L).map(i => (i, 1000L)) ++
+      (101L to 200L).map(i => (i, 10L))).toDF("id", "w")
+    val out = Curate.weightedSampleTopN(docs, "id", "w", n = 50).cache()
+    assert(out.count() === 50)
+    // heavy rows (w=1000) dominate a 50-slot sample 100:100 vs w=10
+    val heavy = out.filter(col("id") <= 100L).count()
+    assert(heavy >= 40, s"expected heavy-row dominance, got $heavy/50")
+    // deterministic: re-run bit-identical; different salt differs
+    val again = Curate.weightedSampleTopN(docs, "id", "w", n = 50)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+    val other = Curate.weightedSampleTopN(docs, "id", "w", n = 50, salt = "x:")
+    assert(out.select("id").except(other.select("id")).count() > 0)
+    intercept[IllegalArgumentException](
+      Curate.weightedSampleTopN(docs.withColumn("priority", lit(1)), "id", "w", 5))
+    out.unpersist()
+  }
+
+  test("weightedSampleTopN ln boundary guard: fixture draws sit >2e-8 from integers") {
+    // same contract as the lp_micro guard: a draw whose ln(u)*1e6 is
+    // within libm's cross-engine ulp band of an integer could floor
+    // differently; prove the fixtures never get that close.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      assume(new java.io.File(dir).exists(), s"$dir missing")
+      val docs = spark.read.parquet(dir)
+      val h = graft.llm.Text.md5Hash(concat(lit("wsr:"), col("doc_id").cast("string")))
+      val x = log((h.cast("double") + lit(0.5)) /
+        lit(graft.llm.Text.HashP.toDouble)) * lit(1000000.0)
+      val frac = x - floor(x)
+      val tooClose = docs.select(least(frac, lit(1.0) - frac).as("dist"))
+        .filter(col("dist") < 2e-8)
+      assert(tooClose.count() === 0, s"$sf has boundary-adjacent draws")
+    }
+  }
 }
