@@ -665,8 +665,12 @@ object Dedup {
     candidates
       .join(texts.withColumnRenamed(idCol, "a").withColumnRenamed("__t", "ta"), "a")
       .join(texts.withColumnRenamed(idCol, "b").withColumnRenamed("__t", "tb"), "b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // bounded form: O(len·maxDist) per pair with early abandon (-1
+      // past the threshold) instead of the O(len²) full DP — same
+      // kept set, the kernel a verify pass over long documents needs
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
   }
 }
