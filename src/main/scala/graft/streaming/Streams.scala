@@ -124,6 +124,32 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming web-curation gate — the session-2 kernels composed into
+    * the micro-batch ingest path: NFC-normalize (graft_nfc), Gopher
+    * rule gate, canonical-URL extraction, then streaming dedup by
+    * canonical URL within the watermark window (the crawler re-fetch
+    * guard: surface variants of one logical URL across micro-batches
+    * collapse to the first arrival). Every pre-dedup step is a
+    * stateless scan projection — the ONLY state is one canonical-URL
+    * key per watermark window. Emits (idCol, canon, n_words, text). */
+  def webGateStream(docs: DataFrame, idCol: String, urlCol: String,
+                    textCol: String, tsCol: String = "ts",
+                    watermark: String = "1 hour",
+                    minWords: Long = 20L, maxWords: Long = 90L): DataFrame = {
+    val norm = graft.expr.native.NativeFns.nfc(col(textCol))
+    docs
+      .withColumn(textCol, norm)
+      .withColumn("__g", graft.llm.Text.gopherFlags(col(textCol),
+        minWords, maxWords, minMeanWordLen = 0.0, maxMeanWordLen = 1e9,
+        minStopwords = 0L))
+      .filter(col("__g.keep"))
+      .withColumn("canon", graft.llm.Text.canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("canon"))
+      .select(col(idCol), col("canon"), col("__g.n_words").as("n_words"),
+        col(textCol))
+  }
+
   /** Stream-stream interval join: each purchase joined to the clicks
     * that preceded it within `window` — the attribution join, the
     * streaming analog of the batch as-of composition. Both sides carry

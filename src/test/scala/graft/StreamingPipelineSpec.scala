@@ -125,6 +125,42 @@ class StreamingPipelineSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     Seq("sd_corpus", "sd_index", "sd_pairs", "sd_corpus_commits")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    runIncrementalDelta()
+  }
+
+  test("webGateStream: NFC + rule gate + cross-batch canonical-URL dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = graft.streaming.Streams.webGateStream(
+      in.toDF().toDF("doc_id", "url", "text", "ts"),
+      "doc_id", "url", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("webgate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "https://A.com/p", words20, ts(0)),            // kept
+        (3L, "https://b.com/q?utm_source=x", words20, ts(2)), // kept
+        (4L, "https://c.com/r", "too short", ts(3)))        // rule-gated out
+      q.processAllAvailable()
+      // batch 2: two later surface variants of the FIRST url — the
+      // standing canonical-URL state must drop both
+      in.addData(
+        (2L, "https://a.com/p#frag", words20, ts(1)),
+        (5L, "https://a.com/p/", words20, ts(4)))
+      q.processAllAvailable()
+      val rows = spark.table("webgate").select("doc_id", "canon")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L, 3L),
+        s"variant re-fetches and rule-gated docs must not pass: $rows")
+      assert(rows(1L) === "https://a.com/p" && rows(3L) === "https://b.com/q")
+    } finally q.stop()
+  }
+
+  private def runIncrementalDelta(): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String)]
     val q = graft.streaming.Streams.incrementalDeltaDedupStream(
