@@ -490,6 +490,29 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Q22-shaped sales opportunity: customers above the (positive-
+    // balance) global average with no RECENT (1998+) orders — the
+    // dormant-high-value list; scalar-aggregate
+    // threshold broadcast against the scan + LEFT ANTI on orders.
+    // The average divides an exact decimal sum by an exact count, so
+    // the threshold double is engine-identical.
+    "q22_sales_opportunity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val threshold = c.filter(col("c_acctbal") > 0.0)
+        .agg((Exprs.dsum(col("c_acctbal"), 2) /
+          count(lit(1))).as("__avg"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(threshold))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          Exprs.dsum(col("c_acctbal"), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Q10-shaped returned-item report: 4-way join narrowed by the
     // returnflag filter at the scan, grouped customer revenue, top-20
     // via TakeOrderedAndProject. Exact decimal revenue (dsum).
@@ -1356,6 +1379,18 @@ object CoreQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH pos AS (SELECT c_acctbal FROM customer WHERE c_acctbal > 0),
+        |th AS (SELECT (CAST(sum(CAST(floor(c_acctbal) AS DECIMAL(38,0))) AS DOUBLE)
+        |    + CAST(sum(CAST(round((c_acctbal - floor(c_acctbal)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
+        |    / count(*) AS a FROM pos),
+        |f AS (SELECT c.* FROM customer c, th WHERE c.c_acctbal > th.a
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'))
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+        |  CAST(sum(CAST(floor(c_acctbal) AS DECIMAL(38,0))) AS DOUBLE)
+        |    + CAST(sum(CAST(round((c_acctbal - floor(c_acctbal)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS total_bal
+        |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q4_priority_semi" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS order_count
         |FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
