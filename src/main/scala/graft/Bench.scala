@@ -68,12 +68,17 @@ object Bench {
     // output-tail capture truncates long runs (BENCH_r11 recorded
     // "parsed": null), so round-over-round drift comparison reads this
     // file instead. Written to the working directory (the repo root
-    // when launched via sbt).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_local.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
+    // when launched via sbt) — FULL runs only: a subset invocation
+    // (args given) must never clobber the committed full-suite anchor
+    // with a 2-query file (it did once; the drift comparison lost its
+    // baseline to the session log).
+    if (args.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_local.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write bench_local.json: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }
