@@ -41,6 +41,18 @@ object LlmQueries {
   /** Heavy-hitter occurrence threshold, shared with the oracle SQL. */
   private val HeavyHitterThreshold = 6L
 
+  /** Dedup-eval injected variants, shared with the oracle. 12-word
+    * base; v1 changes the LAST word only, putting the (base, v1)
+    * 3-gram Jaccard at 7/13 ≈ 0.538 — a BORDERLINE true pair exactly
+    * where LSH banding recall is weakest; v2 changes the last two
+    * words (6/14 ≈ 0.43 — a true negative just under threshold). */
+  private val DedupEvalBase =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val DedupEvalV1 =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+  private val DedupEvalV2 =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"
+
   val queries: Seq[(String, Q)] = Seq(
 
     // Fixture texts are 500 UNIQUE non-NULL sentences, so both arms the
@@ -182,6 +194,42 @@ object LlmQueries {
           t(s, dir, "documents").withColumn("content", content),
           "doc_id", "content", maxDist = 2)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // The dedup quality ledger (the recall-ledger principle applied to
+    // dedup itself): exact all-pairs Jaccard truth on a BOUNDED eval
+    // subset vs what the banded MinHash-LSH path finds — measured
+    // per-mille recall/precision before anyone trusts the banding at
+    // scale. Injected borderline variants (see DedupEvalBase) put true
+    // pairs exactly where banding recall is weakest.
+    "llm_dedup_eval" -> ((s, dir) => {
+      val content = when(col("doc_id") % 37 === 5,
+          when(col("doc_id") % 3 === 0, lit(DedupEvalBase))
+            .when(col("doc_id") % 3 === 1, lit(DedupEvalV1))
+            .otherwise(lit(DedupEvalV2)))
+        .otherwise(col("text"))
+      val sub = t(s, dir, "documents")
+        .filter(col("doc_id") % 37 === 5 || col("doc_id") < 150)
+        .withColumn("content", content)
+      // exact truth: same shingle-hash sets the LSH path verifies with
+      val sets = sub
+        .withColumn("__w", Text.words(col("content")))
+        .filter(size(col("__w")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          transform(Text.shingles(col("__w"), 3), x => Text.md5Hash(x))).as("g"))
+      val truth = sets.as("x").join(sets.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .filter(Dedup.jaccard(col("x.g"), col("y.g")) >= 0.5)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val found = Dedup.minHashLshPairs(sub, "doc_id", "content",
+        threshold = 0.5).select(col("a"), col("b"))
+      val matched = truth.join(found, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+        .select(col("n_truth"), col("n_found"), col("n_matched"),
+          expr("n_matched * 1000 div n_truth").as("recall_pm"),
+          expr("n_matched * 1000 div n_found").as("precision_pm"))
     }),
 
     "llm_dedup_minhash_lsh" -> ((s, dir) =>
@@ -2054,6 +2102,47 @@ object LlmQueries {
     "llm_dedup_minhash_lsh" ->
       s"""WITH ${pairsCtes()}
          |SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+    // exact truth and the banded path replayed over the SAME injected
+    // subset; the ledger row is pure integer per-milles
+    "llm_dedup_eval" ->
+      s"""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 37 = 5 THEN
+         |    CASE CAST(doc_id % 3 AS INTEGER)
+         |      WHEN 0 THEN '$DedupEvalBase'
+         |      WHEN 1 THEN '$DedupEvalV1'
+         |      ELSE '$DedupEvalV2' END
+         |    ELSE text END AS text FROM documents
+         |  WHERE doc_id % 37 = 5 OR doc_id < 150),
+         |pre AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)],
+         |    s -> ${duckHash("s")})) AS hs
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+         |        FROM aug) t0
+         |  WHERE len(w) >= 3),
+         |truth AS (SELECT x.doc_id AS a, y.doc_id AS b FROM pre x JOIN pre y
+         |  ON x.doc_id < y.doc_id
+         |  WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+         |    / (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= 0.5),
+         |sig AS (SELECT doc_id, hs, [${minhashExprs.mkString(",\n  ")}] AS mh FROM pre),
+         |bands0 AS (SELECT doc_id, unnest([${bandExprs.mkString(",\n  ")}]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS bc FROM bands0) t
+         |  WHERE bc <= ${Dedup.DefaultMaxBucket}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+         |found AS (SELECT a, b FROM (SELECT a, b,
+         |    CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
+         |      / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs)))
+         |      AS jaccard
+         |  FROM cand JOIN pre xa ON cand.a = xa.doc_id
+         |    JOIN pre xb ON cand.b = xb.doc_id) s
+         |  WHERE jaccard >= 0.5),
+         |m AS (SELECT count(*) AS c FROM truth JOIN found USING (a, b)),
+         |nt AS (SELECT count(*) AS t FROM truth),
+         |nf AS (SELECT count(*) AS f FROM found)
+         |SELECT t::BIGINT AS n_truth, f::BIGINT AS n_found, c::BIGINT AS n_matched,
+         |  (c * 1000) // t AS recall_pm, (c * 1000) // f AS precision_pm
+         |FROM m, nt, nf""".stripMargin,
     "llm_dedup_simhash" ->
       s"""SELECT doc_id, CAST(${simhashTerms().mkString(" + ")} AS BIGINT) AS simhash
          |FROM (SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
