@@ -430,6 +430,44 @@ class OpsSpec extends SparkSpec {
       (2L, "c", 0L, 0L, 0L)), s"got $gated")
   }
 
+  test("AQE skew join: the hot key splits at runtime without salting") {
+    // the other half of the skew story (saltedJoin is the manual
+    // tool): a sort-merge join whose build keys are zipfian must get
+    // its hot partition SPLIT by AQE's OptimizeSkewedJoin at runtime
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // incompressible per-row payload: shuffle sizes are COMPRESSED
+      // bytes, and a constant pad compresses below any skew threshold
+      def pad(i: Int) = java.util.UUID.nameUUIDFromBytes(
+        BigInt(i).toByteArray).toString * 3
+      val left = ((1 to 20000).map(i => (0L, pad(i))) ++
+        (1 to 200).map(i => (i.toLong, pad(i)))).toDF("k", "pl")
+      val right = ((0L to 200L).map(i => (i, pad(i.toInt)))).toDF("k", "pr")
+      val joined = left.join(right, "k")
+      // materialize THIS dataset's QueryExecution (count() would plan a
+      // separate aggregate query and leave this one un-finalized)
+      assert(joined.collect().length === 20200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the join:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("joinBlowupEstimate: exact per-key cardinalities, shares, top-k cut") {
     val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")       // counts: 1->3, 2->1, 3->1
     val right = Seq(1L, 1L, 2L, 2L, 2L, 9L).toDF("k")  // counts: 1->2, 2->3, 9->1
