@@ -490,6 +490,47 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // A19 — explicit GROUPING SETS through the SQL surface (rollup and
+    // cube are a13/a4; arbitrary set lists only exist in SQL): per-
+    // lang, per-source, and grand-total rows in ONE pass (Expand).
+    "a19_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("gs_documents")
+      s.sql("""SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM gs_documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin)
+    }),
+
+    // O5 — distribution windows: percent_rank and cume_dist per
+    // source over n_chars (exact (rank-1)/(n-1) and cnt<=x/n double
+    // divisions — deterministic IEEE on both engines).
+    "o5_distribution_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // J4 — NULL-SAFE equi-join (<=>): null keys MATCH null keys, the
+    // semantic a plain equi-join silently drops. Injected null keys on
+    // both sides must pair up.
+    "j4_nullsafe_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val l = d.select(col("doc_id"),
+        when(col("doc_id") % 10 === 3, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lk"))
+      val r = d.groupBy(
+          when(col("doc_id") % 7 === 2, lit(null).cast("string"))
+            .otherwise(col("lang")).as("rk"))
+        .agg(count(lit(1)).as("n_right"))
+      l.join(r, col("lk") <=> col("rk"))
+        .select(col("doc_id"), col("lk"), col("n_right"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q22-shaped sales opportunity: customers above the (positive-
     // balance) global average with no RECENT (1998+) orders — the
     // dormant-high-value list; scalar-aggregate
@@ -1379,6 +1420,28 @@ object CoreQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "a19_grouping_sets" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin,
+    "o5_distribution_windows" ->
+      """SELECT doc_id, source, n_chars,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "j4_nullsafe_join" ->
+      """WITH l AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 THEN NULL ELSE lang END AS lk
+        |  FROM documents),
+        |r AS (SELECT CASE WHEN doc_id % 7 = 2 THEN NULL ELSE lang END AS rk,
+        |    count(*)::BIGINT AS n_right
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, lk, n_right FROM l JOIN r ON lk IS NOT DISTINCT FROM rk
+        |ORDER BY doc_id""".stripMargin,
     "q22_sales_opportunity" ->
       """WITH pos AS (SELECT c_acctbal FROM customer WHERE c_acctbal > 0),
         |th AS (SELECT (CAST(sum(CAST(floor(c_acctbal) AS DECIMAL(38,0))) AS DOUBLE)
