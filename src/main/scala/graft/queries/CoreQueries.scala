@@ -411,6 +411,32 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // §2.9 multiset variants: INTERSECT ALL / EXCEPT ALL preserve
+    // multiplicity (a user purchasing 2x and erroring once keeps 1
+    // row) — the bag semantics the distinct forms above erase; at
+    // sf0.01 one user genuinely keeps multiplicity 2 (13 rows, 12
+    // users), so ALL-ness is oracle-checked non-vacuously.
+    "u2_multiset_ops" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchasers = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      val highValue = e.filter(col("value") > 300).select(col("user_id"))
+      val erroring = e.filter(col("event_type") === "error" && col("value") > 200)
+        .select(col("user_id"))
+      purchasers.intersectAll(highValue).exceptAll(erroring)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("user_id"))
+    }),
+
+    // O6 — keyset-free pagination: global order + OFFSET/LIMIT (page 3
+    // of 25). At scale the global sort range-partitions; the
+    // offset+limit is a driver-side cheap cut of the ordered stream.
+    "o6_pagination" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
+        .offset(50).limit(25)),
+
     // TPC-H Q1 flavor — scan + conditional agg battery at bench scale
     "q1_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1368,6 +1394,18 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT event_id, event_type FROM events WHERE event_type = 'signup') t
         |ORDER BY event_id""".stripMargin,
+    "u2_multiset_ops" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT user_id FROM events WHERE value > 300),
+        |x AS (SELECT user_id FROM events WHERE event_type = 'error' AND value > 200),
+        |kept AS (SELECT user_id FROM (
+        |  SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM h) i
+        |  EXCEPT ALL SELECT user_id FROM x)
+        |SELECT user_id, count(*)::BIGINT AS n_kept FROM kept
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "o6_pagination" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id LIMIT 25 OFFSET 50""".stripMargin,
     "u_intersect_except" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
