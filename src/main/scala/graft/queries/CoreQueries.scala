@@ -853,6 +853,25 @@ object CoreQueries {
         .orderBy(col("user_id"), col("d"))
     }),
 
+    // X21 — inter-arrival anomaly report: per event TYPE, the robust
+    // median/MAD profile of user-level inter-event gaps (micros) with
+    // the |gap - med| > 2*MAD outlier count — burst/stall detection
+    // that a mean/stddev rule would let one huge gap drag. Composes
+    // the lag window with CorpusStats.robustOutliers (exact integer
+    // order statistics).
+    "x21_interarrival_mad" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          (unix_micros(col("ts")) - col("__prev")).as("gap_us"))
+      graft.llm.CorpusStats.robustOutliers(gaps, "event_type", "gap_us",
+          "event_id", k = 2)
+        .orderBy(col("event_type"))
+    }),
+
     // X18 — multi-touch attribution: every click in the 3 days before
     // a purchase shares the credit — 1000 per-mille split by integer
     // div with the remainder to the LAST touch, so credits sum to
@@ -1721,6 +1740,31 @@ object CoreQueries {
         |  coalesce(n, 0)::BIGINT AS n_events
         |FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
         |ORDER BY 1, 2""".stripMargin,
+    "x21_interarrival_mad" ->
+      """WITH g AS (SELECT event_type, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS v
+        |  FROM events),
+        |d1 AS (SELECT event_type, event_id, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE v IS NOT NULL),
+        |d1m AS (SELECT *, (n + 1) // 2 AS lo, n // 2 + 1 AS hi,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) OVER (PARTITION BY event_type) +
+        |    max(CASE WHEN rn = n // 2 + 1 THEN v END) OVER (PARTITION BY event_type) AS med2
+        |  FROM d1),
+        |d2 AS (SELECT *, abs(v * 2 - med2) AS dev2,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(v * 2 - med2), event_id) AS rn2
+        |  FROM d1m),
+        |d2m AS (SELECT *, max(CASE WHEN rn2 = lo THEN dev2 END) OVER (PARTITION BY event_type) +
+        |    max(CASE WHEN rn2 = hi THEN dev2 END) OVER (PARTITION BY event_type) AS mad4
+        |  FROM d2)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(med2) AS BIGINT) AS med2, CAST(max(mad4) AS BIGINT) AS mad4,
+        |  CAST(sum(CASE WHEN dev2 * 2 > 2 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d2m GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x18_attribution_multitouch" ->
       """WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
         |  WHERE event_type = 'purchase'),

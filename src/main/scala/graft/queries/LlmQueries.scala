@@ -426,6 +426,22 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Quantizer-health diagnostic: the per-(subspace, code) population
+    // histogram of the PQ code store. A collapsed codeword (one code
+    // absorbing a subspace) or a dead one (zero rows) is how a bad
+    // codebook shows up in production — this is the monitoring row.
+    "llm_pq_code_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val byLabel = Similarity.pqCodebooks(cands, "embedding", "label")
+      Similarity.pqEncodeFrame(cands, "vec_id", "embedding", byLabel,
+          m = 4, dim = 64)
+        .select(posexplode(col("codes")).as(Seq("s", "code")))
+        .groupBy(col("s").cast("long").as("s"), col("code"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("s"), col("code"))
+    }),
+
     // PQ SERVING from the persisted index: codebooks + code store
     // written once, reloaded, and answered with NO training in the
     // plan; the coarse scan reads only (cid, codes) — at 100 TB the
@@ -2377,6 +2393,25 @@ object LlmQueries {
     "llm_ann_pq" -> PqOracleSql,
     "llm_ann_pq_indexed" -> PqOracleSql,
     "llm_ann_pq_recall" -> PqRecallOracleSql,
+    // the codes CTE is the PqOracleSql training replay; DuckDB's s is
+    // 0-based (pos-1)//16 exactly like the Spark subspace index
+    "llm_pq_code_balance" ->
+      s"""WITH eq AS (SELECT vec_id, label,
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eq WHERE vec_id >= 3),
+         |cwp AS (SELECT label AS l, i AS pos,
+         |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+         |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+         |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+         |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+         |      AS BIGINT) AS d
+         |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+         |codes AS (SELECT cid, s, l AS code FROM (
+         |    SELECT cid, s, l, row_number() OVER (
+         |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+         |  WHERE rn = 1)
+         |SELECT s::BIGINT AS s, code::BIGINT AS code, count(*)::BIGINT AS n_vecs
+         |FROM codes GROUP BY s, code ORDER BY s, code""".stripMargin,
     "llm_ann_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
          |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 3),
