@@ -191,11 +191,19 @@ object Similarity {
       df.select(col(idCol).as("cid"), quantize(col(embCol)).as("ce"))) {
       (d, s) => d.withColumn(s"__sub$s", slice(col("ce"), s * sub + 1, sub))
     }
+    // argmin by the expanded identity: Σ(x−c)² = Σx² − 2Σxc + Σc², and
+    // Σx² is constant per (row, subspace), so ranking by
+    // (Σc² − 2·dot(x, c)) is EXACTLY the squared-distance order (same
+    // integers ± a per-row constant, ties identical). The dot is the
+    // native codegen'd kernel — the interpreted (x−y)² HOF fold was
+    // the encode's hot cost at k×m lambdas per row.
     val coded = (0 until m).foldLeft(withSubs) { (d, s) =>
       d.withColumn(s"__code$s", array_min(array(labels.map { l =>
-        struct(aggregate(zip_with(col(s"__sub$s"), cwArr(s, l),
-          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d"),
-          lit(l).as("l"))
+        val cNorm = byLabel(l).slice(s * sub, (s + 1) * sub)
+          .map(c => c * c).sum
+        struct((lit(cNorm) - lit(2L) *
+          graft.expr.native.NativeFns.longDot(col(s"__sub$s"), cwArr(s, l)))
+          .as("d"), lit(l).as("l"))
       }: _*)).getField("l"))
     }
     coded.select(col("cid"),
