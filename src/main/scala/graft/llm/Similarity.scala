@@ -481,13 +481,16 @@ object Similarity {
   def kmeansClusters(df: DataFrame, idCol: String, embCol: String,
                      k: Int, iters: Int): DataFrame = {
     val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    // dot-identity argmin (the pqEncodeFrame convention): ranking by
+    // Σc² − 2·dot(x, c) is exactly the squared-distance order (the Σx²
+    // term is a per-row constant; ties identical), and the codegen'd
+    // longDot replaces an interpreted (x−y)² fold per centroid
     def assign(cents: Seq[(Long, Seq[Long])]): Column =
       array_min(array(cents.map { case (cid, c) =>
-        val carr = array(c.map(lit): _*)
-        struct(
-          aggregate(zip_with(col("eq"), carr, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v).as("dist"),
-          lit(cid).as("cid"))
+        val cNorm = c.map(x => x * x).sum
+        struct((lit(cNorm) - lit(2L) *
+          graft.expr.native.NativeFns.longDot(col("eq"), array(c.map(lit): _*)))
+          .as("dist"), lit(cid).as("cid"))
       }: _*)).getField("cid")
     // deterministic seeding: the k lowest-id vectors, cid by id order
     var cents: Seq[(Long, Seq[Long])] = eq.orderBy(col("vid")).limit(k)
@@ -646,15 +649,17 @@ object Similarity {
         math.floorDiv(s, math.max(cnt, 1L))
       }.toSeq
     }.sortBy(_._1)
-    val eq = quantize(col(embCol))
+    // materialize the quantized vector once (it was re-evaluated per
+    // centroid inside the lambda), then the dot-identity argmin as in
+    // kmeansClusters/pqEncodeFrame — same order, same ties, codegen'd
     val best = array_min(array(cents.map { case (label, c) =>
-      val carr = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(eq, carr, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("dist"),
-        lit(label).as("lbl"))
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2L) *
+        graft.expr.native.NativeFns.longDot(col("__eq"), array(c.map(lit): _*)))
+        .as("dist"), lit(label).as("lbl"))
     }: _*)).getField("lbl")
-    df.select(col(idCol), best.as("label"))
+    df.withColumn("__eq", quantize(col(embCol)))
+      .select(col(idCol), best.as("label"))
   }
 
   /** Append a new batch to a persisted IVF index WITHOUT rebuilding —
