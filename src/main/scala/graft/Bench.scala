@@ -53,7 +53,10 @@ object Bench {
     // "parsed": null — keep the ONE json line comfortably short
     def ms(v: Double): String =
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => js(k) + ":" + ms(v) }
+    // keys sorted so round-over-round bench_local.json diffs are
+    // stable under query re-registration order
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => js(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     // -1 failure sentinels are reported per-query but excluded from the
     // total so a failing query can't understate the wall-time sum. A

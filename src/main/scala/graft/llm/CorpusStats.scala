@@ -403,14 +403,21 @@ object CorpusStats {
 
   /** Fold partial-stat rows (any subset union) to per-group totals —
     * identical to a direct full pass ([[partialStats]] contract).
-    * `mean_micro` is exact integer micro-units: (Σv·1e6) div n. */
+    * `mean_micro` is exact integer micro-units: (Σv·1e6) div n — the
+    * product is computed in DECIMAL(38,0), not Long: at the module's
+    * stated 100 TB scale Σv can pass ~9.2e12 (total corpus chars),
+    * where a Long `sum_v * 1000000` silently wraps under non-ANSI
+    * arithmetic. The decimal product is exact to 38 digits and the
+    * integral divide lands back in Long range whenever the MEAN itself
+    * is representable in micro-units (mean < 9.2e12). */
   def mergeStats(parts: DataFrame, groupCol: String): DataFrame =
     parts.groupBy(col(groupCol))
       .agg(sum(col("n")).cast(LongType).as("n"),
         sum(col("sum_v")).cast(LongType).as("sum_v"),
         min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
         sum(col("sumsq")).cast(DecimalType(38, 0)).as("sumsq"))
-      .withColumn("mean_micro", expr("(sum_v * 1000000) div n"))
+      .withColumn("mean_micro",
+        expr("(CAST(sum_v AS DECIMAL(38,0)) * 1000000) div n"))
 
   /** Per-group robust outlier report: median / MAD (median absolute
     * deviation) over an integer column, with the classic

@@ -153,12 +153,28 @@ object Curate {
     require(n >= 1, s"n must be >= 1, got $n")
     require(!df.columns.contains("priority"),
       "weightedSampleTopN reserves the priority column name")
+    require(!df.columns.contains("__w"),
+      "weightedSampleTopN reserves the __w column name")
     val h = Text.md5Hash(concat(lit(salt), col(keyCol).cast("string")))
     val u = (h.cast("double") + lit(0.5)) / lit(Text.HashP.toDouble)
     val lnu = floor(log(u) * lit(1000000.0)).cast("long")
+    // the weight rides along as a reserved internal column so the div
+    // never interpolates a user-supplied name into SQL text (backtick
+    // names broke the expr form; the col() reference itself is
+    // backtick-quoted so a dotted name reads as a NAME, not a struct
+    // path), and the >= 1 contract is ENFORCED: a zero weight under
+    // the old silent path made div return NULL, which desc-NULLS-LAST
+    // sorted the row to the bottom — a silently skewed sample instead
+    // of an error
+    val w = col("`" + weightCol.replace("`", "``") + "`")
+    val guarded = when(w >= 1, w)
+      .otherwise(raise_error(concat(
+        lit("weightedSampleTopN: weights must be >= 1, got "),
+        coalesce(w.cast("string"), lit("NULL")))))
     df.withColumn("__lnu", lnu)
-      .withColumn("priority", expr(s"(__lnu * 1000000) div $weightCol"))
-      .drop("__lnu")
+      .withColumn("__w", guarded)
+      .withColumn("priority", expr("(__lnu * 1000000) div __w"))
+      .drop("__lnu", "__w")
       .orderBy(col("priority").desc, col(keyCol))
       .limit(n)
   }

@@ -636,18 +636,24 @@ object Dedup {
     * distance — the typo/OCR-noise/near-miss dedup signal none of the
     * set-based detectors (shingle Jaccard, MinHash, SimHash) measures
     * directly. Candidate generation is standard blocking: block key =
-    * (first token, length div 8) — a single-character edit never moves
-    * a document more than one length band, and edits beyond the first
-    * token keep the key — then exact `levenshtein` verify ≤ `maxDist`
-    * within blocks. Blocking recall is the classic trade: an edit
-    * INSIDE the first token crosses blocks and is missed (documented
-    * contract; multi-pass blocking on other keys composes for higher
-    * recall, same as multiSignalKeepOne unions detectors).
+    * (first token, length band), with each document emitted into BOTH
+    * its own length band (len div 8) and the next one up — a
+    * single-character edit moves a document at most one band, so a
+    * pair straddling a multiple-of-8 boundary (lengths 15 vs 16,
+    * distance 1) still meets in the upper band; exact `levenshtein`
+    * verifies ≤ `maxDist` within blocks. The remaining blocking-recall
+    * trade is only the first token: an edit INSIDE it crosses blocks
+    * and is missed (documented contract; multi-pass blocking on other
+    * keys composes for higher recall, same as multiSignalKeepOne
+    * unions detectors).
     *
     * Scale: the self-join meets only same-block rows and
-    * `cappedBucketPairs` bounds the worst block; the verify cost is
-    * O(len²) per CANDIDATE pair, never per corpus pair. NULL texts
-    * drop up front (never a duplicate of anything). */
+    * `cappedBucketPairs` bounds the worst block (2× membership from
+    * the band doubling, same cap contract); same-band pairs surface in
+    * both shared blocks, so candidates dedup with one `distinct` —
+    * candidate-scale, not corpus-scale. The verify cost is
+    * O(len·maxDist) per CANDIDATE pair, never per corpus pair. NULL
+    * texts drop up front (never a duplicate of anything). */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         maxDist: Int = 2,
                         maxBlock: Int = DefaultMaxBucket): DataFrame = {
@@ -655,12 +661,15 @@ object Dedup {
     val prepared = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("__t"))
+    val band = floor(length(col("__t")) / 8).cast("long")
+    val banded = prepared
+      .withColumn("__band", explode(array(band, band + 1)))
       .withColumn("__blk", concat_ws("|",
-        element_at(Text.words(col("__t")), 1),
-        floor(length(col("__t")) / 8).cast("long").cast("string")))
+        element_at(Text.words(col("__t")), 1), col("__band").cast("string")))
     val candidates = cappedBucketPairs(
-        prepared.select(col(idCol), col("__blk")), "__blk", col(idCol), maxBlock)
+        banded.select(col(idCol), col("__blk")), "__blk", col(idCol), maxBlock)
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
     val texts = prepared.select(col(idCol), col("__t"))
     candidates
       .join(texts.withColumnRenamed(idCol, "a").withColumnRenamed("__t", "ta"), "a")

@@ -100,15 +100,25 @@ object Text {
     * trailing slash. Fixed rewrite order, RE2-safe regex subset (char
     * classes + bounded alternation, no lookaround) — the [[PiiPatterns]]
     * portability contract, so the oracle replays each step verbatim.
-    * Pure map-side expression. */
+    * Pure map-side expression.
+    *
+    * The tracking-param match is anchored to a `?`/`&` separator
+    * (kept via the group-1 backreference) so a legitimate parameter
+    * whose NAME merely contains a tracker name (`?myutm_x=1`,
+    * `?notgclid=5`) is never clipped — an unanchored match corrupts
+    * the canonical form and silently collapses distinct URLs into one
+    * dedup key. Removing a param leaves its separator behind, so the
+    * tidy pass collapses `&&` runs and `?&` before dropping a bare
+    * trailing `?`/`&`. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val prefix = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val noTrack = regexp_replace(concat(prefix, rest),
-      "(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
-    val noTail = regexp_replace(noTrack, "[?&]+$", "")
-    regexp_replace(regexp_replace(noTail, "\\?&", "?"), "/$", "")
+      "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "$1")
+    val tidySep = regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&", "?")
+    val noTail = regexp_replace(tidySep, "[?&]+$", "")
+    regexp_replace(noTail, "/$", "")
   }
 
   /** Inverted-index build — the search-ETL artifact behind [[bm25]]:

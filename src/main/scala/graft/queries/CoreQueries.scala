@@ -981,8 +981,7 @@ object CoreQueries {
     // dir, so the audit is deterministic; the oracle predicts it from
     // the table alone.
     "k11_file_audit" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_audit").toString
+      val path = graft.util.Scratch.dir("graft_audit")
       val docs = t(s, dir, "documents")
         .withColumn("shard", pmod(col("doc_id"), lit(8)))
         .repartition(col("shard"))

@@ -451,8 +451,7 @@ object LlmQueries {
     // the answer.
     "llm_ann_pq_indexed" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_pq_idx").toString
+      val path = graft.util.Scratch.dir("graft_pq_idx")
       val cands = e.filter(col("vec_id") >= 3)
       Similarity.persistPqIndex(cands, "vec_id", "embedding", "label", path)
       val (byLabel, codes) = Similarity.readPqIndex(s, path)
@@ -487,8 +486,7 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
       // unique per-invocation path: a fixed shared dir would let
       // concurrent sessions clobber each other's index mid-read
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_idx").toString
+      val path = graft.util.Scratch.dir("graft_ivf_idx")
       Similarity.persistIvfIndex(e, "vec_id", "embedding", "label", path)
       val (cent, eq) = Similarity.readIvfIndex(s, path)
       Similarity.ivfTopKIndexed(cent, eq, e.filter(col("vec_id") < 3),
@@ -505,8 +503,7 @@ object LlmQueries {
     // runner-up cluster now find them.
     "llm_ann_ivf_probe2" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_idx2").toString
+      val path = graft.util.Scratch.dir("graft_ivf_idx2")
       Similarity.persistIvfIndex(e, "vec_id", "embedding", "label", path)
       val (cent, eq) = Similarity.readIvfIndex(s, path)
       Similarity.ivfTopKIndexed(cent, eq, e.filter(col("vec_id") < 3),
@@ -522,8 +519,7 @@ object LlmQueries {
     // full build — the shared IVF oracle checks exactly that.
     "llm_ann_ivf_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_app").toString
+      val path = graft.util.Scratch.dir("graft_ivf_app")
       Similarity.persistIvfIndex(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", "label", path)
       Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1),
@@ -2051,8 +2047,10 @@ object LlmQueries {
         |SELECT doc_id, (norm <> content) AS changed, md5(norm) AS norm_hash,
         |  (doc_id = min(doc_id) OVER (PARTITION BY md5(norm))) AS kept
         |FROM n ORDER BY doc_id""".stripMargin,
-    // identical blocking (first token | length band, bucket cap) and
-    // the same exact levenshtein on both engines
+    // identical blocking (first token | length band, each doc in its
+    // own AND the next band so boundary-straddling pairs meet, bucket
+    // cap, DISTINCT over the doubled blocks) and the same exact
+    // levenshtein on both engines
     "llm_fuzzy_linkage" ->
       """WITH d AS (SELECT doc_id, CASE
         |    WHEN doc_id % 41 = 5 THEN 'the quick brown fox jumps over the lazy dog'
@@ -2061,12 +2059,13 @@ object LlmQueries {
         |    ELSE text END AS content FROM documents),
         |b0 AS (SELECT doc_id, content,
         |    string_split_regex(lower(content), '\s+')[1] || '|' ||
-        |    CAST(length(content) // 8 AS VARCHAR) AS blk
-        |  FROM d WHERE content IS NOT NULL),
+        |    CAST(band AS VARCHAR) AS blk
+        |  FROM d, unnest([length(content) // 8, length(content) // 8 + 1]) t(band)
+        |  WHERE content IS NOT NULL),
         |b AS (SELECT doc_id, content, blk FROM (
         |    SELECT b0.*, count(*) OVER (PARTITION BY blk) AS bc FROM b0) t
         |  WHERE bc BETWEEN 2 AND 1000)
-        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
         |  levenshtein(x.content, y.content)::BIGINT AS dist
         |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
         |WHERE levenshtein(x.content, y.content) <= 2
@@ -2208,9 +2207,9 @@ object LlmQueries {
          |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS u
          |  FROM c0),
          |c2 AS (SELECT doc_id, regexp_replace(u,
-         |    '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM c1),
-         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-         |    '[?&]+$$', '', 'g'), '\\?&', '?', 'g') AS u FROM c2),
+         |    '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '\\1', 'g') AS u FROM c1),
+         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+         |    '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS u FROM c2),
          |c4 AS (SELECT doc_id, regexp_replace(u, '/$$', '', 'g') AS u FROM c3),
          |kept AS (SELECT doc_id, u AS canon FROM (
          |    SELECT doc_id, u, min(doc_id) OVER (PARTITION BY u) AS mn FROM c4) t
@@ -2250,9 +2249,9 @@ object LlmQueries {
         |    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g') AS u
         |  FROM c0),
         |c2 AS (SELECT doc_id, regexp_replace(u,
-        |    '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM c1),
-        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
-        |    '[?&]+$', '', 'g'), '\?&', '?', 'g') AS u FROM c2),
+        |    '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '\1', 'g') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |    '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS u FROM c2),
         |c4 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS u FROM c3)
         |SELECT doc_id, u AS canon,
         |  (doc_id = min(doc_id) OVER (PARTITION BY u)) AS kept

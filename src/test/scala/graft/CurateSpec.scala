@@ -445,6 +445,17 @@ class CurateSpec extends SparkSpec {
     assert(out.select("id").except(other.select("id")).count() > 0)
     intercept[IllegalArgumentException](
       Curate.weightedSampleTopN(docs.withColumn("priority", lit(1)), "id", "w", 5))
+    // backtick-needing weight names work (no SQL-string interpolation)
+    val tick = docs.withColumnRenamed("w", "w.eird")
+    assert(Curate.weightedSampleTopN(tick, "id", "w.eird", n = 50)
+      .select("id").except(out.select("id")).count() === 0)
+    // the weights >= 1 contract is ENFORCED: a zero weight errors
+    // instead of silently sorting last (div-by-zero NULL)
+    val zero = docs.withColumn("w",
+      when(col("id") === 5L, lit(0L)).otherwise(col("w")))
+    val err = intercept[Exception](
+      Curate.weightedSampleTopN(zero, "id", "w", n = 50).collect())
+    assert(err.getMessage.contains("weights must be >= 1"), err.getMessage)
     out.unpersist()
   }
 

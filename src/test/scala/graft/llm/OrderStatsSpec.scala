@@ -391,6 +391,13 @@ class OrderStatsSpec extends SparkSpec {
       ("https://ex.com/p?utm_a=1&b=2", "https://ex.com/p?b=2"),
       ("https://ex.com/p?a=1&fbclid=zzz", "https://ex.com/p?a=1"),
       ("https://ex.com/p?gclid=1", "https://ex.com/p"),
+      // anchoring regressions: a param NAME containing a tracker name
+      // must survive whole (the unanchored regex clipped these)
+      ("https://ex.com/p?myutm_x=1", "https://ex.com/p?myutm_x=1"),
+      ("https://ex.com/p?notgclid=5", "https://ex.com/p?notgclid=5"),
+      // consecutive trackers leave a && run for the tidy pass
+      ("https://ex.com/p?utm_a=1&utm_b=2&real=3", "https://ex.com/p?real=3"),
+      ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
       ("no-scheme/just/text", "no-scheme/just/text"))
     val out = cases.map(_._1).toDF("url")
       .select(col("url"), Text.canonicalUrl(col("url")).as("c"))
@@ -441,6 +448,14 @@ class OrderStatsSpec extends SparkSpec {
     val merged = CorpusStats.mergeStats(old.unionByName(delta), "src")
     assert(merged.except(direct).count() === 0 &&
       direct.except(merged).count() === 0)
+    // 100 TB range: sum_v past ~9.2e12 wrapped the old Long product
+    // (sum_v * 1e6 > Long.Max); the DECIMAL(38,0) product stays exact
+    val big = Seq(("s", 5000000000000L), ("s", 5000000000001L))
+      .toDF("src", "v").withColumn("id", lit(1L))
+    val bigStats = CorpusStats.mergeStats(
+      CorpusStats.partialStats(big, "src", "v", lit(0)), "src")
+    assert(bigStats.select("mean_micro").as[Long].head() ===
+      5000000000000500000L) // (1.0000000000001e13 * 1e6) div 2, exact
   }
 
   test("robustOutliers: hand-computed median/MAD; mean-dragging extreme stays flagged") {

@@ -185,13 +185,18 @@ class RetrievalSpec extends SparkSpec {
       (3L, "hello wxrlz anz more"),     // dist 3 -> excluded at maxDist 2
       (4L, "goodbye world and more"),   // different first token -> other block
       (5L, null: String),               // never pairs
-      (6L, "hello world and mo")        // len 18: band 2 vs band 2 (20//8) -> same block, dist 2
+      (6L, "hello world and mo"),       // len 18: band 2 vs band 2 (20//8) -> same block, dist 2
+      (7L, "hello worldabc1"),          // len 15 (band 1): straddles the
+      (8L, "hello worldabc12")          // len 16 (band 2) boundary, dist 1
     ).toDF("doc_id", "text")
     val out = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 2)
       .select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
     // (1,2)=1; (1,6)=2 (drop "re", one band apart but same len//8=2);
-    // (2,3)=2 (d→z twice); (1,3)=3 excluded; 4 blocks apart; 5 null
-    assert(out === Set((1L, 2L, 1L), (1L, 6L, 2L), (2L, 3L, 2L)), s"got $out")
+    // (2,3)=2 (d→z twice); (1,3)=3 excluded; 4 blocks apart; 5 null;
+    // (7,8)=1 meets in band 2 via the adjacent-band emission (the
+    // single-band blocker silently missed boundary-straddling pairs)
+    assert(out === Set((1L, 2L, 1L), (1L, 6L, 2L), (2L, 3L, 2L),
+      (7L, 8L, 1L)), s"got $out")
     // bucket cap: a block bigger than maxBlock is dropped, not joined
     val hot = (1L to 9L).map(i => (i, "same same same")).toDF("doc_id", "text")
     assert(Dedup.editDistancePairs(hot, "doc_id", "text", maxDist = 2,
