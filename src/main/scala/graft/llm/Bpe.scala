@@ -61,13 +61,98 @@ object Bpe {
           array(concat(try_element_at(acc, lit(-1)), x))))
         .otherwise(concat(acc, array(x))))
 
-  /** Train `nMerges` merges. Each round: ONE bounded driver action
-    * (the argmax pair — a 1-row TakeOrdered collect, ties on pair
-    * asc), then a vocab-scale rewrite, checkpointed so round k+1's
-    * plan does not nest round k's (the kmeans/CC lineage discipline).
-    * Stops early when no pair occurs twice (the vocabulary is fully
-    * merged — continuing would memorize hapax words). Returns the
-    * merge table in training order: (step, a, b, n). */
+  /** Driver-local merge training over the COLLECTED word vocabulary —
+    * the production trainer: ONE Spark job total (the corpus-scale
+    * [[wordVocab]] agg) instead of [[trainMerges]]' one job + 1-row
+    * collect PER ROUND, which made a real 32k-merge tokenizer run 32k
+    * sequential cluster jobs. The vocab is small by construction (the
+    * BPE scale insight — distinct words ≪ corpus; ~10M rows at
+    * 100 TB), so the greedy loop runs in driver memory; semantics are
+    * IDENTICAL to the distributed rounds (BpeSpec differential): same
+    * per-position pair counts weighted by word frequency, same
+    * (count desc, pair asc) argmax, same greedy leftmost-first merge
+    * application, same stop-when-no-pair-repeats.
+    *
+    * The pair tie-break compares the space-joined pair in UTF-8 BYTE
+    * order — exactly Spark's string ordering. Java `compareTo` is
+    * UTF-16 code-unit order, which disagrees beyond the BMP
+    * (supplementary characters sort below U+E000..U+FFFF there), so a
+    * naive sortBy would silently train a different tokenizer on emoji
+    * or rare-CJK corpora. */
+  def trainMergesLocal(docs: DataFrame, textCol: String,
+                       nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab: Array[(Long, Array[String])] = wordVocab(docs, textCol)
+      .select(col("freq"), col("syms")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (freq, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freq
+          i += 1
+        }
+      }
+      var bestPair: (String, String) = null
+      var bestN = Long.MinValue
+      var bestKey: String = null
+      counts.foreach { case (p, n) =>
+        val key = p._1 + " " + p._2
+        if (n > bestN || (n == bestN && utf8Lt(key, bestKey))) {
+          bestN = n; bestPair = p; bestKey = key
+        }
+      }
+      if (bestPair == null || bestN < 2L) done = true
+      else {
+        out += ((step, bestPair._1, bestPair._2, bestN))
+        vocab = vocab.map { case (f, syms) =>
+          (f, applyMergeLocal(syms, bestPair._1, bestPair._2))
+        }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** `a < b` in UTF-8 byte order — Spark's UTF8String comparison. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The [[applyMerge]] fold, driver-side: greedy leftmost-first, a
+    * just-merged tail ("ab") never rematches as `a`. */
+  private[llm] def applyMergeLocal(syms: Array[String], a: String,
+                                   b: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      if (buf.nonEmpty && buf.last == a && x == b) buf(buf.length - 1) = a + b
+      else buf += x
+    }
+    buf.toArray
+  }
+
+  /** Distributed merge training — kept as the differential anchor for
+    * [[trainMergesLocal]] (identical output, spec-checked) and for the
+    * degenerate case of a vocabulary too large to collect. Each round:
+    * ONE bounded driver action (the argmax pair — a 1-row TakeOrdered
+    * collect, ties on pair asc), then a vocab-scale rewrite,
+    * checkpointed so round k+1's plan does not nest round k's (the
+    * kmeans/CC lineage discipline). Stops early when no pair occurs
+    * twice (the vocabulary is fully merged — continuing would memorize
+    * hapax words). Returns the merge table in training order:
+    * (step, a, b, n). */
   def trainMerges(docs: DataFrame, textCol: String,
                   nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")

@@ -220,26 +220,73 @@ object Similarity {
               embCol: String, k: Int, m: Int, dim: Int,
               coarse: Int): DataFrame = {
     require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
+    val (qLut, adc) = pqLutAndAdc(byLabel, queries, qId, embCol, m, dim)
+    val scored = codes.crossJoin(broadcast(qLut)).withColumn("adc", adc)
+    pqCoarseRescore(scored, queries, qId, embCol, store, k, coarse)
+  }
+
+  /** The per-query ADC machinery shared by [[pqServe]] and
+    * [[ivfPqTopK]]: a (qid, __lut0..__lut{m-1}) frame (tiny — one row
+    * per query, each lut an array of k exact-integer sub-dots) and the
+    * ADC expression over a joined `codes` column.
+    *
+    * O(1) ADC per (row, subspace): each subspace's per-query lookup
+    * table materializes as ONE array column on the (tiny, broadcast)
+    * query side, and a candidate's ADC is m positional element_at
+    * lookups on its codes — not a when-chain evaluating k comparisons
+    * per subspace per row (O(m·k) work AND O(m·k) generated code,
+    * unsustainable at the standard k=256). Positional indexing needs
+    * the codeword ids dense 0..k-1 (true for the trained codebooks
+    * here and in any production build); a sparse id space falls back
+    * to the comparison chain. Exact integers, identical sum order —
+    * bit-identical scores either way. */
+  private def pqLutAndAdc(byLabel: Map[Long, IndexedSeq[Long]],
+                          queries: DataFrame, qId: String, embCol: String,
+                          m: Int, dim: Int): (DataFrame, Column) = {
     val sub = dim / m
     val labels = byLabel.keys.toSeq.sorted
+    val dense = labels == (0L until labels.size.toLong)
     def cwArr(s: Int, l: Long) =
       array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*)
     val qSubs = (0 until m).foldLeft(
       queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))) {
       (d, s) => d.withColumn(s"__qsub$s", slice(col("qe"), s * sub + 1, sub))
     }
-    val qLut = labels.foldLeft(qSubs) { (d, l) =>
-      (0 until m).foldLeft(d) { (d2, s) =>
-        d2.withColumn(s"__lut_${s}_$l",
-          aggregate(zip_with(col(s"__qsub$s"), cwArr(s, l), (x, y) => x * y),
-            lit(0L), (a, v) => a + v))
-      }
-    }.drop("qe" +: (0 until m).map(s => s"__qsub$s"): _*)
-    val adc = (0 until m).map { s =>
-      labels.map(l => when(element_at(col("codes"), s + 1) === l,
-        col(s"__lut_${s}_$l")).otherwise(0L)).reduce(_ + _)
-    }.reduce(_ + _)
-    val scored = codes.crossJoin(broadcast(qLut)).withColumn("adc", adc)
+    def lutFor(s: Int, l: Long): Column =
+      aggregate(zip_with(col(s"__qsub$s"), cwArr(s, l), (x, y) => x * y),
+        lit(0L), (a, v) => a + v)
+    val dropCols = "qe" +: (0 until m).map(s => s"__qsub$s")
+    val qLut =
+      if (dense)
+        (0 until m).foldLeft(qSubs) { (d, s) =>
+          d.withColumn(s"__lut$s", array(labels.map(l => lutFor(s, l)): _*))
+        }.drop(dropCols: _*)
+      else
+        labels.foldLeft(qSubs) { (d, l) =>
+          (0 until m).foldLeft(d) { (d2, s) =>
+            d2.withColumn(s"__lut_${s}_$l", lutFor(s, l))
+          }
+        }.drop(dropCols: _*)
+    val adc =
+      if (dense)
+        (0 until m).map { s =>
+          element_at(col(s"__lut$s"),
+            (element_at(col("codes"), s + 1) + lit(1L)).cast("int"))
+        }.reduce(_ + _)
+      else
+        (0 until m).map { s =>
+          labels.map(l => when(element_at(col("codes"), s + 1) === l,
+            col(s"__lut_${s}_$l")).otherwise(0L)).reduce(_ + _)
+        }.reduce(_ + _)
+    (qLut, adc)
+  }
+
+  /** Coarse top-`coarse` by ADC then exact rescore to top-`k` — the
+    * tail shared by [[pqServe]] and [[ivfPqTopK]]. `scored` must carry
+    * (qid, cid, adc). */
+  private def pqCoarseRescore(scored: DataFrame, queries: DataFrame,
+                              qId: String, embCol: String, store: DataFrame,
+                              k: Int, coarse: Int): DataFrame = {
     val wCoarse = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
     val coarseSet = scored.withColumn("__rn", row_number().over(wCoarse))
       .filter(col("__rn") <= coarse)
@@ -256,19 +303,45 @@ object Similarity {
   /** Persist a PQ index: `path/codebooks` (lbl, pos, c) and
     * `path/codes` (cid, codes array<long>) — the write-once artifact;
     * serving reloads both and touches the original store only for the
-    * final rescore. */
+    * final rescore. `train` optionally supplies the codebook-training
+    * frame (the production shape: codebooks train ONCE on a
+    * representative sample, codes are written for the current corpus
+    * and later batches [[appendToPqIndex]] against the frozen books);
+    * it defaults to `df` itself. */
   def persistPqIndex(df: DataFrame, idCol: String, embCol: String,
                      labelCol: String, path: String, m: Int = 4,
-                     dim: Int = 64): Unit = {
-    val byLabel = pqCodebooks(df, embCol, labelCol)
-    val spark = df.sparkSession
+                     dim: Int = 64, train: Option[DataFrame] = None): Unit = {
+    val byLabel = pqCodebooks(train.getOrElse(df), embCol, labelCol)
+    writePqCodebooks(df.sparkSession, byLabel, path)
+    pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  private def writePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                               byLabel: Map[Long, IndexedSeq[Long]],
+                               path: String): Unit = {
     import spark.implicits._
     byLabel.toSeq.sortBy(_._1)
       .flatMap { case (l, cw) => cw.zipWithIndex.map { case (c, p) => (l, p, c) } }
       .toDF("lbl", "pos", "c")
       .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Append a new batch to a persisted PQ index WITHOUT retraining —
+    * the daily-embedding-delta path, mirroring [[appendToIvfIndex]]:
+    * codebooks are FROZEN after training (retraining is a deliberate
+    * offline rebuild, the standard PQ practice), so the batch encodes
+    * map-side against the reloaded books and its codes append as new
+    * files; the base code store is never rewritten or rescanned.
+    * Encoding is a pure per-row function of the frozen codebooks, so
+    * index-after-append EQUALS index-rebuilt-from-scratch bit-for-bit
+    * — and so does every serving answer (LlmSpec differential; the
+    * llm_ann_pq_append oracle row shares the full-build oracle). */
+  def appendToPqIndex(df: DataFrame, idCol: String, embCol: String,
+                      path: String, m: Int = 4, dim: Int = 64): Unit = {
+    val (byLabel, _) = readPqIndex(df.sparkSession, path)
     pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Reload a persisted PQ index → (codebooks map, codes frame). */
@@ -712,16 +785,7 @@ object Similarity {
                      nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val q = queries.select(col(idCol).as("qid"), quantize(col(embCol)).as("qe"))
-    // assign each query to the clusters with max mean-dot; centroids
-    // are nlist x dim rows — always broadcastable
-    val qexpl = q.select(col("qid"), posexplode(col("qe")).as(Seq("pos", "qv")))
-    val assign = qexpl.join(broadcast(cent), "pos")
-      .groupBy(col("qid"), col("label"))
-      .agg(sum(col("qv") * col("s")).as("qdot"), max(col("cnt")).as("cnt"))
-      .withColumn("score", col("qdot").cast("double") / col("cnt"))
-    val wBest = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
-    val best = assign.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") <= nprobe).select(col("qid"), col("label"))
+    val best = ivfProbe(cent, q, nprobe)
     // fine search within the probed clusters only
     val scored = q.join(best, "qid").join(eq, "label")
       .filter(col("cid") =!= col("qid"))
@@ -730,5 +794,92 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("label"), col("cid"), col("rank"), col("dot"))
+  }
+
+  /** Per-query best-`nprobe` coarse clusters by centroid mean-dot
+    * against the broadcast centroid sum table — the IVF probe step,
+    * shared by [[ivfTopKIndexed]] and [[ivfPqTopK]] (public so the
+    * recall/scan ledgers can measure the probed fraction in-engine).
+    * Input `q` is (qid, qe); centroids are nlist × dim rows, always
+    * broadcastable. Ties break on the lower label. */
+  def ivfProbe(cent: DataFrame, q: DataFrame,
+               nprobe: Int): DataFrame = {
+    val qexpl = q.select(col("qid"), posexplode(col("qe")).as(Seq("pos", "qv")))
+    val assign = qexpl.join(broadcast(cent), "pos")
+      .groupBy(col("qid"), col("label"))
+      .agg(sum(col("qv") * col("s")).as("qdot"), max(col("cnt")).as("cnt"))
+      .withColumn("score", col("qdot").cast("double") / col("cnt"))
+    val wBest = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("label"))
+    assign.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") <= nprobe).select(col("qid"), col("label"))
+  }
+
+  /** Persist an IVFPQ index — the FAISS IVFPQ composition (Jégou,
+    * Douze & Schmid, TPAMI 2011 §V — public method; the non-residual
+    * variant, FAISS `by_residual=false`, so every score stays
+    * exact-integer and oracle-replayable). ONE on-disk artifact:
+    *   - `centroids`: the coarse IVF sum table (tiny; broadcast at
+    *     serve time),
+    *   - `codebooks`: the PQ codebooks,
+    *   - `codes`: the m-small-int PQ codes PARTITIONED BY COARSE
+    *     CLUSTER — the serving layout; each cluster is a partition
+    *     directory, the partition-pruning unit.
+    * [[ivfPqTopK]] then probes each query's best `nprobe` clusters,
+    * reads ONLY those clusters' code files (the label equi-join drives
+    * dynamic partition pruning), ADC-ranks the codes, and exactly
+    * rescores the coarse set from the full store. At 100 TB a query
+    * batch touches ~nprobe/nlist of the CODE column bytes and never
+    * the vectors — where plain [[pqServe]] ADC-scans EVERY code row
+    * per batch and plain [[ivfTopKIndexed]] rescans raw vectors inside
+    * the probed clusters. `labelCol` carries the coarse cluster ids
+    * (label a new corpus with [[assignClusters]] against a trained
+    * quantizer first); the PQ codebooks train on the same label init —
+    * the deterministic replay convention of [[pqCodebooks]]. */
+  def persistIvfPqIndex(df: DataFrame, idCol: String, embCol: String,
+                        labelCol: String, path: String, m: Int = 4,
+                        dim: Int = 64): Unit = {
+    val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    val byLabel = pqCodebooks(df, embCol, labelCol)
+    writePqCodebooks(df.sparkSession, byLabel, path)
+    pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
+      .join(eq.select(col("cid"), col("label")), "cid")
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted IVFPQ index → (centroids, codebooks, codes). */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (DataFrame, Map[Long, IndexedSeq[Long]], DataFrame) = {
+    val (byLabel, codes) = readPqIndex(spark, path)
+    (spark.read.parquet(s"$path/centroids"), byLabel, codes)
+  }
+
+  /** IVFPQ serving — the composition of the IVF probe and the PQ ADC
+    * scan: probe each query's best `nprobe` coarse clusters
+    * ([[ivfProbe]]), join the (query, probed cluster, lut-arrays)
+    * frame — one row per (query, probe), always tiny — against the
+    * cluster-partitioned code store on the PARTITION column, ADC-rank
+    * only the probed clusters' codes, exact-rescore the coarse set.
+    * The broadcast equi-join on `label` is what drives dynamic
+    * partition pruning on the code store: the scan reads the probed
+    * clusters' files only, and only the (cid, codes, label) columns
+    * (plan-asserted in LlmSpec). Clusters are disjoint, so probes
+    * introduce no duplicate candidates. Same output shape and exact
+    * arithmetic as [[pqServe]] — on a probe set covering every
+    * cluster the two are bit-identical. */
+  def ivfPqTopK(cent: DataFrame, byLabel: Map[Long, IndexedSeq[Long]],
+                codes: DataFrame, store: DataFrame, queries: DataFrame,
+                qId: String, embCol: String, k: Int, m: Int = 4,
+                dim: Int = 64, coarse: Int = 20, nprobe: Int = 1): DataFrame = {
+    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val q = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
+    val best = ivfProbe(cent, q, nprobe)
+    val (qLut, adc) = pqLutAndAdc(byLabel, queries, qId, embCol, m, dim)
+    val probed = best.join(qLut, "qid")
+    val scored = codes.join(broadcast(probed), "label")
+      .withColumn("adc", adc)
+      .select(col("qid"), col("cid"), col("adc"))
+    pqCoarseRescore(scored, queries, qId, embCol, store, k, coarse)
   }
 }

@@ -598,6 +598,30 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // Q17-shaped small-quantity revenue: a CORRELATED scalar subquery
+    // (per-part average quantity compared against each lineitem) — the
+    // decorrelation surface the suite didn't exercise: Catalyst
+    // rewrites the per-row subquery into ONE aggregate over lineitem
+    // grouped by partkey joined back (no per-row re-execution; plan
+    // note in PLANS.md). The threshold math is engine-portable by
+    // construction: exact Long quantity sum, ONE IEEE division by the
+    // count, ONE multiply by 0.2 — both engines produce the identical
+    // double. Revenue is the exact-decimal dsum split.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("q17_part")
+      s.sql("""
+        SELECT l_extendedprice
+        FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+            SELECT CAST(0.2 AS DOUBLE) *
+                   (CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                    / count(*))
+            FROM q17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""")
+        .agg((Exprs.dsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"))
+    }),
+
     // Window-function battery: lag/lead, running sum, rank, ntile —
     // one (user, ts) sort serves every function (single exchange).
     "o4_window_analytics" -> ((s, dir) => {
@@ -1524,6 +1548,19 @@ object CoreQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH f AS (SELECT l_extendedprice
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#23'
+        |    AND l.l_quantity < (
+        |      SELECT CAST(0.2 AS DOUBLE) *
+        |             (CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+        |              / count(*))
+        |      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey))
+        |SELECT (CAST(sum(CAST(floor(l_extendedprice) AS DECIMAL(38,0))) AS DOUBLE)
+        |  + CAST(sum(CAST(round((l_extendedprice - floor(l_extendedprice)) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) / 7.0
+        |  AS avg_yearly
+        |FROM f""".stripMargin,
     "o4_window_analytics" ->
       """SELECT user_id, event_id,
         |  lag(event_id, 1) OVER w AS prev_event,

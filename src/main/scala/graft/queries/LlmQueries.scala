@@ -593,6 +593,112 @@ object LlmQueries {
         .orderBy(col("method"))
     }),
 
+    // Incremental PQ maintenance mirroring llm_ann_ivf_append:
+    // codebooks train ONCE on the representative sample (here the
+    // full candidate set — the production shape is a held-out sample
+    // that later corpora resemble), the initial build writes codes
+    // for half the corpus, and the other half APPENDS against the
+    // FROZEN books — new files only, the base code store is never
+    // rewritten. Encoding is a pure per-row function of the
+    // codebooks, so the appended index answers IDENTICALLY to a full
+    // build: the shared PQ oracle checks exactly that.
+    "llm_ann_pq_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_pq_app")
+      Similarity.persistPqIndex(cands.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", path, train = Some(cands))
+      Similarity.appendToPqIndex(cands.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path)
+      val (byLabel, codes) = Similarity.readPqIndex(s, path)
+      Similarity.pqServe(byLabel, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, m = 4, dim = 64, coarse = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVFPQ — the FAISS-shape composition of the two index halves the
+    // engine already serves separately: PQ codes persisted PARTITIONED
+    // BY COARSE CLUSTER, serving = probe each query's best 2 clusters
+    // (broadcast centroid table) -> dynamic-partition-pruned scan of
+    // ONLY those clusters' code files -> ADC coarse-20 -> exact
+    // rescore top-5. Plain PQ serving ADC-scans every code row per
+    // query batch; plain IVF rescans raw vectors inside probed
+    // clusters; this path scans ~nprobe/nlist of the m-byte code
+    // column and touches vectors only in the bounded rescore.
+    "llm_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_ivfpq")
+      Similarity.persistIvfPqIndex(cands, "vec_id", "embedding", "label", path)
+      val (cent, byLabel, codes) = Similarity.readIvfPqIndex(s, path)
+      Similarity.ivfPqTopK(cent, byLabel, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, m = 4, dim = 64, coarse = 20, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The IVFPQ quality/cost ledger: recall@3 AND scanned-code volume
+    // of (a) plain PQ full-scan ADC, (b) IVFPQ at nprobe=1, (c) IVFPQ
+    // at nprobe=2, all at coarse=20 against exact brute force on the
+    // disjoint query/candidate split — proves the cluster pruning's
+    // recall price against its scan savings before anyone deploys the
+    // knob (pq_full scans |queries|×|cands| codes; ivfpq scans only
+    // the probed clusters' codes). Same in-engine-measurement
+    // principle as llm_ann_ivf_recall / llm_ann_pq_recall.
+    "llm_ann_ivfpq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      val byLabel = Similarity.pqCodebooks(cands, "embedding", "label")
+      val codes = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
+        byLabel, m = 4, dim = 64).localCheckpoint()
+      val store = cands.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("ce"))
+      val (cent, _) = Similarity.buildIvfIndex(cands, "vec_id", "embedding", "label")
+      val codesLab = codes.join(
+        cands.select(col("vec_id").as("cid"), col("label")), "cid")
+        .localCheckpoint()
+      val clusterSizes = codesLab.groupBy(col("label"))
+        .agg(count(lit(1)).as("csz"))
+      val q = qs.select(col("vec_id").as("qid"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      def ledgerRow(approx: DataFrame, method: String,
+                    scanned: DataFrame) =
+        exact.join(approx.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("total_matches"))
+          .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+          .crossJoin(scanned)
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_matches"),
+            (col("total_matches").cast("double") /
+              (lit(3.0) * col("n_queries"))).as("recall"),
+            col("scanned_codes"))
+      val scannedFull = codes.agg(count(lit(1)).as("nc"))
+        .crossJoin(qs.agg(count(lit(1)).as("nq")))
+        .select((col("nc") * col("nq")).as("scanned_codes"))
+      def scannedProbe(nprobe: Int) =
+        Similarity.ivfProbe(cent, q, nprobe)
+          .join(clusterSizes, "label")
+          .agg(coalesce(sum(col("csz")), lit(0L)).as("scanned_codes"))
+      def serveIvfPq(nprobe: Int) = Similarity.ivfPqTopK(cent, byLabel,
+        codesLab, store, qs, "vec_id", "embedding", k = 3, m = 4,
+        dim = 64, coarse = 20, nprobe = nprobe)
+      val pqFull = Similarity.pqServe(byLabel, codes, store, qs,
+        "vec_id", "embedding", k = 3, m = 4, dim = 64, coarse = 20)
+      ledgerRow(pqFull, "pq_full", scannedFull)
+        .unionByName(ledgerRow(serveIvfPq(1), "ivfpq_probe1", scannedProbe(1)))
+        .unionByName(ledgerRow(serveIvfPq(2), "ivfpq_probe2", scannedProbe(2)))
+        .orderBy(col("method"))
+    }),
+
     "llm_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = EmbDedupThreshold)
@@ -680,6 +786,61 @@ object LlmQueries {
           Multimodal.audioFingerprints(s, wavs, "doc_id", "content"), "doc_id")
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // The media dedup quality ledger (llm_dedup_eval's method applied
+    // to the image and audio banded paths): exact construction truth
+    // (the 3 variants of each fixture group must pair, nothing else
+    // may) vs what each decode->fingerprint->band->verify chain FINDS,
+    // as measured per-mille recall/precision rows. The oracle computes
+    // the same counts from the construction — a banded miss (recall)
+    // or a cross-group false pair (precision) lands as a value
+    // mismatch, not just a failed eyeball.
+    "llm_media_dedup_eval" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 90).as[Long]
+      val idf = ids.toDF("doc_id").withColumn("g", expr("doc_id div 3"))
+      val truth = idf.as("x").join(idf.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val imgs = ids.mapPartitions(_.map { id =>
+        val gid = id / 3
+        val bytes = (id % 3) match {
+          case 0 => Multimodal.syntheticImage(gid, 64, 64, "png")
+          case 1 => Multimodal.syntheticImage(gid, 64, 64, "bmp")
+          case _ => Multimodal.syntheticImage(gid, 128, 128, "png")
+        }
+        (id, bytes)
+      }).toDF("doc_id", "content")
+      val wavs = ids.mapPartitions(_.map { id =>
+        val gid = id / 3
+        val bytes = (id % 3) match {
+          case 0 => Multimodal.syntheticWav(gid)
+          case 1 => Multimodal.syntheticWav(gid, ampDiv = 2)
+          case _ => Multimodal.syntheticWav(gid, dither = true)
+        }
+        (id, bytes)
+      }).toDF("doc_id", "content")
+      def ledger(found: DataFrame, method: String) = {
+        val matched = truth.join(found, Seq("a", "b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+          .select(lit(method).as("method"), col("n_truth"), col("n_found"),
+            col("n_matched"),
+            expr("n_matched * 1000 div n_truth").as("recall_pm"),
+            expr("n_matched * 1000 div n_found").as("precision_pm"))
+      }
+      val imgFound = Dedup.imageNearDupPairs(
+        Multimodal.dHashes(s, imgs, "doc_id", "content"), "doc_id")
+        .select(col("a"), col("b"))
+      val audFound = Dedup.audioNearDupPairs(
+        Multimodal.audioFingerprints(s, wavs, "doc_id", "content"), "doc_id")
+        .select(col("a"), col("b"))
+      ledger(audFound, "audio_energy")
+        .unionByName(ledger(imgFound, "image_dhash"))
+        .orderBy(col("method"))
     }),
 
     "llm_ngram_jaccard" -> ((s, dir) =>
@@ -1998,6 +2159,141 @@ object LlmQueries {
        |    (SELECT count(*) FROM exact JOIN pq5 USING (qid, cid)) FROM nq) t
        |ORDER BY method""".stripMargin
 
+  /** IVFPQ serving oracle (llm_ann_ivfpq): full replay of the coarse
+    * probe (centroid mean-dot, nprobe = 2 — the IVF oracle's `best`
+    * CTE), PQ training/encoding (the PQ oracle's CTEs), ADC restricted
+    * to candidates whose coarse cluster is probed, coarse-20, exact
+    * rescore top-5. */
+  private lazy val IvfPqOracleSql: String =
+    s"""WITH eq AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eq WHERE vec_id >= 3),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |best AS (SELECT qid, label FROM (
+       |  SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)) t WHERE rn <= 2),
+       |cwp AS (SELECT label AS l, i AS pos,
+       |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+       |      AS BIGINT) AS d
+       |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+       |codes AS (SELECT cid, s, l AS code FROM (
+       |    SELECT cid, s, l, row_number() OVER (
+       |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
+       |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
+       |adcs AS (SELECT codes.cid AS cid, b.qid AS qid,
+       |    CAST(sum(lut.dp) AS BIGINT) AS adc
+       |  FROM codes JOIN c ON c.cid = codes.cid
+       |  JOIN best b ON b.label = c.label
+       |  JOIN lut ON lut.qid = b.qid AND lut.s = codes.s AND lut.l = codes.code
+       |  GROUP BY codes.cid, b.qid),
+       |coarse AS (SELECT qid, cid, adc FROM (
+       |    SELECT qid, cid, adc, row_number() OVER (
+       |      PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs) t
+       |  WHERE rn <= 20),
+       |r AS (SELECT coarse.qid AS qid, coarse.cid AS cid, coarse.adc AS adc,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM coarse JOIN q USING (qid) JOIN c USING (cid))
+       |SELECT qid, cid, rank, dot, adc FROM (
+       |  SELECT qid, cid, adc, dot, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM r) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** IVFPQ recall/scan ledger oracle (llm_ann_ivfpq_recall): exact
+    * top-3 truth, plain-PQ full-scan serving, IVFPQ at nprobe 1 and 2
+    * (all coarse-20), each with its scanned-code volume — pq_full
+    * scans |queries|×|candidates| codes, IVFPQ only the probed
+    * clusters'. */
+  private lazy val IvfPqRecallOracleSql: String = {
+    def probeAdcs(tag: String, n: Int) =
+      s"""adcs_$tag AS (SELECT codes.cid AS cid, r.qid AS qid,
+         |    CAST(sum(lut.dp) AS BIGINT) AS adc
+         |  FROM codes JOIN c ON c.cid = codes.cid
+         |  JOIN ranked r ON r.label = c.label AND r.rn <= $n
+         |  JOIN lut ON lut.qid = r.qid AND lut.s = codes.s AND lut.l = codes.code
+         |  GROUP BY codes.cid, r.qid)""".stripMargin
+    def topOf(tag: String) =
+      s"""co_$tag AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs_$tag) t
+         |  WHERE rn <= 20),
+         |top_$tag AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+         |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+         |  FROM scored s JOIN co_$tag USING (qid, cid)) t WHERE rk <= 3)""".stripMargin
+    s"""WITH eqa AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eqa WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 100),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |ranked AS (SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)),
+       |cwp AS (SELECT label AS l, i AS pos,
+       |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+       |      AS BIGINT) AS d
+       |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+       |codes AS (SELECT cid, s, l AS code FROM (
+       |    SELECT cid, s, l, row_number() OVER (
+       |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
+       |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |  CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t WHERE rk <= 3),
+       |adcs_full AS (SELECT codes.cid AS cid, lut.qid AS qid,
+       |    CAST(sum(lut.dp) AS BIGINT) AS adc
+       |  FROM codes JOIN lut ON lut.s = codes.s AND lut.l = codes.code
+       |  GROUP BY codes.cid, lut.qid),
+       |${probeAdcs("p1", 1)},
+       |${probeAdcs("p2", 2)},
+       |${topOf("full")},
+       |${topOf("p1")},
+       |${topOf("p2")},
+       |nq AS (SELECT count(*) AS n_queries FROM q),
+       |ncodes AS (SELECT count(*) AS n_codes FROM c),
+       |scan_p1 AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS sc
+       |  FROM ranked JOIN cnt USING (label) WHERE rn <= 1),
+       |scan_p2 AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS sc
+       |  FROM ranked JOIN cnt USING (label) WHERE rn <= 2)
+       |SELECT method, n_queries, total_matches,
+       |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall,
+       |  scanned_codes FROM (
+       |  SELECT 'pq_full' AS method, nq.n_queries AS n_queries,
+       |    (SELECT count(*) FROM exact JOIN top_full USING (qid, cid)) AS total_matches,
+       |    (SELECT n_codes FROM ncodes) * nq.n_queries AS scanned_codes FROM nq
+       |  UNION ALL
+       |  SELECT 'ivfpq_probe1', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN top_p1 USING (qid, cid)),
+       |    (SELECT sc FROM scan_p1) FROM nq
+       |  UNION ALL
+       |  SELECT 'ivfpq_probe2', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN top_p2 USING (qid, cid)),
+       |    (SELECT sc FROM scan_p2) FROM nq) t
+       |ORDER BY method""".stripMargin
+  }
+
   private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
     .map(dirs => "[" + dirs.mkString(",") + "]")
 
@@ -2390,6 +2686,11 @@ object LlmQueries {
     // persisted-index paths: the index changes where the work happens,
     // never the answer.
     "llm_ann_pq" -> PqOracleSql,
+    // append shares the full-build oracle: frozen-codebook encoding is
+    // a pure per-row function, so append == rebuild bit-for-bit
+    "llm_ann_pq_append" -> PqOracleSql,
+    "llm_ann_ivfpq" -> IvfPqOracleSql,
+    "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
     "llm_ann_pq_indexed" -> PqOracleSql,
     "llm_ann_pq_recall" -> PqRecallOracleSql,
     // the codes CTE is the PqOracleSql training replay; DuckDB's s is
@@ -2431,6 +2732,20 @@ object LlmQueries {
     // (doc_id // 3) must pair with each other and with nothing else
     "llm_image_neardup" -> MediaGroupPairsOracleSql,
     "llm_audio_neardup" -> MediaGroupPairsOracleSql,
+    // the construction implies found == truth for both media paths, so
+    // the oracle derives every ledger count from the truth pair set —
+    // any banded miss or false pair becomes a value mismatch
+    "llm_media_dedup_eval" ->
+      """WITH truth AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+        |  FROM documents d1 JOIN documents d2
+        |    ON d1.doc_id // 3 = d2.doc_id // 3 AND d1.doc_id < d2.doc_id
+        |  WHERE d1.doc_id < 90 AND d2.doc_id < 90),
+        |n AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+        |SELECT method, n_truth, n_truth AS n_found, n_truth AS n_matched,
+        |  (n_truth * 1000) // n_truth AS recall_pm,
+        |  (n_truth * 1000) // n_truth AS precision_pm
+        |FROM n, (VALUES ('audio_energy'), ('image_dhash')) m(method)
+        |ORDER BY method""".stripMargin,
     "llm_bm25" -> Bm25OracleSql,
     "llm_semdedup_pairs" ->
       s"""WITH $semPairsCtes

@@ -670,6 +670,85 @@ class LlmSpec extends SparkSpec {
       "assignClusters must recover the generating cluster")
   }
 
+  test("appendToPqIndex: frozen-codebook append equals full rebuild, codes and serving") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 20).map(i => (c * 100L + i, vec(c.toFloat - 2), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val (base, delta) = (df.filter(col("vec_id") % 2 === 0),
+      df.filter(col("vec_id") % 2 === 1))
+    // codebooks train on the SAME frame in both scenarios (the
+    // representative sample); the difference is purely who wrote the
+    // codes and when
+    val incPath = java.nio.file.Files.createTempDirectory("pqapp").toString + "/idx"
+    Similarity.persistPqIndex(base, "vec_id", "embedding", "label", incPath,
+      m = 4, dim = dim, train = Some(df))
+    Similarity.appendToPqIndex(delta, "vec_id", "embedding", incPath,
+      m = 4, dim = dim)
+    val fullPath = java.nio.file.Files.createTempDirectory("pqfull").toString + "/idx"
+    Similarity.persistPqIndex(df, "vec_id", "embedding", "label", fullPath,
+      m = 4, dim = dim)
+    val (cbI, codesI) = Similarity.readPqIndex(spark, incPath)
+    val (cbF, codesF) = Similarity.readPqIndex(spark, fullPath)
+    assert(cbI == cbF, "frozen codebooks must equal the full-build training")
+    // encoding is a pure per-row function of the codebooks:
+    // append == rebuild, bit for bit
+    assert(codesI.orderBy("cid").collect().toSeq ==
+      codesF.orderBy("cid").collect().toSeq)
+    // and so does every serving answer
+    val queries = df.filter(col("vec_id") === 100L || col("vec_id") === 300L)
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    def serve(cb: Map[Long, IndexedSeq[Long]], codes: org.apache.spark.sql.DataFrame) =
+      Similarity.pqServe(cb, codes, store, queries, "vec_id", "embedding",
+        k = 3, m = 4, dim = dim, coarse = 10)
+        .orderBy("qid", "rank").collect().toSeq
+    assert(serve(cbI, codesI) == serve(cbF, codesF))
+  }
+
+  test("IVFPQ: full probe equals plain PQ serving; codes scan DPP-pruned and code-only") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 8).flatMap { c =>
+      (0 until 25).map(i => (c * 100L + i, vec(c.toFloat - 4), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queries = df.filter(col("vec_id") % 100 === 0 && col("vec_id") < 300)
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label", path,
+      m = 4, dim = dim)
+    val (cent, byLabel, codes) = Similarity.readIvfPqIndex(spark, path)
+    // correctness anchor: probing EVERY cluster is exactly pqServe
+    // over the full code store — same ADC integers, same rescore
+    val full = Similarity.ivfPqTopK(cent, byLabel, codes, store, queries,
+      "vec_id", "embedding", k = 3, m = 4, dim = dim, coarse = 10,
+      nprobe = 8).orderBy("qid", "rank").collect().toSeq
+    val plain = Similarity.pqServe(byLabel, codes, store, queries,
+      "vec_id", "embedding", k = 3, m = 4, dim = dim, coarse = 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(full == plain, "full-coverage IVFPQ must equal plain PQ serving")
+    // the scale contract in one plan: the code-store scan is (a)
+    // dynamic-partition-pruned to the probed clusters and (b) reads
+    // the m-small-int codes column, never a vector column
+    val served = Similarity.ivfPqTopK(cent, byLabel, codes, store, queries,
+      "vec_id", "embedding", k = 3, m = 4, dim = dim, coarse = 10,
+      nprobe = 2)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the code-store scan:\n$plan")
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("/codes")).toSeq
+    assert(codeScans.nonEmpty, s"expected a code-store FileScan:\n$plan")
+    assert(codeScans.forall(l => l.contains("codes") && !l.contains("ce") &&
+      !l.contains("embedding")),
+      s"code-store scan must read codes only:\n${codeScans.mkString("\n")}")
+  }
+
   test("ivfTopKIndexed nprobe: boundary query recovered at 2, full probe equals brute force") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(_ => base)

@@ -44,6 +44,26 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainMerges(docs, "text", nMerges = 10).isEmpty)
   }
 
+  test("trainMergesLocal: identical merge list to the distributed rounds") {
+    // a corpus with repeated stems, ties, overlap runs, and multibyte
+    // symbols — every code path the distributed trainer exercises
+    val docs = Seq("low low low lower lowest",
+      "aaa aab abab", "日本 日本 日本語").toDF("text")
+    for (n <- Seq(1, 3, 8, 20)) {
+      val dist = Bpe.trainMerges(docs, "text", nMerges = n)
+      val local = Bpe.trainMergesLocal(docs, "text", nMerges = n)
+      assert(local === dist, s"nMerges=$n: local $local vs distributed $dist")
+    }
+    // the early-stop contract carries over
+    assert(Bpe.trainMergesLocal(Seq("ab cd").toDF("text"), "text",
+      nMerges = 10).isEmpty)
+    // driver-local application matches the fold kernel
+    assert(Bpe.applyMergeLocal(Array("a", "a", "a"), "a", "a").toSeq ===
+      Seq("aa", "a"))
+    assert(Bpe.applyMergeLocal(Array("b", "a", "b"), "a", "b").toSeq ===
+      Seq("b", "ab"))
+  }
+
   test("tokenCounts: vocab-scale merge application joined onto per-doc words") {
     val docs = Seq((1L, "low low"), (2L, "lower"), (3L, "")).toDF("doc_id", "text")
     val out = Bpe.tokenCounts(docs, "doc_id", "text",
