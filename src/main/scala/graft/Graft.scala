@@ -467,11 +467,12 @@ object Graft {
                    boundaries: Seq[Long]): DataFrame =
     llm.Curate.paddingStats(docs, tokensCol, boundaries)
 
-  /** BPE tokenizer training statistics (vocab-scale after one corpus
-    * aggregation). */
+  /** BPE tokenizer merge training — ONE corpus aggregation, then the
+    * greedy loop runs driver-local over the collected vocab (identical
+    * merge list to the distributed rounds, spec-differential). */
   def bpeTrainMerges(docs: DataFrame, textCol: String,
                      nMerges: Int): Seq[(Int, String, String, Long)] =
-    llm.Bpe.trainMerges(docs, textCol, nMerges)
+    llm.Bpe.trainMergesLocal(docs, textCol, nMerges)
 
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame =
@@ -515,8 +516,50 @@ object Graft {
 
   def persistPqIndex(df: DataFrame, idCol: String, embCol: String,
                      labelCol: String, path: String, m: Int = 4,
-                     dim: Int = 64): Unit =
-    llm.Similarity.persistPqIndex(df, idCol, embCol, labelCol, path, m, dim)
+                     dim: Int = 64, train: Option[DataFrame] = None): Unit =
+    llm.Similarity.persistPqIndex(df, idCol, embCol, labelCol, path, m, dim,
+      train)
+
+  /** Append a batch to a persisted PQ index against its FROZEN
+    * codebooks — append == rebuild bit-for-bit. */
+  def appendToPqIndex(df: DataFrame, idCol: String, embCol: String,
+                      path: String, m: Int = 4, dim: Int = 64): Unit =
+    llm.Similarity.appendToPqIndex(df, idCol, embCol, path, m, dim)
+
+  /** Build the FAISS-shape IVFPQ index: PQ codes partitioned by coarse
+    * cluster + centroid/codebook tables. */
+  def persistIvfPqIndex(df: DataFrame, idCol: String, embCol: String,
+                        labelCol: String, path: String, m: Int = 4,
+                        dim: Int = 64): Unit =
+    llm.Similarity.persistIvfPqIndex(df, idCol, embCol, labelCol, path, m, dim)
+
+  /** IVFPQ serving from a persisted index: nprobe cluster probe →
+    * DPP-pruned code-column ADC scan → exact rescore against `store`
+    * (a (cid, ce) milli-quantized frame, e.g. the original corpus). */
+  def annIvfPqTopK(spark: SparkSession, indexPath: String, store: DataFrame,
+                   queries: DataFrame, qId: String, embCol: String, k: Int,
+                   m: Int = 4, dim: Int = 64, coarse: Int = 20,
+                   nprobe: Int = 1): DataFrame = {
+    val (cent, byLabel, codes) = llm.Similarity.readIvfPqIndex(spark, indexPath)
+    llm.Similarity.ivfPqTopK(cent, byLabel, codes, store, queries, qId,
+      embCol, k, m, dim, coarse, nprobe)
+  }
+
+  /** Residual IVFPQ (FAISS by_residual=true): build and serve. */
+  def persistIvfPqResidualIndex(df: DataFrame, idCol: String, embCol: String,
+                                labelCol: String, path: String, m: Int = 4,
+                                dim: Int = 64, nCodewords: Int = 8): Unit =
+    llm.Similarity.persistIvfPqResidualIndex(df, idCol, embCol, labelCol,
+      path, m, dim, nCodewords)
+
+  def annIvfPqResidualTopK(spark: SparkSession, indexPath: String,
+                           store: DataFrame, queries: DataFrame, qId: String,
+                           embCol: String, k: Int, m: Int = 4, dim: Int = 64,
+                           coarse: Int = 20, nprobe: Int = 1): DataFrame = {
+    val (cent, byCode, codes) = llm.Similarity.readIvfPqIndex(spark, indexPath)
+    llm.Similarity.ivfPqResidualTopK(cent, byCode, codes, store, queries,
+      qId, embCol, k, m, dim, coarse, nprobe)
+  }
 
   def gopherFlags(text: org.apache.spark.sql.Column, minWords: Long,
                   maxWords: Long, minMeanWordLen: Double,

@@ -163,9 +163,18 @@ object Similarity {
     * by contract). */
   def pqCodebooks(candidates: DataFrame, embCol: String,
                   labelCol: String): Map[Long, IndexedSeq[Long]] =
-    candidates
-      .select(col(labelCol).cast("long").as("lbl"),
-        posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+    pqCodebooksQ(candidates, quantize(col(embCol)), col(labelCol))
+
+  /** The trainer over a PRE-QUANTIZED long-array column and an
+    * arbitrary group init — shared by [[pqCodebooks]] (label init over
+    * raw quantized vectors) and the residual codebooks of
+    * [[persistIvfPqResidualIndex]] (cid-modulo init over residual
+    * arrays: the label init degenerates there, since per-label
+    * residual means are ~zero by construction). */
+  private def pqCodebooksQ(df: DataFrame, qCol: Column,
+                           groupCol: Column): Map[Long, IndexedSeq[Long]] =
+    df.select(groupCol.cast("long").as("lbl"),
+        posexplode(qCol).as(Seq("pos", "v")))
       .groupBy(col("lbl"), col("pos"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
       .collect()
@@ -181,14 +190,21 @@ object Similarity {
     * CSE). */
   def pqEncodeFrame(df: DataFrame, idCol: String, embCol: String,
                     byLabel: Map[Long, IndexedSeq[Long]], m: Int,
-                    dim: Int): DataFrame = {
+                    dim: Int): DataFrame =
+    pqEncodeFrameQ(df.select(col(idCol).as("cid"),
+      quantize(col(embCol)).as("ce")), byLabel, m, dim)
+
+  /** The encoder over a pre-quantized (cid, ce) frame — shared with
+    * the residual path, where `ce` carries residual arrays. */
+  private def pqEncodeFrameQ(dfQ: DataFrame,
+                             byLabel: Map[Long, IndexedSeq[Long]], m: Int,
+                             dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val labels = byLabel.keys.toSeq.sorted
     def cwArr(s: Int, l: Long) =
       array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*)
-    val withSubs = (0 until m).foldLeft(
-      df.select(col(idCol).as("cid"), quantize(col(embCol)).as("ce"))) {
+    val withSubs = (0 until m).foldLeft(dfQ.select(col("cid"), col("ce"))) {
       (d, s) => d.withColumn(s"__sub$s", slice(col("ce"), s * sub + 1, sub))
     }
     // argmin by the expanded identity: Σ(x−c)² = Σx² − 2Σxc + Σc², and
@@ -879,6 +895,98 @@ object Similarity {
     val probed = best.join(qLut, "qid")
     val scored = codes.join(broadcast(probed), "label")
       .withColumn("adc", adc)
+      .select(col("qid"), col("cid"), col("adc"))
+    pqCoarseRescore(scored, queries, qId, embCol, store, k, coarse)
+  }
+
+  /** Per-cluster exact-integer mean vectors from the centroid SUM
+    * table: floor(s / cnt) computed driver-side with `math.floorDiv`
+    * (floor, NOT truncation — embedding sums go negative, and the two
+    * roundings differ there; the oracle replays it as
+    * floor(CAST(s AS DOUBLE) / cnt), identical for |s| < 2^53).
+    * nlist × dim longs — tiny by the k-means contract. */
+  private def centroidMeans(cent: DataFrame): Map[Long, IndexedSeq[Long]] =
+    cent.select(col("label").cast("long"), col("pos").cast("int"),
+        col("s").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._2)
+        .map(t => math.floorDiv(t._3, math.max(t._4, 1L))).toIndexedSeq)
+      .toMap
+
+  /** Literal per-label centroid array column (when-chain over the
+    * nlist labels — bounded by the k-means contract). */
+  private def centroidArrCol(means: Map[Long, IndexedSeq[Long]]): Column =
+    coalesce(means.keys.toSeq.sorted.map { l =>
+      when(col("label") === l, array(means(l).map(lit): _*))
+    }: _*)
+
+  /** Residual IVFPQ index — FAISS `by_residual=true`, the full IVFPQ
+    * shape: PQ encodes each vector's RESIDUAL against its own coarse
+    * centroid (exact integer mean), so the codebooks spend their bits
+    * on within-cluster structure instead of re-describing the cluster
+    * position the coarse quantizer already knows — the standard
+    * recall win at equal code budget (measured in-engine by
+    * `llm_ann_ivfpq_res_recall`). Codebook init is `cid % nCodewords`
+    * over the residuals: the label init of the non-residual path
+    * degenerates here (per-label residual means are ~zero by
+    * construction), while the modulo init is deterministic, dense
+    * (0..k-1 — the O(1) ADC path), and SQL-replayable. Serving adds
+    * each probed cluster's exact dot(query, centroid) — one integer
+    * per (query, probe) — to the residual ADC; the layout and DPP
+    * pruning story are identical to [[persistIvfPqIndex]]. */
+  def persistIvfPqResidualIndex(df: DataFrame, idCol: String, embCol: String,
+                                labelCol: String, path: String, m: Int = 4,
+                                dim: Int = 64, nCodewords: Int = 8): Unit = {
+    val (cent, byCode, codes) =
+      buildIvfPqResidual(df, idCol, embCol, labelCol, m, dim, nCodewords)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    writePqCodebooks(df.sparkSession, byCode, path)
+    codes.write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** The in-memory residual-IVFPQ build — (centroid sums, residual
+    * codebooks, labeled codes) — shared by [[persistIvfPqResidualIndex]]
+    * and the inline ledger paths. */
+  def buildIvfPqResidual(df: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, m: Int = 4, dim: Int = 64,
+                         nCodewords: Int = 8): (DataFrame, Map[Long, IndexedSeq[Long]], DataFrame) = {
+    val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
+    val means = centroidMeans(cent)
+    val resid = eq.withColumn("__c", centroidArrCol(means))
+      .select(col("cid"), col("label"),
+        zip_with(col("eq"), col("__c"), (x, c) => x - c).as("ce"))
+    val byCode = pqCodebooksQ(resid, col("ce"), pmod(col("cid"), lit(nCodewords)))
+    val codes = pqEncodeFrameQ(resid, byCode, m, dim)
+      .join(eq.select(col("cid"), col("label")), "cid")
+    (cent, byCode, codes)
+  }
+
+  /** Residual IVFPQ serving: probe → per-probe exact centroid dot →
+    * DPP-pruned residual-ADC scan of the probed clusters' codes →
+    * exact rescore. approx(q, x) = dot(q, c_label(x)) + Σ_s
+    * LUT_s[code_s(x)] — the FAISS ADC decomposition, all exact
+    * integers. */
+  def ivfPqResidualTopK(cent: DataFrame, byCode: Map[Long, IndexedSeq[Long]],
+                        codes: DataFrame, store: DataFrame, queries: DataFrame,
+                        qId: String, embCol: String, k: Int, m: Int = 4,
+                        dim: Int = 64, coarse: Int = 20,
+                        nprobe: Int = 1): DataFrame = {
+    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val q = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
+    val best = ivfProbe(cent, q, nprobe)
+    val means = centroidMeans(cent)
+    val (qLut, adcR) = pqLutAndAdc(byCode, queries, qId, embCol, m, dim)
+    // (qid, label, luts, __qc): one row per (query, probe) — tiny;
+    // __qc is the exact centroid dot the residual ADC is offset by
+    val probed = best.join(qLut, "qid").join(q, "qid")
+      .withColumn("__carr", centroidArrCol(means))
+      .withColumn("__qc",
+        graft.expr.native.NativeFns.longDot(col("qe"), col("__carr")))
+      .drop("qe", "__carr")
+    val scored = codes.join(broadcast(probed), "label")
+      .withColumn("adc", adcR + col("__qc"))
       .select(col("qid"), col("cid"), col("adc"))
     pqCoarseRescore(scored, queries, qId, embCol, store, k, coarse)
   }

@@ -598,6 +598,24 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // Q16-shaped unsold-brand report: NOT IN over a nullable subquery
+    // column — the NULL-AWARE anti join surface (distinct from q4's
+    // EXISTS semi and q22's NOT EXISTS anti): one NULL in the subquery
+    // must empty the whole result, so Catalyst plans a null-aware
+    // BroadcastHashJoin (isNullAwareAntiJoin) rather than a plain
+    // anti join. Both engines share the three-valued NOT IN logic.
+    "q16_brand_unsold" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("q16_part")
+      t(s, dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+      s.sql("""
+        SELECT p_brand, count(*) AS n_parts
+        FROM q16_part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM q16_lineitem
+                                WHERE l_quantity >= 48)
+        GROUP BY p_brand
+        ORDER BY p_brand""")
+    }),
+
     // Q17-shaped small-quantity revenue: a CORRELATED scalar subquery
     // (per-part average quantity compared against each lineitem) — the
     // decorrelation surface the suite didn't exercise: Catalyst
@@ -1548,6 +1566,13 @@ object CoreQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q16_brand_unsold" ->
+      """SELECT p_brand, count(*)::BIGINT AS n_parts
+        |FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                        WHERE l_quantity >= 48)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "q17_small_qty_revenue" ->
       """WITH f AS (SELECT l_extendedprice
         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey

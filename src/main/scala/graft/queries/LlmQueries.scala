@@ -642,6 +642,74 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Residual IVFPQ — FAISS by_residual=true, the full IVFPQ shape:
+    // PQ encodes each vector's residual against its own coarse
+    // centroid (exact integer floor-mean), codebook init cid % 8 over
+    // residuals (the label init degenerates there: per-label residual
+    // means are ~zero), serving adds each probed cluster's exact
+    // dot(query, centroid) to the residual ADC. Same partitioned
+    // layout and DPP pruning as llm_ann_ivfpq; the oracle replays
+    // centroid means, residuals, codebooks, codes, LUTs, the
+    // centroid-dot offset, coarse-20 and the exact top-5 rescore.
+    "llm_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_ivfpq_res")
+      Similarity.persistIvfPqResidualIndex(cands, "vec_id", "embedding",
+        "label", path)
+      val (cent, byCode, codes) = Similarity.readIvfPqIndex(s, path)
+      Similarity.ivfPqResidualTopK(cent, byCode, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, m = 4, dim = 64, coarse = 20, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The residual-vs-raw quality ledger: recall@3 of non-residual
+    // vs residual IVFPQ at the SAME nprobe=2 / coarse=20 / scanned
+    // fraction — prices FAISS's by_residual knob in-engine before
+    // anyone flips it (residual bits describe within-cluster
+    // structure; raw bits re-describe cluster position).
+    "llm_ann_ivfpq_res_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      val store = cands.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("ce"))
+      // non-residual pipeline (the llm_ann_ivfpq_recall machinery)
+      val byLabel = Similarity.pqCodebooks(cands, "embedding", "label")
+      val rawCodes = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
+        byLabel, m = 4, dim = 64)
+        .join(cands.select(col("vec_id").as("cid"), col("label")), "cid")
+        .localCheckpoint()
+      val (cent, _) = Similarity.buildIvfIndex(cands, "vec_id", "embedding", "label")
+      // residual pipeline
+      val (centR, byCode, residCodes0) = Similarity.buildIvfPqResidual(
+        cands, "vec_id", "embedding", "label")
+      val residCodes = residCodes0.localCheckpoint()
+      def ledgerRow(approx: DataFrame, method: String) =
+        exact.join(approx.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("total_matches"))
+          .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_matches"),
+            (col("total_matches").cast("double") /
+              (lit(3.0) * col("n_queries"))).as("recall"))
+      val raw = Similarity.ivfPqTopK(cent, byLabel, rawCodes, store, qs,
+        "vec_id", "embedding", k = 3, m = 4, dim = 64, coarse = 20,
+        nprobe = 2)
+      val res = Similarity.ivfPqResidualTopK(centR, byCode, residCodes,
+        store, qs, "vec_id", "embedding", k = 3, m = 4, dim = 64,
+        coarse = 20, nprobe = 2)
+      ledgerRow(raw, "ivfpq_raw_probe2")
+        .unionByName(ledgerRow(res, "ivfpq_res_probe2"))
+        .orderBy(col("method"))
+    }),
+
     // The IVFPQ quality/cost ledger: recall@3 AND scanned-code volume
     // of (a) plain PQ full-scan ADC, (b) IVFPQ at nprobe=1, (c) IVFPQ
     // at nprobe=2, all at coarse=20 against exact brute force on the
@@ -2294,6 +2362,147 @@ object LlmQueries {
        |ORDER BY method""".stripMargin
   }
 
+  /** Residual-IVFPQ CTE chain over candidate CTE `c` (cid, label, ce)
+    * and query CTE `q` (qid, qe), with `cent`/`cnt` present: centroid
+    * floor-means, per-position residuals, cid%8-init codebooks,
+    * argmin codes, query LUTs, and the per-(query, cluster) exact
+    * centroid dot. Shared by the residual serve oracle and the
+    * residual recall ledger so the replay cannot drift. */
+  private def residualPqCtes(tag: String): String =
+    s"""cmean AS (SELECT cent.label AS label, cent.pos AS pos,
+       |    CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) AS cm
+       |  FROM cent JOIN cnt USING (label)),
+       |residp AS (SELECT c.cid AS cid, cm.pos AS pos,
+       |    c.ce[cm.pos] - cm.cm AS rv
+       |  FROM c JOIN cmean cm ON cm.label = c.label),
+       |cwp_$tag AS (SELECT cid % 8 AS l, pos,
+       |    CAST(floor(CAST(sum(rv) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM residp GROUP BY cid % 8, pos),
+       |dists_$tag AS (SELECT rp.cid AS cid, w.l AS l, (rp.pos - 1) // 16 AS s,
+       |    CAST(sum((rp.rv - w.cw) * (rp.rv - w.cw)) AS BIGINT) AS d
+       |  FROM residp rp JOIN cwp_$tag w ON w.pos = rp.pos
+       |  GROUP BY rp.cid, w.l, (rp.pos - 1) // 16),
+       |codes_$tag AS (SELECT cid, s, l AS code FROM (
+       |    SELECT cid, s, l, row_number() OVER (
+       |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists_$tag) t
+       |  WHERE rn = 1),
+       |lut_$tag AS (SELECT q.qid AS qid, w.l AS l, (w.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[w.pos] * w.cw) AS BIGINT) AS dp
+       |  FROM q, cwp_$tag w GROUP BY q.qid, w.l, (w.pos - 1) // 16),
+       |qc AS (SELECT q.qid AS qid, cm.label AS label,
+       |    CAST(sum(q.qe[cm.pos] * cm.cm) AS BIGINT) AS qcdot
+       |  FROM q, cmean cm GROUP BY q.qid, cm.label)""".stripMargin
+
+  /** Residual IVFPQ serving oracle (llm_ann_ivfpq_residual): probe
+    * nprobe=2, residual ADC + centroid-dot offset over probed
+    * clusters only, coarse-20, exact rescore top-5. */
+  private lazy val IvfPqResidualOracleSql: String =
+    s"""WITH eq AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eq WHERE vec_id >= 3),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |best AS (SELECT qid, label FROM (
+       |  SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)) t WHERE rn <= 2),
+       |${residualPqCtes("r")},
+       |adcs AS (SELECT codes_r.cid AS cid, b.qid AS qid,
+       |    qc.qcdot + CAST(sum(lut_r.dp) AS BIGINT) AS adc
+       |  FROM codes_r JOIN c ON c.cid = codes_r.cid
+       |  JOIN best b ON b.label = c.label
+       |  JOIN qc ON qc.qid = b.qid AND qc.label = c.label
+       |  JOIN lut_r ON lut_r.qid = b.qid AND lut_r.s = codes_r.s
+       |    AND lut_r.l = codes_r.code
+       |  GROUP BY codes_r.cid, b.qid, qc.qcdot),
+       |coarse AS (SELECT qid, cid, adc FROM (
+       |    SELECT qid, cid, adc, row_number() OVER (
+       |      PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs) t
+       |  WHERE rn <= 20),
+       |r AS (SELECT coarse.qid AS qid, coarse.cid AS cid, coarse.adc AS adc,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM coarse JOIN q USING (qid) JOIN c USING (cid))
+       |SELECT qid, cid, rank, dot, adc FROM (
+       |  SELECT qid, cid, adc, dot, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM r) t
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Residual-vs-raw IVFPQ recall ledger oracle
+    * (llm_ann_ivfpq_res_recall): both serving replays at nprobe=2 /
+    * coarse-20 against exact top-3 truth on the disjoint split. */
+  private lazy val IvfPqResRecallOracleSql: String = {
+    def topOf(tag: String, adcsName: String) =
+      s"""co_$tag AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM $adcsName) t
+         |  WHERE rn <= 20),
+         |top_$tag AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+         |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+         |  FROM scored s JOIN co_$tag USING (qid, cid)) t WHERE rk <= 3)""".stripMargin
+    s"""WITH eqa AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eqa WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 100),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |best AS (SELECT qid, label FROM (
+       |  SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)) t WHERE rn <= 2),
+       |cwp AS (SELECT label AS l, i AS pos,
+       |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+       |      AS BIGINT) AS d
+       |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+       |codes AS (SELECT cid, s, l AS code FROM (
+       |    SELECT cid, s, l, row_number() OVER (
+       |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
+       |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
+       |adcs_raw AS (SELECT codes.cid AS cid, b.qid AS qid,
+       |    CAST(sum(lut.dp) AS BIGINT) AS adc
+       |  FROM codes JOIN c ON c.cid = codes.cid
+       |  JOIN best b ON b.label = c.label
+       |  JOIN lut ON lut.qid = b.qid AND lut.s = codes.s AND lut.l = codes.code
+       |  GROUP BY codes.cid, b.qid),
+       |${residualPqCtes("r")},
+       |adcs_res AS (SELECT codes_r.cid AS cid, b.qid AS qid,
+       |    qc.qcdot + CAST(sum(lut_r.dp) AS BIGINT) AS adc
+       |  FROM codes_r JOIN c ON c.cid = codes_r.cid
+       |  JOIN best b ON b.label = c.label
+       |  JOIN qc ON qc.qid = b.qid AND qc.label = c.label
+       |  JOIN lut_r ON lut_r.qid = b.qid AND lut_r.s = codes_r.s
+       |    AND lut_r.l = codes_r.code
+       |  GROUP BY codes_r.cid, b.qid, qc.qcdot),
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |  CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t WHERE rk <= 3),
+       |${topOf("raw", "adcs_raw")},
+       |${topOf("res", "adcs_res")},
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT method, n_queries, total_matches,
+       |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
+       |  SELECT 'ivfpq_raw_probe2' AS method, nq.n_queries AS n_queries,
+       |    (SELECT count(*) FROM exact JOIN top_raw USING (qid, cid)) AS total_matches FROM nq
+       |  UNION ALL
+       |  SELECT 'ivfpq_res_probe2', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN top_res USING (qid, cid)) FROM nq) t
+       |ORDER BY method""".stripMargin
+  }
+
   private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
     .map(dirs => "[" + dirs.mkString(",") + "]")
 
@@ -2691,6 +2900,8 @@ object LlmQueries {
     "llm_ann_pq_append" -> PqOracleSql,
     "llm_ann_ivfpq" -> IvfPqOracleSql,
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
+    "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
+    "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
     "llm_ann_pq_indexed" -> PqOracleSql,
     "llm_ann_pq_recall" -> PqRecallOracleSql,
     // the codes CTE is the PqOracleSql training replay; DuckDB's s is

@@ -749,6 +749,39 @@ class LlmSpec extends SparkSpec {
       s"code-store scan must read codes only:\n${codeScans.mkString("\n")}")
   }
 
+  test("residual IVFPQ: full probe + full coarse equals exact brute force; index round-trips") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 20).map(i => (c * 100L + i, vec(c.toFloat - 2), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queries = Seq((900L, vec(0.5f)), (901L, vec(-1.5f)))
+      .toDF("vec_id", "embedding")
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpqres").toString + "/idx"
+    Similarity.persistIvfPqResidualIndex(df, "vec_id", "embedding", "label",
+      path, m = 4, dim = dim, nCodewords = 8)
+    val (cent, byCode, codes) = Similarity.readIvfPqIndex(spark, path)
+    // correctness anchor: probing every cluster with a coarse set
+    // covering every candidate makes the exact rescore total — the
+    // approximate ADC stage can drop nothing, so the answer IS brute
+    // force regardless of codebook quality
+    val full = Similarity.ivfPqResidualTopK(cent, byCode, codes, store,
+      queries, "vec_id", "embedding", k = 3, m = 4, dim = dim,
+      coarse = rows.size, nprobe = 4)
+      .select("qid", "cid", "rank", "dot")
+      .orderBy("qid", "rank").collect().toSeq
+    val exact = Similarity.bruteForceTopKQ(queries, df, "vec_id", "vec_id",
+      "embedding", k = 3)
+      .select("qid", "cid", "rank", "dot")
+      .orderBy("qid", "rank").collect().toSeq
+    assert(full == exact, "full-coverage residual IVFPQ must equal brute force")
+    // persisted round-trip sanity: 8 dense residual codewords
+    assert(byCode.keys.toSeq.sorted == (0L until 8L), s"got ${byCode.keys}")
+  }
+
   test("ivfTopKIndexed nprobe: boundary query recovered at 2, full probe equals brute force") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(_ => base)
