@@ -545,6 +545,13 @@ object Graft {
       embCol, k, m, dim, coarse, nprobe)
   }
 
+  /** Append a batch to a persisted IVFPQ index (frozen codebooks +
+    * additive centroid merge — append == rebuild bit-for-bit). */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, path: String, m: Int = 4,
+                         dim: Int = 64): Unit =
+    llm.Similarity.appendToIvfPqIndex(df, idCol, embCol, labelCol, path, m, dim)
+
   /** Residual IVFPQ (FAISS by_residual=true): build and serve. */
   def persistIvfPqResidualIndex(df: DataFrame, idCol: String, embCol: String,
                                 labelCol: String, path: String, m: Int = 4,

@@ -853,14 +853,49 @@ object Similarity {
     * the deterministic replay convention of [[pqCodebooks]]. */
   def persistIvfPqIndex(df: DataFrame, idCol: String, embCol: String,
                         labelCol: String, path: String, m: Int = 4,
-                        dim: Int = 64): Unit = {
+                        dim: Int = 64, train: Option[DataFrame] = None): Unit = {
     val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
     cent.write.mode("overwrite").parquet(s"$path/centroids")
-    val byLabel = pqCodebooks(df, embCol, labelCol)
+    val byLabel = train.map(pqCodebooks(_, embCol, labelCol))
+      .getOrElse(pqCodebooks(df, embCol, labelCol))
     writePqCodebooks(df.sparkSession, byLabel, path)
     pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
       .join(eq.select(col("cid"), col("label")), "cid")
       .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** Append a batch to a persisted (non-residual) IVFPQ index — the
+    * daily-crawl serving-index delta, composing the two append paths
+    * the engine already proves: codes encode against the FROZEN
+    * codebooks and land as new files under their clusters' partition
+    * dirs ([[appendToPqIndex]]'s contract), and the centroid sum
+    * table merges additively in exact integers
+    * ([[appendToIvfIndex]]'s contract) — so the appended index serves
+    * IDENTICALLY to a full rebuild (llm_ann_ivfpq_append shares the
+    * full-build oracle; LlmSpec differential).
+    *
+    * The RESIDUAL variant deliberately has NO append: residual codes
+    * depend on the centroid means, which an append shifts — a
+    * drifted-centroid append would silently decode old codes against
+    * the wrong offsets. FAISS freezes its coarse quantizer for the
+    * same reason; retrain-and-rebuild is the correct operation there. */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, path: String, m: Int = 4,
+                         dim: Int = 64): Unit = {
+    val spark = df.sparkSession
+    val (byLabel, _) = readPqIndex(spark, path)
+    val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
+    pqEncodeFrameQ(eqNew.select(col("cid"), col("eq").as("ce")), byLabel, m, dim)
+      .join(eqNew.select(col("cid"), col("label")), "cid")
+      .write.mode("append").partitionBy("label").parquet(s"$path/codes")
+    // eager checkpoint cuts the lineage to the old centroid files so
+    // the overwrite below cannot read-while-writing its own input
+    val merged = spark.read.parquet(s"$path/centroids")
+      .unionByName(centNew)
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Load a persisted IVFPQ index → (centroids, codebooks, codes). */

@@ -642,6 +642,29 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Incremental IVFPQ maintenance — the daily-crawl delta against
+    // the SERVING index, composing the two proven append paths:
+    // frozen-codebook code encode (new partition-dir files only) +
+    // additive exact-integer centroid merge. Build on half, append
+    // the other half, serve: answers IDENTICAL to a full build — the
+    // shared IVFPQ oracle checks exactly that.
+    "llm_ann_ivfpq_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_ivfpq_app")
+      Similarity.persistIvfPqIndex(cands.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", path, train = Some(cands))
+      Similarity.appendToIvfPqIndex(cands.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label", path)
+      val (cent, byLabel, codes) = Similarity.readIvfPqIndex(s, path)
+      Similarity.ivfPqTopK(cent, byLabel, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, m = 4, dim = 64, coarse = 20, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Residual IVFPQ — FAISS by_residual=true, the full IVFPQ shape:
     // PQ encodes each vector's residual against its own coarse
     // centroid (exact integer floor-mean), codebook init cid % 8 over
@@ -2899,6 +2922,9 @@ object LlmQueries {
     // a pure per-row function, so append == rebuild bit-for-bit
     "llm_ann_pq_append" -> PqOracleSql,
     "llm_ann_ivfpq" -> IvfPqOracleSql,
+    // append shares the full-build oracle: frozen-book encode is pure
+    // per-row + centroid sums are additive, so append == rebuild
+    "llm_ann_ivfpq_append" -> IvfPqOracleSql,
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
     "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,

@@ -415,4 +415,40 @@ object Streams {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable(); q.stop()
   }
+
+  /** Streaming ANN serving against a persisted IVFPQ index — the
+    * online half of the index story: a stream of (qid, embedding)
+    * query vectors is answered per micro-batch over the FROZEN index.
+    * The tiny tables (centroids, codebooks) load and pin once at
+    * stream start; the cluster-partitioned code store stays a lazy
+    * scan, so every micro-batch's probe still drives dynamic
+    * partition pruning — each batch reads only its probed clusters'
+    * code files, exactly the batch serving plan.
+    *
+    * `foreachBatch` rather than a stream-static join, deliberately:
+    * ADC serving ends in per-query top-k rank windows, which have no
+    * incremental streaming semantics (a query's top-k is complete the
+    * moment its batch is — there is nothing to retract or watermark).
+    * Each micro-batch is a bounded query set, which is precisely the
+    * batch contract, so streamed answers are DIFFERENTIAL-EQUAL to
+    * batch serving (spec'd in StreamingPipelineSpec). At 100 TB this
+    * is the standard online-serving shape: the index is read-only
+    * while [[graft.llm.Similarity.appendToIvfPqIndex]] deltas land
+    * between serving generations. */
+  def annServeStream(queries: DataFrame, indexPath: String, store: DataFrame,
+                     qId: String, embCol: String, k: Int, m: Int = 4,
+                     dim: Int = 64, coarse: Int = 20, nprobe: Int = 1)
+                    (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    val (cent, byCode, codes) = graft.llm.Similarity.readIvfPqIndex(spark, indexPath)
+    val centPinned = cent.localCheckpoint(true)
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = graft.llm.Similarity.ivfPqTopK(centPinned, byCode, codes,
+          store, batch, qId, embCol, k, m, dim, coarse, nprobe)
+        sink(out, batchId)
+      }
+      .start()
+  }
 }

@@ -749,6 +749,44 @@ class LlmSpec extends SparkSpec {
       s"code-store scan must read codes only:\n${codeScans.mkString("\n")}")
   }
 
+  test("appendToIvfPqIndex: appended serving index equals full rebuild") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 20).map(i => (c * 100L + i, vec(c.toFloat - 2), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val (base, delta) = (df.filter(col("vec_id") % 2 === 0),
+      df.filter(col("vec_id") % 2 === 1))
+    val incPath = java.nio.file.Files.createTempDirectory("ivfpqapp").toString + "/idx"
+    Similarity.persistIvfPqIndex(base, "vec_id", "embedding", "label",
+      incPath, m = 4, dim = dim, train = Some(df))
+    Similarity.appendToIvfPqIndex(delta, "vec_id", "embedding", "label",
+      incPath, m = 4, dim = dim)
+    val fullPath = java.nio.file.Files.createTempDirectory("ivfpqfull").toString + "/idx"
+    Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label",
+      fullPath, m = 4, dim = dim)
+    val (centI, cbI, codesI) = Similarity.readIvfPqIndex(spark, incPath)
+    val (centF, cbF, codesF) = Similarity.readIvfPqIndex(spark, fullPath)
+    assert(cbI == cbF)
+    assert(centI.orderBy("label", "pos").collect().toSeq ==
+      centF.orderBy("label", "pos").collect().toSeq,
+      "additive centroid merge must equal the full rebuild")
+    assert(codesI.orderBy("cid").collect().toSeq ==
+      codesF.orderBy("cid").collect().toSeq,
+      "frozen-book encode must equal the full rebuild")
+    val queries = df.filter(col("vec_id") === 100L || col("vec_id") === 300L)
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    def serve(cent: org.apache.spark.sql.DataFrame,
+              cb: Map[Long, IndexedSeq[Long]],
+              codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(cent, cb, codes, store, queries, "vec_id",
+        "embedding", k = 3, m = 4, dim = dim, coarse = 10, nprobe = 2)
+        .orderBy("qid", "rank").collect().toSeq
+    assert(serve(centI, cbI, codesI) == serve(centF, cbF, codesF))
+  }
+
   test("residual IVFPQ: full probe + full coarse equals exact brute force; index round-trips") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)

@@ -159,6 +159,51 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annServeStream: streamed micro-batches equal batch IVFPQ serving") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Similarity
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 20).map(i => (c * 100L + i, vec(c.toFloat - 2), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    val path = java.nio.file.Files.createTempDirectory("annserve").toString + "/idx"
+    Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label", path,
+      m = 4, dim = dim)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.Streams.annServeStream(
+      in.toDF().toDF("vec_id", "embedding"), path, store,
+      "vec_id", "embedding", k = 3, m = 4, dim = dim, coarse = 10,
+      nprobe = 2) { (out, _) =>
+      got.synchronized {
+        got ++= out.select("qid", "cid", "rank", "dot")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    }
+    try {
+      in.addData((900L, vec(0.5f)), (901L, vec(-1.5f)))
+      q.processAllAvailable()
+      in.addData((902L, vec(1.5f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-query top-k is independent across queries, so the union of
+    // per-batch answers must equal one batch serve of all queries
+    val queries = Seq((900L, vec(0.5f)), (901L, vec(-1.5f)),
+      (902L, vec(1.5f))).toDF("vec_id", "embedding")
+    val (cent, byCode, codes) = Similarity.readIvfPqIndex(spark, path)
+    val batch = Similarity.ivfPqTopK(cent, byCode, codes, store, queries,
+      "vec_id", "embedding", k = 3, m = 4, dim = dim, coarse = 10,
+      nprobe = 2).select("qid", "cid", "rank", "dot")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == batch.toSet, s"stream ${got.toSet} vs batch ${batch.toSet}")
+    assert(got.size == 9, s"3 queries x top-3: $got")
+  }
+
   private def runIncrementalDelta(): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
