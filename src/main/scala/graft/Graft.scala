@@ -568,6 +568,26 @@ object Graft {
       qId, embCol, k, m, dim, coarse, nprobe)
   }
 
+  /** Deterministic ±1 JL sign projection of an embedding store to r
+    * dims (exact integers; recall priced by llm_jl_recall). */
+  def jlProject(df: DataFrame, idCol: String, embCol: String,
+                r: Int = 16, dim: Int = 64): DataFrame =
+    llm.Similarity.jlProject(df, idCol, embCol, r, dim)
+
+  /** Per-dimension embedding-store QA stats (exact monoids). */
+  def embedDimStats(df: DataFrame, embCol: String): DataFrame =
+    llm.CorpusStats.embedDimStats(df, embCol)
+
+  /** Count-min sketch build / point estimates (constant-size,
+    * shard-mergeable by cell-wise sum; estimates overestimate only). */
+  def countMinSketch(docs: DataFrame, textCol: String, depth: Int = 4,
+                     width: Int = 64): DataFrame =
+    llm.CorpusStats.countMinSketch(docs, textCol, depth, width)
+
+  def cmsEstimate(cms: DataFrame, terms: Seq[String], depth: Int = 4,
+                  width: Int = 64): DataFrame =
+    llm.CorpusStats.cmsEstimate(cms, terms, depth, width)
+
   def gopherFlags(text: org.apache.spark.sql.Column, minWords: Long,
                   maxWords: Long, minMeanWordLen: Double,
                   maxMeanWordLen: Double,

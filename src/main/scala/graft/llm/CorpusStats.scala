@@ -563,4 +563,72 @@ object CorpusStats {
         count(lit(1)).as("n_docs"))
       .filter(col("occurrences") >= threshold)
   }
+
+  /** Per-dimension statistics of a quantized embedding store — the
+    * embedding-store QA report (dead dimensions, per-batch scale
+    * drift, variance collapse after a model update): for each
+    * position, exact n / sum / sumsq (DECIMAL(38,0)) / min / max.
+    * ONE explode (×dim) into ONE map-side-combined hash agg; the
+    * shuffle carries dim cells, never the vectors. Every field is a
+    * monoid, so shard frames merge cell-wise (the [[partialStats]]
+    * discipline) for incremental maintenance. */
+  def embedDimStats(df: DataFrame, embCol: String): DataFrame = {
+    val v = col("v")
+    val d = v.cast(DecimalType(18, 0))
+    df.select(posexplode(Similarity.quantize(col(embCol))).as(Seq("pos", "v")))
+      .groupBy(col("pos").cast(LongType).as("pos"))
+      .agg(count(lit(1)).as("n"), sum(v).cast(LongType).as("sum_v"),
+        sum(d * d).cast(DecimalType(38, 0)).as("sumsq"),
+        min(v).as("min_v"), max(v).as("max_v"))
+  }
+
+  /** Deterministic count-min sketch over corpus tokens (Cormode &
+    * Muthukrishnan 2005, "An improved data stream summary: the
+    * count-min sketch" — public method): `depth` salted hash rows ×
+    * `width` buckets of exact Long cell counts. Build is the tokenize
+    * explode into ONE map-side-combined hash agg; the sketch is
+    * depth×width cells — CONSTANT size at any corpus scale, and
+    * shard sketches merge by cell-wise sum (monoid; spec'd
+    * merge == full). Point estimates ([[cmsEstimate]]) overestimate
+    * true counts by at most εN w.h.p. — the bounded-memory frequency
+    * primitive when even Misra-Gries' candidate set is too much state
+    * (e.g. per-shard sketches unioned over months of crawls). Hashes
+    * are the md5 convention, so estimates replay exactly in the
+    * oracle. */
+  def countMinSketch(docs: DataFrame, textCol: String, depth: Int = 4,
+                     width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1 and width >= 2, got $depth x $width")
+    docs.select(explode(Text.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(posexplode(array((0 until depth).map(r =>
+        pmod(Text.md5Hash(concat(lit(s"cms:$r:"), col("w"))),
+          lit(width.toLong))): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row").cast(LongType).as("row"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** md5Hash's exact driver-side twin (15 hex chars = 60 bits, fits
+    * Long; mod the shared prime). */
+  private def md5Mod(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % Text.HashP
+  }
+
+  /** CMS point estimates for a fixed term list: probe each term's
+    * depth cells (buckets computed driver-side with the identical
+    * hash), min over rows; an absent cell reads 0. The probe frame is
+    * |terms|×depth rows — the sketch answers without touching the
+    * corpus. */
+  def cmsEstimate(cms: DataFrame, terms: Seq[String], depth: Int = 4,
+                  width: Int = 64): DataFrame = {
+    val spark = cms.sparkSession
+    import spark.implicits._
+    val probes = terms.distinct.flatMap(t => (0 until depth).map(r =>
+      (t, r.toLong, md5Mod(s"cms:$r:$t") % width))).toDF("term", "row", "bucket")
+    probes.join(cms, Seq("row", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
 }

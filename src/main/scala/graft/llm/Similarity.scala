@@ -394,16 +394,37 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: direction i of plane j is ±1 by
-    * the parity of md5("plane:j:i") — reproducible anywhere, no RNG
-    * state. Materialized as literal arrays for both engines. */
-  def planeDirs(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    * the parity of md5("<salt>:j:i") — reproducible anywhere, no RNG
+    * state. Materialized as literal arrays for both engines. The salt
+    * keeps independent consumers (LSH bucketing vs the JL projection)
+    * on independent sign matrices. */
+  def planeDirs(nPlanes: Int, dim: Int, salt: String = "plane"): Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until nPlanes).map { j =>
       (0 until dim).map { i =>
-        val h = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+        val h = md.digest(s"$salt:$j:$i".getBytes("UTF-8"))
         if ((h.last & 1) == 0) 1 else -1
       }
     }
+  }
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign projection
+    * (Achlioptas 2003, "Database-friendly random projections" —
+    * public method): project quantized dim-d embeddings to r dims,
+    * y_j = Σ_i s_{j,i}·x_i with the sign matrix from md5 parity (the
+    * [[planeDirs]] convention under its own salt) — a pure map-side
+    * exact-integer projection, no RNG state, bit-replayable anywhere.
+    * The 100 TB story: an r/d-sized vector store whose dot products
+    * preserve the originals' ORDER well enough for coarse search and
+    * clustering (JL distance preservation); `llm_jl_recall` prices
+    * the distortion in-engine before anyone serves from the small
+    * store. */
+  def jlProject(df: DataFrame, idCol: String, embCol: String,
+                r: Int = 16, dim: Int = 64): DataFrame = {
+    val dirs = planeDirs(r, dim, salt = "jl")
+    df.select(col(idCol), quantize(col(embCol)).as("__eq"))
+      .select(col(idCol), array(dirs.map(d =>
+        dotQ(col("__eq"), array(d.map(x => lit(x.toLong)): _*))): _*).as("proj"))
   }
 
   /** LSH bucket signature: one bit per hyperplane = sign of the

@@ -642,6 +642,82 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Embedding-store QA: per-dimension exact n/sum/sumsq/min/max over
+    // the quantized store — dead dimensions, per-batch scale drift and
+    // variance collapse show up here before they poison an index
+    // build. One explode into one map-side-combined agg; the shuffle
+    // carries 64 cells. sumsq rides as DECIMAL(38,0) internally and
+    // fits BIGINT at fixture scale for transport.
+    "llm_embed_dimstats" -> ((s, dir) =>
+      CorpusStats.embedDimStats(t(s, dir, "embeddings"), "embedding")
+        .withColumn("sumsq", col("sumsq").cast("long"))
+        .orderBy(col("pos"))),
+
+    // Deterministic ±1 JL sign projection: 64 -> 16 dims, exact
+    // integer outputs, sign matrix from md5 parity — the r/d-sized
+    // coarse store. Exploded to (vec_id, pos, v) rows for transport.
+    "llm_jl_project" -> ((s, dir) =>
+      Similarity.jlProject(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "v")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy(col("vec_id"), col("pos"))),
+
+    // The JL quality ledger: recall@3 of brute-force search in the
+    // 16-dim projected space vs exact 64-dim truth on the disjoint
+    // split — prices the 4x store shrink before anyone serves coarse
+    // search from it (the same in-engine-measurement principle as
+    // every other ANN ledger here).
+    "llm_jl_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      val pq = Similarity.jlProject(qs, "vec_id", "embedding")
+        .select(col("vec_id").as("qid"), col("proj").as("qp"))
+      val pc = Similarity.jlProject(cands, "vec_id", "embedding")
+        .select(col("vec_id").as("cid"), col("proj").as("cp"))
+      val scored = pc.crossJoin(broadcast(pq))
+        .withColumn("dot", Similarity.dotQ(col("qp"), col("cp")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+      val approx = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).select(col("qid"), col("cid"))
+      exact.join(approx, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("total_matches"))
+        .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+        .select(lit("jl_r16").as("method"), col("n_queries"),
+          col("total_matches"),
+          (col("total_matches").cast("double") /
+            (lit(3.0) * col("n_queries"))).as("recall"))
+    }),
+
+    // Count-min sketch: depth-4 exact-integer cells over the corpus
+    // tokens at TWO widths — 64 (collision-free for these terms: est
+    // == exact) and a deliberately tight 8 (collisions force visible
+    // overestimates, exercising the est >= exact guarantee
+    // non-vacuously) — point estimates (min over rows) for the BM25
+    // term set plus an absent control term, with the exact count in
+    // the same row so the oracle value-checks the bound rather than
+    // eyeballing it. Merge == full is spec'd.
+    "llm_cms_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("spark", "vector", "hash", "zzz_absent")
+      val exact = docs.select(explode(Text.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("w").as("term")).agg(count(lit(1)).as("exact_n"))
+      def ledger(width: Int) =
+        CorpusStats.cmsEstimate(
+            CorpusStats.countMinSketch(docs, "text", depth = 4, width = width),
+            terms, depth = 4, width = width)
+          .withColumn("width", lit(width.toLong))
+      ledger(64).unionByName(ledger(8))
+        .join(exact, Seq("term"), "left")
+        .select(col("width"), col("term"), col("est"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+        .orderBy(col("width"), col("term"))
+    }),
+
     // Incremental IVFPQ maintenance — the daily-crawl delta against
     // the SERVING index, composing the two proven append paths:
     // frozen-codebook code encode (new partition-dir files only) +
@@ -2529,6 +2605,53 @@ object LlmQueries {
   private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
     .map(dirs => "[" + dirs.mkString(",") + "]")
 
+  /** JL sign-matrix literals (salt "jl", 16×64) for the projection
+    * oracles. */
+  private val jlSignLits: Seq[String] = Similarity.planeDirs(16, 64, salt = "jl")
+    .map(dirs => "[" + dirs.mkString(",") + "]")
+
+  /** One row per (vec_id, output dim) of the JL projection over a CTE
+    * named `eq` carrying (vec_id, eq). */
+  private def jlProjUnion: String =
+    (0 until 16).map { j =>
+      s"""SELECT vec_id, CAST($j AS BIGINT) AS pos,
+         |  CAST((SELECT sum(eq[i] * (${jlSignLits(j)})[i])
+         |    FROM range(1, 65) r(i)) AS BIGINT) AS v FROM eq""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+
+  private lazy val JlProjectOracleSql: String =
+    s"""WITH eq AS (SELECT vec_id,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings)
+       |SELECT vec_id, pos, v FROM (
+       |  $jlProjUnion) t
+       |ORDER BY vec_id, pos""".stripMargin
+
+  private lazy val JlRecallOracleSql: String =
+    s"""WITH eq AS (SELECT vec_id,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, eq AS ce FROM eq WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 100),
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |  CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t WHERE rk <= 3),
+       |proj AS (
+       |  $jlProjUnion),
+       |sp AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(sum(a.v * b.v) AS BIGINT) AS dot
+       |  FROM proj a JOIN proj b ON a.pos = b.pos
+       |  WHERE a.vec_id < 100 AND b.vec_id >= 100
+       |  GROUP BY a.vec_id, b.vec_id),
+       |approx AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM sp) t WHERE rk <= 3),
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT 'jl_r16' AS method, nq.n_queries AS n_queries,
+       |  (SELECT count(*) FROM exact JOIN approx USING (qid, cid)) AS total_matches,
+       |  CAST((SELECT count(*) FROM exact JOIN approx USING (qid, cid)) AS DOUBLE)
+       |    / (3.0 * nq.n_queries) AS recall
+       |FROM nq""".stripMargin
+
   private val bucketExpr: String = planeLits.map { arr =>
     s"(CASE WHEN (SELECT sum(eq[i] * ($arr)[i]) FROM range(1, 65) r(i)) > 0 THEN '1' ELSE '0' END)"
   }.mkString(" || ")
@@ -2928,6 +3051,38 @@ object LlmQueries {
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
     "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
+    "llm_jl_project" -> JlProjectOracleSql,
+    "llm_jl_recall" -> JlRecallOracleSql,
+    "llm_embed_dimstats" ->
+      s"""WITH eq AS (SELECT
+         |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+         |v AS (SELECT i - 1 AS pos, eq[i] AS v FROM eq, range(1, 65) t(i))
+         |SELECT CAST(pos AS BIGINT) AS pos, count(*)::BIGINT AS n,
+         |  CAST(sum(v) AS BIGINT) AS sum_v, CAST(sum(v * v) AS BIGINT) AS sumsq,
+         |  min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+         |FROM v GROUP BY pos ORDER BY pos""".stripMargin,
+    "llm_cms_estimate" ->
+      s"""WITH w0 AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents),
+         |f AS (SELECT w FROM w0 WHERE len(w) > 0),
+         |widths AS (SELECT * FROM (VALUES (64), (8)) v(width)),
+         |cells AS (SELECT width, r AS row,
+         |    ${duckHash("'cms:' || r || ':' || w")} % width AS bucket,
+         |    count(*)::BIGINT AS n
+         |  FROM f, range(0, 4) t(r), widths GROUP BY 1, 2, 3),
+         |terms AS (SELECT * FROM (VALUES ('hash'), ('spark'), ('vector'),
+         |  ('zzz_absent')) v(term)),
+         |probes AS (SELECT width, term, r AS row,
+         |    ${duckHash("'cms:' || r || ':' || term")} % width AS bucket
+         |  FROM terms, range(0, 4) t(r), widths),
+         |est AS (SELECT width, term, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
+         |  FROM probes LEFT JOIN cells USING (width, row, bucket)
+         |  GROUP BY width, term),
+         |exact AS (SELECT w AS term, count(*)::BIGINT AS exact_n FROM f
+         |  WHERE w IN ('spark', 'vector', 'hash', 'zzz_absent') GROUP BY w)
+         |SELECT CAST(width AS BIGINT) AS width, term, est,
+         |  coalesce(exact_n, CAST(0 AS BIGINT)) AS exact_n
+         |FROM est LEFT JOIN exact USING (term) ORDER BY width, term""".stripMargin,
     "llm_ann_pq_indexed" -> PqOracleSql,
     "llm_ann_pq_recall" -> PqRecallOracleSql,
     // the codes CTE is the PqOracleSql training replay; DuckDB's s is

@@ -544,4 +544,38 @@ class OrderStatsSpec extends SparkSpec {
     assert(out(4) === ((5L, 0L, None)))
     assert(out(1)._3.get > out(0)._3.get, "uniform beats skewed at equal length")
   }
+
+  test("countMinSketch: shard merge equals full build; estimates dominate exact") {
+    val docs = (1L to 60L).map(i => (i, s"a${i % 3} b${i % 7} c shared"))
+      .toDF("doc_id", "text")
+    val full = CorpusStats.countMinSketch(docs, "text", depth = 4, width = 16)
+    // cell-wise monoid: two shard sketches sum to the full build
+    val merged = CorpusStats.countMinSketch(
+        docs.filter(col("doc_id") <= 30), "text", depth = 4, width = 16)
+      .unionByName(CorpusStats.countMinSketch(
+        docs.filter(col("doc_id") > 30), "text", depth = 4, width = 16))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("n"))
+    assert(merged.except(full).count() === 0 &&
+      full.except(merged).count() === 0, "shard merge must equal full build")
+    // the one-sided error bound: est >= exact for every probed term
+    val est = CorpusStats.cmsEstimate(full,
+        Seq("c", "shared", "a0", "b3", "nope"), depth = 4, width = 16)
+      .as[(String, Long)].collect().toMap
+    val exact = Map("c" -> 60L, "shared" -> 60L, "a0" -> 20L, "b3" -> 8L,
+      "nope" -> 0L)
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"$t: est ${est(t)} < exact $n") }
+  }
+
+  test("jlProject: deterministic exact-integer sign projection") {
+    val ones = Seq((1L, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(ones, "vec_id", "embedding")
+      .select(col("proj")).as[Seq[Long]].head()
+    // all-ones input (quantized 1000): y_j = 1000 * rowsum(signs_j)
+    val want = Similarity.planeDirs(16, 64, salt = "jl")
+      .map(_.sum.toLong * 1000L)
+    assert(proj === want)
+    // the jl salt is NOT the LSH plane matrix
+    assert(want != Similarity.planeDirs(16, 64).map(_.sum.toLong * 1000L))
+  }
 }
