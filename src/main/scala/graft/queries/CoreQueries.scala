@@ -598,6 +598,34 @@ object CoreQueries {
         .limit(20)
     }),
 
+    // Q7-shaped cross-nation volume: the 6-way join (lineitem x
+    // supplier x orders x customer x nation x nation) narrowed by a
+    // symmetric nation-pair predicate, yearly exact-decimal revenue.
+    // Dims broadcast (nation twice under different roles); the fact
+    // table crosses one hash exchange for the grouped aggregate.
+    "q7_nation_volume" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+    }),
+
     // Q16-shaped unsold-brand report: NOT IN over a nullable subquery
     // column — the NULL-AWARE anti join surface (distinct from q4's
     // EXISTS semi and q22's NOT EXISTS anti): one NULL in the subquery
@@ -1566,6 +1594,21 @@ object CoreQueries {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM (SELECT l.l_shipdate, l.l_extendedprice, l.l_discount,
+        |    n1.n_name AS supp_nation, n2.n_name AS cust_nation
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) t
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
     "q16_brand_unsold" ->
       """SELECT p_brand, count(*)::BIGINT AS n_parts
         |FROM part

@@ -691,6 +691,45 @@ object LlmQueries {
             (lit(3.0) * col("n_queries"))).as("recall"))
     }),
 
+    // JL two-stage serving: coarse top-20 in the 16-dim projected
+    // space, exact re-rank to top-3 from the full store — the
+    // rerankTopK recall/cost dial applied to the JL store (coarse
+    // scans 16-long arrays; the exact pass touches 20 vectors per
+    // query). Compare against llm_jl_recall's direct row: the rescore
+    // buys back most of the projection's distortion.
+    "llm_jl_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      val pq = Similarity.jlProject(qs, "vec_id", "embedding")
+        .select(col("vec_id").as("qid"), col("proj").as("qp"))
+      val pc = Similarity.jlProject(cands, "vec_id", "embedding")
+        .select(col("vec_id").as("cid"), col("proj").as("cp"))
+      val wP = Window.partitionBy(col("qid")).orderBy(col("pdot").desc, col("cid"))
+      val coarse = pc.crossJoin(broadcast(pq))
+        .withColumn("pdot", Similarity.dotQ(col("qp"), col("cp")))
+        .withColumn("rk", row_number().over(wP)).filter(col("rk") <= 20)
+        .select(col("qid"), col("cid"))
+      val qe = qs.select(col("vec_id").as("qid"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      val ce = cands.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("ce"))
+      val wD = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+      val approx = coarse.join(qe, "qid").join(ce, "cid")
+        .withColumn("dot", Similarity.dotQ(col("qe"), col("ce")))
+        .withColumn("rk", row_number().over(wD)).filter(col("rk") <= 3)
+        .select(col("qid"), col("cid"))
+      exact.join(approx, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("total_matches"))
+        .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+        .select(lit("jl_rerank20").as("method"), col("n_queries"),
+          col("total_matches"),
+          (col("total_matches").cast("double") /
+            (lit(3.0) * col("n_queries"))).as("recall"))
+    }),
+
     // Count-min sketch: depth-4 exact-integer cells over the corpus
     // tokens at TWO widths — 64 (collision-free for these terms: est
     // == exact) and a deliberately tight 8 (collisions force visible
@@ -2602,6 +2641,37 @@ object LlmQueries {
        |ORDER BY method""".stripMargin
   }
 
+  /** JL rerank oracle: coarse top-20 in projected space, exact
+    * rescore top-3, recall vs exact truth — one ledger row. */
+  private lazy val JlRerankOracleSql: String =
+    s"""WITH eq AS (SELECT vec_id,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, eq AS ce FROM eq WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 100),
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |  CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t WHERE rk <= 3),
+       |proj AS (
+       |  $jlProjUnion),
+       |sp AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(sum(a.v * b.v) AS BIGINT) AS dot
+       |  FROM proj a JOIN proj b ON a.pos = b.pos
+       |  WHERE a.vec_id < 100 AND b.vec_id >= 100
+       |  GROUP BY a.vec_id, b.vec_id),
+       |co AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM sp) t WHERE rk <= 20),
+       |approx AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN co USING (qid, cid)) t WHERE rk <= 3),
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT 'jl_rerank20' AS method, nq.n_queries AS n_queries,
+       |  (SELECT count(*) FROM exact JOIN approx USING (qid, cid)) AS total_matches,
+       |  CAST((SELECT count(*) FROM exact JOIN approx USING (qid, cid)) AS DOUBLE)
+       |    / (3.0 * nq.n_queries) AS recall
+       |FROM nq""".stripMargin
+
   private val planeLits: Seq[String] = Similarity.planeDirs(8, 64)
     .map(dirs => "[" + dirs.mkString(",") + "]")
 
@@ -3053,6 +3123,7 @@ object LlmQueries {
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
     "llm_jl_project" -> JlProjectOracleSql,
     "llm_jl_recall" -> JlRecallOracleSql,
+    "llm_jl_rerank" -> JlRerankOracleSql,
     "llm_embed_dimstats" ->
       s"""WITH eq AS (SELECT
          |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
