@@ -598,6 +598,12 @@ object Graft {
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     ops.Ops.triangleCounts(edges, srcCol, dstCol)
 
+  /** Filter with zero-extra-pass accounting (Dataset.observe): the
+    * rows-in/rows-kept counters ride the gate's own job. */
+  def observedGate(df: DataFrame, gateName: String,
+                   cond: org.apache.spark.sql.Column): DataFrame =
+    ops.Ops.observedGate(df, gateName, cond)
+
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     llm.Text.invertedIndex(docs, idCol, textCol)
 

@@ -844,4 +844,25 @@ object Ops {
           (col("sum_sq") - col("sum_v") * col("sum_v") / col("cnt")) / (col("cnt") - 1)))
           .as("std_v"))
   }
+
+  /** Gate with ZERO-extra-pass accounting: filter `df` on `cond`
+    * while OBSERVING rows-in / rows-kept via Spark's CollectMetrics
+    * (`Dataset.observe`) — the counters ride the gate's own job (no
+    * second scan, no cache, no accumulator plumbing) and read back
+    * from `queryExecution.observedMetrics(gateName)` after an action
+    * run through the SAME Dataset handle (collect/write — a derived
+    * action like `count()` plans its own execution whose metrics this
+    * handle never sees), or from the streaming progress events when
+    * the same gate runs in a stream. The 100 TB practice this encodes: a curation
+    * chain's per-stage drop accounting must not cost one extra pass
+    * per stage — observe attaches the aggregation BEFORE the filter,
+    * so the metrics see every input row exactly once even under
+    * whole-stage codegen. Names must be unique per chain (Spark
+    * enforces it); compose as
+    * `observedGate(observedGate(df, "g1", c1), "g2", c2)`. */
+  def observedGate(df: DataFrame, gateName: String, cond: Column): DataFrame =
+    df.observe(gateName,
+        count(lit(1)).as("rows_in"),
+        sum(when(cond, lit(1L)).otherwise(lit(0L))).as("rows_kept"))
+      .filter(cond)
 }

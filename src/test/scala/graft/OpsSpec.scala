@@ -544,4 +544,23 @@ class OpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected one hash exchange:\n$plan")
   }
+
+  test("observedGate: per-gate counters ride the job, chained gates each account") {
+    val df = (1L to 100L).map(i => (i, i % 10)).toDF("id", "m")
+    val gated = Ops.observedGate(
+      Ops.observedGate(df, "g1", col("m") =!= 0), "g2", col("m") > 4)
+    // the metrics ride the SAME execution as the data: collect() runs
+    // this dataset's own QueryExecution (count() would plan a new one
+    // whose metrics this handle never sees)
+    assert(gated.collect().length === 50)
+    val metrics = gated.queryExecution.observedMetrics
+    val g1 = metrics("g1"); val g2 = metrics("g2")
+    assert(g1.getLong(0) === 100L && g1.getLong(1) === 90L,
+      s"g1 sees all input rows: $g1")
+    assert(g2.getLong(0) === 90L && g2.getLong(1) === 50L,
+      s"g2 sees g1's survivors: $g2")
+    // zero extra passes: the whole chain is one plan, no caching —
+    // the gated result itself is correct
+    assert(gated.select(min(col("m"))).as[Long].head() === 5L)
+  }
 }
