@@ -626,6 +626,27 @@ object CoreQueries {
         .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
     }),
 
+    // Q19-shaped disjunctive-predicate revenue: the join stays a hash
+    // equi-join on partkey while the OR-of-ANDs branch conditions ride
+    // as a residual filter — the shape that tests Catalyst keeps the
+    // equi key OUT of the disjunction (a naive planner degenerates to
+    // a nested-loop join here). Exact-decimal revenue.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(count(lit(1)).as("n_items"),
+          Exprs.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+    }),
+
     // Q16-shaped unsold-brand report: NOT IN over a nullable subquery
     // column — the NULL-AWARE anti join surface (distinct from q4's
     // EXISTS semi and q22's NOT EXISTS anti): one NULL in the subquery
@@ -1609,6 +1630,13 @@ object CoreQueries {
         |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) t
         |GROUP BY supp_nation, cust_nation, yr
         |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT count(*)::BIGINT AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,0))) AS DOUBLE) + CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - floor(l_extendedprice * (1 - l_discount))) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+        |   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+        |   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)""".stripMargin,
     "q16_brand_unsold" ->
       """SELECT p_brand, count(*)::BIGINT AS n_parts
         |FROM part

@@ -136,6 +136,23 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(dir).count() == 2)
   }
 
+  test("ORC sink round trip with predicate pushdown") {
+    // the columnar alternative a warehouse-side consumer may require:
+    // same DataFrame surface, same pushdown contract as parquet
+    val dir = Files.createTempDirectory("korc").toFile.getAbsolutePath + "/out"
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"n$i", i % 7)).toDF("id", "name", "m")
+    df.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === 100)
+    val filtered = back.filter(col("m") === 3)
+    assert(filtered.count() === 14)
+    // the filter must reach the ORC scan as a pushed predicate
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(m,3)"),
+      s"expected ORC predicate pushdown:\n$plan")
+  }
+
   test("streaming: session_window sessionization with watermark") {
     import graft.streaming.Streams
     implicit val sqlCtx = spark.sqlContext
