@@ -642,6 +642,45 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The corpus data card — the one-frame summary a dataset release
+    // ships (and the reference's diagnostics print piecemeal): doc /
+    // token / char totals, source and language breadth, length range,
+    // exact mean length in micro-chars (DECIMAL product, the
+    // mergeStats overflow discipline), and the exact-duplicate group
+    // count — as a tall (metric, value) frame via the SQL stack()
+    // surface. Three bounded aggregations, no corpus joins.
+    "llm_datacard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val basic = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        expr("(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000) div count(1)")
+          .as("mean_chars_micro"))
+      val tall = basic.selectExpr(
+        """stack(7,
+          |  'max_chars', max_chars,
+          |  'mean_chars_micro', mean_chars_micro,
+          |  'min_chars', min_chars,
+          |  'n_chars_total', n_chars_total,
+          |  'n_docs', n_docs,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources) AS (metric, value)""".stripMargin)
+      val toks = docs.select(explode(Text.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("n_tokens").as("metric"), col("value"))
+      val dups = docs.withColumn("__h", Text.contentHash(col("text")))
+        .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("n_dup_groups").as("metric"), col("value"))
+      tall.unionByName(toks).unionByName(dups).orderBy(col("metric"))
+    }),
+
     // Embedding-store QA: per-dimension exact n/sum/sumsq/min/max over
     // the quantized store — dead dimensions, per-batch scale drift and
     // variance collapse show up here before they poison an index
@@ -3121,6 +3160,32 @@ object LlmQueries {
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
     "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
+    "llm_datacard" ->
+      s"""WITH basic AS (SELECT count(*)::BIGINT AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |    count(DISTINCT lang)::BIGINT AS n_langs,
+         |    count(DISTINCT source)::BIGINT AS n_sources,
+         |    min(n_chars)::BIGINT AS min_chars,
+         |    max(n_chars)::BIGINT AS max_chars,
+         |    CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_chars_micro
+         |  FROM documents),
+         |toks AS (SELECT count(*)::BIGINT AS v FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |    FROM documents) t WHERE len(w) > 0),
+         |dups AS (SELECT count(*)::BIGINT AS v FROM (
+         |    SELECT coalesce(md5(text), '__null__') AS h, count(*) AS n
+         |    FROM documents GROUP BY 1) t WHERE n > 1)
+         |SELECT metric, value FROM (
+         |  SELECT 'max_chars' AS metric, max_chars AS value FROM basic
+         |  UNION ALL SELECT 'mean_chars_micro', mean_chars_micro FROM basic
+         |  UNION ALL SELECT 'min_chars', min_chars FROM basic
+         |  UNION ALL SELECT 'n_chars_total', n_chars_total FROM basic
+         |  UNION ALL SELECT 'n_docs', n_docs FROM basic
+         |  UNION ALL SELECT 'n_langs', n_langs FROM basic
+         |  UNION ALL SELECT 'n_sources', n_sources FROM basic
+         |  UNION ALL SELECT 'n_tokens', v FROM toks
+         |  UNION ALL SELECT 'n_dup_groups', v FROM dups) t
+         |ORDER BY metric""".stripMargin,
     "llm_jl_project" -> JlProjectOracleSql,
     "llm_jl_recall" -> JlRecallOracleSql,
     "llm_jl_rerank" -> JlRerankOracleSql,

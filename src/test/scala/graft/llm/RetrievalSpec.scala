@@ -205,6 +205,44 @@ class RetrievalSpec extends SparkSpec {
       maxBlock = 16).count() === 36)
   }
 
+  test("editDistancePairs differential: equals naive all-pairs within the stated contract") {
+    // randomized-ish corpus of controlled variants: deterministic
+    // generator, lengths straddling several band boundaries
+    val base = "alpha bravo charlie delta echo"
+    val docs = (0L until 40L).map { i =>
+      val t = (i % 5) match {
+        case 0 => base
+        case 1 => base.dropRight((i % 3 + 1).toInt)        // shortenings
+        case 2 => base + "x" * (i % 4).toInt               // extensions
+        case 3 => base.replace('a', ('b' + (i % 3)).toChar) // substitutions
+        case _ => s"zeta$i unrelated text ${i * 37}"
+      }
+      (i, t)
+    }.toDF("doc_id", "text")
+    val found = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 2)
+      .select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
+    // naive truth: all pairs at levenshtein <= 2
+    val naive = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        levenshtein(col("x.text"), col("y.text")).cast("long").as("d"),
+        element_at(graft.llm.Text.words(col("x.text")), 1).as("fx"),
+        element_at(graft.llm.Text.words(col("y.text")), 1).as("fy"))
+      .filter(col("d") <= 2)
+      .as[(Long, Long, Long, String, String)].collect()
+    // soundness: every found pair is a true pair
+    val naiveSet = naive.map(t => (t._1, t._2, t._3)).toSet
+    assert(found.subsetOf(naiveSet), s"false pairs: ${found -- naiveSet}")
+    // completeness within the contract: every true pair sharing a
+    // first token is found — the adjacent-band emission makes length
+    // divergence up to maxDist never an excuse; only first-token
+    // edits may (documentedly) escape
+    val owed = naive.filter(t => t._4 == t._5).map(t => (t._1, t._2, t._3)).toSet
+    assert(owed.subsetOf(found),
+      s"missed same-first-token pairs: ${owed -- found}")
+    assert(owed.nonEmpty && found.nonEmpty, "differential must be non-vacuous")
+  }
+
   test("rankNormalize: exact per-mille ranks per group, singleton at 0, reserved names") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 30L), ("s1", 4L, 40L),
