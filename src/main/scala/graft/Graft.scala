@@ -180,6 +180,12 @@ object Graft {
 
   /** Hash-deterministic Bernoulli sampling with Horvitz–Thompson
     * weights; `weightPerMille` is the integer keep-probability ×1000. */
+  /** Deterministic stratified hash split (append-stable: labels never
+    * drift as the corpus grows). */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+                salt: String = "split:"): DataFrame =
+    llm.Curate.hashSplit(df, idCol, splits, salt)
+
   def importanceSample(df: DataFrame, keyCol: String,
                        weightPerMille: Column): DataFrame =
     llm.Curate.importanceSample(df, keyCol, weightPerMille)

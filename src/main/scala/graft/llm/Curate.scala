@@ -128,6 +128,39 @@ object Curate {
       .withColumn("weight", lit(scale.toDouble) / p)
   }
 
+  /** Deterministic stratified train/val/test split: each row's
+    * destination is a pure function of its id — md5 per-mille (the
+    * [[importanceSample]] hash convention) against cumulative
+    * fraction boundaries. No RNG state, so the split is stable under
+    * reruns AND under corpus growth: a document's label never changes
+    * when new data appends (the property a shuffle-then-cut split
+    * lacks, and the reason training pipelines split by hash — a
+    * drifting split leaks yesterday's train docs into today's test).
+    * Every stratum (source, language, …) sees the same thresholds, so
+    * per-stratum proportions concentrate at the global fractions
+    * without a per-stratum pass — measured per-mille by the
+    * llm_split_stratified oracle row. `splits` are (name, per-mille)
+    * and must sum to 1000. Pure map-side projection. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+                salt: String = "split:"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 1000,
+      s"split fractions must be positive per-milles summing to 1000: $splits")
+    require(!df.columns.contains("split"),
+      "hashSplit reserves the split column name")
+    val pm = pmod(Text.md5Hash(concat(lit(salt), col(idCol).cast("string"))),
+      lit(1000L))
+    val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val labeled = splits.map(_._1).zip(bounds)
+    val splitCol =
+      if (labeled.size == 1) lit(labeled.head._1)
+      else labeled.dropRight(1)
+        .foldLeft(Option.empty[Column]) { case (acc, (name, hi)) =>
+          Some(acc.fold(when(pm < hi, lit(name)))(_.when(pm < hi, lit(name))))
+        }.get.otherwise(lit(labeled.last._1))
+    df.withColumn("split", splitCol)
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
     * 2006, "Weighted random sampling with a reservoir" — public
     * method): keep the top-`n` rows by priority u^(1/w), u a per-key

@@ -642,6 +642,21 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Deterministic stratified 80/10/10 split: hash-per-mille against
+    // cumulative boundaries — append-stable (a doc's label never
+    // drifts as the corpus grows), and every source stratum
+    // concentrates at the global fractions without a per-stratum
+    // pass; the per-mille share column measures exactly that.
+    "llm_split_stratified" -> ((s, dir) =>
+      Curate.hashSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", Seq(("train", 800), ("val", 100), ("test", 100)))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pm_of_source",
+          expr("(n * 1000) div sum(n) OVER (PARTITION BY source)"))
+        .orderBy(col("source"), col("split"))),
+
     // The corpus data card — the one-frame summary a dataset release
     // ships (and the reference's diagnostics print piecemeal): doc /
     // token / char totals, source and language breadth, length range,
@@ -3160,6 +3175,17 @@ object LlmQueries {
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
     "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
+    "llm_split_stratified" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |    ${duckHash("'split:' || doc_id")} % 1000 AS pm FROM documents),
+         |lab AS (SELECT source, CASE WHEN pm < 800 THEN 'train'
+         |    WHEN pm < 900 THEN 'val' ELSE 'test' END AS split FROM s),
+         |g AS (SELECT source, split, count(*)::BIGINT AS n FROM lab
+         |  GROUP BY 1, 2)
+         |SELECT source, split, n,
+         |  CAST((n * 1000) // sum(n) OVER (PARTITION BY source) AS BIGINT)
+         |    AS pm_of_source
+         |FROM g ORDER BY source, split""".stripMargin,
     "llm_datacard" ->
       s"""WITH basic AS (SELECT count(*)::BIGINT AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,

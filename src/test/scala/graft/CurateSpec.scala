@@ -459,6 +459,32 @@ class CurateSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hashSplit: deterministic, append-stable, contract-enforced") {
+    val docs = (1L to 1000L).toDF("id")
+    val splits = Seq(("train", 800), ("val", 100), ("test", 100))
+    val full = Curate.hashSplit(docs, "id", splits)
+      .as[(Long, String)].collect().toMap
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    // hash-uniform: fractions concentrate at 800/100/100 per mille
+    assert(math.abs(counts("train") - 800) < 60, s"train: ${counts("train")}")
+    assert(math.abs(counts("val") - 100) < 40 &&
+      math.abs(counts("test") - 100) < 40, s"$counts")
+    // append-stability: a doc's label computed on a SUBSET equals its
+    // label in the full corpus — the no-leak-on-growth property
+    val sub = Curate.hashSplit(docs.filter(col("id") <= 300), "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (k, v) => full(k) == v },
+      "labels must not drift when the corpus grows")
+    // contract: fractions must sum to 1000; split name reserved
+    intercept[IllegalArgumentException](
+      Curate.hashSplit(docs, "id", Seq(("a", 500))))
+    intercept[IllegalArgumentException](
+      Curate.hashSplit(docs.withColumn("split", lit("x")), "id", splits))
+    // single-bucket degenerate case labels everything
+    assert(Curate.hashSplit(docs, "id", Seq(("all", 1000)))
+      .filter(col("split") === "all").count() === 1000)
+  }
+
   test("weightedSampleTopN ln boundary guard: fixture draws sit >2e-8 from integers") {
     // same contract as the lp_micro guard: a draw whose ln(u)*1e6 is
     // within libm's cross-engine ulp band of an integer could floor

@@ -430,6 +430,39 @@ class OpsSpec extends SparkSpec {
       (2L, "c", 0L, 0L, 0L)), s"got $gated")
   }
 
+  test("runtime bloom filter: selective dim filter injects might_contain on the fact side") {
+    // the third runtime-pruning pillar next to DPP (LlmSpec) and the
+    // AQE skew split (below): when the dim side of a SHUFFLE join is
+    // selectively filtered, Catalyst builds a bloom filter from it and
+    // injects might_contain() ABOVE the fact scan — at 100 TB the
+    // fact rows that cannot join die before the exchange instead of
+    // shuffling. Only the application-side scan threshold (10 GB
+    // default — sized for clusters, not fixtures) needs lowering to
+    // see it locally; bloom injection itself is on by default.
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "0")
+      spark.conf.set(keys(1), "-1") // force a shuffle join (BHJ needs no bloom)
+      val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+      spark.range(100000).selectExpr("id", "id % 1000 as k")
+        .write.parquet(dir + "/fact")
+      spark.range(50).selectExpr("id as k", "id * 2 as v")
+        .write.parquet(dir + "/dim")
+      val fact = spark.read.parquet(dir + "/fact")
+      val dim = spark.read.parquet(dir + "/dim").filter(col("v") < 20)
+      val j = fact.join(dim, "k")
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n${opt.take(2000)}")
+      // and the filtered join is still exactly right: k in 0..9, 100
+      // fact rows each
+      assert(j.count() === 1000L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("AQE skew join: the hot key splits at runtime without salting") {
     // the other half of the skew story (saltedJoin is the manual
     // tool): a sort-merge join whose build keys are zipfian must get
