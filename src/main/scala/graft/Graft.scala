@@ -604,6 +604,14 @@ object Graft {
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     ops.Ops.triangleCounts(edges, srcCol, dstCol)
 
+  /** Feature-store as-of with a staleness bound: matches older than
+    * toleranceSeconds become NULL payload. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String, payload: Seq[String],
+                        toleranceSeconds: Long): DataFrame =
+    ops.Ops.asofJoinTolerance(left, right, keys, leftTs, rightTs, payload,
+      toleranceSeconds)
+
   /** Filter with zero-extra-pass accounting (Dataset.observe): the
     * rows-in/rows-kept counters ride the gate's own job. */
   def observedGate(df: DataFrame, gateName: String,

@@ -351,6 +351,34 @@ object Ops {
     asofImpl(left, right, keys, leftTs, rightTs, payload, tieBreak,
       forward = true)
 
+  /** As-of join with a STALENESS TOLERANCE — the feature-store
+    * serving rule: the latest-at-or-before match counts only when it
+    * is no older than `toleranceSeconds`; a staler match becomes NULL
+    * payload, because silently serving an outdated feature trains on
+    * the wrong world state (every point-in-time store exposes exactly
+    * this knob). Composed from [[asofJoin]] by riding the matched
+    * right timestamp inside the payload struct and nulling
+    * out-of-window matches map-side — same single-shuffle shape,
+    * zero extra passes. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String, payload: Seq[String],
+                        toleranceSeconds: Long,
+                        tieBreak: Option[String] = None): DataFrame = {
+    require(toleranceSeconds >= 0,
+      s"toleranceSeconds must be >= 0, got $toleranceSeconds")
+    require(!right.columns.contains("__rts") && !left.columns.contains("__rts"),
+      "asofJoinTolerance reserves the __rts column name")
+    val r2 = right.withColumn("__rts", col(rightTs))
+    val joined = asofJoin(left, r2, keys, leftTs, rightTs,
+      payload :+ "__rts", tieBreak)
+    val fresh = col("__rts").isNotNull &&
+      unix_micros(col(leftTs)) - unix_micros(col("__rts")) <=
+        toleranceSeconds * 1000000L
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(fresh, col(p)))
+    }.drop("__rts")
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String, payload: Seq[String],
                        tieBreak: Option[String], forward: Boolean): DataFrame = {

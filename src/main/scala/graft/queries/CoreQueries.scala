@@ -790,6 +790,24 @@ object CoreQueries {
         .orderBy(col("event_id"))
     }),
 
+    // X1c — tolerance-bounded as-of: the feature-store staleness
+    // guard. Same backward match as x1, but a click older than ONE
+    // HOUR before the purchase is no match at all (NULL) — serving a
+    // stale feature silently trains on the wrong world state. The
+    // oracle's LATERAL window restriction is provably equivalent: any
+    // click inside [ts-1h, ts] is newer than every stale one.
+    "x1c_asof_tolerant" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+      Ops.asofJoinTolerance(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_event_id"), toleranceSeconds = 3600L,
+          tieBreak = Some("click_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap sessionization (6h inactivity) + per-session rollup — the
     // standard first step of behavioral pipelines over event logs.
     "x2_sessionize" -> ((s, dir) =>
@@ -1716,6 +1734,15 @@ object CoreQueries {
         |  SELECT v.event_id AS view_event_id FROM events v
         |  WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts >= p.ts
         |  ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) l ON TRUE
+        |ORDER BY p.event_id""".stripMargin,
+    "x1c_asof_tolerant" ->
+      """SELECT p.user_id, p.ts, p.event_id, p.value, l.click_event_id
+        |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_event_id FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON TRUE
         |ORDER BY p.event_id""".stripMargin,
     "x2_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,

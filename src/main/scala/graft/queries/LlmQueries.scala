@@ -642,6 +642,24 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Per-language compression/fertility profile — the tokenizer-cost
+    // proxy a multilingual budget needs (chars per whitespace word
+    // varies ~2x across scripts; token budgets priced on one language
+    // misprice the others): exact integer counts, micro-char ratio
+    // via the DECIMAL product discipline.
+    "llm_fertility_by_lang" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(filter(Text.words(col("text")), w => length(w) > 0))
+            .cast("long").as("nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          expr("(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000) div sum(nw)")
+            .as("chars_per_word_micro"))
+        .orderBy(col("lang"))),
+
     // Deterministic stratified 80/10/10 split: hash-per-mille against
     // cumulative boundaries — append-stable (a doc's label never
     // drifts as the corpus grows), and every source stratum
@@ -3175,6 +3193,16 @@ object LlmQueries {
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
     "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
+    "llm_fertility_by_lang" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_chars) * 1000000 // sum(nw) AS BIGINT) AS chars_per_word_micro
+        |FROM (SELECT lang, n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> len(w) > 0))::BIGINT AS nw
+        |  FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_split_stratified" ->
       s"""WITH s AS (SELECT doc_id, source,
          |    ${duckHash("'split:' || doc_id")} % 1000 AS pm FROM documents),

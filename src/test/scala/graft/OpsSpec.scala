@@ -153,6 +153,33 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(10L -> Some(101L), 11L -> Some(102L), 12L -> None, 13L -> None))
   }
 
+  test("asofJoinTolerance: stale matches null out; exact boundary is fresh") {
+    val left = tsDf(Seq(
+      (10L, 1L, "2024-01-01 10:00:00"),   // match 30 min old -> fresh
+      (11L, 1L, "2024-01-01 11:30:00"),   // match exactly 1h old -> fresh (<=)
+      (12L, 1L, "2024-01-01 11:30:01"),   // match 1h1s old -> STALE -> null
+      (13L, 2L, "2024-01-01 10:00:00")),  // no right rows -> null
+      ("event_id", "user_id", "ts"))
+    val right = tsDf(Seq(
+      (101L, 1L, "2024-01-01 09:30:00"),
+      (102L, 1L, "2024-01-01 10:30:00")),
+      ("rid", "user_id", "ts"))
+    val out = Ops.asofJoinTolerance(left, right, Seq("user_id"), "ts", "ts",
+        Seq("rid"), toleranceSeconds = 3600L)
+      .select("event_id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out == Map(10L -> Some(101L), 11L -> Some(102L), 12L -> None,
+      13L -> None), s"got $out")
+    // tolerance 0: only exact-timestamp matches survive
+    val zero = Ops.asofJoinTolerance(left, right, Seq("user_id"), "ts", "ts",
+        Seq("rid"), toleranceSeconds = 0L)
+      .select("event_id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(zero.values.forall(_.isEmpty), s"got $zero")
+    intercept[IllegalArgumentException](Ops.asofJoinTolerance(left, right,
+      Seq("user_id"), "ts", "ts", Seq("rid"), toleranceSeconds = -1L))
+  }
+
   test("asofJoinForward: earliest right at-or-after; inclusive tie lowest id; null past end") {
     val left = tsDf(Seq(
       (10L, 1L, "2024-01-01 10:00:00"),   // before r2 -> next is r2
