@@ -642,6 +642,31 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The end-to-end TRAIN-PREP chain — the split primitive in its
+    // production position: Gopher quality gate -> deterministic
+    // stratified split (keep the train fraction; val/test never leak
+    // into selection) -> token-budget selection with hash tie-breaks,
+    // ONE lazy plan whose oracle replays all three stages. Every
+    // stage bites at sf0.01 (500 -> gate -> ~4/5 of survivors ->
+    // budget cut).
+    "llm_e2e_train_prep" -> ((s, dir) => {
+      val gated = t(s, dir, "documents")
+        .withColumn("g", Text.gopherFlags(col("text"),
+          minWords = 20L, maxWords = 90L,
+          minMeanWordLen = 3.8, maxMeanWordLen = 5.2, minStopwords = 2L))
+        .filter(col("g.keep"))
+      val train = Curate.hashSplit(gated, "doc_id",
+          Seq(("train", 800), ("val", 100), ("test", 100)))
+        .filter(col("split") === "train")
+      val scored = train
+        .withColumn("score", expr("n_chars div 64"))
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
+      Curate.selectByTokenBudget(scored, "doc_id", "score", "tokens", 8000L)
+        .select(col("doc_id"), col("score"), col("tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-language compression/fertility profile — the tokenizer-cost
     // proxy a multilingual budget needs (chars per whitespace word
     // varies ~2x across scripts; token budgets priced on one language
@@ -3193,6 +3218,27 @@ object LlmQueries {
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
     "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
+    // gate -> train-split -> budget replayed as three CTE stages; the
+    // gopher conditions and the budget window are the SAME SQL as
+    // their standalone oracles, so the chain cannot drift from them
+    "llm_e2e_train_prep" ->
+      s"""WITH gop AS (SELECT doc_id, text, n_chars FROM documents
+         |  WHERE len(string_split_regex(lower(text), '\\s+')) BETWEEN 20 AND 90
+         |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / len(string_split_regex(text, '\\s+')) BETWEEN 3.8 AND 5.2
+         |    AND len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(",")}))) >= 2),
+         |tr AS (SELECT doc_id, text, n_chars FROM gop
+         |  WHERE ${duckHash("'split:' || doc_id")} % 1000 < 800),
+         |t AS (SELECT doc_id, n_chars // 64 AS score,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
+         |    ${duckHash("('sel:' || doc_id)")} AS h
+         |  FROM tr),
+         |c AS (SELECT doc_id, score, tokens,
+         |  sum(tokens) OVER (ORDER BY score DESC, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, score, tokens FROM c WHERE cum <= 8000
+         |ORDER BY doc_id""".stripMargin,
     "llm_fertility_by_lang" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
         |  CAST(sum(nw) AS BIGINT) AS n_words,
