@@ -620,13 +620,18 @@ object CorpusStats {
     * depth cells (buckets computed driver-side with the identical
     * hash), min over rows; an absent cell reads 0. The probe frame is
     * |terms|×depth rows — the sketch answers without touching the
-    * corpus. */
+    * corpus. Probe terms are LOWERCASED first to match the build's
+    * [[Text.words]] tokenization — an unnormalized probe would hash
+    * to an unrelated cell and read an arbitrary count, silently
+    * voiding the est ≥ exact guarantee. The output echoes the terms
+    * as given. */
   def cmsEstimate(cms: DataFrame, terms: Seq[String], depth: Int = 4,
                   width: Int = 64): DataFrame = {
     val spark = cms.sparkSession
     import spark.implicits._
     val probes = terms.distinct.flatMap(t => (0 until depth).map(r =>
-      (t, r.toLong, md5Mod(s"cms:$r:$t") % width))).toDF("term", "row", "bucket")
+      (t, r.toLong,
+        md5Mod(s"cms:$r:${t.toLowerCase}") % width))).toDF("term", "row", "bucket")
     probes.join(cms, Seq("row", "bucket"), "left")
       .groupBy(col("term"))
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))

@@ -140,7 +140,10 @@ object Curate {
     * per-stratum proportions concentrate at the global fractions
     * without a per-stratum pass — measured per-mille by the
     * llm_split_stratified oracle row. `splits` are (name, per-mille)
-    * and must sum to 1000. Pure map-side projection. */
+    * and must sum to 1000. Pure map-side projection. The md5 % 1000
+    * reduction carries a modulo bias of ≤ 5e-7 per bucket (HashP is
+    * not a multiple of 1000) — far below any statistical concern, and
+    * both engines replay the identical integers regardless. */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
                 salt: String = "split:"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0) &&

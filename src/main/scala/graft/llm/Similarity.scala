@@ -254,8 +254,11 @@ object Similarity {
     * unsustainable at the standard k=256). Positional indexing needs
     * the codeword ids dense 0..k-1 (true for the trained codebooks
     * here and in any production build); a sparse id space falls back
-    * to the comparison chain. Exact integers, identical sum order —
-    * bit-identical scores either way. */
+    * to the comparison chain. For codes encoded against the SAME
+    * codebooks — the index invariant — the two forms are
+    * bit-identical (exact integers, identical sum order); a
+    * foreign/corrupt code would read NULL under indexing vs 0 under
+    * the chain, both of which sink it in the ranking. */
   private def pqLutAndAdc(byLabel: Map[Long, IndexedSeq[Long]],
                           queries: DataFrame, qId: String, embCol: String,
                           m: Int, dim: Int): (DataFrame, Column) = {

@@ -887,7 +887,10 @@ object Ops {
     * so the metrics see every input row exactly once even under
     * whole-stage codegen. Names must be unique per chain (Spark
     * enforces it); compose as
-    * `observedGate(observedGate(df, "g1", c1), "g2", c2)`. */
+    * `observedGate(observedGate(df, "g1", c1), "g2", c2)`. `cond` is
+    * evaluated in both the counter and the filter, so it must be
+    * deterministic (this engine's standing discipline — no rand()
+    * anywhere) or the two could disagree. */
   def observedGate(df: DataFrame, gateName: String, cond: Column): DataFrame =
     df.observe(gateName,
         count(lit(1)).as("rows_in"),

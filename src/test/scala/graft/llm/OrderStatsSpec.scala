@@ -565,6 +565,13 @@ class OrderStatsSpec extends SparkSpec {
       "nope" -> 0L)
     exact.foreach { case (t, n) =>
       assert(est(t) >= n, s"$t: est ${est(t)} < exact $n") }
+    // probe normalization: the build tokenizes lowercase, so a
+    // mixed-case probe must read the SAME cells as its lowercase twin
+    // (an unnormalized probe would hash elsewhere and read garbage)
+    val cased = CorpusStats.cmsEstimate(full, Seq("SHARED", "shared"),
+      depth = 4, width = 16).as[(String, Long)].collect().toMap
+    assert(cased("SHARED") === cased("shared") && cased("shared") >= 60L,
+      s"case-normalized probes must agree: $cased")
   }
 
   test("jlProject: deterministic exact-integer sign projection") {
