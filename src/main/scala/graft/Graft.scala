@@ -338,7 +338,7 @@ object Graft {
     llm.Curate.snapshotDelta(prev, cur, idCol, textCol)
 
   /** Bounded top-k aggregate (custom TypedImperativeAggregate). */
-  def topK(c: Column, k: Int): Column = _root_.graft.expr.native.NativeFns.topK(c, k)
+  def topK(c: Column, k: Int): Column = _root_.graft.expr.kernels.NativeFns.topK(c, k)
 
   def kmeansClusters(df: DataFrame, idCol: String, embCol: String,
                      k: Int, iters: Int = 2): DataFrame =

@@ -1,4 +1,4 @@
-package graft.expr.native
+package graft.expr.kernels
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -287,7 +287,7 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.native.NfcKernel.nfc($c);")
+      s"${ev.value} = graft.expr.kernels.NfcKernel.nfc($c);")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
@@ -321,7 +321,7 @@ case class CharEntropyMicro(child: Expression) extends UnaryExpression {
         |boolean ${ev.isNull} = true;
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         |if (!${childGen.isNull}) {
-        |  ${ev.value} = graft.expr.native.CharEntropyKernel.compute(${childGen.value});
+        |  ${ev.value} = graft.expr.kernels.CharEntropyKernel.compute(${childGen.value});
         |  ${ev.isNull} = ${ev.value} == null;
         |}
       """.stripMargin)
@@ -358,14 +358,14 @@ object Morton {
 
   /** Generated-Java spread bodies (one fresh local per spread). Kept
     * beside the Scala twins so the two sequences cannot drift. */
-  private[native] def genSpread1(v: String, in: String): String =
+  private[kernels] def genSpread1(v: String, in: String): String =
     s"""long $v = $in & 0xFFFFFFFFL;
        |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
        |$v = ($v | ($v << 8)) & 0x00FF00FF00FF00FFL;
        |$v = ($v | ($v << 4)) & 0x0F0F0F0F0F0F0F0FL;
        |$v = ($v | ($v << 2)) & 0x3333333333333333L;
        |$v = ($v | ($v << 1)) & 0x5555555555555555L;""".stripMargin
-  private[native] def genSpread2(v: String, in: String): String =
+  private[kernels] def genSpread2(v: String, in: String): String =
     s"""long $v = $in & 0x1FFFFFL;
        |$v = ($v | ($v << 32)) & 0x001F00000000FFFFL;
        |$v = ($v | ($v << 16)) & 0x001F0000FF0000FFL;
@@ -493,7 +493,7 @@ object NativeFns {
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
 }
 
-/** `spark.sql.extensions=graft.expr.native.GraftExtensions` exposes the
+/** `spark.sql.extensions=graft.expr.kernels.GraftExtensions` exposes the
   * native kernels to SQL (`SELECT graft_minhash_sig(hs) ...`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =

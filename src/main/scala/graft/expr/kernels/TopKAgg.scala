@@ -1,4 +1,4 @@
-package graft.expr.native
+package graft.expr.kernels
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow

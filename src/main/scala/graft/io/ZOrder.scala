@@ -67,11 +67,11 @@ object ZOrder {
     * expression (graft_morton2 in SQL); [[spread1]]'s composed form is
     * the differential-test twin (ZOrderSpec asserts equality). */
   def zvalue2(a: Column, b: Column): Column =
-    graft.expr.native.NativeFns.morton2(a, b)
+    graft.expr.kernels.NativeFns.morton2(a, b)
 
   /** 3-D Morton code for a, b, c in [0, 2^21). */
   def zvalue3(a: Column, b: Column, c: Column): Column =
-    graft.expr.native.NativeFns.morton3(a, b, c)
+    graft.expr.kernels.NativeFns.morton3(a, b, c)
 
   /** Inverse interleave — recover both cell indices from a 2-D Morton
     * code (diagnostics: which region does this file's z-range cover?).
@@ -179,7 +179,7 @@ object ZOrder {
       val bs = cast.stat.approxQuantile(d, probs, 0.001)
         .toSeq.distinct.sorted
       if (bs.isEmpty) lit(0L)
-      else graft.expr.native.NativeFns.searchSorted(col(d), bs)
+      else graft.expr.kernels.NativeFns.searchSorted(col(d), bs)
     }
     writeByZ(df, cells, path, files)
   }

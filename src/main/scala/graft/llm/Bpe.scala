@@ -82,36 +82,72 @@ object Bpe {
   def trainMergesLocal(docs: DataFrame, textCol: String,
                        nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var vocab: Array[(Long, Array[String])] = wordVocab(docs, textCol)
+    val vocab: Array[(Long, Array[String])] = wordVocab(docs, textCol)
       .select(col("freq"), col("syms")).collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    // INCREMENTAL pair statistics: a merge only changes the adjacent
+    // pairs of words that CONTAIN the winning pair, so each round
+    // touches those words alone (via the pair -> word-index inverted
+    // index) instead of recounting the whole vocabulary — the old
+    // full recount was O(nMerges x vocab) driver work (~10^11 hash
+    // updates at 32k merges / 10M words) for identical results. The
+    // argmax rides a lazy max-heap (count desc, UTF-8-byte pair-key
+    // asc — the same total order as the full scan): every count
+    // change pushes a fresh entry, pops discard entries whose count
+    // no longer matches, so the popped head is exactly the old scan's
+    // argmax. Per-word updates recompute that word's full pair
+    // multiset (subtract old, add new) — bitwise the recount's
+    // contribution, so the maintained counts NEVER drift from the
+    // from-scratch ones (BpeSpec differential vs trainMerges).
+    val syms: Array[Array[String]] = vocab.map(_._2)
+    val freqs: Array[Long] = vocab.map(_._1)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val heap = new java.util.PriorityQueue[(Long, String, (String, String))](
+      math.max(1, vocab.length),
+      (a: (Long, String, (String, String)), b: (Long, String, (String, String))) =>
+        if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+        else if (a._2 == b._2) 0
+        else if (utf8Lt(a._2, b._2)) -1 else 1)
+    def push(p: (String, String), n: Long): Unit =
+      if (n >= 2L) heap.add((n, p._1 + " " + p._2, p))
+    def addWord(w: Int, sign: Long): Unit = {
+      val s = syms(w); val f = freqs(w) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        val n = counts.getOrElse(k, 0L) + f
+        if (n == 0L) counts.remove(k) else counts(k) = n
+        if (sign > 0) {
+          where.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty) += w
+          push(k, n)
+        } else {
+          where.get(k).foreach { ws => ws -= w; if (ws.isEmpty) where.remove(k) }
+          push(k, n) // count dropped: re-offer at the new value
+        }
+        i += 1
+      }
+    }
+    vocab.indices.foreach(addWord(_, 1L))
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
     var done = false
     while (step < nMerges && !done) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (freq, syms) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + freq
-          i += 1
-        }
-      }
       var bestPair: (String, String) = null
-      var bestN = Long.MinValue
-      var bestKey: String = null
-      counts.foreach { case (p, n) =>
-        val key = p._1 + " " + p._2
-        if (n > bestN || (n == bestN && utf8Lt(key, bestKey))) {
-          bestN = n; bestPair = p; bestKey = key
-        }
+      var bestN = 0L
+      while (bestPair == null && !heap.isEmpty) {
+        val (n, _, p) = heap.poll()
+        if (counts.getOrElse(p, 0L) == n) { bestPair = p; bestN = n }
       }
       if (bestPair == null || bestN < 2L) done = true
       else {
         out += ((step, bestPair._1, bestPair._2, bestN))
-        vocab = vocab.map { case (f, syms) =>
-          (f, applyMergeLocal(syms, bestPair._1, bestPair._2))
+        val touched = where.get(bestPair).map(_.toArray).getOrElse(Array.empty)
+        touched.foreach { w =>
+          addWord(w, -1L)
+          syms(w) = applyMergeLocal(syms(w), bestPair._1, bestPair._2)
+          addWord(w, 1L)
         }
         step += 1
       }

@@ -220,7 +220,7 @@ object CorpusStats {
       .distinct.map(_.toDouble + 0.5)
     val cell =
       if (bounds.isEmpty) lit(0L)
-      else graft.expr.native.NativeFns.searchSorted(v, bounds)
+      else graft.expr.kernels.NativeFns.searchSorted(v, bounds)
     docs.select(v.as("__v"), cell.as("bucket"))
       .groupBy("bucket").agg(
         count(lit(1)).as("n_docs"),
@@ -322,6 +322,89 @@ object CorpusStats {
       .select(col("occurrences"),
         hll_sketch_estimate(col("ngram_sketch")).as("est_distinct"),
         col("ngram_sketch"))
+
+  // ---- Engine-native HLL (md5 convention — oracle-replayable) ----
+  //
+  // HyperLogLog (Flajolet, Fuchs, Gandouet & Meunier, AofA 2007 —
+  // public method) with every bit derived from the suite's md5 hash
+  // convention, so registers, the raw estimate and the small-range
+  // linear-counting correction all replay EXACTLY in DuckDB SQL —
+  // unlike the Datasketches twin [[sourceNgramSketch]], whose
+  // serialized sketch only the JVM can read (it was the suite's one
+  // rows-only query). Geometry: the 60-bit md5 hash splits into
+  // p = 12 low index bits (m = 4096 registers) and a B = 48-bit rank
+  // window; rank = B + 1 - bitlength(window) in 1..49, computed in
+  // both engines as `49 - length(ltrim(bin(h div m), '0'))` (an
+  // all-zero window ltrims to '' = length 0 = rank 49 — no special
+  // case). Register max is order- and partitioning-independent, and
+  // shard register frames merge by cell-wise max (monoid), the same
+  // incremental-profile contract as the Datasketches path.
+
+  /** Registers per source: 2^p index bits, 48-bit rank window.
+    * ONE corpus-scale aggregation; the shuffle carries at most
+    * m = 4096 register rows per source, never the n-grams. */
+  def hllNgramRegisters(docs: DataFrame, sourceCol: String,
+                        textCol: String, n: Int = 2): DataFrame =
+    docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
+      .select(col(sourceCol), explode(Text.shingles(col("w"), n)).as("ngram"))
+      .withColumn("__h", conv(substring(md5(col("ngram")), 1, 15), 16, 10)
+        .cast(LongType))
+      .groupBy(col(sourceCol),
+        pmod(col("__h"), lit(HllM.toLong)).as("idx"))
+      .agg(max(lit(HllRmax) -
+        length(ltrim(bin(expr(s"__h div $HllM")), "0"))).cast(LongType).as("r"))
+
+  /** Cell-wise-max shard merge: union register frames, then this —
+    * merge == full-build registers, bit-for-bit (spec'd). */
+  def hllMergeRegisters(regs: DataFrame, sourceCol: String = "source"): DataFrame =
+    regs.groupBy(col(sourceCol), col("idx")).agg(max(col("r")).as("r"))
+
+  /** The HLL estimate from a register frame, in exact micro-units:
+    * raw E = alpha_m * m² / Σ 2^-M[j] is computed as ONE exact
+    * integer floor-division — numerator = alpha_micro·m²·2^49 as a
+    * DECIMAL(38,0) literal, denominator S = Σ 2^(49-r) over present
+    * registers + (m - nreg)·2^49 (a sum of exact longs; the
+    * floor-division is spelled (C - C % S) / S because Spark's
+    * decimal division rounds at scale 6 while DuckDB's `//`
+    * truncates — on the pre-floored numerator both are exact).
+    * When E <= 2.5m and empty registers remain, the standard
+    * small-range correction applies: linear counting
+    * floor(m · ln(m / V) · 1e6), the suite's micro-nat convention
+    * (same double expression shape in both engines). The BIGINT
+    * transport bounds est at ~9.2e12 distinct — far above any
+    * per-source cardinality this sketch is pointed at. */
+  def hllEstimate(regs: DataFrame, sourceCol: String = "source"): DataFrame =
+    regs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("nreg"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRmax - r)")).as("__sp"))
+      .withColumn("__s", col("__sp") +
+        (lit(HllM.toLong) - col("nreg")) * lit(HllTwoRmax))
+      .withColumn("__raw", expr(
+        s"CAST((CAST('$HllNumerator' AS DECIMAL(38,0)) - " +
+          s"CAST('$HllNumerator' AS DECIMAL(38,0)) % __s) / __s AS BIGINT)"))
+      .withColumn("est_distinct_micro",
+        when(col("nreg") < HllM.toLong && col("__raw") <= HllLinearCutMicro,
+          floor(lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / (lit(HllM.toLong) - col("nreg"))) *
+            lit(1000000.0)).cast(LongType))
+          .otherwise(col("__raw")))
+      .select(col(sourceCol), col("nreg"), col("est_distinct_micro"))
+
+  /** Per-source distinct-n-gram HLL profile — registers + estimate in
+    * one call; the native, hash-checkable face of
+    * [[sourceNgramSketch]]. */
+  def sourceNgramHll(docs: DataFrame, sourceCol: String, textCol: String,
+                     n: Int = 2): DataFrame =
+    hllEstimate(hllNgramRegisters(docs, sourceCol, textCol, n), sourceCol)
+
+  /** Native-HLL geometry: p = 12 index bits. */
+  val HllM = 4096
+  private val HllRmax = 49 // (60 - p) + 1; rank of an all-zero window
+  private val HllTwoRmax = 562949953421312L // 2^49
+  /** alpha_micro·m²·2^49 with alpha_micro = round(1e6·0.7213/(1 + 1.079/m))
+    * = 721110 — the raw-estimate numerator as one exact integer. */
+  private val HllNumerator = "6810691388924259720096645120"
+  private val HllLinearCutMicro = 10240000000L // 2.5·m·1e6
 
   /** Duplicate-cluster size histogram over a components frame
     * (node, label): how many clusters of each size the dedup pass
@@ -548,7 +631,7 @@ object CorpusStats {
       // <= (capacity+1) x partitions rows by construction
       .localCheckpoint()
     val total = summaries.filter(col("ngram").isNull)
-      .agg(coalesce(sum(col("__np")), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(col("__np")), lit(0L))).head().getLong(0)
     require(threshold.toDouble * (capacity.toDouble + 1.0) > total.toDouble,
       s"heavyHitters completeness guard: threshold=$threshold <= " +
         s"N/(capacity+1) = $total/${capacity + 1} — candidates may be " +
@@ -594,18 +677,31 @@ object CorpusStats {
     * primitive when even Misra-Gries' candidate set is too much state
     * (e.g. per-shard sketches unioned over months of crawls). Hashes
     * are the md5 convention, so estimates replay exactly in the
-    * oracle. */
+    * oracle.
+    *
+    * The sketch SELF-DESCRIBES its geometry: one sentinel row
+    * `(row = depth, bucket = width, n = 0)` rides with the cells
+    * (cell rows live in [0, depth) × [0, width), so the sentinel is
+    * unambiguous). It is monoid-preserving — the cell-wise-sum shard
+    * merge folds matching sentinels back to one row, while merging
+    * sketches of DIFFERENT geometry leaves two sentinels behind — and
+    * lets [[cmsEstimate]] fail loudly on a probe-geometry mismatch
+    * instead of hashing probes into unrelated buckets and silently
+    * voiding the est >= exact guarantee. */
   def countMinSketch(docs: DataFrame, textCol: String, depth: Int = 4,
                      width: Int = 64): DataFrame = {
     require(depth >= 1 && width >= 2,
       s"need depth >= 1 and width >= 2, got $depth x $width")
-    docs.select(explode(Text.words(col(textCol))).as("w"))
+    val cells = docs.select(explode(Text.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .select(posexplode(array((0 until depth).map(r =>
         pmod(Text.md5Hash(concat(lit(s"cms:$r:"), col("w"))),
           lit(width.toLong))): _*)).as(Seq("row", "bucket")))
       .groupBy(col("row").cast(LongType).as("row"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+    cells.unionByName(docs.sparkSession.range(1).select(
+      lit(depth.toLong).as("row"), lit(width.toLong).as("bucket"),
+      lit(0L).as("n")))
   }
 
   /** md5Hash's exact driver-side twin (15 hex chars = 60 bits, fits
@@ -624,11 +720,29 @@ object CorpusStats {
     * [[Text.words]] tokenization — an unnormalized probe would hash
     * to an unrelated cell and read an arbitrary count, silently
     * voiding the est ≥ exact guarantee. The output echoes the terms
-    * as given. */
+    * as given.
+    *
+    * The probe (depth, width) is VALIDATED against the sketch's
+    * sentinel geometry row (see [[countMinSketch]]) before anything is
+    * estimated: a mismatched width would hash probes to unrelated
+    * buckets and return arbitrary counts with nothing downstream
+    * erring — so a wrong geometry (including a union of
+    * differently-shaped shard sketches, which leaves two sentinels)
+    * fails loudly here. The check collects the out-of-cell-domain
+    * rows only — bounded by sentinel count, never corpus data. */
   def cmsEstimate(cms: DataFrame, terms: Seq[String], depth: Int = 4,
                   width: Int = 64): DataFrame = {
     val spark = cms.sparkSession
     import spark.implicits._
+    val sent = cms
+      .filter(col("row") >= lit(depth.toLong) || col("bucket") >= lit(width.toLong))
+      .select(col("row"), col("bucket")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    require(sent == Seq((depth.toLong, width.toLong)),
+      s"cmsEstimate: probe geometry ${depth}x$width does not match the " +
+        s"sketch (sentinel/out-of-domain rows: ${sent.mkString(", ")}) — " +
+        "pass the depth/width the sketch was built with, and never merge " +
+        "sketches of different geometry")
     val probes = terms.distinct.flatMap(t => (0 until depth).map(r =>
       (t, r.toLong,
         md5Mod(s"cms:$r:${t.toLowerCase}") % width))).toDF("term", "row", "bucket")

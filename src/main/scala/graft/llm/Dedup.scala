@@ -245,8 +245,8 @@ object Dedup {
       .withColumn("__w", Text.words(col(textCol)))
       .withColumn("__sh", Text.shingles(col("__w"), shingleN))
       .withColumn("__hs", array_distinct(transform(col("__sh"), s => Text.md5Hash(s))))
-      // native single-pass signature kernel (graft.expr.native.MinHashSig)
-      .withColumn("__sig", graft.expr.native.NativeFns.minHashSig(col("__hs")))
+      // native single-pass signature kernel (graft.expr.kernels.MinHashSig)
+      .withColumn("__sig", graft.expr.kernels.NativeFns.minHashSig(col("__hs")))
       .select(col(idCol), col("__hs"), col("__sig"))
       .localCheckpoint(false)
   }
@@ -493,7 +493,7 @@ object Dedup {
 
   /** The 48-bit pair signature over a words array. */
   def simHashPairSig(wordsCol: Column): Column =
-    graft.expr.native.NativeFns.simHash(
+    graft.expr.kernels.NativeFns.simHash(
       transform(wordsCol, w => wordHash48(w)), SimHashPairBits)
 
   /** SimHash near-dup pairs — the banded dedup step over `simHash`

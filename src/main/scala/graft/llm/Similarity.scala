@@ -34,8 +34,8 @@ object Similarity {
     transform(e, x => round(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot — native Catalyst expression (codegen'd single
-    * loop; see graft.expr.native). */
-  def dotQ(a: Column, b: Column): Column = graft.expr.native.NativeFns.longDot(a, b)
+    * loop; see graft.expr.kernels). */
+  def dotQ(a: Column, b: Column): Column = graft.expr.kernels.NativeFns.longDot(a, b)
 
   /** Largest |element| of a float embedding, in exact double arithmetic
     * (float→double is exact; abs/max are rounding-free), so both
@@ -198,6 +198,13 @@ object Similarity {
     * the residual path, where `ce` carries residual arrays. */
   private def pqEncodeFrameQ(dfQ: DataFrame,
                              byLabel: Map[Long, IndexedSeq[Long]], m: Int,
+                             dim: Int): DataFrame =
+    pqEncodeKeepCe(dfQ, byLabel, m, dim).select(col("cid"), col("codes"))
+
+  /** [[pqEncodeFrameQ]] keeping the quantized vector column — the
+    * refinement loop reads (ce, codes) together without a self-join. */
+  private def pqEncodeKeepCe(dfQ: DataFrame,
+                             byLabel: Map[Long, IndexedSeq[Long]], m: Int,
                              dim: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
@@ -218,12 +225,52 @@ object Similarity {
         val cNorm = byLabel(l).slice(s * sub, (s + 1) * sub)
           .map(c => c * c).sum
         struct((lit(cNorm) - lit(2L) *
-          graft.expr.native.NativeFns.longDot(col(s"__sub$s"), cwArr(s, l)))
+          graft.expr.kernels.NativeFns.longDot(col(s"__sub$s"), cwArr(s, l)))
           .as("d"), lit(l).as("l"))
       }: _*)).getField("l"))
     }
-    coded.select(col("cid"),
+    coded.select(col("cid"), col("ce"),
       array((0 until m).map(s => col(s"__code$s")): _*).as("codes"))
+  }
+
+  /** Lloyd-REFINED PQ codebooks — the FAISS training practice (~25
+    * refinement iterations per subspace) where [[pqCodebooks]] alone
+    * is the label init plus a single half-step: each round re-assigns
+    * every sub-vector to its nearest codeword (the [[pqEncodeFrameQ]]
+    * argmin — exact integer distances, ties on lowest codeword) and
+    * recomputes each codeword as the floor-mean of its assigned
+    * sub-vectors, keeping a codeword UNCHANGED when no vector picks
+    * it (the deterministic empty-cell rule; in SQL a LEFT JOIN +
+    * coalesce, so the whole training replays in the oracle like
+    * [[kmeansClusters]]' unrolled rounds). Per round: ONE map-side
+    * encode + ONE k×dim-bounded collect (the k-means contract) —
+    * assignments never leave the cluster. The recall win is measured
+    * in-engine by the `pq_it2` / `ivfpq_probe2_it2` ledger rows at
+    * IDENTICAL serving cost (same m, coarse, scanned-code volume —
+    * refinement only moves codeword positions). */
+  def pqCodebooksRefined(candidates: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, m: Int = 4, dim: Int = 64,
+                         rounds: Int = 2): Map[Long, IndexedSeq[Long]] = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val dfQ = candidates.select(col(idCol).as("cid"),
+      quantize(col(embCol)).as("ce"))
+    var books = pqCodebooks(candidates, embCol, labelCol)
+    for (_ <- 0 until rounds) {
+      val upd = pqEncodeKeepCe(dfQ, books, m, dim)
+        .select(col("codes"), posexplode(col("ce")).as(Seq("pos", "v")))
+        .select(element_at(col("codes"),
+            (expr(s"pos div $sub") + 1).cast("int")).as("l"),
+          col("pos"), col("v"))
+        .groupBy(col("l"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      books = books.map { case (l, vec) =>
+        l -> vec.indices.map(p => upd.getOrElse((l, p), vec(p))).toIndexedSeq
+      }
+    }
+    books
   }
 
   /** ADC serving over a code store: per-query exact-integer lookup
@@ -359,8 +406,26 @@ object Similarity {
   def appendToPqIndex(df: DataFrame, idCol: String, embCol: String,
                       path: String, m: Int = 4, dim: Int = 64): Unit = {
     val (byLabel, _) = readPqIndex(df.sparkSession, path)
+    validateCodebooks(byLabel, m, dim, path)
     pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
       .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Fail-loud layout check for append-against-frozen-codebooks: the
+    * caller's (m, dim) must match the persisted index, or the reloaded
+    * codeword arrays would slice wrong and the batch would encode (and
+    * then SERVE) garbage codes silently — mis-sliced sub-vectors still
+    * argmin to *some* codeword, so nothing downstream errors. */
+  private def validateCodebooks(byLabel: Map[Long, IndexedSeq[Long]],
+                                m: Int, dim: Int, path: String): Unit = {
+    require(byLabel.nonEmpty, s"append: no codebooks found under $path")
+    require(m >= 1 && dim % m == 0,
+      s"append: dim=$dim must divide into m=$m subspaces")
+    val badLen = byLabel.collect { case (l, cw) if cw.length != dim => l -> cw.length }
+    require(badLen.isEmpty,
+      s"append: dim=$dim does not match the index at $path — codebook " +
+        s"vectors have length ${badLen.head._2} (label ${badLen.head._1}); " +
+        "pass the (m, dim) the index was built with")
   }
 
   /** Reload a persisted PQ index → (codebooks map, codes frame). */
@@ -602,7 +667,7 @@ object Similarity {
       array_min(array(cents.map { case (cid, c) =>
         val cNorm = c.map(x => x * x).sum
         struct((lit(cNorm) - lit(2L) *
-          graft.expr.native.NativeFns.longDot(col("eq"), array(c.map(lit): _*)))
+          graft.expr.kernels.NativeFns.longDot(col("eq"), array(c.map(lit): _*)))
           .as("dist"), lit(cid).as("cid"))
       }: _*)).getField("cid")
     // deterministic seeding: the k lowest-id vectors, cid by id order
@@ -768,7 +833,7 @@ object Similarity {
     val best = array_min(array(cents.map { case (label, c) =>
       val cNorm = c.map(x => x * x).sum
       struct((lit(cNorm) - lit(2L) *
-        graft.expr.native.NativeFns.longDot(col("__eq"), array(c.map(lit): _*)))
+        graft.expr.kernels.NativeFns.longDot(col("__eq"), array(c.map(lit): _*)))
         .as("dist"), lit(label).as("lbl"))
     }: _*)).getField("lbl")
     df.withColumn("__eq", quantize(col(embCol)))
@@ -794,14 +859,41 @@ object Similarity {
     val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
     eqNew.write.mode("append").partitionBy("label")
       .parquet(s"$path/assignments")
-    // eager checkpoint cuts the lineage to the old centroid files so
-    // the overwrite below cannot read-while-writing its own input
     val merged = spark.read.parquet(s"$path/centroids")
       .unionByName(centNew)
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$path/centroids")
+    swapInParquet(spark, merged, s"$path/centroids")
+  }
+
+  /** Crash-consistent replacement for `mode("overwrite")` on the tiny
+    * centroid table during appends: the merged frame is fully written
+    * to a sibling temp dir FIRST (reading the live table as input —
+    * no read-while-overwrite, so the previous localCheckpoint guard is
+    * unnecessary), then published with two filesystem renames. A crash
+    * before the publish leaves the OLD table intact and valid; a crash
+    * inside the (metadata-only) rename window leaves the table MISSING
+    * — which fails loudly on the next read instead of serving appended
+    * codes against silently-stale centroid sums, the corruption mode
+    * the in-place overwrite had. Recovery for either residue: re-run
+    * the append for the batch (the code/assignment files of a failed
+    * attempt are re-appended; run the dedup-compaction recipe if exact
+    * duplicate rows matter) and delete orphan `__next`/`__old` dirs. */
+  private def swapInParquet(spark: org.apache.spark.sql.SparkSession,
+                            df: DataFrame, dest: String): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
+    val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
+    df.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(destPath) && !fs.rename(destPath, old))
+      throw new java.io.IOException(s"swapInParquet: cannot move $destPath aside")
+    if (!fs.rename(next, destPath)) {
+      fs.rename(old, destPath) // restore the previous generation
+      throw new java.io.IOException(s"swapInParquet: cannot publish $next")
+    }
+    fs.delete(old, true)
   }
 
   /** ANN against a pre-built index — the serving path. Same math as
@@ -908,18 +1000,16 @@ object Similarity {
                          dim: Int = 64): Unit = {
     val spark = df.sparkSession
     val (byLabel, _) = readPqIndex(spark, path)
+    validateCodebooks(byLabel, m, dim, path)
     val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
     pqEncodeFrameQ(eqNew.select(col("cid"), col("eq").as("ce")), byLabel, m, dim)
       .join(eqNew.select(col("cid"), col("label")), "cid")
       .write.mode("append").partitionBy("label").parquet(s"$path/codes")
-    // eager checkpoint cuts the lineage to the old centroid files so
-    // the overwrite below cannot read-while-writing its own input
     val merged = spark.read.parquet(s"$path/centroids")
       .unionByName(centNew)
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(s"$path/centroids")
+    swapInParquet(spark, merged, s"$path/centroids")
   }
 
   /** Load a persisted IVFPQ index → (centroids, codebooks, codes). */
@@ -973,9 +1063,29 @@ object Similarity {
         .map(t => math.floorDiv(t._3, math.max(t._4, 1L))).toIndexedSeq)
       .toMap
 
-  /** Literal per-label centroid array column (when-chain over the
-    * nlist labels — bounded by the k-means contract). */
-  private def centroidArrCol(means: Map[Long, IndexedSeq[Long]]): Column =
+  /** Literal per-label centroid array column. Coarse labels are DENSE
+    * 0..nlist-1 for every trained quantizer ([[kmeansClusters]] seeds
+    * cluster ids 0..k-1; the fixture label column is 0-based), so the
+    * fast path is ONE literal array-of-arrays indexed positionally by
+    * `label` — O(1) per row, and the generated code does NOT grow with
+    * nlist (the [[pqLutAndAdc]] fix pattern; the previous per-label
+    * `when` chain re-grew linearly at a production nlist of
+    * 4096–65536, the same disease the ADC chain had pre-r13). A
+    * sparse label space falls back to [[centroidArrColChain]], kept as
+    * the differential anchor: for labels present in `means` the two
+    * forms select the SAME literal array (by position vs by equality),
+    * so they are bit-identical (spec'd in LlmSpec). */
+  private[llm] def centroidArrCol(means: Map[Long, IndexedSeq[Long]]): Column = {
+    val labels = means.keys.toSeq.sorted
+    if (labels == (0L until labels.size.toLong))
+      element_at(array(labels.map(l => array(means(l).map(lit): _*)): _*),
+        (col("label").cast("int") + lit(1)))
+    else centroidArrColChain(means)
+  }
+
+  /** The when-chain form of [[centroidArrCol]] — the bit-equality
+    * differential anchor (and the sparse-label fallback). */
+  private[llm] def centroidArrColChain(means: Map[Long, IndexedSeq[Long]]): Column =
     coalesce(means.keys.toSeq.sorted.map { l =>
       when(col("label") === l, array(means(l).map(lit): _*))
     }: _*)
@@ -1042,7 +1152,7 @@ object Similarity {
     val probed = best.join(qLut, "qid").join(q, "qid")
       .withColumn("__carr", centroidArrCol(means))
       .withColumn("__qc",
-        graft.expr.native.NativeFns.longDot(col("qe"), col("__carr")))
+        graft.expr.kernels.NativeFns.longDot(col("qe"), col("__carr")))
       .drop("qe", "__carr")
     val scored = codes.join(broadcast(probed), "label")
       .withColumn("adc", adcR + col("__qc"))

@@ -238,7 +238,7 @@ object Text {
   def charEntropyNativeFrame(docs: DataFrame, idCol: String,
                              textCol: String): DataFrame =
     docs
-      .withColumn("__e", graft.expr.native.NativeFns.charEntropy(col(textCol)))
+      .withColumn("__e", graft.expr.kernels.NativeFns.charEntropy(col(textCol)))
       .select(col(idCol),
         coalesce(element_at(col("__e"), 1), lit(0L)).as("n_chars_counted"),
         element_at(col("__e"), 2).as("h_micro"))

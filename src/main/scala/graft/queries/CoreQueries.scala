@@ -359,7 +359,7 @@ object CoreQueries {
     // cleaning layer is reachable from a pure-SQL client (JDBC/
     // thriftserver, notebook %%sql, spark.sql.extensions conf).
     "sql_e2e_cleaning" -> ((s, dir) => {
-      graft.expr.native.GraftExtensions.install(s)
+      graft.expr.kernels.GraftExtensions.install(s)
       t(s, dir, "documents").createOrReplaceTempView("documents_sqlv")
       s.sql("""
         SELECT doc_id,
@@ -749,7 +749,7 @@ object CoreQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
-    // Custom bounded top-k AGGREGATE (graft.expr.native.TopKLongs):
+    // Custom bounded top-k AGGREGATE (graft.expr.kernels.TopKLongs):
     // k-bounded heap state merged map-side — the shuffle carries at
     // most k values per (group, task) instead of every row (window) or
     // every value (collect_list).
@@ -758,7 +758,7 @@ object CoreQueries {
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .groupBy(col("user_id"))
         .agg(array_join(transform(
-          graft.expr.native.NativeFns.topK(col("cents"), 3),
+          graft.expr.kernels.NativeFns.topK(col("cents"), 3),
           x => x.cast("string")), ",").as("top3"))
         .orderBy(col("user_id"))),
 

@@ -167,7 +167,7 @@ object LlmQueries {
       val content = when(col("doc_id") % 41 === 5, lit("cafe\u0301 menu plan"))
         .when(col("doc_id") % 41 === 6, lit("caf\u00e9 menu plan"))
         .otherwise(col("text"))
-      val norm = graft.expr.native.NativeFns.nfc(content)
+      val norm = graft.expr.kernels.NativeFns.nfc(content)
       t(s, dir, "documents")
         .withColumn("changed", norm =!= content)
         .withColumn("norm_hash", md5(norm))
@@ -240,7 +240,7 @@ object LlmQueries {
       t(s, dir, "documents")
         .withColumn("wh", transform(Text.words(col("text")), w => Text.md5Hash(w)))
         .select(col("doc_id"),
-          graft.expr.native.NativeFns.simHash(col("wh")).as("simhash"))
+          graft.expr.kernels.NativeFns.simHash(col("wh")).as("simhash"))
         .orderBy(col("doc_id"))),
 
     // SimHash dedup completed: banded candidate buckets + exact Hamming
@@ -308,7 +308,7 @@ object LlmQueries {
       // native entropy kernel: the third stage is a projection +
       // filter in the same plan, not a join against an aggregate
       gated
-        .withColumn("__e", graft.expr.native.NativeFns.charEntropy(col("text")))
+        .withColumn("__e", graft.expr.kernels.NativeFns.charEntropy(col("text")))
         .withColumn("h_micro", element_at(col("__e"), 2))
         .filter(col("h_micro") >= 2750000L)
         .select(col("doc_id"), col("canon"), col("g.n_words").as("n_words"),
@@ -588,8 +588,19 @@ object LlmQueries {
         Similarity.quantize(col("embedding")).as("ce"))
       def serve(c: Int) = Similarity.pqServe(byLabel, codes, store, qs,
         "vec_id", "embedding", k = 3, m = 4, dim = 64, coarse = c)
+      // the codebook-QUALITY dial: 2 Lloyd refinement rounds on the
+      // same init, served at the same coarse-20 — identical serving
+      // cost, only the codeword positions move (the FAISS practice;
+      // the oracle replays the refinement rounds like the kmeans CTEs)
+      val byIt = Similarity.pqCodebooksRefined(cands, "vec_id", "embedding",
+        "label", m = 4, dim = 64, rounds = 2)
+      val codesIt = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
+        byIt, m = 4, dim = 64).localCheckpoint()
+      val serveIt = Similarity.pqServe(byIt, codesIt, store, qs,
+        "vec_id", "embedding", k = 3, m = 4, dim = 64, coarse = 20)
       recallOf(serve(5), "pq_coarse5")
         .unionByName(recallOf(serve(20), "pq_coarse20"))
+        .unionByName(recallOf(serveIt, "pq_it2_coarse20"))
         .orderBy(col("method"))
     }),
 
@@ -996,9 +1007,23 @@ object LlmQueries {
         dim = 64, coarse = 20, nprobe = nprobe)
       val pqFull = Similarity.pqServe(byLabel, codes, store, qs,
         "vec_id", "embedding", k = 3, m = 4, dim = 64, coarse = 20)
+      // codebook quality at fixed scan budget: 2 Lloyd refinement
+      // rounds, served at the SAME nprobe=2 / coarse=20 / scanned
+      // volume — the ledger prices the training dial separately from
+      // the probing dial
+      val byIt = Similarity.pqCodebooksRefined(cands, "vec_id", "embedding",
+        "label", m = 4, dim = 64, rounds = 2)
+      val codesItLab = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
+        byIt, m = 4, dim = 64)
+        .join(cands.select(col("vec_id").as("cid"), col("label")), "cid")
+        .localCheckpoint()
+      val serveIt = Similarity.ivfPqTopK(cent, byIt, codesItLab, store, qs,
+        "vec_id", "embedding", k = 3, m = 4, dim = 64, coarse = 20,
+        nprobe = 2)
       ledgerRow(pqFull, "pq_full", scannedFull)
         .unionByName(ledgerRow(serveIvfPq(1), "ivfpq_probe1", scannedProbe(1)))
         .unionByName(ledgerRow(serveIvfPq(2), "ivfpq_probe2", scannedProbe(2)))
+        .unionByName(ledgerRow(serveIt, "ivfpq_probe2_it2", scannedProbe(2)))
         .orderBy(col("method"))
     }),
 
@@ -1216,7 +1241,7 @@ object LlmQueries {
           Similarity.lshBucket(col("eq"), planes).as("bucket"))
       val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
       def top3(df: DataFrame) = df
-        .withColumn("dot", graft.expr.native.NativeFns.longDot(col("qe"), col("ce")))
+        .withColumn("dot", graft.expr.kernels.NativeFns.longDot(col("qe"), col("ce")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("qid"), col("cid"))
       val exact = top3(c.drop("bucket").crossJoin(broadcast(q.drop("bucket"))))
@@ -1966,18 +1991,18 @@ object LlmQueries {
         width = 250000L, seed = "cur")
         .orderBy(col("bucket_lo").desc_nulls_last, col("skey"), col("doc_id"))),
 
-    // Per-source distinct-bigram profile via mergeable HLL sketches.
-    // No value oracle (DuckDB's approx_distinct is a different HLL);
-    // the spec proves the union == recompute mergeability contract,
-    // and the driver records the rows-only check here. The projection
-    // is DELIBERATELY the estimate alone (+ key): every exact column
-    // the operator emits (occurrences) lives in the hash-checked
-    // companion llm_sketch_counts, so the one rows-only row in the
-    // suite carries zero data an oracle could have checked.
+    // Per-source distinct-bigram profile via the ENGINE-NATIVE
+    // md5-convention HLL: registers, the raw estimate and the
+    // small-range linear-counting branch all replay bit-exactly in
+    // DuckDB, so this row is rows+schema+hash green like every other
+    // sketch (it was the suite's one rows-only query while it rode
+    // Datasketches, whose serialized sketch only the JVM can read —
+    // that estimator stays available as CorpusStats.sourceNgramSketch
+    // with its mergeability spec). Register-merge incrementality is
+    // spec'd (shard-union == full build, cell-wise max monoid).
     "llm_sketch_profile" -> ((s, dir) =>
-      CorpusStats.sourceNgramSketch(t(s, dir, "documents"), "source",
-        "doc_id", "text", n = 2, lgK = 12)
-        .select(col("source"), col("est_distinct"))
+      CorpusStats.sourceNgramHll(t(s, dir, "documents"), "source",
+        "text", n = 2)
         .orderBy(col("source"))),
 
     // Exact companion to llm_sketch_profile: the (source, occurrences)
@@ -2407,9 +2432,53 @@ object LlmQueries {
        |    (SELECT count(*) FROM exact JOIN ivf2 USING (qid, cid)) FROM nq) t
        |ORDER BY method""".stripMargin
 
-  /** PQ recall@3 oracle (coarse 5 vs 20) on the disjoint query
-    * (vec_id < 100) / candidate (>= 100) split — full PQ replay with
-    * codebooks trained on the candidate side only. */
+  /** Unrolled Lloyd-refinement replay of Similarity.pqCodebooksRefined
+    * over CTEs `c` (cid, …, ce) and `cwp` (l, pos, cw — the init):
+    * round r assigns every (cid, subspace) to its nearest codeword of
+    * rcw_{r-1} (exact integer L2², ties lowest codeword — the same
+    * order as the engine's dot-identity argmin, which differs only by
+    * a per-(cid, s) constant) and floor-mean-updates, keeping a
+    * codeword unchanged when nothing picks it (LEFT JOIN + coalesce =
+    * the engine's getOrElse fallback). Emits steps 1..rounds+1; step
+    * rounds+1's `rcodes_*` is the SERVING encode against the final
+    * books rcw_{rounds} (its unused rcw update is never evaluated —
+    * DuckDB inlines CTEs on demand). */
+  private def pqRefineCtes(rounds: Int): String = {
+    val head = Seq(
+      """cev AS (SELECT cid, i AS pos, ce[i] AS v, (i - 1) // 16 AS s
+        |  FROM c, range(1, 65) t(i))""".stripMargin,
+      "rcw_0 AS (SELECT l, pos, cw FROM cwp)")
+    val steps = (1 to rounds + 1).map { r =>
+      s"""rdists_$r AS (SELECT cev.cid AS cid, w.l AS l, cev.s AS s,
+         |    CAST(sum((cev.v - w.cw) * (cev.v - w.cw)) AS BIGINT) AS d
+         |  FROM cev JOIN rcw_${r - 1} w ON w.pos = cev.pos
+         |  GROUP BY cev.cid, w.l, cev.s),
+         |rcodes_$r AS (SELECT cid, s, l AS code FROM (
+         |    SELECT cid, s, l, row_number() OVER (
+         |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM rdists_$r) t
+         |  WHERE rn = 1),
+         |rcw_$r AS (SELECT p.l AS l, p.pos AS pos, coalesce(u.cw, p.cw) AS cw
+         |  FROM rcw_${r - 1} p LEFT JOIN (
+         |    SELECT rc.code AS l, cev.pos AS pos,
+         |      CAST(floor(CAST(sum(cev.v) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+         |    FROM cev JOIN rcodes_$r rc ON rc.cid = cev.cid AND rc.s = cev.s
+         |    GROUP BY rc.code, cev.pos) u ON u.l = p.l AND u.pos = p.pos)""".stripMargin
+    }
+    (head ++ steps).mkString(",\n")
+  }
+
+  /** The refined-books serving LUT + ADC CTEs shared by the two recall
+    * oracles (`rlut` over the final books, `rcodes_3` = the serving
+    * encode from [[pqRefineCtes]](2)). */
+  private val RefinedLutCte: String =
+    """rlut AS (SELECT q.qid AS qid, w.l AS l, (w.pos - 1) // 16 AS s,
+      |    CAST(sum(q.qe[w.pos] * w.cw) AS BIGINT) AS dp
+      |  FROM q, rcw_2 w GROUP BY q.qid, w.l, (w.pos - 1) // 16)""".stripMargin
+
+  /** PQ recall@3 oracle (coarse 5 vs 20, plus the 2-round-refined
+    * books at coarse 20) on the disjoint query (vec_id < 100) /
+    * candidate (>= 100) split — full PQ replay with codebooks trained
+    * on the candidate side only. */
   private lazy val PqRecallOracleSql: String =
     s"""WITH eqa AS (SELECT vec_id, label,
        |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
@@ -2452,6 +2521,18 @@ object LlmQueries {
        |pq20 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
        |  FROM scored s JOIN co20 USING (qid, cid)) t WHERE rk <= 3),
+       |${pqRefineCtes(2)},
+       |$RefinedLutCte,
+       |radcs AS (SELECT rc.cid AS cid, rlut.qid AS qid,
+       |    CAST(sum(rlut.dp) AS BIGINT) AS adc
+       |  FROM rcodes_3 rc JOIN rlut ON rlut.s = rc.s AND rlut.l = rc.code
+       |  GROUP BY rc.cid, rlut.qid),
+       |rco20 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM radcs) t
+       |  WHERE rn <= 20),
+       |rpq20 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN rco20 USING (qid, cid)) t WHERE rk <= 3),
        |nq AS (SELECT count(*) AS n_queries FROM q)
        |SELECT method, n_queries, total_matches,
        |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
@@ -2459,7 +2540,10 @@ object LlmQueries {
        |    (SELECT count(*) FROM exact JOIN pq20 USING (qid, cid)) AS total_matches FROM nq
        |  UNION ALL
        |  SELECT 'pq_coarse5', nq.n_queries,
-       |    (SELECT count(*) FROM exact JOIN pq5 USING (qid, cid)) FROM nq) t
+       |    (SELECT count(*) FROM exact JOIN pq5 USING (qid, cid)) FROM nq
+       |  UNION ALL
+       |  SELECT 'pq_it2_coarse20', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN rpq20 USING (qid, cid)) FROM nq) t
        |ORDER BY method""".stripMargin
 
   /** IVFPQ serving oracle (llm_ann_ivfpq): full replay of the coarse
@@ -2574,6 +2658,20 @@ object LlmQueries {
        |${topOf("full")},
        |${topOf("p1")},
        |${topOf("p2")},
+       |${pqRefineCtes(2)},
+       |$RefinedLutCte,
+       |radcs_p2 AS (SELECT rc.cid AS cid, r.qid AS qid,
+       |    CAST(sum(rlut.dp) AS BIGINT) AS adc
+       |  FROM rcodes_3 rc JOIN c ON c.cid = rc.cid
+       |  JOIN ranked r ON r.label = c.label AND r.rn <= 2
+       |  JOIN rlut ON rlut.qid = r.qid AND rlut.s = rc.s AND rlut.l = rc.code
+       |  GROUP BY rc.cid, r.qid),
+       |rco_p2 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM radcs_p2) t
+       |  WHERE rn <= 20),
+       |rtop_p2 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN rco_p2 USING (qid, cid)) t WHERE rk <= 3),
        |nq AS (SELECT count(*) AS n_queries FROM q),
        |ncodes AS (SELECT count(*) AS n_codes FROM c),
        |scan_p1 AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS sc
@@ -2593,6 +2691,10 @@ object LlmQueries {
        |  UNION ALL
        |  SELECT 'ivfpq_probe2', nq.n_queries,
        |    (SELECT count(*) FROM exact JOIN top_p2 USING (qid, cid)),
+       |    (SELECT sc FROM scan_p2) FROM nq
+       |  UNION ALL
+       |  SELECT 'ivfpq_probe2_it2', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN rtop_p2 USING (qid, cid)),
        |    (SELECT sc FROM scan_p2) FROM nq) t
        |ORDER BY method""".stripMargin
   }
@@ -4220,6 +4322,33 @@ object LlmQueries {
         |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents) t0)
         |SELECT source, count(*)::BIGINT AS occurrences
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    // Native-HLL replay: 60-bit md5 -> (idx = h % 4096, rank =
+    // 49 - bitlen(h // 4096)) registers, register-max, then the exact
+    // integer raw estimate (HUGEINT floor-division by the
+    // alpha*m^2*2^49 numerator) with the linear-counting branch in
+    // the micro-nat double convention — constants mirrored from
+    // CorpusStats.{HllNumerator, HllLinearCutMicro}.
+    "llm_sketch_profile" ->
+      """WITH g AS (
+        |  SELECT source, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+        |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents) t0),
+        |h AS (SELECT source, ('0x' || substr(md5(ngram), 1, 15))::BIGINT AS h FROM g),
+        |regs AS (SELECT source, h % 4096 AS idx,
+        |    MAX(49 - length(ltrim(bin(h // 4096), '0')))::BIGINT AS r
+        |  FROM h GROUP BY source, h % 4096),
+        |agg AS (SELECT source, count(*)::BIGINT AS nreg,
+        |    CAST(sum(1::BIGINT << CAST(49 - r AS INTEGER)) AS BIGINT) AS sp
+        |  FROM regs GROUP BY source),
+        |raw AS (SELECT source, nreg,
+        |    CAST('6810691388924259720096645120'::HUGEINT
+        |      // (sp + (4096 - nreg) * 562949953421312)::HUGEINT AS BIGINT) AS raw_micro
+        |  FROM agg)
+        |SELECT source, nreg,
+        |  CASE WHEN nreg < 4096 AND raw_micro <= 10240000000
+        |    THEN CAST(floor(CAST(4096 AS DOUBLE) *
+        |      ln(CAST(4096 AS DOUBLE) / (4096 - nreg)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |    ELSE raw_micro END AS est_distinct_micro
+        |FROM raw ORDER BY source""".stripMargin,
     "llm_top_ngrams" ->
       """WITH g AS (
         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram

@@ -136,7 +136,7 @@ object Streams {
                     textCol: String, tsCol: String = "ts",
                     watermark: String = "1 hour",
                     minWords: Long = 20L, maxWords: Long = 90L): DataFrame = {
-    val norm = graft.expr.native.NativeFns.nfc(col(textCol))
+    val norm = graft.expr.kernels.NativeFns.nfc(col(textCol))
     docs
       .withColumn(textCol, norm)
       .withColumn("__g", graft.llm.Text.gopherFlags(col(textCol),

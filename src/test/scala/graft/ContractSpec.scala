@@ -5,20 +5,14 @@ package graft
   * entry returns rows on the smoke scale factor. */
 class ContractSpec extends SparkSpec {
 
-  // Queries with no SQL-expressible oracle (the driver records a
-  // weaker rows-only check for these). Keep this list SHORT and
-  // justified: currently only the HLL-sketch profile, whose estimate
-  // DuckDB cannot replay (different HLL implementation). The query
-  // projects ONLY (source, est_distinct) — its exact columns are
-  // hash-checked separately as llm_sketch_counts, so nothing
-  // oracle-checkable hides behind the rows-only row — and the
-  // estimate's mergeability contract is proven in OrderStatsSpec.
-  private val rowsOnlyQueries = Set("llm_sketch_profile")
-
+  // EVERY query has a value oracle: since the r14 engine-native HLL
+  // replaced the Datasketches estimate behind llm_sketch_profile (the
+  // historical lone rows-only row), the suite is 100% hash-checkable
+  // and this alignment is exact — no exemption list.
   test("queries and oracleSql keys align") {
     assert(SparkEntry.queries.nonEmpty)
-    assert(SparkEntry.queries.keySet -- rowsOnlyQueries == SparkEntry.oracleSql.keySet,
-      s"mismatch: ${(SparkEntry.queries.keySet -- rowsOnlyQueries).diff(SparkEntry.oracleSql.keySet)} / " +
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"mismatch: ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)} / " +
         s"${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)}")
   }
 

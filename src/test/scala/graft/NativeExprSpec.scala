@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.expr.native.{GraftExtensions, NativeFns}
+import graft.expr.kernels.{GraftExtensions, NativeFns}
 import graft.llm.{Dedup, Similarity, Text}
 
 /** Native Catalyst expressions must be bit-identical to the HOF
@@ -103,7 +103,7 @@ class NativeExprSpec extends SparkSpec {
     for (parts <- Seq(1, 7)) {
       val df = rows.toDF("g", "v").repartition(parts)
       val got = df.groupBy("g")
-        .agg(graft.expr.native.NativeFns.topK(col("v"), 5).as("t"))
+        .agg(graft.expr.kernels.NativeFns.topK(col("v"), 5).as("t"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
       val want = rows.groupBy(_._1).map { case (g, vs) =>
         g -> vs.map(_._2).sorted.reverse.take(5).toList }
@@ -111,10 +111,10 @@ class NativeExprSpec extends SparkSpec {
     }
     // fewer than k values -> all of them, descending
     val small = Seq((1, 9L), (1, 3L)).toDF("g", "v").groupBy("g")
-      .agg(graft.expr.native.NativeFns.topK(col("v"), 5).as("t"))
+      .agg(graft.expr.kernels.NativeFns.topK(col("v"), 5).as("t"))
       .collect()(0).getSeq[Long](1).toList
     assert(small == List(9L, 3L))
-    graft.expr.native.GraftExtensions.install(spark)
+    graft.expr.kernels.GraftExtensions.install(spark)
     val viaSql = spark.sql(
       "SELECT graft_top_k(c, 2) FROM VALUES (1L), (5L), (3L) AS t(c)")
       .collect()(0).getSeq[Long](0).toList
@@ -122,7 +122,7 @@ class NativeExprSpec extends SparkSpec {
   }
 
   test("F-series scalar layer reachable from SQL via extensions") {
-    graft.expr.native.GraftExtensions.install(spark)
+    graft.expr.kernels.GraftExtensions.install(spark)
     val r = spark.sql(
       """SELECT graft_clean_string(' nan ') AS a,
         |  graft_normalize_status('actif') AS b,
@@ -143,7 +143,7 @@ class NativeExprSpec extends SparkSpec {
       (5L, "Å")                            // A + ring -> Å (U+00C5)
     ).toDF("id", "t")
     val out = docs.select(col("id"),
-        graft.expr.native.NativeFns.nfc(col("t")).as("n"))
+        graft.expr.kernels.NativeFns.nfc(col("t")).as("n"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
     assert(out(1L) === out(2L), "NFC canonicalizes the two forms to one string")
     assert(out(1L) === "café")

@@ -342,7 +342,7 @@ class PropertySpec extends SparkSpec {
     val (bounds, vs) = gen.pureApply(Gen.Parameters.default, Seed(7L))
     val rows = vs.toDF("v")
       .select(col("v"),
-        graft.expr.native.NativeFns.searchSorted(col("v"), bounds).as("c"))
+        graft.expr.kernels.NativeFns.searchSorted(col("v"), bounds).as("c"))
       .collect()
     rows.foreach { r =>
       assert(r.getLong(1) == bounds.count(_ <= r.getDouble(0)).toLong,

@@ -49,7 +49,7 @@ class ZOrderSpec extends SparkSpec {
       .select(ZOrder.zvalue2(col("a"), col("b")).as("z")).collect()
     assert(nu.head.isNullAt(0))
     // registered for SQL users
-    graft.expr.native.GraftExtensions.install(spark)
+    graft.expr.kernels.GraftExtensions.install(spark)
     val viaSql = spark.sql("SELECT graft_morton2(5L, 3L) AS z, graft_morton3(5L, 3L, 1L) AS z3")
       .collect().head
     assert(viaSql.getLong(0) == refZ2(5L, 3L) && viaSql.getLong(1) == refZ3(5L, 3L, 1L))
@@ -96,15 +96,15 @@ class ZOrderSpec extends SparkSpec {
     def refCell(v: Double): Long = bounds.count(_ <= v).toLong
     val vs = Seq(-5.0, 0.99, 1.0, 1.01, 2.5, 3.0, 7.0, 99.9, 100.0, 1e9)
     val df = vs.toDF("v")
-      .withColumn("c", graft.expr.native.NativeFns.searchSorted(col("v"), bounds))
+      .withColumn("c", graft.expr.kernels.NativeFns.searchSorted(col("v"), bounds))
     df.collect().foreach { r =>
       assert(r.getLong(1) == refCell(r.getDouble(0)), s"v=${r.getDouble(0)}")
     }
     val nu = Seq(Option.empty[Double]).toDF("v")
-      .select(graft.expr.native.NativeFns.searchSorted(col("v"), bounds)).collect()
+      .select(graft.expr.kernels.NativeFns.searchSorted(col("v"), bounds)).collect()
     assert(nu.head.isNullAt(0))
     intercept[IllegalArgumentException] {
-      graft.expr.native.SearchSortedDouble(null, Seq(2.0, 1.0))
+      graft.expr.kernels.SearchSortedDouble(null, Seq(2.0, 1.0))
     }
   }
 

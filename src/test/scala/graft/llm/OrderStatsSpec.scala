@@ -221,6 +221,46 @@ class OrderStatsSpec extends SparkSpec {
     per.unpersist()
   }
 
+  test("native HLL: shard register-merge == full; linear branch tracks exact") {
+    val docs = (1L to 300L)
+      .map(i => (i, "s" + (i % 2), s"w${i % 19} w${i % 23} w${i % 29}"))
+      .toDF("doc_id", "source", "text")
+    val full = CorpusStats.hllNgramRegisters(docs, "source", "text")
+    // cell-wise max monoid: register frames of two shards merge to the
+    // full build bit-for-bit (yesterday's registers union with today's
+    // without rescanning — the incremental-profile contract)
+    val merged = CorpusStats.hllMergeRegisters(
+      CorpusStats.hllNgramRegisters(docs.filter(col("doc_id") <= 150),
+          "source", "text")
+        .unionByName(CorpusStats.hllNgramRegisters(
+          docs.filter(col("doc_id") > 150), "source", "text")))
+    assert(merged.except(full).count() === 0 &&
+      full.except(merged).count() === 0, "shard merge must equal full build")
+    // few hundred distinct vs m=4096 registers -> the linear-counting
+    // branch, whose error at this load is ~1%; deterministic (md5)
+    val est = CorpusStats.hllEstimate(full)
+      .as[(String, Long, Long)].collect().map { case (s, _, e) => s -> e }.toMap
+    val exact = docs.select(col("source"),
+        explode(Text.shingles(Text.words(col("text")), 2)).as("g"))
+      .distinct().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (s, d) =>
+      val e = est(s).toDouble / 1e6
+      assert(math.abs(e - d) / d < 0.03, s"$s: est $e vs exact $d")
+    }
+  }
+
+  test("native HLL: raw-estimate branch within HLL error at 12k distinct") {
+    // 12000 distinct single bigrams > 2.5m = 10240 -> the raw
+    // integer-floor-division estimate path (std err ~1.04/sqrt(4096))
+    val docs = (1L to 12000L).map(i => ("s", s"u$i v$i")).toDF("source", "text")
+    val est = CorpusStats.sourceNgramHll(docs, "source", "text")
+      .as[(String, Long, Long)].head()
+    assert(est._2 <= CorpusStats.HllM, "register count is bounded by m")
+    val e = est._3.toDouble / 1e6
+    assert(math.abs(e - 12000.0) / 12000.0 < 0.06, s"raw estimate off: $e")
+  }
+
   test("clusterSizeHistogram: sizes from a components frame") {
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
       (20L, 20L)).toDF("node", "label")
@@ -572,6 +612,31 @@ class OrderStatsSpec extends SparkSpec {
       depth = 4, width = 16).as[(String, Long)].collect().toMap
     assert(cased("SHARED") === cased("shared") && cased("shared") >= 60L,
       s"case-normalized probes must agree: $cased")
+  }
+
+  test("cmsEstimate: geometry sentinel fails loudly on probe/sketch mismatch") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val cms = CorpusStats.countMinSketch(docs, "text", depth = 4, width = 16)
+    // a wider probe hashes terms to unrelated buckets — previously it
+    // silently returned arbitrary counts; now the sentinel row catches
+    // BOTH directions of the mismatch
+    assert(intercept[IllegalArgumentException] {
+      CorpusStats.cmsEstimate(cms, Seq("a"), depth = 4, width = 64)
+    }.getMessage.contains("geometry"))
+    intercept[IllegalArgumentException] {
+      CorpusStats.cmsEstimate(cms, Seq("a"), depth = 2, width = 16)
+    }
+    // merging sketches of different geometry leaves two sentinels —
+    // the merged frame can never be probed consistently, so it is loud
+    val bad = cms.unionByName(
+        CorpusStats.countMinSketch(docs, "text", depth = 4, width = 8))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("n"))
+    intercept[IllegalArgumentException] {
+      CorpusStats.cmsEstimate(bad, Seq("a"), depth = 4, width = 16)
+    }
+    // the matched-geometry path still answers
+    assert(CorpusStats.cmsEstimate(cms, Seq("a"), depth = 4, width = 16)
+      .as[(String, Long)].head()._2 >= 1L)
   }
 
   test("jlProject: deterministic exact-integer sign projection") {

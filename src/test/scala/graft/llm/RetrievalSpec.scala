@@ -450,4 +450,63 @@ class RetrievalSpec extends SparkSpec {
         s"$sf has floor-boundary-adjacent dsir buckets: ${tooClose.take(5).toSeq}")
     }
   }
+
+  test("centroidArrCol: dense positional form == when-chain, bit-for-bit; code size O(1) in nlist") {
+    val means = Map(0L -> IndexedSeq(10L, -2L), 1L -> IndexedSeq(3L, 4L),
+      2L -> IndexedSeq(-5L, 6L), 3L -> IndexedSeq(0L, 0L))
+    val df = Seq(0L, 3L, 1L, 2L, 1L).toDF("label")
+    val both = df.select(Similarity.centroidArrCol(means).as("fast"),
+      Similarity.centroidArrColChain(means).as("chain"))
+    assert(both.filter(not(col("fast") <=> col("chain"))).count() === 0,
+      "dense element_at lookup must match the when-chain exactly")
+    // the dense form carries NO per-label conditional — its expression
+    // (and thus generated code) does not grow a branch per label,
+    // unlike the chain (the production-nlist concern this fix closes)
+    assert(!Similarity.centroidArrCol(means).toString.toLowerCase
+      .contains("when"), "dense path must not be a when-chain")
+    assert(Similarity.centroidArrColChain(means).toString.toLowerCase
+      .contains("when"))
+    // sparse label spaces (no 0..n-1 run) fall back to the chain
+    val sparse = Map(1L -> IndexedSeq(7L), 5L -> IndexedSeq(8L))
+    val df2 = Seq(1L, 5L).toDF("label")
+    assert(df2.select(Similarity.centroidArrCol(sparse).as("v"))
+      .as[Seq[Long]].collect().toSeq === Seq(Seq(7L), Seq(8L)))
+  }
+
+  test("PQ/IVFPQ append: fail-loud on (m, dim) mismatch; atomic centroid swap leaves no residue") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val df = (0 until 4).flatMap { c =>
+      (0 until 10).map(i => (c * 100L + i, vec(c.toFloat - 2), c.toLong))
+    }.toDF("vec_id", "embedding", "label")
+    val path = graft.util.Scratch.dir("pq_dimchk") + "/idx"
+    Similarity.persistPqIndex(df, "vec_id", "embedding", "label", path,
+      m = 4, dim = dim)
+    // a mismatched dim would slice the reloaded codebooks wrong and
+    // silently append garbage codes that then serve — must throw
+    assert(intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(df, "vec_id", "embedding", path,
+        m = 4, dim = 32)
+    }.getMessage.contains("dim"))
+    intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(df, "vec_id", "embedding", path,
+        m = 3, dim = dim) // dim % m != 0
+    }
+    val path2 = graft.util.Scratch.dir("ivfpq_dimchk") + "/idx"
+    Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label", path2,
+      m = 4, dim = dim)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(df.withColumn("vec_id", col("vec_id") + 1000L),
+        "vec_id", "embedding", "label", path2, m = 4, dim = 32)
+    }
+    // a correct-shape append publishes the merged centroids via the
+    // crash-consistent temp+rename swap: table readable, no orphan
+    // __next/__old generation dirs left behind
+    Similarity.appendToIvfPqIndex(df.withColumn("vec_id", col("vec_id") + 1000L),
+      "vec_id", "embedding", "label", path2, m = 4, dim = dim)
+    assert(spark.read.parquet(s"$path2/centroids").count() > 0)
+    val residue = new java.io.File(path2).listFiles()
+      .map(_.getName).filter(n => n.contains("__next_") || n.contains("__old_"))
+    assert(residue.isEmpty, s"swap residue: ${residue.toSeq}")
+  }
 }
