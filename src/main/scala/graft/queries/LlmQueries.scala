@@ -1027,6 +1027,59 @@ object LlmQueries {
         .orderBy(col("method"))
     }),
 
+    // The full IVFPQ serving-tuning GRID — the artifact a deployment
+    // reads before picking its knobs: recall@3 and scanned-code volume
+    // at every (nprobe in {1,2,4}) x (coarse in {10,20,40}) cell, one
+    // shared index build. nprobe prices the DPP scan fraction (1/2/4
+    // of the fixture's ~10 clusters -> ~10/20/40% of the code bytes),
+    // coarse prices the exact-rescore set; the grid separates the two
+    // dials — at sf0.01 the widest cell (4, 40) reads 0.327 recall@3
+    // on 40% of the scan pq_full pays for 0.270.
+    "llm_ann_ivfpq_grid" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+        .localCheckpoint()
+      val byLabel = Similarity.pqCodebooks(cands, "embedding", "label")
+      val codesLab = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
+        byLabel, m = 4, dim = 64)
+        .join(cands.select(col("vec_id").as("cid"), col("label")), "cid")
+        .localCheckpoint()
+      val clusterSizes = codesLab.groupBy(col("label"))
+        .agg(count(lit(1)).as("csz"))
+      val store = cands.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("ce"))
+      val (cent, _) = Similarity.buildIvfIndex(cands, "vec_id", "embedding",
+        "label")
+      val q = qs.select(col("vec_id").as("qid"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      val nq = qs.agg(count(lit(1)).as("n_queries"))
+      def cells(nprobe: Int): DataFrame = {
+        val scanned = Similarity.ivfProbe(cent, q, nprobe)
+          .join(clusterSizes, "label")
+          .agg(coalesce(sum(col("csz")), lit(0L)).as("scanned_codes"))
+        Seq(10, 20, 40).map { coarse =>
+          val approx = Similarity.ivfPqTopK(cent, byLabel, codesLab, store,
+            qs, "vec_id", "embedding", k = 3, m = 4, dim = 64,
+            coarse = coarse, nprobe = nprobe)
+          exact.join(approx.select(col("qid"), col("cid")),
+              Seq("qid", "cid"), "left_semi")
+            .agg(count(lit(1)).as("total_matches"))
+            .crossJoin(nq).crossJoin(scanned)
+            .select(lit(nprobe.toLong).as("nprobe"),
+              lit(coarse.toLong).as("coarse"),
+              col("n_queries"), col("total_matches"),
+              (col("total_matches").cast("double") /
+                (lit(3.0) * col("n_queries"))).as("recall"),
+              col("scanned_codes"))
+        }.reduce(_.unionByName(_))
+      }
+      Seq(1, 2, 4).map(cells).reduce(_.unionByName(_))
+        .orderBy(col("nprobe"), col("coarse"))
+    }),
+
     "llm_dedup_embedding" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = EmbDedupThreshold)
@@ -2699,6 +2752,78 @@ object LlmQueries {
        |ORDER BY method""".stripMargin
   }
 
+  /** IVFPQ tuning-grid oracle (llm_ann_ivfpq_grid): the recall
+    * machinery of [[IvfPqRecallOracleSql]] swept over nprobe {1,2,4} ×
+    * coarse {10,20,40} — ONE codebook/code/probe replay, nine cells,
+    * each with its scanned-code volume. */
+  private lazy val IvfPqGridOracleSql: String = {
+    val nprobes = Seq(1, 2, 4)
+    val coarses = Seq(10, 20, 40)
+    def adcs(n: Int) =
+      s"""adcs_n$n AS (SELECT codes.cid AS cid, r.qid AS qid,
+         |    CAST(sum(lut.dp) AS BIGINT) AS adc
+         |  FROM codes JOIN c ON c.cid = codes.cid
+         |  JOIN ranked r ON r.label = c.label AND r.rn <= $n
+         |  JOIN lut ON lut.qid = r.qid AND lut.s = codes.s AND lut.l = codes.code
+         |  GROUP BY codes.cid, r.qid)""".stripMargin
+    def tops(n: Int, cw: Int) =
+      s"""co_${n}_$cw AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM adcs_n$n) t
+         |  WHERE rn <= $cw),
+         |top_${n}_$cw AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+         |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+         |  FROM scored s JOIN co_${n}_$cw USING (qid, cid)) t WHERE rk <= 3)""".stripMargin
+    def scan(n: Int) =
+      s"""scan_n$n AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS sc
+         |  FROM ranked JOIN cnt USING (label) WHERE rn <= $n)""".stripMargin
+    val rows = (for { n <- nprobes; cw <- coarses } yield
+      s"""SELECT CAST($n AS BIGINT) AS nprobe, CAST($cw AS BIGINT) AS coarse,
+         |    nq.n_queries AS n_queries,
+         |    (SELECT count(*) FROM exact JOIN top_${n}_$cw USING (qid, cid)) AS total_matches,
+         |    CAST((SELECT count(*) FROM exact JOIN top_${n}_$cw USING (qid, cid)) AS DOUBLE)
+         |      / (3.0 * nq.n_queries) AS recall,
+         |    (SELECT sc FROM scan_n$n) AS scanned_codes FROM nq""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH eqa AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eqa WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 100),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |ranked AS (SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)),
+       |cwp AS (SELECT label AS l, i AS pos,
+       |    CAST(floor(CAST(sum(ce[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |dists AS (SELECT c.cid AS cid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum((c.ce[cwp.pos] - cwp.cw) * (c.ce[cwp.pos] - cwp.cw))
+       |      AS BIGINT) AS d
+       |  FROM c, cwp GROUP BY c.cid, cwp.l, (cwp.pos - 1) // 16),
+       |codes AS (SELECT cid, s, l AS code FROM (
+       |    SELECT cid, s, l, row_number() OVER (
+       |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM dists) t
+       |  WHERE rn = 1),
+       |lut AS (SELECT q.qid AS qid, cwp.l AS l, (cwp.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[cwp.pos] * cwp.cw) AS BIGINT) AS dp
+       |  FROM q, cwp GROUP BY q.qid, cwp.l, (cwp.pos - 1) // 16),
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |  CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t WHERE rk <= 3),
+       |${nprobes.map(adcs).mkString(",\n")},
+       |${(for { n <- nprobes; cw <- coarses } yield tops(n, cw)).mkString(",\n")},
+       |${nprobes.map(scan).mkString(",\n")},
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT * FROM (
+       |  $rows) t
+       |ORDER BY nprobe, coarse""".stripMargin
+  }
+
   /** Residual-IVFPQ CTE chain over candidate CTE `c` (cid, label, ce)
     * and query CTE `q` (qid, qe), with `cent`/`cnt` present: centroid
     * floor-means, per-position residuals, cid%8-init codebooks,
@@ -3318,6 +3443,7 @@ object LlmQueries {
     // per-row + centroid sums are additive, so append == rebuild
     "llm_ann_ivfpq_append" -> IvfPqOracleSql,
     "llm_ann_ivfpq_recall" -> IvfPqRecallOracleSql,
+    "llm_ann_ivfpq_grid" -> IvfPqGridOracleSql,
     "llm_ann_ivfpq_residual" -> IvfPqResidualOracleSql,
     "llm_ann_ivfpq_res_recall" -> IvfPqResRecallOracleSql,
     // gate -> train-split -> budget replayed as three CTE stages; the

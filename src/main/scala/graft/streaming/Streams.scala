@@ -451,4 +451,60 @@ object Streams {
       }
       .start()
   }
+
+  /** Durable [[annServeStream]]: answers append to `ansTable` under
+    * the SAME commit-log idempotence recipe as the dedup/web-gate
+    * sinks ([[dedupBatch]]) — the (stream, batch) id lands in
+    * `commitsTableFor(ansTable)` AFTER the append, a replayed id
+    * short-circuits before touching the sink, and batch ids are keyed
+    * by checkpoint lineage so a fresh stream reusing id 0 is never
+    * mistaken for a replay. foreachBatch is at-least-once; with the
+    * log, a clean restart replays as a no-op (spec'd), and the
+    * mid-batch-crash residue (answers appended, commit row missing)
+    * re-appends exact duplicate ANSWER rows — per-query top-k rows are
+    * deterministic given the frozen index, so downstream readers
+    * dedup exactly ([[compactSinks]]-style) if duplicates matter. */
+  def annServeToTable(queries: DataFrame, indexPath: String, store: DataFrame,
+                      qId: String, embCol: String, k: Int, ansTable: String,
+                      checkpointDir: String, m: Int = 4, dim: Int = 64,
+                      coarse: Int = 20, nprobe: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    val (cent, byCode, codes) = graft.llm.Similarity.readIvfPqIndex(spark, indexPath)
+    val centPinned = cent.localCheckpoint(true)
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annServeBatch(batch, centPinned, byCode, codes, store, qId, embCol,
+          k, m, dim, coarse, nprobe, ansTable, checkpointDir, batchId)
+      }
+      .start()
+  }
+
+  /** One ANN-serving micro-batch against the frozen index, committed
+    * through the batch log — factored out so the replay semantics are
+    * testable without a running stream (the [[dedupBatch]] pattern). */
+  private[graft] def annServeBatch(batch: DataFrame, cent: DataFrame,
+                                   byCode: Map[Long, IndexedSeq[Long]],
+                                   codes: DataFrame, store: DataFrame,
+                                   qId: String, embCol: String, k: Int,
+                                   m: Int, dim: Int, coarse: Int, nprobe: Int,
+                                   ansTable: String, streamId: String = "",
+                                   batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val commits = commitsTableFor(ansTable)
+    if (batchId >= 0 && spark.catalog.tableExists(commits) &&
+        spark.table(commits).filter(col("stream_id") === streamId &&
+          col("batch_id") === batchId).head(1).nonEmpty)
+      return
+    graft.llm.Similarity.ivfPqTopK(cent, byCode, codes, store, batch.toDF(),
+        qId, embCol, k, m, dim, coarse, nprobe)
+      .write.mode("append").format("parquet").saveAsTable(ansTable)
+    // committed LAST — a crash above leaves the id un-logged, so the
+    // batch replays (at-least-once) rather than being lost
+    if (batchId >= 0)
+      spark.range(1).select(lit(streamId).as("stream_id"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+  }
 }

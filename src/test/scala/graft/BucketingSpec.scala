@@ -9,7 +9,7 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join without an exchange") {
-    val warehouse = java.nio.file.Files.createTempDirectory("wh").toString
+    val warehouse = graft.util.Scratch.dir("wh")
     spark.sql("DROP TABLE IF EXISTS bkt_users")
     spark.sql("DROP TABLE IF EXISTS bkt_auth")
 
@@ -34,7 +34,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("writeSorted: files cover disjoint key ranges (footer-skippable layout)") {
-    val dir = java.nio.file.Files.createTempDirectory("sorted").toString + "/t"
+    val dir = graft.util.Scratch.dir("sorted") + "/t"
     val df = (1L to 10000L).map(i => (i * 2654435761L % 100000L, s"v$i"))
       .toDF("k", "v")
     graft.io.Tables.writeSorted(df, dir, Seq("k"), files = 8)
@@ -55,7 +55,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("writeShuffledShards: shard files are the seeded permutation, disjoint per file") {
-    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
+    val dir = graft.util.Scratch.dir("shards") + "/t"
     val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     graft.llm.Order.writeShuffledShards(docs, "doc_id", seed = "s10",
       shards = 4, path = dir)
@@ -88,7 +88,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("readShardsFrom: resume cursor yields the exact permutation suffix, predicate pushed") {
-    val dir = java.nio.file.Files.createTempDirectory("rshards").toString + "/t"
+    val dir = graft.util.Scratch.dir("rshards") + "/t"
     val docs = (1L to 400L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     graft.llm.Order.writeShuffledShards(docs, "doc_id", seed = "r10",
       shards = 4, path = dir)
@@ -113,7 +113,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("writeCurriculumShards: emission order is curriculum order, disjoint per file") {
-    val dir = java.nio.file.Files.createTempDirectory("cshards").toString + "/t"
+    val dir = graft.util.Scratch.dir("cshards") + "/t"
     val docs = (1L to 300L).map(i =>
       (i, (1 to (i % 7).toInt + 1).map(j => s"w${(i + j) % 11} w${i % 5}").mkString(" ")))
       .toDF("doc_id", "text")

@@ -104,10 +104,10 @@ class GraftFacadeSpec extends SparkSpec {
   test("facade: shard emission writers stay wired") {
     val docs = (1L to 60L).map(i => (i, s"alpha beta w${i % 9} w${i % 4}"))
       .toDF("doc_id", "text")
-    val d1 = java.nio.file.Files.createTempDirectory("fshards").toString + "/s"
+    val d1 = graft.util.Scratch.dir("fshards") + "/s"
     Graft.writeShuffledShards(docs, "doc_id", "seed", shards = 2, path = d1)
     assert(spark.read.parquet(d1).count() == 60)
-    val d2 = java.nio.file.Files.createTempDirectory("fshards").toString + "/c"
+    val d2 = graft.util.Scratch.dir("fshards") + "/c"
     Graft.writeCurriculumShards(docs, "doc_id", "text", d2, files = 2)
     assert(spark.read.parquet(d2).count() == 60)
   }

@@ -131,7 +131,7 @@ class JdbcSpec extends SparkSpec {
     stream.addData(Seq(
       Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0),
       Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 8L, "view", 2.0)))
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val ckpt = graft.util.Scratch.dir("ckpt")
     val q = Streams.toJdbc(
       stream.toDS().toDF().select("event_id", "user_id", "event_type"),
       surl, "sunk", ckpt)

@@ -498,7 +498,7 @@ class LlmSpec extends SparkSpec {
     val inline = Similarity.ivfTopK(df, queries, "vec_id", "embedding", "label", k = 3)
       .orderBy("qid", "rank").collect().toSeq
 
-    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    val path = graft.util.Scratch.dir("ivfidx") + "/idx"
     Similarity.persistIvfIndex(df, "vec_id", "embedding", "label", path)
     val (cent, eq) = Similarity.readIvfIndex(spark, path)
     val served = Similarity.ivfTopKIndexed(cent, eq, queries, "vec_id", "embedding", k = 3)
@@ -644,10 +644,10 @@ class LlmSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding", "label")
     val (base, delta) = (df.filter(col("vec_id") % 2 === 0),
       df.filter(col("vec_id") % 2 === 1))
-    val incPath = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    val incPath = graft.util.Scratch.dir("ivfapp") + "/idx"
     Similarity.persistIvfIndex(base, "vec_id", "embedding", "label", incPath)
     Similarity.appendToIvfIndex(delta, "vec_id", "embedding", "label", incPath)
-    val fullPath = java.nio.file.Files.createTempDirectory("ivffull").toString + "/idx"
+    val fullPath = graft.util.Scratch.dir("ivffull") + "/idx"
     Similarity.persistIvfIndex(df, "vec_id", "embedding", "label", fullPath)
     val (centI, eqI) = Similarity.readIvfIndex(spark, incPath)
     val (centF, eqF) = Similarity.readIvfIndex(spark, fullPath)
@@ -682,12 +682,12 @@ class LlmSpec extends SparkSpec {
     // codebooks train on the SAME frame in both scenarios (the
     // representative sample); the difference is purely who wrote the
     // codes and when
-    val incPath = java.nio.file.Files.createTempDirectory("pqapp").toString + "/idx"
+    val incPath = graft.util.Scratch.dir("pqapp") + "/idx"
     Similarity.persistPqIndex(base, "vec_id", "embedding", "label", incPath,
       m = 4, dim = dim, train = Some(df))
     Similarity.appendToPqIndex(delta, "vec_id", "embedding", incPath,
       m = 4, dim = dim)
-    val fullPath = java.nio.file.Files.createTempDirectory("pqfull").toString + "/idx"
+    val fullPath = graft.util.Scratch.dir("pqfull") + "/idx"
     Similarity.persistPqIndex(df, "vec_id", "embedding", "label", fullPath,
       m = 4, dim = dim)
     val (cbI, codesI) = Similarity.readPqIndex(spark, incPath)
@@ -718,7 +718,7 @@ class LlmSpec extends SparkSpec {
     val queries = df.filter(col("vec_id") % 100 === 0 && col("vec_id") < 300)
     val store = df.select(col("vec_id").as("cid"),
       Similarity.quantize(col("embedding")).as("ce"))
-    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    val path = graft.util.Scratch.dir("ivfpq") + "/idx"
     Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label", path,
       m = 4, dim = dim)
     val (cent, byLabel, codes) = Similarity.readIvfPqIndex(spark, path)
@@ -758,12 +758,12 @@ class LlmSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding", "label")
     val (base, delta) = (df.filter(col("vec_id") % 2 === 0),
       df.filter(col("vec_id") % 2 === 1))
-    val incPath = java.nio.file.Files.createTempDirectory("ivfpqapp").toString + "/idx"
+    val incPath = graft.util.Scratch.dir("ivfpqapp") + "/idx"
     Similarity.persistIvfPqIndex(base, "vec_id", "embedding", "label",
       incPath, m = 4, dim = dim, train = Some(df))
     Similarity.appendToIvfPqIndex(delta, "vec_id", "embedding", "label",
       incPath, m = 4, dim = dim)
-    val fullPath = java.nio.file.Files.createTempDirectory("ivfpqfull").toString + "/idx"
+    val fullPath = graft.util.Scratch.dir("ivfpqfull") + "/idx"
     Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label",
       fullPath, m = 4, dim = dim)
     val (centI, cbI, codesI) = Similarity.readIvfPqIndex(spark, incPath)
@@ -798,7 +798,7 @@ class LlmSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val store = df.select(col("vec_id").as("cid"),
       Similarity.quantize(col("embedding")).as("ce"))
-    val path = java.nio.file.Files.createTempDirectory("ivfpqres").toString + "/idx"
+    val path = graft.util.Scratch.dir("ivfpqres") + "/idx"
     Similarity.persistIvfPqResidualIndex(df, "vec_id", "embedding", "label",
       path, m = 4, dim = dim, nCodewords = 8)
     val (cent, byCode, codes) = Similarity.readIvfPqIndex(spark, path)

@@ -472,7 +472,7 @@ class OpsSpec extends SparkSpec {
     try {
       spark.conf.set(keys(0), "0")
       spark.conf.set(keys(1), "-1") // force a shuffle join (BHJ needs no bloom)
-      val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+      val dir = graft.util.Scratch.dir("bloomspec")
       spark.range(100000).selectExpr("id", "id % 1000 as k")
         .write.parquet(dir + "/fact")
       spark.range(50).selectExpr("id as k", "id * 2 as v")

@@ -26,7 +26,7 @@ class PipelineSpec extends SparkSpec {
       |}""".stripMargin
 
   test("S1 snapshot read -> P1/P4 -> transform -> W1 dedup -> validate") {
-    val dir = Files.createTempDirectory("rtdb").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("rtdb"))
     val f = new java.io.File(dir, "users.json")
     Files.writeString(f.toPath, snapshot)
 
@@ -130,7 +130,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("K1 JSON export round trip") {
-    val dir = Files.createTempDirectory("k1").toFile.getAbsolutePath + "/out"
+    val dir = graft.util.Scratch.dir("k1") + "/out"
     import spark.implicits._
     graft.io.Tables.writeJson(Seq(("a", 1), ("b", 2)).toDF("k", "v"), dir)
     assert(spark.read.json(dir).count() == 2)
@@ -139,7 +139,7 @@ class PipelineSpec extends SparkSpec {
   test("ORC sink round trip with predicate pushdown") {
     // the columnar alternative a warehouse-side consumer may require:
     // same DataFrame surface, same pushdown contract as parquet
-    val dir = Files.createTempDirectory("korc").toFile.getAbsolutePath + "/out"
+    val dir = graft.util.Scratch.dir("korc") + "/out"
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"n$i", i % 7)).toDF("id", "name", "m")
     df.write.orc(dir)
@@ -228,7 +228,7 @@ class PipelineSpec extends SparkSpec {
 
   test("partitioned parquet sink prunes partitions at the file level") {
     import graft.io.Tables
-    val dir = Files.createTempDirectory("partw").toFile.getAbsolutePath + "/out"
+    val dir = graft.util.Scratch.dir("partw") + "/out"
     val df = Seq((1L, "click", 1.0), (2L, "view", 2.0), (3L, "click", 3.0))
       .toDF("event_id", "event_type", "value")
     Tables.writePartitioned(df, dir, Seq("event_type"))
@@ -259,7 +259,7 @@ class PipelineSpec extends SparkSpec {
   test("fileAudit: per-dir rows/files/ranges; range layout disjoint, mod layout overlaps") {
     val docs = (0L until 100L).toDF("id")
     // range-bucketed layout: key ranges per dir are DISJOINT
-    val rangeDir = Files.createTempDirectory("audit_range").toString
+    val rangeDir = graft.util.Scratch.dir("audit_range")
     Tables.writePartitioned(
       docs.withColumn("b", (col("id") / 25).cast("long")).repartition(col("b")),
       rangeDir, Seq("b"))
@@ -272,7 +272,7 @@ class PipelineSpec extends SparkSpec {
       Array((0L, 24L), (25L, 49L), (50L, 74L), (75L, 99L)),
       "range layout: every dir covers a disjoint key range")
     // mod-sharded layout: every dir spans nearly the whole key domain
-    val modDir = Files.createTempDirectory("audit_mod").toString
+    val modDir = graft.util.Scratch.dir("audit_mod")
     Tables.writePartitioned(
       docs.withColumn("b", pmod(col("id"), lit(4))).repartition(col("b")),
       modDir, Seq("b"))

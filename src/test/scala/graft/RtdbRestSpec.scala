@@ -136,7 +136,7 @@ class RtdbRestSpec extends SparkSpec {
   }
 
   test("cross-transport equivalence: file parse and REST fetch yield identical rows") {
-    val dir = java.nio.file.Files.createTempDirectory("rtdbxt").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("rtdbxt"))
     val f = new java.io.File(dir, "export.json")
     java.nio.file.Files.writeString(f.toPath,
       data.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}"))

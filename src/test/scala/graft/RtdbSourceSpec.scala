@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class RtdbSourceSpec extends SparkSpec {
 
   private lazy val path: String = {
-    val dir = Files.createTempDirectory("rtdbsrc").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("rtdbsrc"))
     val f = new java.io.File(dir, "export.json")
     val users = (1 to 20).map(i => f""""Uid$i%03d": {"email": "u$i@x.com", "n": $i}""")
     Files.writeString(f.toPath, users.mkString("{", ",", """, "Broken": "not-a-dict"}"""))
@@ -69,7 +69,7 @@ class RtdbSourceSpec extends SparkSpec {
     // planner/reader comparing in UTF-16 silently drops the emoji row
     // from this range — the same bug class fixed in DatastoreKeys.
     val emoji = new String(Character.toChars(0x1F600))
-    val dir = Files.createTempDirectory("rtdbsupp").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("rtdbsupp"))
     val f = new java.io.File(dir, "export.json")
     Files.writeString(f.toPath,
       s"""{"$emoji": {"n": 1}, "�": {"n": 2}, "zz": {"n": 3}}""")
@@ -82,7 +82,7 @@ class RtdbSourceSpec extends SparkSpec {
   }
 
   test("streaming: key-cursor micro-batches tail new children exactly once") {
-    val dir = Files.createTempDirectory("rtdbstream").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("rtdbstream"))
     val f = new java.io.File(dir, "export.json")
     def write(n: Int): Unit = Files.writeString(f.toPath,
       (1 to n).map(i => f""""-N$i%03d": {"n": $i}""").mkString("{", ",", "}"))
@@ -114,10 +114,10 @@ class RtdbSourceSpec extends SparkSpec {
   }
 
   test("streaming: checkpoint restart resumes the cursor, no re-emission") {
-    val dir = Files.createTempDirectory("rtdbrestart").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("rtdbrestart"))
     val f = new java.io.File(dir, "export.json")
-    val ckpt = Files.createTempDirectory("rtdbckpt").toString
-    val out = Files.createTempDirectory("rtdbout").toString
+    val ckpt = graft.util.Scratch.dir("rtdbckpt")
+    val out = graft.util.Scratch.dir("rtdbout")
     def write(n: Int): Unit = Files.writeString(f.toPath,
       (1 to n).map(i => f""""-N$i%03d": {"n": $i}""").mkString("{", ",", "}"))
     def start() = spark.readStream.format("graft.sources.RtdbSnapshotSource")
@@ -154,7 +154,7 @@ class RtdbSourceSpec extends SparkSpec {
 
   test("JSONL staging: one streaming pass, splittable shards, identical frame") {
     import graft.sources.RtdbJsonl
-    val out = Files.createTempDirectory("rtdbjsonl").toString
+    val out = graft.util.Scratch.dir("rtdbjsonl")
     val n = RtdbJsonl.stage(path, out, shards = 3)
     assert(n == 20) // Broken is non-object: P4 applied at stage time
     assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".jsonl")) == 3)
@@ -174,11 +174,11 @@ class RtdbSourceSpec extends SparkSpec {
 
   test("JSONL staging: keys needing JSON escaping survive the round trip") {
     import graft.sources.RtdbJsonl
-    val dir = Files.createTempDirectory("rtdbesc").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("rtdbesc"))
     val f = new java.io.File(dir, "export.json")
     Files.writeString(f.toPath,
       """{"quote\"key": {"n": 1}, "back\\slash": {"n": 2}, "tab\tkey": {"n": 3}}""")
-    val out = Files.createTempDirectory("rtdbescout").toString
+    val out = graft.util.Scratch.dir("rtdbescout")
     assert(RtdbJsonl.stage(f.getAbsolutePath, out, shards = 1) == 3)
     val ids = RtdbJsonl.read(spark, out).select("id").collect().map(_.getString(0)).toSet
     assert(ids == Set("quote\"key", "back\\slash", "tab\tkey"))

@@ -15,7 +15,7 @@ class StreamingPipelineSpec extends SparkSpec {
   private def text(i: Int) = base.replace("word60", s"tail${i % 3}")
 
   test("streaming incremental dedup: tailed batches reproduce the full recomputation") {
-    val dir = Files.createTempDirectory("sipeline").toFile
+    val dir = new java.io.File(graft.util.Scratch.dir("sipeline"))
     val f = new java.io.File(dir, "export.json")
     def write(n: Int): Unit = Files.writeString(f.toPath,
       (1 to n).map(i => f""""-N$i%03d": {"text": "${text(i)}"}""")
@@ -30,7 +30,7 @@ class StreamingPipelineSpec extends SparkSpec {
         get_json_object(col("json"), "$.text").as("text"))
     val q = graft.streaming.Streams.incrementalDedupStream(stream,
       "sp_corpus", "sp_index", "sp_pairs", "doc_id", "text",
-      Files.createTempDirectory("sipck").toString)
+      graft.util.Scratch.dir("sipck"))
     // the stream appends from its own micro-batch session; this reader
     // session must drop its cached file listing before each re-read
     def t(name: String) = { spark.catalog.refreshTable(name); spark.table(name) }
@@ -171,7 +171,7 @@ class StreamingPipelineSpec extends SparkSpec {
     val df = rows.toDF("vec_id", "embedding", "label")
     val store = df.select(col("vec_id").as("cid"),
       Similarity.quantize(col("embedding")).as("ce"))
-    val path = java.nio.file.Files.createTempDirectory("annserve").toString + "/idx"
+    val path = graft.util.Scratch.dir("annserve") + "/idx"
     Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label", path,
       m = 4, dim = dim)
     val in = MemoryStream[(Long, Seq[Float])]
@@ -204,6 +204,59 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.size == 9, s"3 queries x top-3: $got")
   }
 
+  test("annServeToTable: committed batches replay as no-ops; fresh lineage processes") {
+    import graft.llm.Similarity
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val df = (0 until 4).flatMap { c =>
+      (0 until 20).map(i => (c * 100L + i, vec(c.toFloat - 2), c.toLong))
+    }.toDF("vec_id", "embedding", "label")
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    val path = graft.util.Scratch.dir("annservetab") + "/idx"
+    Similarity.persistIvfPqIndex(df, "vec_id", "embedding", "label", path,
+      m = 4, dim = dim)
+    val (cent, byCode, codes) = Similarity.readIvfPqIndex(spark, path)
+    val S = graft.streaming.Streams
+    val tables = Seq("ann_ans", "ann_ans_commits")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def t(name: String) = { spark.catalog.refreshTable(name); spark.table(name) }
+    try {
+      val b1 = Seq((900L, vec(0.5f)), (901L, vec(-1.5f))).toDF("vec_id", "embedding")
+      S.annServeBatch(b1, cent, byCode, codes, store, "vec_id", "embedding",
+        3, 4, dim, 10, 2, "ann_ans", "ckA", 0L)
+      val n1 = t("ann_ans").count()
+      assert(n1 === 6L, s"2 queries x top-3: $n1")
+      // clean-restart replay: the committed (stream, batch) id
+      // short-circuits before the sink append
+      S.annServeBatch(b1, cent, byCode, codes, store, "vec_id", "embedding",
+        3, 4, dim, 10, 2, "ann_ans", "ckA", 0L)
+      assert(t("ann_ans").count() === n1,
+        "a committed batch id must replay as a no-op")
+      // a FRESH stream lineage (new checkpoint) reuses batch id 0 —
+      // it must be processed, not mistaken for ckA's replay
+      val b2 = Seq((902L, vec(1.5f))).toDF("vec_id", "embedding")
+      S.annServeBatch(b2, cent, byCode, codes, store, "vec_id", "embedding",
+        3, 4, dim, 10, 2, "ann_ans", "ckB", 0L)
+      assert(t("ann_ans").count() === n1 + 3 &&
+        t("ann_ans_commits").count() === 2L)
+      // the streaming wrapper drives the same committed path end-to-end
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = S.annServeToTable(in.toDF().toDF("vec_id", "embedding"), path,
+        store, "vec_id", "embedding", k = 3, ansTable = "ann_ans",
+        checkpointDir = graft.util.Scratch.dir("annserveck"),
+        m = 4, dim = dim, coarse = 10, nprobe = 2)
+      try {
+        in.addData((903L, vec(0.25f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(t("ann_ans").count() === n1 + 6 &&
+        t("ann_ans_commits").count() === 3L)
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   private def runIncrementalDelta(): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -211,7 +264,7 @@ class StreamingPipelineSpec extends SparkSpec {
     val q = graft.streaming.Streams.incrementalDeltaDedupStream(
       in.toDF().toDF("doc_id", "text"),
       "sd_corpus", "sd_index", "sd_pairs", "doc_id", "text",
-      Files.createTempDirectory("sdck").toString)
+      graft.util.Scratch.dir("sdck"))
     def t(name: String) = { spark.catalog.refreshTable(name); spark.table(name) }
     try {
       // crawl 1: docs 1-5

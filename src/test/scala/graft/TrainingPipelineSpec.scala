@@ -92,7 +92,7 @@ class TrainingPipelineSpec extends SparkSpec {
 
     // 6. emission: the curated corpus lands as disjoint-range shard
     // files holding every surviving doc exactly once
-    val dir = java.nio.file.Files.createTempDirectory("e2eshards").toString + "/t"
+    val dir = graft.util.Scratch.dir("e2eshards") + "/t"
     Graft.writeShuffledShards(scrubbed, "doc_id", seed = "e2e", shards = 3, path = dir)
     val back = spark.read.parquet(dir)
     assert(back.count() == 40 &&

@@ -61,7 +61,7 @@ class ZOrderSpec extends SparkSpec {
     // below the domain — while the 1-D sorted layout leaves dim y
     // spanning its FULL domain in every file. This is the measurable
     // property that makes the layout prune multi-predicate scans.
-    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    val dir = graft.util.Scratch.dir("zord")
     val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
     ZOrder.writeZOrdered(grid, s"$dir/z", Seq("x", "y"), files = 16, buckets = 256)
@@ -109,7 +109,7 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("writeZOrderedByRank: balanced files under zipfian skew where uniform cells collapse") {
-    val dir = java.nio.file.Files.createTempDirectory("zrank").toString
+    val dir = graft.util.Scratch.dir("zrank")
     // x is zipf-ish (80% of rows in the bottom 1% of the value range),
     // y uniform — the hot-key table shape
     val rnd = new scala.util.Random(3)
@@ -140,7 +140,7 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("writeZOrdered: 3-D and degenerate/skewed dims don't break the write") {
-    val dir = java.nio.file.Files.createTempDirectory("zord3").toString
+    val dir = graft.util.Scratch.dir("zord3")
     val df = (1 to 2000).map(i => (i.toLong, (i % 7).toLong, 5.0))
       .toDF("a", "b", "c")
     // dim c is constant (lo == hi) — must land in cell 0, not divide by 0

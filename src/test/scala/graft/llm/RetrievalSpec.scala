@@ -154,7 +154,7 @@ class RetrievalSpec extends SparkSpec {
       .select(col("vec_id"), col("label"),
         transform(col("e"), x => x.cast("float")).as("embedding"))
     val (qf, cf) = (frame(qs), frame(cands))
-    val path = java.nio.file.Files.createTempDirectory("pq_spec").toString
+    val path = graft.util.Scratch.dir("pq_spec")
     Similarity.persistPqIndex(cf, "vec_id", "embedding", "label", path,
       m = 2, dim = 4)
     val (byLabel, codes) = Similarity.readPqIndex(spark, path)
