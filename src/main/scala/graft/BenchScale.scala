@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness for the five heaviest operator families
+  * (PLANS.md evidence): times each at a given SF dir so two runs
+  * (sf0.1 vs a 10× fixture) yield the observed scaling exponent.
+  *
+  * Knobs that are FUNCTIONS OF CORPUS SIZE by their operators' own
+  * contracts scale with the input — exactly as a deployment would set
+  * them — instead of freezing sf0.1 values that the contracts reject
+  * or degrade at 10×:
+  *  - heavy hitters: the support threshold is a fraction of N in any
+  *    real deployment (an absolute count of 6 is a different, stricter
+  *    question at 10× the corpus and would violate the Misra-Gries
+  *    completeness guard at fixed capacity); threshold scales with
+  *    docs/5000, capacity stays 65536 — the bounded-memory promise.
+  *  - SemDeDup: nlist must grow with the corpus to hold the expected
+  *    cell size constant (the operator's own 100 TB note; SemDeDup
+  *    runs ~100k cells at web scale): nlist = 4 × (vectors/2000).
+  * Everything else (IVFPQ serve, multi-signal dedup, source overlap)
+  * runs the exact registered query at both scales.
+  *
+  * Usage: runMain graft.BenchScale <sfDir> */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = io.Tables.read(spark, sfDir, "documents")
+    val embs = io.Tables.read(spark, sfDir, "embeddings")
+    val nDocs = docs.count()
+    val nVecs = embs.count()
+    def time(name: String)(f: => Long): Unit =
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[benchscale] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n ndocs=$nDocs nvecs=$nVecs")
+      }
+    time("ivfpq_serve") {
+      SparkEntry.queries("llm_ann_ivfpq")(spark, sfDir).count()
+    }
+    time("multisignal_dedup") {
+      SparkEntry.queries("llm_dedup_multisignal")(spark, sfDir).count()
+    }
+    time("semdedup") {
+      val nlist = math.max(4L, 4L * nVecs / 2000L).toInt
+      graft.llm.Similarity.semanticDedup(embs, "vec_id", "embedding",
+        threshold = 0.3, nlist = nlist, iters = 2, maxCluster = 4096).count()
+    }
+    time("heavy_hitters") {
+      val threshold = 6L * math.max(1L, nDocs / 5000L)
+      graft.llm.CorpusStats.heavyHitters(docs, "doc_id", "text",
+        n = 3, threshold = threshold, capacity = 65536).count()
+    }
+    time("source_overlap") {
+      SparkEntry.queries("llm_source_overlap")(spark, sfDir).count()
+    }
+    spark.stop()
+  }
+}

@@ -2058,6 +2058,21 @@ object LlmQueries {
         "text", n = 2)
         .orderBy(col("source"))),
 
+    // The incremental-profile face of the native HLL: union the
+    // per-source register frames to ONE corpus-level register set
+    // (cell-wise max — no document is rescanned; yesterday's registers
+    // union with today's the same way) and estimate. The oracle
+    // replays the same registers grouped globally — max-of-maxes ==
+    // global max, so the merged estimate is hash-exact too.
+    "llm_hll_union" -> ((s, dir) =>
+      CorpusStats.hllEstimate(
+        CorpusStats.hllMergeRegisters(
+          CorpusStats.hllNgramRegisters(t(s, dir, "documents"), "source",
+              "text", n = 2)
+            .withColumn("source", lit("all")),
+          "source"),
+        "source")),
+
     // Exact companion to llm_sketch_profile: the (source, occurrences)
     // half of sourceNgramSketch IS exactly replayable by DuckDB, so it
     // gets its own hash-checked entry — only the HLL estimate stays
@@ -4475,6 +4490,30 @@ object LlmQueries {
         |      ln(CAST(4096 AS DOUBLE) / (4096 - nreg)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
         |    ELSE raw_micro END AS est_distinct_micro
         |FROM raw ORDER BY source""".stripMargin,
+    // Corpus-level union of the native-HLL registers: identical
+    // register derivation, grouped globally (max-of-maxes == global
+    // register max).
+    "llm_hll_union" ->
+      """WITH g AS (
+        |  SELECT source, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+        |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents) t0),
+        |h AS (SELECT ('0x' || substr(md5(ngram), 1, 15))::BIGINT AS h FROM g),
+        |regs AS (SELECT h % 4096 AS idx,
+        |    MAX(49 - length(ltrim(bin(h // 4096), '0')))::BIGINT AS r
+        |  FROM h GROUP BY h % 4096),
+        |agg AS (SELECT count(*)::BIGINT AS nreg,
+        |    CAST(sum(1::BIGINT << CAST(49 - r AS INTEGER)) AS BIGINT) AS sp
+        |  FROM regs),
+        |raw AS (SELECT 'all' AS source, nreg,
+        |    CAST('6810691388924259720096645120'::HUGEINT
+        |      // (sp + (4096 - nreg) * 562949953421312)::HUGEINT AS BIGINT) AS raw_micro
+        |  FROM agg)
+        |SELECT source, nreg,
+        |  CASE WHEN nreg < 4096 AND raw_micro <= 10240000000
+        |    THEN CAST(floor(CAST(4096 AS DOUBLE) *
+        |      ln(CAST(4096 AS DOUBLE) / (4096 - nreg)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+        |    ELSE raw_micro END AS est_distinct_micro
+        |FROM raw""".stripMargin,
     "llm_top_ngrams" ->
       """WITH g AS (
         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
