@@ -741,8 +741,13 @@ class LlmSpec extends SparkSpec {
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the code-store scan:\n$plan")
+    // identify the code-store scan by its ReadSchema, not its path —
+    // Spark truncates the Location string at ~100 chars, and the
+    // shutdown-cleaned Scratch root made the path long enough that
+    // "/codes" fell past the cut
     val codeScans = plan.linesIterator
-      .filter(l => l.contains("FileScan") && l.contains("/codes")).toSeq
+      .filter(l => l.contains("FileScan") &&
+        l.contains("codes:array<bigint>")).toSeq
     assert(codeScans.nonEmpty, s"expected a code-store FileScan:\n$plan")
     assert(codeScans.forall(l => l.contains("codes") && !l.contains("ce") &&
       !l.contains("embedding")),

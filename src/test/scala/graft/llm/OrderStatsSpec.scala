@@ -617,23 +617,21 @@ class OrderStatsSpec extends SparkSpec {
   test("cmsEstimate: geometry sentinel fails loudly on probe/sketch mismatch") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val cms = CorpusStats.countMinSketch(docs, "text", depth = 4, width = 16)
+    def raises(df: org.apache.spark.sql.DataFrame): Unit =
+      assert(intercept[Exception] { df.collect() }.getMessage
+        .contains("geometry"), "expected the lazy geometry guard to raise")
     // a wider probe hashes terms to unrelated buckets — previously it
-    // silently returned arbitrary counts; now the sentinel row catches
-    // BOTH directions of the mismatch
-    assert(intercept[IllegalArgumentException] {
-      CorpusStats.cmsEstimate(cms, Seq("a"), depth = 4, width = 64)
-    }.getMessage.contains("geometry"))
-    intercept[IllegalArgumentException] {
-      CorpusStats.cmsEstimate(cms, Seq("a"), depth = 2, width = 16)
-    }
+    // silently returned arbitrary counts; the sentinel row catches
+    // BOTH directions of the mismatch (the guard is lazy — it rides
+    // the estimate job — so interception happens at the action)
+    raises(CorpusStats.cmsEstimate(cms, Seq("a"), depth = 4, width = 64))
+    raises(CorpusStats.cmsEstimate(cms, Seq("a"), depth = 2, width = 16))
     // merging sketches of different geometry leaves two sentinels —
     // the merged frame can never be probed consistently, so it is loud
     val bad = cms.unionByName(
         CorpusStats.countMinSketch(docs, "text", depth = 4, width = 8))
       .groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("n"))
-    intercept[IllegalArgumentException] {
-      CorpusStats.cmsEstimate(bad, Seq("a"), depth = 4, width = 16)
-    }
+    raises(CorpusStats.cmsEstimate(bad, Seq("a"), depth = 4, width = 16))
     // the matched-geometry path still answers
     assert(CorpusStats.cmsEstimate(cms, Seq("a"), depth = 4, width = 16)
       .as[(String, Long)].head()._2 >= 1L)
