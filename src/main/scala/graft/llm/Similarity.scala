@@ -1038,13 +1038,37 @@ object Similarity {
                 dim: Int = 64, coarse: Int = 20, nprobe: Int = 1): DataFrame = {
     require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    pqCoarseRescore(ivfPqScoredCandidates(cent, byLabel, codes, queries,
+      qId, embCol, m, dim, nprobe), queries, qId, embCol, store, k, coarse)
+  }
+
+  /** The ADC-scored candidate frame (qid, cid, adc) of IVFPQ serving —
+    * [[ivfPqTopK]] minus the coarse cut and rescore. Public so a
+    * tuning sweep (the grid ledger) can score each nprobe ONCE and
+    * apply several coarse widths to the same frame: the probe, DPP
+    * scan and ADC are identical across coarse settings, only the
+    * downstream top-`coarse` window changes. */
+  def ivfPqScoredCandidates(cent: DataFrame, byLabel: Map[Long, IndexedSeq[Long]],
+                            codes: DataFrame, queries: DataFrame, qId: String,
+                            embCol: String, m: Int = 4, dim: Int = 64,
+                            nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val q = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
     val best = ivfProbe(cent, q, nprobe)
     val (qLut, adc) = pqLutAndAdc(byLabel, queries, qId, embCol, m, dim)
     val probed = best.join(qLut, "qid")
-    val scored = codes.join(broadcast(probed), "label")
+    codes.join(broadcast(probed), "label")
       .withColumn("adc", adc)
       .select(col("qid"), col("cid"), col("adc"))
+  }
+
+  /** Coarse top-`coarse` by ADC + exact rescore over a scored
+    * candidate frame — the public face of the serving tail, paired
+    * with [[ivfPqScoredCandidates]]. */
+  def coarseRescore(scored: DataFrame, queries: DataFrame, qId: String,
+                    embCol: String, store: DataFrame, k: Int,
+                    coarse: Int): DataFrame = {
+    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
     pqCoarseRescore(scored, queries, qId, embCol, store, k, coarse)
   }
 

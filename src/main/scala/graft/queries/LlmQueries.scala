@@ -1060,10 +1060,18 @@ object LlmQueries {
         val scanned = Similarity.ivfProbe(cent, q, nprobe)
           .join(clusterSizes, "label")
           .agg(coalesce(sum(col("csz")), lit(0L)).as("scanned_codes"))
+        // score ONCE per nprobe (probe + DPP scan + ADC are identical
+        // across coarse widths; LAZY checkpoint — it materializes
+        // inside the one final job, so the three nprobe arms still
+        // run concurrently; an eager pin here serialized them, the
+        // same synchronization-point trap as the CMS guard), then
+        // cut/rescore the same frame at each coarse setting
+        val scored = Similarity.ivfPqScoredCandidates(cent, byLabel,
+          codesLab, qs, "vec_id", "embedding", m = 4, dim = 64,
+          nprobe = nprobe).localCheckpoint(false)
         Seq(10, 20, 40).map { coarse =>
-          val approx = Similarity.ivfPqTopK(cent, byLabel, codesLab, store,
-            qs, "vec_id", "embedding", k = 3, m = 4, dim = 64,
-            coarse = coarse, nprobe = nprobe)
+          val approx = Similarity.coarseRescore(scored, qs, "vec_id",
+            "embedding", store, k = 3, coarse = coarse)
           exact.join(approx.select(col("qid"), col("cid")),
               Seq("qid", "cid"), "left_semi")
             .agg(count(lit(1)).as("total_matches"))

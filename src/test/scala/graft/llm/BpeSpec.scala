@@ -64,6 +64,27 @@ class BpeSpec extends SparkSpec {
       Seq("b", "ab"))
   }
 
+  test("trainMergesLocal: incremental counts survive a long tie-heavy run") {
+    // stress for the r14 incremental pair-count maintenance (inverted
+    // index + lazy max-heap): a deterministic pseudo-random corpus
+    // over a tiny alphabet makes counts COLLIDE constantly (the stale-
+    // heap-entry and count-returns-to-old-value paths), and 40 rounds
+    // drive many words through repeated rewrites. The distributed
+    // trainer (never rewritten) is the from-scratch ground truth.
+    val words = (0 until 160).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bpe-stress:$i".getBytes("UTF-8"))
+      h.take(6).map(b => ('a' + ((b & 0xFF) % 4)).toChar).mkString
+    }
+    val docs = words.grouped(8).map(_.mkString(" ")).toSeq
+      .map(Tuple1(_)).toDF("text")
+    val dist = Bpe.trainMerges(docs, "text", nMerges = 40)
+    val local = Bpe.trainMergesLocal(docs, "text", nMerges = 40)
+    assert(local === dist,
+      s"divergence at ${local.zip(dist).indexWhere(p => p._1 != p._2)}: " +
+        s"local=${local.take(5)} dist=${dist.take(5)}")
+  }
+
   test("tokenCounts: vocab-scale merge application joined onto per-doc words") {
     val docs = Seq((1L, "low low"), (2L, "lower"), (3L, "")).toDF("doc_id", "text")
     val out = Bpe.tokenCounts(docs, "doc_id", "text",
