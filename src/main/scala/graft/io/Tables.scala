@@ -144,4 +144,32 @@ object Tables {
   /** S12 — schema introspection (sql_extraction.py:107-135). */
   def tableInfo(df: DataFrame): Seq[(String, String)] =
     df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+
+  /** Crash-consistent replacement for `mode("overwrite")` on a SMALL
+    * table whose lineage reads the table itself (merged sketch
+    * registers, centroid sums): the merged frame is fully written to a
+    * sibling temp dir FIRST — reading the live table as input, so
+    * there is no read-while-overwrite — then published with two
+    * filesystem renames. A crash before the publish leaves the OLD
+    * table intact and valid; a crash inside the (metadata-only)
+    * rename window leaves the table MISSING, which fails loudly on
+    * the next read instead of silently serving a stale or torn
+    * generation. Recovery for either residue: re-run the merge for
+    * the batch and delete orphan `__next`/`__old` dirs. */
+  def swapInParquet(spark: SparkSession, df: DataFrame,
+                    dest: String): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
+    val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
+    df.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(destPath) && !fs.rename(destPath, old))
+      throw new java.io.IOException(s"swapInParquet: cannot move $destPath aside")
+    if (!fs.rename(next, destPath)) {
+      fs.rename(old, destPath) // restore the previous generation
+      throw new java.io.IOException(s"swapInParquet: cannot publish $next")
+    }
+    fs.delete(old, true)
+  }
 }

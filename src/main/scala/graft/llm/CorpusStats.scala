@@ -397,6 +397,42 @@ object CorpusStats {
                      n: Int = 2): DataFrame =
     hllEstimate(hllNgramRegisters(docs, sourceCol, textCol, n), sourceCol)
 
+  /** Persist a native-HLL register profile — the incremental sketch
+    * STORE: the whole point of the register representation is that
+    * tomorrow's crawl updates the profile without rescanning anything
+    * ingested before. Unlike the IVF/PQ appends (big code files land
+    * as new files, only tiny centroid sums merge), the HLL store is
+    * ENTIRELY tiny — ≤ m × |sources| register rows — so each batch
+    * merge rewrites it cell-wise-max and publishes crash-consistently
+    * ([[graft.io.Tables.swapInParquet]]: old generation or loud
+    * missing-table, never a silent torn merge). Register max is
+    * idempotent, so re-running a batch after a crash is safe (the
+    * same registers max to the same values — appends here need no
+    * commit log). Store-after-append EQUALS build-from-scratch
+    * bit-for-bit; `llm_hll_incremental` shares the full-build oracle. */
+  def persistHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
+                        path: String, n: Int = 2): Unit =
+    hllNgramRegisters(docs, sourceCol, textCol, n)
+      .write.mode("overwrite").parquet(s"$path/registers")
+
+  /** Merge a new batch's registers into a persisted profile —
+    * cell-wise max, atomically published; the base corpus is never
+    * rescanned. */
+  def appendToHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
+                         path: String, n: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    val merged = hllMergeRegisters(
+      spark.read.parquet(s"$path/registers")
+        .unionByName(hllNgramRegisters(docs, sourceCol, textCol, n)),
+      sourceCol)
+    graft.io.Tables.swapInParquet(spark, merged, s"$path/registers")
+  }
+
+  /** Reload a persisted register profile. */
+  def readHllProfile(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(s"$path/registers")
+
   /** Native-HLL geometry: p = 12 index bits. */
   val HllM = 4096
   private val HllRmax = 49 // (60 - p) + 1; rank of an all-zero window

@@ -867,34 +867,17 @@ object Similarity {
   }
 
   /** Crash-consistent replacement for `mode("overwrite")` on the tiny
-    * centroid table during appends: the merged frame is fully written
-    * to a sibling temp dir FIRST (reading the live table as input —
-    * no read-while-overwrite, so the previous localCheckpoint guard is
-    * unnecessary), then published with two filesystem renames. A crash
-    * before the publish leaves the OLD table intact and valid; a crash
-    * inside the (metadata-only) rename window leaves the table MISSING
-    * — which fails loudly on the next read instead of serving appended
-    * codes against silently-stale centroid sums, the corruption mode
-    * the in-place overwrite had. Recovery for either residue: re-run
-    * the append for the batch (the code/assignment files of a failed
-    * attempt are re-appended; run the dedup-compaction recipe if exact
-    * duplicate rows matter) and delete orphan `__next`/`__old` dirs. */
+    * centroid table during appends — see
+    * [[graft.io.Tables.swapInParquet]]: a crash before the publish
+    * leaves the OLD table intact; a crash inside the metadata-only
+    * rename window leaves it MISSING (loud on next read) instead of
+    * serving appended codes against silently-stale centroid sums, the
+    * corruption mode the in-place overwrite had. Recovery: re-run the
+    * batch append (run the dedup-compaction recipe if exact duplicate
+    * code rows matter) and delete orphan `__next`/`__old` dirs. */
   private def swapInParquet(spark: org.apache.spark.sql.SparkSession,
-                            df: DataFrame, dest: String): Unit = {
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val destPath = new org.apache.hadoop.fs.Path(dest)
-    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
-    val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
-    df.write.mode("overwrite").parquet(next.toString)
-    if (fs.exists(destPath) && !fs.rename(destPath, old))
-      throw new java.io.IOException(s"swapInParquet: cannot move $destPath aside")
-    if (!fs.rename(next, destPath)) {
-      fs.rename(old, destPath) // restore the previous generation
-      throw new java.io.IOException(s"swapInParquet: cannot publish $next")
-    }
-    fs.delete(old, true)
-  }
+                            df: DataFrame, dest: String): Unit =
+    graft.io.Tables.swapInParquet(spark, df, dest)
 
   /** ANN against a pre-built index — the serving path. Same math as
     * [[ivfTopK]] (differential-spec'd equal); the index frames come

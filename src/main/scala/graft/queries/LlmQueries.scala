@@ -2081,6 +2081,24 @@ object LlmQueries {
           "source"),
         "source")),
 
+    // The persisted incremental HLL profile — the daily-crawl sketch
+    // STORE: build the register profile from half the corpus, merge
+    // the other half in (cell-wise max, atomically published, base
+    // never rescanned), estimate from the store. Register max is
+    // order-independent, so store-after-append == build-from-scratch
+    // bit-for-bit: this row SHARES llm_sketch_profile's full-build
+    // oracle — the same contract shape as the IVF/PQ append rows.
+    "llm_hll_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = graft.util.Scratch.dir("graft_hll") + "/profile"
+      CorpusStats.persistHllProfile(docs.filter(col("doc_id") % 2 === 0),
+        "source", "text", path)
+      CorpusStats.appendToHllProfile(docs.filter(col("doc_id") % 2 === 1),
+        "source", "text", path)
+      CorpusStats.hllEstimate(CorpusStats.readHllProfile(s, path))
+        .orderBy(col("source"))
+    }),
+
     // Exact companion to llm_sketch_profile: the (source, occurrences)
     // half of sourceNgramSketch IS exactly replayable by DuckDB, so it
     // gets its own hash-checked entry — only the HLL estimate stays
@@ -2774,6 +2792,32 @@ object LlmQueries {
        |    (SELECT sc FROM scan_p2) FROM nq) t
        |ORDER BY method""".stripMargin
   }
+
+  /** Native-HLL per-source profile replay — shared by
+    * llm_sketch_profile (direct build) and llm_hll_incremental (the
+    * persisted store after a register-max append; identical by the
+    * max monoid). */
+  private lazy val HllProfileOracleSql: String =
+    """WITH g AS (
+      |  SELECT source, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
+      |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents) t0),
+      |h AS (SELECT source, ('0x' || substr(md5(ngram), 1, 15))::BIGINT AS h FROM g),
+      |regs AS (SELECT source, h % 4096 AS idx,
+      |    MAX(49 - length(ltrim(bin(h // 4096), '0')))::BIGINT AS r
+      |  FROM h GROUP BY source, h % 4096),
+      |agg AS (SELECT source, count(*)::BIGINT AS nreg,
+      |    CAST(sum(1::BIGINT << CAST(49 - r AS INTEGER)) AS BIGINT) AS sp
+      |  FROM regs GROUP BY source),
+      |raw AS (SELECT source, nreg,
+      |    CAST('6810691388924259720096645120'::HUGEINT
+      |      // (sp + (4096 - nreg) * 562949953421312)::HUGEINT AS BIGINT) AS raw_micro
+      |  FROM agg)
+      |SELECT source, nreg,
+      |  CASE WHEN nreg < 4096 AND raw_micro <= 10240000000
+      |    THEN CAST(floor(CAST(4096 AS DOUBLE) *
+      |      ln(CAST(4096 AS DOUBLE) / (4096 - nreg)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+      |    ELSE raw_micro END AS est_distinct_micro
+      |FROM raw ORDER BY source""".stripMargin
 
   /** IVFPQ tuning-grid oracle (llm_ann_ivfpq_grid): the recall
     * machinery of [[IvfPqRecallOracleSql]] swept over nprobe {1,2,4} ×
@@ -4477,27 +4521,12 @@ object LlmQueries {
     // alpha*m^2*2^49 numerator) with the linear-counting branch in
     // the micro-nat double convention — constants mirrored from
     // CorpusStats.{HllNumerator, HllLinearCutMicro}.
-    "llm_sketch_profile" ->
-      """WITH g AS (
-        |  SELECT source, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram
-        |  FROM (SELECT source, string_split_regex(lower(text), '\s+') AS w FROM documents) t0),
-        |h AS (SELECT source, ('0x' || substr(md5(ngram), 1, 15))::BIGINT AS h FROM g),
-        |regs AS (SELECT source, h % 4096 AS idx,
-        |    MAX(49 - length(ltrim(bin(h // 4096), '0')))::BIGINT AS r
-        |  FROM h GROUP BY source, h % 4096),
-        |agg AS (SELECT source, count(*)::BIGINT AS nreg,
-        |    CAST(sum(1::BIGINT << CAST(49 - r AS INTEGER)) AS BIGINT) AS sp
-        |  FROM regs GROUP BY source),
-        |raw AS (SELECT source, nreg,
-        |    CAST('6810691388924259720096645120'::HUGEINT
-        |      // (sp + (4096 - nreg) * 562949953421312)::HUGEINT AS BIGINT) AS raw_micro
-        |  FROM agg)
-        |SELECT source, nreg,
-        |  CASE WHEN nreg < 4096 AND raw_micro <= 10240000000
-        |    THEN CAST(floor(CAST(4096 AS DOUBLE) *
-        |      ln(CAST(4096 AS DOUBLE) / (4096 - nreg)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
-        |    ELSE raw_micro END AS est_distinct_micro
-        |FROM raw ORDER BY source""".stripMargin,
+    "llm_sketch_profile" -> HllProfileOracleSql,
+    // The persisted store's append path is cell-wise register max —
+    // order-independent, so store-after-append == build-from-scratch
+    // and the incremental row SHARES the full-build oracle (the
+    // IVF/PQ-append oracle-sharing contract).
+    "llm_hll_incremental" -> HllProfileOracleSql,
     // Corpus-level union of the native-HLL registers: identical
     // register derivation, grouped globally (max-of-maxes == global
     // register max).
