@@ -250,13 +250,28 @@ object Similarity {
     * refinement only moves codeword positions). */
   def pqCodebooksRefined(candidates: DataFrame, idCol: String, embCol: String,
                          labelCol: String, m: Int = 4, dim: Int = 64,
-                         rounds: Int = 2): Map[Long, IndexedSeq[Long]] = {
+                         rounds: Int = 2,
+                         init: Option[Map[Long, IndexedSeq[Long]]] = None): Map[Long, IndexedSeq[Long]] = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
-    val sub = dim / m
     val dfQ = candidates.select(col(idCol).as("cid"),
       quantize(col(embCol)).as("ce"))
-    var books = pqCodebooks(candidates, embCol, labelCol)
+    // `init` lets a caller that already trained the label-init books
+    // (both recall ledgers serve the init and the refined variant)
+    // skip retraining them — one corpus aggregation saved
+    refineBooksQ(dfQ,
+      init.getOrElse(pqCodebooks(candidates, embCol, labelCol)), m, dim, rounds)
+  }
+
+  /** The Lloyd-refinement loop over a pre-quantized (cid, ce) frame —
+    * shared by [[pqCodebooksRefined]] (raw vectors, label init) and
+    * the residual build (`refineRounds` on [[buildIvfPqResidual]]:
+    * residual arrays, cid-modulo init). */
+  private def refineBooksQ(dfQ: DataFrame, init: Map[Long, IndexedSeq[Long]],
+                           m: Int, dim: Int,
+                           rounds: Int): Map[Long, IndexedSeq[Long]] = {
+    val sub = dim / m
+    var books = init
     for (_ <- 0 until rounds) {
       val upd = pqEncodeKeepCe(dfQ, books, m, dim)
         .select(col("codes"), posexplode(col("ce")).as(Seq("pos", "v")))
@@ -1123,16 +1138,28 @@ object Similarity {
 
   /** The in-memory residual-IVFPQ build — (centroid sums, residual
     * codebooks, labeled codes) — shared by [[persistIvfPqResidualIndex]]
-    * and the inline ledger paths. */
+    * and the inline ledger paths. `refineRounds` > 0 Lloyd-refines the
+    * cid-modulo-init residual codebooks ([[refineBooksQ]] — the same
+    * bounded-collect rounds and keep-when-empty rule as the raw path,
+    * applied to the residual arrays; FAISS refines its residual
+    * codebooks the same way), and the codes then encode against the
+    * REFINED books. Priced in-engine by llm_ann_ivfpq_res_recall's
+    * `ivfpq_res_probe2_it2` row at identical serving cost. */
   def buildIvfPqResidual(df: DataFrame, idCol: String, embCol: String,
                          labelCol: String, m: Int = 4, dim: Int = 64,
-                         nCodewords: Int = 8): (DataFrame, Map[Long, IndexedSeq[Long]], DataFrame) = {
+                         nCodewords: Int = 8,
+                         refineRounds: Int = 0): (DataFrame, Map[Long, IndexedSeq[Long]], DataFrame) = {
+    require(refineRounds >= 0, s"refineRounds must be >= 0, got $refineRounds")
     val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
     val means = centroidMeans(cent)
     val resid = eq.withColumn("__c", centroidArrCol(means))
       .select(col("cid"), col("label"),
         zip_with(col("eq"), col("__c"), (x, c) => x - c).as("ce"))
-    val byCode = pqCodebooksQ(resid, col("ce"), pmod(col("cid"), lit(nCodewords)))
+    val init = pqCodebooksQ(resid, col("ce"), pmod(col("cid"), lit(nCodewords)))
+    val byCode =
+      if (refineRounds == 0) init
+      else refineBooksQ(resid.select(col("cid"), col("ce")), init, m, dim,
+        refineRounds)
     val codes = pqEncodeFrameQ(resid, byCode, m, dim)
       .join(eq.select(col("cid"), col("label")), "cid")
     (cent, byCode, codes)

@@ -593,7 +593,7 @@ object LlmQueries {
       // cost, only the codeword positions move (the FAISS practice;
       // the oracle replays the refinement rounds like the kmeans CTEs)
       val byIt = Similarity.pqCodebooksRefined(cands, "vec_id", "embedding",
-        "label", m = 4, dim = 64, rounds = 2)
+        "label", m = 4, dim = 64, rounds = 2, init = Some(byLabel))
       val codesIt = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
         byIt, m = 4, dim = 64).localCheckpoint()
       val serveIt = Similarity.pqServe(byIt, codesIt, store, qs,
@@ -951,8 +951,19 @@ object LlmQueries {
       val res = Similarity.ivfPqResidualTopK(centR, byCode, residCodes,
         store, qs, "vec_id", "embedding", k = 3, m = 4, dim = 64,
         coarse = 20, nprobe = 2)
+      // residual + REFINED books: 2 Lloyd rounds on the cid%8 init,
+      // served at the same nprobe/coarse/scan — the codebook-quality
+      // dial measured on the full FAISS shape (raw-path twin:
+      // ivfpq_probe2_it2 in llm_ann_ivfpq_recall)
+      val (centR2, byCodeIt, residCodesIt0) = Similarity.buildIvfPqResidual(
+        cands, "vec_id", "embedding", "label", refineRounds = 2)
+      val residCodesIt = residCodesIt0.localCheckpoint()
+      val resIt = Similarity.ivfPqResidualTopK(centR2, byCodeIt,
+        residCodesIt, store, qs, "vec_id", "embedding", k = 3, m = 4,
+        dim = 64, coarse = 20, nprobe = 2)
       ledgerRow(raw, "ivfpq_raw_probe2")
         .unionByName(ledgerRow(res, "ivfpq_res_probe2"))
+        .unionByName(ledgerRow(resIt, "ivfpq_res_probe2_it2"))
         .orderBy(col("method"))
     }),
 
@@ -1012,7 +1023,7 @@ object LlmQueries {
       // volume — the ledger prices the training dial separately from
       // the probing dial
       val byIt = Similarity.pqCodebooksRefined(cands, "vec_id", "embedding",
-        "label", m = 4, dim = 64, rounds = 2)
+        "label", m = 4, dim = 64, rounds = 2, init = Some(byLabel))
       val codesItLab = Similarity.pqEncodeFrame(cands, "vec_id", "embedding",
         byIt, m = 4, dim = 64)
         .join(cands.select(col("vec_id").as("cid"), col("label")), "cid")
@@ -2537,29 +2548,34 @@ object LlmQueries {
     * rounds+1's `rcodes_*` is the SERVING encode against the final
     * books rcw_{rounds} (its unused rcw update is never evaluated —
     * DuckDB inlines CTEs on demand). */
-  private def pqRefineCtes(rounds: Int): String = {
-    val head = Seq(
+  private def pqRefineCtes(rounds: Int): String =
+    (Seq(
       """cev AS (SELECT cid, i AS pos, ce[i] AS v, (i - 1) // 16 AS s
         |  FROM c, range(1, 65) t(i))""".stripMargin,
-      "rcw_0 AS (SELECT l, pos, cw FROM cwp)")
-    val steps = (1 to rounds + 1).map { r =>
-      s"""rdists_$r AS (SELECT cev.cid AS cid, w.l AS l, cev.s AS s,
-         |    CAST(sum((cev.v - w.cw) * (cev.v - w.cw)) AS BIGINT) AS d
-         |  FROM cev JOIN rcw_${r - 1} w ON w.pos = cev.pos
-         |  GROUP BY cev.cid, w.l, cev.s),
-         |rcodes_$r AS (SELECT cid, s, l AS code FROM (
+      "rcw_0 AS (SELECT l, pos, cw FROM cwp)") :+
+      refineStepCtes("cev", "r", rounds)).mkString(",\n")
+
+  /** The per-round refinement steps over an exploded value CTE
+    * `cev(cid, pos, v, s)` with books `${p}cw_0` — shared between the
+    * raw chain ([[pqRefineCtes]]) and the residual chain (values =
+    * residual arrays, init = the cid-modulo books). */
+  private def refineStepCtes(cev: String, p: String, rounds: Int): String =
+    (1 to rounds + 1).map { r =>
+      s"""${p}dists_$r AS (SELECT $cev.cid AS cid, w.l AS l, $cev.s AS s,
+         |    CAST(sum(($cev.v - w.cw) * ($cev.v - w.cw)) AS BIGINT) AS d
+         |  FROM $cev JOIN ${p}cw_${r - 1} w ON w.pos = $cev.pos
+         |  GROUP BY $cev.cid, w.l, $cev.s),
+         |${p}codes_$r AS (SELECT cid, s, l AS code FROM (
          |    SELECT cid, s, l, row_number() OVER (
-         |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM rdists_$r) t
+         |      PARTITION BY cid, s ORDER BY d, l) AS rn FROM ${p}dists_$r) t
          |  WHERE rn = 1),
-         |rcw_$r AS (SELECT p.l AS l, p.pos AS pos, coalesce(u.cw, p.cw) AS cw
-         |  FROM rcw_${r - 1} p LEFT JOIN (
-         |    SELECT rc.code AS l, cev.pos AS pos,
-         |      CAST(floor(CAST(sum(cev.v) AS DOUBLE) / count(*)) AS BIGINT) AS cw
-         |    FROM cev JOIN rcodes_$r rc ON rc.cid = cev.cid AND rc.s = cev.s
-         |    GROUP BY rc.code, cev.pos) u ON u.l = p.l AND u.pos = p.pos)""".stripMargin
-    }
-    (head ++ steps).mkString(",\n")
-  }
+         |${p}cw_$r AS (SELECT p.l AS l, p.pos AS pos, coalesce(u.cw, p.cw) AS cw
+         |  FROM ${p}cw_${r - 1} p LEFT JOIN (
+         |    SELECT rc.code AS l, $cev.pos AS pos,
+         |      CAST(floor(CAST(sum($cev.v) AS DOUBLE) / count(*)) AS BIGINT) AS cw
+         |    FROM $cev JOIN ${p}codes_$r rc ON rc.cid = $cev.cid AND rc.s = $cev.s
+         |    GROUP BY rc.code, $cev.pos) u ON u.l = p.l AND u.pos = p.pos)""".stripMargin
+    }.mkString(",\n")
 
   /** The refined-books serving LUT + ADC CTEs shared by the two recall
     * oracles (`rlut` over the final books, `rcodes_3` = the serving
@@ -3014,6 +3030,20 @@ object LlmQueries {
        |  JOIN lut_r ON lut_r.qid = b.qid AND lut_r.s = codes_r.s
        |    AND lut_r.l = codes_r.code
        |  GROUP BY codes_r.cid, b.qid, qc.qcdot),
+       |rcev AS (SELECT cid, pos, rv AS v, (pos - 1) // 16 AS s FROM residp),
+       |rrcw_0 AS (SELECT l, pos, cw FROM cwp_r),
+       |${refineStepCtes("rcev", "rr", 2)},
+       |rlut_res AS (SELECT q.qid AS qid, w.l AS l, (w.pos - 1) // 16 AS s,
+       |    CAST(sum(q.qe[w.pos] * w.cw) AS BIGINT) AS dp
+       |  FROM q, rrcw_2 w GROUP BY q.qid, w.l, (w.pos - 1) // 16),
+       |adcs_res_it AS (SELECT rc.cid AS cid, b.qid AS qid,
+       |    qc.qcdot + CAST(sum(rlut_res.dp) AS BIGINT) AS adc
+       |  FROM rrcodes_3 rc JOIN c ON c.cid = rc.cid
+       |  JOIN best b ON b.label = c.label
+       |  JOIN qc ON qc.qid = b.qid AND qc.label = c.label
+       |  JOIN rlut_res ON rlut_res.qid = b.qid AND rlut_res.s = rc.s
+       |    AND rlut_res.l = rc.code
+       |  GROUP BY rc.cid, b.qid, qc.qcdot),
        |scored AS (SELECT q.qid AS qid, c.cid AS cid,
        |  CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i)) AS BIGINT) AS dot
        |  FROM q, c),
@@ -3021,6 +3051,7 @@ object LlmQueries {
        |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t WHERE rk <= 3),
        |${topOf("raw", "adcs_raw")},
        |${topOf("res", "adcs_res")},
+       |${topOf("res_it", "adcs_res_it")},
        |nq AS (SELECT count(*) AS n_queries FROM q)
        |SELECT method, n_queries, total_matches,
        |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
@@ -3028,7 +3059,10 @@ object LlmQueries {
        |    (SELECT count(*) FROM exact JOIN top_raw USING (qid, cid)) AS total_matches FROM nq
        |  UNION ALL
        |  SELECT 'ivfpq_res_probe2', nq.n_queries,
-       |    (SELECT count(*) FROM exact JOIN top_res USING (qid, cid)) FROM nq) t
+       |    (SELECT count(*) FROM exact JOIN top_res USING (qid, cid)) FROM nq
+       |  UNION ALL
+       |  SELECT 'ivfpq_res_probe2_it2', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN top_res_it USING (qid, cid)) FROM nq) t
        |ORDER BY method""".stripMargin
   }
 
