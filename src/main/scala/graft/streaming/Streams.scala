@@ -481,6 +481,35 @@ object Streams {
       .start()
   }
 
+  /** Streaming maintenance of the persisted native-HLL profile
+    * ([[graft.llm.CorpusStats.persistHllProfile]]): each micro-batch's
+    * registers merge into the store (cell-wise max, atomically
+    * published; the base corpus is never rescanned). Register max is
+    * IDEMPOTENT, so unlike the dedup/ANN sinks this stream needs NO
+    * commit log: replaying a batch after a crash or restart re-maxes
+    * the same values into the store — at-least-once delivery composes
+    * with the monoid to exactly-once STATE (spec'd: a replayed batch
+    * leaves the store bit-identical). The first batch creates the
+    * store. */
+  def hllProfileStream(docs: DataFrame, sourceCol: String, textCol: String,
+                       path: String, checkpointDir: String,
+                       n: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val regs = new org.apache.hadoop.fs.Path(s"$path/registers")
+        val fs = regs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(regs))
+          graft.llm.CorpusStats.appendToHllProfile(batch, sourceCol, textCol,
+            path, n)
+        else
+          graft.llm.CorpusStats.persistHllProfile(batch, sourceCol, textCol,
+            path, n)
+      }
+      .start()
+
   /** One ANN-serving micro-batch against the frozen index, committed
     * through the batch log — factored out so the replay semantics are
     * testable without a running stream (the [[dedupBatch]] pattern). */

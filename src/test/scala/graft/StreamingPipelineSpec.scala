@@ -257,6 +257,40 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 20).map(i => (s"s${i % 2}", s"w${i % 7} w${i % 5} w${i % 3}"))
+    val b2 = (21 to 40).map(i => (s"s${i % 2}", s"w${i % 11} w${i % 5} x$i"))
+    val path = graft.util.Scratch.dir("hllstream") + "/profile"
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.Streams.hllProfileStream(
+      in.toDF().toDF("source", "text"), "source", "text", path,
+      graft.util.Scratch.dir("hllck"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the streamed register store equals ONE batch build of everything
+    val streamed = CorpusStats.hllEstimate(
+        CorpusStats.readHllProfile(spark, path))
+      .as[(String, Long, Long)].collect().toSet
+    val full = CorpusStats.sourceNgramHll(
+        (b1 ++ b2).toDF("source", "text"), "source", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === full, s"streamed $streamed vs batch $full")
+    // at-least-once replay: re-merging an already-seen batch is a
+    // no-op BY THE MONOID (max is idempotent) — no commit log needed
+    val before = CorpusStats.readHllProfile(spark, path)
+      .as[(String, Long, Long)].collect().toSet
+    CorpusStats.appendToHllProfile(b2.toDF("source", "text"),
+      "source", "text", path)
+    val after = CorpusStats.readHllProfile(spark, path)
+      .as[(String, Long, Long)].collect().toSet
+    assert(after === before, "a replayed batch must leave the store bit-identical")
+  }
+
   private def runIncrementalDelta(): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
