@@ -417,4 +417,44 @@ class PropertySpec extends SparkSpec {
         s"thr=$thr cap=$cap")
     }
   }
+
+  test("property: native-HLL register merge is a monoid over arbitrary shard splits") {
+    import graft.llm.CorpusStats
+    // random corpora over a mid-size vocab; arbitrary 3-way shard
+    // splits must merge (cell-wise max, in any grouping) to the full
+    // build bit-for-bit — the incremental/streaming-profile contract
+    val gen = Gen.listOfN(120, for {
+      src <- Gen.oneOf("a", "b", "c")
+      ws <- Gen.listOfN(12, Gen.choose(0, 99).map(i => s"t$i"))
+      shard <- Gen.choose(0, 2)
+    } yield (src, ws.mkString(" "), shard))
+    val rows = sample(gen)
+    val docs = rows.toDF("source", "text", "shard")
+    val full = CorpusStats.hllNgramRegisters(docs, "source", "text")
+    val merged = CorpusStats.hllMergeRegisters(
+      (0 to 2).map(sh => CorpusStats.hllNgramRegisters(
+        docs.filter(col("shard") === sh), "source", "text"))
+        .reduce(_.unionByName(_)))
+    assert(merged.except(full).count() === 0 &&
+      full.except(merged).count() === 0,
+      "3-way shard register merge must equal the full build")
+    // merge is also associative across UNBALANCED groupings:
+    // merge(merge(s0, s1), s2) == merge(s0, s1, s2)
+    val nested = CorpusStats.hllMergeRegisters(
+      CorpusStats.hllMergeRegisters(
+        CorpusStats.hllNgramRegisters(docs.filter(col("shard") === 0),
+            "source", "text")
+          .unionByName(CorpusStats.hllNgramRegisters(
+            docs.filter(col("shard") === 1), "source", "text")))
+        .unionByName(CorpusStats.hllNgramRegisters(
+          docs.filter(col("shard") === 2), "source", "text")))
+    assert(nested.except(full).count() === 0 &&
+      full.except(nested).count() === 0, "nested merges must agree")
+    // and the estimate is shard-split-invariant by consequence
+    val estFull = CorpusStats.hllEstimate(full)
+      .as[(String, Long, Long)].collect().toSet
+    val estMerged = CorpusStats.hllEstimate(merged)
+      .as[(String, Long, Long)].collect().toSet
+    assert(estFull === estMerged)
+  }
 }
