@@ -323,6 +323,37 @@ object Graft {
                        sketchCol: String = "ngram_sketch"): DataFrame =
     llm.CorpusStats.unionNgramSketch(sketches, sketchCol)
 
+  /** Engine-native md5-convention HLL profile (per-source distinct
+    * n-grams) — registers merge by cell-wise max; every value is
+    * oracle-replayable, unlike the Datasketches twin. */
+  def sourceNgramHll(docs: DataFrame, sourceCol: String, textCol: String,
+                     n: Int = 2): DataFrame =
+    llm.CorpusStats.sourceNgramHll(docs, sourceCol, textCol, n)
+
+  def hllNgramRegisters(docs: DataFrame, sourceCol: String, textCol: String,
+                        n: Int = 2): DataFrame =
+    llm.CorpusStats.hllNgramRegisters(docs, sourceCol, textCol, n)
+
+  def hllMergeRegisters(regs: DataFrame, sourceCol: String = "source"): DataFrame =
+    llm.CorpusStats.hllMergeRegisters(regs, sourceCol)
+
+  def hllEstimate(regs: DataFrame, sourceCol: String = "source"): DataFrame =
+    llm.CorpusStats.hllEstimate(regs, sourceCol)
+
+  /** Persisted incremental HLL profile store (crash-consistent
+    * cell-wise-max appends; register max is idempotent — replays are
+    * log-free no-ops). */
+  def persistHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
+                        path: String, n: Int = 2): Unit =
+    llm.CorpusStats.persistHllProfile(docs, sourceCol, textCol, path, n)
+
+  def appendToHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
+                         path: String, n: Int = 2): Unit =
+    llm.CorpusStats.appendToHllProfile(docs, sourceCol, textCol, path, n)
+
+  def readHllProfile(spark: SparkSession, path: String): DataFrame =
+    llm.CorpusStats.readHllProfile(spark, path)
+
   /** Duplicate-cluster size histogram over a components frame. */
   def clusterSizeHistogram(components: DataFrame): DataFrame =
     llm.CorpusStats.clusterSizeHistogram(components)
@@ -557,6 +588,16 @@ object Graft {
                          labelCol: String, path: String, m: Int = 4,
                          dim: Int = 64): Unit =
     llm.Similarity.appendToIvfPqIndex(df, idCol, embCol, labelCol, path, m, dim)
+
+  /** Lloyd-refined PQ codebooks (the FAISS training practice; the
+    * label init plus bounded refinement rounds — recall priced at
+    * identical serving cost by the pq_it2 / ivfpq_probe2_it2 ledger
+    * rows). */
+  def pqCodebooksRefined(candidates: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, m: Int = 4, dim: Int = 64,
+                         rounds: Int = 2): Map[Long, IndexedSeq[Long]] =
+    llm.Similarity.pqCodebooksRefined(candidates, idCol, embCol, labelCol,
+      m, dim, rounds)
 
   /** Residual IVFPQ (FAISS by_residual=true): build and serve. */
   def persistIvfPqResidualIndex(df: DataFrame, idCol: String, embCol: String,
