@@ -34,7 +34,9 @@ object Plans {
         "llm_ann_pq_indexed", "x13_sft_assembly", "x14_triangles",
         "x15_sft_pairs", "x16_join_blowup", "llm_e2e_web",
         "llm_fuzzy_linkage", "llm_inverted_index", "llm_char_entropy",
-        "x1b_asof_next_view", "llm_shard_stats_merge")
+        "x1b_asof_next_view", "llm_shard_stats_merge",
+        "llm_sketch_profile", "llm_hll_union", "llm_ann_ivfpq",
+        "llm_cms_estimate")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
