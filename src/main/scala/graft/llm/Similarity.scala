@@ -1149,16 +1149,31 @@ object Similarity {
                          labelCol: String, m: Int = 4, dim: Int = 64,
                          nCodewords: Int = 8,
                          refineRounds: Int = 0): (DataFrame, Map[Long, IndexedSeq[Long]], DataFrame) = {
-    require(refineRounds >= 0, s"refineRounds must be >= 0, got $refineRounds")
     val (cent, eq) = buildIvfIndex(df, idCol, embCol, labelCol)
+    buildIvfPqResidualFrom(cent, eq, m, dim, nCodewords, refineRounds)
+  }
+
+  /** The residual build over an ALREADY-BUILT coarse index
+    * ([[buildIvfIndex]]'s (cent, eq)) — the multi-variant/ledger path:
+    * one coarse build and one checkpointed assignment frame shared
+    * across codebook variants (init vs refined) instead of rebuilding
+    * per arm; `init` additionally reuses trained init books (the
+    * [[pqCodebooksRefined]] convention). Returns the same `cent` for
+    * triple-shape symmetry with [[buildIvfPqResidual]]. */
+  def buildIvfPqResidualFrom(cent: DataFrame, eq: DataFrame, m: Int = 4,
+                             dim: Int = 64, nCodewords: Int = 8,
+                             refineRounds: Int = 0,
+                             init: Option[Map[Long, IndexedSeq[Long]]] = None): (DataFrame, Map[Long, IndexedSeq[Long]], DataFrame) = {
+    require(refineRounds >= 0, s"refineRounds must be >= 0, got $refineRounds")
     val means = centroidMeans(cent)
     val resid = eq.withColumn("__c", centroidArrCol(means))
       .select(col("cid"), col("label"),
         zip_with(col("eq"), col("__c"), (x, c) => x - c).as("ce"))
-    val init = pqCodebooksQ(resid, col("ce"), pmod(col("cid"), lit(nCodewords)))
+    val initBooks = init.getOrElse(
+      pqCodebooksQ(resid, col("ce"), pmod(col("cid"), lit(nCodewords))))
     val byCode =
-      if (refineRounds == 0) init
-      else refineBooksQ(resid.select(col("cid"), col("ce")), init, m, dim,
+      if (refineRounds == 0) initBooks
+      else refineBooksQ(resid.select(col("cid"), col("ce")), initBooks, m, dim,
         refineRounds)
     val codes = pqEncodeFrameQ(resid, byCode, m, dim)
       .join(eq.select(col("cid"), col("label")), "cid")

@@ -931,10 +931,14 @@ object LlmQueries {
         byLabel, m = 4, dim = 64)
         .join(cands.select(col("vec_id").as("cid"), col("label")), "cid")
         .localCheckpoint()
-      val (cent, _) = Similarity.buildIvfIndex(cands, "vec_id", "embedding", "label")
-      // residual pipeline
-      val (centR, byCode, residCodes0) = Similarity.buildIvfPqResidual(
-        cands, "vec_id", "embedding", "label")
+      // ONE coarse build shared by the raw arm and BOTH residual
+      // variants (cent is deterministic, so per-arm rebuilds were
+      // identical work — the oracle already derives every arm from one
+      // coarse chain; this matches it)
+      val (cent, eqIdx) = Similarity.buildIvfIndex(cands, "vec_id",
+        "embedding", "label")
+      val (centR, byCode, residCodes0) = Similarity.buildIvfPqResidualFrom(
+        cent, eqIdx)
       val residCodes = residCodes0.localCheckpoint()
       def ledgerRow(approx: DataFrame, method: String) =
         exact.join(approx.select(col("qid"), col("cid")),
@@ -954,11 +958,12 @@ object LlmQueries {
       // residual + REFINED books: 2 Lloyd rounds on the cid%8 init,
       // served at the same nprobe/coarse/scan — the codebook-quality
       // dial measured on the full FAISS shape (raw-path twin:
-      // ivfpq_probe2_it2 in llm_ann_ivfpq_recall)
-      val (centR2, byCodeIt, residCodesIt0) = Similarity.buildIvfPqResidual(
-        cands, "vec_id", "embedding", "label", refineRounds = 2)
+      // ivfpq_probe2_it2 in llm_ann_ivfpq_recall). Shares the coarse
+      // build AND the trained init with the plain residual arm.
+      val (_, byCodeIt, residCodesIt0) = Similarity.buildIvfPqResidualFrom(
+        cent, eqIdx, refineRounds = 2, init = Some(byCode))
       val residCodesIt = residCodesIt0.localCheckpoint()
-      val resIt = Similarity.ivfPqResidualTopK(centR2, byCodeIt,
+      val resIt = Similarity.ivfPqResidualTopK(centR, byCodeIt,
         residCodesIt, store, qs, "vec_id", "embedding", k = 3, m = 4,
         dim = 64, coarse = 20, nprobe = 2)
       ledgerRow(raw, "ivfpq_raw_probe2")
