@@ -342,10 +342,23 @@ object CorpusStats {
 
   /** Registers per source: 2^p index bits, 48-bit rank window.
     * ONE corpus-scale aggregation; the shuffle carries at most
-    * m = 4096 register rows per source, never the n-grams. */
+    * m = 4096 register rows per source, never the n-grams.
+    *
+    * Each source also carries a GEOMETRY SENTINEL row
+    * `(idx = m + n, r = 0)` (cells live at idx < m, so it is
+    * unambiguous): registers built with a different n-gram order are
+    * indistinguishable from data alone, and merging them would
+    * silently estimate the union of two different item universes —
+    * the same disease the CMS sentinel closes. Same-n merges fold
+    * sentinels by the max monoid (identical rows); a mixed-n merge
+    * leaves a source with TWO sentinel idx values, which
+    * [[hllEstimate]] detects in its own aggregation and raises on.
+    * The sentinel derivation is a tiny aggregation over the REGISTER
+    * rows (≤ m × |sources|), never a second corpus pass. */
   def hllNgramRegisters(docs: DataFrame, sourceCol: String,
-                        textCol: String, n: Int = 2): DataFrame =
-    docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
+                        textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val cells = docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
       .select(col(sourceCol), explode(Text.shingles(col("w"), n)).as("ngram"))
       .withColumn("__h", conv(substring(md5(col("ngram")), 1, 15), 16, 10)
         .cast(LongType))
@@ -353,6 +366,9 @@ object CorpusStats {
         pmod(col("__h"), lit(HllM.toLong)).as("idx"))
       .agg(max(lit(HllRmax) -
         length(ltrim(bin(expr(s"__h div $HllM")), "0"))).cast(LongType).as("r"))
+    cells.unionByName(cells.select(col(sourceCol)).distinct()
+      .select(col(sourceCol), lit(HllM.toLong + n).as("idx"), lit(0L).as("r")))
+  }
 
   /** Cell-wise-max shard merge: union register frames, then this —
     * merge == full-build registers, bit-for-bit (spec'd). */
@@ -375,20 +391,33 @@ object CorpusStats {
     * per-source cardinality this sketch is pointed at. */
   def hllEstimate(regs: DataFrame, sourceCol: String = "source"): DataFrame =
     regs.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("nreg"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRmax - r)")).as("__sp"))
-      .withColumn("__s", col("__sp") +
+      .agg(count(when(col("idx") < HllM.toLong, lit(1))).as("nreg"),
+        sum(when(col("idx") < HllM.toLong,
+          expr(s"shiftleft(CAST(1 AS BIGINT), $HllRmax - r)"))).as("__sp"),
+        // geometry guard rides the SAME aggregation (no extra pass):
+        // a source must carry exactly one sentinel idx — two means a
+        // mixed-n merge, zero means a frame no producer built
+        collect_set(when(col("idx") >= HllM.toLong, col("idx"))).as("__sents"))
+      .withColumn("__s", coalesce(col("__sp"), lit(0L)) +
         (lit(HllM.toLong) - col("nreg")) * lit(HllTwoRmax))
       .withColumn("__raw", expr(
         s"CAST((CAST('$HllNumerator' AS DECIMAL(38,0)) - " +
           s"CAST('$HllNumerator' AS DECIMAL(38,0)) % __s) / __s AS BIGINT)"))
-      .withColumn("est_distinct_micro",
+      .withColumn("__est",
         when(col("nreg") < HllM.toLong && col("__raw") <= HllLinearCutMicro,
           floor(lit(HllM.toDouble) *
             log(lit(HllM.toDouble) / (lit(HllM.toLong) - col("nreg"))) *
             lit(1000000.0)).cast(LongType))
           .otherwise(col("__raw")))
-      .select(col(sourceCol), col("nreg"), col("est_distinct_micro"))
+      .select(col(sourceCol), col("nreg"),
+        when(size(col("__sents")) === 1, col("__est"))
+          .otherwise(raise_error(format_string(
+            "hllEstimate: inconsistent register geometry for source %s " +
+              "(sentinel idx set %s) — frames built with different n-gram " +
+              "orders were merged, or the frame was not produced by " +
+              "hllNgramRegisters", col(sourceCol).cast("string"),
+            col("__sents").cast("string"))).cast(LongType))
+          .as("est_distinct_micro"))
 
   /** Per-source distinct-n-gram HLL profile — registers + estimate in
     * one call; the native, hash-checkable face of
@@ -417,13 +446,24 @@ object CorpusStats {
 
   /** Merge a new batch's registers into a persisted profile —
     * cell-wise max, atomically published; the base corpus is never
-    * rescanned. */
+    * rescanned. The STORE's geometry sentinels are validated against
+    * this call's `n` BEFORE anything merges (the store is a tiny
+    * materialized table — the check reads register rows, never the
+    * corpus): appending a different n-gram order would silently turn
+    * the profile into a mixed-universe estimate. The batch side is
+    * consistent by construction (built here with the same `n`). */
   def appendToHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
                          path: String, n: Int = 2): Unit = {
     val spark = docs.sparkSession
+    val store = spark.read.parquet(s"$path/registers")
+    val sents = store.filter(col("idx") >= lit(HllM.toLong))
+      .select(col("idx")).distinct().collect().map(_.getLong(0)).toSeq.sorted
+    require(sents == Seq(HllM.toLong + n),
+      s"appendToHllProfile: store at $path has sentinel idx " +
+        s"${sents.mkString(", ")} but this append builds n=$n registers " +
+        s"(sentinel ${HllM + n}) — pass the n the profile was built with")
     val merged = hllMergeRegisters(
-      spark.read.parquet(s"$path/registers")
-        .unionByName(hllNgramRegisters(docs, sourceCol, textCol, n)),
+      store.unionByName(hllNgramRegisters(docs, sourceCol, textCol, n)),
       sourceCol)
     graft.io.Tables.swapInParquet(spark, merged, s"$path/registers")
   }

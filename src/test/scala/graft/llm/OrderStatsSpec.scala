@@ -250,6 +250,29 @@ class OrderStatsSpec extends SparkSpec {
     }
   }
 
+  test("native HLL: geometry sentinel catches mixed-n merges and wrong-n appends") {
+    val docs = Seq(("s", 1L, "a b c d e")).toDF("source", "doc_id", "text")
+    // merging bigram registers with trigram registers silently
+    // estimates a mixed universe — the per-source sentinel makes the
+    // estimate raise instead (lazily, in its own aggregation)
+    val mixed = CorpusStats.hllMergeRegisters(
+      CorpusStats.hllNgramRegisters(docs, "source", "text", n = 2)
+        .unionByName(CorpusStats.hllNgramRegisters(docs, "source", "text", n = 3)))
+    assert(intercept[Exception] {
+      CorpusStats.hllEstimate(mixed).collect()
+    }.getMessage.contains("geometry"))
+    // the persisted store refuses an append at a different n outright
+    val path = graft.util.Scratch.dir("hllgeom") + "/profile"
+    CorpusStats.persistHllProfile(docs, "source", "text", path, n = 2)
+    assert(intercept[IllegalArgumentException] {
+      CorpusStats.appendToHllProfile(docs, "source", "text", path, n = 3)
+    }.getMessage.contains("sentinel"))
+    // matched geometry still answers
+    CorpusStats.appendToHllProfile(docs, "source", "text", path, n = 2)
+    assert(CorpusStats.hllEstimate(CorpusStats.readHllProfile(spark, path))
+      .count() === 1L)
+  }
+
   test("native HLL: raw-estimate branch within HLL error at 12k distinct") {
     // 12000 distinct single bigrams > 2.5m = 10240 -> the raw
     // integer-floor-division estimate path (std err ~1.04/sqrt(4096))
