@@ -353,12 +353,16 @@ object CorpusStats {
     * sentinels by the max monoid (identical rows); a mixed-n merge
     * leaves a source with TWO sentinel idx values, which
     * [[hllEstimate]] detects in its own aggregation and raises on.
-    * The sentinel derivation is a tiny aggregation over the REGISTER
-    * rows (≤ m × |sources|), never a second corpus pass. */
+    * The sentinel rides EVERY cell row (exploded in the same stage as
+    * the aggregation output — a second derivation branch would
+    * re-evaluate the corpus lineage, measured 2× on the HLL queries):
+    * duplicate sentinel rows are harmless by the register max monoid
+    * — every consumer aggregates by (source, idx) or collects a set —
+    * and collapse to one row per source at the first merge. */
   def hllNgramRegisters(docs: DataFrame, sourceCol: String,
                         textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val cells = docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
+    docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
       .select(col(sourceCol), explode(Text.shingles(col("w"), n)).as("ngram"))
       .withColumn("__h", conv(substring(md5(col("ngram")), 1, 15), 16, 10)
         .cast(LongType))
@@ -366,8 +370,10 @@ object CorpusStats {
         pmod(col("__h"), lit(HllM.toLong)).as("idx"))
       .agg(max(lit(HllRmax) -
         length(ltrim(bin(expr(s"__h div $HllM")), "0"))).cast(LongType).as("r"))
-    cells.unionByName(cells.select(col(sourceCol)).distinct()
-      .select(col(sourceCol), lit(HllM.toLong + n).as("idx"), lit(0L).as("r")))
+      .select(col(sourceCol), explode(array(
+        struct(col("idx"), col("r")),
+        struct(lit(HllM.toLong + n).as("idx"), lit(0L).as("r")))).as("__e"))
+      .select(col(sourceCol), col("__e.idx").as("idx"), col("__e.r").as("r"))
   }
 
   /** Cell-wise-max shard merge: union register frames, then this —

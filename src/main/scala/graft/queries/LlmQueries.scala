@@ -2115,10 +2115,11 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
-    // Exact companion to llm_sketch_profile: the (source, occurrences)
-    // half of sourceNgramSketch IS exactly replayable by DuckDB, so it
-    // gets its own hash-checked entry — only the HLL estimate stays
-    // behind the rows-only check above.
+    // Exact n-gram occurrence counts per source, through the
+    // Datasketches estimator's own plan (Catalyst prunes the unused
+    // sketch aggregate — plan-verified): keeps the retained
+    // Datasketches path exercised end-to-end now that the profile row
+    // itself rides the native HLL.
     "llm_sketch_counts" -> ((s, dir) =>
       CorpusStats.sourceNgramSketch(t(s, dir, "documents"), "source",
         "doc_id", "text", n = 2, lgK = 12)
