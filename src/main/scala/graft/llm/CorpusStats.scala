@@ -353,16 +353,21 @@ object CorpusStats {
     * sentinels by the max monoid (identical rows); a mixed-n merge
     * leaves a source with TWO sentinel idx values, which
     * [[hllEstimate]] detects in its own aggregation and raises on.
-    * The sentinel rides EVERY cell row (exploded in the same stage as
-    * the aggregation output — a second derivation branch would
-    * re-evaluate the corpus lineage, measured 2× on the HLL queries):
-    * duplicate sentinel rows are harmless by the register max monoid
-    * — every consumer aggregates by (source, idx) or collects a set —
-    * and collapse to one row per source at the first merge. */
+    * Sentinels derive from `docs.select(source).distinct()` — a
+    * COLUMN-PRUNED second branch reading one tiny column, NOT the
+    * register lineage (a branch over the cells re-evaluated the whole
+    * tokenize+hash aggregation — measured 2× on the r14 bench). The
+    * residual sentinel cost (~0.4 s per query at sf0.1, A/B'd across
+    * three emission shapes) is FIXED AQE stage-orchestration overhead
+    * for the extra union branch, not data-proportional work — at
+    * corpus scale it vanishes into the register aggregation. A source
+    * whose documents yield no n-grams carries a sentinel but no cells
+    * — [[hllEstimate]] drops such sources (nothing to estimate),
+    * keeping output semantics identical to the pre-sentinel operator. */
   def hllNgramRegisters(docs: DataFrame, sourceCol: String,
                         textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
+    val cells = docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
       .select(col(sourceCol), explode(Text.shingles(col("w"), n)).as("ngram"))
       .withColumn("__h", conv(substring(md5(col("ngram")), 1, 15), 16, 10)
         .cast(LongType))
@@ -370,10 +375,8 @@ object CorpusStats {
         pmod(col("__h"), lit(HllM.toLong)).as("idx"))
       .agg(max(lit(HllRmax) -
         length(ltrim(bin(expr(s"__h div $HllM")), "0"))).cast(LongType).as("r"))
-      .select(col(sourceCol), explode(array(
-        struct(col("idx"), col("r")),
-        struct(lit(HllM.toLong + n).as("idx"), lit(0L).as("r")))).as("__e"))
-      .select(col(sourceCol), col("__e.idx").as("idx"), col("__e.r").as("r"))
+    cells.unionByName(docs.select(col(sourceCol)).distinct()
+      .select(col(sourceCol), lit(HllM.toLong + n).as("idx"), lit(0L).as("r")))
   }
 
   /** Cell-wise-max shard merge: union register frames, then this —
@@ -401,9 +404,17 @@ object CorpusStats {
         sum(when(col("idx") < HllM.toLong,
           expr(s"shiftleft(CAST(1 AS BIGINT), $HllRmax - r)"))).as("__sp"),
         // geometry guard rides the SAME aggregation (no extra pass):
-        // a source must carry exactly one sentinel idx — two means a
-        // mixed-n merge, zero means a frame no producer built
-        collect_set(when(col("idx") >= HllM.toLong, col("idx"))).as("__sents"))
+        // a source must carry exactly one sentinel idx — min != max
+        // means a mixed-n merge, null means a frame no producer
+        // built. min/max (NOT collect_set — an object aggregate would
+        // knock the whole estimate out of whole-stage codegen) keep
+        // it a plain HashAggregate.
+        min(when(col("idx") >= HllM.toLong, col("idx"))).as("__smin"),
+        max(when(col("idx") >= HllM.toLong, col("idx"))).as("__smax"))
+      // sentinel-only sources (documents but zero n-grams) have
+      // nothing to estimate — dropping them keeps output semantics
+      // identical to the cells-only frame
+      .filter(col("nreg") > 0)
       .withColumn("__s", coalesce(col("__sp"), lit(0L)) +
         (lit(HllM.toLong) - col("nreg")) * lit(HllTwoRmax))
       .withColumn("__raw", expr(
@@ -416,13 +427,14 @@ object CorpusStats {
             lit(1000000.0)).cast(LongType))
           .otherwise(col("__raw")))
       .select(col(sourceCol), col("nreg"),
-        when(size(col("__sents")) === 1, col("__est"))
+        when(col("__smin").isNotNull && col("__smin") === col("__smax"),
+            col("__est"))
           .otherwise(raise_error(format_string(
             "hllEstimate: inconsistent register geometry for source %s " +
-              "(sentinel idx set %s) — frames built with different n-gram " +
+              "(sentinel idx %s..%s) — frames built with different n-gram " +
               "orders were merged, or the frame was not produced by " +
               "hllNgramRegisters", col(sourceCol).cast("string"),
-            col("__sents").cast("string"))).cast(LongType))
+            col("__smin").cast("string"), col("__smax").cast("string"))).cast(LongType))
           .as("est_distinct_micro"))
 
   /** Per-source distinct-n-gram HLL profile — registers + estimate in
