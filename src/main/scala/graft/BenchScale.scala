@@ -45,6 +45,9 @@ object BenchScale {
     time("ivfpq_serve") {
       SparkEntry.queries("llm_ann_ivfpq")(spark, sfDir).count()
     }
+    time("ivfpq_grid") {
+      SparkEntry.queries("llm_ann_ivfpq_grid")(spark, sfDir).count()
+    }
     time("multisignal_dedup") {
       SparkEntry.queries("llm_dedup_multisignal")(spark, sfDir).count()
     }
