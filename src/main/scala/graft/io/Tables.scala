@@ -155,7 +155,14 @@ object Tables {
     * rename window leaves the table MISSING, which fails loudly on
     * the next read instead of silently serving a stale or torn
     * generation. Recovery for either residue: re-run the merge for
-    * the batch and delete orphan `__next`/`__old` dirs. */
+    * the batch and delete orphan `__next`/`__old` dirs.
+    *
+    * SINGLE-WRITER contract (like every store-maintenance path here —
+    * IVF/PQ appends, the HLL profile): two concurrent swappers of the
+    * same dest would each merge against the same base and the second
+    * publish would silently drop the first's contribution. Serialize
+    * appends per store (the streaming sinks do: foreachBatch is
+    * serial within a stream). */
   def swapInParquet(spark: SparkSession, df: DataFrame,
                     dest: String): Unit = {
     val tag = java.util.UUID.randomUUID().toString.take(8)

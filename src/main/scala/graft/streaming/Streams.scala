@@ -490,7 +490,11 @@ object Streams {
     * the same values into the store — at-least-once delivery composes
     * with the monoid to exactly-once STATE (spec'd: a replayed batch
     * leaves the store bit-identical). The first batch creates the
-    * store. */
+    * store. ONE stream per store path: foreachBatch serializes
+    * batches within a stream, but a second stream pointed at the same
+    * path could race the create-or-merge decision and the swap
+    * publication (the [[graft.io.Tables.swapInParquet]] single-writer
+    * contract). */
   def hllProfileStream(docs: DataFrame, sourceCol: String, textCol: String,
                        path: String, checkpointDir: String,
                        n: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
