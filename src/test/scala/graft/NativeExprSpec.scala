@@ -171,4 +171,67 @@ class NativeExprSpec extends SparkSpec {
     val plan = native.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"native entropy must not shuffle:\n$plan")
   }
+
+  test("Janino tripwire: kernel expressions never fall back to interpreted codegen") {
+    // Round-14 found 24 silent `CodeGenerator: Failed to compile`
+    // errors per verify run: the kernel package was named with the
+    // Java KEYWORD `native`, so generated code referencing kernel
+    // objects by path failed Janino and Spark quietly ran those
+    // stages interpreted — correctness stayed green, performance
+    // rotted. This watches the log4j2 stream while every doGenCode
+    // kernel executes inside a real plan and fails on any compile
+    // error, so the regression class can never return silently.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender("graft-codegen-watch", null, null,
+        false, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("Failed to compile")) failures.add(m.take(300))
+      }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(app, Level.ERROR, null)
+    ctx.updateLoggers()
+    try {
+      // through parquet, NOT a local Seq: ConvertToLocalRelation
+      // folds projections over LocalRelation INTERPRETED at optimize
+      // time (seen in this spec's own development), which would make
+      // the tripwire vacuous — a FileScan child forces the real
+      // codegen'd projection path
+      val dir = graft.util.Scratch.dir("cgwatch")
+      Seq((1L, "Café – ﬁne mixed ｱｲｳ"), (2L, "plain words here now"))
+        .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+      val docs = spark.read.parquet(s"$dir/docs")
+      docs.select(NativeFns.nfc(col("text")),
+        NativeFns.charEntropy(col("text")),
+        NativeFns.simHash(Text.hashedShingles(col("text"), 2)),
+        NativeFns.minHashSig(Text.hashedShingles(col("text"), 3)),
+        NativeFns.morton2(col("doc_id"), col("doc_id"))).collect()
+      Seq((1L, Seq.fill(8)(0.5f))).toDF("id", "e")
+        .write.parquet(s"$dir/vecs")
+      val q = spark.read.parquet(s"$dir/vecs")
+        .select(col("e"), Similarity.quantize(col("e")).as("q"))
+      q.select(NativeFns.longDot(col("q"), col("q")),
+        NativeFns.qdot(col("e"), col("e"))).collect()
+      assert(failures.isEmpty,
+        s"codegen fell back to interpreted:\n${failures.toArray.mkString("\n")}")
+      // detector self-check: a synthetic CodeGenerator error must be
+      // captured (proves the appender wiring, not just absence of bugs)
+      LogManager.getLogger(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+        .error("synthetic Failed to compile (tripwire self-check)")
+      assert(!failures.isEmpty, "the tripwire appender must see codegen errors")
+      failures.clear()
+    } finally {
+      cfg.getRootLogger.removeAppender("graft-codegen-watch")
+      ctx.updateLoggers()
+      app.stop()
+    }
+  }
 }
