@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf tables and compare strictly against the parquet that
-graft.Verify wrote. Usage: check.py <sfDir> <verifyOutDir>"""
-import sys, json, glob
+graft.Verify wrote. Usage: check.py <sfDir> <verifyOutDir> [runLog]
+
+The optional third arg is the verify/bench JVM's stderr log: any Janino
+`Failed to compile` line in it fails the gate. Codegen compile errors
+fall back to INTERPRETED execution silently — correctness stays green
+while performance rots (round 14: a Java-keyword package name broke
+every generated kernel reference and only a log grep found it). The
+NativeExprSpec tripwire covers sbt test; this covers the two surfaces
+the driver actually runs. Lines marked `(tripwire self-check)` (the
+spec's synthetic error) are excluded."""
+import sys, json, glob, re
 import duckdb
 import pandas as pd
 import numpy as np
@@ -53,7 +62,18 @@ def cmp_frames(name, sdf, ddf):
             problems.append(f"col {c}: dtype {sdf[c].dtype} vs {ddf[c].dtype} (may still hash-match)")
     return problems
 
-def main(sfdir, outdir):
+def check_log(path):
+    """Return offending lines: Janino codegen failures outside the
+    NativeExprSpec tripwire's synthetic line."""
+    bad = []
+    with open(path, errors="replace") as f:
+        for line in f:
+            if "Failed to compile" in line and "tripwire self-check" not in line:
+                bad.append(line.strip()[:200])
+    return bad
+
+
+def main(sfdir, outdir, runlog=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
@@ -81,8 +101,20 @@ def main(sfdir, outdir):
             soft = "" if not problems else f"  [{'; '.join(problems)}]"
             print(f"ok   {name} ({len(sdf)} rows){soft}")
             ok += 1
+    if runlog:
+        offenders = check_log(runlog)
+        if offenders:
+            print(f"\nFAIL codegen: {len(offenders)} 'Failed to compile' "
+                  f"line(s) in {runlog} — generated code fell back to "
+                  "interpreted execution (perf rots silently):")
+            for o in offenders[:5]:
+                print(f"   - {o}")
+            bad += 1
+        else:
+            print(f"codegen log clean ({runlog})")
     print(f"\n{ok} ok, {bad} fail, {len(oracle)} total")
     return 1 if bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

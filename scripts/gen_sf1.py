@@ -40,9 +40,13 @@ def rename_word(w: str, k: int) -> str:
     if k == 0:
         return w
     # deterministic ~half of the vocab is renamed per replica; the
-    # renamed halves differ across replicas (hash salted by k)
+    # renamed halves differ across replicas (hash salted by k). The
+    # suffix separator '~' is absent from the source vocabulary's word
+    # alphabet, so a rename can never collide with an existing word
+    # (a bare "{w}{k}" suffix could map distinct "w" and "w1" to the
+    # same token, breaking the per-replica bijection).
     h = hashlib.md5(f"{k}:{w}".encode()).digest()[0]
-    return f"{w}{k}" if h % 2 == 0 else w
+    return f"{w}~r{k}" if h % 2 == 0 else w
 
 
 doc_parts = []

@@ -229,6 +229,62 @@ object Bpe {
     merged.withColumn("n_syms", size(col("syms")).cast("long"))
   }
 
+  /** The token-id table of a trained tokenizer: every distinct symbol
+    * of the merged vocabulary, ids dense and 1-based in UTF-8 BYTE
+    * order (Spark's string order, and DuckDB's binary collation — the
+    * convention an oracle can replay with one `row_number`). BOUNDED
+    * driver materialization by construction: the symbol alphabet is
+    * |distinct characters| + at most one NEW symbol per merge —
+    * alphabet-scale (hundreds to low thousands), never vocab- or
+    * corpus-scale, so the sort-and-number runs driver-side instead of
+    * forcing a global single-partition window into the plan. */
+  def symbolIds(docs: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): Seq[(String, Long)] =
+    symbolIdsOf(vocabAfterMerges(docs, textCol, merges))
+
+  /** [[symbolIds]] from an already-built merged vocab frame. */
+  private def symbolIdsOf(mergedVocab: DataFrame): Seq[(String, Long)] =
+    mergedVocab.select(explode(col("syms")).as("sym")).distinct()
+      .collect().map(_.getString(0)).sortWith(utf8Lt)
+      .zipWithIndex.map { case (s, i) => (s, (i + 1).toLong) }.toSeq
+
+  /** Encode the corpus to its ordered BPE token-id stream
+    * (id, word_pos, sym_pos, token_id) — the tensor-ready product a
+    * training run actually consumes (train → ENCODE → pack; reference
+    * tie-in: the per-record transform stage of
+    * user_transformer.py:322-392, here a tokenizer instead of a field
+    * rewrite). Scale shape: merge application runs once per DISTINCT
+    * word ([[vocabAfterMerges]], vocab-scale); the corpus-scale side
+    * is one posexplode + a hash join against the word→symbols map
+    * (joined, not broadcast — a petabyte vocabulary has billions of
+    * words, the [[tokenCounts]]/NgramLm model-join discipline; AQE
+    * broadcasts it when it is actually small) + a broadcast join
+    * against the alphabet-scale token-id table. No shuffle touches
+    * the exploded symbol stream itself: both joins key on the word /
+    * symbol BEFORE the second explode multiplies rows. Per-document
+    * stream counts equal [[tokenCounts]] exactly (spec'd
+    * differentially). Documents with no words emit no rows. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    // materialized once (vocab-scale, tiny): the token-id collect and
+    // the encode join both read it, so the corpus-scale wordVocab
+    // aggregation underneath runs ONE time, not twice
+    val wsyms = vocabAfterMerges(docs, textCol, merges)
+      .select(col("w"), col("syms")).localCheckpoint(false)
+    import spark.implicits._
+    val ids = broadcast(symbolIdsOf(wsyms).toDF("sym", "token_id"))
+    val words = docs.select(col(idCol),
+      posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
+        .as(Seq("word_pos", "w")))
+    words.join(wsyms, Seq("w"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "sym")))
+      .join(ids, Seq("sym"))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"), col("token_id"))
+  }
+
   /** Per-document BPE token counts under a trained merge list — the
     * budget statistic a tokenizer-aware pipeline needs. The merge
     * application runs once per DISTINCT word (vocab-scale); the

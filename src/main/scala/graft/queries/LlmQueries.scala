@@ -41,6 +41,48 @@ object LlmQueries {
   /** Heavy-hitter occurrence threshold, shared with the oracle SQL. */
   private val HeavyHitterThreshold = 6L
 
+  /** Merge rounds for llm_bpe_encode, shared with its unrolled oracle
+    * (one CTE round per merge). 12 keeps the oracle SQL bounded while
+    * exercising multi-level merges (merged symbols re-merging, e.g.
+    * er + </w>) and both greedy edge shapes (a==b runs, a!=b). */
+  private val BpeEncodeMerges = 12
+
+  /** One unrolled BPE training+application round for the
+    * llm_bpe_encode oracle, over the row representation
+    * s{k}(w, freq, pos, sym). Greedy leftmost-first application is
+    * closed-form: positions where (sym, next) equals the round's best
+    * pair can only be ADJACENT when a == b (for a != b a match at i
+    * forces s[i+1] = b != a, so no match at i+1), and within each
+    * maximal run of consecutive match positions greedy merges exactly
+    * the even offsets — the islands (isl) + offset-parity (mg) shape
+    * below. A merged position consumes its right neighbour
+    * (lag(mg) = 1 rows drop); a consumed position is never itself
+    * merged (its offset in the island is odd). MATERIALIZED is
+    * load-bearing: each round references its predecessor three times,
+    * so inlined CTEs would expand the chain exponentially. An empty
+    * best (no pair with count >= 2) makes the round the identity —
+    * matching trainMergesLocal's early stop. */
+  private def bpeRoundCte(k: Int): String =
+    s"""p$k AS MATERIALIZED (SELECT a, b, sum(freq) AS n FROM (
+       |  SELECT freq, sym AS a, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS b
+       |  FROM s$k) t WHERE b IS NOT NULL GROUP BY a, b HAVING sum(freq) >= 2),
+       |b$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY n DESC, a || ' ' || b LIMIT 1),
+       |f$k AS (SELECT w, freq, pos, sym,
+       |  CASE WHEN sym = (SELECT a FROM b$k)
+       |        AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT b FROM b$k)
+       |       THEN 1 ELSE 0 END AS m FROM s$k),
+       |g$k AS (SELECT *, pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) AS isl FROM f$k),
+       |h$k AS (SELECT *, CASE WHEN m = 1
+       |    AND (pos - min(pos) OVER (PARTITION BY w, m, isl)) % 2 = 0
+       |  THEN 1 ELSE 0 END AS mg FROM g$k),
+       |s${k + 1} AS MATERIALIZED (SELECT w, freq,
+       |  row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |  CASE WHEN mg = 1 THEN sym || nx ELSE sym END AS sym
+       |  FROM (SELECT w, freq, pos, sym, mg,
+       |          lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx,
+       |          lag(mg, 1, 0) OVER (PARTITION BY w ORDER BY pos) AS pmg
+       |        FROM h$k) t WHERE pmg = 0)""".stripMargin
+
   /** Dedup-eval injected variants, shared with the oracle. 12-word
     * base; v1 changes the LAST word only, putting the (base, v1)
     * 3-gram Jaccard at 7/13 ≈ 0.538 — a BORDERLINE true pair exactly
@@ -1778,6 +1820,24 @@ object LlmQueries {
     "llm_bpe_pairs" -> ((s, dir) =>
       Bpe.pairCounts(Bpe.wordVocab(t(s, dir, "documents"), "text"))
         .orderBy(col("n").desc, col("pair")).limit(20)),
+
+    // The tokenizer's PRODUCT: train BpeEncodeMerges greedy merges,
+    // then emit the corpus's ordered token-id stream — one row per
+    // (doc, word_pos, sym_pos) with the dense 1-based token id. The
+    // oracle replays TRAINING AND ENCODING from the raw parquet: one
+    // unrolled CTE round per merge (the kmeans/IVFPQ oracle pattern;
+    // greedy leftmost-first application is closed-form per round —
+    // match positions at even offset within each run of consecutive
+    // matches — so no recursion or boundary-broken replace() tricks;
+    // the separator-joined replace() formulation is WRONG at symbol
+    // boundaries, see PLANS.md round-14 analysis).
+    "llm_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+        .map { case (_, a, b, _) => (a, b) }
+      Bpe.encode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
 
     // Pairwise exact shingle-Jaccard between sources — the
     // double-ingestion / mirror-feed audit. Exact integer set sizes;
@@ -3756,6 +3816,30 @@ object LlmQueries {
          |  for i in range(1, len(s))]) AS pair FROM sy)
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pr
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "llm_bpe_encode" ->
+      s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq FROM (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents) t WHERE len(w) > 0 GROUP BY w),
+         |sy AS (SELECT w, freq,
+         |  list_append([w[i] for i in range(1, len(w) + 1)], '</w>') AS s FROM wf),
+         |s0 AS MATERIALIZED (SELECT w, freq,
+         |  unnest(range(1, len(s) + 1)) AS pos, unnest(s) AS sym FROM sy),
+         |${(0 until BpeEncodeMerges).map(bpeRoundCte).mkString(",\n")},
+         |ids AS (SELECT sym, row_number() OVER (ORDER BY sym) AS token_id
+         |        FROM (SELECT DISTINCT sym FROM s$BpeEncodeMerges) t),
+         |wsyms AS MATERIALIZED (SELECT w, list(sym ORDER BY pos) AS syms
+         |  FROM s$BpeEncodeMerges GROUP BY w),
+         |dw AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
+         |         unnest(ws) AS w
+         |       FROM (SELECT doc_id,
+         |               list_filter(string_split_regex(lower(text), '\\s+'),
+         |                 x -> len(x) > 0) AS ws FROM documents) t),
+         |enc AS (SELECT doc_id, word_pos,
+         |          unnest(range(0, len(syms))) AS sym_pos, unnest(syms) AS sym
+         |        FROM dw JOIN wsyms USING (w))
+         |SELECT doc_id, word_pos, sym_pos, CAST(token_id AS BIGINT) AS token_id
+         |FROM enc JOIN ids USING (sym)
+         |ORDER BY doc_id, word_pos, sym_pos""".stripMargin,
     "llm_source_overlap" ->
       s"""WITH sh AS (SELECT DISTINCT src, h FROM (
          |  SELECT source AS src, unnest(list_distinct(list_transform(

@@ -107,6 +107,49 @@ class BpeSpec extends SparkSpec {
       Seq("引", "擎", Bpe.EndMark)))
   }
 
+  test("encode: ordered token-id stream matches hand-applied merges") {
+    val docs = Seq((1L, "low lower"), (2L, "low"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    // merged vocab: low -> [low, </w>]; lower -> [low, e, r, </w>]
+    // distinct syms UTF-8-sorted: </w>(1), e(2), low(3), r(4)
+    assert(Bpe.symbolIds(docs, "text", merges) ===
+      Seq((Bpe.EndMark, 1L), ("e", 2L), ("low", 3L), ("r", 4L)))
+    val out = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 0L, 3L), (1L, 0L, 1L, 1L),                   // low
+      (1L, 1L, 0L, 3L), (1L, 1L, 1L, 2L), (1L, 1L, 2L, 4L),
+      (1L, 1L, 3L, 1L),                                     // lower
+      (2L, 0L, 0L, 3L), (2L, 0L, 1L, 1L)))                  // low
+    // empty doc 3 emits no rows (tokenCounts reports it as 0)
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("encode: per-doc stream counts equal the tokenCounts ledger") {
+    // differential on a messy corpus: ties, overlap runs, multibyte,
+    // repeated words, an empty doc — trained merges, not hand-picked
+    val docs = Seq((10L, "low low low lower lowest"),
+      (11L, "aaa aab abab"), (12L, "日本 日本 日本語"), (13L, ""),
+      (14L, "low aaa 日本")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(docs, "text", nMerges = 9)
+      .map { case (_, a, b, _) => (a, b) }
+    val fromStream = Bpe.encode(docs, "doc_id", "text", merges)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val ledger = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(ledger.filter(_._2 > 0L) === fromStream)
+    assert(ledger(13L) === 0L)
+    // the id table is dense 1..|syms| and the stream uses only it
+    val ids = Bpe.symbolIds(docs, "text", merges)
+    assert(ids.map(_._2) === (1L to ids.length.toLong))
+    val used = Bpe.encode(docs, "doc_id", "text", merges)
+      .select("token_id").distinct().as[Long].collect().toSet
+    assert(used.subsetOf(ids.map(_._2).toSet))
+  }
+
   test("sourceOverlap: exact pairwise Jaccard, stop-shingle cap consistent") {
     val docs = Seq(
       ("A", "a b c d"), ("B", "a b c x"), ("C", "q r s t"),
