@@ -157,20 +157,36 @@ object Tables {
     * generation. Recovery for either residue: re-run the merge for
     * the batch and delete orphan `__next`/`__old` dirs.
     *
-    * SINGLE-WRITER contract (like every store-maintenance path here —
-    * IVF/PQ appends, the HLL profile): two concurrent swappers of the
-    * same dest would each merge against the same base and the second
-    * publish would silently drop the first's contribution. Serialize
-    * appends per store (the streaming sinks do: foreachBatch is
-    * serial within a stream). */
+    * SINGLE-WRITER contract — ENFORCED since r15, no longer just
+    * documented: every store-maintenance path (IVF/PQ appends, the
+    * HLL profile) runs its whole read-merge-publish window under
+    * [[withStoreLock]], and each published generation carries a
+    * `_GEN-<n>` marker (underscore-prefixed — invisible to parquet
+    * readers). `expectedGen` is the CAS: a publisher that read the
+    * store at generation g passes g, and the publish FAILS LOUDLY if
+    * the store moved past g since — the lost-update mode (two
+    * concurrent swappers each merging the same base, second publish
+    * silently dropping the first's contribution) now either
+    * serializes (lock) or raises (CAS), never silently wins. */
   def swapInParquet(spark: SparkSession, df: DataFrame,
-                    dest: String): Unit = {
+                    dest: String, expectedGen: Long = -1L): Unit = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
     val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
     df.write.mode("overwrite").parquet(next.toString)
+    val gen = storeGeneration(spark, dest)
+    if (expectedGen >= 0L && gen != expectedGen) {
+      fs.delete(next, true)
+      throw new java.io.IOException(
+        s"swapInParquet: $dest is at generation $gen but this publish " +
+          s"merged against generation $expectedGen — a concurrent writer " +
+          "advanced the store since it was read (single-writer contract; " +
+          "re-run the merge against the current generation)")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(next, s"_GEN-${gen + 1L}"),
+      true).close()
     if (fs.exists(destPath) && !fs.rename(destPath, old))
       throw new java.io.IOException(s"swapInParquet: cannot move $destPath aside")
     if (!fs.rename(next, destPath)) {
@@ -178,5 +194,49 @@ object Tables {
       throw new java.io.IOException(s"swapInParquet: cannot publish $next")
     }
     fs.delete(old, true)
+  }
+
+  /** The store's current generation number: max `_GEN-<n>` marker in
+    * the published dir (0 for a missing store or one predating the
+    * markers — the first stamped publish moves it to 1). */
+  def storeGeneration(spark: SparkSession, dest: String): Long = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(destPath)) 0L
+    else fs.listStatus(destPath).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_GEN-") => n.drop(5).toLong }
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Exclusive advisory lease over a swap-published store: runs `body`
+    * with `${dest}__lock` held (atomic create-if-absent — HDFS-atomic,
+    * best-effort-atomic on local filesystems), retrying acquisition
+    * for up to retries × waitMs before failing loudly. This is what
+    * ENFORCES the single-writer contract: every read-merge-publish
+    * window (HLL profile append, IVF/PQ centroid merge) runs under the
+    * store's lock, so two racing appenders serialize — the second
+    * merges against the first's published generation instead of the
+    * stale base. The lock window is seconds (a tiny-table merge +
+    * two metadata renames), so the default 60 s budget only exhausts
+    * against a CRASHED holder — the failure message names the orphan
+    * lock file; recovery is verifying no writer is live and deleting
+    * it. Not reentrant: compose store operations from the *Unlocked
+    * internals, never by nesting locked public calls. */
+  def withStoreLock[T](spark: SparkSession, dest: String,
+                       retries: Int = 240, waitMs: Long = 250L)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"${dest}__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var held = false
+    var attempt = 0
+    while (!held && attempt <= retries) {
+      held = try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+      if (!held) { attempt += 1; Thread.sleep(waitMs) }
+    }
+    if (!held) throw new java.io.IOException(
+      s"withStoreLock: cannot acquire $lock after ${retries + 1} attempts — " +
+        "another writer holds the store, or a crashed one left the lock " +
+        "behind (verify no writer is live, then delete the lock file)")
+    try body finally fs.delete(lock, false)
   }
 }

@@ -459,8 +459,19 @@ object CorpusStats {
     * bit-for-bit; `llm_hll_incremental` shares the full-build oracle. */
   def persistHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
                         path: String, n: Int = 2): Unit =
-    hllNgramRegisters(docs, sourceCol, textCol, n)
-      .write.mode("overwrite").parquet(s"$path/registers")
+    graft.io.Tables.withStoreLock(docs.sparkSession, s"$path/registers") {
+      persistHllUnlocked(docs, sourceCol, textCol, path, n)
+    }
+
+  /** The bootstrap write, publish-side: through
+    * [[graft.io.Tables.swapInParquet]] (write to a `__next` sibling,
+    * rename into place) so even the FIRST generation is atomic — a
+    * crash mid-bootstrap leaves no torn registers dir for a restart's
+    * append to merge against (the pre-r15 plain overwrite did). */
+  private def persistHllUnlocked(docs: DataFrame, sourceCol: String,
+                                 textCol: String, path: String, n: Int): Unit =
+    graft.io.Tables.swapInParquet(docs.sparkSession,
+      hllNgramRegisters(docs, sourceCol, textCol, n), s"$path/registers")
 
   /** Merge a new batch's registers into a persisted profile —
     * cell-wise max, atomically published; the base corpus is never
@@ -471,8 +482,19 @@ object CorpusStats {
     * the profile into a mixed-universe estimate. The batch side is
     * consistent by construction (built here with the same `n`). */
   def appendToHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
-                         path: String, n: Int = 2): Unit = {
+                         path: String, n: Int = 2): Unit =
+    graft.io.Tables.withStoreLock(docs.sparkSession, s"$path/registers") {
+      appendToHllUnlocked(docs, sourceCol, textCol, path, n)
+    }
+
+  /** The read-merge-publish window, run under the store lock. The
+    * generation captured at read is passed to the publish as a CAS
+    * (defense-in-depth behind the lock: a writer that bypasses the
+    * lock fails loudly rather than silently dropping this merge). */
+  private def appendToHllUnlocked(docs: DataFrame, sourceCol: String,
+                                  textCol: String, path: String, n: Int): Unit = {
     val spark = docs.sparkSession
+    val gen = graft.io.Tables.storeGeneration(spark, s"$path/registers")
     val store = spark.read.parquet(s"$path/registers")
     val sents = store.filter(col("idx") >= lit(HllM.toLong))
       .select(col("idx")).distinct().collect().map(_.getLong(0)).toSeq.sorted
@@ -483,8 +505,25 @@ object CorpusStats {
     val merged = hllMergeRegisters(
       store.unionByName(hllNgramRegisters(docs, sourceCol, textCol, n)),
       sourceCol)
-    graft.io.Tables.swapInParquet(spark, merged, s"$path/registers")
+    graft.io.Tables.swapInParquet(spark, merged, s"$path/registers", gen)
   }
+
+  /** Create-or-merge in ONE locked decision — the streaming-sink entry
+    * point ([[graft.streaming.Streams.hllProfileStream]]): the
+    * exists-check and the chosen write run under the same store lock,
+    * so two streams bootstrapping the same empty path serialize — the
+    * loser of the bootstrap race sees the winner's store and MERGES
+    * into it instead of overwriting it (the pre-r15 unlocked
+    * exists-then-persist lost the first batch's registers). */
+  def upsertHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
+                       path: String, n: Int = 2): Unit =
+    graft.io.Tables.withStoreLock(docs.sparkSession, s"$path/registers") {
+      val regs = new org.apache.hadoop.fs.Path(s"$path/registers")
+      val fs = regs.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(regs)) appendToHllUnlocked(docs, sourceCol, textCol, path, n)
+      else persistHllUnlocked(docs, sourceCol, textCol, path, n)
+    }
 
   /** Reload a persisted register profile. */
   def readHllProfile(spark: org.apache.spark.sql.SparkSession,

@@ -421,7 +421,7 @@ object Similarity {
   def appendToPqIndex(df: DataFrame, idCol: String, embCol: String,
                       path: String, m: Int = 4, dim: Int = 64): Unit = {
     val (byLabel, _) = readPqIndex(df.sparkSession, path)
-    validateCodebooks(byLabel, m, dim, path)
+    validateCodebooks(df.sparkSession, byLabel, m, dim, path)
     pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
       .write.mode("append").parquet(s"$path/codes")
   }
@@ -430,8 +430,15 @@ object Similarity {
     * caller's (m, dim) must match the persisted index, or the reloaded
     * codeword arrays would slice wrong and the batch would encode (and
     * then SERVE) garbage codes silently — mis-sliced sub-vectors still
-    * argmin to *some* codeword, so nothing downstream errors. */
-  private def validateCodebooks(byLabel: Map[Long, IndexedSeq[Long]],
+    * argmin to *some* codeword, so nothing downstream errors. `dim`
+    * is checked against the codebook vector lengths; `m` is checked
+    * against ONE stored code row's array length (codebooks alone
+    * cannot catch a wrong-but-divisible m, e.g. m=2 against an m=4
+    * index at the same dim — the appended codes arrays would be the
+    * wrong length and serving would element_at past their end,
+    * silently nulling ADC for appended vectors). */
+  private def validateCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                byLabel: Map[Long, IndexedSeq[Long]],
                                 m: Int, dim: Int, path: String): Unit = {
     require(byLabel.nonEmpty, s"append: no codebooks found under $path")
     require(m >= 1 && dim % m == 0,
@@ -441,6 +448,12 @@ object Similarity {
       s"append: dim=$dim does not match the index at $path — codebook " +
         s"vectors have length ${badLen.head._2} (label ${badLen.head._1}); " +
         "pass the (m, dim) the index was built with")
+    val storedM = spark.read.parquet(s"$path/codes")
+      .select(size(col("codes"))).head(1)
+    storedM.foreach(r => require(r.getInt(0) == m,
+      s"append: m=$m does not match the index at $path — stored code " +
+        s"arrays have length ${r.getInt(0)}; pass the (m, dim) the index " +
+        "was built with"))
   }
 
   /** Reload a persisted PQ index → (codebooks map, codes frame). */
@@ -871,28 +884,22 @@ object Similarity {
   def appendToIvfIndex(df: DataFrame, idCol: String, embCol: String,
                        labelCol: String, path: String): Unit = {
     val spark = df.sparkSession
-    val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
-    eqNew.write.mode("append").partitionBy("label")
-      .parquet(s"$path/assignments")
-    val merged = spark.read.parquet(s"$path/centroids")
-      .unionByName(centNew)
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
-    swapInParquet(spark, merged, s"$path/centroids")
+    // whole append (file adds + centroid merge) under the store lock:
+    // two racing appenders serialize, so neither merges a stale base
+    // and the assignments/centroids pair can never tear (r15 —
+    // single-writer contract enforced, not just documented)
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
+      val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
+      eqNew.write.mode("append").partitionBy("label")
+        .parquet(s"$path/assignments")
+      val merged = spark.read.parquet(s"$path/centroids")
+        .unionByName(centNew)
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      graft.io.Tables.swapInParquet(spark, merged, s"$path/centroids", gen)
+    }
   }
-
-  /** Crash-consistent replacement for `mode("overwrite")` on the tiny
-    * centroid table during appends — see
-    * [[graft.io.Tables.swapInParquet]]: a crash before the publish
-    * leaves the OLD table intact; a crash inside the metadata-only
-    * rename window leaves it MISSING (loud on next read) instead of
-    * serving appended codes against silently-stale centroid sums, the
-    * corruption mode the in-place overwrite had. Recovery: re-run the
-    * batch append (run the dedup-compaction recipe if exact duplicate
-    * code rows matter) and delete orphan `__next`/`__old` dirs. */
-  private def swapInParquet(spark: org.apache.spark.sql.SparkSession,
-                            df: DataFrame, dest: String): Unit =
-    graft.io.Tables.swapInParquet(spark, df, dest)
 
   /** ANN against a pre-built index — the serving path. Same math as
     * [[ivfTopK]] (differential-spec'd equal); the index frames come
@@ -997,17 +1004,21 @@ object Similarity {
                          labelCol: String, path: String, m: Int = 4,
                          dim: Int = 64): Unit = {
     val spark = df.sparkSession
-    val (byLabel, _) = readPqIndex(spark, path)
-    validateCodebooks(byLabel, m, dim, path)
-    val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
-    pqEncodeFrameQ(eqNew.select(col("cid"), col("eq").as("ce")), byLabel, m, dim)
-      .join(eqNew.select(col("cid"), col("label")), "cid")
-      .write.mode("append").partitionBy("label").parquet(s"$path/codes")
-    val merged = spark.read.parquet(s"$path/centroids")
-      .unionByName(centNew)
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
-    swapInParquet(spark, merged, s"$path/centroids")
+    // same enforced single-writer window as appendToIvfIndex
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
+      val (byLabel, _) = readPqIndex(spark, path)
+      validateCodebooks(spark, byLabel, m, dim, path)
+      val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
+      pqEncodeFrameQ(eqNew.select(col("cid"), col("eq").as("ce")), byLabel, m, dim)
+        .join(eqNew.select(col("cid"), col("label")), "cid")
+        .write.mode("append").partitionBy("label").parquet(s"$path/codes")
+      val merged = spark.read.parquet(s"$path/centroids")
+        .unionByName(centNew)
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      graft.io.Tables.swapInParquet(spark, merged, s"$path/centroids", gen)
+    }
   }
 
   /** Load a persisted IVFPQ index → (centroids, codebooks, codes). */

@@ -490,11 +490,14 @@ object Streams {
     * the same values into the store — at-least-once delivery composes
     * with the monoid to exactly-once STATE (spec'd: a replayed batch
     * leaves the store bit-identical). The first batch creates the
-    * store. ONE stream per store path: foreachBatch serializes
-    * batches within a stream, but a second stream pointed at the same
-    * path could race the create-or-merge decision and the swap
-    * publication (the [[graft.io.Tables.swapInParquet]] single-writer
-    * contract). */
+    * store — atomically: each batch is ONE
+    * [[graft.llm.CorpusStats.upsertHllProfile]] call, whose
+    * create-or-merge decision and publish run under the store lock
+    * ([[graft.io.Tables.withStoreLock]]), so even two streams pointed
+    * at the same empty path serialize — the bootstrap race's loser
+    * merges into the winner's store instead of overwriting it, and
+    * concurrent steady-state batches merge in some serial order (the
+    * max monoid makes every order equal). */
   def hllProfileStream(docs: DataFrame, sourceCol: String, textCol: String,
                        path: String, checkpointDir: String,
                        n: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
@@ -502,15 +505,8 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val regs = new org.apache.hadoop.fs.Path(s"$path/registers")
-        val fs = regs.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(regs))
-          graft.llm.CorpusStats.appendToHllProfile(batch, sourceCol, textCol,
-            path, n)
-        else
-          graft.llm.CorpusStats.persistHllProfile(batch, sourceCol, textCol,
-            path, n)
+        graft.llm.CorpusStats.upsertHllProfile(batch, sourceCol, textCol,
+          path, n)
       }
       .start()
 
