@@ -344,30 +344,24 @@ object CorpusStats {
     * ONE corpus-scale aggregation; the shuffle carries at most
     * m = 4096 register rows per source, never the n-grams.
     *
-    * Each source also carries a GEOMETRY SENTINEL row
-    * `(idx = m + n, r = 0)` (cells live at idx < m, so it is
-    * unambiguous): registers built with a different n-gram order are
-    * indistinguishable from data alone, and merging them would
-    * silently estimate the union of two different item universes —
-    * the same disease the CMS sentinel closes. Same-n merges fold
-    * sentinels by the max monoid (identical rows); a mixed-n merge
-    * leaves a source with TWO sentinel idx values, which
-    * [[hllEstimate]] detects in its own aggregation and raises on.
-    * Sentinels derive from `docs.select(source).distinct()` — a
-    * COLUMN-PRUNED second branch reading one tiny column, NOT the
-    * register lineage (a branch over the cells re-evaluated the whole
-    * tokenize+hash aggregation — measured 2× on the r14 bench). The
-    * residual sentinel cost (~0.4 s per query at sf0.1, A/B'd across
-    * three emission shapes) is FIXED AQE stage-orchestration overhead
-    * for the extra union branch, not data-proportional work — at
-    * corpus scale it vanishes into the register aggregation. A source
-    * whose documents yield no n-grams carries a sentinel but no cells
-    * — [[hllEstimate]] drops such sources (nothing to estimate),
-    * keeping output semantics identical to the pre-sentinel operator. */
+    * Each register row carries its GEOMETRY as a constant `ng` column
+    * (the n-gram order it was built with): registers built with a
+    * different order are indistinguishable from data alone, and
+    * merging them would silently estimate the union of two different
+    * item universes — the same disease the CMS sentinel closes. The
+    * column shape makes the guard FREE: it rides the row, inside the
+    * same HashAggregate — no sentinel rows, no second scan branch, no
+    * union (the r14 sentinel-row emission cost ~0.4 s of fixed AQE
+    * stage orchestration per query; a cells-derived branch was 2×).
+    * `ng` is part of the merge's GROUP KEY, so a same-order merge is
+    * a no-op on it while a mixed-order merge leaves the same idx
+    * under TWO `ng` values — which [[hllEstimate]] detects in its own
+    * aggregation (min != max) and raises on, and
+    * [[appendToHllProfile]] refuses against the store outright. */
   def hllNgramRegisters(docs: DataFrame, sourceCol: String,
                         textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val cells = docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
+    docs.select(col(sourceCol), Text.words(col(textCol)).as("w"))
       .select(col(sourceCol), explode(Text.shingles(col("w"), n)).as("ngram"))
       .withColumn("__h", conv(substring(md5(col("ngram")), 1, 15), 16, 10)
         .cast(LongType))
@@ -375,14 +369,18 @@ object CorpusStats {
         pmod(col("__h"), lit(HllM.toLong)).as("idx"))
       .agg(max(lit(HllRmax) -
         length(ltrim(bin(expr(s"__h div $HllM")), "0"))).cast(LongType).as("r"))
-    cells.unionByName(docs.select(col(sourceCol)).distinct()
-      .select(col(sourceCol), lit(HllM.toLong + n).as("idx"), lit(0L).as("r")))
+      .select(col(sourceCol), col("idx"), col("r"), lit(n.toLong).as("ng"))
   }
 
   /** Cell-wise-max shard merge: union register frames, then this —
-    * merge == full-build registers, bit-for-bit (spec'd). */
+    * merge == full-build registers, bit-for-bit (spec'd). The
+    * geometry column is part of the group key: a same-order merge
+    * folds it away, a mixed-order merge keeps both rows as evidence
+    * for [[hllEstimate]]'s guard. */
   def hllMergeRegisters(regs: DataFrame, sourceCol: String = "source"): DataFrame =
-    regs.groupBy(col(sourceCol), col("idx")).agg(max(col("r")).as("r"))
+    regs.groupBy(col(sourceCol), col("idx"), col("ng"))
+      .agg(max(col("r")).as("r"))
+      .select(col(sourceCol), col("idx"), col("r"), col("ng"))
 
   /** The HLL estimate from a register frame, in exact micro-units:
     * raw E = alpha_m * m² / Σ 2^-M[j] is computed as ONE exact
@@ -400,22 +398,16 @@ object CorpusStats {
     * per-source cardinality this sketch is pointed at. */
   def hllEstimate(regs: DataFrame, sourceCol: String = "source"): DataFrame =
     regs.groupBy(col(sourceCol))
-      .agg(count(when(col("idx") < HllM.toLong, lit(1))).as("nreg"),
-        sum(when(col("idx") < HllM.toLong,
-          expr(s"shiftleft(CAST(1 AS BIGINT), $HllRmax - r)"))).as("__sp"),
-        // geometry guard rides the SAME aggregation (no extra pass):
-        // a source must carry exactly one sentinel idx — min != max
-        // means a mixed-n merge, null means a frame no producer
-        // built. min/max (NOT collect_set — an object aggregate would
-        // knock the whole estimate out of whole-stage codegen) keep
-        // it a plain HashAggregate.
-        min(when(col("idx") >= HllM.toLong, col("idx"))).as("__smin"),
-        max(when(col("idx") >= HllM.toLong, col("idx"))).as("__smax"))
-      // sentinel-only sources (documents but zero n-grams) have
-      // nothing to estimate — dropping them keeps output semantics
-      // identical to the cells-only frame
-      .filter(col("nreg") > 0)
-      .withColumn("__s", coalesce(col("__sp"), lit(0L)) +
+      .agg(count(lit(1)).as("nreg"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRmax - r)")).as("__sp"),
+        // geometry guard rides the SAME aggregation (no extra pass,
+        // no extra branch): every register row carries its n-gram
+        // order in `ng`, so min != max is exactly a mixed-order
+        // merge. min/max (NOT collect_set — an object aggregate
+        // would knock the whole estimate out of whole-stage codegen)
+        // keep it a plain HashAggregate.
+        min(col("ng")).as("__gmin"), max(col("ng")).as("__gmax"))
+      .withColumn("__s", col("__sp") +
         (lit(HllM.toLong) - col("nreg")) * lit(HllTwoRmax))
       .withColumn("__raw", expr(
         s"CAST((CAST('$HllNumerator' AS DECIMAL(38,0)) - " +
@@ -427,14 +419,13 @@ object CorpusStats {
             lit(1000000.0)).cast(LongType))
           .otherwise(col("__raw")))
       .select(col(sourceCol), col("nreg"),
-        when(col("__smin").isNotNull && col("__smin") === col("__smax"),
-            col("__est"))
+        when(col("__gmin") === col("__gmax"), col("__est"))
           .otherwise(raise_error(format_string(
             "hllEstimate: inconsistent register geometry for source %s " +
-              "(sentinel idx %s..%s) — frames built with different n-gram " +
-              "orders were merged, or the frame was not produced by " +
-              "hllNgramRegisters", col(sourceCol).cast("string"),
-            col("__smin").cast("string"), col("__smax").cast("string"))).cast(LongType))
+              "(n-gram orders %s..%s) — frames built with different " +
+              "n-gram orders were merged, or the frame was not produced " +
+              "by hllNgramRegisters", col(sourceCol).cast("string"),
+            col("__gmin").cast("string"), col("__gmax").cast("string"))).cast(LongType))
           .as("est_distinct_micro"))
 
   /** Per-source distinct-n-gram HLL profile — registers + estimate in
@@ -475,12 +466,12 @@ object CorpusStats {
 
   /** Merge a new batch's registers into a persisted profile —
     * cell-wise max, atomically published; the base corpus is never
-    * rescanned. The STORE's geometry sentinels are validated against
-    * this call's `n` BEFORE anything merges (the store is a tiny
-    * materialized table — the check reads register rows, never the
-    * corpus): appending a different n-gram order would silently turn
-    * the profile into a mixed-universe estimate. The batch side is
-    * consistent by construction (built here with the same `n`). */
+    * rescanned. The STORE's geometry column (`ng`) is validated
+    * against this call's `n` BEFORE anything merges (the store is a
+    * tiny materialized table — the check reads register rows, never
+    * the corpus): appending a different n-gram order would silently
+    * turn the profile into a mixed-universe estimate. The batch side
+    * is consistent by construction (built here with the same `n`). */
   def appendToHllProfile(docs: DataFrame, sourceCol: String, textCol: String,
                          path: String, n: Int = 2): Unit =
     graft.io.Tables.withStoreLock(docs.sparkSession, s"$path/registers") {
@@ -496,12 +487,12 @@ object CorpusStats {
     val spark = docs.sparkSession
     val gen = graft.io.Tables.storeGeneration(spark, s"$path/registers")
     val store = spark.read.parquet(s"$path/registers")
-    val sents = store.filter(col("idx") >= lit(HllM.toLong))
-      .select(col("idx")).distinct().collect().map(_.getLong(0)).toSeq.sorted
-    require(sents == Seq(HllM.toLong + n),
-      s"appendToHllProfile: store at $path has sentinel idx " +
-        s"${sents.mkString(", ")} but this append builds n=$n registers " +
-        s"(sentinel ${HllM + n}) — pass the n the profile was built with")
+    val orders = store.select(col("ng")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    require(orders == Seq(n.toLong),
+      s"appendToHllProfile: store at $path was built with n-gram " +
+        s"order(s) ${orders.mkString(", ")} but this append builds n=$n " +
+        "registers — pass the n the profile was built with")
     val merged = hllMergeRegisters(
       store.unionByName(hllNgramRegisters(docs, sourceCol, textCol, n)),
       sourceCol)
@@ -860,13 +851,23 @@ object CorpusStats {
     * width would hash probes to unrelated buckets and return
     * arbitrary counts with nothing downstream erring — so a wrong
     * geometry (including a union of differently-shaped shard
-    * sketches, which leaves two sentinels) raises at evaluation. The
-    * guard is LAZY — a one-row sentinel aggregation cross-joined into
-    * the estimate plan with `raise_error` behind the mismatch branch —
-    * so it rides the SAME job as the probe instead of forcing an
-    * eager driver collect that would serialize the sketch build
-    * (measured 6.8× on llm_cms_estimate when an eager guard landed;
-    * sentinels are the rows with n = 0 — true cells are counts >= 1). */
+    * sketches, which leaves two sentinels) raises at evaluation.
+    * The guard costs ONE PLAN, not two: the probes FULL-OUTER join
+    * the sketch (unmatched probes read 0 as before; unmatched cells —
+    * including the sentinel — survive as the null-term group), ONE
+    * hash aggregation computes the per-term minimum alongside the
+    * per-group geometry partials (sentinel count, the sentinel's
+    * row/bucket packed into one long, true-cell row/bucket maxima),
+    * and a window over the aggregated frame (≤ |terms|+1 rows — a
+    * global window is only an anti-pattern at data scale) folds the
+    * partials to the global verdict. The corpus-scale build lineage
+    * is evaluated exactly once — r14's cross-joined guard branch
+    * re-evaluated it per estimate (~1.3 s residual on
+    * llm_cms_estimate), an eager driver collect was 6.8× (it
+    * serialized multi-sketch arms), and a lazy localCheckpoint pin
+    * measured 1.6× WORSE than the branch (the RDD boundary defeats
+    * AQE and whole-stage fusion) — the single-aggregation shape is
+    * the one that is actually free. */
   def cmsEstimate(cms: DataFrame, terms: Seq[String], depth: Int = 4,
                   width: Int = 64): DataFrame = {
     val spark = cms.sparkSession
@@ -874,25 +875,46 @@ object CorpusStats {
     val probes = terms.distinct.flatMap(t => (0 until depth).map(r =>
       (t, r.toLong,
         md5Mod(s"cms:$r:${t.toLowerCase}") % width))).toDF("term", "row", "bucket")
-    val geom = cms.agg(
-      collect_set(when(col("n") === 0L,
-        struct(col("row"), col("bucket")))).as("__sents"),
-      max(when(col("n") > 0L, col("row"))).as("__mr"),
-      max(when(col("n") > 0L, col("bucket"))).as("__mb"))
-    val ok = size(col("__sents")) === 1 &&
-      element_at(col("__sents"), 1) ===
-        struct(lit(depth.toLong).as("row"), lit(width.toLong).as("bucket")) &&
-      coalesce(col("__mr") < depth.toLong, lit(true)) &&
-      coalesce(col("__mb") < width.toLong, lit(true))
-    probes.join(cms, Seq("row", "bucket"), "left")
+    // sentinel coordinates packed into one long (row, bucket < 2^31)
+    // so the geometry partials stay primitive min/max — the whole
+    // estimate remains a plain codegen HashAggregate + tiny Window
+    val pack = col("row") * lit(4294967296L) + col("bucket")
+    val expect = lit(depth.toLong * 4294967296L + width.toLong)
+    val g = probes.join(cms, Seq("row", "bucket"), "full_outer")
       .groupBy(col("term"))
-      .agg(min(coalesce(col("n"), lit(0L))).as("__est"))
-      .crossJoin(broadcast(geom))
-      .select(col("term"),
-        when(ok, col("__est")).otherwise(raise_error(format_string(
-          s"cmsEstimate: probe geometry ${depth}x$width does not match " +
-            "the sketch (sentinels %s) — pass the depth/width the sketch " +
-            "was built with, and never merge sketches of different geometry",
-          col("__sents").cast("string"))).cast("long")).as("est"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("__est"),
+        count(when(col("n") === 0L, lit(1))).as("__cs"),
+        min(when(col("n") === 0L, pack)).as("__smin"),
+        max(when(col("n") === 0L, pack)).as("__smax"),
+        max(when(col("n") > 0L, col("row"))).as("__mr"),
+        max(when(col("n") > 0L, col("bucket"))).as("__mb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // the window folds BEFORE the null-term group is filtered away —
+    // the sentinel's evidence lives in that group (Catalyst cannot
+    // push a non-partition-key filter below a Window, and the
+    // withColumn ordering makes the intent explicit)
+    val folded = g
+      .withColumn("__tsent", sum(col("__cs")).over(w))
+      .withColumn("__gsmin", min(col("__smin")).over(w))
+      .withColumn("__gsmax", max(col("__smax")).over(w))
+      .withColumn("__gmr", max(col("__mr")).over(w))
+      .withColumn("__gmb", max(col("__mb")).over(w))
+      .filter(col("term").isNotNull)
+    val ok = col("__tsent") === 1L &&
+      col("__gsmin") === expect && col("__gsmax") === expect &&
+      coalesce(col("__gmr") < depth.toLong, lit(true)) &&
+      coalesce(col("__gmb") < width.toLong, lit(true))
+    folded.select(col("term"),
+      when(ok, col("__est")).otherwise(raise_error(format_string(
+        s"cmsEstimate: probe geometry ${depth}x$width does not match " +
+          "the sketch (%s sentinel rows, geometry %s..%s) — pass the " +
+          "depth/width the sketch was built with, and never merge " +
+          "sketches of different geometry",
+        col("__tsent").cast("string"),
+        (col("__gsmin") / lit(4294967296L)).cast("long").cast("string"),
+        (col("__gsmax") % lit(4294967296L)).cast("string"))).cast("long"))
+        .as("est"))
   }
 }

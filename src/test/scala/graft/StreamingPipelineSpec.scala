@@ -283,11 +283,11 @@ class StreamingPipelineSpec extends SparkSpec {
     // at-least-once replay: re-merging an already-seen batch is a
     // no-op BY THE MONOID (max is idempotent) — no commit log needed
     val before = CorpusStats.readHllProfile(spark, path)
-      .as[(String, Long, Long)].collect().toSet
+      .as[(String, Long, Long, Long)].collect().toSet
     CorpusStats.appendToHllProfile(b2.toDF("source", "text"),
       "source", "text", path)
     val after = CorpusStats.readHllProfile(spark, path)
-      .as[(String, Long, Long)].collect().toSet
+      .as[(String, Long, Long, Long)].collect().toSet
     assert(after === before, "a replayed batch must leave the store bit-identical")
   }
 

@@ -266,7 +266,7 @@ class OrderStatsSpec extends SparkSpec {
     CorpusStats.persistHllProfile(docs, "source", "text", path, n = 2)
     assert(intercept[IllegalArgumentException] {
       CorpusStats.appendToHllProfile(docs, "source", "text", path, n = 3)
-    }.getMessage.contains("sentinel"))
+    }.getMessage.contains("n-gram order"))
     // matched geometry still answers
     CorpusStats.appendToHllProfile(docs, "source", "text", path, n = 2)
     assert(CorpusStats.hllEstimate(CorpusStats.readHllProfile(spark, path))
