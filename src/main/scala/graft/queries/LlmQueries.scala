@@ -1142,7 +1142,30 @@ object LlmQueries {
               col("scanned_codes"))
         }.reduce(_.unionByName(_))
       }
-      Seq(1, 2, 4).map(cells).reduce(_.unionByName(_))
+      // the KNEE-PICK makes the grid directly actionable: `chosen`
+      // marks the cheapest cell (min scanned codes, ties to smaller
+      // nprobe/coarse) whose recall is within 10% of the grid's best
+      // — the (nprobe, coarse) a deployment should serve with. The
+      // qualification is EXACT integer arithmetic (matches*10 >=
+      // 9*max_matches — every cell shares n_queries, so the recall
+      // ratio reduces to match counts) and the argmin is a packed
+      // long key, so the oracle replays it bit-exactly; the global
+      // window folds 9 rows (tiny by construction).
+      val grid = Seq(1, 2, 4).map(cells).reduce(_.unionByName(_))
+      val w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val key = col("scanned_codes") * lit(1000000L) +
+        col("nprobe") * lit(1000L) + col("coarse")
+      grid
+        .withColumn("__mm", max(col("total_matches")).over(w))
+        .withColumn("__kmin", min(when(
+          col("total_matches") * lit(10L) >= col("__mm") * lit(9L), key)).over(w))
+        .withColumn("chosen",
+          col("total_matches") * lit(10L) >= col("__mm") * lit(9L) &&
+            key === col("__kmin"))
+        .select(col("nprobe"), col("coarse"), col("n_queries"),
+          col("total_matches"), col("recall"), col("scanned_codes"),
+          col("chosen"))
         .orderBy(col("nprobe"), col("coarse"))
     }),
 
@@ -2968,8 +2991,17 @@ object LlmQueries {
        |${(for { n <- nprobes; cw <- coarses } yield tops(n, cw)).mkString(",\n")},
        |${nprobes.map(scan).mkString(",\n")},
        |nq AS (SELECT count(*) AS n_queries FROM q)
-       |SELECT * FROM (
-       |  $rows) t
+       |SELECT nprobe, coarse, n_queries, total_matches, recall,
+       |  scanned_codes,
+       |  (total_matches * 10 >= 9 * mm AND key = kmin) AS chosen
+       |FROM (
+       |  SELECT *, min(CASE WHEN total_matches * 10 >= 9 * mm
+       |      THEN key END) OVER () AS kmin
+       |  FROM (
+       |    SELECT *, max(total_matches) OVER () AS mm,
+       |      scanned_codes * 1000000 + nprobe * 1000 + coarse AS key
+       |    FROM (
+       |  $rows) t0) t1) t2
        |ORDER BY nprobe, coarse""".stripMargin
   }
 
