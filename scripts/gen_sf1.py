@@ -17,7 +17,9 @@ dot structure preserved) with per-replica label blocks, so the IVF
 cell SIZE stays constant while nlist grows with the corpus — how a
 production index actually scales.
 
-Usage: python3 scripts/gen_sf1.py [outDir]   (default benchdata/sf1)
+Usage: python3 scripts/gen_sf1.py [outDir] [replicas]
+       (defaults: benchdata/sf1, 10 — e.g. `benchdata/sf10 100` builds
+       the 100x fixture for the sf10 scaling rows)
 """
 import sys, os, hashlib
 import duckdb
@@ -26,7 +28,7 @@ import pandas as pd
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "benchdata/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 os.makedirs(OUT, exist_ok=True)
 

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * Everything else (IVFPQ serve, multi-signal dedup, source overlap)
   * runs the exact registered query at both scales.
   *
-  * Usage: runMain graft.BenchScale <sfDir> */
+  * Usage: runMain graft.BenchScale <sfDir> [family...]
+  * (no family args = all five; naming families runs just those —
+  * the sf10 rows only extend the two steepest curves). */
 object BenchScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val only = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,11 +40,12 @@ object BenchScale {
     val nDocs = docs.count()
     val nVecs = embs.count()
     def time(name: String)(f: => Long): Unit =
-      for (i <- 1 to 2) {
-        val t0 = System.nanoTime()
-        val n = f
-        println(f"[benchscale] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n ndocs=$nDocs nvecs=$nVecs")
-      }
+      if (only.isEmpty || only.contains(name))
+        for (i <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"[benchscale] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n ndocs=$nDocs nvecs=$nVecs")
+        }
     time("ivfpq_serve") {
       SparkEntry.queries("llm_ann_ivfpq")(spark, sfDir).count()
     }

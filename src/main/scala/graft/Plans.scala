@@ -28,7 +28,8 @@ object Plans {
         "k9_zorder_keys", "llm_ann_int8", "llm_temperature_mix",
         "llm_domain_blocklist", "llm_contamination_report",
         "llm_rrf_hybrid", "llm_dsir_weights", "llm_hard_negatives",
-        "llm_triplets", "llm_bpe_pairs", "llm_source_overlap",
+        "llm_triplets", "llm_bpe_pairs", "llm_bpe_encode",
+        "llm_source_overlap",
         "llm_ann_rerank", "llm_rank_normalize", "llm_padding_stats",
         "llm_heavy_hitters", "llm_robust_outliers", "llm_ann_pq",
         "llm_ann_pq_indexed", "x13_sft_assembly", "x14_triangles",

@@ -76,14 +76,32 @@ object Curate {
     * independently reproducible training shard. */
   def packSequences(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", budget: Int = 512,
-                    shards: Int = 8): DataFrame = {
+                    shards: Int = 8): DataFrame =
+    // null text still occupies its separator slot (1 token, added by
+    // packByTokens), so a null-heavy corpus can't poison the
+    // cumulative sums with nulls
+    packByTokens(docs.select(col(idCol),
+        coalesce(Text.wsTokenCount(col(textCol)), lit(0L)).as("__toks")),
+      idCol, "__toks", budget, shards)
+
+  /** [[packSequences]] over PRECOMPUTED per-document token counts —
+    * the tokenizer-aware packing stage: train → encode → pack closes
+    * with the counts a real tokenizer emits
+    * ([[graft.llm.Bpe.tokenCounts]] under trained merges) instead of
+    * whitespace counts. Same concat-and-chunk semantics: one
+    * separator slot per document (a null/0-token document still
+    * occupies it), deterministic hash-shuffled order, fixed-budget
+    * windows cut per shard. */
+  def packByTokens(counts: DataFrame, idCol: String = "doc_id",
+                   tokensCol: String = "tokens", budget: Int = 512,
+                   shards: Int = 8): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    docs.schema(idCol).dataType match {
+    counts.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
       case d => throw new IllegalArgumentException(
-        s"packSequences shards by $idCol % $shards and needs an integral id, got $d — " +
+        s"packByTokens shards by $idCol % $shards and needs an integral id, got $d — " +
           "derive a numeric id (or hash one) first; a coerced non-numeric id would " +
           "collapse every row into one NULL-shard window partition")
     }
@@ -91,12 +109,10 @@ object Curate {
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__ord"), id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(
+    counts.select(
         id,
         pmod(id, lit(shards.toLong)).as("shard"),
-        // null text still occupies its separator slot (1 token), so a
-        // null-heavy corpus can't poison the cumulative sums with nulls
-        (coalesce(Text.wsTokenCount(col(textCol)), lit(0L)) + lit(1L)).as("tokens"),
+        (coalesce(col(tokensCol), lit(0L)) + lit(1L)).as("tokens"),
         Text.md5Hash(concat(lit("pack:"), id.cast("string"))).as("__ord"))
       .withColumn("cum", sum(col("tokens")).over(w))
       .select(id, col("shard"), col("tokens"),

@@ -83,6 +83,22 @@ object LlmQueries {
        |          lag(mg, 1, 0) OVER (PARTITION BY w ORDER BY pos) AS pmg
        |        FROM h$k) t WHERE pmg = 0)""".stripMargin
 
+  /** Shared CTE prefix for the BPE oracles (encode + pack): the
+    * word-frequency vocab, initial symbol rows, one unrolled
+    * [[bpeRoundCte]] per trained merge, and the merged word→symbols
+    * map — factored so the two replays cannot drift. */
+  private lazy val BpeMergedVocabCtes: String =
+    s"""wf AS (SELECT w, count(*)::BIGINT AS freq FROM (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents) t WHERE len(w) > 0 GROUP BY w),
+       |sy AS (SELECT w, freq,
+       |  list_append([w[i] for i in range(1, len(w) + 1)], '</w>') AS s FROM wf),
+       |s0 AS MATERIALIZED (SELECT w, freq,
+       |  unnest(range(1, len(s) + 1)) AS pos, unnest(s) AS sym FROM sy),
+       |${(0 until BpeEncodeMerges).map(bpeRoundCte).mkString(",\n")},
+       |wsyms AS MATERIALIZED (SELECT w, list(sym ORDER BY pos) AS syms
+       |  FROM s$BpeEncodeMerges GROUP BY w)""".stripMargin
+
   /** Dedup-eval injected variants, shared with the oracle. 12-word
     * base; v1 changes the LAST word only, putting the (base, v1)
     * 3-gram Jaccard at 7/13 ≈ 0.538 — a BORDERLINE true pair exactly
@@ -1860,6 +1876,22 @@ object LlmQueries {
         .map { case (_, a, b, _) => (a, b) }
       Bpe.encode(docs, "doc_id", "text", merges)
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // Train -> encode -> PACK: the tokenizer story closed end-to-end.
+    // The packer consumes the TRAINED tokenizer's per-document token
+    // counts (Bpe.tokenCounts under the same merges llm_bpe_encode
+    // emits — spec'd equal to the emitted stream's counts), not
+    // whitespace counts: context-window budgets are token budgets.
+    // Same concat-and-chunk semantics as llm_pack_sequences
+    // (separator slot, hash-shuffled shard order, 512-token windows).
+    "llm_bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+        .map { case (_, a, b, _) => (a, b) }
+      Curate.packByTokens(Bpe.tokenCounts(docs, "doc_id", "text", merges),
+          "doc_id", "n_bpe_tokens", budget = 512, shards = 8)
+        .orderBy(col("doc_id"))
     }),
 
     // Pairwise exact shingle-Jaccard between sources — the
@@ -3849,18 +3881,9 @@ object LlmQueries {
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pr
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "llm_bpe_encode" ->
-      s"""WITH wf AS (SELECT w, count(*)::BIGINT AS freq FROM (
-         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-         |  FROM documents) t WHERE len(w) > 0 GROUP BY w),
-         |sy AS (SELECT w, freq,
-         |  list_append([w[i] for i in range(1, len(w) + 1)], '</w>') AS s FROM wf),
-         |s0 AS MATERIALIZED (SELECT w, freq,
-         |  unnest(range(1, len(s) + 1)) AS pos, unnest(s) AS sym FROM sy),
-         |${(0 until BpeEncodeMerges).map(bpeRoundCte).mkString(",\n")},
+      s"""WITH $BpeMergedVocabCtes,
          |ids AS (SELECT sym, row_number() OVER (ORDER BY sym) AS token_id
          |        FROM (SELECT DISTINCT sym FROM s$BpeEncodeMerges) t),
-         |wsyms AS MATERIALIZED (SELECT w, list(sym ORDER BY pos) AS syms
-         |  FROM s$BpeEncodeMerges GROUP BY w),
          |dw AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
          |         unnest(ws) AS w
          |       FROM (SELECT doc_id,
@@ -3872,6 +3895,25 @@ object LlmQueries {
          |SELECT doc_id, word_pos, sym_pos, CAST(token_id AS BIGINT) AS token_id
          |FROM enc JOIN ids USING (sym)
          |ORDER BY doc_id, word_pos, sym_pos""".stripMargin,
+    "llm_bpe_pack" ->
+      s"""WITH $BpeMergedVocabCtes,
+         |wl AS (SELECT w, len(syms)::BIGINT AS n_syms FROM wsyms),
+         |dw AS (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |cnts AS (SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS bpe
+         |  FROM dw JOIN wl USING (w) GROUP BY doc_id),
+         |t AS (SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+         |    coalesce(bpe, 0) + 1 AS tokens,
+         |    ${duckHash("('pack:' || doc_id)")} AS h
+         |  FROM documents LEFT JOIN cnts USING (doc_id)),
+         |c2 AS (SELECT doc_id, shard, tokens,
+         |    sum(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, shard, tokens,
+         |  CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS pack_first,
+         |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_last
+         |FROM c2 ORDER BY doc_id""".stripMargin,
     "llm_source_overlap" ->
       s"""WITH sh AS (SELECT DISTINCT src, h FROM (
          |  SELECT source AS src, unnest(list_distinct(list_transform(

@@ -37,6 +37,36 @@ class CurateSpec extends SparkSpec {
     assert(spans == Seq((0L, 0L), (0L, 1L), (1L, 2L)))
   }
 
+  test("packByTokens: precomputed counts pack identically to the text path") {
+    val df = docs((0L until 24L).map(i =>
+      i -> (1 to (i % 5 + 1).toInt * 2).map(j => s"w$j").mkString(" ")): _*)
+    // the whitespace path IS packByTokens over wsTokenCount — the
+    // delegation is spec'd here so the two can never drift
+    val viaText = Curate.packSequences(df, budget = 7, shards = 3)
+      .orderBy("doc_id").collect().toSeq
+    val counts = df.select(col("doc_id"),
+      graft.llm.Text.wsTokenCount(col("text")).as("n"))
+    val viaCounts = Curate.packByTokens(counts, "doc_id", "n",
+      budget = 7, shards = 3).orderBy("doc_id").collect().toSeq
+    assert(viaText === viaCounts)
+    // tokenizer-aware path: BPE counts (not whitespace) drive the
+    // windows — "low" is ONE token under the trained merges, so three
+    // 2-token docs (token + separator) fit a 6-budget window exactly
+    val bdocs = docs(0L -> "low", 8L -> "low", 16L -> "low", 24L -> "low")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", graft.llm.Bpe.EndMark))
+    val packed = Curate.packByTokens(
+        graft.llm.Bpe.tokenCounts(bdocs, "doc_id", "text", merges),
+        "doc_id", "n_bpe_tokens", budget = 6, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // every doc = 1 BPE token + 1 separator = 2; 4 docs = 8 tokens ->
+    // windows [0,0,0],[1]-ish: the first three land in pack 0, the
+    // fourth starts pack 1; none straddles (2 divides 6)
+    assert(packed.map(_._2) === Seq(2L, 2L, 2L, 2L))
+    assert(packed.forall(p => p._3 === p._4), s"no straddlers expected: $packed")
+    assert(packed.map(_._3).sorted === Seq(0L, 0L, 0L, 1L))
+  }
+
   test("importanceSample: deterministic, weights are exact 1/p") {
     val df = (1L to 500L).map(i => (i, i * 7 % 1300)).toDF("doc_id", "n_chars")
     val w = least(lit(1000L), col("n_chars"))
