@@ -226,11 +226,30 @@ object Tables {
                        retries: Int = 240, waitMs: Long = 250L)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"${dest}__lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // acquisition must be ATOMIC create-if-absent. On HDFS-like
+    // filesystems create(overwrite = false) is atomic server-side; on
+    // the local filesystem Hadoop's createNewFile is CHECK-THEN-CREATE
+    // (two racing threads can both "acquire" — caught by the
+    // StoreConcurrencySpec races), so file: paths go through
+    // java.nio.Files.createFile, which is O_CREAT|O_EXCL.
+    val uri = fs.makeQualified(lock).toUri
+    val localPath =
+      if (uri.getScheme == null || uri.getScheme == "file")
+        Some(java.nio.file.Paths.get(uri.getPath))
+      else None
+    localPath.foreach(p => java.nio.file.Files.createDirectories(p.getParent))
+    def tryAcquire(): Boolean = localPath match {
+      case Some(p) =>
+        try { java.nio.file.Files.createFile(p); true }
+        catch { case _: java.io.IOException => false }
+      case None =>
+        try fs.createNewFile(lock)
+        catch { case _: java.io.IOException => false }
+    }
     var held = false
     var attempt = 0
     while (!held && attempt <= retries) {
-      held = try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
+      held = tryAcquire()
       if (!held) { attempt += 1; Thread.sleep(waitMs) }
     }
     if (!held) throw new java.io.IOException(
