@@ -266,23 +266,95 @@ object Bpe {
     * differentially). Documents with no words emit no rows. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
     // materialized once (vocab-scale, tiny): the token-id collect and
     // the encode join both read it, so the corpus-scale wordVocab
     // aggregation underneath runs ONE time, not twice
     val wsyms = vocabAfterMerges(docs, textCol, merges)
       .select(col("w"), col("syms")).localCheckpoint(false)
+    encodeJoin(docs, idCol, textCol, wsyms, symbolIdsOf(wsyms))
+  }
+
+  /** Encode with a FROZEN tokenizer (merge list + id table from
+    * [[persistTokenizer]]/[[readTokenizer]]) — the serving path: the
+    * corpus being encoded need not be the training corpus. Merge
+    * application generalizes to unseen words by construction (BPE
+    * applies its merge rules to any symbol sequence); a SYMBOL the
+    * training vocabulary never produced (e.g. a character absent from
+    * the training corpus) encodes as token_id 0 — the reserved UNK id
+    * ([[symbolIds]] is 1-based precisely so 0 is free), mirroring the
+    * unknown-token convention of every deployed tokenizer instead of
+    * silently dropping stream positions. */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)],
+                 ids: Seq[(String, Long)]): DataFrame = {
+    val wsyms = vocabAfterMerges(docs, textCol, merges)
+      .select(col("w"), col("syms"))
+    encodeJoin(docs, idCol, textCol, wsyms, ids)
+  }
+
+  /** The shared encode pipeline: corpus-side posexplode, word-keyed
+    * join against the (word → symbols) map, broadcast join against
+    * the alphabet-scale id table (absent symbol → UNK 0). */
+  private def encodeJoin(docs: DataFrame, idCol: String, textCol: String,
+                         wsyms: DataFrame,
+                         ids: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val ids = broadcast(symbolIdsOf(wsyms).toDF("sym", "token_id"))
+    val idTable = broadcast(ids.toDF("sym", "token_id"))
     val words = docs.select(col(idCol),
       posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
         .as(Seq("word_pos", "w")))
     words.join(wsyms, Seq("w"))
       .select(col(idCol), col("word_pos"),
         posexplode(col("syms")).as(Seq("sym_pos", "sym")))
-      .join(ids, Seq("sym"))
+      .join(idTable, Seq("sym"), "left")
       .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
-        col("sym_pos").cast("long").as("sym_pos"), col("token_id"))
+        col("sym_pos").cast("long").as("sym_pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
+  /** Train and persist a tokenizer as a tiny parquet STORE — train
+    * once, encode anywhere (the IVF/PQ index-store discipline: the
+    * artifact is data, not JVM state). ONE table holds both halves
+    * (`kind` = 'merge' rows carry (step, a, b); 'symbol' rows carry
+    * (sym, token_id)) so the publish is a SINGLE atomic swap — two
+    * sibling tables could tear between swaps (new merges + old ids =
+    * a tokenizer that never existed). Published under the store lock
+    * with the generation CAS like every other store. Returns the
+    * trained merge list. */
+  def persistTokenizer(docs: DataFrame, textCol: String, path: String,
+                       nMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    val trained = trainMergesLocal(docs, textCol, nMerges)
+    val merges = trained.map { case (_, a, b, _) => (a, b) }
+    val ids = symbolIds(docs, textCol, merges)
+    import spark.implicits._
+    val rows =
+      trained.map { case (step, a, b, n) =>
+        ("merge", step.toLong, a, b, n, null: String, 0L) } ++
+      ids.map { case (s, i) =>
+        ("symbol", 0L, null: String, null: String, 0L, s, i) }
+    graft.io.Tables.withStoreLock(spark, s"$path/tokenizer") {
+      graft.io.Tables.swapInParquet(spark,
+        rows.toDF("kind", "step", "a", "b", "n", "sym", "token_id"),
+        s"$path/tokenizer")
+    }
+    merges
+  }
+
+  /** Reload a persisted tokenizer → (merges in training order,
+    * token-id table). Bounded collect: the store is
+    * |merges| + |symbols| rows by construction. */
+  def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Seq[(String, String)], Seq[(String, Long)]) = {
+    val t = spark.read.parquet(s"$path/tokenizer").collect()
+    val merges = t.filter(_.getString(0) == "merge")
+      .sortBy(_.getLong(1)).map(r => (r.getString(2), r.getString(3))).toSeq
+    val ids = t.filter(_.getString(0) == "symbol")
+      .sortBy(_.getLong(6)).map(r => (r.getString(5), r.getLong(6))).toSeq
+    require(merges.nonEmpty || ids.nonEmpty,
+      s"readTokenizer: no tokenizer rows at $path/tokenizer")
+    (merges, ids)
   }
 
   /** Per-document BPE token counts under a trained merge list — the

@@ -99,6 +99,26 @@ object LlmQueries {
        |wsyms AS MATERIALIZED (SELECT w, list(sym ORDER BY pos) AS syms
        |  FROM s$BpeEncodeMerges GROUP BY w)""".stripMargin
 
+  /** The encode-stream replay — shared by llm_bpe_encode (direct
+    * train+encode) and llm_bpe_store (persist → reload → encode; the
+    * round-trip must be bit-identical, so it shares this oracle the
+    * way the index append rows share their full-build oracles). */
+  private lazy val BpeEncodeOracleSql: String =
+    s"""WITH $BpeMergedVocabCtes,
+       |ids AS (SELECT sym, row_number() OVER (ORDER BY sym) AS token_id
+       |        FROM (SELECT DISTINCT sym FROM s$BpeEncodeMerges) t),
+       |dw AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
+       |         unnest(ws) AS w
+       |       FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(text), '\\s+'),
+       |                 x -> len(x) > 0) AS ws FROM documents) t),
+       |enc AS (SELECT doc_id, word_pos,
+       |          unnest(range(0, len(syms))) AS sym_pos, unnest(syms) AS sym
+       |        FROM dw JOIN wsyms USING (w))
+       |SELECT doc_id, word_pos, sym_pos, CAST(token_id AS BIGINT) AS token_id
+       |FROM enc JOIN ids USING (sym)
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
   /** Dedup-eval injected variants, shared with the oracle. 12-word
     * base; v1 changes the LAST word only, putting the (base, v1)
     * 3-gram Jaccard at 7/13 ≈ 0.538 — a BORDERLINE true pair exactly
@@ -1875,6 +1895,23 @@ object LlmQueries {
       val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
         .map { case (_, a, b, _) => (a, b) }
       Bpe.encode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // Train -> PERSIST -> reload -> encode: the tokenizer STORE
+    // round-trip (train once, encode anywhere — the IVF/PQ
+    // index-store discipline). The persisted artifact is one atomic
+    // swap-published table (merges + id table together, so the pair
+    // can never tear); encoding with the reloaded tokenizer must
+    // equal direct training+encoding bit-for-bit — this row SHARES
+    // llm_bpe_encode's oracle, the append-shares-full-build contract
+    // shape.
+    "llm_bpe_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = graft.util.Scratch.dir("graft_bpe")
+      Bpe.persistTokenizer(docs, "text", path, BpeEncodeMerges)
+      val (merges, ids) = Bpe.readTokenizer(s, path)
+      Bpe.encodeWith(docs, "doc_id", "text", merges, ids)
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
     }),
 
@@ -3880,21 +3917,9 @@ object LlmQueries {
          |  for i in range(1, len(s))]) AS pair FROM sy)
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pr
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
-    "llm_bpe_encode" ->
-      s"""WITH $BpeMergedVocabCtes,
-         |ids AS (SELECT sym, row_number() OVER (ORDER BY sym) AS token_id
-         |        FROM (SELECT DISTINCT sym FROM s$BpeEncodeMerges) t),
-         |dw AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
-         |         unnest(ws) AS w
-         |       FROM (SELECT doc_id,
-         |               list_filter(string_split_regex(lower(text), '\\s+'),
-         |                 x -> len(x) > 0) AS ws FROM documents) t),
-         |enc AS (SELECT doc_id, word_pos,
-         |          unnest(range(0, len(syms))) AS sym_pos, unnest(syms) AS sym
-         |        FROM dw JOIN wsyms USING (w))
-         |SELECT doc_id, word_pos, sym_pos, CAST(token_id AS BIGINT) AS token_id
-         |FROM enc JOIN ids USING (sym)
-         |ORDER BY doc_id, word_pos, sym_pos""".stripMargin,
+    "llm_bpe_encode" -> BpeEncodeOracleSql,
+    // the store round-trip must equal direct train+encode bit-for-bit
+    "llm_bpe_store" -> BpeEncodeOracleSql,
     "llm_bpe_pack" ->
       s"""WITH $BpeMergedVocabCtes,
          |wl AS (SELECT w, len(syms)::BIGINT AS n_syms FROM wsyms),

@@ -510,6 +510,59 @@ object Streams {
       }
       .start()
 
+  /** Streaming BPE encode against a FROZEN persisted tokenizer
+    * ([[graft.llm.Bpe.persistTokenizer]]) — the tokenize-on-ingest
+    * serving path: each micro-batch of documents encodes to its
+    * ordered (id, word_pos, sym_pos, token_id) stream and appends to
+    * `outTable`. The tokenizer loads ONCE at stream start (train is
+    * an offline artifact; a tokenizer that drifted per-batch would
+    * tokenize the same document differently over time). Unseen
+    * symbols encode as UNK 0 ([[graft.llm.Bpe.encodeWith]]).
+    * Durability follows the [[annServeToTable]] recipe: per-batch
+    * commit log written AFTER the append, so a committed batch
+    * replays as a no-op and a mid-batch crash re-appends
+    * deterministic duplicate rows a downstream reader can dedup
+    * exactly. */
+  def bpeEncodeToTable(docs: DataFrame, idCol: String, textCol: String,
+                       tokenizerPath: String, outTable: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val (merges, ids) = graft.llm.Bpe.readTokenizer(spark, tokenizerPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bpeEncodeBatch(batch, idCol, textCol, merges, ids, outTable,
+          checkpointDir, batchId)
+      }
+      .start()
+  }
+
+  /** One streaming-encode micro-batch, committed through the batch
+    * log — factored for replay-semantics testing without a running
+    * stream (the [[dedupBatch]]/[[annServeBatch]] pattern). */
+  private[graft] def bpeEncodeBatch(batch: DataFrame, idCol: String,
+                                    textCol: String,
+                                    merges: Seq[(String, String)],
+                                    ids: Seq[(String, Long)],
+                                    outTable: String, streamId: String = "",
+                                    batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val commits = commitsTableFor(outTable)
+    if (batchId >= 0 && spark.catalog.tableExists(commits) &&
+        spark.table(commits).filter(col("stream_id") === streamId &&
+          col("batch_id") === batchId).head(1).nonEmpty)
+      return
+    graft.llm.Bpe.encodeWith(batch, idCol, textCol, merges, ids)
+      .write.mode("append").format("parquet").saveAsTable(outTable)
+    // committed LAST — a crash above leaves the id un-logged, so the
+    // batch replays (at-least-once) rather than being lost
+    if (batchId >= 0)
+      spark.range(1).select(lit(streamId).as("stream_id"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+  }
+
   /** One ANN-serving micro-batch against the frozen index, committed
     * through the batch log — factored out so the replay semantics are
     * testable without a running stream (the [[dedupBatch]] pattern). */

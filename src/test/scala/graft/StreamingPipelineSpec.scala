@@ -257,6 +257,47 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bpeEncodeToTable: streamed encode == batch encode; committed replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Bpe
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0L, "low low lower lowest low")).toDF("doc_id", "text")
+    val tokPath = graft.util.Scratch.dir("bpe_stream_tok")
+    Bpe.persistTokenizer(train, "text", tokPath, nMerges = 3)
+    val b1 = Seq((1L, "low lower"), (2L, "lowest"))
+    val b2 = Seq((3L, "low low zzz"))
+    val tables = Seq("bpe_enc_out", "bpe_enc_out_commits")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.bpeEncodeToTable(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", tokPath,
+        "bpe_enc_out", graft.util.Scratch.dir("bpe_stream_ck"))
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val (merges, ids) = Bpe.readTokenizer(spark, tokPath)
+      val streamed = spark.table("bpe_enc_out")
+        .orderBy("doc_id", "word_pos", "sym_pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val batch = Bpe.encodeWith((b1 ++ b2).toDF("doc_id", "text"),
+          "doc_id", "text", merges, ids)
+        .orderBy("doc_id", "word_pos", "sym_pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(streamed === batch, "streamed encode must equal batch encode")
+      assert(spark.table("bpe_enc_out_commits").count() === 2L)
+      // a committed (streamId, batchId) replays as a NO-OP
+      val n0 = spark.table("bpe_enc_out").count()
+      val committed = spark.table("bpe_enc_out_commits")
+        .as[(String, Long)].collect().head
+      graft.streaming.Streams.bpeEncodeBatch(b1.toDF("doc_id", "text"),
+        "doc_id", "text", merges, ids, "bpe_enc_out",
+        committed._1, committed._2)
+      assert(spark.table("bpe_enc_out").count() === n0,
+        "committed batch must not re-append")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats

@@ -150,6 +150,40 @@ class BpeSpec extends SparkSpec {
     assert(used.subsetOf(ids.map(_._2).toSet))
   }
 
+  test("persistTokenizer/readTokenizer/encodeWith: round-trip, UNK, frozen serving") {
+    val train = Seq((1L, "low low lower low")).toDF("doc_id", "text")
+    val path = graft.util.Scratch.dir("bpe_store")
+    val merges = Bpe.persistTokenizer(train, "text", path, nMerges = 3)
+    val (m2, ids) = Bpe.readTokenizer(spark, path)
+    assert(m2 === merges, "merge list must round-trip in training order")
+    assert(ids === Bpe.symbolIds(train, "text", merges),
+      "id table must round-trip")
+    // store round-trip encode == direct encode, bit-for-bit
+    val direct = Bpe.encode(train, "doc_id", "text", merges)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaStore = Bpe.encodeWith(train, "doc_id", "text", m2, ids)
+      .orderBy("doc_id", "word_pos", "sym_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaStore === direct)
+    // serving a DIFFERENT corpus: known words encode under the frozen
+    // ids; a character the training corpus never saw is UNK 0, and
+    // the stream keeps its position instead of dropping the row
+    val serve = Seq((9L, "low zzz")).toDF("doc_id", "text")
+    val out = Bpe.encodeWith(serve, "doc_id", "text", m2, ids)
+      .orderBy("word_pos", "sym_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val known = ids.toMap
+    assert(out.takeWhile(_._2 == 0L).map(_._4).forall(_ > 0L),
+      "trained word must encode with known ids")
+    val unkRows = out.filter(_._2 == 1L)
+    assert(unkRows.nonEmpty && unkRows.exists(_._4 == 0L),
+      s"unseen symbols must surface as UNK 0: $out")
+    // 'z' never appeared in training; '</w>' did — the word 'zzz'
+    // ends in the KNOWN end-mark after merge application
+    assert(unkRows.last._4 === known(Bpe.EndMark))
+  }
+
   test("sourceOverlap: exact pairwise Jaccard, stop-shingle cap consistent") {
     val docs = Seq(
       ("A", "a b c d"), ("B", "a b c x"), ("C", "q r s t"),
