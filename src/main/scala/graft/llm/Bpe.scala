@@ -240,7 +240,14 @@ object Bpe {
     * forcing a global single-partition window into the plan. */
   def symbolIds(docs: DataFrame, textCol: String,
                 merges: Seq[(String, String)]): Seq[(String, Long)] =
-    symbolIdsOf(vocabAfterMerges(docs, textCol, merges))
+    // checkpoint barrier before the explode for the same reason as
+    // [[encodeWith]]: fused into one pipeline, the |merges|-deep fold
+    // plus generate plus distinct compiles into one giant codegen
+    // unit whose per-invocation Janino cost dominated everything
+    // (measured 13.5 s of the 27.8 s llm_bpe_store regression at
+    // sf0.1; with the cut, sub-second)
+    symbolIdsOf(vocabAfterMerges(docs, textCol, merges)
+      .select(col("w"), col("syms")).localCheckpoint(false))
 
   /** [[symbolIds]] from an already-built merged vocab frame. */
   private def symbolIdsOf(mergedVocab: DataFrame): Seq[(String, Long)] =
@@ -287,8 +294,14 @@ object Bpe {
   def encodeWith(docs: DataFrame, idCol: String, textCol: String,
                  merges: Seq[(String, String)],
                  ids: Seq[(String, Long)]): DataFrame = {
+    // the lazy checkpoint is an OPTIMIZER BARRIER, not just a cache:
+    // without it Catalyst collapses the |merges|-deep nested
+    // `aggregate` fold past the join and re-evaluates it per word
+    // OCCURRENCE instead of once per DISTINCT word — measured 27.8 s
+    // vs 1.5 s at sf0.1 (the interpreted-HOF-no-CSE trap; same cut
+    // [[encode]] gets from its id-collect checkpoint)
     val wsyms = vocabAfterMerges(docs, textCol, merges)
-      .select(col("w"), col("syms"))
+      .select(col("w"), col("syms")).localCheckpoint(false)
     encodeJoin(docs, idCol, textCol, wsyms, ids)
   }
 
