@@ -326,6 +326,38 @@ object Bpe {
         coalesce(col("token_id"), lit(0L)).as("token_id"))
   }
 
+  /** Inverse of [[encode]]/[[encodeWith]]: reconstruct per-document
+    * text from a token-id stream — detokenization, the eval/debug
+    * face every deployed tokenizer needs. Symbols rejoin within each
+    * word ordered by sym_pos (the end-of-word marker strips), words
+    * rejoin ordered by word_pos with single spaces, so
+    * decode(encode(docs)) equals the whitespace-normalized lowercased
+    * text exactly (the llm_bpe_decode oracle asserts the round-trip
+    * against the ORIGINAL corpus, no replay needed). UNK (token 0)
+    * has no symbol and decodes as U+FFFD. Scale shape: two
+    * aggregations keyed (id, word_pos) then (id) — the per-group
+    * collect is bounded by word/document length, never corpus-scale.
+    * Documents that emitted no tokens decode to no row. */
+  def decode(stream: DataFrame, idCol: String,
+             ids: Seq[(String, Long)]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val idTable = broadcast(ids.toDF("sym", "token_id"))
+    stream.join(idTable, Seq("token_id"), "left")
+      .withColumn("sym", coalesce(col("sym"), lit("�")))
+      .groupBy(col(idCol), col("word_pos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sym_pos"), col("sym")))),
+        s => s.getField("sym")), "").as("w"))
+      .withColumn("w", when(col("w").endsWith(EndMark),
+        expr(s"substring(w, 1, length(w) - ${EndMark.length})"))
+        .otherwise(col("w")))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("word_pos"), col("w")))),
+        s => s.getField("w")), " ").as("text"))
+  }
+
   /** Train and persist a tokenizer as a tiny parquet STORE — train
     * once, encode anywhere (the IVF/PQ index-store discipline: the
     * artifact is data, not JVM state). ONE table holds both halves

@@ -1898,6 +1898,22 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
     }),
 
+    // Encode -> DECODE round-trip, hash-checked against the ORIGINAL
+    // corpus: the oracle does not replay BPE at all — it just
+    // normalizes the source text (lowercase, whitespace-split, drop
+    // empties, single-space join), so ANY losslessness bug anywhere
+    // in train/encode/decode breaks the hash. Detokenization is the
+    // eval/debug face of a deployed tokenizer.
+    "llm_bpe_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+        .map { case (_, a, b, _) => (a, b) }
+      val ids = Bpe.symbolIds(docs, "text", merges)
+      Bpe.decode(Bpe.encodeWith(docs, "doc_id", "text", merges, ids),
+          "doc_id", ids)
+        .orderBy(col("doc_id"))
+    }),
+
     // Train -> PERSIST -> reload -> encode: the tokenizer STORE
     // round-trip (train once, encode anywhere — the IVF/PQ
     // index-store discipline). The persisted artifact is one atomic
@@ -3920,6 +3936,15 @@ object LlmQueries {
     "llm_bpe_encode" -> BpeEncodeOracleSql,
     // the store round-trip must equal direct train+encode bit-for-bit
     "llm_bpe_store" -> BpeEncodeOracleSql,
+    // round-trip oracle: NO BPE replay — decoded text must equal the
+    // normalized original, so the whole train/encode/decode chain is
+    // value-checked by the source corpus itself
+    "llm_bpe_decode" ->
+      s"""SELECT doc_id, array_to_string(ws, ' ') AS text
+         |FROM (SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS ws FROM documents) t
+         |WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin,
     "llm_bpe_pack" ->
       s"""WITH $BpeMergedVocabCtes,
          |wl AS (SELECT w, len(syms)::BIGINT AS n_syms FROM wsyms),

@@ -184,6 +184,26 @@ class BpeSpec extends SparkSpec {
     assert(unkRows.last._4 === known(Bpe.EndMark))
   }
 
+  test("decode: inverse of encode on a messy corpus; UNK surfaces as U+FFFD") {
+    val docs = Seq((10L, "Low  LOW lower"), (11L, "aaa abab"),
+      (12L, "日本 日本語"), (13L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(docs, "text", nMerges = 6)
+      .map { case (_, a, b, _) => (a, b) }
+    val ids = Bpe.symbolIds(docs, "text", merges)
+    val decoded = Bpe.decode(
+        Bpe.encodeWith(docs, "doc_id", "text", merges, ids), "doc_id", ids)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // round-trip == whitespace-normalized lowercase; empty doc -> no row
+    assert(decoded === Seq((10L, "low low lower"), (11L, "aaa abab"),
+      (12L, "日本 日本語")))
+    // a stream with an unknown id decodes that position as U+FFFD
+    val unkStream = Seq((1L, 0L, 0L, ids.head._2), (1L, 0L, 1L, 0L))
+      .toDF("doc_id", "word_pos", "sym_pos", "token_id")
+    val unk = Bpe.decode(unkStream, "doc_id", ids)
+      .as[(Long, String)].head()
+    assert(unk._2.contains("�"), s"UNK must surface visibly: $unk")
+  }
+
   test("sourceOverlap: exact pairwise Jaccard, stop-shingle cap consistent") {
     val docs = Seq(
       ("A", "a b c d"), ("B", "a b c x"), ("C", "q r s t"),
