@@ -169,13 +169,28 @@ object Tables {
     * silently dropping the first's contribution) now either
     * serializes (lock) or raises (CAS), never silently wins. */
   def swapInParquet(spark: SparkSession, df: DataFrame,
-                    dest: String, expectedGen: Long = -1L): Unit = {
+                    dest: String, expectedGen: Long = -1L,
+                    markers: Seq[String] = Nil): Unit = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
     val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
     df.write.mode("overwrite").parquet(next.toString)
+    // provenance markers ride INSIDE the swapped dir (underscore-
+    // prefixed — invisible to parquet readers), so "data merged" and
+    // "batch recorded as applied" publish in the SAME atomic rename.
+    // This is what lets a sum-monoid store (where replayed merges
+    // double-count, unlike HLL's idempotent max) offer exactly-once
+    // appends with no separate commit log: a crash leaves either the
+    // old generation (marker absent → safe to re-run) or the new one
+    // (marker present → the re-run short-circuits), never data
+    // without its marker.
+    markers.foreach { m =>
+      require(m.startsWith("_"), s"swapInParquet marker must be " +
+        s"underscore-prefixed (invisible to parquet readers): $m")
+      fs.create(new org.apache.hadoop.fs.Path(next, m), true).close()
+    }
     val gen = storeGeneration(spark, dest)
     if (expectedGen >= 0L && gen != expectedGen) {
       fs.delete(next, true)
@@ -206,6 +221,20 @@ object Tables {
     else fs.listStatus(destPath).iterator.map(_.getPath.getName)
       .collect { case n if n.startsWith("_GEN-") => n.drop(5).toLong }
       .maxOption.getOrElse(0L)
+  }
+
+  /** The underscore-prefixed provenance markers published with the
+    * store's current generation (see [[swapInParquet]]'s `markers`):
+    * the atomic applied-batch ledger of a sum-monoid store. `_GEN-*`
+    * stamps and Hadoop `_SUCCESS` files are excluded — they are
+    * bookkeeping, not batch provenance. */
+  def storeMarkers(spark: SparkSession, dest: String): Seq[String] = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(destPath)) Seq.empty
+    else fs.listStatus(destPath).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("_") && !n.startsWith("_GEN-") &&
+        n != "_SUCCESS").toSeq.sorted
   }
 
   /** Exclusive advisory lease over a swap-published store: runs `body`

@@ -530,6 +530,222 @@ object CorpusStats {
   private val HllNumerator = "6810691388924259720096645120"
   private val HllLinearCutMicro = 10240000000L // 2.5·m·1e6
 
+  // -------------------------------------------------------------------
+  // Log-linear quantile sketch — the distribution member of the sketch
+  // trio (HLL = distinct, CMS = frequency, this = quantiles). The
+  // bucket scheme is the HDR-histogram / DDSketch family (Tene's
+  // HdrHistogram; Masson et al., VLDB 2019) in PURE INTEGER form: a
+  // value's octave (bit length) picks the coarse bucket and its top
+  // `subBits` mantissa bits the linear sub-bucket, so every bucket
+  // spans a relative width of 2^-subBits and a quantile estimate
+  // carries a guaranteed [est_lo, est_hi] enclosure. Counts are exact
+  // longs; the register frame is bounded by 64·2^subBits rows per
+  // group at ANY corpus size, merges are cell-wise SUM (a monoid —
+  // shard-built registers fold to the full build bit-for-bit), and
+  // every arithmetic step (bin-length, shifts, floor-division) is
+  // exact integer in both Spark and DuckDB, so estimates replay
+  // hash-identically. Unlike HLL's register MAX, count SUM is NOT
+  // idempotent — the persisted store therefore publishes each batch's
+  // applied-marker inside the same atomic rename as the merged data
+  // ([[graft.io.Tables.swapInParquet]] `markers`), making appends
+  // exactly-once with no separate commit log.
+  // -------------------------------------------------------------------
+
+  /** Register (bucket-count) frame of the log-linear quantile sketch
+    * over a non-negative integer measure: one row per (group, bucket)
+    * with its exact count. Values shift by +1 so 0 is representable
+    * (bucket math needs v >= 1); estimates shift back. For the shifted
+    * value w with octave e = bitlen(w)-1: buckets below the linear
+    * floor (e <= subBits) hold ONE value each (small values are
+    * EXACT); above it, bucket = e·2^s + (top s+1 mantissa bits - 2^s),
+    * relative width 2^-s. NULL measures carry no observation.
+    *
+    * The sub-bit geometry rides every row as the `sb` column — part of
+    * each downstream GROUP KEY, so merging frames built with different
+    * geometry (whose bucket ids are incomparable) is detected by
+    * [[logHistQuantiles]]'s free min/max guard rather than silently
+    * mis-ranking, the same disease-and-cure as the HLL `ng` column.
+    * ONE corpus-scale aggregation; the shuffle carries register rows
+    * (<= 64·2^s per group), never documents. */
+  def logHistRegisters(df: DataFrame, groupCol: String, value: Column,
+                       subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+    val s = subBits
+    df.select(col(groupCol), value.cast(LongType).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col(groupCol),
+        when(col("__v") < 0L,
+          raise_error(format_string(
+            "logHistRegisters: negative value %s — the sketch domain " +
+              "is v >= 0", col("__v").cast("string"))).cast(LongType))
+          .otherwise(col("__v") + 1L).as("__w"))
+      .withColumn("__e", (length(bin(col("__w"))) - 1).cast(LongType))
+      .withColumn("bucket",
+        col("__e") * lit(1L << s) +
+          expr(s"shiftright(__w, CAST(greatest(__e - $s, 0L) AS INT))") -
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(least(__e, $s) AS INT))"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(groupCol), col("bucket"), col("cnt"), lit(s.toLong).as("sb"))
+  }
+
+  /** Cell-wise-sum shard merge: union register frames, then this —
+    * merge == full-build registers bit-for-bit (the sum monoid; same
+    * contract shape as [[hllMergeRegisters]]). Geometry stays in the
+    * group key: a same-geometry merge folds `sb` away, a mixed merge
+    * keeps both rows as evidence for the quantile guard. */
+  def logHistMerge(regs: DataFrame, groupCol: String = "source"): DataFrame =
+    regs.groupBy(col(groupCol), col("bucket"), col("sb"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col(groupCol), col("bucket"), col("cnt"), col("sb"))
+
+  /** Quantile estimates from a register frame: for each per-mille
+    * target q the bucket containing rank ceil(n·q/1000) (clamped to
+    * >= 1), reported as the exact value enclosure [est_lo, est_hi] —
+    * the true order statistic provably lies inside (bucket counts are
+    * exact; only within-bucket position is unknown), so the enclosure
+    * width IS the error bound: 0 for small values, relative 2^-sb
+    * above the linear floor. The rank walk is a cumulative-sum window
+    * over register rows (bounded by geometry, never corpus-sized);
+    * totals/guards ride a second window over the SAME partition key —
+    * one exchange. Mixed-geometry frames raise (min(sb) != max(sb)
+    * — bucket ids from different geometries are incomparable). */
+  def logHistQuantiles(regs: DataFrame, qMille: Seq[Int],
+                       groupCol: String = "source"): DataFrame = {
+    require(qMille.nonEmpty && qMille.forall(q => q >= 1 && q <= 1000),
+      s"quantile targets must be per-mille in [1, 1000], got $qMille")
+    val byGroup = Window.partitionBy(col(groupCol))
+    val walk = byGroup.orderBy(col("bucket"))
+    regs
+      .withColumn("__cum", sum(col("cnt")).over(walk))
+      .withColumn("__n", sum(col("cnt")).over(byGroup))
+      .withColumn("__gmin", min(col("sb")).over(byGroup))
+      .withColumn("__gmax", max(col("sb")).over(byGroup))
+      .select(col(groupCol), col("bucket"), col("cnt"), col("sb"),
+        col("__cum"), col("__n"), col("__gmin"), col("__gmax"),
+        explode(array(qMille.map(q => lit(q.toLong)): _*)).as("q_mille"))
+      .withColumn("__rank",
+        greatest(lit(1L), expr("(__n * q_mille + 999L) div 1000L")))
+      .filter(col("__cum") >= col("__rank") &&
+        col("__cum") - col("cnt") < col("__rank"))
+      .withColumn("__e",
+        expr("bucket div shiftleft(CAST(1 AS BIGINT), CAST(sb AS INT))"))
+      .withColumn("__sub",
+        expr("bucket % shiftleft(CAST(1 AS BIGINT), CAST(sb AS INT))"))
+      .withColumn("__lo", expr(
+        "shiftleft(shiftleft(CAST(1 AS BIGINT), CAST(least(__e, sb) AS INT))" +
+          " + __sub, CAST(greatest(__e - sb, 0L) AS INT))"))
+      .withColumn("__width", expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(greatest(__e - sb, 0L) AS INT))"))
+      .select(col(groupCol), col("q_mille"), col("__n").as("n"),
+        when(col("__gmin") === col("__gmax"), col("__lo") - 1L)
+          .otherwise(raise_error(format_string(
+            "logHistQuantiles: inconsistent register geometry for " +
+              "group %s (sub-bits %s..%s) — frames built with different " +
+              "subBits were merged; rebuild with one geometry",
+            col(groupCol).cast("string"), col("__gmin").cast("string"),
+            col("__gmax").cast("string"))).cast(LongType)).as("est_lo"),
+        (col("__lo") + col("__width") - 2L).as("est_hi"))
+  }
+
+  /** Per-group quantile profile in one call — registers + estimates;
+    * the quantile face of [[sourceNgramHll]]. */
+  def logHistQuantileProfile(df: DataFrame, groupCol: String, value: Column,
+                             qMille: Seq[Int], subBits: Int = 5): DataFrame =
+    logHistQuantiles(logHistRegisters(df, groupCol, value, subBits),
+      qMille, groupCol)
+
+  /** The applied-batch marker name for a store batch tag: md5-derived,
+    * filesystem-safe for ANY tag text. */
+  private def appliedMarker(tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"_APPLIED-${h.take(16)}"
+  }
+
+  /** Persist a quantile-sketch register store — like the HLL profile
+    * an ENTIRELY tiny store (<= 64·2^sb rows per group), rewritten
+    * cell-wise and published crash-consistently each merge. `batchTag`
+    * names the ingested batch; its applied-marker publishes inside the
+    * SAME atomic rename as the data, so a re-run of the same tag
+    * short-circuits in [[appendToLogHist]] instead of double-counting
+    * (count SUM, unlike register max, is not replay-idempotent). */
+  def persistLogHist(df: DataFrame, groupCol: String, value: Column,
+                     path: String, subBits: Int = 5,
+                     batchTag: Option[String] = None): Unit =
+    graft.io.Tables.withStoreLock(df.sparkSession, s"$path/registers") {
+      persistLogHistUnlocked(df, groupCol, value, path, subBits, batchTag)
+    }
+
+  private def persistLogHistUnlocked(df: DataFrame, groupCol: String,
+                                     value: Column, path: String,
+                                     subBits: Int,
+                                     batchTag: Option[String]): Unit =
+    graft.io.Tables.swapInParquet(df.sparkSession,
+      logHistRegisters(df, groupCol, value, subBits), s"$path/registers",
+      markers = batchTag.map(appliedMarker).toSeq)
+
+  /** Merge a new batch's registers into a persisted store — cell-wise
+    * sum, atomically published under the store lock with a read-time
+    * generation CAS; the base corpus is never rescanned. The store's
+    * geometry (`sb`) is validated against this call's `subBits` before
+    * anything merges, and a `batchTag` already marked applied makes
+    * the whole call a no-op — the exactly-once contract for at-least-
+    * once callers (streaming replays, crash-retry loops). */
+  def appendToLogHist(df: DataFrame, groupCol: String, value: Column,
+                      path: String, subBits: Int = 5,
+                      batchTag: Option[String] = None): Unit =
+    graft.io.Tables.withStoreLock(df.sparkSession, s"$path/registers") {
+      appendToLogHistUnlocked(df, groupCol, value, path, subBits, batchTag)
+    }
+
+  private def appendToLogHistUnlocked(df: DataFrame, groupCol: String,
+                                      value: Column, path: String,
+                                      subBits: Int,
+                                      batchTag: Option[String]): Unit = {
+    val spark = df.sparkSession
+    val store = s"$path/registers"
+    val markers = graft.io.Tables.storeMarkers(spark, store)
+    val tagMarker = batchTag.map(appliedMarker)
+    if (tagMarker.exists(markers.contains)) return // replayed batch: no-op
+    val gen = graft.io.Tables.storeGeneration(spark, store)
+    val base = spark.read.parquet(store)
+    val geoms = base.select(col("sb")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    require(geoms == Seq(subBits.toLong),
+      s"appendToLogHist: store at $path was built with subBits " +
+        s"${geoms.mkString(", ")} but this append builds subBits=$subBits " +
+        "registers — pass the geometry the store was built with")
+    val merged = logHistMerge(
+      base.unionByName(logHistRegisters(df, groupCol, value, subBits)),
+      groupCol)
+    graft.io.Tables.swapInParquet(spark, merged, store, gen,
+      markers = markers ++ tagMarker)
+  }
+
+  /** Create-or-merge in ONE locked decision — the streaming-sink entry
+    * point ([[graft.streaming.Streams.logHistStream]]); the same
+    * bootstrap-race contract as [[upsertHllProfile]], plus the
+    * applied-marker check so a replayed FIRST batch is also a no-op
+    * (the marker published with the bootstrap generation). */
+  def upsertLogHist(df: DataFrame, groupCol: String, value: Column,
+                    path: String, subBits: Int = 5,
+                    batchTag: Option[String] = None): Unit =
+    graft.io.Tables.withStoreLock(df.sparkSession, s"$path/registers") {
+      val regs = new org.apache.hadoop.fs.Path(s"$path/registers")
+      val fs = regs.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(regs))
+        appendToLogHistUnlocked(df, groupCol, value, path, subBits, batchTag)
+      else persistLogHistUnlocked(df, groupCol, value, path, subBits, batchTag)
+    }
+
+  /** Reload a persisted quantile-sketch register store. */
+  def readLogHist(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(s"$path/registers")
+
   /** Duplicate-cluster size histogram over a components frame
     * (node, label): how many clusters of each size the dedup pass
     * found — the diagnostic that says whether duplication is a few

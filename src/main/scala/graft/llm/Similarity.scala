@@ -774,6 +774,79 @@ object Similarity {
     Dedup.keepOnePerCluster(df.select(col(idCol)), idCol, comp)
   }
 
+  /** Bulk kNN-graph construction — the top-k cosine neighbor list for
+    * EVERY corpus vector, searched within its k-means cell: the
+    * SemDeDup bucketing applied to the similarity-JOIN problem rather
+    * than per-query serving. The neighborhood graph is what
+    * graph-based curation consumes (diversity sampling, cluster
+    * balancing, graph dedup beyond pairwise thresholds); unlike
+    * [[semanticNearDupPairs]] it keeps each vector's k best edges
+    * regardless of any threshold, so sparse neighborhoods still get
+    * neighbors. Edges are DIRECTED (a's list; b's list may differ).
+    *
+    * Scale: within-cell pairing is O((N/nlist)²) per cell — `nlist`
+    * grows with the corpus to hold cell size constant, `maxCluster`
+    * drops degenerate cells (same contract as the SemDeDup/LSH caps),
+    * and the per-vector top-k compiles to a rank-filter window (map-
+    * side WindowGroupLimit before the shuffle). A vector whose true
+    * neighbor sits across a cell boundary misses it — the IVF trade;
+    * `llm_knn_recall` prices exactly that against the exact graph on
+    * an eval subset. Zero-norm vectors have no defined cosine and are
+    * excluded from both endpoints (the NaN guard of the cosine
+    * paths). */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
+               nlist: Int = 4, iters: Int = 2,
+               maxCluster: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val clusters = kmeansClusters(df, idCol, embCol, nlist, iters)
+    val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+      .join(clusters, "vid")
+    val capped = eq
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("__bc").between(2, maxCluster))
+      .drop("__bc")
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vid") =!= col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b"),
+        dotQ(col("x.eq"), col("y.eq")).cast("double").as("__dot"),
+        dotQ(col("x.eq"), col("x.eq")).cast("double").as("__na"),
+        dotQ(col("y.eq"), col("y.eq")).cast("double").as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col("a"), col("b"),
+        (col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))).as("cosine"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("rank"), col("cosine"))
+  }
+
+  /** The EXACT directed kNN graph for an eval subset of vectors —
+    * every other corpus vector considered (linear in the corpus, the
+    * eval side bounded): the ground truth [[knnGraph]]'s recall ledger
+    * compares against. Same cosine, tie-break and zero-norm contract
+    * as the cell-bucketed path so the only difference IS the cell
+    * boundary. */
+  def knnGraphExact(df: DataFrame, evalPred: Column, idCol: String,
+                    embCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val all = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    val ev = all.filter(evalPred)
+      .select(col("vid").as("a"), col("eq").as("aeq"))
+    val pairs = all.crossJoin(broadcast(ev))
+      .filter(col("vid") =!= col("a"))
+      .select(col("a"), col("vid").as("b"),
+        dotQ(col("aeq"), col("eq")).cast("double").as("__dot"),
+        dotQ(col("aeq"), col("aeq")).cast("double").as("__na"),
+        dotQ(col("eq"), col("eq")).cast("double").as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col("a"), col("b"),
+        (col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))).as("cosine"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("rank"), col("cosine"))
+  }
+
   /** Full IVF: train the coarse quantizer with k-means, then probe —
     * the composition a production index build runs. One extra join
     * attaches the learned cluster ids (vs the label-column variant). */

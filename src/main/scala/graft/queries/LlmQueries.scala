@@ -1243,6 +1243,37 @@ object LlmQueries {
           maxCluster = SemMaxCluster)
         .orderBy(col("vec_id"))),
 
+    // Bulk kNN-graph construction: every vector's top-3 cosine
+    // neighbors within its k-means cell — the SemDeDup bucketing
+    // applied to the similarity-JOIN problem (the neighborhood graph
+    // diversity sampling / graph curation consume). Directed edges,
+    // no threshold: sparse neighborhoods still get their k best.
+    "llm_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nlist = 4, iters = 2, maxCluster = SemMaxCluster)
+        .orderBy(col("a"), col("rank"))),
+
+    // The graph's recall ledger (the ann-recall principle applied to
+    // the similarity join): in-cell top-3 vs the EXACT top-3 over the
+    // whole corpus for a bounded eval subset — prices what the cell
+    // boundary loses. The exact side is linear in the corpus (eval
+    // rows broadcast), never all-pairs.
+    "llm_knn_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cell = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+          nlist = 4, iters = 2, maxCluster = SemMaxCluster)
+        .filter(col("a") < 150L)
+      val exact = Similarity.knnGraphExact(emb, col("vid") < 150L,
+        "vec_id", "embedding", k = 3)
+      val matches = cell.select(col("a"), col("b"))
+        .join(exact.select(col("a"), col("b")), Seq("a", "b"))
+        .agg(count(lit(1)).as("total_matches"))
+      exact.agg(countDistinct(col("a")).as("n_eval")).crossJoin(matches)
+        .select(col("n_eval"), col("total_matches"),
+          (col("total_matches").cast("double") /
+            (lit(3.0) * col("n_eval"))).as("recall"))
+    }),
+
     // Image near-dup over REAL pixels: deterministic synthetic images
     // (3 variants per group: PNG, BMP re-encode, 2x-resolution render —
     // this container has no image corpus) -> real JDK decode -> dHash
@@ -2283,6 +2314,88 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // Log-linear quantile sketch — the distribution member of the
+    // sketch trio (HLL = distinct, CMS = frequency): per-source
+    // doc-length quantiles from bounded register frames (<= 64·2^5
+    // rows per source at ANY corpus size; the shuffle carries
+    // registers, never documents). Every step is exact integer —
+    // octave via bin-length, sub-bucket via shifts, rank via
+    // floor-division — so the DuckDB oracle replays the estimates
+    // hash-identically, and each estimate is an [est_lo, est_hi]
+    // ENCLOSURE the true order statistic provably lies in.
+    "llm_qsketch_profile" -> ((s, dir) =>
+      CorpusStats.logHistQuantileProfile(t(s, dir, "documents"), "source",
+          length(col("text")), Seq(500, 900, 990))
+        .orderBy(col("source"), col("q_mille"))),
+
+    // Shard-merge face: registers built independently per shard fold
+    // by cell-wise SUM to the full build bit-for-bit (the monoid
+    // contract, same shape as llm_hll_union). The oracle never sees
+    // shards — it replays the direct global build; equality IS the
+    // mergeability check. q=1000 exercises the max-rank edge.
+    "llm_qsketch_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("source", lit("all"))
+      val len = length(col("text"))
+      val shards = CorpusStats.logHistRegisters(
+          docs.filter(col("doc_id") % 2 === 0), "source", len)
+        .unionByName(CorpusStats.logHistRegisters(
+          docs.filter(col("doc_id") % 2 === 1), "source", len))
+      CorpusStats.logHistQuantiles(CorpusStats.logHistMerge(shards),
+          Seq(250, 500, 750, 900, 990, 1000))
+        .orderBy(col("q_mille"))
+    }),
+
+    // The persisted incremental quantile store — register SUM is NOT
+    // replay-idempotent (unlike HLL max), so each batch's applied-
+    // marker publishes inside the SAME atomic rename as the merged
+    // data (Tables.swapInParquet markers): the second delta-1 append
+    // below is a deliberate replay and must be a no-op — if the
+    // exactly-once marker failed, counts double and every quantile
+    // shifts, so the shared full-build oracle hash-catches it.
+    "llm_qsketch_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val len = length(col("text"))
+      val path = graft.util.Scratch.dir("graft_qsketch") + "/profile"
+      CorpusStats.persistLogHist(docs.filter(col("doc_id") % 2 === 0),
+        "source", len, path, batchTag = Some("base"))
+      CorpusStats.appendToLogHist(docs.filter(col("doc_id") % 2 === 1),
+        "source", len, path, batchTag = Some("delta-1"))
+      CorpusStats.appendToLogHist(docs.filter(col("doc_id") % 2 === 1),
+        "source", len, path, batchTag = Some("delta-1")) // replay: no-op
+      CorpusStats.logHistQuantiles(CorpusStats.readLogHist(s, path),
+          Seq(500, 900, 990))
+        .orderBy(col("source"), col("q_mille"))
+    }),
+
+    // Accuracy ledger (the ann-recall principle applied to quantiles):
+    // sketch enclosure vs the EXACT order statistic per (source, q) —
+    // bound_ok must be uniformly true (the sketch's guarantee, value-
+    // checked row by row), and the enclosure width column prices the
+    // sketch's error against its 2^-5 relative bound.
+    "llm_qsketch_accuracy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sk = CorpusStats.logHistQuantileProfile(docs, "source",
+        length(col("text")), Seq(500, 990))
+      val vals = docs.filter(col("text").isNotNull)
+        .select(col("source"), length(col("text")).cast("long").as("v"))
+      val byS = Window.partitionBy(col("source"))
+      val exact = vals
+        .withColumn("rn", row_number().over(byS.orderBy(col("v"))))
+        .withColumn("__n", count(lit(1)).over(byS))
+        .select(col("source"), col("rn"), col("__n"), col("v"),
+          explode(array(lit(500L), lit(990L))).as("q_mille"))
+        .filter(col("rn") ===
+          greatest(lit(1L), expr("(__n * q_mille + 999L) div 1000L")))
+        .select(col("source"), col("q_mille"), col("v").as("exact"))
+      sk.join(exact, Seq("source", "q_mille"))
+        .select(col("source"), col("q_mille"), col("n"), col("exact"),
+          col("est_lo"), col("est_hi"),
+          (col("est_lo") <= col("exact") && col("exact") <= col("est_hi"))
+            .as("bound_ok"),
+          (col("est_hi") - col("est_lo")).as("width"))
+        .orderBy(col("source"), col("q_mille"))
+    }),
+
     // Exact n-gram occurrence counts per source, through the
     // Datasketches estimator's own plan (Catalyst prunes the unused
     // sketch aggregate — plan-verified): keeps the retained
@@ -2529,6 +2642,30 @@ object LlmQueries {
        |  SELECT cluster, a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM sp
        |  WHERE na > 0 AND nb > 0) t
        |  WHERE cosine >= $EmbDedupThreshold)""".stripMargin
+
+  /** kNN-graph oracle CTE chain (`kg` = the directed in-cell top-3
+    * neighbor graph) — kmeansCtes plus the capped cell join WITHOUT a
+    * threshold and a per-vector rank window; shared by llm_knn_graph
+    * and llm_knn_recall so the cell, cap, cosine and tie-break can't
+    * drift between the graph and its recall ledger. */
+  private lazy val knnCellCtes: String =
+    s"""${kmeansCtes(4)},
+       |cl AS (SELECT e.vec_id AS vid, e.eq, a2.cluster
+       |  FROM eq e JOIN a2 ON e.vec_id = a2.vec_id),
+       |clc AS (SELECT vid, eq, cluster FROM (
+       |  SELECT vid, eq, cluster, count(*) OVER (PARTITION BY cluster) AS bc FROM cl) t0
+       |  WHERE bc BETWEEN 2 AND $SemMaxCluster),
+       |kp AS (SELECT x.vid AS a, y.vid AS b,
+       |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+       |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
+       |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
+       |  FROM clc x JOIN clc y ON x.cluster = y.cluster AND x.vid <> y.vid),
+       |kcos AS (SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM kp
+       |  WHERE na > 0 AND nb > 0),
+       |kg AS (SELECT a, b, CAST(rn AS BIGINT) AS rank, cosine FROM (
+       |  SELECT a, b, cosine, row_number() OVER (
+       |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM kcos) t
+       |  WHERE rn <= 3)""".stripMargin
 
   /** Shared CTE chain producing the MinHash+LSH candidate pairs with
     * exact-Jaccard scores (`scored`) — used by the llm_dedup_minhash_lsh,
@@ -3008,6 +3145,53 @@ object LlmQueries {
       |      ln(CAST(4096 AS DOUBLE) / (4096 - nreg)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
       |    ELSE raw_micro END AS est_distinct_micro
       |FROM raw ORDER BY source""".stripMargin
+
+  /** Log-linear quantile-sketch replay CTEs (registers → cumulative
+    * rank walk → enclosure decode), parameterized by the group
+    * expression and quantile targets; subBits = 5 matches the engine
+    * default. Exact integer throughout — octave via bin-length,
+    * sub-bucket and decode via shifts, rank via floor-division — so
+    * the estimates replay hash-identically. */
+  private def qSketchOracleCtes(sourceExpr: String, qs: Seq[Int]): String =
+    s"""WITH vals AS (SELECT $sourceExpr AS source, length(text)::BIGINT AS v
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT source, v + 1 AS w,
+       |    (length(bin(v + 1)) - 1)::BIGINT AS e FROM vals),
+       |regs AS (SELECT source,
+       |    e * 32 + (w >> CAST(greatest(e - 5, 0) AS INT))
+       |      - (1::BIGINT << CAST(least(e, 5) AS INT)) AS bucket,
+       |    count(*)::BIGINT AS cnt
+       |  FROM b GROUP BY 1, 2),
+       |cum AS (SELECT source, bucket, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM regs),
+       |q AS (SELECT CAST(unnest([${qs.mkString(", ")}]) AS BIGINT) AS q_mille),
+       |pick AS (SELECT c.source, q.q_mille, c.n, c.bucket
+       |  FROM cum c, q
+       |  WHERE c.cum >= greatest(1, (c.n * q.q_mille + 999) // 1000)
+       |    AND c.cum - c.cnt < greatest(1, (c.n * q.q_mille + 999) // 1000)),
+       |dec AS (SELECT source, q_mille, n, bucket // 32 AS e,
+       |    bucket % 32 AS sub FROM pick),
+       |est AS (SELECT source, q_mille, n,
+       |    ((((1::BIGINT << CAST(least(e, 5) AS INT)) + sub)
+       |      << CAST(greatest(e - 5, 0) AS INT)) - 1)::BIGINT AS est_lo,
+       |    ((((1::BIGINT << CAST(least(e, 5) AS INT)) + sub)
+       |      << CAST(greatest(e - 5, 0) AS INT))
+       |      + (1::BIGINT << CAST(greatest(e - 5, 0) AS INT)) - 2)::BIGINT AS est_hi
+       |  FROM dec)""".stripMargin
+
+  private def qSketchOracleSql(sourceExpr: String, qs: Seq[Int],
+                               orderBy: String): String =
+    s"""${qSketchOracleCtes(sourceExpr, qs)}
+       |SELECT source, q_mille, n, est_lo, est_hi FROM est
+       |ORDER BY $orderBy""".stripMargin
+
+  /** Shared by llm_qsketch_profile (direct build) and
+    * llm_qsketch_incremental (the persisted store after marker-gated
+    * appends; identical by the sum monoid + exactly-once markers). */
+  private lazy val QSketchProfileOracleSql: String =
+    qSketchOracleSql("source", Seq(500, 900, 990), "source, q_mille")
 
   /** IVFPQ tuning-grid oracle (llm_ann_ivfpq_grid): the recall
     * machinery of [[IvfPqRecallOracleSql]] swept over nprobe {1,2,4} ×
@@ -3887,6 +4071,29 @@ object LlmQueries {
         |FROM n, (VALUES ('audio_energy'), ('image_dhash')) m(method)
         |ORDER BY method""".stripMargin,
     "llm_bm25" -> Bm25OracleSql,
+    "llm_knn_graph" ->
+      s"""WITH $knnCellCtes
+         |SELECT a, b, rank, cosine FROM kg ORDER BY a, rank""".stripMargin,
+    "llm_knn_recall" ->
+      s"""WITH $knnCellCtes,
+         |ev AS (SELECT vid, eq AS aeq FROM (SELECT vec_id AS vid, eq FROM eq) e0
+         |  WHERE vid < 150),
+         |ep AS (SELECT ev.vid AS a, c.vec_id AS b,
+         |  CAST((SELECT sum((ev.aeq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+         |  CAST((SELECT sum((ev.aeq)[i] * (ev.aeq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
+         |  CAST((SELECT sum((c.eq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
+         |  FROM ev JOIN eq c ON c.vec_id <> ev.vid),
+         |ecos AS (SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM ep
+         |  WHERE na > 0 AND nb > 0),
+         |eg AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (
+         |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM ecos) t
+         |  WHERE rn <= 3),
+         |m AS (SELECT count(*)::BIGINT AS total_matches
+         |  FROM (SELECT a, b FROM kg WHERE a < 150) kgf JOIN eg USING (a, b)),
+         |ne AS (SELECT count(DISTINCT a)::BIGINT AS n_eval FROM eg)
+         |SELECT ne.n_eval AS n_eval, m.total_matches AS total_matches,
+         |  CAST(m.total_matches AS DOUBLE) / (3.0 * ne.n_eval) AS recall
+         |FROM ne, m""".stripMargin,
     "llm_semdedup_pairs" ->
       s"""WITH $semPairsCtes
          |SELECT cluster, a, b, cosine FROM semscored ORDER BY a, b""".stripMargin,
@@ -4799,6 +5006,28 @@ object LlmQueries {
         |      ln(CAST(4096 AS DOUBLE) / (4096 - nreg)) * CAST(1000000 AS DOUBLE)) AS BIGINT)
         |    ELSE raw_micro END AS est_distinct_micro
         |FROM raw""".stripMargin,
+    "llm_qsketch_profile" -> QSketchProfileOracleSql,
+    // Marker-gated appends sum to the full build (the monoid) and the
+    // replayed batch is a no-op, so the store row SHARES the
+    // full-build oracle — the hll_incremental contract shape.
+    "llm_qsketch_incremental" -> QSketchProfileOracleSql,
+    // Shard-built registers fold to the direct global build by the sum
+    // monoid; the oracle replays the direct build only.
+    "llm_qsketch_merge" ->
+      qSketchOracleSql("'all'", Seq(250, 500, 750, 900, 990, 1000),
+        "q_mille"),
+    "llm_qsketch_accuracy" ->
+      s"""${qSketchOracleCtes("source", Seq(500, 990))},
+         |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n2 FROM vals),
+         |exact AS (SELECT r.source AS source, q.q_mille AS q_mille, r.v AS exact FROM r, q
+         |  WHERE r.rn = greatest(1, (r.n2 * q.q_mille + 999) // 1000))
+         |SELECT e.source AS source, e.q_mille AS q_mille, e.n AS n, x.exact AS exact,
+         |  e.est_lo AS est_lo, e.est_hi AS est_hi,
+         |  (e.est_lo <= x.exact AND x.exact <= e.est_hi) AS bound_ok,
+         |  (e.est_hi - e.est_lo)::BIGINT AS width
+         |FROM est e JOIN exact x USING (source, q_mille)
+         |ORDER BY source, q_mille""".stripMargin,
     "llm_top_ngrams" ->
       """WITH g AS (
         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS ngram

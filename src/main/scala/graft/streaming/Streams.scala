@@ -510,6 +510,35 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintenance of a persisted log-linear quantile-sketch
+    * store ([[graft.llm.CorpusStats.persistLogHist]]): each
+    * micro-batch's registers merge into the store (cell-wise SUM,
+    * atomically published; the base corpus is never rescanned).
+    * Register sum is NOT idempotent — a replayed batch would
+    * double-count — so each batch publishes its applied-marker INSIDE
+    * the same atomic rename as the merged data
+    * ([[graft.io.Tables.swapInParquet]] `markers`, keyed by
+    * (checkpoint lineage, batch id) like the commit-log sinks): a
+    * crash leaves either the old generation (marker absent — the
+    * replay re-merges) or the new one (marker present — the replay
+    * short-circuits), never data without its marker, so at-least-once
+    * delivery composes to exactly-once STATE with no separate commit
+    * log and no window where the two could disagree. Bootstrap shares
+    * [[graft.llm.CorpusStats.upsertLogHist]]'s locked create-or-merge
+    * decision (the hllProfileStream race contract). `valueSql` is a
+    * SQL expression over the batch's columns (e.g. "length(text)"). */
+  def logHistStream(docs: DataFrame, groupCol: String, valueSql: String,
+                    path: String, checkpointDir: String,
+                    subBits: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.CorpusStats.upsertLogHist(batch, groupCol, expr(valueSql),
+          path, subBits, batchTag = Some(s"$checkpointDir#$batchId"))
+      }
+      .start()
+
   /** Streaming BPE encode against a FROZEN persisted tokenizer
     * ([[graft.llm.Bpe.persistTokenizer]]) — the tokenize-on-ingest
     * serving path: each micro-batch of documents encodes to its

@@ -457,4 +457,45 @@ class PropertySpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(estFull === estMerged)
   }
+
+  test("property: log-hist register merge is a sum monoid; enclosures contain the exact order statistic") {
+    import graft.llm.CorpusStats
+    // arbitrary values over 6 orders of magnitude, arbitrary 3-way
+    // shard splits: registers must merge (cell-wise sum, any grouping)
+    // to the full build bit-for-bit, and every quantile enclosure must
+    // contain the true order statistic — the sketch's guarantee
+    val gen = Gen.listOfN(180, for {
+      src <- Gen.oneOf("a", "b")
+      v <- Gen.frequency(3 -> Gen.choose(0L, 60L),
+        3 -> Gen.choose(0L, 5000L), 2 -> Gen.choose(0L, 2000000L))
+      shard <- Gen.choose(0, 2)
+    } yield (src, v, shard))
+    val rows = sample(gen)
+    val docs = rows.toDF("source", "v", "shard")
+    val full = CorpusStats.logHistRegisters(docs, "source", col("v"))
+    val merged = CorpusStats.logHistMerge(
+      (0 to 2).map(sh => CorpusStats.logHistRegisters(
+        docs.filter(col("shard") === sh), "source", col("v")))
+        .reduce(_.unionByName(_)))
+    assert(merged.except(full).count() === 0 &&
+      full.except(merged).count() === 0,
+      "3-way shard register merge must equal the full build")
+    val qs = Seq(1, 100, 250, 500, 750, 900, 999, 1000)
+    val est = CorpusStats.logHistQuantiles(full, qs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(est.length === 2 * qs.length)
+    val bySrc = rows.groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(_._2).sorted.toIndexedSeq }
+    est.foreach { case (s, q, n, lo, hi) =>
+      val vals = bySrc(s)
+      assert(n === vals.size.toLong)
+      val exact = vals((math.max(1L, (n * q + 999L) / 1000L) - 1L).toInt)
+      assert(lo <= exact && exact <= hi,
+        s"$s q=$q: exact $exact outside enclosure [$lo, $hi]")
+      // width respects the relative bound above the linear floor
+      if (lo > 62L) assert(hi - lo <= math.max((lo + 1L) >> 5, 1L),
+        s"$s q=$q: enclosure [$lo, $hi] wider than the 2^-5 bound")
+      else assert(lo === hi, s"$s q=$q: small values must be exact")
+    }
+  }
 }

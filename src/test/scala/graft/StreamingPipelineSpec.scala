@@ -332,6 +332,43 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(after === before, "a replayed batch must leave the store bit-identical")
   }
 
+  test("logHistStream: streamed store equals batch build; committed replay is a no-op via atomic markers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.CorpusStats
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 30).map(i => (s"s${i % 2}", i.toLong * 7L % 500L))
+    val b2 = (31 to 60).map(i => (s"s${i % 2}", i.toLong * 13L % 3000L))
+    val path = graft.util.Scratch.dir("qstream") + "/profile"
+    val ck = graft.util.Scratch.dir("qsck")
+    val in = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streams.logHistStream(
+      in.toDF().toDF("source", "v"), "source", "v", path, ck)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def state() = CorpusStats.readLogHist(spark, path)
+      .select("source", "bucket", "cnt", "sb")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // the streamed register store equals ONE batch build of everything
+    val full = CorpusStats.logHistRegisters(
+        (b1 ++ b2).toDF("source", "v"), "source", col("v"))
+      .select("source", "bucket", "cnt", "sb")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val streamed = state()
+    assert(streamed === full, "streamed store must equal the batch build")
+    // at-least-once replay of a COMMITTED batch: register sum is NOT
+    // idempotent, but the batch's applied-marker published inside the
+    // same atomic rename as its data — the replay short-circuits
+    CorpusStats.upsertLogHist(b2.toDF("source", "v"), "source", col("v"),
+      path, batchTag = Some(s"$ck#1"))
+    assert(state() === streamed, "a committed batch must replay as a no-op")
+    // a FRESH lineage reusing batch id 1 is NOT mistaken for a replay
+    CorpusStats.upsertLogHist(b2.toDF("source", "v"), "source", col("v"),
+      path, batchTag = Some("fresh-lineage#1"))
+    assert(state() !== streamed, "a fresh lineage's batch must merge")
+  }
+
   private def runIncrementalDelta(): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -660,6 +660,92 @@ class OrderStatsSpec extends SparkSpec {
       .as[(String, Long)].head()._2 >= 1L)
   }
 
+  test("log-linear quantile sketch: hand-computed buckets, exact small values, enclosures") {
+    // subBits = 5: shifted w = v+1 <= 63 (v <= 62) is EXACT — one
+    // value per bucket below the linear floor
+    val docs = Seq(("g", 0L), ("g", 5L), ("g", 62L), ("g", 100L),
+      ("g", 1000L)).toDF("source", "v")
+      .unionByName(Seq(("g", Option.empty[Long])).toDF("source", "v"))
+    val regs = CorpusStats.logHistRegisters(docs, "source", col("v")).cache()
+    // NULL carries no observation: 5 values -> 5 buckets (all distinct)
+    assert(regs.agg(sum("cnt")).as[Long].head() === 5L)
+    // v=100 -> w=101, e=6, bucket = 6*32 + (101>>1) - 32 = 210
+    assert(regs.filter(col("bucket") === 210L).count() === 1L)
+    val qs = CorpusStats.logHistQuantiles(regs,
+        Seq(200, 400, 600, 800, 1000))
+      .select("q_mille", "n", "est_lo", "est_hi")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (q, n, lo, hi) => q -> ((n, lo, hi)) }.toMap
+    // n=5: ranks 1..5 hit the values in order
+    assert(qs(200L) === ((5L, 0L, 0L)))
+    assert(qs(400L) === ((5L, 5L, 5L)))
+    assert(qs(600L) === ((5L, 62L, 62L)))
+    // 100 sits in the width-2 bucket [99, 100] at octave 6
+    assert(qs(800L) === ((5L, 99L, 100L)))
+    // 1000 -> w=1001, e=9, sub=(1001>>4)-32=30 -> lo=(62<<4)-1=991,
+    // width 16 -> [991, 1006]; the enclosure contains the exact value
+    assert(qs(1000L) === ((5L, 991L, 1006L)))
+    regs.unpersist()
+    // the domain guard: negative measures raise, never mis-bucket
+    assert(intercept[Exception] {
+      CorpusStats.logHistRegisters(Seq(("g", -1L)).toDF("source", "v"),
+        "source", col("v")).collect()
+    }.getMessage.contains("negative"))
+  }
+
+  test("log-linear quantile sketch: mixed-geometry merge raises; store refuses wrong subBits") {
+    val docs = Seq(("g", 10L)).toDF("source", "v")
+    val mixed = CorpusStats.logHistMerge(
+      CorpusStats.logHistRegisters(docs, "source", col("v"), subBits = 5)
+        .unionByName(CorpusStats.logHistRegisters(docs, "source", col("v"),
+          subBits = 4)))
+    assert(intercept[Exception] {
+      CorpusStats.logHistQuantiles(mixed, Seq(500)).collect()
+    }.getMessage.contains("geometry"))
+    val path = graft.util.Scratch.dir("qsgeom") + "/profile"
+    CorpusStats.persistLogHist(docs, "source", col("v"), path, subBits = 5)
+    assert(intercept[IllegalArgumentException] {
+      CorpusStats.appendToLogHist(docs, "source", col("v"), path, subBits = 4)
+    }.getMessage.contains("subBits"))
+    // matched geometry still answers
+    CorpusStats.appendToLogHist(docs, "source", col("v"), path, subBits = 5)
+    assert(CorpusStats.logHistQuantiles(
+      CorpusStats.readLogHist(spark, path), Seq(500)).count() === 1L)
+  }
+
+  test("log-linear quantile store: atomic applied-markers make appends exactly-once") {
+    val docs = (1L to 40L).map(i => ("g", i)).toDF("source", "v")
+    val d0 = docs.filter(col("v") <= 20L)
+    val d1 = docs.filter(col("v") > 20L)
+    val path = graft.util.Scratch.dir("qsmark") + "/profile"
+    def state() = CorpusStats.readLogHist(spark, path)
+      .select("source", "bucket", "cnt", "sb")
+      .as[(String, Long, Long, Long)].collect().toSet
+    CorpusStats.persistLogHist(d0, "source", col("v"), path,
+      batchTag = Some("b0"))
+    CorpusStats.appendToLogHist(d1, "source", col("v"), path,
+      batchTag = Some("b1"))
+    val once = state()
+    // store == full build (the sum monoid)
+    val full = CorpusStats.logHistRegisters(docs, "source", col("v"))
+      .select("source", "bucket", "cnt", "sb")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(once === full, "marker-gated appends must sum to the full build")
+    // replaying b1 (same tag) is a NO-OP — sum is not idempotent, the
+    // marker (published atomically WITH the data) is what saves it
+    CorpusStats.appendToLogHist(d1, "source", col("v"), path,
+      batchTag = Some("b1"))
+    assert(state() === once, "a replayed batch tag must not double-count")
+    // a replayed BOOTSTRAP tag is also a no-op through upsert
+    CorpusStats.upsertLogHist(d0, "source", col("v"), path,
+      batchTag = Some("b0"))
+    assert(state() === once, "a replayed bootstrap tag must not re-merge")
+    // a NEW tag with the same data is a genuine second batch — it merges
+    CorpusStats.appendToLogHist(d1, "source", col("v"), path,
+      batchTag = Some("b2"))
+    assert(state() !== once, "a fresh batch tag must merge")
+  }
+
   test("jlProject: deterministic exact-integer sign projection") {
     val ones = Seq((1L, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
     val proj = Similarity.jlProject(ones, "vec_id", "embedding")
