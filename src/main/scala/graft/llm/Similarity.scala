@@ -465,6 +465,135 @@ object Similarity {
     (byLabel, spark.read.parquet(s"$path/codes"))
   }
 
+  /** Trained per-dimension scalar quantizer (the FAISS ScalarQuantizer
+    * QT_8bit family — public method): per-dim [vmin, vmax] learned
+    * over the milli-quantized training corpus; a vector stores one
+    * byte per dimension, c_i = clamp(floor((v_i - vmin_i)·255 /
+    * vdiff_i), 0, 255). Unlike the per-vector [[quantizeInt8]] path
+    * the scale is a TRAINED INDEX ARTIFACT — frozen after training,
+    * shared by every stored vector, so serving needs no per-row scale
+    * column and appended batches encode against the same grid (the
+    * deployed-quantizer convention; out-of-range values clamp, as in
+    * FAISS). All arithmetic is exact integer / exactly-replayable
+    * floor-division, so training, codes, decode and serving replay
+    * bit-for-bit in the DuckDB oracle.
+    *
+    * Returns (vmin, vdiff) per position, pos-ordered. Training is ONE
+    * posexplode aggregation to `dim` rows (collected by contract —
+    * the quantizer IS dim pairs of longs). */
+  def sq8Train(train: DataFrame, embCol: String): IndexedSeq[(Long, Long)] =
+    train.select(posexplode(quantize(col(embCol))).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getLong(1), r.getLong(2) - r.getLong(1)))
+      .toIndexedSeq
+
+  private def sq8VminArr(quant: IndexedSeq[(Long, Long)]): Column =
+    array(quant.map(q => lit(q._1)): _*)
+  private def sq8VdiffArr(quant: IndexedSeq[(Long, Long)]): Column =
+    array(quant.map(q => lit(q._2)): _*)
+
+  /** Encode milli-quantized vectors against a frozen quantizer —
+    * map-side, zero shuffles: two zip_withs against the literal
+    * (vmin, vdiff) arrays. Degenerate dims (vdiff = 0) encode as 0;
+    * values outside the trained range clamp to [0, 255] (only
+    * reachable from [[appendToSq8Index]] batches — training rows are
+    * in-range by construction). floor of an exactly-rounded double
+    * quotient is exact at these magnitudes (|numerator| < 2^40,
+    * integer distance >= 1/vdiff >> the 2^-53 rounding error). */
+  def sq8EncodeFrame(df: DataFrame, idCol: String, embCol: String,
+                     quant: IndexedSeq[(Long, Long)]): DataFrame = {
+    val diff = zip_with(quantize(col(embCol)), sq8VminArr(quant), (v, mn) => v - mn)
+    val codes = zip_with(diff, sq8VdiffArr(quant), (d, vd) =>
+      when(vd === 0L, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor(d.cast("double") * 255.0 / vd.cast("double")).cast("long")))))
+    df.select(col(idCol).as("cid"), codes.as("codes"))
+  }
+
+  /** Reconstruct the milli-scale approximation from SQ8 codes:
+    * v̂_i = vmin_i + floor(c_i·vdiff_i / 255) — the serving-side
+    * decode (per-candidate, query-independent, so it evaluates once
+    * per stored row, not once per (query, row) pair). */
+  def sq8Decode(codesCol: Column, quant: IndexedSeq[(Long, Long)]): Column = {
+    val scaled = zip_with(codesCol, sq8VdiffArr(quant), (c, vd) =>
+      floor(c.cast("double") * vd.cast("double") / 255.0).cast("long"))
+    zip_with(scaled, sq8VminArr(quant), (x, mn) => x + mn)
+  }
+
+  /** SQ8 ANN serving: decode each stored code ONCE to its milli-scale
+    * reconstruction, score every (query, candidate) with the exact
+    * integer dot against the full-precision query (asymmetric
+    * distance — the query never quantizes), take the top-`coarse` per
+    * query, then rescore those EXACTLY — the [[rerankTopK]] /
+    * [[pqServe]] recall-cost dial with a dim-byte code instead of
+    * dim floats (8× narrower than the milli store) or m bytes (PQ).
+    * The coarse scan streams (cid, dim-byte codes) against broadcast
+    * queries; vectors are touched only in the bounded rescore. */
+  def sq8Serve(quant: IndexedSeq[(Long, Long)], codes: DataFrame,
+               store: DataFrame, queries: DataFrame, qId: String,
+               embCol: String, k: Int, coarse: Int): DataFrame = {
+    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
+    val dec = codes.withColumn("__dec", sq8Decode(col("codes"), quant))
+    val q = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
+    val scored = dec.crossJoin(broadcast(q))
+      .withColumn("adc", dotQ(col("qe"), col("__dec")))
+    pqCoarseRescore(scored, queries, qId, embCol, store, k, coarse)
+  }
+
+  /** Persist an SQ8 index: `path/quantizer` (pos, vmin, vdiff) and
+    * `path/codes` (cid, codes) — [[persistPqIndex]]'s artifact shape
+    * for the scalar family. `train` optionally supplies the quantizer-
+    * training frame (the production shape: the grid trains once on a
+    * representative sample; later batches append against it). */
+  def persistSq8Index(df: DataFrame, idCol: String, embCol: String,
+                      path: String, train: Option[DataFrame] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quant = sq8Train(train.getOrElse(df), embCol)
+    quant.zipWithIndex.map { case ((mn, vd), p) => (p, mn, vd) }
+      .toDF("pos", "vmin", "vdiff")
+      .write.mode("overwrite").parquet(s"$path/quantizer")
+    sq8EncodeFrame(df, idCol, embCol, quant)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append a batch against the FROZEN quantizer — new code files
+    * only, the base store is never rewritten ([[appendToPqIndex]]'s
+    * contract). Encoding is a pure per-row function of the quantizer,
+    * so append == full rebuild bit-for-bit whenever the batch lies in
+    * the trained range (out-of-range values clamp — the documented
+    * FAISS-style degradation, priced by the recall ledger, never an
+    * error). Fails loudly if `dim` does not match the persisted
+    * quantizer or the stored code arrays (the [[validateCodebooks]]
+    * guard for the scalar family). */
+  def appendToSq8Index(df: DataFrame, idCol: String, embCol: String,
+                       path: String, dim: Int = 64): Unit = {
+    val (quant, _) = readSq8Index(df.sparkSession, path)
+    require(quant.nonEmpty, s"append: no quantizer found under $path")
+    require(quant.length == dim,
+      s"append: dim=$dim does not match the index at $path — the stored " +
+        s"quantizer has ${quant.length} positions; pass the dim the index " +
+        "was built with")
+    val storedDim = df.sparkSession.read.parquet(s"$path/codes")
+      .select(size(col("codes"))).head(1)
+    storedDim.foreach(r => require(r.getInt(0) == dim,
+      s"append: dim=$dim does not match the index at $path — stored code " +
+        s"arrays have length ${r.getInt(0)}"))
+    sq8EncodeFrame(df, idCol, embCol, quant)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Reload a persisted SQ8 index → (quantizer, codes frame). */
+  def readSq8Index(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (IndexedSeq[(Long, Long)], DataFrame) = {
+    val quant = spark.read.parquet(s"$path/quantizer").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+    (quant, spark.read.parquet(s"$path/codes"))
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

@@ -708,6 +708,81 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // SQ8 — the trained-scalar-quantizer member of the index family
+    // (FAISS ScalarQuantizer QT_8bit shape): per-dim [vmin, vmax]
+    // learned over the corpus, one byte per dimension, frozen after
+    // training. vs per-vector int8 (llm_ann_rerank): no per-row scale
+    // column, appends encode against the same grid; vs PQ: dim bytes
+    // instead of m, but no codebook argmin at encode time. Build +
+    // persist + reload + ADC-coarse-20 + exact rescore top-5.
+    "llm_ann_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_sq8")
+      Similarity.persistSq8Index(cands, "vec_id", "embedding", path)
+      val (quant, codes) = Similarity.readSq8Index(s, path)
+      Similarity.sq8Serve(quant, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, coarse = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Incremental SQ8 maintenance mirroring llm_ann_pq_append: the
+    // quantizer trains ONCE on the representative sample, the initial
+    // build writes codes for half the corpus, the other half APPENDS
+    // against the FROZEN grid — new files only. Encoding is a pure
+    // per-row function of the quantizer, so the appended index answers
+    // IDENTICALLY to a full build: the shared SQ8 oracle checks that.
+    "llm_ann_sq8_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_sq8_app")
+      Similarity.persistSq8Index(cands.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, train = Some(cands))
+      Similarity.appendToSq8Index(cands.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path)
+      val (quant, codes) = Similarity.readSq8Index(s, path)
+      Similarity.sq8Serve(quant, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, coarse = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The SQ8 quality ledger (the llm_ann_pq_recall principle): ADC
+    // serving at coarse=5 vs coarse=20 against exact brute force on a
+    // disjoint query/candidate split — prices the 8×-narrower scalar
+    // code's recall next to the PQ ledger's at the same dial widths.
+    "llm_ann_sq8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      def recallOf(approx: DataFrame, method: String) =
+        exact.join(approx.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("total_matches"))
+          .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_matches"),
+            (col("total_matches").cast("double") /
+              (lit(3.0) * col("n_queries"))).as("recall"))
+      val quant = Similarity.sq8Train(cands, "embedding")
+      val codes = Similarity.sq8EncodeFrame(cands, "vec_id", "embedding",
+        quant).localCheckpoint()
+      val store = cands.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("ce"))
+      def serve(c: Int) = Similarity.sq8Serve(quant, codes, store, qs,
+        "vec_id", "embedding", k = 3, coarse = c)
+      recallOf(serve(5), "sq8_coarse5")
+        .unionByName(recallOf(serve(20), "sq8_coarse20"))
+        .orderBy(col("method"))
+    }),
+
     // IVFPQ — the FAISS-shape composition of the two index halves the
     // engine already serves separately: PQ codes persisted PARTITIONED
     // BY COARSE CLUSTER, serving = probe each query's best 2 clusters
@@ -2967,6 +3042,83 @@ object LlmQueries {
        |    (SELECT count(*) FROM exact JOIN rpq20 USING (qid, cid)) FROM nq) t
        |ORDER BY method""".stripMargin
 
+  /** SQ8 per-dim quantizer + codes + decode CTEs, parameterized by the
+    * candidate split: `qt` is the trained (pos, vmin, vdiff) grid,
+    * `sdec` the per-(cid, pos) reconstruction vmin + (code·vdiff)//255
+    * with code = ((v - vmin)·255)//vdiff (all non-negative, so DuckDB
+    * `//` IS the engine's floor). Shared by the serve and recall
+    * oracles so grid, codes and decode can't drift. */
+  private def sq8Ctes: String =
+    s"""qt AS (SELECT i AS pos, min(ce[i]) AS vmin,
+       |    max(ce[i]) - min(ce[i]) AS vdiff
+       |  FROM c, range(1, 65) t(i) GROUP BY i),
+       |sdec AS (SELECT c.cid AS cid, qt.pos AS pos,
+       |    qt.vmin + CASE WHEN qt.vdiff = 0 THEN 0
+       |      ELSE ((((c.ce[qt.pos] - qt.vmin) * 255) // qt.vdiff)
+       |        * qt.vdiff) // 255 END AS dv
+       |  FROM c, qt),
+       |sadcs AS (SELECT q.qid AS qid, d.cid AS cid,
+       |    CAST(sum(q.qe[d.pos] * d.dv) AS BIGINT) AS adc
+       |  FROM q, sdec d GROUP BY q.qid, d.cid)""".stripMargin
+
+  /** SQ8 serving oracle (llm_ann_sq8; llm_ann_sq8_append shares it —
+    * the frozen-grid append answers identically to a full build):
+    * trained grid replay, decode, ADC coarse-20, exact rescore top-5. */
+  private lazy val Sq8OracleSql: String =
+    s"""WITH eq AS (SELECT vec_id,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, eq AS ce FROM eq WHERE vec_id >= 3),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eq WHERE vec_id < 3),
+       |$sq8Ctes,
+       |co AS (SELECT qid, cid, adc FROM (SELECT qid, cid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+       |  FROM sadcs) t WHERE rn <= 20),
+       |resc AS (SELECT co.qid AS qid, co.cid AS cid, co.adc AS adc,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM co JOIN q ON q.qid = co.qid JOIN c ON c.cid = co.cid)
+       |SELECT qid, cid, CAST(rk AS BIGINT) AS rank, dot, adc FROM (
+       |  SELECT qid, cid, dot, adc, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM resc) t
+       |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** SQ8 recall-ledger oracle (llm_ann_sq8_recall): the PqRecall
+    * machinery over the scalar codes at coarse 5 and 20. */
+  private lazy val Sq8RecallOracleSql: String =
+    s"""WITH eqa AS (SELECT vec_id,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, eq AS ce FROM eqa WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 100),
+       |$sq8Ctes,
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t
+       |  WHERE rk <= 3),
+       |co5 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM sadcs) t
+       |  WHERE rn <= 5),
+       |sq5 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN co5 USING (qid, cid)) t WHERE rk <= 3),
+       |co20 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM sadcs) t
+       |  WHERE rn <= 20),
+       |sq20 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN co20 USING (qid, cid)) t WHERE rk <= 3),
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT method, n_queries, total_matches,
+       |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
+       |  SELECT 'sq8_coarse20' AS method, nq.n_queries AS n_queries,
+       |    (SELECT count(*) FROM exact JOIN sq20 USING (qid, cid)) AS total_matches FROM nq
+       |  UNION ALL
+       |  SELECT 'sq8_coarse5', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN sq5 USING (qid, cid)) FROM nq) t
+       |ORDER BY method""".stripMargin
+
   /** IVFPQ serving oracle (llm_ann_ivfpq): full replay of the coarse
     * probe (centroid mean-dot, nprobe = 2 — the IVF oracle's `best`
     * CTE), PQ training/encoding (the PQ oracle's CTEs), ADC restricted
@@ -3906,6 +4058,12 @@ object LlmQueries {
     // append shares the full-build oracle: frozen-codebook encoding is
     // a pure per-row function, so append == rebuild bit-for-bit
     "llm_ann_pq_append" -> PqOracleSql,
+    "llm_ann_sq8" -> Sq8OracleSql,
+    // Frozen-grid appends answer identically to a full build (pure
+    // per-row encode, in-range batch), so the append row SHARES the
+    // serve oracle — the pq_append contract shape.
+    "llm_ann_sq8_append" -> Sq8OracleSql,
+    "llm_ann_sq8_recall" -> Sq8RecallOracleSql,
     "llm_ann_ivfpq" -> IvfPqOracleSql,
     // append shares the full-build oracle: frozen-book encode is pure
     // per-row + centroid sums are additive, so append == rebuild

@@ -708,6 +708,77 @@ class LlmSpec extends SparkSpec {
     assert(serve(cbI, codesI) == serve(cbF, codesF))
   }
 
+  test("sq8: trained grid, code range, degenerate dims, reconstruction bound") {
+    // dim-4 toy corpus: dim 0 varies widely, dim 1 is constant
+    // (degenerate), dims 2-3 vary narrowly
+    val rows = (0 until 32).map { i =>
+      (i.toLong, Seq(i * 0.1f - 1.6f, 0.5f, 0.01f * (i % 7), -0.02f * (i % 5)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val quant = Similarity.sq8Train(df, "embedding")
+    assert(quant.length == 4)
+    assert(quant(1)._2 == 0L, "constant dim must train vdiff = 0")
+    assert(quant(0) == (-1600L, 3100L), "milli-exact min/diff on dim 0")
+    val codes = Similarity.sq8EncodeFrame(df, "vec_id", "embedding", quant)
+      .orderBy("cid").as[(Long, Seq[Long])].collect()
+    assert(codes.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    assert(codes.forall(_._2(1) == 0L), "degenerate dim encodes as 0")
+    // vmin and vmax rows hit the code extremes
+    assert(codes.head._2.head == 0L && codes.last._2.head == 255L)
+    // reconstruction error per dim is < vdiff/255 + 1 milli
+    val dec = Similarity.sq8EncodeFrame(df, "vec_id", "embedding", quant)
+      .select(col("cid"), Similarity.sq8Decode(col("codes"), quant).as("dv"))
+      .orderBy("cid").as[(Long, Seq[Long])].collect()
+    val milli = df.orderBy("vec_id")
+      .select(Similarity.quantize(col("embedding"))).as[Seq[Long]].collect()
+    dec.zip(milli).foreach { case ((_, dv), v) =>
+      dv.indices.foreach { i =>
+        val bound = quant(i)._2 / 255L + 1
+        assert(math.abs(dv(i) - v(i)) <= bound,
+          s"dim $i: |${v(i)} - ${dv(i)}| > $bound")
+      }
+    }
+  }
+
+  test("appendToSq8Index: frozen-grid append equals full rebuild; guards fire") {
+    val rows = (0 until 64).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (i * (d + 1) % 13) * 0.05f - 0.3f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (base, delta) = (df.filter(col("vec_id") % 2 === 0),
+      df.filter(col("vec_id") % 2 === 1))
+    val incPath = graft.util.Scratch.dir("sq8app") + "/idx"
+    Similarity.persistSq8Index(base, "vec_id", "embedding", incPath,
+      train = Some(df))
+    Similarity.appendToSq8Index(delta, "vec_id", "embedding", incPath, dim = 8)
+    val fullPath = graft.util.Scratch.dir("sq8full") + "/idx"
+    Similarity.persistSq8Index(df, "vec_id", "embedding", fullPath)
+    val (qI, codesI) = Similarity.readSq8Index(spark, incPath)
+    val (qF, codesF) = Similarity.readSq8Index(spark, fullPath)
+    assert(qI == qF, "frozen grid must equal the full-build training")
+    assert(codesI.orderBy("cid").collect().toSeq ==
+      codesF.orderBy("cid").collect().toSeq,
+      "append == rebuild, bit for bit")
+    val queries = df.filter(col("vec_id") < 2)
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    def serve(q: IndexedSeq[(Long, Long)], codes: org.apache.spark.sql.DataFrame) =
+      Similarity.sq8Serve(q, codes, store, queries, "vec_id", "embedding",
+        k = 3, coarse = 10).orderBy("qid", "rank").collect().toSeq
+    assert(serve(qI, codesI) == serve(qF, codesF))
+    // dim mismatch fails loudly before any batch encodes
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToSq8Index(delta, "vec_id", "embedding", incPath,
+        dim = 16)
+    }
+    assert(e.getMessage.contains("does not match"))
+    // out-of-range append CLAMPS (the FAISS convention), never throws
+    val far = Seq((999L, Seq.tabulate(8)(_ => 9.9f))).toDF("vec_id", "embedding")
+    Similarity.appendToSq8Index(far, "vec_id", "embedding", incPath, dim = 8)
+    val clamped = Similarity.readSq8Index(spark, incPath)._2
+      .filter(col("cid") === 999L).as[(Long, Seq[Long])].collect()(0)._2
+    assert(clamped.forall(_ == 255L), "far-above-range values clamp to 255")
+  }
+
   test("IVFPQ: full probe equals plain PQ serving; codes scan DPP-pruned and code-only") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
