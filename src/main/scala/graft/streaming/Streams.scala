@@ -592,6 +592,62 @@ object Streams {
         .write.mode("append").format("parquet").saveAsTable(commits)
   }
 
+  /** Streaming SQ8 index maintenance — encode-on-ingest against the
+    * FROZEN persisted per-dim quantizer
+    * ([[graft.llm.Similarity.persistSq8Index]]): each micro-batch of
+    * vectors encodes map-side to dim-byte codes and appends new files
+    * under `indexPath/codes` (the base store is never rewritten —
+    * [[graft.llm.Similarity.appendToSq8Index]]'s contract). The
+    * quantizer loads ONCE at stream start (a grid reloaded per batch
+    * could re-quantize the same vector differently after an offline
+    * rebuild). Code-file appends are NOT idempotent — a replayed
+    * batch would duplicate code rows — so each batch commits through
+    * a per-(lineage, batch-id) log under `indexPath/commits`, written
+    * AFTER the append (the [[annServeToTable]]/[[bpeEncodeToTable]]
+    * recipe): a committed batch replays as a no-op; a mid-batch crash
+    * re-appends deterministic duplicates a reader can dedup exactly. */
+  def sq8IndexStream(vecs: DataFrame, idCol: String, embCol: String,
+                     indexPath: String, checkpointDir: String
+                    ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (quant, _) = graft.llm.Similarity.readSq8Index(vecs.sparkSession, indexPath)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sq8AppendBatch(batch, idCol, embCol, quant, indexPath,
+          checkpointDir, batchId)
+      }
+      .start()
+  }
+
+  /** One SQ8 streaming-append micro-batch, committed through the
+    * path-local batch log — factored for replay-semantics testing
+    * without a running stream (the [[bpeEncodeBatch]] pattern, with
+    * the log under the index path since the index lives at a path,
+    * not in the catalog). */
+  private[graft] def sq8AppendBatch(batch: DataFrame, idCol: String,
+                                    embCol: String,
+                                    quant: IndexedSeq[(Long, Long)],
+                                    indexPath: String, streamId: String = "",
+                                    batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val commits = s"$indexPath/commits"
+    val cPath = new org.apache.hadoop.fs.Path(commits)
+    val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchId >= 0 && fs.exists(cPath) &&
+        spark.read.parquet(commits).filter(col("stream_id") === streamId &&
+          col("batch_id") === batchId).head(1).nonEmpty)
+      return
+    graft.llm.Similarity.sq8EncodeFrame(batch, idCol, embCol, quant)
+      .write.mode("append").parquet(s"$indexPath/codes")
+    // committed LAST — a crash above leaves the id un-logged, so the
+    // batch replays (at-least-once) rather than being lost
+    if (batchId >= 0)
+      spark.range(1).select(lit(streamId).as("stream_id"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(commits)
+  }
+
   /** One ANN-serving micro-batch against the frozen index, committed
     * through the batch log — factored out so the replay semantics are
     * testable without a running stream (the [[dedupBatch]] pattern). */

@@ -298,6 +298,54 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("sq8IndexStream: streamed appends == full build; committed replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => ((i * (d + 1)) % 13) * 0.05f - 0.3f)
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+    val (base, b1, b2) = (all.filter(_._1 < 20), all.filter(r =>
+      r._1 >= 20 && r._1 < 30), all.filter(_._1 >= 30))
+    val path = graft.util.Scratch.dir("sq8stream") + "/idx"
+    // grid trains on the FULL population (the representative-sample
+    // shape) so streamed batches encode in-range
+    Similarity.persistSq8Index(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path,
+      train = Some(all.toDF("vec_id", "embedding")))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.sq8IndexStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, graft.util.Scratch.dir("sq8stream_ck"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val fullPath = graft.util.Scratch.dir("sq8streamfull") + "/idx"
+    Similarity.persistSq8Index(all.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", fullPath)
+    val (qI, codesI) = Similarity.readSq8Index(spark, path)
+    val (qF, codesF) = Similarity.readSq8Index(spark, fullPath)
+    assert(qI == qF)
+    assert(codesI.orderBy("cid").collect().toSeq ==
+      codesF.orderBy("cid").collect().toSeq,
+      "streamed appends must equal the full build bit-for-bit")
+    // a committed (streamId, batchId) replays as a NO-OP
+    val n0 = codesI.count()
+    val committed = spark.read.parquet(s"$path/commits")
+      .as[(String, Long)].collect().head
+    graft.streaming.Streams.sq8AppendBatch(b1.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", qI, path, committed._1, committed._2)
+    assert(Similarity.readSq8Index(spark, path)._2.count() === n0,
+      "committed batch must not re-append")
+    // a FRESH lineage reusing batch id 0 must be processed
+    graft.streaming.Streams.sq8AppendBatch(
+      Seq((999L, vec(5))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", qI, path, "freshCk", 0L)
+    assert(Similarity.readSq8Index(spark, path)._2.count() === n0 + 1)
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats
