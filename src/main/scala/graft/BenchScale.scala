@@ -68,6 +68,25 @@ object BenchScale {
     time("source_overlap") {
       SparkEntry.queries("llm_source_overlap")(spark, sfDir).count()
     }
+    // r16 families: the kNN graph is the quadratic-risk one (within-
+    // cell pairing — nlist scales with the corpus to hold cell size
+    // constant, the operator's own contract); the quantile sketch
+    // should be near-flat past the scan (registers are bounded); SQ8
+    // build+serve should be linear (map-side encode, 3-query serve).
+    time("knn_graph") {
+      val nlist = math.max(4L, 4L * nVecs / 2000L).toInt
+      graft.llm.Similarity.knnGraph(embs, "vec_id", "embedding", k = 3,
+        nlist = nlist, iters = 2, maxCluster = 4096).count()
+    }
+    time("qsketch") {
+      graft.llm.CorpusStats.logHistQuantileProfile(docs, "source",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")),
+        Seq(500, 900, 990)).count()
+    }
+    time("sq8_serve") {
+      SparkEntry.queries("llm_ann_sq8")(spark, sfDir).count()
+    }
     spark.stop()
   }
 }
