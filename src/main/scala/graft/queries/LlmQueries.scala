@@ -2442,6 +2442,29 @@ object LlmQueries {
         .orderBy(col("source"), col("q_mille"))
     }),
 
+    // Geometry tuning grid (the ivfpq-grid principle applied to the
+    // sketch family): the same profile at subBits {3, 5, 7} — each
+    // cell prices its enclosure width (accuracy, bounded by relative
+    // 2^-sb) against its register count (the storage/shuffle cost,
+    // bounded by 64·2^sb rows). The artifact a deployment reads to
+    // pick the sketch geometry for a target error budget. Register
+    // frames are lazily checkpointed: each is tiny by contract and
+    // consumed twice (rank walk + count).
+    "llm_qsketch_grid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("source", lit("all"))
+      val len = length(col("text"))
+      Seq(3, 5, 7).map { sb =>
+        val regs = CorpusStats.logHistRegisters(docs, "source", len, sb)
+          .localCheckpoint(false)
+        val nregs = regs.agg(count(lit(1)).as("n_regs"))
+        CorpusStats.logHistQuantiles(regs, Seq(500, 990))
+          .crossJoin(nregs)
+          .select(lit(sb.toLong).as("sub_bits"), col("q_mille"), col("n"),
+            col("est_lo"), col("est_hi"),
+            (col("est_hi") - col("est_lo")).as("width"), col("n_regs"))
+      }.reduce(_.unionByName(_)).orderBy(col("sub_bits"), col("q_mille"))
+    }),
+
     // Accuracy ledger (the ann-recall principle applied to quantiles):
     // sketch enclosure vs the EXACT order statistic per (source, q) —
     // bound_ok must be uniformly true (the sketch's guarantee, value-
@@ -3304,14 +3327,16 @@ object LlmQueries {
     * default. Exact integer throughout — octave via bin-length,
     * sub-bucket and decode via shifts, rank via floor-division — so
     * the estimates replay hash-identically. */
-  private def qSketchOracleCtes(sourceExpr: String, qs: Seq[Int]): String =
+  private def qSketchOracleCtes(sourceExpr: String, qs: Seq[Int],
+                                sb: Int = 5): String = {
+    val m = 1 << sb
     s"""WITH vals AS (SELECT $sourceExpr AS source, length(text)::BIGINT AS v
        |  FROM documents WHERE text IS NOT NULL),
        |b AS (SELECT source, v + 1 AS w,
        |    (length(bin(v + 1)) - 1)::BIGINT AS e FROM vals),
        |regs AS (SELECT source,
-       |    e * 32 + (w >> CAST(greatest(e - 5, 0) AS INT))
-       |      - (1::BIGINT << CAST(least(e, 5) AS INT)) AS bucket,
+       |    e * $m + (w >> CAST(greatest(e - $sb, 0) AS INT))
+       |      - (1::BIGINT << CAST(least(e, $sb) AS INT)) AS bucket,
        |    count(*)::BIGINT AS cnt
        |  FROM b GROUP BY 1, 2),
        |cum AS (SELECT source, bucket, cnt,
@@ -3323,15 +3348,16 @@ object LlmQueries {
        |  FROM cum c, q
        |  WHERE c.cum >= greatest(1, (c.n * q.q_mille + 999) // 1000)
        |    AND c.cum - c.cnt < greatest(1, (c.n * q.q_mille + 999) // 1000)),
-       |dec AS (SELECT source, q_mille, n, bucket // 32 AS e,
-       |    bucket % 32 AS sub FROM pick),
+       |dec AS (SELECT source, q_mille, n, bucket // $m AS e,
+       |    bucket % $m AS sub FROM pick),
        |est AS (SELECT source, q_mille, n,
-       |    ((((1::BIGINT << CAST(least(e, 5) AS INT)) + sub)
-       |      << CAST(greatest(e - 5, 0) AS INT)) - 1)::BIGINT AS est_lo,
-       |    ((((1::BIGINT << CAST(least(e, 5) AS INT)) + sub)
-       |      << CAST(greatest(e - 5, 0) AS INT))
-       |      + (1::BIGINT << CAST(greatest(e - 5, 0) AS INT)) - 2)::BIGINT AS est_hi
+       |    ((((1::BIGINT << CAST(least(e, $sb) AS INT)) + sub)
+       |      << CAST(greatest(e - $sb, 0) AS INT)) - 1)::BIGINT AS est_lo,
+       |    ((((1::BIGINT << CAST(least(e, $sb) AS INT)) + sub)
+       |      << CAST(greatest(e - $sb, 0) AS INT))
+       |      + (1::BIGINT << CAST(greatest(e - $sb, 0) AS INT)) - 2)::BIGINT AS est_hi
        |  FROM dec)""".stripMargin
+  }
 
   private def qSketchOracleSql(sourceExpr: String, qs: Seq[Int],
                                orderBy: String): String =
@@ -3344,6 +3370,21 @@ object LlmQueries {
     * appends; identical by the sum monoid + exactly-once markers). */
   private lazy val QSketchProfileOracleSql: String =
     qSketchOracleSql("source", Seq(500, 900, 990), "source, q_mille")
+
+  /** Geometry-grid oracle (llm_qsketch_grid): one full replay per
+    * subBits cell, each as a WITH-in-subquery block, unioned. */
+  private lazy val QSketchGridOracleSql: String = {
+    val cells = Seq(3, 5, 7).map { sb =>
+      s"""(${qSketchOracleCtes("'all'", Seq(500, 990), sb)},
+         |nr AS (SELECT count(*)::BIGINT AS n_regs FROM regs)
+         |SELECT CAST($sb AS BIGINT) AS sub_bits, q_mille, n, est_lo, est_hi,
+         |  (est_hi - est_lo)::BIGINT AS width, nr.n_regs AS n_regs
+         |FROM est, nr)""".stripMargin
+    }
+    s"""SELECT * FROM (
+       |${cells.mkString("\nUNION ALL\n")}
+       |) ORDER BY sub_bits, q_mille""".stripMargin
+  }
 
   /** IVFPQ tuning-grid oracle (llm_ann_ivfpq_grid): the recall
     * machinery of [[IvfPqRecallOracleSql]] swept over nprobe {1,2,4} ×
@@ -5165,6 +5206,7 @@ object LlmQueries {
         |    ELSE raw_micro END AS est_distinct_micro
         |FROM raw""".stripMargin,
     "llm_qsketch_profile" -> QSketchProfileOracleSql,
+    "llm_qsketch_grid" -> QSketchGridOracleSql,
     // Marker-gated appends sum to the full build (the monoid) and the
     // replayed batch is a no-op, so the store row SHARES the
     // full-build oracle — the hll_incremental contract shape.

@@ -371,6 +371,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sq8 codes stay in [0,255], encode monotone per dim, in-range round-trip bounded") {
+    import graft.llm.Similarity
+    // train on the EVEN ids only so odd rows can fall outside the
+    // trained range — the clamp path must hold for arbitrary floats
+    val vecs = sample(Gen.listOfN(160,
+      Gen.listOfN(6, Gen.choose(-50f, 50f)).map(_.toList)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+    val quant = Similarity.sq8Train(df.filter(col("id") % 2 === 0), "v")
+    val codes = Similarity.sq8EncodeFrame(df, "id", "v", quant)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val milli = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000)) }.toMap
+    // 1. every code of every row (trained or not) is a valid byte
+    codes.values.foreach(cs => assert(cs.forall(c => c >= 0 && c <= 255)))
+    // 2. per dim, encode is monotone in the milli value
+    (0 until 6).foreach { d =>
+      val byVal = vecs.map { case (id, _) => (milli(id)(d), codes(id)(d)) }
+        .sortBy(_._1)
+      byVal.sliding(2).foreach {
+        case Seq((v1, c1), (v2, c2)) =>
+          assert(c1 <= c2, s"dim $d: value $v1 -> code $c1 but $v2 -> $c2")
+        case _ => ()
+      }
+    }
+    // 3. in-range rows reconstruct within one bucket width
+    val decoded = Similarity.sq8EncodeFrame(df, "id", "v", quant)
+      .select(col("cid"), Similarity.sq8Decode(col("codes"), quant).as("dv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.filter(_._1 % 2 == 0).foreach { case (id, _) =>
+      decoded(id).zip(milli(id)).zipWithIndex.foreach { case ((dv, v), d) =>
+        val bound = quant(d)._2 / 255L + 1
+        assert(math.abs(dv - v) <= bound,
+          s"row $id dim $d: |$v - $dv| > $bound (vdiff ${quant(d)._2})")
+      }
+    }
+  }
+
   test("property: triangleCounts equals naive sorted-triple enumeration on random graphs") {
     val gen = Gen.listOfN(200, for {
       x <- Gen.choose(0L, 25L); y <- Gen.choose(0L, 25L)
