@@ -934,6 +934,10 @@ object Similarity {
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .filter(col("__bc").between(2, maxCluster))
       .drop("__bc")
+      // lazy barrier: both self-join sides read ONE materialization of
+      // the capped frame instead of re-running the scan + assign +
+      // count-window per side (two full corpus passes at scale)
+      .localCheckpoint(false)
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.vid") =!= col("y.vid"))
       .select(col("x.vid").as("a"), col("y.vid").as("b"),
