@@ -873,6 +873,9 @@ object Similarity {
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .filter(col("__bc").between(2, maxCluster))
       .drop("__bc")
+      // lazy barrier: one materialization feeds both self-join sides
+      // (the knnGraph cut — two corpus passes otherwise)
+      .localCheckpoint(false)
     capped.as("x").join(capped.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.vid") < col("y.vid"))
       .select(col("x.cluster").as("cluster"),
