@@ -438,6 +438,81 @@ case class Morton3(first: Expression, second: Expression, third: Expression)
   * row; this is O(log n) inside whole-stage codegen. `bounds` must be
   * strictly increasing (callers dedupe); a Seq parameter (not Array)
   * so case-class equality/canonicalization stay value-based. */
+/** Deterministic k-means assignment: over centroids (id, vector),
+  * argmin of ||c||² − 2·x·c — exactly the squared-distance order (the
+  * ||x||² term is a per-row constant), ties to the LOWEST centroid id
+  * (ids must ascend; strict `<` from the first candidate keeps it) —
+  * bit-identical to the struct-array_min formulation it replaces
+  * (NativeExprSpec differential). Centroids ride as REFERENCE OBJECTS,
+  * not code literals: the generated method is a fixed-size double loop
+  * whatever nlist is. The literal-chain form emitted O(nlist·dim)
+  * literals and stopped COMPILING at ~400 centroids (Janino limits) —
+  * the silent interpreted fallback turned the 100×-scale assign pass
+  * super-linear (sf10 BenchScale caught it); SemDeDup-scale nlist
+  * (~100k cells) was structurally impossible. Dot loops over
+  * min(dim, |c|), the [[LongDot]] convention. */
+case class ArgminCentroid(child: Expression, ids: Seq[Long],
+                          cents: Seq[IndexedSeq[Long]])
+  extends UnaryExpression {
+  require(ids.nonEmpty && ids.length == cents.length,
+    s"need one id per centroid, got ${ids.length} ids / ${cents.length} centroids")
+  require(ids.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+    "centroid ids must be strictly ascending (the tie-break contract)")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_argmin_centroid"
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val centArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val normArr: Array[Long] =
+    centArr.map(c => c.map(x => x * x).sum)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    var best = 0L; var bd = Long.MaxValue
+    var j = 0
+    while (j < centArr.length) {
+      val c = centArr(j)
+      val n = math.min(dim, c.length)
+      var dot = 0L; var i = 0
+      while (i < n) { dot += x.getLong(i) * c(i); i += 1 }
+      val d = normArr(j) - 2L * dot
+      if (j == 0 || d < bd) { bd = d; best = idArr(j) }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", idArr, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", centArr, "long[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", normArr, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d"); val bd = ctx.freshName("bd")
+      val c = ctx.freshName("c")
+      s"""
+         |long $bd = Long.MAX_VALUE;
+         |${ev.value} = 0L;
+         |for (int $j = 0; $j < $centsRef.length; $j++) {
+         |  long[] $c = $centsRef[$j];
+         |  int $n = java.lang.Math.min($x.numElements(), $c.length);
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $x.getLong($i) * $c[$i]; }
+         |  long $d = $normsRef[$j] - 2L * $dot;
+         |  if ($j == 0 || $d < $bd) { $bd = $d; ${ev.value} = $idsRef[$j]; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgminCentroid =
+    copy(child = newChild)
+}
+
 case class SearchSortedDouble(child: Expression, bounds: Seq[Double])
   extends UnaryExpression {
   require(bounds.nonEmpty && bounds.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
@@ -489,6 +564,9 @@ object NativeFns {
       expression(c.cast("long"))))
   def searchSorted(v: Column, bounds: Seq[Double]): Column =
     column(SearchSortedDouble(expression(v.cast("double")), bounds))
+  def argminCentroid(eq: Column, cents: Seq[(Long, Seq[Long])]): Column =
+    column(ArgminCentroid(expression(eq), cents.map(_._1),
+      cents.map(_._2.toIndexedSeq)))
   def charEntropy(text: Column): Column = column(CharEntropyMicro(expression(text)))
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
 }

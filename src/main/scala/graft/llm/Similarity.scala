@@ -209,25 +209,21 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val labels = byLabel.keys.toSeq.sorted
-    def cwArr(s: Int, l: Long) =
-      array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*)
     val withSubs = (0 until m).foldLeft(dfQ.select(col("cid"), col("ce"))) {
       (d, s) => d.withColumn(s"__sub$s", slice(col("ce"), s * sub + 1, sub))
     }
     // argmin by the expanded identity: Σ(x−c)² = Σx² − 2Σxc + Σc², and
     // Σx² is constant per (row, subspace), so ranking by
     // (Σc² − 2·dot(x, c)) is EXACTLY the squared-distance order (same
-    // integers ± a per-row constant, ties identical). The dot is the
-    // native codegen'd kernel — the interpreted (x−y)² HOF fold was
-    // the encode's hot cost at k×m lambdas per row.
+    // integers ± a per-row constant, ties identical). The native
+    // ArgminCentroid kernel carries the sub-codebooks as reference
+    // data — generated code stays fixed-size at the standard k=256
+    // (the literal struct-min chain emitted O(k·dim) literals and
+    // stops compiling near 400 entries; see kmeansClusters).
     val coded = (0 until m).foldLeft(withSubs) { (d, s) =>
-      d.withColumn(s"__code$s", array_min(array(labels.map { l =>
-        val cNorm = byLabel(l).slice(s * sub, (s + 1) * sub)
-          .map(c => c * c).sum
-        struct((lit(cNorm) - lit(2L) *
-          graft.expr.kernels.NativeFns.longDot(col(s"__sub$s"), cwArr(s, l)))
-          .as("d"), lit(l).as("l"))
-      }: _*)).getField("l"))
+      d.withColumn(s"__code$s", graft.expr.kernels.NativeFns.argminCentroid(
+        col(s"__sub$s"),
+        labels.map(l => l -> byLabel(l).slice(s * sub, (s + 1) * sub))))
     }
     coded.select(col("cid"), col("ce"),
       array((0 until m).map(s => col(s"__code$s")): _*).as("codes"))
@@ -818,15 +814,15 @@ object Similarity {
     val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
     // dot-identity argmin (the pqEncodeFrame convention): ranking by
     // Σc² − 2·dot(x, c) is exactly the squared-distance order (the Σx²
-    // term is a per-row constant; ties identical), and the codegen'd
-    // longDot replaces an interpreted (x−y)² fold per centroid
+    // term is a per-row constant; ties to the lowest cid). Native
+    // kernel — centroids are reference DATA, not code literals, so the
+    // generated assign loop is fixed-size at ANY nlist (the literal
+    // struct-min chain stopped compiling at ~400 centroids and fell
+    // back to interpreted — sf10 BenchScale caught the super-linear
+    // assign; [[assignDeclarative]] keeps the old form as the
+    // bit-equality spec anchor)
     def assign(cents: Seq[(Long, Seq[Long])]): Column =
-      array_min(array(cents.map { case (cid, c) =>
-        val cNorm = c.map(x => x * x).sum
-        struct((lit(cNorm) - lit(2L) *
-          graft.expr.kernels.NativeFns.longDot(col("eq"), array(c.map(lit): _*)))
-          .as("dist"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
+      graft.expr.kernels.NativeFns.argminCentroid(col("eq"), cents)
     // deterministic seeding: the k lowest-id vectors, cid by id order
     var cents: Seq[(Long, Seq[Long])] = eq.orderBy(col("vid")).limit(k)
       .select(col("eq")).collect().toSeq
@@ -844,6 +840,19 @@ object Similarity {
     }
     eq.withColumn("cluster", assign(cents)).select(col("vid"), col("cluster"))
   }
+
+  /** The literal struct-array_min assignment formulation the native
+    * [[graft.expr.kernels.ArgminCentroid]] kernel replaced — kept as
+    * the bit-equality differential anchor (NativeExprSpec), same role
+    * as [[dotQHof]] for the dot kernel. */
+  private[graft] def assignDeclarative(eq: Column,
+                                       cents: Seq[(Long, Seq[Long])]): Column =
+    array_min(array(cents.map { case (cid, c) =>
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2L) *
+        graft.expr.kernels.NativeFns.longDot(eq, array(c.map(lit): _*)))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540 — public method): partition the embedding space
@@ -1064,15 +1073,11 @@ object Similarity {
         math.floorDiv(s, math.max(cnt, 1L))
       }.toSeq
     }.sortBy(_._1)
-    // materialize the quantized vector once (it was re-evaluated per
-    // centroid inside the lambda), then the dot-identity argmin as in
-    // kmeansClusters/pqEncodeFrame — same order, same ties, codegen'd
-    val best = array_min(array(cents.map { case (label, c) =>
-      val cNorm = c.map(x => x * x).sum
-      struct((lit(cNorm) - lit(2L) *
-        graft.expr.kernels.NativeFns.longDot(col("__eq"), array(c.map(lit): _*)))
-        .as("dist"), lit(label).as("lbl"))
-    }: _*)).getField("lbl")
+    // materialize the quantized vector once, then the dot-identity
+    // argmin as in kmeansClusters/pqEncodeFrame — same order, same
+    // ties; the native kernel keeps the generated code fixed-size at
+    // any nlist (labels ascend by construction of the sortBy)
+    val best = graft.expr.kernels.NativeFns.argminCentroid(col("__eq"), cents)
     df.withColumn("__eq", quantize(col(embCol)))
       .select(col(idCol), best.as("label"))
   }

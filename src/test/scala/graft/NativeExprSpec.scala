@@ -41,6 +41,39 @@ class NativeExprSpec extends SparkSpec {
     assert(n.collect()(0).isNullAt(0))
   }
 
+  test("ArgminCentroid == struct-array_min assignment on random vectors (both eval paths)") {
+    // deterministic centroids incl. exact duplicates (tie-break cover)
+    // and a shorter vector (the min-length dot convention)
+    val cents: Seq[(Long, Seq[Long])] = Seq(
+      0L -> Seq.tabulate(64)(i => (i * 7 % 23) - 11L),
+      1L -> Seq.tabulate(64)(i => (i * 3 % 17) - 8L),
+      2L -> Seq.tabulate(64)(i => (i * 7 % 23) - 11L), // duplicate of 0
+      5L -> Seq.tabulate(32)(i => (i * 5 % 19) - 9L))
+    val q = vecs.select(Similarity.quantize(col("e")).as("eq"))
+    val out = q.select(
+      NativeFns.argminCentroid(col("eq"), cents).as("native"),
+      Similarity.assignDeclarative(col("eq"), cents).as("decl"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try assert(out.filter(col("native") =!= col("decl")).count() == 0, s"mode $mode")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // the duplicate-distance tie must resolve to the LOWER id (0, not 2)
+    assert(out.filter(col("native") === 2L).count() == 0)
+    // null vector propagates
+    val n = spark.sql("SELECT 1").select(NativeFns.argminCentroid(
+      lit(null).cast("array<bigint>"), cents).as("v"))
+    assert(n.collect()(0).isNullAt(0))
+    // the scale unlock the kernel exists for: 1000 centroids must still
+    // COMPILE (the literal chain fell back to interpreted near 400 —
+    // the sf10 super-linear assign); the tripwire spec below catches
+    // any regression to fallback
+    val big = (0L until 1000L).map(l =>
+      l -> Seq.tabulate(64)(i => ((l * 31 + i * 7) % 201) - 100L))
+    val assigned = q.select(NativeFns.argminCentroid(col("eq"), big).as("c"))
+    assert(assigned.agg(countDistinct(col("c"))).collect()(0).getLong(0) >= 1)
+  }
+
   test("MinHashSig == minHashSignature on random shingle sets; empty => null") {
     val texts = (0 until 80).map { i =>
       val words = (0 until (5 + i % 40)).map(j => s"w${(i * 31 + j * 7) % 50}")
@@ -218,7 +251,11 @@ class NativeExprSpec extends SparkSpec {
       val q = spark.read.parquet(s"$dir/vecs")
         .select(col("e"), Similarity.quantize(col("e")).as("q"))
       q.select(NativeFns.longDot(col("q"), col("q")),
-        NativeFns.qdot(col("e"), col("e"))).collect()
+        NativeFns.qdot(col("e"), col("e")),
+        // 600 centroids: above the literal-chain compile ceiling —
+        // only the reference-object kernel survives codegen here
+        NativeFns.argminCentroid(col("q"), (0L until 600L).map(l =>
+          l -> Seq.tabulate(8)(i => (l + i) % 37)))).collect()
       assert(failures.isEmpty,
         s"codegen fell back to interpreted:\n${failures.toArray.mkString("\n")}")
       // detector self-check: a synthetic CodeGenerator error must be

@@ -372,8 +372,13 @@ class RetrievalSpec extends SparkSpec {
       Similarity.rerankTopK(q, c, "vec_id", "vec_id", "embedding", k = 5, m = 4))
   }
 
-  test("semanticNearDupPairs: cap window and self-join share one cluster exchange") {
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  test("semanticNearDupPairs: both self-join sides read ONE materialization of the capped frame") {
+    // the r16 lazy-checkpoint cut supersedes the exchange-reuse
+    // contract this test used to assert: the capped frame (scan +
+    // assign + cap-window) now materializes ONCE and both self-join
+    // sides scan the SAME rdd — stronger than sharing an exchange
+    // (the window/filter compute above the reused exchange used to
+    // run per side)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -382,8 +387,12 @@ class RetrievalSpec extends SparkSpec {
           0.1 * (i % 3), 0.0)): _*)
       val plan = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
         threshold = 0.5, nlist = 2, iters = 2).queryExecution.executedPlan
-      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
-        s"expected the self-join to reuse the cap window's cluster exchange:\n$plan")
+      val rddIds = plan.collect {
+        case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd.id
+      }
+      assert(rddIds.size == 2 && rddIds.distinct.size == 1,
+        s"expected both self-join sides to scan one checkpointed rdd, " +
+          s"got rdd ids $rddIds in:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
