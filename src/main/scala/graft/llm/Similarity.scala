@@ -1325,7 +1325,11 @@ object Similarity {
   private[llm] def centroidArrCol(means: Map[Long, IndexedSeq[Long]]): Column = {
     val labels = means.keys.toSeq.sorted
     if (labels == (0L until labels.size.toLong))
-      element_at(array(labels.map(l => array(means(l).map(lit): _*)): _*),
+      // ONE array-of-arrays literal (typedLit), not nested CreateArray
+      // nodes: CreateArray inlines O(nlist·dim) literals into generated
+      // code and hits the same Janino ceiling ArgminCentroid closed —
+      // a single Literal is a constant reference, zero code growth
+      element_at(typedLit(labels.map(l => means(l).toSeq)),
         (col("label").cast("int") + lit(1)))
     else centroidArrColChain(means)
   }
