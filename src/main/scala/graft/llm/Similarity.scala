@@ -965,6 +965,63 @@ object Similarity {
       .select(col("a"), col("b"), col("rank"), col("cosine"))
   }
 
+  /** Label propagation over a kNN graph (Zhu & Ghahramani 2002 —
+    * public method): semi-supervised score spreading for curation —
+    * a small SEEDED subset carries known quality scores and every
+    * other vector iteratively takes the cosine-weighted mean of its
+    * neighbors' scores; seeds stay CLAMPED. The production use:
+    * bootstrap a corpus-wide quality signal from a few thousand
+    * human-rated documents without training a model.
+    *
+    * Exact-integer contract: edge weights are floor(cosine·10^6)
+    * (floor, not round — a representable-tie cosine would make the
+    * two engines' round modes observable), scores are micro-units,
+    * and each update is one floor-division of two integer sums — so
+    * `iters` unrolled rounds replay bit-for-bit in the oracle (the
+    * kmeans-CTE convention). A vector with no outgoing edges (cell
+    * cap, zero norm, missing from the graph) keeps its current score.
+    *
+    * Scale: per round ONE equi-join of the edge list with the score
+    * table (both shuffle on vid — k·N and N rows) + one groupBy; no
+    * all-pairs anything; iters is a small constant. */
+  def knnLabelPropagation(edges0: DataFrame, seeds: DataFrame,
+                          idCol: String, scoreCol: String,
+                          iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = edges0.select(col("a"), col("b"),
+      floor(col("cosine") * 1e6).cast("long").as("w"))
+      // one materialization: every round re-reads the edge list, and
+      // without the cut each round would recompute the full upstream
+      // graph build (cells, pairing, top-k) from scratch
+      .localCheckpoint(false)
+    val seedScores = seeds.select(col(idCol).as("vid"),
+      col(scoreCol).cast("long").as("__seed"))
+    val ids = edges.select(col("a").as("vid"))
+      .unionByName(edges.select(col("b").as("vid")))
+      .unionByName(seedScores.select(col("vid"))).distinct()
+    var scores = ids.join(seedScores, Seq("vid"), "left_outer")
+      .select(col("vid"), coalesce(col("__seed"), lit(0L)).as("score"),
+        col("__seed").isNotNull.as("is_seed"), col("__seed"))
+    for (_ <- 1 to iters) {
+      val nbr = edges
+        .join(scores.select(col("vid").as("b"), col("score").as("__bs")), "b")
+        .groupBy(col("a"))
+        .agg(sum(col("w") * col("__bs")).as("__num"), sum(col("w")).as("__den"))
+        // floor of the correctly-rounded double quotient == integer
+        // floor at these magnitudes (num <= k·10^12 << 2^53; quotient
+        // distance from any integer >= 1/den >> the 2^-53 error)
+        .select(col("a").as("vid"),
+          when(col("__den") > 0, floor(col("__num").cast("double") /
+            col("__den").cast("double")).cast("long")).as("__nbr"))
+      scores = scores.join(nbr, Seq("vid"), "left_outer")
+        .select(col("vid"),
+          when(col("is_seed"), col("__seed"))
+            .otherwise(coalesce(col("__nbr"), col("score"))).as("score"),
+          col("is_seed"), col("__seed"))
+    }
+    scores.select(col("vid"), col("score").as("score_micro"), col("is_seed"))
+  }
+
   /** The EXACT directed kNN graph for an eval subset of vectors —
     * every other corpus vector considered (linear in the corpus, the
     * eval side bounded): the ground truth [[knnGraph]]'s recall ledger

@@ -1349,6 +1349,24 @@ object LlmQueries {
             (lit(3.0) * col("n_eval"))).as("recall"))
     }),
 
+    // Label propagation over the kNN graph (Zhu & Ghahramani 2002):
+    // semi-supervised quality bootstrapping — a seeded subset carries
+    // known scores (here: label 0 => 10^6 micro, label 1 => 0 among
+    // vec_id < 100), every other vector iteratively takes the cosine-
+    // weighted integer mean of its neighbors', seeds clamped, 2
+    // unrolled rounds. The curation move that turns a few thousand
+    // human-rated documents into a corpus-wide quality signal.
+    "llm_graph_labelprop" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+        nlist = 4, iters = 2, maxCluster = SemMaxCluster)
+      val seeds = emb.filter(col("vec_id") < 100 && col("label").isin(0L, 1L))
+        .select(col("vec_id"),
+          when(col("label") === 0L, lit(1000000L)).otherwise(lit(0L)).as("q"))
+      Similarity.knnLabelPropagation(graph, seeds, "vec_id", "q", iters = 2)
+        .orderBy(col("vid"))
+    }),
+
     // Image near-dup over REAL pixels: deterministic synthetic images
     // (3 variants per group: PNG, BMP re-encode, 2x-resolution render —
     // this container has no image corpus) -> real JDK decode -> dHash
@@ -4273,6 +4291,35 @@ object LlmQueries {
     "llm_knn_graph" ->
       s"""WITH $knnCellCtes
          |SELECT a, b, rank, cosine FROM kg ORDER BY a, rank""".stripMargin,
+    "llm_graph_labelprop" ->
+      s"""WITH $knnCellCtes,
+         |lpe AS (SELECT a, b, CAST(floor(cosine * 1000000) AS BIGINT) AS w FROM kg),
+         |seeds AS (SELECT vec_id AS vid,
+         |    (CASE WHEN label = 0 THEN 1000000 ELSE 0 END)::BIGINT AS seed
+         |  FROM embeddings WHERE vec_id < 100 AND label IN (0, 1)),
+         |ids AS (SELECT DISTINCT vid FROM (
+         |  SELECT a AS vid FROM lpe UNION ALL SELECT b FROM lpe
+         |  UNION ALL SELECT vid FROM seeds) t0),
+         |s0 AS (SELECT i.vid AS vid, coalesce(s.seed, 0)::BIGINT AS score,
+         |    s.seed IS NOT NULL AS is_seed, s.seed AS seed
+         |  FROM ids i LEFT JOIN seeds s USING (vid)),
+         |n1 AS (SELECT e.a AS vid, CAST(floor(CAST(sum(e.w * s.score) AS DOUBLE)
+         |      / CAST(sum(e.w) AS DOUBLE)) AS BIGINT) AS nbr
+         |  FROM lpe e JOIN s0 s ON s.vid = e.b GROUP BY e.a
+         |  HAVING sum(e.w) > 0),
+         |s1 AS (SELECT s.vid AS vid,
+         |    (CASE WHEN s.is_seed THEN s.seed ELSE coalesce(n.nbr, s.score) END)::BIGINT AS score,
+         |    s.is_seed AS is_seed, s.seed AS seed
+         |  FROM s0 s LEFT JOIN n1 n USING (vid)),
+         |n2 AS (SELECT e.a AS vid, CAST(floor(CAST(sum(e.w * s.score) AS DOUBLE)
+         |      / CAST(sum(e.w) AS DOUBLE)) AS BIGINT) AS nbr
+         |  FROM lpe e JOIN s1 s ON s.vid = e.b GROUP BY e.a
+         |  HAVING sum(e.w) > 0),
+         |s2 AS (SELECT s.vid AS vid,
+         |    (CASE WHEN s.is_seed THEN s.seed ELSE coalesce(n.nbr, s.score) END)::BIGINT AS score,
+         |    s.is_seed AS is_seed
+         |  FROM s1 s LEFT JOIN n2 n USING (vid))
+         |SELECT vid, score AS score_micro, is_seed FROM s2 ORDER BY vid""".stripMargin,
     "llm_knn_recall" ->
       s"""WITH $knnCellCtes,
          |ev AS (SELECT vid, eq AS aeq FROM (SELECT vec_id AS vid, eq FROM eq) e0

@@ -708,6 +708,28 @@ class LlmSpec extends SparkSpec {
     assert(serve(cbI, codesI) == serve(cbF, codesF))
   }
 
+  test("knnLabelPropagation: seeds clamp, weighted floor-mean spreads, no-edge keeps score") {
+    import graft.llm.Similarity
+    // hand-built graph: 1 -> {2 (w .8), 3 (w .4)}; 2 -> {1}; 4 isolated
+    val edges = Seq(
+      (1L, 2L, 1L, 0.8), (1L, 3L, 2L, 0.4), (2L, 1L, 1L, 1.0))
+      .toDF("a", "b", "rank", "cosine")
+    val seeds = Seq((2L, 1000000L), (3L, 0L), (4L, 500000L)).toDF("id", "q")
+    val out = Similarity.knnLabelPropagation(edges, seeds, "id", "q", iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // seeds stay clamped through both rounds
+    assert(out(2L) == ((1000000L, true)))
+    assert(out(3L) == ((0L, true)))
+    // isolated seed keeps its score and stays flagged
+    assert(out(4L) == ((500000L, true)))
+    // node 1: floor((800000*1e6 + 400000*0) / 1200000) = 666666 after
+    // round 1; round 2 re-derives the same value from clamped seeds
+    assert(out(1L) == ((666666L, false)))
+    // a second propagation round from a CHANGED upstream: node 1's
+    // score feeds nothing (no in-edges to seeds), so totals settle
+    assert(out.size == 4)
+  }
+
   test("sq8: trained grid, code range, degenerate dims, reconstruction bound") {
     // dim-4 toy corpus: dim 0 varies widely, dim 1 is constant
     // (degenerate), dims 2-3 vary narrowly
