@@ -97,6 +97,59 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Int)
     copy(left = l, right = r)
 }
 
+/** Milli-quantization of an array<double> embedding —
+  * round(x·scale) half-away-from-zero as long, the [[QuantizedDot]]
+  * rounding (matches Spark's `round` and DuckDB on every value a
+  * float·1000 can produce). Exists because `transform` is a
+  * higher-order function and higher-order functions are
+  * CodegenFallback: the declarative quantize ran an interpreted
+  * lambda per element on EVERY store/encode/serve projection — the
+  * single most ubiquitous expression in the ANN paths (45 call
+  * sites). Null elements pass through as null. The Column wrapper
+  * casts float arrays up front (float→double is exact). */
+case class QuantizeArray(child: Expression, scale: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_quantize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val d = arr.getDouble(i) * scale
+        out(i) = if (d < 0) -Math.round(-d) else Math.round(d)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $d = $a.getDouble($i) * $scale;
+         |    $out[$i] = java.lang.Long.valueOf(
+         |      $d < 0 ? -java.lang.Math.round(-$d) : java.lang.Math.round($d));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeArray =
+    copy(child = newChild)
+}
+
 /** MinHash signature over hashed shingles: one pass over the array
   * updating all permutation minima (vs 16 interpreted transforms).
   * Empty input → null, matching Dedup.minHashSignature. */
@@ -567,6 +620,8 @@ object NativeFns {
   def argminCentroid(eq: Column, cents: Seq[(Long, Seq[Long])]): Column =
     column(ArgminCentroid(expression(eq), cents.map(_._1),
       cents.map(_._2.toIndexedSeq)))
+  def quantizeArr(e: Column, scale: Int = 1000): Column =
+    column(QuantizeArray(expression(e.cast("array<double>")), scale))
   def charEntropy(text: Column): Column = column(CharEntropyMicro(expression(text)))
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
 }

@@ -29,8 +29,18 @@ object Similarity {
 
   def toDouble(e: Column): Column = transform(e, x => x.cast("double"))
 
-  /** Quantize to thousandths as longs — exact, portable arithmetic. */
+  /** Quantize to thousandths as longs — exact, portable arithmetic.
+    * Native kernel (codegen'd loop): the `transform` formulation is a
+    * higher-order function, which Spark executes as CodegenFallback —
+    * an interpreted lambda per element on the most ubiquitous
+    * expression in the ANN paths. [[quantizeHof]] keeps the
+    * declarative form as the bit-equality anchor. */
   def quantize(e: Column, scale: Int = 1000): Column =
+    graft.expr.kernels.NativeFns.quantizeArr(e, scale)
+
+  /** The HOF quantize the native kernel replaced — differential
+    * anchor (NativeExprSpec), the dotQHof pattern. */
+  private[graft] def quantizeHof(e: Column, scale: Int = 1000): Column =
     transform(e, x => round(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot — native Catalyst expression (codegen'd single

@@ -41,6 +41,30 @@ class NativeExprSpec extends SparkSpec {
     assert(n.collect()(0).isNullAt(0))
   }
 
+  test("QuantizeArray == transform+round+cast on random float AND double arrays (both eval paths)") {
+    val f = vecs.select(NativeFns.quantizeArr(col("e")).as("native"),
+      Similarity.quantizeHof(col("e")).as("hof"))
+    // double arrays too — the spec helpers build Seq[Double] embeddings
+    val dv = (0 until 40).map(i => (i.toLong,
+      floats(16, i + 900).map(_.toDouble * 3.7))).toDF("id", "e")
+    val d = dv.select(NativeFns.quantizeArr(col("e")).as("native"),
+      Similarity.quantizeHof(col("e")).as("hof"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        assert(f.filter(col("native") =!= col("hof")).count() == 0, s"float $mode")
+        assert(d.filter(col("native") =!= col("hof")).count() == 0, s"double $mode")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null array propagates; null elements pass through
+    val n = spark.sql("SELECT 1").select(
+      NativeFns.quantizeArr(lit(null).cast("array<float>")).as("v"),
+      NativeFns.quantizeArr(array(lit(1.5f), lit(null).cast("float"))).as("w"))
+    val r = n.collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getSeq[Any](1) == Seq(1500L, null))
+  }
+
   test("ArgminCentroid == struct-array_min assignment on random vectors (both eval paths)") {
     // deterministic centroids incl. exact duplicates (tie-break cover)
     // and a shorter vector (the min-length dot convention)
@@ -252,6 +276,7 @@ class NativeExprSpec extends SparkSpec {
         .select(col("e"), Similarity.quantize(col("e")).as("q"))
       q.select(NativeFns.longDot(col("q"), col("q")),
         NativeFns.qdot(col("e"), col("e")),
+        NativeFns.quantizeArr(col("e")),
         // 600 centroids: above the literal-chain compile ceiling —
         // only the reference-object kernel survives codegen here
         NativeFns.argminCentroid(col("q"), (0L until 600L).map(l =>
