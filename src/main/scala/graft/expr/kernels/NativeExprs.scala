@@ -150,6 +150,130 @@ case class QuantizeArray(child: Expression, scale: Int)
     copy(child = newChild)
 }
 
+/** SQ8 encode of a milli-quantized vector against a frozen per-dim
+  * grid: c_i = clamp(floor((v_i − vmin_i)·255 / vdiff_i), 0, 255),
+  * degenerate dims (vdiff = 0) → 0. One codegen'd loop with the grid
+  * as reference objects — replaces two interpreted zip_withs per row
+  * on the build/append/streaming-ingest path. Bit-identical to the
+  * zip_with chain including its length semantics (output length =
+  * max(|v|, dim); a missing side yields null, except vdiff = 0 which
+  * yields 0 regardless — the when() short-circuit). */
+case class Sq8Encode(child: Expression, vmin: Seq[Long], vdiff: Seq[Long])
+  extends UnaryExpression {
+  require(vmin.length == vdiff.length && vmin.nonEmpty,
+    s"grid arrays must align, got ${vmin.length}/${vdiff.length}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_sq8_encode"
+
+  @transient private lazy val mnArr: Array[Long] = vmin.toArray
+  @transient private lazy val vdArr: Array[Long] = vdiff.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val len = math.max(n, mnArr.length)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      if (i < mnArr.length && vdArr(i) == 0L) out(i) = 0L
+      else if (i < n && i < mnArr.length && !arr.isNullAt(i)) {
+        val d = (arr.getLong(i) - mnArr(i)).toDouble * 255.0 / vdArr(i)
+        val c = math.floor(d).toLong
+        out(i) = math.max(0L, math.min(255L, c))
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sq8vmin", mnArr, "long[]")
+    val vd = ctx.addReferenceObj("sq8vdiff", vdArr, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val len = ctx.freshName("len"); val out = ctx.freshName("out")
+      val d = ctx.freshName("d"); val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |int $len = java.lang.Math.max($n, $mn.length);
+         |Object[] $out = new Object[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if ($i < $mn.length && $vd[$i] == 0L) { $out[$i] = java.lang.Long.valueOf(0L); }
+         |  else if ($i < $n && $i < $mn.length && !$a.isNullAt($i)) {
+         |    double $d = ((double) ($a.getLong($i) - $mn[$i])) * 255.0 / $vd[$i];
+         |    long $c = (long) java.lang.Math.floor($d);
+         |    $out[$i] = java.lang.Long.valueOf(
+         |      java.lang.Math.max(0L, java.lang.Math.min(255L, $c)));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** SQ8 decode: v̂_i = vmin_i + floor(c_i·vdiff_i / 255) — the
+  * serving-side reconstruction, one codegen'd loop per stored row
+  * (was two interpreted zip_withs per candidate per serve). Same
+  * max-length/null semantics as the chain it replaces. */
+case class Sq8Decode(child: Expression, vmin: Seq[Long], vdiff: Seq[Long])
+  extends UnaryExpression {
+  require(vmin.length == vdiff.length && vmin.nonEmpty,
+    s"grid arrays must align, got ${vmin.length}/${vdiff.length}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_sq8_decode"
+
+  @transient private lazy val mnArr: Array[Long] = vmin.toArray
+  @transient private lazy val vdArr: Array[Long] = vdiff.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val len = math.max(n, mnArr.length)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      if (i < n && i < mnArr.length && !arr.isNullAt(i)) {
+        val s = math.floor(arr.getLong(i).toDouble * vdArr(i) / 255.0).toLong
+        out(i) = s + mnArr(i)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sq8vmin", mnArr, "long[]")
+    val vd = ctx.addReferenceObj("sq8vdiff", vdArr, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val len = ctx.freshName("len"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |int $len = java.lang.Math.max($n, $mn.length);
+         |Object[] $out = new Object[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if ($i < $n && $i < $mn.length && !$a.isNullAt($i)) {
+         |    long $s = (long) java.lang.Math.floor(
+         |      ((double) $a.getLong($i)) * $vd[$i] / 255.0);
+         |    $out[$i] = java.lang.Long.valueOf($s + $mn[$i]);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Decode =
+    copy(child = newChild)
+}
+
 /** MinHash signature over hashed shingles: one pass over the array
   * updating all permutation minima (vs 16 interpreted transforms).
   * Empty input → null, matching Dedup.minHashSignature. */
@@ -622,6 +746,10 @@ object NativeFns {
       cents.map(_._2.toIndexedSeq)))
   def quantizeArr(e: Column, scale: Int = 1000): Column =
     column(QuantizeArray(expression(e.cast("array<double>")), scale))
+  def sq8Encode(q: Column, quant: Seq[(Long, Long)]): Column =
+    column(Sq8Encode(expression(q), quant.map(_._1), quant.map(_._2)))
+  def sq8Decode(codes: Column, quant: Seq[(Long, Long)]): Column =
+    column(Sq8Decode(expression(codes), quant.map(_._1), quant.map(_._2)))
   def charEntropy(text: Column): Column = column(CharEntropyMicro(expression(text)))
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
 }

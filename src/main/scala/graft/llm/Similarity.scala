@@ -509,20 +509,33 @@ object Similarity {
     * quotient is exact at these magnitudes (|numerator| < 2^40,
     * integer distance >= 1/vdiff >> the 2^-53 rounding error). */
   def sq8EncodeFrame(df: DataFrame, idCol: String, embCol: String,
-                     quant: IndexedSeq[(Long, Long)]): DataFrame = {
-    val diff = zip_with(quantize(col(embCol)), sq8VminArr(quant), (v, mn) => v - mn)
-    val codes = zip_with(diff, sq8VdiffArr(quant), (d, vd) =>
+                     quant: IndexedSeq[(Long, Long)]): DataFrame =
+    df.select(col(idCol).as("cid"),
+      graft.expr.kernels.NativeFns.sq8Encode(quantize(col(embCol)), quant)
+        .as("codes"))
+
+  /** The zip_with encode the native kernel replaced — differential
+    * anchor (NativeExprSpec). */
+  private[graft] def sq8EncodeHof(q: Column,
+                                  quant: IndexedSeq[(Long, Long)]): Column = {
+    val diff = zip_with(q, sq8VminArr(quant), (v, mn) => v - mn)
+    zip_with(diff, sq8VdiffArr(quant), (d, vd) =>
       when(vd === 0L, lit(0L)).otherwise(
         greatest(lit(0L), least(lit(255L),
           floor(d.cast("double") * 255.0 / vd.cast("double")).cast("long")))))
-    df.select(col(idCol).as("cid"), codes.as("codes"))
   }
 
   /** Reconstruct the milli-scale approximation from SQ8 codes:
     * v̂_i = vmin_i + floor(c_i·vdiff_i / 255) — the serving-side
     * decode (per-candidate, query-independent, so it evaluates once
     * per stored row, not once per (query, row) pair). */
-  def sq8Decode(codesCol: Column, quant: IndexedSeq[(Long, Long)]): Column = {
+  def sq8Decode(codesCol: Column, quant: IndexedSeq[(Long, Long)]): Column =
+    graft.expr.kernels.NativeFns.sq8Decode(codesCol, quant)
+
+  /** The zip_with decode the native kernel replaced — differential
+    * anchor (NativeExprSpec). */
+  private[graft] def sq8DecodeHof(codesCol: Column,
+                                  quant: IndexedSeq[(Long, Long)]): Column = {
     val scaled = zip_with(codesCol, sq8VdiffArr(quant), (c, vd) =>
       floor(c.cast("double") * vd.cast("double") / 255.0).cast("long"))
     zip_with(scaled, sq8VminArr(quant), (x, mn) => x + mn)

@@ -65,6 +65,33 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getSeq[Any](1) == Seq(1500L, null))
   }
 
+  test("Sq8Encode/Sq8Decode == zip_with chains on random vectors incl. out-of-range (both eval paths)") {
+    // grid trained on HALF the rows so the rest exercise the clamp;
+    // one degenerate dim (vdiff = 0)
+    val dv = (0 until 60).map(i => (i.toLong,
+      floats(8, i + 500).map(f => if (i % 2 == 0) f else f * 3f)
+        .updated(3, 0.25f))).toDF("id", "e")
+    val quant = Similarity.sq8Train(dv.filter(col("id") % 2 === 0), "e")
+    assert(quant(3)._2 == 0L, "dim 3 must be degenerate")
+    val q = dv.select(Similarity.quantize(col("e")).as("q"))
+    val enc = q.select(NativeFns.sq8Encode(col("q"), quant).as("native"),
+      Similarity.sq8EncodeHof(col("q"), quant).as("hof"))
+    val dec = q.select(NativeFns.sq8Encode(col("q"), quant).as("c"))
+      .select(NativeFns.sq8Decode(col("c"), quant).as("native"),
+        Similarity.sq8DecodeHof(col("c"), quant).as("hof"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        assert(enc.filter(col("native") =!= col("hof")).count() == 0, s"enc $mode")
+        assert(dec.filter(col("native") =!= col("hof")).count() == 0, s"dec $mode")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null array propagates
+    val n = spark.sql("SELECT 1").select(
+      NativeFns.sq8Encode(lit(null).cast("array<bigint>"), quant).as("v"))
+    assert(n.collect()(0).isNullAt(0))
+  }
+
   test("ArgminCentroid == struct-array_min assignment on random vectors (both eval paths)") {
     // deterministic centroids incl. exact duplicates (tie-break cover)
     // and a shorter vector (the min-length dot convention)
@@ -277,6 +304,8 @@ class NativeExprSpec extends SparkSpec {
       q.select(NativeFns.longDot(col("q"), col("q")),
         NativeFns.qdot(col("e"), col("e")),
         NativeFns.quantizeArr(col("e")),
+        NativeFns.sq8Decode(NativeFns.sq8Encode(col("q"),
+          Seq(0L -> 100L, 1L -> 200L)), Seq(0L -> 100L, 1L -> 200L)),
         // 600 centroids: above the literal-chain compile ceiling —
         // only the reference-object kernel survives codegen here
         NativeFns.argminCentroid(col("q"), (0L until 600L).map(l =>
