@@ -613,6 +613,64 @@ object Similarity {
     (quant, spark.read.parquet(s"$path/codes"))
   }
 
+  /** IVF-SQ8 — the FAISS `IndexIVFScalarQuantizer` composition: the
+    * coarse IVF quantizer partitions the corpus into cells, each
+    * vector stores as its dim-byte SQ8 code PARTITIONED BY CLUSTER
+    * (one directory per label, the partition-pruning unit), and the
+    * per-dim grid is the one trained artifact besides the centroid
+    * sum table. Completes the persisted index family: IVF (raw
+    * milli vectors), PQ (m-byte codes, no cells), IVFPQ (cells +
+    * m-byte codes), IVF-SQ8 (cells + dim-byte codes) — the middle
+    * point a deployment picks when PQ's recall at m bytes is too low
+    * but raw vectors are 8× too much I/O. */
+  def persistIvfSq8Index(df: DataFrame, idCol: String, embCol: String,
+                         labelCol: String, path: String,
+                         train: Option[DataFrame] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (cent, _) = buildIvfIndex(df, idCol, embCol, labelCol)
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    val quant = sq8Train(train.getOrElse(df), embCol)
+    quant.zipWithIndex.map { case ((mn, vd), p) => (p, mn, vd) }
+      .toDF("pos", "vmin", "vdiff")
+      .write.mode("overwrite").parquet(s"$path/quantizer")
+    sq8EncodeFrame(df, idCol, embCol, quant)
+      .join(df.select(col(idCol).as("cid"), col(labelCol).as("label")), "cid")
+      .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
+  }
+
+  /** Reload → (centroid sum table, quantizer, cluster-partitioned
+    * codes). */
+  def readIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (DataFrame, IndexedSeq[(Long, Long)], DataFrame) = {
+    val quant = spark.read.parquet(s"$path/quantizer").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getLong(1), r.getLong(2)))
+      .toIndexedSeq
+    (spark.read.parquet(s"$path/centroids"), quant,
+      spark.read.parquet(s"$path/codes"))
+  }
+
+  /** IVF-SQ8 serving: probe each query's best `nprobe` cells
+    * (broadcast centroid table), dynamic-partition-pruned scan of
+    * ONLY those cells' code files, decode-once + integer-ADC against
+    * the full-precision query, coarse cut, exact rescore — the
+    * [[ivfPqTopK]] plan shape with the scalar codec. At 100 TB the
+    * fine search reads ~nprobe/nlist of the dim-byte code column. */
+  def ivfSq8TopK(cent: DataFrame, quant: IndexedSeq[(Long, Long)],
+                 codes: DataFrame, store: DataFrame, queries: DataFrame,
+                 qId: String, embCol: String, k: Int, coarse: Int = 20,
+                 nprobe: Int = 1): DataFrame = {
+    require(coarse >= k, s"coarse depth $coarse must be >= k=$k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val q = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
+    val probed = ivfProbe(cent, q, nprobe).join(q, "qid")
+    val dec = codes.withColumn("__dec", sq8Decode(col("codes"), quant))
+    val scored = dec.join(broadcast(probed), "label")
+      .withColumn("adc", dotQ(col("qe"), col("__dec")))
+      .select(col("qid"), col("cid"), col("adc"))
+    pqCoarseRescore(scored, queries, qId, embCol, store, k, coarse)
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

@@ -783,6 +783,26 @@ object LlmQueries {
         .orderBy(col("method"))
     }),
 
+    // IVF-SQ8 — the FAISS IndexIVFScalarQuantizer composition: coarse
+    // cells + dim-byte scalar codes partitioned by cluster. Serving
+    // probes each query's best 2 cells (broadcast centroids), DPP-
+    // scans only those cells' code files, decodes once, integer-ADC,
+    // coarse-20, exact rescore top-5 — the middle point between IVFPQ
+    // (m bytes, lower recall) and raw-vector IVF (8x the I/O).
+    "llm_ann_ivfsq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_ivfsq8")
+      Similarity.persistIvfSq8Index(cands, "vec_id", "embedding", "label", path)
+      val (cent, quant, codes) = Similarity.readIvfSq8Index(s, path)
+      Similarity.ivfSq8TopK(cent, quant, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, coarse = 20, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVFPQ — the FAISS-shape composition of the two index halves the
     // engine already serves separately: PQ codes persisted PARTITIONED
     // BY COARSE CLUSTER, serving = probe each query's best 2 clusters
@@ -3160,6 +3180,45 @@ object LlmQueries {
        |    (SELECT count(*) FROM exact JOIN sq5 USING (qid, cid)) FROM nq) t
        |ORDER BY method""".stripMargin
 
+  /** IVF-SQ8 serving oracle (llm_ann_ivfsq8): the IVF probe CTEs
+    * (centroid mean-dot, nprobe = 2) composed with the SQ8 grid/
+    * decode CTEs, ADC restricted to candidates in probed cells,
+    * coarse-20, exact rescore top-5. The shared sq8Ctes' unrestricted
+    * `sadcs` CTE goes unreferenced here (DuckDB only evaluates
+    * referenced CTEs). */
+  private lazy val IvfSq8OracleSql: String =
+    s"""WITH eqa AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eqa WHERE vec_id >= 3),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 3),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |best AS (SELECT qid, label FROM (
+       |  SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)) t WHERE rn <= 2),
+       |$sq8Ctes,
+       |psadcs AS (SELECT b.qid AS qid, d.cid AS cid,
+       |    CAST(sum(q.qe[d.pos] * d.dv) AS BIGINT) AS adc
+       |  FROM best b JOIN c ON c.label = b.label
+       |  JOIN sdec d ON d.cid = c.cid
+       |  JOIN q ON q.qid = b.qid
+       |  GROUP BY b.qid, d.cid),
+       |co AS (SELECT qid, cid, adc FROM (SELECT qid, cid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+       |  FROM psadcs) t WHERE rn <= 20),
+       |resc AS (SELECT co.qid AS qid, co.cid AS cid, co.adc AS adc,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM co JOIN q ON q.qid = co.qid JOIN c ON c.cid = co.cid)
+       |SELECT qid, cid, CAST(rk AS BIGINT) AS rank, dot, adc FROM (
+       |  SELECT qid, cid, dot, adc, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM resc) t
+       |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+
   /** IVFPQ serving oracle (llm_ann_ivfpq): full replay of the coarse
     * probe (centroid mean-dot, nprobe = 2 — the IVF oracle's `best`
     * CTE), PQ training/encoding (the PQ oracle's CTEs), ADC restricted
@@ -4123,6 +4182,7 @@ object LlmQueries {
     // serve oracle — the pq_append contract shape.
     "llm_ann_sq8_append" -> Sq8OracleSql,
     "llm_ann_sq8_recall" -> Sq8RecallOracleSql,
+    "llm_ann_ivfsq8" -> IvfSq8OracleSql,
     "llm_ann_ivfpq" -> IvfPqOracleSql,
     // append shares the full-build oracle: frozen-book encode is pure
     // per-row + centroid sums are additive, so append == rebuild

@@ -847,6 +847,45 @@ class LlmSpec extends SparkSpec {
       s"code-store scan must read codes only:\n${codeScans.mkString("\n")}")
   }
 
+  test("IVF-SQ8: full probe equals flat SQ8 serving; codes scan DPP-pruned and code-only") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 8).flatMap { c =>
+      (0 until 25).map(i => (c * 100L + i, vec(c.toFloat - 4), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queries = df.filter(col("vec_id") % 100 === 0 && col("vec_id") < 300)
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    val path = graft.util.Scratch.dir("ivfsq8") + "/idx"
+    Similarity.persistIvfSq8Index(df, "vec_id", "embedding", "label", path)
+    val (cent, quant, codes) = Similarity.readIvfSq8Index(spark, path)
+    // correctness anchor: probing EVERY cell is exactly flat SQ8
+    // serving over the full code store — same decode, ADC, rescore
+    val full = Similarity.ivfSq8TopK(cent, quant, codes, store, queries,
+      "vec_id", "embedding", k = 3, coarse = 10, nprobe = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    val flat = Similarity.sq8Serve(quant,
+      codes.select(col("cid"), col("codes")), store, queries,
+      "vec_id", "embedding", k = 3, coarse = 10)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(full == flat, "full-coverage IVF-SQ8 must equal flat SQ8 serving")
+    // the scale contract: the code scan is DPP-pruned to probed cells
+    // and reads the codes column, never a vector column
+    val served = Similarity.ivfSq8TopK(cent, quant, codes, store, queries,
+      "vec_id", "embedding", k = 3, coarse = 10, nprobe = 2)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the code-store scan:\n$plan")
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") &&
+        l.contains("codes:array<bigint>")).toSeq
+    assert(codeScans.nonEmpty, s"expected a code-store FileScan:\n$plan")
+    assert(codeScans.forall(l => !l.contains("ce") && !l.contains("embedding")),
+      s"code-store scan must read codes only:\n${codeScans.mkString("\n")}")
+  }
+
   test("appendToIvfPqIndex: appended serving index equals full rebuild") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
