@@ -639,6 +639,51 @@ object Similarity {
       .write.mode("overwrite").partitionBy("label").parquet(s"$path/codes")
   }
 
+  /** Append a batch to a persisted IVF-SQ8 index — frozen grid +
+    * frozen-centroid labeling + additive centroid merge, composing
+    * the [[appendToSq8Index]] and [[appendToIvfIndex]] contracts:
+    * the batch labels against the CURRENT centroid means
+    * ([[assignClusters]]), encodes against the frozen per-dim grid
+    * (clamp out of range), appends as new files under the touched
+    * clusters' partition dirs, and the centroid sum table merges in
+    * exact integers under the store lock. When the caller supplies
+    * the same labels a full rebuild would (the harness shape: labels
+    * carried on the data), append == rebuild bit-for-bit and the
+    * serve answers are identical — the shared-oracle contract. */
+  def appendToIvfSq8Index(df: DataFrame, idCol: String, embCol: String,
+                          path: String, dim: Int = 64,
+                          labelCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
+      val (cent, quant, _) = readIvfSq8Index(spark, path)
+      require(quant.length == dim,
+        s"append: dim=$dim does not match the index at $path — the stored " +
+          s"quantizer has ${quant.length} positions")
+      val labeled = labelCol match {
+        case Some(lc) => df.select(col(idCol).as("cid"), col(lc).as("label"))
+        case None => assignClusters(df, idCol, embCol, cent)
+          .select(col(idCol).as("cid"), col("label"))
+      }
+      sq8EncodeFrame(df, idCol, embCol, quant)
+        .join(labeled, "cid")
+        .write.mode("append").partitionBy("label").parquet(s"$path/codes")
+      val centNew = labelCol match {
+        case Some(lc) => buildIvfIndex(df, idCol, embCol, lc)._1
+        case None =>
+          val withL = df.join(
+            labeled.select(col("cid").as("__cid"), col("label").as("__albl")),
+            col(idCol) === col("__cid")).drop("__cid")
+          buildIvfIndex(withL, idCol, embCol, "__albl")._1
+      }
+      val merged = spark.read.parquet(s"$path/centroids")
+        .unionByName(centNew)
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      graft.io.Tables.swapInParquet(spark, merged, s"$path/centroids", gen)
+    }
+  }
+
   /** Reload → (centroid sum table, quantizer, cluster-partitioned
     * codes). */
   def readIvfSq8Index(spark: org.apache.spark.sql.SparkSession,

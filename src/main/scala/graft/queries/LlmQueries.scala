@@ -803,6 +803,30 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Incremental IVF-SQ8 maintenance: grid trained ONCE on the
+    // representative sample, half the corpus builds, the other half
+    // APPENDS (frozen grid encode + new files under the touched
+    // cluster partitions + exact-integer additive centroid merge
+    // under the store lock). With labels carried on the data the
+    // appended index answers IDENTICALLY to a full build — the shared
+    // IVF-SQ8 oracle checks exactly that.
+    "llm_ann_ivfsq8_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_ivfsq8_app")
+      Similarity.persistIvfSq8Index(cands.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", path, train = Some(cands))
+      Similarity.appendToIvfSq8Index(cands.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path, labelCol = Some("label"))
+      val (cent, quant, codes) = Similarity.readIvfSq8Index(s, path)
+      Similarity.ivfSq8TopK(cent, quant, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, coarse = 20, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVFPQ — the FAISS-shape composition of the two index halves the
     // engine already serves separately: PQ codes persisted PARTITIONED
     // BY COARSE CLUSTER, serving = probe each query's best 2 clusters
@@ -4183,6 +4207,10 @@ object LlmQueries {
     "llm_ann_sq8_append" -> Sq8OracleSql,
     "llm_ann_sq8_recall" -> Sq8RecallOracleSql,
     "llm_ann_ivfsq8" -> IvfSq8OracleSql,
+    // labels carried + grid trained on the full sample => append ==
+    // full rebuild (exact-integer centroid merge, pure per-row
+    // encode), so the append row SHARES the serve oracle.
+    "llm_ann_ivfsq8_append" -> IvfSq8OracleSql,
     "llm_ann_ivfpq" -> IvfPqOracleSql,
     // append shares the full-build oracle: frozen-book encode is pure
     // per-row + centroid sums are additive, so append == rebuild

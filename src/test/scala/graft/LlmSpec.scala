@@ -886,6 +886,50 @@ class LlmSpec extends SparkSpec {
       s"code-store scan must read codes only:\n${codeScans.mkString("\n")}")
   }
 
+  test("appendToIvfSq8Index: append equals rebuild; learned-label path assigns") {
+    val dim = 16
+    def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 20).map(i => (c * 100L + i, vec(c.toFloat - 2), c.toLong))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val (base, delta) = (df.filter(col("vec_id") % 2 === 0),
+      df.filter(col("vec_id") % 2 === 1))
+    val incPath = graft.util.Scratch.dir("ivfsq8app") + "/idx"
+    Similarity.persistIvfSq8Index(base, "vec_id", "embedding", "label",
+      incPath, train = Some(df))
+    Similarity.appendToIvfSq8Index(delta, "vec_id", "embedding", incPath,
+      dim = dim, labelCol = Some("label"))
+    val fullPath = graft.util.Scratch.dir("ivfsq8full") + "/idx"
+    Similarity.persistIvfSq8Index(df, "vec_id", "embedding", "label", fullPath)
+    val (centI, qI, codesI) = Similarity.readIvfSq8Index(spark, incPath)
+    val (centF, qF, codesF) = Similarity.readIvfSq8Index(spark, fullPath)
+    assert(qI == qF, "frozen grid must equal the full-build training")
+    assert(centI.orderBy("label", "pos").collect().toSeq ==
+      centF.orderBy("label", "pos").collect().toSeq,
+      "additive centroid merge must equal the full build")
+    assert(codesI.orderBy("cid").collect().toSeq ==
+      codesF.orderBy("cid").collect().toSeq, "append == rebuild codes")
+    val queries = df.filter(col("vec_id") === 100L || col("vec_id") === 300L)
+    val store = df.select(col("vec_id").as("cid"),
+      Similarity.quantize(col("embedding")).as("ce"))
+    def serve(c: org.apache.spark.sql.DataFrame, q: IndexedSeq[(Long, Long)],
+              codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSq8TopK(c, q, codes, store, queries, "vec_id",
+        "embedding", k = 3, coarse = 10, nprobe = 2)
+        .orderBy("qid", "rank").collect().toSeq
+    assert(serve(centI, qI, codesI) == serve(centF, qF, codesF))
+    // learned-label path: assignClusters against the frozen centroids
+    // routes each appended vector to its generating cluster
+    val far = Seq((901L, vec(1.0f))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfSq8Index(far, "vec_id", "embedding", incPath,
+      dim = dim)
+    val appended = Similarity.readIvfSq8Index(spark, incPath)._3
+      .filter(col("cid") === 901L).select(col("label").cast("long"))
+      .collect()(0).getLong(0)
+    assert(appended == 3L, s"vec(1.0) must land in cluster 3, got $appended")
+  }
+
   test("appendToIvfPqIndex: appended serving index equals full rebuild") {
     val dim = 16
     def vec(base: Float): Seq[Float] = Seq.tabulate(dim)(i => base + (i % 5) * 0.01f)
