@@ -150,6 +150,142 @@ case class QuantizeArray(child: Expression, scale: Int)
     copy(child = newChild)
 }
 
+/** Largest |element| of a float/double embedding as double —
+  * array_max(transform(abs)) without the interpreted HOF pass. Null
+  * elements are skipped (the array_max convention); empty or all-null
+  * arrays yield null. Input is cast to array<double> by the wrapper. */
+case class AbsMaxArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_absmax"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(arr.getDouble(i))
+        if (!any || a > best) { best = a; any = true }
+      }
+      i += 1
+    }
+    if (any) best else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("arr"); val n = ctx.freshName("n")
+    val i = ctx.freshName("i"); val a = ctx.freshName("a")
+    val any = ctx.freshName("any")
+    ev.copy(code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = true;
+        |double ${ev.value} = 0.0;
+        |if (!${childGen.isNull}) {
+        |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
+        |  int $n = $arr.numElements();
+        |  boolean $any = false;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if (!$arr.isNullAt($i)) {
+        |      double $a = java.lang.Math.abs($arr.getDouble($i));
+        |      if (!$any || $a > ${ev.value}) { ${ev.value} = $a; $any = true; }
+        |    }
+        |  }
+        |  ${ev.isNull} = !$any;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AbsMaxArr =
+    copy(child = newChild)
+}
+
+/** Per-vector symmetric int8 quantization against a precomputed amax:
+  * q_i = floor(v_i·(127/amax) + 0.5) as tinyint; amax = 0 maps EVERY
+  * element (null included) to 0 — the when()+transform short-circuit
+  * of the HOF form it replaces; otherwise null elements stay null.
+  * Input vector cast to array<double> by the wrapper. */
+case class Int8Quantize(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+  override def prettyName: String = "graft_int8_quantize"
+
+  override def nullSafeEval(v: Any, am: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val amax = am.asInstanceOf[Double]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (amax == 0.0) out(i) = 0.toByte
+      else if (!arr.isNullAt(i))
+        out(i) = math.floor(arr.getDouble(i) * (127.0 / amax) + 0.5).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, am) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($am == 0.0) { $out[$i] = java.lang.Byte.valueOf((byte) 0); }
+         |  else if (!$a.isNullAt($i)) {
+         |    $out[$i] = java.lang.Byte.valueOf((byte) java.lang.Math.floor(
+         |      $a.getDouble($i) * (127.0 / $am) + 0.5));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8Quantize =
+    copy(left = l, right = r)
+}
+
+/** Exact integer dot of two array<tinyint> int8 vectors — [[LongDot]]
+  * for byte arrays, so int8 serving never widens the 1-byte codes to
+  * longs (two interpreted transforms per pair in the HOF form). */
+case class TinyDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_tiny_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((long) $x.getByte($i)) * ((long) $y.getByte($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TinyDot =
+    copy(left = l, right = r)
+}
+
 /** SQ8 encode of a milli-quantized vector against a frozen per-dim
   * grid: c_i = clamp(floor((v_i − vmin_i)·255 / vdiff_i), 0, 255),
   * degenerate dims (vdiff = 0) → 0. One codegen'd loop with the grid
@@ -746,6 +882,13 @@ object NativeFns {
       cents.map(_._2.toIndexedSeq)))
   def quantizeArr(e: Column, scale: Int = 1000): Column =
     column(QuantizeArray(expression(e.cast("array<double>")), scale))
+  def absMaxArr(e: Column): Column =
+    column(AbsMaxArr(expression(e.cast("array<double>"))))
+  def int8Quantize(e: Column, amax: Column): Column =
+    column(Int8Quantize(expression(e.cast("array<double>")),
+      expression(amax.cast("double"))))
+  def tinyDot(a: Column, b: Column): Column =
+    column(TinyDot(expression(a), expression(b)))
   def sq8Encode(q: Column, quant: Seq[(Long, Long)]): Column =
     column(Sq8Encode(expression(q), quant.map(_._1), quant.map(_._2)))
   def sq8Decode(codes: Column, quant: Seq[(Long, Long)]): Column =

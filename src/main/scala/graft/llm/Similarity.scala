@@ -51,6 +51,10 @@ object Similarity {
     * (float→double is exact; abs/max are rounding-free), so both
     * engines derive bit-identical per-vector scales. */
   def absMax(e: Column): Column =
+    graft.expr.kernels.NativeFns.absMaxArr(e)
+
+  /** The HOF absMax the native kernel replaced — differential anchor. */
+  private[graft] def absMaxHof(e: Column): Column =
     array_max(transform(e, x => abs(x.cast("double"))))
 
   /** Per-vector symmetric int8 quantization — the storage/serving
@@ -64,6 +68,10 @@ object Similarity {
     * precomputed [[absMax]] (passed in so the plan evaluates it once,
     * not once per element). */
   def quantizeInt8(e: Column, amaxCol: Column): Column =
+    graft.expr.kernels.NativeFns.int8Quantize(e, amaxCol)
+
+  /** The HOF int8 quantize the native kernel replaced — anchor. */
+  private[graft] def quantizeInt8Hof(e: Column, amaxCol: Column): Column =
     when(amaxCol === 0.0, transform(e, _ => lit(0).cast("tinyint")))
       .otherwise(transform(e, x =>
         floor(x.cast("double") * (lit(127.0) / amaxCol) + lit(0.5)).cast("tinyint")))
@@ -87,13 +95,16 @@ object Similarity {
     * one per-query top-k window), quarter the bytes. */
   def int8TopK(queries: DataFrame, candidates: DataFrame, qId: String,
                cId: String, embCol: String, k: Int): DataFrame = {
+    // codes stay tinyint end to end — the native TinyDot scores the
+    // 1-byte arrays directly (the HOF form widened both sides to long
+    // with an interpreted transform per pair)
     val q = quantizeInt8Frame(queries, qId, embCol)
-      .select(col(qId).as("qid"), transform(col("q8"), _.cast("long")).as("qe"))
+      .select(col(qId).as("qid"), col("q8").as("qe"))
     val c = quantizeInt8Frame(candidates, cId, embCol)
-      .select(col(cId).as("cid"), transform(col("q8"), _.cast("long")).as("ce"),
+      .select(col(cId).as("cid"), col("q8").as("ce"),
         col("amax").as("c_amax"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("qdot", dotQ(col("qe"), col("ce")))
+      .withColumn("qdot", graft.expr.kernels.NativeFns.tinyDot(col("qe"), col("ce")))
     val w = Window.partitionBy(col("qid"))
       .orderBy((col("qdot").cast("double") * col("c_amax")).desc, col("cid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

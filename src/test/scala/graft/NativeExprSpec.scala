@@ -65,6 +65,37 @@ class NativeExprSpec extends SparkSpec {
     assert(r.getSeq[Any](1) == Seq(1500L, null))
   }
 
+  test("AbsMaxArr/Int8Quantize/TinyDot == the HOF int8 path (both eval paths)") {
+    val fr = vecs.select(col("e"),
+      Similarity.absMaxHof(col("e")).as("amax"))
+    val am = vecs.select(NativeFns.absMaxArr(col("e")).as("native"),
+      Similarity.absMaxHof(col("e")).as("hof"))
+    val qd = fr.select(NativeFns.int8Quantize(col("e"), col("amax")).as("native"),
+      Similarity.quantizeInt8Hof(col("e"), col("amax")).as("hof"))
+    val q8 = fr.select(NativeFns.int8Quantize(col("e"), col("amax")).as("q8"))
+    val td = q8.as("x").crossJoin(q8.as("y")).select(
+      NativeFns.tinyDot(col("x.q8"), col("y.q8")).as("native"),
+      Similarity.dotQHof(transform(col("x.q8"), _.cast("long")),
+        transform(col("y.q8"), _.cast("long"))).as("hof"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        assert(am.filter(col("native") =!= col("hof")).count() == 0, s"absmax $mode")
+        assert(qd.filter(col("native") =!= col("hof")).count() == 0, s"quant $mode")
+        assert(td.filter(col("native") =!= col("hof")).count() == 0, s"dot $mode")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // all-zero vector: amax 0.0 and every element quantizes to 0 (the
+    // when() short-circuit); empty array: amax null
+    val z = Seq((Seq(0f, 0f), Seq.empty[Float])).toDF("z", "emp")
+      .select(NativeFns.absMaxArr(col("z")).as("az"),
+        NativeFns.int8Quantize(col("z"), NativeFns.absMaxArr(col("z"))).as("qz"),
+        NativeFns.absMaxArr(col("emp")).as("ae"))
+      .collect()(0)
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1) == Seq(0.toByte, 0.toByte))
+    assert(z.isNullAt(2))
+  }
+
   test("Sq8Encode/Sq8Decode == zip_with chains on random vectors incl. out-of-range (both eval paths)") {
     // grid trained on HALF the rows so the rest exercise the clamp;
     // one degenerate dim (vdiff = 0)
@@ -306,6 +337,9 @@ class NativeExprSpec extends SparkSpec {
         NativeFns.quantizeArr(col("e")),
         NativeFns.sq8Decode(NativeFns.sq8Encode(col("q"),
           Seq(0L -> 100L, 1L -> 200L)), Seq(0L -> 100L, 1L -> 200L)),
+        NativeFns.tinyDot(
+          NativeFns.int8Quantize(col("e"), NativeFns.absMaxArr(col("e"))),
+          NativeFns.int8Quantize(col("e"), NativeFns.absMaxArr(col("e")))),
         // 600 centroids: above the literal-chain compile ceiling —
         // only the reference-object kernel survives codegen here
         NativeFns.argminCentroid(col("q"), (0L until 600L).map(l =>
