@@ -827,6 +827,43 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The IVF-SQ8 quality ledger (the family's recall symmetry):
+    // recall@3 at nprobe=1 vs nprobe=2 against exact brute force on
+    // the disjoint 100-split — prices the probe dial for the scalar
+    // codec exactly as llm_ann_ivf_recall does for raw vectors and
+    // llm_ann_ivfpq_recall for PQ codes. One build, one grid; the
+    // codes frame is checkpointed so the second probe width re-scans
+    // codes, not the encode.
+    "llm_ann_ivfsq8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 100)
+      val qs = e.filter(col("vec_id") < 100)
+      val exact = Similarity.bruteForceTopKQ(qs, cands, "vec_id", "vec_id",
+        "embedding", k = 3).select(col("qid"), col("cid"))
+      def recallOf(approx: DataFrame, method: String) =
+        exact.join(approx.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("total_matches"))
+          .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("total_matches"),
+            (col("total_matches").cast("double") /
+              (lit(3.0) * col("n_queries"))).as("recall"))
+      val (cent, _) = Similarity.buildIvfIndex(cands, "vec_id", "embedding",
+        "label")
+      val quant = Similarity.sq8Train(cands, "embedding")
+      val codes = Similarity.sq8EncodeFrame(cands, "vec_id", "embedding", quant)
+        .join(cands.select(col("vec_id").as("cid"), col("label")), "cid")
+        .localCheckpoint()
+      val store = cands.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("ce"))
+      def serve(np: Int) = Similarity.ivfSq8TopK(cent, quant, codes, store,
+        qs, "vec_id", "embedding", k = 3, coarse = 20, nprobe = np)
+      recallOf(serve(1), "ivfsq8_probe1")
+        .unionByName(recallOf(serve(2), "ivfsq8_probe2"))
+        .orderBy(col("method"))
+    }),
+
     // IVFPQ — the FAISS-shape composition of the two index halves the
     // engine already serves separately: PQ codes persisted PARTITIONED
     // BY COARSE CLUSTER, serving = probe each query's best 2 clusters
@@ -3243,6 +3280,63 @@ object LlmQueries {
        |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM resc) t
        |WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** IVF-SQ8 recall-ledger oracle (llm_ann_ivfsq8_recall): the probe
+    * machinery on the 100-split swept over nprobe {1, 2}, SQ8 decode,
+    * restricted ADC, coarse-20, exact-rescore top-3, recall vs brute
+    * force. */
+  private lazy val IvfSq8RecallOracleSql: String =
+    s"""WITH eqa AS (SELECT vec_id, label,
+       |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
+       |c AS (SELECT vec_id AS cid, label, eq AS ce FROM eqa WHERE vec_id >= 100),
+       |q AS (SELECT vec_id AS qid, eq AS qe FROM eqa WHERE vec_id < 100),
+       |cent AS (SELECT label, i AS pos, CAST(sum(ce[i]) AS BIGINT) AS s
+       |  FROM c, range(1, 65) t(i) GROUP BY label, i),
+       |cnt AS (SELECT label, count(*) AS cnt FROM c GROUP BY label),
+       |assign AS (SELECT qid, cent.label AS label, CAST(sum(qe[pos] * s) AS BIGINT) AS qdot
+       |  FROM q, cent GROUP BY qid, cent.label),
+       |bestr AS (SELECT qid, label, row_number() OVER (
+       |    PARTITION BY qid ORDER BY CAST(qdot AS DOUBLE) / cnt DESC, label) AS rn
+       |  FROM assign JOIN cnt USING (label)),
+       |$sq8Ctes,
+       |scored AS (SELECT q.qid AS qid, c.cid AS cid,
+       |    CAST((SELECT sum((q.qe)[i] * (c.ce)[i]) FROM range(1, 65) t(i))
+       |      AS BIGINT) AS dot
+       |  FROM q, c),
+       |exact AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM scored) t
+       |  WHERE rk <= 3),
+       |pad1 AS (SELECT b.qid AS qid, d.cid AS cid,
+       |    CAST(sum(q.qe[d.pos] * d.dv) AS BIGINT) AS adc
+       |  FROM (SELECT qid, label FROM bestr WHERE rn <= 1) b
+       |  JOIN c ON c.label = b.label JOIN sdec d ON d.cid = c.cid
+       |  JOIN q ON q.qid = b.qid GROUP BY b.qid, d.cid),
+       |co1 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM pad1) t
+       |  WHERE rn <= 20),
+       |sv1 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN co1 USING (qid, cid)) t WHERE rk <= 3),
+       |pad2 AS (SELECT b.qid AS qid, d.cid AS cid,
+       |    CAST(sum(q.qe[d.pos] * d.dv) AS BIGINT) AS adc
+       |  FROM (SELECT qid, label FROM bestr WHERE rn <= 2) b
+       |  JOIN c ON c.label = b.label JOIN sdec d ON d.cid = c.cid
+       |  JOIN q ON q.qid = b.qid GROUP BY b.qid, d.cid),
+       |co2 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY adc DESC, cid) AS rn FROM pad2) t
+       |  WHERE rn <= 20),
+       |sv2 AS (SELECT qid, cid FROM (SELECT s.qid AS qid, s.cid AS cid,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.dot DESC, s.cid) AS rk
+       |  FROM scored s JOIN co2 USING (qid, cid)) t WHERE rk <= 3),
+       |nq AS (SELECT count(*) AS n_queries FROM q)
+       |SELECT method, n_queries, total_matches,
+       |  CAST(total_matches AS DOUBLE) / (3.0 * n_queries) AS recall FROM (
+       |  SELECT 'ivfsq8_probe1' AS method, nq.n_queries AS n_queries,
+       |    (SELECT count(*) FROM exact JOIN sv1 USING (qid, cid)) AS total_matches FROM nq
+       |  UNION ALL
+       |  SELECT 'ivfsq8_probe2', nq.n_queries,
+       |    (SELECT count(*) FROM exact JOIN sv2 USING (qid, cid)) FROM nq) t
+       |ORDER BY method""".stripMargin
+
   /** IVFPQ serving oracle (llm_ann_ivfpq): full replay of the coarse
     * probe (centroid mean-dot, nprobe = 2 — the IVF oracle's `best`
     * CTE), PQ training/encoding (the PQ oracle's CTEs), ADC restricted
@@ -4211,6 +4305,7 @@ object LlmQueries {
     // full rebuild (exact-integer centroid merge, pure per-row
     // encode), so the append row SHARES the serve oracle.
     "llm_ann_ivfsq8_append" -> IvfSq8OracleSql,
+    "llm_ann_ivfsq8_recall" -> IvfSq8RecallOracleSql,
     "llm_ann_ivfpq" -> IvfPqOracleSql,
     // append shares the full-build oracle: frozen-book encode is pure
     // per-row + centroid sums are additive, so append == rebuild
