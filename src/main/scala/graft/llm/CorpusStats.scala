@@ -568,25 +568,45 @@ object CorpusStats {
     * ONE corpus-scale aggregation; the shuffle carries register rows
     * (<= 64·2^s per group), never documents. */
   def logHistRegisters(df: DataFrame, groupCol: String, value: Column,
-                       subBits: Int = 5): DataFrame = {
+                       subBits: Int = 5): DataFrame =
+    logHistRegistersWeighted(df, groupCol, value, lit(1L), subBits)
+
+  /** Weighted registers: each observation contributes `weight` to its
+    * bucket instead of 1 — the sketch twin of the exact
+    * weighted-quantile path (e.g. doc-length quantiles weighted by
+    * token count: "the median byte sees documents of length X"). The
+    * sum monoid, the store markers, and the rank walk are unchanged —
+    * `n` becomes total weight and ranks walk weight mass. Weights
+    * must be non-negative (fail-loud, the value-domain guard's twin);
+    * NULL weights carry no observation, matching NULL values. */
+  def logHistRegistersWeighted(df: DataFrame, groupCol: String,
+                               value: Column, weight: Column,
+                               subBits: Int = 5): DataFrame = {
     require(subBits >= 1 && subBits <= 16,
       s"subBits must be in [1, 16], got $subBits")
     val s = subBits
-    df.select(col(groupCol), value.cast(LongType).as("__v"))
-      .filter(col("__v").isNotNull)
+    df.select(col(groupCol), value.cast(LongType).as("__v"),
+        weight.cast(LongType).as("__wt"))
+      .filter(col("__v").isNotNull && col("__wt").isNotNull)
       .select(col(groupCol),
         when(col("__v") < 0L,
           raise_error(format_string(
             "logHistRegisters: negative value %s — the sketch domain " +
               "is v >= 0", col("__v").cast("string"))).cast(LongType))
-          .otherwise(col("__v") + 1L).as("__w"))
+          .otherwise(col("__v") + 1L).as("__w"),
+        when(col("__wt") < 0L,
+          raise_error(format_string(
+            "logHistRegisters: negative weight %s — weights must be " +
+              ">= 0", col("__wt").cast("string"))).cast(LongType))
+          .otherwise(col("__wt")).as("__wt"))
       .withColumn("__e", (length(bin(col("__w"))) - 1).cast(LongType))
       .withColumn("bucket",
         col("__e") * lit(1L << s) +
           expr(s"shiftright(__w, CAST(greatest(__e - $s, 0L) AS INT))") -
           expr(s"shiftleft(CAST(1 AS BIGINT), CAST(least(__e, $s) AS INT))"))
       .groupBy(col(groupCol), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__wt")).as("cnt"))
+      .filter(col("cnt") > 0L)
       .select(col(groupCol), col("bucket"), col("cnt"), lit(s.toLong).as("sb"))
   }
 

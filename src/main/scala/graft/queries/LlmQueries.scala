@@ -2541,6 +2541,21 @@ object LlmQueries {
         .orderBy(col("source"), col("q_mille"))
     }),
 
+    // Weighted quantile sketch — the sketch twin of the exact
+    // llm_weighted_quantiles: each document's length contributes its
+    // TOKEN COUNT of mass, so q500 answers "the median token sits in
+    // a document of length X" (the token-centric view a training run
+    // cares about) from the same bounded registers; the sum monoid,
+    // markers and rank walk are unchanged, n is total weight.
+    "llm_qsketch_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusStats.logHistQuantiles(
+        CorpusStats.logHistRegistersWeighted(docs, "source",
+          length(col("text")), Text.wsTokenCount(col("text"))),
+        Seq(500, 990))
+        .orderBy(col("source"), col("q_mille"))
+    }),
+
     // Geometry tuning grid (the ivfpq-grid principle applied to the
     // sketch family): the same profile at subBits {3, 5, 7} — each
     // cell prices its enclosure width (accuracy, bounded by relative
@@ -3523,16 +3538,17 @@ object LlmQueries {
     * sub-bucket and decode via shifts, rank via floor-division — so
     * the estimates replay hash-identically. */
   private def qSketchOracleCtes(sourceExpr: String, qs: Seq[Int],
-                                sb: Int = 5): String = {
+                                sb: Int = 5, weightSql: String = "1"): String = {
     val m = 1 << sb
-    s"""WITH vals AS (SELECT $sourceExpr AS source, length(text)::BIGINT AS v
+    s"""WITH vals AS (SELECT $sourceExpr AS source, length(text)::BIGINT AS v,
+       |    CAST($weightSql AS BIGINT) AS wt
        |  FROM documents WHERE text IS NOT NULL),
-       |b AS (SELECT source, v + 1 AS w,
+       |b AS (SELECT source, v + 1 AS w, wt,
        |    (length(bin(v + 1)) - 1)::BIGINT AS e FROM vals),
        |regs AS (SELECT source,
        |    e * $m + (w >> CAST(greatest(e - $sb, 0) AS INT))
        |      - (1::BIGINT << CAST(least(e, $sb) AS INT)) AS bucket,
-       |    count(*)::BIGINT AS cnt
+       |    CAST(sum(wt) AS BIGINT) AS cnt
        |  FROM b GROUP BY 1, 2),
        |cum AS (SELECT source, bucket, cnt,
        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
@@ -3555,8 +3571,9 @@ object LlmQueries {
   }
 
   private def qSketchOracleSql(sourceExpr: String, qs: Seq[Int],
-                               orderBy: String): String =
-    s"""${qSketchOracleCtes(sourceExpr, qs)}
+                               orderBy: String,
+                               weightSql: String = "1"): String =
+    s"""${qSketchOracleCtes(sourceExpr, qs, weightSql = weightSql)}
        |SELECT source, q_mille, n, est_lo, est_hi FROM est
        |ORDER BY $orderBy""".stripMargin
 
@@ -5437,6 +5454,10 @@ object LlmQueries {
         |FROM raw""".stripMargin,
     "llm_qsketch_profile" -> QSketchProfileOracleSql,
     "llm_qsketch_grid" -> QSketchGridOracleSql,
+    // token-count-weighted: n is total weight, ranks walk weight mass
+    "llm_qsketch_weighted" -> qSketchOracleSql("source", Seq(500, 990),
+      "source, q_mille",
+      weightSql = raw"len(regexp_split_to_array(text, '\s+'))"),
     // Marker-gated appends sum to the full build (the monoid) and the
     // replayed batch is a no-op, so the store row SHARES the
     // full-build oracle — the hll_incremental contract shape.

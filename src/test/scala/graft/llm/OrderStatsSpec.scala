@@ -693,6 +693,36 @@ class OrderStatsSpec extends SparkSpec {
     }.getMessage.contains("negative"))
   }
 
+  test("weighted quantile sketch: weight w equals the row repeated w times; zero weight carries nothing") {
+    val rows = Seq(("a", 10L, 3L), ("a", 100L, 1L), ("a", 7L, 0L),
+      ("b", 50L, 2L), ("b", 51L, 2L))
+    val df = rows.toDF("g", "v", "wt")
+    val weighted = CorpusStats.logHistRegistersWeighted(df, "g",
+      col("v"), col("wt"))
+    // the defining property: weight w == the observation repeated w times
+    val replicated = rows.flatMap { case (g, v, w) =>
+      Seq.fill(w.toInt)((g, v)) }.toDF("g", "v")
+    val unweighted = CorpusStats.logHistRegisters(replicated, "g", col("v"))
+    assert(weighted.orderBy("g", "bucket").collect().toSeq ==
+      unweighted.orderBy("g", "bucket").collect().toSeq,
+      "weighted registers must equal replicated-row registers bit-for-bit")
+    // zero-weight rows leave NO register (7 never appears for group a)
+    val qa = CorpusStats.logHistQuantiles(weighted, Seq(1, 500, 1000), "g")
+      .filter(col("g") === "a").orderBy("q_mille").collect()
+    assert(qa(0).getLong(2) == 4L, "n must be total weight")
+    assert(qa(0).getLong(3) <= 10L && 10L <= qa(0).getLong(4),
+      "q001 enclosure must contain 10 (weight-3 mass at the bottom)")
+    assert(qa(2).getLong(3) <= 100L && 100L <= qa(2).getLong(4),
+      "q1000 enclosure must contain the max")
+    // negative weight fails loudly
+    val e = intercept[Exception] {
+      CorpusStats.logHistRegistersWeighted(
+        Seq(("a", 1L, -2L)).toDF("g", "v", "wt"), "g", col("v"), col("wt"))
+        .collect()
+    }
+    assert(e.getMessage.contains("negative weight"))
+  }
+
   test("log-linear quantile sketch: mixed-geometry merge raises; store refuses wrong subBits") {
     val docs = Seq(("g", 10L)).toDF("source", "v")
     val mixed = CorpusStats.logHistMerge(
