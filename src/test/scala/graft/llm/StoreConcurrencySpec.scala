@@ -134,6 +134,34 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(got === want, "a racing centroid merge dropped the other's sums")
   }
 
+  test("racing IVF-SQ8 appends serialize; centroids and codes equal a from-scratch build") {
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(4)(d => (i * 4 + d).toDouble / 10.0), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val path = Files.createTempDirectory("ivfsq8_race_").toString + "/idx"
+    // grid trains on the full population so every append is in-range
+    // and append == rebuild holds across the race
+    Similarity.persistIvfSq8Index(vecs(0L to 3L), "vec_id", "embedding",
+      "label", path, train = Some(vecs(0L to 11L)))
+    race(
+      Similarity.appendToIvfSq8Index(vecs(4L to 7L), "vec_id", "embedding",
+        path, dim = 4, labelCol = Some("label")),
+      Similarity.appendToIvfSq8Index(vecs(8L to 11L), "vec_id", "embedding",
+        path, dim = 4, labelCol = Some("label")))
+    val scratch = Files.createTempDirectory("ivfsq8_race_scratch_").toString + "/idx"
+    Similarity.persistIvfSq8Index(vecs(0L to 11L), "vec_id", "embedding",
+      "label", scratch)
+    val (centG, quantG, codesG) = Similarity.readIvfSq8Index(spark, path)
+    val (centW, quantW, codesW) = Similarity.readIvfSq8Index(spark, scratch)
+    assert(quantG == quantW)
+    assert(centG.orderBy("label", "pos").collect().toSeq ===
+      centW.orderBy("label", "pos").collect().toSeq,
+      "a racing centroid merge dropped the other's sums")
+    assert(codesG.orderBy("cid").collect().toSeq ===
+      codesW.orderBy("cid").collect().toSeq,
+      "racing code appends lost or duplicated a batch")
+  }
+
   test("appendToPqIndex: a wrong-but-divisible m fails against the stored codes") {
     def vecs(ids: Seq[Long]) = ids.map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 64.0 + d)), i % 2)
