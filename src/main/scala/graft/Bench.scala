@@ -67,6 +67,11 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$hardFailed,"queries":$qs,"sf":${js(sfDir)}}"""
     println(line)
+    // Compact trailer AFTER the JSON: the driver's output-tail window
+    // truncates the FRONT of the long one-line JSON (every BENCH_rN
+    // since r6 recorded "parsed": null), so the total also rides a
+    // short fixed-shape line the tail always captures.
+    println(s"BENCH_TOTAL sec=${ms(total)} n=${results.size} failed=$hardFailed sf=$sfDir")
     // Machine-readable artifact alongside the stdout line: the driver's
     // output-tail capture truncates long runs (BENCH_r11 recorded
     // "parsed": null), so round-over-round drift comparison reads this

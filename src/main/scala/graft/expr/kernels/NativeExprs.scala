@@ -153,7 +153,11 @@ case class QuantizeArray(child: Expression, scale: Int)
 /** Largest |element| of a float/double embedding as double —
   * array_max(transform(abs)) without the interpreted HOF pass. Null
   * elements are skipped (the array_max convention); empty or all-null
-  * arrays yield null. Input is cast to array<double> by the wrapper. */
+  * arrays yield null. NaN elements latch as the max (Spark's ordering
+  * treats NaN as greater than any double), so the result is
+  * order-independent and bit-equal to the HOF anchor on NaN inputs —
+  * a plain `a > best` comparison would make [1.0, NaN] and [NaN, 1.0]
+  * disagree. Input is cast to array<double> by the wrapper. */
 case class AbsMaxArr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_absmax"
@@ -170,7 +174,7 @@ case class AbsMaxArr(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val a = math.abs(arr.getDouble(i))
-        if (!any || a > best) { best = a; any = true }
+        if (!any || java.lang.Double.isNaN(a) || a > best) { best = a; any = true }
       }
       i += 1
     }
@@ -194,7 +198,9 @@ case class AbsMaxArr(child: Expression) extends UnaryExpression {
         |  for (int $i = 0; $i < $n; $i++) {
         |    if (!$arr.isNullAt($i)) {
         |      double $a = java.lang.Math.abs($arr.getDouble($i));
-        |      if (!$any || $a > ${ev.value}) { ${ev.value} = $a; $any = true; }
+        |      if (!$any || java.lang.Double.isNaN($a) || $a > ${ev.value}) {
+        |        ${ev.value} = $a; $any = true;
+        |      }
         |    }
         |  }
         |  ${ev.isNull} = !$any;

@@ -636,8 +636,23 @@ object CorpusStats {
     require(qMille.nonEmpty && qMille.forall(q => q >= 1 && q <= 1000),
       s"quantile targets must be per-mille in [1, 1000], got $qMille")
     val byGroup = Window.partitionBy(col(groupCol))
-    val walk = byGroup.orderBy(col("bucket"))
-    regs
+    // sb in the walk order: after the fold below, (bucket, sb) is
+    // unique per group, so the default RANGE frame never sees peer
+    // rows — every rank picks exactly one row even on a MIXED-geometry
+    // frame, which then reaches the raise guard instead of silently
+    // dropping its picks.
+    val walk = byGroup.orderBy(col("bucket"), col("sb"))
+    // Fold duplicate (group, bucket, sb) cells FIRST: a register union
+    // not passed through logHistMerge would otherwise carry tied rows,
+    // and the default RANGE frame of orderBy(bucket) gives tied rows
+    // one shared cumulative value — the pick filter below could then
+    // be unsatisfiable for some ranks, silently DROPPING quantile rows
+    // instead of raising. The fold is a no-op on merged frames (the
+    // common path: one row per cell) and makes raw unions correct; its
+    // hash exchange on the group key is exactly the window's required
+    // partitioning, so AQE/EnsureRequirements add no extra shuffle.
+    regs.groupBy(col(groupCol), col("bucket"), col("sb"))
+      .agg(sum(col("cnt")).as("cnt"))
       .withColumn("__cum", sum(col("cnt")).over(walk))
       .withColumn("__n", sum(col("cnt")).over(byGroup))
       .withColumn("__gmin", min(col("sb")).over(byGroup))

@@ -94,6 +94,28 @@ class NativeExprSpec extends SparkSpec {
       .collect()(0)
     assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1) == Seq(0.toByte, 0.toByte))
     assert(z.isNullAt(2))
+    // NaN latches as the max in BOTH positions (array_max's ordering
+    // treats NaN as greater than any double; a plain `>` comparison
+    // would make the result order-dependent) — both eval paths
+    val nanRows = Seq(
+      (Seq(1.0f, Float.NaN), "nan-last"),
+      (Seq(Float.NaN, 1.0f), "nan-first"),
+      (Seq(Float.NaN, Float.NaN), "all-nan"),
+      (Seq(5.0f, Float.NaN, 2.0f), "nan-mid")).toDF("v", "tag")
+    val nanDiff = nanRows.select(col("tag"),
+      NativeFns.absMaxArr(col("v")).as("native"),
+      Similarity.absMaxHof(col("v")).as("hof"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        assert(nanDiff.filter(col("native") =!= col("hof")).count() == 0,
+          s"nan $mode")
+        assert(nanDiff.filter(isnan(col("native")) =!= isnan(col("hof")))
+          .count() == 0, s"nan-flag $mode")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(nanDiff.filter(!isnan(col("native"))).count() == 0,
+      "every NaN-bearing vector must absmax to NaN")
   }
 
   test("Sq8Encode/Sq8Decode == zip_with chains on random vectors incl. out-of-range (both eval paths)") {

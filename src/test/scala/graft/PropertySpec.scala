@@ -535,5 +535,17 @@ class PropertySpec extends SparkSpec {
         s"$s q=$q: enclosure [$lo, $hi] wider than the 2^-5 bound")
       else assert(lo === hi, s"$s q=$q: small values must be exact")
     }
+    // an UN-merged shard union (duplicate (group, bucket) rows — a
+    // caller that skipped logHistMerge) must produce the SAME quantile
+    // rows: the walk pre-folds cells, so tied register rows can no
+    // longer share a cumulative value and silently drop picks
+    val rawUnion = (0 to 2).map(sh => CorpusStats.logHistRegisters(
+      docs.filter(col("shard") === sh), "source", col("v")))
+      .reduce(_.unionByName(_))
+    val estRaw = CorpusStats.logHistQuantiles(rawUnion, qs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(estRaw.sortBy(r => (r._1, r._2)).toSeq ===
+      est.sortBy(r => (r._1, r._2)).toSeq,
+      "un-merged register unions must quantile identically to merged")
   }
 }
