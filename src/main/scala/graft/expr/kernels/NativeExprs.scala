@@ -416,6 +416,94 @@ case class Sq8Decode(child: Expression, vmin: Seq[Long], vdiff: Seq[Long])
     copy(child = newChild)
 }
 
+/** Per-query PQ lookup table for ONE subspace: entry l =
+  * Σ_{i<sub} qe[s·sub+i] · books(l)(s·sub+i) — the m×k ADC table build
+  * that runs once per (query, subspace) on EVERY PQ/IVFPQ serve. The
+  * HOF form (an `aggregate`×`zip_with` per (query, label, subspace))
+  * is CodegenFallback — an interpreted lambda per element on the
+  * hottest serving-path expression — and its literal codeword arrays
+  * inline O(k·dim) constants into the plan; here the codebooks ride as
+  * ONE reference object and the generated method is a fixed-size
+  * double loop at ANY k (the ArgminCentroid discipline). Bit-identical
+  * to the HOF anchor including its null semantics: an entry is null
+  * iff the query slice is incomplete (vector shorter than (s+1)·sub)
+  * or carries a null element; a NULL vector yields the all-null array
+  * (slice(NULL) poisons every aggregate, not the CreateArray). */
+case class PqSubLut(child: Expression, books: Seq[IndexedSeq[Long]],
+                    s: Int, sub: Int)
+  extends UnaryExpression {
+  require(books.nonEmpty && sub >= 1 && s >= 0,
+    s"need codebooks and a valid subspace, got ${books.length} books, s=$s, sub=$sub")
+  require(books.forall(_.length >= (s + 1) * sub),
+    s"every codeword vector must cover subspace $s (need ${(s + 1) * sub} dims)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pq_sub_lut"
+
+  @transient private lazy val bookArr: Array[Array[Long]] =
+    books.map(_.toArray).toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Any](bookArr.length)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val off = s * sub
+      var ok = arr.numElements() >= off + sub
+      var i = 0
+      while (ok && i < sub) { if (arr.isNullAt(off + i)) ok = false; i += 1 }
+      if (ok) {
+        var l = 0
+        while (l < bookArr.length) {
+          val b = bookArr(l)
+          var acc = 0L; var j = 0
+          while (j < sub) { acc += arr.getLong(off + j) * b(off + j); j += 1 }
+          out(l) = acc
+          l += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", bookArr, "long[][]")
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("arr"); val out = ctx.freshName("out")
+    val ok = ctx.freshName("ok"); val i = ctx.freshName("i")
+    val l = ctx.freshName("l"); val acc = ctx.freshName("acc")
+    val off = s * sub
+    ev.copy(code =
+      code"""
+        |${childGen.code}
+        |Object[] $out = new Object[$booksRef.length];
+        |if (!${childGen.isNull}) {
+        |  org.apache.spark.sql.catalyst.util.ArrayData $arr = ${childGen.value};
+        |  boolean $ok = $arr.numElements() >= ${off + sub};
+        |  for (int $i = 0; $ok && $i < $sub; $i++) {
+        |    if ($arr.isNullAt($off + $i)) $ok = false;
+        |  }
+        |  if ($ok) {
+        |    for (int $l = 0; $l < $booksRef.length; $l++) {
+        |      long $acc = 0L;
+        |      for (int $i = 0; $i < $sub; $i++) {
+        |        $acc += $arr.getLong($off + $i) * $booksRef[$l][$off + $i];
+        |      }
+        |      $out[$l] = java.lang.Long.valueOf($acc);
+        |    }
+        |  }
+        |}
+        |boolean ${ev.isNull} = false;
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqSubLut =
+    copy(child = newChild)
+}
+
 /** MinHash signature over hashed shingles: one pass over the array
   * updating all permutation minima (vs 16 interpreted transforms).
   * Empty input → null, matching Dedup.minHashSignature. */
@@ -895,6 +983,8 @@ object NativeFns {
       expression(amax.cast("double"))))
   def tinyDot(a: Column, b: Column): Column =
     column(TinyDot(expression(a), expression(b)))
+  def pqSubLut(qe: Column, books: Seq[IndexedSeq[Long]], s: Int, sub: Int): Column =
+    column(PqSubLut(expression(qe), books, s, sub))
   def sq8Encode(q: Column, quant: Seq[(Long, Long)]): Column =
     column(Sq8Encode(expression(q), quant.map(_._1), quant.map(_._2)))
   def sq8Decode(codes: Column, quant: Seq[(Long, Long)]): Column =

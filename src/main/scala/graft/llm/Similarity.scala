@@ -344,27 +344,39 @@ object Similarity {
     val sub = dim / m
     val labels = byLabel.keys.toSeq.sorted
     val dense = labels == (0L until labels.size.toLong)
-    def cwArr(s: Int, l: Long) =
-      array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*)
-    val qSubs = (0 until m).foldLeft(
-      queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))) {
-      (d, s) => d.withColumn(s"__qsub$s", slice(col("qe"), s * sub + 1, sub))
-    }
-    def lutFor(s: Int, l: Long): Column =
-      aggregate(zip_with(col(s"__qsub$s"), cwArr(s, l), (x, y) => x * y),
-        lit(0L), (a, v) => a + v)
-    val dropCols = "qe" +: (0 until m).map(s => s"__qsub$s")
+    val q0 = queries.select(col(qId).as("qid"), quantize(col(embCol)).as("qe"))
     val qLut =
-      if (dense)
-        (0 until m).foldLeft(qSubs) { (d, s) =>
-          d.withColumn(s"__lut$s", array(labels.map(l => lutFor(s, l)): _*))
-        }.drop(dropCols: _*)
-      else
+      if (dense) {
+        // native kernel: ONE codegen'd double loop per (query,
+        // subspace) with the codebooks as a reference object — the
+        // aggregate×zip_with form ran an interpreted lambda per
+        // element per (query, label, subspace) on every serve AND
+        // inlined O(k·dim) literals into the plan (the Janino-ceiling
+        // disease ArgminCentroid closed for the assign path).
+        // [[pqSubLutHof]] keeps the HOF form as the bit-equality
+        // anchor (NativeExprSpec differential, both eval paths).
+        val books = labels.map(byLabel)
+        (0 until m).foldLeft(q0) { (d, s) =>
+          d.withColumn(s"__lut$s",
+            graft.expr.kernels.NativeFns.pqSubLut(col("qe"), books, s, sub))
+        }.drop("qe")
+      } else {
+        // sparse-label fallback (never produced by the trainers here):
+        // per-label scalar luts via the HOF form
+        val qSubs = (0 until m).foldLeft(q0) { (d, s) =>
+          d.withColumn(s"__qsub$s", slice(col("qe"), s * sub + 1, sub))
+        }
+        def lutFor(s: Int, l: Long): Column =
+          aggregate(zip_with(col(s"__qsub$s"),
+            array(byLabel(l).slice(s * sub, (s + 1) * sub).map(lit): _*),
+            (x, y) => x * y), lit(0L), (a, v) => a + v)
+        val dropCols = "qe" +: (0 until m).map(s => s"__qsub$s")
         labels.foldLeft(qSubs) { (d, l) =>
           (0 until m).foldLeft(d) { (d2, s) =>
             d2.withColumn(s"__lut_${s}_$l", lutFor(s, l))
           }
         }.drop(dropCols: _*)
+      }
     val adc =
       if (dense)
         (0 until m).map { s =>
@@ -378,6 +390,18 @@ object Similarity {
         }.reduce(_ + _)
     (qLut, adc)
   }
+
+  /** The aggregate×zip_with LUT build the [[graft.expr.kernels.PqSubLut]]
+    * kernel replaced — kept as the bit-equality differential anchor
+    * (NativeExprSpec), the dotQHof convention. `books` must be
+    * label-ordered (dense 0..k-1). */
+  private[graft] def pqSubLutHof(qe: Column, books: Seq[IndexedSeq[Long]],
+                                 s: Int, sub: Int): Column =
+    array(books.map { cw =>
+      aggregate(zip_with(slice(qe, s * sub + 1, sub),
+        array(cw.slice(s * sub, (s + 1) * sub).map(lit): _*),
+        (x, y) => x * y), lit(0L), (a, v) => a + v)
+    }: _*)
 
   /** Coarse top-`coarse` by ADC then exact rescore to top-`k` — the
     * tail shared by [[pqServe]] and [[ivfPqTopK]]. `scored` must carry

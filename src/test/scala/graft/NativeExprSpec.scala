@@ -118,6 +118,44 @@ class NativeExprSpec extends SparkSpec {
       "every NaN-bearing vector must absmax to NaN")
   }
 
+  test("PqSubLut == aggregate+zip_with LUT build incl. short/null vectors (both eval paths)") {
+    // 5 codebooks over dim 16, m = 4 subspaces of 4 — random longs in
+    // the quantized-embedding range
+    val books = (0 until 5).map { l =>
+      floats(16, l + 300).map(f => (f * 1000).toLong).toIndexedSeq
+    }
+    val base = vecs.select(col("id"),
+      Similarity.quantize(slice(col("e"), 1, 16)).as("qe"))
+    // edge rows: vector shorter than the last subspace; a null element
+    // inside subspace 2; a NULL vector — all must match the HOF's
+    // null-poisoning exactly
+    val edges = spark.range(1)
+      .select(lit(1000L).as("id"),
+        array((1 to 6).map(i => lit(i.toLong)): _*).as("qe"))
+      .unionByName(spark.range(1).select(lit(1001L).as("id"),
+        array((1 to 16).map(i =>
+          if (i == 9) lit(null).cast("bigint") else lit(i.toLong)): _*).as("qe")))
+      .unionByName(spark.range(1).select(lit(1002L).as("id"),
+        lit(null).cast("array<bigint>").as("qe")))
+    val all = base.unionByName(edges)
+    val diff = (0 until 4).foldLeft(all) { (d, s) =>
+      d.withColumn(s"n$s", NativeFns.pqSubLut(col("qe"), books, s, 4))
+        .withColumn(s"h$s", Similarity.pqSubLutHof(col("qe"), books, s, 4))
+    }
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try (0 until 4).foreach { s =>
+        assert(diff.filter(not(col(s"n$s") <=> col(s"h$s"))).count() == 0,
+          s"subspace $s mode $mode")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // sanity on the edge semantics: short vector → all-null luts for
+    // the truncated subspace, complete luts below it
+    val shortRow = diff.filter(col("id") === 1000L).collect()(0)
+    assert(shortRow.getSeq[Any](shortRow.fieldIndex("n0")).forall(_ != null))
+    assert(shortRow.getSeq[Any](shortRow.fieldIndex("n3")).forall(_ == null))
+  }
+
   test("Sq8Encode/Sq8Decode == zip_with chains on random vectors incl. out-of-range (both eval paths)") {
     // grid trained on HALF the rows so the rest exercise the clamp;
     // one degenerate dim (vdiff = 0)
