@@ -920,6 +920,107 @@ case class ArgminCentroid(child: Expression, ids: Seq[Long],
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest centroids (ids, nearest-first) by the same
+  * dot-identity squared-distance order as [[ArgminCentroid]] — the
+  * multi-probe cell assignment: a vector near a cell BOUNDARY joins
+  * its runner-up cells too, so the cell-bucketed self-joins
+  * (kNN graph, SemDeDup) stop losing the neighbors that sit just
+  * across the boundary (the IVF nprobe recall dial applied to the
+  * similarity-JOIN side). Ordering: d = ||c||² − 2·x·c ascending,
+  * ties to the LOWER centroid id (ids must ascend; strict `<` on the
+  * insertion keeps earlier = lower id ahead on ties — bit-identical
+  * to a sort by (d, id)). Centroids ride as reference objects, so
+  * generated code is fixed-size at any nlist. n is clamped to the
+  * centroid count. */
+case class TopNCentroids(child: Expression, ids: Seq[Long],
+                         cents: Seq[IndexedSeq[Long]], n: Int)
+  extends UnaryExpression {
+  require(ids.nonEmpty && ids.length == cents.length,
+    s"need one id per centroid, got ${ids.length} ids / ${cents.length} centroids")
+  require(ids.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+    "centroid ids must be strictly ascending (the tie-break contract)")
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_topn_centroids"
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val centArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val normArr: Array[Long] =
+    centArr.map(c => c.map(x => x * x).sum)
+  private val keep: Int = math.min(n, ids.length)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val bd = new Array[Long](keep)
+    val bid = new Array[Long](keep)
+    var cnt = 0
+    var j = 0
+    while (j < centArr.length) {
+      val c = centArr(j)
+      val nn = math.min(dim, c.length)
+      var dot = 0L; var i = 0
+      while (i < nn) { dot += x.getLong(i) * c(i); i += 1 }
+      val d = normArr(j) - 2L * dot
+      var p = cnt
+      var t = 0
+      while (t < cnt && p == cnt) { if (d < bd(t)) p = t; t += 1 }
+      if (p < keep) {
+        var q = math.min(cnt, keep - 1)
+        while (q > p) { bd(q) = bd(q - 1); bid(q) = bid(q - 1); q -= 1 }
+        bd(p) = d; bid(p) = idArr(j)
+        if (cnt < keep) cnt += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bid, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", idArr, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", centArr, "long[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", normArr, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val nn = ctx.freshName("nn"); val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d"); val bd = ctx.freshName("bd")
+      val bid = ctx.freshName("bid"); val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c"); val p = ctx.freshName("p")
+      val t = ctx.freshName("t"); val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $bd = new long[$keep];
+         |long[] $bid = new long[$keep];
+         |int $cnt = 0;
+         |for (int $j = 0; $j < $centsRef.length; $j++) {
+         |  long[] $c = $centsRef[$j];
+         |  int $nn = java.lang.Math.min($x.numElements(), $c.length);
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $nn; $i++) { $dot += $x.getLong($i) * $c[$i]; }
+         |  long $d = $normsRef[$j] - 2L * $dot;
+         |  int $p = $cnt;
+         |  for (int $t = 0; $t < $cnt; $t++) { if ($d < $bd[$t]) { $p = $t; break; } }
+         |  if ($p < $keep) {
+         |    for (int $q = java.lang.Math.min($cnt, $keep - 1); $q > $p; $q--) {
+         |      $bd[$q] = $bd[$q - 1]; $bid[$q] = $bid[$q - 1];
+         |    }
+         |    $bd[$p] = $d; $bid[$p] = $idsRef[$j];
+         |    if ($cnt < $keep) $cnt++;
+         |  }
+         |}
+         |long[] $out = new long[$cnt];
+         |System.arraycopy($bid, 0, $out, 0, $cnt);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopNCentroids =
+    copy(child = newChild)
+}
+
 case class SearchSortedDouble(child: Expression, bounds: Seq[Double])
   extends UnaryExpression {
   require(bounds.nonEmpty && bounds.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
@@ -974,6 +1075,9 @@ object NativeFns {
   def argminCentroid(eq: Column, cents: Seq[(Long, Seq[Long])]): Column =
     column(ArgminCentroid(expression(eq), cents.map(_._1),
       cents.map(_._2.toIndexedSeq)))
+  def topNCentroids(eq: Column, cents: Seq[(Long, Seq[Long])], n: Int): Column =
+    column(TopNCentroids(expression(eq), cents.map(_._1),
+      cents.map(_._2.toIndexedSeq), n))
   def quantizeArr(e: Column, scale: Int = 1000): Column =
     column(QuantizeArray(expression(e.cast("array<double>")), scale))
   def absMaxArr(e: Column): Column =

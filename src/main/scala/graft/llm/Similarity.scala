@@ -973,6 +973,7 @@ object Similarity {
   def kmeansClusters(df: DataFrame, idCol: String, embCol: String,
                      k: Int, iters: Int): DataFrame = {
     val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    val cents = kmeansTrain(eq, k, iters)
     // dot-identity argmin (the pqEncodeFrame convention): ranking by
     // Σc² − 2·dot(x, c) is exactly the squared-distance order (the Σx²
     // term is a per-row constant; ties to the lowest cid). Native
@@ -982,6 +983,53 @@ object Similarity {
     // back to interpreted — sf10 BenchScale caught the super-linear
     // assign; [[assignDeclarative]] keeps the old form as the
     // bit-equality spec anchor)
+    eq.withColumn("cluster",
+        graft.expr.kernels.NativeFns.argminCentroid(col("eq"), cents))
+      .select(col("vid"), col("cluster"))
+  }
+
+  /** Multi-probe cluster assignment: each vector joins its `nprobe`
+    * NEAREST cells (same trained centroids, same distance order and
+    * tie-break as [[kmeansClusters]] — nprobe = 1 is exactly that
+    * assignment). Output (vid, cluster, probe) with probe = 1-based
+    * nearness rank; ≤ nprobe rows per vector. This is the IVF nprobe
+    * recall dial applied to the similarity-JOIN side: a vector near a
+    * cell boundary is searched in its runner-up cells too. */
+  def kmeansClustersProbe(df: DataFrame, idCol: String, embCol: String,
+                          k: Int, iters: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    val cents = kmeansTrain(eq, k, iters)
+    eq.select(col("vid"), posexplode(
+        graft.expr.kernels.NativeFns.topNCentroids(col("eq"), cents, nprobe))
+        .as(Seq("__p", "cluster")))
+      .select(col("vid"), col("cluster"), (col("__p") + 1).as("probe"))
+  }
+
+  /** The struct-sort top-n assignment the native
+    * [[graft.expr.kernels.TopNCentroids]] kernel replaced — the
+    * bit-equality differential anchor (NativeExprSpec), the
+    * [[assignDeclarative]] convention: sort (dist, cid) structs
+    * ascending, take the first n cids. */
+  private[graft] def topNDeclarative(eq: Column,
+                                     cents: Seq[(Long, Seq[Long])],
+                                     n: Int): Column =
+    transform(slice(array_sort(array(cents.map { case (cid, c) =>
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2L) *
+        graft.expr.kernels.NativeFns.longDot(eq, array(c.map(lit): _*)))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*)), 1, n), _.getField("cid"))
+
+  /** The deterministic Lloyd trainer shared by [[kmeansClusters]] and
+    * [[kmeansClustersProbe]]: seeds are the k lowest-id vectors,
+    * distances exact integer L2², centroid updates floor(sum/count),
+    * ties to the lower cluster id; fixed `iters` keeps the whole
+    * computation replayable as unrolled SQL. Per iteration = MLlib's
+    * shape: a codegen'd map-side argmin (no join) then ONE shuffle for
+    * the sums; the driver holds only k×dim longs. `eq` is (vid, eq). */
+  private def kmeansTrain(eq: DataFrame, k: Int,
+                          iters: Int): Seq[(Long, Seq[Long])] = {
     def assign(cents: Seq[(Long, Seq[Long])]): Column =
       graft.expr.kernels.NativeFns.argminCentroid(col("eq"), cents)
     // deterministic seeding: the k lowest-id vectors, cid by id order
@@ -999,7 +1047,7 @@ object Similarity {
           cid -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("c")).toSeq
         }.sortBy(_._1)
     }
-    eq.withColumn("cluster", assign(cents)).select(col("vid"), col("cluster"))
+    cents
   }
 
   /** The literal struct-array_min assignment formulation the native
@@ -1035,8 +1083,37 @@ object Similarity {
     * window (ReuseExchange), so the guard adds no extra shuffle. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                            threshold: Double, nlist: Int = 4, iters: Int = 2,
-                           maxCluster: Int = 4096): DataFrame = {
-    val clusters = kmeansClusters(df, idCol, embCol, nlist, iters)
+                           maxCluster: Int = 4096): DataFrame =
+    cellPairs(df, idCol, embCol, nlist, iters, maxCluster,
+      nprobe = 1, ordered = true)
+      .filter(col("cosine") >= threshold)
+
+  /** The ONE cell-bucketed self-join skeleton behind
+    * [[semanticNearDupPairs]] and [[knnGraph]]: k-means cell
+    * assignment (multi-probe when nprobe > 1 — see
+    * [[kmeansClustersProbe]]), degenerate-cell cap, ONE checkpointed
+    * materialization feeding both self-join sides, cell equi-join,
+    * exact-integer cosine with the zero-norm guard. `ordered` picks
+    * the pair shape: a < b undirected candidates (the dedup paths) vs
+    * a ≠ b directed (the kNN-graph path, where each endpoint needs
+    * its own neighbor list).
+    *
+    * nprobe = 1 returns (cluster, a, b, cosine) — bit-compatible with
+    * the pre-refactor pair frames, no dedup pass in the plan. With
+    * nprobe > 1 a pair meeting in several shared cells would
+    * duplicate, so the output deduplicates to DISTINCT (a, b, cosine)
+    * (cosine is a function of the pair — identical on every copy) and
+    * drops the now-ambiguous cluster column. The candidate volume
+    * grows ≤ nprobe² per pair in the worst case — [[knnGraph]]'s
+    * recall ledger prices both sides of that dial. */
+  private[graft] def cellPairs(df: DataFrame, idCol: String, embCol: String,
+                               nlist: Int, iters: Int, maxCluster: Int,
+                               nprobe: Int, ordered: Boolean): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val clusters =
+      if (nprobe == 1) kmeansClusters(df, idCol, embCol, nlist, iters)
+      else kmeansClustersProbe(df, idCol, embCol, nlist, iters, nprobe)
+        .select(col("vid"), col("cluster"))
     val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
       .join(clusters, "vid")
     val capped = eq
@@ -1044,10 +1121,11 @@ object Similarity {
       .filter(col("__bc").between(2, maxCluster))
       .drop("__bc")
       // lazy barrier: one materialization feeds both self-join sides
-      // (the knnGraph cut — two corpus passes otherwise)
+      // (two full corpus passes otherwise)
       .localCheckpoint(false)
-    capped.as("x").join(capped.as("y"),
-        col("x.cluster") === col("y.cluster") && col("x.vid") < col("y.vid"))
+    val cond = col("x.cluster") === col("y.cluster") &&
+      (if (ordered) col("x.vid") < col("y.vid") else col("x.vid") =!= col("y.vid"))
+    val scored = capped.as("x").join(capped.as("y"), cond)
       .select(col("x.cluster").as("cluster"),
         col("x.vid").as("a"), col("y.vid").as("b"),
         dotQ(col("x.eq"), col("y.eq")).cast("double").as("__dot"),
@@ -1057,7 +1135,8 @@ object Similarity {
       .filter(col("__na") > 0 && col("__nb") > 0)
       .select(col("cluster"), col("a"), col("b"),
         (col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    if (nprobe == 1) scored
+    else scored.select(col("a"), col("b"), col("cosine")).distinct()
   }
 
   /** End-to-end SemDeDup: semantic pairs → connected components →
@@ -1091,35 +1170,27 @@ object Similarity {
     * drops degenerate cells (same contract as the SemDeDup/LSH caps),
     * and the per-vector top-k compiles to a rank-filter window (map-
     * side WindowGroupLimit before the shuffle). A vector whose true
-    * neighbor sits across a cell boundary misses it — the IVF trade;
-    * `llm_knn_recall` prices exactly that against the exact graph on
-    * an eval subset. Zero-norm vectors have no defined cosine and are
-    * excluded from both endpoints (the NaN guard of the cosine
-    * paths). */
+    * neighbor sits across a cell boundary misses it at nprobe = 1 —
+    * the IVF trade; `nprobe` > 1 searches each vector's runner-up
+    * cells too (the standard multi-probe recall dial —
+    * [[kmeansClustersProbe]]), for ≤ nprobe² the candidate pairs;
+    * `llm_knn_recall_probes` prices BOTH sides of that dial against
+    * the exact graph on an eval subset. Zero-norm vectors have no
+    * defined cosine and are excluded from both endpoints (the NaN
+    * guard of the cosine paths). */
   def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
                nlist: Int = 4, iters: Int = 2,
-               maxCluster: Int = 4096): DataFrame = {
+               maxCluster: Int = 4096, nprobe: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val clusters = kmeansClusters(df, idCol, embCol, nlist, iters)
-    val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
-      .join(clusters, "vid")
-    val capped = eq
-      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("cluster"))))
-      .filter(col("__bc").between(2, maxCluster))
-      .drop("__bc")
-      // lazy barrier: both self-join sides read ONE materialization of
-      // the capped frame instead of re-running the scan + assign +
-      // count-window per side (two full corpus passes at scale)
-      .localCheckpoint(false)
-    val pairs = capped.as("x").join(capped.as("y"),
-        col("x.cluster") === col("y.cluster") && col("x.vid") =!= col("y.vid"))
-      .select(col("x.vid").as("a"), col("y.vid").as("b"),
-        dotQ(col("x.eq"), col("y.eq")).cast("double").as("__dot"),
-        dotQ(col("x.eq"), col("x.eq")).cast("double").as("__na"),
-        dotQ(col("y.eq"), col("y.eq")).cast("double").as("__nb"))
-      .filter(col("__na") > 0 && col("__nb") > 0)
-      .select(col("a"), col("b"),
-        (col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))).as("cosine"))
+    knnTopK(cellPairs(df, idCol, embCol, nlist, iters, maxCluster,
+      nprobe, ordered = false), k)
+  }
+
+  /** Per-vector top-k window over a directed candidate-pair frame —
+    * [[knnGraph]]'s tail, shared with the recall/volume ledger so the
+    * graph and the ledger rank identically. Compiles to a map-side
+    * WindowGroupLimit partial before the single rank exchange. */
+  private[graft] def knnTopK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

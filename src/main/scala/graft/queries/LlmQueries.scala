@@ -1448,6 +1448,47 @@ object LlmQueries {
         .orderBy(col("vid"))
     }),
 
+    // Multi-probe kNN graph: each vector searched in its 2 nearest
+    // cells (kmeansClustersProbe) — the IVF nprobe recall dial applied
+    // to the similarity-join side; a boundary vector stops missing the
+    // neighbors that sit just across its cell edge. Candidate pairs
+    // that meet in both shared cells dedup to one edge.
+    "llm_knn_graph_probe2" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nlist = 4, iters = 2, maxCluster = SemMaxCluster, nprobe = 2)
+        .orderBy(col("a"), col("rank"))),
+
+    // BOTH sides of the multi-probe dial in one ledger (the grid
+    // principle): per nprobe ∈ {1, 2}, recall vs the exact graph on
+    // the bounded eval subset AND the corpus-wide candidate-pair
+    // volume the cell join evaluated — the cost that buys the recall.
+    // The exact side is computed ONCE (localCheckpoint) and shared.
+    "llm_knn_recall_probes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.knnGraphExact(emb, col("vid") < 150L,
+          "vec_id", "embedding", k = 3)
+        .select(col("a"), col("b")).localCheckpoint(false)
+      val nEval = exact.select(countDistinct(col("a")).as("n_eval"))
+      Seq(1, 2).map { np =>
+        val cand = Similarity.cellPairs(emb, "vec_id", "embedding",
+            nlist = 4, iters = 2, maxCluster = SemMaxCluster,
+            nprobe = np, ordered = false)
+          // reused twice below (graph ∧ volume) — one materialization
+          .localCheckpoint(false)
+        val graph = Similarity.knnTopK(cand, 3).filter(col("a") < 150L)
+        val matches = graph.select(col("a"), col("b"))
+          .join(exact, Seq("a", "b"))
+          .agg(count(lit(1)).as("total_matches"))
+        val vol = cand.agg(count(lit(1)).as("n_pairs"))
+        nEval.crossJoin(matches).crossJoin(vol)
+          .select(lit(np.toLong).as("nprobe"), col("n_eval"),
+            col("total_matches"),
+            (col("total_matches").cast("double") /
+              (lit(3.0) * col("n_eval"))).as("recall"),
+            col("n_pairs"))
+      }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    }),
+
     // Image near-dup over REAL pixels: deterministic synthetic images
     // (3 variants per group: PNG, BMP re-encode, 2x-resolution render —
     // this container has no image corpus) -> real JDK decode -> dHash
@@ -2877,6 +2918,53 @@ object LlmQueries {
        |kg AS (SELECT a, b, CAST(rn AS BIGINT) AS rank, cosine FROM (
        |  SELECT a, b, cosine, row_number() OVER (
        |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM kcos) t
+       |  WHERE rn <= 3)""".stripMargin
+
+  /** Multi-probe kNN-graph oracle CTE chain, SUFFIXED so two nprobe
+    * variants can share one WITH (and the one kmeans replay): the
+    * [[knnCellCtes]] structure with the final assignment widened to
+    * rn <= nprobe against the SAME trained c1 centroids (training
+    * stays argmin — only graph-building assignment multi-probes,
+    * mirroring kmeansClustersProbe), and candidate pairs deduped with
+    * DISTINCT (a pair meeting in 2 shared cells must contribute one
+    * edge). Produces ap/cl/clc/kp/kcos/kg each suffixed. */
+  private def knnProbeCtes(np: Int, sfx: String): String =
+    s"""ap$sfx AS (SELECT vec_id, cid AS cluster FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    (SELECT sum((e.eq[i] - c.ceq[i]) * (e.eq[i] - c.ceq[i])) FROM range(1, 65) r(i)),
+       |    c.cid) AS rn
+       |  FROM eq e, c1 c) t WHERE rn <= $np),
+       |cl$sfx AS (SELECT e.vec_id AS vid, e.eq, a.cluster
+       |  FROM eq e JOIN ap$sfx a ON e.vec_id = a.vec_id),
+       |clc$sfx AS (SELECT vid, eq, cluster FROM (
+       |  SELECT vid, eq, cluster, count(*) OVER (PARTITION BY cluster) AS bc FROM cl$sfx) t0
+       |  WHERE bc BETWEEN 2 AND $SemMaxCluster),
+       |kp$sfx AS (SELECT x.vid AS a, y.vid AS b,
+       |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+       |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
+       |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
+       |  FROM clc$sfx x JOIN clc$sfx y ON x.cluster = y.cluster AND x.vid <> y.vid),
+       |kcos$sfx AS (SELECT DISTINCT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM kp$sfx
+       |  WHERE na > 0 AND nb > 0),
+       |kg$sfx AS (SELECT a, b, CAST(rn AS BIGINT) AS rank, cosine FROM (
+       |  SELECT a, b, cosine, row_number() OVER (
+       |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM kcos$sfx) t
+       |  WHERE rn <= 3)""".stripMargin
+
+  /** Exact-graph oracle CTEs (ev/ep/ecos/eg) — the ground-truth side
+    * shared by llm_knn_recall and llm_knn_recall_probes. */
+  private lazy val knnExactCtes: String =
+    s"""ev AS (SELECT vid, eq AS aeq FROM (SELECT vec_id AS vid, eq FROM eq) e0
+       |  WHERE vid < 150),
+       |ep AS (SELECT ev.vid AS a, c.vec_id AS b,
+       |  CAST((SELECT sum((ev.aeq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
+       |  CAST((SELECT sum((ev.aeq)[i] * (ev.aeq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
+       |  CAST((SELECT sum((c.eq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
+       |  FROM ev JOIN eq c ON c.vec_id <> ev.vid),
+       |ecos AS (SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM ep
+       |  WHERE na > 0 AND nb > 0),
+       |eg AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (
+       |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM ecos) t
        |  WHERE rn <= 3)""".stripMargin
 
   /** Shared CTE chain producing the MinHash+LSH candidate pairs with
@@ -4522,24 +4610,35 @@ object LlmQueries {
          |SELECT vid, score AS score_micro, is_seed FROM s2 ORDER BY vid""".stripMargin,
     "llm_knn_recall" ->
       s"""WITH $knnCellCtes,
-         |ev AS (SELECT vid, eq AS aeq FROM (SELECT vec_id AS vid, eq FROM eq) e0
-         |  WHERE vid < 150),
-         |ep AS (SELECT ev.vid AS a, c.vec_id AS b,
-         |  CAST((SELECT sum((ev.aeq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
-         |  CAST((SELECT sum((ev.aeq)[i] * (ev.aeq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
-         |  CAST((SELECT sum((c.eq)[i] * (c.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
-         |  FROM ev JOIN eq c ON c.vec_id <> ev.vid),
-         |ecos AS (SELECT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM ep
-         |  WHERE na > 0 AND nb > 0),
-         |eg AS (SELECT a, b FROM (SELECT a, b, row_number() OVER (
-         |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM ecos) t
-         |  WHERE rn <= 3),
+         |$knnExactCtes,
          |m AS (SELECT count(*)::BIGINT AS total_matches
          |  FROM (SELECT a, b FROM kg WHERE a < 150) kgf JOIN eg USING (a, b)),
          |ne AS (SELECT count(DISTINCT a)::BIGINT AS n_eval FROM eg)
          |SELECT ne.n_eval AS n_eval, m.total_matches AS total_matches,
          |  CAST(m.total_matches AS DOUBLE) / (3.0 * ne.n_eval) AS recall
          |FROM ne, m""".stripMargin,
+    "llm_knn_graph_probe2" ->
+      s"""WITH ${kmeansCtes(4)},
+         |${knnProbeCtes(2, "p")}
+         |SELECT a, b, rank, cosine FROM kgp ORDER BY a, rank""".stripMargin,
+    "llm_knn_recall_probes" ->
+      s"""WITH ${kmeansCtes(4)},
+         |${knnProbeCtes(1, "1")},
+         |${knnProbeCtes(2, "2")},
+         |$knnExactCtes,
+         |ne AS (SELECT count(DISTINCT a)::BIGINT AS n_eval FROM eg),
+         |r1 AS (SELECT 1::BIGINT AS nprobe, ne.n_eval AS n_eval,
+         |  (SELECT count(*) FROM (SELECT a, b FROM kg1 WHERE a < 150) f
+         |     JOIN eg USING (a, b))::BIGINT AS total_matches,
+         |  (SELECT count(*) FROM kcos1)::BIGINT AS n_pairs FROM ne),
+         |r2 AS (SELECT 2::BIGINT AS nprobe, ne.n_eval AS n_eval,
+         |  (SELECT count(*) FROM (SELECT a, b FROM kg2 WHERE a < 150) f
+         |     JOIN eg USING (a, b))::BIGINT AS total_matches,
+         |  (SELECT count(*) FROM kcos2)::BIGINT AS n_pairs FROM ne)
+         |SELECT nprobe, n_eval, total_matches,
+         |  CAST(total_matches AS DOUBLE) / (3.0 * n_eval) AS recall, n_pairs
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+         |ORDER BY nprobe""".stripMargin,
     "llm_semdedup_pairs" ->
       s"""WITH $semPairsCtes
          |SELECT cluster, a, b, cosine FROM semscored ORDER BY a, b""".stripMargin,

@@ -730,6 +730,51 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("multi-probe kNN graph: probe-1 == single-probe, full-probe == exact, recall monotone") {
+    import graft.llm.Similarity
+    val dim = 16
+    // three loose clusters with jitter so cell boundaries actually cut
+    // some true neighborhoods (the case multi-probe exists for)
+    def vec(c: Int, i: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => (c - 1).toFloat + ((i * 7 + d * 3) % 11) * 0.09f)
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 15).map(i => (c * 100L + i, vec(c, i)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // probe column: nprobe=1 assignment IS kmeansClusters, bit for bit
+    val single = Similarity.kmeansClusters(df, "vec_id", "embedding", 3, 2)
+      .orderBy("vid").collect().toSeq
+    val probe1 = Similarity.kmeansClustersProbe(df, "vec_id", "embedding",
+      3, 2, nprobe = 1)
+    assert(probe1.select("vid", "cluster").orderBy("vid").collect().toSeq == single)
+    // nprobe=2: exactly 2 rows per vector; the probe-1 slice is the
+    // single-probe assignment
+    val probe2 = Similarity.kmeansClustersProbe(df, "vec_id", "embedding",
+      3, 2, nprobe = 2)
+    assert(probe2.groupBy("vid").count().filter(col("count") =!= 2).count() == 0)
+    assert(probe2.filter(col("probe") === 1).select("vid", "cluster")
+      .orderBy("vid").collect().toSeq == single)
+    // full-probe graph == the exact graph (every vector meets every
+    // cell, so the cell boundary vanishes — the flat-SQ8 convention)
+    val exact = Similarity.knnGraphExact(df, lit(true), "vec_id", "embedding", 3)
+      .orderBy("a", "rank").collect().toSeq
+    val full = Similarity.knnGraph(df, "vec_id", "embedding", 3,
+        nlist = 3, iters = 2, maxCluster = 4096, nprobe = 3)
+      .orderBy("a", "rank").collect().toSeq
+    assert(full == exact, "nprobe = nlist must recover the exact graph")
+    // recall is monotone in nprobe (candidate sets nest)
+    def recall(np: Int): Double = {
+      val g = Similarity.knnGraph(df, "vec_id", "embedding", 3,
+        nlist = 3, iters = 2, maxCluster = 4096, nprobe = np)
+      val m = g.select(col("a"), col("b"))
+        .join(Similarity.knnGraphExact(df, lit(true), "vec_id", "embedding", 3)
+          .select(col("a"), col("b")), Seq("a", "b")).count()
+      m.toDouble / exact.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r1 <= r2 + 1e-12, s"recall must not drop with nprobe: $r1 vs $r2")
+  }
+
   test("sq8: trained grid, code range, degenerate dims, reconstruction bound") {
     // dim-4 toy corpus: dim 0 varies widely, dim 1 is constant
     // (degenerate), dims 2-3 vary narrowly

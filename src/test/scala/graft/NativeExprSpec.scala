@@ -118,6 +118,31 @@ class NativeExprSpec extends SparkSpec {
       "every NaN-bearing vector must absmax to NaN")
   }
 
+  test("TopNCentroids == struct-sort declarative top-n; head == ArgminCentroid (both eval paths)") {
+    // 6 centroids incl. an exact duplicate pair (ids 2 and 3) so the
+    // tie-break (lower id first) is actually exercised
+    val base = (0 until 6).map(i =>
+      (i.toLong, floats(64, i + 700).map(f => (f * 1000).toLong).toSeq))
+    val cents = base.updated(3, (3L, base(2)._2))
+    val q = vecs.select(Similarity.quantize(col("e")).as("eq"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        for (n <- Seq(1, 2, 3, 6)) {
+          val d = q.select(
+            graft.expr.kernels.NativeFns.topNCentroids(col("eq"), cents, n).as("native"),
+            Similarity.topNDeclarative(col("eq"), cents, n).as("hof"))
+          assert(d.filter(not(col("native") <=> col("hof"))).count() == 0,
+            s"n=$n mode $mode")
+        }
+        val one = q.select(
+          element_at(graft.expr.kernels.NativeFns.topNCentroids(col("eq"), cents, 1), 1).as("t"),
+          NativeFns.argminCentroid(col("eq"), cents).as("am"))
+        assert(one.filter(col("t") =!= col("am")).count() == 0, s"argmin $mode")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("PqSubLut == aggregate+zip_with LUT build incl. short/null vectors (both eval paths)") {
     // 5 codebooks over dim 16, m = 4 subspaces of 4 — random longs in
     // the quantized-embedding range
