@@ -170,7 +170,8 @@ object Tables {
     * serializes (lock) or raises (CAS), never silently wins. */
   def swapInParquet(spark: SparkSession, df: DataFrame,
                     dest: String, expectedGen: Long = -1L,
-                    markers: Seq[String] = Nil): Unit = {
+                    markers: Seq[String] = Nil,
+                    ledger: Seq[String] = Nil): Unit = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,6 +191,21 @@ object Tables {
       require(m.startsWith("_"), s"swapInParquet marker must be " +
         s"underscore-prefixed (invisible to parquet readers): $m")
       fs.create(new org.apache.hadoop.fs.Path(next, m), true).close()
+    }
+    // the applied-tag LEDGER — same atomicity as `markers` but ONE
+    // small file rewritten per publish instead of one empty file per
+    // batch forever (a maintenance stream would otherwise create O(n)
+    // files per publish, O(n²) cumulative, plus an ever-growing
+    // listStatus). Bounded to the most recent MaxAppliedLedger lines:
+    // replays come from at-least-once retries of RECENT batches
+    // (structured-streaming checkpoints advance monotonically, so the
+    // replay window is the last uncommitted batch), never from
+    // antiquity — the truncation is documented contract, not loss.
+    if (ledger.nonEmpty) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(next, AppliedLedgerFile), true)
+      out.write(ledger.takeRight(MaxAppliedLedger).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      out.close()
     }
     val gen = storeGeneration(spark, dest)
     if (expectedGen >= 0L && gen != expectedGen) {
@@ -234,7 +250,93 @@ object Tables {
     if (!fs.exists(destPath)) Seq.empty
     else fs.listStatus(destPath).iterator.map(_.getPath.getName)
       .filter(n => n.startsWith("_") && !n.startsWith("_GEN-") &&
-        n != "_SUCCESS").toSeq.sorted
+        n != "_SUCCESS" && n != AppliedLedgerFile).toSeq.sorted
+  }
+
+  /** The single-file applied-tag ledger published with a store
+    * generation (see [[swapInParquet]] `ledger`). */
+  val AppliedLedgerFile = "_APPLIED_LEDGER"
+
+  /** Ledger retention: replay detection covers the most recent K
+    * applied batches — far beyond any structured-streaming retry
+    * window (the checkpoint advances monotonically; restarts replay
+    * only the last uncommitted batch). A generic caller replaying a
+    * tag older than K batches ago is outside the contract. */
+  val MaxAppliedLedger = 512
+
+  /** One ledger line for a batch tag: md5-derived, filesystem-safe and
+    * line-safe for ANY tag text, and bytewise-compatible with the
+    * legacy one-empty-file-per-batch `_APPLIED-*` markers so existing
+    * stores migrate on their first ledger publish. */
+  def appliedLedgerLine(tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"_APPLIED-${h.take(16)}"
+  }
+
+  /** Every applied-batch record on the store's current generation:
+    * ledger-file lines plus any legacy `_APPLIED-*` marker files
+    * (pre-ledger stores fold their history into the ledger on the
+    * next publish and the marker files vanish with the swapped dir). */
+  def storeAppliedLedger(spark: SparkSession, dest: String): Seq[String] = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerPath = new org.apache.hadoop.fs.Path(destPath, AppliedLedgerFile)
+    val lines =
+      if (!fs.exists(ledgerPath)) Seq.empty[String]
+      else {
+        val in = fs.open(ledgerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    val legacy = storeMarkers(spark, dest).filter(_.startsWith("_APPLIED-"))
+    (legacy ++ lines).distinct
+  }
+
+  /** Idempotent staged append of a batch's PARTITIONED files into a
+    * `partitionBy(partCol)` parquet store — the crash-replay-safe
+    * codes side of the persisted-index appends. `mode("append")`
+    * alone is not retry-safe: a crash after the file adds but before
+    * the batch is recorded applied makes the retry double-append. This
+    * stages the batch to a scratch sibling with the batch repartitioned
+    * ON the partition column (exactly ONE file per touched partition
+    * dir — appends are deltas; the heavy path is a rebuild), renames
+    * that file to the DETERMINISTIC name `b<tagHash>.parquet`, and
+    * moves it into the store SKIPPING names that already exist — so a
+    * retry after a partial publish moves only the missing partitions
+    * and a complete replay moves nothing. Contents are the same rows
+    * on every retry (each partition's file carries ALL of the batch's
+    * rows for that partition value, whatever the task layout), the
+    * same determinism the append==rebuild differentials already
+    * contract. Callers hold the store lock. */
+  def stagedPartitionedAppend(spark: SparkSession, df: DataFrame,
+                              dest: String, partCol: String,
+                              tagHash: String): Unit = {
+    require(tagHash.nonEmpty && tagHash.forall(c => c.isLetterOrDigit || c == '-'),
+      s"tagHash must be filesystem-safe, got '$tagHash'")
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"${dest}__stage_$tagHash")
+    df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    fs.listStatus(stage).filter(_.isDirectory).foreach { d =>
+      val parts = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      require(parts.length == 1,
+        s"staged append: expected exactly one file under ${d.getPath}, " +
+          s"got ${parts.length} — the repartition-on-$partCol contract broke")
+      val target = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(destPath, d.getPath.getName),
+        s"b$tagHash.parquet")
+      if (!fs.exists(target)) {
+        fs.mkdirs(target.getParent)
+        if (!fs.rename(parts.head.getPath, target))
+          throw new java.io.IOException(
+            s"staged append: cannot publish ${parts.head.getPath} -> $target")
+      }
+    }
+    fs.delete(stage, true)
   }
 
   /** Exclusive advisory lease over a swap-published store: runs `body`

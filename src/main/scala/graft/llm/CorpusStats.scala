@@ -691,21 +691,19 @@ object CorpusStats {
     logHistQuantiles(logHistRegisters(df, groupCol, value, subBits),
       qMille, groupCol)
 
-  /** The applied-batch marker name for a store batch tag: md5-derived,
-    * filesystem-safe for ANY tag text. */
-  private def appliedMarker(tag: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"_APPLIED-${h.take(16)}"
-  }
-
   /** Persist a quantile-sketch register store — like the HLL profile
     * an ENTIRELY tiny store (<= 64·2^sb rows per group), rewritten
     * cell-wise and published crash-consistently each merge. `batchTag`
-    * names the ingested batch; its applied-marker publishes inside the
-    * SAME atomic rename as the data, so a re-run of the same tag
-    * short-circuits in [[appendToLogHist]] instead of double-counting
-    * (count SUM, unlike register max, is not replay-idempotent). */
+    * names the ingested batch; its applied-ledger line publishes
+    * inside the SAME atomic rename as the data, so a re-run of the
+    * same tag short-circuits in [[appendToLogHist]] instead of
+    * double-counting (count SUM, unlike register max, is not
+    * replay-idempotent). The ledger is ONE small file holding the most
+    * recent [[graft.io.Tables.MaxAppliedLedger]] tags (an indefinitely
+    * running maintenance stream would otherwise accumulate one marker
+    * FILE per micro-batch forever — O(n) creates per publish, O(n²)
+    * cumulative); pre-ledger marker files are folded in on the first
+    * new-style publish. */
   def persistLogHist(df: DataFrame, groupCol: String, value: Column,
                      path: String, subBits: Int = 5,
                      batchTag: Option[String] = None): Unit =
@@ -719,7 +717,7 @@ object CorpusStats {
                                      batchTag: Option[String]): Unit =
     graft.io.Tables.swapInParquet(df.sparkSession,
       logHistRegisters(df, groupCol, value, subBits), s"$path/registers",
-      markers = batchTag.map(appliedMarker).toSeq)
+      ledger = batchTag.map(graft.io.Tables.appliedLedgerLine).toSeq)
 
   /** Merge a new batch's registers into a persisted store — cell-wise
     * sum, atomically published under the store lock with a read-time
@@ -741,9 +739,9 @@ object CorpusStats {
                                       batchTag: Option[String]): Unit = {
     val spark = df.sparkSession
     val store = s"$path/registers"
-    val markers = graft.io.Tables.storeMarkers(spark, store)
-    val tagMarker = batchTag.map(appliedMarker)
-    if (tagMarker.exists(markers.contains)) return // replayed batch: no-op
+    val applied = graft.io.Tables.storeAppliedLedger(spark, store)
+    val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
+    if (tagLine.exists(applied.contains)) return // replayed batch: no-op
     val gen = graft.io.Tables.storeGeneration(spark, store)
     val base = spark.read.parquet(store)
     val geoms = base.select(col("sb")).distinct()
@@ -756,7 +754,7 @@ object CorpusStats {
       base.unionByName(logHistRegisters(df, groupCol, value, subBits)),
       groupCol)
     graft.io.Tables.swapInParquet(spark, merged, store, gen,
-      markers = markers ++ tagMarker)
+      ledger = applied ++ tagLine)
   }
 
   /** Create-or-merge in ONE locked decision — the streaming-sink entry

@@ -684,12 +684,29 @@ object Similarity {
     * exact integers under the store lock. When the caller supplies
     * the same labels a full rebuild would (the harness shape: labels
     * carried on the data), append == rebuild bit-for-bit and the
-    * serve answers are identical — the shared-oracle contract. */
+    * serve answers are identical — the shared-oracle contract.
+    *
+    * `batchTag` makes the append EXACTLY-ONCE under crash-replay (the
+    * at-least-once retry loops and streaming maintainers): a tag
+    * already in the centroid store's applied ledger short-circuits the
+    * WHOLE call (codes included), the tag publishes INSIDE the same
+    * atomic rename as the merged centroids, and the codes land via
+    * [[graft.io.Tables.stagedPartitionedAppend]] under deterministic
+    * per-(tag, cluster) file names — so a crash in the window between
+    * the code adds and the centroid swap (previously: retry
+    * double-appends codes) now resumes by skipping the already-placed
+    * code files and re-running only the centroid merge against the
+    * unmoved base. Untagged calls keep plain file appends (no replay
+    * protection — the pre-existing contract). */
   def appendToIvfSq8Index(df: DataFrame, idCol: String, embCol: String,
                           path: String, dim: Int = 64,
-                          labelCol: Option[String] = None): Unit = {
+                          labelCol: Option[String] = None,
+                          batchTag: Option[String] = None): Unit = {
     val spark = df.sparkSession
     graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
+      val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
+      if (tagLine.exists(applied.contains)) return // replayed batch: no-op
       val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
       val (cent, quant, _) = readIvfSq8Index(spark, path)
       require(quant.length == dim,
@@ -700,9 +717,13 @@ object Similarity {
         case None => assignClusters(df, idCol, embCol, cent)
           .select(col(idCol).as("cid"), col("label"))
       }
-      sq8EncodeFrame(df, idCol, embCol, quant)
-        .join(labeled, "cid")
-        .write.mode("append").partitionBy("label").parquet(s"$path/codes")
+      val codes = sq8EncodeFrame(df, idCol, embCol, quant).join(labeled, "cid")
+      tagLine match {
+        case Some(t) => graft.io.Tables.stagedPartitionedAppend(spark, codes,
+          s"$path/codes", "label", t.stripPrefix("_APPLIED-"))
+        case None => codes.write.mode("append").partitionBy("label")
+          .parquet(s"$path/codes")
+      }
       val centNew = labelCol match {
         case Some(lc) => buildIvfIndex(df, idCol, embCol, lc)._1
         case None =>
@@ -715,7 +736,8 @@ object Similarity {
         .unionByName(centNew)
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
-      graft.io.Tables.swapInParquet(spark, merged, s"$path/centroids", gen)
+      graft.io.Tables.swapInParquet(spark, merged, s"$path/centroids", gen,
+        ledger = applied ++ tagLine)
     }
   }
 
@@ -1505,22 +1527,34 @@ object Similarity {
     * same reason; retrain-and-rebuild is the correct operation there. */
   def appendToIvfPqIndex(df: DataFrame, idCol: String, embCol: String,
                          labelCol: String, path: String, m: Int = 4,
-                         dim: Int = 64): Unit = {
+                         dim: Int = 64, batchTag: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    // same enforced single-writer window as appendToIvfIndex
+    // same enforced single-writer window as appendToIvfIndex; same
+    // applied-ledger + staged-codes exactly-once contract as
+    // appendToIvfSq8Index when `batchTag` is given
     graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
+      val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
+      if (tagLine.exists(applied.contains)) return // replayed batch: no-op
       val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
       val (byLabel, _) = readPqIndex(spark, path)
       validateCodebooks(spark, byLabel, m, dim, path)
       val (centNew, eqNew) = buildIvfIndex(df, idCol, embCol, labelCol)
-      pqEncodeFrameQ(eqNew.select(col("cid"), col("eq").as("ce")), byLabel, m, dim)
+      val codes = pqEncodeFrameQ(eqNew.select(col("cid"), col("eq").as("ce")),
+          byLabel, m, dim)
         .join(eqNew.select(col("cid"), col("label")), "cid")
-        .write.mode("append").partitionBy("label").parquet(s"$path/codes")
+      tagLine match {
+        case Some(t) => graft.io.Tables.stagedPartitionedAppend(spark, codes,
+          s"$path/codes", "label", t.stripPrefix("_APPLIED-"))
+        case None => codes.write.mode("append").partitionBy("label")
+          .parquet(s"$path/codes")
+      }
       val merged = spark.read.parquet(s"$path/centroids")
         .unionByName(centNew)
         .groupBy(col("label"), col("pos"))
         .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
-      graft.io.Tables.swapInParquet(spark, merged, s"$path/centroids", gen)
+      graft.io.Tables.swapInParquet(spark, merged, s"$path/centroids", gen,
+        ledger = applied ++ tagLine)
     }
   }
 

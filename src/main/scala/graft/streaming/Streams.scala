@@ -648,6 +648,34 @@ object Streams {
         .write.mode("append").parquet(commits)
   }
 
+  /** Streaming IVF-SQ8 index maintenance — the cluster-partitioned
+    * twin of [[sq8IndexStream]], but with a STRICTLY STRONGER
+    * exactly-once recipe: each micro-batch goes through
+    * [[graft.llm.Similarity.appendToIvfSq8Index]] with the
+    * (checkpoint-lineage, batch-id) tag, so the applied record
+    * publishes INSIDE the same atomic rename as the merged centroid
+    * sums and the code files land under deterministic per-(tag,
+    * cluster) names — a committed batch replays as a full no-op, and
+    * a crash ANYWHERE mid-batch (including between the code adds and
+    * the centroid swap, the window the flat stream's commit log can't
+    * cover) resumes without duplicating a code row. No separate
+    * commit log to disagree with the store. `labelCol` carries
+    * cluster ids on the batch (the shared-oracle shape); None labels
+    * each batch against the frozen centroid means. */
+  def ivfSq8IndexStream(vecs: DataFrame, idCol: String, embCol: String,
+                        indexPath: String, checkpointDir: String,
+                        dim: Int = 64, labelCol: Option[String] = None
+                       ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Similarity.appendToIvfSq8Index(batch, idCol, embCol,
+          indexPath, dim, labelCol,
+          batchTag = Some(s"$checkpointDir#$batchId"))
+      }
+      .start()
+
   /** One ANN-serving micro-batch against the frozen index, committed
     * through the batch log — factored out so the replay semantics are
     * testable without a running stream (the [[dedupBatch]] pattern). */

@@ -346,6 +346,58 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(Similarity.readSq8Index(spark, path)._2.count() === n0 + 1)
   }
 
+  test("ivfSq8IndexStream: streamed appends == full build; committed replay no-ops the whole batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    def vec(i: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => ((i * (d + 1)) % 13) * 0.05f - 0.3f)
+    val all = (0 until 40).map(i => (i.toLong, vec(i), i.toLong % 2))
+    val (base, b1, b2) = (all.filter(_._1 < 20), all.filter(r =>
+      r._1 >= 20 && r._1 < 30), all.filter(_._1 >= 30))
+    val path = graft.util.Scratch.dir("ivfsq8stream") + "/idx"
+    Similarity.persistIvfSq8Index(base.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", path,
+      train = Some(all.toDF("vec_id", "embedding", "label")))
+    val ck = graft.util.Scratch.dir("ivfsq8stream_ck")
+    val in = MemoryStream[(Long, Seq[Float], Long)]
+    val q = graft.streaming.Streams.ivfSq8IndexStream(
+      in.toDF().toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+      path, ck, dim = dim, labelCol = Some("label"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val fullPath = graft.util.Scratch.dir("ivfsq8streamfull") + "/idx"
+    Similarity.persistIvfSq8Index(all.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", fullPath)
+    val (centI, quantI, codesI) = Similarity.readIvfSq8Index(spark, path)
+    val (centF, quantF, codesF) = Similarity.readIvfSq8Index(spark, fullPath)
+    assert(quantI == quantF)
+    assert(centI.orderBy("label", "pos").collect().toSeq ===
+      centF.orderBy("label", "pos").collect().toSeq,
+      "streamed centroid merges must equal the full build")
+    assert(codesI.select("cid", "codes", "label").orderBy("cid").collect().toSeq ===
+      codesF.select("cid", "codes", "label").orderBy("cid").collect().toSeq,
+      "streamed code appends must equal the full build bit-for-bit")
+    // a committed (lineage, batchId) replays as a FULL no-op — codes,
+    // centroids and generation all unchanged (the applied tag lives in
+    // the store's own ledger, no separate commit log)
+    val gen0 = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
+    Similarity.appendToIvfSq8Index(b1.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", path, dim = dim, labelCol = Some("label"),
+      batchTag = Some(s"$ck#0"))
+    assert(Similarity.readIvfSq8Index(spark, path)._3.count() === codesF.count())
+    assert(graft.io.Tables.storeGeneration(spark, s"$path/centroids") === gen0)
+    // a FRESH lineage reusing batch id 0 must be processed
+    Similarity.appendToIvfSq8Index(
+      Seq((999L, vec(5), 1L)).toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", path, dim = dim, labelCol = Some("label"),
+      batchTag = Some("freshCk#0"))
+    assert(Similarity.readIvfSq8Index(spark, path)._3.count() === codesF.count() + 1)
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats

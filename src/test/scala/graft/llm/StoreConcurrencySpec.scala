@@ -162,6 +162,109 @@ class StoreConcurrencySpec extends SparkSpec {
       "racing code appends lost or duplicated a batch")
   }
 
+  test("tagged appendToIvfSq8Index: replay no-ops; a crash between codes and swap resumes exactly-once") {
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(4)(d => (i * 4 + d).toDouble / 10.0), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val path = Files.createTempDirectory("ivfsq8_tag_").toString + "/idx"
+    Similarity.persistIvfSq8Index(vecs(0L to 3L), "vec_id", "embedding",
+      "label", path, train = Some(vecs(0L to 11L)))
+    Similarity.appendToIvfSq8Index(vecs(4L to 7L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("batch-1"))
+    val genAfter = Tables.storeGeneration(spark, s"$path/centroids")
+    def state() = (
+      spark.read.parquet(s"$path/codes").orderBy("cid").collect().toSeq,
+      spark.read.parquet(s"$path/centroids").orderBy("label", "pos").collect().toSeq)
+    val after1 = state()
+    // at-least-once replay of a COMPLETED batch: the whole call no-ops
+    Similarity.appendToIvfSq8Index(vecs(4L to 7L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("batch-1"))
+    assert(state() === after1, "a replayed tagged append must change nothing")
+    assert(Tables.storeGeneration(spark, s"$path/centroids") === genAfter,
+      "a replayed tagged append must not publish a generation")
+    // CRASH WINDOW: batch-2's codes land (staged, deterministic names)
+    // but the centroid swap never happens — the previously-unsafe
+    // residue. Stage them twice for good measure (idempotent moves).
+    val tag2 = Tables.appliedLedgerLine("batch-2").stripPrefix("_APPLIED-")
+    val (_, quant, _) = Similarity.readIvfSq8Index(spark, path)
+    def codes2 = Similarity.sq8EncodeFrame(vecs(8L to 11L), "vec_id",
+        "embedding", quant)
+      .join(vecs(8L to 11L).select(col("vec_id").as("cid"),
+        col("label")), "cid")
+    Tables.stagedPartitionedAppend(spark, codes2, s"$path/codes", "label", tag2)
+    Tables.stagedPartitionedAppend(spark, codes2, s"$path/codes", "label", tag2)
+    // the retry of the WHOLE batch: skips the placed code files,
+    // merges centroids once, publishes the applied tag
+    Similarity.appendToIvfSq8Index(vecs(8L to 11L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("batch-2"))
+    val scratch = Files.createTempDirectory("ivfsq8_tag_scratch_").toString + "/idx"
+    Similarity.persistIvfSq8Index(vecs(0L to 11L), "vec_id", "embedding",
+      "label", scratch)
+    val (_, _, codesW) = Similarity.readIvfSq8Index(spark, scratch)
+    assert(state()._1 === codesW.orderBy("cid").collect().toSeq,
+      "crash-window retry duplicated or lost code rows")
+    assert(state()._2 === spark.read.parquet(s"$scratch/centroids")
+      .orderBy("label", "pos").collect().toSeq,
+      "crash-window retry double-merged or lost centroid sums")
+    // and one more full replay of batch-2 is a no-op
+    val settled = state()
+    Similarity.appendToIvfSq8Index(vecs(8L to 11L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("batch-2"))
+    assert(state() === settled)
+  }
+
+  test("logHist applied ledger: one file, legacy markers migrate, replays no-op") {
+    def docsN(i: Int) = Seq(("s0", i.toLong * 10), ("s1", i.toLong * 7))
+      .toDF("source", "v")
+    val path = Files.createTempDirectory("loghist_ledger_").toString + "/q"
+    val store = s"$path/registers"
+    CorpusStats.persistLogHist(docsN(0), "source", col("v"), path,
+      batchTag = Some("b0"))
+    // simulate a pre-ledger store: an old-style empty marker FILE
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(store,
+      Tables.appliedLedgerLine("legacy-batch")), true).close()
+    val before = spark.read.parquet(store).orderBy("source", "bucket")
+      .collect().toSeq
+    // the legacy marker must read as applied — whole call no-ops
+    CorpusStats.appendToLogHist(docsN(99), "source", col("v"), path,
+      batchTag = Some("legacy-batch"))
+    assert(spark.read.parquet(store).orderBy("source", "bucket")
+      .collect().toSeq === before)
+    // five tagged appends: the applied ledger stays ONE file (no
+    // per-batch marker-file accumulation), and every tag — including
+    // the migrated legacy one — still replays as a no-op
+    (1 to 5).foreach { i =>
+      CorpusStats.appendToLogHist(docsN(i), "source", col("v"), path,
+        batchTag = Some(s"b$i"))
+    }
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).toSeq
+    assert(names.count(_ == Tables.AppliedLedgerFile) === 1)
+    assert(!names.exists(n => n.startsWith("_APPLIED-")),
+      s"per-batch marker files must not accumulate, saw: $names")
+    val applied = Tables.storeAppliedLedger(spark, store)
+    assert(Seq("b0", "legacy-batch", "b1", "b5").forall(t =>
+      applied.contains(Tables.appliedLedgerLine(t))),
+      s"ledger must carry all applied tags, got $applied")
+    val settled = spark.read.parquet(store).orderBy("source", "bucket")
+      .collect().toSeq
+    (0 to 5).foreach { i =>
+      CorpusStats.appendToLogHist(docsN(i), "source", col("v"), path,
+        batchTag = Some(s"b$i"))
+    }
+    assert(spark.read.parquet(store).orderBy("source", "bucket")
+      .collect().toSeq === settled, "replayed tags must all no-op")
+    // value correctness: state == one from-scratch build over the
+    // applied-once union
+    val scratch = Files.createTempDirectory("loghist_ledger_scratch_").toString + "/q"
+    CorpusStats.persistLogHist((0 to 5).map(docsN).reduce(_.unionByName(_)),
+      "source", col("v"), scratch)
+    assert(settled === spark.read.parquet(s"$scratch/registers")
+      .orderBy("source", "bucket").collect().toSeq)
+  }
+
   test("appendToPqIndex: a wrong-but-divisible m fails against the stored codes") {
     def vecs(ids: Seq[Long]) = ids.map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 64.0 + d)), i % 2)
