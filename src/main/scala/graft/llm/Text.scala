@@ -121,6 +121,73 @@ object Text {
     regexp_replace(noTail, "/$", "")
   }
 
+  /** HTML-to-text extraction — the FIRST stage of a real web-crawl
+    * curation chain (before [[canonicalUrl]] dedup, [[gopherFlags]],
+    * entropy): strip what is never content (comments, script/style,
+    * the whole head), segment into blocks at block-level tags, drop
+    * boilerplate blocks by LINK DENSITY (a block whose visible text is
+    * majority anchor text is navigation/footer chrome — the
+    * jusText/trafilatura heuristic, arXiv:1102.4971-shaped), strip the
+    * remaining inline tags, decode the common entities, collapse
+    * whitespace, and re-join the surviving blocks with newlines.
+    *
+    * Deterministic and SQL-replayable by construction: a FIXED rewrite
+    * order over an RE2-safe regex subset (char classes, bounded
+    * alternation, non-greedy dotall — no lookaround, no backrefs
+    * except the canonical-url-style group keeps), literal-string
+    * entity replaces with `&amp;` decoded LAST (so double-escaped
+    * entities decode one level, the HTML semantics), and the density
+    * cut as an exact integer comparison (2·linkLen > totalLen) — the
+    * DuckDB oracle replays every step verbatim.
+    *
+    * Scale: a pure map-side scan-stage projection — no shuffle, no
+    * join; the per-BLOCK lambdas (`filter`/`transform`) are
+    * interpreted HOFs, but each call wraps regex work that dominates
+    * by orders of magnitude, and blocks per document are dozens, not
+    * thousands. Link length is measured on the whitespace-collapsed
+    * visible text (removing an anchor also removes its flanking
+    * space), which is the point — the measure only has to be the SAME
+    * exact computation in both engines, not a DOM parse. */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noHead = regexp_replace(noComment, "(?is)<head[^>]*>.*?</head>", "")
+    val noScript = regexp_replace(noHead, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val blocked = regexp_replace(noStyle, BlockTagRe, "\n")
+    val blocks = split(blocked, "\\n")
+    val kept = filter(blocks, b => {
+      val vis = htmlVisibleText(b)
+      val visNoAnchor = htmlVisibleText(
+        regexp_replace(b, "(?is)<a\\b[^>]*>.*?</a>", ""))
+      val linkLen = length(vis) - length(visNoAnchor)
+      length(vis) > 0 && !(lit(2L) * linkLen > length(vis))
+    })
+    array_join(transform(kept, htmlVisibleText _), "\n")
+  }
+
+  /** Block-level elements whose open/close tags become block breaks. */
+  private[graft] val BlockTagRe: String =
+    "(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|th|td|section|article|" +
+      "header|footer|nav|aside|main|blockquote|pre|br|hr|form)\\b[^>]*>"
+
+  /** The visible text of ONE block: inline tags stripped, common
+    * entities decoded (`&amp;` LAST — double-escaped entities decode
+    * one level), horizontal whitespace collapsed, trimmed. Shared by
+    * the density cut and the final cleanup so the two cannot drift. */
+  private[graft] def htmlVisibleText(b: Column): Column = {
+    val noTags = regexp_replace(b, "<[^>]*>", "")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (k, v)) =>
+      replace(c, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r]+", " "))
+  }
+
+  /** Decode order is part of the contract: named/numeric forms first,
+    * `&amp;` last. */
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
   /** Inverted-index build — the search-ETL artifact behind [[bm25]]:
     * one row per term carrying document frequency, total occurrences,
     * the postings id range, and an ORDER-INDEPENDENT postings checksum

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
@@ -391,6 +391,44 @@ object LlmQueries {
         .filter(col("h_micro") >= 2750000L)
         .select(col("doc_id"), col("canon"), col("g.n_words").as("n_words"),
           col("h_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML-to-text extraction — the missing FIRST stage of the web
+    // chain: deterministic synthetic markup wraps each document's text
+    // (head+title+style, script, comment, link-only nav/footer chrome,
+    // an h1, the body paragraph, a mixed prose+link div with an
+    // entity), and the extractor must drop exactly the boilerplate:
+    // comments/script/style/head stripped, blocks segmented at block
+    // tags, majority-anchor-text blocks cut by link density, entities
+    // decoded (&amp; last), whitespace collapsed. Pure map-side
+    // projection; the oracle replays every rewrite verbatim.
+    "llm_html_extract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("html", syntheticHtml(col("doc_id"), col("text")))
+        .select(col("doc_id"), Text.htmlToText(col("html")).as("extracted"))
+        .orderBy(col("doc_id"))),
+
+    // The web chain FROM MARKUP: synthetic HTML -> htmlToText ->
+    // Gopher gate -> entropy floor (llm_e2e_web starts from already-
+    // extracted text; a real crawl pipeline starts here). Thresholds
+    // re-centered on the extracted profile (markup adds the heading
+    // and the surviving prose block) so every stage still bites both
+    // ways on the fixture.
+    "llm_e2e_web_html" -> ((s, dir) => {
+      val ext = t(s, dir, "documents")
+        .withColumn("html", syntheticHtml(col("doc_id"), col("text")))
+        .select(col("doc_id"), Text.htmlToText(col("html")).as("extracted"))
+      val gated = ext
+        .withColumn("g", Text.gopherFlags(col("extracted"),
+          minWords = 45L, maxWords = 110L,
+          minMeanWordLen = 4.0, maxMeanWordLen = 5.1, minStopwords = 7L))
+        .filter(col("g.keep"))
+      gated
+        .withColumn("__e", graft.expr.kernels.NativeFns.charEntropy(col("extracted")))
+        .withColumn("h_micro", element_at(col("__e"), 2))
+        .filter(col("h_micro") >= 2934000L)
+        .select(col("doc_id"), col("g.n_words").as("n_words"), col("h_micro"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2920,6 +2958,79 @@ object LlmQueries {
        |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM kcos) t
        |  WHERE rn <= 3)""".stripMargin
 
+  /** Deterministic synthetic HTML around a document's text — the
+    * llm_html_extract fixture, built with concat so the DuckDB oracle
+    * constructs the IDENTICAL string with `||`. Exercises every
+    * extractor stage: head (title+style) drop, script drop, comment
+    * drop, link-only nav and footer (cut by link density), a kept
+    * heading, the kept body paragraph, and a kept mixed prose+anchor
+    * div with a double-escapable entity. */
+  private def syntheticHtml(docId: Column, text: Column): Column = {
+    val k = docId.cast("string")
+    concat(
+      lit("<html><head><title>t"), k,
+      lit("</title><style>p{color:red}</style></head><body>" +
+        "<script>var x = 1 < 2;</script><!-- hidden "), k,
+      lit(" --><nav><a href=\"/home\">Home</a> <a href=\"/about\">About page</a></nav>" +
+        "<h1>Doc "), k,
+      lit("</h1><p>"), text,
+      lit("</p><div>See <a href=\"/more\">more docs &amp; info</a> and plenty " +
+        "of surrounding prose so that this block stays well under the " +
+        "link-density cut.</div>" +
+        "<footer><a href=\"/a\">A</a><a href=\"/b\">B</a></footer></body></html>"))
+  }
+
+  /** The [[syntheticHtml]] construction as a DuckDB expression over
+    * `doc_id` and `text` columns. */
+  private val SyntheticHtmlSql: String =
+    """'<html><head><title>t' || CAST(doc_id AS VARCHAR) ||
+      |'</title><style>p{color:red}</style></head><body>' ||
+      |'<script>var x = 1 < 2;</script><!-- hidden ' || CAST(doc_id AS VARCHAR) ||
+      |' --><nav><a href="/home">Home</a> <a href="/about">About page</a></nav>' ||
+      |'<h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |'</h1><p>' || text ||
+      |'</p><div>See <a href="/more">more docs &amp; info</a> and plenty ' ||
+      |'of surrounding prose so that this block stays well under the ' ||
+      |'link-density cut.</div>' ||
+      |'<footer><a href="/a">A</a><a href="/b">B</a></footer></body></html>'"""
+      .stripMargin.replace("\n", "\n  ")
+
+  /** The [[graft.llm.Text.htmlVisibleText]] computation as a DuckDB
+    * expression over `e`: tag strip, entity decodes in the contract
+    * order (&amp; LAST), horizontal-whitespace collapse, trim. */
+  private def sqlHtmlVisible(e: String): String = {
+    val noTags = s"regexp_replace($e, '<[^>]*>', '', 'g')"
+    val decoded = graft.llm.Text.HtmlEntities.foldLeft(noTags) {
+      case (c, (k, v)) => s"replace($c, '$k', '${v.replace("'", "''")}')"
+    }
+    s"trim(regexp_replace($decoded, '[ \\t\\r]+', ' ', 'g'))"
+  }
+
+  /** Full htmlToText replay: CTEs `h` (markup) → `ex` (doc_id,
+    * extracted) over the documents table. */
+  private lazy val HtmlExtractCtes: String = {
+    val noAnchor = """regexp_replace(b, '(?is)<a\b[^>]*>.*?</a>', '', 'g')"""
+    val visB = sqlHtmlVisible("b")
+    val visNoA = sqlHtmlVisible(noAnchor)
+    s"""h AS (SELECT doc_id, $SyntheticHtmlSql AS html FROM documents),
+       |hb AS (SELECT doc_id, string_split(
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    html,
+       |    '(?s)<!--.*?-->', '', 'g'),
+       |    '(?is)<head[^>]*>.*?</head>', '', 'g'),
+       |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
+       |    '${graft.llm.Text.BlockTagRe}', chr(10), 'g'),
+       |  chr(10)) AS bl FROM h),
+       |hk AS (SELECT doc_id, list_filter(bl, b ->
+       |    length($visB) > 0 AND
+       |    NOT (2 * (length($visB) - length($visNoA)) > length($visB))) AS kl
+       |  FROM hb),
+       |ex AS (SELECT doc_id, coalesce(array_to_string(
+       |    list_transform(kl, b -> $visB), chr(10)), '') AS extracted
+       |  FROM hk)""".stripMargin
+  }
+
   /** Multi-probe kNN-graph oracle CTE chain, SUFFIXED so two nprobe
     * variants can share one WITH (and the one kmeans replay): the
     * [[knnCellCtes]] structure with the final assignment widened to
@@ -4240,6 +4351,35 @@ object LlmQueries {
          |SELECT gop.doc_id AS doc_id, canon, n_words, h_micro
          |FROM gop JOIN ent USING (doc_id)
          |WHERE h_micro >= 2750000 ORDER BY doc_id""".stripMargin,
+    // full replay of the extraction chain: markup construction, strip
+    // order, block segmentation, link-density cut, entity decode order
+    "llm_html_extract" ->
+      s"""WITH $HtmlExtractCtes
+         |SELECT doc_id, extracted FROM ex ORDER BY doc_id""".stripMargin,
+    // markup -> extract -> Gopher gate -> entropy floor, one oracle
+    "llm_e2e_web_html" ->
+      s"""WITH $HtmlExtractCtes,
+         |gop AS (SELECT doc_id,
+         |    len(string_split_regex(lower(extracted), '\\s+'))::BIGINT AS n_words,
+         |    extracted
+         |  FROM ex
+         |  WHERE len(string_split_regex(lower(extracted), '\\s+')) BETWEEN 45 AND 110
+         |    AND CAST(length(replace(extracted, ' ', '')) AS DOUBLE)
+         |      / len(string_split_regex(extracted, '\\s+')) BETWEEN 4.0 AND 5.1
+         |    AND len(list_filter(string_split_regex(lower(extracted), '\\s+'),
+         |      x -> x IN (${Text.Stopwords.map(w => s"'$w'").mkString(",")}))) >= 7),
+         |ch AS (SELECT doc_id, unnest(string_split(extracted, '')) AS ch FROM gop),
+         |kk AS (SELECT doc_id, ch, count(*)::BIGINT AS k FROM ch
+         |  WHERE ch <> '' GROUP BY doc_id, ch),
+         |st AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(k * ln(k) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         |    CAST(sum(k) AS BIGINT) AS n FROM kk GROUP BY doc_id),
+         |ent AS (SELECT doc_id,
+         |    CAST(floor(ln(n) * 1000000) AS BIGINT) - (s // n) AS h_micro
+         |  FROM st WHERE n > 0)
+         |SELECT gop.doc_id AS doc_id, n_words, h_micro
+         |FROM gop JOIN ent USING (doc_id)
+         |WHERE h_micro >= 2934000 ORDER BY doc_id""".stripMargin,
     // every rewrite step replayed in the same fixed order; DuckDB
     // regexp_replace needs the explicit 'g' flag Spark applies always
     "llm_url_canonical" ->

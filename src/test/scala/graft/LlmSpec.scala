@@ -730,6 +730,27 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("htmlToText: strips non-content, cuts link-dense blocks, decodes entities in order") {
+    import graft.llm.Text
+    def ext(html: String): String = Seq(html).toDF("h")
+      .select(Text.htmlToText(col("h"))).collect()(0).getString(0)
+    // head/script/style/comment never reach the output
+    assert(ext("<html><head><title>T</title><style>a{}</style></head>" +
+      "<body><script>if (1 < 2) x();</script><!-- no --><p>keep me</p></body></html>")
+      == "keep me")
+    // link-density: a majority-anchor block drops, a prose block with a
+    // minority link survives with the anchor text inlined
+    assert(ext("<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+      "<p>read the <a href='/d'>docs</a> for plenty more detail</p>")
+      == "read the docs for plenty more detail")
+    // entity decode order: &amp; LAST, so double-escaped decodes ONE level
+    assert(ext("<p>a &amp;lt; b &amp; c &lt; d &nbsp; e</p>") == "a &lt; b & c < d e")
+    // block tags break lines; inline tags don't; whitespace collapses
+    assert(ext("<div>one</div><div>two  <b>bold</b>\tend</div>") == "one\ntwo bold end")
+    // all-boilerplate input → empty string (not null)
+    assert(ext("<nav><a href='/'>x</a></nav>") == "")
+  }
+
   test("multi-probe kNN graph: probe-1 == single-probe, full-probe == exact, recall monotone") {
     import graft.llm.Similarity
     val dim = 16
