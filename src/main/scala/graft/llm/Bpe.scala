@@ -402,6 +402,113 @@ object Bpe {
     (merges, ids)
   }
 
+  /** Reserved special tokens of the byte-fallback id layout —
+    * sequence-control ids a packer/training run needs before the
+    * stream is training-ready. Bracketed with `|` so no whitespace-
+    * split word can ever collide with them. */
+  val Specials: Seq[String] = Seq("<|bos|>", "<|eos|>", "<|pad|>")
+
+  /** The byte-token name for a UTF-8 byte value — the SentencePiece
+    * `<0xNN>` convention (uppercase hex, matching Spark's `hex`). */
+  def byteToken(v: Int): String = f"<0x$v%02X>"
+
+  /** Byte-fallback token-id layout (the SentencePiece/LLaMA shape):
+    * id 0 stays reserved (UNK — unreachable once every byte has a
+    * token, kept for foreign streams), ids 1..256 are the 256 UTF-8
+    * byte tokens `<0x00>`..`<0xFF>` (id = 1 + byte value), then the
+    * special tokens, then the learned alphabet in UTF-8 byte order.
+    * Reserving bytes and specials FIRST keeps their ids stable across
+    * retrains — only the learned region moves, the property serving
+    * infra relies on. Fails loudly if a learned symbol collides with
+    * a reserved name (a corpus word spelled exactly `<0x41>`). */
+  def symbolIdsFallback(docs: DataFrame, textCol: String,
+                        merges: Seq[(String, String)],
+                        specials: Seq[String] = Specials): Seq[(String, Long)] = {
+    val learned = symbolIds(docs, textCol, merges).map(_._1)
+    val reserved = (0 until 256).map(byteToken) ++ specials
+    val clash = learned.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"symbolIdsFallback: learned symbols collide with reserved token " +
+        s"names: ${clash.mkString(", ")}")
+    (reserved ++ learned).zipWithIndex
+      .map { case (s, i) => (s, (i + 1).toLong) }
+  }
+
+  /** Encode with a frozen tokenizer AND byte fallback — the
+    * [[encodeWith]] serving path made total: a symbol the id table
+    * lacks (a character absent from training, or a merge product whose
+    * standalone form never survived in the training vocabulary)
+    * expands to its UTF-8 byte tokens instead of collapsing to UNK, so
+    * NO input is unrepresentable and decode can reconstruct it exactly
+    * (the SentencePiece byte_fallback contract). Output adds `fb_pos`
+    * (0 for vocabulary symbols; the byte index within an expanded
+    * symbol) to the (id, word_pos, sym_pos) stream order. The byte
+    * expansion is pure builtins — encode to binary, hex per byte — so
+    * the whole path stays codegen'd; rows multiply only for OOV
+    * symbols. */
+  def encodeFallback(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)],
+                     ids: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wsyms = vocabAfterMerges(docs, textCol, merges)
+      .select(col("w"), col("syms")).localCheckpoint(false)
+    val idTable = broadcast(ids.toDF("sym", "token_id"))
+    val words = docs.select(col(idCol),
+      posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
+        .as(Seq("word_pos", "w")))
+    // fully qualified: `encode` alone resolves to Bpe.encode here
+    val bin = org.apache.spark.sql.functions.encode(col("sym"), "UTF-8")
+    val byteNames = transform(sequence(lit(1), length(bin)),
+      i => concat(lit("<0x"), hex(substring(bin, i, lit(1))), lit(">")))
+    words.join(wsyms, Seq("w"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("syms")).as(Seq("sym_pos", "sym")))
+      .join(idTable, Seq("sym"), "left")
+      .select(col(idCol), col("word_pos"), col("sym_pos"),
+        posexplode(when(col("token_id").isNotNull, array(col("sym")))
+          .otherwise(byteNames)).as(Seq("fb_pos", "part")))
+      .join(idTable.withColumnRenamed("sym", "part"), Seq("part"), "left")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"),
+        col("fb_pos").cast("long").as("fb_pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
+  /** Inverse of [[encodeFallback]]: detokenization with byte
+    * reassembly. Every token maps to a HEX piece — a byte token
+    * contributes its two hex digits, a vocabulary symbol the hex of
+    * its UTF-8 encoding, UNK the replacement character's — so each
+    * word rebuilds as unhex(concat(pieces ordered by (sym_pos,
+    * fb_pos))) decoded as UTF-8: split multi-byte characters re-fuse
+    * exactly (the byte_fallback round-trip), in pure builtins. Same
+    * two bounded aggregations as [[decode]]. */
+  def decodeFallback(stream: DataFrame, idCol: String,
+                     ids: Seq[(String, Long)]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val idTable = broadcast(ids.toDF("sym", "token_id"))
+    val piece = when(col("sym").isNull, lit("EFBFBD")) // U+FFFD for UNK
+      .when(col("sym").rlike("^<0x[0-9A-F]{2}>$"), substring(col("sym"), 4, 2))
+      .otherwise(hex(org.apache.spark.sql.functions.encode(col("sym"), "UTF-8")))
+    stream.join(idTable, Seq("token_id"), "left")
+      .withColumn("__piece", piece)
+      .groupBy(col(idCol), col("word_pos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sym_pos"), col("fb_pos"),
+          col("__piece")))),
+        s => s.getField("__piece")), "").as("__whex"))
+      .withColumn("w",
+        org.apache.spark.sql.functions.decode(unhex(col("__whex")), "UTF-8"))
+      .withColumn("w", when(col("w").endsWith(EndMark),
+        expr(s"substring(w, 1, length(w) - ${EndMark.length})"))
+        .otherwise(col("w")))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("word_pos"), col("w")))),
+        s => s.getField("w")), " ").as("text"))
+  }
+
   /** Per-document BPE token counts under a trained merge list — the
     * budget statistic a tokenizer-aware pipeline needs. The merge
     * application runs once per DISTINCT word (vocab-scale); the

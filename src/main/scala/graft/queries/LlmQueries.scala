@@ -119,6 +119,78 @@ object LlmQueries {
        |FROM enc JOIN ids USING (sym)
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
 
+  /** One unrolled merge-APPLICATION round for the byte-fallback
+    * oracle: [[bpeRoundCte]]'s closed-form greedy application (islands
+    * + offset parity) driven by the TRAINING chain's b$k winner, over
+    * the serving corpus's distinct-word symbol rows e$k — frozen-merge
+    * application to a corpus the trainer never saw. An empty b$k
+    * (training stopped early) makes the round the identity (NULL
+    * scalar subquery → no match), matching encodeWith. */
+  private def bpeApplyRoundCte(k: Int): String =
+    s"""fe$k AS (SELECT w, pos, sym,
+       |  CASE WHEN sym = (SELECT a FROM b$k)
+       |        AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT b FROM b$k)
+       |       THEN 1 ELSE 0 END AS m FROM e$k),
+       |ge$k AS (SELECT *, pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) AS isl FROM fe$k),
+       |he$k AS (SELECT *, CASE WHEN m = 1
+       |    AND (pos - min(pos) OVER (PARTITION BY w, m, isl)) % 2 = 0
+       |  THEN 1 ELSE 0 END AS mg FROM ge$k),
+       |e${k + 1} AS MATERIALIZED (SELECT w,
+       |  row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |  CASE WHEN mg = 1 THEN sym || nx ELSE sym END AS sym
+       |  FROM (SELECT w, pos, sym, mg,
+       |          lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx,
+       |          lag(mg, 1, 0) OVER (PARTITION BY w ORDER BY pos) AS pmg
+       |        FROM he$k) t WHERE pmg = 0)""".stripMargin
+
+  /** The OOV suffix llm_bpe_bytefallback appends to every document —
+    * '~' and '%' are absent from the fixture alphabet, so their
+    * symbols must byte-fall-back. ASCII by design: the oracle expands
+    * unknown symbols per CHARACTER with token 1 + ascii (byte value ==
+    * codepoint below 0x80); the Spark side is general UTF-8 and the
+    * multibyte round-trip is covered in BpeSpec. */
+  private val BpeOovSuffix = " zz~end x%y"
+
+  /** Byte-fallback oracle: train on the ORIGINAL corpus
+    * ([[BpeMergedVocabCtes]]), apply the frozen merges to the SUFFIXED
+    * corpus's vocabulary (one [[bpeApplyRoundCte]] per round), number
+    * the learned alphabet at +259 (after UNK 0, 256 byte tokens, 3
+    * specials), emit known symbols at fb_pos 0 and unknown symbols as
+    * per-byte tokens. */
+  private lazy val BpeByteFallbackOracleSql: String =
+    s"""WITH $BpeMergedVocabCtes,
+       |ew AS (SELECT DISTINCT w FROM (
+       |  SELECT unnest(string_split_regex(lower(text || '$BpeOovSuffix'), '\\s+')) AS w
+       |  FROM documents) t WHERE len(w) > 0),
+       |e0 AS MATERIALIZED (SELECT w,
+       |  unnest(range(1, len(s) + 1)) AS pos, unnest(s) AS sym FROM (
+       |  SELECT w, list_append([w[i] for i in range(1, len(w) + 1)], '</w>') AS s
+       |  FROM ew) t),
+       |${(0 until BpeEncodeMerges).map(bpeApplyRoundCte).mkString(",\n")},
+       |ewsyms AS MATERIALIZED (SELECT w, list(sym ORDER BY pos) AS syms
+       |  FROM e$BpeEncodeMerges GROUP BY w),
+       |idsf AS (SELECT sym, row_number() OVER (ORDER BY sym) + 259 AS token_id
+       |         FROM (SELECT DISTINCT sym FROM s$BpeEncodeMerges) t),
+       |dw AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
+       |         unnest(ws) AS w
+       |       FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(text || '$BpeOovSuffix'), '\\s+'),
+       |                 x -> len(x) > 0) AS ws FROM documents) t),
+       |enc AS (SELECT doc_id, word_pos,
+       |          unnest(range(0, len(syms))) AS sym_pos, unnest(syms) AS sym
+       |        FROM dw JOIN ewsyms USING (w)),
+       |known AS (SELECT doc_id, word_pos, sym_pos, 0 AS fb_pos, token_id
+       |          FROM enc JOIN idsf USING (sym)),
+       |unk AS (SELECT doc_id, word_pos, sym_pos, i - 1 AS fb_pos,
+       |          1 + ascii(sym[CAST(i AS INT)]) AS token_id
+       |        FROM (SELECT doc_id, word_pos, sym_pos, sym,
+       |                unnest(range(1, len(sym) + 1)) AS i
+       |              FROM enc ANTI JOIN idsf USING (sym)) t)
+       |SELECT doc_id, word_pos, sym_pos, CAST(fb_pos AS BIGINT) AS fb_pos,
+       |  CAST(token_id AS BIGINT) AS token_id
+       |FROM (SELECT * FROM known UNION ALL SELECT * FROM unk) u
+       |ORDER BY doc_id, word_pos, sym_pos, fb_pos""".stripMargin
+
   /** Dedup-eval injected variants, shared with the oracle. 12-word
     * base; v1 changes the LAST word only, putting the (base, v1)
     * 3-gram Jaccard at 7/13 ≈ 0.538 — a BORDERLINE true pair exactly
@@ -2213,6 +2285,28 @@ object LlmQueries {
       val (merges, ids) = Bpe.readTokenizer(s, path)
       Bpe.encodeWith(docs, "doc_id", "text", merges, ids)
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // Byte-fallback encode (the SentencePiece byte_fallback contract):
+    // the id layout reserves 0 (UNK), 1..256 (UTF-8 byte tokens),
+    // then the specials, then the learned alphabet — and serving text
+    // carrying characters the training corpus never saw (here: an
+    // appended " zz~end x%y" suffix; '~' and '%' are OOV) encodes
+    // their symbols as byte tokens instead of collapsing to UNK. The
+    // oracle replays training on the ORIGINAL corpus, merge
+    // application on the SUFFIXED corpus, and the byte expansion
+    // (ASCII fixture: byte value == codepoint; the Spark side is
+    // general UTF-8 — multibyte round-trip is spec'd in BpeSpec).
+    "llm_bpe_bytefallback" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+        .map { case (_, a, b, _) => (a, b) }
+      val ids = Bpe.symbolIdsFallback(docs, "text", merges)
+      val oov = docs.withColumn("text",
+        concat(col("text"), lit(BpeOovSuffix)))
+      Bpe.encodeFallback(oov, "doc_id", "text", merges, ids)
+        .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"),
+          col("fb_pos"))
     }),
 
     // Train -> encode -> PACK: the tokenizer story closed end-to-end.
@@ -4828,6 +4922,7 @@ object LlmQueries {
     "llm_bpe_encode" -> BpeEncodeOracleSql,
     // the store round-trip must equal direct train+encode bit-for-bit
     "llm_bpe_store" -> BpeEncodeOracleSql,
+    "llm_bpe_bytefallback" -> BpeByteFallbackOracleSql,
     // round-trip oracle: NO BPE replay — decoded text must equal the
     // normalized original, so the whole train/encode/decode chain is
     // value-checked by the source corpus itself

@@ -204,6 +204,42 @@ class BpeSpec extends SparkSpec {
     assert(unk._2.contains("�"), s"UNK must surface visibly: $unk")
   }
 
+  test("byte fallback: OOV symbols expand to byte tokens, multibyte round-trips exactly") {
+    import graft.llm.Bpe
+    // train on an ASCII-only corpus...
+    val train = Seq((1L, "low low lower lowest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(train, "text", 6)
+      .map { case (_, a, b, _) => (a, b) }
+    val ids = Bpe.symbolIdsFallback(train, "text", merges)
+    // layout: bytes at 1..256 (id = 1 + value), specials next, learned after
+    assert(ids.take(256).zipWithIndex.forall { case ((s, i), v) =>
+      s == Bpe.byteToken(v) && i == v + 1L })
+    assert(ids.slice(256, 259).map(_._1) == Bpe.Specials)
+    assert(ids.slice(256, 259).map(_._2) == Seq(257L, 258L, 259L))
+    assert(ids.drop(259).forall(_._2 >= 260L))
+    // ...then encode text with ASCII ('~') AND multibyte OOV: a 2-byte
+    // char (é U+00E9), a 3-byte char (日), a 4-byte emoji (U+1F600)
+    val serve = Seq((7L, "low ~ café 日 low😀 x"))
+      .toDF("doc_id", "text")
+    val stream = Bpe.encodeFallback(serve, "doc_id", "text", merges, ids)
+    val byType = stream.select("token_id").as[Long].collect()
+    assert(byType.forall(_ > 0L), "byte fallback leaves no UNK")
+    assert(byType.exists(t => t >= 1L && t <= 256L), "OOV must use byte tokens")
+    // '~' is 0x7E -> token 127
+    assert(byType.contains(127L))
+    // é encodes as its TWO UTF-8 bytes (0xC3 0xA9 -> 196, 170)
+    assert(byType.contains(0xC3 + 1L) && byType.contains(0xA9 + 1L))
+    // round-trip: decode == whitespace-normalized lowercase, with the
+    // split multibyte characters re-fused exactly
+    val back = Bpe.decodeFallback(stream, "doc_id", ids)
+      .as[(Long, String)].head()
+    assert(back === ((7L, "low ~ café 日 low😀 x")))
+    // in-vocabulary text takes the vocabulary path (fb_pos 0, learned ids)
+    val known = Bpe.encodeFallback(train, "doc_id", "text", merges, ids)
+    assert(known.filter(col("fb_pos") =!= 0L).count() == 0)
+    assert(known.filter(col("token_id") < 260L).count() == 0)
+  }
+
   test("sourceOverlap: exact pairwise Jaccard, stop-shingle cap consistent") {
     val docs = Seq(
       ("A", "a b c d"), ("B", "a b c x"), ("C", "q r s t"),
