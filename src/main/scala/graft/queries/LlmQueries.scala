@@ -2740,7 +2740,7 @@ object LlmQueries {
     "llm_qsketch_grid" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("source", lit("all"))
       val len = length(col("text"))
-      Seq(3, 5, 7).map { sb =>
+      val grid = Seq(3, 5, 7).map { sb =>
         val regs = CorpusStats.logHistRegisters(docs, "source", len, sb)
           .localCheckpoint(false)
         val nregs = regs.agg(count(lit(1)).as("n_regs"))
@@ -2749,7 +2749,27 @@ object LlmQueries {
           .select(lit(sb.toLong).as("sub_bits"), col("q_mille"), col("n"),
             col("est_lo"), col("est_hi"),
             (col("est_hi") - col("est_lo")).as("width"), col("n_regs"))
-      }.reduce(_.unionByName(_)).orderBy(col("sub_bits"), col("q_mille"))
+      }.reduce(_.unionByName(_))
+      // the KNEE-PICK (the ivfpq-grid rule applied to the sketch
+      // family): per quantile target, `chosen` marks the CHEAPEST
+      // geometry (min registers, ties to smaller subBits) whose
+      // enclosure width is within ~11% of the target's best — exact
+      // integer qualification (width·9 <= best·10; a best of 0 admits
+      // only exact cells) over a packed argmin key, so the oracle
+      // replays the pick bit-exactly. The window folds 3 rows per
+      // target — tiny by construction.
+      val wq = Window.partitionBy(col("q_mille"))
+      val key = col("n_regs") * lit(1000L) + col("sub_bits")
+      grid
+        .withColumn("__bw", min(col("width")).over(wq))
+        .withColumn("__kmin", min(when(
+          col("width") * lit(9L) <= col("__bw") * lit(10L), key)).over(wq))
+        .withColumn("chosen",
+          col("width") * lit(9L) <= col("__bw") * lit(10L) &&
+            key === col("__kmin"))
+        .select(col("sub_bits"), col("q_mille"), col("n"), col("est_lo"),
+          col("est_hi"), col("width"), col("n_regs"), col("chosen"))
+        .orderBy(col("sub_bits"), col("q_mille"))
     }),
 
     // Accuracy ledger (the ann-recall principle applied to quantiles):
@@ -3886,9 +3906,16 @@ object LlmQueries {
          |  (est_hi - est_lo)::BIGINT AS width, nr.n_regs AS n_regs
          |FROM est, nr)""".stripMargin
     }
-    s"""SELECT * FROM (
+    s"""WITH u AS (
        |${cells.mkString("\nUNION ALL\n")}
-       |) ORDER BY sub_bits, q_mille""".stripMargin
+       |),
+       |t1 AS (SELECT *, min(width) OVER (PARTITION BY q_mille) AS bw FROM u),
+       |t2 AS (SELECT *, min(CASE WHEN width * 9 <= bw * 10
+       |    THEN n_regs * 1000 + sub_bits END)
+       |  OVER (PARTITION BY q_mille) AS kmin FROM t1)
+       |SELECT sub_bits, q_mille, n, est_lo, est_hi, width, n_regs,
+       |  (width * 9 <= bw * 10 AND n_regs * 1000 + sub_bits = kmin) AS chosen
+       |FROM t2 ORDER BY sub_bits, q_mille""".stripMargin
   }
 
   /** IVFPQ tuning-grid oracle (llm_ann_ivfpq_grid): the recall
