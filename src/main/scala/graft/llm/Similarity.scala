@@ -1105,9 +1105,9 @@ object Similarity {
     * window (ReuseExchange), so the guard adds no extra shuffle. */
   def semanticNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                            threshold: Double, nlist: Int = 4, iters: Int = 2,
-                           maxCluster: Int = 4096): DataFrame =
+                           maxCluster: Int = 4096, nprobe: Int = 1): DataFrame =
     cellPairs(df, idCol, embCol, nlist, iters, maxCluster,
-      nprobe = 1, ordered = true)
+      nprobe, ordered = true)
       .filter(col("cosine") >= threshold)
 
   /** The ONE cell-bucketed self-join skeleton behind
@@ -1166,9 +1166,9 @@ object Similarity {
     * text-path `llm_dedup_keep_one`). Returns the surviving ids. */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
                     threshold: Double, nlist: Int = 4, iters: Int = 2,
-                    maxCluster: Int = 4096): DataFrame = {
+                    maxCluster: Int = 4096, nprobe: Int = 1): DataFrame = {
     val pairs = semanticNearDupPairs(df, idCol, embCol, threshold, nlist,
-      iters, maxCluster).select(col("a"), col("b"))
+      iters, maxCluster, nprobe).select(col("a"), col("b"))
     // within-cell all-pairs graphs CHAIN (x~y~z via 0.3-cosine links
     // without x~z), so the component diameter is far above the LSH
     // quasi-clique case — 32 rounds, relying on connectedComponents'

@@ -1558,6 +1558,31 @@ object LlmQueries {
         .orderBy(col("vid"))
     }),
 
+    // The multi-probe dial applied to the other two products the
+    // graph feeds (the r16 verdict's "lifts three at once"): label
+    // propagation over the probe-2 graph — boundary vectors now
+    // receive scores from their true neighbors across the cell edge...
+    "llm_graph_labelprop_probe2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+        nlist = 4, iters = 2, maxCluster = SemMaxCluster, nprobe = 2)
+      val seeds = emb.filter(col("vec_id") < 100 && col("label").isin(0L, 1L))
+        .select(col("vec_id"),
+          when(col("label") === 0L, lit(1000000L)).otherwise(lit(0L)).as("q"))
+      Similarity.knnLabelPropagation(graph, seeds, "vec_id", "q", iters = 2)
+        .orderBy(col("vid"))
+    }),
+
+    // ...and SemDeDup pair search in each vector's 2 nearest cells —
+    // near-duplicates split across a cell boundary (invisible at
+    // nprobe=1) now pair. Undirected a<b pairs, deduped across shared
+    // cells, same threshold as llm_semdedup_pairs.
+    "llm_semdedup_pairs_probe2" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = EmbDedupThreshold, nlist = 4, iters = 2,
+          maxCluster = SemMaxCluster, nprobe = 2)
+        .orderBy(col("a"), col("b"))),
+
     // Multi-probe kNN graph: each vector searched in its 2 nearest
     // cells (kmeansClustersProbe) — the IVF nprobe recall dial applied
     // to the similarity-join side; a boundary vector stops missing the
@@ -3152,8 +3177,10 @@ object LlmQueries {
     * stays argmin — only graph-building assignment multi-probes,
     * mirroring kmeansClustersProbe), and candidate pairs deduped with
     * DISTINCT (a pair meeting in 2 shared cells must contribute one
-    * edge). Produces ap/cl/clc/kp/kcos/kg each suffixed. */
-  private def knnProbeCtes(np: Int, sfx: String): String =
+    * edge). Produces ap/cl/clc/kp/kcos/kg each suffixed. `op` picks
+    * the pair shape: `<>` directed (the graph), `<` undirected (the
+    * SemDeDup path). */
+  private def knnProbeCtes(np: Int, sfx: String, op: String = "<>"): String =
     s"""ap$sfx AS (SELECT vec_id, cid AS cluster FROM (
        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |    (SELECT sum((e.eq[i] - c.ceq[i]) * (e.eq[i] - c.ceq[i])) FROM range(1, 65) r(i)),
@@ -3168,13 +3195,46 @@ object LlmQueries {
        |  CAST((SELECT sum((x.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS dot,
        |  CAST((SELECT sum((x.eq)[i] * (x.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS na,
        |  CAST((SELECT sum((y.eq)[i] * (y.eq)[i]) FROM range(1, 65) r(i)) AS BIGINT) AS nb
-       |  FROM clc$sfx x JOIN clc$sfx y ON x.cluster = y.cluster AND x.vid <> y.vid),
+       |  FROM clc$sfx x JOIN clc$sfx y ON x.cluster = y.cluster AND x.vid $op y.vid),
        |kcos$sfx AS (SELECT DISTINCT a, b, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM kp$sfx
        |  WHERE na > 0 AND nb > 0),
        |kg$sfx AS (SELECT a, b, CAST(rn AS BIGINT) AS rank, cosine FROM (
        |  SELECT a, b, cosine, row_number() OVER (
        |    PARTITION BY a ORDER BY cosine DESC, b) AS rn FROM kcos$sfx) t
        |  WHERE rn <= 3)""".stripMargin
+
+  /** Label-propagation oracle tail (2 unrolled rounds + final select)
+    * over any edge-producing graph CTE — shared by llm_graph_labelprop
+    * (single-probe `kg`) and llm_graph_labelprop_probe2 (multi-probe
+    * `kgp`) so the propagation replay cannot drift between them. */
+  private def labelpropTail(graphCte: String): String =
+    s"""lpe AS (SELECT a, b, CAST(floor(cosine * 1000000) AS BIGINT) AS w FROM $graphCte),
+       |seeds AS (SELECT vec_id AS vid,
+       |    (CASE WHEN label = 0 THEN 1000000 ELSE 0 END)::BIGINT AS seed
+       |  FROM embeddings WHERE vec_id < 100 AND label IN (0, 1)),
+       |ids AS (SELECT DISTINCT vid FROM (
+       |  SELECT a AS vid FROM lpe UNION ALL SELECT b FROM lpe
+       |  UNION ALL SELECT vid FROM seeds) t0),
+       |s0 AS (SELECT i.vid AS vid, coalesce(s.seed, 0)::BIGINT AS score,
+       |    s.seed IS NOT NULL AS is_seed, s.seed AS seed
+       |  FROM ids i LEFT JOIN seeds s USING (vid)),
+       |n1 AS (SELECT e.a AS vid, CAST(floor(CAST(sum(e.w * s.score) AS DOUBLE)
+       |      / CAST(sum(e.w) AS DOUBLE)) AS BIGINT) AS nbr
+       |  FROM lpe e JOIN s0 s ON s.vid = e.b GROUP BY e.a
+       |  HAVING sum(e.w) > 0),
+       |s1 AS (SELECT s.vid AS vid,
+       |    (CASE WHEN s.is_seed THEN s.seed ELSE coalesce(n.nbr, s.score) END)::BIGINT AS score,
+       |    s.is_seed AS is_seed, s.seed AS seed
+       |  FROM s0 s LEFT JOIN n1 n USING (vid)),
+       |n2 AS (SELECT e.a AS vid, CAST(floor(CAST(sum(e.w * s.score) AS DOUBLE)
+       |      / CAST(sum(e.w) AS DOUBLE)) AS BIGINT) AS nbr
+       |  FROM lpe e JOIN s1 s ON s.vid = e.b GROUP BY e.a
+       |  HAVING sum(e.w) > 0),
+       |s2 AS (SELECT s.vid AS vid,
+       |    (CASE WHEN s.is_seed THEN s.seed ELSE coalesce(n.nbr, s.score) END)::BIGINT AS score,
+       |    s.is_seed AS is_seed
+       |  FROM s1 s LEFT JOIN n2 n USING (vid))
+       |SELECT vid, score AS score_micro, is_seed FROM s2 ORDER BY vid""".stripMargin
 
   /** Exact-graph oracle CTEs (ev/ep/ecos/eg) — the ground-truth side
     * shared by llm_knn_recall and llm_knn_recall_probes. */
@@ -4842,33 +4902,16 @@ object LlmQueries {
          |SELECT a, b, rank, cosine FROM kg ORDER BY a, rank""".stripMargin,
     "llm_graph_labelprop" ->
       s"""WITH $knnCellCtes,
-         |lpe AS (SELECT a, b, CAST(floor(cosine * 1000000) AS BIGINT) AS w FROM kg),
-         |seeds AS (SELECT vec_id AS vid,
-         |    (CASE WHEN label = 0 THEN 1000000 ELSE 0 END)::BIGINT AS seed
-         |  FROM embeddings WHERE vec_id < 100 AND label IN (0, 1)),
-         |ids AS (SELECT DISTINCT vid FROM (
-         |  SELECT a AS vid FROM lpe UNION ALL SELECT b FROM lpe
-         |  UNION ALL SELECT vid FROM seeds) t0),
-         |s0 AS (SELECT i.vid AS vid, coalesce(s.seed, 0)::BIGINT AS score,
-         |    s.seed IS NOT NULL AS is_seed, s.seed AS seed
-         |  FROM ids i LEFT JOIN seeds s USING (vid)),
-         |n1 AS (SELECT e.a AS vid, CAST(floor(CAST(sum(e.w * s.score) AS DOUBLE)
-         |      / CAST(sum(e.w) AS DOUBLE)) AS BIGINT) AS nbr
-         |  FROM lpe e JOIN s0 s ON s.vid = e.b GROUP BY e.a
-         |  HAVING sum(e.w) > 0),
-         |s1 AS (SELECT s.vid AS vid,
-         |    (CASE WHEN s.is_seed THEN s.seed ELSE coalesce(n.nbr, s.score) END)::BIGINT AS score,
-         |    s.is_seed AS is_seed, s.seed AS seed
-         |  FROM s0 s LEFT JOIN n1 n USING (vid)),
-         |n2 AS (SELECT e.a AS vid, CAST(floor(CAST(sum(e.w * s.score) AS DOUBLE)
-         |      / CAST(sum(e.w) AS DOUBLE)) AS BIGINT) AS nbr
-         |  FROM lpe e JOIN s1 s ON s.vid = e.b GROUP BY e.a
-         |  HAVING sum(e.w) > 0),
-         |s2 AS (SELECT s.vid AS vid,
-         |    (CASE WHEN s.is_seed THEN s.seed ELSE coalesce(n.nbr, s.score) END)::BIGINT AS score,
-         |    s.is_seed AS is_seed
-         |  FROM s1 s LEFT JOIN n2 n USING (vid))
-         |SELECT vid, score AS score_micro, is_seed FROM s2 ORDER BY vid""".stripMargin,
+         |${labelpropTail("kg")}""".stripMargin,
+    "llm_graph_labelprop_probe2" ->
+      s"""WITH ${kmeansCtes(4)},
+         |${knnProbeCtes(2, "p")},
+         |${labelpropTail("kgp")}""".stripMargin,
+    "llm_semdedup_pairs_probe2" ->
+      s"""WITH ${kmeansCtes(4)},
+         |${knnProbeCtes(2, "sp", op = "<")}
+         |SELECT a, b, cosine FROM kcossp WHERE cosine >= $EmbDedupThreshold
+         |ORDER BY a, b""".stripMargin,
     "llm_knn_recall" ->
       s"""WITH $knnCellCtes,
          |$knnExactCtes,
