@@ -150,6 +150,22 @@ object Streams {
         col(textCol))
   }
 
+  /** [[webGateStream]] from raw MARKUP — the full crawl-ingest shape:
+    * the HTML-to-text extractor ([[graft.llm.Text.htmlToText]]) runs
+    * as one more STATELESS scan projection in front of the gate
+    * (strip → segment → link-density cut → decode), so the stream's
+    * only state remains the one canonical-URL key per watermark
+    * window. `textOut` names the extracted-text column in the output
+    * (replacing any existing column of that name). */
+  def webIngestStream(docs: DataFrame, idCol: String, urlCol: String,
+                      htmlCol: String, tsCol: String = "ts",
+                      watermark: String = "1 hour",
+                      minWords: Long = 20L, maxWords: Long = 90L,
+                      textOut: String = "text"): DataFrame =
+    webGateStream(
+      docs.withColumn(textOut, graft.llm.Text.htmlToText(col(htmlCol))),
+      idCol, urlCol, textOut, tsCol, watermark, minWords, maxWords)
+
   /** Stream-stream interval join: each purchase joined to the clicks
     * that preceded it within `window` — the attribution join, the
     * streaming analog of the batch as-of composition. Both sides carry

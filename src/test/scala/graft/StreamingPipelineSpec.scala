@@ -159,6 +159,40 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("webIngestStream: markup extraction feeds the gate; chrome-only pages never pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val words20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def page(body: String) =
+      "<html><head><title>T</title><style>a{}</style></head><body>" +
+        "<script>var x=1;</script><!-- c --><nav><a href='/'>Home</a> " +
+        s"<a href='/a'>About</a></nav><p>$body</p></body></html>"
+    val out = graft.streaming.Streams.webIngestStream(
+      in.toDF().toDF("doc_id", "url", "html", "ts"),
+      "doc_id", "url", "html", "ts")
+    val q = out.writeStream.format("memory").queryName("webingest")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "https://a.com/p", page(words20), ts(0)),   // kept
+        // boilerplate-only page: extraction leaves nothing -> gated out
+        (2L, "https://b.com/q", page("").replace("<p></p>", ""), ts(1)),
+        (3L, "https://c.com/r", page("too short"), ts(2))) // rule-gated out
+      q.processAllAvailable()
+      // a later surface variant of url 1 — canonical dedup drops it
+      in.addData((4L, "https://A.com/p#x", page(words20), ts(3)))
+      q.processAllAvailable()
+      val rows = spark.table("webingest").select("doc_id", "canon", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.map(_._1).toSet === Set(1L),
+        s"only the first content page may pass: ${rows.toSeq}")
+      // the gated text is the EXTRACTED body: nav/script/title stripped
+      assert(rows.head._3 === words20, s"extraction must strip chrome: ${rows.head._3}")
+    } finally q.stop()
+  }
+
   test("annServeStream: streamed micro-batches equal batch IVFPQ serving") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
