@@ -78,6 +78,23 @@ object BenchScale {
       graft.llm.Similarity.knnGraph(embs, "vec_id", "embedding", k = 3,
         nlist = nlist, iters = 2, maxCluster = 4096).count()
     }
+    // r17: the multi-probe graph — candidate pairs grow ≤ nprobe² per
+    // vector with cell size held constant (nlist scales as above), so
+    // the curve should track knn_graph's with a constant-factor
+    // offset, NOT a steeper exponent; and the HTML extractor — a pure
+    // map-side regex projection that must stay exponent ~1.
+    time("knn_graph_probe2") {
+      val nlist = math.max(4L, 4L * nVecs / 2000L).toInt
+      graft.llm.Similarity.knnGraph(embs, "vec_id", "embedding", k = 3,
+        nlist = nlist, iters = 2, maxCluster = 4096, nprobe = 2).count()
+    }
+    time("html_extract") {
+      // count() would PRUNE the extracted column (and with it the whole
+      // regex chain) out of the plan — aggregate over it instead so the
+      // timing covers the actual extraction work
+      SparkEntry.queries("llm_html_extract")(spark, sfDir)
+        .agg(sum(length(col("extracted")))).head().getLong(0)
+    }
     time("qsketch") {
       graft.llm.CorpusStats.logHistQuantileProfile(docs, "source",
         org.apache.spark.sql.functions.length(
