@@ -339,6 +339,40 @@ object Tables {
     fs.delete(stage, true)
   }
 
+  /** Compact a `partitionBy` parquet store in place: incremental
+    * appends land one file per (batch, partition) FOREVER — after a
+    * year of daily deltas every cluster directory holds hundreds of
+    * small files and scan/listing cost is driven by file count, not
+    * bytes (the classic small-files failure at 100 TB). This rewrites
+    * the store to ONE file per partition value and publishes with the
+    * [[swapInParquet]] two-rename dance (read-while-write safe — the
+    * rewrite targets a sibling dir; a crash before the publish leaves
+    * the old store intact, inside the rename window leaves it missing
+    * = loud, never torn). NO lock is taken here — the caller holds
+    * the STORE'S OWN lock (the one its appenders take) so compaction
+    * serializes with appends; and any crashed tagged append must be
+    * retried BEFORE compacting (compaction absorbs orphan code files,
+    * after which the retry would re-place them — the recovery-order
+    * contract, documented on the index-level wrappers). */
+  def compactPartitionedParquet(spark: SparkSession, dest: String,
+                                partCol: String): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
+    val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
+    spark.read.parquet(dest)
+      .repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(next.toString)
+    if (!fs.rename(destPath, old))
+      throw new java.io.IOException(s"compact: cannot move $destPath aside")
+    if (!fs.rename(next, destPath)) {
+      fs.rename(old, destPath)
+      throw new java.io.IOException(s"compact: cannot publish $next")
+    }
+    fs.delete(old, true)
+  }
+
   /** Exclusive advisory lease over a swap-published store: runs `body`
     * with `${dest}__lock` held (atomic create-if-absent — HDFS-atomic,
     * best-effort-atomic on local filesystems), retrying acquisition

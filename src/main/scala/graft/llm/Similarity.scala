@@ -741,6 +741,23 @@ object Similarity {
     }
   }
 
+  /** Compact a persisted cluster-partitioned code store (IVF-SQ8 or
+    * IVFPQ) to one file per cluster — the small-files maintenance a
+    * long-lived append-only serving index needs (each tagged append
+    * adds one file per touched cluster; after thousands of deltas the
+    * DPP-pruned scan pays per FILE, not per byte). Runs under the
+    * index's own store lock so it serializes with appends; rows,
+    * partition layout, pruning behavior and serving answers are
+    * IDENTICAL before/after (spec'd + shared-oracle-checked).
+    * Recovery-order contract: a crashed tagged append must be retried
+    * BEFORE compacting — compaction absorbs its orphan code files and
+    * renames them away, after which the retry would re-place them. */
+  def compactIndexCodes(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit =
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      graft.io.Tables.compactPartitionedParquet(spark, s"$path/codes", "label")
+    }
+
   /** Reload → (centroid sum table, quantizer, cluster-partitioned
     * codes). */
   def readIvfSq8Index(spark: org.apache.spark.sql.SparkSession,

@@ -937,6 +937,32 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Persist -> tagged appends -> COMPACT -> serve: the small-files
+    // maintenance op (each tagged append adds one file per touched
+    // cluster forever; compaction rewrites each cluster to ONE file
+    // under the index's own lock). Rows, partition layout and serving
+    // must be IDENTICAL after compaction — this row SHARES the
+    // full-build serve oracle, the append-shares-oracle contract
+    // extended one more lifecycle stage.
+    "llm_ann_ivfsq8_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_ivfsq8_cmp")
+      Similarity.persistIvfSq8Index(cands.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", path, train = Some(cands))
+      Similarity.appendToIvfSq8Index(cands.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path, labelCol = Some("label"),
+        batchTag = Some("delta-1"))
+      Similarity.compactIndexCodes(s, path)
+      val (cent, quant, codes) = Similarity.readIvfSq8Index(s, path)
+      Similarity.ivfSq8TopK(cent, quant, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, coarse = 20, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The IVF-SQ8 quality ledger (the family's recall symmetry):
     // recall@3 at nprobe=1 vs nprobe=2 against exact brute force on
     // the disjoint 100-split — prices the probe dial for the scalar
@@ -4731,6 +4757,7 @@ object LlmQueries {
     // full rebuild (exact-integer centroid merge, pure per-row
     // encode), so the append row SHARES the serve oracle.
     "llm_ann_ivfsq8_append" -> IvfSq8OracleSql,
+    "llm_ann_ivfsq8_compact" -> IvfSq8OracleSql,
     "llm_ann_ivfsq8_recall" -> IvfSq8RecallOracleSql,
     "llm_ann_ivfpq" -> IvfPqOracleSql,
     // append shares the full-build oracle: frozen-book encode is pure

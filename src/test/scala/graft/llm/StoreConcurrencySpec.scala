@@ -265,6 +265,46 @@ class StoreConcurrencySpec extends SparkSpec {
       .orderBy("source", "bucket").collect().toSeq)
   }
 
+  test("compactIndexCodes: one file per cluster after, rows/serving identical, replays still no-op") {
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(4)(d => (i * 4 + d).toDouble / 10.0), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val path = Files.createTempDirectory("ivfsq8_cmp_").toString + "/idx"
+    Similarity.persistIvfSq8Index(vecs(0L to 3L), "vec_id", "embedding",
+      "label", path, train = Some(vecs(0L to 15L)))
+    (1 to 3).foreach { b =>
+      Similarity.appendToIvfSq8Index(vecs((b * 4L) to (b * 4L + 3L)),
+        "vec_id", "embedding", path, dim = 4, labelCol = Some("label"),
+        batchTag = Some(s"delta-$b"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesPerLabel(): Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+        .filter(_.isDirectory).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        }.toMap
+    val before = spark.read.parquet(s"$path/codes")
+      .orderBy("cid").collect().toSeq
+    assert(filesPerLabel().values.forall(_ >= 4),
+      s"3 tagged appends must have accumulated files: ${filesPerLabel()}")
+    Similarity.compactIndexCodes(spark, path)
+    assert(filesPerLabel().values.forall(_ === 1),
+      s"compaction must leave ONE file per cluster: ${filesPerLabel()}")
+    assert(spark.read.parquet(s"$path/codes").orderBy("cid").collect().toSeq
+      === before, "compaction must not change a single code row")
+    // a replayed pre-compaction batch still no-ops (the applied ledger
+    // lives with the centroids, untouched by compaction)
+    Similarity.appendToIvfSq8Index(vecs(4L to 7L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("delta-1"))
+    assert(spark.read.parquet(s"$path/codes").count() === before.size.toLong)
+    // and a FRESH post-compaction tagged append lands normally
+    Similarity.appendToIvfSq8Index(vecs(16L to 19L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("delta-4"))
+    assert(spark.read.parquet(s"$path/codes").count() === before.size + 4L)
+  }
+
   test("appendToPqIndex: a wrong-but-divisible m fails against the stored codes") {
     def vecs(ids: Seq[Long]) = ids.map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 64.0 + d)), i % 2)
