@@ -396,6 +396,45 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("r17 plan shapes: codegen'd PqSubLut, shuffle-free htmlToText, probe-2 WindowGroupLimit") {
+    import graft.llm.Text
+    import org.apache.spark.sql.functions._
+    // the PQ LUT build must sit INSIDE whole-stage codegen (the point
+    // of the kernel — the HOF form was CodegenFallback)
+    val books = (0 until 3).map(l => IndexedSeq.fill(4)(l.toLong * 7 + 1))
+    // spark.range, not a local Seq: ConvertToLocalRelation would
+    // constant-fold a literal frame into a LocalTableScan and there
+    // would be nothing left to assert on
+    val lutPlan = spark.range(8)
+      .select(graft.expr.kernels.NativeFns.pqSubLut(
+        Similarity.quantize(array(col("id").cast("double") * 0.1,
+          lit(0.2), lit(0.3), lit(0.4))), books, 0, 2).as("l"))
+      .queryExecution.executedPlan
+    val wsc = lutPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(wsc.exists(_.contains("graft_pq_sub_lut")),
+      s"LUT build must ride whole-stage codegen:\n$lutPlan")
+    // HTML extraction is a pure scan projection — NO exchange at any
+    // scale (the orderBy in the harness query is presentation, not
+    // the operator)
+    val extPlan = spark.range(4)
+      .select(col("id"), Text.htmlToText(
+        concat(lit("<p>a"), col("id").cast("string"), lit("</p>"))).as("t"))
+      .queryExecution.executedPlan.toString
+    assert(!extPlan.contains("Exchange"),
+      s"htmlToText must stay map-side:\n$extPlan")
+    // the probe-2 graph keeps the map-side partial top-k below its
+    // rank exchange (the knnTopK tail, unchanged by multi-probe)
+    val g2 = Similarity.knnGraph(
+      emb((1L to 12L).map(i => i -> Seq(0.1 * i, 0.2, 0.3, 0.4)): _*),
+      "vec_id", "embedding", k = 2, nlist = 2, iters = 2,
+      maxCluster = 4096, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(g2.contains("WindowGroupLimit"),
+      s"probe-2 graph lost its partial top-k:\n$g2")
+  }
+
   test("multiSignalKeepOne: a pair caught by either signal merges the cluster") {
     val universe = (1L to 6L).toDF("id")
     val sigA = Seq((1L, 2L)).toDF("a", "b")           // text signal: 1~2
