@@ -1067,8 +1067,8 @@ object Similarity {
     * computation replayable as unrolled SQL. Per iteration = MLlib's
     * shape: a codegen'd map-side argmin (no join) then ONE shuffle for
     * the sums; the driver holds only k×dim longs. `eq` is (vid, eq). */
-  private def kmeansTrain(eq: DataFrame, k: Int,
-                          iters: Int): Seq[(Long, Seq[Long])] = {
+  private[graft] def kmeansTrain(eq: DataFrame, k: Int,
+                                 iters: Int): Seq[(Long, Seq[Long])] = {
     def assign(cents: Seq[(Long, Seq[Long])]): Column =
       graft.expr.kernels.NativeFns.argminCentroid(col("eq"), cents)
     // deterministic seeding: the k lowest-id vectors, cid by id order
@@ -1148,13 +1148,32 @@ object Similarity {
   private[graft] def cellPairs(df: DataFrame, idCol: String, embCol: String,
                                nlist: Int, iters: Int, maxCluster: Int,
                                nprobe: Int, ordered: Boolean): DataFrame = {
+    val eq0 = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    cellPairsTrained(df, idCol, embCol, kmeansTrain(eq0, nlist, iters),
+      maxCluster, nprobe, ordered)
+  }
+
+  /** [[cellPairs]] against ALREADY-TRAINED centroids — callers probing
+    * several nprobe widths over one corpus (the recall/volume ledger)
+    * train ONCE and share `cents`, instead of re-running the Lloyd
+    * collect loop per width. Assignment is a map-side kernel column ON
+    * the quantized frame itself (argmin at nprobe = 1, explode(top-n)
+    * above), so the (vid → cluster) → eq re-join the pre-r17 shape
+    * paid — a corpus-scale shuffle join per build — is gone: the
+    * capped frame materializes in one pass over the scan. */
+  private[graft] def cellPairsTrained(df: DataFrame, idCol: String,
+                                      embCol: String,
+                                      cents: Seq[(Long, Seq[Long])],
+                                      maxCluster: Int, nprobe: Int,
+                                      ordered: Boolean): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val clusters =
-      if (nprobe == 1) kmeansClusters(df, idCol, embCol, nlist, iters)
-      else kmeansClustersProbe(df, idCol, embCol, nlist, iters, nprobe)
-        .select(col("vid"), col("cluster"))
-    val eq = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
-      .join(clusters, "vid")
+    val eq0 = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    val eq =
+      if (nprobe == 1) eq0.withColumn("cluster",
+        graft.expr.kernels.NativeFns.argminCentroid(col("eq"), cents))
+      else eq0.select(col("vid"), col("eq"), explode(
+          graft.expr.kernels.NativeFns.topNCentroids(col("eq"), cents, nprobe))
+        .as("cluster"))
     val capped = eq
       .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .filter(col("__bc").between(2, maxCluster))

@@ -1630,10 +1630,14 @@ object LlmQueries {
           "vec_id", "embedding", k = 3)
         .select(col("a"), col("b")).localCheckpoint(false)
       val nEval = exact.select(countDistinct(col("a")).as("n_eval"))
+      // ONE Lloyd training shared by both probe widths (the ledger
+      // compares assignment widths over the SAME trained cells)
+      val cents = Similarity.kmeansTrain(
+        emb.select(col("vec_id").as("vid"),
+          Similarity.quantize(col("embedding")).as("eq")), 4, 2)
       Seq(1, 2).map { np =>
-        val cand = Similarity.cellPairs(emb, "vec_id", "embedding",
-            nlist = 4, iters = 2, maxCluster = SemMaxCluster,
-            nprobe = np, ordered = false)
+        val cand = Similarity.cellPairsTrained(emb, "vec_id", "embedding",
+            cents, maxCluster = SemMaxCluster, nprobe = np, ordered = false)
           // reused twice below (graph ∧ volume) — one materialization
           .localCheckpoint(false)
         val graph = Similarity.knnTopK(cand, 3).filter(col("a") < 150L)
