@@ -1340,13 +1340,19 @@ object Similarity {
   }
 
   /** Full IVF: train the coarse quantizer with k-means, then probe —
-    * the composition a production index build runs. One extra join
-    * attaches the learned cluster ids (vs the label-column variant). */
+    * the composition a production index build runs. The learned
+    * cluster id rides as a map-side kernel COLUMN on the store frame
+    * (the cellPairs convention) — the (vid → cluster) re-join the
+    * pre-r17 shape paid, a corpus-scale shuffle per build, is gone. */
   def ivfTopKAuto(df: DataFrame, queries: DataFrame, idCol: String, embCol: String,
                   k: Int, nlist: Int = 4, iters: Int = 2): DataFrame = {
-    val clusters = kmeansClusters(df, idCol, embCol, nlist, iters)
-      .withColumnRenamed("vid", idCol).withColumnRenamed("cluster", "__cluster")
-    ivfTopK(df.join(clusters, idCol), queries, idCol, embCol, "__cluster", k)
+    val cents = kmeansTrain(
+      df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq")),
+      nlist, iters)
+    ivfTopK(df.withColumn("__cluster",
+        graft.expr.kernels.NativeFns.argminCentroid(
+          quantize(col(embCol)), cents)),
+      queries, idCol, embCol, "__cluster", k)
   }
 
   /** IVF-style ANN with a provided coarse quantizer (here: the label
