@@ -2364,6 +2364,29 @@ object LlmQueries {
           col("fb_pos"))
     }),
 
+    // Tokenizer FERTILITY ledger: chars-per-token by source in exact
+    // per-mille — the compression-ratio metric a tokenizer team
+    // watches per language/source (a source whose fertility collapses
+    // is being byte-sprayed by a vocabulary trained elsewhere; the
+    // signal that drives retraining). Vocab-scale merge application
+    // (tokenCounts) + one corpus-scale aggregate.
+    "llm_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+        .map { case (_, a, b, _) => (a, b) }
+      val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      docs.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("__chars"))
+        .join(counts, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("__chars")).as("n_chars"),
+          sum(col("n_bpe_tokens")).as("n_tokens"))
+        .select(col("source"), col("n_chars"), col("n_tokens"),
+          when(col("n_tokens") > 0L,
+            expr("n_chars * 1000L div n_tokens")).as("chars_per_token_mille"))
+        .orderBy(col("source"))
+    }),
+
     // Train -> encode -> PACK: the tokenizer story closed end-to-end.
     // The packer consumes the TRAINED tokenizer's per-document token
     // counts (Bpe.tokenCounts under the same merges llm_bpe_encode
@@ -5024,6 +5047,23 @@ object LlmQueries {
     // the store round-trip must equal direct train+encode bit-for-bit
     "llm_bpe_store" -> BpeEncodeOracleSql,
     "llm_bpe_bytefallback" -> BpeByteFallbackOracleSql,
+    "llm_bpe_fertility" ->
+      s"""WITH $BpeMergedVocabCtes,
+         |wl AS (SELECT w, len(syms)::BIGINT AS n_syms FROM wsyms),
+         |dw AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents) t WHERE len(w) > 0 GROUP BY doc_id, w),
+         |tc0 AS (SELECT doc_id, CAST(sum(c * n_syms) AS BIGINT) AS n_tok
+         |  FROM dw JOIN wl USING (w) GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id AS doc_id, coalesce(tc0.n_tok, 0)::BIGINT AS n_tok
+         |  FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |agg AS (SELECT source, CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM documents JOIN tc USING (doc_id) GROUP BY source)
+         |SELECT source, n_chars, n_tokens,
+         |  (CASE WHEN n_tokens > 0 THEN n_chars * 1000 // n_tokens END)::BIGINT
+         |    AS chars_per_token_mille
+         |FROM agg ORDER BY source""".stripMargin,
     // round-trip oracle: NO BPE replay — decoded text must equal the
     // normalized original, so the whole train/encode/decode chain is
     // value-checked by the source corpus itself
