@@ -682,4 +682,91 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
   }
+
+  /** Cross-document EXACT repeated k-token spans (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * public method; the substring-dedup signal their suffix-array
+    * pipeline finds, here at fixed window width): every k-token
+    * window whose exact text occurs in at least `minDf` DISTINCT
+    * documents, reported as (doc, start, h, df) — the span-level
+    * diagnostic (licence boilerplate, templated headers, quoted spam)
+    * that document-level MinHash/SimHash structurally cannot see when
+    * the surrounding text differs.
+    *
+    * Window keys are md5 of the space-joined window (EXACT-match
+    * semantics, replayable in any engine — a polynomial rolling hash
+    * would be cheaper per char but its modular arithmetic is not
+    * portable SQL). The per-document window keys are built INSIDE one
+    * `transform` over the positions (an interpreted HOF whose lambda
+    * is dominated by the md5 itself) so the exploded rows carry only
+    * (doc, start, 32-char key) — exploding positions first and
+    * slicing after would materialize the full word array per window
+    * row, O(n²) bytes per document. Shape: one corpus-scale explode
+    * of window keys → hash agg on the key (map-side combined) →
+    * semi-join detail. Start positions are 1-based. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDf: Long = 2L): DataFrame = {
+    val keyed = spanKeys(docs, idCol, textCol, k)
+    val q = keyed.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("n_occ"))
+      .filter(col("df") >= minDf)
+    keyed.join(q, "h")
+      .select(col(idCol), col("start"), col("h"), col("df"), col("n_occ"))
+  }
+
+  /** TRIM the repeated spans out of the corpus: every token covered by
+    * any qualifying window (a [start, start+k-1] interval) drops, the
+    * survivors rejoin in order — the REMOVAL face of [[repeatedSpans]]
+    * (Lee et al. cut the duplicate span and keep both documents,
+    * rather than dropping a whole document for one shared paragraph).
+    * Returns one row per input document: (idCol, trimmed, n_tokens,
+    * n_dropped) — a fully-covered or empty document surfaces with ''
+    * and its drop count, never vanishes. Coverage = windows × k rows
+    * (bounded by qualifying spans, not the corpus); the kept-token
+    * rebuild is the decode convention (bounded per-doc collect). */
+  def trimRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, minDf: Long = 2L): DataFrame = {
+    val keyed = spanKeys(docs, idCol, textCol, k)
+    val q = keyed.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+    val cov = keyed.join(q.select(col("h")), "h")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val tok = docs.select(col(idCol),
+        posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
+          .as(Seq("__p", "w")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("pos"), col("w"))
+    val totals = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    val rebuilt = tok.join(cov, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w")), " ").as("trimmed"),
+        count(lit(1)).as("__kept"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left_outer")
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("trimmed"), lit("")).as("trimmed"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** (idCol, start, h) window-key stream shared by the two span ops:
+    * md5 keys built per document inside one transform (see
+    * [[repeatedSpans]]), exploded with 1-based starts. */
+  private def spanKeys(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, s"span width k must be >= 2, got $k")
+    docs.select(col(idCol),
+        filter(Text.words(col(textCol)), w => length(w) > 0).as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__ws")) - (k - 1)),
+          i => md5(array_join(slice(col("__ws"), i, lit(k)), " "))))
+        .as(Seq("__s", "h")))
+      .select(col(idCol), (col("__s") + 1).cast("long").as("start"), col("h"))
+  }
 }

@@ -119,6 +119,35 @@ object LlmQueries {
        |FROM enc JOIN ids USING (sym)
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
 
+  /** The injected boilerplate for the repeated-span queries — an
+    * 11-word suffix on every 7th document, so k=8 windows fully inside
+    * it recur corpus-wide while windows straddling the document/suffix
+    * boundary stay document-unique (df = 1, correctly not flagged). */
+  private val SpanBoilerplate =
+    " common license header boilerplate repeated across every seventh document here verbatim"
+
+  private def withSpanBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(SpanBoilerplate)).otherwise(lit(""))))
+
+  /** The span-key CTE chain shared by the two span oracles: suffixed
+    * documents → filtered word lists → per-window md5 keys (1-based
+    * starts) → qualifying keys with df >= 2. */
+  private lazy val SpanKeyCtes: String =
+    s"""d AS (SELECT doc_id,
+       |    text || (CASE WHEN doc_id % 7 = 0 THEN '$SpanBoilerplate' ELSE '' END) AS text
+       |  FROM documents),
+       |wsx AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM d),
+       |ks AS (SELECT doc_id, i AS start,
+       |    md5(array_to_string(ws[i:i+7], ' ')) AS h
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+       |        FROM wsx WHERE len(ws) >= 8) t1),
+       |q AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS df,
+       |    count(*)::BIGINT AS n_occ
+       |  FROM ks GROUP BY h HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+
   /** One unrolled merge-APPLICATION round for the byte-fallback
     * oracle: [[bpeRoundCte]]'s closed-form greedy application (islands
     * + offset parity) driven by the TRAINING chain's b$k winner, over
@@ -2363,6 +2392,27 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"),
           col("fb_pos"))
     }),
+
+    // Cross-document EXACT repeated k-token spans (Lee et al. 2021 —
+    // the substring-dedup signal document-level MinHash cannot see):
+    // a shared 11-word boilerplate suffix is injected on every 7th
+    // document, and the detector must surface exactly the windows
+    // whose text recurs across >= 2 documents (the injected spans plus
+    // whatever repeats naturally). Window keys are md5 of the joined
+    // window — exact semantics, engine-portable.
+    "llm_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(withSpanBoilerplate(t(s, dir, "documents")),
+          "doc_id", "text", k = 8, minDf = 2L)
+        .orderBy(col("doc_id"), col("start"), col("h"))),
+
+    // The REMOVAL face: tokens covered by any qualifying window drop,
+    // survivors rejoin in order — cut the shared paragraph, keep both
+    // documents (the Lee et al. treatment, vs dropping a whole doc
+    // for one boilerplate block). Fully-covered docs surface as ''.
+    "llm_span_trim" -> ((s, dir) =>
+      Dedup.trimRepeatedSpans(withSpanBoilerplate(t(s, dir, "documents")),
+          "doc_id", "text", k = 8, minDf = 2L)
+        .orderBy(col("doc_id"))),
 
     // Tokenizer FERTILITY ledger: chars-per-token by source in exact
     // per-mille — the compression-ratio metric a tokenizer team
@@ -5047,6 +5097,28 @@ object LlmQueries {
     // the store round-trip must equal direct train+encode bit-for-bit
     "llm_bpe_store" -> BpeEncodeOracleSql,
     "llm_bpe_bytefallback" -> BpeByteFallbackOracleSql,
+    "llm_repeated_spans" ->
+      s"""WITH $SpanKeyCtes
+         |SELECT ks.doc_id AS doc_id, CAST(start AS BIGINT) AS start,
+         |  ks.h AS h, q.df AS df, q.n_occ AS n_occ
+         |FROM ks JOIN q USING (h) ORDER BY doc_id, start, h""".stripMargin,
+    "llm_span_trim" ->
+      s"""WITH $SpanKeyCtes,
+         |cov AS (SELECT DISTINCT ks.doc_id AS doc_id, ks.start + r.i AS pos
+         |  FROM ks JOIN q USING (h), range(0, 8) r(i)),
+         |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos,
+         |    unnest(ws) AS w FROM wsx),
+         |kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+         |  ANTI JOIN cov USING (doc_id, pos)),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+         |  FROM tok GROUP BY doc_id),
+         |rb AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS trimmed,
+         |    count(*)::BIGINT AS kept FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id, coalesce(rb.trimmed, '') AS trimmed,
+         |  coalesce(tot.n_tokens, 0)::BIGINT AS n_tokens,
+         |  (coalesce(tot.n_tokens, 0) - coalesce(rb.kept, 0))::BIGINT AS n_dropped
+         |FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN rb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "llm_bpe_fertility" ->
       s"""WITH $BpeMergedVocabCtes,
          |wl AS (SELECT w, len(syms)::BIGINT AS n_syms FROM wsyms),

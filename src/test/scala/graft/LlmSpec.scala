@@ -730,6 +730,30 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("repeatedSpans/trimRepeatedSpans: shared blocks found at exact offsets and cut, unique text intact") {
+    import graft.llm.Dedup
+    val block = "one two three four five six seven eight"   // 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $block gamma delta"),               // block at 3..10
+      (2L, s"$block tail words here"),                      // block at 1..8
+      (3L, "nothing shared in this document at all ok"),    // untouched
+      (4L, block),                                          // fully covered
+      (5L, null.asInstanceOf[String]))                      // null text
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 8, minDf = 2L)
+      .select("doc_id", "start", "df").as[(Long, Long, Long)].collect().toSet
+    // exactly the three occurrences of the shared window, df = 3
+    assert(spans === Set((1L, 3L, 3L), (2L, 1L, 3L), (4L, 1L, 3L)), s"got $spans")
+    val out = Dedup.trimRepeatedSpans(docs, "doc_id", "text", k = 8, minDf = 2L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("alpha beta gamma delta", 12L, 8L)))
+    assert(out(2L) === (("tail words here", 11L, 8L)))
+    assert(out(3L) === (("nothing shared in this document at all ok", 8L, 0L)))
+    assert(out(4L) === (("", 8L, 8L)), "a fully-covered doc surfaces empty, not missing")
+    assert(out(5L) === (("", 0L, 0L)), "a null-text doc surfaces with zero counts")
+  }
+
   test("htmlToText: strips non-content, cuts link-dense blocks, decodes entities in order") {
     import graft.llm.Text
     def ext(html: String): String = Seq(html).toDF("h")
