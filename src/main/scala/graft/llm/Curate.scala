@@ -94,7 +94,54 @@ object Curate {
     * windows cut per shard. */
   def packByTokens(counts: DataFrame, idCol: String = "doc_id",
                    tokensCol: String = "tokens", budget: Int = 512,
-                   shards: Int = 8): DataFrame = {
+                   shards: Int = 8): DataFrame =
+    packByTokensCum(counts, idCol, tokensCol, budget, shards)
+      .select(col(idCol), col("shard"), col("tokens"),
+        floor((col("cum") - col("tokens")) / lit(budget.toDouble)).cast(LongType)
+          .as("pack_first"),
+        floor((col("cum") - lit(1L)) / lit(budget.toDouble)).cast(LongType)
+          .as("pack_last"))
+
+  /** The WINDOW-side view of [[packByTokens]] — the sample-mask
+    * metadata a training run actually consumes: one row per
+    * (shard, pack, document-SEGMENT), with the segment's token offset
+    * and length WITHIN its context window. A document straddling a
+    * window boundary contributes one segment per window it touches
+    * (`sequence(pack_first, pack_last)` — documents are ≪ budget×2
+    * windows long in practice, and the explode is bounded by
+    * ceil(tokens/budget)+1 either way). Pure integer interval
+    * arithmetic off the same cumulative sums as the packer —
+    * seg_start = max(doc_start, window_start) − window_start,
+    * seg_len = min(doc_end, window_end) − max(doc_start, window_start)
+    * — so the two views can never disagree about where a document
+    * landed, and Σ seg_len per document = tokens + its separator slot
+    * exactly (spec'd). Per (shard, pack) the segments tile [0, budget)
+    * with no gaps or overlaps — the attention-mask invariant. */
+  def packBoundaries(counts: DataFrame, idCol: String = "doc_id",
+                     tokensCol: String = "tokens", budget: Int = 512,
+                     shards: Int = 8): DataFrame = {
+    val packs = packByTokensCum(counts, idCol, tokensCol, budget, shards)
+    val id = col(idCol)
+    packs
+      .withColumn("pack_id", explode(sequence(
+        floor((col("cum") - col("tokens")) / lit(budget.toDouble)).cast(LongType),
+        floor((col("cum") - lit(1L)) / lit(budget.toDouble)).cast(LongType))))
+      .withColumn("__dstart", col("cum") - col("tokens"))
+      .withColumn("__wstart", col("pack_id") * lit(budget.toLong))
+      .withColumn("__s", greatest(col("__dstart"), col("__wstart")))
+      .withColumn("__e", least(col("cum"),
+        col("__wstart") + lit(budget.toLong)))
+      .select(col("shard"), col("pack_id"), id,
+        (col("__s") - col("__wstart")).as("seg_start"),
+        (col("__e") - col("__s")).as("seg_len"))
+  }
+
+  /** The packer's shared prelude: deterministic hash-shuffled order
+    * and per-shard cumulative token sums (separator slot included) —
+    * (idCol, shard, tokens, cum). */
+  private def packByTokensCum(counts: DataFrame, idCol: String,
+                              tokensCol: String, budget: Int,
+                              shards: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     counts.schema(idCol).dataType match {
@@ -115,11 +162,7 @@ object Curate {
         (coalesce(col(tokensCol), lit(0L)) + lit(1L)).as("tokens"),
         Text.md5Hash(concat(lit("pack:"), id.cast("string"))).as("__ord"))
       .withColumn("cum", sum(col("tokens")).over(w))
-      .select(id, col("shard"), col("tokens"),
-        floor((col("cum") - col("tokens")) / lit(budget.toDouble)).cast(LongType)
-          .as("pack_first"),
-        floor((col("cum") - lit(1L)) / lit(budget.toDouble)).cast(LongType)
-          .as("pack_last"))
+      .select(id, col("shard"), col("tokens"), col("cum"))
   }
 
   /** Importance-weighted Bernoulli sampling: row `r` survives with

@@ -2180,6 +2180,19 @@ object LlmQueries {
     // order within shards, token stream cut into 512-token windows;
     // each doc reports the window range it lands in. Window PARTITION
     // BY shard — packing parallelism scales with the shard count.
+    // The WINDOW-side packing view — the sample-mask metadata a
+    // trainer consumes: one row per (shard, pack, document SEGMENT)
+    // with the segment's offset and length inside its context window
+    // (a straddling document contributes one segment per window).
+    // Pure integer interval arithmetic off the packer's own cumulative
+    // sums, so the two views can never disagree; per (shard, pack) the
+    // segments tile [0, budget) exactly (spec'd invariant).
+    "llm_pack_boundaries" -> ((s, dir) =>
+      Curate.packBoundaries(t(s, dir, "documents").select(col("doc_id"),
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)).as("__toks")),
+        "doc_id", "__toks", budget = 512, shards = 8)
+        .orderBy(col("shard"), col("pack_id"), col("seg_start"), col("doc_id"))),
+
     "llm_pack_sequences" -> ((s, dir) =>
       Curate.packSequences(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -5735,6 +5748,24 @@ object LlmQueries {
          |  CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS pack_first,
          |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_last
          |FROM c ORDER BY doc_id""".stripMargin,
+    "llm_pack_boundaries" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
+         |    ${duckHash("('pack:' || doc_id)")} AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, tokens,
+         |    sum(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+         |seg AS (SELECT doc_id, shard, tokens, cum,
+         |    unnest(range(CAST(floor((cum - tokens) / 512.0) AS BIGINT),
+         |                 CAST(floor((cum - 1) / 512.0) AS BIGINT) + 1)) AS pack_id
+         |  FROM c)
+         |SELECT shard, pack_id, doc_id,
+         |  (greatest(cum - tokens, pack_id * 512) - pack_id * 512)::BIGINT AS seg_start,
+         |  (least(cum, (pack_id + 1) * 512)
+         |    - greatest(cum - tokens, pack_id * 512))::BIGINT AS seg_len
+         |FROM seg ORDER BY shard, pack_id, seg_start, doc_id""".stripMargin,
     "llm_pack_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,

@@ -37,6 +37,46 @@ class CurateSpec extends SparkSpec {
     assert(spans == Seq((0L, 0L), (0L, 1L), (1L, 2L)))
   }
 
+  test("packBoundaries: segments tile every window exactly and sum to each doc's tokens") {
+    val df = docs((0L until 40L).map(i =>
+      i -> (1 to (i % 7 + 1).toInt * 3).map(j => s"w$j").mkString(" ")): _*)
+    val counts = df.select(col("doc_id"),
+      graft.llm.Text.wsTokenCount(col("text")).as("n"))
+    val budget = 10
+    val segs = Curate.packBoundaries(counts, "doc_id", "n",
+        budget = budget, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // per doc: Σ seg_len == tokens + separator slot (nothing lost at
+    // window boundaries)
+    val packs = Curate.packByTokens(counts, "doc_id", "n",
+        budget = budget, shards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    segs.groupBy(_._3).foreach { case (doc, rows) =>
+      assert(rows.map(_._5).sum === packs(doc)._1, s"doc $doc loses tokens")
+      // and the segment pack ids are exactly the packer's range
+      assert(rows.map(_._2).min === packs(doc)._2 &&
+        rows.map(_._2).max === packs(doc)._3, s"doc $doc pack range drifts")
+    }
+    // per (shard, pack): sorted segments tile [0, budget) with no gap
+    // or overlap (the attention-mask invariant); the shard's LAST
+    // window may end short
+    segs.groupBy(s => (s._1, s._2)).foreach { case ((sh, p), rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"($sh, $p) does not start at 0")
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 + a._5 === b._4, s"($sh, $p) gap/overlap at ${b._4}")
+        case _ => ()
+      }
+      val end = sorted.last._4 + sorted.last._5
+      val lastPack = segs.filter(_._1 == sh).map(_._2).max
+      if (p < lastPack) assert(end === budget.toLong,
+        s"($sh, $p) interior window not fully tiled: $end")
+      else assert(end <= budget.toLong)
+    }
+  }
+
   test("packByTokens: precomputed counts pack identically to the text path") {
     val df = docs((0L until 24L).map(i =>
       i -> (1 to (i % 5 + 1).toInt * 2).map(j => s"w$j").mkString(" ")): _*)
