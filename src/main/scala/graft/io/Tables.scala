@@ -373,6 +373,36 @@ object Tables {
     fs.delete(old, true)
   }
 
+  /** Delete a store's crash residue: orphan `__next_*` / `__old_*`
+    * swap dirs and `__stage_*` append stages are the documented
+    * leftovers of a publisher that died mid-window ([[swapInParquet]],
+    * [[stagedPartitionedAppend]]) — harmless to readers (the live dir
+    * is untouched) but they accumulate bytes and listings forever.
+    * Runs under the store's lock so a LIVE publisher's in-flight next
+    * dir is never swept (the lock holder owns the residue namespace);
+    * a `__stage_*` belonging to a crashed TAGGED append may be swept
+    * freely — the retry rebuilds the stage from scratch and its moves
+    * skip already-placed files, so vacuuming never breaks the
+    * exactly-once recovery (unlike compaction, which absorbs placed
+    * files and must come AFTER the retry). Returns the deleted paths. */
+  def vacuumStore(spark: SparkSession, dest: String): Seq[String] =
+    withStoreLock(spark, dest) {
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parent = destPath.getParent
+      val name = destPath.getName
+      if (parent == null || !fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent).iterator
+        .map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(s"${name}__next_") || n.startsWith(s"${name}__old_") ||
+            n.startsWith(s"${name}__stage_")
+        }
+        .map { p => fs.delete(p, true); p.toString }
+        .toSeq
+    }
+
   /** Exclusive advisory lease over a swap-published store: runs `body`
     * with `${dest}__lock` held (atomic create-if-absent — HDFS-atomic,
     * best-effort-atomic on local filesystems), retrying acquisition

@@ -305,6 +305,35 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/codes").count() === before.size + 4L)
   }
 
+  test("vacuumStore: sweeps crash residue, leaves the live store, recovery still exactly-once") {
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(4)(d => (i * 4 + d).toDouble / 10.0), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val path = Files.createTempDirectory("vacuum_").toString + "/idx"
+    Similarity.persistIvfSq8Index(vecs(0L to 3L), "vec_id", "embedding",
+      "label", path, train = Some(vecs(0L to 11L)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate crash residue on both swap stores
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/centroids__next_dead1"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/centroids__old_dead2"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/codes__stage_deadbeef"))
+    val sweptC = Tables.vacuumStore(spark, s"$path/centroids")
+    val sweptK = Tables.vacuumStore(spark, s"$path/codes")
+    assert(sweptC.size === 2 && sweptK.size === 1, s"$sweptC / $sweptK")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes")),
+      "the live store must never be swept")
+    // a tagged append still lands exactly-once after the sweep (the
+    // retry rebuilds its stage from scratch)
+    Similarity.appendToIvfSq8Index(vecs(4L to 7L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("post-vac"))
+    val n = spark.read.parquet(s"$path/codes").count()
+    Similarity.appendToIvfSq8Index(vecs(4L to 7L), "vec_id", "embedding",
+      path, dim = 4, labelCol = Some("label"), batchTag = Some("post-vac"))
+    assert(spark.read.parquet(s"$path/codes").count() === n)
+  }
+
   test("appendToPqIndex: a wrong-but-divisible m fails against the stored codes") {
     def vecs(ids: Seq[Long]) = ids.map { i =>
       (i, Array.tabulate(64)(d => math.sin(i * 64.0 + d)), i % 2)
