@@ -88,6 +88,12 @@ object BenchScale {
       graft.llm.Similarity.knnGraph(embs, "vec_id", "embedding", k = 3,
         nlist = nlist, iters = 2, maxCluster = 4096, nprobe = 2).count()
     }
+    // r17: exact repeated-span detection — a corpus-TOKEN-scale window
+    // explode + one hash agg on the md5 key + semi-join; should be
+    // linear-ish in the token stream (the inverted-index shape)
+    time("repeated_spans") {
+      SparkEntry.queries("llm_repeated_spans")(spark, sfDir).count()
+    }
     time("html_extract") {
       // count() would PRUNE the extracted column (and with it the whole
       // regex chain) out of the plan — aggregate over it instead so the
