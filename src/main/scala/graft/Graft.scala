@@ -697,6 +697,58 @@ object Graft {
 
   def validationReport(flagged: DataFrame): DataFrame = ops.Ops.validationReport(flagged)
 
+  // -- round-17 additions ----------------------------------------------
+  /** HTML-to-text extraction — the first stage of a crawl pipeline
+    * (strip, block-segment, link-density boilerplate cut, entity
+    * decode); pure map-side scan projection. */
+  def htmlToText(html: Column): Column = llm.Text.htmlToText(html)
+
+  /** Bulk kNN graph with the multi-probe recall dial (each vector
+    * searched in its `nprobe` nearest k-means cells — boundary
+    * neighbors recovered; volume/recall both ledgered in-engine). */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
+               nlist: Int = 4, iters: Int = 2, maxCluster: Int = 4096,
+               nprobe: Int = 1): DataFrame =
+    llm.Similarity.knnGraph(df, idCol, embCol, k, nlist, iters,
+      maxCluster, nprobe)
+
+  /** Cross-document exact repeated k-token spans (substring-dedup
+    * signal) and the trim that removes them while keeping every
+    * document. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDf: Long = 2L): DataFrame =
+    llm.Dedup.repeatedSpans(docs, idCol, textCol, k, minDf)
+  def trimRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, minDf: Long = 2L): DataFrame =
+    llm.Dedup.trimRepeatedSpans(docs, idCol, textCol, k, minDf)
+
+  /** Byte-fallback tokenizer surface: reserved byte/special ids, OOV
+    * symbols expand to UTF-8 byte tokens, decode re-fuses them. */
+  def bpeSymbolIdsFallback(docs: DataFrame, textCol: String,
+                           merges: Seq[(String, String)]): Seq[(String, Long)] =
+    llm.Bpe.symbolIdsFallback(docs, textCol, merges)
+  def bpeEncodeFallback(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)],
+                        ids: Seq[(String, Long)]): DataFrame =
+    llm.Bpe.encodeFallback(docs, idCol, textCol, merges, ids)
+  def bpeDecodeFallback(stream: DataFrame, idCol: String,
+                        ids: Seq[(String, Long)]): DataFrame =
+    llm.Bpe.decodeFallback(stream, idCol, ids)
+
+  /** Window-side packing boundaries — the per-(shard, pack) document
+    * segments with in-window offsets (the sample-mask metadata). */
+  def packBoundaries(counts: DataFrame, idCol: String = "doc_id",
+                     tokensCol: String = "tokens", budget: Int = 512,
+                     shards: Int = 8): DataFrame =
+    llm.Curate.packBoundaries(counts, idCol, tokensCol, budget, shards)
+
+  /** Persisted-index maintenance: one-file-per-cluster compaction and
+    * crash-residue vacuum, both lock-serialized with appends. */
+  def compactIndexCodes(spark: SparkSession, indexPath: String): Unit =
+    llm.Similarity.compactIndexCodes(spark, indexPath)
+  def vacuumStore(spark: SparkSession, dest: String): Seq[String] =
+    io.Tables.vacuumStore(spark, dest)
+
   // -- live-service / in-DB utilities ---------------------------------
   /** W2 pushed to the database (`cleanup_duplicates`): one set-based
     * DELETE keeps the newest row per key; returns rows removed. */
