@@ -72,6 +72,13 @@ object Bench {
     // since r6 recorded "parsed": null), so the total also rides a
     // short fixed-shape line the tail always captures.
     println(s"BENCH_TOTAL sec=${ms(total)} n=${results.size} failed=$hardFailed sf=$sfDir")
+    // Truncation-proof PARSEABLE trailer: the driver's tail capture
+    // cuts the FRONT of the long per-query JSON line, so every
+    // BENCH_rN since r6 parsed to null. This line carries the same
+    // shape (metric/value/queries/sf) but totals-only, short enough
+    // that the tail window always holds it whole; per-query numbers
+    // live in the committed bench_local.json and the long line.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":$hardFailed,"n":${results.size},"queries":{"_total":${ms(total)}},"sf":${js(sfDir)}}""")
     // Machine-readable artifact alongside the stdout line: the driver's
     // output-tail capture truncates long runs (BENCH_r11 recorded
     // "parsed": null), so round-over-round drift comparison reads this

@@ -202,8 +202,19 @@ object Tables {
     // replay window is the last uncommitted batch), never from
     // antiquity — the truncation is documented contract, not loss.
     if (ledger.nonEmpty) {
+      // The header line records the CUMULATIVE applied-batch count so
+      // a wrapped ledger (total > retained lines) is DETECTABLE: a
+      // tag-checked append against a wrapped store cannot prove a
+      // very old tag (e.g. a streaming checkpoint restored from an
+      // ancient backup) was not already applied — see
+      // [[storeLedgerWrapped]] and the appender docs.
+      val distinctLedger = ledger.distinct
+      val (priorRetained, priorTotal) = storeLedgerCounts(spark, dest)
+      val total = math.max(priorTotal, priorRetained.toLong) +
+        math.max(0, distinctLedger.size - priorRetained)
       val out = fs.create(new org.apache.hadoop.fs.Path(next, AppliedLedgerFile), true)
-      out.write(ledger.takeRight(MaxAppliedLedger).mkString("", "\n", "\n")
+      out.write((s"#TOTAL-$total\n" +
+        distinctLedger.takeRight(MaxAppliedLedger).mkString("", "\n", "\n"))
         .getBytes("UTF-8"))
       out.close()
     }
@@ -287,12 +298,61 @@ object Tables {
       else {
         val in = fs.open(ledgerPath)
         try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
+          .getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toList
         finally in.close()
       }
     val legacy = storeMarkers(spark, dest).filter(_.startsWith("_APPLIED-"))
     (legacy ++ lines).distinct
   }
+
+  /** (retained applied-tag lines, cumulative applied total) for a
+    * store's ledger. Total falls back to the retained count for
+    * pre-header ledgers (which by construction never wrapped more than
+    * the header's absence can hide — headers publish with every ledger
+    * write from the version that introduced them). */
+  def storeLedgerCounts(spark: SparkSession, dest: String): (Int, Long) = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerPath = new org.apache.hadoop.fs.Path(destPath, AppliedLedgerFile)
+    val header =
+      if (!fs.exists(ledgerPath)) None
+      else {
+        val in = fs.open(ledgerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .find(_.startsWith("#TOTAL-")).map(_.stripPrefix("#TOTAL-").toLong)
+        finally in.close()
+      }
+    val retained = storeAppliedLedger(spark, dest).size
+    (retained, header.getOrElse(retained.toLong))
+  }
+
+  /** True when the store's applied-tag ledger has TRUNCATED history:
+    * more batches were ever applied than the retained
+    * [[MaxAppliedLedger]] window holds. A tag-checked append whose tag
+    * is absent from a WRAPPED ledger cannot distinguish "new batch"
+    * from "batch applied before the window" — replaying a tag older
+    * than the window (a streaming checkpoint restored from an old
+    * backup) silently double-applies on count-SUM stores. Appenders
+    * surface a loud stderr warning on this state; operators restoring
+    * checkpoints from backup must rebuild or reconcile the store
+    * rather than resume-append into it. */
+  def storeLedgerWrapped(spark: SparkSession, dest: String): Boolean = {
+    val (retained, total) = storeLedgerCounts(spark, dest)
+    total > retained
+  }
+
+  /** The loud-warning side of [[storeLedgerWrapped]], shared by the
+    * tag-checked appenders: called when a tag was NOT found applied,
+    * right before the append proceeds. */
+  def warnIfLedgerWrapped(spark: SparkSession, dest: String,
+                          tag: Option[String]): Unit =
+    if (tag.nonEmpty && storeLedgerWrapped(spark, dest))
+      System.err.println(
+        s"[graft] WARNING: applied-tag ledger at $dest has wrapped " +
+          s"(retention ${MaxAppliedLedger}); tag '${tag.get}' was not found " +
+          "but may have been applied before the retained window — if this " +
+          "batch replays history older than the window (e.g. a checkpoint " +
+          "restored from backup), it will double-apply on a sum-monoid store")
 
   /** Idempotent staged append of a batch's PARTITIONED files into a
     * `partitionBy(partCol)` parquet store — the crash-replay-safe
@@ -384,24 +444,42 @@ object Tables {
     * freely — the retry rebuilds the stage from scratch and its moves
     * skip already-placed files, so vacuuming never breaks the
     * exactly-once recovery (unlike compaction, which absorbs placed
-    * files and must come AFTER the retry). Returns the deleted paths. */
+    * files and must come AFTER the retry). Returns the deleted paths.
+    *
+    * LOCK-SCOPE CAVEAT: this takes the lock of THE STORE IT SWEEPS,
+    * which protects against concurrent publishers of that same store —
+    * but the persisted-index appenders stage codes under
+    * `codes__stage_*` while holding the CENTROIDS lock, so a bare
+    * `vacuumStore(.../codes)` racing a live tagged append can delete
+    * the append's in-flight stage dir (loud failure; the retry
+    * recovers exactly-once — availability, not corruption). Vacuum a
+    * persisted ANN index through
+    * [[graft.llm.Similarity.vacuumIndexStores]], which sweeps all of
+    * the index's stores under the centroids lock the appenders
+    * actually hold. */
   def vacuumStore(spark: SparkSession, dest: String): Seq[String] =
-    withStoreLock(spark, dest) {
-      val destPath = new org.apache.hadoop.fs.Path(dest)
-      val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parent = destPath.getParent
-      val name = destPath.getName
-      if (parent == null || !fs.exists(parent)) Seq.empty
-      else fs.listStatus(parent).iterator
-        .map(_.getPath)
-        .filter { p =>
-          val n = p.getName
-          n.startsWith(s"${name}__next_") || n.startsWith(s"${name}__old_") ||
-            n.startsWith(s"${name}__stage_")
-        }
-        .map { p => fs.delete(p, true); p.toString }
-        .toSeq
-    }
+    withStoreLock(spark, dest) { vacuumStoreUnlocked(spark, dest) }
+
+  /** [[vacuumStore]] body without the lock — for composite callers
+    * that already hold the lock governing the store's writers (the
+    * index-level vacuum holds the centroids lock while sweeping the
+    * codes/quantizer siblings). */
+  def vacuumStoreUnlocked(spark: SparkSession, dest: String): Seq[String] = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = destPath.getParent
+    val name = destPath.getName
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).iterator
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(s"${name}__next_") || n.startsWith(s"${name}__old_") ||
+          n.startsWith(s"${name}__stage_")
+      }
+      .map { p => fs.delete(p, true); p.toString }
+      .toSeq
+  }
 
   /** Exclusive advisory lease over a swap-published store: runs `body`
     * with `${dest}__lock` held (atomic create-if-absent — HDFS-atomic,

@@ -412,11 +412,15 @@ object Bpe {
     * `<0xNN>` convention (uppercase hex, matching Spark's `hex`). */
   def byteToken(v: Int): String = f"<0x$v%02X>"
 
-  /** Byte-fallback token-id layout (the SentencePiece/LLaMA shape):
-    * id 0 stays reserved (UNK — unreachable once every byte has a
-    * token, kept for foreign streams), ids 1..256 are the 256 UTF-8
-    * byte tokens `<0x00>`..`<0xFF>` (id = 1 + byte value), then the
-    * special tokens, then the learned alphabet in UTF-8 byte order.
+  /** Byte-fallback token-id layout in the SentencePiece STYLE — the
+    * ids are THIS framework's own stable contract, NOT
+    * SentencePiece/LLaMA-compatible numbering (those reserve unk=0,
+    * bos=1, eos=2, bytes 3..258; here id 0 stays reserved (UNK —
+    * unreachable once every byte has a token, kept for foreign
+    * streams), ids 1..256 are the 256 UTF-8 byte tokens
+    * `<0x00>`..`<0xFF>` (id = 1 + byte value), then the special
+    * tokens, then the learned alphabet in UTF-8 byte order — do not
+    * assume drop-in id interchange with those tokenizers).
     * Reserving bytes and specials FIRST keeps their ids stable across
     * retrains — only the learned region moves, the property serving
     * infra relies on. Fails loudly if a learned symbol collides with

@@ -742,6 +742,7 @@ object CorpusStats {
     val applied = graft.io.Tables.storeAppliedLedger(spark, store)
     val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
     if (tagLine.exists(applied.contains)) return // replayed batch: no-op
+    graft.io.Tables.warnIfLedgerWrapped(spark, store, tagLine)
     val gen = graft.io.Tables.storeGeneration(spark, store)
     val base = spark.read.parquet(store)
     val geoms = base.select(col("sb")).distinct()

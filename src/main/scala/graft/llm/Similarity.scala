@@ -707,6 +707,7 @@ object Similarity {
       val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
       val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
       if (tagLine.exists(applied.contains)) return // replayed batch: no-op
+      graft.io.Tables.warnIfLedgerWrapped(spark, s"$path/centroids", tagLine)
       val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
       val (cent, quant, _) = readIvfSq8Index(spark, path)
       require(quant.length == dim,
@@ -751,11 +752,34 @@ object Similarity {
     * IDENTICAL before/after (spec'd + shared-oracle-checked).
     * Recovery-order contract: a crashed tagged append must be retried
     * BEFORE compacting — compaction absorbs its orphan code files and
-    * renames them away, after which the retry would re-place them. */
+    * renames them away, after which the retry would re-place them.
+    *
+    * READER caveat: the two-rename publish leaves the codes dir
+    * ABSENT for the metadata-rename window — a concurrent serving
+    * read (which takes no lock) can fail with missing-path even
+    * during a healthy compaction. Serving paths must
+    * tolerate-and-retry a transient missing codes dir; the failure is
+    * loud and transient, never a torn read. */
   def compactIndexCodes(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit =
     graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
       graft.io.Tables.compactPartitionedParquet(spark, s"$path/codes", "label")
+    }
+
+  /** Sweep crash residue (`__next_*`/`__old_*`/`__stage_*`) from ALL
+    * of a persisted index's stores — centroids, codes, quantizer,
+    * codebooks, whichever exist — under the CENTROIDS lock, the lock
+    * every appender of these indexes actually holds while staging
+    * (`codes__stage_*` is created under the centroids lock, so a bare
+    * [[graft.io.Tables.vacuumStore]] on the codes dir could race a
+    * live append's stage; this wrapper cannot). Returns the deleted
+    * paths. */
+  def vacuumIndexStores(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[String] =
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      Seq("centroids", "codes", "quantizer", "codebooks").flatMap { d =>
+        graft.io.Tables.vacuumStoreUnlocked(spark, s"$path/$d")
+      }
     }
 
   /** Reload → (centroid sum table, quantizer, cluster-partitioned
@@ -1578,6 +1602,7 @@ object Similarity {
       val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
       val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
       if (tagLine.exists(applied.contains)) return // replayed batch: no-op
+      graft.io.Tables.warnIfLedgerWrapped(spark, s"$path/centroids", tagLine)
       val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
       val (byLabel, _) = readPqIndex(spark, path)
       validateCodebooks(spark, byLabel, m, dim, path)
