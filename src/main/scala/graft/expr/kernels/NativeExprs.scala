@@ -700,6 +700,83 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Numeric/hex HTML character-reference decoder — `&#123;` and
+  * `&#x1F600;`/`&#X1f600;` to their codepoints, including astral-plane
+  * ones (the JDK `char` is a UTF-16 unit; this appends the full
+  * codepoint). The contract is a FIXED, oracle-replayable rewrite, not
+  * the HTML5 parser: a reference decodes iff it is `&#` + 1..7
+  * digits of its base + `;` and the value is a Unicode scalar
+  * (1..0x10FFFF, not a surrogate); anything else — `&#xZZ;`, `&#;`,
+  * unterminated digits, 8+ digit runs, `&#0;`, surrogate or
+  * out-of-range values — passes through VERBATIM (malformed web text
+  * must stay inspectable, not disappear). Decoding is one
+  * left-to-right pass over the INPUT: produced characters are never
+  * rescanned, which is exactly the semantics of the DuckDB
+  * split-on-`&#` replay (every `&#` occurrence is a decode site;
+  * each either becomes a codepoint or re-emits itself). */
+object HtmlEntityKernel {
+  def decode(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    var i = str.indexOf("&#")
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var pos = 0
+    while (i >= 0) {
+      sb.append(str, pos, i)
+      var j = i + 2
+      var hex = false
+      if (j < str.length && (str.charAt(j) == 'x' || str.charAt(j) == 'X')) {
+        hex = true; j += 1
+      }
+      val dStart = j
+      var v = 0L
+      var cont = true
+      while (cont && j < str.length && j - dStart < 7) {
+        val c = str.charAt(j)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (d < 0) cont = false
+        else { v = v * (if (hex) 16L else 10L) + d; j += 1 }
+      }
+      val nDigits = j - dStart
+      val trailingDigit = j < str.length && {
+        val c = str.charAt(j)
+        (c >= '0' && c <= '9') || (hex && ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+      }
+      if (nDigits == 0 || trailingDigit || j >= str.length ||
+        str.charAt(j) != ';' || v < 1L || v > 0x10FFFFL ||
+        (v >= 0xD800L && v <= 0xDFFFL)) {
+        sb.append("&#")
+        pos = i + 2
+      } else {
+        sb.appendCodePoint(v.toInt)
+        pos = j + 1
+      }
+      i = str.indexOf("&#", pos)
+    }
+    sb.append(str, pos, str.length)
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+case class HtmlEntityDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_entities"
+
+  override def nullSafeEval(v: Any): Any =
+    HtmlEntityKernel.decode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.kernels.HtmlEntityKernel.decode($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlEntityDecode =
+    copy(child = newChild)
+}
+
 /** Per-row character-entropy kernel: [n_chars_counted, h_micro] in one
   * pass over the string — the PURE MAP-SIDE form of
   * `Text.charEntropyFrame`. The explode+two-agg formulation ships one
@@ -1095,6 +1172,7 @@ object NativeFns {
     column(Sq8Decode(expression(codes), quant.map(_._1), quant.map(_._2)))
   def charEntropy(text: Column): Column = column(CharEntropyMicro(expression(text)))
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
+  def htmlEntities(text: Column): Column = column(HtmlEntityDecode(expression(text)))
 }
 
 /** `spark.sql.extensions=graft.expr.kernels.GraftExtensions` exposes the
@@ -1181,7 +1259,11 @@ object GraftExtensions {
         exactly("graft_char_entropy", 1)(c); CharEntropyMicro(c.head) }),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (c: Seq[Expression]) => { exactly("graft_nfc", 1)(c); NfcNormalize(c.head) }))
+      (c: Seq[Expression]) => { exactly("graft_nfc", 1)(c); NfcNormalize(c.head) }),
+    (FunctionIdentifier("graft_html_entities"),
+      new ExpressionInfo(classOf[HtmlEntityDecode].getName, "graft_html_entities"),
+      (c: Seq[Expression]) => {
+        exactly("graft_html_entities", 1)(c); HtmlEntityDecode(c.head) }))
 
   /** Register into an already-running session. */
   def install(spark: SparkSession): Unit = registrations.foreach { case (id, info, builder) =>

@@ -170,23 +170,30 @@ object Text {
     "(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|th|td|section|article|" +
       "header|footer|nav|aside|main|blockquote|pre|br|hr|form)\\b[^>]*>"
 
-  /** The visible text of ONE block: inline tags stripped, common
-    * entities decoded (`&amp;` LAST — double-escaped entities decode
-    * one level), horizontal whitespace collapsed, trimmed. Shared by
-    * the density cut and the final cleanup so the two cannot drift. */
+  /** The visible text of ONE block: inline tags stripped, named
+    * entities decoded, numeric/hex character references decoded by the
+    * [[graft.expr.kernels.HtmlEntityKernel]] native kernel (incl.
+    * astral-plane codepoints; malformed references pass through
+    * verbatim), `&amp;` decoded LAST (so double-escaped entities
+    * decode one level — `&amp;#65;` survives as the literal `&#65;`),
+    * horizontal whitespace collapsed, trimmed. Shared by the density
+    * cut and the final cleanup so the two cannot drift. */
   private[graft] def htmlVisibleText(b: Column): Column = {
     val noTags = regexp_replace(b, "<[^>]*>", "")
-    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (k, v)) =>
+    val named = HtmlNamedEntities.foldLeft(noTags) { case (c, (k, v)) =>
       replace(c, lit(k), lit(v))
     }
+    val numeric = graft.expr.kernels.NativeFns.htmlEntities(named)
+    val decoded = replace(numeric, lit("&amp;"), lit("&"))
     trim(regexp_replace(decoded, "[ \\t\\r]+", " "))
   }
 
-  /** Decode order is part of the contract: named/numeric forms first,
-    * `&amp;` last. */
-  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+  /** Decode order is part of the contract: named forms first, then
+    * numeric/hex references (the kernel — which also covers the
+    * numeric spelling `&#39;`), `&amp;` last. */
+  private[graft] val HtmlNamedEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&apos;" -> "'", "&nbsp;" -> " ")
 
   /** Inverted-index build — the search-ETL artifact behind [[bm25]]:
     * one row per term carrying document frequency, total occurrences,

@@ -3219,7 +3219,12 @@ object LlmQueries {
     * extractor stage: head (title+style) drop, script drop, comment
     * drop, link-only nav and footer (cut by link density), a kept
     * heading, the kept body paragraph, and a kept mixed prose+anchor
-    * div with a double-escapable entity. */
+    * div with a double-escapable entity plus the numeric/hex
+    * character-reference gamut: decimal (`&#65;`), hex (`&#x42;`), an
+    * em-dash, an ASTRAL-plane emoji (`&#x1F600;`), the numeric
+    * apostrophe spellings, a malformed reference (`&#xZZ;` — must
+    * pass through verbatim), and a double-escaped numeric
+    * (`&amp;#70;` — must survive as the literal `&#70;`). */
   private def syntheticHtml(docId: Column, text: Column): Column = {
     val k = docId.cast("string")
     concat(
@@ -3231,7 +3236,8 @@ object LlmQueries {
       lit("</h1><p>"), text,
       lit("</p><div>See <a href=\"/more\">more docs &amp; info</a> and plenty " +
         "of surrounding prose so that this block stays well under the " +
-        "link-density cut.</div>" +
+        "link-density cut. Refs &#65;&#x42; &#8212; &#x1F600; " +
+        "&#x27;q&#39; &#xZZ; &amp;#70;</div>" +
         "<footer><a href=\"/a\">A</a><a href=\"/b\">B</a></footer></body></html>"))
   }
 
@@ -3246,18 +3252,45 @@ object LlmQueries {
       |'</h1><p>' || text ||
       |'</p><div>See <a href="/more">more docs &amp; info</a> and plenty ' ||
       |'of surrounding prose so that this block stays well under the ' ||
-      |'link-density cut.</div>' ||
+      |'link-density cut. Refs &#65;&#x42; &#8212; &#x1F600; ' ||
+      |'&#x27;q&#39; &#xZZ; &amp;#70;</div>' ||
       |'<footer><a href="/a">A</a><a href="/b">B</a></footer></body></html>'"""
       .stripMargin.replace("\n", "\n  ")
 
+  /** The [[graft.expr.kernels.HtmlEntityKernel]] numeric/hex
+    * character-reference decode as a DuckDB expression over `e`: every
+    * `&#` occurrence is a decode site (split on `&#`), a site decodes
+    * iff 1..7 digits of its base + `;` follow and the value is a
+    * Unicode scalar (1..0x10FFFF, non-surrogate) — chr() for the
+    * codepoint — else the site re-emits itself verbatim. Split-and-
+    * reassemble replays the kernel's single left-to-right input pass
+    * exactly (produced characters are never rescanned on either
+    * side). */
+  private def sqlHtmlNumeric(e: String): String = {
+    val num = "TRY_CAST(regexp_extract(pc, '^([0-9]{1,7});', 1) AS BIGINT)"
+    val hx = "TRY_CAST('0x' || regexp_extract(pc, '^[xX]([0-9A-Fa-f]{1,7});', 1) AS BIGINT)"
+    s"""(string_split($e, '&#')[1] || coalesce(list_aggr(list_transform(string_split($e, '&#')[2:], pc -> CASE
+       |  WHEN regexp_matches(pc, '^[0-9]{1,7};') THEN (CASE
+       |    WHEN $num BETWEEN 1 AND 1114111 AND $num NOT BETWEEN 55296 AND 57343
+       |    THEN chr(CAST($num AS INTEGER)) || regexp_replace(pc, '^[0-9]{1,7};', '')
+       |    ELSE '&#' || pc END)
+       |  WHEN regexp_matches(pc, '^[xX][0-9A-Fa-f]{1,7};') THEN (CASE
+       |    WHEN $hx BETWEEN 1 AND 1114111 AND $hx NOT BETWEEN 55296 AND 57343
+       |    THEN chr(CAST($hx AS INTEGER)) || regexp_replace(pc, '^[xX][0-9A-Fa-f]{1,7};', '')
+       |    ELSE '&#' || pc END)
+       |  ELSE '&#' || pc END), 'string_agg', ''), ''))""".stripMargin
+  }
+
   /** The [[graft.llm.Text.htmlVisibleText]] computation as a DuckDB
     * expression over `e`: tag strip, entity decodes in the contract
-    * order (&amp; LAST), horizontal-whitespace collapse, trim. */
+    * order (named, then numeric/hex references, &amp; LAST),
+    * horizontal-whitespace collapse, trim. */
   private def sqlHtmlVisible(e: String): String = {
     val noTags = s"regexp_replace($e, '<[^>]*>', '', 'g')"
-    val decoded = graft.llm.Text.HtmlEntities.foldLeft(noTags) {
+    val named = graft.llm.Text.HtmlNamedEntities.foldLeft(noTags) {
       case (c, (k, v)) => s"replace($c, '$k', '${v.replace("'", "''")}')"
     }
+    val decoded = s"replace(${sqlHtmlNumeric(named)}, '&amp;', '&')"
     s"trim(regexp_replace($decoded, '[ \\t\\r]+', ' ', 'g'))"
   }
 

@@ -769,6 +769,11 @@ class LlmSpec extends SparkSpec {
       == "read the docs for plenty more detail")
     // entity decode order: &amp; LAST, so double-escaped decodes ONE level
     assert(ext("<p>a &amp;lt; b &amp; c &lt; d &nbsp; e</p>") == "a &lt; b & c < d e")
+    // numeric/hex references: decimal, hex, astral plane; the
+    // malformed form passes through VERBATIM; a double-escaped
+    // numeric survives one level as the literal reference
+    assert(ext("<p>&#65;&#x42; &#x1F600; &#xZZ; &amp;#70;</p>")
+      == "AB " + new String(Character.toChars(0x1F600)) + " &#xZZ; &#70;")
     // block tags break lines; inline tags don't; whitespace collapses
     assert(ext("<div>one</div><div>two  <b>bold</b>\tend</div>") == "one\ntwo bold end")
     // all-boilerplate input → empty string (not null)

@@ -354,6 +354,41 @@ class NativeExprSpec extends SparkSpec {
     assert("café" != "café")
   }
 
+  test("HtmlEntityDecode: numeric/hex/astral decode, malformed passthrough, bounds, null-safe") {
+    val cases = Seq(
+      "&#65;" -> "A",
+      "x&#x42;y" -> "xBy",
+      "&#8212;" -> "—",
+      "&#x1F600;" -> new String(Character.toChars(0x1F600)), // astral plane
+      "&#X1f600;" -> new String(Character.toChars(0x1F600)), // case-insensitive x + hex
+      "&#xZZ;" -> "&#xZZ;",                  // malformed hex: verbatim
+      "&#;" -> "&#;",                        // no digits
+      "&#65" -> "&#65",                      // unterminated
+      "tail&#" -> "tail&#",                  // bare site at end
+      "&#0;" -> "&#0;",                      // NUL is not a decodable scalar
+      "&#55296;" -> "&#55296;",              // surrogate: verbatim
+      "&#1114112;" -> "&#1114112;",          // beyond U+10FFFF
+      "&#12345678;" -> "&#12345678;",        // 8-digit run: verbatim
+      "&#0000065;" -> "A",                   // 7 digits with leading zeros: fine
+      "&#&#65;" -> "&#A",                    // malformed site, then a valid one
+      "&#xd7ff;&#xe000;" -> "퟿",  // scalars flanking the surrogate gap
+      "no refs" -> "no refs",
+      "" -> "")
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("i", "t")
+    val out = df.select(col("i"),
+        graft.expr.kernels.NativeFns.htmlEntities(col("t")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i.toLong) === want, s"input '$in'")
+    }
+    // null-safe + SQL registration
+    val r = spark.sql(
+      "SELECT graft_html_entities(CAST(NULL AS STRING)) a, " +
+        "graft_html_entities('&#x27;ok&#x27;') b").collect()(0)
+    assert(r.isNullAt(0) && r.getString(1) === "'ok'")
+  }
+
   test("CharEntropyMicro == explode+agg charEntropyFrame; pure map-side plan") {
     import graft.llm.Text
     val rnd = new scala.util.Random(17)
@@ -409,6 +444,7 @@ class NativeExprSpec extends SparkSpec {
         .toDF("doc_id", "text").write.parquet(s"$dir/docs")
       val docs = spark.read.parquet(s"$dir/docs")
       docs.select(NativeFns.nfc(col("text")),
+        NativeFns.htmlEntities(col("text")),
         NativeFns.charEntropy(col("text")),
         NativeFns.simHash(Text.hashedShingles(col("text"), 2)),
         NativeFns.minHashSig(Text.hashedShingles(col("text"), 3)),
