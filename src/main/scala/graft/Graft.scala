@@ -721,6 +721,9 @@ object Graft {
   def trimRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, minDf: Long = 2L): DataFrame =
     llm.Dedup.trimRepeatedSpans(docs, idCol, textCol, k, minDf)
+  def maximalRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minDf: Long = 2L): DataFrame =
+    llm.Dedup.maximalRepeatedSpans(docs, idCol, textCol, k, minDf)
 
   /** Byte-fallback tokenizer surface: reserved byte/special ids, OOV
     * symbols expand to UTF-8 byte tokens, decode re-fuses them. */

@@ -754,6 +754,49 @@ object Dedup {
           coalesce(col("__kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** MAXIMAL repeated spans: the qualifying k-windows of
+    * [[repeatedSpans]] merged per document into maximal
+    * (doc, start, len) intervals — overlapping or ADJACENT windows
+    * (next start ≤ this start + k) fuse, so a 20-token shared
+    * paragraph reports as ONE (start, len=20) interval instead of 13
+    * overlapping width-8 windows. This is the fixed-k form of the
+    * suffix-array maximal-match answer (Lee et al. 2021 report
+    * maximal duplicate substrings; a fixed-width scan recovers the
+    * same intervals for any match ≥ k by unioning its windows).
+    * Returns (idCol, span_start, span_len, n_windows), starts
+    * 1-based, len in tokens.
+    *
+    * Shape: qualifying windows only (bounded by repeated content, not
+    * the corpus) → ONE hash exchange on the document for the
+    * gaps-and-islands window pass → hash agg on (doc, island), which
+    * reuses the same partitioning (no second exchange — verified in
+    * the plan spec). The interval union is the same machinery
+    * [[trimRepeatedSpans]] applies implicitly via its coverage
+    * `distinct`; here the intervals themselves are the product. */
+  def maximalRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minDf: Long = 2L): DataFrame = {
+    val keyed = spanKeys(docs, idCol, textCol, k)
+    val q = keyed.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+    val wins = keyed.join(q.select(col("h")), "h")
+      .select(col(idCol), col("start"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val prev = lag(col("start"), 1).over(w)
+    wins
+      .withColumn("__new",
+        when(prev.isNull || col("start") > prev + k, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + lit(k.toLong - 1L) - min(col("start")) + lit(1L))
+          .as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
   /** (idCol, start, h) window-key stream shared by the two span ops:
     * md5 keys built per document inside one transform (see
     * [[repeatedSpans]]), exploded with 1-based starts. */

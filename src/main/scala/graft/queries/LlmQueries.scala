@@ -2427,6 +2427,16 @@ object LlmQueries {
           "doc_id", "text", k = 8, minDf = 2L)
         .orderBy(col("doc_id"))),
 
+    // MAXIMAL spans: overlapping/adjacent qualifying windows fused
+    // into (doc, start, len) intervals — the 11-word boilerplate
+    // suffix surfaces as ONE interval of len 11 (4 fused windows at
+    // k=8), not 4 overlapping window rows; the suffix-array maximal-
+    // match answer at fixed k. Gaps-and-islands on both sides.
+    "llm_repeated_spans_maximal" -> ((s, dir) =>
+      Dedup.maximalRepeatedSpans(withSpanBoilerplate(t(s, dir, "documents")),
+          "doc_id", "text", k = 8, minDf = 2L)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // Tokenizer FERTILITY ledger: chars-per-token by source in exact
     // per-mille — the compression-ratio metric a tokenizer team
     // watches per language/source (a source whose fertility collapses
@@ -5148,6 +5158,23 @@ object LlmQueries {
          |SELECT ks.doc_id AS doc_id, CAST(start AS BIGINT) AS start,
          |  ks.h AS h, q.df AS df, q.n_occ AS n_occ
          |FROM ks JOIN q USING (h) ORDER BY doc_id, start, h""".stripMargin,
+    // gaps-and-islands replay of the interval merge: a window starts a
+    // new island iff its start exceeds the previous start + k
+    "llm_repeated_spans_maximal" ->
+      s"""WITH $SpanKeyCtes,
+         |qs AS (SELECT ks.doc_id AS doc_id, ks.start AS start
+         |  FROM ks JOIN q USING (h)),
+         |fl AS (SELECT doc_id, start,
+         |  CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+         |        OR start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 8
+         |       THEN 1 ELSE 0 END AS nw FROM qs),
+         |ii AS (SELECT doc_id, start, sum(nw) OVER (
+         |    PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM fl)
+         |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+         |  CAST(max(start) + 7 - min(start) + 1 AS BIGINT) AS span_len,
+         |  count(*)::BIGINT AS n_windows
+         |FROM ii GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
     "llm_span_trim" ->
       s"""WITH $SpanKeyCtes,
          |cov AS (SELECT DISTINCT ks.doc_id AS doc_id, ks.start + r.i AS pos

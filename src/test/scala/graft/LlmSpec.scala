@@ -754,6 +754,42 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) === (("", 0L, 0L)), "a null-text doc surfaces with zero counts")
   }
 
+  test("maximalRepeatedSpans: overlapping windows fuse, adjacent intervals fuse, boundary gap splits") {
+    import graft.llm.Dedup
+    val blockA = (1 to 12).map(i => s"a$i").mkString(" ")   // 12 shared tokens
+    val blockB = (1 to 8).map(i => s"b$i").mkString(" ")    // 8 shared tokens
+    val docs = Seq(
+      // blockA at 3..14 (windows 3..7), z at 15, blockB at 16..23
+      // (window 16): 16 > 7 + 8 — the MINIMAL gap, islands split
+      (1L, s"x y $blockA z $blockB"),
+      // blockA at 1..12, blockB at 17..24: clearly disjoint islands
+      (2L, s"$blockA w1 w2 w3 w4 $blockB"),
+      // blockA at 1..12, blockB at 13..20: window 13 == 5 + 8 — the
+      // ADJACENT case, intervals [1,12] and [13,20] fuse to len 20
+      // (the straddling windows are unique to this doc, df = 1)
+      (3L, s"$blockA $blockB"))
+      .toDF("doc_id", "text")
+    val out = Dedup.maximalRepeatedSpans(docs, "doc_id", "text", k = 8, minDf = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 3L, 12L, 5L), (1L, 16L, 8L, 1L),
+      (2L, 1L, 12L, 5L), (2L, 17L, 8L, 1L),
+      (3L, 1L, 20L, 6L)), s"got $out")
+    // differential vs the trim face: per-doc dropped tokens == the
+    // summed maximal-interval lengths (same coverage, two products)
+    val dropped = Dedup.trimRepeatedSpans(docs, "doc_id", "text", k = 8, minDf = 2L)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+    val lens = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(lens === dropped, s"interval coverage drifted from trim: $lens vs $dropped")
+    // the island window and the (doc, island) rollup share ONE
+    // doc-keyed exchange — a second hashpartitioning(doc_id...) would
+    // mean the agg re-shuffled what the window already partitioned
+    val plan = Dedup.maximalRepeatedSpans(docs, "doc_id", "text", k = 8, minDf = 2L)
+      .queryExecution.executedPlan.toString
+    val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(docExchanges === 1, s"expected one doc-keyed exchange:\n$plan")
+  }
+
   test("htmlToText: strips non-content, cuts link-dense blocks, decodes entities in order") {
     import graft.llm.Text
     def ext(html: String): String = Seq(html).toDF("h")
