@@ -749,8 +749,13 @@ object Graft {
     * crash-residue vacuum, both lock-serialized with appends. */
   def compactIndexCodes(spark: SparkSession, indexPath: String): Unit =
     llm.Similarity.compactIndexCodes(spark, indexPath)
+  def compactFlatCodes(spark: SparkSession, indexPath: String,
+                       targetRowsPerFile: Long = 8L * 1024 * 1024): Unit =
+    llm.Similarity.compactFlatCodes(spark, indexPath, targetRowsPerFile)
   def vacuumStore(spark: SparkSession, dest: String): Seq[String] =
     io.Tables.vacuumStore(spark, dest)
+  def vacuumIndexStores(spark: SparkSession, indexPath: String): Seq[String] =
+    llm.Similarity.vacuumIndexStores(spark, indexPath)
 
   // -- live-service / in-DB utilities ---------------------------------
   /** W2 pushed to the database (`cleanup_duplicates`): one set-based

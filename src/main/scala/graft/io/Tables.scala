@@ -433,6 +433,36 @@ object Tables {
     fs.delete(old, true)
   }
 
+  /** Compact an UNPARTITIONED parquet store to `numFiles` files — the
+    * flat-store face of [[compactPartitionedParquet]] (flat PQ/SQ8
+    * code stores accumulate one-plus files per append batch forever;
+    * there is no partition dir to rewrite per, so the target is a
+    * file-count budget the caller derives from the store's size).
+    * `coalesce` keeps the rewrite shuffle-free — compaction is an I/O
+    * rewrite, not a repartition. Publishes with the same two-rename
+    * dance (crash before publish leaves the old store; inside the
+    * rename window leaves it missing = loud, never torn; readers
+    * tolerate-and-retry the transient window). Caller holds the
+    * store's lock. */
+  def compactFlatParquet(spark: SparkSession, dest: String,
+                         numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
+    val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
+    spark.read.parquet(dest).coalesce(numFiles)
+      .write.mode("overwrite").parquet(next.toString)
+    if (!fs.rename(destPath, old))
+      throw new java.io.IOException(s"compact: cannot move $destPath aside")
+    if (!fs.rename(next, destPath)) {
+      fs.rename(old, destPath)
+      throw new java.io.IOException(s"compact: cannot publish $next")
+    }
+    fs.delete(old, true)
+  }
+
   /** Delete a store's crash residue: orphan `__next_*` / `__old_*`
     * swap dirs and `__stage_*` append stages are the documented
     * leftovers of a publisher that died mid-window ([[swapInParquet]],

@@ -460,12 +460,17 @@ object Similarity {
     * — and so does every serving answer (LlmSpec differential; the
     * llm_ann_pq_append oracle row shares the full-build oracle). */
   def appendToPqIndex(df: DataFrame, idCol: String, embCol: String,
-                      path: String, m: Int = 4, dim: Int = 64): Unit = {
-    val (byLabel, _) = readPqIndex(df.sparkSession, path)
-    validateCodebooks(df.sparkSession, byLabel, m, dim, path)
-    pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
-      .write.mode("append").parquet(s"$path/codes")
-  }
+                      path: String, m: Int = 4, dim: Int = 64): Unit =
+    // under the CODES lock so appends serialize with compactFlatCodes
+    // (which renames the codes dir aside mid-publish); plain file
+    // appends otherwise — no replay protection, the pre-existing
+    // contract for the flat family
+    graft.io.Tables.withStoreLock(df.sparkSession, s"$path/codes") {
+      val (byLabel, _) = readPqIndex(df.sparkSession, path)
+      validateCodebooks(df.sparkSession, byLabel, m, dim, path)
+      pqEncodeFrame(df, idCol, embCol, byLabel, m, dim)
+        .write.mode("append").parquet(s"$path/codes")
+    }
 
   /** Fail-loud layout check for append-against-frozen-codebooks: the
     * caller's (m, dim) must match the persisted index, or the reloaded
@@ -623,21 +628,23 @@ object Similarity {
     * quantizer or the stored code arrays (the [[validateCodebooks]]
     * guard for the scalar family). */
   def appendToSq8Index(df: DataFrame, idCol: String, embCol: String,
-                       path: String, dim: Int = 64): Unit = {
-    val (quant, _) = readSq8Index(df.sparkSession, path)
-    require(quant.nonEmpty, s"append: no quantizer found under $path")
-    require(quant.length == dim,
-      s"append: dim=$dim does not match the index at $path — the stored " +
-        s"quantizer has ${quant.length} positions; pass the dim the index " +
-        "was built with")
-    val storedDim = df.sparkSession.read.parquet(s"$path/codes")
-      .select(size(col("codes"))).head(1)
-    storedDim.foreach(r => require(r.getInt(0) == dim,
-      s"append: dim=$dim does not match the index at $path — stored code " +
-        s"arrays have length ${r.getInt(0)}"))
-    sq8EncodeFrame(df, idCol, embCol, quant)
-      .write.mode("append").parquet(s"$path/codes")
-  }
+                       path: String, dim: Int = 64): Unit =
+    // codes lock: serializes with compactFlatCodes (see appendToPqIndex)
+    graft.io.Tables.withStoreLock(df.sparkSession, s"$path/codes") {
+      val (quant, _) = readSq8Index(df.sparkSession, path)
+      require(quant.nonEmpty, s"append: no quantizer found under $path")
+      require(quant.length == dim,
+        s"append: dim=$dim does not match the index at $path — the stored " +
+          s"quantizer has ${quant.length} positions; pass the dim the index " +
+          "was built with")
+      val storedDim = df.sparkSession.read.parquet(s"$path/codes")
+        .select(size(col("codes"))).head(1)
+      storedDim.foreach(r => require(r.getInt(0) == dim,
+        s"append: dim=$dim does not match the index at $path — stored code " +
+          s"arrays have length ${r.getInt(0)}"))
+      sq8EncodeFrame(df, idCol, embCol, quant)
+        .write.mode("append").parquet(s"$path/codes")
+    }
 
   /** Reload a persisted SQ8 index → (quantizer, codes frame). */
   def readSq8Index(spark: org.apache.spark.sql.SparkSession,
@@ -765,6 +772,29 @@ object Similarity {
     graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
       graft.io.Tables.compactPartitionedParquet(spark, s"$path/codes", "label")
     }
+
+  /** Compact a FLAT (unpartitioned) code store — PQ and SQ8, the two
+    * index families without cluster dirs — to a file-count budget
+    * derived from the store's rows (`targetRowsPerFile`; codes are a
+    * few to ~70 bytes/row, so the 8M default lands near the
+    * conventional few-hundred-MB parquet file at dim=64). Runs under
+    * the CODES store lock, which the flat appenders also take, so
+    * compaction serializes with appends; rows and serving answers are
+    * identical before/after (spec'd + shared-oracle-checked). Same
+    * reader caveat as [[compactIndexCodes]]: the codes dir is absent
+    * for the two-rename window — serving reads tolerate-and-retry. */
+  def compactFlatCodes(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       targetRowsPerFile: Long = 8L * 1024 * 1024): Unit = {
+    require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
+    graft.io.Tables.withStoreLock(spark, s"$path/codes") {
+      val n = spark.read.parquet(s"$path/codes").count()
+      val files = math.max(1L,
+        (n + targetRowsPerFile - 1) / targetRowsPerFile)
+      graft.io.Tables.compactFlatParquet(spark, s"$path/codes",
+        files.toInt)
+    }
+  }
 
   /** Sweep crash residue (`__next_*`/`__old_*`/`__stage_*`) from ALL
     * of a persisted index's stores — centroids, codes, quantizer,

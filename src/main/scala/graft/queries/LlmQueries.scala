@@ -891,6 +891,30 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The FLAT-store maintenance lifecycle (llm_ann_ivfsq8_compact's
+    // mold for the family without cluster dirs): build half, append
+    // half against the frozen grid, COMPACT the accumulated per-batch
+    // files to the file budget, serve — answers must equal the
+    // never-compacted build's, so the shared SQ8 oracle checks the
+    // whole chain.
+    "llm_ann_sq8_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 3)
+      val path = graft.util.Scratch.dir("graft_sq8_cmp")
+      Similarity.persistSq8Index(cands.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, train = Some(cands))
+      Similarity.appendToSq8Index(cands.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path)
+      Similarity.compactFlatCodes(s, path)
+      val (quant, codes) = Similarity.readSq8Index(s, path)
+      Similarity.sq8Serve(quant, codes,
+        cands.select(col("vec_id").as("cid"),
+          Similarity.quantize(col("embedding")).as("ce")),
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, coarse = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The SQ8 quality ledger (the llm_ann_pq_recall principle): ADC
     // serving at coarse=5 vs coarse=20 against exact brute force on a
     // disjoint query/candidate split — prices the 8×-narrower scalar
@@ -4884,6 +4908,9 @@ object LlmQueries {
     // per-row encode, in-range batch), so the append row SHARES the
     // serve oracle — the pq_append contract shape.
     "llm_ann_sq8_append" -> Sq8OracleSql,
+    // compaction is a pure file rewrite: the lifecycle answers must
+    // equal the full build's, so it shares the SQ8 oracle
+    "llm_ann_sq8_compact" -> Sq8OracleSql,
     "llm_ann_sq8_recall" -> Sq8RecallOracleSql,
     "llm_ann_ivfsq8" -> IvfSq8OracleSql,
     // labels carried + grid trained on the full sample => append ==

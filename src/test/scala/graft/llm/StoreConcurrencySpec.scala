@@ -351,6 +351,41 @@ class StoreConcurrencySpec extends SparkSpec {
       e.getMessage.contains("stored code"))
   }
 
+  test("compactFlatCodes: file budget met, rows identical, appends serialize with compaction") {
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(4)(d => (i * 4 + d).toDouble / 10.0))
+    }.toDF("vec_id", "embedding")
+    val path = Files.createTempDirectory("sq8_flat_cmp_").toString + "/idx"
+    Similarity.persistSq8Index(vecs(0L to 3L), "vec_id", "embedding", path,
+      train = Some(vecs(0L to 19L)))
+    (1 to 3).foreach { b =>
+      Similarity.appendToSq8Index(vecs((b * 4L) to (b * 4L + 3L)),
+        "vec_id", "embedding", path, dim = 4)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def codeFiles(): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes"))
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    assert(codeFiles() >= 4,
+      s"3 appends must have accumulated files, saw ${codeFiles()}")
+    val before = spark.read.parquet(s"$path/codes")
+      .orderBy("cid").collect().toSeq
+    Similarity.compactFlatCodes(spark, path)
+    assert(codeFiles() === 1,
+      s"compaction must meet the file budget, saw ${codeFiles()}")
+    assert(spark.read.parquet(s"$path/codes").orderBy("cid").collect().toSeq
+      === before, "compaction must not change a single code row")
+    // a racing append and compaction serialize on the codes lock —
+    // whichever order the lock grants, no rows are lost
+    race(
+      Similarity.compactFlatCodes(spark, path),
+      Similarity.appendToSq8Index(vecs(16L to 19L), "vec_id", "embedding",
+        path, dim = 4))
+    assert(spark.read.parquet(s"$path/codes").count() === before.size + 4L,
+      "append racing compaction lost or duplicated rows")
+  }
+
   test("applied ledger #TOTAL header: cumulative count survives publishes; wrap is detectable") {
     def docsN(i: Int) = Seq(("s0", i.toLong * 10)).toDF("source", "v")
     val path = Files.createTempDirectory("loghist_total_").toString + "/q"
