@@ -1298,6 +1298,23 @@ object Similarity {
       nprobe, ordered = false), k)
   }
 
+  /** Corpus-scaled cell count for the cell-join family: nlist grows
+    * with the corpus so the EXPECTED cell size stays ~`targetCell`
+    * (n/nlist), which is what the O((N/nlist)²)-per-cell pairing cost
+    * and the degenerate-cell cap both assume — a FIXED nlist at a
+    * growing corpus eventually pushes every cell past `maxCluster`
+    * and the cap (correctly) drops them all. One cheap `count()`
+    * derives the knob, amortized against a corpus-scale clustering;
+    * the 4-cell floor reproduces the small-fixture geometry exactly,
+    * so small-sf results are bit-identical to a literal nlist=4.
+    * Same scaling BenchScale's knn rows apply (4·n/2000 = n/500). */
+  def autoNlist(df: DataFrame, targetCell: Long = 500L,
+                minNlist: Int = 4): Int = {
+    require(targetCell >= 1, s"targetCell must be >= 1, got $targetCell")
+    require(minNlist >= 1, s"minNlist must be >= 1, got $minNlist")
+    math.max(minNlist.toLong, df.count() / targetCell).toInt
+  }
+
   /** Per-vector top-k window over a directed candidate-pair frame —
     * [[knnGraph]]'s tail, shared with the recall/volume ledger so the
     * graph and the ledger rank identically. Compiles to a map-side

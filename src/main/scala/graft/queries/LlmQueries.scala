@@ -1573,30 +1573,39 @@ object LlmQueries {
     // guard as llm_dedup_embedding; the oracle replays the 2-iteration
     // k-means (shared CTE with llm_kmeans_clusters) plus the capped
     // within-cell self-join.
-    "llm_semdedup_pairs" -> ((s, dir) =>
-      Similarity.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = EmbDedupThreshold, nlist = 4, iters = 2,
+    "llm_semdedup_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticNearDupPairs(emb, "vec_id",
+          "embedding", threshold = EmbDedupThreshold,
+          nlist = Similarity.autoNlist(emb), iters = 2,
           maxCluster = SemMaxCluster)
-        .orderBy(col("a"), col("b"))),
+        .orderBy(col("a"), col("b"))
+    }),
 
     // End-to-end SemDeDup: pairs -> connected components -> keep the
     // cluster-min id (same representative rule as the text and LSH
     // embedding paths).
-    "llm_semdedup_keep" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = EmbDedupThreshold, nlist = 4, iters = 2,
+    "llm_semdedup_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedup(emb, "vec_id",
+          "embedding", threshold = EmbDedupThreshold,
+          nlist = Similarity.autoNlist(emb), iters = 2,
           maxCluster = SemMaxCluster)
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // Bulk kNN-graph construction: every vector's top-3 cosine
     // neighbors within its k-means cell — the SemDeDup bucketing
     // applied to the similarity-JOIN problem (the neighborhood graph
     // diversity sampling / graph curation consume). Directed edges,
     // no threshold: sparse neighborhoods still get their k best.
-    "llm_knn_graph" -> ((s, dir) =>
-      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, nlist = 4, iters = 2, maxCluster = SemMaxCluster)
-        .orderBy(col("a"), col("rank"))),
+    "llm_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, nlist = Similarity.autoNlist(emb), iters = 2,
+          maxCluster = SemMaxCluster)
+        .orderBy(col("a"), col("rank"))
+    }),
 
     // The graph's recall ledger (the ann-recall principle applied to
     // the similarity join): in-cell top-3 vs the EXACT top-3 over the
@@ -1606,7 +1615,8 @@ object LlmQueries {
     "llm_knn_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cell = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
-          nlist = 4, iters = 2, maxCluster = SemMaxCluster)
+          nlist = Similarity.autoNlist(emb), iters = 2,
+          maxCluster = SemMaxCluster)
         .filter(col("a") < 150L)
       val exact = Similarity.knnGraphExact(emb, col("vid") < 150L,
         "vec_id", "embedding", k = 3)
@@ -1629,7 +1639,8 @@ object LlmQueries {
     "llm_graph_labelprop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
-        nlist = 4, iters = 2, maxCluster = SemMaxCluster)
+        nlist = Similarity.autoNlist(emb), iters = 2,
+        maxCluster = SemMaxCluster)
       val seeds = emb.filter(col("vec_id") < 100 && col("label").isin(0L, 1L))
         .select(col("vec_id"),
           when(col("label") === 0L, lit(1000000L)).otherwise(lit(0L)).as("q"))
@@ -1644,7 +1655,8 @@ object LlmQueries {
     "llm_graph_labelprop_probe2" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
-        nlist = 4, iters = 2, maxCluster = SemMaxCluster, nprobe = 2)
+        nlist = Similarity.autoNlist(emb), iters = 2,
+        maxCluster = SemMaxCluster, nprobe = 2)
       val seeds = emb.filter(col("vec_id") < 100 && col("label").isin(0L, 1L))
         .select(col("vec_id"),
           when(col("label") === 0L, lit(1000000L)).otherwise(lit(0L)).as("q"))
@@ -1656,21 +1668,27 @@ object LlmQueries {
     // near-duplicates split across a cell boundary (invisible at
     // nprobe=1) now pair. Undirected a<b pairs, deduped across shared
     // cells, same threshold as llm_semdedup_pairs.
-    "llm_semdedup_pairs_probe2" -> ((s, dir) =>
-      Similarity.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = EmbDedupThreshold, nlist = 4, iters = 2,
+    "llm_semdedup_pairs_probe2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticNearDupPairs(emb, "vec_id",
+          "embedding", threshold = EmbDedupThreshold,
+          nlist = Similarity.autoNlist(emb), iters = 2,
           maxCluster = SemMaxCluster, nprobe = 2)
-        .orderBy(col("a"), col("b"))),
+        .orderBy(col("a"), col("b"))
+    }),
 
     // Multi-probe kNN graph: each vector searched in its 2 nearest
     // cells (kmeansClustersProbe) — the IVF nprobe recall dial applied
     // to the similarity-join side; a boundary vector stops missing the
     // neighbors that sit just across its cell edge. Candidate pairs
     // that meet in both shared cells dedup to one edge.
-    "llm_knn_graph_probe2" -> ((s, dir) =>
-      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 3, nlist = 4, iters = 2, maxCluster = SemMaxCluster, nprobe = 2)
-        .orderBy(col("a"), col("rank"))),
+    "llm_knn_graph_probe2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, nlist = Similarity.autoNlist(emb), iters = 2,
+          maxCluster = SemMaxCluster, nprobe = 2)
+        .orderBy(col("a"), col("rank"))
+    }),
 
     // BOTH sides of the multi-probe dial in one ledger (the grid
     // principle): per nprobe ∈ {1, 2}, recall vs the exact graph on
@@ -1687,7 +1705,8 @@ object LlmQueries {
       // compares assignment widths over the SAME trained cells)
       val cents = Similarity.kmeansTrain(
         emb.select(col("vec_id").as("vid"),
-          Similarity.quantize(col("embedding")).as("eq")), 4, 2)
+          Similarity.quantize(col("embedding")).as("eq")),
+        Similarity.autoNlist(emb), 2)
       Seq(1, 2).map { np =>
         val cand = Similarity.cellPairsTrained(emb, "vec_id", "embedding",
             cents, maxCluster = SemMaxCluster, nprobe = np, ordered = false)
