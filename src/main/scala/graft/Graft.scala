@@ -712,6 +712,32 @@ object Graft {
     llm.Similarity.knnGraph(df, idCol, embCol, k, nlist, iters,
       maxCluster, nprobe)
 
+  // -- round-18 additions ----------------------------------------------
+  /** The kNN graph as a persisted, incrementally-maintained store:
+    * build once, append batches (exactly-once under a batch tag),
+    * stream-maintain via Streams.knnGraphStream; append == rebuild
+    * bit-for-bit while the frozen cell geometry holds. */
+  def persistKnnGraphStore(df: DataFrame, idCol: String, embCol: String,
+                           path: String, k: Int, nlist: Int = 4,
+                           iters: Int = 2, maxCluster: Int = 4096,
+                           nprobe: Int = 1,
+                           train: Option[DataFrame] = None): Unit =
+    llm.Similarity.persistKnnGraphStore(df, idCol, embCol, path, k, nlist,
+      iters, maxCluster, nprobe, train)
+  def appendToKnnGraphStore(df: DataFrame, idCol: String, embCol: String,
+                            path: String,
+                            batchTag: Option[String] = None): Unit =
+    llm.Similarity.appendToKnnGraphStore(df, idCol, embCol, path, batchTag)
+  def readKnnGraphStore(spark: SparkSession, path: String)
+      : (Seq[(Long, Seq[Long])], DataFrame, DataFrame) =
+    llm.Similarity.readKnnGraphStore(spark, path)
+
+  /** Corpus-scaled cell count (max(minNlist, n/targetCell)) — the knob
+    * rule that keeps cell-join cost constant per vector at any sf. */
+  def autoNlist(df: DataFrame, targetCell: Long = 500L,
+                minNlist: Int = 4): Int =
+    llm.Similarity.autoNlist(df, targetCell, minNlist)
+
   /** Cross-document exact repeated k-token spans (substring-dedup
     * signal) and the trim that removes them while keeping every
     * document. */

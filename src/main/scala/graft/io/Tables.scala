@@ -463,6 +463,45 @@ object Tables {
     fs.delete(old, true)
   }
 
+  /** Replace a SUBSET of a `partitionBy` store's partitions with new
+    * content — the incremental-rewrite primitive for stores whose
+    * appends must also UPDATE existing rows (the kNN-graph store: a
+    * new vector can enter an old vector's top-k, so the old vector's
+    * partition rewrites). Writes `df` to a sibling stage dir
+    * partitioned on `partCol`, then swaps each staged partition dir
+    * into the store with the per-dir rename pair (old aside → new
+    * in); untouched partitions are never read or written.
+    *
+    * Crash contract: a crash mid-publish leaves SOME partitions new
+    * and some old. This is safe ONLY when the caller derives `df`
+    * idempotently from (current store, batch) — i.e. re-deriving
+    * against a half-published store yields the same content (the
+    * merge-into-top-k shape: merging a candidate set into an
+    * already-merged list is a no-op). Callers hold the store's lock. */
+  def replacePartitions(spark: SparkSession, df: DataFrame,
+                        dest: String, partCol: String): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
+    val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
+    df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(next.toString)
+    fs.mkdirs(old)
+    fs.listStatus(next).filter(_.isDirectory).foreach { d =>
+      val target = new org.apache.hadoop.fs.Path(destPath, d.getPath.getName)
+      if (fs.exists(target) &&
+        !fs.rename(target, new org.apache.hadoop.fs.Path(old, d.getPath.getName)))
+        throw new java.io.IOException(
+          s"replacePartitions: cannot move $target aside")
+      if (!fs.rename(d.getPath, target))
+        throw new java.io.IOException(
+          s"replacePartitions: cannot publish ${d.getPath} -> $target")
+    }
+    fs.delete(next, true)
+    fs.delete(old, true)
+  }
+
   /** Delete a store's crash residue: orphan `__next_*` / `__old_*`
     * swap dirs and `__stage_*` append stages are the documented
     * leftovers of a publisher that died mid-window ([[swapInParquet]],

@@ -1315,6 +1315,227 @@ object Similarity {
     math.max(minNlist.toLong, df.count() / targetCell).toInt
   }
 
+  // ------------------------------------------------------------------
+  // Persisted kNN-graph store — the graph as a maintained artifact
+  // ------------------------------------------------------------------
+
+  /** Persist the kNN graph as a STORE with incremental appends — the
+    * last similarity product that was still rebuilt per query; every
+    * ANN index family already persists ([[persistIvfSq8Index]] is the
+    * template, the applied-tag ledger the idempotence recipe).
+    * Artifacts under `path/`:
+    *  - `centroids` (cid, pos, c): the TRAINED coarse cells, frozen
+    *    after build (the frozen-codebook convention — retraining is a
+    *    deliberate offline rebuild). Swap-published: this store is the
+    *    index's lock anchor, generation stamp and applied-tag ledger.
+    *  - `meta` (k, nprobe, max_cluster): the build knobs, validated on
+    *    append (a mismatched k would silently serve a differently-cut
+    *    graph).
+    *  - `vectors` partitionBy(cell): (cid, eq, probe, home) — each
+    *    vector's quantized form under EVERY cell it probes, plus its
+    *    probe-1 home. The append's candidate search reads ONLY the
+    *    touched cells' partitions.
+    *  - `edges` partitionBy(home): (a, b, rank, cosine) — the graph
+    *    itself, each vector's list stored under its home cell so an
+    *    append rewrites only the touched homes' partitions.
+    *
+    * `train` optionally supplies the quantizer-training frame (the
+    * production shape: cells train once on a representative sample;
+    * batches build and append against them). */
+  def persistKnnGraphStore(df: DataFrame, idCol: String, embCol: String,
+                           path: String, k: Int, nlist: Int = 4,
+                           iters: Int = 2, maxCluster: Int = 4096,
+                           nprobe: Int = 1,
+                           train: Option[DataFrame] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val trainEq = train.getOrElse(df)
+      .select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
+    val cents = kmeansTrain(trainEq, nlist, iters)
+    val asg = graphAssignments(df, idCol, embCol, cents, nprobe)
+    asg.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    Seq((k.toLong, nprobe.toLong, maxCluster.toLong))
+      .toDF("k", "nprobe", "max_cluster")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val graph = knnTopK(
+      cellPairsTrained(df, idCol, embCol, cents, maxCluster, nprobe,
+        ordered = false).select(col("a"), col("b"), col("cosine")), k)
+    // home rides a join keyed like the rank window's exchange (a), so
+    // it reuses that partitioning — no extra corpus-scale shuffle
+    val homes = asg.filter(col("probe") === 1L)
+      .select(col("cid").as("a"), col("home"))
+    graph.join(homes, "a")
+      .repartition(col("home"))
+      .write.mode("overwrite").partitionBy("home").parquet(s"$path/edges")
+    // the anchor publishes LAST: a store is live iff its centroids are
+    graft.io.Tables.swapInParquet(spark, centsFrame(spark, cents),
+      s"$path/centroids")
+  }
+
+  /** Map-side probe assignments: (cid, eq, probe 1-based, cell, home)
+    * — one kernel call per row, the home (probe-1 cell) carried as a
+    * COLUMN so no later step needs a corpus-scale re-join to find a
+    * vector's edge partition. */
+  private[llm] def graphAssignments(df: DataFrame, idCol: String, embCol: String,
+                               cents: Seq[(Long, Seq[Long])],
+                               nprobe: Int): DataFrame =
+    df.select(col(idCol).as("cid"), quantize(col(embCol)).as("eq"))
+      .withColumn("__top",
+        graft.expr.kernels.NativeFns.topNCentroids(col("eq"), cents, nprobe))
+      .withColumn("home", element_at(col("__top"), 1))
+      .select(col("cid"), col("eq"), col("home"),
+        posexplode(col("__top")).as(Seq("__p", "cell")))
+      .select(col("cid"), col("eq"), (col("__p") + 1).cast("long").as("probe"),
+        col("home"), col("cell"))
+
+  private def centsFrame(spark: org.apache.spark.sql.SparkSession,
+                         cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (v, p) => (cid, p, v) }
+    }.toDF("cid", "pos", "c")
+  }
+
+  private def readCents(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[(Long, Seq[Long])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }.sortBy(_._1)
+
+  /** Reload → (trained cells, edges frame, vectors frame). The edges
+    * frame IS the product (a, b, rank, cosine [, home]). */
+  def readKnnGraphStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (Seq[(Long, Seq[Long])], DataFrame, DataFrame) =
+    (readCents(spark, path), spark.read.parquet(s"$path/edges"),
+      spark.read.parquet(s"$path/vectors"))
+
+  /** Append a batch to the persisted graph — pairing NEW vectors
+    * against (new ∪ old) members of the cells the batch probes, never
+    * old×old (those edges are already stored). Two products update:
+    * the new vectors' lists (top-k over their candidates) and the
+    * AFFECTED old vectors' lists (stored top-k merged with their
+    * old→new candidates, re-ranked — exact, because a candidate
+    * outside the stored top-k can never re-enter any top-k). With the
+    * frozen cells this makes append == full rebuild bit-for-bit (the
+    * shared-oracle contract), PROVIDED no touched cell crosses the
+    * degenerate cap: the append FAILS LOUDLY if the batch would push
+    * a cell past `maxCluster` (a full rebuild would silently drop the
+    * whole cell — at that point the geometry is stale and the honest
+    * move is a rebuild with a larger nlist, see [[autoNlist]]).
+    *
+    * Scale: reads ONLY the touched cells' vector partitions and the
+    * affected homes' edge partitions (both partition-pruned);
+    * candidate volume is O(|batch| · cellSize · nprobe²); nothing
+    * corpus-scale shuffles. Exactly-once under crash-replay when
+    * `batchTag` is given — the ivf-sq8 recipe: applied tag
+    * short-circuits the call, vectors land via staged deterministic
+    * files, the edge-partition rewrite is IDEMPOTENT (re-merging into
+    * an already-merged list is a no-op, so a retry over a
+    * half-published edge store converges to the same content), and
+    * the tag publishes inside the centroid swap's atomic rename. */
+  def appendToKnnGraphStore(df: DataFrame, idCol: String, embCol: String,
+                            path: String,
+                            batchTag: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
+      val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
+      if (tagLine.exists(applied.contains)) return // replayed batch: no-op
+      graft.io.Tables.warnIfLedgerWrapped(spark, s"$path/centroids", tagLine)
+      val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
+      val cents = readCents(spark, path)
+      val metaRow = spark.read.parquet(s"$path/meta").head()
+      val (k, nprobe, maxCluster) =
+        (metaRow.getLong(0).toInt, metaRow.getLong(1).toInt, metaRow.getLong(2))
+      val newAsg = graphAssignments(df, idCol, embCol, cents, nprobe)
+        .localCheckpoint(false)
+      val batchIds = newAsg.select(col("cid")).distinct()
+      val touched = newAsg.select(col("cell")).distinct().as[Long].collect().toSeq
+      // "old" excludes the batch's ids so a retry over already-placed
+      // vector files derives the same candidate set
+      val oldMembers = spark.read.parquet(s"$path/vectors")
+        .filter(col("cell").isin(touched: _*))
+        .join(broadcast(batchIds), Seq("cid"), "left_anti")
+        .localCheckpoint(false)
+      // post-append cap per touched cell: fail loudly on overflow,
+      // pair only within cells that are valid AFTER the batch lands
+      val cellCounts = oldMembers.groupBy(col("cell")).agg(count(lit(1)).as("o"))
+        .join(newAsg.groupBy(col("cell")).agg(count(lit(1)).as("n")),
+          Seq("cell"), "full_outer")
+        .select(col("cell"),
+          (coalesce(col("o"), lit(0L)) + coalesce(col("n"), lit(0L))).as("bc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val over = cellCounts.filter(_._2 > maxCluster)
+      require(over.isEmpty,
+        s"appendToKnnGraphStore: batch pushes cell(s) ${over.map(_._1).mkString(", ")} " +
+          s"past maxCluster=$maxCluster at $path — the cell geometry is stale; " +
+          "rebuild the store with a larger nlist (autoNlist)")
+      val valid = cellCounts.filter(_._2 >= 2L).map(_._1)
+      val mN = newAsg.filter(col("cell").isin(valid: _*))
+        .select(col("cid").as("vid"), col("eq"), col("cell"))
+      val mO = oldMembers.filter(col("cell").isin(valid: _*))
+        .select(col("cid").as("vid"), col("eq"), col("cell"))
+      val cNew = scoreCellPairs(mN, mO.unionByName(mN)).distinct()
+        .localCheckpoint(false)
+      val cOld = scoreCellPairs(mO, mN).distinct().localCheckpoint(false)
+      val newLists = knnTopK(cNew, k)
+      val affected = cOld.select(col("a")).distinct()
+      val oldHome = oldMembers.select(col("cid").as("a"), col("home")).distinct()
+      val affHomes = oldHome.join(affected, "a")
+        .select(col("home")).distinct().as[Long].collect().toSeq
+      val edgesStore = spark.read.parquet(s"$path/edges")
+      val storedAff = edgesStore.filter(col("home").isin(affHomes: _*))
+        .join(affected, Seq("a"))
+        .select(col("a"), col("b"), col("cosine"))
+      // distinct: a retry re-generates candidates a half-published
+      // store already merged — identical (a, b, cosine) rows collapse
+      val mergedOld = knnTopK(storedAff.unionByName(cOld).distinct(), k)
+      val newHome = newAsg.select(col("cid").as("a"), col("home")).distinct()
+      val updated = newLists.join(broadcast(newHome), "a")
+        .unionByName(mergedOld.join(oldHome, "a"))
+        .localCheckpoint(false)
+      val homes = updated.select(col("home")).distinct().as[Long].collect().toSeq
+      val keep = edgesStore.filter(col("home").isin(homes: _*))
+        .join(updated.select(col("a")).distinct(), Seq("a"), "left_anti")
+      val content = keep.select(col("a"), col("b"), col("rank"),
+          col("cosine"), col("home"))
+        .unionByName(updated.select(col("a"), col("b"), col("rank"),
+          col("cosine"), col("home")))
+      // publish order: vectors (staged, skip-placed) -> edges
+      // (idempotent partition rewrite) -> centroids (tag commits)
+      tagLine match {
+        case Some(t) => graft.io.Tables.stagedPartitionedAppend(spark,
+          newAsg, s"$path/vectors", "cell", t.stripPrefix("_APPLIED-"))
+        case None => newAsg.repartition(col("cell")).write.mode("append")
+          .partitionBy("cell").parquet(s"$path/vectors")
+      }
+      if (homes.nonEmpty)
+        graft.io.Tables.replacePartitions(spark, content, s"$path/edges", "home")
+      graft.io.Tables.swapInParquet(spark, centsFrame(spark, cents),
+        s"$path/centroids", gen, ledger = applied ++ tagLine)
+    }
+  }
+
+  /** Directed within-cell pair scoring shared by the store append —
+    * the [[cellPairsTrained]] cosine (exact-integer dot, zero-norm
+    * guard) over two member frames (vid, eq, cell). */
+  private def scoreCellPairs(x: DataFrame, y: DataFrame): DataFrame =
+    x.as("x").join(y.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vid") =!= col("y.vid"))
+      .select(col("x.vid").as("a"), col("y.vid").as("b"),
+        dotQ(col("x.eq"), col("y.eq")).cast("double").as("__dot"),
+        dotQ(col("x.eq"), col("x.eq")).cast("double").as("__na"),
+        dotQ(col("y.eq"), col("y.eq")).cast("double").as("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(col("a"), col("b"),
+        (col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))).as("cosine"))
+
   /** Per-vector top-k window over a directed candidate-pair frame —
     * [[knnGraph]]'s tail, shared with the recall/volume ledger so the
     * graph and the ledger rank identically. Compiles to a map-side

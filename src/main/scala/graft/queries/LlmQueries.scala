@@ -1690,6 +1690,27 @@ object LlmQueries {
         .orderBy(col("a"), col("rank"))
     }),
 
+    // The graph as a persisted STORE with an incremental append —
+    // the last similarity product that was rebuilt per query: cells
+    // train once on the full corpus, evens build, odds APPEND (new
+    // vectors pair against (new ∪ old) probed-cell members only; old
+    // vectors' stored top-k merge the new candidates). Append == full
+    // rebuild bit-for-bit, so the lifecycle shares the probe-2 graph
+    // oracle.
+    "llm_knn_graph_store" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = graft.util.Scratch.dir("graft_knn_store")
+      Similarity.persistKnnGraphStore(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path, k = 3,
+        nlist = Similarity.autoNlist(emb), iters = 2,
+        maxCluster = SemMaxCluster, nprobe = 2, train = Some(emb))
+      Similarity.appendToKnnGraphStore(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", path, batchTag = Some("delta-1"))
+      val (_, edges, _) = Similarity.readKnnGraphStore(s, path)
+      edges.select(col("a"), col("b"), col("rank"), col("cosine"))
+        .orderBy(col("a"), col("rank"))
+    }),
+
     // BOTH sides of the multi-probe dial in one ledger (the grid
     // principle): per nprobe ∈ {1, 2}, recall vs the exact graph on
     // the bounded eval subset AND the corpus-wide candidate-pair
@@ -5128,6 +5149,12 @@ object LlmQueries {
          |  CAST(m.total_matches AS DOUBLE) / (3.0 * ne.n_eval) AS recall
          |FROM ne, m""".stripMargin,
     "llm_knn_graph_probe2" ->
+      s"""WITH ${kmeansCtes(4)},
+         |${knnProbeCtes(2, "p")}
+         |SELECT a, b, rank, cosine FROM kgp ORDER BY a, rank""".stripMargin,
+    // the persisted-store lifecycle: append == full rebuild, so it
+    // shares the probe-2 graph oracle (the llm_ann_*_append convention)
+    "llm_knn_graph_store" ->
       s"""WITH ${kmeansCtes(4)},
          |${knnProbeCtes(2, "p")}
          |SELECT a, b, rank, cosine FROM kgp ORDER BY a, rank""".stripMargin,

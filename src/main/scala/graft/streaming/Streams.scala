@@ -692,6 +692,25 @@ object Streams {
       }
       .start()
 
+  /** Streaming maintenance of a persisted kNN-graph store
+    * ([[graft.llm.Similarity.persistKnnGraphStore]]): each micro-batch
+    * appends under a (checkpoint, batchId) tag, so structured
+    * streaming's at-least-once replays no-op against the store's
+    * applied ledger and the maintained graph equals the one-shot
+    * build over the same rows — the [[ivfSq8IndexStream]] contract
+    * for the graph artifact (StreamingPipelineSpec differential). */
+  def knnGraphStream(vecs: DataFrame, idCol: String, embCol: String,
+                     storePath: String, checkpointDir: String
+                    ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Similarity.appendToKnnGraphStore(batch, idCol, embCol,
+          storePath, batchTag = Some(s"$checkpointDir#$batchId"))
+      }
+      .start()
+
   /** One ANN-serving micro-batch against the frozen index, committed
     * through the batch log — factored out so the replay semantics are
     * testable without a running stream (the [[dedupBatch]] pattern). */

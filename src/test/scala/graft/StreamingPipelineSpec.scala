@@ -432,6 +432,51 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(Similarity.readIvfSq8Index(spark, path)._3.count() === codesF.count() + 1)
   }
 
+  test("knnGraphStream: streamed graph == one-shot build; committed replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    def vec(i: Long): Seq[Float] = Seq.tabulate(8)(d =>
+      ((i % 2) * 10).toFloat + ((i * 7 + d * 3) % 11) * 0.13f)
+    val all = (0L until 40L).map(i => (i, vec(i)))
+    val (base, b1, b2) = (all.filter(_._1 < 20), all.filter(r =>
+      r._1 >= 20 && r._1 < 30), all.filter(_._1 >= 30))
+    val path = graft.util.Scratch.dir("knnstream") + "/g"
+    Similarity.persistKnnGraphStore(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, k = 3, nlist = 2, iters = 2,
+      maxCluster = 100, nprobe = 2,
+      train = Some(all.toDF("vec_id", "embedding")))
+    val ck = graft.util.Scratch.dir("knnstream_ck")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.knnGraphStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", path, ck)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val fullPath = graft.util.Scratch.dir("knnstreamfull") + "/g"
+    Similarity.persistKnnGraphStore(all.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", fullPath, k = 3, nlist = 2, iters = 2,
+      maxCluster = 100, nprobe = 2)
+    def edges(p: String) = spark.read.parquet(s"$p/edges")
+      .select("a", "b", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(edges(path) === edges(fullPath),
+      "streamed graph maintenance must equal the one-shot build bit-for-bit")
+    // a committed (lineage, batchId) replays as a FULL no-op
+    val gen0 = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
+    Similarity.appendToKnnGraphStore(b1.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, batchTag = Some(s"$ck#0"))
+    assert(edges(path) === edges(fullPath))
+    assert(graft.io.Tables.storeGeneration(spark, s"$path/centroids") === gen0)
+    // a FRESH lineage reusing batch id 0 must be processed
+    Similarity.appendToKnnGraphStore(
+      Seq((999L, vec(5L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, batchTag = Some("freshCk#0"))
+    assert(spark.read.parquet(s"$path/edges")
+      .filter(col("a") === 999L).count() > 0)
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats

@@ -351,6 +351,131 @@ class StoreConcurrencySpec extends SparkSpec {
       e.getMessage.contains("stored code"))
   }
 
+  // shared fixture for the kNN-graph store rows: two loose clusters
+  // with jitter (the multi-probe case), ids interleaved across them
+  private def gvecs(ids: Seq[Long]) = {
+    import org.apache.spark.sql.functions.col
+    ids.map { i =>
+      val c = (i % 2).toInt
+      (i, Array.tabulate(8)(d =>
+        (c * 10).toDouble + ((i * 7 + d * 3) % 11) * 0.13))
+    }.toDF("vec_id", "embedding").select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  private def graphEdges(path: String): Seq[(Long, Long, Long, Double)] =
+    spark.read.parquet(s"$path/edges")
+      .select("a", "b", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+
+  test("knnGraphStore: append == full rebuild bit-for-bit; replay and post-publish retry no-op") {
+    val path = Files.createTempDirectory("knn_store_").toString + "/g"
+    val all = gvecs(0L to 39L)
+    // train on the FULL corpus (the production shape), build on evens
+    Similarity.persistKnnGraphStore(all.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, k = 3, nlist = 2, iters = 2,
+      maxCluster = 100, nprobe = 2, train = Some(all))
+    Similarity.appendToKnnGraphStore(all.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, batchTag = Some("g-b1"))
+    val scratch = Files.createTempDirectory("knn_store_full_").toString + "/g"
+    Similarity.persistKnnGraphStore(all, "vec_id", "embedding", scratch,
+      k = 3, nlist = 2, iters = 2, maxCluster = 100, nprobe = 2)
+    assert(graphEdges(path) === graphEdges(scratch),
+      "append must equal the full rebuild bit-for-bit")
+    // old vectors' lists actually updated (the merge face): some even
+    // vector must now rank an odd neighbor
+    val oddNeighbors = spark.read.parquet(s"$path/edges")
+      .filter(col("a") % 2 === 0 && col("b") % 2 === 1).count()
+    assert(oddNeighbors > 0, "no old list gained a new-batch neighbor — " +
+      "the merge face of the append is untested by this fixture")
+    // tag replay: whole call no-ops, no generation published
+    val genAfter = Tables.storeGeneration(spark, s"$path/centroids")
+    val settled = graphEdges(path)
+    Similarity.appendToKnnGraphStore(all.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, batchTag = Some("g-b1"))
+    assert(graphEdges(path) === settled)
+    assert(Tables.storeGeneration(spark, s"$path/centroids") === genAfter)
+    // CRASH WINDOW just before the centroid swap: everything published
+    // except the tag. Simulate by erasing the tag from the ledger and
+    // re-running the whole tagged append against the fully-published
+    // store — the idempotent-merge contract says it must converge to
+    // the same state (and vectors must not double-place).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = new org.apache.hadoop.fs.Path(s"$path/centroids",
+      Tables.AppliedLedgerFile)
+    val tagLine = Tables.appliedLedgerLine("g-b1")
+    val kept = Tables.storeAppliedLedger(spark, s"$path/centroids")
+      .filterNot(_ == tagLine)
+    val out = fs.create(lp, true)
+    out.write(kept.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+    Similarity.appendToKnnGraphStore(all.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, batchTag = Some("g-b1"))
+    assert(graphEdges(path) === settled,
+      "retry against a fully-published store must converge, not drift")
+    assert(spark.read.parquet(s"$path/vectors").count() ===
+      spark.read.parquet(s"$scratch/vectors").count(),
+      "retry double-placed vector rows")
+  }
+
+  test("knnGraphStore: crash window between vector placement and edge publish retries exactly-once") {
+    val path = Files.createTempDirectory("knn_store_crash_").toString + "/g"
+    val all = gvecs(0L to 39L)
+    Similarity.persistKnnGraphStore(all.filter(col("vec_id") < 20),
+      "vec_id", "embedding", path, k = 3, nlist = 2, iters = 2,
+      maxCluster = 100, nprobe = 2, train = Some(all))
+    // place the batch's VECTOR files (staged, deterministic names)
+    // without touching edges or the ledger — the widest crash window
+    val batch = all.filter(col("vec_id") >= 20)
+    val cents = Similarity.readKnnGraphStore(spark, path)._1
+    val tagHash = Tables.appliedLedgerLine("g-b2").stripPrefix("_APPLIED-")
+    val asg = Similarity.graphAssignments(batch, "vec_id",
+      "embedding", cents, nprobe = 2)
+    Tables.stagedPartitionedAppend(spark, asg, s"$path/vectors", "cell", tagHash)
+    Tables.stagedPartitionedAppend(spark, asg, s"$path/vectors", "cell", tagHash)
+    // the retry of the WHOLE batch
+    Similarity.appendToKnnGraphStore(batch, "vec_id", "embedding", path,
+      batchTag = Some("g-b2"))
+    val scratch = Files.createTempDirectory("knn_store_crash_full_").toString + "/g"
+    Similarity.persistKnnGraphStore(all, "vec_id", "embedding", scratch,
+      k = 3, nlist = 2, iters = 2, maxCluster = 100, nprobe = 2)
+    assert(graphEdges(path) === graphEdges(scratch),
+      "crash-window retry drifted from the full rebuild")
+    assert(spark.read.parquet(s"$path/vectors").count() ===
+      spark.read.parquet(s"$scratch/vectors").count(),
+      "crash-window retry duplicated vector rows")
+  }
+
+  test("knnGraphStore: racing appends serialize; cap overflow fails loudly") {
+    val path = Files.createTempDirectory("knn_store_race_").toString + "/g"
+    val all = gvecs(0L to 59L)
+    Similarity.persistKnnGraphStore(all.filter(col("vec_id") < 20),
+      "vec_id", "embedding", path, k = 3, nlist = 2, iters = 2,
+      maxCluster = 100, nprobe = 2, train = Some(all))
+    race(
+      Similarity.appendToKnnGraphStore(
+        all.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+        "vec_id", "embedding", path, batchTag = Some("r-b1")),
+      Similarity.appendToKnnGraphStore(all.filter(col("vec_id") >= 40),
+        "vec_id", "embedding", path, batchTag = Some("r-b2")))
+    val scratch = Files.createTempDirectory("knn_store_race_full_").toString + "/g"
+    Similarity.persistKnnGraphStore(all, "vec_id", "embedding", scratch,
+      k = 3, nlist = 2, iters = 2, maxCluster = 100, nprobe = 2)
+    assert(graphEdges(path) === graphEdges(scratch),
+      "racing appends must serialize to the sequential (== rebuilt) state")
+    // stale geometry: a batch that would overflow a cell fails loudly
+    val tiny = Files.createTempDirectory("knn_store_cap_").toString + "/g"
+    Similarity.persistKnnGraphStore(gvecs(0L to 9L), "vec_id", "embedding",
+      tiny, k = 3, nlist = 2, iters = 2, maxCluster = 12, nprobe = 2,
+      train = Some(all))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToKnnGraphStore(gvecs(10L to 59L), "vec_id",
+        "embedding", tiny, batchTag = Some("cap-b"))
+    }
+    assert(e.getMessage.contains("maxCluster") &&
+      e.getMessage.contains("rebuild"))
+  }
+
   test("compactFlatCodes: file budget met, rows identical, appends serialize with compaction") {
     def vecs(ids: Seq[Long]) = ids.map { i =>
       (i, Array.tabulate(4)(d => (i * 4 + d).toDouble / 10.0))
