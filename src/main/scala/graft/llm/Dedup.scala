@@ -734,6 +734,17 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
       .distinct()
+    trimWithCoverage(docs, cov, idCol, textCol)
+  }
+
+  /** The REMOVAL tail of [[trimRepeatedSpans]] against an explicit
+    * coverage frame (idCol, pos) — factored out so the batch op and
+    * the streaming gate ([[graft.streaming.Streams.spanTrimStream]],
+    * which derives coverage incrementally from a standing span index)
+    * share one trim computation and cannot drift. */
+  private[graft] def trimWithCoverage(docs: DataFrame, cov: DataFrame,
+                                      idCol: String,
+                                      textCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
         posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
           .as(Seq("__p", "w")))
@@ -800,7 +811,7 @@ object Dedup {
   /** (idCol, start, h) window-key stream shared by the two span ops:
     * md5 keys built per document inside one transform (see
     * [[repeatedSpans]]), exploded with 1-based starts. */
-  private def spanKeys(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def spanKeys(docs: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
     require(k >= 2, s"span width k must be >= 2, got $k")
     docs.select(col(idCol),

@@ -302,6 +302,149 @@ object Streams {
       .start()
   }
 
+  /** Streaming repeated-span trim — the last batch-only stage of the
+    * crawl chain (ingest → extract → gate → SPAN-TRIM) made
+    * incremental: each micro-batch's documents are trimmed against the
+    * span statistics of (standing corpus ∪ batch), and — the part a
+    * naive gate misses — old documents whose spans only NOW cross the
+    * `minDf` threshold are RE-trimmed, so the maintained product equals
+    * the one-shot [[graft.llm.Dedup.trimRepeatedSpans]] over all rows
+    * delivered so far, exactly (StreamingPipelineSpec differential).
+    *
+    * Standing state (all append-only):
+    *  - `indexTable` (idCol, start, h): every window key seen, bucketed
+    *    by `h` — the batch's df lookups and the affected-doc pruning
+    *    read it exchange-free.
+    *  - `corpusTable`: raw rows, bucketed by id — re-trims read only
+    *    the affected documents.
+    *  - `trimmedTable` (idCol, trimmed, n_tokens, n_dropped,
+    *    batch_seq): VERSIONED — a re-trimmed document appends a new
+    *    version rather than rewriting the table (a per-batch rewrite
+    *    would be corpus-scale); [[readSpanTrimmed]] folds to the
+    *    latest version per document.
+    *
+    * Per-batch cost is bounded by the batch and its blast radius:
+    * batch windows O(batch tokens); index reads are semi-join-pruned
+    * to the batch's window keys and the newly-qualifying keys'
+    * documents; nothing corpus-scale shuffles. Exactly-once via the
+    * [[dedupBatch]] commit-log recipe; a crash between the sink
+    * appends and the commit row replays with correct VALUES (the
+    * overlap rule reads the index minus the batch's ids) leaving only
+    * exact-duplicate rows, which the latest-version fold absorbs. */
+  def spanTrimStream(docs: DataFrame, idCol: String, textCol: String,
+                     corpusTable: String, indexTable: String,
+                     trimmedTable: String, checkpointDir: String,
+                     k: Int = 8, minDf: Long = 2L,
+                     indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        spanTrimBatch(batch.toDF(), corpusTable, indexTable, trimmedTable,
+          idCol, textCol, k, minDf, indexBuckets, checkpointDir, batchId)
+      }
+      .start()
+
+  private[graft] def spanTrimBatch(batch: DataFrame, corpusTable: String,
+                                   indexTable: String, trimmedTable: String,
+                                   idCol: String, textCol: String, k: Int,
+                                   minDf: Long, indexBuckets: Int,
+                                   streamId: String = "",
+                                   batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val commits = commitsTableFor(trimmedTable)
+    if (batchId >= 0 && spark.catalog.tableExists(commits) &&
+        spark.table(commits).filter(col("stream_id") === streamId &&
+          col("batch_id") === batchId).head(1).nonEmpty)
+      return
+    val b = batch.localCheckpoint(false)
+    val bKeys = graft.llm.Dedup.spanKeys(b, idCol, textCol, k)
+      .localCheckpoint(false)
+    val bIds = b.select(col(idCol).as("__nid"))
+    val idxSchema = org.apache.spark.sql.types.StructType(Seq(
+      b.schema(idCol),
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    // overlap rule: a replayed batch's keys are already in the index —
+    // the new frame wins, so df never double-counts (the
+    // incrementalNearDupPairs convention)
+    val idx = tableOr(spark, indexTable, idxSchema)
+      .join(broadcast(bIds), col(idCol) === col("__nid"), "left_anti")
+    // df before/after for the batch's window keys only
+    val bH = bKeys.select(col("h")).distinct()
+    val dfBefore = idx.join(bH, Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(countDistinct(col(idCol)).as("__dfb"))
+    val dfBatch = bKeys.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("__dfn"))
+    val dfAfter = dfBatch.join(dfBefore, Seq("h"), "left")
+      .select(col("h"),
+        (coalesce(col("__dfb"), lit(0L)) + col("__dfn")).as("__dfa"),
+        coalesce(col("__dfb"), lit(0L)).as("__dfb"))
+      .localCheckpoint(false)
+    val qualNow = dfAfter.filter(col("__dfa") >= minDf).select(col("h"))
+    // the batch's own trim: coverage from its qualifying windows
+    val bCov = bKeys.join(qualNow, "h")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val bTrim = graft.llm.Dedup.trimWithCoverage(b, bCov, idCol, textCol)
+    // the blast radius: keys that qualify NOW but did not before pull
+    // their standing documents in for a re-trim against the FULL
+    // (index ∪ batch) statistics of every key those documents carry
+    val newlyQ = dfAfter.filter(col("__dfa") >= minDf &&
+      col("__dfb") < minDf).select(col("h"))
+    val affIds = idx.join(newlyQ, Seq("h"), "left_semi")
+      .select(col(idCol)).distinct().localCheckpoint(false)
+    val affKeys = idx.join(affIds, Seq(idCol), "left_semi")
+      .localCheckpoint(false)
+    val affH = affKeys.select(col("h")).distinct()
+    val gDf = idx.join(affH, Seq("h"), "left_semi")
+      .select(col("h"), col(idCol))
+      .unionByName(bKeys.join(affH, Seq("h"), "left_semi")
+        .select(col("h"), col(idCol)))
+      .groupBy(col("h")).agg(countDistinct(col(idCol)).as("__g"))
+    val qualAff = gDf.filter(col("__g") >= minDf).select(col("h"))
+    val affCov = affKeys.join(qualAff, "h")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
+      .distinct()
+    val corpusSchema = b.select(col(idCol), col(textCol)).schema
+    val affDocs = tableOr(spark, corpusTable, corpusSchema)
+      // a mid-batch crash can leave exact-duplicate corpus rows; the
+      // re-trim tokenization must see each document once
+      .dropDuplicates(idCol)
+      .join(affIds, Seq(idCol), "left_semi")
+    val affTrim = graft.llm.Dedup.trimWithCoverage(affDocs, affCov,
+      idCol, textCol)
+    // sinks: versioned trims, then the standing state, commit LAST
+    bTrim.unionByName(affTrim).withColumn("batch_seq", lit(batchId))
+      .write.mode("append").format("parquet").saveAsTable(trimmedTable)
+    bKeys.write.mode("append").bucketBy(indexBuckets, "h").sortBy("h")
+      .format("parquet").saveAsTable(indexTable)
+    b.select(col(idCol), col(textCol)).write.mode("append")
+      .bucketBy(indexBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(corpusTable)
+    if (batchId >= 0)
+      spark.range(1).select(lit(streamId).as("stream_id"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+  }
+
+  /** The span-trim product: the LATEST version of every document in
+    * the versioned `trimmedTable` (the keep-latest fold duplicates
+    * from a mid-batch crash replay collapse into — versions from such
+    * a replay are exact copies). */
+  def readSpanTrimmed(spark: SparkSession, trimmedTable: String,
+                      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("batch_seq").desc)
+    spark.table(trimmedTable)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "batch_seq")
+  }
+
   /** First batch: the standing tables don't exist yet — dedup against
     * empty frames, then create them via the first append. */
   private def tableOr(spark: SparkSession, name: String,

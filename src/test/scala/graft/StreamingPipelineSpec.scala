@@ -477,6 +477,59 @@ class StreamingPipelineSpec extends SparkSpec {
       .filter(col("a") === 999L).count() > 0)
   }
 
+  test("spanTrimStream: 2-batch stream == batch trim incl. retroactive re-trim; replays no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // b1: d1 carries span X (unique so far), d3/d4 share a span WITHIN
+    // the batch, d2 is untouched. b2: d5 re-delivers span X — the
+    // cross-batch case that must RE-trim d1 retroactively.
+    val b1 = Seq(
+      (1L, "aa bb x1 x2 x3 cc"),
+      (2L, "dd ee ff gg"),
+      (3L, "hh ii s1 s2 s3"),
+      (4L, "s1 s2 s3 jj"))
+    val b2 = Seq(
+      (5L, "kk x1 x2 x3 ll"),
+      (6L, "mm nn oo"))
+    val (corpusT, indexT, trimT) = ("st_corpus", "st_index", "st_trim")
+    Seq(corpusT, indexT, trimT, trimT + "_commits").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val ck = graft.util.Scratch.dir("spantrim_ck")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.spanTrimStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusT, indexT, trimT, ck, k = 3, minDf = 2L)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def product() = graft.streaming.Streams
+      .readSpanTrimmed(spark, trimT, "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    val want = Dedup.trimRepeatedSpans(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", k = 3, minDf = 2L)
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    assert(product() === want,
+      "streamed trim must equal the one-shot batch trim over all rows")
+    // the retroactive case really fired: d1's latest version is trimmed
+    assert(product().find(_._1 == 1L).get._2 === "aa bb cc",
+      "batch-1 doc sharing a span only with batch 2 must be re-trimmed")
+    // committed replay: the whole batch short-circuits, nothing appends
+    val rowsBefore = spark.table(trimT).count()
+    graft.streaming.Streams.spanTrimBatch(b1.toDF("doc_id", "text"),
+      corpusT, indexT, trimT, "doc_id", "text", 3, 2L, 8, ck, 0L)
+    assert(spark.table(trimT).count() === rowsBefore)
+    // mid-batch crash replay (appends landed, commit row didn't): the
+    // re-run appends duplicate VERSIONS but the overlap rule keeps all
+    // values correct — the latest-version fold still equals the batch
+    // trim
+    graft.streaming.Streams.spanTrimBatch(b2.toDF("doc_id", "text"),
+      corpusT, indexT, trimT, "doc_id", "text", 3, 2L, 8)
+    assert(product() === want,
+      "a mid-batch crash replay must not change any document's product")
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats
