@@ -493,8 +493,18 @@ class StreamingPipelineSpec extends SparkSpec {
       (5L, "kk x1 x2 x3 ll"),
       (6L, "mm nn oo"))
     val (corpusT, indexT, trimT) = ("st_corpus", "st_index", "st_trim")
-    Seq(corpusT, indexT, trimT, trimT + "_commits").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val tables = Seq(corpusT, indexT, trimT, trimT + "_commits")
+    def dropAll(): Unit = tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previous JVM's run leaves the warehouse dir behind while the
+      // fresh metastore has no entry to drop — clear it physically or
+      // CREATE fails with LOCATION_ALREADY_EXISTS
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    dropAll()
     val ck = graft.util.Scratch.dir("spantrim_ck")
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.Streams.spanTrimStream(
@@ -528,6 +538,7 @@ class StreamingPipelineSpec extends SparkSpec {
       corpusT, indexT, trimT, "doc_id", "text", 3, 2L, 8)
     assert(product() === want,
       "a mid-batch crash replay must not change any document's product")
+    dropAll()
   }
 
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
