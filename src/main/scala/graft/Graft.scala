@@ -731,6 +731,8 @@ object Graft {
   def readKnnGraphStore(spark: SparkSession, path: String)
       : (Seq[(Long, Seq[Long])], DataFrame, DataFrame) =
     llm.Similarity.readKnnGraphStore(spark, path)
+  def compactGraphVectors(spark: SparkSession, path: String): Unit =
+    llm.Similarity.compactGraphVectors(spark, path)
 
   /** Corpus-scaled cell count (max(minNlist, n/targetCell)) — the knob
     * rule that keeps cell-join cost constant per vector at any sf. */

@@ -1522,6 +1522,23 @@ object Similarity {
     }
   }
 
+  /** Compact the graph store's VECTORS side to one file per cell —
+    * tagged appends add one staged file per (batch, cell) forever,
+    * and the append path's touched-cell reads pay per FILE (the
+    * small-files failure [[compactIndexCodes]] fixes for code
+    * stores). The EDGES side never needs this: appends rewrite whole
+    * home partitions ([[graft.io.Tables.replacePartitions]]
+    * repartitions to one file per dir), so touched homes stay compact
+    * by construction. Same lock (centroids — what appenders hold),
+    * same recovery-order contract (retry crashed tagged appends
+    * FIRST: compaction absorbs orphan staged files), same transient
+    * missing-dir reader caveat. */
+  def compactGraphVectors(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit =
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      graft.io.Tables.compactPartitionedParquet(spark, s"$path/vectors", "cell")
+    }
+
   /** Directed within-cell pair scoring shared by the store append —
     * the [[cellPairsTrained]] cosine (exact-integer dot, zero-norm
     * guard) over two member frames (vid, eq, cell). */

@@ -1706,6 +1706,7 @@ object LlmQueries {
         maxCluster = SemMaxCluster, nprobe = 2, train = Some(emb))
       Similarity.appendToKnnGraphStore(emb.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding", path, batchTag = Some("delta-1"))
+      Similarity.compactGraphVectors(s, path)
       val (_, edges, _) = Similarity.readKnnGraphStore(s, path)
       edges.select(col("a"), col("b"), col("rank"), col("cosine"))
         .orderBy(col("a"), col("rank"))

@@ -416,6 +416,28 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/vectors").count() ===
       spark.read.parquet(s"$scratch/vectors").count(),
       "retry double-placed vector rows")
+    // vectors-side compaction: one file per cell after, rows and the
+    // graph product identical, a fresh tagged append still lands
+    def vecFilesPerCell(): Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/vectors"))
+        .filter(_.isDirectory).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        }.toMap
+    assert(vecFilesPerCell().values.exists(_ > 1),
+      s"the append must have accumulated files: ${vecFilesPerCell()}")
+    val vecsBefore = spark.read.parquet(s"$path/vectors")
+      .orderBy("cid", "probe").collect().toSeq
+    Similarity.compactGraphVectors(spark, path)
+    assert(vecFilesPerCell().values.forall(_ === 1),
+      s"compaction must leave one file per cell: ${vecFilesPerCell()}")
+    assert(spark.read.parquet(s"$path/vectors")
+      .orderBy("cid", "probe").collect().toSeq === vecsBefore)
+    assert(graphEdges(path) === settled, "compaction must not touch edges")
+    Similarity.appendToKnnGraphStore(gvecs(100L to 103L), "vec_id",
+      "embedding", path, batchTag = Some("g-b3"))
+    assert(spark.read.parquet(s"$path/vectors").count() ===
+      vecsBefore.size + 4L * 2L, "a fresh tagged append must land post-compaction")
   }
 
   test("knnGraphStore: crash window between vector placement and edge publish retries exactly-once") {
