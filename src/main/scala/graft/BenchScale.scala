@@ -110,6 +110,28 @@ object BenchScale {
     time("sq8_serve") {
       SparkEntry.queries("llm_ann_sq8")(spark, sfDir).count()
     }
+    // r18: the graph-store SMALL-DELTA append — the number that
+    // matters at 100 TB (the registered lifecycle appends half the
+    // corpus, which by design approximates a rebuild). Build the
+    // store on all-but-64 vectors ONCE, then time appending the
+    // 64-vector delta: cost should track the delta's blast radius
+    // (touched cells × cell size), i.e. stay near-FLAT across sf,
+    // while the full build's cost grows with the corpus.
+    time("knn_store_delta_append") {
+      val nlist = math.max(4L, 4L * nVecs / 2000L).toInt
+      val path = graft.util.Scratch.dir("bs_knn_store") + "/g"
+      val cut = nVecs - 64L
+      graft.llm.Similarity.persistKnnGraphStore(
+        embs.filter(col("vec_id") < cut), "vec_id", "embedding", path,
+        k = 3, nlist = nlist, iters = 2, maxCluster = 4096, nprobe = 2,
+        train = Some(embs))
+      val t0 = System.nanoTime()
+      graft.llm.Similarity.appendToKnnGraphStore(
+        embs.filter(col("vec_id") >= cut), "vec_id", "embedding", path,
+        batchTag = Some("bs-delta"))
+      println(f"[benchscale] knn_store_delta_append APPEND-ONLY ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.read.parquet(s"$path/edges").count()
+    }
     spark.stop()
   }
 }
