@@ -1483,7 +1483,14 @@ object Similarity {
         .select(col("cid").as("vid"), col("eq"), col("cell"))
       val cNew = scoreCellPairs(mN, mO.unionByName(mN)).distinct()
         .localCheckpoint(false)
-      val cOld = scoreCellPairs(mO, mN).distinct().localCheckpoint(false)
+      // old→new candidates are the MIRROR of cNew's new→old subset
+      // (cosine is symmetric, the zero-norm guard too) — derived, not
+      // re-joined: this halves the append's pair-scoring work
+      val cOld = cNew
+        .join(broadcast(batchIds.withColumnRenamed("cid", "b")),
+          Seq("b"), "left_anti")
+        .select(col("b").as("a"), col("a").as("b"), col("cosine"))
+        .localCheckpoint(false)
       val newLists = knnTopK(cNew, k)
       val affected = cOld.select(col("a")).distinct()
       val oldHome = oldMembers.select(col("cid").as("a"), col("home")).distinct()
