@@ -1453,6 +1453,15 @@ object Similarity {
       val metaRow = spark.read.parquet(s"$path/meta").head()
       val (k, nprobe, maxCluster) =
         (metaRow.getLong(0).toInt, metaRow.getLong(1).toInt, metaRow.getLong(2))
+      // fail-loud dim guard (the validateCodebooks precedent): the
+      // assignment kernel dots over min(dim, |centroid|), so a
+      // wrong-dim batch would silently mis-assign instead of erroring
+      val storeDim = cents.head._2.length
+      df.select(size(col(embCol))).head(1).foreach(r =>
+        require(r.getInt(0) == storeDim,
+          s"appendToKnnGraphStore: batch embeddings have dim ${r.getInt(0)} " +
+            s"but the store at $path was built at dim $storeDim — pass the " +
+            "dim the store was built with"))
       val newAsg = graphAssignments(df, idCol, embCol, cents, nprobe)
         .localCheckpoint(false)
       val batchIds = newAsg.select(col("cid")).distinct()

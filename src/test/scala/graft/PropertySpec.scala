@@ -37,6 +37,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: HtmlEntityKernel equals an independent regex-based decoder model") {
+    // an INDEPENDENT model of the contract: every '&#' site either
+    // decodes (1..7 digits of its base + ';', non-surrogate scalar in
+    // 1..0x10FFFF) or re-emits itself; implemented here by splitting,
+    // the opposite strategy to the kernel's single scan
+    def model(s: String): String = {
+      val num = "^([0-9]{1,7});".r
+      val hex = "^[xX]([0-9A-Fa-f]{1,7});".r
+      val parts = s.split("&#", -1)
+      parts.head + parts.tail.map { p =>
+        def emit(v: Long, m: scala.util.matching.Regex.Match): String =
+          if (v >= 1L && v <= 0x10FFFFL && !(v >= 0xD800L && v <= 0xDFFFL))
+            new String(Character.toChars(v.toInt)) + p.substring(m.end)
+          else "&#" + p
+        num.findFirstMatchIn(p).map(m => emit(m.group(1).toLong, m))
+          .orElse(hex.findFirstMatchIn(p).map(m =>
+            emit(java.lang.Long.parseLong(m.group(1), 16), m)))
+          .getOrElse("&#" + p)
+      }.mkString
+    }
+    val frag = Gen.oneOf("&#", "#", ";", "x", "X", "65", "1F600", "ZZ", "0",
+      "55296", "1114111", "1114112", "99999999", "d7ff", "&", "a b", "é",
+      "&#65;", "&#x27;", "&amp;", "")
+    val gen = Gen.listOfN(6, frag).map(_.mkString)
+    val inputs = sample(Gen.listOfN(500, gen)).distinct
+    val out = inputs.toDF("s")
+      .select(col("s"),
+        graft.expr.kernels.NativeFns.htmlEntities(col("s")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    out.foreach { case (s, d) =>
+      assert(d === model(s), s"kernel drifted from the model on '$s'")
+    }
+  }
+
   test("property: parseFlexibleTimestamp never throws; round-trips formatted output") {
     // arbitrary garbage must yield null or a timestamp, never an error
     val garbage = sample(Gen.listOfN(300, anyStr))

@@ -496,6 +496,16 @@ class StoreConcurrencySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxCluster") &&
       e.getMessage.contains("rebuild"))
+    // wrong-dim batch fails loudly instead of silently mis-assigning
+    // (the assignment kernel dots over min(dim, |centroid|))
+    val wrongDim = (200L to 203L).map(i =>
+      (i, Array.tabulate(4)(d => (i + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToKnnGraphStore(wrongDim, "vec_id", "embedding",
+        tiny, batchTag = Some("dim-b"))
+    }
+    assert(e2.getMessage.contains("dim 4") && e2.getMessage.contains("dim 8"))
   }
 
   test("compactFlatCodes: file budget met, rows identical, appends serialize with compaction") {
