@@ -473,6 +473,20 @@ object Graft {
                   textCol: String, nBuckets: Int = 1024): DataFrame =
     llm.Curate.dsirWeights(docs, target, idCol, textCol, nBuckets)
 
+  /** Model-based quality filter (fastText/DCLM recipe): hashed-feature
+    * logistic regression trained in-engine on a labeled seed with
+    * unrolled exact-replay gradient steps, and the corpus scored with
+    * the learned weights. */
+  def qualityLrTrain(labeled: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, nBuckets: Int = 256, steps: Int = 2,
+                     lrPpm: Long = 500000L): (Seq[(Long, Long)], Long) =
+    llm.Curate.qualityLrTrain(labeled, idCol, textCol, labelCol, nBuckets,
+      steps, lrPpm)
+  def qualityLrScore(docs: DataFrame, idCol: String, textCol: String,
+                     weights: Seq[(Long, Long)], bias: Long,
+                     nBuckets: Int = 256): DataFrame =
+    llm.Curate.qualityLrScore(docs, idCol, textCol, weights, bias, nBuckets)
+
   /** Hard-negative mining for contrastive/retrieval training: per
     * anchor, the top-k most similar different-label vectors from its
     * LSH bucket. */

@@ -347,6 +347,110 @@ object Curate {
         coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"))
   }
 
+  /** Model-based quality classifier — hashed-feature logistic
+    * regression, the fastText-recipe filter (Joulin et al. 2016;
+    * DCLM/phi-style "train a tiny classifier on a seed set, score the
+    * corpus" — public method) trained IN-ENGINE with `steps` unrolled
+    * full-batch gradient steps. Features are `nBuckets` md5 hash
+    * buckets of lowercased words (the [[dsirWeights]] feature space);
+    * weights and bias live in micro fixed point.
+    *
+    * Exact-replay discipline (one quantization per doc per step, the
+    * narrowest transcendental surface): z is an EXACT Long
+    * (bias + Σ count·w_micro), the sigmoid is quantized ONCE as
+    * p_micro = floor(1e6 / (1 + exp(−z/1e6))), the residual
+    * r_micro = y·1e6 − p_micro is exact, per-bucket gradients are
+    * exact Long sums Σ count·r_micro (order-independent — no double
+    * accumulation anywhere), and the update
+    * w += (lrPpm·G) div (1e6·N) is truncating integer division
+    * (Spark `div` == DuckDB `//`). Step 1 from zero weights is fully
+    * deterministic (p ≡ 500000 exactly).
+    *
+    * Scale: the LABELED seed is small by construction (thousands of
+    * docs — the recipe's point is that labels are scarce); it is
+    * tokenized ONCE (checkpointed) and each step is one broadcast
+    * join + two bounded aggs, with the ≤ nBuckets gradient rows
+    * collected per step (the [[graft.llm.Similarity.kmeansTrain]]
+    * driver-loop convention). Scoring the CORPUS is one pass:
+    * tokenize, broadcast-join the ≤ nBuckets weight rows, one
+    * map-side-combined agg per doc — nothing corpus-scale shuffles
+    * twice. Returns (support-bucket weights sorted by bucket, bias),
+    * support = every bucket the seed corpus touches. */
+  def qualityLrTrain(labeled: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, nBuckets: Int = 256, steps: Int = 2,
+                     lrPpm: Long = 500000L): (Seq[(Long, Long)], Long) = {
+    require(nBuckets >= 2, s"qualityLrTrain needs nBuckets >= 2, got $nBuckets")
+    require(steps >= 1, s"qualityLrTrain needs steps >= 1, got $steps")
+    require(lrPpm > 0, s"qualityLrTrain needs lrPpm > 0, got $lrPpm")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val db = hashBuckets(labeled, idCol, textCol, nBuckets)
+      .localCheckpoint(false)
+    val lab = labeled.select(col(idCol).as("__d"),
+        col(labelCol).cast(LongType).as("__y"))
+      .localCheckpoint(false)
+    val n = lab.count()
+    require(n > 0, "qualityLrTrain needs at least one labeled document")
+    var bias = 0L
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to steps) {
+      val wDf = w.toSeq.toDF("__h", "__wm")
+      val zw = db.join(broadcast(wDf), Seq("__h"), "left")
+        .groupBy(col("__d"))
+        .agg(sum(col("__c") * coalesce(col("__wm"), lit(0L))).as("__zw"))
+      val rd = lab.join(zw, Seq("__d"), "left")
+        .select(col("__d"), col("__y"),
+          (lit(bias) + coalesce(col("__zw"), lit(0L))).as("__z"))
+        .withColumn("__pm", floor(lit(1000000.0) /
+          (lit(1.0) + exp(-col("__z").cast(DoubleType) / lit(1000000.0))))
+          .cast(LongType))
+        .select(col("__d"), (col("__y") * 1000000L - col("__pm")).as("__rm"))
+        .localCheckpoint(false) // feeds the bucket grads AND the bias grad
+      val gm = db.join(rd, Seq("__d"))
+        .groupBy(col("__h")).agg(sum(col("__c") * col("__rm")).as("__g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gBias = rd.agg(coalesce(sum(col("__rm")), lit(0L))).head().getLong(0)
+      val keys = w.keySet ++ gm.keySet
+      w = keys.iterator.map { h =>
+        h -> (w.getOrElse(h, 0L) + (lrPpm * gm.getOrElse(h, 0L)) / (1000000L * n))
+      }.toMap
+      bias += (lrPpm * gBias) / (1000000L * n)
+    }
+    (w.toSeq.sortBy(_._1), bias)
+  }
+
+  /** Score a corpus with a trained classifier: per doc,
+    * score_micro = bias + Σ count_b·w_b (exact Long; unseen buckets
+    * contribute 0). One tokenize pass + a broadcast weight join +
+    * one map-side-combined agg — the corpus-scale path. */
+  def qualityLrScore(docs: DataFrame, idCol: String, textCol: String,
+                     weights: Seq[(Long, Long)], bias: Long,
+                     nBuckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toDF("__h", "__wm")
+    val scored = hashBuckets(docs, idCol, textCol, nBuckets)
+      .join(broadcast(wDf), Seq("__h"), "left")
+      .groupBy(col("__d"))
+      .agg(sum(col("__c")).as("n_toks"),
+        sum(col("__c") * coalesce(col("__wm"), lit(0L))).as("__s"))
+    docs.select(col(idCol)).join(scored.withColumnRenamed("__d", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        (lit(bias) + coalesce(col("__s"), lit(0L))).as("score_micro"))
+  }
+
+  /** (doc, bucket, count) — the shared hashed-word feature extraction
+    * ([[dsirWeights]]'s bucket convention: md5 mod nBuckets over
+    * lowercased whitespace words). */
+  private def hashBuckets(df: DataFrame, idCol: String, textCol: String,
+                          nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("__d"),
+        explode(Text.words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .select(col("__d"), (Text.md5Hash(col("__w")) % nBuckets).as("__h"))
+      .groupBy(col("__d"), col("__h")).agg(count(lit(1)).as("__c"))
+
   /** Per-group rank normalization in exact integer per-mille: a row's
     * `pm_rank` is its rank position within `groupCol` scaled to
     * [0, 1000] (`(rank-1)·1000 div (count-1)`; singleton groups at 0;

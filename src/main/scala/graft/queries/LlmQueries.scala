@@ -2389,6 +2389,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based quality filter (the fastText/DCLM recipe): a hashed-
+    // feature logistic regression trained IN-ENGINE on a labeled seed
+    // (doc_id < 250; y = membership in five target sources) with two
+    // unrolled exact-replay gradient steps — weights/bias in micro
+    // fixed point, ONE sigmoid quantization per doc per step, exact
+    // Long gradient sums, truncating-division updates. Output: the
+    // learned weight table (bias as bucket -1).
+    "llm_quality_lr" -> ((s, dir) => {
+      import s.implicits._
+      val (w, bias) = trainQualityLrFixture(s, dir)
+      ((-1L, bias) +: w).toDF("bucket", "w_micro").orderBy(col("bucket"))
+    }),
+
+    // ...and the corpus scored with it: per-doc exact-integer
+    // score_micro = bias + sum(count_b * w_b) — the signal a
+    // keep/drop gate or rank-normalized budget selection consumes.
+    "llm_quality_lr_score" -> ((s, dir) => {
+      val (w, bias) = trainQualityLrFixture(s, dir)
+      Curate.qualityLrScore(t(s, dir, "documents"), "doc_id", "text",
+          w, bias, nBuckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE training statistic: top-20 adjacent symbol pairs over the
     // initial character vocabulary (chars + </w>), weighted by word
     // frequency — the argmax stream the merge loop consumes. The
@@ -3192,6 +3215,56 @@ object LlmQueries {
     * with ≥1 token) — shared by llm_dsir_weights and llm_dsir_sample
     * so hashing, smoothing and the micro-nat quantization can't
     * drift. Target = the src0 slice. */
+  /** The llm_quality_lr fixture trainer shared by the weight and score
+    * queries: labeled seed = doc_id < 250, y = membership in the five
+    * target sources; 256 buckets, 2 steps, lr 0.5 (ppm). */
+  private def trainQualityLrFixture(s: SparkSession,
+                                    dir: String): (Seq[(Long, Long)], Long) = {
+    val labeled = t(s, dir, "documents").filter(col("doc_id") < 250)
+      .withColumn("y", when(col("source")
+        .isin("src0", "src1", "src2", "src3", "src4"), 1L).otherwise(0L))
+    Curate.qualityLrTrain(labeled, "doc_id", "text", "y",
+      nBuckets = 256, steps = 2, lrPpm = 500000L)
+  }
+
+  /** Unrolled 2-step logistic-regression replay shared by the two
+    * quality-LR oracles: exact Long z, ONE floor'd sigmoid per doc per
+    * step, exact Long gradient sums, truncating `//` updates — the
+    * mirror of [[graft.llm.Curate.qualityLrTrain]]'s discipline. */
+  private lazy val QualityLrCtes: String =
+    s"""lab AS (SELECT doc_id,
+       |  (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+       |   THEN 1 ELSE 0 END)::BIGINT AS y
+       |  FROM documents WHERE doc_id < 250),
+       |ltok AS (SELECT doc_id, w FROM (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents WHERE doc_id < 250) t0 WHERE len(w) > 0),
+       |ldb AS (SELECT doc_id, ${duckHash("w")} % 256 AS h, count(*)::BIGINT AS c
+       |  FROM ltok GROUP BY doc_id, h),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM lab),
+       |r1 AS (SELECT doc_id, y * 1000000 - 500000 AS rm FROM lab),
+       |g1 AS (SELECT h, CAST(sum(c * rm) AS BIGINT) AS g
+       |  FROM ldb JOIN r1 USING (doc_id) GROUP BY h),
+       |w1 AS (SELECT h, (500000 * g) // (1000000 * n) AS wm FROM g1, nn),
+       |b1 AS (SELECT (500000 * (SELECT CAST(sum(rm) AS BIGINT) FROM r1))
+       |    // (1000000 * n) AS bias
+       |  FROM nn),
+       |z2 AS (SELECT lab.doc_id AS doc_id, y,
+       |    (SELECT bias FROM b1) + coalesce(q.zz, 0) AS z
+       |  FROM lab LEFT JOIN (SELECT doc_id, CAST(sum(c * wm) AS BIGINT) AS zz
+       |    FROM ldb JOIN w1 USING (h) GROUP BY doc_id) q USING (doc_id)),
+       |r2 AS (SELECT doc_id, y * 1000000 -
+       |    CAST(floor(1000000.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1000000.0))) AS BIGINT) AS rm
+       |  FROM z2),
+       |g2 AS (SELECT h, CAST(sum(c * rm) AS BIGINT) AS g
+       |  FROM ldb JOIN r2 USING (doc_id) GROUP BY h),
+       |w2 AS (SELECT w1.h AS h,
+       |    wm + (500000 * coalesce(g2.g, 0)) // (1000000 * n) AS wm
+       |  FROM w1 LEFT JOIN g2 USING (h), nn),
+       |b2 AS (SELECT (SELECT bias FROM b1) +
+       |    (500000 * (SELECT CAST(sum(rm) AS BIGINT) FROM r2)) // (1000000 * n) AS bias
+       |  FROM nn)""".stripMargin
+
   private lazy val dsirCtes: String =
     s"""tok AS (SELECT doc_id, w FROM (
        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
@@ -5358,6 +5431,28 @@ object LlmQueries {
          |SELECT d.doc_id, coalesce(n_toks, 0) AS n_toks,
          |  coalesce(dsir_micro, 0) AS dsir_micro
          |FROM documents d LEFT JOIN wsum USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // full 2-step training replay: every weight and the bias
+    "llm_quality_lr" ->
+      s"""WITH $QualityLrCtes
+         |SELECT CAST(-1 AS BIGINT) AS bucket, bias AS w_micro FROM b2
+         |UNION ALL SELECT h AS bucket, wm AS w_micro FROM w2
+         |ORDER BY bucket""".stripMargin,
+    // train + corpus scoring: exact integer dot against the learned
+    // weight table, unseen buckets contribute 0
+    "llm_quality_lr_score" ->
+      s"""WITH $QualityLrCtes,
+         |ctok AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents) t0 WHERE len(w) > 0),
+         |cdb AS (SELECT doc_id, ${duckHash("w")} % 256 AS h, count(*)::BIGINT AS c
+         |  FROM ctok GROUP BY doc_id, h),
+         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    CAST(sum(c * coalesce(wm, 0)) AS BIGINT) AS s
+         |  FROM cdb LEFT JOIN w2 USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id, coalesce(n_toks, 0) AS n_toks,
+         |  (SELECT bias FROM b2) + coalesce(s, 0) AS score_micro
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "llm_dsir_sample" ->
       s"""WITH $dsirCtes,
          |wts AS (SELECT d.doc_id, d.source,

@@ -572,4 +572,39 @@ class CurateSpec extends SparkSpec {
       assert(tooClose.count() === 0, s"$sf has boundary-adjacent draws")
     }
   }
+
+  test("qualityLrTrain: step-1 closed form, separable toy generalizes, empty doc scores bias") {
+    import graft.llm.Curate
+    // perfectly separable vocabulary: positives say "good", negatives
+    // say "bad"; shared filler words carry no signal
+    val labeled = Seq(
+      (1L, "good good filler one", 1L), (2L, "good filler two", 1L),
+      (3L, "bad bad filler one", 0L), (4L, "bad filler two", 0L))
+      .toDF("doc_id", "text", "y")
+    val (w1, bias1) = Curate.qualityLrTrain(labeled, "doc_id", "text", "y",
+      nBuckets = 64, steps = 1, lrPpm = 500000L)
+    // step 1 from zero weights: p == 0.5 exactly, so per bucket
+    // w = (lrPpm * sum(c * (y*1e6 - 5e5))) div (1e6 * N) — verify the
+    // closed form for the "good" bucket (count 3 across positives)
+    val goodBucket = Seq(("good", 0L)).toDF("w", "z")
+      .select((graft.llm.Text.md5Hash(col("w")) % 64).as("h"))
+      .head().getLong(0)
+    val wMap1 = w1.toMap
+    assert(wMap1(goodBucket) === (500000L * (3L * 500000L)) / (1000000L * 4L),
+      s"step-1 closed form broke: $wMap1")
+    assert(bias1 === 0L, "balanced labels: step-1 bias gradient cancels")
+    // two steps, then score HELD-OUT docs: the learned signal must
+    // order them, and a token-free doc must score exactly the bias
+    val (w2, bias2) = Curate.qualityLrTrain(labeled, "doc_id", "text", "y",
+      nBuckets = 64, steps = 2, lrPpm = 500000L)
+    val held = Seq((10L, "good filler"), (11L, "bad filler"), (12L, ""))
+      .toDF("doc_id", "text")
+    val scores = Curate.qualityLrScore(held, "doc_id", "text", w2, bias2,
+        nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(scores(10L)._2 > scores(11L)._2,
+      s"positive-vocabulary doc must outscore negative: $scores")
+    assert(scores(12L) === ((0L, bias2)),
+      "a token-free doc scores exactly the bias")
+  }
 }
