@@ -445,6 +445,32 @@ object Streams {
       .drop("__rn", "batch_seq")
   }
 
+  /** Compact the versioned trimmed table to ONE row per document (its
+    * latest version, `batch_seq` preserved so the fold against future
+    * re-trims — which always append a higher seq — is unchanged).
+    * Re-trimmed documents and crash-replay duplicates accumulate
+    * versions forever otherwise; this is the [[compactSinks]] recovery
+    * shape for the span gate: side-by-side rebuild + catalog rename,
+    * run on restart or periodically, never per batch (it is one
+    * keep-latest pass over the table — the W1 dedup plan, map-side
+    * WindowGroupLimit before the one exchange). MUST NOT run
+    * concurrently with the stream (catalog renames race appends). */
+  def compactSpanTrimmed(spark: SparkSession, trimmedTable: String,
+                         idCol: String): Unit =
+    if (spark.catalog.tableExists(trimmedTable)) {
+      val tmp = trimmedTable + "__compact"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(col("batch_seq").desc)
+      spark.table(trimmedTable)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .write.format("parquet").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $trimmedTable")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $trimmedTable")
+    }
+
   /** First batch: the standing tables don't exist yet — dedup against
     * empty frames, then create them via the first append. */
   private def tableOr(spark: SparkSession, name: String,

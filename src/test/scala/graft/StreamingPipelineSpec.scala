@@ -538,6 +538,21 @@ class StreamingPipelineSpec extends SparkSpec {
       corpusT, indexT, trimT, "doc_id", "text", 3, 2L, 8)
     assert(product() === want,
       "a mid-batch crash replay must not change any document's product")
+    // compaction folds the accumulated versions (re-trims + the crash
+    // replay above) to one row per doc; the product and future folds
+    // are unchanged, and a later batch still appends normally
+    assert(spark.table(trimT).count() >
+      spark.table(trimT).select("doc_id").distinct().count(),
+      "fixture must have accumulated versions for compaction to fold")
+    graft.streaming.Streams.compactSpanTrimmed(spark, trimT, "doc_id")
+    assert(spark.table(trimT).count() ===
+      spark.table(trimT).select("doc_id").distinct().count())
+    assert(product() === want, "compaction changed the product")
+    graft.streaming.Streams.spanTrimBatch(
+      Seq((7L, "pp qq rr")).toDF("doc_id", "text"),
+      corpusT, indexT, trimT, "doc_id", "text", 3, 2L, 8, ck, 99L)
+    assert(product().exists(_._1 == 7L),
+      "a post-compaction batch must append normally")
     dropAll()
   }
 
