@@ -2412,6 +2412,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The full MODEL-BASED curation chain (the DCLM shape): train the
+    // seed classifier -> score the corpus -> per-source rank
+    // normalization (raw scores are not comparable across sources) ->
+    // gate the top 40% of every source -> deterministic token-budget
+    // selection over the survivors. Four operators composed; one
+    // oracle replays every stage.
+    "llm_e2e_model_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (w, bias) = trainQualityLrFixture(s, dir)
+      val scored = Curate.qualityLrScore(docs, "doc_id", "text", w, bias,
+          nBuckets = 256)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val ranked = Curate.rankNormalize(
+        scored.select(col("doc_id"), col("source"), col("score_micro")),
+        "source", "score_micro", "doc_id")
+      val gated = ranked.filter(col("pm_rank") >= 600)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("tokens",
+          coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
+      Curate.selectByTokenBudget(gated, "doc_id", "score_micro", "tokens",
+          budget = 6000L)
+        .select(col("doc_id"), col("pm_rank"), col("score_micro"),
+          col("tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE training statistic: top-20 adjacent symbol pairs over the
     // initial character vocabulary (chars + </w>), weighted by word
     // frequency — the argmax stream the merge loop consumes. The
@@ -3264,6 +3290,22 @@ object LlmQueries {
        |b2 AS (SELECT (SELECT bias FROM b1) +
        |    (500000 * (SELECT CAST(sum(rm) AS BIGINT) FROM r2)) // (1000000 * n) AS bias
        |  FROM nn)""".stripMargin
+
+  /** Corpus scoring against the trained w2/b2: `scored` = one row per
+    * document (doc_id, n_toks, score_micro) — shared by the score and
+    * e2e-curate oracles. */
+  private lazy val QualityLrScoreCtes: String =
+    s"""ctok AS (SELECT doc_id, w FROM (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents) t0 WHERE len(w) > 0),
+       |cdb AS (SELECT doc_id, ${duckHash("w")} % 256 AS h, count(*)::BIGINT AS c
+       |  FROM ctok GROUP BY doc_id, h),
+       |scsum AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+       |    CAST(sum(c * coalesce(wm, 0)) AS BIGINT) AS s
+       |  FROM cdb LEFT JOIN w2 USING (h) GROUP BY doc_id),
+       |scored AS (SELECT d.doc_id AS doc_id, coalesce(n_toks, 0) AS n_toks,
+       |    (SELECT bias FROM b2) + coalesce(s, 0) AS score_micro
+       |  FROM documents d LEFT JOIN scsum USING (doc_id))""".stripMargin
 
   private lazy val dsirCtes: String =
     s"""tok AS (SELECT doc_id, w FROM (
@@ -5441,18 +5483,31 @@ object LlmQueries {
     // weight table, unseen buckets contribute 0
     "llm_quality_lr_score" ->
       s"""WITH $QualityLrCtes,
-         |ctok AS (SELECT doc_id, w FROM (
-         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
-         |  FROM documents) t0 WHERE len(w) > 0),
-         |cdb AS (SELECT doc_id, ${duckHash("w")} % 256 AS h, count(*)::BIGINT AS c
-         |  FROM ctok GROUP BY doc_id, h),
-         |sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
-         |    CAST(sum(c * coalesce(wm, 0)) AS BIGINT) AS s
-         |  FROM cdb LEFT JOIN w2 USING (h) GROUP BY doc_id)
-         |SELECT d.doc_id AS doc_id, coalesce(n_toks, 0) AS n_toks,
-         |  (SELECT bias FROM b2) + coalesce(s, 0) AS score_micro
-         |FROM documents d LEFT JOIN sc USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |$QualityLrScoreCtes
+         |SELECT doc_id, n_toks, score_micro FROM scored
+         |ORDER BY doc_id""".stripMargin,
+    // train -> score -> per-source rank pm -> top-40% gate -> token
+    // budget: every stage of the model-based chain replayed
+    "llm_e2e_model_curate" ->
+      s"""WITH $QualityLrCtes,
+         |$QualityLrScoreCtes,
+         |rk AS (SELECT doc_id, score_micro,
+         |    CASE WHEN cnt = 1 THEN 0
+         |         ELSE (rnk - 1) * 1000 // (cnt - 1) END AS pm_rank
+         |  FROM (SELECT sc2.doc_id AS doc_id, score_micro,
+         |    row_number() OVER (PARTITION BY source ORDER BY score_micro, sc2.doc_id) AS rnk,
+         |    count(*) OVER (PARTITION BY source) AS cnt
+         |    FROM scored sc2 JOIN documents USING (doc_id)) t),
+         |gated AS (SELECT rk.doc_id AS doc_id, pm_rank, score_micro,
+         |    COALESCE(len(regexp_split_to_array(text, '\\s+')), 0)::BIGINT + 1 AS tokens,
+         |    ${duckHash("('sel:' || rk.doc_id)")} AS hsel
+         |  FROM rk JOIN documents ON rk.doc_id = documents.doc_id
+         |  WHERE pm_rank >= 600),
+         |csel AS (SELECT doc_id, pm_rank, score_micro, tokens,
+         |  sum(tokens) OVER (ORDER BY score_micro DESC, hsel, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM gated)
+         |SELECT doc_id, pm_rank, score_micro, tokens FROM csel
+         |WHERE cum <= 6000 ORDER BY doc_id""".stripMargin,
     "llm_dsir_sample" ->
       s"""WITH $dsirCtes,
          |wts AS (SELECT d.doc_id, d.source,
