@@ -483,6 +483,12 @@ object Tables {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a partition dir that exists ONLY inside a crashed swap's
+    // __old_* sibling would be read as EMPTY by the caller's
+    // idempotent re-derivation — restore it first (callers must also
+    // restore BEFORE deriving `df`; this top-of-call pass is the
+    // defensive backstop that keeps the window from widening)
+    restoreOrphanedPartitions(spark, dest)
     val next = new org.apache.hadoop.fs.Path(s"${dest}__next_$tag")
     val old = new org.apache.hadoop.fs.Path(s"${dest}__old_$tag")
     df.repartition(org.apache.spark.sql.functions.col(partCol))
@@ -500,6 +506,49 @@ object Tables {
     }
     fs.delete(next, true)
     fs.delete(old, true)
+  }
+
+  /** Heal [[replacePartitions]]'s silent crash window: a crash
+    * between the per-partition rename-aside and the publish rename
+    * leaves that partition dir ABSENT from the store — its only copy
+    * inside a `${dest}__old_*` sibling. A retry that re-derives
+    * content from the store would read ZERO rows for that partition
+    * and permanently publish wrong content (untouched rows lost,
+    * touched rows rebuilt from the batch side only), violating the
+    * retry-converges contract. This pass renames every `__old_*`
+    * partition dir whose partition is MISSING from the store back in
+    * (an `__old_*` copy whose partition exists is the stale aside of
+    * a COMPLETED swap — left for the vacuum). Idempotent; callers of
+    * replacePartitions run it before reading the store to derive
+    * retry content ([[graft.llm.Similarity.appendToKnnGraphStore]]),
+    * and replacePartitions itself runs it defensively at the top.
+    * Must run under the store's writer lock (same rule as every
+    * read-merge-publish window). Returns the restored partition
+    * paths. */
+  def restoreOrphanedPartitions(spark: SparkSession,
+                                dest: String): Seq[String] = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = destPath.getParent
+    val name = destPath.getName
+    if (parent == null || !fs.exists(parent)) return Seq.empty
+    fs.listStatus(parent).iterator
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(s"${name}__old_") &&
+        fs.getFileStatus(p).isDirectory)
+      .flatMap { o =>
+        fs.listStatus(o).filter(_.isDirectory).flatMap { d =>
+          val target = new org.apache.hadoop.fs.Path(destPath, d.getPath.getName)
+          if (fs.exists(target)) None
+          else if (!fs.rename(d.getPath, target))
+            throw new java.io.IOException(
+              s"restoreOrphanedPartitions: cannot restore ${d.getPath} -> " +
+                s"$target — the partition's only copy is stranded; refusing " +
+                "to proceed against a store missing it")
+          else Some(target.toString)
+        }
+      }
+      .toSeq
   }
 
   /** Delete a store's crash residue: orphan `__next_*` / `__old_*`

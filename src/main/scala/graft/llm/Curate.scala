@@ -378,13 +378,14 @@ object Curate {
     * support = every bucket the seed corpus touches. */
   def qualityLrTrain(labeled: DataFrame, idCol: String, textCol: String,
                      labelCol: String, nBuckets: Int = 256, steps: Int = 2,
-                     lrPpm: Long = 500000L): (Seq[(Long, Long)], Long) = {
+                     lrPpm: Long = 500000L,
+                     bigrams: Boolean = false): (Seq[(Long, Long)], Long) = {
     require(nBuckets >= 2, s"qualityLrTrain needs nBuckets >= 2, got $nBuckets")
     require(steps >= 1, s"qualityLrTrain needs steps >= 1, got $steps")
     require(lrPpm > 0, s"qualityLrTrain needs lrPpm > 0, got $lrPpm")
     val spark = labeled.sparkSession
     import spark.implicits._
-    val db = hashBuckets(labeled, idCol, textCol, nBuckets)
+    val db = hashBuckets(labeled, idCol, textCol, nBuckets, bigrams)
       .localCheckpoint(false)
     val lab = labeled.select(col(idCol).as("__d"),
         col(labelCol).cast(LongType).as("__y"))
@@ -425,11 +426,12 @@ object Curate {
     * one map-side-combined agg — the corpus-scale path. */
   def qualityLrScore(docs: DataFrame, idCol: String, textCol: String,
                      weights: Seq[(Long, Long)], bias: Long,
-                     nBuckets: Int = 256): DataFrame = {
+                     nBuckets: Int = 256,
+                     bigrams: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wDf = weights.toDF("__h", "__wm")
-    val scored = hashBuckets(docs, idCol, textCol, nBuckets)
+    val scored = hashBuckets(docs, idCol, textCol, nBuckets, bigrams)
       .join(broadcast(wDf), Seq("__h"), "left")
       .groupBy(col("__d"))
       .agg(sum(col("__c")).as("n_toks"),
@@ -442,14 +444,28 @@ object Curate {
 
   /** (doc, bucket, count) — the shared hashed-word feature extraction
     * ([[dsirWeights]]'s bucket convention: md5 mod nBuckets over
-    * lowercased whitespace words). */
+    * lowercased whitespace words). With `bigrams` the feature set
+    * additionally hashes every adjacent word pair joined by one space
+    * (the fastText default of word n-grams up to 2 — Joulin et al.
+    * 2016): a document of n words emits n unigram + (n−1) bigram
+    * features, all through the same bucket space, so the training and
+    * scoring algebra is unchanged — only the feature extraction
+    * widens. Bigrams form over the FILTERED word list (an empty token
+    * from repeated whitespace must not split a pair). */
   private def hashBuckets(df: DataFrame, idCol: String, textCol: String,
-                          nBuckets: Int): DataFrame =
-    df.select(col(idCol).as("__d"),
-        explode(Text.words(col(textCol))).as("__w"))
-      .filter(length(col("__w")) > 0)
+                          nBuckets: Int,
+                          bigrams: Boolean = false): DataFrame = {
+    val ws = filter(Text.words(col(textCol)), w => length(w) > 0)
+    val feats =
+      if (!bigrams) ws
+      else concat(ws, zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    df.select(col(idCol).as("__d"), explode(feats).as("__w"))
       .select(col("__d"), (Text.md5Hash(col("__w")) % nBuckets).as("__h"))
       .groupBy(col("__d"), col("__h")).agg(count(lit(1)).as("__c"))
+  }
 
   /** Per-group rank normalization in exact integer per-mille: a row's
     * `pm_rank` is its rank position within `groupCol` scaled to
@@ -464,6 +480,34 @@ object Curate {
     *
     * Shape: two windows over ONE hash exchange on `groupCol` (the
     * unordered count window shares the rank window's partitioning). */
+  /** Calibration report of a trained quality classifier on its OWN
+    * labeled seed: score the seed, rank-normalize (one group — raw
+    * scores are only comparable within the model), band into ten
+    * per-mille deciles and report each decile's observed positive
+    * rate. A well-calibrated filter shows pos_pm rising monotonically
+    * with decile; a flat profile means the features carry no signal
+    * and the downstream gate is selecting noise. All integer
+    * arithmetic (`div`, exact Long sums), so the report replays
+    * exactly in the DuckDB oracle. Seed-scale, one exchange (the
+    * rank window) — never corpus-scale. */
+  def qualityLrCalibration(labeled: DataFrame, idCol: String,
+                           textCol: String, labelCol: String,
+                           weights: Seq[(Long, Long)], bias: Long,
+                           nBuckets: Int = 256,
+                           bigrams: Boolean = false): DataFrame = {
+    val scored = qualityLrScore(labeled, idCol, textCol, weights, bias,
+        nBuckets, bigrams)
+      .join(labeled.select(col(idCol),
+        col(labelCol).cast(LongType).as("__y")), Seq(idCol))
+      .withColumn("__g", lit(0))
+    rankNormalize(scored, "__g", "score_micro", idCol)
+      .withColumn("decile", least(expr("pm_rank div 100"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__y")).as("n_pos"))
+      .withColumn("pos_pm", expr("n_pos * 1000 div n_docs"))
+      .select(col("decile"), col("n_docs"), col("n_pos"), col("pos_pm"))
+  }
+
   def rankNormalize(df: DataFrame, groupCol: String, scoreCol: String,
                     idCol: String): DataFrame = {
     require(!df.columns.exists(Set("pm_rank", "__rnk", "__cnt")),

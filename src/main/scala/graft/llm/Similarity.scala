@@ -797,19 +797,42 @@ object Similarity {
   }
 
   /** Sweep crash residue (`__next_*`/`__old_*`/`__stage_*`) from ALL
-    * of a persisted index's stores — centroids, codes, quantizer,
-    * codebooks, whichever exist — under the CENTROIDS lock, the lock
-    * every appender of these indexes actually holds while staging
-    * (`codes__stage_*` is created under the centroids lock, so a bare
-    * [[graft.io.Tables.vacuumStore]] on the codes dir could race a
-    * live append's stage; this wrapper cannot). Returns the deleted
-    * paths. */
+    * of a persisted index's stores — centroids, quantizer, codebooks,
+    * and the graph store's vectors/edges/meta — under the CENTROIDS
+    * lock, which every appender of THOSE stores holds while staging
+    * (`codes__stage_*` for the IVF families and `vectors__stage_*`
+    * for the graph store are created under the centroids lock, so a
+    * bare [[graft.io.Tables.vacuumStore]] on them could race a live
+    * append's stage; this wrapper cannot). The CODES store is swept
+    * under the CODES lock taken INSIDE the centroids lock: the flat
+    * PQ/SQ8 appenders and [[compactFlatCodes]] serialize on the codes
+    * lock, not centroids, so sweeping codes under centroids alone
+    * could delete a live flat compaction's in-flight `codes__next_*`
+    * (worst interleaving: its failure-restore rename silently no-ops
+    * and the codes store is lost). Lock order is always centroids →
+    * codes, never the reverse, so the nesting cannot deadlock.
+    *
+    * EDGES residue is special: after a crash inside
+    * [[graft.io.Tables.replacePartitions]]'s rename window an
+    * `edges__old_*` partition dir may be the ONLY copy of a store
+    * partition — sweeping it would destroy the recovery copy. The
+    * sweep therefore runs [[graft.io.Tables.restoreOrphanedPartitions]]
+    * on edges FIRST; what remains in `__old_*` is by construction a
+    * stale aside of a completed swap, safe to delete. Returns the
+    * deleted paths. */
   def vacuumIndexStores(spark: org.apache.spark.sql.SparkSession,
                         path: String): Seq[String] =
     graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
-      Seq("centroids", "codes", "quantizer", "codebooks").flatMap { d =>
-        graft.io.Tables.vacuumStoreUnlocked(spark, s"$path/$d")
+      graft.io.Tables.restoreOrphanedPartitions(spark, s"$path/edges")
+      val underCentroids =
+        Seq("centroids", "quantizer", "codebooks", "vectors", "edges",
+          "meta").flatMap { d =>
+          graft.io.Tables.vacuumStoreUnlocked(spark, s"$path/$d")
+        }
+      val underCodes = graft.io.Tables.withStoreLock(spark, s"$path/codes") {
+        graft.io.Tables.vacuumStoreUnlocked(spark, s"$path/codes")
       }
+      underCentroids ++ underCodes
     }
 
   /** Reload → (centroid sum table, quantizer, cluster-partitioned
@@ -1219,9 +1242,20 @@ object Similarity {
                                       embCol: String,
                                       cents: Seq[(Long, Seq[Long])],
                                       maxCluster: Int, nprobe: Int,
-                                      ordered: Boolean): DataFrame = {
+                                      ordered: Boolean): DataFrame =
+    cellPairsTrainedEq(
+      df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq")),
+      cents, maxCluster, nprobe, ordered)
+
+  /** [[cellPairsTrained]] over an ALREADY-QUANTIZED (vid, eq) frame —
+    * the rebuild path's face (the store's vectors carry eq, not the
+    * raw float embedding; re-quantizing quantized longs would be
+    * wrong). */
+  private[graft] def cellPairsTrainedEq(eq0: DataFrame,
+                                        cents: Seq[(Long, Seq[Long])],
+                                        maxCluster: Int, nprobe: Int,
+                                        ordered: Boolean): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val eq0 = df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq"))
     val eq =
       if (nprobe == 1) eq0.withColumn("cluster",
         graft.expr.kernels.NativeFns.argminCentroid(col("eq"), cents))
@@ -1382,7 +1416,16 @@ object Similarity {
   private[llm] def graphAssignments(df: DataFrame, idCol: String, embCol: String,
                                cents: Seq[(Long, Seq[Long])],
                                nprobe: Int): DataFrame =
-    df.select(col(idCol).as("cid"), quantize(col(embCol)).as("eq"))
+    graphAssignmentsEq(
+      df.select(col(idCol).as("cid"), quantize(col(embCol)).as("eq")),
+      cents, nprobe)
+
+  /** [[graphAssignments]] over an already-quantized (cid, eq) frame —
+    * shared with the geometry rebuild. */
+  private[llm] def graphAssignmentsEq(eqDf: DataFrame,
+                                      cents: Seq[(Long, Seq[Long])],
+                                      nprobe: Int): DataFrame =
+    eqDf
       .withColumn("__top",
         graft.expr.kernels.NativeFns.topNCentroids(col("eq"), cents, nprobe))
       .withColumn("home", element_at(col("__top"), 1))
@@ -1448,6 +1491,11 @@ object Similarity {
       val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
       if (tagLine.exists(applied.contains)) return // replayed batch: no-op
       graft.io.Tables.warnIfLedgerWrapped(spark, s"$path/centroids", tagLine)
+      // heal a prior append that crashed inside replacePartitions'
+      // rename window BEFORE deriving retry content — a home partition
+      // whose only copy sits in edges__old_* would otherwise read as
+      // zero rows below and the retry would publish wrong lists
+      graft.io.Tables.restoreOrphanedPartitions(spark, s"$path/edges")
       val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
       val cents = readCents(spark, path)
       val metaRow = spark.read.parquet(s"$path/meta").head()
@@ -1554,6 +1602,99 @@ object Similarity {
     graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
       graft.io.Tables.compactPartitionedParquet(spark, s"$path/vectors", "cell")
     }
+
+  /** Retrain the graph store's CELL GEOMETRY from its own vectors —
+    * the recovery for [[appendToKnnGraphStore]]'s cap-overflow
+    * `require` (a store built at a small corpus eventually pushes
+    * every cell past maxCluster as appends accumulate; until now the
+    * fix was a manual persist-over). Re-derives nlist from the stored
+    * corpus via the [[autoNlist]] rule, re-trains cells, and rewrites
+    * vectors + edges from the stored probe-1 (cid, eq) rows — the
+    * quantized form is the store's source of truth, so no raw
+    * embeddings are needed. The applied-tag ledger and generation
+    * carry forward through the centroid swap: a replayed old batch
+    * still no-ops against the rebuilt store.
+    *
+    * Crash contract: the rebuild derives EVERYTHING from the probe-1
+    * vector rows, which every partial state preserves (vectors are
+    * rewritten from an eagerly-materialized snapshot), so re-running
+    * a crashed rebuild converges; the store is inconsistent (new
+    * vectors / old centroids) only inside the window, loudly —
+    * appends mis-probing partition-pruned reads return the cap guard
+    * or empty cells, never silently wrong lists, and the documented
+    * recovery is "re-run the rebuild". Retry crashed tagged appends
+    * BEFORE rebuilding (the compaction recovery-order contract): the
+    * rebuild absorbs placed vector files, after which a retry would
+    * re-place them. Deliberately corpus-scale — this is the offline
+    * "retrain the quantizer" move every ANN family reserves. */
+  def rebuildKnnGraphStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, targetCell: Long = 500L,
+                           minNlist: Int = 4, iters: Int = 2): Unit =
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      import spark.implicits._
+      val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
+      val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
+      graft.io.Tables.restoreOrphanedPartitions(spark, s"$path/edges")
+      val metaRow = spark.read.parquet(s"$path/meta").head()
+      val (k, nprobe, maxCluster) =
+        (metaRow.getLong(0).toInt, metaRow.getLong(1).toInt,
+          metaRow.getLong(2).toInt)
+      // EAGER snapshot: the rewrite below overwrites the dir this
+      // frame reads — a lazy checkpoint would race the truncation
+      val eq0 = spark.read.parquet(s"$path/vectors")
+        .filter(col("probe") === 1L)
+        .select(col("cid").as("vid"), col("eq"))
+        .localCheckpoint(true)
+      val nlist = math.max(minNlist, (eq0.count() / targetCell).toInt)
+      val cents = kmeansTrain(eq0, nlist, iters)
+      val asg = graphAssignmentsEq(eq0.select(col("vid").as("cid"), col("eq")),
+        cents, nprobe)
+      asg.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+      val graph = knnTopK(
+        cellPairsTrainedEq(eq0, cents, maxCluster, nprobe, ordered = false)
+          .select(col("a"), col("b"), col("cosine")), k)
+      val homes = asg.filter(col("probe") === 1L)
+        .select(col("cid").as("a"), col("home"))
+      graph.join(homes, "a")
+        .repartition(col("home"))
+        .write.mode("overwrite").partitionBy("home").parquet(s"$path/edges")
+      graft.io.Tables.swapInParquet(spark, centsFrame(spark, cents),
+        s"$path/centroids", gen, ledger = applied)
+    }
+
+  /** Maintenance diagnostic for the graph store (the k11 file-audit
+    * convention): per partitioned store, partition-dir / file / row
+    * counts plus crash-residue dirs — compaction debt is visible as
+    * n_files > n_parts on `vectors` (tagged appends add one staged
+    * file per (batch, cell); [[compactGraphVectors]] folds them), and
+    * nonzero n_residue says a vacuum is due. Edges stay one file per
+    * home by construction (replacePartitions repartitions). */
+  def knnGraphStoreAudit(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def residue(name: String): Long = {
+      val parent = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(parent)) 0L
+      else fs.listStatus(parent).count { st =>
+        val n = st.getPath.getName
+        n.startsWith(s"${name}__next_") || n.startsWith(s"${name}__old_") ||
+          n.startsWith(s"${name}__stage_")
+      }.toLong
+    }
+    def one(name: String): (String, Long, Long, Long, Long) = {
+      val r = spark.read.parquet(s"$path/$name")
+        .withColumn("__f", input_file_name())
+        .withColumn("__p", regexp_extract(col("__f"), "([^/]+)/[^/]+$", 1))
+        .agg(countDistinct(col("__p")), countDistinct(col("__f")),
+          count(lit(1))).head()
+      (name, r.getLong(0), r.getLong(1), r.getLong(2), residue(name))
+    }
+    Seq(one("edges"), one("vectors"))
+      .toDF("store", "n_parts", "n_files", "n_rows", "n_residue")
+  }
 
   /** Directed within-cell pair scoring shared by the store append —
     * the [[cellPairsTrained]] cosine (exact-integer dot, zero-norm

@@ -1,0 +1,276 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-language-model tokenizer training (Kudo, ACL 2018 — the
+  * SentencePiece unigram algorithm; public method): the OTHER subword
+  * tokenizer family next to [[Bpe]]. Where BPE grows a vocabulary
+  * bottom-up by greedy merges, unigram starts from a large seed of
+  * candidate pieces and alternates (E) segmenting the corpus by the
+  * current piece log-probabilities with (M) re-estimating counts from
+  * the segmentation, pruning pieces that lose support.
+  *
+  * This is the HARD-EM (Viterbi) variant with a pinned total order,
+  * so training is bit-reproducible and oracle-replayable (the kmeans/
+  * quality-LR unrolled-round discipline):
+  *  - counts are exact Long sums; the only transcendental is ONE
+  *    quantization per piece per round, logp_micro =
+  *    floor(1e6 · ln(count / total)) (empirically bit-identical
+  *    between JVM `Math.log` and DuckDB `ln` across the count space —
+  *    the [[Curate.qualityLrTrain]] floor'd-sigmoid precedent);
+  *  - the Viterbi DP breaks ties by (score desc, piece-count asc,
+  *    UTF-8-byte segmentation-string asc) — a total order both Spark
+  *    (binary UTF8String comparison) and DuckDB (binary collation)
+  *    implement natively, so the distributed E-step, the driver-local
+  *    trainer and the SQL replay pick the SAME segmentation always.
+  *
+  * The scale shape mirrors BPE's: ONE corpus-scale aggregation (the
+  * chunked word-frequency table), after which every EM round runs at
+  * VOCAB scale — the driver-local trainer collects the ~10M-row word
+  * table once (the [[Bpe.trainMergesLocal]] convention) and each
+  * round is an in-memory Viterbi sweep; corpus ENCODING segments the
+  * DISTINCT words distributed (a bounded [[MaxWordLen]]-step DP of
+  * vocab-scale joins) and broadcast-joins the token stream once.
+  *
+  * Words longer than [[MaxWordLen]] characters are pre-split into
+  * MaxWordLen-char chunks (SentencePiece's max-length discipline
+  * applied at the word level) so the DP depth — and the oracle's
+  * unrolled CTE chain — is a constant, not a data-dependent bound.
+  */
+object Unigram {
+
+  /** DP depth bound: words chunk into slices of this many chars. */
+  val MaxWordLen = 16
+
+  /** floor(1e6 · ln(c / total)) — the per-piece score quantization. */
+  def microLn(c: Long, total: Long): Long =
+    math.floor(1000000.0 * math.log(c.toDouble / total.toDouble)).toLong
+
+  /** Split one word into [[MaxWordLen]]-char chunks (column face). */
+  def chunks(w: Column): Column =
+    transform(sequence(lit(0), ((length(w) - 1) / MaxWordLen).cast("int")),
+      i => substring(w, (i * MaxWordLen + 1).cast("int"), lit(MaxWordLen)))
+
+  /** ONE corpus pass: frequency table of chunked lowercased words. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Text.words(col(textCol))).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(explode(chunks(col("w0"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** UTF-8 byte order (Spark/DuckDB string order; Java compareTo is
+    * UTF-16 code-unit order and disagrees beyond the BMP). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      if (x(i) != y(i)) return (x(i) & 0xff) < (y(i) & 0xff)
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local Viterbi over one word: the segmentation maximizing
+    * Σ score, ties to fewer pieces, then the UTF-8-smallest
+    * space-joined piece string (total order shared with the
+    * distributed [[segmentWords]] and the SQL oracle). Every single
+    * character is guaranteed present in `scores` (seeded from all
+    * words, never pruned), so the DP is always feasible. */
+  private[llm] def viterbi(w: String, scores: collection.Map[String, Long],
+                           maxPieceLen: Int): Seq[String] = {
+    case class St(sc: Long, np: Int, seg: Vector[String]) {
+      lazy val key: String = seg.mkString(" ")
+    }
+    val best = new Array[St](w.length + 1)
+    best(0) = St(0L, 0, Vector.empty)
+    var j = 1
+    while (j <= w.length) {
+      var cur: St = null
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        val piece = w.substring(j - l, j)
+        scores.get(piece).foreach { s =>
+          val prev = best(j - l)
+          if (prev != null) {
+            val cand = St(prev.sc + s, prev.np + 1, prev.seg :+ piece)
+            if (cur == null || cand.sc > cur.sc ||
+              (cand.sc == cur.sc && (cand.np < cur.np ||
+                (cand.np == cur.np && utf8Lt(cand.key, cur.key)))))
+              cur = cand
+          }
+        }
+        l += 1
+      }
+      best(j) = cur
+      j += 1
+    }
+    require(best(w.length) != null,
+      s"unigram viterbi: no segmentation for '$w' — a character is " +
+        "missing from the piece table (chars must never be pruned)")
+    best(w.length).seg
+  }
+
+  /** Train `rounds` hard-EM rounds over the collected word table and
+    * return the final piece table (piece, count, logp_micro) in UTF-8
+    * piece order. Seed: every single character (kept forever — the
+    * coverage guarantee) plus the `seedSize` highest-count substrings
+    * of length 2..`maxPieceLen` with count ≥ `minCount` (ties broken
+    * UTF-8-ascending — the pinned (count desc, piece asc) order).
+    * Each round: score pieces from counts, Viterbi-segment every
+    * distinct word, re-count pieces from the chosen segmentations
+    * weighted by word frequency, then prune multi-char pieces below
+    * `minCount` and floor each character's count at 1 (ln(0) guard —
+    * the add-one face of SentencePiece's required-character set). */
+  def trainLocal(docs: DataFrame, textCol: String, rounds: Int = 2,
+                 maxPieceLen: Int = 4, minCount: Long = 2L,
+                 seedSize: Int = 1000): Seq[(String, Long, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    val wf: Array[(String, Long)] = wordFreq(docs, textCol)
+      .select(col("w"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- wf; l <- 1 to math.min(maxPieceLen, w.length);
+         i <- 0 to w.length - l)
+      sub.update(w.substring(i, i + l), sub.getOrElse(w.substring(i, i + l), 0L) + f)
+    val chars = sub.iterator.filter(_._1.length == 1).toMap
+    val multi = sub.iterator.filter(p => p._1.length > 1 && p._2 >= minCount)
+      .toSeq
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))
+      .take(seedSize)
+    var counts: Map[String, Long] = chars ++ multi
+    for (_ <- 1 to rounds) {
+      val total = counts.valuesIterator.sum
+      val scores = counts.map { case (p, c) => p -> microLn(c, total) }
+      val raw = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- wf; p <- viterbi(w, scores, maxPieceLen))
+        raw.update(p, raw.getOrElse(p, 0L) + f)
+      counts = counts.iterator.flatMap { case (p, _) =>
+        if (p.length == 1) Some(p -> math.max(raw.getOrElse(p, 0L), 1L))
+        else raw.get(p).filter(_ >= minCount).map(p -> _)
+      }.toMap
+    }
+    val total = counts.valuesIterator.sum
+    counts.toSeq.sortWith((a, b) => utf8Lt(a._1, b._1))
+      .map { case (p, c) => (p, c, microLn(c, total)) }
+  }
+
+  /** Distributed Viterbi over a DISTINCT-chunk frame (`w` column):
+    * the bounded [[MaxWordLen]]-step DP as a chain of vocab-scale
+    * joins — step j joins each of the last `maxPieceLen` DP frontiers
+    * against the broadcast piece table on the (j−l+1, l) substring
+    * and keeps one best state per word by the pinned total order.
+    * Returns (w, pieces array). Nothing corpus-scale: the caller
+    * segments distinct chunks once and joins the token stream. */
+  def segmentWords(words: DataFrame, scores: Seq[(String, Long)],
+                   maxPieceLen: Int = 4): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val p = broadcast(scores.toDF("piece", "__s"))
+    val base = words.select(col("w"), lit(0L).as("sc"),
+      lit(0).as("np"), lit("").as("seg"))
+    var dps = Vector(base.localCheckpoint(false))
+    for (j <- 1 to MaxWordLen) {
+      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+        dps(j - l).filter(length(col("w")) >= j)
+          .join(p, col("piece") === substring(col("w"), j - l + 1, l))
+          .select(col("w"), (col("sc") + col("__s")).as("sc"),
+            (col("np") + 1).as("np"),
+            when(col("seg") === "", col("piece"))
+              .otherwise(concat(col("seg"), lit(" "), col("piece"))).as("seg"))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+        .orderBy(col("sc").desc, col("np").asc, col("seg").asc)
+      dps = dps :+ cands.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("w"), col("sc"), col("np"), col("seg"))
+        .localCheckpoint(false)
+    }
+    val out = (1 to MaxWordLen)
+      .map(j => dps(j).filter(length(col("w")) === j))
+      .reduce(_ unionByName _)
+      .select(col("w"), split(col("seg"), " ").as("pieces"))
+    // STRIP the compounded constraints before handing the result to a
+    // join: Dataset.checkpoint preserves originConstraints, so the 16
+    // per-step length(w) predicates stack into an exponentially nested
+    // formula that InferFiltersFromConstraints then materializes as a
+    // ~64 KB filter on the join's OTHER side — blowing Janino's method
+    // limit (observed: a 17k-line processNext that fell back to
+    // interpreted). The RDD round-trip yields a constraint-free scan;
+    // vocab-scale rows, so the conversion cost is nil.
+    spark.createDataFrame(out.rdd, out.schema)
+  }
+
+  /** Persist a trained unigram tokenizer (the [[Bpe.persistTokenizer]]
+    * convention): train, then swap-publish the piece table under the
+    * store lock. Returns the trained pieces for immediate use. */
+  def persistTokenizer(docs: DataFrame, textCol: String, path: String,
+                       rounds: Int = 2, maxPieceLen: Int = 4,
+                       minCount: Long = 2L,
+                       seedSize: Int = 1000): Seq[(String, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = trainLocal(docs, textCol, rounds, maxPieceLen, minCount,
+      seedSize)
+    graft.io.Tables.withStoreLock(spark, s"$path/unigram") {
+      graft.io.Tables.swapInParquet(spark,
+        pieces.toDF("piece", "cnt", "logp_micro"), s"$path/unigram")
+    }
+    pieces
+  }
+
+  /** Reload a persisted unigram tokenizer in UTF-8 piece order (the
+    * id-assignment order, so reload-then-encode is bit-identical to
+    * train-then-encode). Bounded collect: |pieces| rows. */
+  def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, Long, Long)] = {
+    val rows = spark.read.parquet(s"$path/unigram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(rows.nonEmpty, s"readTokenizer: no piece rows at $path/unigram")
+    rows.sortWith((a, b) => utf8Lt(a._1, b._1)).toSeq
+  }
+
+  /** Encode a corpus with a trained piece table: tokenize, chunk
+    * overlong words, segment the DISTINCT chunks ([[segmentWords]]),
+    * reassemble multi-chunk words in chunk order (vocab-scale agg),
+    * then ONE corpus-scale join + posexplode + broadcast id join.
+    * Output shape matches [[Bpe.encode]]: (idCol, word_pos, sym_pos,
+    * token_id), 0-based positions, dense 1-based ids in UTF-8 piece
+    * order, UNK = 0 for pieces absent from the id table (unseen
+    * characters under a frozen tokenizer). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             pieces: Seq[(String, Long, Long)],
+             maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores = pieces.map(p => (p._1, p._3))
+    val ids = pieces.map(_._1).zipWithIndex.map { case (p, i) => (p, i + 1L) }
+    val tok = docs.select(col(idCol),
+      posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
+        .as(Seq("word_pos", "w0")))
+    val distinctW0 = tok.select(col("w0")).distinct().localCheckpoint(false)
+    val distinctChunks = distinctW0
+      .select(explode(chunks(col("w0"))).as("w")).distinct()
+    val segs = segmentWords(distinctChunks, scores, maxPieceLen)
+    // multi-chunk words: concatenate their chunks' segmentations in
+    // chunk order — a vocab-scale agg, so the corpus join below is
+    // one lookup per word occurrence regardless of length
+    val w0Segs = distinctW0
+      .select(col("w0"), posexplode(chunks(col("w0"))).as(Seq("ci", "w")))
+      .join(segs, Seq("w"))
+      .groupBy(col("w0"))
+      .agg(flatten(array_sort(collect_list(struct(col("ci"), col("pieces"))))
+        .getField("pieces")).as("pieces"))
+      .localCheckpoint(false)
+    val idTable = broadcast(ids.toDF("piece", "token_id"))
+    tok.join(w0Segs, Seq("w0"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("pieces")).as(Seq("sym_pos", "piece")))
+      .join(idTable, Seq("piece"), "left")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+}

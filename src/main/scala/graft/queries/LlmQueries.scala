@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.llm.{Bpe, CorpusStats, Curate, Dedup, Multimodal, NgramLm, Order, Similarity, Text}
+import graft.llm.{Bpe, CorpusStats, Curate, Dedup, Multimodal, NgramLm, Order, Similarity, Text, Unigram}
 
 /** Harness queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis, multimodal columns) over
@@ -118,6 +118,139 @@ object LlmQueries {
        |SELECT doc_id, word_pos, sym_pos, CAST(token_id AS BIGINT) AS token_id
        |FROM enc JOIN ids USING (sym)
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+
+  // ---- Unigram-LM tokenizer oracle (Kudo 2018 hard-EM replay) ----
+  // The unrolled-SQL replay of Unigram.trainLocal + Unigram.encode:
+  // seed substring counts, then per EM round one bounded-depth
+  // Viterbi DP (MaxWordLen chained CTEs — the DP depth is a CONSTANT
+  // because words chunk to MaxWordLen chars first) + recount + prune,
+  // sharing Spark's exact total order (score desc, piece-count asc,
+  // UTF-8 segmentation-string asc) and the one floor'd micro-ln
+  // quantization per piece per round.
+  private val UnigramRounds = 2
+  private val UnigramMaxPieceLen = 4
+  private val UnigramMinCount = 2
+  private val UnigramSeedSize = 1000
+
+  /** Scores CTE us{t} from counts CTE uc{t}. */
+  private def unigramScoreCte(t: Int): String =
+    s"""us$t AS MATERIALIZED (SELECT piece, CAST(floor(1000000.0 *
+       |    ln(CAST(cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))) AS BIGINT) AS s
+       |  FROM uc$t, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uc$t) tt)""".stripMargin
+
+  /** One Viterbi pass (pass `t`, piece scores `us{t-1}`): DP frontier
+    * CTEs udp{t}_0..MaxWordLen, final states useg{t} (w, freq, seg). */
+  private def unigramDpCtes(t: Int): String = {
+    val L = graft.llm.Unigram.MaxWordLen
+    val steps = (1 to L).map { j =>
+      val cands = (1 to math.min(UnigramMaxPieceLen, j)).map { l =>
+        s"""SELECT d.w, d.freq, d.sc + p.s AS sc, d.np + 1 AS np,
+           |  CASE WHEN d.seg = '' THEN p.piece
+           |       ELSE d.seg || ' ' || p.piece END AS seg
+           |FROM udp${t}_${j - l} d JOIN us${t - 1} p
+           |  ON len(d.w) >= $j AND p.piece = substr(d.w, ${j - l + 1}, $l)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""udp${t}_$j AS MATERIALIZED (SELECT w, freq, sc, np, seg FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY w
+         |    ORDER BY sc DESC, np, seg) AS rn FROM (
+         |$cands) c) r WHERE rn = 1)""".stripMargin
+    }
+    val fin = (1 to L)
+      .map(j => s"SELECT w, freq, seg FROM udp${t}_$j WHERE len(w) = $j")
+      .mkString("\nUNION ALL\n")
+    s"""udp${t}_0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS sc, 0 AS np,
+       |  '' AS seg FROM uwf),
+       |${steps.mkString(",\n")},
+       |useg$t AS MATERIALIZED (SELECT w, freq, seg FROM (
+       |$fin) f)""".stripMargin
+  }
+
+  /** Recount + prune: uraw{t} from useg{t}, uc{t} from uc{t-1}. */
+  private def unigramRoundTail(t: Int): String =
+    s"""uraw$t AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, unnest(string_split(seg, ' ')) AS piece
+       |  FROM useg$t) x GROUP BY piece),
+       |uc$t AS MATERIALIZED (
+       |  SELECT c.piece AS piece,
+       |    CAST(greatest(coalesce(r.cnt, 0), 1) AS BIGINT) AS cnt
+       |  FROM uc${t - 1} c LEFT JOIN uraw$t r USING (piece)
+       |  WHERE len(c.piece) = 1
+       |  UNION ALL
+       |  SELECT c.piece AS piece, r.cnt AS cnt
+       |  FROM uc${t - 1} c JOIN uraw$t r USING (piece)
+       |  WHERE len(c.piece) > 1 AND r.cnt >= $UnigramMinCount)""".stripMargin
+
+  /** Seed CTEs: chunked word frequencies, substring counts, uc0. */
+  private lazy val UnigramSeedCtes: String = {
+    val L = graft.llm.Unigram.MaxWordLen
+    s"""uwf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM (
+       |  SELECT unnest([substr(w0, $L*i + 1, $L)
+       |      for i in range(0, (len(w0) + ${L - 1}) // $L)]) AS w
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w0
+       |        FROM documents) t0
+       |  WHERE len(w0) > 0) t GROUP BY w),
+       |usub AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, unnest([substr(w, i, l)
+       |      for i in range(1, len(w) - l + 2)]) AS piece
+       |  FROM (SELECT w, freq,
+       |          unnest(range(1, least($UnigramMaxPieceLen, len(w)) + 1)) AS l
+       |        FROM uwf) t0) t1 GROUP BY piece),
+       |uc0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM usub WHERE len(piece) > 1 AND cnt >= $UnigramMinCount) t
+       |  WHERE rn <= $UnigramSeedSize)""".stripMargin
+  }
+
+  /** Full training chain up to the final counts uc{UnigramRounds}. */
+  private lazy val UnigramTrainCtes: String =
+    (UnigramSeedCtes +:
+      (1 to UnigramRounds).map(t =>
+        s"""${unigramScoreCte(t - 1)},
+           |${unigramDpCtes(t)},
+           |${unigramRoundTail(t)}""".stripMargin)).mkString(",\n")
+
+  private lazy val UnigramTrainOracleSql: String =
+    s"""WITH $UnigramTrainCtes
+       |SELECT piece, cnt, CAST(floor(1000000.0 *
+       |    ln(CAST(cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))) AS BIGINT)
+       |  AS logp_micro
+       |FROM uc$UnigramRounds,
+       |  (SELECT CAST(sum(cnt) AS BIGINT) AS total
+       |   FROM uc$UnigramRounds) tt
+       |ORDER BY piece""".stripMargin
+
+  private lazy val UnigramEncodeOracleSql: String = {
+    val L = graft.llm.Unigram.MaxWordLen
+    val enc = UnigramRounds + 1 // the encode-time DP pass
+    s"""WITH $UnigramTrainCtes,
+       |${unigramScoreCte(UnigramRounds)},
+       |${unigramDpCtes(enc)},
+       |uids AS (SELECT piece,
+       |    row_number() OVER (ORDER BY piece) AS token_id
+       |  FROM uc$UnigramRounds),
+       |udw AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
+       |    unnest(ws) AS w0
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |            x -> len(x) > 0) AS ws FROM documents) t),
+       |uchk AS (SELECT w0, unnest(range(0, (len(w0) + ${L - 1}) // $L)) AS ci
+       |  FROM (SELECT DISTINCT w0 FROM udw) t),
+       |uwseg AS (SELECT w0, string_agg(seg, ' ' ORDER BY ci) AS seg FROM (
+       |  SELECT c.w0, c.ci, g.seg
+       |  FROM (SELECT w0, ci, substr(w0, $L*ci + 1, $L) AS w FROM uchk) c
+       |  JOIN useg$enc g USING (w)) t GROUP BY w0),
+       |uenc AS (SELECT doc_id, word_pos,
+       |    unnest(range(0, len(ps))) AS sym_pos, unnest(ps) AS piece
+       |  FROM (SELECT doc_id, word_pos, string_split(seg, ' ') AS ps
+       |        FROM udw JOIN uwseg USING (w0)) t)
+       |SELECT doc_id, word_pos, sym_pos, CAST(token_id AS BIGINT) AS token_id
+       |FROM uenc JOIN uids USING (piece)
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
+  }
 
   /** The injected boilerplate for the repeated-span queries — an
     * 11-word suffix on every 7th document, so k=8 windows fully inside
@@ -1712,6 +1845,25 @@ object LlmQueries {
         .orderBy(col("a"), col("rank"))
     }),
 
+    // The graph store's maintenance ledger (the k11 file-audit
+    // convention): partition/file/row counts + residue dirs per
+    // store, on a freshly-persisted store — one file per cell/home by
+    // construction, zero residue. The oracle derives every row count
+    // from the probe-assignment CTEs (vectors = probe rows, edges =
+    // the in-cell top-3 graph) and every file count from the
+    // one-file-per-dir write contract. Compaction-debt detection
+    // (n_files > n_parts after appends) is spec'd in
+    // StoreConcurrencySpec where lifecycle cost doesn't bill the
+    // bench.
+    "llm_knn_store_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = graft.util.Scratch.dir("graft_knn_audit")
+      Similarity.persistKnnGraphStore(emb, "vec_id", "embedding", path,
+        k = 3, nlist = Similarity.autoNlist(emb), iters = 2,
+        maxCluster = SemMaxCluster, nprobe = 2)
+      Similarity.knnGraphStoreAudit(s, path).orderBy(col("store"))
+    }),
+
     // BOTH sides of the multi-probe dial in one ledger (the grid
     // principle): per nprobe ∈ {1, 2}, recall vs the exact graph on
     // the bounded eval subset AND the corpus-wide candidate-pair
@@ -2412,6 +2564,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // fastText's word-bigram feature space (n-grams up to 2) with a
+    // third gradient step — the generated N-step oracle replays every
+    // weight: unigram + adjacent-pair features hash into the same 256
+    // buckets, so only the extraction widens, not the algebra.
+    "llm_quality_lr_bigram" -> ((s, dir) => {
+      import s.implicits._
+      val (w, bias) = Curate.qualityLrTrain(qualityLrSeed(s, dir),
+        "doc_id", "text", "y", nBuckets = 256, steps = 3,
+        lrPpm = 500000L, bigrams = true)
+      ((-1L, bias) +: w).toDF("bucket", "w_micro").orderBy(col("bucket"))
+    }),
+
+    // Calibration of the trained filter on its own seed: per
+    // score-rank decile, the observed positive-label rate — the
+    // monotonicity check a model-based gate needs before its
+    // threshold means anything. Integer per-mille end to end.
+    "llm_quality_lr_calibration" -> ((s, dir) => {
+      val labeled = qualityLrSeed(s, dir)
+      val (w, bias) = trainQualityLrFixture(s, dir)
+      Curate.qualityLrCalibration(labeled, "doc_id", "text", "y",
+          w, bias, nBuckets = 256)
+        .orderBy(col("decile"))
+    }),
+
     // The full MODEL-BASED curation chain (the DCLM shape): train the
     // seed classifier -> score the corpus -> per-source rank
     // normalization (raw scores are not comparable across sources) ->
@@ -2588,6 +2764,44 @@ object LlmQueries {
       Curate.packByTokens(Bpe.tokenCounts(docs, "doc_id", "text", merges),
           "doc_id", "n_bpe_tokens", budget = 512, shards = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // The OTHER tokenizer family (Kudo 2018 unigram LM, the
+    // SentencePiece algorithm) — hard-EM over a substring seed with
+    // the pinned Viterbi total order; every count, prune decision and
+    // floor'd micro-ln score of the final piece table is replayed by
+    // the unrolled-SQL oracle (seed -> 2 EM rounds).
+    "llm_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      Unigram.trainLocal(t(s, dir, "documents"), "text",
+          rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+        .toDF("piece", "cnt", "logp_micro").orderBy(col("piece"))
+    }),
+
+    // The unigram tokenizer's PRODUCT: the corpus token-id stream via
+    // the DISTRIBUTED Viterbi (bounded MaxWordLen-step DP over
+    // distinct chunks + one corpus-scale join) — the oracle replays
+    // training AND the encode-time segmentation pass, so the
+    // driver-local trainer and the distributed DP are held to the
+    // same total order.
+    "llm_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = Unigram.trainLocal(docs, "text",
+        rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+      Unigram.encode(docs, "doc_id", "text", pieces)
+        .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // Persist -> reload -> encode round-trip (the llm_bpe_store
+    // convention): shares the direct train+encode oracle, so the
+    // store layer is held to bit-identity.
+    "llm_unigram_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = graft.util.Scratch.dir("graft_unigram_store")
+      Unigram.persistTokenizer(docs, "text", path,
+        rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+      Unigram.encode(docs, "doc_id", "text", Unigram.readTokenizer(s, path))
+        .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
     }),
 
     // Pairwise exact shingle-Jaccard between sources — the
@@ -3241,16 +3455,81 @@ object LlmQueries {
     * with ≥1 token) — shared by llm_dsir_weights and llm_dsir_sample
     * so hashing, smoothing and the micro-nat quantization can't
     * drift. Target = the src0 slice. */
-  /** The llm_quality_lr fixture trainer shared by the weight and score
-    * queries: labeled seed = doc_id < 250, y = membership in the five
-    * target sources; 256 buckets, 2 steps, lr 0.5 (ppm). */
-  private def trainQualityLrFixture(s: SparkSession,
-                                    dir: String): (Seq[(Long, Long)], Long) = {
-    val labeled = t(s, dir, "documents").filter(col("doc_id") < 250)
+  /** The labeled quality seed shared by every quality-LR query:
+    * doc_id < 250, y = membership in the five target sources. */
+  private def qualityLrSeed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 250)
       .withColumn("y", when(col("source")
         .isin("src0", "src1", "src2", "src3", "src4"), 1L).otherwise(0L))
-    Curate.qualityLrTrain(labeled, "doc_id", "text", "y",
+
+  /** The llm_quality_lr fixture trainer shared by the weight and score
+    * queries: 256 buckets, 2 steps, lr 0.5 (ppm). */
+  private def trainQualityLrFixture(s: SparkSession,
+                                    dir: String): (Seq[(Long, Long)], Long) =
+    Curate.qualityLrTrain(qualityLrSeed(s, dir), "doc_id", "text", "y",
       nBuckets = 256, steps = 2, lrPpm = 500000L)
+
+  /** GENERATED N-step quality-LR replay (the kmeans unrolled-CTE
+    * convention applied to gradient steps): emits a self-contained
+    * prefixed CTE chain — seed labels, hashed features (optionally
+    * fastText-style word bigrams), then per step the exact-Long z,
+    * ONE floor'd sigmoid per doc, exact gradient sums and truncating
+    * `//` updates (DuckDB `//` truncates toward zero like Java).
+    * Step 1 needs no special case: the empty w0/zero b0 give z = 0
+    * and the general sigmoid formula lands on exactly 500000.
+    * Final weights live in `{p}w{steps}`, bias in `{p}b{steps}`. */
+  private def qualityLrGenCtes(p: String, steps: Int,
+                               bigrams: Boolean): String = {
+    val feats =
+      if (!bigrams)
+        s"""${p}ft AS (SELECT doc_id, w FROM (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+           |  FROM documents WHERE doc_id < 250) t0 WHERE len(w) > 0)""".stripMargin
+      else
+        s"""${p}ws AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\\s+'),
+           |      x -> len(x) > 0) AS ws
+           |  FROM documents WHERE doc_id < 250),
+           |${p}ft AS (
+           |  SELECT doc_id, unnest(ws) AS w FROM ${p}ws
+           |  UNION ALL
+           |  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+           |      for i in range(1, len(ws))]) AS w FROM ${p}ws)""".stripMargin
+    val stepCtes = (1 to steps).map { st =>
+      s"""${p}z$st AS (SELECT l.doc_id AS doc_id, y,
+         |    (SELECT bias FROM ${p}b${st - 1}) + coalesce(q.zz, 0) AS z
+         |  FROM ${p}lab l LEFT JOIN (SELECT doc_id,
+         |      CAST(sum(c * wm) AS BIGINT) AS zz
+         |    FROM ${p}db JOIN ${p}w${st - 1} USING (h)
+         |    GROUP BY doc_id) q USING (doc_id)),
+         |${p}r$st AS (SELECT doc_id, y * 1000000 -
+         |    CAST(floor(1000000.0 /
+         |      (1.0 + exp(-CAST(z AS DOUBLE) / 1000000.0))) AS BIGINT) AS rm
+         |  FROM ${p}z$st),
+         |${p}g$st AS (SELECT h, CAST(sum(c * rm) AS BIGINT) AS g
+         |  FROM ${p}db JOIN ${p}r$st USING (doc_id) GROUP BY h),
+         |${p}w$st AS (SELECT coalesce(w.h, g.h) AS h,
+         |    CAST(coalesce(w.wm, 0) +
+         |      (500000 * coalesce(g.g, 0)) // (1000000 * n) AS BIGINT) AS wm
+         |  FROM ${p}w${st - 1} w FULL JOIN ${p}g$st g ON w.h = g.h, ${p}nn),
+         |${p}b$st AS (SELECT (SELECT bias FROM ${p}b${st - 1}) +
+         |    (500000 * (SELECT CAST(sum(rm) AS BIGINT) FROM ${p}r$st))
+         |      // (1000000 * n) AS bias
+         |  FROM ${p}nn)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}lab AS (SELECT doc_id,
+       |  (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+       |   THEN 1 ELSE 0 END)::BIGINT AS y
+       |  FROM documents WHERE doc_id < 250),
+       |$feats,
+       |${p}db AS (SELECT doc_id, ${duckHash("w")} % 256 AS h,
+       |    count(*)::BIGINT AS c
+       |  FROM ${p}ft GROUP BY doc_id, h),
+       |${p}nn AS (SELECT count(*)::BIGINT AS n FROM ${p}lab),
+       |${p}w0 AS (SELECT CAST(NULL AS BIGINT) AS h,
+       |  CAST(NULL AS BIGINT) AS wm WHERE false),
+       |${p}b0 AS (SELECT CAST(0 AS BIGINT) AS bias),
+       |$stepCtes""".stripMargin
   }
 
   /** Unrolled 2-step logistic-regression replay shared by the two
@@ -3336,8 +3615,11 @@ object LlmQueries {
     * Similarity.kmeansClusters(k, iters = 2). Shared by
     * llm_kmeans_clusters and the SemDeDup oracles so seeding, exact
     * integer L2² distances, floor-mean centroid updates and cid
-    * tie-breaks can't drift between them. */
-  private def kmeansCtes(k: Int): String =
+    * tie-breaks can't drift between them. `k` is a SQL expression so
+    * the autoNlist-driven oracles can derive the cell count from the
+    * SAME n/500 rule as the engine ([[AutoNlistSql]]) instead of
+    * hardcoding the small-fixture geometry. */
+  private def kmeansCtes(k: String): String =
     s"""eq AS (SELECT vec_id,
        |  [${qElem("embedding")} for i in range(1, 65)] AS eq FROM embeddings),
        |seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, eq
@@ -3358,12 +3640,21 @@ object LlmQueries {
        |    c.cid) AS rn
        |  FROM eq e, c1 c) t WHERE rn = 1)""".stripMargin
 
+  /** The DuckDB face of [[graft.llm.Similarity.autoNlist]]: the same
+    * max(minNlist, n / targetCell) rule over the embeddings table
+    * (both sides truncate the division), so the SemDeDup / kNN-graph
+    * oracles track the engine's corpus-scaled cell geometry at ANY
+    * fixture size instead of silently hash-diverging the moment the
+    * fixture outgrows the 4-cell floor (n > 2499). */
+  private val AutoNlistSql: String =
+    "greatest(4, (SELECT count(*) FROM embeddings) // 500)"
+
   /** SemDeDup oracle CTE chain (`semscored` = thresholded within-
     * k-means-cluster cosine pairs) — kmeansCtes plus the same capped
     * self-join / zero-norm-guard / exact dot structure as
     * embPairsCtes, with the k-means cell as the bucket. */
   private lazy val semPairsCtes: String =
-    s"""${kmeansCtes(4)},
+    s"""${kmeansCtes(AutoNlistSql)},
        |cl AS (SELECT e.vec_id AS vid, e.eq, a2.cluster
        |  FROM eq e JOIN a2 ON e.vec_id = a2.vec_id),
        |clc AS (SELECT vid, eq, cluster FROM (
@@ -3385,7 +3676,7 @@ object LlmQueries {
     * and llm_knn_recall so the cell, cap, cosine and tie-break can't
     * drift between the graph and its recall ledger. */
   private lazy val knnCellCtes: String =
-    s"""${kmeansCtes(4)},
+    s"""${kmeansCtes(AutoNlistSql)},
        |cl AS (SELECT e.vec_id AS vid, e.eq, a2.cluster
        |  FROM eq e JOIN a2 ON e.vec_id = a2.vec_id),
        |clc AS (SELECT vid, eq, cluster FROM (
@@ -5247,11 +5538,11 @@ object LlmQueries {
       s"""WITH $knnCellCtes,
          |${labelpropTail("kg")}""".stripMargin,
     "llm_graph_labelprop_probe2" ->
-      s"""WITH ${kmeansCtes(4)},
+      s"""WITH ${kmeansCtes(AutoNlistSql)},
          |${knnProbeCtes(2, "p")},
          |${labelpropTail("kgp")}""".stripMargin,
     "llm_semdedup_pairs_probe2" ->
-      s"""WITH ${kmeansCtes(4)},
+      s"""WITH ${kmeansCtes(AutoNlistSql)},
          |${knnProbeCtes(2, "sp", op = "<")}
          |SELECT a, b, cosine FROM kcossp WHERE cosine >= $EmbDedupThreshold
          |ORDER BY a, b""".stripMargin,
@@ -5265,17 +5556,35 @@ object LlmQueries {
          |  CAST(m.total_matches AS DOUBLE) / (3.0 * ne.n_eval) AS recall
          |FROM ne, m""".stripMargin,
     "llm_knn_graph_probe2" ->
-      s"""WITH ${kmeansCtes(4)},
+      s"""WITH ${kmeansCtes(AutoNlistSql)},
          |${knnProbeCtes(2, "p")}
          |SELECT a, b, rank, cosine FROM kgp ORDER BY a, rank""".stripMargin,
     // the persisted-store lifecycle: append == full rebuild, so it
     // shares the probe-2 graph oracle (the llm_ann_*_append convention)
     "llm_knn_graph_store" ->
-      s"""WITH ${kmeansCtes(4)},
+      s"""WITH ${kmeansCtes(AutoNlistSql)},
          |${knnProbeCtes(2, "p")}
          |SELECT a, b, rank, cosine FROM kgp ORDER BY a, rank""".stripMargin,
+    "llm_knn_store_audit" ->
+      s"""WITH ${kmeansCtes(AutoNlistSql)},
+         |${knnProbeCtes(2, "p")},
+         |hme AS (SELECT vec_id, cid AS home FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    (SELECT sum((e.eq[i] - c.ceq[i]) * (e.eq[i] - c.ceq[i])) FROM range(1, 65) r(i)),
+         |    c.cid) AS rn
+         |  FROM eq e, c1 c) t WHERE rn = 1),
+         |va AS (SELECT 'vectors' AS store,
+         |  count(DISTINCT cluster)::BIGINT AS n_parts,
+         |  count(DISTINCT cluster)::BIGINT AS n_files,
+         |  count(*)::BIGINT AS n_rows, 0::BIGINT AS n_residue FROM app),
+         |ea AS (SELECT 'edges' AS store,
+         |  count(DISTINCT home)::BIGINT AS n_parts,
+         |  count(DISTINCT home)::BIGINT AS n_files,
+         |  count(*)::BIGINT AS n_rows, 0::BIGINT AS n_residue
+         |  FROM kgp JOIN hme ON kgp.a = hme.vec_id)
+         |SELECT * FROM ea UNION ALL SELECT * FROM va ORDER BY store""".stripMargin,
     "llm_knn_recall_probes" ->
-      s"""WITH ${kmeansCtes(4)},
+      s"""WITH ${kmeansCtes(AutoNlistSql)},
          |${knnProbeCtes(1, "1")},
          |${knnProbeCtes(2, "2")},
          |$knnExactCtes,
@@ -5342,6 +5651,10 @@ object LlmQueries {
     // the store round-trip must equal direct train+encode bit-for-bit
     "llm_bpe_store" -> BpeEncodeOracleSql,
     "llm_bpe_bytefallback" -> BpeByteFallbackOracleSql,
+    "llm_unigram_train" -> UnigramTrainOracleSql,
+    "llm_unigram_encode" -> UnigramEncodeOracleSql,
+    // store round-trip must equal direct train+encode bit-for-bit
+    "llm_unigram_store" -> UnigramEncodeOracleSql,
     "llm_repeated_spans" ->
       s"""WITH $SpanKeyCtes
          |SELECT ks.doc_id AS doc_id, CAST(start AS BIGINT) AS start,
@@ -5479,6 +5792,31 @@ object LlmQueries {
          |SELECT CAST(-1 AS BIGINT) AS bucket, bias AS w_micro FROM b2
          |UNION ALL SELECT h AS bucket, wm AS w_micro FROM w2
          |ORDER BY bucket""".stripMargin,
+    // the generated 3-step bigram-feature replay: every weight + bias
+    "llm_quality_lr_bigram" ->
+      s"""WITH ${qualityLrGenCtes("qb", 3, bigrams = true)}
+         |SELECT CAST(-1 AS BIGINT) AS bucket, bias AS w_micro FROM qbb3
+         |UNION ALL SELECT h AS bucket, wm AS w_micro FROM qbw3
+         |ORDER BY bucket""".stripMargin,
+    // score the SEED with the trained model, rank -> per-mille ->
+    // decile bands -> observed positive rate, all integer
+    "llm_quality_lr_calibration" ->
+      s"""WITH $QualityLrCtes,
+         |ssum AS (SELECT doc_id, CAST(sum(c * coalesce(wm, 0)) AS BIGINT) AS s
+         |  FROM ldb LEFT JOIN w2 USING (h) GROUP BY doc_id),
+         |scal AS (SELECT l.doc_id AS doc_id, y,
+         |    (SELECT bias FROM b2) + coalesce(s, 0) AS score_micro
+         |  FROM lab l LEFT JOIN ssum USING (doc_id)),
+         |rkc AS (SELECT doc_id, y,
+         |    CASE WHEN cnt = 1 THEN 0
+         |         ELSE (rnk - 1) * 1000 // (cnt - 1) END AS pm_rank
+         |  FROM (SELECT doc_id, y,
+         |      row_number() OVER (ORDER BY score_micro, doc_id) AS rnk,
+         |      count(*) OVER () AS cnt FROM scal) t)
+         |SELECT least(pm_rank // 100, 9) AS decile,
+         |  count(*)::BIGINT AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  (CAST(sum(y) AS BIGINT) * 1000) // count(*) AS pos_pm
+         |FROM rkc GROUP BY decile ORDER BY decile""".stripMargin,
     // train + corpus scoring: exact integer dot against the learned
     // weight table, unseen buckets contribute 0
     "llm_quality_lr_score" ->
@@ -6159,7 +6497,7 @@ object LlmQueries {
          |FROM langed GROUP BY guess ORDER BY guess""".stripMargin
     },
     "llm_kmeans_clusters" ->
-      s"""WITH ${kmeansCtes(4)}
+      s"""WITH ${kmeansCtes("4")}
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "llm_multimodal_meta" ->
       s"""SELECT doc_id, octet_length(content)::BIGINT AS n_bytes,

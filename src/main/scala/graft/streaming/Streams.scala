@@ -335,7 +335,8 @@ object Streams {
                      corpusTable: String, indexTable: String,
                      trimmedTable: String, checkpointDir: String,
                      k: Int = 8, minDf: Long = 2L,
-                     indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+                     indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireSpanTrimCols(docs)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -343,6 +344,57 @@ object Streams {
           idCol, textCol, k, minDf, indexBuckets, checkpointDir, batchId)
       }
       .start()
+  }
+
+  /** Delta-gated [[spanTrimStream]] for RE-CRAWL sources that
+    * redeliver every document each crawl (the
+    * [[incrementalDeltaDedupStream]] composition applied to the span
+    * gate — spanTrimStream's own contract is append-only unique ids):
+    * each batch is [[deltaGate]]d against the standing corpus's
+    * stored (id, content-hash) versions, so an unchanged re-crawled
+    * page costs one md5 and one anti-join probe — no window keys, no
+    * index/corpus appends, no re-trim, no new trimmed version. The
+    * corpus sink maintains `__h` + `__seq` for exactly this gate
+    * (reserved columns; a corpus built by a pre-delta version must be
+    * backfilled before this sink appends to it).
+    *
+    * A CHANGED document passes the gate and appends a NEW version:
+    * its batch-side trim and all df counts for that batch read the
+    * new content (the overlap rule anti-joins the batch's ids out of
+    * the index), blast-radius re-trims read the LATEST corpus version
+    * (the `__seq` keep-latest fold in [[spanTrimBatch]]), and the
+    * product fold keeps the newest trimmed version. Honest staleness
+    * caveat, same shape as the delta dedup sink's: superseded
+    * versions' window keys stay in the append-only index, so a window
+    * that only the OLD content of a changed document carried keeps
+    * counting that id toward `minDf` until a rebuild — df never
+    * UNDERcounts, so trims are at worst conservative. */
+  def spanTrimDeltaStream(docs: DataFrame, idCol: String, textCol: String,
+                          corpusTable: String, indexTable: String,
+                          trimmedTable: String, checkpointDir: String,
+                          k: Int = 8, minDf: Long = 2L,
+                          indexBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireSpanTrimCols(docs)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF()
+        val spark = b.sparkSession
+        val kept =
+          if (!spark.catalog.tableExists(corpusTable)) b
+          else deltaGate(b, spark.table(corpusTable), idCol, textCol)
+        spanTrimBatch(kept, corpusTable, indexTable, trimmedTable,
+          idCol, textCol, k, minDf, indexBuckets, checkpointDir, batchId)
+      }
+      .start()
+  }
+
+  private def requireSpanTrimCols(docs: DataFrame): Unit =
+    Seq(HashCol, SeqCol).foreach { c =>
+      require(!docs.columns.contains(c),
+        s"span-trim streams reserve the $c column name (the corpus sink " +
+          "maintains it for the re-crawl delta gate)")
+    }
 
   private[graft] def spanTrimBatch(batch: DataFrame, corpusTable: String,
                                    indexTable: String, trimmedTable: String,
@@ -409,12 +461,24 @@ object Streams {
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + lit(k - 1))).as("pos"))
       .distinct()
-    val corpusSchema = b.select(col(idCol), col(textCol)).schema
+    val corpusSchema = org.apache.spark.sql.types.StructType(
+      b.select(col(idCol), col(textCol)).schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(HashCol,
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField(SeqCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val verW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(SeqCol).desc)
     val affDocs = tableOr(spark, corpusTable, corpusSchema)
-      // a mid-batch crash can leave exact-duplicate corpus rows; the
-      // re-trim tokenization must see each document once
-      .dropDuplicates(idCol)
       .join(affIds, Seq(idCol), "left_semi")
+      // the re-trim tokenization must see each document once, and —
+      // the re-crawl case — its LATEST stored version: fold by __seq
+      // (exact-duplicate rows from a mid-batch crash replay tie on
+      // __seq and are interchangeable). Window over the id-bucketed
+      // scan: exchange-free.
+      .withColumn("__rn", row_number().over(verW))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(textCol))
     val affTrim = graft.llm.Dedup.trimWithCoverage(affDocs, affCov,
       idCol, textCol)
     // sinks: versioned trims, then the standing state, commit LAST
@@ -422,7 +486,10 @@ object Streams {
       .write.mode("append").format("parquet").saveAsTable(trimmedTable)
     bKeys.write.mode("append").bucketBy(indexBuckets, "h").sortBy("h")
       .format("parquet").saveAsTable(indexTable)
-    b.select(col(idCol), col(textCol)).write.mode("append")
+    b.select(col(idCol), col(textCol))
+      .withColumn(HashCol, graft.llm.Text.contentHash(col(textCol)))
+      .withColumn(SeqCol, lit(batchId))
+      .write.mode("append")
       .bucketBy(indexBuckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(corpusTable)
     if (batchId >= 0)
@@ -434,9 +501,15 @@ object Streams {
   /** The span-trim product: the LATEST version of every document in
     * the versioned `trimmedTable` (the keep-latest fold duplicates
     * from a mid-batch crash replay collapse into — versions from such
-    * a replay are exact copies). */
+    * a replay are exact copies). Refreshes the table's cached file
+    * listing first: the stream appends from ITS OWN cloned session,
+    * so a driver-session reader that touched the table before would
+    * otherwise keep serving the stale listing forever (per-session
+    * relation cache — standard V1 catalog behavior, surprising here
+    * because this read is the stream's monitoring surface). */
   def readSpanTrimmed(spark: SparkSession, trimmedTable: String,
                       idCol: String): DataFrame = {
+    spark.catalog.refreshTable(trimmedTable)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("batch_seq").desc)
     spark.table(trimmedTable)
@@ -481,6 +554,11 @@ object Streams {
 
   /** Name of the content-hash column the corpus sink maintains. */
   val HashCol = "__h"
+
+  /** Name of the batch-sequence column the span-trim corpus sink
+    * maintains (which stored version of a re-crawled document is
+    * latest — the keep-latest fold key for blast-radius re-trims). */
+  val SeqCol = "__seq"
 
   /** The re-crawl delta gate: batch rows whose exact (id, content) the
     * standing corpus has never stored, in any version. Exchange-free

@@ -556,6 +556,83 @@ class StreamingPipelineSpec extends SparkSpec {
     dropAll()
   }
 
+  test("spanTrimDeltaStream: re-crawl redeliveries are no-ops; changed docs re-version; product == one-shot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // crawl 1: d1 carries span X alone, d3/d4 share a span, d2 unique.
+    // crawl 2: FULL re-crawl — d1..d4 unchanged + new d5 (re-delivers
+    // span X: the retroactive re-trim must still fire through the
+    // gate) + new d6.
+    // crawl 3: FULL re-crawl — everything unchanged except d2 CHANGED
+    // (to span-free content, so one-shot-over-latest equivalence is
+    // exact and the stale-index caveat can't bite this fixture).
+    // crawl 4: FULL re-crawl, nothing changed — must be a complete
+    // no-op (no corpus/index/trimmed growth).
+    val c1 = Seq(
+      (1L, "aa bb x1 x2 x3 cc"),
+      (2L, "dd ee ff gg"),
+      (3L, "hh ii s1 s2 s3"),
+      (4L, "s1 s2 s3 jj"))
+    val c2 = c1 ++ Seq(
+      (5L, "kk x1 x2 x3 ll"),
+      (6L, "mm nn oo"))
+    val d2new = (2L, "zz yy")
+    val c3 = c2.map(r => if (r._1 == 2L) d2new else r)
+    val (corpusT, indexT, trimT) = ("std_corpus", "std_index", "std_trim")
+    val tables = Seq(corpusT, indexT, trimT, trimT + "_commits")
+    def dropAll(): Unit = tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    dropAll()
+    val ck = graft.util.Scratch.dir("spantrim_delta_ck")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.spanTrimDeltaStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusT, indexT, trimT, ck, k = 3, minDf = 2L)
+    def product() = graft.streaming.Streams
+      .readSpanTrimmed(spark, trimT, "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    def oneShot(rows: Seq[(Long, String)]) = Dedup.trimRepeatedSpans(
+        rows.toDF("doc_id", "text"), "doc_id", "text", k = 3, minDf = 2L)
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    try {
+      in.addData(c1: _*); q.processAllAvailable()
+      assert(product() === oneShot(c1))
+      in.addData(c2: _*); q.processAllAvailable()
+      // direct internal-table reads cross sessions (the stream appends
+      // from its cloned session): refresh before counting — the
+      // product read, readSpanTrimmed, refreshes for itself
+      def fresh(t: String) = { spark.catalog.refreshTable(t); spark.table(t) }
+      // the gate passed only d5/d6: 4 + 2 corpus versions total
+      assert(fresh(corpusT).count() === 6L,
+        "unchanged redeliveries must not append corpus versions")
+      assert(product() === oneShot(c2),
+        "gated stream must equal the one-shot trim over distinct docs " +
+          "— incl. the retroactive re-trim of d1 via NEW doc d5's span")
+      assert(product().find(_._1 == 1L).get._2 === "aa bb cc")
+      in.addData(c3: _*); q.processAllAvailable()
+      // only the changed d2 passed: one new corpus version
+      assert(fresh(corpusT).count() === 7L,
+        "a changed doc must append exactly one new version")
+      assert(product() === oneShot(c3),
+        "after a changed re-crawl the fold must equal one-shot over " +
+          "each document's LATEST content")
+      assert(product().find(_._1 == 2L).get._2 === "zz yy")
+      val (corpusN, indexN, trimN) = (fresh(corpusT).count(),
+        fresh(indexT).count(), fresh(trimT).count())
+      in.addData(c3: _*); q.processAllAvailable()
+      assert((fresh(corpusT).count(), fresh(indexT).count(),
+        fresh(trimT).count()) === ((corpusN, indexN, trimN)),
+        "an unchanged full re-crawl must append nothing anywhere")
+    } finally q.stop()
+    dropAll()
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats

@@ -611,4 +611,197 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(sweptUnderRace.size === 1,
       s"the sweep must land after the lock frees, got $sweptUnderRace")
   }
+
+  test("replacePartitions crash window: orphaned old partition restores and retry converges") {
+    val path = Files.createTempDirectory("knn_store_orphan_").toString + "/g"
+    val twin = Files.createTempDirectory("knn_store_orphan_twin_").toString + "/g"
+    val all = gvecs(0L to 39L)
+    val evens = all.filter(col("vec_id") % 2 === 0)
+    val odds = all.filter(col("vec_id") % 2 === 1)
+    Similarity.persistKnnGraphStore(evens, "vec_id", "embedding", path,
+      k = 3, nlist = 2, iters = 2, maxCluster = 100, nprobe = 2,
+      train = Some(all))
+    Similarity.persistKnnGraphStore(evens, "vec_id", "embedding", twin,
+      k = 3, nlist = 2, iters = 2, maxCluster = 100, nprobe = 2,
+      train = Some(all))
+    Similarity.appendToKnnGraphStore(odds, "vec_id", "embedding", path,
+      batchTag = Some("g-c1"))
+    val settled = graphEdges(path)
+    // rebuild the EXACT mid-crash state of that append: vectors placed,
+    // ledger tag absent (crash pre-commit), one rewritten home's dir
+    // renamed aside (its PRE-batch content, from the twin store) with
+    // the new content never published — the silent window the r18
+    // advice called out
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = new org.apache.hadoop.fs.Path(s"$path/centroids",
+      Tables.AppliedLedgerFile)
+    val tagLine = Tables.appliedLedgerLine("g-c1")
+    val kept = Tables.storeAppliedLedger(spark, s"$path/centroids")
+      .filterNot(_ == tagLine)
+    val out = fs.create(lp, true)
+    out.write(kept.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+    val home = spark.read.parquet(s"$path/edges")
+      .filter(col("b") % 2 === 1)
+      .select(col("home").cast("long")).head().getLong(0)
+    val part = s"home=$home"
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/edges/$part"), true)
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/edges__old_sim")
+    fs.mkdirs(oldDir)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$twin/edges/$part"),
+      new org.apache.hadoop.fs.Path(oldDir, part)))
+    // retry of the whole batch: the restore pass must bring the
+    // pre-batch partition back BEFORE deriving, so the retry converges
+    // to the settled content instead of silently rebuilding that home
+    // from the batch side only
+    Similarity.appendToKnnGraphStore(odds, "vec_id", "embedding", path,
+      batchTag = Some("g-c1"))
+    assert(graphEdges(path) === settled,
+      "retry after a mid-publish crash must converge to the same content")
+    assert(spark.read.parquet(s"$path/vectors").count() ===
+      spark.read.parquet(s"$twin/vectors").count() + odds.count() * 2L,
+      "retry double-placed vector rows")
+  }
+
+  test("vacuumIndexStores: graph-store residue swept; orphaned edges partition restored, not destroyed") {
+    val path = Files.createTempDirectory("vacuum_graph_").toString + "/g"
+    val all = gvecs(0L to 19L)
+    Similarity.persistKnnGraphStore(all, "vec_id", "embedding", path,
+      k = 3, nlist = 2, iters = 2, maxCluster = 100, nprobe = 2)
+    val settled = graphEdges(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant the graph store's documented residue shapes
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/vectors__stage_dead1"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/edges__next_dead2"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/meta__old_dead3"))
+    // and the RECOVERY case: an edges__old_* dir holding the ONLY copy
+    // of a partition — the sweep must restore it, never delete it
+    val home = spark.read.parquet(s"$path/edges")
+      .select(col("home").cast("long")).head().getLong(0)
+    val part = s"home=$home"
+    val oldDir = new org.apache.hadoop.fs.Path(s"$path/edges__old_crash")
+    fs.mkdirs(oldDir)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/edges/$part"),
+      new org.apache.hadoop.fs.Path(oldDir, part)))
+    val swept = Similarity.vacuumIndexStores(spark, path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/edges/$part")),
+      "the orphaned partition's only copy must be restored into the store")
+    assert(graphEdges(path) === settled,
+      "vacuum must leave the graph content exactly as before the crash")
+    Seq("vectors__stage_dead1", "edges__next_dead2", "meta__old_dead3",
+      "edges__old_crash").foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d")),
+        s"residue $d must be swept")
+    }
+    assert(swept.size === 4, s"expected 4 swept dirs, got $swept")
+  }
+
+  test("rebuildKnnGraphStore: geometry refresh equals a from-scratch build; ledger carries forward") {
+    val path = Files.createTempDirectory("knn_rebuild_").toString + "/g"
+    val all = gvecs(0L to 39L)
+    Similarity.persistKnnGraphStore(all.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, k = 3, nlist = 2, iters = 2,
+      maxCluster = 100, nprobe = 2, train = Some(all))
+    Similarity.appendToKnnGraphStore(all.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, batchTag = Some("g-r1"))
+    // refresh to a 4-cell geometry (targetCell = 10 over 40 vectors)
+    Similarity.rebuildKnnGraphStore(spark, path, targetCell = 10L,
+      minNlist = 4)
+    val scratch = Files.createTempDirectory("knn_rebuild_full_").toString + "/g"
+    Similarity.persistKnnGraphStore(all, "vec_id", "embedding", scratch,
+      k = 3, nlist = 4, iters = 2, maxCluster = 100, nprobe = 2)
+    assert(graphEdges(path) === graphEdges(scratch),
+      "rebuild must equal a from-scratch build at the new geometry")
+    assert(spark.read.parquet(s"$path/vectors").count() ===
+      spark.read.parquet(s"$scratch/vectors").count())
+    // the applied ledger survived: replaying the pre-rebuild batch
+    // must still no-op
+    val settled = graphEdges(path)
+    Similarity.appendToKnnGraphStore(all.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, batchTag = Some("g-r1"))
+    assert(graphEdges(path) === settled,
+      "a replayed pre-rebuild batch must no-op against the ledger")
+    // a crashed rebuild (vectors/edges new, centroids old) converges
+    // when re-run: simulate by re-running the whole rebuild — derives
+    // only from probe-1 rows, so it is idempotent
+    Similarity.rebuildKnnGraphStore(spark, path, targetCell = 10L,
+      minNlist = 4)
+    assert(graphEdges(path) === settled, "re-running the rebuild drifted")
+    // and a fresh append lands against the rebuilt geometry
+    Similarity.appendToKnnGraphStore(gvecs(100L to 103L), "vec_id",
+      "embedding", path, batchTag = Some("g-r2"))
+    assert(spark.read.parquet(s"$path/vectors")
+      .filter(col("cid") >= 100L).count() === 4L * 2L)
+  }
+
+  test("knnGraphStoreAudit: detects compaction debt and residue; clean after compact + vacuum") {
+    val path = Files.createTempDirectory("knn_audit_").toString + "/g"
+    val all = gvecs(0L to 39L)
+    Similarity.persistKnnGraphStore(all.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path, k = 3, nlist = 2, iters = 2,
+      maxCluster = 100, nprobe = 2, train = Some(all))
+    Similarity.appendToKnnGraphStore(all.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", path, batchTag = Some("g-a1"))
+    def audit() = Similarity.knnGraphStoreAudit(spark, path)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val before = audit()
+    assert(before("vectors")._2 > before("vectors")._1,
+      s"the tagged append must show as file debt, got $before")
+    assert(before("edges")._2 === before("edges")._1,
+      "edges stay one file per home by construction")
+    // plant residue; the audit must count it without deleting it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/vectors__stage_dead"))
+    assert(audit()("vectors")._4 === 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/vectors__stage_dead")),
+      "the audit is read-only")
+    Similarity.compactGraphVectors(spark, path)
+    Similarity.vacuumIndexStores(spark, path)
+    val after = audit()
+    assert(after("vectors")._2 === after("vectors")._1 &&
+      after("vectors")._4 === 0L,
+      s"compact + vacuum must clear debt and residue, got $after")
+    assert(after("vectors")._3 === before("vectors")._3 &&
+      after("edges") === before("edges"),
+      "maintenance must not change any row counts")
+  }
+
+  test("vacuumIndexStores sweeps the codes store under the CODES lock flat writers hold") {
+    // fabricate an index layout with centroids + codes stores and
+    // residue under both, then hold the codes lock (what a live flat
+    // PQ/SQ8 compaction holds): the centroids-family sweep lands
+    // immediately, the codes sweep must WAIT for the lock
+    val root = Files.createTempDirectory("vac_codes_lock_").toString + "/idx"
+    Seq((0L, 1L)).toDF("label", "x").write.parquet(s"$root/centroids")
+    Seq((0L, Array[Byte](1, 2))).toDF("cid", "codes")
+      .write.parquet(s"$root/codes")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/centroids__old_a"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/codes__next_b"))
+    val codesLock = java.nio.file.Paths.get(s"$root/codes__lock")
+    java.nio.file.Files.createFile(codesLock)
+    val pool = Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+      def call(): Seq[String] = Similarity.vacuumIndexStores(spark, root)
+    })
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (fs.exists(new org.apache.hadoop.fs.Path(s"$root/centroids__old_a"))
+      && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/centroids__old_a")),
+      "centroids residue must sweep while the codes lock is still held")
+    Thread.sleep(600) // > the lock's 250 ms retry interval
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes__next_b")),
+      "codes residue swept while the codes lock was held — a live flat " +
+        "compaction's in-flight next dir would be destroyed")
+    java.nio.file.Files.delete(codesLock)
+    val swept = fut.get(90, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(swept.exists(_.contains("codes__next_b")),
+      s"codes residue must sweep once the lock frees, got $swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes__next_b")))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer: hard-EM training invariants, the
+  * driver-DP == distributed-DP differential, multi-chunk words and
+  * the lossless piece-concatenation property. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "banana bandana ban"),
+    (2L, "banana banana cabana"),
+    (3L, "an abandoned banana stand"),
+    (4L, "supercalifragilisticexpialidocious ban")).toDF("doc_id", "text")
+
+  test("trainLocal: chars never pruned, multis respect minCount, logp consistent with counts") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val byPiece = pieces.map(p => p._1 -> p).toMap
+    // every character of the corpus survives training
+    val chars = docs.as[(Long, String)].collect()
+      .flatMap(_._2.toLowerCase.replace(" ", "")).toSet
+    chars.foreach { c =>
+      assert(byPiece.contains(c.toString), s"char '$c' was pruned")
+    }
+    // multi-char pieces carry at least minCount support
+    pieces.filter(_._1.length > 1).foreach { case (p, c, _) =>
+      assert(c >= 2L, s"piece '$p' kept with count $c < minCount")
+    }
+    // logp_micro = floor(1e6 ln(cnt/total)) against the returned counts
+    val total = pieces.map(_._2).sum
+    pieces.foreach { case (p, c, lp) =>
+      assert(lp === Unigram.microLn(c, total), s"piece '$p' score drifted")
+    }
+    // training is deterministic
+    assert(pieces === Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000))
+  }
+
+  test("segmentWords (distributed DP) equals the driver-local viterbi on every distinct chunk") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val scores = pieces.map(p => p._1 -> p._3).toMap
+    val chunksDf = Unigram.wordFreq(docs, "text").select(col("w")).distinct()
+    val got = Unigram.segmentWords(chunksDf, pieces.map(p => (p._1, p._3)))
+      .as[(String, Seq[String])].collect().toMap
+    chunksDf.as[String].collect().foreach { w =>
+      assert(got(w) === Unigram.viterbi(w, scores, 4),
+        s"distributed and driver DP disagree on '$w'")
+    }
+  }
+
+  test("encode: multi-chunk words segment in chunk order; pieces concatenate back to the word") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val ids = pieces.map(_._1).zipWithIndex.map { case (p, i) => (i + 1L, p) }.toMap
+    val enc = Unigram.encode(docs, "doc_id", "text", pieces)
+      .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(enc.forall(_._4 > 0L), "all pieces trained from this corpus must have ids")
+    // per (doc, word): sym_pos contiguous from 0 and pieces rebuild the word
+    val words = docs.as[(Long, String)].collect().flatMap { case (d, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).zipWithIndex
+        .map { case (w, i) => (d, i.toLong) -> w }
+    }.toMap
+    enc.groupBy(e => (e._1, e._2)).foreach { case ((d, wp), rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (0L until sorted.length).toSeq)
+      val rebuilt = sorted.map(r => ids(r._4)).mkString
+      assert(rebuilt === words((d, wp)),
+        s"doc $d word $wp: '$rebuilt' != '${words((d, wp))}'")
+    }
+    // the 34-char word really exercised the multi-chunk path
+    assert("supercalifragilisticexpialidocious".length > Unigram.MaxWordLen)
+  }
+
+  test("chunks: 16-char slices cover the word exactly") {
+    val got = Seq(Tuple1("a" * 35)).toDF("w")
+      .select(Unigram.chunks(col("w")).as("c")).as[Seq[String]].head()
+    assert(got === Seq("a" * 16, "a" * 16, "aaa"))
+  }
+}
