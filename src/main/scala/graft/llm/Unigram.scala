@@ -169,10 +169,21 @@ object Unigram {
     val spark = words.sparkSession
     import spark.implicits._
     val p = broadcast(scores.toDF("piece", "__s"))
+    // one cheap vocab-scale agg caps the DP at the corpus's ACTUAL
+    // longest chunk — steps past it would run empty frames through 4
+    // joins + a window each, pure fixed overhead (measured: half the
+    // encode cost on a short-word corpus). Semantics unchanged: no
+    // word is longer than its own corpus maximum; [[MaxWordLen]]
+    // stays the hard bound the chunker guarantees.
+    val maxLen = math.min(MaxWordLen,
+      words.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
+    if (maxLen == 0)
+      return words.select(col("w"),
+        split(col("w"), " ").as("pieces")).limit(0)
     val base = words.select(col("w"), lit(0L).as("sc"),
       lit(0).as("np"), lit("").as("seg"))
     var dps = Vector(base.localCheckpoint(false))
-    for (j <- 1 to MaxWordLen) {
+    for (j <- 1 to maxLen) {
       val cands = (1 to math.min(maxPieceLen, j)).map { l =>
         dps(j - l).filter(length(col("w")) >= j)
           .join(p, col("piece") === substring(col("w"), j - l + 1, l))
@@ -188,7 +199,7 @@ object Unigram {
         .select(col("w"), col("sc"), col("np"), col("seg"))
         .localCheckpoint(false)
     }
-    val out = (1 to MaxWordLen)
+    val out = (1 to maxLen)
       .map(j => dps(j).filter(length(col("w")) === j))
       .reduce(_ unionByName _)
       .select(col("w"), split(col("seg"), " ").as("pieces"))
