@@ -117,6 +117,9 @@ object BenchScale {
     // 64-vector delta: cost should track the delta's blast radius
     // (touched cells × cell size), i.e. stay near-FLAT across sf,
     // while the full build's cost grows with the corpus.
+    time("unigram_encode") {
+      SparkEntry.queries("llm_unigram_encode")(spark, sfDir).count()
+    }
     time("knn_store_delta_append") {
       val nlist = math.max(4L, 4L * nVecs / 2000L).toInt
       val path = graft.util.Scratch.dir("bs_knn_store") + "/g"

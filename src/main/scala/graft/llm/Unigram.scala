@@ -77,7 +77,7 @@ object Unigram {
     * distributed [[segmentWords]] and the SQL oracle). Every single
     * character is guaranteed present in `scores` (seeded from all
     * words, never pruned), so the DP is always feasible. */
-  private[llm] def viterbi(w: String, scores: collection.Map[String, Long],
+  private[graft] def viterbi(w: String, scores: collection.Map[String, Long],
                            maxPieceLen: Int): Seq[String] = {
     case class St(sc: Long, np: Int, seg: Vector[String]) {
       lazy val key: String = seg.mkString(" ")
@@ -212,6 +212,36 @@ object Unigram {
     // interpreted). The RDD round-trip yields a constraint-free scan;
     // vocab-scale rows, so the conversion cost is nil.
     spark.createDataFrame(out.rdd, out.schema)
+  }
+
+  /** Per-document unigram token counts (the [[Bpe.tokenCounts]]
+    * shape): the Viterbi piece count of each DISTINCT word — summed
+    * over its chunks — joined to the per-doc word-frequency table, so
+    * the corpus-scale work is one tokenize + one vocab join; the DP
+    * runs once per distinct chunk. Documents with no tokens report
+    * 0. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  pieces: Seq[(String, Long, Long)],
+                  maxPieceLen: Int = 4): DataFrame = {
+    val dw = docs.select(col(idCol),
+        explode(filter(Text.words(col(textCol)), w => length(w) > 0))
+          .as("w0"))
+      .groupBy(col(idCol), col("w0")).agg(count(lit(1)).as("__c"))
+    val distinctW0 = dw.select(col("w0")).distinct().localCheckpoint(false)
+    val segs = segmentWords(
+      distinctW0.select(explode(chunks(col("w0"))).as("w")).distinct(),
+      pieces.map(p => (p._1, p._3)), maxPieceLen)
+    val wLen = distinctW0
+      .select(col("w0"), explode(chunks(col("w0"))).as("w"))
+      .join(segs, Seq("w"))
+      .groupBy(col("w0"))
+      .agg(sum(size(col("pieces"))).cast("long").as("__n"))
+    val counted = dw.join(wLen, Seq("w0"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * col("__n")).as("n_unigram_tokens"))
+    docs.select(col(idCol)).join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"))
   }
 
   /** Persist a trained unigram tokenizer (the [[Bpe.persistTokenizer]]

@@ -2792,6 +2792,35 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
     }),
 
+    // Cross-tokenizer fertility: per source, chars-per-token for BPE
+    // and unigram side by side — the eval that picks a tokenizer for
+    // a corpus. Both trainers run in-engine; both token counts are
+    // distinct-word-scale joins; integer per-mille end to end.
+    "llm_tokenizer_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+        .map { case (_, a, b, _) => (a, b) }
+      val bpe = Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      val uni = Unigram.tokenCounts(docs, "doc_id", "text",
+        Unigram.trainLocal(docs, "text", rounds = 2, maxPieceLen = 4,
+          minCount = 2L, seedSize = 1000))
+      docs.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("__chars"))
+        .join(bpe, "doc_id").join(uni, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("__chars")).as("n_chars"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("n_unigram_tokens")).as("n_unigram_tokens"))
+        .select(col("source"), col("n_chars"), col("n_bpe_tokens"),
+          col("n_unigram_tokens"),
+          when(col("n_bpe_tokens") > 0L,
+            expr("n_chars * 1000L div n_bpe_tokens")).as("bpe_cpt_mille"),
+          when(col("n_unigram_tokens") > 0L,
+            expr("n_chars * 1000L div n_unigram_tokens"))
+            .as("unigram_cpt_mille"))
+        .orderBy(col("source"))
+    }),
+
     // Persist -> reload -> encode round-trip (the llm_bpe_store
     // convention): shares the direct train+encode oracle, so the
     // store layer is held to bit-identity.
@@ -5655,6 +5684,42 @@ object LlmQueries {
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit
     "llm_unigram_store" -> UnigramEncodeOracleSql,
+    // BOTH tokenizer replays in one statement: the BPE merged vocab
+    // (12 unrolled merges) and the unigram EM chain + encode-pass DP
+    "llm_tokenizer_compare" -> {
+      val L = graft.llm.Unigram.MaxWordLen
+      val enc = UnigramRounds + 1
+      s"""WITH $BpeMergedVocabCtes,
+         |$UnigramTrainCtes,
+         |${unigramScoreCte(UnigramRounds)},
+         |${unigramDpCtes(enc)},
+         |bwl AS (SELECT w, len(syms)::BIGINT AS n_syms FROM wsyms),
+         |cdw AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM documents) t WHERE len(w) > 0 GROUP BY doc_id, w),
+         |btc0 AS (SELECT doc_id, CAST(sum(c * n_syms) AS BIGINT) AS n_b
+         |  FROM cdw JOIN bwl USING (w) GROUP BY doc_id),
+         |uchk2 AS (SELECT w0, unnest(range(0, (len(w0) + ${L - 1}) // $L)) AS ci
+         |  FROM (SELECT DISTINCT w AS w0 FROM cdw) t),
+         |uwn AS (SELECT w0, CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS n_u
+         |  FROM (SELECT c.w0 AS w0, g.seg AS seg
+         |    FROM (SELECT w0, ci, substr(w0, $L*ci + 1, $L) AS w FROM uchk2) c
+         |    JOIN useg$enc g USING (w)) t GROUP BY w0),
+         |utc0 AS (SELECT doc_id, CAST(sum(c * n_u) AS BIGINT) AS n_u
+         |  FROM cdw JOIN uwn ON cdw.w = uwn.w0 GROUP BY doc_id),
+         |cagg AS (SELECT source, CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |    CAST(sum(coalesce(btc0.n_b, 0)) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(sum(coalesce(utc0.n_u, 0)) AS BIGINT) AS n_unigram_tokens
+         |  FROM documents LEFT JOIN btc0 USING (doc_id)
+         |  LEFT JOIN utc0 USING (doc_id) GROUP BY source)
+         |SELECT source, n_chars, n_bpe_tokens, n_unigram_tokens,
+         |  (CASE WHEN n_bpe_tokens > 0
+         |    THEN n_chars * 1000 // n_bpe_tokens END)::BIGINT AS bpe_cpt_mille,
+         |  (CASE WHEN n_unigram_tokens > 0
+         |    THEN n_chars * 1000 // n_unigram_tokens END)::BIGINT
+         |    AS unigram_cpt_mille
+         |FROM cagg ORDER BY source""".stripMargin
+    },
     "llm_repeated_spans" ->
       s"""WITH $SpanKeyCtes
          |SELECT ks.doc_id AS doc_id, CAST(start AS BIGINT) AS start,

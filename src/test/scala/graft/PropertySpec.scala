@@ -582,4 +582,44 @@ class PropertySpec extends SparkSpec {
       est.sortBy(r => (r._1, r._2)).toSeq,
       "un-merged register unions must quantile identically to merged")
   }
+
+  test("property: unigram train/segment — lossless pieces, optimal scores, DP agreement") {
+    import graft.llm.Unigram
+    // random word soup incl. repeats (so multi-char pieces survive
+    // minCount), unicode, and words past the 16-char chunk bound
+    val word = Gen.frequency(
+      5 -> Gen.oneOf("banana", "bandana", "ban", "anna", "cabana", "ab",
+        "café", "naan", "a"),
+      2 -> Gen.listOfN(6, Gen.oneOf('a', 'b', 'n', 'c')).map(_.mkString),
+      1 -> Gen.oneOf("abababababababababab", "supercalifragilistic"))
+    val docsL = sample(Gen.listOfN(80, Gen.listOfN(6, word).map(_.mkString(" "))))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = docsL.toDF("doc_id", "text")
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val scores = pieces.map(p => p._1 -> p._3).toMap
+    val enc = Unigram.encode(docs, "doc_id", "text", pieces)
+    val ids = pieces.map(_._1).zipWithIndex
+      .map { case (p, i) => (i + 1L) -> p }.toMap
+    val byWord = enc.orderBy("doc_id", "word_pos", "sym_pos")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    val expected = docsL.flatMap { case (d, t) =>
+      t.split("\\s+").filter(_.nonEmpty).zipWithIndex
+        .map { case (w, i) => (d, i.toLong) -> w.toLowerCase }
+    }.toMap
+    assert(byWord.keySet === expected.keySet)
+    byWord.foreach { case (k, rows) =>
+      val ps = rows.sortBy(_._3).map(r => ids(r._4)).toSeq
+      // losslessness: pieces concatenate back to the word
+      assert(ps.mkString === expected(k), s"$k lost content")
+      // optimality: the emitted segmentation's total score equals the
+      // driver viterbi's on every chunk (the distributed DP can pick
+      // a different-but-equal-score path ONLY if the tie-break order
+      // drifted — then the seg strings differ and this fails)
+      val chunks = expected(k).grouped(Unigram.MaxWordLen).toSeq
+      val want = chunks.flatMap(c => Unigram.viterbi(c, scores, 4))
+      assert(ps === want, s"$k: DP disagreement")
+    }
+  }
 }
