@@ -273,20 +273,37 @@ object Unigram {
     rows.sortWith((a, b) => utf8Lt(a._1, b._1)).toSeq
   }
 
+  /** Sentinel score for characters ABSENT from a frozen tokenizer's
+    * piece table: far below any path through known pieces (a real
+    * piece scores ≳ −1e6·ln(total) ≈ −10⁸ micro-nats; 16 of these per
+    * chunk stay above −10¹⁰), yet safe to sum across a whole chunk
+    * without overflow. The unknown char is the ONLY piece covering
+    * its position, so it appears in every feasible path — the penalty
+    * never changes which segmentation wins AMONG equals, only keeps
+    * the DP feasible. */
+  val UnkPieceScore: Long = -1000000000000L
+
   /** Encode a corpus with a trained piece table: tokenize, chunk
     * overlong words, segment the DISTINCT chunks ([[segmentWords]]),
     * reassemble multi-chunk words in chunk order (vocab-scale agg),
     * then ONE corpus-scale join + posexplode + broadcast id join.
     * Output shape matches [[Bpe.encode]]: (idCol, word_pos, sym_pos,
     * token_id), 0-based positions, dense 1-based ids in UTF-8 piece
-    * order, UNK = 0 for pieces absent from the id table (unseen
-    * characters under a frozen tokenizer). */
+    * order, UNK = 0 for pieces absent from the id table.
+    *
+    * FROZEN-tokenizer serving: characters the training corpus never
+    * produced are added to the DP's score table at [[UnkPieceScore]]
+    * (never to the id table — they emit token_id 0, the
+    * [[Bpe.encodeWith]] UNK convention). Without this the chunk's DP
+    * has no path across the unseen char and the segmentation inner
+    * joins would silently DROP the word (or worse, a multi-chunk
+    * word's other chunks would survive — partial content), instead of
+    * marking the stream position UNK like every deployed tokenizer. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              pieces: Seq[(String, Long, Long)],
              maxPieceLen: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val scores = pieces.map(p => (p._1, p._3))
     val ids = pieces.map(_._1).zipWithIndex.map { case (p, i) => (p, i + 1L) }
     val tok = docs.select(col(idCol),
       posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
@@ -294,6 +311,15 @@ object Unigram {
     val distinctW0 = tok.select(col("w0")).distinct().localCheckpoint(false)
     val distinctChunks = distinctW0
       .select(explode(chunks(col("w0"))).as("w")).distinct()
+      .localCheckpoint(false)
+    // alphabet-scale collect: the corpus's distinct characters not in
+    // the piece table become UNK-scored single-char pieces
+    val known = pieces.iterator.map(_._1).toSet
+    val missing = distinctChunks
+      .select(explode(split(col("w"), "")).as("c")).distinct()
+      .as[String].collect().filter(c => c.nonEmpty && !known.contains(c))
+    val scores = pieces.map(p => (p._1, p._3)) ++
+      missing.sorted.map(c => (c, UnkPieceScore))
     val segs = segmentWords(distinctChunks, scores, maxPieceLen)
     // multi-chunk words: concatenate their chunks' segmentations in
     // chunk order — a vocab-scale agg, so the corpus join below is

@@ -76,6 +76,35 @@ class UnigramSpec extends SparkSpec {
     assert("supercalifragilisticexpialidocious".length > Unigram.MaxWordLen)
   }
 
+  test("frozen tokenizer: unseen characters encode as UNK 0, words never dropped") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    assert(!pieces.exists(_._1.contains("z")), "fixture needs 'z' unseen")
+    // 'z' never trained; the long word crosses a chunk boundary with
+    // an unseen char in the SECOND chunk (the partial-drop case)
+    val serving = Seq(
+      (9L, "banana zaz ban"),
+      (10L, ("a" * 20) + "z" + "ban")).toDF("doc_id", "text")
+    val enc = Unigram.encode(serving, "doc_id", "text", pieces)
+      .as[(Long, Long, Long, Long)].collect()
+    val byWord = enc.groupBy(e => (e._1, e._2))
+    assert(byWord.keySet === Set((9L, 0L), (9L, 1L), (9L, 2L), (10L, 0L)),
+      "no word may be dropped for carrying an unseen char")
+    val ids = pieces.map(_._1).zipWithIndex
+      .map { case (p, i) => (i + 1L) -> p }.toMap
+    // zaz: the two z's are UNK 0, the 'a' between them still resolves
+    val zaz = byWord((9L, 1L)).sortBy(_._3).map(_._4).toSeq
+    assert(zaz.count(_ == 0L) === 2 && zaz.exists(t => ids.get(t).contains("a")),
+      s"zaz must carry two UNKs and a real 'a', got $zaz")
+    // the multi-chunk word keeps BOTH chunks' content: total covered
+    // chars = 24, exactly one UNK (the single 'z')
+    val longW = byWord((10L, 0L)).sortBy(_._3).map(_._4).toSeq
+    assert(longW.count(_ == 0L) === 1, s"one UNK expected, got $longW")
+    val coveredKnown = longW.filter(_ != 0L).map(ids).mkString
+    assert(coveredKnown === ("a" * 20) + "ban",
+      "the known content around the unseen char must survive intact")
+  }
+
   test("chunks: 16-char slices cover the word exactly") {
     val got = Seq(Tuple1("a" * 35)).toDF("w")
       .select(Unigram.chunks(col("w")).as("c")).as[Seq[String]].head()
