@@ -833,6 +833,48 @@ object Streams {
   /** One streaming-encode micro-batch, committed through the batch
     * log — factored for replay-semantics testing without a running
     * stream (the [[dedupBatch]]/[[annServeBatch]] pattern). */
+  /** Streaming unigram encode with a FROZEN stored tokenizer — the
+    * [[bpeEncodeToTable]] shape for the other tokenizer family: each
+    * micro-batch Viterbi-encodes against the persisted piece table
+    * and appends the token stream, commit-log idempotent. Unseen
+    * characters in the stream emit UNK 0 (the
+    * [[graft.llm.Unigram.encode]] frozen-tokenizer contract), so a
+    * drifting live corpus can never silently drop words. */
+  def unigramEncodeToTable(docs: DataFrame, idCol: String, textCol: String,
+                           tokenizerPath: String, outTable: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val pieces = graft.llm.Unigram.readTokenizer(spark, tokenizerPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        unigramEncodeBatch(batch, idCol, textCol, pieces, outTable,
+          checkpointDir, batchId)
+      }
+      .start()
+  }
+
+  private[graft] def unigramEncodeBatch(batch: DataFrame, idCol: String,
+                                        textCol: String,
+                                        pieces: Seq[(String, Long, Long)],
+                                        outTable: String,
+                                        streamId: String = "",
+                                        batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val commits = commitsTableFor(outTable)
+    if (batchId >= 0 && spark.catalog.tableExists(commits) &&
+        spark.table(commits).filter(col("stream_id") === streamId &&
+          col("batch_id") === batchId).head(1).nonEmpty)
+      return
+    graft.llm.Unigram.encode(batch, idCol, textCol, pieces)
+      .write.mode("append").format("parquet").saveAsTable(outTable)
+    if (batchId >= 0)
+      spark.range(1).select(lit(streamId).as("stream_id"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+  }
+
   private[graft] def bpeEncodeBatch(batch: DataFrame, idCol: String,
                                     textCol: String,
                                     merges: Seq[(String, String)],

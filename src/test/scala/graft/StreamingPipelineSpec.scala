@@ -332,6 +332,53 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("unigramEncodeToTable: streamed encode == batch encode incl. UNK; committed replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Unigram
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((0L, "banana bandana ban banana cabana"))
+      .toDF("doc_id", "text")
+    val tokPath = graft.util.Scratch.dir("uni_stream_tok")
+    Unigram.persistTokenizer(train, "text", tokPath)
+    // b2 carries an unseen char ('z') — the frozen-tokenizer UNK path
+    // must hold through the stream, not just batch encode
+    val b1 = Seq((1L, "banana ban"), (2L, "cabana"))
+    val b2 = Seq((3L, "ban zab"))
+    val tables = Seq("uni_enc_out", "uni_enc_out_commits")
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.unigramEncodeToTable(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", tokPath,
+        "uni_enc_out", graft.util.Scratch.dir("uni_stream_ck"))
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val pieces = Unigram.readTokenizer(spark, tokPath)
+      spark.catalog.refreshTable("uni_enc_out")
+      val streamed = spark.table("uni_enc_out")
+        .orderBy("doc_id", "word_pos", "sym_pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val batch = Unigram.encode((b1 ++ b2).toDF("doc_id", "text"),
+          "doc_id", "text", pieces)
+        .orderBy("doc_id", "word_pos", "sym_pos")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(streamed === batch, "streamed encode must equal batch encode")
+      assert(streamed.exists(r => r._1 == 3L && r._4 == 0L),
+        "the unseen char must surface as UNK 0 through the stream")
+      spark.catalog.refreshTable("uni_enc_out_commits")
+      assert(spark.table("uni_enc_out_commits").count() === 2L)
+      val n0 = spark.table("uni_enc_out").count()
+      val committed = spark.table("uni_enc_out_commits")
+        .as[(String, Long)].collect().head
+      graft.streaming.Streams.unigramEncodeBatch(b1.toDF("doc_id", "text"),
+        "doc_id", "text", pieces, "uni_enc_out",
+        committed._1, committed._2)
+      assert(spark.table("uni_enc_out").count() === n0,
+        "committed batch must not re-append")
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("sq8IndexStream: streamed appends == full build; committed replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.Similarity
