@@ -305,6 +305,24 @@ object Unigram {
     val spark = docs.sparkSession
     import spark.implicits._
     val ids = pieces.map(_._1).zipWithIndex.map { case (p, i) => (p, i + 1L) }
+    val idTable = broadcast(ids.toDF("piece", "token_id"))
+    pieceStream(docs, idCol, textCol, pieces, maxPieceLen)
+      .join(idTable, Seq("piece"), "left")
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        col("sym_pos").cast("long").as("sym_pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
+  /** The shared encode pipeline: the corpus's ordered PIECE stream
+    * (idCol, word_pos, sym_pos, piece) before id assignment — unseen
+    * characters surface as their own single-char pieces (the
+    * [[UnkPieceScore]] contract), so consumers choose the id policy:
+    * UNK 0 ([[encode]]) or byte expansion ([[encodeFallback]]). */
+  private def pieceStream(docs: DataFrame, idCol: String, textCol: String,
+                          pieces: Seq[(String, Long, Long)],
+                          maxPieceLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val tok = docs.select(col(idCol),
       posexplode(filter(Text.words(col(textCol)), w => length(w) > 0))
         .as(Seq("word_pos", "w0")))
@@ -331,13 +349,56 @@ object Unigram {
       .agg(flatten(array_sort(collect_list(struct(col("ci"), col("pieces"))))
         .getField("pieces")).as("pieces"))
       .localCheckpoint(false)
-    val idTable = broadcast(ids.toDF("piece", "token_id"))
     tok.join(w0Segs, Seq("w0"))
       .select(col(idCol), col("word_pos"),
         posexplode(col("pieces")).as(Seq("sym_pos", "piece")))
+  }
+
+  /** Byte-fallback id layout in the SentencePiece STYLE (the
+    * [[Bpe.symbolIdsFallback]] convention): 256 reserved `<0xNN>`
+    * byte tokens (ids 1..256), then the specials, then the learned
+    * pieces in their UTF-8 training order — so every id below the
+    * learned range is environment-independent and a piece table can
+    * grow without renumbering the bytes. */
+  def symbolIdsFallback(pieces: Seq[(String, Long, Long)],
+                        specials: Seq[String] = Bpe.Specials): Seq[(String, Long)] = {
+    val learned = pieces.map(_._1)
+    val reserved = (0 until 256).map(Bpe.byteToken) ++ specials
+    val clash = learned.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"symbolIdsFallback: learned pieces collide with reserved token " +
+        s"names: ${clash.mkString(", ")}")
+    (reserved ++ learned).zipWithIndex
+      .map { case (s, i) => (s, (i + 1).toLong) }
+  }
+
+  /** Byte-fallback encode (SentencePiece's `byte_fallback`, the
+    * [[Bpe.encodeFallback]] shape): pieces absent from the id table —
+    * under this layout exactly the unseen single characters — expand
+    * into their UTF-8 byte tokens instead of collapsing to UNK, so
+    * serving a frozen tokenizer against a drifted corpus loses ZERO
+    * information. Output (idCol, word_pos, sym_pos, fb_pos, token_id):
+    * known pieces carry one row at fb_pos 0; an unseen piece carries
+    * one row per UTF-8 byte. */
+  def encodeFallback(docs: DataFrame, idCol: String, textCol: String,
+                     pieces: Seq[(String, Long, Long)],
+                     ids: Seq[(String, Long)],
+                     maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idTable = broadcast(ids.toDF("piece", "token_id"))
+    val bin = org.apache.spark.sql.functions.encode(col("piece"), "UTF-8")
+    val byteNames = transform(sequence(lit(1), length(bin)),
+      i => concat(lit("<0x"), hex(substring(bin, i, lit(1))), lit(">")))
+    pieceStream(docs, idCol, textCol, pieces, maxPieceLen)
       .join(idTable, Seq("piece"), "left")
+      .select(col(idCol), col("word_pos"), col("sym_pos"),
+        posexplode(when(col("token_id").isNotNull, array(col("piece")))
+          .otherwise(byteNames)).as(Seq("fb_pos", "part")))
+      .join(idTable.withColumnRenamed("piece", "part"), Seq("part"), "left")
       .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
         col("sym_pos").cast("long").as("sym_pos"),
+        col("fb_pos").cast("long").as("fb_pos"),
         coalesce(col("token_id"), lit(0L)).as("token_id"))
   }
 }

@@ -138,16 +138,20 @@ object LlmQueries {
        |    ln(CAST(cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))) AS BIGINT) AS s
        |  FROM uc$t, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uc$t) tt)""".stripMargin
 
-  /** One Viterbi pass (pass `t`, piece scores `us{t-1}`): DP frontier
-    * CTEs udp{t}_0..MaxWordLen, final states useg{t} (w, freq, seg). */
-  private def unigramDpCtes(t: Int): String = {
+  /** One Viterbi pass (pass `t`): DP frontier CTEs
+    * udp{t}_0..MaxWordLen over `wordsCte`, scored by `scoreCte`
+    * (defaults: the training word table and the previous round's
+    * scores), final states useg{t} (w, freq, seg). */
+  private def unigramDpCtes(t: Int, wordsCte: String = "uwf",
+                            scoreCte: String = ""): String = {
+    val sc0 = if (scoreCte.isEmpty) s"us${t - 1}" else scoreCte
     val L = graft.llm.Unigram.MaxWordLen
     val steps = (1 to L).map { j =>
       val cands = (1 to math.min(UnigramMaxPieceLen, j)).map { l =>
         s"""SELECT d.w, d.freq, d.sc + p.s AS sc, d.np + 1 AS np,
            |  CASE WHEN d.seg = '' THEN p.piece
            |       ELSE d.seg || ' ' || p.piece END AS seg
-           |FROM udp${t}_${j - l} d JOIN us${t - 1} p
+           |FROM udp${t}_${j - l} d JOIN $sc0 p
            |  ON len(d.w) >= $j AND p.piece = substr(d.w, ${j - l + 1}, $l)""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""udp${t}_$j AS MATERIALIZED (SELECT w, freq, sc, np, seg FROM (
@@ -159,7 +163,7 @@ object LlmQueries {
       .map(j => s"SELECT w, freq, seg FROM udp${t}_$j WHERE len(w) = $j")
       .mkString("\nUNION ALL\n")
     s"""udp${t}_0 AS MATERIALIZED (SELECT w, freq, CAST(0 AS BIGINT) AS sc, 0 AS np,
-       |  '' AS seg FROM uwf),
+       |  '' AS seg FROM $wordsCte),
        |${steps.mkString(",\n")},
        |useg$t AS MATERIALIZED (SELECT w, freq, seg FROM (
        |$fin) f)""".stripMargin
@@ -2790,6 +2794,24 @@ object LlmQueries {
         rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
       Unigram.encode(docs, "doc_id", "text", pieces)
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // SentencePiece byte_fallback for the unigram family (the
+    // llm_bpe_bytefallback convention): train on the ORIGINAL corpus,
+    // encode the OOV-suffixed corpus with the frozen pieces — unseen
+    // characters expand into reserved <0xNN> byte tokens (ids 1..256,
+    // specials next, learned pieces from 260) instead of UNK, zero
+    // information loss.
+    "llm_unigram_bytefallback" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+        maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+      val ids = Unigram.symbolIdsFallback(pieces)
+      val oov = docs.withColumn("text",
+        concat(col("text"), lit(BpeOovSuffix)))
+      Unigram.encodeFallback(oov, "doc_id", "text", pieces, ids)
+        .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"),
+          col("fb_pos"))
     }),
 
     // Cross-tokenizer fertility: per source, chars-per-token for BPE
@@ -5684,6 +5706,60 @@ object LlmQueries {
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit
     "llm_unigram_store" -> UnigramEncodeOracleSql,
+    // byte-fallback: train CTEs on the ORIGINAL corpus, one more DP
+    // pass over the SUFFIXED corpus's chunked words with unseen chars
+    // at the engine's sentinel score, learned ids at +259, unseen
+    // pieces exploded into 1 + ascii(byte) token ids (the suffix is
+    // ASCII — the BPE fallback oracle's fixture assumption)
+    "llm_unigram_bytefallback" -> {
+      val L = graft.llm.Unigram.MaxWordLen
+      s"""WITH $UnigramTrainCtes,
+         |${unigramScoreCte(UnigramRounds)},
+         |uwfo AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM (
+         |  SELECT unnest([substr(w0, $L*i + 1, $L)
+         |      for i in range(0, (len(w0) + ${L - 1}) // $L)]) AS w
+         |  FROM (SELECT unnest(string_split_regex(lower(text || '$BpeOovSuffix'),
+         |      '\\s+')) AS w0 FROM documents) t0
+         |  WHERE len(w0) > 0) t GROUP BY w),
+         |usf AS MATERIALIZED (SELECT piece, s FROM us$UnigramRounds
+         |  UNION ALL
+         |  SELECT c AS piece,
+         |    CAST(${graft.llm.Unigram.UnkPieceScore} AS BIGINT) AS s
+         |  FROM (SELECT DISTINCT unnest([w[i]
+         |      for i in range(1, len(w) + 1)]) AS c FROM uwfo) cc
+         |  ANTI JOIN us$UnigramRounds ON cc.c = piece),
+         |${unigramDpCtes(UnigramRounds + 1, wordsCte = "uwfo", scoreCte = "usf")},
+         |uidsf AS (SELECT piece,
+         |    row_number() OVER (ORDER BY piece) + 259 AS token_id
+         |  FROM uc$UnigramRounds),
+         |udwo AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
+         |    unnest(ws) AS w0
+         |  FROM (SELECT doc_id,
+         |      list_filter(string_split_regex(lower(text || '$BpeOovSuffix'),
+         |        '\\s+'), x -> len(x) > 0) AS ws FROM documents) t),
+         |uchko AS (SELECT w0,
+         |    unnest(range(0, (len(w0) + ${L - 1}) // $L)) AS ci
+         |  FROM (SELECT DISTINCT w0 FROM udwo) t),
+         |uwsego AS (SELECT w0, string_agg(seg, ' ' ORDER BY ci) AS seg FROM (
+         |  SELECT c.w0 AS w0, c.ci AS ci, g.seg AS seg
+         |  FROM (SELECT w0, ci, substr(w0, $L*ci + 1, $L) AS w FROM uchko) c
+         |  JOIN useg${UnigramRounds + 1} g USING (w)) t GROUP BY w0),
+         |uenco AS (SELECT doc_id, word_pos,
+         |    unnest(range(0, len(ps))) AS sym_pos, unnest(ps) AS piece
+         |  FROM (SELECT doc_id, word_pos, string_split(seg, ' ') AS ps
+         |        FROM udwo JOIN uwsego USING (w0)) t),
+         |uknown AS (SELECT doc_id, word_pos, sym_pos, 0 AS fb_pos, token_id
+         |  FROM uenco JOIN uidsf USING (piece)),
+         |uunk AS (SELECT doc_id, word_pos, sym_pos, i - 1 AS fb_pos,
+         |    1 + ascii(piece[CAST(i AS INT)]) AS token_id
+         |  FROM (SELECT doc_id, word_pos, sym_pos, piece,
+         |      unnest(range(1, len(piece) + 1)) AS i
+         |    FROM uenco ANTI JOIN uidsf USING (piece)) t)
+         |SELECT doc_id, word_pos, sym_pos, CAST(fb_pos AS BIGINT) AS fb_pos,
+         |  CAST(token_id AS BIGINT) AS token_id
+         |FROM (SELECT * FROM uknown UNION ALL SELECT * FROM uunk) u
+         |ORDER BY doc_id, word_pos, sym_pos, fb_pos""".stripMargin
+    },
     // BOTH tokenizer replays in one statement: the BPE merged vocab
     // (12 unrolled merges) and the unigram EM chain + encode-pass DP
     "llm_tokenizer_compare" -> {

@@ -105,6 +105,34 @@ class UnigramSpec extends SparkSpec {
       "the known content around the unseen char must survive intact")
   }
 
+  test("byte fallback: unseen chars expand to UTF-8 byte tokens; ids below the learned range are fixed") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val ids = Unigram.symbolIdsFallback(pieces)
+    val idOf = ids.toMap
+    // layout: <0xNN> at 1+NN, specials 257..259, learned from 260
+    assert(idOf(Bpe.byteToken(0)) === 1L && idOf(Bpe.byteToken(255)) === 256L)
+    assert(idOf("<|bos|>") === 257L && ids.filter(_._2 >= 260L)
+      .map(_._1) === pieces.map(_._1))
+    // 'é' is unseen (2 UTF-8 bytes) and 'z' is unseen (1 byte)
+    val serving = Seq((9L, "ban zé")).toDF("doc_id", "text")
+    val enc = Unigram.encodeFallback(serving, "doc_id", "text", pieces, ids)
+      .orderBy("doc_id", "word_pos", "sym_pos", "fb_pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(enc.forall(_._5 > 0L), "byte fallback must never emit UNK 0")
+    // the unseen word's tokens rebuild its exact UTF-8 bytes
+    val ze = enc.filter(e => e._1 == 9L && e._2 == 1L).sortBy(e => (e._3, e._4))
+    val names = ids.map(_.swap).toMap
+    val rebuilt = ze.map(e => names(e._5)).flatMap { n =>
+      if (n.startsWith("<0x")) Seq(Integer.parseInt(n.substring(3, 5), 16).toByte)
+      else n.getBytes("UTF-8").toSeq
+    }.toArray
+    assert(new String(rebuilt, "UTF-8") === "zé",
+      "byte tokens must rebuild the exact unseen content")
+    // known pieces stay single rows at fb_pos 0
+    assert(enc.filter(e => e._2 == 0L).forall(_._4 == 0L))
+  }
+
   test("chunks: 16-char slices cover the word exactly") {
     val got = Seq(Tuple1("a" * 35)).toDF("w")
       .select(Unigram.chunks(col("w")).as("c")).as[Seq[String]].head()
