@@ -780,6 +780,26 @@ object Graft {
                         ids: Seq[(String, Long)]): DataFrame =
     llm.Bpe.decodeFallback(stream, idCol, ids)
 
+  /** The unigram-LM tokenizer family (Kudo 2018, SentencePiece's
+    * other algorithm): hard-EM training, vocabSize-targeted pruning
+    * by exact micro-nat removal loss, corpus encode. */
+  def unigramTrain(docs: DataFrame, textCol: String, rounds: Int = 2,
+                   maxPieceLen: Int = 4, minCount: Long = 2L,
+                   seedSize: Int = 1000): Seq[(String, Long, Long)] =
+    llm.Unigram.trainLocal(docs, textCol, rounds, maxPieceLen, minCount,
+      seedSize)
+  def unigramPruneToVocab(pieces: Seq[(String, Long, Long)], vocabSize: Int,
+                          maxPieceLen: Int = 4): Seq[(String, Long, Option[Long], Long)] =
+    llm.Unigram.pruneToVocab(pieces, vocabSize, maxPieceLen)
+  def unigramEncode(docs: DataFrame, idCol: String, textCol: String,
+                    pieces: Seq[(String, Long, Long)],
+                    maxPieceLen: Int = 4): DataFrame =
+    llm.Unigram.encode(docs, idCol, textCol, pieces, maxPieceLen)
+  def unigramTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                         pieces: Seq[(String, Long, Long)],
+                         maxPieceLen: Int = 4): DataFrame =
+    llm.Unigram.tokenCounts(docs, idCol, textCol, pieces, maxPieceLen)
+
   /** Window-side packing boundaries — the per-(shard, pack) document
     * segments with in-window offsets (the sample-mask metadata). */
   def packBoundaries(counts: DataFrame, idCol: String = "doc_id",

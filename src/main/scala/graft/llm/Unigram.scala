@@ -157,6 +157,71 @@ object Unigram {
       .map { case (p, c) => (p, c, microLn(c, total)) }
   }
 
+  /** Best Viterbi SCORE of `w` under `scores` (ties don't change the
+    * max, so no tie-break is needed). With `excludeWhole` the DP may
+    * not use the single piece spanning all of `w` — the prune rule's
+    * "segment p without p" question; proper substrings can never
+    * equal `w`, so excluding the full-span candidate IS excluding the
+    * piece. Always feasible: single characters are never pruned. */
+  private[graft] def viterbiBestScore(w: String,
+                                      scores: collection.Map[String, Long],
+                                      maxPieceLen: Int,
+                                      excludeWhole: Boolean = false): Long = {
+    val NoPath = Long.MinValue
+    val dp = Array.fill(w.length + 1)(NoPath)
+    dp(0) = 0L
+    var j = 1
+    while (j <= w.length) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        val piece = w.substring(j - l, j)
+        if (!(excludeWhole && piece == w) && dp(j - l) != NoPath)
+          scores.get(piece).foreach { s =>
+            if (dp(j - l) + s > dp(j)) dp(j) = dp(j - l) + s
+          }
+        l += 1
+      }
+      j += 1
+    }
+    require(dp(w.length) != NoPath,
+      s"unigram viterbiBestScore: no segmentation for '$w'")
+    dp(w.length)
+  }
+
+  /** SentencePiece's vocabSize-targeted prune (Kudo 2018's prune
+    * step, the ACTUAL SentencePiece rule, in the hard-EM micro-nat
+    * discipline): a multi-char piece's LOSS is the exact likelihood
+    * drop if it were removed and each of its occurrences re-segmented
+    * by the REMAINING pieces — cnt · (own score − best alternative
+    * segmentation score of the piece's own string), all Long
+    * micro-nat arithmetic, so the ranking is bit-reproducible and
+    * oracle-replayable. Keeps every single character (the
+    * required-character set — chars are never pruned) plus the top
+    * (vocabSize − #chars) multi-char pieces by (loss desc, cnt desc,
+    * piece UTF-8 asc), then re-quantizes logp over the kept counts.
+    * Returns (piece, cnt, loss_micro — None for chars, logp_micro) in
+    * UTF-8 piece order. Driver-local at vocab scale, like the trainer
+    * it follows: the alt-segmentation DP runs once per multi-char
+    * piece over its own ≤ maxPieceLen characters. */
+  def pruneToVocab(pieces: Seq[(String, Long, Long)], vocabSize: Int,
+                   maxPieceLen: Int = 4): Seq[(String, Long, Option[Long], Long)] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val scores = pieces.iterator.map(p => (p._1, p._3)).toMap
+    val chars = pieces.filter(_._1.length == 1)
+    val multi = pieces.filter(_._1.length > 1).map { case (p, c, s) =>
+      val alt = viterbiBestScore(p, scores, maxPieceLen, excludeWhole = true)
+      (p, c, c * (s - alt))
+    }
+    val kept = multi.sortWith((a, b) => a._3 > b._3 || (a._3 == b._3 &&
+        (a._2 > b._2 || (a._2 == b._2 && utf8Lt(a._1, b._1)))))
+      .take(math.max(0, vocabSize - chars.size))
+    val all = chars.map(c => (c._1, c._2, None: Option[Long])) ++
+      kept.map(m => (m._1, m._2, Some(m._3)))
+    val total = all.iterator.map(_._2).sum
+    all.sortWith((a, b) => utf8Lt(a._1, b._1))
+      .map { case (p, c, lo) => (p, c, lo, microLn(c, total)) }
+  }
+
   /** Distributed Viterbi over a DISTINCT-chunk frame (`w` column):
     * the bounded [[MaxWordLen]]-step DP as a chain of vocab-scale
     * joins — step j joins each of the last `maxPieceLen` DP frontiers

@@ -256,6 +256,63 @@ object LlmQueries {
        |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
   }
 
+  /** vocabSize target for the prune query — the trained table holds
+    * ~24 chars + ~36 multi-char pieces at both verified fixture
+    * scales, so 40 keeps a ~16-piece multi-char tail and the rule
+    * actually DROPS pieces (a target above ~60 would make the query
+    * an oracle-green no-op). */
+  private val UnigramPruneVocab = 40
+
+  /** The prune oracle: replay training, then for each multi-char
+    * piece run the alt-segmentation DP (the same bounded Viterbi with
+    * the full-span candidate EXCLUDED — `p.piece <> d.w` — which is
+    * exactly "segment p without p" since proper substrings can't
+    * equal the whole), score-only (max per position, no tie-break),
+    * rank by the pinned (loss desc, cnt desc, piece asc) order, keep
+    * chars + top (vocabSize − #chars), re-quantize logp over the kept
+    * counts. */
+  private lazy val UnigramPruneOracleSql: String = {
+    val R = UnigramRounds
+    val steps = (1 to UnigramMaxPieceLen).map { j =>
+      val cands = (1 to math.min(UnigramMaxPieceLen, j)).map { l =>
+        s"""SELECT d.w, d.sc + p.s AS sc
+           |FROM uadp${j - l} d JOIN us$R p
+           |  ON len(d.w) >= $j AND p.piece = substr(d.w, ${j - l + 1}, $l)
+           |  AND p.piece <> d.w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""uadp$j AS MATERIALIZED (SELECT w, max(sc) AS sc FROM (
+         |$cands) c GROUP BY w)""".stripMargin
+    }
+    val fin = (2 to UnigramMaxPieceLen)
+      .map(j => s"SELECT w, sc FROM uadp$j WHERE len(w) = $j")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $UnigramTrainCtes,
+       |${unigramScoreCte(R)},
+       |uadp0 AS (SELECT piece AS w, CAST(0 AS BIGINT) AS sc
+       |  FROM uc$R WHERE len(piece) > 1),
+       |${steps.mkString(",\n")},
+       |ualt AS (SELECT w, sc FROM ($fin) f),
+       |uloss AS (SELECT c.piece, c.cnt,
+       |    CAST(c.cnt * (s.s - a.sc) AS BIGINT) AS loss_micro
+       |  FROM uc$R c JOIN us$R s USING (piece) JOIN ualt a ON a.w = c.piece
+       |  WHERE len(c.piece) > 1),
+       |ukeep AS (
+       |  SELECT piece, cnt, CAST(NULL AS BIGINT) AS loss_micro
+       |  FROM uc$R WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt, loss_micro FROM (
+       |    SELECT piece, cnt, loss_micro, row_number()
+       |        OVER (ORDER BY loss_micro DESC, cnt DESC, piece) AS rn
+       |    FROM uloss) t
+       |  WHERE rn <= $UnigramPruneVocab -
+       |    (SELECT count(*) FROM uc$R WHERE len(piece) = 1))
+       |SELECT piece, cnt, loss_micro, CAST(floor(1000000.0 *
+       |    ln(CAST(cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))) AS BIGINT)
+       |  AS logp_micro
+       |FROM ukeep, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukeep) tt
+       |ORDER BY piece""".stripMargin
+  }
+
   /** The injected boilerplate for the repeated-span queries — an
     * 11-word suffix on every 7th document, so k=8 windows fully inside
     * it recur corpus-wide while windows straddling the document/suffix
@@ -2853,6 +2910,22 @@ object LlmQueries {
         rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
       Unigram.encode(docs, "doc_id", "text", Unigram.readTokenizer(s, path))
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // SentencePiece's vocabSize-targeted prune: rank every multi-char
+    // piece by the exact micro-nat likelihood drop its removal would
+    // cost (cnt · (own score − best alt segmentation)), keep chars +
+    // top-N — the ACTUAL SentencePiece prune rule next to the
+    // trainer's minCount support rule. Oracle replays the loss DP
+    // with the full-span candidate excluded.
+    "llm_unigram_prune" -> ((s, dir) => {
+      import s.implicits._
+      Unigram.pruneToVocab(
+          Unigram.trainLocal(t(s, dir, "documents"), "text",
+            rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000),
+          vocabSize = UnigramPruneVocab)
+        .toDF("piece", "cnt", "loss_micro", "logp_micro")
+        .orderBy(col("piece"))
     }),
 
     // Pairwise exact shingle-Jaccard between sources — the
@@ -5703,6 +5776,7 @@ object LlmQueries {
     "llm_bpe_store" -> BpeEncodeOracleSql,
     "llm_bpe_bytefallback" -> BpeByteFallbackOracleSql,
     "llm_unigram_train" -> UnigramTrainOracleSql,
+    "llm_unigram_prune" -> UnigramPruneOracleSql,
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit
     "llm_unigram_store" -> UnigramEncodeOracleSql,

@@ -133,6 +133,47 @@ class UnigramSpec extends SparkSpec {
     assert(enc.filter(e => e._2 == 0L).forall(_._4 == 0L))
   }
 
+  test("pruneToVocab: chars always survive, loss ranks the multis, logp re-quantized over kept counts") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val chars = pieces.filter(_._1.length == 1)
+    val nMulti = pieces.size - chars.size
+    assert(nMulti >= 3, "fixture must train multi-char pieces")
+    // a target that drops all but the top multi piece
+    val target = chars.size + 1
+    val pruned = Unigram.pruneToVocab(pieces, target)
+    assert(pruned.size === target)
+    assert(pruned.filter(_._1.length == 1).map(_._1) === chars.map(_._1),
+      "the required-character set must survive any target")
+    // the kept multi is the argmax of the documented loss rule
+    val scores = pieces.map(p => p._1 -> p._3).toMap
+    val losses = pieces.filter(_._1.length > 1).map { case (p, c, s) =>
+      (p, c, c * (s - Unigram.viterbiBestScore(p, scores, 4, excludeWhole = true)))
+    }
+    val want = losses.sortBy(l => (-l._3, -l._2, l._1)).head
+    val keptMulti = pruned.filter(_._1.length > 1)
+    assert(keptMulti.map(_._1) === Seq(want._1))
+    assert(keptMulti.head._3 === Some(want._3), "loss column must carry the rule's value")
+    assert(pruned.filter(_._1.length == 1).forall(_._3.isEmpty),
+      "chars carry no loss — they are never candidates")
+    // losses are the true removal cost: alt path never beats the piece itself
+    losses.foreach { case (p, _, lo) =>
+      assert(lo >= 0L, s"piece '$p' has negative removal loss $lo")
+    }
+    // logp re-quantized over the KEPT counts only
+    val total = pruned.map(_._2).sum
+    pruned.foreach { case (p, c, _, lp) =>
+      assert(lp === Unigram.microLn(c, total), s"piece '$p' logp not re-quantized")
+    }
+    // a target >= |pieces| keeps everything (ordering aside, same set)
+    assert(Unigram.pruneToVocab(pieces, pieces.size + 5).map(_._1)
+      === pieces.map(_._1))
+    // the excluded-whole DP really excludes: a piece whose only
+    // segmentation WITH itself is itself scores strictly worse without
+    val best = Unigram.viterbiBestScore(want._1, scores, 4)
+    assert(best >= scores(want._1), "full-span candidate bounds the DP")
+  }
+
   test("chunks: 16-char slices cover the word exactly") {
     val got = Seq(Tuple1("a" * 35)).toDF("w")
       .select(Unigram.chunks(col("w")).as("c")).as[Seq[String]].head()
