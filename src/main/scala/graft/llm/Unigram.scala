@@ -111,6 +111,45 @@ object Unigram {
     best(w.length).seg
   }
 
+  /** Top-`kBest` DISTINCT segmentations of one word by the pinned
+    * total order (score desc, piece-count asc, UTF-8 seg-string asc)
+    * — the exact k-best Viterbi: scores are additive, so keeping the
+    * k best states per position yields the global k best (a
+    * suboptimal prefix can never enter the top k at the end), and two
+    * different paths always differ in their seg string, so no dedup
+    * is needed. `kBest` = 1 degenerates to [[viterbi]]. */
+  private[graft] def viterbiTopK(w: String,
+                                 scores: collection.Map[String, Long],
+                                 maxPieceLen: Int,
+                                 kBest: Int): Seq[Seq[String]] = {
+    case class St(sc: Long, np: Int, seg: Vector[String]) {
+      lazy val key: String = seg.mkString(" ")
+    }
+    def before(a: St, b: St): Boolean =
+      a.sc > b.sc || (a.sc == b.sc && (a.np < b.np ||
+        (a.np == b.np && utf8Lt(a.key, b.key))))
+    val best = Array.fill(w.length + 1)(Vector.empty[St])
+    best(0) = Vector(St(0L, 0, Vector.empty))
+    var j = 1
+    while (j <= w.length) {
+      val cands = Vector.newBuilder[St]
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        val piece = w.substring(j - l, j)
+        scores.get(piece).foreach { s =>
+          best(j - l).foreach(prev =>
+            cands += St(prev.sc + s, prev.np + 1, prev.seg :+ piece))
+        }
+        l += 1
+      }
+      best(j) = cands.result().sortWith(before).take(kBest)
+      j += 1
+    }
+    require(best(w.length).nonEmpty,
+      s"unigram viterbiTopK: no segmentation for '$w'")
+    best(w.length).map(_.seg)
+  }
+
   /** Train `rounds` hard-EM rounds over the collected word table and
     * return the final piece table (piece, count, logp_micro) in UTF-8
     * piece order. Seed: every single character (kept forever — the
@@ -121,13 +160,24 @@ object Unigram {
     * distinct word, re-count pieces from the chosen segmentations
     * weighted by word frequency, then prune multi-char pieces below
     * `minCount` and floor each character's count at 1 (ln(0) guard —
-    * the add-one face of SentencePiece's required-character set). */
+    * the add-one face of SentencePiece's required-character set).
+    *
+    * `kBest` > 1 is the DETERMINISTIC l-best EM (Kudo 2018's n-best
+    * approximation of the soft E-step, integer-weighted): each of the
+    * word's top-`kBest` segmentations by the pinned total order
+    * contributes the full word frequency to its pieces' counts —
+    * credit flows to competitive alternatives a pure Viterbi E-step
+    * starves, without the soft E-step's order-dependent float sums
+    * (true expected counts need exp/log-sum-exp, whose summation
+    * order Spark and DuckDB cannot pin — this variant stays exact
+    * Long arithmetic, so training remains oracle-replayable). */
   def trainLocal(docs: DataFrame, textCol: String, rounds: Int = 2,
                  maxPieceLen: Int = 4, minCount: Long = 2L,
-                 seedSize: Int = 1000): Seq[(String, Long, Long)] = {
+                 seedSize: Int = 1000, kBest: Int = 1): Seq[(String, Long, Long)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(kBest >= 1, s"kBest must be >= 1, got $kBest")
     val wf: Array[(String, Long)] = wordFreq(docs, textCol)
       .select(col("w"), col("freq")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -145,7 +195,10 @@ object Unigram {
       val total = counts.valuesIterator.sum
       val scores = counts.map { case (p, c) => p -> microLn(c, total) }
       val raw = scala.collection.mutable.HashMap.empty[String, Long]
-      for ((w, f) <- wf; p <- viterbi(w, scores, maxPieceLen))
+      for ((w, f) <- wf;
+           seg <- (if (kBest == 1) Seq(viterbi(w, scores, maxPieceLen))
+                   else viterbiTopK(w, scores, maxPieceLen, kBest));
+           p <- seg)
         raw.update(p, raw.getOrElse(p, 0L) + f)
       counts = counts.iterator.flatMap { case (p, _) =>
         if (p.length == 1) Some(p -> math.max(raw.getOrElse(p, 0L), 1L))

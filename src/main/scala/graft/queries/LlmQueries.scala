@@ -141,9 +141,13 @@ object LlmQueries {
   /** One Viterbi pass (pass `t`): DP frontier CTEs
     * udp{t}_0..MaxWordLen over `wordsCte`, scored by `scoreCte`
     * (defaults: the training word table and the previous round's
-    * scores), final states useg{t} (w, freq, seg). */
+    * scores), final states useg{t} (w, freq, seg). `k` > 1 keeps the
+    * top-k states per word at every step — the exact k-best Viterbi
+    * (additive scores: the global top k live inside the per-position
+    * top k), so useg{t} carries up to k segmentation rows per word,
+    * each with the word's full freq — the l-best E-step's replay. */
   private def unigramDpCtes(t: Int, wordsCte: String = "uwf",
-                            scoreCte: String = ""): String = {
+                            scoreCte: String = "", k: Int = 1): String = {
     val sc0 = if (scoreCte.isEmpty) s"us${t - 1}" else scoreCte
     val L = graft.llm.Unigram.MaxWordLen
     val steps = (1 to L).map { j =>
@@ -157,7 +161,7 @@ object LlmQueries {
       s"""udp${t}_$j AS MATERIALIZED (SELECT w, freq, sc, np, seg FROM (
          |  SELECT *, row_number() OVER (PARTITION BY w
          |    ORDER BY sc DESC, np, seg) AS rn FROM (
-         |$cands) c) r WHERE rn = 1)""".stripMargin
+         |$cands) c) r WHERE rn <= $k)""".stripMargin
     }
     val fin = (1 to L)
       .map(j => s"SELECT w, freq, seg FROM udp${t}_$j WHERE len(w) = $j")
@@ -217,8 +221,9 @@ object LlmQueries {
            |${unigramDpCtes(t)},
            |${unigramRoundTail(t)}""".stripMargin)).mkString(",\n")
 
-  private lazy val UnigramTrainOracleSql: String =
-    s"""WITH $UnigramTrainCtes
+  /** Final piece-table projection over a training chain's last uc. */
+  private def unigramTrainOracle(ctes: String): String =
+    s"""WITH $ctes
        |SELECT piece, cnt, CAST(floor(1000000.0 *
        |    ln(CAST(cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))) AS BIGINT)
        |  AS logp_micro
@@ -226,6 +231,18 @@ object LlmQueries {
        |  (SELECT CAST(sum(cnt) AS BIGINT) AS total
        |   FROM uc$UnigramRounds) tt
        |ORDER BY piece""".stripMargin
+
+  private lazy val UnigramTrainOracleSql: String =
+    unigramTrainOracle(UnigramTrainCtes)
+
+  /** l-best EM replay: the SAME chain with k-best DP frontiers. */
+  private val UnigramNbestK = 2
+  private lazy val UnigramNbestOracleSql: String =
+    unigramTrainOracle((UnigramSeedCtes +:
+      (1 to UnigramRounds).map(t =>
+        s"""${unigramScoreCte(t - 1)},
+           |${unigramDpCtes(t, k = UnigramNbestK)},
+           |${unigramRoundTail(t)}""".stripMargin)).mkString(",\n"))
 
   private lazy val UnigramEncodeOracleSql: String = {
     val L = graft.llm.Unigram.MaxWordLen
@@ -2910,6 +2927,20 @@ object LlmQueries {
         rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
       Unigram.encode(docs, "doc_id", "text", Unigram.readTokenizer(s, path))
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // The l-best EM variant (Kudo 2018's n-best approximation of the
+    // soft E-step, integer-weighted so it stays deterministic): each
+    // word's top-2 segmentations by the pinned total order BOTH feed
+    // the recount — credit reaches competitive alternatives the pure
+    // Viterbi E-step starves, with zero float sums. Oracle: the same
+    // unrolled chain with k-best DP frontiers (rn <= 2).
+    "llm_unigram_nbest" -> ((s, dir) => {
+      import s.implicits._
+      Unigram.trainLocal(t(s, dir, "documents"), "text",
+          rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000,
+          kBest = 2)
+        .toDF("piece", "cnt", "logp_micro").orderBy(col("piece"))
     }),
 
     // SentencePiece's vocabSize-targeted prune: rank every multi-char
@@ -5777,6 +5808,7 @@ object LlmQueries {
     "llm_bpe_bytefallback" -> BpeByteFallbackOracleSql,
     "llm_unigram_train" -> UnigramTrainOracleSql,
     "llm_unigram_prune" -> UnigramPruneOracleSql,
+    "llm_unigram_nbest" -> UnigramNbestOracleSql,
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit
     "llm_unigram_store" -> UnigramEncodeOracleSql,

@@ -174,6 +174,42 @@ class UnigramSpec extends SparkSpec {
     assert(best >= scores(want._1), "full-span candidate bounds the DP")
   }
 
+  test("l-best EM: top-k DP extends viterbi, paths distinct and pinned-ordered, k=2 training shifts counts deterministically") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 1,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val scores = pieces.map(p => p._1 -> p._3).toMap
+    val words = Unigram.wordFreq(docs, "text").as[(String, Long)]
+      .collect().map(_._1)
+    words.foreach { w =>
+      val top = Unigram.viterbiTopK(w, scores, 4, kBest = 3)
+      // path 1 is exactly the 1-best viterbi
+      assert(top.head === Unigram.viterbi(w, scores, 4), s"'$w' head drifted")
+      // all paths distinct, all rebuild the word, count bounded by k
+      assert(top.size <= 3 && top.distinct.size === top.size)
+      top.foreach(seg => assert(seg.mkString === w))
+      // pinned order: scores non-increasing; ties by (np, seg)
+      val keyed = top.map(seg =>
+        (seg.map(scores).sum, seg.length, seg.mkString(" ")))
+      assert(keyed === keyed.sortBy(k => (-k._1, k._2, k._3)),
+        s"'$w' paths out of pinned order")
+    }
+    // kBest=2 training: deterministic, chars still never pruned, and
+    // the E-step really shifts mass vs pure Viterbi
+    val nbest = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000, kBest = 2)
+    assert(nbest === Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000, kBest = 2))
+    val vit = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    assert(nbest.map(p => p._1 -> p._2).toMap !=
+      vit.map(p => p._1 -> p._2).toMap,
+      "2-best E-step must move counts on this fixture")
+    val chars = docs.as[(Long, String)].collect()
+      .flatMap(_._2.toLowerCase.replace(" ", "")).toSet
+    val have = nbest.map(_._1).toSet
+    chars.foreach(c => assert(have.contains(c.toString)))
+  }
+
   test("chunks: 16-char slices cover the word exactly") {
     val got = Seq(Tuple1("a" * 35)).toDF("w")
       .select(Unigram.chunks(col("w")).as("c")).as[Seq[String]].head()
