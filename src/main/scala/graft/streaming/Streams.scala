@@ -544,6 +544,70 @@ object Streams {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $trimmedTable")
     }
 
+  /** Full rebuild of the span gate's standing state from the corpus's
+    * LATEST versions — the remedy for [[spanTrimDeltaStream]]'s
+    * documented staleness: superseded versions' window keys stay in
+    * the append-only index forever, so df over-counts (conservative
+    * but monotonically growing) and the index never shrinks. The
+    * rebuild re-keys the index from the latest corpus versions and
+    * rewrites the trimmed product to the one-shot
+    * [[graft.llm.Dedup.trimRepeatedSpans]] over those versions — the
+    * exact table a fresh stream fed only the latest content would
+    * converge to (the spec differential).
+    *
+    * Corpus-scale by design (this is MAINTENANCE, run rarely — the
+    * [[compactSpanTrimmed]] cadence, never per batch). MUST NOT run
+    * concurrently with the stream (catalog renames race appends).
+    * Each rewritten row carries the table's current max `batch_seq`,
+    * so every future stream batch (whose batchId is strictly larger —
+    * checkpointed batchIds only grow) still wins the keep-latest fold
+    * against rebuilt rows. Crash-safe by idempotence: both rewrites
+    * derive from the corpus alone, so a re-run after a crash between
+    * the two swaps (or mid-swap — the side-by-side `__rebuild` table
+    * plus DROP/RENAME leaves at worst a missing catalog name whose
+    * content the re-run regenerates) converges to the same state. */
+  def rebuildSpanTrim(spark: SparkSession, corpusTable: String,
+                      indexTable: String, trimmedTable: String,
+                      idCol: String, textCol: String,
+                      k: Int = 8, minDf: Long = 2L,
+                      indexBuckets: Int = 8): Unit = {
+    require(spark.catalog.tableExists(corpusTable),
+      s"rebuildSpanTrim: corpus table $corpusTable does not exist")
+    spark.catalog.refreshTable(corpusTable)
+    val verW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(SeqCol).desc)
+    val latest = spark.table(corpusTable)
+      .withColumn("__rn", row_number().over(verW))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(false)
+    // 1. the index: latest versions' window keys only
+    val keys = graft.llm.Dedup.spanKeys(latest, idCol, textCol, k)
+    val idxTmp = indexTable + "__rebuild"
+    spark.sql(s"DROP TABLE IF EXISTS $idxTmp")
+    keys.write.bucketBy(indexBuckets, "h").sortBy("h")
+      .format("parquet").saveAsTable(idxTmp)
+    spark.sql(s"DROP TABLE IF EXISTS $indexTable")
+    spark.sql(s"ALTER TABLE $idxTmp RENAME TO $indexTable")
+    // 2. the product: the one-shot trim over the same versions, ONE
+    // row per document at the standing max seq (future batches, all
+    // strictly newer, keep winning the fold)
+    val seqMax =
+      if (spark.catalog.tableExists(trimmedTable)) {
+        spark.catalog.refreshTable(trimmedTable)
+        spark.table(trimmedTable)
+          .agg(coalesce(max(col("batch_seq")), lit(0L))).head().getLong(0)
+      } else 0L
+    val oneShot = graft.llm.Dedup.trimRepeatedSpans(latest, idCol, textCol,
+        k, minDf)
+      .withColumn("batch_seq", lit(seqMax))
+    val trimTmp = trimmedTable + "__rebuild"
+    spark.sql(s"DROP TABLE IF EXISTS $trimTmp")
+    oneShot.write.format("parquet").saveAsTable(trimTmp)
+    spark.sql(s"DROP TABLE IF EXISTS $trimmedTable")
+    spark.sql(s"ALTER TABLE $trimTmp RENAME TO $trimmedTable")
+  }
+
   /** First batch: the standing tables don't exist yet — dedup against
     * empty frames, then create them via the first append. */
   private def tableOr(spark: SparkSession, name: String,

@@ -680,6 +680,80 @@ class StreamingPipelineSpec extends SparkSpec {
     dropAll()
   }
 
+  test("rebuildSpanTrim: stale index re-keyed from latest versions, product == one-shot, future batches still win the fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // crawl 1: d1/d2 share span X (both trim), d3 unique.
+    // crawl 2: d2 CHANGED to span-free content — in the LATEST corpus
+    // span X lives only in d1 (df 1), but the append-only index keeps
+    // old d2's keys, so the maintained product conservatively keeps
+    // d1 trimmed. The rebuild is the remedy under test.
+    val c1 = Seq(
+      (1L, "aa bb x1 x2 x3 cc"),
+      (2L, "x1 x2 x3 dd"),
+      (3L, "ee ff gg"))
+    val d2new = (2L, "pp qq rr")
+    val c2 = c1.map(r => if (r._1 == 2L) d2new else r)
+    val (corpusT, indexT, trimT) = ("rsp_corpus", "rsp_index", "rsp_trim")
+    val tables = Seq(corpusT, indexT, trimT, trimT + "_commits")
+    def dropAll(): Unit = tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    dropAll()
+    val ck = graft.util.Scratch.dir("spantrim_rebuild_ck")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.spanTrimDeltaStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusT, indexT, trimT, ck, k = 3, minDf = 2L)
+    def product() = graft.streaming.Streams
+      .readSpanTrimmed(spark, trimT, "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    def oneShot(rows: Seq[(Long, String)]) = Dedup.trimRepeatedSpans(
+        rows.toDF("doc_id", "text"), "doc_id", "text", k = 3, minDf = 2L)
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    def fresh(t: String) = { spark.catalog.refreshTable(t); spark.table(t) }
+    try {
+      in.addData(c1: _*); q.processAllAvailable()
+      in.addData(c2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // pre-rebuild: the documented conservative staleness is REAL here
+    assert(product().find(_._1 == 1L).get._2 === "aa bb cc",
+      "fixture must exhibit the stale-index over-trim before rebuild")
+    assert(product() !== oneShot(c2))
+    val corpusN = fresh(corpusT).count()
+    graft.streaming.Streams.rebuildSpanTrim(spark, corpusT, indexT, trimT,
+      "doc_id", "text", k = 3, minDf = 2L)
+    // index re-keyed from latest versions only; corpus untouched
+    val latestKeys = Dedup.spanKeys(c2.toDF("doc_id", "text"),
+      "doc_id", "text", 3).as[(Long, Long, String)].collect().toSet
+    assert(fresh(indexT).as[(Long, Long, String)].collect().toSet
+      === latestKeys, "index must hold exactly the latest versions' keys")
+    assert(fresh(corpusT).count() === corpusN, "rebuild must not touch the corpus")
+    // product == one-shot over latest; d1's content restored; 1 row/doc
+    assert(product() === oneShot(c2))
+    assert(product().find(_._1 == 1L).get._2 === "aa bb x1 x2 x3 cc")
+    assert(fresh(trimT).count() === 3L, "rebuild folds to one version per doc")
+    // idempotent
+    graft.streaming.Streams.rebuildSpanTrim(spark, corpusT, indexT, trimT,
+      "doc_id", "text", k = 3, minDf = 2L)
+    assert(product() === oneShot(c2))
+    // a future batch outranks rebuilt rows: new d4 re-shares span X,
+    // so d1 re-trims via the blast radius and d4 trims — against the
+    // REBUILT (fresh-df) index
+    val d4 = Seq((4L, "x1 x2 x3 zz"))
+    graft.streaming.Streams.spanTrimBatch(d4.toDF("doc_id", "text"),
+      corpusT, indexT, trimT, "doc_id", "text", 3, 2L, 8, "manual", 10L)
+    assert(product() === oneShot(c2 ++ d4),
+      "post-rebuild batches must win the keep-latest fold and see fresh df")
+    assert(product().find(_._1 == 1L).get._2 === "aa bb cc")
+    dropAll()
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats
