@@ -1480,16 +1480,69 @@ object Similarity {
     * files, the edge-partition rewrite is IDEMPOTENT (re-merging into
     * an already-merged list is a no-op, so a retry over a
     * half-published edge store converges to the same content), and
-    * the tag publishes inside the centroid swap's atomic rename. */
+    * the tag publishes inside the centroid swap's atomic rename.
+    *
+    * `autoRebuild` turns the cap-overflow failure into the documented
+    * recovery, inline: the geometry retrains on stored ∪ batch under
+    * the SAME held lock (sized against the store's own maxCluster
+    * with 2x headroom), and since the rebuild rewrites vectors and
+    * edges wholesale from the quantized rows, the batch lands THROUGH
+    * it — equivalent to a from-scratch build over everything at the
+    * fresh geometry, which is exactly what the overflow's manual
+    * remedy produces. The overflow check precedes every store
+    * mutation, so the rebuild always starts from a consistent store;
+    * the batch tag commits through the rebuild's centroid swap, so
+    * replays still no-op. Cost is corpus-scale when it fires (a
+    * rebuild IS corpus-scale) — the flag is for unattended ingest
+    * where loud failure is worse than a rare retrain. */
   def appendToKnnGraphStore(df: DataFrame, idCol: String, embCol: String,
                             path: String,
-                            batchTag: Option[String] = None): Unit = {
+                            batchTag: Option[String] = None,
+                            autoRebuild: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      val overflowed = appendGraphLocked(df, idCol, embCol, path, batchTag,
+        failOnOverflow = !autoRebuild)
+      if (overflowed) {
+        // auto mode: the overflow means the geometry is stale for
+        // stored ∪ batch, so retraining on the STORE ALONE could
+        // leave cells the batch still floods (a batch from a region
+        // the store never saw). Instead, rebuild on stored ∪ batch
+        // UNDER THE SAME HELD LOCK (the re-entrancy story — the
+        // Locked bodies never re-acquire): the rebuild rewrites
+        // vectors and edges from the quantized rows wholesale, so it
+        // IS the append — the batch lands through it and the batch
+        // tag commits through its centroid swap (replays keep
+        // no-oping). Geometry sized against the store's own
+        // maxCluster with 2x headroom.
+        val batchEq = df.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("eq"))
+        val nStored = spark.read.parquet(s"$path/vectors")
+          .filter(col("probe") === 1L).count()
+        val nBatch = batchEq.count()
+        val maxCluster = spark.read.parquet(s"$path/meta").head().getLong(2)
+        val target = math.max(1L, maxCluster / 2L)
+        val minNlist = math.max(4L, (nStored + nBatch + target - 1L) / target)
+        rebuildGraphLocked(spark, path, targetCell = target,
+          minNlist = minNlist.toInt, iters = 2, extraEq = Some(batchEq),
+          addLedger = batchTag.map(graft.io.Tables.appliedLedgerLine).toSeq)
+      }
+    }
+  }
+
+  /** The append body, lock ALREADY HELD by the caller. Returns true
+    * iff the batch would overflow a cell and `failOnOverflow` is
+    * false (nothing written in that case — the cap check precedes
+    * every store mutation). */
+  private def appendGraphLocked(df: DataFrame, idCol: String, embCol: String,
+                                path: String, batchTag: Option[String],
+                                failOnOverflow: Boolean): Boolean = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+    {
       val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
       val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
-      if (tagLine.exists(applied.contains)) return // replayed batch: no-op
+      if (tagLine.exists(applied.contains)) return false // replayed batch: no-op
       graft.io.Tables.warnIfLedgerWrapped(spark, s"$path/centroids", tagLine)
       // heal a prior append that crashed inside replacePartitions'
       // rename window BEFORE deriving retry content — a home partition
@@ -1529,10 +1582,14 @@ object Similarity {
           (coalesce(col("o"), lit(0L)) + coalesce(col("n"), lit(0L))).as("bc"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       val over = cellCounts.filter(_._2 > maxCluster)
-      require(over.isEmpty,
-        s"appendToKnnGraphStore: batch pushes cell(s) ${over.map(_._1).mkString(", ")} " +
-          s"past maxCluster=$maxCluster at $path — the cell geometry is stale; " +
-          "rebuild the store with a larger nlist (autoNlist)")
+      if (over.nonEmpty) {
+        if (failOnOverflow) throw new IllegalArgumentException(
+          s"appendToKnnGraphStore: batch pushes cell(s) ${over.map(_._1).mkString(", ")} " +
+            s"past maxCluster=$maxCluster at $path — the cell geometry is stale; " +
+            "rebuild the store with a larger nlist (autoNlist), or pass " +
+            "autoRebuild = true")
+        return true
+      }
       val valid = cellCounts.filter(_._2 >= 2L).map(_._1)
       val mN = newAsg.filter(col("cell").isin(valid: _*))
         .select(col("cid").as("vid"), col("eq"), col("cell"))
@@ -1583,6 +1640,7 @@ object Similarity {
         graft.io.Tables.replacePartitions(spark, content, s"$path/edges", "home")
       graft.io.Tables.swapInParquet(spark, centsFrame(spark, cents),
         s"$path/centroids", gen, ledger = applied ++ tagLine)
+      false
     }
   }
 
@@ -1631,6 +1689,22 @@ object Similarity {
                            path: String, targetCell: Long = 500L,
                            minNlist: Int = 4, iters: Int = 2): Unit =
     graft.io.Tables.withStoreLock(spark, s"$path/centroids") {
+      rebuildGraphLocked(spark, path, targetCell, minNlist, iters)
+    }
+
+  /** The rebuild body, lock ALREADY HELD by the caller — shared by
+    * the public rebuild and [[appendToKnnGraphStore]]'s autoRebuild
+    * overflow path (which must retrain without re-acquiring).
+    * `extraEq` rows (vid, eq) join the stored rows for training AND
+    * the vectors/edges rewrite (stored rows with the same vid are
+    * superseded — replay safety for a batch a crashed attempt half
+    * placed), and `addLedger` lines publish with the centroid swap —
+    * together they make the rebuild double as an append. */
+  private def rebuildGraphLocked(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, targetCell: Long,
+                                 minNlist: Int, iters: Int,
+                                 extraEq: Option[DataFrame] = None,
+                                 addLedger: Seq[String] = Nil): Unit = {
       import spark.implicits._
       val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/centroids")
       val gen = graft.io.Tables.storeGeneration(spark, s"$path/centroids")
@@ -1641,9 +1715,12 @@ object Similarity {
           metaRow.getLong(2).toInt)
       // EAGER snapshot: the rewrite below overwrites the dir this
       // frame reads — a lazy checkpoint would race the truncation
-      val eq0 = spark.read.parquet(s"$path/vectors")
+      val stored = spark.read.parquet(s"$path/vectors")
         .filter(col("probe") === 1L)
         .select(col("cid").as("vid"), col("eq"))
+      val eq0 = extraEq.fold(stored)(x =>
+          stored.join(x.select(col("vid")), Seq("vid"), "left_anti")
+            .unionByName(x))
         .localCheckpoint(true)
       val nlist = math.max(minNlist, (eq0.count() / targetCell).toInt)
       val cents = kmeansTrain(eq0, nlist, iters)
@@ -1660,7 +1737,7 @@ object Similarity {
         .repartition(col("home"))
         .write.mode("overwrite").partitionBy("home").parquet(s"$path/edges")
       graft.io.Tables.swapInParquet(spark, centsFrame(spark, cents),
-        s"$path/centroids", gen, ledger = applied)
+        s"$path/centroids", gen, ledger = applied ++ addLedger)
     }
 
   /** Maintenance diagnostic for the graph store (the k11 file-audit

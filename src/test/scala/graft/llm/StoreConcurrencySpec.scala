@@ -496,6 +496,32 @@ class StoreConcurrencySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxCluster") &&
       e.getMessage.contains("rebuild"))
+    // autoRebuild: the SAME call retrains on stored ∪ batch under the
+    // held lock and lands the batch through the rebuild — equivalent
+    // to a from-scratch build over EVERYTHING at the geometry the
+    // auto path derives (stored 10 + batch 50 against maxCluster 12
+    // -> targetCell 6, nlist 10). The failed attempt above wrote
+    // NOTHING (cap check precedes all mutation), so `tiny` is still
+    // the pristine 10-vector store.
+    Similarity.appendToKnnGraphStore(gvecs(10L to 59L), "vec_id",
+      "embedding", tiny, batchTag = Some("cap-b"), autoRebuild = true)
+    val scratch2 = Files.createTempDirectory("knn_store_cap2_").toString + "/g"
+    Similarity.persistKnnGraphStore(all, "vec_id", "embedding", scratch2,
+      k = 3, nlist = 10, iters = 2, maxCluster = 12, nprobe = 2)
+    assert(graphEdges(tiny) === graphEdges(scratch2),
+      "autoRebuild must equal a from-scratch build at the derived geometry")
+    // the retrained cells respect the cap and every vector landed
+    val v = spark.read.parquet(s"$tiny/vectors").filter(col("probe") === 1)
+    assert(v.count() === 60L)
+    assert(v.groupBy(col("cell")).count()
+      .filter(col("count") > 12).count() === 0L,
+      "no retrained cell may exceed maxCluster after the auto append")
+    // the tag committed through the auto path: a replay is a no-op
+    val edgesBefore = graphEdges(tiny)
+    Similarity.appendToKnnGraphStore(gvecs(10L to 59L), "vec_id",
+      "embedding", tiny, batchTag = Some("cap-b"), autoRebuild = true)
+    assert(graphEdges(tiny) === edgesBefore,
+      "a replayed tag must no-op through the autoRebuild path too")
     // wrong-dim batch fails loudly instead of silently mis-assigning
     // (the assignment kernel dots over min(dim, |centroid|))
     val wrongDim = (200L to 203L).map(i =>
