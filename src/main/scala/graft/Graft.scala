@@ -299,6 +299,18 @@ object Graft {
   def ngramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     llm.NgramLm.score(docs, idCol, textCol)
 
+  /** The full CCNet recipe: stupid-backoff trigram LM trained on a
+    * curated reference slice, per-doc micro-nat NLL, per-language
+    * head/middle/tail percentile buckets. */
+  def backoffLmTrain(ref: DataFrame, textCol: String): llm.NgramLm.BackoffModel =
+    llm.NgramLm.trainBackoff(ref, textCol)
+  def backoffLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     model: llm.NgramLm.BackoffModel): DataFrame =
+    llm.NgramLm.scoreBackoff(docs, idCol, textCol, model)
+  def ccnetBuckets(scores: DataFrame, idCol: String, langCol: String,
+                   headMille: Int = 330, middleMille: Int = 660): DataFrame =
+    llm.NgramLm.ccnetBuckets(scores, idCol, langCol, headMille, middleMille)
+
   /** Heavy-hitter word n-grams with occurrence + distinct-doc counts. */
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 2, k: Int = 20): DataFrame =

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -107,5 +107,146 @@ object NgramLm {
         coalesce(col("n_hapax"), lit(0L)).cast(LongType).as("n_hapax"),
         coalesce(col("sum_bg_count"), lit(0L)).cast(LongType).as("sum_bg_count"),
         coalesce(col("lp_micro"), lit(0L)).cast(LongType).as("lp_micro"))
+  }
+
+  // ---- Reference-trained stupid-backoff trigram LM (the FULL CCNet
+  // recipe: Wenzek et al. 2020 score with a model trained on a
+  // CURATED reference slice, then cut by per-language percentile;
+  // smoothing per Brants et al. 2007, built for exactly this
+  // distributed trillion-token setting — no tuned discounting, one
+  // fixed 0.4 back-off multiplier, score = count ratio at the deepest
+  // matching order). Complements [[score]]'s self-trained bigram
+  // surprise: that one finds intra-corpus outliers; this one measures
+  // distance FROM A REFERENCE. Same micro-nat determinism discipline:
+  // every DISTINCT gram's score quantizes ONCE in the model table,
+  // each back-off ADDS the constant floor(1e6·ln 0.4), document NLL
+  // is an exact order-independent Long sum.
+
+  /** floor(1e6 · ln 0.4) — one back-off step's micro-nat penalty. */
+  val BackoffPenaltyMicro: Long =
+    math.floor(1000000.0 * math.log(0.4)).toLong
+
+  /** A trained stupid-backoff model: per-gram micro-nat score tables
+    * (uni (w, s1), bi (w1, w, s2), tri (w2, w1, w, s3)) and the
+    * reference token total. `oovMicro` scores a token the reference
+    * never saw — a pseudo-count of 1 over (total + 1). */
+  case class BackoffModel(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                          total: Long) {
+    def oovMicro: Long =
+      math.floor(1000000.0 * math.log(1.0 / (total + 1).toDouble)).toLong
+  }
+
+  private def microLnRatio(num: Column, den: Column): Column =
+    floor(lit(1000000.0) *
+      log(num.cast("double") / den.cast("double"))).cast("long")
+
+  /** Shuffle-free context stream: (idCol, pos, w, w1, w2) with w1/w2
+    * the one/two-back tokens (NULL at the document head) — element_at
+    * lags over the per-document word array, no window exchange. */
+  private def ctxStream(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(Text.words(col(textCol)), w => length(w) > 0).as("__ws"))
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("pos", "w")),
+        col("__ws"))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("w"),
+        when(col("pos") >= 1, element_at(col("__ws"), col("pos"))).as("w1"),
+        when(col("pos") >= 2, element_at(col("__ws"), col("pos") - 1)).as("w2"))
+
+  /** Train the trigram stupid-backoff model on `ref` (the curated
+    * reference slice). Each gram table carries its quantized
+    * micro-nat score; denominators are the context's own count table
+    * (bigram ctx for trigrams, unigram ctx for bigrams, the token
+    * total for unigrams), so every stored score is ≤ 0 and exact.
+    * Distinct-gram-scale outputs from one aggregation per order. */
+  def trainBackoff(ref: DataFrame, textCol: String): BackoffModel = {
+    val tok = ctxStream(ref.select(lit(0L).as("__d"), col(textCol)),
+      "__d", textCol).localCheckpoint(false)
+    val uniC = tok.groupBy(col("w")).agg(count(lit(1)).as("__c1"))
+      .localCheckpoint(false)
+    val total = uniC.agg(coalesce(sum(col("__c1")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0L,
+      "NgramLm.trainBackoff: the reference slice has no tokens")
+    val biC = tok.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(false)
+    val triC = tok.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("__c3"))
+    val uni = uniC.select(col("w"),
+      microLnRatio(col("__c1"), lit(total)).as("s1"))
+    val bi = biC
+      .join(uniC.select(col("w").as("w1"), col("__c1").as("__ctx")), "w1")
+      .select(col("w1"), col("w"),
+        microLnRatio(col("__c2"), col("__ctx")).as("s2"))
+    val tri = triC
+      .join(biC.select(col("w1").as("w2"), col("w").as("w1"),
+        col("__c2").as("__ctx")), Seq("w2", "w1"))
+      .select(col("w2"), col("w1"), col("w"),
+        microLnRatio(col("__c3"), col("__ctx")).as("s3"))
+    BackoffModel(uni.localCheckpoint(false), bi.localCheckpoint(false),
+      tri.localCheckpoint(false), total)
+  }
+
+  /** Score every document against a trained reference model: (idCol,
+    * n_tokens, nll_micro, nll_micro_per_token). Per token the deepest
+    * matching order wins; each back-off level adds
+    * [[BackoffPenaltyMicro]]; a document-head token starts at the
+    * deepest order its position allows, penalty-free (there is
+    * nothing to back off FROM). Tokenless documents report (0, 0,
+    * NULL). The per-token figure is exact integer division — CCNet's
+    * quality-ordering statistic (lower = closer to the reference).
+    *
+    * Scale: the corpus crosses as the shuffle-free context stream,
+    * takes three gram-table joins (a CURATED reference's tables are
+    * small — broadcast; a corpus-scale reference would flip these to
+    * shuffle joins by removing the hints) and one per-doc fold. */
+  def scoreBackoff(docs: DataFrame, idCol: String, textCol: String,
+                   model: BackoffModel): DataFrame = {
+    val p = lit(BackoffPenaltyMicro)
+    val unk = lit(model.oovMicro)
+    val scored = ctxStream(docs, idCol, textCol)
+      .join(broadcast(model.uni), Seq("w"), "left")
+      .join(broadcast(model.bi), Seq("w1", "w"), "left")
+      .join(broadcast(model.tri), Seq("w2", "w1", "w"), "left")
+      .select(col(idCol),
+        when(col("pos") >= 2,
+          coalesce(col("s3"), col("s2") + p, col("s1") + p + p,
+            unk + p + p))
+          .when(col("pos") === 1,
+            coalesce(col("s2"), col("s1") + p, unk + p))
+          .otherwise(coalesce(col("s1"), unk)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), (-sum(col("__s"))).as("nll_micro"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        when(col("n_tokens") > 0L,
+          expr("nll_micro div n_tokens")).as("nll_micro_per_token"))
+  }
+
+  /** CCNet's head/middle/tail cut: per `langCol`, rank documents by
+    * per-token NLL (ascending — lower is closer to the reference;
+    * tokenless docs last) via [[Curate.rankNormalize]]'s exact
+    * per-mille discipline (ties by id, so buckets are deterministic),
+    * then label pm_rank < `headMille` "head", < `middleMille`
+    * "middle", the rest "tail". Pipelines keep head+middle and drop
+    * or down-sample the tail. */
+  def ccnetBuckets(scores: DataFrame, idCol: String, langCol: String,
+                   headMille: Int = 330,
+                   middleMille: Int = 660): DataFrame = {
+    require(0 < headMille && headMille < middleMille && middleMille <= 1000,
+      s"need 0 < head < middle <= 1000 mille, got $headMille/$middleMille")
+    Curate.rankNormalize(
+        scores.withColumn("__npt",
+          coalesce(col("nll_micro_per_token"), lit(Long.MaxValue))),
+        langCol, "__npt", idCol)
+      .select(col(idCol), col(langCol), col("nll_micro_per_token"),
+        col("pm_rank"),
+        when(col("pm_rank") < headMille, lit("head"))
+          .when(col("pm_rank") < middleMille, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 }

@@ -330,6 +330,90 @@ object LlmQueries {
        |ORDER BY piece""".stripMargin
   }
 
+  /** The reference slice the stupid-backoff LM trains on — one
+    * curated feed, the CCNet "Wikipedia" stand-in. */
+  private val BackoffRefSource = "src0"
+
+  /** Shared CTE chain for the stupid-backoff LM oracles: context
+    * streams (pos, w, w1, w2 — NULL at the head) for the reference
+    * slice and the full corpus, exact gram counts, per-gram micro-nat
+    * score tables with the context's own count as denominator, the
+    * back-off constant and OOV score derived IN SQL from the same
+    * formulas, then the deepest-match CASE and the per-doc fold. */
+  private lazy val BackoffScoreCtes: String =
+    s"""nws AS (SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |ntok AS (SELECT doc_id, source, i - 1 AS pos, ws[i] AS w,
+       |    CASE WHEN i >= 2 THEN ws[i-1] END AS w1,
+       |    CASE WHEN i >= 3 THEN ws[i-2] END AS w2
+       |  FROM (SELECT doc_id, source, ws,
+       |          unnest(range(1, len(ws) + 1)) AS i FROM nws) t),
+       |rtok AS (SELECT * FROM ntok WHERE source = '$BackoffRefSource'),
+       |nuni AS (SELECT w, count(*)::BIGINT AS c1 FROM rtok GROUP BY w),
+       |ntot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM nuni),
+       |nbi AS (SELECT w1, w, count(*)::BIGINT AS c2 FROM rtok
+       |  WHERE w1 IS NOT NULL GROUP BY w1, w),
+       |ntri AS (SELECT w2, w1, w, count(*)::BIGINT AS c3 FROM rtok
+       |  WHERE w2 IS NOT NULL GROUP BY w2, w1, w),
+       |nuniS AS (SELECT w, CAST(floor(1000000.0 *
+       |    ln(CAST(c1 AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT) AS s1
+       |  FROM nuni, ntot),
+       |nbiS AS (SELECT b.w1, b.w, CAST(floor(1000000.0 *
+       |    ln(CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE))) AS BIGINT) AS s2
+       |  FROM nbi b JOIN nuni u ON u.w = b.w1),
+       |ntriS AS (SELECT t.w2, t.w1, t.w, CAST(floor(1000000.0 *
+       |    ln(CAST(t.c3 AS DOUBLE) / CAST(b.c2 AS DOUBLE))) AS BIGINT) AS s3
+       |  FROM ntri t JOIN nbi b ON b.w1 = t.w2 AND b.w = t.w1),
+       |nk AS (SELECT CAST(floor(1000000.0 * ln(0.4)) AS BIGINT) AS np,
+       |    CAST(floor(1000000.0 *
+       |      ln(1.0 / CAST(total + 1 AS DOUBLE))) AS BIGINT) AS unk
+       |  FROM ntot),
+       |nsc AS (SELECT s.doc_id,
+       |    CASE WHEN s.pos >= 2 THEN coalesce(t.s3, b.s2 + nk.np,
+       |        u.s1 + 2 * nk.np, nk.unk + 2 * nk.np)
+       |      WHEN s.pos = 1 THEN coalesce(b.s2, u.s1 + nk.np,
+       |        nk.unk + nk.np)
+       |      ELSE coalesce(u.s1, nk.unk) END AS sc
+       |  FROM ntok s
+       |  CROSS JOIN nk
+       |  LEFT JOIN nuniS u ON u.w = s.w
+       |  LEFT JOIN nbiS b ON b.w1 = s.w1 AND b.w = s.w
+       |  LEFT JOIN ntriS t ON t.w2 = s.w2 AND t.w1 = s.w1 AND t.w = s.w),
+       |ndoc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |    CAST(-sum(sc) AS BIGINT) AS nll_micro
+       |  FROM nsc GROUP BY doc_id),
+       |nout AS (SELECT d.doc_id,
+       |    coalesce(x.n_tokens, 0)::BIGINT AS n_tokens,
+       |    coalesce(x.nll_micro, 0)::BIGINT AS nll_micro,
+       |    CASE WHEN coalesce(x.n_tokens, 0) > 0
+       |      THEN x.nll_micro // x.n_tokens END AS nll_micro_per_token
+       |  FROM documents d LEFT JOIN ndoc x USING (doc_id))""".stripMargin
+
+  private lazy val BackoffScoreOracleSql: String =
+    s"""WITH $BackoffScoreCtes
+       |SELECT doc_id, n_tokens, nll_micro, nll_micro_per_token
+       |FROM nout ORDER BY doc_id""".stripMargin
+
+  private lazy val CcnetBucketsOracleSql: String =
+    s"""WITH $BackoffScoreCtes,
+       |nrk AS (SELECT o.doc_id, d.lang, o.nll_micro_per_token,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY
+       |      coalesce(o.nll_micro_per_token, 9223372036854775807),
+       |      o.doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY d.lang) AS cnt
+       |  FROM nout o JOIN documents d USING (doc_id)),
+       |npm AS (SELECT doc_id, lang, nll_micro_per_token,
+       |    CASE WHEN cnt = 1 THEN 0
+       |      ELSE (rnk - 1) * 1000 // (cnt - 1) END AS pm_rank
+       |  FROM nrk)
+       |SELECT doc_id, lang, nll_micro_per_token, CAST(pm_rank AS BIGINT)
+       |    AS pm_rank,
+       |  CASE WHEN pm_rank < 330 THEN 'head'
+       |    WHEN pm_rank < 660 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM npm ORDER BY doc_id""".stripMargin
+
   /** The injected boilerplate for the repeated-span queries — an
     * 11-word suffix on every 7th document, so k=8 windows fully inside
     * it recur corpus-wide while windows straddling the document/suffix
@@ -2927,6 +3011,33 @@ object LlmQueries {
         rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
       Unigram.encode(docs, "doc_id", "text", Unigram.readTokenizer(s, path))
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
+    // The FULL CCNet recipe's scoring half (Wenzek et al. 2020):
+    // stupid-backoff trigram LM (Brants 2007) trained on a curated
+    // reference feed, every document scored by exact micro-nat NLL
+    // per token — distance FROM THE REFERENCE, the quality signal
+    // between extraction and mixing at web scale.
+    "llm_backoff_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = NgramLm.trainBackoff(
+        docs.filter(col("source") === "src0"), "text")
+      NgramLm.scoreBackoff(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ...and its cutting half: per-language head/middle/tail buckets
+    // by exact per-mille rank of the per-token NLL (rankNormalize's
+    // integer discipline) — keep head+middle, drop the tail.
+    "llm_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = NgramLm.trainBackoff(
+        docs.filter(col("source") === "src0"), "text")
+      NgramLm.ccnetBuckets(
+          NgramLm.scoreBackoff(docs, "doc_id", "text", model)
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+          "doc_id", "lang")
+        .orderBy(col("doc_id"))
     }),
 
     // The l-best EM variant (Kudo 2018's n-best approximation of the
@@ -5809,6 +5920,8 @@ object LlmQueries {
     "llm_unigram_train" -> UnigramTrainOracleSql,
     "llm_unigram_prune" -> UnigramPruneOracleSql,
     "llm_unigram_nbest" -> UnigramNbestOracleSql,
+    "llm_backoff_lm_score" -> BackoffScoreOracleSql,
+    "llm_ccnet_buckets" -> CcnetBucketsOracleSql,
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit
     "llm_unigram_store" -> UnigramEncodeOracleSql,

@@ -167,6 +167,62 @@ class OrderStatsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("NgramLm stupid backoff: hand-computed deepest-match scores, head tokens penalty-free, OOV, empty doc") {
+    def f(r: Double) = math.floor(math.log(r) * 1e6).toLong
+    val p = NgramLm.BackoffPenaltyMicro
+    assert(p === f(0.4))
+    // reference: [a b c a b d] -> total 6; uni a:2 b:2 c:1 d:1;
+    // bi (a,b):2 (b,c):1 (c,a):1 (b,d):1; tri all count 1
+    val ref = Seq(Tuple1("a b c a b d")).toDF("text")
+    val model = NgramLm.trainBackoff(ref, "text")
+    assert(model.total === 6L)
+    assert(model.oovMicro === f(1.0 / 7.0))
+    val docs = Seq(
+      (1L, "a b c x b"), // full order, OOV mid-doc, backoff-to-uni
+      (2L, "x a"),       // head token OOV penalty-free; bigram miss
+      (3L, "")           // tokenless
+    ).toDF("doc_id", "text")
+    val out = NgramLm.scoreBackoff(docs, "doc_id", "text", model)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // doc 1: pos0 a -> s1 = f(2/6); pos1 b|a -> s2 = f(2/2) = 0;
+    // pos2 c|a,b -> s3 = f(1/2); pos3 x|b,c -> tri,bi,uni all miss ->
+    // unk + 2p; pos4 b|c,x -> tri,bi miss -> s1(b) + 2p = f(2/6) + 2p
+    val nll1 = -(f(2.0 / 6) + 0L + f(1.0 / 2) + (model.oovMicro + 2 * p) +
+      (f(2.0 / 6) + 2 * p))
+    // doc 2: pos0 x -> unk (NO penalty, nothing to back off from);
+    // pos1 a|x -> bi miss -> s1(a) + p
+    val nll2 = -(model.oovMicro + (f(2.0 / 6) + p))
+    assert(out === Seq(
+      (1L, 5L, nll1, Some(nll1 / 5L)),
+      (2L, 2L, nll2, Some(nll2 / 2L)),
+      (3L, 0L, 0L, None)))
+    // partitioning independence (exact Long sums)
+    assert(NgramLm.scoreBackoff(docs.repartition(7), "doc_id", "text", model)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[Long])].collect()
+      .toSeq === out)
+  }
+
+  test("NgramLm.ccnetBuckets: per-language per-mille cuts, tokenless last, deterministic ties") {
+    val scores = Seq(
+      (1L, "en", Some(100L)), (2L, "en", Some(200L)),
+      (3L, "en", Some(300L)), (4L, "en", None), // tokenless -> last
+      (5L, "fr", Some(50L)) // single doc -> pm 0 -> head
+    ).toDF("doc_id", "lang", "nll_micro_per_token")
+      .select(col("doc_id"), col("lang"),
+        col("nll_micro_per_token").cast("long").as("nll_micro_per_token"))
+    val out = NgramLm.ccnetBuckets(scores, "doc_id", "lang")
+      .orderBy("doc_id")
+      .as[(Long, String, Option[Long], Long, String)].collect().toSeq
+    // en ranks over 4 docs: pm = (rnk-1)*1000 div 3 -> 0, 333, 666, 1000
+    assert(out === Seq(
+      (1L, "en", Some(100L), 0L, "head"),
+      (2L, "en", Some(200L), 333L, "middle"),
+      (3L, "en", Some(300L), 666L, "tail"),
+      (4L, "en", None, 1000L, "tail"),
+      (5L, "fr", Some(50L), 0L, "head")))
+  }
+
   test("curriculumOrder: quality buckets exact; floor bucketing correct for negative q") {
     // d1 repeats the corpus's dominant bigram -> highest mean log-prob;
     // d2 is hapax-heavy -> lower; d3 has no bigrams -> NULL bucket.
