@@ -227,6 +227,47 @@ object NgramLm {
           expr("nll_micro div n_tokens")).as("nll_micro_per_token"))
   }
 
+  /** Persist a trained backoff model as ONE flat table — (n, w2, w1,
+    * w, s): n = gram order with the token total at n = 0 — so the
+    * publish is a single atomic swap (three separate tables could be
+    * read half-swapped). The [[Bpe.persistTokenizer]] store-lock
+    * convention. */
+  def persistBackoffModel(model: BackoffModel, path: String): Unit = {
+    val spark = model.uni.sparkSession
+    import spark.implicits._
+    val flat = Seq((0L, null: String, null: String, null: String, model.total))
+      .toDF("n", "w2", "w1", "w", "s")
+      .unionByName(model.uni.select(lit(1L).as("n"),
+        lit(null).cast("string").as("w2"), lit(null).cast("string").as("w1"),
+        col("w"), col("s1").as("s")))
+      .unionByName(model.bi.select(lit(2L).as("n"),
+        lit(null).cast("string").as("w2"), col("w1"), col("w"),
+        col("s2").as("s")))
+      .unionByName(model.tri.select(lit(3L).as("n"), col("w2"), col("w1"),
+        col("w"), col("s3").as("s")))
+    graft.io.Tables.withStoreLock(spark, s"$path/backoff") {
+      graft.io.Tables.swapInParquet(spark, flat, s"$path/backoff")
+    }
+  }
+
+  /** Reload a persisted backoff model. The gram tables come back as
+    * plain scans of the flat store (no collect — model size is
+    * reference-vocabulary scale but need not fit the driver);
+    * reload-then-score is bit-identical to train-then-score. */
+  def readBackoffModel(spark: org.apache.spark.sql.SparkSession,
+                       path: String): BackoffModel = {
+    val flat = spark.read.parquet(s"$path/backoff")
+    val total = flat.filter(col("n") === 0L).select(col("s"))
+      .head().getLong(0)
+    BackoffModel(
+      flat.filter(col("n") === 1L).select(col("w"), col("s").as("s1")),
+      flat.filter(col("n") === 2L).select(col("w1"), col("w"),
+        col("s").as("s2")),
+      flat.filter(col("n") === 3L).select(col("w2"), col("w1"), col("w"),
+        col("s").as("s3")),
+      total)
+  }
+
   /** CCNet's head/middle/tail cut: per `langCol`, rank documents by
     * per-token NLL (ascending — lower is closer to the reference;
     * tokenless docs last) via [[Curate.rankNormalize]]'s exact

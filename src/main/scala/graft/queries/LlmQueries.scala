@@ -3026,6 +3026,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Persist -> reload -> score round-trip for the backoff model
+    // (the llm_unigram_store convention): one flat atomic-swap table
+    // (n, w2, w1, w, s), read back as plain scans — SHARES the direct
+    // train+score oracle, so the store layer is held to bit-identity.
+    "llm_backoff_lm_store" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = graft.util.Scratch.dir("graft_backoff_store")
+      NgramLm.persistBackoffModel(
+        NgramLm.trainBackoff(docs.filter(col("source") === "src0"), "text"),
+        path)
+      NgramLm.scoreBackoff(docs, "doc_id", "text",
+          NgramLm.readBackoffModel(s, path))
+        .orderBy(col("doc_id"))
+    }),
+
     // ...and its cutting half: per-language head/middle/tail buckets
     // by exact per-mille rank of the per-token NLL (rankNormalize's
     // integer discipline) — keep head+middle, drop the tail.
@@ -5921,6 +5936,7 @@ object LlmQueries {
     "llm_unigram_prune" -> UnigramPruneOracleSql,
     "llm_unigram_nbest" -> UnigramNbestOracleSql,
     "llm_backoff_lm_score" -> BackoffScoreOracleSql,
+    "llm_backoff_lm_store" -> BackoffScoreOracleSql,
     "llm_ccnet_buckets" -> CcnetBucketsOracleSql,
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit

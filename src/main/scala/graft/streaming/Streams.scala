@@ -939,6 +939,53 @@ object Streams {
         .write.mode("append").format("parquet").saveAsTable(commits)
   }
 
+  /** Streaming CCNet gate: score each micro-batch's documents
+    * against a FROZEN stupid-backoff model
+    * ([[graft.llm.NgramLm.readBackoffModel]]) and append (id,
+    * n_tokens, nll_micro, nll_micro_per_token) to `outTable` — the
+    * quality stage of a live crawl ingest, serving the model the
+    * batch trainer published. Stateless per batch (the model is
+    * frozen; OOV tokens score at the model's pseudo-count, the
+    * serving analog of the UNK conventions), commit-log idempotent —
+    * the [[unigramEncodeToTable]] shape. Percentile BUCKETS are a
+    * corpus-level statement, so they stay a batch read over the
+    * accumulated scores table (ccnetBuckets over readScores), never
+    * per-batch state. */
+  def backoffScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                         modelPath: String, outTable: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val model = graft.llm.NgramLm.readBackoffModel(spark, modelPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        backoffScoreBatch(batch, idCol, textCol, model, outTable,
+          checkpointDir, batchId)
+      }
+      .start()
+  }
+
+  private[graft] def backoffScoreBatch(batch: DataFrame, idCol: String,
+                                       textCol: String,
+                                       model: graft.llm.NgramLm.BackoffModel,
+                                       outTable: String,
+                                       streamId: String = "",
+                                       batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val commits = commitsTableFor(outTable)
+    if (batchId >= 0 && spark.catalog.tableExists(commits) &&
+        spark.table(commits).filter(col("stream_id") === streamId &&
+          col("batch_id") === batchId).head(1).nonEmpty)
+      return
+    graft.llm.NgramLm.scoreBackoff(batch, idCol, textCol, model)
+      .write.mode("append").format("parquet").saveAsTable(outTable)
+    if (batchId >= 0)
+      spark.range(1).select(lit(streamId).as("stream_id"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(commits)
+  }
+
   private[graft] def bpeEncodeBatch(batch: DataFrame, idCol: String,
                                     textCol: String,
                                     merges: Seq[(String, String)],

@@ -754,6 +754,49 @@ class StreamingPipelineSpec extends SparkSpec {
     dropAll()
   }
 
+  test("backoffScoreStream: streamed scores == batch scores from the frozen store; committed replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.NgramLm
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(Tuple1("the quick brown fox jumps the lazy dog the end"))
+      .toDF("text")
+    val modelPath = graft.util.Scratch.dir("backoff_stream_model")
+    val model = NgramLm.trainBackoff(ref, "text")
+    NgramLm.persistBackoffModel(model, modelPath)
+    // reload == in-memory model, table for table
+    val re = NgramLm.readBackoffModel(spark, modelPath)
+    assert(re.total === model.total)
+    assert(re.tri.orderBy("w2", "w1", "w").collect().toSeq
+      === model.tri.orderBy("w2", "w1", "w").collect().toSeq)
+    val outT = "backoff_scores_t"
+    Seq(outT, outT + "_commits").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val b1 = Seq((1L, "the quick brown fox"), (2L, "zz unseen tokens here"))
+    val b2 = Seq((3L, "the lazy dog"), (4L, ""))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.backoffScoreStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", modelPath,
+      outT, graft.util.Scratch.dir("backoff_stream_ck"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable(outT)
+    val streamed = spark.table(outT).orderBy("doc_id").collect().toSeq
+    val batch = NgramLm.scoreBackoff((b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text", model).orderBy("doc_id").collect().toSeq
+    assert(streamed === batch,
+      "streamed frozen-model scores must equal the batch computation")
+    // committed replay: same (stream, batch) id appends nothing
+    val n0 = spark.table(outT).count()
+    graft.streaming.Streams.backoffScoreBatch(b1.toDF("doc_id", "text"),
+      "doc_id", "text", model, outT,
+      spark.table(outT + "_commits").select("stream_id").head().getString(0),
+      0L)
+    spark.catalog.refreshTable(outT)
+    assert(spark.table(outT).count() === n0, "a committed batch must no-op")
+    Seq(outT, outT + "_commits").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats
