@@ -668,6 +668,12 @@ object Graft {
     llm.Text.gopherFlags(text, minWords, maxWords, minMeanWordLen,
       maxMeanWordLen, minStopwords)
 
+  /** Gopher's within-doc repetition battery (dup lines, top-n-gram
+    * and dup-n-gram char coverage) in exact per-mille. */
+  def gopherRepetition(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    llm.Curate.gopherRepetition(docs, idCol, textCol)
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     ops.Ops.triangleCounts(edges, srcCol, dstCol)
 

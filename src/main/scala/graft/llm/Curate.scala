@@ -29,6 +29,85 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Curate {
 
+  /** Gopher's within-document repetition battery (Rae et al. 2021,
+    * Table A1 — the filters MassiveWeb runs BEFORE any model-based
+    * quality score): per document, exact per-mille
+    *  - `dup_line_pm` / `dup_line_char_pm`: line occurrences beyond
+    *    the first of each distinct line, by count and by characters
+    *    (lines split on newline, raw line length);
+    *  - `top{2,3,4}_char_pm`: characters covered by the single most
+    *    frequent word n-gram — occurrences × the gram's word
+    *    characters over the document's word characters (ties to the
+    *    lexicographically smallest gram, pinned; overlapping
+    *    occurrences count per occurrence, the paper's formula, so
+    *    values past 1000 are possible for a degenerate doc);
+    *  - `dup{5..10}_char_pm`: characters in word POSITIONS covered by
+    *    at least one n-gram that occurs ≥ 2 times in the document
+    *    (coverage union — overlap counts once, per the paper's
+    *    footnote).
+    * All integer arithmetic (counts, word lengths, `x·1000 div y`),
+    * NULL per-milles for a denominator of 0. Every aggregation is
+    * keyed by the document (or doc+gram), so the whole battery
+    * partitions by doc and nothing cross-document ever shuffles. */
+  def gopherRepetition(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+        filter(Text.words(col(textCol)), w => length(w) > 0).as("__ws"),
+        split(col(textCol), "\n").as("__ls"))
+      .localCheckpoint(false)
+    val nChars = base.select(col(idCol),
+      aggregate(transform(col("__ws"), w => length(w).cast("long")),
+        lit(0L), (a, x) => a + x).as("n_chars"))
+    val lineAgg = base.select(col(idCol), explode(col("__ls")).as("__l"))
+      .groupBy(col(idCol), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__nl"),
+        sum(col("__c") - 1).as("__dl"),
+        sum(col("__c") * length(col("__l"))).as("__nlc"),
+        sum((col("__c") - 1) * length(col("__l"))).as("__dlc"))
+    // top-n coverage, n = 2..4: most frequent gram's occurrences ×
+    // its word chars (gram string length minus the n−1 joining spaces)
+    val tops = (2 to 4).map { n =>
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__c").desc, col("__g"))
+      base.select(col(idCol),
+          explode(Text.shingles(col("__ws"), n)).as("__g"))
+        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col(idCol),
+          (col("__c") * (length(col("__g")) - (n - 1))).as(s"__top$n"))
+    }
+    // dup-n coverage union, n = 5..10: word positions inside any gram
+    // occurring ≥ 2 times, summed by their words' lengths
+    val dups = (5 to 10).map { n =>
+      val occ = base.select(col(idCol),
+        posexplode(Text.shingles(col("__ws"), n)).as(Seq("__p", "__g")))
+      val q = occ.groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+        .select(col(idCol), col("__g"))
+      val cov = occ.join(q, Seq(idCol.toString, "__g"), "left_semi")
+        .select(col(idCol),
+          explode(sequence(col("__p"), col("__p") + (n - 1))).as("__wp"))
+        .distinct()
+      val wl = base.select(col(idCol),
+        posexplode(col("__ws")).as(Seq("__wp", "__w")))
+      cov.join(wl, Seq(idCol.toString, "__wp"))
+        .groupBy(col(idCol))
+        .agg(sum(length(col("__w")).cast("long")).as(s"__dup$n"))
+    }
+    val joined = (Seq(lineAgg) ++ tops ++ dups)
+      .foldLeft(nChars)((acc, f) => acc.join(f, Seq(idCol.toString), "left"))
+    // exact integer per-mille: `div`, never double division + floor
+    def mille(num: String, den: String): Column =
+      when(col(den) > 0L, expr(s"coalesce($num, 0L) * 1000 div $den"))
+    joined.select(Seq(col(idCol), col("n_chars"),
+      mille("__dl", "__nl").as("dup_line_pm"),
+      mille("__dlc", "__nlc").as("dup_line_char_pm")) ++
+      (2 to 4).map(n => mille(s"__top$n", "n_chars").as(s"top${n}_char_pm")) ++
+      (5 to 10).map(n =>
+        mille(s"__dup$n", "n_chars").as(s"dup${n}_char_pm")): _*)
+  }
+
   /** The shared accept rule every sampling operator here uses: a salted
     * md5 of the key, reduced mod `scale`, compared against an integer
     * rate. One definition so the hash contract cannot drift between

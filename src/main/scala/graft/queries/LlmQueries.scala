@@ -414,6 +414,91 @@ object LlmQueries {
        |    WHEN pm_rank < 660 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM npm ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-line suffix for the Gopher-repetition query (the
+    * boilerplate-injection convention): the fixture has no newlines
+    * and its word soup never repeats a 5-gram within a doc, so every
+    * 6th document gets TWO identical appended 12-word lines — the
+    * line rules AND the dup-{5..10} coverage rules all become
+    * non-vacuous (every n ≤ 12 gram in the repeated line occurs
+    * twice). */
+  private val RepLineSuffix =
+    "\nshared boiler plate sentence with twelve words exactly for coverage of repeats" * 2
+
+  /** Oracle for the Gopher repetition battery: same injected lines,
+    * same word/line splits, per-mille via integer `//`; top-n grams
+    * ranked (count desc, gram asc); dup-n coverage as a DISTINCT
+    * position union joined back to word lengths (1-based inside the
+    * SQL, matching itself). */
+  private lazy val GopherRepetitionOracleSql: String = {
+    val sqlSuffix = "e'" + RepLineSuffix.replace("\n", "\\n") + "'"
+    val tops = (2 to 4).map { n =>
+      s"""gtop$n AS (SELECT doc_id,
+         |    (c * (len(g) - ${n - 1}))::BIGINT AS topn FROM (
+         |  SELECT doc_id, g, count(*)::BIGINT AS c, row_number()
+         |      OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS rn
+         |  FROM (SELECT doc_id, unnest([array_to_string(ws[i:i+${n - 1}], ' ')
+         |      for i in range(1, len(ws) - $n + 2)]) AS g FROM gw) t
+         |  GROUP BY doc_id, g) r WHERE rn = 1)""".stripMargin
+    }
+    val dups = (5 to 10).map { n =>
+      s"""gocc$n AS (SELECT doc_id, i AS p,
+         |    array_to_string(ws[i:i+${n - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - $n + 2)) AS i
+         |        FROM gw) t),
+         |gdup$n AS (SELECT c.doc_id, CAST(sum(len(w.ws[c.wp])) AS BIGINT)
+         |    AS dupn FROM (
+         |    SELECT DISTINCT o.doc_id, o.p + jj.j AS wp
+         |    FROM gocc$n o
+         |    JOIN (SELECT doc_id, g FROM gocc$n GROUP BY doc_id, g
+         |          HAVING count(*) >= 2) q
+         |      ON q.doc_id = o.doc_id AND q.g = o.g
+         |    CROSS JOIN (SELECT unnest(range(0, $n)) AS j) jj) c
+         |  JOIN gw w ON w.doc_id = c.doc_id
+         |  GROUP BY c.doc_id)""".stripMargin
+    }
+    val topCols = (2 to 4).map(n =>
+      s"""CASE WHEN ch.n_chars > 0 THEN CAST(coalesce(t$n.topn, 0) * 1000
+         |    // ch.n_chars AS BIGINT) END AS top${n}_char_pm""".stripMargin)
+    val dupCols = (5 to 10).map(n =>
+      s"""CASE WHEN ch.n_chars > 0 THEN CAST(coalesce(d$n.dupn, 0) * 1000
+         |    // ch.n_chars AS BIGINT) END AS dup${n}_char_pm""".stripMargin)
+    val topJoins = (2 to 4)
+      .map(n => s"LEFT JOIN gtop$n t$n ON t$n.doc_id = d.doc_id")
+    val dupJoins = (5 to 10)
+      .map(n => s"LEFT JOIN gdup$n d$n ON d$n.doc_id = d.doc_id")
+    s"""WITH gd AS (SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN $sqlSuffix ELSE '' END) AS text
+       |  FROM documents),
+       |gw AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS ws
+       |  FROM gd),
+       |gchars AS (SELECT doc_id, CAST(coalesce(
+       |    list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT)
+       |  AS n_chars FROM gw),
+       |glines AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nl,
+       |    CAST(sum(c - 1) AS BIGINT) AS dl,
+       |    CAST(sum(c * len(l)) AS BIGINT) AS nlc,
+       |    CAST(sum((c - 1) * len(l)) AS BIGINT) AS dlc
+       |  FROM (SELECT doc_id, l, count(*)::BIGINT AS c FROM
+       |    (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+       |     FROM gd) t0 GROUP BY doc_id, l) t1
+       |  GROUP BY doc_id),
+       |${tops.mkString(",\n")},
+       |${dups.mkString(",\n")}
+       |SELECT d.doc_id, ch.n_chars,
+       |  CASE WHEN l.nl > 0 THEN CAST(coalesce(l.dl, 0) * 1000
+       |      // l.nl AS BIGINT) END AS dup_line_pm,
+       |  CASE WHEN l.nlc > 0 THEN CAST(coalesce(l.dlc, 0) * 1000
+       |      // l.nlc AS BIGINT) END AS dup_line_char_pm,
+       |  ${(topCols ++ dupCols).mkString(",\n  ")}
+       |FROM gd d
+       |JOIN gchars ch ON ch.doc_id = d.doc_id
+       |LEFT JOIN glines l ON l.doc_id = d.doc_id
+       |${(topJoins ++ dupJoins).mkString("\n")}
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The injected boilerplate for the repeated-span queries — an
     * 11-word suffix on every 7th document, so k=8 windows fully inside
     * it recur corpus-wide while windows straddling the document/suffix
@@ -3012,6 +3097,20 @@ object LlmQueries {
       Unigram.encode(docs, "doc_id", "text", Unigram.readTokenizer(s, path))
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
     }),
+
+    // Gopher's within-document repetition battery (Rae 2021 Table A1
+    // — MassiveWeb's filters BEFORE any model-based score): duplicate
+    // lines by count and chars, top-{2,3,4}-gram char coverage,
+    // dup-{5..10}-gram char coverage union; exact per-mille. Every
+    // 6th doc carries two injected identical lines so the line rules
+    // are non-vacuous on this newline-free fixture.
+    "llm_gopher_repetition" -> ((s, dir) =>
+      Curate.gopherRepetition(
+          t(s, dir, "documents").withColumn("text",
+            concat(col("text"), when(col("doc_id") % 6 === 0,
+              lit(RepLineSuffix)).otherwise(lit("")))),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // The FULL CCNet recipe's scoring half (Wenzek et al. 2020):
     // stupid-backoff trigram LM (Brants 2007) trained on a curated
@@ -5937,6 +6036,7 @@ object LlmQueries {
     "llm_unigram_nbest" -> UnigramNbestOracleSql,
     "llm_backoff_lm_score" -> BackoffScoreOracleSql,
     "llm_backoff_lm_store" -> BackoffScoreOracleSql,
+    "llm_gopher_repetition" -> GopherRepetitionOracleSql,
     "llm_ccnet_buckets" -> CcnetBucketsOracleSql,
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit

@@ -607,4 +607,45 @@ class CurateSpec extends SparkSpec {
     assert(scores(12L) === ((0L, bias2)),
       "a token-free doc scores exactly the bias")
   }
+
+  test("gopherRepetition: hand-computed line dups, top-n coverage with pinned ties, dup-n coverage union, empty doc") {
+    val docs = Seq(
+      (1L, "x\naa bb\naa bb"),
+      // period-5 word stream: the 5-gram and 6-gram repeat, 7+ don't
+      (2L, "aa bb cc dd ee aa bb cc dd ee aa"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curate.gopherRepetition(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val cols = out.head.schema.fieldNames
+    def m(i: Int) = cols.zip(out(i).toSeq.map(Option(_))).toMap
+    val d1 = m(0)
+    // lines [x, aa bb, aa bb]: 1 dup of 3 -> 333; chars 5 of 11 -> 454
+    assert(d1("n_chars") === Some(9L))
+    assert(d1("dup_line_pm") === Some(333L))
+    assert(d1("dup_line_char_pm") === Some(454L))
+    // top2 "aa bb" x2 covers 8 of 9 chars; top3 all-tie -> smallest
+    // gram "aa bb aa" (6 chars); top4 smallest "aa bb aa bb" (8)
+    assert(d1("top2_char_pm") === Some(888L))
+    assert(d1("top3_char_pm") === Some(666L))
+    assert(d1("top4_char_pm") === Some(888L))
+    // the single 5-gram occurs once; no 6+-grams exist
+    (5 to 10).foreach(n => assert(d1(s"dup${n}_char_pm") === Some(0L)))
+    val d2 = m(1)
+    assert(d2("n_chars") === Some(22L))
+    assert(d2("dup_line_pm") === Some(0L))
+    // dup5: pairs (g0,g5) AND (g1,g6) both repeat -> positions 0..10,
+    // full coverage; dup6: (g0,g5) -> 0..10 too
+    assert(d2("dup5_char_pm") === Some(1000L))
+    assert(d2("dup6_char_pm") === Some(1000L))
+    (7 to 10).foreach(n => assert(d2(s"dup${n}_char_pm") === Some(0L),
+      s"period-5 stream has no duplicate $n-grams"))
+    assert(d2("top2_char_pm") === Some(363L)) // "aa bb" x2, tie pinned
+    val d3 = m(2)
+    // wordless doc: n-gram per-milles NULL; one empty line -> 0 dups,
+    // NULL char ratio (0-char denominator)
+    assert(d3("n_chars") === Some(0L))
+    assert(d3("dup_line_pm") === Some(0L))
+    assert(d3("dup_line_char_pm") === None)
+    assert(d3("top2_char_pm") === None && d3("dup10_char_pm") === None)
+  }
 }
