@@ -65,37 +65,66 @@ object Curate {
         sum(col("__c") - 1).as("__dl"),
         sum(col("__c") * length(col("__l"))).as("__nlc"),
         sum((col("__c") - 1) * length(col("__l"))).as("__dlc"))
-    // top-n coverage, n = 2..4: most frequent gram's occurrences ×
-    // its word chars (gram string length minus the n−1 joining spaces)
-    val tops = (2 to 4).map { n =>
-      val w = Window.partitionBy(col(idCol))
+    // top-n coverage, n = 2..4, ONE stacked pass (a literal __n
+    // column, one agg + one window instead of three subplans): most
+    // frequent gram's occurrences × its word chars (gram length minus
+    // the n−1 joining spaces)
+    val topAgg = {
+      val grams = (2 to 4).map(n => base.select(col(idCol),
+          lit(n).as("__n"), explode(Text.shingles(col("__ws"), n)).as("__g")))
+        .reduce(_ unionByName _)
+      val w = Window.partitionBy(col(idCol), col("__n"))
         .orderBy(col("__c").desc, col("__g"))
-      base.select(col(idCol),
-          explode(Text.shingles(col("__ws"), n)).as("__g"))
-        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      val perN = grams.groupBy(col(idCol), col("__n"), col("__g"))
+        .agg(count(lit(1)).as("__c"))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col(idCol),
-          (col("__c") * (length(col("__g")) - (n - 1))).as(s"__top$n"))
+      val exprs = (2 to 4).map(n => sum(when(col("__n") === n,
+        col("__c") * (length(col("__g")) - (n - 1)))).as(s"__top$n"))
+      perN.groupBy(col(idCol)).agg(exprs.head, exprs.tail: _*)
     }
-    // dup-n coverage union, n = 5..10: word positions inside any gram
-    // occurring ≥ 2 times, summed by their words' lengths
-    val dups = (5 to 10).map { n =>
-      val occ = base.select(col(idCol),
-        posexplode(Text.shingles(col("__ws"), n)).as(Seq("__p", "__g")))
-      val q = occ.groupBy(col(idCol), col("__g"))
-        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
-        .select(col(idCol), col("__g"))
-      val cov = occ.join(q, Seq(idCol.toString, "__g"), "left_semi")
-        .select(col(idCol),
-          explode(sequence(col("__p"), col("__p") + (n - 1))).as("__wp"))
+    // dup-n coverage union, n = 5..10, ONE stacked pass: word
+    // positions inside any gram occurring ≥ 2 times (per n), summed
+    // by their words' lengths
+    val dupAgg = {
+      // EXACT blast-radius prefilter: a duplicated n-gram (n ≥ 6)
+      // contains a duplicated 5-gram at each occurrence, so only
+      // documents with at least one duplicate 5-gram can score on the
+      // deeper rules — the corpus pays ONE 5-gram pass and only the
+      // repetitive minority pays the n = 6..10 exploration (≈ 6× less
+      // explode volume on a typical web corpus). Duplicate detection
+      // is a WINDOW over each exploded stream — a groupBy + semi-join
+      // back would consume the explode (and its interpreted
+      // shingle-building HOFs) twice and shuffle twice.
+      val occ5 = base.select(col(idCol), lit(5).as("__n"),
+        posexplode(Text.shingles(col("__ws"), 5)).as(Seq("__p", "__g")))
+      val w5 = Window.partitionBy(col(idCol), col("__g"))
+      val dup5 = occ5.withColumn("__c", count(lit(1)).over(w5))
+        .filter(col("__c") >= 2)
+        .select(col(idCol), col("__n"), col("__p"))
+        .localCheckpoint(false) // duplicated occurrences only — small
+      val baseHi = base.join(dup5.select(col(idCol)).distinct(),
+        Seq(idCol.toString), "left_semi")
+      val occHi = (6 to 10).map(n => baseHi.select(col(idCol),
+          lit(n).as("__n"),
+          posexplode(Text.shingles(col("__ws"), n)).as(Seq("__p", "__g"))))
+        .reduce(_ unionByName _)
+      val wq = Window.partitionBy(col(idCol), col("__n"), col("__g"))
+      val dupHi = occHi.withColumn("__c", count(lit(1)).over(wq))
+        .filter(col("__c") >= 2)
+        .select(col(idCol), col("__n"), col("__p"))
+      val cov = dup5.unionByName(dupHi)
+        .select(col(idCol), col("__n"),
+          explode(sequence(col("__p"), col("__p") + col("__n") - 1))
+            .as("__wp"))
         .distinct()
       val wl = base.select(col(idCol),
         posexplode(col("__ws")).as(Seq("__wp", "__w")))
+      val exprs = (5 to 10).map(n => sum(when(col("__n") === n,
+        length(col("__w")).cast("long"))).as(s"__dup$n"))
       cov.join(wl, Seq(idCol.toString, "__wp"))
-        .groupBy(col(idCol))
-        .agg(sum(length(col("__w")).cast("long")).as(s"__dup$n"))
+        .groupBy(col(idCol)).agg(exprs.head, exprs.tail: _*)
     }
-    val joined = (Seq(lineAgg) ++ tops ++ dups)
+    val joined = Seq(lineAgg, topAgg, dupAgg)
       .foldLeft(nChars)((acc, f) => acc.join(f, Seq(idCol.toString), "left"))
     // exact integer per-mille: `div`, never double division + floor
     def mille(num: String, den: String): Column =

@@ -340,11 +340,15 @@ object LlmQueries {
     * score tables with the context's own count as denominator, the
     * back-off constant and OOV score derived IN SQL from the same
     * formulas, then the deepest-match CASE and the per-doc fold. */
-  private lazy val BackoffScoreCtes: String =
+  private lazy val BackoffScoreCtes: String = backoffScoreCtes("documents")
+
+  /** The same chain over any (doc_id, source, text) relation — reused
+    * by the e2e quality chain over its gated corpus. */
+  private def backoffScoreCtes(docsRel: String): String =
     s"""nws AS (SELECT doc_id, source,
        |    list_filter(string_split_regex(lower(text), '\\s+'),
        |      x -> len(x) > 0) AS ws
-       |  FROM documents),
+       |  FROM $docsRel),
        |ntok AS (SELECT doc_id, source, i - 1 AS pos, ws[i] AS w,
        |    CASE WHEN i >= 2 THEN ws[i-1] END AS w1,
        |    CASE WHEN i >= 3 THEN ws[i-2] END AS w2
@@ -389,7 +393,7 @@ object LlmQueries {
        |    coalesce(x.nll_micro, 0)::BIGINT AS nll_micro,
        |    CASE WHEN coalesce(x.n_tokens, 0) > 0
        |      THEN x.nll_micro // x.n_tokens END AS nll_micro_per_token
-       |  FROM documents d LEFT JOIN ndoc x USING (doc_id))""".stripMargin
+       |  FROM $docsRel d LEFT JOIN ndoc x USING (doc_id))""".stripMargin
 
   private lazy val BackoffScoreOracleSql: String =
     s"""WITH $BackoffScoreCtes
@@ -429,7 +433,18 @@ object LlmQueries {
     * ranked (count desc, gram asc); dup-n coverage as a DISTINCT
     * position union joined back to word lengths (1-based inside the
     * SQL, matching itself). */
-  private lazy val GopherRepetitionOracleSql: String = {
+  private lazy val GopherRepetitionOracleSql: String =
+    s"""WITH $GopherRepCtes
+       |SELECT doc_id, n_chars, dup_line_pm, dup_line_char_pm,
+       |  top2_char_pm, top3_char_pm, top4_char_pm, dup5_char_pm,
+       |  dup6_char_pm, dup7_char_pm, dup8_char_pm, dup9_char_pm,
+       |  dup10_char_pm
+       |FROM grep ORDER BY doc_id""".stripMargin
+
+  /** CTE chain ending in `grep` (per-doc repetition metrics over the
+    * line-injected corpus `gd`, which also carries source/lang for
+    * the e2e chain). */
+  private lazy val GopherRepCtes: String = {
     val sqlSuffix = "e'" + RepLineSuffix.replace("\n", "\\n") + "'"
     val tops = (2 to 4).map { n =>
       s"""gtop$n AS (SELECT doc_id,
@@ -466,7 +481,7 @@ object LlmQueries {
       .map(n => s"LEFT JOIN gtop$n t$n ON t$n.doc_id = d.doc_id")
     val dupJoins = (5 to 10)
       .map(n => s"LEFT JOIN gdup$n d$n ON d$n.doc_id = d.doc_id")
-    s"""WITH gd AS (SELECT doc_id, text ||
+    s"""gd AS (SELECT doc_id, source, lang, text ||
        |    (CASE WHEN doc_id % 6 = 0 THEN $sqlSuffix ELSE '' END) AS text
        |  FROM documents),
        |gw AS (SELECT doc_id,
@@ -485,8 +500,8 @@ object LlmQueries {
        |     FROM gd) t0 GROUP BY doc_id, l) t1
        |  GROUP BY doc_id),
        |${tops.mkString(",\n")},
-       |${dups.mkString(",\n")}
-       |SELECT d.doc_id, ch.n_chars,
+       |${dups.mkString(",\n")},
+       |grep AS (SELECT d.doc_id, ch.n_chars,
        |  CASE WHEN l.nl > 0 THEN CAST(coalesce(l.dl, 0) * 1000
        |      // l.nl AS BIGINT) END AS dup_line_pm,
        |  CASE WHEN l.nlc > 0 THEN CAST(coalesce(l.dlc, 0) * 1000
@@ -495,9 +510,36 @@ object LlmQueries {
        |FROM gd d
        |JOIN gchars ch ON ch.doc_id = d.doc_id
        |LEFT JOIN glines l ON l.doc_id = d.doc_id
-       |${(topJoins ++ dupJoins).mkString("\n")}
-       |ORDER BY d.doc_id""".stripMargin
+       |${(topJoins ++ dupJoins).mkString("\n")})""".stripMargin
   }
+
+  /** E2E quality chain oracle: repetition gate (Gopher thresholds
+    * 300/200/150 per-mille — all three rules bite on the fixture) →
+    * stupid-backoff LM trained on the GATED reference slice →
+    * per-language per-mille buckets over survivors → keep
+    * head+middle. */
+  private lazy val E2eQualityChainOracleSql: String =
+    s"""WITH $GopherRepCtes,
+       |gsurv AS (SELECT doc_id FROM grep
+       |  WHERE coalesce(dup_line_pm, 0) < 300
+       |    AND coalesce(top2_char_pm, 0) < 200
+       |    AND coalesce(dup5_char_pm, 0) < 150),
+       |qd AS (SELECT d.doc_id, d.source, d.lang, d.text
+       |  FROM gd d JOIN gsurv s USING (doc_id)),
+       |${backoffScoreCtes("qd")},
+       |nrk AS (SELECT o.doc_id, d.lang, o.nll_micro_per_token,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY
+       |      coalesce(o.nll_micro_per_token, 9223372036854775807),
+       |      o.doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY d.lang) AS cnt
+       |  FROM nout o JOIN qd d USING (doc_id)),
+       |npm AS (SELECT doc_id, lang,
+       |    CASE WHEN cnt = 1 THEN 0
+       |      ELSE (rnk - 1) * 1000 // (cnt - 1) END AS pm_rank
+       |  FROM nrk)
+       |SELECT doc_id, lang, CAST(pm_rank AS BIGINT) AS pm_rank,
+       |  CASE WHEN pm_rank < 330 THEN 'head' ELSE 'middle' END AS bucket
+       |FROM npm WHERE pm_rank < 660 ORDER BY doc_id""".stripMargin
 
   /** The injected boilerplate for the repeated-span queries — an
     * 11-word suffix on every 7th document, so k=8 windows fully inside
@@ -3111,6 +3153,37 @@ object LlmQueries {
               lit(RepLineSuffix)).otherwise(lit("")))),
           "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // The round's operators COMPOSED as one curation chain: Gopher
+    // repetition gate (thresholds 300/200/150 pm — each rule bites) →
+    // backoff LM trained on the gated reference slice → per-language
+    // CCNet buckets over survivors → keep head+middle. One lazy plan.
+    "llm_e2e_quality_chain" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), when(col("doc_id") % 6 === 0,
+          lit(RepLineSuffix)).otherwise(lit(""))))
+      val surv = Curate.gopherRepetition(injected, "doc_id", "text")
+        .filter(coalesce(col("dup_line_pm"), lit(0L)) < 300 &&
+          coalesce(col("top2_char_pm"), lit(0L)) < 200 &&
+          coalesce(col("dup5_char_pm"), lit(0L)) < 150)
+        .select(col("doc_id"))
+        // id-scale checkpoint: three consumers (trainer total, score
+        // join, lang join) would otherwise each re-run the 6
+        // coverage-union joins of the repetition gate
+        .localCheckpoint(false)
+      // corpus-rows checkpoint: the trainer's internal actions, the
+      // score stream, and the lang join each consume `gated`
+      val gated = injected.join(surv, "doc_id").localCheckpoint(false)
+      val model = NgramLm.trainBackoff(
+        gated.filter(col("source") === "src0"), "text")
+      NgramLm.ccnetBuckets(
+          NgramLm.scoreBackoff(gated, "doc_id", "text", model)
+            .join(gated.select(col("doc_id"), col("lang")), "doc_id"),
+          "doc_id", "lang")
+        .filter(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("lang"), col("pm_rank"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
 
     // The FULL CCNet recipe's scoring half (Wenzek et al. 2020):
     // stupid-backoff trigram LM (Brants 2007) trained on a curated
@@ -6037,6 +6110,7 @@ object LlmQueries {
     "llm_backoff_lm_score" -> BackoffScoreOracleSql,
     "llm_backoff_lm_store" -> BackoffScoreOracleSql,
     "llm_gopher_repetition" -> GopherRepetitionOracleSql,
+    "llm_e2e_quality_chain" -> E2eQualityChainOracleSql,
     "llm_ccnet_buckets" -> CcnetBucketsOracleSql,
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit
