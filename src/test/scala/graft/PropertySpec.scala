@@ -622,4 +622,51 @@ class PropertySpec extends SparkSpec {
       assert(ps === want, s"$k: DP disagreement")
     }
   }
+
+  test("property: stupid-backoff scoring equals an independent in-memory reimplementation") {
+    import graft.llm.NgramLm
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "zz")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val refDocs = sample(Gen.listOfN(20, doc))
+    val tgtDocs = sample(Gen.listOfN(60, doc))
+    val model = NgramLm.trainBackoff(refDocs.map(Tuple1(_)).toDF("text"), "text")
+    val got = NgramLm.scoreBackoff(
+        tgtDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // independent reimplementation: plain Scala maps, the same
+    // quantization formulas re-derived from raw counts
+    def toks(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val refToks = refDocs.map(toks)
+    def counts[K](xs: Seq[K]): Map[K, Long] =
+      xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val uni = counts(refToks.flatten)
+    val bi = counts(refToks.flatMap(t => t.sliding(2).filter(_.size == 2).map(w => (w(0), w(1)))))
+    val tri = counts(refToks.flatMap(t => t.sliding(3).filter(_.size == 3).map(w => (w(0), w(1), w(2)))))
+    val total = uni.values.sum
+    def q(n: Long, d: Long) = math.floor(1e6 * math.log(n.toDouble / d.toDouble)).toLong
+    val p = NgramLm.BackoffPenaltyMicro
+    val unk = math.floor(1e6 * math.log(1.0 / (total + 1).toDouble)).toLong
+    tgtDocs.zipWithIndex.foreach { case (t, i) =>
+      val ws = toks(t)
+      val nll = -ws.zipWithIndex.map { case (w, j) =>
+        def s1 = uni.get(w).map(c => q(c, total))
+        def s2 = if (j >= 1) bi.get((ws(j - 1), w))
+          .map(c => q(c, uni(ws(j - 1)))) else None
+        def s3 = if (j >= 2) tri.get((ws(j - 2), ws(j - 1), w))
+          .map(c => q(c, bi((ws(j - 2), ws(j - 1))))) else None
+        if (j >= 2) s3.orElse(s2.map(_ + p)).orElse(s1.map(_ + 2 * p))
+          .getOrElse(unk + 2 * p)
+        else if (j == 1) s2.orElse(s1.map(_ + p)).getOrElse(unk + p)
+        else s1.getOrElse(unk)
+      }.sum
+      val want = (ws.size.toLong, nll,
+        if (ws.nonEmpty) Some(nll / ws.size) else None)
+      assert(got(i.toLong) === want, s"doc $i '$t' diverged")
+    }
+  }
 }
