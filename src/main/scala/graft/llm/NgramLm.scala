@@ -161,19 +161,38 @@ object NgramLm {
     * total for unigrams), so every stored score is ≤ 0 and exact.
     * Distinct-gram-scale outputs from one aggregation per order. */
   def trainBackoff(ref: DataFrame, textCol: String): BackoffModel = {
+    val (uniC, biC, triC) = gramCounts(ref, textCol)
+    deriveModel(uniC, biC, triC)
+  }
+
+  /** Exact gram count frames (uni (w, __c1), bi (w1, w, __c2), tri
+    * (w2, w1, w, __c3)) — one aggregation per order over the
+    * shuffle-free context stream. N-grams never cross documents, so
+    * these counts are ADDITIVE across any doc partition of the
+    * corpus — the incremental store's merge is exact. */
+  private def gramCounts(ref: DataFrame,
+                         textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val tok = ctxStream(ref.select(lit(0L).as("__d"), col(textCol)),
       "__d", textCol).localCheckpoint(false)
     val uniC = tok.groupBy(col("w")).agg(count(lit(1)).as("__c1"))
       .localCheckpoint(false)
-    val total = uniC.agg(coalesce(sum(col("__c1")), lit(0L)))
-      .head().getLong(0)
-    require(total > 0L,
-      "NgramLm.trainBackoff: the reference slice has no tokens")
     val biC = tok.filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w")).agg(count(lit(1)).as("__c2"))
       .localCheckpoint(false)
     val triC = tok.filter(col("w2").isNotNull)
       .groupBy(col("w2"), col("w1"), col("w")).agg(count(lit(1)).as("__c3"))
+    (uniC, biC, triC)
+  }
+
+  /** Quantized score tables from count frames — shared by the direct
+    * trainer and the incremental counts store, so the two paths
+    * cannot drift. */
+  private def deriveModel(uniC: DataFrame, biC: DataFrame,
+                          triC: DataFrame): BackoffModel = {
+    val total = uniC.agg(coalesce(sum(col("__c1")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0L,
+      "NgramLm.trainBackoff: the reference slice has no tokens")
     val uni = uniC.select(col("w"),
       microLnRatio(col("__c1"), lit(total)).as("s1"))
     val bi = biC
@@ -187,6 +206,73 @@ object NgramLm {
         microLnRatio(col("__c3"), col("__ctx")).as("s3"))
     BackoffModel(uni.localCheckpoint(false), bi.localCheckpoint(false),
       tri.localCheckpoint(false), total)
+  }
+
+  /** Flat (n, w2, w1, w, c) count rows for one reference batch. */
+  private def flatCounts(ref: DataFrame, textCol: String): DataFrame = {
+    val (uniC, biC, triC) = gramCounts(ref, textCol)
+    uniC.select(lit(1L).as("n"), lit(null).cast("string").as("w2"),
+        lit(null).cast("string").as("w1"), col("w"), col("__c1").as("c"))
+      .unionByName(biC.select(lit(2L).as("n"),
+        lit(null).cast("string").as("w2"), col("w1"), col("w"),
+        col("__c2").as("c")))
+      .unionByName(triC.select(lit(3L).as("n"), col("w2"), col("w1"),
+        col("w"), col("__c3").as("c")))
+  }
+
+  /** Create the incremental COUNTS store: unlike
+    * [[persistBackoffModel]] (frozen scores, serving-only) this
+    * persists the raw gram counts, which are ADDITIVE across doc
+    * batches (n-grams never cross documents), so the reference model
+    * can grow as curated data arrives. One flat atomic-swap table
+    * under the store lock, applied-tag ledger for exactly-once batch
+    * replay (the graph-store recipe). Scores derive at read time via
+    * the SAME [[deriveModel]] as the direct trainer. */
+  def persistBackoffCounts(ref: DataFrame, textCol: String, path: String,
+                           batchTag: Option[String] = None): Unit = {
+    val spark = ref.sparkSession
+    graft.io.Tables.withStoreLock(spark, s"$path/counts") {
+      graft.io.Tables.swapInParquet(spark, flatCounts(ref, textCol),
+        s"$path/counts",
+        ledger = batchTag.map(graft.io.Tables.appliedLedgerLine).toSeq)
+    }
+  }
+
+  /** Merge one more reference batch into the counts store: union +
+    * per-gram Long sum + swap, lock-serialized; a replayed tag
+    * no-ops. Vocabulary-scale rewrite (distinct grams), never
+    * corpus-scale. */
+  def appendToBackoffCounts(ref: DataFrame, textCol: String, path: String,
+                            batchTag: Option[String] = None): Unit = {
+    val spark = ref.sparkSession
+    graft.io.Tables.withStoreLock(spark, s"$path/counts") {
+      val applied = graft.io.Tables.storeAppliedLedger(spark, s"$path/counts")
+      val tagLine = batchTag.map(graft.io.Tables.appliedLedgerLine)
+      if (tagLine.exists(applied.contains)) return // replayed batch
+      graft.io.Tables.warnIfLedgerWrapped(spark, s"$path/counts", tagLine)
+      val gen = graft.io.Tables.storeGeneration(spark, s"$path/counts")
+      val merged = spark.read.parquet(s"$path/counts")
+        .unionByName(flatCounts(ref, textCol))
+        .groupBy(col("n"), col("w2"), col("w1"), col("w"))
+        .agg(sum(col("c")).as("c"))
+        // the swap overwrites the dir this plan reads
+        .localCheckpoint(true)
+      graft.io.Tables.swapInParquet(spark, merged, s"$path/counts", gen,
+        ledger = applied ++ tagLine)
+    }
+  }
+
+  /** Derive the scoring model from the counts store — bit-identical
+    * to training directly on the union of every applied batch. */
+  def readBackoffModelFromCounts(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): BackoffModel = {
+    val flat = spark.read.parquet(s"$path/counts")
+    deriveModel(
+      flat.filter(col("n") === 1L).select(col("w"), col("c").as("__c1")),
+      flat.filter(col("n") === 2L).select(col("w1"), col("w"),
+        col("c").as("__c2")),
+      flat.filter(col("n") === 3L).select(col("w2"), col("w1"), col("w"),
+        col("c").as("__c3")))
   }
 
   /** Score every document against a trained reference model: (idCol,

@@ -3198,6 +3198,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental counts store: the reference model GROWS as curated
+    // data arrives — n-gram counts never cross documents, so merging
+    // per-batch counts is exactly additive. Persist half the
+    // reference, append the other half (tagged), derive scores from
+    // the merged store — SHARES the direct train+score oracle, so the
+    // merge is held to bit-identity with one-shot training.
+    "llm_backoff_lm_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("source") === "src0")
+      val path = graft.util.Scratch.dir("graft_backoff_inc")
+      NgramLm.persistBackoffCounts(ref.filter(col("doc_id") % 2 === 0),
+        "text", path, batchTag = Some("half-even"))
+      NgramLm.appendToBackoffCounts(ref.filter(col("doc_id") % 2 === 1),
+        "text", path, batchTag = Some("half-odd"))
+      // a replayed batch must not double-count
+      NgramLm.appendToBackoffCounts(ref.filter(col("doc_id") % 2 === 1),
+        "text", path, batchTag = Some("half-odd"))
+      NgramLm.scoreBackoff(docs, "doc_id", "text",
+          NgramLm.readBackoffModelFromCounts(s, path))
+        .orderBy(col("doc_id"))
+    }),
+
     // Persist -> reload -> score round-trip for the backoff model
     // (the llm_unigram_store convention): one flat atomic-swap table
     // (n, w2, w1, w, s), read back as plain scans — SHARES the direct
@@ -6109,6 +6131,7 @@ object LlmQueries {
     "llm_unigram_nbest" -> UnigramNbestOracleSql,
     "llm_backoff_lm_score" -> BackoffScoreOracleSql,
     "llm_backoff_lm_store" -> BackoffScoreOracleSql,
+    "llm_backoff_lm_incremental" -> BackoffScoreOracleSql,
     "llm_gopher_repetition" -> GopherRepetitionOracleSql,
     "llm_e2e_quality_chain" -> E2eQualityChainOracleSql,
     "llm_ccnet_buckets" -> CcnetBucketsOracleSql,

@@ -830,4 +830,33 @@ class StoreConcurrencySpec extends SparkSpec {
       s"codes residue must sweep once the lock frees, got $swept")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/codes__next_b")))
   }
+
+  test("backoff counts store: racing appends serialize to the one-shot model; replays no-op") {
+    import graft.llm.NgramLm
+    val ref = (1 to 30).map(i =>
+      (i.toLong, s"w${i % 5} w${i % 3} w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("backoff_counts_").toString + "/m"
+    NgramLm.persistBackoffCounts(ref.filter(col("doc_id") % 3 === 0),
+      "text", path, batchTag = Some("b0"))
+    race(
+      NgramLm.appendToBackoffCounts(ref.filter(col("doc_id") % 3 === 1),
+        "text", path, batchTag = Some("b1")),
+      NgramLm.appendToBackoffCounts(ref.filter(col("doc_id") % 3 === 2),
+        "text", path, batchTag = Some("b2")))
+    def flat() = spark.read.parquet(s"$path/counts")
+      .orderBy("n", "w2", "w1", "w").collect().toSeq
+    val merged = flat()
+    // racing appends must serialize to the additive union
+    val direct = NgramLm.trainBackoff(ref, "text")
+    val fromStore = NgramLm.readBackoffModelFromCounts(spark, path)
+    assert(fromStore.total === direct.total)
+    assert(fromStore.tri.orderBy("w2", "w1", "w").collect().toSeq
+      === direct.tri.orderBy("w2", "w1", "w").collect().toSeq,
+      "merged counts must derive the one-shot model bit-for-bit")
+    // a replayed tag leaves the store bit-identical
+    NgramLm.appendToBackoffCounts(ref.filter(col("doc_id") % 3 === 1),
+      "text", path, batchTag = Some("b1"))
+    assert(flat() === merged, "replayed batch must no-op")
+  }
 }
