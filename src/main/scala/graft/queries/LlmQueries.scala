@@ -288,7 +288,14 @@ object LlmQueries {
     * rank by the pinned (loss desc, cnt desc, piece asc) order, keep
     * chars + top (vocabSize − #chars), re-quantize logp over the kept
     * counts. */
-  private lazy val UnigramPruneOracleSql: String = {
+  private lazy val UnigramPruneOracleSql: String =
+    s"""WITH $UnigramPruneCtes
+       |SELECT piece, cnt, loss_micro, logp_micro
+       |FROM upruned ORDER BY piece""".stripMargin
+
+  /** CTE chain ending in `upruned` (piece, cnt, loss_micro,
+    * logp_micro) — reused by the prune-encode composition. */
+  private lazy val UnigramPruneCtes: String = {
     val R = UnigramRounds
     val steps = (1 to UnigramMaxPieceLen).map { j =>
       val cands = (1 to math.min(UnigramMaxPieceLen, j)).map { l =>
@@ -303,7 +310,7 @@ object LlmQueries {
     val fin = (2 to UnigramMaxPieceLen)
       .map(j => s"SELECT w, sc FROM uadp$j WHERE len(w) = $j")
       .mkString("\nUNION ALL\n")
-    s"""WITH $UnigramTrainCtes,
+    s"""$UnigramTrainCtes,
        |${unigramScoreCte(R)},
        |uadp0 AS (SELECT piece AS w, CAST(0 AS BIGINT) AS sc
        |  FROM uc$R WHERE len(piece) > 1),
@@ -322,12 +329,46 @@ object LlmQueries {
        |        OVER (ORDER BY loss_micro DESC, cnt DESC, piece) AS rn
        |    FROM uloss) t
        |  WHERE rn <= $UnigramPruneVocab -
-       |    (SELECT count(*) FROM uc$R WHERE len(piece) = 1))
-       |SELECT piece, cnt, loss_micro, CAST(floor(1000000.0 *
+       |    (SELECT count(*) FROM uc$R WHERE len(piece) = 1)),
+       |upruned AS (SELECT piece, cnt, loss_micro, CAST(floor(1000000.0 *
        |    ln(CAST(cnt AS DOUBLE) / CAST(tt.total AS DOUBLE))) AS BIGINT)
        |  AS logp_micro
-       |FROM ukeep, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukeep) tt
-       |ORDER BY piece""".stripMargin
+       |FROM ukeep, (SELECT CAST(sum(cnt) AS BIGINT) AS total
+       |             FROM ukeep) tt)""".stripMargin
+  }
+
+  /** Prune → encode composition oracle: the corpus encoded with the
+    * PRUNED piece table — one more DP pass scored by the pruned
+    * logp_micro (chars are never pruned, so the DP stays feasible),
+    * ids dense over the pruned set in UTF-8 order. The encode
+    * assembly CTEs mirror [[UnigramEncodeOracleSql]]. */
+  private lazy val UnigramPruneEncodeOracleSql: String = {
+    val L = graft.llm.Unigram.MaxWordLen
+    val enc = UnigramRounds + 1
+    s"""WITH $UnigramPruneCtes,
+       |uprs AS (SELECT piece, logp_micro AS s FROM upruned),
+       |${unigramDpCtes(enc, scoreCte = "uprs")},
+       |uids AS (SELECT piece,
+       |    row_number() OVER (ORDER BY piece) AS token_id
+       |  FROM upruned),
+       |udw AS (SELECT doc_id, unnest(range(0, len(ws))) AS word_pos,
+       |    unnest(ws) AS w0
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |            x -> len(x) > 0) AS ws FROM documents) t),
+       |uchk AS (SELECT w0, unnest(range(0, (len(w0) + ${L - 1}) // $L)) AS ci
+       |  FROM (SELECT DISTINCT w0 FROM udw) t),
+       |uwseg AS (SELECT w0, string_agg(seg, ' ' ORDER BY ci) AS seg FROM (
+       |  SELECT c.w0, c.ci, g.seg
+       |  FROM (SELECT w0, ci, substr(w0, $L*ci + 1, $L) AS w FROM uchk) c
+       |  JOIN useg$enc g USING (w)) t GROUP BY w0),
+       |uenc AS (SELECT doc_id, word_pos,
+       |    unnest(range(0, len(ps))) AS sym_pos, unnest(ps) AS piece
+       |  FROM (SELECT doc_id, word_pos, string_split(seg, ' ') AS ps
+       |        FROM udw JOIN uwseg USING (w0)) t)
+       |SELECT doc_id, word_pos, sym_pos, CAST(token_id AS BIGINT) AS token_id
+       |FROM uenc JOIN uids USING (piece)
+       |ORDER BY doc_id, word_pos, sym_pos""".stripMargin
   }
 
   /** The reference slice the stupid-backoff LM trains on — one
@@ -3249,6 +3290,22 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Prune -> encode composition: the corpus encoded with the
+    // 40-piece PRUNED vocabulary — the end-to-end vocab-size control
+    // a deployed tokenizer ships with. Chars survive pruning, so
+    // every word still segments; dropped pieces simply stop winning
+    // the DP.
+    "llm_unigram_prune_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pruned = Unigram.pruneToVocab(
+        Unigram.trainLocal(docs, "text", rounds = 2, maxPieceLen = 4,
+          minCount = 2L, seedSize = 1000),
+        vocabSize = UnigramPruneVocab)
+      Unigram.encode(docs, "doc_id", "text",
+          pruned.map(p => (p._1, p._2, p._4)))
+        .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
+    }),
+
     // The l-best EM variant (Kudo 2018's n-best approximation of the
     // soft E-step, integer-weighted so it stays deterministic): each
     // word's top-2 segmentations by the pinned total order BOTH feed
@@ -6129,6 +6186,7 @@ object LlmQueries {
     "llm_unigram_train" -> UnigramTrainOracleSql,
     "llm_unigram_prune" -> UnigramPruneOracleSql,
     "llm_unigram_nbest" -> UnigramNbestOracleSql,
+    "llm_unigram_prune_encode" -> UnigramPruneEncodeOracleSql,
     "llm_backoff_lm_score" -> BackoffScoreOracleSql,
     "llm_backoff_lm_store" -> BackoffScoreOracleSql,
     "llm_backoff_lm_incremental" -> BackoffScoreOracleSql,

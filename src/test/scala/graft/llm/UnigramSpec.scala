@@ -210,6 +210,31 @@ class UnigramSpec extends SparkSpec {
     chars.foreach(c => assert(have.contains(c.toString)))
   }
 
+  test("prune -> encode: the pruned vocab still segments every word losslessly using only kept pieces") {
+    val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    val chars = pieces.count(_._1.length == 1)
+    val pruned = Unigram.pruneToVocab(pieces, chars + 1)
+    val ids = pruned.map(_._1).zipWithIndex
+      .map { case (p, i) => (i + 1L) -> p }.toMap
+    val enc = Unigram.encode(docs, "doc_id", "text",
+        pruned.map(p => (p._1, p._2, p._4)))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(enc.forall(_._4 > 0L), "every piece must come from the pruned set")
+    val words = docs.as[(Long, String)].collect().flatMap { case (d, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).zipWithIndex
+        .map { case (w, i) => (d, i.toLong) -> w }
+    }.toMap
+    enc.groupBy(e => (e._1, e._2)).foreach { case ((d, wp), rows) =>
+      val rebuilt = rows.sortBy(_._3).map(r => ids(r._4)).mkString
+      assert(rebuilt === words((d, wp)), s"doc $d word $wp lost content")
+    }
+    // the tighter vocab must emit MORE tokens than the full one
+    val full = Unigram.encode(docs, "doc_id", "text", pieces).count()
+    assert(enc.length > full,
+      s"pruning to ${pruned.size} pieces must raise fertility ($full -> ${enc.length})")
+  }
+
   test("chunks: 16-char slices cover the word exactly") {
     val got = Seq(Tuple1("a" * 35)).toDF("w")
       .select(Unigram.chunks(col("w")).as("c")).as[Seq[String]].head()
