@@ -582,6 +582,45 @@ object LlmQueries {
        |  CASE WHEN pm_rank < 330 THEN 'head' ELSE 'middle' END AS bucket
        |FROM npm WHERE pm_rank < 660 ORDER BY doc_id""".stripMargin
 
+  /** Funnel oracle: the same waterfall in SQL — marginal drops per
+    * rule from the repetition metrics, then the tail count over gate
+    * survivors via the parameterized backoff chain. */
+  private lazy val QualityFunnelOracleSql: String =
+    s"""WITH $GopherRepCtes,
+       |gflag AS (SELECT doc_id,
+       |    (coalesce(dup_line_pm, 0) >= 300) AS f1,
+       |    (coalesce(top2_char_pm, 0) >= 200) AS f2,
+       |    (coalesce(dup5_char_pm, 0) >= 150) AS f3
+       |  FROM grep),
+       |gcnt AS (SELECT count(*)::BIGINT AS n0,
+       |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |    CAST(sum(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d3
+       |  FROM gflag),
+       |gsurv AS (SELECT doc_id FROM gflag WHERE NOT f1 AND NOT f2 AND NOT f3),
+       |qd AS (SELECT d.doc_id, d.source, d.lang, d.text
+       |  FROM gd d JOIN gsurv s USING (doc_id)),
+       |${backoffScoreCtes("qd")},
+       |nrk AS (SELECT o.doc_id, d.lang, o.nll_micro_per_token,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY
+       |      coalesce(o.nll_micro_per_token, 9223372036854775807),
+       |      o.doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY d.lang) AS cnt
+       |  FROM nout o JOIN qd d USING (doc_id)),
+       |d4c AS (SELECT count(*)::BIGINT AS d4 FROM (
+       |  SELECT CASE WHEN cnt = 1 THEN 0
+       |      ELSE (rnk - 1) * 1000 // (cnt - 1) END AS pm_rank
+       |  FROM nrk) t WHERE pm_rank >= 660)
+       |SELECT CAST(1 AS BIGINT) AS stage_no, 'gate_dup_line' AS stage,
+       |  n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM gcnt
+       |UNION ALL SELECT 2, 'gate_top2', n0 - d1, d2, n0 - d1 - d2 FROM gcnt
+       |UNION ALL SELECT 3, 'gate_dup5', n0 - d1 - d2, d3,
+       |  n0 - d1 - d2 - d3 FROM gcnt
+       |UNION ALL SELECT 4, 'bucket_tail', n0 - d1 - d2 - d3, d4,
+       |  n0 - d1 - d2 - d3 - d4 FROM gcnt, d4c
+       |ORDER BY stage_no""".stripMargin
+
   /** The injected boilerplate for the repeated-span queries — an
     * 11-word suffix on every 7th document, so k=8 windows fully inside
     * it recur corpus-wide while windows straddling the document/suffix
@@ -3224,6 +3263,48 @@ object LlmQueries {
         .filter(col("bucket") =!= "tail")
         .select(col("doc_id"), col("lang"), col("pm_rank"), col("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Curation funnel report: SEQUENTIAL (waterfall) drop attribution
+    // through the quality chain's rules — dup-line gate, top-2 gate,
+    // dup-5 gate, then the CCNet tail cut over gate survivors. Each
+    // stage charges only its MARGINAL drops, so the stages sum to the
+    // total and ops can see which rule is doing the work.
+    "llm_quality_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val injected = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), when(col("doc_id") % 6 === 0,
+          lit(RepLineSuffix)).otherwise(lit(""))))
+      val rep = Curate.gopherRepetition(injected, "doc_id", "text")
+        .select(col("doc_id"),
+          (coalesce(col("dup_line_pm"), lit(0L)) >= 300).as("f1"),
+          (coalesce(col("top2_char_pm"), lit(0L)) >= 200).as("f2"),
+          (coalesce(col("dup5_char_pm"), lit(0L)) >= 150).as("f3"))
+        .localCheckpoint(false)
+      val g = rep.agg(count(lit(1)),
+        sum(when(col("f1"), 1L).otherwise(0L)),
+        sum(when(!col("f1") && col("f2"), 1L).otherwise(0L)),
+        sum(when(!col("f1") && !col("f2") && col("f3"), 1L).otherwise(0L)))
+        .head()
+      val (n0, d1, d2, d3) =
+        (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+      val surv = rep.filter(!col("f1") && !col("f2") && !col("f3"))
+        .select(col("doc_id"))
+      val gated = injected.join(surv, "doc_id").localCheckpoint(false)
+      val model = NgramLm.trainBackoff(
+        gated.filter(col("source") === "src0"), "text")
+      val d4 = NgramLm.ccnetBuckets(
+          NgramLm.scoreBackoff(gated, "doc_id", "text", model)
+            .join(gated.select(col("doc_id"), col("lang")), "doc_id"),
+          "doc_id", "lang")
+        .filter(col("bucket") === "tail").count()
+      val s1 = n0 - d1; val s2 = s1 - d2; val s3 = s2 - d3
+      Seq((1L, "gate_dup_line", n0, d1, s1),
+          (2L, "gate_top2", s1, d2, s2),
+          (3L, "gate_dup5", s2, d3, s3),
+          (4L, "bucket_tail", s3, d4, s3 - d4))
+        .toDF("stage_no", "stage", "n_in", "n_dropped", "n_out")
+        .orderBy(col("stage_no"))
     }),
 
     // The FULL CCNet recipe's scoring half (Wenzek et al. 2020):
@@ -6192,6 +6273,7 @@ object LlmQueries {
     "llm_backoff_lm_incremental" -> BackoffScoreOracleSql,
     "llm_gopher_repetition" -> GopherRepetitionOracleSql,
     "llm_e2e_quality_chain" -> E2eQualityChainOracleSql,
+    "llm_quality_funnel" -> QualityFunnelOracleSql,
     "llm_ccnet_buckets" -> CcnetBucketsOracleSql,
     "llm_unigram_encode" -> UnigramEncodeOracleSql,
     // store round-trip must equal direct train+encode bit-for-bit
