@@ -621,6 +621,16 @@ object LlmQueries {
        |  n0 - d1 - d2 - d3 - d4 FROM gcnt, d4c
        |ORDER BY stage_no""".stripMargin
 
+  private lazy val BackoffDriftOracleSql: String =
+    s"""WITH $BackoffScoreCtes
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(o.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(o.nll_micro) AS BIGINT) AS nll_micro,
+       |  CASE WHEN sum(o.n_tokens) > 0 THEN CAST(sum(o.nll_micro)
+       |      // sum(o.n_tokens) AS BIGINT) END AS mean_nll_micro_per_token
+       |FROM nout o JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** The injected boilerplate for the repeated-span queries — an
     * 11-word suffix on every 7th document, so k=8 windows fully inside
     * it recur corpus-wide while windows straddling the document/suffix
@@ -3318,6 +3328,28 @@ object LlmQueries {
         docs.filter(col("source") === "src0"), "text")
       NgramLm.scoreBackoff(docs, "doc_id", "text", model)
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source drift under the reference model: mean micro-nat
+    // NLL/token by source — the dashboard metric that says WHICH feed
+    // is drifting away from the curated reference (a rising value =
+    // vocabulary/domain shift or quality decay). Exact integer
+    // division over exact sums.
+    "llm_backoff_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = NgramLm.trainBackoff(
+        docs.filter(col("source") === "src0"), "text")
+      NgramLm.scoreBackoff(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("nll_micro")).as("nll_micro"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("nll_micro"),
+          when(col("n_tokens") > 0L,
+            expr("nll_micro div n_tokens")).as("mean_nll_micro_per_token"))
+        .orderBy(col("source"))
     }),
 
     // Incremental counts store: the reference model GROWS as curated
@@ -6271,6 +6303,7 @@ object LlmQueries {
     "llm_backoff_lm_score" -> BackoffScoreOracleSql,
     "llm_backoff_lm_store" -> BackoffScoreOracleSql,
     "llm_backoff_lm_incremental" -> BackoffScoreOracleSql,
+    "llm_backoff_drift" -> BackoffDriftOracleSql,
     "llm_gopher_repetition" -> GopherRepetitionOracleSql,
     "llm_e2e_quality_chain" -> E2eQualityChainOracleSql,
     "llm_quality_funnel" -> QualityFunnelOracleSql,

@@ -986,6 +986,34 @@ object Streams {
         .write.mode("append").format("parquet").saveAsTable(commits)
   }
 
+  /** Streaming maintenance of the incremental backoff-counts store
+    * ([[graft.llm.NgramLm.appendToBackoffCounts]]): each micro-batch
+    * of curated reference documents merges its gram counts into the
+    * store (n-grams never cross documents, so the merge is exactly
+    * additive). Exactly-once WITHOUT a separate commit log: the batch
+    * tag (checkpoint dir + batchId) lands in the store's OWN applied
+    * ledger inside the swap, so a replayed batch no-ops at the store.
+    * Empty batches skip (an empty first batch would otherwise create
+    * an empty store that fails the trainer's total>0 require). */
+  def backoffCountsStream(ref: DataFrame, textCol: String, path: String,
+                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ref.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.head(1).nonEmpty) {
+          val spark = batch.sparkSession
+          val tag = Some(s"backoff-$checkpointDir-$batchId")
+          val store = new org.apache.hadoop.fs.Path(s"$path/counts")
+          val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(store))
+            graft.llm.NgramLm.persistBackoffCounts(batch, textCol, path, tag)
+          else
+            graft.llm.NgramLm.appendToBackoffCounts(batch, textCol, path, tag)
+        }
+      }
+      .start()
+
   private[graft] def bpeEncodeBatch(batch: DataFrame, idCol: String,
                                     textCol: String,
                                     merges: Seq[(String, String)],

@@ -797,6 +797,32 @@ class StreamingPipelineSpec extends SparkSpec {
     Seq(outT, outT + "_commits").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("backoffCountsStream: streamed count merges derive the one-shot model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.NgramLm
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 10).map(i => s"w${i % 3} w${i % 5} w${i % 3}")
+    val b2 = (11 to 25).map(i => s"w${i % 7} w${i % 5} w${i % 2}")
+    val path = graft.util.Scratch.dir("backoff_counts_stream") + "/m"
+    val in = MemoryStream[String]
+    val q = graft.streaming.Streams.backoffCountsStream(
+      in.toDF().toDF("text"), "text", path,
+      graft.util.Scratch.dir("backoff_counts_ck"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = NgramLm.readBackoffModelFromCounts(spark, path)
+    val direct = NgramLm.trainBackoff((b1 ++ b2).map(Tuple1(_)).toDF("text"),
+      "text")
+    assert(streamed.total === direct.total)
+    assert(streamed.tri.orderBy("w2", "w1", "w").collect().toSeq
+      === direct.tri.orderBy("w2", "w1", "w").collect().toSeq,
+      "streamed merges must derive the one-shot model bit-for-bit")
+    assert(streamed.uni.orderBy("w").collect().toSeq
+      === direct.uni.orderBy("w").collect().toSeq)
+  }
+
   test("hllProfileStream: streamed store equals batch build; replay is idempotent without a log") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.CorpusStats
