@@ -311,6 +311,18 @@ object Graft {
                    headMille: Int = 330, middleMille: Int = 660): DataFrame =
     llm.NgramLm.ccnetBuckets(scores, idCol, langCol, headMille, middleMille)
 
+  /** Incremental backoff-counts store: additive per-batch gram-count
+    * merges with ledger idempotence; scores derive at read. */
+  def persistBackoffCounts(ref: DataFrame, textCol: String, path: String,
+                           batchTag: Option[String] = None): Unit =
+    llm.NgramLm.persistBackoffCounts(ref, textCol, path, batchTag)
+  def appendToBackoffCounts(ref: DataFrame, textCol: String, path: String,
+                            batchTag: Option[String] = None): Unit =
+    llm.NgramLm.appendToBackoffCounts(ref, textCol, path, batchTag)
+  def readBackoffModelFromCounts(spark: SparkSession,
+                                 path: String): llm.NgramLm.BackoffModel =
+    llm.NgramLm.readBackoffModelFromCounts(spark, path)
+
   /** Heavy-hitter word n-grams with occurrence + distinct-doc counts. */
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 2, k: Int = 20): DataFrame =

@@ -262,6 +262,26 @@ object NgramLm {
     }
   }
 
+  /** Sweep crash residue (swap leftovers) from the backoff stores.
+    * Unlike the ANN index families — whose appenders stage SIBLING
+    * stores under the centroids lock, needing
+    * [[graft.llm.Similarity.vacuumIndexStores]]'s composite locking —
+    * every writer of these two stores holds exactly its own store
+    * lock, so the bare [[graft.io.Tables.vacuumStore]] (which takes
+    * that same lock) is already race-free here. Covers the
+    * frozen-scores store and the incremental counts store (whichever
+    * exist at `path`). */
+  def vacuumBackoffStores(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[String] = {
+    def sweep(store: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$store")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else graft.io.Tables.vacuumStore(spark, s"$path/$store")
+    }
+    sweep("backoff") ++ sweep("counts")
+  }
+
   /** Derive the scoring model from the counts store — bit-identical
     * to training directly on the union of every applied batch. */
   def readBackoffModelFromCounts(spark: org.apache.spark.sql.SparkSession,

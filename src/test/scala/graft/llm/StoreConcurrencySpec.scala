@@ -858,5 +858,13 @@ class StoreConcurrencySpec extends SparkSpec {
     NgramLm.appendToBackoffCounts(ref.filter(col("doc_id") % 3 === 1),
       "text", path, batchTag = Some("b1"))
     assert(flat() === merged, "replayed batch must no-op")
+    // vacuum sweeps planted swap residue, leaves the store intact
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/counts__next_zz"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/counts__old_zz"))
+    val swept = NgramLm.vacuumBackoffStores(spark, path)
+    assert(swept.size === 2, s"both residue dirs must sweep, got $swept")
+    assert(flat() === merged, "vacuum must not touch live store content")
   }
 }
