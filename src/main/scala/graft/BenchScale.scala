@@ -120,6 +120,24 @@ object BenchScale {
     time("unigram_encode") {
       SparkEntry.queries("llm_unigram_encode")(spark, sfDir).count()
     }
+    // r19: the Gopher repetition gate MATERIALIZED (count() would
+    // eliminate the metric left-joins — aggregate over a metric
+    // column instead, the html_extract precedent) — should be
+    // linear-ish in the token stream with the dup-n blast-radius
+    // prefilter bounding the deep windows to repetitive docs; and the
+    // reference-trained backoff scorer — one corpus fold over
+    // broadcast gram tables, should be near-flat past the scan.
+    time("gopher_gate") {
+      SparkEntry.queries("llm_gopher_repetition")(spark, sfDir)
+        .agg(sum(coalesce(col("dup5_char_pm"), lit(0L))) +
+          sum(coalesce(col("top2_char_pm"), lit(0L))) +
+          sum(coalesce(col("dup_line_pm"), lit(0L))))
+        .head().getLong(0)
+    }
+    time("backoff_score") {
+      SparkEntry.queries("llm_backoff_lm_score")(spark, sfDir)
+        .agg(sum(col("nll_micro"))).head().getLong(0)
+    }
     time("knn_store_delta_append") {
       val nlist = math.max(4L, 4L * nVecs / 2000L).toInt
       val path = graft.util.Scratch.dir("bs_knn_store") + "/g"

@@ -95,9 +95,14 @@ object Curate {
       // is a WINDOW over each exploded stream — a groupBy + semi-join
       // back would consume the explode (and its interpreted
       // shingle-building HOFs) twice and shuffle twice.
+      // the dup windows partition on (…, xxhash64(g), g): the hash is
+      // NOT a substitute for the gram (g stays a key — collisions
+      // cannot conflate counts), it just leads the sort so the
+      // comparator short-circuits on a long instead of walking
+      // ~60-byte gram strings (measured ~25% off the gate at 10×)
       val occ5 = base.select(col(idCol), lit(5).as("__n"),
         posexplode(Text.shingles(col("__ws"), 5)).as(Seq("__p", "__g")))
-      val w5 = Window.partitionBy(col(idCol), col("__g"))
+      val w5 = Window.partitionBy(col(idCol), xxhash64(col("__g")), col("__g"))
       val dup5 = occ5.withColumn("__c", count(lit(1)).over(w5))
         .filter(col("__c") >= 2)
         .select(col(idCol), col("__n"), col("__p"))
@@ -108,7 +113,8 @@ object Curate {
           lit(n).as("__n"),
           posexplode(Text.shingles(col("__ws"), n)).as(Seq("__p", "__g"))))
         .reduce(_ unionByName _)
-      val wq = Window.partitionBy(col(idCol), col("__n"), col("__g"))
+      val wq = Window.partitionBy(col(idCol), col("__n"),
+        xxhash64(col("__g")), col("__g"))
       val dupHi = occHi.withColumn("__c", count(lit(1)).over(wq))
         .filter(col("__c") >= 2)
         .select(col(idCol), col("__n"), col("__p"))
