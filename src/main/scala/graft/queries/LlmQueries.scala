@@ -3947,6 +3947,24 @@ object LlmQueries {
         .select("doc_id").orderBy(col("doc_id"))
     }),
 
+    // Fluency-priority dedup: keep the member of each near-dup
+    // cluster CLOSEST TO THE REFERENCE (lowest backoff NLL/token) —
+    // when a crawl yields near-identical variants, keep the cleanest
+    // one, not the longest or the min-id one. Model-based keep-best:
+    // the composition every modern pipeline runs.
+    "llm_dedup_keep_fluent" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = NgramLm.trainBackoff(
+        docs.filter(col("source") === "src0"), "text")
+      val fluency = NgramLm.scoreBackoff(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          (-col("nll_micro_per_token")).as("fluency"))
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
+      Dedup.keepBestPerCluster(fluency, "doc_id", "fluency", comp)
+        .select("doc_id").orderBy(col("doc_id"))
+    }),
+
     // Dedup diagnostic: histogram of near-dup cluster sizes (shares
     // the LSH-pairs + components prefix with keep_one/keep_best).
     "llm_cluster_sizes" -> ((s, dir) => {
@@ -7522,6 +7540,24 @@ object LlmQueries {
          |    ORDER BY n_chars DESC NULLS LAST, node) AS rn FROM sc) t WHERE rn = 1)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM sc WHERE node NOT IN (SELECT node FROM keep))
+         |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_keep_fluent" ->
+      s"""WITH RECURSIVE ${pairsCtes()},
+         |$BackoffScoreCtes,
+         |edges AS (SELECT a, b FROM scored WHERE jaccard >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+         |reach AS (SELECT src AS node, dst AS r FROM sym
+         |  UNION SELECT reach.node, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT node, least(node, min(r)) AS label
+         |         FROM reach GROUP BY node),
+         |fsc AS (SELECT comp.node, comp.label, o.nll_micro_per_token AS npt
+         |       FROM comp JOIN nout o ON comp.node = o.doc_id),
+         |fkeep AS (SELECT node FROM (
+         |  SELECT node, row_number() OVER (PARTITION BY label
+         |    ORDER BY npt ASC NULLS LAST, node) AS rn FROM fsc) t WHERE rn = 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM fsc WHERE node NOT IN (SELECT node FROM fkeep))
          |ORDER BY doc_id""".stripMargin,
     "llm_cluster_sizes" ->
       s"""WITH RECURSIVE ${pairsCtes()},
