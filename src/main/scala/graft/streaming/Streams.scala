@@ -608,6 +608,38 @@ object Streams {
     spark.sql(s"ALTER TABLE $trimTmp RENAME TO $trimmedTable")
   }
 
+  /** Rebuild-cadence metric for the span gate: how stale is the
+    * append-only index? One row (n_index_keys, n_latest_keys,
+    * n_stale_keys, stale_pm) where stale keys are index rows whose
+    * (id, start, h) no longer appears in the LATEST corpus versions'
+    * window keys — superseded versions' residue, exactly what
+    * [[rebuildSpanTrim]] removes. Poll this (it is read-only and
+    * corpus-scale, so at the audit cadence, not per batch) and
+    * rebuild past a debt threshold. */
+  def spanTrimIndexDebt(spark: SparkSession, corpusTable: String,
+                        indexTable: String, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    spark.catalog.refreshTable(corpusTable)
+    spark.catalog.refreshTable(indexTable)
+    val verW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(SeqCol).desc)
+    val latest = spark.table(corpusTable)
+      .withColumn("__rn", row_number().over(verW))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(textCol))
+    val latestKeys = graft.llm.Dedup.spanKeys(latest, idCol, textCol, k)
+    val idx = spark.table(indexTable)
+    val stale = idx.join(latestKeys,
+      Seq(idCol.toString, "start", "h"), "left_anti")
+    idx.agg(count(lit(1)).as("n_index_keys")).crossJoin(
+        latestKeys.agg(count(lit(1)).as("n_latest_keys"))).crossJoin(
+        stale.agg(count(lit(1)).as("n_stale_keys")))
+      .select(col("n_index_keys"), col("n_latest_keys"),
+        col("n_stale_keys"),
+        when(col("n_index_keys") > 0L,
+          expr("n_stale_keys * 1000 div n_index_keys")).as("stale_pm"))
+  }
+
   /** First batch: the standing tables don't exist yet — dedup against
     * empty frames, then create them via the first append. */
   private def tableOr(spark: SparkSession, name: String,

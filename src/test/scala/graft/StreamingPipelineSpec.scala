@@ -725,6 +725,15 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(product().find(_._1 == 1L).get._2 === "aa bb cc",
       "fixture must exhibit the stale-index over-trim before rebuild")
     assert(product() !== oneShot(c2))
+    // the debt metric sees it: old d2's keys are stale
+    def debt() = graft.streaming.Streams.spanTrimIndexDebt(
+        spark, corpusT, indexT, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Option[Long])].head()
+    val d0 = debt()
+    assert(d0._3 > 0L && d0._4.exists(_ > 0L),
+      s"stale keys must be visible before rebuild, got $d0")
+    assert(d0._1 === d0._2 + d0._3,
+      "index = latest + stale on this no-new-spans fixture")
     val corpusN = fresh(corpusT).count()
     graft.streaming.Streams.rebuildSpanTrim(spark, corpusT, indexT, trimT,
       "doc_id", "text", k = 3, minDf = 2L)
@@ -734,6 +743,9 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(fresh(indexT).as[(Long, Long, String)].collect().toSet
       === latestKeys, "index must hold exactly the latest versions' keys")
     assert(fresh(corpusT).count() === corpusN, "rebuild must not touch the corpus")
+    val d1 = debt()
+    assert(d1._3 === 0L && d1._4 === Some(0L),
+      s"rebuild must clear the index debt, got $d1")
     // product == one-shot over latest; d1's content restored; 1 row/doc
     assert(product() === oneShot(c2))
     assert(product().find(_._1 == 1L).get._2 === "aa bb x1 x2 x3 cc")
