@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two things broke that in every round since r6: the default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", and sbt prints "[success] Total time: …" after the run.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the trailing [success] line, so the bench's
+// compact JSON trailer really is the last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1526,6 +1526,33 @@ object Similarity {
         rebuildGraphLocked(spark, path, targetCell = target,
           minNlist = minNlist.toInt, iters = 2, extraEq = Some(batchEq),
           addLedger = batchTag.map(graft.io.Tables.appliedLedgerLine).toSeq)
+        // kmeans gives NO balance guarantee, so sizing nlist for a
+        // target cell is a heuristic, not the invariant — re-verify
+        // the cap the appender relies on against the PUBLISHED
+        // geometry (total probed members per cell, the same count the
+        // overflow check uses) and retrain at doubled nlist until it
+        // holds. The batch already landed through the first rebuild
+        // (and its tag committed), so retries are pure geometry
+        // retrains from the store alone. Without this, a skewed
+        // kmeans could publish a still-over-cap store and the NEXT
+        // append would immediately re-trigger another corpus-scale
+        // rebuild (or throw without autoRebuild).
+        def maxCell(): Long = spark.read.parquet(s"$path/vectors")
+          .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+          .agg(max(col("__n"))).head().getLong(0)
+        var nl = spark.read.parquet(s"$path/centroids")
+          .select(col("cid")).distinct().count().toInt
+        var attempts = 0
+        while (maxCell() > maxCluster && attempts < 3) {
+          nl = math.max(nl * 2, nl + 1); attempts += 1
+          rebuildGraphLocked(spark, path, targetCell = target,
+            minNlist = nl, iters = 2)
+        }
+        require(maxCell() <= maxCluster,
+          s"appendToKnnGraphStore autoRebuild: retraining up to nlist=$nl " +
+            s"could not bring every cell under maxCluster=$maxCluster at " +
+            s"$path — the data is too concentrated for this cap; raise " +
+            "maxCluster or rebuild manually with a larger nlist")
       }
     }
   }

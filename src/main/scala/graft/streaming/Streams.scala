@@ -557,7 +557,14 @@ object Streams {
     *
     * Corpus-scale by design (this is MAINTENANCE, run rarely — the
     * [[compactSpanTrimmed]] cadence, never per batch). MUST NOT run
-    * concurrently with the stream (catalog renames race appends).
+    * concurrently with the stream (catalog renames race appends), and
+    * the exclusion covers READERS too: publication is side-by-side
+    * build + DROP TABLE + RENAME, so a concurrent [[readSpanTrimmed]],
+    * [[spanTrimIndexDebt]], or dashboard scan racing the swap can hit
+    * a transiently missing catalog name (the same reader caveat the
+    * parquet stores' atomic-rename swap documents) — schedule reads
+    * around the maintenance window or retry on
+    * NoSuchTableException.
     * Each rewritten row carries the table's current max `batch_seq`,
     * so every future stream batch (whose batchId is strictly larger —
     * checkpointed batchIds only grow) still wins the keep-latest fold
@@ -638,6 +645,36 @@ object Streams {
         col("n_stale_keys"),
         when(col("n_index_keys") > 0L,
           expr("n_stale_keys * 1000 div n_index_keys")).as("stale_pm"))
+  }
+
+  /** Threshold-triggered span-gate maintenance — the consumer that
+    * closes the [[spanTrimIndexDebt]] loop: poll the debt metric and
+    * fire [[rebuildSpanTrim]] exactly when the append-only index's
+    * stale-key fraction crosses `maxStalePm` (per-mille). Returns
+    * true iff a rebuild fired, so a scheduler can log/alert on
+    * cadence. Below the threshold this is a read-only corpus-scale
+    * probe (run it at the audit cadence, never per batch); past it,
+    * one rebuild drops the debt to zero, so back-to-back calls fire
+    * at most once (the spec's exactly-once row). Inherits
+    * [[rebuildSpanTrim]]'s exclusion contract: no concurrent stream
+    * batches OR readers during the rebuild window. */
+  def maintainSpanTrim(spark: SparkSession, corpusTable: String,
+                       indexTable: String, trimmedTable: String,
+                       idCol: String, textCol: String,
+                       k: Int = 8, minDf: Long = 2L,
+                       indexBuckets: Int = 8,
+                       maxStalePm: Long = 100L): Boolean = {
+    if (!spark.catalog.tableExists(corpusTable) ||
+        !spark.catalog.tableExists(indexTable)) return false
+    val debt = spanTrimIndexDebt(spark, corpusTable, indexTable,
+      idCol, textCol, k).head()
+    val stalePm = if (debt.isNullAt(3)) 0L else debt.getLong(3)
+    if (stalePm <= maxStalePm) false
+    else {
+      rebuildSpanTrim(spark, corpusTable, indexTable, trimmedTable,
+        idCol, textCol, k, minDf, indexBuckets)
+      true
+    }
   }
 
   /** First batch: the standing tables don't exist yet — dedup against
@@ -978,16 +1015,30 @@ object Streams {
     * quality stage of a live crawl ingest, serving the model the
     * batch trainer published. Stateless per batch (the model is
     * frozen; OOV tokens score at the model's pseudo-count, the
-    * serving analog of the UNK conventions), commit-log idempotent —
-    * the [[unigramEncodeToTable]] shape. Percentile BUCKETS are a
-    * corpus-level statement, so they stay a batch read over the
-    * accumulated scores table (ccnetBuckets over readScores), never
-    * per-batch state. */
+    * serving analog of the UNK conventions), exactly-once per batch —
+    * the scores land as a dynamic overwrite of the batch's OWN
+    * (stream, batch) partition, so even a crash-replayed batch
+    * rewrites its partition instead of appending duplicates (the
+    * at-least-once window the bare append+commit shape has).
+    * Percentile BUCKETS are a corpus-level statement, so they stay a
+    * batch read over the accumulated scores table (ccnetBuckets over
+    * readScores), never per-batch state.
+    *
+    * The model is SNAPSHOT eagerly at stream start
+    * (localCheckpoint(true) of the three gram tables): a lazy reload
+    * would be plain parquet scans of `modelPath`, and a
+    * [[graft.llm.NgramLm.persistBackoffModel]] republish (an atomic
+    * swap) during the stream's lifetime would make later — or
+    * crash-replayed — batches score against the republished files, or
+    * fail on the swapped-away ones. The frozen guarantee holds by
+    * materialization, not by a no-republish convention. */
   def backoffScoreStream(docs: DataFrame, idCol: String, textCol: String,
                          modelPath: String, outTable: String,
                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
-    val model = graft.llm.NgramLm.readBackoffModel(spark, modelPath)
+    val m0 = graft.llm.NgramLm.readBackoffModel(spark, modelPath)
+    val model = m0.copy(uni = m0.uni.localCheckpoint(true),
+      bi = m0.bi.localCheckpoint(true), tri = m0.tri.localCheckpoint(true))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -998,6 +1049,14 @@ object Streams {
       .start()
   }
 
+  /** One scoring micro-batch. Exactly-once WITHOUT trusting the
+    * scores-write + commit-write pair to be atomic: the scores table
+    * is PARTITIONED by (__sid, __bid) and each batch lands as a
+    * dynamic overwrite of its own partition, so a crash between the
+    * scores write and the commit append replays into the same
+    * partition with identical content (scoreBackoff is deterministic)
+    * instead of appending duplicates. The commit log stays as the
+    * fast no-op guard for clean replays. */
   private[graft] def backoffScoreBatch(batch: DataFrame, idCol: String,
                                        textCol: String,
                                        model: graft.llm.NgramLm.BackoffModel,
@@ -1010,8 +1069,18 @@ object Streams {
         spark.table(commits).filter(col("stream_id") === streamId &&
           col("batch_id") === batchId).head(1).nonEmpty)
       return
-    graft.llm.NgramLm.scoreBackoff(batch, idCol, textCol, model)
-      .write.mode("append").format("parquet").saveAsTable(outTable)
+    val scored = graft.llm.NgramLm.scoreBackoff(batch, idCol, textCol, model)
+      .withColumn("__sid", lit(streamId)).withColumn("__bid", lit(batchId))
+    if (!spark.catalog.tableExists(outTable))
+      scored.write.partitionBy("__sid", "__bid").format("parquet")
+        .saveAsTable(outTable)
+    else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try scored.write.mode("overwrite").insertInto(outTable)
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
     if (batchId >= 0)
       spark.range(1).select(lit(streamId).as("stream_id"),
           lit(batchId).as("batch_id"))
@@ -1034,14 +1103,11 @@ object Streams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batch.head(1).nonEmpty) {
-          val spark = batch.sparkSession
           val tag = Some(s"backoff-$checkpointDir-$batchId")
-          val store = new org.apache.hadoop.fs.Path(s"$path/counts")
-          val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(store))
-            graft.llm.NgramLm.persistBackoffCounts(batch, textCol, path, tag)
-          else
-            graft.llm.NgramLm.appendToBackoffCounts(batch, textCol, path, tag)
+          // create-vs-append decided INSIDE the store lock (upsert):
+          // an exists probe out here could race another writer's
+          // first batch and lose one side's counts to a double-create
+          graft.llm.NgramLm.upsertBackoffCounts(batch, textCol, path, tag)
         }
       }
       .start()

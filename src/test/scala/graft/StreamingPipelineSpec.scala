@@ -766,6 +766,84 @@ class StreamingPipelineSpec extends SparkSpec {
     dropAll()
   }
 
+  test("maintainSpanTrim: debt past threshold triggers exactly one rebuild; below it, read-only no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // re-crawls accumulate superseded versions whose keys go stale in
+    // the append-only index: d2 changes twice, d3 once
+    val c1 = Seq(
+      (1L, "aa bb x1 x2 x3 cc"),
+      (2L, "x1 x2 x3 dd"),
+      (3L, "ee ff gg hh"))
+    val c2 = c1.map {
+      case (2L, _) => (2L, "pp qq rr")
+      case r => r
+    }
+    val c3 = c2.map {
+      case (2L, _) => (2L, "ss tt uu vv")
+      case (3L, _) => (3L, "ww zz")
+      case r => r
+    }
+    val (corpusT, indexT, trimT) = ("msp_corpus", "msp_index", "msp_trim")
+    val tables = Seq(corpusT, indexT, trimT, trimT + "_commits")
+    def dropAll(): Unit = tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    dropAll()
+    // missing tables (stream never started): a scheduler probe no-ops
+    assert(!graft.streaming.Streams.maintainSpanTrim(spark, corpusT,
+      indexT, trimT, "doc_id", "text", k = 3, minDf = 2L),
+      "maintenance before any stream state must be a clean no-op")
+    val ck = graft.util.Scratch.dir("spantrim_maintain_ck")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.spanTrimDeltaStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusT, indexT, trimT, ck, k = 3, minDf = 2L)
+    def product() = graft.streaming.Streams
+      .readSpanTrimmed(spark, trimT, "doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    def oneShot(rows: Seq[(Long, String)]) = Dedup.trimRepeatedSpans(
+        rows.toDF("doc_id", "text"), "doc_id", "text", k = 3, minDf = 2L)
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    def debt() = graft.streaming.Streams.spanTrimIndexDebt(
+        spark, corpusT, indexT, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Option[Long])].head()
+    try {
+      in.addData(c1: _*); q.processAllAvailable()
+      // fresh index: zero debt, a tight threshold still must not fire
+      assert(!graft.streaming.Streams.maintainSpanTrim(spark, corpusT,
+        indexT, trimT, "doc_id", "text", k = 3, minDf = 2L,
+        maxStalePm = 0L),
+        "zero-debt index must not trigger a rebuild")
+      in.addData(c2: _*); q.processAllAvailable()
+      in.addData(c3: _*); q.processAllAvailable()
+    } finally q.stop()
+    // accumulated superseded versions push stale_pm past the threshold
+    val d0 = debt()
+    assert(d0._4.exists(_ > 100L),
+      s"fixture must accumulate debt past the threshold, got $d0")
+    val fired = graft.streaming.Streams.maintainSpanTrim(spark, corpusT,
+      indexT, trimT, "doc_id", "text", k = 3, minDf = 2L,
+      maxStalePm = 100L)
+    assert(fired, "past-threshold debt must trigger the rebuild")
+    val d1 = debt()
+    assert(d1._3 === 0L && d1._4 === Some(0L),
+      s"the triggered rebuild must clear the debt, got $d1")
+    assert(product() === oneShot(c3),
+      "maintained product must equal the one-shot batch trim over latest")
+    // exactly-once: the debt is gone, a second poll must NOT rebuild
+    assert(!graft.streaming.Streams.maintainSpanTrim(spark, corpusT,
+      indexT, trimT, "doc_id", "text", k = 3, minDf = 2L,
+      maxStalePm = 100L),
+      "a second maintenance poll after the rebuild must no-op")
+    dropAll()
+  }
+
   test("backoffScoreStream: streamed scores == batch scores from the frozen store; committed replay no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.NgramLm
@@ -793,7 +871,8 @@ class StreamingPipelineSpec extends SparkSpec {
       in.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
     spark.catalog.refreshTable(outT)
-    val streamed = spark.table(outT).orderBy("doc_id").collect().toSeq
+    val streamed = spark.table(outT).drop("__sid", "__bid")
+      .orderBy("doc_id").collect().toSeq
     val batch = NgramLm.scoreBackoff((b1 ++ b2).toDF("doc_id", "text"),
       "doc_id", "text", model).orderBy("doc_id").collect().toSeq
     assert(streamed === batch,
@@ -806,6 +885,20 @@ class StreamingPipelineSpec extends SparkSpec {
       0L)
     spark.catalog.refreshTable(outT)
     assert(spark.table(outT).count() === n0, "a committed batch must no-op")
+    // crash window between the scores write and the commit append:
+    // drop the commit log entirely (the replayed batch now looks
+    // uncommitted) and re-run — the batch's own (__sid, __bid)
+    // partition is OVERWRITTEN, not appended, so counts hold
+    val sid = spark.table(outT).select("__sid").head().getString(0)
+    spark.sql(s"DROP TABLE ${outT}_commits")
+    graft.streaming.Streams.backoffScoreBatch(b1.toDF("doc_id", "text"),
+      "doc_id", "text", model, outT, sid, 0L)
+    spark.catalog.refreshTable(outT)
+    assert(spark.table(outT).count() === n0,
+      "an uncommitted replay must overwrite its own partition, not duplicate")
+    assert(spark.table(outT).drop("__sid", "__bid")
+      .orderBy("doc_id").collect().toSeq === batch,
+      "replayed scores must be bit-identical")
     Seq(outT, outT + "_commits").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 

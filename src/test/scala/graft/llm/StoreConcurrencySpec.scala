@@ -497,25 +497,39 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(e.getMessage.contains("maxCluster") &&
       e.getMessage.contains("rebuild"))
     // autoRebuild: the SAME call retrains on stored ∪ batch under the
-    // held lock and lands the batch through the rebuild — equivalent
-    // to a from-scratch build over EVERYTHING at the geometry the
-    // auto path derives (stored 10 + batch 50 against maxCluster 12
-    // -> targetCell 6, nlist 10). The failed attempt above wrote
-    // NOTHING (cap check precedes all mutation), so `tiny` is still
-    // the pristine 10-vector store.
+    // held lock and lands the batch through the rebuild. The derived
+    // sizing (stored 10 + batch 50 against maxCluster 12 ->
+    // targetCell 6, nlist 10) targets PROBE-1 cell size maxCluster/2,
+    // but the cap the appender enforces counts ALL probed members
+    // (nprobe=2 doubles the average), so kmeans skew routinely leaves
+    // that first geometry over-cap — the auto path must then VERIFY
+    // the published cells and retrain at doubled nlist until the cap
+    // invariant actually holds (else the very next append re-triggers
+    // a corpus-scale rebuild, or throws without autoRebuild). The
+    // failed attempt above wrote NOTHING (cap check precedes all
+    // mutation), so `tiny` is still the pristine 10-vector store.
     Similarity.appendToKnnGraphStore(gvecs(10L to 59L), "vec_id",
       "embedding", tiny, batchTag = Some("cap-b"), autoRebuild = true)
+    // whatever nlist the verification converged to, the result equals
+    // a from-scratch build over everything at THAT geometry (the
+    // rebuild trains on the same (vid, eq) set with the same rule)
+    val convergedNlist = spark.read.parquet(s"$tiny/centroids")
+      .select(col("cid")).distinct().count().toInt
+    assert(convergedNlist >= 10,
+      "verification may only widen the derived geometry, never shrink it")
     val scratch2 = Files.createTempDirectory("knn_store_cap2_").toString + "/g"
     Similarity.persistKnnGraphStore(all, "vec_id", "embedding", scratch2,
-      k = 3, nlist = 10, iters = 2, maxCluster = 12, nprobe = 2)
+      k = 3, nlist = convergedNlist, iters = 2, maxCluster = 12, nprobe = 2)
     assert(graphEdges(tiny) === graphEdges(scratch2),
-      "autoRebuild must equal a from-scratch build at the derived geometry")
-    // the retrained cells respect the cap and every vector landed
-    val v = spark.read.parquet(s"$tiny/vectors").filter(col("probe") === 1)
-    assert(v.count() === 60L)
+      "autoRebuild must equal a from-scratch build at the converged geometry")
+    // the cap the APPENDER relies on holds on the published store:
+    // ALL probed members per cell (probe 1 and 2), not just homes —
+    // the same count the overflow check uses
+    val v = spark.read.parquet(s"$tiny/vectors")
+    assert(v.filter(col("probe") === 1).count() === 60L)
     assert(v.groupBy(col("cell")).count()
       .filter(col("count") > 12).count() === 0L,
-      "no retrained cell may exceed maxCluster after the auto append")
+      "no retrained cell may exceed maxCluster (all probes) after the auto append")
     // the tag committed through the auto path: a replay is a no-op
     val edgesBefore = graphEdges(tiny)
     Similarity.appendToKnnGraphStore(gvecs(10L to 59L), "vec_id",
