@@ -51,14 +51,21 @@ object Curate {
     * partitions by doc and nothing cross-document ever shuffles. */
   def gopherRepetition(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
+    // the checkpoint pins ONLY the word arrays: five consumers (nChars,
+    // topAgg, occ5, occHi via the semi-join, wl) re-read `__ws`, so the
+    // pin saves four re-tokenizations — but the LINE arrays have
+    // exactly one consumer (lineAgg), and pinning them alongside the
+    // words doubled the checkpoint's storage footprint for nothing
+    // (at 100 TB that is corpus-scale block pressure; recompute of one
+    // split() is cheaper than storing it)
     val base = docs.select(col(idCol),
-        filter(Text.words(col(textCol)), w => length(w) > 0).as("__ws"),
-        split(col(textCol), "\n").as("__ls"))
+        filter(Text.words(col(textCol)), w => length(w) > 0).as("__ws"))
       .localCheckpoint(false)
     val nChars = base.select(col(idCol),
       aggregate(transform(col("__ws"), w => length(w).cast("long")),
         lit(0L), (a, x) => a + x).as("n_chars"))
-    val lineAgg = base.select(col(idCol), explode(col("__ls")).as("__l"))
+    val lineAgg = docs.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__l"))
       .groupBy(col(idCol), col("__l")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("__nl"),

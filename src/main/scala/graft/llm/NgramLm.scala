@@ -121,6 +121,18 @@ object NgramLm {
   // every DISTINCT gram's score quantizes ONCE in the model table,
   // each back-off ADDS the constant floor(1e6·ln 0.4), document NLL
   // is an exact order-independent Long sum.
+  //
+  // Why NOT interpolated Kneser-Ney: stupid backoff quantizes because
+  // it is purely MULTIPLICATIVE (one count ratio per token, α per
+  // step — log space makes it a Long sum). KN's discounted
+  // probability is a recursive SUM of terms, and additive mixing
+  // breaks the exact-integer discipline both ways: quantize-then-add
+  // needs log-sum-exp (unpinnable float order across Spark/DuckDB),
+  // and the exact-rational form overflows Decimal(38) at corpus-scale
+  // context counts with ulp-unstable BigInt→double floors at the
+  // final quantization. Full analysis: PLANS.md "Kneser-Ney vs stupid
+  // backoff — the quantization decision". Brants 2007 reached the
+  // same conclusion at trillion-token scale.
 
   /** floor(1e6 · ln 0.4) — one back-off step's micro-nat penalty. */
   val BackoffPenaltyMicro: Long =

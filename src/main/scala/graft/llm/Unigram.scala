@@ -173,13 +173,34 @@ object Unigram {
     * Long arithmetic, so training remains oracle-replayable). */
   def trainLocal(docs: DataFrame, textCol: String, rounds: Int = 2,
                  maxPieceLen: Int = 4, minCount: Long = 2L,
-                 seedSize: Int = 1000, kBest: Int = 1): Seq[(String, Long, Long)] = {
+                 seedSize: Int = 1000, kBest: Int = 1,
+                 wordMinFreq: Long = 1L,
+                 maxDistinctWords: Long = 50000000L): Seq[(String, Long, Long)] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
     require(kBest >= 1, s"kBest must be >= 1, got $kBest")
-    val wf: Array[(String, Long)] = wordFreq(docs, textCol)
-      .select(col("w"), col("freq")).collect()
+    require(wordMinFreq >= 1L, s"wordMinFreq must be >= 1, got $wordMinFreq")
+    // The driver-local collect is the documented trainMergesLocal
+    // convention: DISTINCT-chunked-word scale, fine for a curated
+    // training slice. Raw web text breaks the convention — its
+    // distinct-word set grows with the corpus (typos, ids, junk), so
+    // the guard is twofold and runs BEFORE the collect: `wordMinFreq`
+    // is a frequency floor pushed INTO the distributed aggregation
+    // (singleton junk words never reach the driver; at 1, a no-op
+    // preserving every committed training's output bit-for-bit), and
+    // `maxDistinctWords` fails loudly at the driver's actual capacity
+    // instead of OOMing mid-collect.
+    val wfDf = wordFreq(docs, textCol)
+      .filter(col("freq") >= wordMinFreq)
+      .select(col("w"), col("freq"))
+    val nWords = wfDf.count()
+    require(nWords <= maxDistinctWords,
+      s"unigram trainLocal: $nWords distinct words exceed " +
+        s"maxDistinctWords=$maxDistinctWords — raise wordMinFreq (the " +
+        "pre-collect frequency floor) or train on a curated slice; " +
+        "collecting this table would exhaust the driver")
+    val wf: Array[(String, Long)] = wfDf.collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val sub = scala.collection.mutable.HashMap.empty[String, Long]
     for ((w, f) <- wf; l <- 1 to math.min(maxPieceLen, w.length);

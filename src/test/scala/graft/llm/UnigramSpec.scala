@@ -39,6 +39,31 @@ class UnigramSpec extends SparkSpec {
       maxPieceLen = 4, minCount = 2L, seedSize = 1000))
   }
 
+  test("trainLocal raw-web guards: wordMinFreq floors BEFORE the collect; maxDistinctWords fails loudly") {
+    val base = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+    // the default floor (1) is a bit-for-bit no-op
+    assert(base === Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000, wordMinFreq = 1L))
+    // a real floor drops singleton junk words from the seed AND the
+    // EM weighting — "supercalifragilisticexpialidocious" appears
+    // once, so its exclusive substrings must vanish from the vocab
+    val floored = Unigram.trainLocal(docs, "text", rounds = 2,
+      maxPieceLen = 4, minCount = 2L, seedSize = 1000, wordMinFreq = 2L)
+    val flooredSet = floored.map(_._1).toSet
+    assert(!flooredSet.contains("supe") && !flooredSet.contains("fragi".take(4)),
+      "singleton-word-only substrings must not survive the floor")
+    // words above the floor still train: the banana-family pieces stay
+    assert(flooredSet.contains("ban"), "frequent-word pieces must survive")
+    // the capacity guard trips before the collect, loudly
+    val e = intercept[IllegalArgumentException] {
+      Unigram.trainLocal(docs, "text", rounds = 1, maxPieceLen = 4,
+        minCount = 2L, seedSize = 1000, maxDistinctWords = 3L)
+    }
+    assert(e.getMessage.contains("maxDistinctWords") &&
+      e.getMessage.contains("wordMinFreq"))
+  }
+
   test("segmentWords (distributed DP) equals the driver-local viterbi on every distinct chunk") {
     val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
       maxPieceLen = 4, minCount = 2L, seedSize = 1000)
