@@ -185,23 +185,27 @@ object Unigram {
     // convention: DISTINCT-chunked-word scale, fine for a curated
     // training slice. Raw web text breaks the convention — its
     // distinct-word set grows with the corpus (typos, ids, junk), so
-    // the guard is twofold and runs BEFORE the collect: `wordMinFreq`
-    // is a frequency floor pushed INTO the distributed aggregation
+    // the guard is twofold and costs NO extra pass: `wordMinFreq` is
+    // a frequency floor pushed INTO the distributed aggregation
     // (singleton junk words never reach the driver; at 1, a no-op
     // preserving every committed training's output bit-for-bit), and
-    // `maxDistinctWords` fails loudly at the driver's actual capacity
-    // instead of OOMing mid-collect.
-    val wfDf = wordFreq(docs, textCol)
+    // `maxDistinctWords` bounds the DRIVER TRANSFER itself — the
+    // collect runs under a cap+1 limit, so an over-cap table fails
+    // loudly at the capacity line instead of OOMing mid-collect (a
+    // separate count() probe would re-run the whole aggregation).
+    // Collected order is free to vary: every consumer below is
+    // order-independent (summed accumulations; explicit sorts).
+    val lim = math.min(maxDistinctWords, (Int.MaxValue - 2).toLong).toInt
+    val wf: Array[(String, Long)] = wordFreq(docs, textCol)
       .filter(col("freq") >= wordMinFreq)
       .select(col("w"), col("freq"))
-    val nWords = wfDf.count()
-    require(nWords <= maxDistinctWords,
-      s"unigram trainLocal: $nWords distinct words exceed " +
+      .limit(lim + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(wf.length <= lim,
+      s"unigram trainLocal: over $lim distinct words exceed " +
         s"maxDistinctWords=$maxDistinctWords — raise wordMinFreq (the " +
         "pre-collect frequency floor) or train on a curated slice; " +
         "collecting this table would exhaust the driver")
-    val wf: Array[(String, Long)] = wfDf.collect()
-      .map(r => (r.getString(0), r.getLong(1)))
     val sub = scala.collection.mutable.HashMap.empty[String, Long]
     for ((w, f) <- wf; l <- 1 to math.min(maxPieceLen, w.length);
          i <- 0 to w.length - l)
