@@ -4035,6 +4035,31 @@ object LlmQueries {
           .select((-col("doc_id") - lit(1L)).as("doc_id"), col("text")))
       graft.streaming.Streams.deltaGate(batch, corpus, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // The span-gate index-debt metric as a batch fixture — the SAME
+    // arithmetic Streams.spanTrimIndexDebt polls over the streaming
+    // catalog tables (shared via spanTrimIndexDebtFrames), so the
+    // rebuild-cadence signal is oracle-checked, not just spec'd. The
+    // corpus holds every doc at its original content (seq 1) plus a
+    // CHANGED second version for %9 ids ('v2 ' PREFIX — every window
+    // shifts by a word, so the superseded version's keys genuinely go
+    // stale; a suffix change would leave v1's keys inside v2's and
+    // the debt would read zero); the append-only index holds the
+    // union of BOTH versions' window keys, exactly what the
+    // delta-gated stream accumulates. One row: index/latest/stale
+    // counts + exact per-mille.
+    "llm_span_index_debt" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
+      val corpus = docs
+        .withColumn(graft.streaming.Streams.SeqCol, lit(1L))
+        .unionByName(v2.withColumn(graft.streaming.Streams.SeqCol, lit(2L)))
+      val index = graft.llm.Dedup.spanKeys(docs, "doc_id", "text", 8)
+        .unionByName(graft.llm.Dedup.spanKeys(v2, "doc_id", "text", 8))
+      graft.streaming.Streams.spanTrimIndexDebtFrames(corpus, index,
+        "doc_id", "text", 8)
     }))
 
   /** Shard count for llm_global_shuffle, shared with its oracle. */
@@ -7628,5 +7653,39 @@ object LlmQueries {
         |SELECT b.doc_id, b.text FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM gate g
         |  WHERE g.doc_id = b.doc_id AND g.h = coalesce(md5(b.text), '__null__'))
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // the ks window-key derivation is the SpanKeyCtes shape (no
+    // boilerplate injection here); index = keys over ALL stored
+    // versions, latest = keys over each id's newest version, stale =
+    // index rows anti-joined on the full (id, start, h) key
+    "llm_span_index_debt" ->
+      """WITH v2 AS (SELECT doc_id, 'v2 ' || text AS text
+        |  FROM documents WHERE ((doc_id % 9) + 9) % 9 = 0),
+        |latest AS (
+        |  SELECT doc_id, text FROM documents WHERE ((doc_id % 9) + 9) % 9 <> 0
+        |  UNION ALL SELECT doc_id, text FROM v2),
+        |allv AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM v2),
+        |ik AS (SELECT doc_id, i AS start,
+        |    md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |          FROM allv) w0 WHERE len(ws) >= 8) t1),
+        |lk AS (SELECT doc_id, i AS start,
+        |    md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |          FROM latest) w0 WHERE len(ws) >= 8) t2),
+        |st AS (SELECT count(*)::BIGINT AS n_stale_keys
+        |  FROM (SELECT doc_id, start, h FROM ik
+        |        ANTI JOIN lk USING (doc_id, start, h)) a),
+        |cnt AS (SELECT (SELECT count(*) FROM ik)::BIGINT AS n_index_keys,
+        |  (SELECT count(*) FROM lk)::BIGINT AS n_latest_keys,
+        |  (SELECT n_stale_keys FROM st) AS n_stale_keys)
+        |SELECT n_index_keys, n_latest_keys, n_stale_keys,
+        |  (CASE WHEN n_index_keys > 0
+        |        THEN n_stale_keys * 1000 // n_index_keys END)::BIGINT AS stale_pm
+        |FROM cnt""".stripMargin)
 }

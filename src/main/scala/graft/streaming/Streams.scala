@@ -628,14 +628,25 @@ object Streams {
                         k: Int = 8): DataFrame = {
     spark.catalog.refreshTable(corpusTable)
     spark.catalog.refreshTable(indexTable)
+    spanTrimIndexDebtFrames(spark.table(corpusTable),
+      spark.table(indexTable), idCol, textCol, k)
+  }
+
+  /** [[spanTrimIndexDebt]] over explicit frames — the versioned corpus
+    * (idCol, textCol, [[SeqCol]]) and the append-only index (idCol,
+    * start, h) — shared by the catalog-table form above and the batch
+    * oracle fixture (`llm_span_index_debt`), so the registered query
+    * exercises the exact arithmetic the streaming maintenance polls. */
+  def spanTrimIndexDebtFrames(corpus: DataFrame, idx: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 8): DataFrame = {
     val verW = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(SeqCol).desc)
-    val latest = spark.table(corpusTable)
+    val latest = corpus
       .withColumn("__rn", row_number().over(verW))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(textCol))
     val latestKeys = graft.llm.Dedup.spanKeys(latest, idCol, textCol, k)
-    val idx = spark.table(indexTable)
     val stale = idx.join(latestKeys,
       Seq(idCol.toString, "start", "h"), "left_anti")
     idx.agg(count(lit(1)).as("n_index_keys")).crossJoin(
