@@ -235,6 +235,82 @@ object Unigram {
       .map { case (p, c) => (p, c, microLn(c, total)) }
   }
 
+  /** [[trainLocal]] with the corpus-vocabulary collect REMOVED — the
+    * raw-web-scale trainer. Bit-identical to `trainLocal(kBest = 1)`
+    * (differential-spec'd, and the registered query shares the same
+    * fully-unrolled SQL oracle): the same seed, the same hard-EM
+    * rounds, the same micro-ln quantization and total orders — but
+    * every corpus-vocabulary-scale step stays distributed:
+    *
+    *  - the SEED substring counts are one explode + hash agg over the
+    *    distinct-chunk table (overlapping occurrences each count, the
+    *    driver loop's semantics), with the multi-piece seed selected
+    *    by a global TakeOrdered (count desc, UTF-8 asc — Spark's
+    *    binary string order IS utf8Lt) capped at `seedSize`;
+    *  - each EM round's E-step segments every distinct chunk with the
+    *    DISTRIBUTED bounded-depth Viterbi ([[segmentWords]], already
+    *    spec'd equal to the driver DP's total order) and re-counts
+    *    pieces via explode + weighted hash agg.
+    *
+    * What the driver holds is bounded by the VOCAB BUDGET, never the
+    * corpus: the charset, the ≤ `seedSize` multi-piece seed, and one
+    * ≤ |pieces|-row count table per round. `kBest` > 1 (the l-best
+    * E-step) stays driver-local by design — the top-k DP is not
+    * distributed; use [[trainLocal]] for it on a curated slice.
+    *
+    * Cost shape: `rounds` distributed DP passes over distinct chunks
+    * (each the encode DP's cost) instead of one driver loop — the
+    * price of unbounded vocabulary. At fixture scale prefer
+    * [[trainLocal]]; at raw-web scale this is the only trainer that
+    * finishes. */
+  def trainDistributed(docs: DataFrame, textCol: String, rounds: Int = 2,
+                       maxPieceLen: Int = 4, minCount: Long = 2L,
+                       seedSize: Int = 1000,
+                       wordMinFreq: Long = 1L): Seq[(String, Long, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(wordMinFreq >= 1L, s"wordMinFreq must be >= 1, got $wordMinFreq")
+    val wf = wordFreq(docs, textCol)
+      .filter(col("freq") >= wordMinFreq)
+      .localCheckpoint(false) // reused by the seed + every round
+    // seed: every substring occurrence of every (chunked) word,
+    // weighted by word frequency — one explode + one agg
+    val subs = wf.select(col("freq"), explode(flatten(
+        transform(sequence(lit(1), least(lit(maxPieceLen), length(col("w")))),
+          l => transform(sequence(lit(1), length(col("w")) - l + 1),
+            i => col("w").substr(i, l)))))
+        .as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+      .localCheckpoint(false) // two consumers below
+    val chars: Map[String, Long] = subs.filter(length(col("p")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val multi: Seq[(String, Long)] = subs
+      .filter(length(col("p")) > 1 && col("c") >= minCount)
+      .orderBy(col("c").desc, col("p").asc)
+      .limit(seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var counts: Map[String, Long] = chars ++ multi
+    for (_ <- 1 to rounds) {
+      val total = counts.valuesIterator.sum
+      val scores = counts.iterator
+        .map { case (p, c) => (p, microLn(c, total)) }.toSeq
+      val raw: Map[String, Long] =
+        segmentWords(wf.select(col("w")), scores, maxPieceLen)
+          .join(wf, Seq("w"))
+          .select(col("freq"), explode(col("pieces")).as("p"))
+          .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts = counts.iterator.flatMap { case (p, _) =>
+        if (p.length == 1) Some(p -> math.max(raw.getOrElse(p, 0L), 1L))
+        else raw.get(p).filter(_ >= minCount).map(p -> _)
+      }.toMap
+    }
+    val total = counts.valuesIterator.sum
+    counts.toSeq.sortWith((a, b) => utf8Lt(a._1, b._1))
+      .map { case (p, c) => (p, c, microLn(c, total)) }
+  }
+
   /** Best Viterbi SCORE of `w` under `scores` (ties don't change the
     * max, so no tie-break is needed). With `excludeWhole` the DP may
     * not use the single piece spanning all of `w` — the prune rule's

@@ -3178,6 +3178,18 @@ object LlmQueries {
         .toDF("piece", "cnt", "logp_micro").orderBy(col("piece"))
     }),
 
+    // NOTE: the raw-web-scale trainer (Unigram.trainDistributed — every
+    // corpus-vocabulary step distributed, driver holds only
+    // vocab-budget-bounded tables) is deliberately NOT registered as
+    // its own query: it is differential-spec'd bit-identical to
+    // trainLocal (UnigramSpec, four configs incl. the frequency
+    // floor), and trainLocal is already held to the fully-unrolled
+    // SQL oracle here — so the distributed trainer is
+    // oracle-consistent TRANSITIVELY, and registering it would bill
+    // the bench ~7 s (two distributed DP rounds over distinct chunks)
+    // for evidence the spec chain already provides (the r19
+    // fixture-economics lesson).
+
     // The unigram tokenizer's PRODUCT: the corpus token-id stream via
     // the DISTRIBUTED Viterbi (bounded MaxWordLen-step DP over
     // distinct chunks + one corpus-scale join) — the oracle replays

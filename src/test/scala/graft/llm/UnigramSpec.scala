@@ -39,6 +39,35 @@ class UnigramSpec extends SparkSpec {
       maxPieceLen = 4, minCount = 2L, seedSize = 1000))
   }
 
+  test("trainDistributed == trainLocal bit-for-bit (seed order, EM rounds, quantization)") {
+    // the banana fixture exercises overlapping substring occurrences
+    // ("ana" twice inside "banana"), seed ties, and chunking via the
+    // 34-char word; a second fixture stresses tie-breaks between
+    // equal-count multi pieces and EM-starved pieces
+    val cfgs = Seq((2, 4, 2L, 1000), (1, 3, 2L, 5), (3, 4, 3L, 8))
+    for ((rounds, mpl, mc, seed) <- cfgs) {
+      val local = Unigram.trainLocal(docs, "text", rounds = rounds,
+        maxPieceLen = mpl, minCount = mc, seedSize = seed)
+      val dist = Unigram.trainDistributed(docs, "text", rounds = rounds,
+        maxPieceLen = mpl, minCount = mc, seedSize = seed)
+      assert(dist === local,
+        s"distributed trainer drifted at rounds=$rounds mpl=$mpl mc=$mc seed=$seed")
+    }
+    val d2 = Seq(
+      (1L, "aa ab aa ab ba"),
+      (2L, "ab ba ba cc cc cc"),
+      (3L, "xyzzy aa")).toDF("doc_id", "text")
+    assert(Unigram.trainDistributed(d2, "text", rounds = 2, maxPieceLen = 2,
+        minCount = 2L, seedSize = 4)
+      === Unigram.trainLocal(d2, "text", rounds = 2, maxPieceLen = 2,
+        minCount = 2L, seedSize = 4))
+    // the frequency floor composes identically on both trainers
+    assert(Unigram.trainDistributed(docs, "text", rounds = 2,
+        maxPieceLen = 4, minCount = 2L, seedSize = 1000, wordMinFreq = 2L)
+      === Unigram.trainLocal(docs, "text", rounds = 2, maxPieceLen = 4,
+        minCount = 2L, seedSize = 1000, wordMinFreq = 2L))
+  }
+
   test("trainLocal raw-web guards: wordMinFreq floors BEFORE the collect; maxDistinctWords fails loudly") {
     val base = Unigram.trainLocal(docs, "text", rounds = 2,
       maxPieceLen = 4, minCount = 2L, seedSize = 1000)
