@@ -881,4 +881,43 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(swept.size === 2, s"both residue dirs must sweep, got $swept")
     assert(flat() === merged, "vacuum must not touch live store content")
   }
+
+  test("backoff counts upsert: two writers racing an EMPTY store serialize (create + append); persist refuses to clobber") {
+    import graft.llm.NgramLm
+    val ref = (1 to 24).map(i =>
+      (i.toLong, s"u${i % 4} u${i % 3} u${i % 5} u${i % 4}"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("backoff_upsert_").toString + "/m"
+    // the advisory's exact window: both writers see no store; with the
+    // exists check outside the lock one side's counts silently vanished
+    // under the other's create-overwrite — upsert decides INSIDE the
+    // lock, so one creates and the other appends
+    race(
+      NgramLm.upsertBackoffCounts(ref.filter(col("doc_id") % 2 === 0),
+        "text", path, batchTag = Some("u0")),
+      NgramLm.upsertBackoffCounts(ref.filter(col("doc_id") % 2 === 1),
+        "text", path, batchTag = Some("u1")))
+    val direct = NgramLm.trainBackoff(ref, "text")
+    val fromStore = NgramLm.readBackoffModelFromCounts(spark, path)
+    assert(fromStore.total === direct.total,
+      "a racing first batch must not be lost to a double-create")
+    assert(fromStore.tri.orderBy("w2", "w1", "w").collect().toSeq
+      === direct.tri.orderBy("w2", "w1", "w").collect().toSeq)
+    // replays through the upsert entry point no-op on the applied tag
+    val before = spark.read.parquet(s"$path/counts")
+      .orderBy("n", "w2", "w1", "w").collect().toSeq
+    NgramLm.upsertBackoffCounts(ref.filter(col("doc_id") % 2 === 0),
+      "text", path, batchTag = Some("u0"))
+    assert(spark.read.parquet(s"$path/counts")
+      .orderBy("n", "w2", "w1", "w").collect().toSeq === before,
+      "a replayed upsert batch must no-op")
+    // the create face refuses to clobber a live ledger
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.persistBackoffCounts(ref, "text", path, batchTag = Some("u2"))
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(spark.read.parquet(s"$path/counts")
+      .orderBy("n", "w2", "w1", "w").collect().toSeq === before,
+      "the refused persist must leave the store untouched")
+  }
 }
