@@ -3661,6 +3661,26 @@ object LlmQueries {
         shards = ShuffleShards)
         .orderBy(col("shard"), col("pos"))),
 
+    // The shard-resume ROUND-TRIP oracle-checked: write the seeded
+    // permutation as range-partitioned shard files (writeShuffledShards
+    // — disjoint (shard, pos) slices, tight parquet footer min/max),
+    // then resume from a mid-stream cursor with readShardsFrom's ONE
+    // pushed predicate. The result must be the exact suffix of the
+    // declared permutation — holding the sink's disjoint-files
+    // contract AND the source's cursor semantics to the same SQL
+    // replay that checks the order itself (llm_global_shuffle).
+    // Row-group skipping via the pushed filter is plan-asserted in
+    // BucketingSpec, where it doesn't need a second write.
+    "llm_shard_resume" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = graft.util.Scratch.dir("graft_shards") + "/sh"
+      Order.writeShuffledShards(docs, "doc_id", seed = "r9",
+        shards = ShuffleShards, path = path)
+      Order.readShardsFrom(s, path, ResumeShard, ResumePos)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // Exact quartile histogram of document lengths: driver-walked
     // integer boundaries + codegen'd binary-search bucketing — the
     // exact, oracle-replayable counterpart of approxQuantile.
@@ -4076,6 +4096,13 @@ object LlmQueries {
 
   /** Shard count for llm_global_shuffle, shared with its oracle. */
   val ShuffleShards = 8
+
+  /** Resume cursor for llm_shard_resume, shared with its oracle —
+    * mid-stream in both dimensions so the suffix is non-trivial at
+    * every SF (shard 4 of 8; pos 20 is inside every shard even at
+    * sf0.001's ~62 rows/shard). */
+  val ResumeShard = 4L
+  val ResumePos = 20L
 
   /** Interleave weights for llm_interleave, shared with its oracle:
     * src0..src9 get cyclic weights 1..5; the fixture's other ten
@@ -7369,6 +7396,16 @@ object LlmQueries {
          |SELECT doc_id, skey % $ShuffleShards AS shard,
          |  row_number() OVER (PARTITION BY (skey % $ShuffleShards) ORDER BY skey, doc_id) AS pos
          |FROM k ORDER BY shard, pos""".stripMargin,
+    // the shuffle permutation's exact suffix past the resume cursor
+    "llm_shard_resume" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${duckHash(s"'r9:' || doc_id")} AS skey FROM documents),
+         |o AS (SELECT doc_id, skey % $ShuffleShards AS shard,
+         |  row_number() OVER (PARTITION BY (skey % $ShuffleShards) ORDER BY skey, doc_id) AS pos
+         |FROM k)
+         |SELECT doc_id, shard, pos FROM o
+         |WHERE shard > $ResumeShard OR (shard = $ResumeShard AND pos > $ResumePos)
+         |ORDER BY shard, pos""".stripMargin,
     "llm_winsorize" ->
       s"""WITH vc AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*)::BIGINT AS c
          |  FROM documents GROUP BY 1),
