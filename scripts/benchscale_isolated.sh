@@ -8,6 +8,7 @@
 # recorded as SESSION-START/SESSION-END lines around each family's
 # output, so a published table can prove its rows were isolated.
 set -u
+set -o pipefail
 SFDIR="${1:?usage: benchscale_isolated.sh <sfDir> [family...]}"
 shift
 FAMILIES=("$@")
@@ -19,9 +20,16 @@ if [ ${#FAMILIES[@]} -eq 0 ]; then
 fi
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
+LOGDIR="${BENCHSCALE_LOGDIR:-/tmp/benchscale_logs}"
+mkdir -p "$LOGDIR"
 for fam in "${FAMILIES[@]}"; do
   echo "[benchscale-isolated] SESSION-START family=$fam sf=$SFDIR"
+  # record the JVM's own exit status, not grep's: a BenchScale JVM
+  # that crashes AFTER emitting one [benchscale] line must not record
+  # rc=0 (pipefail + PIPESTATUS[0]); stderr goes to a per-family log
+  # instead of /dev/null so a crash is diagnosable
   SPARK_GRAFT_CPUS="$CPUS" java -cp "$CP" graft.BenchScale "$SFDIR" "$fam" \
-    2>/dev/null | grep '^\[benchscale\]'
-  echo "[benchscale-isolated] SESSION-END family=$fam rc=$?"
+    2>"$LOGDIR/$fam.err" | grep '^\[benchscale\]'
+  rc=${PIPESTATUS[0]}
+  echo "[benchscale-isolated] SESSION-END family=$fam rc=$rc"
 done

@@ -57,7 +57,15 @@ object Curate {
     // exactly one consumer (lineAgg), and pinning them alongside the
     // words doubled the checkpoint's storage footprint for nothing
     // (at 100 TB that is corpus-scale block pressure; recompute of one
-    // split() is cheaper than storing it)
+    // split() is cheaper than storing it).
+    // CALL CONTRACT: `docs` must be DETERMINISTIC (a stable read /
+    // derived frame — no sample()/limit()/non-stable source): lineAgg
+    // recomputes from `docs` while the word stats read the pinned
+    // `__ws` checkpoint, so a nondeterministic input could hand the
+    // line rules a DIFFERENT row snapshot than the word rules for the
+    // same doc_id — internally inconsistent per-doc rows the old
+    // single-checkpoint shape made impossible. Every in-repo caller
+    // passes a parquet read (or a deterministic projection of one).
     val base = docs.select(col(idCol),
         filter(Text.words(col(textCol)), w => length(w) > 0).as("__ws"))
       .localCheckpoint(false)

@@ -1549,10 +1549,13 @@ object Similarity {
             minNlist = nl, iters = 2)
         }
         require(maxCell() <= maxCluster,
-          s"appendToKnnGraphStore autoRebuild: retraining up to nlist=$nl " +
-            s"could not bring every cell under maxCluster=$maxCluster at " +
-            s"$path — the data is too concentrated for this cap; raise " +
-            "maxCluster or rebuild manually with a larger nlist")
+          s"appendToKnnGraphStore autoRebuild: the batch LANDED and its " +
+            s"tag committed, but retraining up to nlist=$nl could not " +
+            s"bring every cell under maxCluster=$maxCluster — the store " +
+            s"at $path is PUBLISHED over-cap (a replay of this call " +
+            "no-ops on the applied tag and will not shrink it); the data " +
+            "is too concentrated for this cap: raise maxCluster or " +
+            "rebuild manually with a larger nlist")
       }
     }
   }

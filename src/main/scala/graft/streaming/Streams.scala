@@ -1035,22 +1035,30 @@ object Streams {
     * batch read over the accumulated scores table (ccnetBuckets over
     * readScores), never per-batch state.
     *
-    * The model is SNAPSHOT eagerly at stream start
-    * (localCheckpoint(true) of the three gram tables): a lazy reload
-    * would be plain parquet scans of `modelPath`, and a
+    * The model is SNAPSHOT at stream start as a DURABLE copy-on-
+    * publish parquet dir (a scratch copy of the flat store file): a
+    * lazy reload would be plain parquet scans of `modelPath`, and a
     * [[graft.llm.NgramLm.persistBackoffModel]] republish (an atomic
     * swap) during the stream's lifetime would make later — or
     * crash-replayed — batches score against the republished files, or
     * fail on the swapped-away ones. The frozen guarantee holds by
-    * materialization, not by a no-republish convention. */
+    * materialization, not by a no-republish convention. The previous
+    * shape pinned the gram tables with localCheckpoint(true) in
+    * EXECUTOR block storage — any executor loss over the stream's
+    * (long) lifetime made every later micro-batch fail unrecoverably
+    * on missing checkpoint blocks, a transient fault killing the
+    * stream; the on-disk snapshot survives executor churn and is
+    * removed when the stream terminates (and by the scratch shutdown
+    * hook as the backstop). */
   def backoffScoreStream(docs: DataFrame, idCol: String, textCol: String,
                          modelPath: String, outTable: String,
                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
-    val m0 = graft.llm.NgramLm.readBackoffModel(spark, modelPath)
-    val model = m0.copy(uni = m0.uni.localCheckpoint(true),
-      bi = m0.bi.localCheckpoint(true), tri = m0.tri.localCheckpoint(true))
-    docs.writeStream
+    val snapDir = graft.util.Scratch.dir("graft_backoff_frozen")
+    spark.read.parquet(s"$modelPath/backoff")
+      .write.parquet(s"$snapDir/backoff")
+    val model = graft.llm.NgramLm.readBackoffModel(spark, snapDir)
+    val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1058,6 +1066,22 @@ object Streams {
           checkpointDir, batchId)
       }
       .start()
+    val qid = query.id
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            try graft.util.Scratch.remove(snapDir)
+            catch { case _: Exception => () } // shutdown hook backstop
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 
   /** One scoring micro-batch. Exactly-once WITHOUT trusting the
@@ -1086,11 +1110,26 @@ object Streams {
       scored.write.partitionBy("__sid", "__bid").format("parquet")
         .saveAsTable(outTable)
     else {
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try scored.write.mode("overwrite").insertInto(outTable)
-      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      // STATIC-partition INSERT OVERWRITE: the partition spec names
+      // the batch's own (__sid, __bid), so exactly that partition is
+      // replaced — under ANY partitionOverwriteMode and with no
+      // session-conf mutation. The previous shape toggled the
+      // session-global overwrite mode around insertInto; two scoring
+      // streams (or any concurrent foreachBatch writer) in one
+      // SparkSession could race the set/restore and one batch's
+      // insert would then run under 'static' dynamic-less overwrite
+      // and wipe every other (__sid, __bid) partition. (A per-write
+      // DataFrameWriter option cannot fix this: insertInto does not
+      // forward writer options to the V1 insert plan — verified by
+      // spec, the option was silently ignored.)
+      val v = "graft_scores_batch_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      scored.drop("__sid", "__bid").createOrReplaceTempView(v)
+      val sidLit = streamId.replace("'", "''")
+      try spark.sql(s"INSERT OVERWRITE TABLE $outTable " +
+        s"PARTITION (__sid = '$sidLit', __bid = $batchId) " +
+        s"SELECT * FROM $v")
+      finally spark.catalog.dropTempView(v)
     }
     if (batchId >= 0)
       spark.range(1).select(lit(streamId).as("stream_id"),

@@ -22,6 +22,18 @@ object Scratch {
   def dir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
 
+  /** Eagerly delete a scratch dir a caller is DONE with (e.g. a
+    * stream's frozen-model snapshot on stream stop) instead of waiting
+    * for the JVM shutdown hook. Only paths under the scratch root are
+    * touched — anything else is refused loudly (a typo must not
+    * recursively delete a data dir). */
+  def remove(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+    require(p.startsWith(root.toAbsolutePath.normalize()),
+      s"Scratch.remove: $dir is not under the scratch root $root")
+    deleteRecursively(p)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

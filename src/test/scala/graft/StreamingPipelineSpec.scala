@@ -863,13 +863,45 @@ class StreamingPipelineSpec extends SparkSpec {
     val b1 = Seq((1L, "the quick brown fox"), (2L, "zz unseen tokens here"))
     val b2 = Seq((3L, "the lazy dog"), (4L, ""))
     val in = MemoryStream[(Long, String)]
+    def frozenSnapDirs(): Seq[java.nio.file.Path] = {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"))
+      val roots = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        roots.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft_scratch_"))
+          .flatMap { r =>
+            val l = java.nio.file.Files.list(r)
+            try l.iterator().asScala.toList finally l.close()
+          }
+          .filter(_.getFileName.toString.startsWith("graft_backoff_frozen"))
+          .toSeq
+      } finally roots.close()
+    }
+    val snapsBefore = frozenSnapDirs().toSet
     val q = graft.streaming.Streams.backoffScoreStream(
       in.toDF().toDF("doc_id", "text"), "doc_id", "text", modelPath,
       outT, graft.util.Scratch.dir("backoff_stream_ck"))
     try {
       in.addData(b1: _*); q.processAllAvailable()
+      // MID-STREAM REPUBLISH: an atomic swap of modelPath must not
+      // change (or break) any later batch — the stream scores against
+      // its durable copy-on-publish snapshot, not the live store
+      NgramLm.persistBackoffModel(
+        NgramLm.trainBackoff(Seq(Tuple1("totally different reference "
+          + "vocabulary now")).toDF("text"), "text"), modelPath)
       in.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
+    // the stream's frozen-model snapshot dir is removed on stop
+    // (listener-driven; poll briefly — termination events are async)
+    val deadline = System.nanoTime() + 10000000000L
+    while (frozenSnapDirs().toSet != snapsBefore &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(frozenSnapDirs().toSet === snapsBefore,
+      "stream stop must remove the frozen-model snapshot dir")
+    // restore the original model for any later reader of modelPath
+    NgramLm.persistBackoffModel(model, modelPath)
     spark.catalog.refreshTable(outT)
     val streamed = spark.table(outT).drop("__sid", "__bid")
       .orderBy("doc_id").collect().toSeq
