@@ -368,9 +368,17 @@ object Bpe {
     * with the generation CAS like every other store. Returns the
     * trained merge list. */
   def persistTokenizer(docs: DataFrame, textCol: String, path: String,
-                       nMerges: Int): Seq[(String, String)] = {
+                       nMerges: Int): Seq[(String, String)] =
+    persistTokenizerTrained(docs, textCol, path,
+      trainMergesLocal(docs, textCol, nMerges))
+
+  /** [[persistTokenizer]] from an ALREADY-TRAINED merge table — the
+    * face a caller holding a shared/memoized training uses; `docs`
+    * still derives the id table (the symbol alphabet is a corpus
+    * property). Identical store layout and lock discipline. */
+  def persistTokenizerTrained(docs: DataFrame, textCol: String, path: String,
+                              trained: Seq[(Int, String, String, Long)]): Seq[(String, String)] = {
     val spark = docs.sparkSession
-    val trained = trainMergesLocal(docs, textCol, nMerges)
     val merges = trained.map { case (_, a, b, _) => (a, b) }
     val ids = symbolIds(docs, textCol, merges)
     import spark.implicits._

@@ -376,61 +376,78 @@ object Unigram {
       .map { case (p, c, lo) => (p, c, lo, microLn(c, total)) }
   }
 
-  /** Distributed Viterbi over a DISTINCT-chunk frame (`w` column):
-    * the bounded [[MaxWordLen]]-step DP as a chain of vocab-scale
-    * joins — step j joins each of the last `maxPieceLen` DP frontiers
-    * against the broadcast piece table on the (j−l+1, l) substring
-    * and keeps one best state per word by the pinned total order.
-    * Returns (w, pieces array). Nothing corpus-scale: the caller
-    * segments distinct chunks once and joins the token stream. */
+  /** Distributed Viterbi over a DISTINCT-chunk frame (`w` column) —
+    * ONE PASS: each chunk's candidate substrings (≤ len·maxPieceLen ≤
+    * 64 rows) explode once, score against the broadcast piece table,
+    * fold back to a per-chunk piece→score map (one hash agg, the only
+    * shuffle), and the whole bounded-depth DP then runs as a single
+    * per-row `aggregate` expression over that map — best state per
+    * position by the pinned total order (score desc, piece-count asc,
+    * UTF-8 seg-string asc; Spark string comparison IS byte order).
+    * Returns (w, pieces array); a chunk with no feasible segmentation
+    * drops, matching the old join semantics. Nothing corpus-scale:
+    * the caller segments distinct chunks once and joins the token
+    * stream.
+    *
+    * This replaces the previous [[MaxWordLen]]-step chain of
+    * vocab-scale joins — per step: up to `maxPieceLen` joins, a
+    * row_number window (a shuffle) and an eager localCheckpoint —
+    * i.e. ~16 sequential shuffle+materialize barriers per encode,
+    * pure fixed overhead at fixture scale and a 16-deep shuffle chain
+    * at corpus scale, for a DP whose state is one row per chunk. The
+    * per-row expression is differential-spec'd bit-identical to the
+    * driver [[viterbi]] (UnigramSpec), exactly as the join chain
+    * was. */
   def segmentWords(words: DataFrame, scores: Seq[(String, Long)],
                    maxPieceLen: Int = 4): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val p = broadcast(scores.toDF("piece", "__s"))
-    // one cheap vocab-scale agg caps the DP at the corpus's ACTUAL
-    // longest chunk — steps past it would run empty frames through 4
-    // joins + a window each, pure fixed overhead (measured: half the
-    // encode cost on a short-word corpus). Semantics unchanged: no
-    // word is longer than its own corpus maximum; [[MaxWordLen]]
-    // stays the hard bound the chunker guarantees.
-    val maxLen = math.min(MaxWordLen,
-      words.agg(coalesce(max(length(col("w"))), lit(0))).head().getInt(0))
-    if (maxLen == 0)
-      return words.select(col("w"),
-        split(col("w"), " ").as("pieces")).limit(0)
-    val base = words.select(col("w"), lit(0L).as("sc"),
-      lit(0).as("np"), lit("").as("seg"))
-    var dps = Vector(base.localCheckpoint(false))
-    for (j <- 1 to maxLen) {
-      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
-        dps(j - l).filter(length(col("w")) >= j)
-          .join(p, col("piece") === substring(col("w"), j - l + 1, l))
-          .select(col("w"), (col("sc") + col("__s")).as("sc"),
-            (col("np") + 1).as("np"),
-            when(col("seg") === "", col("piece"))
-              .otherwise(concat(col("seg"), lit(" "), col("piece"))).as("seg"))
-      }.reduce(_ unionByName _)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
-        .orderBy(col("sc").desc, col("np").asc, col("seg").asc)
-      dps = dps :+ cands.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("w"), col("sc"), col("np"), col("seg"))
-        .localCheckpoint(false)
-    }
-    val out = (1 to maxLen)
-      .map(j => dps(j).filter(length(col("w")) === j))
-      .reduce(_ unionByName _)
-      .select(col("w"), split(col("seg"), " ").as("pieces"))
-    // STRIP the compounded constraints before handing the result to a
-    // join: Dataset.checkpoint preserves originConstraints, so the 16
-    // per-step length(w) predicates stack into an exponentially nested
-    // formula that InferFiltersFromConstraints then materializes as a
-    // ~64 KB filter on the join's OTHER side — blowing Janino's method
-    // limit (observed: a 17k-line processNext that fell back to
-    // interpreted). The RDD round-trip yields a constraint-free scan;
-    // vocab-scale rows, so the conversion cost is nil.
-    spark.createDataFrame(out.rdd, out.schema)
+    // every distinct (start, len ≤ maxPieceLen) substring per chunk,
+    // deduped per chunk so map_from_entries sees unique keys
+    val subs = words.select(col("w"), explode(array_distinct(flatten(
+        transform(sequence(lit(1), least(lit(maxPieceLen), length(col("w")))),
+          l => transform(sequence(lit(1), length(col("w")) - l + 1),
+            i => col("w").substr(i, l)))))).as("piece"))
+    val maps = subs.join(p, Seq("piece"))
+      .groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("__s"))))
+        .as("__m"))
+    // DP: acc(i) = best state ending at position i−1 (1-based array,
+    // acc(1) = the empty base state), appended one position per step;
+    // a dead position is a NULL state that later steps skip (a longer
+    // piece can bridge it — the old frontier-join semantics).
+    val base = array(struct(lit(0L).as("sc"), lit(0).as("np"),
+      lit("").as("seg")))
+    val cmp = (x: Column, y: Column) =>
+      when(x.getField("sc") > y.getField("sc"), -1)
+        .when(x.getField("sc") < y.getField("sc"), 1)
+        .when(x.getField("np") < y.getField("np"), -1)
+        .when(x.getField("np") > y.getField("np"), 1)
+        .when(x.getField("seg") < y.getField("seg"), -1)
+        .otherwise(1)
+    val segCol = aggregate(
+      sequence(lit(1), length(col("w"))),
+      base,
+      (acc, j) => {
+        val cands = filter(
+          transform(sequence(lit(1), least(lit(maxPieceLen), j)), l => {
+            val piece = col("w").substr(j - l + lit(1), l)
+            val prev = element_at(acc, (j - l + lit(1)).cast("int"))
+            val s = try_element_at(col("__m"), piece)
+            struct((prev.getField("sc") + s).as("sc"),
+              (prev.getField("np") + lit(1)).as("np"),
+              when(prev.getField("seg") === "", piece)
+                .otherwise(concat(prev.getField("seg"), lit(" "), piece))
+                .as("seg"))
+          }),
+          c => c.getField("sc").isNotNull)
+        concat(acc, array(try_element_at(array_sort(cands, cmp), lit(1))))
+      },
+      acc => element_at(acc, -1).getField("seg"))
+    maps.select(col("w"), segCol.as("__seg"))
+      .filter(col("__seg").isNotNull)
+      .select(col("w"), split(col("__seg"), " ").as("pieces"))
   }
 
   /** Per-document unigram token counts (the [[Bpe.tokenCounts]]
@@ -470,15 +487,23 @@ object Unigram {
                        rounds: Int = 2, maxPieceLen: Int = 4,
                        minCount: Long = 2L,
                        seedSize: Int = 1000): Seq[(String, Long, Long)] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val pieces = trainLocal(docs, textCol, rounds, maxPieceLen, minCount,
       seedSize)
+    persistPieces(docs.sparkSession, pieces, path)
+    pieces
+  }
+
+  /** Swap-publish an ALREADY-TRAINED piece table (the
+    * [[persistTokenizer]] store layer without the training pass) — the
+    * face a caller holding a shared/memoized training uses; identical
+    * store layout and lock discipline. */
+  def persistPieces(spark: org.apache.spark.sql.SparkSession,
+                    pieces: Seq[(String, Long, Long)], path: String): Unit = {
+    import spark.implicits._
     graft.io.Tables.withStoreLock(spark, s"$path/unigram") {
       graft.io.Tables.swapInParquet(spark,
         pieces.toDF("piece", "cnt", "logp_micro"), s"$path/unigram")
     }
-    pieces
   }
 
   /** Reload a persisted unigram tokenizer in UTF-8 piece order (the

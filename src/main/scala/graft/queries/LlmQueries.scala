@@ -63,6 +63,38 @@ object LlmQueries {
       path
     })
 
+  /** ONE trained unigram piece table per sf dir, shared by the 7-query
+    * unigram family (train/encode/bytefallback/store/prune/
+    * prune_encode/tokenizer_compare — the [[knnFamilyStore]] pattern
+    * applied to the bench's largest fixture-economics target):
+    * training is DETERMINISTIC (hard-EM with a pinned total order), so
+    * every consumer's oracle — each of which replays training from the
+    * raw parquet — is unchanged bit-for-bit; the family pays for one
+    * training instead of seven. llm_unigram_nbest (kBest = 2) trains
+    * its own variant and is not in this cache. Keyed by the data dir
+    * (Verify/Bench sessions against different sf dirs never share). */
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long)]]()
+  private def unigramFamilyPieces(s: SparkSession,
+                                  dir: String): Seq[(String, Long, Long)] =
+    unigramCache.computeIfAbsent(dir, _ =>
+      Unigram.trainLocal(t(s, dir, "documents"), "text", rounds = 2,
+        maxPieceLen = 4, minCount = 2L, seedSize = 1000))
+
+  /** ONE trained BPE merge table per sf dir, shared by the BPE family
+    * (encode/decode/store/bytefallback/fertility/pack/
+    * tokenizer_compare) — same rationale as [[unigramFamilyPieces]]:
+    * [[Bpe.trainMergesLocal]] is deterministic (exact Long pair
+    * counts, (count desc, UTF-8 pair asc) argmax), so every oracle
+    * replay is unchanged and the family pays for one corpus
+    * word-vocabulary collect + merge loop instead of seven. */
+  private val bpeMergesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, Long)]]()
+  private def bpeFamilyMerges(s: SparkSession,
+                              dir: String): Seq[(Int, String, String, Long)] =
+    bpeMergesCache.computeIfAbsent(dir, _ =>
+      Bpe.trainMergesLocal(t(s, dir, "documents"), "text", BpeEncodeMerges))
+
   /** DSIR hashed-unigram feature buckets, shared with the oracle. */
   private val DsirBuckets = 1024
 
@@ -3035,7 +3067,7 @@ object LlmQueries {
     // boundaries, see PLANS.md round-14 analysis).
     "llm_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+      val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
       Bpe.encode(docs, "doc_id", "text", merges)
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
@@ -3049,7 +3081,7 @@ object LlmQueries {
     // eval/debug face of a deployed tokenizer.
     "llm_bpe_decode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+      val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
       val ids = Bpe.symbolIds(docs, "text", merges)
       Bpe.decode(Bpe.encodeWith(docs, "doc_id", "text", merges, ids),
@@ -3068,7 +3100,7 @@ object LlmQueries {
     "llm_bpe_store" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = graft.util.Scratch.dir("graft_bpe")
-      Bpe.persistTokenizer(docs, "text", path, BpeEncodeMerges)
+      Bpe.persistTokenizerTrained(docs, "text", path, bpeFamilyMerges(s, dir))
       val (merges, ids) = Bpe.readTokenizer(s, path)
       Bpe.encodeWith(docs, "doc_id", "text", merges, ids)
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
@@ -3086,7 +3118,7 @@ object LlmQueries {
     // general UTF-8 — multibyte round-trip is spec'd in BpeSpec).
     "llm_bpe_bytefallback" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+      val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
       val ids = Bpe.symbolIdsFallback(docs, "text", merges)
       val oov = docs.withColumn("text",
@@ -3135,7 +3167,7 @@ object LlmQueries {
     // (tokenCounts) + one corpus-scale aggregate.
     "llm_bpe_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+      val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
       val counts = Bpe.tokenCounts(docs, "doc_id", "text", merges)
       docs.select(col("doc_id"), col("source"),
@@ -3159,7 +3191,7 @@ object LlmQueries {
     // (separator slot, hash-shuffled shard order, 512-token windows).
     "llm_bpe_pack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+      val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
       Curate.packByTokens(Bpe.tokenCounts(docs, "doc_id", "text", merges),
           "doc_id", "n_bpe_tokens", budget = 512, shards = 8)
@@ -3173,8 +3205,7 @@ object LlmQueries {
     // the unrolled-SQL oracle (seed -> 2 EM rounds).
     "llm_unigram_train" -> ((s, dir) => {
       import s.implicits._
-      Unigram.trainLocal(t(s, dir, "documents"), "text",
-          rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+      unigramFamilyPieces(s, dir)
         .toDF("piece", "cnt", "logp_micro").orderBy(col("piece"))
     }),
 
@@ -3198,9 +3229,7 @@ object LlmQueries {
     // same total order.
     "llm_unigram_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pieces = Unigram.trainLocal(docs, "text",
-        rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
-      Unigram.encode(docs, "doc_id", "text", pieces)
+      Unigram.encode(docs, "doc_id", "text", unigramFamilyPieces(s, dir))
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
     }),
 
@@ -3212,8 +3241,7 @@ object LlmQueries {
     // information loss.
     "llm_unigram_bytefallback" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pieces = Unigram.trainLocal(docs, "text", rounds = 2,
-        maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+      val pieces = unigramFamilyPieces(s, dir)
       val ids = Unigram.symbolIdsFallback(pieces)
       val oov = docs.withColumn("text",
         concat(col("text"), lit(BpeOovSuffix)))
@@ -3228,12 +3256,11 @@ object LlmQueries {
     // distinct-word-scale joins; integer per-mille end to end.
     "llm_tokenizer_compare" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = Bpe.trainMergesLocal(docs, "text", BpeEncodeMerges)
+      val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
       val bpe = Bpe.tokenCounts(docs, "doc_id", "text", merges)
       val uni = Unigram.tokenCounts(docs, "doc_id", "text",
-        Unigram.trainLocal(docs, "text", rounds = 2, maxPieceLen = 4,
-          minCount = 2L, seedSize = 1000))
+        unigramFamilyPieces(s, dir))
       docs.select(col("doc_id"), col("source"),
           length(col("text")).cast("long").as("__chars"))
         .join(bpe, "doc_id").join(uni, "doc_id")
@@ -3257,8 +3284,7 @@ object LlmQueries {
     "llm_unigram_store" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = graft.util.Scratch.dir("graft_unigram_store")
-      Unigram.persistTokenizer(docs, "text", path,
-        rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000)
+      Unigram.persistPieces(s, unigramFamilyPieces(s, dir), path)
       Unigram.encode(docs, "doc_id", "text", Unigram.readTokenizer(s, path))
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
     }),
@@ -3444,8 +3470,7 @@ object LlmQueries {
     "llm_unigram_prune_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pruned = Unigram.pruneToVocab(
-        Unigram.trainLocal(docs, "text", rounds = 2, maxPieceLen = 4,
-          minCount = 2L, seedSize = 1000),
+        unigramFamilyPieces(s, dir),
         vocabSize = UnigramPruneVocab)
       Unigram.encode(docs, "doc_id", "text",
           pruned.map(p => (p._1, p._2, p._4)))
@@ -3475,8 +3500,7 @@ object LlmQueries {
     "llm_unigram_prune" -> ((s, dir) => {
       import s.implicits._
       Unigram.pruneToVocab(
-          Unigram.trainLocal(t(s, dir, "documents"), "text",
-            rounds = 2, maxPieceLen = 4, minCount = 2L, seedSize = 1000),
+          unigramFamilyPieces(s, dir),
           vocabSize = UnigramPruneVocab)
         .toDF("piece", "cnt", "loss_micro", "logp_micro")
         .orderBy(col("piece"))
