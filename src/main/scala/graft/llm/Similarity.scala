@@ -1247,6 +1247,33 @@ object Similarity {
       df.select(col(idCol).as("vid"), quantize(col(embCol)).as("eq")),
       cents, maxCluster, nprobe, ordered)
 
+  /** The capped (multi-probe) cell-assignment frame the pair joins
+    * build on, WITHOUT the pair join: (vid, eq, cluster, __nz) with
+    * __nz = the zero-norm guard per endpoint — checkpointed once. A
+    * recall/volume ledger uses this to count candidate pairs from
+    * METADATA (cluster sizes / (vid, cluster) joins) and to score
+    * cosines only for the eval slice it actually ranks, instead of
+    * materializing every candidate pair with its dot product (guide
+    * §2.3: decide with small rows; the cosine is payload). Same
+    * assignment kernel, cap window and zero-norm contract as
+    * [[cellPairsTrainedEq]]. */
+  private[graft] def cappedCells(eq0: DataFrame,
+                                 cents: Seq[(Long, Seq[Long])],
+                                 maxCluster: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val eq =
+      if (nprobe == 1) eq0.withColumn("cluster",
+        graft.expr.kernels.NativeFns.argminCentroid(col("eq"), cents))
+      else eq0.select(col("vid"), col("eq"), explode(
+          graft.expr.kernels.NativeFns.topNCentroids(col("eq"), cents, nprobe))
+        .as("cluster"))
+    eq.withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("__bc").between(2, maxCluster))
+      .drop("__bc")
+      .withColumn("__nz", dotQ(col("eq"), col("eq")) > 0)
+      .localCheckpoint(false)
+  }
+
   /** [[cellPairsTrained]] over an ALREADY-QUANTIZED (vid, eq) frame —
     * the rebuild path's face (the store's vectors carry eq, not the
     * raw float embedding; re-quantizing quantized longs would be
@@ -1290,9 +1317,25 @@ object Similarity {
     * text-path `llm_dedup_keep_one`). Returns the surviving ids. */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
                     threshold: Double, nlist: Int = 4, iters: Int = 2,
-                    maxCluster: Int = 4096, nprobe: Int = 1): DataFrame = {
-    val pairs = semanticNearDupPairs(df, idCol, embCol, threshold, nlist,
-      iters, maxCluster, nprobe).select(col("a"), col("b"))
+                    maxCluster: Int = 4096, nprobe: Int = 1): DataFrame =
+    semanticDedupPairsToKeep(df, idCol,
+      semanticNearDupPairs(df, idCol, embCol, threshold, nlist,
+        iters, maxCluster, nprobe))
+
+  /** [[semanticDedup]] against ALREADY-TRAINED centroids — the
+    * shared-geometry face ([[knnGraphTrained]]). */
+  def semanticDedupTrained(df: DataFrame, idCol: String, embCol: String,
+                           threshold: Double,
+                           cents: Seq[(Long, Seq[Long])],
+                           maxCluster: Int = 4096,
+                           nprobe: Int = 1): DataFrame =
+    semanticDedupPairsToKeep(df, idCol,
+      semanticNearDupPairsTrained(df, idCol, embCol, threshold, cents,
+        maxCluster, nprobe))
+
+  private def semanticDedupPairsToKeep(df: DataFrame, idCol: String,
+                                       pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select(col("a"), col("b"))
     // within-cell all-pairs graphs CHAIN (x~y~z via 0.3-cosine links
     // without x~z), so the component diameter is far above the LSH
     // quasi-clique case — 32 rounds, relying on connectedComponents'
@@ -1331,6 +1374,31 @@ object Similarity {
     knnTopK(cellPairs(df, idCol, embCol, nlist, iters, maxCluster,
       nprobe, ordered = false), k)
   }
+
+  /** [[knnGraph]] against ALREADY-TRAINED centroids — a family of
+    * graph consumers over one corpus (graph, recall ledger, label
+    * propagation) trains the shared Lloyd geometry ONCE and passes it
+    * here, instead of each re-running the per-iteration collect loop
+    * (identical output by construction: [[kmeansTrain]] is
+    * deterministic in (input, nlist, iters)). */
+  def knnGraphTrained(df: DataFrame, idCol: String, embCol: String, k: Int,
+                      cents: Seq[(Long, Seq[Long])],
+                      maxCluster: Int = 4096, nprobe: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    knnTopK(cellPairsTrained(df, idCol, embCol, cents, maxCluster,
+      nprobe, ordered = false), k)
+  }
+
+  /** [[semanticNearDupPairs]] against ALREADY-TRAINED centroids —
+    * same shared-geometry face as [[knnGraphTrained]]. */
+  def semanticNearDupPairsTrained(df: DataFrame, idCol: String,
+                                  embCol: String, threshold: Double,
+                                  cents: Seq[(Long, Seq[Long])],
+                                  maxCluster: Int = 4096,
+                                  nprobe: Int = 1): DataFrame =
+    cellPairsTrained(df, idCol, embCol, cents, maxCluster, nprobe,
+      ordered = true)
+      .filter(col("cosine") >= threshold)
 
   /** Corpus-scaled cell count for the cell-join family: nlist grows
     * with the corpus so the EXPECTED cell size stays ~`targetCell`

@@ -95,6 +95,28 @@ object LlmQueries {
     bpeMergesCache.computeIfAbsent(dir, _ =>
       Bpe.trainMergesLocal(t(s, dir, "documents"), "text", BpeEncodeMerges))
 
+  /** ONE trained Lloyd geometry (the coarse-quantizer centroids over
+    * the full embeddings table at autoNlist / 2 iters) per sf dir,
+    * shared by the kNN-graph / SemDeDup family (graph, recall
+    * ledgers, label propagation, semantic pairs/dedup, both probe
+    * widths) — the r20 verdict's ask #4: [[Similarity.kmeansTrain]]
+    * is deterministic in (input, nlist, iters), so every consumer's
+    * oracle (each replays the unrolled Lloyd rounds from raw parquet)
+    * is unchanged bit-for-bit; the family pays one per-iteration
+    * collect loop instead of ~8. Geometries that must differ
+    * (llm_kmeans_clusters' literal k = 4) stay independent. */
+  private val knnCentsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Long])]]()
+  private def knnFamilyCents(s: SparkSession,
+                             dir: String): Seq[(Long, Seq[Long])] =
+    knnCentsCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansTrain(
+        emb.select(col("vec_id").as("vid"),
+          Similarity.quantize(col("embedding")).as("eq")),
+        Similarity.autoNlist(emb), 2)
+    })
+
   /** DSIR hashed-unigram feature buckets, shared with the oracle. */
   private val DsirBuckets = 1024
 
@@ -2147,9 +2169,9 @@ object LlmQueries {
     // within-cell self-join.
     "llm_semdedup_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.semanticNearDupPairs(emb, "vec_id",
+      Similarity.semanticNearDupPairsTrained(emb, "vec_id",
           "embedding", threshold = EmbDedupThreshold,
-          nlist = Similarity.autoNlist(emb), iters = 2,
+          cents = knnFamilyCents(s, dir),
           maxCluster = SemMaxCluster)
         .orderBy(col("a"), col("b"))
     }),
@@ -2159,9 +2181,9 @@ object LlmQueries {
     // embedding paths).
     "llm_semdedup_keep" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.semanticDedup(emb, "vec_id",
+      Similarity.semanticDedupTrained(emb, "vec_id",
           "embedding", threshold = EmbDedupThreshold,
-          nlist = Similarity.autoNlist(emb), iters = 2,
+          cents = knnFamilyCents(s, dir),
           maxCluster = SemMaxCluster)
         .orderBy(col("vec_id"))
     }),
@@ -2173,8 +2195,8 @@ object LlmQueries {
     // no threshold: sparse neighborhoods still get their k best.
     "llm_knn_graph" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnGraph(emb, "vec_id", "embedding",
-          k = 3, nlist = Similarity.autoNlist(emb), iters = 2,
+      Similarity.knnGraphTrained(emb, "vec_id", "embedding",
+          k = 3, cents = knnFamilyCents(s, dir),
           maxCluster = SemMaxCluster)
         .orderBy(col("a"), col("rank"))
     }),
@@ -2186,8 +2208,8 @@ object LlmQueries {
     // rows broadcast), never all-pairs.
     "llm_knn_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cell = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
-          nlist = Similarity.autoNlist(emb), iters = 2,
+      val cell = Similarity.knnGraphTrained(emb, "vec_id", "embedding", k = 3,
+          cents = knnFamilyCents(s, dir),
           maxCluster = SemMaxCluster)
         .filter(col("a") < 150L)
       val exact = Similarity.knnGraphExact(emb, col("vid") < 150L,
@@ -2210,8 +2232,8 @@ object LlmQueries {
     // human-rated documents into a corpus-wide quality signal.
     "llm_graph_labelprop" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
-        nlist = Similarity.autoNlist(emb), iters = 2,
+      val graph = Similarity.knnGraphTrained(emb, "vec_id", "embedding",
+        k = 3, cents = knnFamilyCents(s, dir),
         maxCluster = SemMaxCluster)
       val seeds = emb.filter(col("vec_id") < 100 && col("label").isin(0L, 1L))
         .select(col("vec_id"),
@@ -2226,9 +2248,14 @@ object LlmQueries {
     // receive scores from their true neighbors across the cell edge...
     "llm_graph_labelprop_probe2" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
-        nlist = Similarity.autoNlist(emb), iters = 2,
-        maxCluster = SemMaxCluster, nprobe = 2)
+      // the probe-2 graph comes from the SHARED family store
+      // (knnFamilyStore): append == full rebuild bit-for-bit on
+      // frozen full-corpus cells, so the store's edges ARE the
+      // from-scratch probe-2 graph this query propagated over before
+      // (the oracle replays the full build + propagation from raw
+      // parquet and is unchanged)
+      val (_, graph, _) =
+        Similarity.readKnnGraphStore(s, knnFamilyStore(s, dir))
       val seeds = emb.filter(col("vec_id") < 100 && col("label").isin(0L, 1L))
         .select(col("vec_id"),
           when(col("label") === 0L, lit(1000000L)).otherwise(lit(0L)).as("q"))
@@ -2242,9 +2269,9 @@ object LlmQueries {
     // cells, same threshold as llm_semdedup_pairs.
     "llm_semdedup_pairs_probe2" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.semanticNearDupPairs(emb, "vec_id",
+      Similarity.semanticNearDupPairsTrained(emb, "vec_id",
           "embedding", threshold = EmbDedupThreshold,
-          nlist = Similarity.autoNlist(emb), iters = 2,
+          cents = knnFamilyCents(s, dir),
           maxCluster = SemMaxCluster, nprobe = 2)
         .orderBy(col("a"), col("b"))
     }),
@@ -2255,10 +2282,16 @@ object LlmQueries {
     // neighbors that sit just across its cell edge. Candidate pairs
     // that meet in both shared cells dedup to one edge.
     "llm_knn_graph_probe2" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.knnGraph(emb, "vec_id", "embedding",
-          k = 3, nlist = Similarity.autoNlist(emb), iters = 2,
-          maxCluster = SemMaxCluster, nprobe = 2)
+      // the SHARED family store's edges ARE the from-scratch probe-2
+      // graph (append == full rebuild bit-for-bit on frozen
+      // full-corpus cells — the contract llm_knn_graph_store's shared
+      // oracle already holds): read them instead of re-running Lloyd
+      // + the multi-probe self-join a third time in the suite (the
+      // r20 verdict's family-store pattern, ask #4). The oracle
+      // replays the full multi-probe build from raw parquet.
+      val (_, edges, _) =
+        Similarity.readKnnGraphStore(s, knnFamilyStore(s, dir))
+      edges.select(col("a"), col("b"), col("rank"), col("cosine"))
         .orderBy(col("a"), col("rank"))
     }),
 
@@ -2307,22 +2340,54 @@ object LlmQueries {
           "vec_id", "embedding", k = 3)
         .select(col("a"), col("b")).localCheckpoint(false)
       val nEval = exact.select(countDistinct(col("a")).as("n_eval"))
-      // ONE Lloyd training shared by both probe widths (the ledger
-      // compares assignment widths over the SAME trained cells)
-      val cents = Similarity.kmeansTrain(
-        emb.select(col("vec_id").as("vid"),
-          Similarity.quantize(col("embedding")).as("eq")),
-        Similarity.autoNlist(emb), 2)
+      // ONE Lloyd training shared by both probe widths AND the whole
+      // graph family (knnFamilyCents — the ledger compares assignment
+      // widths over the SAME trained cells)
+      val cents = knnFamilyCents(s, dir)
       Seq(1, 2).map { np =>
-        val cand = Similarity.cellPairsTrained(emb, "vec_id", "embedding",
-            cents, maxCluster = SemMaxCluster, nprobe = np, ordered = false)
-          // reused twice below (graph ∧ volume) — one materialization
-          .localCheckpoint(false)
-        val graph = Similarity.knnTopK(cand, 3).filter(col("a") < 150L)
+        // decide with metadata, score only what gets ranked (guide
+        // §2.3): the capped assignment frame materializes ONCE per
+        // width; the candidate VOLUME is a pure count over (vid,
+        // cluster) metadata — identical to counting the scored pair
+        // frame, since the zero-norm guard is per-endpoint and the
+        // nprobe=2 dedup key (a, b, cosine) is functional in (a, b) —
+        // and cosines are computed only for the eval slice the graph
+        // actually ranks (a < 150), not for every candidate pair.
+        val cells = Similarity.cappedCells(
+          emb.select(col("vec_id").as("vid"),
+            Similarity.quantize(col("embedding")).as("eq")),
+          cents, SemMaxCluster, np)
+        val nz = cells.filter(col("__nz"))
+        val vol =
+          if (np == 1)
+            nz.groupBy(col("cluster")).agg(count(lit(1)).as("__m"))
+              .agg(coalesce(sum(col("__m") * (col("__m") - 1)), lit(0L))
+                .as("n_pairs"))
+          else
+            nz.select(col("cluster"), col("vid").as("a"))
+              .join(nz.select(col("cluster"), col("vid").as("b")),
+                Seq("cluster"))
+              .filter(col("a") =!= col("b"))
+              .select(col("a"), col("b")).distinct()
+              .agg(count(lit(1)).as("n_pairs"))
+        val xe = nz.filter(col("vid") < 150L)
+          .select(col("cluster"), col("vid").as("a"), col("eq").as("aeq"))
+        val scored0 = xe
+          .join(nz.select(col("cluster"), col("vid").as("b"),
+            col("eq").as("beq")), Seq("cluster"))
+          .filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            (Similarity.dotQ(col("aeq"), col("beq")).cast("double") /
+              (sqrt(Similarity.dotQ(col("aeq"), col("aeq")).cast("double")) *
+                sqrt(Similarity.dotQ(col("beq"), col("beq")).cast("double"))))
+              .as("cosine"))
+        // nprobe=2: a pair meeting in both shared cells dedups, same
+        // key as cellPairsTrained's distinct
+        val scored = if (np == 1) scored0 else scored0.distinct()
+        val graph = Similarity.knnTopK(scored, 3)
         val matches = graph.select(col("a"), col("b"))
           .join(exact, Seq("a", "b"))
           .agg(count(lit(1)).as("total_matches"))
-        val vol = cand.agg(count(lit(1)).as("n_pairs"))
         nEval.crossJoin(matches).crossJoin(vol)
           .select(lit(np.toLong).as("nprobe"), col("n_eval"),
             col("total_matches"),
