@@ -80,11 +80,30 @@ object Bpe {
     * naive sortBy would silently train a different tokenizer on emoji
     * or rare-CJK corpora. */
   def trainMergesLocal(docs: DataFrame, textCol: String,
-                       nMerges: Int): Seq[(Int, String, String, Long)] = {
+                       nMerges: Int, wordMinFreq: Long = 1L,
+                       maxDistinctWords: Long = 50000000L): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(wordMinFreq >= 1L, s"wordMinFreq must be >= 1, got $wordMinFreq")
+    // raw-web collect guards (the Unigram.trainLocal shape, r19/r20):
+    // `wordMinFreq` is a frequency floor pushed INTO the distributed
+    // aggregation (singleton junk never reaches the driver; at 1, a
+    // no-op preserving every committed training bit-for-bit), and
+    // `maxDistinctWords` bounds the DRIVER TRANSFER via a cap+1 limit
+    // — an over-cap vocabulary fails loudly at the capacity line
+    // instead of OOMing mid-collect, with no extra counting pass.
+    // For a vocabulary past any driver cap, [[trainMerges]] is the
+    // collect-free (one distributed pass per round) fallback.
+    val lim = math.min(maxDistinctWords, (Int.MaxValue - 2).toLong).toInt
     val vocab: Array[(Long, Array[String])] = wordVocab(docs, textCol)
-      .select(col("freq"), col("syms")).collect()
+      .filter(col("freq") >= wordMinFreq)
+      .select(col("freq"), col("syms")).limit(lim + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    require(vocab.length <= lim,
+      s"bpe trainMergesLocal: over $lim distinct words exceed " +
+        s"maxDistinctWords=$maxDistinctWords — raise wordMinFreq (the " +
+        "pre-collect frequency floor), train on a curated slice, or use " +
+        "trainMerges (distributed rounds); collecting this table would " +
+        "exhaust the driver")
     // INCREMENTAL pair statistics: a merge only changes the adjacent
     // pairs of words that CONTAIN the winning pair, so each round
     // touches those words alone (via the pair -> word-index inverted

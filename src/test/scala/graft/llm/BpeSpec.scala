@@ -64,6 +64,31 @@ class BpeSpec extends SparkSpec {
       Seq("b", "ab"))
   }
 
+  test("trainMergesLocal raw-web guards: wordMinFreq floors BEFORE the collect; maxDistinctWords fails loudly") {
+    val docs = Seq("low low low lower lowest",
+      "banana banana band", "zyzzyva").toDF("text")
+    val base = Bpe.trainMergesLocal(docs, "text", nMerges = 6)
+    // the default floor (1) is a bit-for-bit no-op
+    assert(base === Bpe.trainMergesLocal(docs, "text", nMerges = 6,
+      wordMinFreq = 1L))
+    // a real floor drops singleton words from the vocabulary: the
+    // floored training equals training on the frequency-filtered
+    // corpus directly ("lower", "lowest", "band", "zyzzyva" are
+    // singletons and must not contribute pair counts)
+    val floored = Bpe.trainMergesLocal(docs, "text", nMerges = 6,
+      wordMinFreq = 2L)
+    val expect = Bpe.trainMergesLocal(Seq("low low low",
+      "banana banana").toDF("text"), "text", nMerges = 6)
+    assert(floored === expect,
+      "floored training must equal training on the floored corpus")
+    // the capacity guard trips before the collect, loudly
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMergesLocal(docs, "text", nMerges = 2, maxDistinctWords = 3L)
+    }
+    assert(e.getMessage.contains("maxDistinctWords") &&
+      e.getMessage.contains("wordMinFreq"))
+  }
+
   test("trainMergesLocal: incremental counts survive a long tie-heavy run") {
     // stress for the r14 incremental pair-count maintenance (inverted
     // index + lazy max-heap): a deterministic pseudo-random corpus
