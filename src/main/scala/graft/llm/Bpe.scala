@@ -394,12 +394,14 @@ object Bpe {
   /** [[persistTokenizer]] from an ALREADY-TRAINED merge table — the
     * face a caller holding a shared/memoized training uses; `docs`
     * still derives the id table (the symbol alphabet is a corpus
-    * property). Identical store layout and lock discipline. */
+    * property) unless the caller supplies a precomputed one. Identical
+    * store layout and lock discipline. */
   def persistTokenizerTrained(docs: DataFrame, textCol: String, path: String,
-                              trained: Seq[(Int, String, String, Long)]): Seq[(String, String)] = {
+                              trained: Seq[(Int, String, String, Long)],
+                              precomputedIds: Option[Seq[(String, Long)]] = None): Seq[(String, String)] = {
     val spark = docs.sparkSession
     val merges = trained.map { case (_, a, b, _) => (a, b) }
-    val ids = symbolIds(docs, textCol, merges)
+    val ids = precomputedIds.getOrElse(symbolIds(docs, textCol, merges))
     import spark.implicits._
     val rows =
       trained.map { case (step, a, b, n) =>

@@ -95,6 +95,23 @@ object LlmQueries {
     bpeMergesCache.computeIfAbsent(dir, _ =>
       Bpe.trainMergesLocal(t(s, dir, "documents"), "text", BpeEncodeMerges))
 
+  /** The trained tokenizer's id tables (plain + byte-fallback layout)
+    * — deterministic functions of (corpus, merges), i.e. part of the
+    * trained artifact, each otherwise re-deriving a corpus-scale
+    * merged-vocab pass per query. Memoized like the merges. */
+  private val bpeIdsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long)]]()
+  private def bpeFamilyIds(s: SparkSession,
+                           dir: String): Seq[(String, Long)] =
+    bpeIdsCache.computeIfAbsent(s"plain|$dir", _ =>
+      Bpe.symbolIds(t(s, dir, "documents"), "text",
+        bpeFamilyMerges(s, dir).map { case (_, a, b, _) => (a, b) }))
+  private def bpeFamilyIdsFallback(s: SparkSession,
+                                   dir: String): Seq[(String, Long)] =
+    bpeIdsCache.computeIfAbsent(s"fallback|$dir", _ =>
+      Bpe.symbolIdsFallback(t(s, dir, "documents"), "text",
+        bpeFamilyMerges(s, dir).map { case (_, a, b, _) => (a, b) }))
+
   /** ONE trained Lloyd geometry (the coarse-quantizer centroids over
     * the full embeddings table at autoNlist / 2 iters) per sf dir,
     * shared by the kNN-graph / SemDeDup family (graph, recall
@@ -3217,7 +3234,7 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
-      val ids = Bpe.symbolIds(docs, "text", merges)
+      val ids = bpeFamilyIds(s, dir)
       Bpe.decode(Bpe.encodeWith(docs, "doc_id", "text", merges, ids),
           "doc_id", ids)
         .orderBy(col("doc_id"))
@@ -3234,7 +3251,8 @@ object LlmQueries {
     "llm_bpe_store" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = graft.util.Scratch.dir("graft_bpe")
-      Bpe.persistTokenizerTrained(docs, "text", path, bpeFamilyMerges(s, dir))
+      Bpe.persistTokenizerTrained(docs, "text", path, bpeFamilyMerges(s, dir),
+        precomputedIds = Some(bpeFamilyIds(s, dir)))
       val (merges, ids) = Bpe.readTokenizer(s, path)
       Bpe.encodeWith(docs, "doc_id", "text", merges, ids)
         .orderBy(col("doc_id"), col("word_pos"), col("sym_pos"))
@@ -3254,7 +3272,7 @@ object LlmQueries {
       val docs = t(s, dir, "documents")
       val merges = bpeFamilyMerges(s, dir)
         .map { case (_, a, b, _) => (a, b) }
-      val ids = Bpe.symbolIdsFallback(docs, "text", merges)
+      val ids = bpeFamilyIdsFallback(s, dir)
       val oov = docs.withColumn("text",
         concat(col("text"), lit(BpeOovSuffix)))
       Bpe.encodeFallback(oov, "doc_id", "text", merges, ids)
