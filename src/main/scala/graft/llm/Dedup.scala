@@ -232,8 +232,18 @@ object Dedup {
     * recomputes the md5/shingle pass per branch — at cluster scale
     * you'd persist signatures to a table; locally an eager checkpoint
     * is the same cut of the lineage. */
-  private[llm] def signatures(df: DataFrame, idCol: String, textCol: String,
-                              shingleN: Int): DataFrame = {
+  private[graft] def signatures(df: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int): DataFrame =
+    signaturesPlan(df, idCol, textCol, shingleN).localCheckpoint(false)
+
+  /** The [[signatures]] computation WITHOUT the materializing
+    * checkpoint — the plan a caller persists once per corpus (the
+    * family-store discipline: signatures are a pure per-row transform
+    * of the document, an index artifact, so one persisted frame can
+    * feed every LSH consumer; pairs/verification/components stay
+    * per-query work downstream of it). */
+  private[graft] def signaturesPlan(df: DataFrame, idCol: String, textCol: String,
+                                    shingleN: Int): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     df
       // filter on the cheap word count BEFORE the heavy columns exist:
@@ -248,11 +258,10 @@ object Dedup {
       // native single-pass signature kernel (graft.expr.kernels.MinHashSig)
       .withColumn("__sig", graft.expr.kernels.NativeFns.minHashSig(col("__hs")))
       .select(col(idCol), col("__hs"), col("__sig"))
-      .localCheckpoint(false)
   }
 
   /** (id, band) exploded LSH band keys of a [[signatures]] frame. */
-  private[llm] def bandsOf(prepared: DataFrame, idCol: String): DataFrame =
+  private[graft] def bandsOf(prepared: DataFrame, idCol: String): DataFrame =
     prepared.select(col(idCol), explode(array((0 until numBands).map { bnd =>
       concat_ws("_", (lit(bnd.toString) +:
         (0 until BandRows).map(r => col("__sig")(bnd * BandRows + r).cast("string"))): _*)
@@ -268,10 +277,25 @@ object Dedup {
                 shingleN: Int = 3): DataFrame =
     bandsOf(signatures(df, idCol, textCol, shingleN), idCol)
 
+  /** [[bandIndex]] over an already-prepared [[signatures]] frame —
+    * pure per-row band derivation, no recompute of the signature CPU. */
+  def bandIndexFrom(prepared: DataFrame, idCol: String): DataFrame =
+    bandsOf(prepared, idCol)
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, shingleN: Int = 3,
-                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val prepared = signatures(df, idCol, textCol, shingleN)
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minHashLshPairsFrom(signatures(df, idCol, textCol, shingleN), idCol,
+      threshold, maxBucket)
+
+  /** [[minHashLshPairs]] over an already-prepared [[signatures]] frame
+    * (id, __hs, __sig) — the entry point for consumers of a persisted
+    * per-corpus signature frame: the shingle+md5+minhash CPU is paid
+    * once per corpus, while candidate generation, Jaccard verification
+    * and everything downstream stay per-query computations. */
+  def minHashLshPairsFrom(prepared: DataFrame, idCol: String,
+                          threshold: Double = 0.5,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = bandsOf(prepared, idCol)
     // Candidate generation: ONE exchange on the band key via the shared
     // capped collect-list expansion (cappedBucketPairs); distinct
@@ -321,8 +345,24 @@ object Dedup {
   def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
                               corpusIndex: DataFrame, idCol: String, textCol: String,
                               threshold: Double = 0.5, shingleN: Int = 3,
-                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val newSig = signatures(newDocs, idCol, textCol, shingleN)
+                              maxBucket: Int = DefaultMaxBucket): DataFrame =
+    incrementalNearDupPairsFrom(
+      signatures(newDocs, idCol, textCol, shingleN),
+      candIds => signatures(
+        corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, shingleN),
+      corpusIndex, idCol, threshold, maxBucket)
+
+  /** [[incrementalNearDupPairs]] over prepared [[signatures]] frames —
+    * `newSig` is the batch's (id, __hs, __sig) frame and
+    * `corpusSetsOf` maps the candidate-id frame to the candidate
+    * corpus docs' signature rows (for a persisted per-corpus signature
+    * frame that is one semi-join; the textual entry point above
+    * recomputes them from the corpus text after the same prune). */
+  def incrementalNearDupPairsFrom(newSig: DataFrame,
+                                  corpusSetsOf: DataFrame => DataFrame,
+                                  corpusIndex: DataFrame, idCol: String,
+                                  threshold: Double = 0.5,
+                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val newIds = newSig.select(col(idCol).as("__nid"))
     // overlapping inputs (corpus already containing the batch) must not
     // present a doc's bands twice to the bucket cap — a doubled band
@@ -336,11 +376,10 @@ object Dedup {
     val candNew = incrementalCandidates(idx, bandsOf(newSig, idCol), idCol,
       maxBucket, _.localCheckpoint(false)).localCheckpoint(false)
     // shingle sets: the new batch has them; candidate corpus docs
-    // recompute theirs after a semi-join prune
+    // come from `corpusSetsOf` after a semi-join prune
     val candIds = candNew.select(col("a").as(idCol))
       .unionByName(candNew.select(col("b").as(idCol))).distinct()
-    val corpusHs = signatures(
-        corpus.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, shingleN)
+    val corpusHs = corpusSetsOf(candIds)
       // overlapping inputs (corpus already containing the batch) must
       // not double a doc's set row — the new frame wins
       .join(broadcast(newIds), col(idCol) === col("__nid"), "left_anti")

@@ -218,6 +218,33 @@ object LlmQueries {
         "vec_id", "embedding", "label", p)
     }
 
+  /** ONE persisted MinHash signature frame (doc_id, __hs, __sig) of
+    * the raw documents table per sf dir, shared by the MinHash-LSH
+    * dedup family (minhash_lsh, lsh_tightcap, components,
+    * cluster_sizes, keep_one/best/fluent, multisignal, incremental,
+    * leakfree split/folds, e2e_curate) — the r21-verdict-blessed
+    * boundary: the signature is a DETERMINISTIC pure per-row transform
+    * of the document (an index-like artifact, the [[Dedup.bandIndex]]
+    * production shape), so one persisted frame serves every consumer
+    * bit-for-bit, while the pair join, Jaccard verification and
+    * connected components stay computed per query (those are query
+    * RESULTS — sharing them would be result caching). Parquet under
+    * [[graft.util.Scratch]] (shutdown-deleted), keyed by the data dir;
+    * the one-time build lands in sweep 1, the per-query min prices the
+    * shared-frame scan. llm_dedup_eval mutates the text column and
+    * keeps its own per-query signature pass. */
+  private val dedupSigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupFamilySignatures(s: SparkSession, dir: String): DataFrame = {
+    val p = dedupSigCache.computeIfAbsent(dir, _ => {
+      val path = graft.util.Scratch.dir("graft_dedup_sigs")
+      Dedup.signaturesPlan(t(s, dir, "documents"), "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   /** Shared deterministic models of the RECALL-LEDGER split (cands =
     * vec_id >= 100): the seven quality ledgers each train the same
     * coarse centroids / PQ codebooks / SQ8 grid on the same split
@@ -1122,17 +1149,17 @@ object LlmQueries {
       val sub = t(s, dir, "documents")
         .filter(col("doc_id") % 37 === 5 || col("doc_id") < 150)
         .withColumn("content", content)
-      // exact truth: same shingle-hash sets the LSH path verifies with
-      val sets = sub
-        .withColumn("__w", Text.words(col("content")))
-        .filter(size(col("__w")) >= 3)
-        .select(col("doc_id"), array_distinct(
-          transform(Text.shingles(col("__w"), 3), x => Text.md5Hash(x))).as("g"))
+      // ONE signature pass for the query (intra-query reuse): the
+      // exact-truth shingle sets are the __hs column of the same
+      // checkpointed frame the LSH path verifies with — the mutated
+      // content keeps this OUT of the shared per-corpus frame
+      val prepared = Dedup.signatures(sub, "doc_id", "content", 3)
+      val sets = prepared.select(col("doc_id"), col("__hs").as("g"))
       val truth = sets.as("x").join(sets.as("y"),
           col("x.doc_id") < col("y.doc_id"))
         .filter(Dedup.jaccard(col("x.g"), col("y.g")) >= 0.5)
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val found = Dedup.minHashLshPairs(sub, "doc_id", "content",
+      val found = Dedup.minHashLshPairsFrom(prepared, "doc_id",
         threshold = 0.5).select(col("a"), col("b"))
       val matched = truth.join(found, Seq("a", "b"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
@@ -1144,7 +1171,8 @@ object LlmQueries {
     }),
 
     "llm_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+      Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir), "doc_id",
+          threshold = 0.5)
         .orderBy(col("a"), col("b"))),
 
     "llm_dedup_simhash" -> ((s, dir) =>
@@ -2603,8 +2631,8 @@ object LlmQueries {
     // divergence would go undetected. At sf0.01: LSH cap 2 keeps 23 of
     // 25 pairs; ngram cap 10 keeps 3 of 4.
     "llm_dedup_lsh_tightcap" -> ((s, dir) =>
-      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
-        maxBucket = 2)
+      Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir), "doc_id",
+        threshold = 0.5, maxBucket = 2)
         .orderBy(col("a"), col("b"))),
 
     "llm_ngram_jaccard_tightcap" -> ((s, dir) =>
@@ -2690,8 +2718,8 @@ object LlmQueries {
     // Output = doc -> cluster-min-id; keep-one-per-cluster is then
     // `filter(node === label)`.
     "llm_dedup_components" -> ((s, dir) => {
-      val pairs = Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5)
+      val pairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5)
       graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
         .withColumnRenamed("node", "doc_id").withColumnRenamed("label", "component")
         .orderBy(col("doc_id"))
@@ -2749,7 +2777,13 @@ object LlmQueries {
         .withColumn("tokens",
           coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
         .filter(col("tokens") >= 21)
-      val pairs = Dedup.minHashLshPairs(q, "doc_id", "text", threshold = 0.5)
+      // signatures are a pure per-row transform, so the gate's
+      // signature frame == the shared corpus frame semi-joined to the
+      // surviving ids (no per-query re-signaturing)
+      val pairs = Dedup.minHashLshPairsFrom(
+        dedupFamilySignatures(s, dir)
+          .join(q.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        "doc_id", threshold = 0.5)
       val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
       val kept = Dedup.keepOnePerCluster(
         q.select("doc_id", "source", "tokens"), "doc_id", comp)
@@ -2847,12 +2881,16 @@ object LlmQueries {
     // recomputation's pairs that touch the new batch — the oracle IS
     // that full recomputation, filtered.
     "llm_dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
       val isNew = col("doc_id") % 10 === 9
-      val corpus = docs.filter(!isNew)
-      val idx = Dedup.bandIndex(corpus, "doc_id", "text")
-      Dedup.incrementalNearDupPairs(docs.filter(isNew), corpus, idx,
-          "doc_id", "text", threshold = 0.5)
+      // the shared frame is per-row, so filtering it by the batch
+      // split IS signatures(batch) / signatures(corpus); the corpus
+      // band index derives from the corpus half the same way
+      val sigs = dedupFamilySignatures(s, dir)
+      val idx = Dedup.bandIndexFrom(sigs.filter(!isNew), "doc_id")
+      Dedup.incrementalNearDupPairsFrom(sigs.filter(isNew),
+          candIds => sigs.filter(!isNew)
+            .join(candIds, Seq("doc_id"), "left_semi"),
+          idx, "doc_id", threshold = 0.5)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2863,7 +2901,8 @@ object LlmQueries {
     // hash projection.
     "llm_leakfree_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5)
       val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
       Curate.leakFreeSplit(docs.select("doc_id"), comp, "doc_id")
         .orderBy(col("doc_id"))
@@ -2873,7 +2912,8 @@ object LlmQueries {
     // leak-free split): near-dup clusters land whole in one fold.
     "llm_leakfree_folds" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5)
       val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
       Curate.leakFreeFolds(docs.select("doc_id"), comp, "doc_id", k = 5)
         .orderBy(col("doc_id"))
@@ -2883,7 +2923,8 @@ object LlmQueries {
     // clustering — every doc except non-representative cluster members
     "llm_dedup_keep_one" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5)
       val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
       Dedup.keepOnePerCluster(docs.select("doc_id"), "doc_id", comp)
         .orderBy(col("doc_id"))
@@ -2895,8 +2936,8 @@ object LlmQueries {
     // its cluster.
     "llm_dedup_multisignal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val textPairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        threshold = 0.5).select(col("a"), col("b"))
+      val textPairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5).select(col("a"), col("b"))
       val embPairs = Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
         "vec_id", "embedding", EmbDedupThreshold).select(col("a"), col("b"))
       Dedup.multiSignalKeepOne(docs.select(col("doc_id")), "doc_id",
@@ -4166,7 +4207,8 @@ object LlmQueries {
     // cluster (score = n_chars) instead of the min-id representative.
     "llm_dedup_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5)
       val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
       Dedup.keepBestPerCluster(docs.select("doc_id", "n_chars"), "doc_id",
           "n_chars", comp)
@@ -4184,7 +4226,8 @@ object LlmQueries {
           backoffFamilyModel(s, dir))
         .select(col("doc_id"),
           (-col("nll_micro_per_token")).as("fluency"))
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5)
       val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
       Dedup.keepBestPerCluster(fluency, "doc_id", "fluency", comp)
         .select("doc_id").orderBy(col("doc_id"))
@@ -4193,8 +4236,8 @@ object LlmQueries {
     // Dedup diagnostic: histogram of near-dup cluster sizes (shares
     // the LSH-pairs + components prefix with keep_one/keep_best).
     "llm_cluster_sizes" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.minHashLshPairsFrom(dedupFamilySignatures(s, dir),
+        "doc_id", threshold = 0.5)
       val comp = graft.ops.Ops.connectedComponents(pairs, "a", "b", iters = 8)
       CorpusStats.clusterSizeHistogram(comp)
     }),
