@@ -1128,6 +1128,214 @@ case class SearchSortedDouble(child: Expression, bounds: Seq[Double])
     copy(child = newChild)
 }
 
+/** Scalar kernel for [[GopherRepetition]] — the WHOLE Gopher
+  * within-document repetition battery (Rae et al. 2021 Table A1) in
+  * ONE pass per row, the pure map-side form of the explode+window+join
+  * formulation in `Curate.gopherRepetitionFrames`: every statistic is
+  * within-document, so at 100 TB the battery is a scan-stage
+  * projection and should never touch a shuffle (the frame version paid
+  * ~9 exchanges per call). Identical arithmetic, asserted
+  * differentially in NativeExprSpec:
+  *  - tokenization = filter(split(lower(text), "\\s+"), len > 0) via
+  *    the SAME UTF8String.toLowerCase and java.util.regex the built-in
+  *    lower()/split() use; lengths count CODE POINTS (Spark length());
+  *  - lines split on "\n" over the ORIGINAL text;
+  *  - top-n (n=2..4): the most frequent space-joined n-gram, ties to
+  *    the CODE-POINT-smallest gram (== UTF-8 byte order == Spark's
+  *    string ordering), coverage = count × (gram chars − (n−1));
+  *  - dup-n (n=5..10): positions covered by any n-gram occurring ≥ 2
+  *    times (coverage union), summed by word chars;
+  *  - exact integer per-mille (x·1000 div y), NULL when the
+  *    denominator is 0 or the source rows were absent — bit-for-bit
+  *    the left-join/when semantics of the frame version.
+  * Output: 12 nullable longs [n_chars, dup_line_pm, dup_line_char_pm,
+  * top2..4_char_pm, dup5..10_char_pm]. */
+object GopherRepKernel {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  private val NL = java.util.regex.Pattern.compile("\n")
+
+  /** Code-point count — Spark's length() semantics. */
+  private def cpLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  /** Code-point order == UTF-8 byte order == Spark string `<`. */
+  private[kernels] def cpCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb)
+        return Integer.compare(Character.codePointAt(a, i),
+          Character.codePointAt(b, i))
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              loweredText: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val out = new Array[Any](12)
+    // ---- line rules (original text, split on \n) ----
+    val raw = text.toString
+    val lines = NL.split(raw, -1)
+    var nl = 0L; var dl = 0L; var nlc = 0L; var dlc = 0L
+    val lineCounts = new java.util.HashMap[String, Array[Long]]()
+    var li = 0
+    while (li < lines.length) {
+      val cell = lineCounts.get(lines(li))
+      if (cell == null) lineCounts.put(lines(li), Array(1L)) else cell(0) += 1
+      li += 1
+    }
+    val lit = lineCounts.entrySet().iterator()
+    while (lit.hasNext) {
+      val e = lit.next()
+      val c = e.getValue()(0); val len = cpLen(e.getKey)
+      nl += c; dl += c - 1; nlc += c * len; dlc += (c - 1) * len
+    }
+    out(1) = java.lang.Long.valueOf(dl * 1000L / nl) // nl >= 1 always
+    if (nlc > 0L) out(2) = java.lang.Long.valueOf(dlc * 1000L / nlc)
+    // ---- tokenization (lower + \s+ split + drop empties); the
+    // lowering itself is done by Spark's own Lower expression (the
+    // second child), so its case mapping can never drift from the
+    // built-in lower() whatever collation/ICU mode the session runs ----
+    val lowered = loweredText.toString
+    val rawWords = WS.split(lowered, -1)
+    var nw = 0
+    var wi = 0
+    while (wi < rawWords.length) {
+      if (rawWords(wi).length > 0) nw += 1
+      wi += 1
+    }
+    val words = new Array[String](nw)
+    val wlen = new Array[Long](nw)
+    var nChars = 0L
+    var k = 0
+    wi = 0
+    while (wi < rawWords.length) {
+      if (rawWords(wi).length > 0) {
+        words(k) = rawWords(wi)
+        wlen(k) = cpLen(rawWords(wi))
+        nChars += wlen(k)
+        k += 1
+      }
+      wi += 1
+    }
+    out(0) = java.lang.Long.valueOf(nChars)
+    if (nChars == 0L) return new GenericArrayData(out) // all gram pms NULL
+    // ---- top-n coverage (n = 2..4): most frequent gram, ties to the
+    // code-point-smallest; NULL raw when the doc has no n-grams ----
+    var n = 2
+    while (n <= 4) {
+      val m = nw - n + 1
+      if (m >= 1) {
+        val counts = new java.util.HashMap[String, Array[Long]](math.max(4, m * 2))
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          val g = sb.toString
+          val cell = counts.get(g)
+          if (cell == null) counts.put(g, Array(1L)) else cell(0) += 1
+          i += 1
+        }
+        var bestC = 0L
+        var bestG: String = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue()(0)
+          if (c > bestC || (c == bestC && cpCompare(e.getKey, bestG) < 0)) {
+            bestC = c; bestG = e.getKey
+          }
+        }
+        val top = bestC * (cpLen(bestG) - (n - 1))
+        out(n + 1) = java.lang.Long.valueOf(top * 1000L / nChars)
+      } else out(n + 1) = java.lang.Long.valueOf(0L) // coalesce(NULL,0) arm
+      n += 1
+    }
+    // ---- dup-n coverage union (n = 5..10): word positions inside any
+    // gram occurring >= 2 times, summed by word chars; the frame
+    // version leaves the per-mille at coalesce(NULL,0) when a width
+    // has no duplicate gram ----
+    n = 5
+    while (n <= 10) {
+      val m = nw - n + 1
+      var dup = 0L
+      if (m >= 1) {
+        // gram -> first position, promoted to a position list on the
+        // second occurrence (memory scales with DUPLICATED grams only)
+        val first = new java.util.HashMap[String, Array[Int]](math.max(4, m * 2))
+        val covered = new Array[Boolean](nw)
+        var any = false
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          val g = sb.toString
+          val cell = first.get(g)
+          if (cell == null) first.put(g, Array(i))
+          else {
+            // duplicate: cover the earlier occurrence(s) and this one
+            var p = 0
+            while (p < cell.length) {
+              if (cell(p) >= 0) {
+                var q = cell(p)
+                while (q < cell(p) + n) { covered(q) = true; q += 1 }
+              }
+              p += 1
+            }
+            first.put(g, Array(-1)) // already-covered marker
+            var q = i
+            while (q < i + n) { covered(q) = true; q += 1 }
+            any = true
+          }
+          i += 1
+        }
+        if (any) {
+          var p = 0
+          while (p < nw) { if (covered(p)) dup += wlen(p); p += 1 }
+          out(n + 1) = java.lang.Long.valueOf(dup * 1000L / nChars)
+        } else out(n + 1) = java.lang.Long.valueOf(0L)
+      } else out(n + 1) = java.lang.Long.valueOf(0L)
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** One-pass Gopher repetition battery — see [[GopherRepKernel]]. NULL
+  * text → NULL array (the frame version's all-NULL left-join row).
+  * `right` must be lower(`left`) — the wrapper builds it that way so
+  * Spark's own Lower performs the case mapping. */
+case class GopherRepetition(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gopher_rep"
+
+  override def nullSafeEval(t: Any, l: Any): Any =
+    GopherRepKernel.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, l) =>
+      s"${ev.value} = graft.expr.kernels.GopherRepKernel.compute($t, $l);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GopherRepetition =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers (no session registration needed) + function
   * registration for SQL users via SparkSessionExtensions. */
 object NativeFns {
@@ -1171,6 +1379,9 @@ object NativeFns {
   def sq8Decode(codes: Column, quant: Seq[(Long, Long)]): Column =
     column(Sq8Decode(expression(codes), quant.map(_._1), quant.map(_._2)))
   def charEntropy(text: Column): Column = column(CharEntropyMicro(expression(text)))
+  def gopherRep(text: Column): Column =
+    column(GopherRepetition(expression(text),
+      expression(org.apache.spark.sql.functions.lower(text))))
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
   def htmlEntities(text: Column): Column = column(HtmlEntityDecode(expression(text)))
 }

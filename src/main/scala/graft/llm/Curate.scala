@@ -51,6 +51,29 @@ object Curate {
     * partitions by doc and nothing cross-document ever shuffles. */
   def gopherRepetition(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
+    // ONE native pass per row (graft.expr.kernels.GopherRepKernel):
+    // every statistic in the battery is within-document, so the whole
+    // thing is a scan-stage projection with ZERO exchanges — the
+    // explode+window+join formulation below
+    // ([[gopherRepetitionFrames]], kept as the bit-equality
+    // differential anchor, NativeExprSpec + CurateSpec) paid ~9
+    // exchanges + a checkpoint per call. NULL text → the all-NULL row
+    // the frame version's left joins produced.
+    val fields = Seq("n_chars", "dup_line_pm", "dup_line_char_pm") ++
+      (2 to 4).map(n => s"top${n}_char_pm") ++
+      (5 to 10).map(n => s"dup${n}_char_pm")
+    docs.select(col(idCol),
+        graft.expr.kernels.NativeFns.gopherRep(col(textCol)).as("__g"))
+      .select(col(idCol) +: fields.zipWithIndex.map { case (f, i) =>
+        element_at(col("__g"), i + 1).as(f) }: _*)
+  }
+
+  /** The explode+window+join formulation of [[gopherRepetition]] —
+    * retained as the differential anchor the one-pass kernel is
+    * bit-equality-tested against (and as the reference spelling of the
+    * battery's semantics). */
+  private[graft] def gopherRepetitionFrames(docs: DataFrame, idCol: String,
+                                            textCol: String): DataFrame = {
     // the checkpoint pins ONLY the word arrays: five consumers (nChars,
     // topAgg, occ5, occHi via the semi-join, wl) re-read `__ws`, so the
     // pin saves four re-tokenizations — but the LINE arrays have

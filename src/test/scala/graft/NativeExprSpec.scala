@@ -407,6 +407,35 @@ class NativeExprSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"native entropy must not shuffle:\n$plan")
   }
 
+  test("GopherRepetition kernel == explode+window+join battery; pure map-side plan") {
+    import graft.llm.Curate
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "the", "of", "and", "x", "yy")
+    def doc(): String = (1 to (1 + rnd.nextInt(40)))
+      .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val crafted: Seq[String] = Seq(
+      null, "", " ", "\n", "\n\n", "x\naa bb\naa bb",
+      "aa bb cc dd ee aa bb cc dd ee aa", // period-5 stream: dup5+dup6 fire
+      "aa bb cc dd ee ff gg hh aa bb cc dd ee ff gg hh", // dup-8 block
+      "w w w w w w w w w w w w", // degenerate single-word stream
+      "Tab\tsep  multi   space\nline\nline", // whitespace forms + dup line
+      "MiXeD CaSe MIXED case mixed CASE", // lowercasing folds to dups
+      "zz aa zz aa zz", // tie-break on equal top-2 counts
+      "é ü ß 日本 語 é ü ß 日本 語 é", // non-ASCII lengths + lowercase
+      "a 😀x b 😀x a 😀x b" // supplementary chars
+    ) ++ (1 to 60).map(_ => doc() + (if (rnd.nextBoolean()) "\n" + doc() else ""))
+    val docs = crafted.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val native = Curate.gopherRepetition(docs, "doc_id", "text")
+    val frames = Curate.gopherRepetitionFrames(docs, "doc_id", "text")
+    assert(native.except(frames).count() === 0 &&
+      frames.except(native).count() === 0,
+      "one-pass kernel must equal the explode+window+join battery bit for bit")
+    // the kernel form is a scan-stage projection: no exchange at all
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kernel battery must not shuffle:\n$plan")
+  }
+
   test("Janino tripwire: kernel expressions never fall back to interpreted codegen") {
     // Round-14 found 24 silent `CodeGenerator: Failed to compile`
     // errors per verify run: the kernel package was named with the
@@ -446,6 +475,7 @@ class NativeExprSpec extends SparkSpec {
       docs.select(NativeFns.nfc(col("text")),
         NativeFns.htmlEntities(col("text")),
         NativeFns.charEntropy(col("text")),
+        NativeFns.gopherRep(col("text")),
         NativeFns.simHash(Text.hashedShingles(col("text"), 2)),
         NativeFns.minHashSig(Text.hashedShingles(col("text"), 3)),
         NativeFns.morton2(col("doc_id"), col("doc_id"))).collect()
