@@ -234,6 +234,67 @@ object Bpe {
     out.result()
   }
 
+  /** Distributed merge training with INCREMENTAL pair maintenance —
+    * the raw-web-scale trainer (no driver-side vocabulary collect, and
+    * no per-round full recount): alongside the vocabulary it maintains
+    * the (pair, n) count table across rounds, updating it from the
+    * TOUCHED words only — a merge (a, b) changes the adjacent pairs of
+    * exactly the words that contain "a b" adjacently, so each round
+    * rewrites those words alone (the interpreted [[applyMerge]] fold
+    * never runs on the untouched majority) and folds their before/after
+    * pair multisets into the standing count table as an exact delta.
+    * [[trainMerges]] by contrast re-exploded and re-aggregated EVERY
+    * word's pairs and re-folded applyMerge over the whole vocabulary
+    * per round. Same argmax total order as [[trainMergesLocal]]
+    * (count desc, pair asc — Spark's binary string order IS UTF-8 byte
+    * order), same greedy leftmost-first application, same
+    * stop-when-no-pair-repeats; bit-identity across configs is
+    * differential-spec'd in BpeSpec. Driver traffic per round: ONE
+    * 1-row argmax collect. Jobs per round: the argmax + the two
+    * checkpoint materializations (vocab, counts) — each touching-word
+    * bounded except the vocabulary copy itself. */
+  def trainDistributed(docs: DataFrame, textCol: String,
+                       nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = wordVocab(docs, textCol).localCheckpoint(false)
+    var pc = pairCounts(vocab).localCheckpoint(false)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val top = pc.orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < 2L) done = true
+      else {
+        val pair = top(0).getString(0); val n = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        out += ((step, a, b, n))
+        val hit = array_contains(Text.shingles(col("syms"), 2), pair)
+        val touched = vocab.filter(hit)
+        val rewritten = touched
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+        // exact delta: the touched words' pair multisets before
+        // (negated) and after, folded into the standing table; counts
+        // are true non-negative multiplicities, so zero rows just drop
+        def pairsOf(v: DataFrame, sign: Int) =
+          v.select((col("freq") * sign).as("freq"),
+            explode(Text.shingles(col("syms"), 2)).as("pair"))
+        val pcNext = pc.select(col("pair"), col("n").as("freq"))
+          .unionByName(pairsOf(touched, -1).select(col("pair"), col("freq")))
+          .unionByName(pairsOf(rewritten, 1).select(col("pair"), col("freq")))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .filter(col("n") =!= 0L)
+          .localCheckpoint(false)
+        val vocabNext = vocab.filter(!hit).unionByName(rewritten)
+          .localCheckpoint(false)
+        vocab.unpersist(); pc.unpersist()
+        vocab = vocabNext; pc = pcNext
+        step += 1
+      }
+    }
+    vocab.unpersist(); pc.unpersist()
+    out.result()
+  }
+
   /** The vocab after applying a given merge list in order —
     * (word, freq, syms, n_syms). Merges fold into nested column
     * expressions (one `aggregate` per merge), so keep the list

@@ -78,7 +78,13 @@ object LlmQueries {
   private def unigramFamilyPieces(s: SparkSession,
                                   dir: String): Seq[(String, Long, Long)] =
     unigramCache.computeIfAbsent(dir, _ =>
-      Unigram.trainLocal(t(s, dir, "documents"), "text", rounds = 2,
+      // the COLLECT-FREE trainer (differential-spec'd bit-identical to
+      // trainLocal): the family's bench path no longer holds the
+      // corpus word table on the driver — at raw-web scale the vocab
+      // outgrows any driver cap and trainLocal dies at its guard by
+      // design. llm_unigram_nbest (kBest = 2, driver-local top-k DP)
+      // keeps trainLocal on its own variant.
+      Unigram.trainDistributed(t(s, dir, "documents"), "text", rounds = 2,
         maxPieceLen = 4, minCount = 2L, seedSize = 1000))
 
   /** ONE trained BPE merge table per sf dir, shared by the BPE family
@@ -93,7 +99,11 @@ object LlmQueries {
   private def bpeFamilyMerges(s: SparkSession,
                               dir: String): Seq[(Int, String, String, Long)] =
     bpeMergesCache.computeIfAbsent(dir, _ =>
-      Bpe.trainMergesLocal(t(s, dir, "documents"), "text", BpeEncodeMerges))
+      // the COLLECT-FREE incremental trainer (differential-spec'd
+      // bit-identical to trainMergesLocal): no corpus word-vocabulary
+      // collect in the BPE bench path — trainMergesLocal stays the
+      // curated-slice fast path behind its loud capacity guard.
+      Bpe.trainDistributed(t(s, dir, "documents"), "text", BpeEncodeMerges))
 
   /** The trained tokenizer's id tables (plain + byte-fallback layout)
     * — deterministic functions of (corpus, merges), i.e. part of the

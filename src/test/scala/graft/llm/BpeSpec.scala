@@ -64,6 +64,32 @@ class BpeSpec extends SparkSpec {
       Seq("b", "ab"))
   }
 
+  test("trainDistributed (incremental pair maintenance) == trainMergesLocal across configs") {
+    // three corpora x several depths: repeated stems with ties,
+    // overlap runs (a==b merges whose rewrite changes its own pair
+    // neighborhood), multibyte symbols, and a tie-heavy pseudo-random
+    // stress that drives many words through repeated rewrites — the
+    // delta-maintenance paths (touched-word detection, before/after
+    // multiset fold, zero-count row drop) all exercised
+    val corpora = Seq(
+      Seq("low low low lower lowest", "aaa aab abab", "日本 日本 日本語"),
+      Seq("aaaa aaaa aa", "baaab baaab"), // overlap-dominated
+      (0 until 160).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"bpe-dist:$i".getBytes("UTF-8"))
+        h.take(6).map(b => ('a' + ((b & 0xFF) % 4)).toChar).mkString
+      }.grouped(8).map(_.mkString(" ")).toSeq)
+    for ((c, ci) <- corpora.zipWithIndex; n <- Seq(1, 5, 12)) {
+      val docs = c.map(Tuple1(_)).toDF("text")
+      val dist = Bpe.trainDistributed(docs, "text", nMerges = n)
+      val local = Bpe.trainMergesLocal(docs, "text", nMerges = n)
+      assert(dist === local, s"corpus $ci nMerges=$n: dist $dist vs local $local")
+    }
+    // the early-stop contract carries over
+    assert(Bpe.trainDistributed(Seq("ab cd").toDF("text"), "text",
+      nMerges = 10).isEmpty)
+  }
+
   test("trainMergesLocal raw-web guards: wordMinFreq floors BEFORE the collect; maxDistinctWords fails loudly") {
     val docs = Seq("low low low lower lowest",
       "banana banana band", "zyzzyva").toDF("text")
