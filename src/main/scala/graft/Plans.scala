@@ -38,9 +38,22 @@ object Plans {
         "x1b_asof_next_view", "llm_shard_stats_merge",
         "llm_sketch_profile", "llm_hll_union", "llm_ann_ivfpq",
         "llm_cms_estimate")
+    // GRAFT_PLANS_MODE=executed runs each query through the noop sink
+    // first and prints the FINAL adaptive plan — the only form that
+    // shows the WholeStageCodegen span markers (formatted/simple on an
+    // unexecuted AQE plan print isFinalPlan=false without them) — the
+    // codegen-coverage audit face. Any other value is passed to
+    // explain() as-is (default formatted).
+    val mode = sys.env.getOrElse("GRAFT_PLANS_MODE", "formatted")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (mode == "executed") {
+        // collect() drives df's OWN QueryExecution (a noop write or
+        // count() would plan a fresh one and leave this plan initial)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain(mode)
     }
     spark.stop()
   }

@@ -745,7 +745,12 @@ object Dedup {
     * semi-join detail. Start positions are 1-based. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, minDf: Long = 2L): DataFrame = {
-    val keyed = spanKeys(docs, idCol, textCol, k)
+    // LAZY checkpoint: the key stream feeds both the qualifying-hash
+    // aggregate and the detail join — without the pin the md5 window
+    // pass (the dominant per-token cost) executes once per branch
+    // (plan-visible as two Scan+Generate chains); lazy, so it
+    // materializes inside the query's own job, no construction action
+    val keyed = spanKeys(docs, idCol, textCol, k).localCheckpoint(false)
     val q = keyed.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("df"), count(lit(1)).as("n_occ"))
       .filter(col("df") >= minDf)
@@ -765,7 +770,8 @@ object Dedup {
     * rebuild is the decode convention (bounded per-doc collect). */
   def trimRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, minDf: Long = 2L): DataFrame = {
-    val keyed = spanKeys(docs, idCol, textCol, k)
+    // lazy pin — same two-consumer shape as [[repeatedSpans]]
+    val keyed = spanKeys(docs, idCol, textCol, k).localCheckpoint(false)
     val q = keyed.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
@@ -825,7 +831,8 @@ object Dedup {
     * `distinct`; here the intervals themselves are the product. */
   def maximalRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 8, minDf: Long = 2L): DataFrame = {
-    val keyed = spanKeys(docs, idCol, textCol, k)
+    // lazy pin — same two-consumer shape as [[repeatedSpans]]
+    val keyed = spanKeys(docs, idCol, textCol, k).localCheckpoint(false)
     val q = keyed.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
