@@ -403,9 +403,15 @@ object Unigram {
     val spark = words.sparkSession
     import spark.implicits._
     val p = broadcast(scores.toDF("piece", "__s"))
+    // the documented hard bound, enforced in code rather than by
+    // caller convention: a chunk violating the chunker's length
+    // contract was silently DROPPED by the old maxLen-capped join
+    // chain (null final state); the per-row DP would instead segment
+    // it at O(len²) string-concat cost — restore the old drop
+    val words0 = words.filter(length(col("w")) <= MaxWordLen)
     // every distinct (start, len ≤ maxPieceLen) substring per chunk,
     // deduped per chunk so map_from_entries sees unique keys
-    val subs = words.select(col("w"), explode(array_distinct(flatten(
+    val subs = words0.select(col("w"), explode(array_distinct(flatten(
         transform(sequence(lit(1), least(lit(maxPieceLen), length(col("w")))),
           l => transform(sequence(lit(1), length(col("w")) - l + 1),
             i => col("w").substr(i, l)))))).as("piece"))

@@ -1055,8 +1055,15 @@ object Streams {
                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     val snapDir = graft.util.Scratch.dir("graft_backoff_frozen")
-    spark.read.parquet(s"$modelPath/backoff")
-      .write.parquet(s"$snapDir/backoff")
+    // the snapshot copy runs under the store lock: a concurrent
+    // persistBackoffModel swap mid-copy could otherwise fail the
+    // multi-file read+write or capture a torn generation — the exact
+    // race the snapshot exists to close, previously still open during
+    // stream startup
+    graft.io.Tables.withStoreLock(spark, s"$modelPath/backoff") {
+      spark.read.parquet(s"$modelPath/backoff")
+        .write.parquet(s"$snapDir/backoff")
+    }
     val model = graft.llm.NgramLm.readBackoffModel(spark, snapDir)
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -1126,7 +1133,12 @@ object Streams {
         java.util.UUID.randomUUID().toString.replace("-", "")
       scored.drop("__sid", "__bid").createOrReplaceTempView(v)
       val sidLit = streamId.replace("'", "''")
-      try spark.sql(s"INSERT OVERWRITE TABLE $outTable " +
+      // backtick-quote each identifier part: a table name with
+      // spaces/keywords/backticks that worked through the
+      // DataFrameWriter API must not break (or inject into) the SQL
+      val outTableQ = outTable.split('.')
+        .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+      try spark.sql(s"INSERT OVERWRITE TABLE $outTableQ " +
         s"PARTITION (__sid = '$sidLit', __bid = $batchId) " +
         s"SELECT * FROM $v")
       finally spark.catalog.dropTempView(v)
