@@ -3293,10 +3293,18 @@ object LlmQueries {
       val ranked = Curate.rankNormalize(
         scored.select(col("doc_id"), col("source"), col("score_micro")),
         "source", "score_micro", "doc_id")
+      // narrow to the four output columns and LAZY-pin before the
+      // budget selection: selectByTokenBudget executes its input in
+      // each refinement job (L1 agg, L2 band agg, final filter), which
+      // re-ran the whole scoring+ranking+text-join pipeline ~4x per
+      // query — the pin materializes the gated slice once inside L1
       val gated = ranked.filter(col("pm_rank") >= 600)
         .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
         .withColumn("tokens",
           coalesce(Text.wsTokenCount(col("text")), lit(0L)) + lit(1L))
+        .select(col("doc_id"), col("pm_rank"), col("score_micro"),
+          col("tokens"))
+        .localCheckpoint(false)
       Curate.selectByTokenBudget(gated, "doc_id", "score_micro", "tokens",
           budget = 6000L)
         .select(col("doc_id"), col("pm_rank"), col("score_micro"),
