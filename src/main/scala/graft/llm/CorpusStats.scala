@@ -816,8 +816,14 @@ object CorpusStats {
       .select(col("src"), explode(array_distinct(
         transform(Text.shingles(col("w"), n), s => Text.md5Hash(s)))).as("h"))
       .distinct()
+    // LAZY pin: the windowed frame feeds the per-source sizes AND both
+    // sides of the intersection self-join — without it the corpus
+    // shingle explode + distinct + document-frequency window executes
+    // once per branch (two Scan+Generate chains in the executed plan;
+    // ReuseExchange only dedupes the identical self-join sides)
     val windowed = sh
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .localCheckpoint(false)
     // sizes keep source-private shingles (true Jaccard denominators);
     // the join side additionally drops them — a singleton h can never
     // intersect, so pruning it changes nothing but the join volume
