@@ -207,9 +207,13 @@ object Ops {
     // twice, which would otherwise execute the (often expensive)
     // pair-generation pipeline twice.
     val e = edges.localCheckpoint(false)
+    // sym stays a PLAIN union of two projections of the checkpointed
+    // edge blocks: each round re-derives it map-side from e (near-free
+    // block reads — the per-round join shuffles it either way), where
+    // a second checkpoint here cost one more materialization job per
+    // CC call for nothing
     val sym = e.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(e.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint(false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     // Early termination: propagation is monotone (a node's label only
@@ -264,7 +268,6 @@ object Ops {
     }
     // the returned frontier is its own checkpoint; the edge caches are
     // dead once the loop stops re-reading them
-    Bridge.unpersistLocalCheckpoint(sym)
     Bridge.unpersistLocalCheckpoint(e)
     labels
   }

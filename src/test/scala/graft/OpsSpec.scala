@@ -283,10 +283,11 @@ class OpsSpec extends SparkSpec {
   test("connectedComponents: one action per round (checksum fused via observe) + early stop") {
     // Two already-min-labeled pairs: round 1 reaches the fixpoint, round
     // 2 confirms it (equal checksum) and the loop must stop there even
-    // with iters = 8. Expected SQL executions: edge checkpoint + sym
-    // checkpoint + ONE per round (the convergence checksum rides the
-    // checkpoint job via observe) = 4. A separate checksum action would
-    // make 6; no early stop would make 10.
+    // with iters = 8. Expected SQL executions: edge checkpoint + ONE
+    // per round (the convergence checksum rides the checkpoint job via
+    // observe; sym is a plain union over the edge blocks, no second
+    // checkpoint) = 3. A separate checksum action would make 5; no
+    // early stop would make 9.
     import org.apache.spark.scheduler.{SparkListener, SparkListenerEvent}
     import org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -310,9 +311,9 @@ class OpsSpec extends SparkSpec {
         if (now == last) stable += 1 else { stable = 0; last = now }
         Thread.sleep(100)
       }
-      // 4 loop executions + 1 for the final collect above
-      assert(execs.get() == 5,
-        s"expected 5 SQL executions (2 checkpoints + 2 fused rounds + collect), got ${execs.get()}")
+      // 3 loop executions + 1 for the final collect above
+      assert(execs.get() == 4,
+        s"expected 4 SQL executions (edge checkpoint + 2 fused rounds + collect), got ${execs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
