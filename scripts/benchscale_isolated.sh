@@ -16,7 +16,7 @@ if [ ${#FAMILIES[@]} -eq 0 ]; then
   FAMILIES=(ivfpq_serve ivfpq_grid multisignal_dedup semdedup
     heavy_hitters source_overlap knn_graph knn_graph_probe2
     repeated_spans html_extract qsketch sq8_serve unigram_encode
-    gopher_gate backoff_score knn_store_delta_append)
+    gopher_gate backoff_score quality_funnel knn_store_delta_append)
 fi
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 CPUS="${SPARK_GRAFT_CPUS:-32}"

@@ -138,6 +138,17 @@ object BenchScale {
       SparkEntry.queries("llm_backoff_lm_score")(spark, sfDir)
         .agg(sum(col("nll_micro"))).head().getLong(0)
     }
+    // r22: the full quality funnel — the registered query verbatim
+    // (repetition battery + heuristic gates + LM-bucket survivor
+    // accounting). Its work runs at construction (the stage counts are
+    // eager aggregates inside the query body), so constructing the
+    // frame IS the cost; the n_out sum just closes the 4-row result.
+    // Should track the token stream like gopher_gate with a constant
+    // offset for the backoff train/score half.
+    time("quality_funnel") {
+      SparkEntry.queries("llm_quality_funnel")(spark, sfDir)
+        .agg(sum(col("n_out"))).head().getLong(0)
+    }
     time("knn_store_delta_append") {
       val nlist = math.max(4L, 4L * nVecs / 2000L).toInt
       val path = graft.util.Scratch.dir("bs_knn_store") + "/g"
