@@ -1202,17 +1202,24 @@ object LlmQueries {
       val sub = t(s, dir, "documents")
         .filter(col("doc_id") % 37 === 5 || col("doc_id") < 150)
         .withColumn("content", content)
-      // ONE signature pass for the query (intra-query reuse): the
-      // exact-truth shingle sets are the __hs column of the same
-      // checkpointed frame the LSH path verifies with — the mutated
-      // content keeps this OUT of the shared per-corpus frame
-      val prepared = Dedup.signatures(sub, "doc_id", "content", 3)
-      val sets = prepared.select(col("doc_id"), col("__hs").as("g"))
+      // exact truth: same shingle-hash sets the LSH path verifies with.
+      // Measured NOT worth folding into one checkpointed signature
+      // pass (tried in r22, reverted): the truth sets fuse into the
+      // self-join's scan for free, while the one-pass variant stalls
+      // both branches on a materialized (__hs, __sig) checkpoint and
+      // re-reads the wide arrays — interleaved A/B at sf0.1 read it
+      // +0.2–0.5 s per run. The mutated content keeps this query OUT
+      // of the shared per-corpus frame either way.
+      val sets = sub
+        .withColumn("__w", Text.words(col("content")))
+        .filter(size(col("__w")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          transform(Text.shingles(col("__w"), 3), x => Text.md5Hash(x))).as("g"))
       val truth = sets.as("x").join(sets.as("y"),
           col("x.doc_id") < col("y.doc_id"))
         .filter(Dedup.jaccard(col("x.g"), col("y.g")) >= 0.5)
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val found = Dedup.minHashLshPairsFrom(prepared, "doc_id",
+      val found = Dedup.minHashLshPairs(sub, "doc_id", "content",
         threshold = 0.5).select(col("a"), col("b"))
       val matched = truth.join(found, Seq("a", "b"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
